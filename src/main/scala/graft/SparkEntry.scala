@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared operator inventory (SURVEY.md §2): one entry
+  * per operator, assembled from the per-category modules. `oracleSql`
+  * carries the DuckDB-equivalent ANSI SQL for every hash-checkable query.
+  */
 object SparkEntry {
+
+  private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (operators.Aggregates.queries, operators.Aggregates.oracles)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Aggregates.aggHash(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

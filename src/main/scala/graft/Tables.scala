@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the graded parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * All loaders are plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown/pruning into the scan; the only special case is `events`.
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = t(s, d, "region")
+  def nation(s: SparkSession, d: String)    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = t(s, d, "part")
+  def orders(s: SparkSession, d: String)    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String) = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
+    * refuses at scan time (`PARQUET_TYPE_ILLEGAL`). Read the nanos as a
+    * long and convert to a microsecond timestamp — bit-identical to
+    * DuckDB's µs-truncated read of the same file (SURVEY.md §5, verified).
+    * The conf is runtime-settable, so each query can depend on this loader
+    * regardless of how the driver built the session.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

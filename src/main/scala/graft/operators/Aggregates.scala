@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.4 Aggregation operators (SURVEY.md).
+  *
+  * All are two-phase hash aggregates: Spark automatically plans
+  * partial (map-side) + final `HashAggregateExec`, so at 100 TB each
+  * group's state is combined per-partition before the single shuffle
+  * on the (low-cardinality) group keys. Money sums are rounded to
+  * whole units and cast to BIGINT in both engines: `sum(double)` is
+  * order-dependent, and integer compare removes float-representation
+  * risk from the oracle hash (SURVEY.md §5).
+  */
+object Aggregates {
+
+  /** TPC-H Q1 shape — the flagship `entry` query. */
+  val aggHash: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 0).cast("bigint").as("sum_qty"),
+        round(sum("l_extendedprice"), 0).cast("bigint").as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+          .cast("bigint")
+          .as("sum_disc_price"),
+        round(
+          sum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))
+          ),
+          0
+        ).cast("bigint").as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val aggHashSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(round(sum(l_quantity),0) AS BIGINT) AS sum_qty,
+      | CAST(round(sum(l_extendedprice),0) AS BIGINT) AS sum_base_price,
+      | CAST(round(sum(l_extendedprice*(1-l_discount)),0) AS BIGINT) AS sum_disc_price,
+      | CAST(round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),0) AS BIGINT) AS sum_charge,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact distinct counts per group — Catalyst plans the expand +
+    * two-phase distinct aggregate; at scale the distinct shuffle is on
+    * (group, value) pairs, which partitions evenly. */
+  val aggDistinct: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("l_returnflag")
+
+  private val aggDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL++ approximate distinct — constant memory per group at any
+    * scale (vs the exact version's expand). Not hash-comparable to an
+    * exact oracle; bounds asserted in AggregatesSpec instead. */
+  val aggApproxDistinct: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supp")
+      )
+      .orderBy("l_returnflag")
+
+  /** ROLLUP over (returnflag, linestatus) with grouping() discriminators. */
+  val aggGroupingSets: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping("l_returnflag").cast("int").as("g_flag"),
+        grouping("l_linestatus").cast("int").as("g_status"),
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 0).cast("bigint").as("sum_qty")
+      )
+      .orderBy(
+        col("g_flag"),
+        col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first
+      )
+
+  private val aggGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      | CAST(grouping(l_linestatus) AS INT) AS g_status,
+      | count(*) AS n_rows,
+      | CAST(round(sum(l_quantity),0) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Statistical aggregates incl. exact interpolated median. */
+  val aggStats: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_discount")), 8).as("var_disc"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price")
+      )
+      .orderBy("l_returnflag")
+
+  private val aggStatsSql =
+    """SELECT l_returnflag,
+      | round(stddev_samp(l_extendedprice),4) AS sd_price,
+      | round(var_samp(l_discount),8) AS var_disc,
+      | round(corr(l_extendedprice, l_quantity),6) AS corr_pq,
+      | round(quantile_cont(l_extendedprice, 0.5),4) AS median_price,
+      | round(min(l_extendedprice),4) AS min_price,
+      | round(max(l_extendedprice),4) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "agg_hash" -> aggHash,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_stats" -> aggStats
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_hash" -> aggHashSql,
+    "agg_distinct" -> aggDistinctSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "agg_stats" -> aggStatsSql
+  )
+}
