@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (operators.Aggregates.queries, operators.Aggregates.oracles)
+    (operators.Scans.queries, operators.Scans.oracles),
+    (operators.Project.queries, operators.Project.oracles),
+    (operators.Aggregates.queries, operators.Aggregates.oracles),
+    (functions.ScalarFns.queries, functions.ScalarFns.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,235 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.7 Scalar function families (SURVEY.md) — the format-conversion
+  * surface. One wide projection per family so the oracle hash pins
+  * every function at once. All built-in `functions._` — fully
+  * codegen'd, no UDFs in the hot path.
+  *
+  * Cross-engine parity notes (verified against DuckDB 1.0.0):
+  *  - regexp_replace needs the 'g' flag on the DuckDB side (Spark
+  *    replaces all matches, DuckDB only the first by default).
+  *  - Spark weekday() is Mon=0, DuckDB isodow() is Mon=1 → +1.
+  *  - Spark floor/ceil return LONG, DuckDB return DOUBLE → cast both.
+  *  - exp/ln can differ by 1 ulp between libm implementations →
+  *    round(8).
+  */
+object ScalarFns {
+
+  val fnString: Q = (spark, dir) =>
+    Tables
+      .part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        size(split(col("p_name"), " ")).as("n_tok"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+        lpad(col("p_brand"), 10, "*").as("pad"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        col("p_type").like("%O%").as("like_o"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+        length(col("p_name")).as("len")
+      )
+      .orderBy("p_partkey")
+
+  val fnDate: Q = (spark, dir) =>
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(to_date(col("o_orderdate")), 30).as("d30"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        last_day(col("o_orderdate")).as("eom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s")
+      )
+      .orderBy("o_orderkey")
+
+  val fnMath: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") / 7, 2).as("r2"),
+        bround(col("l_extendedprice") / 7, 2).as("br2"),
+        floor(col("l_extendedprice") / 100).cast("bigint").as("fl"),
+        ceil(col("l_extendedprice") / 100).cast("bigint").as("ce"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        pow(col("l_quantity"), 2).as("p2"),
+        round(exp(col("l_discount")), 8).as("ex"),
+        round(log(col("l_extendedprice")), 8).as("lnp"),
+        sqrt(col("l_quantity")).as("sq"),
+        signum(col("l_discount") - 0.05).cast("int").as("sg"),
+        (col("l_orderkey") % 7).as("mod7"),
+        expr("l_orderkey div 7").as("div7"),
+        (col("l_quantity") / 7).as("qd")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val fnArray: Q = (spark, dir) =>
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        size(col("embedding")).as("n"),
+        element_at(col("embedding"), 1).cast("double").as("first"),
+        round(
+          aggregate(
+            col("embedding"),
+            lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")
+          ),
+          4
+        ).as("sumsq"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        transform(
+          slice(col("embedding"), 1, 3),
+          x => round(x.cast("double"), 3)
+        ).as("arr3"),
+        sort_array(
+          transform(
+            slice(col("embedding"), 1, 3),
+            x => round(x.cast("double"), 3) + lit(0.0) // +0.0 folds -0.0 into 0.0
+          )
+        ).as("sorted3"),
+        round(
+          aggregate(
+            zip_with(
+              col("embedding"),
+              reverse(col("embedding")),
+              (a, b) => a.cast("double") * b.cast("double")
+            ),
+            lit(0.0),
+            (acc, x) => acc + x
+          ),
+          4
+        ).as("zsum")
+      )
+      .orderBy("vec_id")
+
+  val fnMapJson: Q = (spark, dir) =>
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k2"),
+        map_keys(from_json(col("props"), lit("map<string,int>"))).as("mkeys"),
+        map_values(from_json(col("props"), lit("map<string,int>"))).as("mvals")
+      )
+      .orderBy("event_id")
+
+  val fnConditional: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high")
+          .as("tier"),
+        coalesce(expr("nullif(c_mktsegment,'BUILDING')"), lit("OTHER"))
+          .as("seg"),
+        greatest(col("c_acctbal"), lit(1000.0)).as("g"),
+        least(col("c_acctbal"), lit(1000.0)).as("l"),
+        coalesce(expr("nullif(c_nationkey, 0)"), lit(-1)).as("nn")
+      )
+      .orderBy("c_custkey")
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_map_json" -> fnMapJson,
+    "fn_conditional" -> fnConditional
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+        | substring(p_name,1,5) AS sub5,
+        | len(string_split(p_name,' ')) AS n_tok,
+        | concat_ws('|', p_brand, p_type) AS bt,
+        | lpad(p_brand, 10, '*') AS pad,
+        | regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        | (p_type LIKE '%O%') AS like_o,
+        | levenshtein(p_brand, p_type) AS lev,
+        | trim(concat(' ', p_name, ' ')) AS trimmed,
+        | length(p_name) AS len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        | day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        | isodow(o_orderdate) AS isodow,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(o_orderdate AS DATE) + 30 AS d30,
+        | datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        | last_day(o_orderdate) AS eom,
+        | strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice/7, 2) AS r2,
+        | round_even(l_extendedprice/7, 2) AS br2,
+        | CAST(floor(l_extendedprice/100) AS BIGINT) AS fl,
+        | CAST(ceil(l_extendedprice/100) AS BIGINT) AS ce,
+        | abs(l_discount - 0.05) AS ab,
+        | pow(l_quantity, 2) AS p2,
+        | round(exp(l_discount), 8) AS ex,
+        | round(ln(l_extendedprice), 8) AS lnp,
+        | sqrt(l_quantity) AS sq,
+        | CAST(sign(l_discount - 0.05) AS INT) AS sg,
+        | l_orderkey % 7 AS mod7,
+        | l_orderkey // 7 AS div7,
+        | l_quantity / 7 AS qd
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id, label, len(embedding) AS n,
+        | CAST(embedding[1] AS DOUBLE) AS first,
+        | round((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) z), 4) AS sumsq,
+        | len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        | list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE),3) + 0.0) AS arr3,
+        | list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE),3) + 0.0)) AS sorted3,
+        | round((SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x, unnest(list_reverse(embedding)) y) z), 4) AS zsum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_map_json" ->
+      """SELECT event_id, event_type,
+        | json_extract_string(props,'$.k') AS k_str,
+        | CAST(json_extract_string(props,'$.k') AS INT) AS k_int,
+        | CAST(json_extract_string(props,'$.k') AS INT) AS k2,
+        | json_keys(props) AS mkeys,
+        | [CAST(json_extract_string(props,'$.k') AS INT)] AS mvals
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 'neg'
+        |      WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
+        | coalesce(nullif(c_mktsegment,'BUILDING'),'OTHER') AS seg,
+        | greatest(c_acctbal, 1000.0) AS g,
+        | least(c_acctbal, 1000.0) AS l,
+        | coalesce(nullif(c_nationkey,0), -1) AS nn
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 Scans, sources, sinks (SURVEY.md).
+  *
+  * Format-conversion entry/exit points. The CSV/JSON sources
+  * round-trip a graded table through the format under test with an
+  * explicit schema (schema-on-read), so the DuckDB oracle can check
+  * them against the original parquet. All writes go to the JVM temp
+  * dir, never into the graded data.
+  */
+object Scans {
+
+  private def tmp(name: String) =
+    s"${sys.props("java.io.tmpdir")}/graft_io/$name"
+
+  /** Full table scan with a stable total order. */
+  val scanParquet: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir).orderBy("l_orderkey", "l_linenumber")
+
+  /** Column-pruned, predicate-pushed scan: Catalyst pushes both the
+    * projection and the filter into the parquet reader (visible as
+    * PushedFilters/ReadSchema in the formatted plan — asserted in
+    * PlanShapeSpec). */
+  val scanPruned: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .filter(
+        expr("l_shipdate < TIMESTAMP '1997-01-01'") &&
+          col("l_extendedprice") > 20000
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val nationSchema = StructType(
+    Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)
+    )
+  )
+
+  /** CSV round-trip with explicit schema-on-read. */
+  val sourceCsv: Q = (spark, dir) => {
+    val path = tmp("nation_csv")
+    Tables
+      .nation(spark, dir)
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("header", "true")
+      .csv(path)
+    spark.read
+      .schema(nationSchema)
+      .option("header", "true")
+      .csv(path)
+      .orderBy("n_nationkey")
+  }
+
+  private val customerSchema = StructType(
+    Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)
+    )
+  )
+
+  /** JSON-lines round-trip; doubles survive exactly via shortest
+    * round-trip rendering. */
+  val sourceJson: Q = (spark, dir) => {
+    val path = tmp("customer_json")
+    Tables.customer(spark, dir).coalesce(4).write.mode("overwrite").json(path)
+    spark.read
+      .schema(customerSchema)
+      .json(path)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Parquet sink round-trip (filter → write → re-read). */
+  val sinkParquet: Q = (spark, dir) => {
+    val path = tmp("lineitem_hi_qty")
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_quantity") > 45)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    spark.read
+      .parquet(path)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Partitioned sink + pruned re-read: the filter on the partition
+    * column prunes directories, not rows — the 100 TB layout pattern. */
+  val sinkPartitioned: Q = (spark, dir) => {
+    val path = tmp("orders_by_status")
+    Tables
+      .orders(spark, dir)
+      .write
+      .mode("overwrite")
+      .partitionBy("o_orderstatus")
+      .parquet(path)
+    spark.read
+      .parquet(path)
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_pruned" -> scanPruned,
+    "source_csv" -> sourceCsv,
+    "source_json" -> sourceJson,
+    "sink_parquet" -> sinkParquet,
+    "sink_partitioned" -> sinkPartitioned
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_extendedprice > 20000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "source_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "source_json" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sink_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin
+  )
+}
