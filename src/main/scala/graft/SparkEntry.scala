@@ -14,6 +14,9 @@ object SparkEntry {
     (operators.Scans.queries, operators.Scans.oracles),
     (operators.Project.queries, operators.Project.oracles),
     (operators.Aggregates.queries, operators.Aggregates.oracles),
+    (operators.Joins.queries, operators.Joins.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
+    (operators.SetOps.queries, operators.SetOps.oracles),
     (functions.ScalarFns.queries, functions.ScalarFns.oracles)
   )
 

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 Joins (SURVEY.md).
+  *
+  * Scale posture: equi-joins shuffle on their keys and Catalyst/AQE
+  * picks broadcast-hash automatically for dimension tables (nation,
+  * region, customer at small SF); `join_broadcast` pins the hint
+  * explicitly. The theta/as-of joins keep an equality conjunct
+  * (user_id) so Spark plans a sort-merge join with a band condition
+  * rather than a cartesian nested-loop — the property that keeps them
+  * viable at 100 TB.
+  */
+object Joins {
+
+  val joinInnerHash: Q = (spark, dir) =>
+    Tables
+      .orders(spark, dir)
+      .join(
+        Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"),
+        "inner"
+      )
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** 4-hop star join, TPC-H Q5 shape — revenue per region. The three
+    * dimension hops are broadcast by Catalyst; only lineitem⋈orders
+    * shuffles. */
+  val joinMultiway: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .join(
+        Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey")
+      )
+      .join(
+        Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .join(
+        Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+          .cast("bigint")
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("r_name")
+
+  val joinLeftOuter: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"),
+        "left"
+      )
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+
+  /** Full outer over two deliberately-offset slices so both sides
+    * null-extend. coalesce(c,o) is a total order: matched rows share
+    * the key and unmatched keys occur on exactly one side. */
+  val joinFullOuter: Q = (spark, dir) => {
+    val c = Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") <= 700)
+      .select("c_custkey", "c_name")
+    val o = Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("o_custkey") >= 300)
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select("c_custkey", "c_name", "o_custkey", "n_orders")
+      .orderBy(coalesce(col("c_custkey"), col("o_custkey")))
+  }
+
+  val joinSemi: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi"
+      )
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  val joinAnti: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Explicit broadcast hint on the dimension side. */
+  val joinBroadcast: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .join(
+        broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal")
+      )
+      .orderBy("n_name")
+
+  /** Non-equi band join: consecutive-event pairs within one hour for
+    * the same user. The user_id equality conjunct keeps this a
+    * sort-merge join, not a nested loop. */
+  val joinThetaRange: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    e.as("a")
+      .join(
+        e.as("b"),
+        expr(
+          "a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"
+        )
+      )
+      .select(
+        col("a.event_id").as("a_id"),
+        col("b.event_id").as("b_id"),
+        col("a.user_id").as("user_id"),
+        col("a.ts").as("a_ts"),
+        col("b.ts").as("b_ts")
+      )
+      .orderBy("a_id", "b_id")
+  }
+
+  /** As-of join — each event matched to the latest order at-or-before
+    * its timestamp for that customer. No Spark builtin (SURVEY.md
+    * §2.3): range-join on the user key then keep the latest match per
+    * event via row_number, with an explicit (o_orderdate, o_orderkey)
+    * tiebreak so the result is total-order deterministic. */
+  val joinAsof: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val rn = row_number().over(
+      Window
+        .partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    )
+    e.join(
+      o,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts")
+    ).withColumn("rn", rn)
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_hash" -> joinInnerHash,
+    "join_multiway" -> joinMultiway,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_broadcast" -> joinBroadcast,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_multiway" ->
+      """SELECT r_name,
+        | CAST(round(sum(l_extendedprice*(1-l_discount)),0) AS BIGINT) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 700) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  GROUP BY o_custkey HAVING o_custkey >= 300) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY coalesce(c.c_custkey, o.o_custkey)""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_theta_range" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        | a.user_id AS user_id, a.ts AS a_ts, b.ts AS b_ts
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |         o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.6 Sort / limit / top-k / set operations (SURVEY.md).
+  *
+  * `topk_global` compiles to TakeOrderedAndProjectExec — a streaming
+  * per-partition top-k heap + driver merge, O(n log k), never a full
+  * sort: exactly what you want at 100 TB. Set ops are distinct
+  * aggregates under the hood and shuffle once on the full row.
+  */
+object SetOps {
+
+  val sortMulti: Q = (spark, dir) =>
+    Tables
+      .supplier(spark, dir)
+      .orderBy(col("s_nationkey").desc, col("s_acctbal").asc, col("s_suppkey"))
+
+  val topkGlobal: Q = (spark, dir) =>
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** UNION ALL + grouped dedup: n_src records whether a customer came
+    * from one slice or both, exercising bag and set semantics at once. */
+  val setUnionDedup: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val a = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey", "c_name")
+    val b = c.filter(col("c_acctbal") > 8000).select("c_custkey", "c_name")
+    a.unionByName(b)
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_src"))
+      .orderBy("c_custkey")
+  }
+
+  val setIntersect: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("custkey"))
+      .intersect(
+        Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+      )
+      .orderBy("custkey")
+
+  val setExcept: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("custkey"))
+      .except(
+        Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+      )
+      .orderBy("custkey")
+
+  val queries: Map[String, Q] = Map(
+    "sort_multi" -> sortMulti,
+    "topk_global" -> topkGlobal,
+    "set_union_dedup" -> setUnionDedup,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sort_multi" ->
+      """SELECT * FROM supplier
+        |ORDER BY s_nationkey DESC, s_acctbal, s_suppkey""".stripMargin,
+    "topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "set_union_dedup" ->
+      """SELECT c_custkey, c_name, count(*) AS n_src FROM (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  UNION ALL
+        |  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000) t
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 Window functions (SURVEY.md).
+  *
+  * Every window ORDER BY carries a unique tiebreak key so ranks and
+  * frames are total-order deterministic across engines. Ranking is
+  * done over integer-rounded revenue, not raw doubles, so ties are
+  * exact on both sides. Windows partition by their natural key
+  * (customer/user/brand) — at 100 TB each partition's state is small
+  * and the single shuffle is on the partition key.
+  */
+object Windows {
+
+  /** Top-3 parts by revenue per brand: ranking + filter. */
+  val winRankTopk: Q = (spark, dir) => {
+    val rev = Tables
+      .lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+          .cast("bigint")
+          .as("revenue")
+      )
+    val w = Window
+      .partitionBy("p_brand")
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rn", "dr")
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Running sum + 3-row moving average of order totals per customer. */
+  val winRunning: Q = (spark, dir) => {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderdate"),
+        round(
+          sum("o_totalprice")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          2
+        ).as("run_sum"),
+        round(avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).as("mov_avg")
+      )
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Per-user event deltas via lag/lead. Time deltas in integer
+    * microseconds (unix_micros/epoch_us) — second-truncating casts
+    * round differently across engines. */
+  val winLagLead: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("value"),
+        lag("value", 1).over(w).as("prev_val"),
+        (col("value") - lag("value", 1).over(w)).as("delta"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("delta_us"),
+        lead("event_type", 1).over(w).as("next_type")
+      )
+      .orderBy("event_id")
+  }
+
+  /** Quartiles / distribution functions over account balances. */
+  val winNtileCume: Q = (spark, dir) => {
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        col("c_acctbal"),
+        ntile(4).over(w).as("nt"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr")
+      )
+      .orderBy("c_custkey")
+  }
+
+  /** 7-day trailing revenue per day: RANGE frame over epoch seconds. */
+  val winRangeFrame: Q = (spark, dir) => {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy(
+        date_trunc("day", col("o_orderdate")).cast("date").as("day"),
+        unix_timestamp(date_trunc("day", col("o_orderdate"))).as("epoch_s")
+      )
+      .agg(sum("o_totalprice").as("day_rev"))
+    daily
+      .select(
+        col("day"),
+        round(col("day_rev"), 2).as("day_rev"),
+        round(
+          sum("day_rev").over(
+            Window.orderBy("epoch_s").rangeBetween(-6L * 86400, 0)
+          ),
+          2
+        ).as("trail7")
+      )
+      .orderBy("day")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_rank_topk_per_group" -> winRankTopk,
+    "win_running" -> winRunning,
+    "win_lag_lead" -> winLagLead,
+    "win_ntile_cume" -> winNtileCume,
+    "win_range_frame" -> winRangeFrame
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_rank_topk_per_group" ->
+      """WITH pr AS (
+        |  SELECT p_brand, p_partkey,
+        |   CAST(round(sum(l_extendedprice*(1-l_discount)),0) AS BIGINT) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rn, dr FROM (
+        |  SELECT p_brand, p_partkey, revenue,
+        |   row_number() OVER w AS rn, dense_rank() OVER w AS dr
+        |  FROM pr WINDOW w AS (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey)) t
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_sum,
+        | round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS mov_avg
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, ts, value,
+        | lag(value) OVER w AS prev_val,
+        | value - lag(value) OVER w AS delta,
+        | epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+        | lead(event_type) OVER w AS next_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_ntile_cume" ->
+      """SELECT c_custkey, c_acctbal,
+        | ntile(4) OVER w AS nt, cume_dist() OVER w AS cd,
+        | percent_rank() OVER w AS pr
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_range_frame" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |   CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS epoch_s,
+        |   sum(o_totalprice) AS day_rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT day, round(day_rev,2) AS day_rev,
+        | round(sum(day_rev) OVER (ORDER BY epoch_s
+        |   RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW),2) AS trail7
+        |FROM d ORDER BY day""".stripMargin
+  )
+}
