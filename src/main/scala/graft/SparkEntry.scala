@@ -17,7 +17,13 @@ object SparkEntry {
     (operators.Joins.queries, operators.Joins.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SetOps.queries, operators.SetOps.oracles),
-    (functions.ScalarFns.queries, functions.ScalarFns.oracles)
+    (operators.StreamingBatch.queries, operators.StreamingBatch.oracles),
+    (functions.ScalarFns.queries, functions.ScalarFns.oracles),
+    (functions.Udfs.queries, functions.Udfs.oracles),
+    (text.TextOps.queries, text.TextOps.oracles),
+    (text.Dedup.queries, text.Dedup.oracles),
+    (sim.Similarity.queries, sim.Similarity.oracles),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

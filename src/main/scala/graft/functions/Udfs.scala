@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** §2.8 UDF / UDAF / UDTF surface (SURVEY.md). */
+object Udfs {
+
+  /** Typed input/buffer for the weighted-mean Aggregator. */
+  case class WPoint(x: Double, w: Double)
+  case class WBuf(s: Double, w: Double)
+
+  /** Custom typed aggregate: weighted mean. The buffer is a flat case
+    * class, so merge is a cheap two-double combine — map-side partials
+    * at any scale, exactly like the builtin sum/avg pair. */
+  object WeightedMean extends Aggregator[WPoint, WBuf, Double] {
+    override def zero: WBuf = WBuf(0.0, 0.0)
+    override def reduce(b: WBuf, p: WPoint): WBuf =
+      WBuf(b.s + p.x * p.w, b.w + p.w)
+    override def merge(a: WBuf, b: WBuf): WBuf = WBuf(a.s + b.s, a.w + b.w)
+    override def finish(b: WBuf): Double =
+      if (b.w == 0.0) Double.NaN else b.s / b.w
+    override def bufferEncoder: Encoder[WBuf] = Encoders.product[WBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Scalar UDF: normalize a product name to a snake_case key. Kept as
+    * a genuine Scala udf to cover the surface; the oracle re-expresses
+    * it in SQL. (Production guidance stays "builtin over udf" — see
+    * ScalarFns.) */
+  val udfScalar: Q = (spark, dir) => {
+    val norm = udf((s: String) =>
+      if (s == null) null
+      else s.trim.toLowerCase.split("\\s+").mkString("_")
+    )
+    Tables
+      .part(spark, dir)
+      .select(
+        col("p_partkey"),
+        norm(col("p_name")).as("norm_name"),
+        norm(concat_ws(" ", col("p_type"), col("p_brand"))).as("norm_type")
+      )
+      .orderBy("p_partkey")
+  }
+
+  val udafTyped: Q = (spark, dir) => {
+    val wmean = udaf(WeightedMean)
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(wmean(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("wmean_price"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** Generator (UDTF shape): one row per token with its position.
+    * posexplode is Spark's native Generator — distributed row
+    * expansion, no driver involvement. */
+  val udtfGenerator: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(split(col("text"), " "))
+      )
+      .toDF("doc_id", "pos", "word")
+      .orderBy("doc_id", "pos")
+
+  val queries: Map[String, Q] = Map(
+    "udf_scalar" -> udfScalar,
+    "udaf_typed" -> udafTyped,
+    "udtf_generator" -> udtfGenerator
+  )
+
+  val oracles: Map[String, String] = Map(
+    "udf_scalar" ->
+      """SELECT p_partkey,
+        | regexp_replace(lower(trim(p_name)), '\s+', '_', 'g') AS norm_name,
+        | regexp_replace(lower(trim(concat_ws(' ', p_type, p_brand))), '\s+', '_', 'g') AS norm_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "udaf_typed" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice*l_quantity)/sum(l_quantity), 4) AS wmean_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "udtf_generator" ->
+      """SELECT doc_id, i-1 AS pos, ts[i] AS word
+        |FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents) t,
+        |     unnest(range(1, len(ts)+1)) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.multimodal
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.9 Multimodal columns (SURVEY.md / builder brief).
+  *
+  * The graded corpus has no real image/audio bytes, so media is
+  * modeled as an opaque `binary` column derived from document text
+  * (UTF-8 bytes) with typed metadata alongside — the Spark-side
+  * plumbing (schemas, typed Datasets, partition-wise batch decode) is
+  * real; only the codec is a deterministic stub, clearly marked in
+  * `DecodeStub`.
+  */
+object Multimodal {
+
+  /** Opaque media record: bytes + typed metadata. */
+  case class MediaRecord(
+      doc_id: Long,
+      media: Array[Byte],
+      kind: String,
+      lang: String,
+      n_bytes: Int
+  )
+
+  /** Output of the (stubbed) decoder. */
+  case class MediaFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      brightness: Double
+  )
+
+  /** STUB decoder — a real deployment would call an image codec here
+    * (none is installed in this container). The stub derives
+    * deterministic pseudo-features from the raw bytes so the
+    * distributed plumbing stays end-to-end testable. */
+  object DecodeStub {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = r.media
+      val b0 = bytes(0) & 0xff
+      val b1 = bytes(math.min(1, bytes.length - 1)) & 0xff
+      var s = 0.0
+      var i = 0
+      while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+      MediaFeatures(
+        r.doc_id,
+        64 + b0 % 64,
+        64 + b1 % 64,
+        s / bytes.length / 255.0
+      )
+    }
+  }
+
+  /** Binary-column feature extraction with builtin expressions only:
+    * byte length, SHA-256 / MD5 fingerprints, head bytes as hex. */
+  val mmBinaryFeatures: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn("bin", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("bin")).cast("bigint").as("n_bytes"),
+        sha2(col("bin"), 256).as("sha_hex"),
+        md5(col("bin")).as("md5_hex"),
+        expr("upper(hex(substring(bin, 1, 8)))").as("head_hex"),
+        lit("application/text").as("kind")
+      )
+      .orderBy("doc_id")
+
+  /** Typed-Dataset decode pipeline: binary media + metadata →
+    * mapPartitions(decode) → features. mapPartitions is the Scala
+    * analog of mapInPandas — the decoder sees an iterator per
+    * partition, so batch-level setup (codec init at scale) happens
+    * once per partition, not per row. */
+  val mmDecodeStub: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        MediaRecord(id, text.getBytes("UTF-8"), "image/fake", lang, text.length)
+      }
+      .mapPartitions(_.map(DecodeStub.decode))
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("width"),
+        col("height"),
+        round(col("brightness"), 6).as("brightness")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: every 32nd byte of the media stream, as a typed
+    * array — the shape of video frame-subsampling over binary data. */
+  val mmFrameSample: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(
+          "transform(sequence(1, length(text), 32), i -> ascii(substring(text, i, 1)))"
+        ).as("frames"),
+        expr("size(sequence(1, length(text), 32))").as("n_frames")
+      )
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "mm_binary_features" -> mmBinaryFeatures,
+    "mm_decode_stub" -> mmDecodeStub,
+    "mm_frame_sample" -> mmFrameSample
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_features" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha_hex, md5(text) AS md5_hex,
+        | upper(hex(substring(text, 1, 8))) AS head_hex,
+        | 'application/text' AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        | 64 + unicode(substring(text,1,1)) % 64 AS width,
+        | 64 + unicode(substring(text,2,1)) % 64 AS height,
+        | round(list_aggregate(list_transform(string_split_regex(text,''),
+        |   c -> CAST(unicode(c) AS DOUBLE)), 'sum') / length(text) / 255.0, 6)
+        |   AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        | list_transform(generate_series(1, CAST(length(text) AS INT), 32),
+        |   i -> unicode(substring(text, i, 1))) AS frames,
+        | len(generate_series(1, CAST(length(text) AS INT), 32)) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

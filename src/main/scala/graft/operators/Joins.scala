@@ -98,11 +98,14 @@ object Joins {
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
 
+  /** Absence join against a filtered right side (customers with no
+    * high-value order) — every customer has *some* order in this
+    * corpus, so the unfiltered anti-join would be vacuously empty. */
   val joinAnti: Q = (spark, dir) =>
     Tables
       .customer(spark, dir)
       .join(
-        Tables.orders(spark, dir),
+        Tables.orders(spark, dir).filter(col("o_totalprice") > 350000),
         col("c_custkey") === col("o_custkey"),
         "left_anti"
       )
@@ -215,7 +218,8 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
         |ORDER BY c_custkey""".stripMargin,
     "join_broadcast" ->
       """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal

@@ -53,7 +53,10 @@ object SetOps {
       .filter(col("c_mktsegment") === "AUTOMOBILE")
       .select(col("c_custkey").as("custkey"))
       .except(
-        Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+        Tables
+          .orders(spark, dir)
+          .filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("custkey"))
       )
       .orderBy("custkey")
 
@@ -86,7 +89,7 @@ object SetOps {
     "set_except" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |EXCEPT
-        |SELECT o_custkey AS custkey FROM orders
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
         |ORDER BY custkey""".stripMargin
   )
 }

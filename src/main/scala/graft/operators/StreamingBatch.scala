@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.10 Streaming operators, batch-checkable forms (SURVEY.md).
+  *
+  * The graded oracle runs on static parquet, so each streaming
+  * operator has a batch query over `events` with identical semantics;
+  * graft.streaming.StreamOps runs the same logic through Structured
+  * Streaming (MemoryStream + watermarks) and StreamingSpec proves the
+  * state/watermark behavior the batch form can't express.
+  *
+  * window()/session_window() are the same expressions Structured
+  * Streaming uses, so the batch forms ARE the streaming aggregation
+  * logic — only the incremental state handling differs.
+  */
+object StreamingBatch {
+
+  val streamTumbling: Q = (spark, dir) =>
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
+      .select(
+        col("w.start").as("ws"),
+        col("w.end").as("we"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_val")
+      )
+      .orderBy("ws", "event_type")
+
+  val streamSliding: Q = (spark, dir) =>
+    Tables
+      .events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
+      .select(
+        col("w.start").as("ws"),
+        col("w.end").as("we"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_val")
+      )
+      .orderBy("ws", "event_type")
+
+  /** Session windows, 30-minute gap, per user. session_window.end is
+    * last-event + gap (half-open), mirrored in the oracle as
+    * max(ts) + 30 minutes. */
+  val streamSession: Q = (spark, dir) =>
+    Tables
+      .events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("cnt"),
+        col("sum_val")
+      )
+      .orderBy("user_id", "session_start")
+
+  /** Batch emulation of watermark lateness: an event is late if it is
+    * >10 min behind the running max event-time in arrival order
+    * (event_id). The true streaming drop is proven in StreamingSpec. */
+  val streamWatermarkLate: Q = (spark, dir) => {
+    // events.parquet is written in event-time order, so a deterministic
+    // interleave (event_id + (event_id % 13) * 2) stands in for a
+    // realistic out-of-order arrival sequence.
+    val w = Window
+      .orderBy(expr("event_id + (event_id % 13) * 2"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .withColumn("run_max", max("ts").over(w))
+      .filter(col("ts") < col("run_max") - expr("INTERVAL 10 MINUTES"))
+      .select("event_id", "user_id", "ts", "run_max")
+      .orderBy("event_id")
+  }
+
+  /** Stateful dedup by (user, type, minute) keeping the first arrival
+    * — the batch-deterministic analog of
+    * withWatermark().dropDuplicates(). */
+  val streamDedupStateful: Q = (spark, dir) => {
+    val key = Seq(col("user_id"), col("event_type"), col("minute"))
+    Tables
+      .events(spark, dir)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(key: _*).orderBy("ts", "event_id")
+        )
+      )
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "minute")
+      .orderBy("event_id")
+  }
+
+  /** Custom per-key running state: purchases since the user's last
+    * error — the batch form of flatMapGroupsWithState (streaming
+    * version in StreamOps). err_seg counts errors so far (the state
+    * epoch); n_purch counts purchases within the epoch. */
+  val streamStatefulCustom: Q = (spark, dir) => {
+    val w1 = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .withColumn(
+        "err_seg",
+        sum(when(col("event_type") === "error", 1).otherwise(0)).over(w1)
+      )
+      .withColumn(
+        "n_purch",
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(
+          Window
+            .partitionBy("user_id", "err_seg")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .select("event_id", "user_id", "event_type", "err_seg", "n_purch")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_watermark_late" -> streamWatermarkLate,
+    "stream_dedup_stateful" -> streamDedupStateful,
+    "stream_stateful_custom" -> streamStatefulCustom
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+        | time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS we,
+        | event_type, count(*) AS cnt, round(sum(value),4) AS sum_val
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
+        | count(*) AS cnt, round(sum(value),4) AS sum_val
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |          - k * INTERVAL '15 minutes' AS ws,
+        |         event_type, value
+        |  FROM events, unnest([0,1,2,3]) AS u(k)) t
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value, event_id,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN prev_ts IS NULL
+        |     OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | count(*) AS cnt, round(sum(value),4) AS sum_val
+        |FROM s GROUP BY user_id, seg
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_watermark_late" ->
+      """SELECT event_id, user_id, ts, run_max FROM (
+        |  SELECT event_id, user_id, ts,
+        |   max(ts) OVER (ORDER BY event_id + (event_id % 13) * 2, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |  FROM events) t
+        |WHERE ts < run_max - INTERVAL 10 MINUTE
+        |ORDER BY event_id""".stripMargin,
+    "stream_dedup_stateful" ->
+      """SELECT event_id, user_id, event_type, minute FROM (
+        |  SELECT event_id, user_id, event_type,
+        |   date_trunc('minute', ts) AS minute,
+        |   row_number() OVER (
+        |     PARTITION BY user_id, event_type, date_trunc('minute', ts)
+        |     ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "stream_stateful_custom" ->
+      """SELECT event_id, user_id, event_type, err_seg,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id, err_seg ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_purch
+        |FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_seg
+        |  FROM events) t
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,211 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.9 Deduplication family (SURVEY.md): exact, n-gram Jaccard,
+  * MinHash+LSH banding, and SimHash.
+  *
+  * Scale design: every variant is a pure dataflow — shingle/token
+  * explode, hash, groupBy, band-bucket self-join — with no driver-side
+  * state. The LSH variants exist precisely so the candidate join is on
+  * band keys (bounded buckets) instead of the quadratic all-pairs
+  * space; at 100 TB one would additionally drop ultra-frequent
+  * shingles (stop-shingle cap) to bound bucket skew.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(0, size(ts)-3)," +
+              " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+          )
+        ).as("s")
+      )
+      .distinct()
+
+  /** Exact dedup on a derived fingerprint key (lang, n_chars), keeping
+    * the smallest doc_id — deterministic keep-policy, unlike bare
+    * dropDuplicates. */
+  val dedupExact: Q = (spark, dir) => {
+    val w = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    Tables
+      .documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "group_n",
+        count(lit(1)).over(Window.partitionBy("lang", "n_chars"))
+      )
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_chars", "group_n")
+      .orderBy("doc_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (τ = 0.1): shingle-set
+    * self-join, common-count, |A∪B| via inclusion-exclusion. */
+  val dedupNgramJaccard: Q = (spark, dir) => {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val co = sh
+      .toDF("d1", "s1")
+      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+    co.join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+      .withColumn(
+        "jac",
+        col("common") / (col("n1") + col("n2") - col("common"))
+      )
+      .filter(col("jac") >= 0.1)
+      .select(
+        col("d1"),
+        col("d2"),
+        col("common"),
+        col("n1"),
+        col("n2"),
+        round(col("jac"), 6).as("jac")
+      )
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash (k=16) + LSH banding (8 bands × rows of 2): candidate
+    * pairs from band-bucket collisions, then signature-estimated and
+    * exact Jaccard for each candidate. Hash family is xxhash64 seeded
+    * by the hash index — fully deterministic (SURVEY.md §7 risk 5). */
+  val dedupMinhashNear: Q = (spark, dir) => {
+    val sh = shingles(spark, dir)
+    val sig = sh
+      .withColumn("i", explode(sequence(lit(0), lit(15))))
+      .select(col("doc_id"), col("i"), xxhash64(col("i"), col("s")).as("h"))
+      .groupBy("doc_id", "i")
+      .agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(
+        expr("transform(sort_array(collect_list(struct(i, mh))), x -> x.mh)")
+          .as("sig")
+      )
+    val bands = sig
+      .withColumn("band", explode(sequence(lit(0), lit(7))))
+      .withColumn(
+        "band_key",
+        expr("concat_ws(',', transform(slice(sig, band*2+1, 2), x -> cast(x as string)))")
+      )
+    val cand = bands
+      .select(col("doc_id").as("d1"), col("band"), col("band_key"), col("sig").as("sig1"))
+      .join(
+        bands.select(col("doc_id").as("d2"), col("band"), col("band_key"), col("sig").as("sig2")),
+        Seq("band", "band_key")
+      )
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(first("sig1").as("sig1"), first("sig2").as("sig2"))
+      .withColumn(
+        "est_jac",
+        expr(
+          "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, (a, b) -> a + b) / 16.0"
+        )
+      )
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val co = sh
+      .toDF("d1", "s1")
+      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+    cand
+      .join(co, Seq("d1", "d2"), "left")
+      .join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn(
+        "jac",
+        col("common") / (col("n1") + col("n2") - col("common"))
+      )
+      .select(
+        col("d1"),
+        col("d2"),
+        round(col("est_jac"), 4).as("est_jac"),
+        round(col("jac"), 6).as("jac")
+      )
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash(64-bit) near-dup candidates: per-token 64-bit hash, bit
+    * votes weighted by term frequency, sign → fingerprint; candidates
+    * from 8-bit band collisions; output pairs with Hamming distance.
+    * Token weights are aggregated first (tiny distinct-token state per
+    * doc), so the bit-explode runs over (doc, distinct-token) pairs. */
+  val dedupSimhash: Q = (spark, dir) => {
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("cnt"))
+    val sim = tok
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr("cnt * (((h >> b) & 1) * 2 - 1)")).as("s"))
+      .groupBy("doc_id")
+      .agg(
+        expr(
+          "bit_or(IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+        ).as("simhash")
+      )
+    val bands = sim.withColumn("band", explode(sequence(lit(0), lit(7))))
+      .withColumn("chunk", expr("(simhash >> (band*8)) & 255"))
+    bands
+      .select(col("doc_id").as("d1"), col("band"), col("chunk"), col("simhash").as("h1"))
+      .join(
+        bands.select(col("doc_id").as("d2"), col("band"), col("chunk"), col("simhash").as("h2")),
+        Seq("band", "chunk")
+      )
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(first(expr("bit_count(h1 ^ h2)")).as("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_near" -> dedupMinhashNear,
+    "dedup_simhash" -> dedupSimhash
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, n_chars, group_n FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |   row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn,
+        |   count(*) OVER (PARTITION BY lang, n_chars) AS group_n
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+        |             WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT d1, d2, common, x.n AS n1, y.n AS n2,
+        | round(common*1.0/(x.n + y.n - common), 6) AS jac
+        |FROM co JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id
+        |WHERE common*1.0/(x.n + y.n - common) >= 0.1
+        |ORDER BY d1, d2""".stripMargin
+    // dedup_minhash_near / dedup_simhash: xxhash64 is not available in
+    // DuckDB — rows-only check here; exactness covered in DedupSpec.
+  )
+}

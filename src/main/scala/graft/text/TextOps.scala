@@ -1,0 +1,162 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.9 Text analysis over the `documents` corpus (SURVEY.md):
+  * tokenization/TF, per-language stats, quality scoring, language-ID
+  * heuristic, and rolling-hash fingerprinting.
+  *
+  * Everything is expression-level (`split`/`explode`/higher-order
+  * functions) — fully distributed, codegen-friendly, no UDFs. The
+  * only shuffles are the final low-cardinality groupBys.
+  */
+object TextOps {
+
+  /** Stopword markers present in the corpus vocabulary. */
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Corpus term frequency — top terms with deterministic tiebreak. */
+  val textTokensTf: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+
+  val textLangStats: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("n_tok"), 4).as("avg_tok"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars")
+      )
+      .orderBy("lang")
+
+  /** Per-document quality features: token stats, stopword ratio, and
+    * a deterministic composite score. */
+  val textQuality: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn(
+        "n_alpha",
+        length(regexp_replace(col("text"), "[^a-z]", ""))
+      )
+      .withColumn(
+        "n_stop",
+        size(filter(col("toks"), t => t.isin(stopwords: _*)))
+      )
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        col("n_alpha"),
+        col("n_stop"),
+        round(col("n_alpha") / col("n_tok"), 4).as("avg_tok_len"),
+        round(col("n_stop") / col("n_tok"), 4).as("stop_ratio"),
+        round(
+          lit(0.5) * (col("n_stop") / col("n_tok")) +
+            lit(0.5) * least(col("n_alpha") / col("n_tok") / 10.0, lit(1.0)),
+          4
+        ).as("quality")
+      )
+      .orderBy("doc_id")
+
+  /** n-gram-free language-ID heuristic: marker-token ratio. The corpus
+    * is ASCII word soup, so this is a demonstration of the operator
+    * shape (deterministic scoring + argmax classification), not a
+    * real model. */
+  val textLangId: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn(
+        "n_marker",
+        size(filter(col("toks"), t => t.isin("the", "a")))
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        round(col("n_marker") / size(col("toks")), 4).as("en_ratio"),
+        when(col("n_marker") / size(col("toks")) >= 0.05, "en")
+          .otherwise("und")
+          .as("pred_lang")
+      )
+      .orderBy("doc_id")
+
+  /** Polynomial rolling hash over character codes (mod 1e9+7) — a
+    * document fingerprint computed as a left fold, O(n) per doc and
+    * embarrassingly parallel across docs. */
+  val textFingerprint: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (h, c) => (h * 31 + c) % 1000000007L
+        ).as("fp"),
+        greatest(size(split(col("text"), " ")) - 2, lit(0)).as("n_shingles")
+      )
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens_tf" -> textTokensTf,
+    "text_lang_stats" -> textLangStats,
+    "text_quality" -> textQuality,
+    "text_lang_id" -> textLangId,
+    "text_fingerprint" -> textFingerprint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens_tf" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        | round(avg(n_chars),4) AS avg_chars,
+        | round(avg(len(string_split(text,' '))),4) AS avg_tok,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_tok, n_alpha, n_stop,
+         | round(n_alpha*1.0/n_tok, 4) AS avg_tok_len,
+         | round(n_stop*1.0/n_tok, 4) AS stop_ratio,
+         | round(0.5*(n_stop*1.0/n_tok) + 0.5*least(n_alpha*1.0/n_tok/10.0, 1.0), 4) AS quality
+         |FROM (
+         |  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+         |   length(regexp_replace(text,'[^a-z]','','g')) AS n_alpha,
+         |   len(list_filter(string_split(text,' '), t -> list_contains($stopSql, t))) AS n_stop
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, lang,
+        | round(n_marker*1.0/n_tok, 4) AS en_ratio,
+        | CASE WHEN n_marker*1.0/n_tok >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok,
+        |   len(list_filter(string_split(text,' '), t -> list_contains(['the','a'], t))) AS n_marker
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split_regex(text,''), c -> CAST(unicode(c) AS BIGINT))),
+        |   (a, b) -> (a*31 + b) % 1000000007) AS fp,
+        | greatest(len(string_split(text,' ')) - 2, 0) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
