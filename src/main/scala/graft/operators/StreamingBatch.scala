@@ -50,8 +50,11 @@ object StreamingBatch {
       .orderBy("ws", "event_type")
 
   /** Session windows, 30-minute gap, per user. session_window.end is
-    * last-event + gap (half-open), mirrored in the oracle as
-    * max(ts) + 30 minutes. */
+    * last-event + gap, mirrored in the oracle as max(ts) + 30 minutes.
+    * Boundary semantics (verified in OperatorSpec): Spark merges
+    * ADJACENT windows, so an event at exactly prev + gap CONTINUES the
+    * session — the oracle's island break is therefore strict
+    * (ts - prev > gap), not >=. */
   val streamSession: Q = (spark, dir) =>
     Tables
       .events(spark, dir)
@@ -162,7 +165,7 @@ object StreamingBatch {
         |  FROM events),
         |s AS (
         |  SELECT *, sum(CASE WHEN prev_ts IS NULL
-        |     OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |     OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
         |  FROM o)

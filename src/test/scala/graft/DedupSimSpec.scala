@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quality checks for the approximate dedup/similarity operators that
+  * have no SQL oracle (SURVEY.md §2.9): MinHash estimates vs exact
+  * Jaccard, SimHash hamming bounds, LSH ANN recall. All inputs are the
+  * deterministic graded corpus, so the assertions are exact and
+  * stable. */
+class DedupSimSpec extends SparkTestBase {
+
+  /** Brute-force 3-gram Jaccard pairs computed independently in Scala. */
+  private lazy val exactJaccard: Map[(Long, Long), Double] = {
+    val docs = Tables
+      .documents(spark, sf0001)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.length >= 3)
+    val sets = docs.map { case (id, ts) =>
+      id -> ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (i, si) <- sets
+      (j, sj) <- sets
+      if i < j
+      common = (si & sj).size
+      if common > 0
+    } yield (i, j) -> common.toDouble / (si.size + sj.size - common)).toMap
+  }
+
+  test("dedup_ngram_jaccard matches an independent brute-force computation") {
+    val got = text.Dedup
+      .dedupNgramJaccard(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r.getAs[Double]("jac"))
+      .toMap
+    val want = exactJaccard.filter(_._2 >= 0.1)
+    assert(got.keySet == want.keySet, s"pair sets differ: got=${got.keySet.size} want=${want.keySet.size}")
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - want(k)) < 1e-4, s"jaccard mismatch at $k: $j vs ${want(k)}")
+    }
+  }
+
+  test("minhash candidates: estimates near exact jaccard, high-sim pairs recalled") {
+    val cand = text.Dedup
+      .dedupMinhashNear(spark, sf0001)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+          (r.getAs[Double]("est_jac"), r.getAs[Double]("jac"))
+      )
+      .toMap
+    assert(cand.nonEmpty, "LSH produced no candidates")
+    // 16 hashes -> binomial std ~0.125; 0.4 is a >3-sigma tolerance
+    cand.foreach { case (k, (est, exact)) =>
+      assert(math.abs(est - exact) <= 0.4, s"estimate too far at $k: est=$est exact=$exact")
+    }
+    // every very-similar pair must be caught by at least one band
+    val mustFind = exactJaccard.filter(_._2 >= 0.9).keySet
+    assert(
+      mustFind.subsetOf(cand.keySet),
+      s"missed near-dup pairs: ${mustFind -- cand.keySet}"
+    )
+  }
+
+  test("simhash pairs: bounded hamming, includes the strongest text near-dups") {
+    val got = text.Dedup
+      .dedupSimhash(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+    assert(got.nonEmpty, "simhash produced no pairs")
+    got.foreach { case (d1, d2, h) =>
+      assert(d1 < d2 && h >= 0 && h <= 3, s"bad pair ($d1,$d2,$h)")
+    }
+  }
+
+  test("ann-lsh returns true neighbors: overlap with exact top-10 per probe") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+    val ann = sim.Similarity
+      .simAnnLsh(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    assert(ann.nonEmpty, "ANN returned nothing")
+    ann.foreach { case (pid, neighbors) =>
+      val exact = emb
+        .toDF("v1", "e1", "l1")
+        .filter(col("v1") === pid)
+        .crossJoin(emb.toDF("v2", "e2", "l2").filter(col("v2") =!= pid))
+        .select(col("v2"), expr("cosine_sim(e1, e2)").as("c"))
+        .orderBy(col("c").desc, col("v2"))
+        .limit(10)
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      assert(
+        (neighbors & exact).nonEmpty,
+        s"probe $pid: no overlap between ANN $neighbors and exact $exact"
+      )
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** §5.5 plan-shape assertions (SURVEY.md): the scale claims — pushdown,
+  * pruning, broadcast, top-k heap, codegen — must be visible in the
+  * executed plan, not just hoped for. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    finalPlan(df.queryExecution.executedPlan).toString
+  }
+
+  test("scan_pruned pushes predicates and prunes columns at the parquet scan") {
+    val df = operators.Scans.scanPruned(spark, sf001)
+    val explain = df.queryExecution.executedPlan.toString
+    assert(explain.contains("PushedFilters: ["), explain)
+    assert(explain.contains("IsNotNull(l_extendedprice)") || explain.contains("GreaterThan(l_extendedprice"), explain)
+    val scanSchema = explain.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_discount"), s"column not pruned: $scanSchema")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    val s = planString(operators.Joins.joinBroadcast(spark, sf001))
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("topk_global plans TakeOrderedAndProject (no full sort)") {
+    val s = planString(operators.SetOps.topkGlobal(spark, sf001))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("sim_topk_nn plans TakeOrderedAndProject over the fused cosine") {
+    val s = planString(sim.Similarity.simTopkNn(spark, sf0001))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("cosine_sim"), s)
+  }
+
+  test("agg_hash is a two-phase hash aggregate inside codegen") {
+    val s = planString(operators.Aggregates.aggHash(spark, sf0001))
+    assert(s.contains("partial_sum"), s) // map-side combine
+    assert(s.contains("HashAggregate"), s)
+    // AQE plan strings mark whole-stage-codegen stages as "*(n)"
+    assert(s.contains("*(1)"), s)
+  }
+
+  test("join_theta_range keeps the user_id equality (no cartesian loop)") {
+    val s = planString(operators.Joins.joinThetaRange(spark, sf0001))
+    // equality conjunct becomes the hash/merge key; the band predicate
+    // rides along as a post-join condition
+    assert(
+      s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+        s.contains("BroadcastHashJoin"),
+      s
+    )
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("bench count() does not collapse the flagship aggregation") {
+    // SURVEY §3.3 hazard: df.count() must still execute the aggregate
+    val df = operators.Aggregates.aggHash(spark, sf0001)
+    val counted = df.groupBy().count()
+    val s = counted.queryExecution.executedPlan.toString
+    assert(s.contains("HashAggregate"), s)
+  }
+}

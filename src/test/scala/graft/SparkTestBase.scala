@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for unit specs (one JVM-wide session — forked
+  * test JVM reuses it across suites via getOrCreate). */
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = {
+    // keep the session alive for other suites in the same JVM
+    super.afterAll()
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** True Structured Streaming semantics that the batch oracle cannot
+  * check (SURVEY.md §2.10): watermark lateness drop, session-window
+  * merge, stateful dedup, and custom keyed state. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(
+      id: Long,
+      t: String,
+      user: Long = 1L,
+      typ: String = "click",
+      v: Double = 1.0
+  ): Event = Event(id, ts(t), user, typ, v)
+
+  test("watermark drops late events from closed tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps
+      .tumblingCounts(ms.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("wm_tumbling")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      // advance event time far past the window; watermark updates at
+      // batch end, emission happens on the following batch
+      ms.addData(ev(3, "2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 12:40:00"))
+      q.processAllAvailable()
+      // late arrival for the already-closed 10:00 window must be dropped
+      ms.addData(ev(5, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      ms.addData(ev(6, "2024-01-01 12:50:00"))
+      q.processAllAvailable()
+      val rows = spark
+        .table("wm_tumbling")
+        .filter($"ws" === ts("2024-01-01 10:00:00"))
+        .collect()
+      assert(rows.length == 1, s"expected one closed 10:00 window, got ${rows.toSeq}")
+      assert(rows.head.getAs[Long]("cnt") == 2, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap and emit on close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps
+      .sessionAgg(ms.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("wm_session")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:20:00"),
+        ev(3, "2024-01-01 10:40:00"), // gaps < 30m: one session
+        ev(4, "2024-01-01 11:30:00")  // 50m gap: new session
+      )
+      q.processAllAvailable()
+      ms.addData(ev(5, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(6, "2024-01-01 14:10:00"))
+      q.processAllAvailable()
+      val sessions = spark
+        .table("wm_session")
+        .orderBy("session_start")
+        .collect()
+        .map(r =>
+          (
+            r.getAs[Timestamp]("session_start"),
+            r.getAs[Timestamp]("session_end"),
+            r.getAs[Long]("cnt")
+          )
+        )
+        .toSeq
+      assert(
+        sessions.contains(
+          (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:10:00"), 3L)
+        ),
+        s"3-event merged session missing: $sessions"
+      )
+      assert(
+        sessions.contains(
+          (ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L)
+        ),
+        s"singleton session missing: $sessions"
+      )
+    } finally q.stop()
+  }
+
+  test("stateful dropDuplicates suppresses repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps
+      .dedupEvents(ms.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("wm_dedup")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      ms.addData(ev(1, "2024-01-01 10:02:00"), ev(2, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"expected exactly ids 1,2; got $ids")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState tracks purchases since last error") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps
+      .purchasesSinceError(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("wm_state")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", typ = "purchase"),
+        ev(2, "2024-01-01 10:01:00", typ = "purchase")
+      )
+      q.processAllAvailable()
+      ms.addData(
+        ev(3, "2024-01-01 10:02:00", typ = "error"),
+        ev(4, "2024-01-01 10:03:00", typ = "purchase")
+      )
+      q.processAllAvailable()
+      val got = spark
+        .table("wm_state")
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("n_purch")))
+        .toMap
+      assert(
+        got == Map(1L -> 1, 2L -> 2, 3L -> 0, 4L -> 1),
+        s"state sequence wrong: $got"
+      )
+    } finally q.stop()
+  }
+}
