@@ -137,7 +137,33 @@ object Aggregates {
       | round(max(l_extendedprice),4) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot — long-to-wide reshaping, the classic format-conversion
+    * operation. Explicit pivot values keep the plan a single pass
+    * (no distinct-values pre-query). */
+  val aggPivot: Q = (spark, dir) =>
+    Tables
+      .orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(
+        col("y"),
+        col("F").as("n_f"),
+        col("O").as("n_o"),
+        col("P").as("n_p")
+      )
+      .orderBy("y")
+
+  private val aggPivotSql =
+    """SELECT year(o_orderdate) AS y,
+      | count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      | count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      | count(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY y ORDER BY y""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_pivot" -> aggPivot,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -146,6 +172,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot" -> aggPivotSql,
     "agg_hash" -> aggHashSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,

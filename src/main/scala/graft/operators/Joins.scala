@@ -151,25 +151,57 @@ object Joins {
 
   /** As-of join — each event matched to the latest order at-or-before
     * its timestamp for that customer. No Spark builtin (SURVEY.md
-    * §2.3): range-join on the user key then keep the latest match per
-    * event via row_number, with an explicit (o_orderdate, o_orderkey)
-    * tiebreak so the result is total-order deterministic. */
+    * §2.3). Implemented as the union + last(ignoreNulls) window trick:
+    * interleave both streams on the per-user timeline, sort once, and
+    * carry the most recent order forward. One shuffle on user_id and
+    * O(n log n) per user — unlike a range join, the intermediate never
+    * multiplies events × orders-per-user, which is what survives a
+    * 100× scale-up. Tie policy (verified in OperatorSpec): at equal
+    * timestamps the order is visible to the event (at-or-BEFORE is
+    * inclusive: is_order sorts first), and among same-date orders the
+    * highest o_orderkey wins (sort asc + last). */
   val joinAsof: Q = (spark, dir) => {
-    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts")
     val o = Tables
       .orders(spark, dir)
-      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    val rn = row_number().over(
-      Window
-        .partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    )
-    e.join(
-      o,
-      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts")
-    ).withColumn("rn", rn)
-      .filter(col("rn") === 1)
-      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+      .select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("t"),
+        lit(1).as("is_order"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice"),
+        lit(null).cast("bigint").as("event_id"),
+        lit(null).cast("timestamp").as("ts")
+      )
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("ts").as("t"),
+        lit(0).as("is_order"),
+        lit(null).cast("bigint").as("o_orderkey"),
+        lit(null).cast("timestamp").as("o_orderdate"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("event_id"),
+        col("ts")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("t"), col("is_order").desc, col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("a_orderkey", last("o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("a_orderdate", last("o_orderdate", ignoreNulls = true).over(w))
+      .withColumn("a_totalprice", last("o_totalprice", ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0 && col("a_orderkey").isNotNull)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("a_orderkey").as("o_orderkey"),
+        col("a_orderdate").as("o_orderdate"),
+        col("a_totalprice").as("o_totalprice")
+      )
       .orderBy("event_id")
   }
 

@@ -111,7 +111,23 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * lexer ([a-z]+ word pieces | digit runs | any other non-space
+    * glyph) — the pretokenization shape LLM pipelines budget with. */
+  val textTokenCount: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tok"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tok"),
+        size(array_distinct(split(col("text"), " "))).as("n_uniq_tok")
+      )
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_token_count" -> textTokenCount,
     "text_tokens_tf" -> textTokensTf,
     "text_lang_stats" -> textLangStats,
     "text_quality" -> textQuality,
@@ -120,6 +136,12 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text,' ')) AS n_ws_tok,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tok,
+        | len(list_distinct(string_split(text,' '))) AS n_uniq_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens_tf" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t

@@ -79,27 +79,31 @@ class OperatorSpec extends SparkTestBase {
     assert(got(2) == 5.0)
   }
 
-  test("as-of join picks the latest at-or-before order, ties broken by orderkey") {
-    val events = Seq((1L, 10L, "2024-01-05 00:00:00")).toDF("event_id", "user_id", "ts")
-      .withColumn("ts", to_timestamp(col("ts")))
-    val orders = Seq(
+  test("as-of join: latest at-or-before wins, equal-ts inclusive, key tiebreak") {
+    // drive the real operator through crafted parquet fixtures
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    def ns(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    Seq(
+      (1L, ns("2024-01-05 00:00:00"), 10L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-03 00:00:00"), 10L, "click", 1.0, "{}"), // == order ts
+      (3L, ns("2023-12-01 00:00:00"), 10L, "click", 1.0, "{}"), // before all
+      (4L, ns("2024-01-05 00:00:00"), 99L, "click", 1.0, "{}")  // no orders
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq(
       (100L, 10L, "2024-01-01 00:00:00", 50.0),
-      (101L, 10L, "2024-01-03 00:00:00", 60.0), // latest at-or-before
+      (101L, 10L, "2024-01-03 00:00:00", 60.0), // latest at-or-before, max key
       (99L, 10L, "2024-01-03 00:00:00", 70.0),  // same ts, lower key loses
-      (102L, 10L, "2024-01-06 00:00:00", 80.0)  // after event: excluded
+      (102L, 10L, "2024-01-06 00:00:00", 80.0)  // after events: excluded
     ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
-    import org.apache.spark.sql.expressions.Window
-    val rn = row_number().over(
-      Window.partitionBy("event_id").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    )
-    val got = events
-      .join(orders, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", rn)
-      .filter(col("rn") === 1)
-      .select("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Joins
+      .joinAsof(spark, dir)
       .collect()
-    assert(got.map(_.getLong(0)).toSeq == Seq(101L))
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("o_orderkey"))
+      .toMap
+    assert(got == Map(1L -> 101L, 2L -> 101L), s"got $got")
   }
 
   test("window rank on empty input returns empty, not error") {
