@@ -153,7 +153,26 @@ object ScalarFns {
       )
       .orderBy("c_custkey")
 
+  /** Bitwise family. DuckDB's `^` is exponentiation, so the oracle
+    * spells XOR as xor(). */
+  val fnBitwise: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        expr("l_orderkey & 255").as("band"),
+        expr("l_orderkey | 4096").as("bor"),
+        expr("l_orderkey ^ l_partkey").as("bxor"),
+        expr("shiftleft(l_linenumber, 4)").as("shl"),
+        expr("shiftright(l_orderkey, 3)").as("shr"),
+        expr("bit_count(l_orderkey)").as("popcnt"),
+        expr("~l_linenumber").as("bnot")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, Q] = Map(
+    "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -163,6 +182,16 @@ object ScalarFns {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_orderkey & 255 AS band,
+        | l_orderkey | 4096 AS bor,
+        | xor(l_orderkey, l_partkey) AS bxor,
+        | l_linenumber << 4 AS shl,
+        | l_orderkey >> 3 AS shr,
+        | bit_count(l_orderkey) AS popcnt,
+        | ~l_linenumber AS bnot
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
         | substring(p_name,1,5) AS sub5,

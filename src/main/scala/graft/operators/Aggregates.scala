@@ -162,7 +162,68 @@ object Aggregates {
       | count(*) FILTER (o_orderstatus = 'P') AS n_p
       |FROM orders GROUP BY y ORDER BY y""".stripMargin
 
+  /** min_by/max_by with a uniquified ordering value: price has 2
+    * decimals so price*1e8 is quantized at 1e6 ≫ max orderkey, making
+    * the composite strictly unique — arg-extremes are deterministic on
+    * both engines despite duplicate prices. */
+  val aggMinmaxBy: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(
+          col("l_orderkey"),
+          col("l_extendedprice") * 100000000L + col("l_orderkey")
+        ).as("key_of_max_price"),
+        min_by(
+          col("l_orderkey"),
+          col("l_extendedprice") * 100000000L + col("l_orderkey")
+        ).as("key_of_min_price"),
+        round(max("l_extendedprice"), 4).as("max_price")
+      )
+      .orderBy("l_returnflag")
+
+  private val aggMinmaxBySql =
+    """SELECT l_returnflag,
+      | arg_max(l_orderkey, l_extendedprice * 100000000 + l_orderkey) AS key_of_max_price,
+      | arg_min(l_orderkey, l_extendedprice * 100000000 + l_orderkey) AS key_of_min_price,
+      | round(max(l_extendedprice),4) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Per-label embedding centroid: posexplode → (label, pos) mean →
+    * re-assembled in position order. All shuffles are on the tiny
+    * (label × 64) key space regardless of corpus size — this is how a
+    * vector centroid/kmeans-step looks at 100 TB. */
+  val aggCentroid: Q = (spark, dir) =>
+    Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        expr(
+          "transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 4) + 0.0)"
+        ).as("centroid"),
+        first("n").as("n_vecs")
+      )
+      .orderBy("label")
+
+  private val aggCentroidSql =
+    """SELECT label,
+      | list(round(m, 4) + 0.0 ORDER BY i) AS centroid,
+      | any_value(n) AS n_vecs
+      |FROM (
+      |  SELECT label, i, avg(x) AS m, count(*) AS n FROM (
+      |    SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |           generate_subscripts(embedding, 1) AS i
+      |    FROM embeddings) u
+      |  GROUP BY label, i) t
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_minmax_by" -> aggMinmaxBy,
+    "agg_centroid" -> aggCentroid,
     "agg_pivot" -> aggPivot,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
@@ -172,6 +233,8 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_minmax_by" -> aggMinmaxBySql,
+    "agg_centroid" -> aggCentroidSql,
     "agg_pivot" -> aggPivotSql,
     "agg_hash" -> aggHashSql,
     "agg_distinct" -> aggDistinctSql,

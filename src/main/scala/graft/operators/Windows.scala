@@ -117,7 +117,30 @@ object Windows {
       .orderBy("day")
   }
 
+  /** first_value / last_value / nth_value family per customer. */
+  val winFirstLast: Q = (spark, dir) => {
+    val wRun = Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        first("o_orderkey").over(wRun).as("first_key"),
+        last("o_orderkey").over(wAll).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(wAll).as("second_key")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_first_last" -> winFirstLast,
     "win_rank_topk_per_group" -> winRankTopk,
     "win_running" -> winRunning,
     "win_lag_lead" -> winLagLead,
@@ -126,6 +149,18 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        | first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        | last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        | nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_rank_topk_per_group" ->
       """WITH pr AS (
         |  SELECT p_brand, p_partkey,

@@ -126,7 +126,41 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** TF-IDF top-3 terms per document. df/tf are integers and the
+    * score is tf·ln(N/df) — identical float math on both engines, with
+    * the term as rank tiebreak (scores tie widely when df = N). */
+  val textTfidf: Q = (spark, dir) => {
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    val n = Tables.documents(spark, dir).count()
+    val scored = tf
+      .join(broadcast(df), "w")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+        )
+      )
+      .filter(col("rn") <= 3)
+      .select(
+        col("doc_id"),
+        col("w"),
+        col("tf"),
+        col("df"),
+        round(col("score"), 6).as("tfidf"),
+        col("rn")
+      )
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf" -> textTfidf,
     "text_token_count" -> textTokenCount,
     "text_tokens_tf" -> textTokensTf,
     "text_lang_stats" -> textLangStats,
@@ -136,6 +170,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, w, tf, df, round(score, 6) AS tfidf, rn FROM (
+        |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |   tf.tf * ln(n.n * 1.0 / df.df) AS score,
+        |   row_number() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf * ln(n.n * 1.0 / df.df) DESC, tf.w) AS rn
+        |  FROM tf JOIN df USING (w) CROSS JOIN n) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         | len(string_split(text,' ')) AS n_ws_tok,
