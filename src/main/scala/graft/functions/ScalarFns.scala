@@ -171,7 +171,26 @@ object ScalarFns {
       )
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** ANSI-safe error handling: try_divide/try_cast/try_to_timestamp
+    * return NULL instead of throwing under ANSI mode (Spark 4 default;
+    * SURVEY.md §5 division pitfall). */
+  val fnTry: Q = (spark, dir) =>
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        round(
+          expr("try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE))"),
+          4
+        ).as("div_or_null"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        expr("try_to_timestamp(o_orderpriority)").as("bad_ts")
+      )
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "fn_try" -> fnTry,
     "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -182,6 +201,13 @@ object ScalarFns {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT o_orderkey,
+        | round(o_totalprice / CAST(nullif(o_custkey % 3, 0) AS DOUBLE), 4) AS div_or_null,
+        | TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        | TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        | TRY_CAST(o_orderpriority AS TIMESTAMP) AS bad_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         | l_orderkey & 255 AS band,

@@ -205,7 +205,71 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Bucketed co-located join: both sides pre-bucketed on the join key
+    * (8 buckets) and read back through the catalog, so the join needs
+    * NO shuffle of either side — the storage-layout answer to repeated
+    * large joins at 100 TB (PlanShapeSpec asserts the missing
+    * Exchange). */
+  val joinBucketed: Q = (spark, dir) => {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_io/bucketed"
+    Tables
+      .orders(spark, dir)
+      .write
+      .mode("overwrite")
+      .option("path", s"$base/orders_b")
+      .bucketBy(8, "o_custkey")
+      .sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    Tables
+      .customer(spark, dir)
+      .write
+      .mode("overwrite")
+      .option("path", s"$base/customer_b")
+      .bucketBy(8, "c_custkey")
+      .sortBy("c_custkey")
+      .saveAsTable("graft_customer_b")
+    spark
+      .table("graft_orders_b")
+      .join(
+        spark.table("graft_customer_b"),
+        col("o_custkey") === col("c_custkey")
+      )
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 0).cast("bigint").as("revenue")
+      )
+      .orderBy("c_mktsegment")
+  }
+
+  /** Manually salted join — the skew mitigation when one key dominates:
+    * the big side carries a deterministic salt, the small side is
+    * replicated across all salt values, and the join key becomes
+    * (key, salt) so a hot key spreads over 8 tasks. (AQE's skew-join
+    * split is the first resort; explicit salting is the portable
+    * fallback.) Result is identical to the unsalted join — the oracle
+    * is the plain SQL join. */
+  val joinSalted: Q = (spark, dir) => {
+    val l = Tables
+      .lineitem(spark, dir)
+      .withColumn("s1", pmod(col("l_linenumber"), lit(8)))
+    val o = Tables
+      .orders(spark, dir)
+      .withColumn("s2", explode(sequence(lit(0), lit(7))))
+    l.join(o, col("l_orderkey") === col("o_orderkey") && col("s1") === col("s2"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+          .cast("bigint")
+          .as("revenue")
+      )
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_bucketed" -> joinBucketed,
+    "join_salted" -> joinSalted,
     "join_inner_hash" -> joinInnerHash,
     "join_multiway" -> joinMultiway,
     "join_left_outer" -> joinLeftOuter,
@@ -218,6 +282,16 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(round(sum(o_totalprice),0) AS BIGINT) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(round(sum(l_extendedprice*(1-l_discount)),0) AS BIGINT) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -63,6 +63,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("join_bucketed joins without shuffling either side") {
+    // At sf0.001 Catalyst rightly broadcasts the small side; to prove
+    // the bucketed path (the one that matters when neither side fits
+    // in memory) disable broadcast and check the SMJ has no shuffle
+    // under it.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = planString(operators.Joins.joinBucketed(spark, sf0001))
+      assert(s.contains("Bucketed: true"), s)
+      val joinIdx = s.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s)
+      assert(!s.substring(joinIdx).contains("Exchange hashpartitioning"), s)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bench count() does not collapse the flagship aggregation") {
     // SURVEY §3.3 hazard: df.count() must still execute the aggregate
     val df = operators.Aggregates.aggHash(spark, sf0001)

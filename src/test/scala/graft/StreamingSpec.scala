@@ -125,6 +125,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming file sink writes closed windows with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val ms = MemoryStream[Event]
+    val q = StreamOps
+      .tumblingCounts(ms.toDF)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:40:00"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 12:45:00"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      val rows = out.filter($"ws" === ts("2024-01-01 10:00:00")).collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("cnt") == 2, rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
