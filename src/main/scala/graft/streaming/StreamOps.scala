@@ -59,6 +59,33 @@ object StreamOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates(Seq("event_id"))
 
+  /** Stream-stream inner join: each purchase joined to clicks by the
+    * same user within the preceding hour. Watermarks on both sides let
+    * Spark bound the join state (a side can discard buffered rows once
+    * the other side's watermark passes the time-range condition). */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts")
+      )
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("event_id").as("c_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts")
+      )
+    p.join(
+      c,
+      expr(
+        "p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+      )
+    )
+  }
+
   /** Custom keyed state: purchases since the user's last error —
     * the streaming twin of StreamingBatch.streamStatefulCustom. */
   def purchasesSinceError(events: Dataset[Event]): Dataset[PurchaseState] = {

@@ -17,7 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per document. */
+  /** Distinct word-3-gram shingles per document. Deliberately NOT
+    * cached: the self-join's two sides share one shuffle via Spark's
+    * ReuseExchange, and measurement showed an explicit cache only adds
+    * materialization cost here. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)

@@ -151,6 +151,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to prior clicks within the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamOps
+      .purchaseClickJoin(purchases.toDF, clicks.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("ss_join")
+      .outputMode("append")
+      .start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 09:30:00"), // within the hour
+        ev(11, "2024-01-01 08:00:00"), // too old
+        ev(12, "2024-01-01 10:10:00", user = 2) // other user
+      )
+      purchases.addData(ev(1, "2024-01-01 10:00:00", typ = "purchase"))
+      q.processAllAvailable()
+      val got = spark
+        .table("ss_join")
+        .collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id")))
+        .toSet
+      assert(got == Set((1L, 10L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
