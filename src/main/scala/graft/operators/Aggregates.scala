@@ -221,7 +221,30 @@ object Aggregates {
       |  GROUP BY label, i) t
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** collect_list/collect_set (array_agg): per-customer order arrays,
+    * sorted for determinism. Bounded group fan-in (~10 orders per
+    * customer) — the shape that is safe at scale, unlike collecting an
+    * unbounded group. */
+  val aggCollect: Q = (spark, dir) =>
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("o_custkey")
+
+  private val aggCollectSql =
+    """SELECT o_custkey,
+      | list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+      | list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+      | count(*) AS n
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_collect" -> aggCollect,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_centroid" -> aggCentroid,
     "agg_pivot" -> aggPivot,
@@ -233,6 +256,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_collect" -> aggCollectSql,
     "agg_minmax_by" -> aggMinmaxBySql,
     "agg_centroid" -> aggCentroidSql,
     "agg_pivot" -> aggPivotSql,

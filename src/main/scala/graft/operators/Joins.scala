@@ -267,7 +267,16 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Explicit cartesian product of the two tiny dimensions. */
+  val joinCross: Q = (spark, dir) =>
+    Tables
+      .region(spark, dir)
+      .crossJoin(Tables.nation(spark, dir))
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+
   val queries: Map[String, Q] = Map(
+    "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "join_salted" -> joinSalted,
     "join_inner_hash" -> joinInnerHash,
@@ -282,6 +291,10 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(round(sum(o_totalprice),0) AS BIGINT) AS revenue
