@@ -104,7 +104,59 @@ object Similarity {
       .orderBy("pid", "rn")
   }
 
+  /** IVF-style ANN: per-label centroids are the coarse quantizer
+    * (inverted-file cells); the probe scores the 10 centroids, visits
+    * the top-3 cells, and searches only their members exactly. At
+    * 100 TB the cell scan is the pruning that replaces the full pass;
+    * here cells are the given labels (a k-means step would learn them
+    * — agg_centroid is exactly that computation). Centroids are
+    * rounded to 6dp on both engines so cell ranking is deterministic
+    * despite float-sum ordering. */
+  val simIvfTopk: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(
+        expr(
+          "transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 6) + 0.0)"
+        ).as("centroid")
+      )
+    val probe = emb
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("pe"))
+    val top3 = cent
+      .crossJoin(broadcast(probe))
+      .withColumn(
+        "cscore",
+        expr(
+          "aggregate(zip_with(centroid, pe, (c, p) -> c * CAST(p AS DOUBLE)), 0D, (a, x) -> a + x)" +
+            " / (sqrt(aggregate(centroid, 0D, (a, c) -> a + c * c))" +
+            " * sqrt(aggregate(pe, 0D, (a, p) -> a + CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+        )
+      )
+      .orderBy(col("cscore").desc, col("label"))
+      .limit(3)
+      .select("label")
+    emb
+      .join(broadcast(top3), "label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr("cosine_sim(embedding, pe)").as("cosu")
+      )
+      .orderBy(col("cosu").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("cosu"), 6).as("cos"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_ivf_topk" -> simIvfTopk,
     "sim_cosine_pairs" -> simCosinePairs,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "sim_topk_nn" -> simTopkNn,
@@ -119,6 +171,37 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_topk" ->
+      """WITH cent AS (
+        |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (
+        |    SELECT label, i, avg(x) AS m FROM (
+        |      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings) u
+        |    GROUP BY label, i) t
+        |  GROUP BY label),
+        |p AS (SELECT embedding AS pe,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) q)) AS pn
+        |  FROM embeddings WHERE vec_id = 0),
+        |ls AS (SELECT label,
+        |  (SELECT sum(c * CAST(pp AS DOUBLE))
+        |   FROM (SELECT unnest(cent.centroid) c, unnest(p.pe) pp) z)
+        |  / (sqrt((SELECT sum(c*c) FROM (SELECT unnest(cent.centroid) c) z2)) * p.pn)
+        |  AS cscore
+        | FROM cent, p),
+        |top3 AS (SELECT label FROM ls ORDER BY cscore DESC, label LIMIT 3),
+        |n AS (SELECT vec_id, label, embedding,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) z)) AS nrm
+        | FROM embeddings),
+        |c AS (SELECT e.vec_id, e.label,
+        |  (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) x, unnest(p.pe) y) z)
+        |  / (e.nrm * p.pn) AS cosu
+        | FROM n e JOIN top3 USING (label), p WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, round(cosu, 6) AS cos FROM c
+        |ORDER BY cosu DESC, vec_id LIMIT 10""".stripMargin,
     "sim_cosine_pairs" ->
       s"""$normCte
          |SELECT v1, v2, round(cosu, 4) AS cos FROM (
