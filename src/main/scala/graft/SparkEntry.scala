@@ -18,6 +18,7 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SetOps.queries, operators.SetOps.oracles),
     (operators.StreamingBatch.queries, operators.StreamingBatch.oracles),
+    (operators.Etl.queries, operators.Etl.oracles),
     (functions.ScalarFns.queries, functions.ScalarFns.oracles),
     (functions.Udfs.queries, functions.Udfs.oracles),
     (text.TextOps.queries, text.TextOps.oracles),

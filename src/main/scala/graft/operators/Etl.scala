@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** ETL composite operators — the reference's home turf [INFERRED,
+  * SURVEY.md §0]: upsert/merge and schema-drift tolerant unification.
+  * Both are pure dataflows (no table format needed): merge is a full
+  * outer join + coalesce, exactly what Delta/Iceberg MERGE plans
+  * underneath, shuffling once on the merge key.
+  */
+object Etl {
+
+  /** SCD1 upsert: apply a deterministic change-set (updates for
+    * custkey % 10 = 0, inserts above the existing key range) onto
+    * customer. Updated rows take the change-set's values; unmatched
+    * base rows pass through; unmatched change rows are inserts. */
+  val etlUpsertScd1: Q = (spark, dir) => {
+    val base = Tables.customer(spark, dir)
+    val updates = base
+      .filter(col("c_custkey") % 10 === 0)
+      .select(
+        col("c_custkey").as("u_custkey"),
+        concat(col("c_name"), lit("_v2")).as("u_name"),
+        round(col("c_acctbal") + 100, 2).as("u_acctbal")
+      )
+    val inserts = base
+      .filter(col("c_custkey") < 5)
+      .select(
+        (col("c_custkey") + 1000000).as("u_custkey"),
+        concat(lit("NewCustomer#"), col("c_custkey")).as("u_name"),
+        lit(0.0).as("u_acctbal")
+      )
+    val changes = updates.unionByName(inserts)
+    base
+      .join(changes, col("c_custkey") === col("u_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("u_custkey")).as("custkey"),
+        coalesce(col("u_name"), col("c_name")).as("name"),
+        round(coalesce(col("u_acctbal"), col("c_acctbal")), 2).as("acctbal"),
+        when(col("c_custkey").isNull, "insert")
+          .when(col("u_custkey").isNull, "keep")
+          .otherwise("update")
+          .as("op")
+      )
+      .orderBy("custkey")
+  }
+
+  /** Schema drift: two batches of the same feed with different column
+    * sets (an added column, a dropped column) unified into one frame —
+    * unionByName(allowMissingColumns) null-fills the gaps, the
+    * schema-on-read posture of a format-conversion pipeline. */
+  val etlSchemaDrift: Q = (spark, dir) => {
+    val v1 = Tables
+      .supplier(spark, dir)
+      .filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val v2 = Tables
+      .supplier(spark, dir)
+      .filter(col("s_suppkey") % 2 === 1)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "etl_upsert_scd1" -> etlUpsertScd1,
+    "etl_schema_drift" -> etlSchemaDrift
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_upsert_scd1" ->
+      """WITH updates AS (
+        |  SELECT c_custkey AS u_custkey, c_name || '_v2' AS u_name,
+        |         round(c_acctbal + 100, 2) AS u_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |inserts AS (
+        |  SELECT c_custkey + 1000000 AS u_custkey,
+        |         'NewCustomer#' || c_custkey AS u_name,
+        |         0.0 AS u_acctbal
+        |  FROM customer WHERE c_custkey < 5),
+        |changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        |SELECT coalesce(c_custkey, u_custkey) AS custkey,
+        | coalesce(u_name, c_name) AS name,
+        | round(coalesce(u_acctbal, c_acctbal), 2) AS acctbal,
+        | CASE WHEN c_custkey IS NULL THEN 'insert'
+        |      WHEN u_custkey IS NULL THEN 'keep'
+        |      ELSE 'update' END AS op
+        |FROM customer FULL OUTER JOIN changes ON c_custkey = u_custkey
+        |ORDER BY custkey""".stripMargin,
+    "etl_schema_drift" ->
+      """SELECT s_suppkey, s_name, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(NULL AS INT) AS s_nationkey, s_acctbal
+        |FROM supplier WHERE s_suppkey % 2 = 1
+        |ORDER BY s_suppkey""".stripMargin
+  )
+}

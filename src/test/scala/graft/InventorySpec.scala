@@ -14,6 +14,7 @@ class InventorySpec extends AnyFunSuite {
     "Windows" -> operators.Windows.queries,
     "SetOps" -> operators.SetOps.queries,
     "StreamingBatch" -> operators.StreamingBatch.queries,
+    "Etl" -> operators.Etl.queries,
     "ScalarFns" -> functions.ScalarFns.queries,
     "Udfs" -> functions.Udfs.queries,
     "TextOps" -> text.TextOps.queries,
