@@ -64,9 +64,28 @@ object Etl {
       .orderBy("s_suppkey")
   }
 
+  /** SQL entry point: the same engine drives `spark.sql` over
+    * registered views — uncorrelated scalar subquery, IN-subquery, and
+    * correlated EXISTS, all decorrelated by Catalyst into joins. */
+  val sqlSubquery: Q = (spark, dir) => {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM v_orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM v_orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM v_customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND EXISTS (SELECT 1 FROM v_customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+        |ORDER BY o_orderkey""".stripMargin
+    )
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_upsert_scd1" -> etlUpsertScd1,
-    "etl_schema_drift" -> etlSchemaDrift
+    "etl_schema_drift" -> etlSchemaDrift,
+    "sql_subquery" -> sqlSubquery
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,6 +114,15 @@ object Etl {
         |UNION ALL
         |SELECT s_suppkey, s_name, CAST(NULL AS INT) AS s_nationkey, s_acctbal
         |FROM supplier WHERE s_suppkey % 2 = 1
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "sql_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
