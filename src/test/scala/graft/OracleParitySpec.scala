@@ -9,12 +9,21 @@ import scala.sys.process._
   * first by the driver (SURVEY.md §5).
   */
 class OracleParitySpec extends AnyFunSuite {
-  test("every declared oracle query hash-matches DuckDB on sf0.01") {
+
+  private def parityAt(sfDir: String): Unit = {
     val out = java.nio.file.Files.createTempDirectory("graft-verify").toString
-    Verify.main(Array("/root/testdata/sf0.01", out))
+    Verify.main(Array(sfDir, out))
     val log = new StringBuilder
-    val code = Seq("python3", "tools/oracle_check.py", "/root/testdata/sf0.01", out)
+    val code = Seq("python3", "tools/oracle_check.py", sfDir, out)
       .!(ProcessLogger(l => log.append(l).append('\n')))
     assert(code == 0, "\n" + log)
+  }
+
+  test("every declared oracle query hash-matches DuckDB on sf0.01") {
+    parityAt("/root/testdata/sf0.01")
+  }
+
+  test("parity holds at sf0.001 too (not tuned to one dataset)") {
+    parityAt("/root/testdata/sf0.001")
   }
 }
