@@ -57,18 +57,27 @@ object TextOps {
         "n_stop",
         size(filter(col("toks"), t => t.isin(stopwords: _*)))
       )
+      .withColumn("avg_tok_len", round(col("n_alpha") / col("n_tok"), 4))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tok"), 4))
+      // composite from the ROUNDED features at 6dp: the exact value then
+      // sits on the rounding grid, so no cross-engine half-way boundary
+      // exists (raw ratios at 4dp landed exactly on .00005 at sf0.1)
+      .withColumn(
+        "quality",
+        round(
+          lit(0.5) * col("stop_ratio") +
+            lit(0.5) * least(col("avg_tok_len") / 10.0, lit(1.0)),
+          6
+        )
+      )
       .select(
         col("doc_id"),
         col("n_tok"),
         col("n_alpha"),
         col("n_stop"),
-        round(col("n_alpha") / col("n_tok"), 4).as("avg_tok_len"),
-        round(col("n_stop") / col("n_tok"), 4).as("stop_ratio"),
-        round(
-          lit(0.5) * (col("n_stop") / col("n_tok")) +
-            lit(0.5) * least(col("n_alpha") / col("n_tok") / 10.0, lit(1.0)),
-          4
-        ).as("quality")
+        col("avg_tok_len"),
+        col("stop_ratio"),
+        col("quality")
       )
       .orderBy("doc_id")
 
@@ -199,15 +208,17 @@ object TextOps {
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality" ->
-      s"""SELECT doc_id, n_tok, n_alpha, n_stop,
-         | round(n_alpha*1.0/n_tok, 4) AS avg_tok_len,
-         | round(n_stop*1.0/n_tok, 4) AS stop_ratio,
-         | round(0.5*(n_stop*1.0/n_tok) + 0.5*least(n_alpha*1.0/n_tok/10.0, 1.0), 4) AS quality
+      s"""SELECT doc_id, n_tok, n_alpha, n_stop, avg_tok_len, stop_ratio,
+         | round(0.5*stop_ratio + 0.5*least(avg_tok_len/10.0, 1.0), 6) AS quality
          |FROM (
-         |  SELECT doc_id, len(string_split(text,' ')) AS n_tok,
-         |   length(regexp_replace(text,'[^a-z]','','g')) AS n_alpha,
-         |   len(list_filter(string_split(text,' '), t -> list_contains($stopSql, t))) AS n_stop
-         |  FROM documents) t
+         |  SELECT doc_id, n_tok, n_alpha, n_stop,
+         |   round(n_alpha*1.0/n_tok, 4) AS avg_tok_len,
+         |   round(n_stop*1.0/n_tok, 4) AS stop_ratio
+         |  FROM (
+         |    SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+         |     length(regexp_replace(text,'[^a-z]','','g')) AS n_alpha,
+         |     len(list_filter(string_split(text,' '), t -> list_contains($stopSql, t))) AS n_stop
+         |    FROM documents) t) t2
          |ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang,
