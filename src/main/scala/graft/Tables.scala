@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   * pushdown/pruning into the scan; the only special case is `events`.
   */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Oracle parity for every date/timestamp query assumes UTC. The
+    // driver builds its own session, so pin the (runtime-settable) conf
+    // here rather than trusting session construction — same pattern as
+    // nanosAsLong in `events`.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")

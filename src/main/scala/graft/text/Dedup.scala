@@ -120,9 +120,15 @@ object Dedup {
         )
       )
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val co = sh
-      .toDF("d1", "s1")
-      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
+    // Exact verification restricted to LSH candidates: shingles are
+    // joined THROUGH the candidate pair list (cand ⋈ sh(d1) ⋈ sh(d2,s)),
+    // so the common-shingle count costs Σ|shingles(d1)| over candidate
+    // pairs — candidate-proportional, never the all-pairs self-join
+    // (which would make the LSH banding pointless at scale).
+    val co = cand
+      .select("d1", "d2")
+      .join(sh.toDF("d1", "s"), "d1")
+      .join(sh.toDF("d2", "s"), Seq("d2", "s"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("common"))
     cand

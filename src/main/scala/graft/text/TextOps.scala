@@ -144,10 +144,16 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
-    val n = Tables.documents(spark, dir).count()
+    // N as a broadcast single-row aggregate — no eager driver-side
+    // count() at plan-build time (that would be an extra full corpus
+    // pass per invocation before the action even runs).
+    val nDocs = Tables
+      .documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_total"))
     val scored = tf
       .join(broadcast(df), "w")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_total") / col("df")))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn(
@@ -202,7 +208,7 @@ object TextOps {
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
     "text_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | round(avg(n_chars),4) AS avg_chars,
         | round(avg(len(string_split(text,' '))),4) AS avg_tok,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars

@@ -26,4 +26,11 @@ class OracleParitySpec extends AnyFunSuite {
   test("parity holds at sf0.001 too (not tuned to one dataset)") {
     parityAt("/root/testdata/sf0.001")
   }
+
+  test("gate rejects array columns and un-cast HUGEINT sums (driver strictness)") {
+    val log = new StringBuilder
+    val code = Seq("python3", "tools/oracle_check.py", "--selftest")
+      .!(ProcessLogger(l => log.append(l).append('\n')))
+    assert(code == 0, "\n" + log)
+  }
 }
