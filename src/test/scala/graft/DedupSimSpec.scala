@@ -75,6 +75,91 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("sim_pairs_ann: subset of brute force with exact scores, recall ≥ 0.8") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val brute = sim.Similarity
+        .simCosinePairs(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")) -> r.getAs[Double]("cos"))
+        .toMap
+      val ann = sim.Similarity
+        .simPairsAnn(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")) -> r.getAs[Double]("cos"))
+        .toMap
+      // no false positives: every ANN pair is a true pair, same exact score
+      ann.foreach { case (k, c) =>
+        assert(brute.contains(k), s"$sf: false positive $k")
+        assert(math.abs(brute(k) - c) < 1e-9, s"$sf: score mismatch at $k")
+      }
+      val recall = ann.size.toDouble / brute.size
+      assert(recall >= 0.8, s"$sf: recall $recall (${ann.size}/${brute.size})")
+    }
+  }
+
+  test("dedup_embed_ann: subset of brute force with exact scores, recall ≥ 0.75") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val brute = sim.Similarity
+        .dedupEmbedCosine(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")) -> r.getAs[Double]("cos"))
+        .toMap
+      val ann = sim.Similarity
+        .dedupEmbedAnn(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")) -> r.getAs[Double]("cos"))
+        .toMap
+      ann.foreach { case (k, c) =>
+        assert(brute.contains(k), s"$sf: false positive $k")
+        assert(math.abs(brute(k) - c) < 1e-9, s"$sf: score mismatch at $k")
+      }
+      val recall = ann.size.toDouble / brute.size
+      assert(recall >= 0.75, s"$sf: recall $recall (${ann.size}/${brute.size})")
+    }
+  }
+
+  test("lsh 8×4 banding prunes sharply on clustered data, full near-dup recall") {
+    import spark.implicits._
+    // 20 tight clusters of 25 vectors (base direction + 5% noise): the
+    // true near-dup regime the wide-band operating point is built for.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 25).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 25 + j, v, ci.toString)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val bk = sim.Similarity.lshBucketsFor(df, 8, 4)
+    val cand = bk
+      .select(col("vec_id").as("v1"), col("t"), col("bkey"))
+      .join(bk.select(col("vec_id").as("v2"), col("t"), col("bkey")), Seq("t", "bkey"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val total = 500L * 499 / 2
+    // sharp pruning: way below the all-pairs space
+    assert(
+      cand.size < total / 5,
+      s"pruning too weak: ${cand.size} of $total pairs are candidates"
+    )
+    // ≥99% recall of the 6000 same-cluster near-dup pairs (a copy that
+    // straddles a hyperplane in all 4 tables can be missed — measured
+    // 17/6000 here; that residual is what multi-probe would close)
+    val sameCluster = (for {
+      ci <- 0 until 20; i <- 0 until 25; j <- (i + 1) until 25
+    } yield (ci.toLong * 25 + i, ci.toLong * 25 + j)).toSet
+    val missed = sameCluster -- cand
+    assert(
+      missed.size <= sameCluster.size / 100,
+      s"missed ${missed.size} of ${sameCluster.size} same-cluster pairs"
+    )
+  }
+
   test("ann-lsh returns true neighbors: overlap with exact top-10 per probe") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf0001)

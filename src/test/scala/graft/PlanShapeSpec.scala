@@ -43,6 +43,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("cosine_sim"), s)
   }
 
+  test("sim_pairs_ann candidate join is key-equi on buckets, not a nested loop") {
+    val s = planString(sim.Similarity.simPairsAnn(spark, sf0001))
+    assert(
+      s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+        s.contains("BroadcastHashJoin"),
+      s
+    )
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("agg_hash is a two-phase hash aggregate inside codegen") {
     val s = planString(operators.Aggregates.aggHash(spark, sf0001))
     assert(s.contains("partial_sum"), s) // map-side combine
