@@ -1,7 +1,17 @@
 package graft.streaming
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState,
+  GroupStateTimeout,
+  OutputMode,
+  StatefulProcessor,
+  TTLConfig,
+  TimeMode,
+  TimerValues,
+  ValueState
+}
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** §2.10 True Structured Streaming forms (SURVEY.md).
@@ -84,6 +94,52 @@ object StreamOps {
         "p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
       )
     )
+  }
+
+  /** `transformWithState` processor — the Spark 4 replacement API for
+    * flatMapGroupsWithState, same purchases-since-last-error semantics
+    * as `purchasesSinceError` below. Typed `ValueState` comes from the
+    * processor handle instead of a GroupState argument; the API runs
+    * only on the RocksDB state store provider (StreamingSpec exercises
+    * exactly that, proving the disk-backed store the in-memory default
+    * can't represent — the configuration that holds state at 100 TB). */
+  class PurchasesSinceErrorProcessor
+      extends StatefulProcessor[Long, Event, PurchaseState] {
+    @transient private var nState: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nState = getHandle
+        .getValueState[Int]("n_purch", Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[PurchaseState] = {
+      var n = if (nState.exists()) nState.get() else 0
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        e.event_type match {
+          case "error"    => n = 0
+          case "purchase" => n += 1
+          case _          => ()
+        }
+        PurchaseState(e.event_id, user, n)
+      }
+      nState.update(n)
+      out.iterator
+    }
+  }
+
+  /** purchasesSinceError on the Spark 4 `transformWithState` API. */
+  def purchasesSinceErrorTws(events: Dataset[Event]): Dataset[PurchaseState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new PurchasesSinceErrorProcessor,
+        TimeMode.None(),
+        OutputMode.Append()
+      )
   }
 
   /** Custom keyed state: purchases since the user's last error —

@@ -180,6 +180,112 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  private val rocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withStateProvider(provider: String)(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState on RocksDB tracks purchases since last error") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      val q = StreamOps
+        .purchasesSinceErrorTws(ms.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("tws_state")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        ms.addData(
+          ev(1, "2024-01-01 10:00:00", typ = "purchase"),
+          ev(2, "2024-01-01 10:01:00", typ = "purchase")
+        )
+        q.processAllAvailable()
+        ms.addData(
+          ev(3, "2024-01-01 10:02:00", typ = "error"),
+          ev(4, "2024-01-01 10:03:00", typ = "purchase")
+        )
+        q.processAllAvailable()
+        val got = spark
+          .table("tws_state")
+          .collect()
+          .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("n_purch")))
+          .toMap
+        assert(
+          got == Map(1L -> 1, 2L -> 2, 3L -> 0, 4L -> 1),
+          s"state sequence wrong: $got"
+        )
+      } finally q.stop()
+    }
+  }
+
+  test("RocksDB state soak: per-key state exact over 100 users × 10 batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-soak").toString
+      val q = StreamOps
+        .purchasesSinceErrorTws(ms.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("tws_soak")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        // deterministic LCG event mix: ~1/8 errors, ~1/2 purchases
+        var id = 0L
+        val expected = scala.collection.mutable.Map.empty[Long, Int]
+        for (batch <- 0 until 10) {
+          val events = (0 until 1000).map { i =>
+            id += 1
+            val user = (id * 2654435761L % 100).abs
+            val r = (id * 1103515245L + 12345L) % 8
+            val typ =
+              if (r == 0) "error" else if (r < 5) "purchase" else "click"
+            ev(id, f"2024-01-01 ${10 + batch}%02d:00:00", user = user, typ = typ)
+          }
+          ms.addData(events: _*)
+          q.processAllAvailable()
+        }
+        // replay the same mix through a plain scala fold per user
+        id = 0L
+        val perUser = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+        val wantFinal = scala.collection.mutable.Map.empty[Long, Int]
+        for (_ <- 0 until 10; _ <- 0 until 1000) {
+          id += 1
+          val user = (id * 2654435761L % 100).abs
+          val r = (id * 1103515245L + 12345L) % 8
+          if (r == 0) perUser(user) = 0
+          else if (r < 5) perUser(user) = perUser(user) + 1
+          wantFinal(id) = perUser(user)
+        }
+        val got = spark
+          .table("tws_soak")
+          .collect()
+          .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("n_purch"))
+          .toMap
+        assert(got.size == 10000, s"expected 10000 outputs, got ${got.size}")
+        val bad = got.collect { case (k, v) if wantFinal(k) != v => (k, v, wantFinal(k)) }
+        assert(bad.isEmpty, s"state drift on ${bad.size} events, e.g. ${bad.take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("flatMapGroupsWithState tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
