@@ -125,7 +125,7 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         new FunctionIdentifier("cosine_sim"),
@@ -133,4 +133,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.cosineBuilder
       )
     )
+    // conf-gated IVF rewrite of cosine top-k (graft.plans.AnnIvfRewrite;
+    // runtime twin: AnnIvfRewrite.install)
+    ext.injectOptimizerRule(sp => graft.plans.AnnIvfRewriteRule(sp))
+  }
 }

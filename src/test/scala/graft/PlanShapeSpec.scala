@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.{col, expr}
 
 /** §5.5 plan-shape assertions (SURVEY.md): the scale claims — pushdown,
   * pruning, broadcast, top-k heap, codegen — must be visible in the
@@ -87,6 +88,41 @@ class PlanShapeSpec extends SparkTestBase {
       assert(joinIdx >= 0, s)
       assert(!s.substring(joinIdx).contains("Exchange hashpartitioning"), s)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("ANN IVF rewrite fires on literal-probe cosine top-k, exact on clustered cells") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import spark.implicits._
+    // 10 tight clusters of 50: the true top-10 of an in-cluster probe all
+    // live in the probe's cell, so the IVF path is exact here.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 10).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 50).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 50 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probeSql = rows(123)._2
+      .map(f => s"CAST($f AS FLOAT)")
+      .mkString("array(", ",", ")")
+    // the cell column must survive pruning (rule doc) — keep all columns
+    def q = df
+      .orderBy(expr(s"cosine_sim(embedding, $probeSql)").desc, col("vec_id"))
+      .limit(10)
+    val brute = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val bruteOpt = q.queryExecution.optimizedPlan.toString
+    assert(!bruteOpt.contains("Join"), s"rewrite fired while gated off:\n$bruteOpt")
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val rewritten = q
+      val got = rewritten.collect().map(_.getAs[Long]("vec_id")).toSeq
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Join"), s"IVF rewrite did not fire:\n$opt")
+      assert(got == brute, s"IVF rewrite changed results: $got vs $brute")
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
   test("bench count() does not collapse the flagship aggregation") {
