@@ -37,6 +37,32 @@ object Dedup {
       )
       .distinct()
 
+  /** Stop-shingle cap for the LSH pipeline (the module doc's skew
+    * bound): shingles present in more than [[StopDf]] documents connect
+    * unrelated docs into mega-buckets — quadratic candidate blowup —
+    * while carrying no near-dup signal, so they are dropped from
+    * signature and verification universes alike. The stop list is tiny
+    * by construction (29 shingles at sf0.01, 24.5k at sf0.1) and is
+    * broadcast for an anti-join; the exact baseline
+    * `dedup_ngram_jaccard` keeps the full universe (it IS the exact
+    * answer). */
+  private val StopDf = 5
+
+  private def cappedShingles(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val sh = shingles(spark, dir)
+    val stop = sh
+      .groupBy("s")
+      .agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") > StopDf)
+      .select("s")
+    // explicit order: a USING join moves the key column first, and
+    // downstream toDF() renames positionally
+    sh.join(broadcast(stop), Seq("s"), "left_anti").select("doc_id", "s")
+  }
+
   /** Exact dedup on a derived fingerprint key (lang, n_chars), keeping
     * the smallest doc_id — deterministic keep-policy, unlike bare
     * dropDuplicates. */
@@ -84,10 +110,12 @@ object Dedup {
 
   /** MinHash (k=16) + LSH banding (8 bands × rows of 2): candidate
     * pairs from band-bucket collisions, then signature-estimated and
-    * exact Jaccard for each candidate. Hash family is xxhash64 seeded
-    * by the hash index — fully deterministic (SURVEY.md §7 risk 5). */
+    * exact Jaccard for each candidate — both over the stop-capped
+    * shingle universe ([[cappedShingles]]), the working set a 100 TB
+    * pipeline would use. Hash family is xxhash64 seeded by the hash
+    * index — fully deterministic (SURVEY.md §7 risk 5). */
   val dedupMinhashNear: Q = (spark, dir) => {
-    val sh = shingles(spark, dir)
+    val sh = cappedShingles(spark, dir)
     val sig = sh
       .withColumn("i", explode(sequence(lit(0), lit(15))))
       .select(col("doc_id"), col("i"), xxhash64(col("i"), col("s")).as("h"))
