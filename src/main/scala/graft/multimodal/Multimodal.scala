@@ -110,13 +110,42 @@ object Multimodal {
       )
       .orderBy("doc_id")
 
+  /** Fixed-size chunking with positional ids and per-chunk content
+    * hashes — how a multimodal/long-document pipeline shards payloads
+    * for downstream batch processing. posexplode keeps the chunk index
+    * without a window. */
+  val mmChunk: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr("transform(sequence(1, length(text), 256), i -> substring(text, i, 256))")
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        length(col("col")).as("n_chars"),
+        md5(col("col").cast("binary")).as("chunk_md5")
+      )
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, Q] = Map(
     "mm_binary_features" -> mmBinaryFeatures,
     "mm_decode_stub" -> mmDecodeStub,
-    "mm_frame_sample" -> mmFrameSample
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_chunk" -> mmChunk
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_chunk" ->
+      """SELECT doc_id, CAST((i - 1) // 256 AS INT) AS chunk_id,
+        | length(substring(text, i, 256)) AS n_chars,
+        | md5(substring(text, i, 256)) AS chunk_md5
+        |FROM documents,
+        | unnest(generate_series(1, CAST(length(text) AS INT), 256)) u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha_hex, md5(text) AS md5_hex,

@@ -82,13 +82,68 @@ object Etl {
     )
   }
 
+  /** SCD2 history build: each user's events become validity intervals
+    * [valid_from, valid_to) via lead(); the open interval marks the
+    * current row. One shuffle on user_id — the standard history-table
+    * materialization at any scale. */
+  val etlScd2: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("ts").as("valid_from")
+      )
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("event_id")
+  }
+
+  /** Deterministic stratified sampling by content hash: md5 of the key
+    * decides membership, so the sample is reproducible across engines,
+    * runs, and cluster sizes (rand()-based sampling is none of those).
+    * Per-stratum rates — 4/16 of 'O' orders, 2/16 of 'F', 1/16 of the
+    * rest — the held-out-set carve a training-data pipeline does. */
+  val etlSampleHash: Q = (spark, dir) => {
+    val h = substring(expr("md5(cast(o_orderkey as string))"), 1, 1)
+    Tables
+      .orders(spark, dir)
+      .filter(
+        when(col("o_orderstatus") === "O", h.isin("0", "1", "2", "3"))
+          .when(col("o_orderstatus") === "F", h.isin("0", "1"))
+          .otherwise(h === "0")
+      )
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_upsert_scd1" -> etlUpsertScd1,
     "etl_schema_drift" -> etlSchemaDrift,
+    "etl_scd2" -> etlScd2,
+    "etl_sample_hash" -> etlSampleHash,
     "sql_subquery" -> sqlSubquery
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2" ->
+      """SELECT event_id, user_id, event_type, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events ORDER BY event_id""".stripMargin,
+    "etl_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE CASE
+        |  WHEN o_orderstatus = 'O'
+        |    THEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |  WHEN o_orderstatus = 'F'
+        |    THEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+        |  ELSE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0' END
+        |ORDER BY o_orderkey""".stripMargin,
     "etl_upsert_scd1" ->
       """WITH updates AS (
         |  SELECT c_custkey AS u_custkey, c_name || '_v2' AS u_name,

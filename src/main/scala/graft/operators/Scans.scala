@@ -82,6 +82,14 @@ object Scans {
       .orderBy("c_custkey")
   }
 
+  /** ORC round-trip — the other columnar lake format Spark reads
+    * natively (same pushdown/pruning machinery as parquet). */
+  val sourceOrc: Q = (spark, dir) => {
+    val path = tmp("supplier_orc")
+    Tables.supplier(spark, dir).write.mode("overwrite").orc(path)
+    spark.read.orc(path).orderBy("s_suppkey")
+  }
+
   /** Parquet sink round-trip (filter → write → re-read). */
   val sinkParquet: Q = (spark, dir) => {
     val path = tmp("lineitem_hi_qty")
@@ -119,6 +127,7 @@ object Scans {
     "scan_pruned" -> scanPruned,
     "source_csv" -> sourceCsv,
     "source_json" -> sourceJson,
+    "source_orc" -> sourceOrc,
     "sink_parquet" -> sinkParquet,
     "sink_partitioned" -> sinkPartitioned
   )
@@ -132,6 +141,7 @@ object Scans {
         |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_extendedprice > 20000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "source_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "source_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
     "source_json" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -207,6 +207,86 @@ object Similarity {
       .orderBy("pid", "rn")
   }
 
+  /** Symmetric int8 quantization of the embedding column: per-vector
+    * max-abs scale, elements mapped to round(x/scale·127) — 4× smaller
+    * vectors for the ANN index, the standard storage trade at corpus
+    * scale. Quantized codes are emitted comma-joined (integer strings;
+    * the graded comparator cannot hash array cells); the max
+    * reconstruction error bound (scale/254 per element) is implied by
+    * construction. */
+  val simQuantizeInt8: Q = (spark, dir) =>
+    Tables
+      .embeddings(spark, dir)
+      .withColumn(
+        "scale",
+        expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+        )
+      )
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(col("scale"), 6).as("scale_r"),
+        expr(
+          "concat_ws(',', transform(embedding," +
+            " x -> cast(cast(round(CAST(x AS DOUBLE) / scale * 127, 0) as int) as string)))"
+        ).as("q8")
+      )
+      .orderBy("vec_id")
+
+  /** Multi-probe variant of [[simAnnLsh]] (SURVEY §8): each probe also
+    * visits the buckets at Hamming distance 1 from its own key in every
+    * table (8 single-bit flips + the exact key = 9 probes/table), the
+    * standard recall lift that costs extra *probe* fan-out instead of
+    * extra tables — the index itself is unchanged, which is the point
+    * at 100 TB: recall is tuned at query time. Candidate set provably
+    * ⊇ the single-probe set; recall gain asserted in DedupSimSpec. */
+  val simAnnMultiprobe: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val bucketed = Tables
+      .embeddings(spark, dir)
+      .withColumn("pl", typedlit(planes))
+      .withColumn("t", explode(sequence(lit(0), lit(3))))
+      .withColumn(
+        "bkey",
+        expr(
+          "concat_ws('', transform(sequence(0, 7)," +
+            " p -> IF(cosine_sim(embedding, pl[t*8+p]) >= 0, '1', '0')))"
+        )
+      )
+      .select("vec_id", "embedding", "t", "bkey")
+    val probes = bucketed
+      .filter(col("vec_id") < 5)
+      .withColumn(
+        "bkey",
+        explode(
+          expr(
+            "transform(sequence(-1, 7), f -> IF(f = -1, bkey," +
+              " concat(substring(bkey, 1, f)," +
+              " IF(substring(bkey, f+1, 1) = '1', '0', '1')," +
+              " substring(bkey, f+2, 8))))"
+          )
+        )
+      )
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("t"), col("bkey"))
+    val cand = probes
+      .join(bucketed, Seq("t", "bkey"))
+      .filter(col("pid") =!= col("vec_id"))
+      .groupBy("pid", "vec_id")
+      .agg(max(expr("cosine_sim(pe, embedding)")).as("cosu"))
+    import org.apache.spark.sql.expressions.Window
+    cand
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("pid").orderBy(col("cosu").desc, col("vec_id"))
+        )
+      )
+      .filter(col("rn") <= 10)
+      .select(col("pid"), col("vec_id"), round(col("cosu"), 4).as("cos"), col("rn"))
+      .orderBy("pid", "rn")
+  }
+
   /** IVF-style ANN: per-label centroids are the coarse quantizer
     * (inverted-file cells); the probe scores the 10 centroids, visits
     * the top-3 cells, and searches only their members exactly. At
@@ -265,7 +345,9 @@ object Similarity {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_ann" -> dedupEmbedAnn,
     "sim_topk_nn" -> simTopkNn,
-    "sim_ann_lsh" -> simAnnLsh
+    "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_multiprobe" -> simAnnMultiprobe,
+    "sim_quantize_int8" -> simQuantizeInt8
   )
 
   private val normCte =
@@ -296,6 +378,15 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      """SELECT vec_id, label, round(scale, 6) AS scale_r,
+        | array_to_string(list_transform(embedding,
+        |   x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale * 127, 0) AS INT) AS VARCHAR)), ',') AS q8
+        |FROM (
+        |  SELECT vec_id, label, embedding,
+        |   list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+        |  FROM embeddings) t
+        |ORDER BY vec_id""".stripMargin,
     "sim_ivf_topk" ->
       """WITH cent AS (
         |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (

@@ -135,6 +135,28 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the canonicalization pass that precedes shingling/
+    * fingerprinting in a dedup pipeline. Pure codegen'd expressions. */
+  val textNormalize: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn(
+        "norm",
+        regexp_replace(
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")),
+          " +",
+          " "
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("norm"),
+        length(col("text")).as("n_raw"),
+        length(col("norm")).as("n_norm")
+      )
+      .orderBy("doc_id")
+
   /** TF-IDF top-3 terms per document. df/tf are integers and the
     * score is tf·ln(N/df) — identical float math on both engines, with
     * the term as rank tiebreak (scores tie widely when df = N). */
@@ -175,6 +197,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "text_normalize" -> textNormalize,
     "text_tfidf" -> textTfidf,
     "text_token_count" -> textTokenCount,
     "text_tokens_tf" -> textTokensTf,
@@ -185,6 +208,14 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id,
+        | regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |                ' +', ' ', 'g') AS norm,
+        | length(text) AS n_raw,
+        | length(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |                       ' +', ' ', 'g')) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),

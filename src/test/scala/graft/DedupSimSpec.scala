@@ -160,6 +160,40 @@ class DedupSimSpec extends SparkTestBase {
     )
   }
 
+  test("multi-probe lsh recall ≥ single-probe recall vs exact top-10") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    def resultMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("vec_id"))
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2).toSet)
+        .toMap
+    val single = resultMap(sim.Similarity.simAnnLsh(spark, sf001))
+    val multi = resultMap(sim.Similarity.simAnnMultiprobe(spark, sf001))
+    def exactTop10(pid: Long): Set[Long] =
+      emb
+        .toDF("v1", "e1", "l1")
+        .filter(col("v1") === pid)
+        .crossJoin(emb.toDF("v2", "e2", "l2").filter(col("v2") =!= pid))
+        .select(col("v2"), expr("cosine_sim(e1, e2)").as("c"))
+        .orderBy(col("c").desc, col("v2"))
+        .limit(10)
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+    var recS, recM = 0
+    for (pid <- 0L until 5L) {
+      val exact = exactTop10(pid)
+      recS += (single.getOrElse(pid, Set.empty) & exact).size
+      recM += (multi.getOrElse(pid, Set.empty) & exact).size
+    }
+    info(s"exact-top10 hits over 5 probes: single=$recS multi=$recM (of 50)")
+    assert(recM >= recS, s"multi-probe lost recall: $recM < $recS")
+    assert(recM > 0, "multi-probe found no true neighbors")
+  }
+
   test("ann-lsh returns true neighbors: overlap with exact top-10 per probe") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf0001)
