@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-2 pipeline operators — invariants
+  * the oracle hash can't express: chunk reassembly, normalization
+  * idempotence, quantization error bounds, SCD2 interval laws, and
+  * hash-sample stratum rates. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("mm_chunk: chunks reassemble to the original text, ids dense from 0") {
+    val docs = Tables
+      .documents(spark, sf0001)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val chunks = Tables
+      .documents(spark, sf0001)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr("transform(sequence(1, length(text), 256), i -> substring(text, i, 256))")
+        )
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $id ids not dense")
+      assert(sorted.map(_._3).mkString == docs(id), s"doc $id reassembly mismatch")
+      sorted.dropRight(1).foreach { case (_, k, c) =>
+        assert(c.length == 256, s"doc $id chunk $k not full-size")
+      }
+    }
+  }
+
+  test("text_normalize is idempotent and emits only [a-z0-9 ] singly-spaced") {
+    val once = text.TextOps
+      .textNormalize(spark, sf0001)
+      .select("doc_id", "norm")
+      .withColumnRenamed("norm", "text")
+    val twice = once
+      .withColumn(
+        "norm2",
+        regexp_replace(
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")),
+          " +",
+          " "
+        )
+      )
+      .filter(col("norm2") =!= col("text"))
+    assert(twice.count() == 0, "normalization not idempotent")
+    val bad = once.filter(col("text").rlike("[^a-z0-9 ]") || col("text").contains("  "))
+    assert(bad.count() == 0, "residual junk characters or double spaces")
+  }
+
+  test("sim_quantize_int8: codes in [-127,127], dequantization error ≤ scale/254 + rounding slack") {
+    val rows = sim.Similarity
+      .simQuantizeInt8(spark, sf0001)
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("vec_id"),
+          r.getAs[Double]("scale_r"),
+          r.getAs[String]("q8").split(",").map(_.toInt)
+        )
+      )
+    val emb = Tables
+      .embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    rows.foreach { case (id, scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+      val orig = emb(id)
+      assert(codes.length == orig.length, s"vec $id length mismatch")
+      // scale_r is rounded to 6dp for the oracle; allow that slack too
+      val tol = scale / 254.0 + 1e-6 * 127
+      codes.zip(orig).foreach { case (c, x) =>
+        val deq = c.toDouble / 127.0 * scale
+        assert(
+          math.abs(deq - x) <= tol + 1e-9,
+          s"vec $id: |$deq - $x| > $tol"
+        )
+      }
+    }
+  }
+
+  test("etl_scd2: per-user intervals chain exactly, one current row per user") {
+    val rows = operators.Etl
+      .etlScd2(spark, sf0001)
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("valid_from"),
+          Option(r.getAs[java.sql.Timestamp]("valid_to")),
+          r.getAs[Boolean]("is_current"),
+          r.getAs[Long]("event_id")
+        )
+      )
+      .groupBy(_._1)
+    rows.foreach { case (user, vs) =>
+      val sorted = vs.sortBy(v => (v._2.getTime, v._5))
+      assert(sorted.count(_._4) == 1, s"user $user: != 1 current row")
+      assert(sorted.last._4 && sorted.last._3.isEmpty, s"user $user: last row not open")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"user $user: interval chain broken at ${a._5}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("etl_sample_hash: deterministic, stratum rates near 4/16, 2/16, 1/16") {
+    val df = operators.Etl.etlSampleHash(spark, sf001)
+    val again = operators.Etl.etlSampleHash(spark, sf001)
+    assert(
+      df.collect().map(_.getLong(0)).toSeq == again.collect().map(_.getLong(0)).toSeq,
+      "sampling not deterministic"
+    )
+    val totals = Tables
+      .orders(spark, sf001)
+      .groupBy("o_orderstatus")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val sampled = df
+      .groupBy("o_orderstatus")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    def rate(status: String): Double = sampled.getOrElse(status, 0L).toDouble / totals(status)
+    // md5 is uniform; at these counts the binomial noise is < ±0.05
+    assert(math.abs(rate("O") - 4.0 / 16) < 0.05, s"O rate ${rate("O")}")
+    assert(math.abs(rate("F") - 2.0 / 16) < 0.05, s"F rate ${rate("F")}")
+    assert(math.abs(rate("P") - 1.0 / 16) < 0.05, s"P rate ${rate("P")}")
+  }
+}
