@@ -134,7 +134,38 @@ object StreamingBatch {
       .orderBy("event_id")
   }
 
+  /** Batch form of the stream-stream interval join (StreamOps.
+    * purchaseClickJoin): each purchase matched to the same user's
+    * clicks within the preceding hour. The user_id equality keys the
+    * shuffle; the time band rides along as a post-join predicate —
+    * exactly how the streaming version bounds its state. */
+  val streamJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts")
+      )
+    val c = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("c_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts")
+      )
+    p.join(
+      c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+    ).select("p_id", "p_user", "p_ts", "c_id", "c_ts")
+      .orderBy("p_id", "c_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_join" -> streamJoin,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -144,6 +175,14 @@ object StreamingBatch {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        | c.event_id AS c_id, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p_id, c_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
         | time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS we,

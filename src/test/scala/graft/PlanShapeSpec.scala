@@ -125,6 +125,37 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("text_tfidf builder runs no aggregation job before the action") {
+    // parquet schema inference may launch trivial single-stage jobs at
+    // read time; what must NOT happen at build time is a shuffle-bearing
+    // job like the eager corpus count() this builder used to run.
+    val multiStage = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (j.stageInfos.size > 1) multiStage.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      text.TextOps.textTfidf(spark, sf0001) // build only, no action
+      Thread.sleep(500) // listener bus is async
+      assert(
+        multiStage.get() == 0,
+        s"builder eagerly ran ${multiStage.get()} shuffle job(s)"
+      )
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("stream_join keys the shuffle on user_id (no nested loop)") {
+    val s = planString(operators.StreamingBatch.streamJoin(spark, sf0001))
+    assert(
+      s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+        s.contains("BroadcastHashJoin"),
+      s
+    )
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("bench count() does not collapse the flagship aggregation") {
     // SURVEY §3.3 hazard: df.count() must still execute the aggregate
     val df = operators.Aggregates.aggHash(spark, sf0001)
