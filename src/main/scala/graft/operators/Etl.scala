@@ -120,7 +120,41 @@ object Etl {
       .orderBy("o_orderkey")
   }
 
+  /** Contiguous global id assignment WITHOUT the single-partition
+    * window anti-pattern (`row_number() OVER (ORDER BY …)` serializes
+    * the corpus through one task): range-partition + sort within
+    * partitions, then the two-phase zipWithIndex scheme — a first pass
+    * collects only the per-partition COUNTS (bounded by the partition
+    * count, driver-safe at any data size), whose prefix sums become
+    * per-partition id offsets for the main pass. The extra counting
+    * pass is inherent to contiguous ids (RDD.zipWithIndex does the
+    * same); ids equal the global doc_id rank, which is what the oracle
+    * checks. */
+  val etlGlobalIds: Q = (spark, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables
+      .documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val counts = docs.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val withIds = docs.rdd.mapPartitionsWithIndex { (i, it) =>
+      var id = offsets(i)
+      it.map { row => val r = Row.fromSeq(row.toSeq :+ id); id += 1; r }
+    }
+    docs.sparkSession
+      .createDataFrame(withIds, docs.schema.add("gid", LongType))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_global_ids" -> etlGlobalIds,
     "etl_upsert_scd1" -> etlUpsertScd1,
     "etl_schema_drift" -> etlSchemaDrift,
     "etl_scd2" -> etlScd2,
@@ -129,6 +163,10 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_global_ids" ->
+      """SELECT doc_id, lang, n_chars,
+        | row_number() OVER (ORDER BY doc_id) - 1 AS gid
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "etl_scd2" ->
       """SELECT event_id, user_id, event_type, ts AS valid_from,
         | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,

@@ -60,7 +60,34 @@ object SetOps {
       )
       .orderBy("custkey")
 
+  /** Z-order (Morton) interleave of two 8-bit dimensions, shared as one
+    * SQL fragment between Spark and the oracle. */
+  private val zExpr: String = {
+    val terms = (0 until 8).flatMap { b =>
+      Seq(
+        s"((zx >> $b) & 1) * ${1L << (2 * b)}",
+        s"((zy >> $b) & 1) * ${1L << (2 * b + 1)}"
+      )
+    }
+    terms.mkString(" + ")
+  }
+
+  /** Z-order layout keys: interleave (custkey, order-day) bits into a
+    * Morton code and range-sort by it — rows close in BOTH dimensions
+    * land in the same files, so either-dimension predicates prune at
+    * 100 TB (the multi-dimensional clustering trick parquet min/max
+    * stats need; a straight sort clusters only its leading column). */
+  val sortZorder: Q = (spark, dir) =>
+    Tables
+      .orders(spark, dir)
+      .withColumn("zx", (col("o_custkey") % 256).cast("bigint"))
+      .withColumn("zy", dayofyear(col("o_orderdate")).cast("bigint") % 256)
+      .withColumn("z", expr(zExpr))
+      .select("o_orderkey", "zx", "zy", "z")
+      .orderBy("z", "o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "sort_zorder" -> sortZorder,
     "sort_multi" -> sortMulti,
     "topk_global" -> topkGlobal,
     "set_union_dedup" -> setUnionDedup,
@@ -69,6 +96,13 @@ object SetOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sort_zorder" ->
+      s"""SELECT o_orderkey, zx, zy, $zExpr AS z FROM (
+         |  SELECT o_orderkey,
+         |   CAST(o_custkey % 256 AS BIGINT) AS zx,
+         |   CAST(dayofyear(o_orderdate) AS BIGINT) % 256 AS zy
+         |  FROM orders) t
+         |ORDER BY z, o_orderkey""".stripMargin,
     "sort_multi" ->
       """SELECT * FROM supplier
         |ORDER BY s_nationkey DESC, s_acctbal, s_suppkey""".stripMargin,
