@@ -26,6 +26,80 @@ object Udfs {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Count-Min sketch as a typed Aggregator — the novel-sketch slot of
+    * the custom-aggregation surface. Buffer = flat d×w counter array
+    * (merge is elementwise add, so map-side partials combine like any
+    * builtin agg); depth 4 × width 512 gives ε = e/512 ≈ 0.53% of the
+    * stream length as the overestimate bound with prob ≥ 1 − e⁻⁴.
+    * Hashes are MurmurHash3 with fixed per-row seeds — deterministic
+    * across JVMs/executors. Frequencies are never underestimated
+    * (asserted, with the ε bound, in PipelineOpsSpec). */
+  object CountMin {
+    val Depth = 4
+    val Width = 512
+
+    def slot(row: Int, s: String): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c + row)
+      math.floorMod(h, Width)
+    }
+
+    object Sketch extends Aggregator[String, Array[Long], Array[Long]] {
+      override def zero: Array[Long] = Array.ofDim[Long](Depth * Width)
+      override def reduce(b: Array[Long], s: String): Array[Long] = {
+        var r = 0
+        while (r < Depth) { b(r * Width + slot(r, s)) += 1; r += 1 }
+        b
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      override def finish(b: Array[Long]): Array[Long] = b
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+
+    def estimate(sketch: Array[Long], s: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < Depth) {
+        val c = sketch(r * Width + slot(r, s))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
+  /** Sketch the corpus term stream once, then report the CMS estimate
+    * next to the exact count for the 20 most frequent terms. The
+    * sketch is a single 16 KB array — constant state regardless of
+    * vocabulary size, the point of a sketch at 100 TB (exact counting
+    * shuffles the whole vocabulary). No SQL oracle (sketch internals
+    * aren't SQL-expressible); bounds are asserted in PipelineOpsSpec. */
+  val aggCountmin: Q = (spark, dir) => {
+    import spark.implicits._
+    val words = Tables
+      .documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val sketch = udaf(CountMin.Sketch)
+    val sk = words.agg(sketch(col("w")).as("sk"))
+    val est = udf((sk: Seq[Long], w: String) =>
+      CountMin.estimate(sk.toArray, w)
+    )
+    words
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(20)
+      .crossJoin(broadcast(sk))
+      .select(col("w"), col("cnt"), est(col("sk"), col("w")).as("est"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
   /** Scalar UDF: normalize a product name to a snake_case key. Kept as
     * a genuine Scala udf to cover the surface; the oracle re-expresses
     * it in SQL. (Production guidance stays "builtin over udf" — see
@@ -74,6 +148,7 @@ object Udfs {
   val queries: Map[String, Q] = Map(
     "udf_scalar" -> udfScalar,
     "udaf_typed" -> udafTyped,
+    "agg_countmin" -> aggCountmin,
     "udtf_generator" -> udtfGenerator
   )
 

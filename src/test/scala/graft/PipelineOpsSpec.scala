@@ -115,6 +115,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("agg_countmin: never underestimates, overestimate within the ε bound") {
+    val totalWords = Tables
+      .documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .count()
+    val rows = functions.Udfs
+      .aggCountmin(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("cnt"), r.getAs[Long]("est")))
+    assert(rows.length == 20, s"expected 20 top terms, got ${rows.length}")
+    // CMS guarantees: est ≥ true always; est ≤ true + (e/w)·N w.h.p.
+    val eps = math.E / functions.Udfs.CountMin.Width
+    rows.foreach { case (w, cnt, est) =>
+      assert(est >= cnt, s"$w underestimated: $est < $cnt")
+      assert(
+        est <= cnt + (eps * totalWords).toLong + 1,
+        s"$w overestimate beyond ε·N: est=$est true=$cnt N=$totalWords"
+      )
+    }
+  }
+
   test("etl_sample_hash: deterministic, stratum rates near 4/16, 2/16, 1/16") {
     val df = operators.Etl.etlSampleHash(spark, sf001)
     val again = operators.Etl.etlSampleHash(spark, sf001)
