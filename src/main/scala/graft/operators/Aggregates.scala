@@ -112,6 +112,35 @@ object Aggregates {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all 2² grouping combinations
+    * in one pass via the expand operator — same two-phase aggregation
+    * as ROLLUP (agg_grouping_sets) with a wider expand. */
+  val aggCube: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping("l_returnflag").cast("int").as("g_flag"),
+        grouping("l_linestatus").cast("int").as("g_status"),
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 0).cast("bigint").as("sum_qty")
+      )
+      .orderBy(
+        col("g_flag"),
+        col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first
+      )
+
+  private val aggCubeSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      | CAST(grouping(l_linestatus) AS INT) AS g_status,
+      | count(*) AS n_rows,
+      | CAST(round(sum(l_quantity),0) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** Statistical aggregates incl. exact interpolated median. */
   val aggStats: Q = (spark, dir) =>
     Tables
@@ -264,10 +293,12 @@ object Aggregates {
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
+    "agg_cube" -> aggCube,
     "agg_stats" -> aggStats
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_cube" -> aggCubeSql,
     "agg_collect" -> aggCollectSql,
     "agg_minmax_by" -> aggMinmaxBySql,
     "agg_centroid" -> aggCentroidSql,

@@ -112,6 +112,23 @@ object Joins {
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
 
+  /** Null-aware anti join — SQL NOT IN with a nullable probe column,
+    * the three-valued-logic trap: a NULL probe is UNKNOWN against every
+    * list element, so those rows are excluded (unlike left_anti on a
+    * plain predicate, which keeps them). Expressed through spark.sql so
+    * Catalyst plans its dedicated null-aware anti join. */
+  val joinNullAwareAnti: Q = (spark, dir) => {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_naa_customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("v_naa_supplier")
+    spark.sql(
+      """SELECT c_custkey, c_name, nullif(c_nationkey, 5) AS nk
+        |FROM v_naa_customer
+        |WHERE nullif(c_nationkey, 5) NOT IN
+        |  (SELECT s_nationkey FROM v_naa_supplier WHERE s_nationkey < 10)
+        |ORDER BY c_custkey""".stripMargin
+    )
+  }
+
   /** Explicit broadcast hint on the dimension side. */
   val joinBroadcast: Q = (spark, dir) =>
     Tables
@@ -285,6 +302,7 @@ object Joins {
     "join_full_outer" -> joinFullOuter,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
+    "join_null_aware_anti" -> joinNullAwareAnti,
     "join_broadcast" -> joinBroadcast,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof
@@ -334,6 +352,12 @@ object Joins {
     "join_semi" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_null_aware_anti" ->
+      """SELECT c_custkey, c_name, nullif(c_nationkey, 5) AS nk
+        |FROM customer
+        |WHERE nullif(c_nationkey, 5) NOT IN
+        |  (SELECT s_nationkey FROM supplier WHERE s_nationkey < 10)
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

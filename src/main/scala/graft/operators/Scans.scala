@@ -122,7 +122,26 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Small-files compaction: re-write the table at a target file count
+    * (repartition before write) and read it back — the maintenance op
+    * that keeps 100 TB layouts scannable (a scan's task count follows
+    * the file layout; thousands of tiny files throttle every reader).
+    * Content identity is the oracle; the file-count contract is
+    * asserted in PipelineOpsSpec. */
+  val etlCompact: Q = (spark, dir) => {
+    val path = tmp("documents_compact")
+    Tables
+      .documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+      .repartition(2)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    spark.read.parquet(path).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_compact" -> etlCompact,
     "scan_parquet" -> scanParquet,
     "scan_pruned" -> scanPruned,
     "source_csv" -> sourceCsv,
@@ -133,6 +152,8 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_compact" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_pruned" ->

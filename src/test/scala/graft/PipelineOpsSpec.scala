@@ -115,6 +115,13 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("etl_compact writes exactly the target number of data files") {
+    operators.Scans.etlCompact(spark, sf0001).collect()
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_io/documents_compact")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2, s"expected 2 data files, got ${files.length}")
+  }
+
   test("agg_countmin: never underestimates, overestimate within the ε bound") {
     val totalWords = Tables
       .documents(spark, sf001)
