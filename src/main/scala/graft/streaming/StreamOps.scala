@@ -130,6 +130,64 @@ object StreamOps {
     }
   }
 
+  /** Per-user session summary emitted by TIMER, not by incoming data:
+    * each batch refreshes the state and re-arms an event-time timer at
+    * last-event + gap; when the WATERMARK passes it, handleExpiredTimer
+    * emits the closed session and clears state. This is the
+    * timeout-driven emission pattern (idle-session close, TTL flush)
+    * that flatMapGroupsWithState could only approximate — and the
+    * state+timers live in RocksDB, so a keyspace of any size holds. */
+  case class SessionSummary(user_id: Long, n_events: Long, sum_val: Double)
+  case class SessBuf(n: Long, sum: Double, maxTs: Long)
+
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var buf: ValueState[SessBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle
+        .getValueState[SessBuf]("sess", Encoders.product[SessBuf], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[SessionSummary] = {
+      var b = if (buf.exists()) buf.get() else SessBuf(0L, 0.0, Long.MinValue)
+      var oldTimer = if (b.maxTs != Long.MinValue) b.maxTs + gapMs else -1L
+      rows.foreach { e =>
+        b = SessBuf(b.n + 1, b.sum + e.value, math.max(b.maxTs, e.ts.getTime))
+      }
+      buf.update(b)
+      if (oldTimer > 0) getHandle.deleteTimer(oldTimer)
+      getHandle.registerTimer(b.maxTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo
+    ): Iterator[SessionSummary] = {
+      val b = buf.get()
+      buf.clear()
+      Iterator.single(SessionSummary(user, b.n, b.sum))
+    }
+  }
+
+  /** Timer-closed 30-minute sessions over the event stream. */
+  def sessionByTimer(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimeoutProcessor(30L * 60 * 1000),
+        TimeMode.EventTime(),
+        OutputMode.Append()
+      )
+  }
+
   /** purchasesSinceError on the Spark 4 `transformWithState` API. */
   def purchasesSinceErrorTws(events: Dataset[Event]): Dataset[PurchaseState] = {
     import events.sparkSession.implicits._

@@ -232,6 +232,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("event-time timers close idle sessions via handleExpiredTimer (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-timer").toString
+      val q = StreamOps
+        .sessionByTimer(ms.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("timer_sessions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        ms.addData(
+          ev(1, "2024-01-01 10:00:00", user = 1, v = 2.0),
+          ev(2, "2024-01-01 10:10:00", user = 1, v = 3.0)
+        )
+        q.processAllAvailable()
+        // nothing emits while the session is open
+        assert(spark.table("timer_sessions").isEmpty, "session emitted early")
+        // push the watermark past 10:10 + 30min via another user's event
+        ms.addData(ev(3, "2024-01-01 12:00:00", user = 2, v = 1.0))
+        q.processAllAvailable()
+        ms.addData(ev(4, "2024-01-01 12:05:00", user = 2, v = 1.0))
+        q.processAllAvailable()
+        val got = spark
+          .table("timer_sessions")
+          .collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_val")))
+        assert(
+          got.contains((1L, 2L, 5.0)),
+          s"user 1 session not closed by timer: ${got.toSeq}"
+        )
+      } finally q.stop()
+    }
+  }
+
   test("RocksDB state soak: per-key state exact over 100 users × 10 batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
