@@ -166,6 +166,38 @@ object Aggregates {
       | round(max(l_extendedprice),4) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Population/regression statistics family: var_pop, stddev_pop,
+    * covariances, and the regr_* pair (slope = covar_pop/var_pop) —
+    * fully-defined deterministic aggregates, unlike sample
+    * skewness/kurtosis whose correction factors differ across engines. */
+  val aggStatsPop: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        round(var_pop(col("l_discount")), 8).as("vp_disc"),
+        round(stddev_pop(col("l_extendedprice")), 4).as("sdp_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_p"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("icept")
+      )
+      .orderBy("l_linestatus")
+
+  private val aggStatsPopSql =
+    """SELECT l_linestatus,
+      | round(var_pop(l_discount), 8) AS vp_disc,
+      | round(stddev_pop(l_extendedprice), 4) AS sdp_price,
+      | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+      | round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+      | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** Pivot — long-to-wide reshaping, the classic format-conversion
     * operation. Explicit pivot values keep the plan a single pass
     * (no distinct-values pre-query). */
@@ -294,11 +326,13 @@ object Aggregates {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_cube" -> aggCube,
-    "agg_stats" -> aggStats
+    "agg_stats" -> aggStats,
+    "agg_stats_pop" -> aggStatsPop
   )
 
   val oracles: Map[String, String] = Map(
     "agg_cube" -> aggCubeSql,
+    "agg_stats_pop" -> aggStatsPopSql,
     "agg_collect" -> aggCollectSql,
     "agg_minmax_by" -> aggMinmaxBySql,
     "agg_centroid" -> aggCentroidSql,

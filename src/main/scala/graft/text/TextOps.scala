@@ -157,6 +157,30 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** URL parsing — provenance extraction, a standard training-data
+    * pipeline column. URLs are synthesized deterministically from the
+    * corpus so the op is oracle-checkable; Spark's parse_url is
+    * re-expressed as regexes in DuckDB. */
+  val textUrlParse: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn(
+        "url",
+        concat(
+          lit("https://ex"), col("doc_id") % 7, lit(".org/"), col("lang"),
+          lit("/d"), col("doc_id"), lit("?q="), col("n_chars")
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("url"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query")
+      )
+      .orderBy("doc_id")
+
   /** TF-IDF top-3 terms per document. df/tf are integers and the
     * score is tf·ln(N/df) — identical float math on both engines, with
     * the term as rank tiebreak (scores tie widely when df = N). */
@@ -197,6 +221,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "text_url_parse" -> textUrlParse,
     "text_normalize" -> textNormalize,
     "text_tfidf" -> textTfidf,
     "text_token_count" -> textTokenCount,
@@ -208,6 +233,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_url_parse" ->
+      """SELECT doc_id, url,
+        | regexp_extract(url, '^([a-z]+):', 1) AS proto,
+        | regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        | regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+        | regexp_extract(url, '\?([^#]*)', 1) AS query
+        |FROM (
+        |  SELECT doc_id,
+        |   'https://ex' || (doc_id % 7) || '.org/' || lang || '/d' || doc_id
+        |     || '?q=' || n_chars AS url
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         | regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
