@@ -116,12 +116,26 @@ object GraftFunctions {
       )
   }
 
-  def register(spark: SparkSession): Unit =
+  val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => SimHash64(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"simhash64 expects 1 argument, got ${other.size}"
+      )
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       cosineBuilder,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      simhashBuilder,
+      "built-in"
+    )
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -131,6 +145,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
         GraftFunctions.cosineBuilder
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        GraftFunctions.simhashBuilder
       )
     )
     // conf-gated IVF rewrite of cosine top-k (graft.plans.AnnIvfRewrite;

@@ -219,7 +219,38 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** dedup_simhash through the fused `simhash64` Expression
+    * (graft.functions.SimHash64): one codegen'd pass per document
+    * replaces the 64× bit-explode + two aggregations of the reference
+    * pipeline above. Fingerprints are bit-identical (same xxhash64
+    * seed-42 token hashes; DedupSimSpec asserts equality), banding and
+    * hamming post-filter unchanged. */
+  val dedupSimhashFast: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.register(spark)
+    val sim = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("simhash64(split(text, ' '))").as("simhash")
+      )
+    val bands = sim
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("(simhash >> (band*16)) & 65535"))
+    bands
+      .select(col("doc_id").as("d1"), col("band"), col("chunk"), col("simhash").as("h1"))
+      .join(
+        bands.select(col("doc_id").as("d2"), col("band"), col("chunk"), col("simhash").as("h2")),
+        Seq("band", "chunk")
+      )
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(first(expr("bit_count(h1 ^ h2)")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_simhash_fast" -> dedupSimhashFast,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_near" -> dedupMinhashNear,

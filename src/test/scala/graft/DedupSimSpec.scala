@@ -75,6 +75,28 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("simhash64 expression reproduces the exploded pipeline bit-for-bit") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val slow = text.Dedup
+        .dedupSimhash(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+        .toSet
+      // fallback off: a broken doGenCode must throw, not silently
+      // run interpreted
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val fast =
+        try
+          text.Dedup
+            .dedupSimhashFast(spark, sf)
+            .collect()
+            .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+            .toSet
+        finally spark.conf.set("spark.sql.codegen.fallback", "true")
+      assert(fast == slow, s"$sf: fused simhash diverged (${fast.size} vs ${slow.size} pairs)")
+    }
+  }
+
   test("sim_pairs_ann: subset of brute force with exact scores, recall ≥ 0.8") {
     for (sf <- Seq(sf0001, sf001)) {
       val brute = sim.Similarity
