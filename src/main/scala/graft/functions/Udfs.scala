@@ -100,6 +100,47 @@ object Udfs {
       .orderBy(col("cnt").desc, col("w"))
   }
 
+  /** Heavy hitters without shuffling the vocabulary: each partition
+    * keeps a bounded Space-Saving summary (capacity 256 — when full,
+    * the minimum-count entry is evicted and its count inherited, so
+    * any term with local count > localN/256 survives); the union of
+    * summaries is a small broadcast candidate set whose EXACT counts
+    * come from one candidate-restricted aggregation. The full groupBy
+    * ships every distinct term through the shuffle; this ships ≤ 256
+    * terms per partition regardless of vocabulary size. Result equals
+    * the exact top-20 on this corpus (asserted in PipelineOpsSpec);
+    * rows-only for the driver gate (summary internals aren't SQL). */
+  val aggHeavyHitters: Q = (spark, dir) => {
+    import spark.implicits._
+    val words = Tables
+      .documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val cand = words
+      .as[String]
+      .mapPartitions { it =>
+        val cap = 256
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { w =>
+          if (m.contains(w)) m(w) += 1
+          else if (m.size < cap) m(w) = 1L
+          else {
+            val (minW, minC) = m.minBy(_._2)
+            m.remove(minW)
+            m(w) = minC + 1
+          }
+        }
+        m.keysIterator
+      }
+      .toDF("w")
+      .distinct()
+    words
+      .join(broadcast(cand), "w")
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(20)
+  }
+
   /** Scalar UDF: normalize a product name to a snake_case key. Kept as
     * a genuine Scala udf to cover the surface; the oracle re-expresses
     * it in SQL. (Production guidance stays "builtin over udf" — see
@@ -149,6 +190,7 @@ object Udfs {
     "udf_scalar" -> udfScalar,
     "udaf_typed" -> udafTyped,
     "agg_countmin" -> aggCountmin,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "udtf_generator" -> udtfGenerator
   )
 

@@ -122,6 +122,31 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Schema evolution on read: two batches of one feed written with
+    * different schemas (a column added in v2), unified by parquet
+    * mergeSchema — missing columns null-fill, the read-side half of
+    * the schema-drift posture (etl_schema_drift is the in-memory
+    * half). */
+  val sourceMergeSchema: Q = (spark, dir) => {
+    val path = tmp("orders_evolving")
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/v=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/v=2")
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(path)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   /** Small-files compaction: re-write the table at a target file count
     * (repartition before write) and read it back — the maintenance op
     * that keeps 100 TB layouts scannable (a scan's task count follows
@@ -147,6 +172,7 @@ object Scans {
     "source_csv" -> sourceCsv,
     "source_json" -> sourceJson,
     "source_orc" -> sourceOrc,
+    "source_merge_schema" -> sourceMergeSchema,
     "sink_parquet" -> sinkParquet,
     "sink_partitioned" -> sinkPartitioned
   )
@@ -163,6 +189,10 @@ object Scans {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "source_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "source_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "source_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "source_json" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -200,6 +200,37 @@ object StreamOps {
       )
   }
 
+  /** LEFT OUTER stream-stream join: inner matches emit immediately;
+    * an unmatched purchase's null-extended row emits only once BOTH
+    * watermarks guarantee no qualifying click can still arrive — the
+    * outer-emission semantics StreamingSpec pins down. */
+  def purchaseClickLeftJoin(
+      purchases: DataFrame,
+      clicks: DataFrame
+  ): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts")
+      )
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("event_id").as("c_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts")
+      )
+    p.join(
+      c,
+      expr(
+        "p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+      ),
+      "left_outer"
+    )
+  }
+
   /** Custom keyed state: purchases since the user's last error —
     * the streaming twin of StreamingBatch.streamStatefulCustom. */
   def purchasesSinceError(events: Dataset[Event]): Dataset[PurchaseState] = {

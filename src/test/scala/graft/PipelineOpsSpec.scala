@@ -143,6 +143,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("agg_heavy_hitters equals the exact top-20 from a full groupBy") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val exact = Tables
+        .documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(20)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
+      val got = functions.Udfs
+        .aggHeavyHitters(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
+      assert(got == exact, s"$sf: heavy hitters diverged from exact top-20")
+    }
+  }
+
   test("etl_sample_hash: deterministic, stratum rates near 4/16, 2/16, 1/16") {
     val df = operators.Etl.etlSampleHash(spark, sf001)
     val again = operators.Etl.etlSampleHash(spark, sf001)

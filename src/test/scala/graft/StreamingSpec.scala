@@ -325,6 +325,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("left-outer stream join null-extends only after both watermarks pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamOps
+      .purchaseClickLeftJoin(purchases.toDF, clicks.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("ss_left_join")
+      .outputMode("append")
+      .start()
+    try {
+      clicks.addData(ev(10, "2024-01-01 09:30:00", user = 1))
+      purchases.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1, typ = "purchase"),
+        ev(2, "2024-01-01 10:05:00", user = 3, typ = "purchase") // no click
+      )
+      q.processAllAvailable()
+      val inner = spark
+        .table("ss_left_join")
+        .collect()
+        .map(r => (r.getAs[Long]("p_id"), Option(r.getAs[java.lang.Long]("c_id"))))
+        .toSet
+      assert(inner.contains((1L, Some(10L))), s"inner match missing: $inner")
+      assert(
+        !inner.exists(_._1 == 2L),
+        "unmatched purchase emitted before the watermark closed its window"
+      )
+      // advance BOTH watermarks (the join watermark is their minimum)
+      clicks.addData(ev(90, "2024-01-01 13:00:00", user = 9))
+      purchases.addData(ev(91, "2024-01-01 13:00:00", user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      clicks.addData(ev(92, "2024-01-01 13:10:00", user = 9))
+      purchases.addData(ev(93, "2024-01-01 13:10:00", user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val all = spark
+        .table("ss_left_join")
+        .collect()
+        .map(r => (r.getAs[Long]("p_id"), Option(r.getAs[java.lang.Long]("c_id"))))
+        .toSet
+      assert(
+        all.contains((2L, None)),
+        s"null-extended row for the unmatched purchase missing: $all"
+      )
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
