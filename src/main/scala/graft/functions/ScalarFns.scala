@@ -174,6 +174,23 @@ object ScalarFns {
       )
       .orderBy("c_custkey")
 
+  /** Binary encode/decode family: base64 round-trip, hex round-trip,
+    * and charset encode — the wire-format conversions an ingest layer
+    * does. DuckDB's base64 works on BLOBs; hex() of a blob matches
+    * Spark's hex of the binary cast. */
+  val fnBinary: Q = (spark, dir) =>
+    Tables
+      .nation(spark, dir)
+      .select(
+        col("n_nationkey"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        unbase64(base64(col("n_name").cast("binary"))).cast("string").as("b64_rt"),
+        hex(col("n_name").cast("binary")).as("hx"),
+        unhex(hex(col("n_name").cast("binary"))).cast("string").as("hx_rt"),
+        length(encode(col("n_name"), "UTF-16")).as("n_utf16")
+      )
+      .orderBy("n_nationkey")
+
   /** Bitwise family. DuckDB's `^` is exponentiation, so the oracle
     * spells XOR as xor(). */
   val fnBitwise: Q = (spark, dir) =>
@@ -218,7 +235,8 @@ object ScalarFns {
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
     "fn_map_json" -> fnMapJson,
-    "fn_conditional" -> fnConditional
+    "fn_conditional" -> fnConditional,
+    "fn_binary" -> fnBinary
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,6 +319,14 @@ object ScalarFns {
         | array_to_string(json_keys(props), ',') AS mkeys,
         | CAST(CAST(json_extract_string(props,'$.k') AS INT) AS VARCHAR) AS mvals
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_binary" ->
+      """SELECT n_nationkey,
+        | base64(CAST(n_name AS BLOB)) AS b64,
+        | CAST(from_base64(base64(CAST(n_name AS BLOB))) AS VARCHAR) AS b64_rt,
+        | hex(CAST(n_name AS BLOB)) AS hx,
+        | CAST(unhex(hex(CAST(n_name AS BLOB))) AS VARCHAR) AS hx_rt,
+        | 2 + 2*length(n_name) AS n_utf16
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "fn_conditional" ->
       """SELECT c_custkey,
         | CASE WHEN c_acctbal < 0 THEN 'neg'

@@ -122,6 +122,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(files.length == 2, s"expected 2 data files, got ${files.length}")
   }
 
+  test("sink_codec writes zstd-compressed parquet data files") {
+    operators.Scans.sinkCodec(spark, sf0001).collect()
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_io/lineitem_zstd")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty, "no parquet files written")
+    assert(
+      files.forall(_.getName.contains(".zstd.")),
+      s"codec not zstd: ${files.map(_.getName).toSeq}"
+    )
+  }
+
   test("agg_countmin: never underestimates, overestimate within the ε bound") {
     val totalWords = Tables
       .documents(spark, sf001)
