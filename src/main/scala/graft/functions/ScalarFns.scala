@@ -157,6 +157,23 @@ object ScalarFns {
       )
       .orderBy("event_id")
 
+  /** Spark 4 VARIANT type: parse_json → binary semi-structured value,
+    * fields pulled out with variant_get at query time — schema-on-read
+    * without a fixed struct, the open-content posture an ingest layer
+    * needs. The oracle re-reads the same fields with plain JSON
+    * extraction. */
+  val fnVariant: Q = (spark, dir) =>
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("vk"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("vks"),
+        expr("variant_get(parse_json(props), '$.missing', 'int')").as("vmiss"),
+        expr("is_variant_null(try_parse_json('null'))").as("vnull")
+      )
+      .orderBy("event_id")
+
   val fnConditional: Q = (spark, dir) =>
     Tables
       .customer(spark, dir)
@@ -236,7 +253,8 @@ object ScalarFns {
     "fn_array" -> fnArray,
     "fn_map_json" -> fnMapJson,
     "fn_conditional" -> fnConditional,
-    "fn_binary" -> fnBinary
+    "fn_binary" -> fnBinary,
+    "fn_variant" -> fnVariant
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +336,13 @@ object ScalarFns {
         | CAST(json_extract_string(props,'$.k') AS INT) AS k2,
         | array_to_string(json_keys(props), ',') AS mkeys,
         | CAST(CAST(json_extract_string(props,'$.k') AS INT) AS VARCHAR) AS mvals
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS vk,
+        | json_extract_string(props, '$.k') AS vks,
+        | CAST(json_extract_string(props, '$.missing') AS INT) AS vmiss,
+        | TRUE AS vnull
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_binary" ->
       """SELECT n_nationkey,

@@ -223,6 +223,29 @@ object Aggregates {
       | count(*) FILTER (o_orderstatus = 'P') AS n_p
       |FROM orders GROUP BY y ORDER BY y""".stripMargin
 
+  /** Unpivot (melt) — wide-to-long, the inverse of agg_pivot: three
+    * measure columns become (metric, val) rows. Pure projection+expand,
+    * no shuffle. */
+  val aggUnpivot: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric",
+        "val"
+      )
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  private val aggUnpivotSql =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   /** min_by/max_by with a uniquified ordering value: price has 2
     * decimals so price*1e8 is quantized at 1e6 ≫ max orderkey, making
     * the composite strictly unique — arg-extremes are deterministic on
@@ -321,6 +344,7 @@ object Aggregates {
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_centroid" -> aggCentroid,
     "agg_pivot" -> aggPivot,
+    "agg_unpivot" -> aggUnpivot,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -337,6 +361,7 @@ object Aggregates {
     "agg_minmax_by" -> aggMinmaxBySql,
     "agg_centroid" -> aggCentroidSql,
     "agg_pivot" -> aggPivotSql,
+    "agg_unpivot" -> aggUnpivotSql,
     "agg_hash" -> aggHashSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
