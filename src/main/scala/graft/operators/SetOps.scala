@@ -61,8 +61,9 @@ object SetOps {
       .orderBy("custkey")
 
   /** Z-order (Morton) interleave of two 8-bit dimensions, shared as one
-    * SQL fragment between Spark and the oracle. */
-  private val zExpr: String = {
+    * SQL fragment between Spark and the oracle (and mirrored in
+    * PropertySpec's bijection law). */
+  private[graft] val zExprSql: String = {
     val terms = (0 until 8).flatMap { b =>
       Seq(
         s"((zx >> $b) & 1) * ${1L << (2 * b)}",
@@ -82,7 +83,7 @@ object SetOps {
       .orders(spark, dir)
       .withColumn("zx", (col("o_custkey") % 256).cast("bigint"))
       .withColumn("zy", dayofyear(col("o_orderdate")).cast("bigint") % 256)
-      .withColumn("z", expr(zExpr))
+      .withColumn("z", expr(zExprSql))
       .select("o_orderkey", "zx", "zy", "z")
       .orderBy("z", "o_orderkey")
 
@@ -97,7 +98,7 @@ object SetOps {
 
   val oracles: Map[String, String] = Map(
     "sort_zorder" ->
-      s"""SELECT o_orderkey, zx, zy, $zExpr AS z FROM (
+      s"""SELECT o_orderkey, zx, zy, $zExprSql AS z FROM (
          |  SELECT o_orderkey,
          |   CAST(o_custkey % 256 AS BIGINT) AS zx,
          |   CAST(dayofyear(o_orderdate) AS BIGINT) % 256 AS zy

@@ -38,6 +38,35 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("z-order interleave is a bijection: de-interleave recovers (x, y)") {
+    val xy: Gen[List[(Int, Int)]] =
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)))
+    // scala mirror of SetOps.zExpr (same bit placement)
+    def interleave(x: Int, y: Int): Long =
+      (0 until 8).foldLeft(0L) { (z, b) =>
+        z | (((x >> b) & 1).toLong << (2 * b)) | (((y >> b) & 1).toLong << (2 * b + 1))
+      }
+    def deinterleave(z: Long): (Int, Int) = {
+      var x = 0; var y = 0
+      for (b <- 0 until 8) {
+        x |= (((z >> (2 * b)) & 1L) << b).toInt
+        y |= (((z >> (2 * b + 1)) & 1L) << b).toInt
+      }
+      (x, y)
+    }
+    check(Prop.forAll(xy) { xs =>
+      // the SQL fragment and the scala mirror agree, and the code is invertible
+      val df = xs.toDF("zx", "zy")
+      val viaSql = df
+        .withColumn("z", expr(operators.SetOps.zExprSql).cast("long"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      viaSql.forall { case ((x, y), z) =>
+        z == interleave(x, y) && deinterleave(z) == ((x, y))
+      }
+    })
+  }
+
   test("windowed running sum equals per-key prefix sum") {
     check(Prop.forAll(rows) { xs =>
       val indexed = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
