@@ -124,6 +124,19 @@ object GraftFunctions {
       )
   }
 
+  val lshKeysBuilder: Seq[Expression] => Expression = {
+    case Seq(a, bits, tables) if bits.foldable && tables.foldable =>
+      LshKeys(
+        a,
+        bits.eval().asInstanceOf[Number].intValue(),
+        tables.eval().asInstanceOf[Number].intValue()
+      )
+    case other =>
+      throw new IllegalArgumentException(
+        s"lsh_keys expects (embedding, bits literal, tables literal), got ${other.size} args"
+      )
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
@@ -133,6 +146,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",
       simhashBuilder,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_keys",
+      lshKeysBuilder,
       "built-in"
     )
   }
@@ -152,6 +170,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         GraftFunctions.simhashBuilder
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("lsh_keys"),
+        new ExpressionInfo(classOf[LshKeys].getName, "lsh_keys"),
+        GraftFunctions.lshKeysBuilder
       )
     )
     // conf-gated IVF rewrite of cosine top-k (graft.plans.AnnIvfRewrite;

@@ -23,44 +23,29 @@ object Similarity {
     Seq.fill(32)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
   }
 
-  /** Deterministic LCG hyperplanes (64 planes × 64 dims). Unlike
-    * `planes` (JVM Random — not reproducible in SQL), these come from
-    * integer arithmetic both engines compute bit-identically, so the
-    * ANN *candidate generation itself* is part of the DuckDB-
-    * hash-checked contract for the prefiltered pair queries below. */
-  private lazy val lcgPlanes: Seq[Seq[Double]] =
-    (0 until 64).map { tp =>
-      (0 until 64).map { d =>
-        val idx = tp * 64L + d
-        ((1103515245L * idx + 12345L) % 2147483648L) / 2147483648.0 * 2 - 1
-      }
-    }
-
   /** Per-(table, vector) LSH bucket keys over the LCG planes, for any
     * frame with (vec_id, label, embedding). `bits`×`tables` selects the
     * operating point: few wide bands (e.g. 8×4) give sharp pruning in
     * the true near-dup regime (cos ≥ 0.9, collision of a random pair
     * ≈ 1.5%); many narrow bands (3×16) buy recall at the weak
-    * thresholds of the graded pair queries. The dot product is rounded
-    * to 6dp before the sign test so float-summation order can't flip a
-    * boundary bit across engines. */
+    * thresholds of the graded pair queries. Keys come from the fused
+    * `lsh_keys` codegen Expression (graft.functions.LshKeys) — one pass
+    * per vector, LCG weights generated inline, 6dp-rounded sign test —
+    * bit-identical to the compositional typedlit + zip_with/aggregate
+    * pipeline it replaced but without the interpreted higher-order
+    * functions that dominated bucket-generation cost. */
   private[graft] def lshBucketsFor(
       df: org.apache.spark.sql.DataFrame,
       bits: Int,
       tables: Int
   ) = {
     require(bits * tables <= 64, "only 64 LCG planes are defined")
+    GraftFunctions.register(df.sparkSession)
     df
-      .withColumn("pl", typedlit(lcgPlanes))
-      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn(
-        "bkey",
-        expr(
-          s"concat_ws('', transform(sequence(0, ${bits - 1}), p ->" +
-            s" IF(round(aggregate(zip_with(embedding, pl[t*$bits+p]," +
-            " (x, w) -> CAST(x AS DOUBLE) * w), 0D, (a, b) -> a + b), 6) >= 0," +
-            " '1', '0')))"
-        )
+      .select(
+        col("vec_id"),
+        col("label"),
+        posexplode(expr(s"lsh_keys(embedding, $bits, $tables)")).as(Seq("t", "bkey"))
       )
       .select("vec_id", "label", "t", "bkey")
   }
