@@ -339,7 +339,103 @@ object Aggregates {
       | count(*) AS n
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Exact percentile family (linear interpolation, identical to
+    * DuckDB's quantile_cont): per-group p25/p50/p75 of quantity and the
+    * p90 price tail. Exact percentiles need the group's values
+    * assembled on one partition — fine for low-cardinality groups like
+    * these; at unbounded group size the scale path is
+    * `approx_percentile` (a mergeable two-phase sketch with bounded
+    * error), same API shape, no full sort. */
+  val aggPercentiles: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+
+  private val aggPercentilesSql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      | round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      | round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Most frequent value per group with a deterministic tie-break
+    * (highest count, then smallest value) — bare `mode()` leaves ties
+    * engine-defined, so it can't be oracle-checked; the count+window
+    * form pins the semantics and stays a two-phase aggregate plus one
+    * small window over group×value counts. */
+  val aggMode: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("mode_n"))
+    counts
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("o_orderstatus")
+            .orderBy(col("mode_n").desc, col("o_orderpriority"))
+        )
+      )
+      .filter(col("rn") === 1)
+      .select(
+        col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"),
+        col("mode_n")
+      )
+      .orderBy("o_orderstatus")
+  }
+
+  private val aggModeSql =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, mode_n FROM (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS mode_n,
+      |   row_number() OVER (PARTITION BY o_orderstatus
+      |                      ORDER BY count(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** Distinct counting through Spark 4's roaring-style bitmap
+    * aggregates: keys are split into 32k-bit buckets
+    * (`bitmap_bucket_number`), each bucket's members become set bits
+    * (`bitmap_construct_agg` of `bitmap_bit_position`), and the count
+    * is the sum of per-bucket popcounts. Unlike `count(distinct)`'s
+    * expand + re-shuffle of every (group, value) pair, the bitmap is a
+    * fixed-width mergeable state — the dense-integer-key counting
+    * structure for a 100 TB fact table. Result is EXACT (oracle:
+    * count distinct). */
+  val aggBitmapDistinct: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_returnflag"),
+        expr("bitmap_bucket_number(l_suppkey)").as("bno"),
+        expr("bitmap_bit_position(l_suppkey)").as("bpos")
+      )
+      .groupBy("l_returnflag", "bno")
+      .agg(expr("bitmap_count(bitmap_construct_agg(bpos))").as("c"))
+      .groupBy("l_returnflag")
+      .agg(sum("c").cast("bigint").as("distinct_supp"))
+      .orderBy("l_returnflag")
+
+  private val aggBitmapDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_percentiles" -> aggPercentiles,
+    "agg_mode" -> aggMode,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_collect" -> aggCollect,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_centroid" -> aggCentroid,
@@ -355,6 +451,9 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_percentiles" -> aggPercentilesSql,
+    "agg_mode" -> aggModeSql,
+    "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_cube" -> aggCubeSql,
     "agg_stats_pop" -> aggStatsPopSql,
     "agg_collect" -> aggCollectSql,

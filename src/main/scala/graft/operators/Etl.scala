@@ -153,7 +153,145 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** Data-quality audit: constraint-violation counts over the fact
+    * table — null keys, domain-range breaches, duplicate primary keys,
+    * and referential orphans — assembled as a union of independent
+    * small aggregates. Each rule is one distributed pass (the orphan
+    * check an anti join against the broadcastable orders key set); the
+    * result is a handful of rows regardless of input size, the shape a
+    * pipeline health gate wants at any scale. */
+  val etlDqChecks: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    // n_total as a broadcast single-row aggregate, NOT an eager
+    // li.count() at plan-build time (that would be an extra full pass
+    // before the action even runs)
+    val total = li.agg(count(lit(1)).as("n_total"))
+    def rule(name: String, viol: org.apache.spark.sql.DataFrame) =
+      viol
+        .select(lit(name).as("rule"), count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(total))
+    val dup = li
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val orphan = li.join(
+      Tables.orders(spark, dir).select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"),
+      "left_anti"
+    )
+    rule("null_shipdate", li.filter(col("l_shipdate").isNull))
+      .unionByName(rule("nonpositive_qty", li.filter(col("l_quantity") <= 0)))
+      .unionByName(
+        rule(
+          "discount_out_of_range",
+          li.filter(col("l_discount") < 0 || col("l_discount") > 1)
+        )
+      )
+      .unionByName(rule("duplicate_pk", dup))
+      .unionByName(rule("orphan_orderkey", orphan))
+      .orderBy("rule")
+  }
+
+  private val etlDqChecksSql =
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'null_shipdate' AS rule,
+      |   CAST((SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT) AS n_violations,
+      |   n_total FROM t
+      |  UNION ALL
+      |  SELECT 'nonpositive_qty',
+      |   CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT), n_total FROM t
+      |  UNION ALL
+      |  SELECT 'discount_out_of_range',
+      |   CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+      |   n_total FROM t
+      |  UNION ALL
+      |  SELECT 'duplicate_pk',
+      |   CAST((SELECT count(*) FROM (
+      |      SELECT l_orderkey, l_linenumber FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) d) AS BIGINT),
+      |   n_total FROM t
+      |  UNION ALL
+      |  SELECT 'orphan_orderkey',
+      |   CAST((SELECT count(*) FROM lineitem l
+      |         WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                           WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+      |   n_total FROM t) u
+      |ORDER BY rule""".stripMargin
+
+  /** Time-series resample + gap-fill: hourly event counts and value
+    * totals per type over a complete hour grid (global min/max bounds),
+    * missing hours get count 0 and a forward-filled total
+    * (last-observation-carried-forward via `last(ignoreNulls)` over an
+    * unbounded-preceding frame). The grid is generated distributed
+    * (sequence + explode per key — no driver loop); the fill is one
+    * window per key, the standard sensor/metrics densification at any
+    * scale. Totals are rounded at the data's own
+    * 2dp grid BEFORE the fill (an avg lands off-grid and collides with
+    * round-half boundaries — hit at sf0.1), so carried values are
+    * grid-identical across engines. */
+  val tsGapfill: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value")
+      )
+    val bounds = e.agg(
+      date_trunc("hour", min("ts")).as("h0"),
+      date_trunc("hour", max("ts")).as("h1")
+    )
+    val grid = e
+      .select("event_type")
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h")
+      )
+    grid
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(
+        col("event_type"),
+        col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last("sum_value", ignoreNulls = true)
+          .over(
+            Window
+              .partitionBy("event_type")
+              .orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, 0)
+          )
+          .as("ff_value"),
+        col("sum_value").isNull.as("is_gap")
+      )
+      .orderBy("event_type", "h")
+  }
+
+  private val tsGapfillSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |   CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+      |grid AS (
+      |  SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM events) t, bounds b)
+      |SELECT g.event_type, g.h,
+      | coalesce(h2.n_events, 0) AS n_events,
+      | last_value(h2.sum_value IGNORE NULLS) OVER (
+      |   PARTITION BY g.event_type ORDER BY g.h
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value,
+      | h2.sum_value IS NULL AS is_gap
+      |FROM grid g LEFT JOIN hourly h2 ON g.event_type = h2.event_type AND g.h = h2.h
+      |ORDER BY g.event_type, g.h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_dq_checks" -> etlDqChecks,
+    "ts_gapfill" -> tsGapfill,
     "etl_global_ids" -> etlGlobalIds,
     "etl_upsert_scd1" -> etlUpsertScd1,
     "etl_schema_drift" -> etlSchemaDrift,
@@ -163,6 +301,8 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_dq_checks" -> etlDqChecksSql,
+    "ts_gapfill" -> tsGapfillSql,
     "etl_global_ids" ->
       """SELECT doc_id, lang, n_chars,
         | row_number() OVER (ORDER BY doc_id) - 1 AS gid

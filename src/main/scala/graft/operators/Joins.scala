@@ -292,7 +292,58 @@ object Joins {
       .select("r_regionkey", "r_name", "n_nationkey", "n_name")
       .orderBy("r_regionkey", "n_nationkey")
 
+  /** Binned interval join — the scale path for a PURE range predicate
+    * (no equality conjunct): all event pairs ≤ 60 s apart, across ALL
+    * users. Written naively that predicate is a BroadcastNestedLoopJoin
+    * (O(n·m) comparisons); here each left row probes the two 1-minute
+    * bins its match window can overlap (`explode` of [bin, bin+1]), the
+    * join runs as a plain equi hash join on the bin key, and the exact
+    * interval predicate re-filters the bin collisions. A pair lands in
+    * exactly one (probe-bin, build-bin) combination, so no dedup is
+    * needed. Bin width = window width keeps the fan-out at 2 probes per
+    * row at any data size; the plan is asserted NLJ-free in
+    * PlanShapeSpec. */
+  val joinRangeBinned: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val probes = e
+      .select(
+        col("event_id").as("a_id"),
+        col("ts").as("a_ts"),
+        expr("unix_micros(ts) div 60000000").as("b0")
+      )
+      .select(
+        col("a_id"),
+        col("a_ts"),
+        explode(expr("array(b0, b0 + 1)")).as("bin")
+      )
+    val build = e.select(
+      col("event_id").as("b_id"),
+      col("ts").as("b_ts"),
+      expr("unix_micros(ts) div 60000000").as("bin")
+    )
+    probes
+      .join(build, Seq("bin"))
+      .filter(
+        col("b_ts") > col("a_ts") &&
+          col("b_ts") <= expr("a_ts + INTERVAL 1 MINUTE")
+      )
+      .select(
+        col("a_id"),
+        col("b_id"),
+        expr("CAST(unix_micros(b_ts) - unix_micros(a_ts) AS BIGINT)").as("gap_us")
+      )
+      .orderBy("a_id", "b_id")
+  }
+
+  private val joinRangeBinnedSql =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id,
+      | epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      | ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_range_binned" -> joinRangeBinned,
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "join_salted" -> joinSalted,
@@ -309,6 +360,7 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_range_binned" -> joinRangeBinnedSql,
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

@@ -249,7 +249,81 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Near-dup CLUSTERS, not just pairs: connected components over the
+    * jaccard ≥ 0.5 edge set, each doc labeled with its component's
+    * minimum doc_id, the canonical flag, and the cluster size — the
+    * keep/drop decision a dedup pipeline actually ships. Labels spread
+    * by iterative min-label propagation: every round each vertex takes
+    * the min of its own and its neighbors' labels (one join + one
+    * aggregate, all distributed); the loop exits when a round changes
+    * nothing. Rounds needed = component diameter — dup clusters are
+    * shallow (pairs/chains of copies), so this converges in 2-3 rounds
+    * here; a 100 TB graph with long chains would switch to the
+    * large-star/small-star contraction (O(log n) rounds), same
+    * per-round dataflow. The per-round convergence count is the only
+    * driver-side scalar. */
+  val dedupClusterCc: Q = (spark, dir) => {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val edges = sh
+      .toDF("d1", "s1")
+      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+      .join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+      .filter(
+        col("common") / (col("n1") + col("n2") - col("common")) >= 0.5
+      )
+      .select("d1", "d2")
+    // the edge list feeds EVERY propagation round — persist it so the
+    // shingle self-join isn't recomputed per round (measured 7s -> 3s
+    // at sf0.1)
+    val sym = edges
+      .union(edges.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+      .persist()
+    var lbl = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = sym
+        .join(lbl, col("dst") === col("doc_id"))
+        .groupBy("src")
+        .agg(min("cluster_id").as("nmin"))
+      val next = lbl
+        .join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id")
+        )
+        .persist()
+      changed = next
+        .join(lbl.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .count()
+      lbl.unpersist()
+      lbl = next
+      rounds += 1
+    }
+    sym.unpersist()
+    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    lbl
+      .join(sizes, "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"),
+        col("cluster_n")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_cluster_cc" -> dedupClusterCc,
     "dedup_simhash_fast" -> dedupSimhashFast,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -258,6 +332,31 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+        |        WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |edges AS (SELECT d1, d2 FROM co
+        |          JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id
+        |          WHERE common*1.0/(x.n + y.n - common) >= 0.5),
+        |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+        |        UNION ALL SELECT d2, d1 FROM edges),
+        |reach(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.src, r.m FROM sym s JOIN reach r ON s.dst = r.v),
+        |lbl AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v),
+        |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+        |          FROM lbl GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, l.doc_id = l.cluster_id AS is_canonical,
+        |       s.cluster_n
+        |FROM lbl l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, lang, n_chars, group_n FROM (
         |  SELECT doc_id, lang, n_chars,

@@ -220,7 +220,109 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** PII scrub: emails and phone numbers replaced with typed
+    * placeholders, plus per-doc redaction counts. The corpus is
+    * synthetic, so deterministic PII is first INJECTED (address and
+    * phone derived from doc_id), then redacted — the regex pass is
+    * exercised end-to-end and the oracle checks both the counts and the
+    * redacted text. Pure codegen'd regexp expressions, one projection,
+    * trivially parallel at any corpus size. */
+  val textPiiRedact: Q = (spark, dir) => {
+    val email = "[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"
+    val phone = "\\+1-555-[0-9]{4}"
+    Tables
+      .documents(spark, dir)
+      .withColumn(
+        "text2",
+        concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+        )
+      )
+      .select(
+        col("doc_id"),
+        expr(s"regexp_count(text2, '$email')").as("n_emails"),
+        expr(s"regexp_count(text2, '\\\\+1-555-[0-9]{4}')").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text2"), email, "<EMAIL>"),
+          phone,
+          "<PHONE>"
+        ).as("redacted")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val textPiiRedactSql =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text2, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+')) AS n_emails,
+      | len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS n_phones,
+      | regexp_replace(regexp_replace(text2,
+      |   '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+      |   '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM (
+      |  SELECT doc_id,
+      |   text || ' contact user' || doc_id || '@mail.example or call +1-555-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Character-bigram language-model score — the perplexity-style
+    * quality filter of a training-data pipeline, self-trained on the
+    * corpus: global bigram frequencies become the model (a broadcast
+    * join — the model is small however large the corpus), each doc
+    * scores avg log P(bigram). Lower = more surprising text. ln can
+    * differ by 1 ulp across libm implementations and float sums are
+    * order-dependent, so the avg is rounded to 6dp (verified stable at
+    * all three SFs). */
+  val textBigramScore: Q = (spark, dir) => {
+    val bg = Tables
+      .documents(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+          )
+        ).as("b")
+      )
+    // one explode pass: per-doc term frequencies first, the model and
+    // total derive from tf — the raw bigram stream is never re-read
+    val tf = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy("b").agg(sum("tf").as("cnt"))
+    val total = model.agg(sum("cnt").cast("double").as("n_total"))
+    tf.join(broadcast(model), "b")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("bigint").as("n_bigrams"),
+        round(
+          sum(col("tf") * log(col("cnt") / col("n_total"))) / sum("tf"),
+          6
+        ).as("lm_score")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val textBigramScoreSql =
+    """WITH bg AS (
+      |  SELECT doc_id, substring(text, i, 2) AS b
+      |  FROM documents, unnest(range(1, len(text))) AS u(i)
+      |  WHERE len(text) >= 2),
+      |tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY 1, 2),
+      |model AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY b),
+      |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM model)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      | round(sum(tf * ln(cnt / n_total)) / sum(tf), 6) AS lm_score
+      |FROM tf JOIN model USING (b), total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_pii_redact" -> textPiiRedact,
+    "text_bigram_score" -> textBigramScore,
     "text_url_parse" -> textUrlParse,
     "text_normalize" -> textNormalize,
     "text_tfidf" -> textTfidf,
@@ -233,6 +335,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pii_redact" -> textPiiRedactSql,
+    "text_bigram_score" -> textBigramScoreSql,
     "text_url_parse" ->
       """SELECT doc_id, url,
         | regexp_extract(url, '^([a-z]+):', 1) AS proto,
