@@ -27,10 +27,20 @@ import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
   * plus a pruned exact scan — the genuine IVF shape (sim_ivf_topk), but
   * chosen by the optimizer instead of hand-written.
   *
-  * Gated on `spark.graft.ann.ivfRewrite=true` because IVF is
-  * APPROXIMATE: results match brute force exactly when the true top-k
-  * live in the visited cells (guaranteed on clustered corpora — plan-
-  * and result-asserted in PlanShapeSpec — not on near-orthogonal data).
+  * Gated on `spark.graft.ann.ivfRewrite` because IVF is APPROXIMATE:
+  * results match brute force exactly when the true top-k live in the
+  * visited cells (guaranteed on clustered corpora — plan- and
+  * result-asserted in PlanShapeSpec — not on near-orthogonal data).
+  * Modes:
+  *   - `true`  — rewrite every eligible top-k (the round-2 behavior);
+  *   - `auto`  — COST-GATED: rewrite only when the child's estimated
+  *     size (`child.stats.sizeInBytes`, logical statistics) reaches
+  *     `spark.graft.ann.ivfRewrite.minBytes` (default 128 MiB). Small
+  *     scans keep the brute-force plan — a full pass over a broadcast-
+  *     sized corpus beats building centroids; at 100 TB the same query
+  *     flips to the pruned path with no query change. The user still
+  *     opts into approximation once; WHERE it applies is the
+  *     optimizer's cost decision.
   * The guard on join/aggregate-free children keeps the rule from
   * re-firing on its own output (whose child contains the cell join) and
   * from touching the centroid subplan (whose sort child is an
@@ -38,6 +48,8 @@ import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
   */
 object AnnIvfRewrite {
   val ConfKey = "spark.graft.ann.ivfRewrite"
+  val MinBytesKey = "spark.graft.ann.ivfRewrite.minBytes"
+  val DefaultMinBytes: Long = 128L << 20
 
   /** Runtime injection into an existing session (idempotent) — same
     * contract as GraftFunctions.register; the build-time path is
@@ -51,16 +63,26 @@ object AnnIvfRewrite {
 
 case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def enabled: Boolean =
-    spark.conf.getOption(AnnIvfRewrite.ConfKey).contains("true")
+  private def mode: String =
+    spark.conf.getOption(AnnIvfRewrite.ConfKey).getOrElse("false")
+
+  private def enabled: Boolean = mode == "true" || mode == "auto"
+
+  private def minBytes: Long =
+    spark.conf
+      .getOption(AnnIvfRewrite.MinBytesKey)
+      .map(_.toLong)
+      .getOrElse(AnnIvfRewrite.DefaultMinBytes)
 
   /** Conservative eligibility: a scan-like child (no joins, no aggs)
-    * with the IVF cell column present. */
+    * with the IVF cell column present; in `auto` mode additionally the
+    * cost gate on the child's estimated scan size. */
   private def eligible(plan: LogicalPlan): Boolean =
     plan.collectFirst {
       case j: Join      => j
       case a: Aggregate => a
-    }.isEmpty && plan.output.exists(_.name == "label")
+    }.isEmpty && plan.output.exists(_.name == "label") &&
+      (mode != "auto" || plan.stats.sizeInBytes >= minBytes)
 
   /** Matches `Sort(cosine_sim(attr, literal) DESC, ...)` and returns
     * (order, emb attr, probe floats, child, hint). NOTE: the cell

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
   GroupState,
   GroupStateTimeout,
+  ListState,
   OutputMode,
   StatefulProcessor,
   TTLConfig,
@@ -229,6 +230,123 @@ object StreamOps {
       ),
       "left_outer"
     )
+  }
+
+  /** Row of either join side, tagged; the TWS join keys by user_id. */
+  case class SideRow(side: String, id: Long, user_id: Long, ts: java.sql.Timestamp)
+
+  /** TWS join output: c_id is None for a watermark-closed unmatched
+    * purchase (left-outer null extension). */
+  case class JoinOut(p_id: Long, user_id: Long, c_id: Option[Long])
+
+  private case class PendP(id: Long, tsMs: Long, matched: Boolean)
+  private case class BufC(id: Long, tsMs: Long)
+
+  /** The stream-stream interval LEFT OUTER join rebuilt on
+    * `transformWithState` + event-time TIMERS (SURVEY §8 / round-3
+    * handoff): both sides union into one keyed stream; clicks buffer in
+    * `ListState`, purchases match buffered clicks (and vice versa for
+    * out-of-order arrival — each qualifying pair is seen exactly once,
+    * at whichever side arrives second), and every purchase arms a timer
+    * at its own event time. When the WATERMARK passes that timer no
+    * qualifying click can still arrive (the condition needs
+    * c_ts ≤ p_ts), so `handleExpiredTimer` emits the null-extended row
+    * and prunes state — the exact outer-emission semantics of the
+    * built-in join (asserted equal in StreamingSpec), but with the
+    * buffering, matching, and timeout policy as USER code, which is
+    * what lets a custom operator depart from built-in semantics (e.g.
+    * top-1-match or TTL'd buffers) without leaving RocksDB-backed
+    * state. */
+  class IntervalJoinProcessor(windowMs: Long)
+      extends StatefulProcessor[Long, SideRow, JoinOut] {
+    @transient private var clicks: ListState[BufC] = _
+    @transient private var pend: ListState[PendP] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      clicks = getHandle
+        .getListState[BufC]("clicks", Encoders.product[BufC], TTLConfig.NONE)
+      pend = getHandle
+        .getListState[PendP]("pend", Encoders.product[PendP], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[SideRow],
+        timerValues: TimerValues
+    ): Iterator[JoinOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[JoinOut]
+      var cs = clicks.get().toArray
+      var ps = pend.get().toArray
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
+        val t = r.ts.getTime
+        if (r.side == "click") {
+          ps = ps.map { p =>
+            if (t <= p.tsMs && t >= p.tsMs - windowMs) {
+              out += JoinOut(p.id, user, Some(r.id))
+              p.copy(matched = true)
+            } else p
+          }
+          cs = cs :+ BufC(r.id, t)
+        } else {
+          var matched = false
+          cs.foreach { c =>
+            if (c.tsMs <= t && c.tsMs >= t - windowMs) {
+              out += JoinOut(r.id, user, Some(c.id))
+              matched = true
+            }
+          }
+          ps = ps :+ PendP(r.id, t, matched)
+          getHandle.registerTimer(t)
+        }
+      }
+      clicks.clear(); if (cs.nonEmpty) clicks.put(cs)
+      pend.clear(); if (ps.nonEmpty) pend.put(ps)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo
+    ): Iterator[JoinOut] = {
+      val t = expiredTimerInfo.getExpiryTimeInMs()
+      val (due, keep) = pend.get().toArray.partition(_.tsMs <= t)
+      val cs = clicks.get().toArray.filter(_.tsMs >= t - windowMs)
+      pend.clear(); if (keep.nonEmpty) pend.put(keep)
+      clicks.clear(); if (cs.nonEmpty) clicks.put(cs)
+      due.iterator.filterNot(_.matched).map(p => JoinOut(p.id, user, None))
+    }
+  }
+
+  /** Left-outer purchase⋈click (1 h window) through the timer
+    * processor; same shape as [[purchaseClickLeftJoin]]. */
+  def purchaseClickJoinTws(
+      purchases: DataFrame,
+      clicks: DataFrame
+  ): Dataset[JoinOut] = {
+    val session = purchases.sparkSession
+    import session.implicits._
+    val p = purchases.select(
+      lit("purchase").as("side"),
+      col("event_id").as("id"),
+      col("user_id"),
+      col("ts")
+    )
+    val c = clicks.select(
+      lit("click").as("side"),
+      col("event_id").as("id"),
+      col("user_id"),
+      col("ts")
+    )
+    p.unionByName(c)
+      .withWatermark("ts", "10 minutes")
+      .as[SideRow]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new IntervalJoinProcessor(60L * 60 * 1000),
+        TimeMode.EventTime(),
+        OutputMode.Append()
+      )
   }
 
   /** Custom keyed state: purchases since the user's last error —

@@ -125,6 +125,42 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("ANN IVF auto mode is cost-gated on the child's estimated size") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val rows = (0 until 6).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 40).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 40 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probeSql = rows(60)._2
+      .map(f => s"CAST($f AS FLOAT)")
+      .mkString("array(", ",", ")")
+    def q = df
+      .orderBy(expr(s"cosine_sim(embedding, $probeSql)").desc, col("vec_id"))
+      .limit(10)
+    val brute = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "auto")
+    try {
+      // below the default 128 MiB threshold: brute-force plan survives
+      val small = q.queryExecution.optimizedPlan.toString
+      assert(!small.contains("Join"), s"auto fired under the size gate:\n$small")
+      // force the gate open: the same query flips to the pruned path
+      spark.conf.set(graft.plans.AnnIvfRewrite.MinBytesKey, "1")
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Join"), s"auto did not fire above the gate:\n$opt")
+      assert(q.collect().map(_.getAs[Long]("vec_id")).toSeq == brute)
+    } finally {
+      spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+      spark.conf.unset(graft.plans.AnnIvfRewrite.MinBytesKey)
+    }
+  }
+
   test("text_tfidf builder runs no aggregation job before the action") {
     // parquet schema inference may launch trivial single-stage jobs at
     // read time; what must NOT happen at build time is a shuffle-bearing

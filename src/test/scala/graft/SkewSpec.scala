@@ -117,6 +117,43 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("crossover: AQE skew split and manual salting both fix the straggler") {
+    // The decision a 100 TB job actually faces: first-resort AQE skew
+    // split (zero code change, runtime re-plan) vs pre-salted keys
+    // (code change, but works where AQE can't see or split the skew).
+    // Same heavy workload, three physical strategies, one metric: the
+    // slowest task. Both mitigations must beat the naive straggler by
+    // ≥2×; the measured numbers land in BASELINE.md so the crossover is
+    // recorded, not guessed.
+    val base = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32"
+    )
+    val aqeOff = base ++ Seq("spark.sql.adaptive.enabled" -> "false")
+    val aqeSkew = base ++ Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false"
+    )
+    var maxNaive = 0L; var maxAqe = 0L; var maxSalt = 0L
+    withConfs(aqeOff: _*) {
+      naive(heavy = true) // warm
+      maxNaive = measure(naive(heavy = true))._2
+      salted(heavy = true)
+      maxSalt = measure(salted(heavy = true))._2
+    }
+    withConfs(aqeSkew: _*) {
+      naive(heavy = true)
+      maxAqe = measure(naive(heavy = true))._2
+    }
+    info(f"maxTask naive=${maxNaive}ms aqeSkewSplit=${maxAqe}ms salted=${maxSalt}ms")
+    assert(maxAqe * 2 <= maxNaive, s"AQE split did not halve the straggler: $maxAqe vs $maxNaive")
+    assert(maxSalt * 2 <= maxNaive, s"salting did not halve the straggler: $maxSalt vs $maxNaive")
+  }
+
   test("AQE skew-join split engages on the naive hot-key plan") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -373,6 +373,67 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState timer join matches the built-in left-outer join (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val purchases = MemoryStream[Event]
+      val clicks = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-twsj").toString
+      val q = StreamOps
+        .purchaseClickJoinTws(purchases.toDF, clicks.toDF)
+        .writeStream
+        .format("memory")
+        .queryName("tws_join")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        def results() = spark
+          .table("tws_join")
+          .collect()
+          .map { r =>
+            val c = r.getAs[AnyRef]("c_id")
+            (r.getAs[Long]("p_id"), Option(c).map(_.asInstanceOf[Long]))
+          }
+          .toSet
+        // same scenario the built-in left-outer test pins down
+        clicks.addData(ev(10, "2024-01-01 09:30:00", user = 1))
+        purchases.addData(
+          ev(1, "2024-01-01 10:00:00", user = 1, typ = "purchase"),
+          ev(2, "2024-01-01 10:05:00", user = 3, typ = "purchase") // no click
+        )
+        q.processAllAvailable()
+        assert(results().contains((1L, Some(10L))), s"inner match missing: ${results()}")
+        assert(
+          !results().exists(_._1 == 2L),
+          "unmatched purchase emitted before its timer expired"
+        )
+        // out-of-order arrival: the click shows up AFTER its purchase
+        purchases.addData(ev(3, "2024-01-01 10:10:00", user = 5, typ = "purchase"))
+        q.processAllAvailable()
+        clicks.addData(ev(30, "2024-01-01 10:08:00", user = 5))
+        q.processAllAvailable()
+        assert(results().contains((3L, Some(30L))), s"late click not matched: ${results()}")
+        // advance the watermark well past every purchase's timer
+        clicks.addData(ev(90, "2024-01-01 13:00:00", user = 9))
+        purchases.addData(ev(91, "2024-01-01 13:00:00", user = 9, typ = "purchase"))
+        q.processAllAvailable()
+        clicks.addData(ev(92, "2024-01-01 13:30:00", user = 9))
+        purchases.addData(ev(93, "2024-01-01 13:30:00", user = 9, typ = "purchase"))
+        q.processAllAvailable()
+        assert(
+          results().contains((2L, None)),
+          s"null-extended row for the unmatched purchase missing: ${results()}"
+        )
+        assert(
+          !results().contains((3L, None)) && !results().contains((1L, None)),
+          s"matched purchase also null-extended: ${results()}"
+        )
+      } finally q.stop()
+    }
+  }
+
   test("flatMapGroupsWithState tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
