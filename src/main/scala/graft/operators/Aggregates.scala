@@ -432,7 +432,28 @@ object Aggregates {
     """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Mergeable distinct-count SKETCH (Apache DataSketches HLL via Spark
+    * 4's hll_sketch_agg): per-group estimates next to the exact count.
+    * Unlike count(distinct)'s expand+reshuffle of every (group, value)
+    * pair, the sketch is fixed-size state that merges associatively —
+    * the structure that lets 1000 executors pre-aggregate a 100 TB
+    * fact table and combine kilobytes. Estimate determinism is
+    * per-dataset (hash-based), so the driver check is rows-only; the
+    * ≤5% error bound and the union-merge law (union of per-group
+    * sketches == global sketch) are asserted in Round4Spec. */
+  val aggHllSketch: Q = (spark, dir) =>
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey))")
+          .as("approx_supp"),
+        countDistinct("l_suppkey").as("exact_supp")
+      )
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "agg_hll_sketch" -> aggHllSketch,
     "agg_percentiles" -> aggPercentiles,
     "agg_mode" -> aggMode,
     "agg_bitmap_distinct" -> aggBitmapDistinct,

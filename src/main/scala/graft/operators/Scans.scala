@@ -182,7 +182,36 @@ object Scans {
     spark.read.parquet(path).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** CSV round-trip sink: write with header + explicit null marker +
+    * the default ISO timestamp format, read back with an explicit schema
+    * (inference would widen types) — the lossy-format contract a
+    * format-conversion engine must pin down. Timestamps survive the
+    * default writer/parser pair; doubles survive exactly because CSV writes the shortest
+    * round-trippable decimal. Oracle = the original table, so the
+    * round-trip itself is the assertion. */
+  val sinkCsv: Q = (spark, dir) => {
+    val path = tmp("orders_csv")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .csv(path)
+    spark.read
+      .schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+      )
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .csv(path)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_csv" -> sinkCsv,
     "sink_codec" -> sinkCodec,
     "etl_compact" -> etlCompact,
     "scan_parquet" -> scanParquet,
@@ -196,6 +225,9 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    "sink_csv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "etl_compact" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "sink_codec" ->

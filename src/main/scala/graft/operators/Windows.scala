@@ -139,7 +139,40 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Relative-position window family: dense_rank (no gaps), percent_rank
+    * ((rank−1)/(n−1)), and cume_dist per customer over order value. The
+    * ordering key is made unique (totalprice, orderkey) so every rank
+    * function is deterministic; percent_rank is rounded at 6dp — its
+    * values are rationals with the group size in the denominator, which
+    * never land on a decimal half boundary. */
+  val winDensePercent: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val winDensePercentSql =
+    """SELECT o_custkey, o_orderkey,
+      | dense_rank() OVER w AS drank,
+      | round(percent_rank() OVER w, 6) AS prank,
+      | round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win_dense_percent" -> winDensePercent,
     "win_first_last" -> winFirstLast,
     "win_rank_topk_per_group" -> winRankTopk,
     "win_running" -> winRunning,
@@ -149,6 +182,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_dense_percent" -> winDensePercentSql,
     "win_first_last" ->
       """SELECT o_orderkey, o_custkey,
         | first_value(o_orderkey) OVER (PARTITION BY o_custkey

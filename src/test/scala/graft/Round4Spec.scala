@@ -98,6 +98,28 @@ class Round4Spec extends SparkTestBase {
     assert(bitmap == exact)
   }
 
+  test("agg_hll_sketch: ≤5% error and union-merge equals the global sketch") {
+    val rows = operators.Aggregates.aggHllSketch(spark, sf001).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_supp").toDouble
+      val exact = r.getAs[Long]("exact_supp").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"error > 5%: $r")
+    }
+    // merge law: union of per-group sketches == one global sketch
+    val li = Tables.lineitem(spark, sf001)
+    val merged = li
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_suppkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect()(0)
+      .getLong(0)
+    val global = li
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey))").as("est"))
+      .collect()(0)
+      .getLong(0)
+    assert(merged == global, s"merge law broken: merged=$merged global=$global")
+  }
+
   test("ts_gapfill covers the full grid; gaps carry the previous value") {
     val res = operators.Etl.tsGapfill(spark, sf001)
     val rows = res.collect()
