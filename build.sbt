@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED. sbt's default
+// LoggedOutput wraps every line as "[info] ..."; the bench driver
+// tail-parses stdout for a line that IS the JSON object, so the
+// prefix made BENCH_r01..r04 record parsed:null despite the line
+// being present and complete.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
