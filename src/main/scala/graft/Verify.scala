@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names — dump (and gate)
+    // only that subset for fast single-operator iteration. The driver
+    // always passes 2 args and gets the full inventory.
+    val wanted: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.length > 2) {
+        val names = args(2).split(",").toSet
+        SparkEntry.queries.filter { case (k, _) => names(k) }
+      } else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    wanted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,12 +43,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => wanted.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of ALL query keys (oracle-less included): oracle_check.py
     // fails any key with no dumped parquet, so a query that crashes
     // inside the try above can't silently vanish from the self-gate.
-    val manifest = SparkEntry.queries.keys.toSeq.sorted
+    val manifest = wanted.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()

@@ -137,10 +137,23 @@ object GraftFunctions {
       )
   }
 
+  val bigramTfBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => BigramTf(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"bigram_tf expects 1 argument, got ${other.size}"
+      )
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       cosineBuilder,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigram_tf",
+      bigramTfBuilder,
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -179,8 +192,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.lshKeysBuilder
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("bigram_tf"),
+        new ExpressionInfo(classOf[BigramTf].getName, "bigram_tf"),
+        GraftFunctions.bigramTfBuilder
+      )
+    )
     // conf-gated IVF rewrite of cosine top-k (graft.plans.AnnIvfRewrite;
     // runtime twin: AnnIvfRewrite.install)
     ext.injectOptimizerRule(sp => graft.plans.AnnIvfRewriteRule(sp))
+    // custom whole-operator layer: TopKPerGroup logical node → partial/
+    // final bounded-heap SparkPlans (runtime twin: TopKPerGroup.install)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

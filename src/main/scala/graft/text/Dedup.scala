@@ -288,25 +288,27 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var rounds = 0
+    var prevCache: DataFrame = null
     while (changed > 0 && rounds < 20) {
       val nbrMin = sym
         .join(lbl, col("dst") === col("doc_id"))
         .groupBy("src")
         .agg(min("cluster_id").as("nmin"))
-      val next = lbl
+      // one join serves both the new labels AND the convergence test: a
+      // vertex changes iff a neighbor label beats its own, so `changed`
+      // reads straight off the persisted join (the old shape re-joined
+      // next against lbl just to diff them — one extra shuffle/round).
+      val joined = lbl
         .join(nbrMin, col("doc_id") === col("src"), "left")
-        .select(
-          col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id")
-        )
         .persist()
-      changed = next
-        .join(lbl.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev"))
-        .count()
-      lbl.unpersist()
-      lbl = next
+      changed = joined.filter(col("nmin") < col("cluster_id")).count()
+      if (prevCache != null) prevCache.unpersist()
+      prevCache = joined
+      lbl = joined.select(
+        col("doc_id"),
+        least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+          .as("cluster_id")
+      )
       rounds += 1
     }
     sym.unpersist()

@@ -278,20 +278,17 @@ object TextOps {
     * order-dependent, so the avg is rounded to 6dp (verified stable at
     * all three SFs). */
   val textBigramScore: Q = (spark, dir) => {
-    val bg = Tables
+    graft.functions.GraftFunctions.register(spark)
+    // bigram_tf (native, graft.functions.BigramTf) folds the whole
+    // per-doc bigram count into one O(len) row-local pass: the corpus
+    // never explodes to one row per character, and the (doc_id, b)
+    // shuffle the old explode+groupBy needed disappears — tf rows leave
+    // the scan already aggregated (one per DISTINCT bigram per doc).
+    val tf = Tables
       .documents(spark, dir)
       .filter(length(col("text")) >= 2)
-      .select(
-        col("doc_id"),
-        explode(
-          expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
-          )
-        ).as("b")
-      )
-    // one explode pass: per-doc term frequencies first, the model and
-    // total derive from tf — the raw bigram stream is never re-read
-    val tf = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(expr("bigram_tf(text)")))
+      .toDF("doc_id", "b", "tf")
     val model = tf.groupBy("b").agg(sum("tf").as("cnt"))
     val total = model.agg(sum("cnt").cast("double").as("n_total"))
     tf.join(broadcast(model), "b")
