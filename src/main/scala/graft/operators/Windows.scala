@@ -171,7 +171,47 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Top-5 lineitems per returnflag through the CUSTOM physical
+    * operator (graft.plans.TopKPerGroup): logical node → strategy →
+    * partial/final bounded-heap SparkPlans. Unlike winRankTopk's
+    * window formulation, only ≤ k·groups rows per input partition
+    * reach the exchange. The order is total (price DESC, then the
+    * lineitem key), so the selection is deterministic and the
+    * row_number oracle matches exactly. */
+  val winTopkExec: Q = (spark, dir) => {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    graft.plans.TopKPerGroup
+      .topKPerGroup(
+        li,
+        Seq("l_returnflag"),
+        Seq(
+          ("l_extendedprice", false),
+          ("l_orderkey", true),
+          ("l_linenumber", true)
+        ),
+        5
+      )
+      .orderBy(
+        col("l_returnflag"),
+        col("l_extendedprice").desc,
+        col("l_orderkey"),
+        col("l_linenumber")
+      )
+  }
+
+  private val winTopkExecSql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |   row_number() OVER (PARTITION BY l_returnflag
+      |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 5
+      |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win_topk_exec" -> winTopkExec,
     "win_dense_percent" -> winDensePercent,
     "win_first_last" -> winFirstLast,
     "win_rank_topk_per_group" -> winRankTopk,
@@ -182,6 +222,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_topk_exec" -> winTopkExecSql,
     "win_dense_percent" -> winDensePercentSql,
     "win_first_last" ->
       """SELECT o_orderkey, o_custkey,

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-5 additions beyond the DuckDB parity
+  * gate.
+  */
+class Round5Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("bigram_tf equals the explode+groupBy pipeline on the corpus") {
+    functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf001).filter(length(col("text")) >= 2)
+    val fused = docs
+      .select(col("doc_id"), explode(expr("bigram_tf(text)")))
+      .toDF("doc_id", "b", "tf")
+    val exploded = docs
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+          )
+        ).as("b")
+      )
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("tf"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getLong(2))
+    assert(fused.collect().map(key).toSet == exploded.collect().map(key).toSet)
+  }
+
+  test("TopKPerGroup: custom plan nodes fire, partial prunes before the exchange, result exact") {
+    val li = Tables
+      .lineitem(spark, sf001)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .repartition(8) // force multiple input partitions for the partial stage
+    val topk = plans.TopKPerGroup.topKPerGroup(
+      li,
+      Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+      5
+    )
+    val rows = topk.collect()
+    // plan shape: partial below the exchange, final above it
+    val phys = topk.queryExecution.executedPlan.toString
+    assert(phys.contains("TopKPerGroupPartial"), phys)
+    assert(phys.contains("TopKPerGroupFinal"), phys)
+    assert(phys.contains("Exchange hashpartitioning(l_returnflag"), phys)
+    // exact same rows as the window-function formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val expected = li
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    assert(rows.map(key).toSet == expected.map(key).toSet)
+    // map-side prune: the partial stage emitted <= partitions * groups * k
+    // rows into the shuffle — NOT the full input
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val partial = allNodes(topk.queryExecution.executedPlan).collectFirst {
+      case p: plans.TopKPerGroupPartialExec => p
+    }.get
+    val emitted = partial.metrics("numOutputRows").value
+    val groups = 3
+    assert(emitted <= 8L * groups * 5, s"partial emitted $emitted rows")
+    assert(emitted < li.count(), "partial must prune, not forward, the input")
+  }
+
+  test("TopKPerGroup: groups smaller than k, ties, and null group keys") {
+    val df = Seq(
+      (Some("a"), 1, 10.0),
+      (Some("a"), 2, 10.0), // tie on value -> tiebreak on id
+      (Some("a"), 3, 5.0),
+      (Some("b"), 4, 1.0), // group smaller than k
+      (None: Option[String], 5, 7.0), // null group key is its own group
+      (None: Option[String], 6, 9.0),
+      (None: Option[String], 7, 3.0)
+    ).toDF("g", "id", "v")
+    val got = plans.TopKPerGroup
+      .topKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), 2)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1)))
+      .toSet
+    assert(
+      got == Set(
+        (Some("a"), 1),
+        (Some("a"), 2),
+        (Some("b"), 4),
+        (None, 6),
+        (None, 5)
+      )
+    )
+  }
+
+  test("bigram_tf: multi-byte codepoints, short strings, nulls") {
+    functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Some("héllo")), // 2-byte é: codepoint bigrams, not byte bigrams
+      (2L, Some("日本語です")), // 3-byte CJK
+      (3L, Some("aaa")), // repeated bigram counted twice
+      (4L, Some("x")), // <2 codepoints -> empty map
+      (5L, Some("")),
+      (6L, None)
+    ).toDF("id", "s")
+    val got = rows
+      .select(col("id"), expr("bigram_tf(s)").as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getMap[String, Long](1)).map(_.toMap))
+      .toMap
+    assert(got(1L).get == Map("hé" -> 1L, "él" -> 1L, "ll" -> 1L, "lo" -> 1L))
+    assert(got(2L).get == Map("日本" -> 1L, "本語" -> 1L, "語で" -> 1L, "です" -> 1L))
+    assert(got(3L).get == Map("aa" -> 2L))
+    assert(got(4L).get.isEmpty && got(5L).get.isEmpty)
+    assert(got(6L).isEmpty)
+  }
+}
