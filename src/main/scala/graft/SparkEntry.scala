@@ -19,6 +19,7 @@ object SparkEntry {
     (operators.SetOps.queries, operators.SetOps.oracles),
     (operators.StreamingBatch.queries, operators.StreamingBatch.oracles),
     (operators.Etl.queries, operators.Etl.oracles),
+    (operators.EventAnalytics.queries, operators.EventAnalytics.oracles),
     (functions.ScalarFns.queries, functions.ScalarFns.oracles),
     (functions.Udfs.queries, functions.Udfs.oracles),
     (text.TextOps.queries, text.TextOps.oracles),

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics — funnel conversion, cohort retention,
+  * gap-based sessionization, and adjacent-event pattern matching over
+  * the `events` stream-shaped table [INFERRED, SURVEY.md §0: the
+  * reference's event-log query family].
+  *
+  * Scale posture: every operator here keys its shuffles on `user_id`
+  * only. After the first exchange the per-user slices are independent,
+  * so a 1000-executor run partitions by user and never re-shuffles on a
+  * wider key; no operator materializes anything proportional to the
+  * corpus on the driver. Window functions use per-user frames (bounded
+  * by a user's own event count), never a global ORDER BY.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel signup → click → purchase: a user counts for a
+    * stage only if that stage's event happens strictly AFTER their
+    * entry into the previous stage (first-touch semantics: min ts per
+    * stage). Three co-partitioned aggregates on user_id — the stage
+    * frames shrink monotonically, and each join key is the same
+    * user_id, so AQE reuses the exchange; output is 3 rows at any
+    * scale. */
+  val tsFunnel: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val signup = e
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min("ts").as("signup_ts"))
+    val click = e
+      .filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy("user_id")
+      .agg(min("ts").as("click_ts"))
+    val purchase = e
+      .filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id")
+      .agg(min("ts").as("purchase_ts"))
+    def stage(ord: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"), col("n_users"))
+    stage(1, "signup", signup)
+      .unionByName(stage(2, "click_after_signup", click))
+      .unionByName(stage(3, "purchase_after_click", purchase))
+      .orderBy("stage_ord")
+  }
+
+  private val tsFunnelSql =
+    """WITH s AS (SELECT user_id, min(ts) AS st FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+      |      JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > s.st GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_ord, 'signup' AS stage,
+      |         CAST(count(*) AS BIGINT) AS n_users FROM s
+      |  UNION ALL
+      |  SELECT 2, 'click_after_signup', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p) u
+      |ORDER BY stage_ord""".stripMargin
+
+  /** Cohort retention: cohort = calendar day of a user's first event;
+    * n_active = distinct users of that cohort seen again at each day
+    * offset. One aggregate builds the (small, user-cardinality) cohort
+    * map, re-joined on user_id, then a count-distinct keyed by
+    * (cohort_day, offset) — bounded by days², not events. */
+  val tsRetention: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val first = e
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    e.join(first, "user_id")
+      .select(
+        col("cohort_day"),
+        datediff(to_date(col("ts")), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id")
+      )
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val tsRetentionSql =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |           FROM events GROUP BY 1)
+      |SELECT f.cohort_day,
+      | date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+      | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Batch sessionization (gaps-and-islands): a >30-minute silence
+    * starts a new session; sessions are numbered per user by a running
+    * sum of session-start flags. Two window passes over the SAME
+    * (user_id)-partitioned sort — one shuffle total — then one
+    * aggregate keyed by (user_id, session_id). The strict `>` on the
+    * gap mirrors Spark's `session_window` merge rule (SURVEY.md §5). */
+  val tsSessionize: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(
+          col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L,
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn(
+        "session_id",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  private val tsSessionizeSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |        THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessed AS (
+      |  SELECT user_id, ts, value,
+      |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |     AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, min(ts) AS session_start,
+      | max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events,
+      | round(sum(value), 2) AS sum_value
+      |FROM sessed GROUP BY 1, 2
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Adjacent-event pattern detection (MATCH_RECOGNIZE-lite): an
+    * `error` whose very next event for the same user is a `purchase`
+    * within one hour. One lead() pass over the per-user sort — the
+    * same single shuffle as sessionization — then a row-local
+    * predicate; no self-join. */
+  val tsPatternSeq: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .withColumn("next_id", lead("event_id", 1).over(byUser))
+      .withColumn("next_ts", lead("ts", 1).over(byUser))
+      .filter(
+        col("event_type") === "error" && col("next_type") === "purchase" &&
+          unix_micros(col("next_ts")) - unix_micros(col("ts")) <= 3600L * 1000000L
+      )
+      .select(
+        col("user_id"),
+        col("event_id").as("error_id"),
+        col("ts").as("error_ts"),
+        col("next_id").as("purchase_id"),
+        expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000")
+          .as("gap_seconds")
+      )
+      .orderBy("error_id")
+  }
+
+  private val tsPatternSeqSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |   lead(event_type) OVER w AS next_type,
+      |   lead(event_id) OVER w AS next_id,
+      |   lead(epoch_us(ts)) OVER w AS next_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS error_id, ts AS error_ts,
+      | next_id AS purchase_id,
+      | (next_us - epoch_us(ts)) // 1000000 AS gap_seconds
+      |FROM seq
+      |WHERE event_type = 'error' AND next_type = 'purchase'
+      |  AND next_us - epoch_us(ts) <= 3600000000
+      |ORDER BY error_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ts_funnel" -> tsFunnel,
+    "ts_retention" -> tsRetention,
+    "ts_sessionize" -> tsSessionize,
+    "ts_pattern_seq" -> tsPatternSeq
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts_funnel" -> tsFunnelSql,
+    "ts_retention" -> tsRetentionSql,
+    "ts_sessionize" -> tsSessionizeSql,
+    "ts_pattern_seq" -> tsPatternSeqSql
+  )
+}

@@ -126,4 +126,62 @@ class Round5Spec extends SparkTestBase {
     assert(got(4L).get.isEmpty && got(5L).get.isEmpty)
     assert(got(6L).isEmpty)
   }
+
+  test("ts_funnel: stage counts are monotonically non-increasing") {
+    val rows = operators.EventAnalytics
+      .tsFunnel(spark, sf001)
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getLong(2))
+    assert(rows.length == 3)
+    assert(rows(0) >= rows(1) && rows(1) >= rows(2))
+    assert(rows(0) > 0)
+  }
+
+  test("ts_sessionize: intra-session gaps <= 30min, inter-session gaps > 30min") {
+    val sess = operators.EventAnalytics
+      .tsSessionize(spark, sf001)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))
+      )
+      .groupBy(_._1)
+    sess.values.foreach { ss =>
+      val ordered = ss.sortBy(_._2)
+      // session ids are contiguous from 1
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq)
+      // consecutive sessions separated by more than the 30-min gap
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, end1), (_, _, start2, _)) =>
+          assert(start2.getTime - end1.getTime > 1800L * 1000)
+        case _ => ()
+      }
+    }
+    // each session's span is consistent: start <= end
+    sess.values.flatten.foreach { case (_, _, s, e) =>
+      assert(!s.after(e))
+    }
+  }
+
+  test("ts_pattern_seq: matches are adjacent error->purchase within an hour") {
+    val m = operators.EventAnalytics.tsPatternSeq(spark, sf001).collect()
+    assert(m.nonEmpty)
+    val events = Tables
+      .events(spark, sf001)
+      .select("user_id", "event_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val byUser = events.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._4.getTime, e._2))
+    }
+    m.foreach { r =>
+      val (u, errId, purId, gap) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      val seq = byUser(u)
+      val i = seq.indexWhere(_._2 == errId)
+      assert(seq(i)._3 == "error")
+      assert(seq(i + 1)._2 == purId && seq(i + 1)._3 == "purchase")
+      assert(gap >= 0 && gap <= 3600)
+    }
+  }
 }
