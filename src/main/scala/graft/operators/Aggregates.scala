@@ -452,7 +452,104 @@ object Aggregates {
       )
       .orderBy("l_returnflag")
 
+  /** Pairwise correlation matrix, melted: every numeric-column pair of
+    * lineitem per returnflag group as (group, var_x, var_y, corr) rows.
+    * All six pairs compute in ONE grouped aggregate pass (a single
+    * shuffle on the group key); the melt to long form is a row-local
+    * stack. Rounded at 6dp — the established cross-engine grid for
+    * corr (SURVEY.md §5). */
+  val aggCorrMatrix: Q = (spark, dir) => {
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_quantity", "l_tax"),
+      ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"),
+      ("l_discount", "l_tax")
+    )
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val wide = Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs
+      .map { case (a, b) => s"'$a', '$b', ${a}__$b" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ")")
+    wide
+      .select(col("l_returnflag"), expr(s"$stackExpr as (var_x, var_y, corr)"))
+      .orderBy("l_returnflag", "var_x", "var_y")
+  }
+
+  private val aggCorrMatrixSql = {
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_quantity", "l_tax"),
+      ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"),
+      ("l_discount", "l_tax")
+    )
+    pairs
+      .map { case (a, b) =>
+        s"""SELECT l_returnflag, '$a' AS var_x, '$b' AS var_y,
+           | round(corr($a, $b), 6) AS corr
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, var_x, var_y")
+  }
+
+  /** Fixed-width histogram of order totals: 10 equal buckets over the
+    * observed [min, max], bucket edges derived from a broadcast
+    * single-row bounds aggregate (no driver-side action). The bucket
+    * arithmetic is add/mult/div/floor only — IEEE-identical across
+    * engines (SURVEY.md §5) — and the result is 10 rows at any input
+    * size. */
+  val aggHist: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(
+      min("o_totalprice").as("lo"),
+      max("o_totalprice").as("hi")
+    )
+    o.select(col("o_totalprice"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("w", (col("hi") - col("lo")) / 10)
+      .withColumn(
+        "bucket",
+        least(lit(9), floor((col("o_totalprice") - col("lo")) / col("w")))
+          .cast("long")
+      )
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("lo")) + col("bucket") * first(col("w")), 4)
+          .as("bucket_lo"),
+        round(first(col("lo")) + (col("bucket") + 1) * first(col("w")), 4)
+          .as("bucket_hi")
+      )
+      .select("bucket", "bucket_lo", "bucket_hi", "n")
+      .orderBy("bucket")
+  }
+
+  private val aggHistSql =
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |           FROM orders),
+      |binned AS (
+      |  SELECT least(9, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10))
+      |                       AS BIGINT)) AS bucket,
+      |         lo, (hi - lo) / 10 AS w
+      |  FROM orders, b)
+      |SELECT bucket,
+      | round(min(lo) + bucket * min(w), 4) AS bucket_lo,
+      | round(min(lo) + (bucket + 1) * min(w), 4) AS bucket_hi,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM binned GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_corr_matrix" -> aggCorrMatrix,
+    "agg_hist" -> aggHist,
     "agg_hll_sketch" -> aggHllSketch,
     "agg_percentiles" -> aggPercentiles,
     "agg_mode" -> aggMode,
@@ -472,6 +569,8 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_corr_matrix" -> aggCorrMatrixSql,
+    "agg_hist" -> aggHistSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_mode" -> aggModeSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,

@@ -289,7 +289,84 @@ object Etl {
       |FROM grid g LEFT JOIN hourly h2 ON g.event_type = h2.event_type AND g.h = h2.h
       |ORDER BY g.event_type, g.h""".stripMargin
 
+  /** Snapshot diff (CDC derive): given two snapshots of the customer
+    * dimension — v2 deterministically deletes custkey%13=0, bumps
+    * acctbal on custkey%7=0, and appends new keys — emit the change
+    * rows (added/removed/changed) a downstream incremental consumer
+    * would apply. One full-outer join on the key, row-local compare; at
+    * scale both snapshots shuffle once on the same key, and the output
+    * is proportional to the churn, not the table. */
+  val etlSnapshotDiff: Q = (spark, dir) => {
+    val base = Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val v2 = base
+      .filter(col("c_custkey") % 13 =!= 0)
+      .withColumn(
+        "c_acctbal",
+        when(
+          col("c_custkey") % 7 === 0,
+          round(col("c_acctbal") + 50, 2)
+        ).otherwise(col("c_acctbal"))
+      )
+      .unionByName(
+        base
+          .filter(col("c_custkey") < 10)
+          .select(
+            (col("c_custkey") + 2000000).as("c_custkey"),
+            concat(lit("Joined#"), col("c_custkey")).as("c_name"),
+            lit(10.0).as("c_acctbal")
+          )
+      )
+    val v1r = base.select(
+      col("c_custkey").as("k1"),
+      col("c_acctbal").as("bal1")
+    )
+    val v2r = v2.select(
+      col("c_custkey").as("k2"),
+      col("c_acctbal").as("bal2")
+    )
+    v1r
+      .join(v2r, col("k1") === col("k2"), "full")
+      .withColumn(
+        "op",
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("bal1") =!= col("bal2"), "changed")
+          .otherwise("unchanged")
+      )
+      .filter(col("op") =!= "unchanged")
+      .select(
+        coalesce(col("k1"), col("k2")).as("custkey"),
+        col("op"),
+        col("bal1").as("old_acctbal"),
+        col("bal2").as("new_acctbal")
+      )
+      .orderBy("custkey")
+  }
+
+  private val etlSnapshotDiffSql =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey,
+      |   CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 50, 2)
+      |        ELSE c_acctbal END AS c_acctbal
+      |  FROM base WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, 10.0 FROM base WHERE c_custkey < 10)
+      |SELECT coalesce(b.c_custkey, v.c_custkey) AS custkey,
+      | CASE WHEN b.c_custkey IS NULL THEN 'added'
+      |      WHEN v.c_custkey IS NULL THEN 'removed'
+      |      ELSE 'changed' END AS op,
+      | b.c_acctbal AS old_acctbal,
+      | v.c_acctbal AS new_acctbal
+      |FROM base b FULL OUTER JOIN v2 v ON b.c_custkey = v.c_custkey
+      |WHERE b.c_custkey IS NULL OR v.c_custkey IS NULL
+      |   OR b.c_acctbal <> v.c_acctbal
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_snapshot_diff" -> etlSnapshotDiff,
     "etl_dq_checks" -> etlDqChecks,
     "ts_gapfill" -> tsGapfill,
     "etl_global_ids" -> etlGlobalIds,
@@ -301,6 +378,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_snapshot_diff" -> etlSnapshotDiffSql,
     "etl_dq_checks" -> etlDqChecksSql,
     "ts_gapfill" -> tsGapfillSql,
     "etl_global_ids" ->

@@ -198,7 +198,61 @@ object EventAnalytics {
       |  AND next_us - epoch_us(ts) <= 3600000000
       |ORDER BY error_id""".stripMargin
 
+  /** Longest consecutive-day purchase streak per user (gaps-and-islands
+    * on the calendar): distinct purchase days, then `epoch_day - rn` as
+    * the island key — constant within a run of consecutive days. Two
+    * shuffles, both on user_id (the distinct and the window share the
+    * key); ties on streak length resolve to the earliest start for a
+    * deterministic one-row-per-user answer. */
+  val tsStreaks: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val days = Tables
+      .events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val streaks = days
+      .withColumn("grp", unix_date(col("day")) - row_number().over(byUser))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak_len"), min("day").as("streak_start"))
+    streaks
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("user_id")
+            .orderBy(col("streak_len").desc, col("streak_start"))
+        )
+      )
+      .filter(col("rn") === 1)
+      .select("user_id", "streak_len", "streak_start")
+      .orderBy("user_id")
+  }
+
+  private val tsStreaksSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |grps AS (
+      |  SELECT user_id, day,
+      |   date_diff('day', DATE '1970-01-01', day)
+      |     - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_len,
+      |         min(day) AS streak_start
+      |  FROM grps GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT user_id, streak_len, streak_start,
+      |   row_number() OVER (PARTITION BY user_id
+      |                      ORDER BY streak_len DESC, streak_start) AS rn
+      |  FROM streaks)
+      |SELECT user_id, streak_len, streak_start
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_streaks" -> tsStreaks,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_sessionize" -> tsSessionize,
@@ -206,6 +260,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_streaks" -> tsStreaksSql,
     "ts_funnel" -> tsFunnelSql,
     "ts_retention" -> tsRetentionSql,
     "ts_sessionize" -> tsSessionizeSql,

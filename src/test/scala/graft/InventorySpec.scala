@@ -15,6 +15,7 @@ class InventorySpec extends AnyFunSuite {
     "SetOps" -> operators.SetOps.queries,
     "StreamingBatch" -> operators.StreamingBatch.queries,
     "Etl" -> operators.Etl.queries,
+    "EventAnalytics" -> operators.EventAnalytics.queries,
     "ScalarFns" -> functions.ScalarFns.queries,
     "Udfs" -> functions.Udfs.queries,
     "TextOps" -> text.TextOps.queries,

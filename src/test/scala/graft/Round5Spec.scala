@@ -163,6 +163,63 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("etl_snapshot_diff: ops partition correctly and balances reconcile") {
+    val diff = operators.Etl
+      .etlSnapshotDiff(spark, sf001)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))
+      )
+    assert(diff.nonEmpty)
+    diff.foreach {
+      case (k, "added", old, nw)   => assert(k >= 2000000 && old.isEmpty && nw.nonEmpty)
+      case (k, "removed", old, nw) => assert(k % 13 == 0 && old.nonEmpty && nw.isEmpty)
+      case (k, "changed", old, nw) =>
+        assert(k % 7 == 0 && k % 13 != 0 && old.nonEmpty && nw.nonEmpty)
+      case (_, op, _, _) => fail(s"unexpected op $op")
+    }
+  }
+
+  test("agg_hist: buckets tile [min,max] and counts sum to the row count") {
+    val h = operators.Aggregates
+      .aggHist(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.map(_._1).toSeq == (0L to 9L))
+    // adjacent buckets share an edge
+    h.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(math.abs(hi1 - lo2) < 1e-9)
+      case _ => ()
+    }
+    val total = Tables.orders(spark, sf001).count()
+    assert(h.map(_._4).sum == total)
+  }
+
+  test("ts_streaks: streak days are genuinely consecutive purchase days") {
+    val streaks = operators.EventAnalytics
+      .tsStreaks(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2)))
+    assert(streaks.nonEmpty)
+    val purchaseDays = Tables
+      .events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+      .map { case (u, ds) => u -> ds.map(_._2).toSet }
+    streaks.foreach { case (u, len, start) =>
+      val days = purchaseDays(u)
+      val s = start.toLocalDate
+      (0L until len).foreach(i => assert(days.contains(s.plusDays(i))))
+      // maximality: the day before the streak is not a purchase day
+      assert(!days.contains(s.minusDays(1)))
+    }
+  }
+
   test("ts_pattern_seq: matches are adjacent error->purchase within an hour") {
     val m = operators.EventAnalytics.tsPatternSeq(spark, sf001).collect()
     assert(m.nonEmpty)
