@@ -547,7 +547,45 @@ object Aggregates {
       |FROM binned GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** Shannon entropy of each user's event-type distribution — the
+    * behavioral-diversity score a feature pipeline computes per entity.
+    * Two aggregates keyed on user_id (counts, then the -Σ p·ln p fold);
+    * the per-user total arrives via a window over the SAME partition
+    * key, so no extra shuffle. Rounded at 8dp — the established ln()
+    * cross-libm grid (SURVEY.md §5). */
+  val aggEntropy: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables
+      .events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum("n").over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(
+        sum("n").as("n_events"),
+        round(
+          sum(-(col("n") / col("tot")) * log(col("n") / col("tot"))),
+          8
+        ).as("entropy")
+      )
+      .orderBy("user_id")
+  }
+
+  private val aggEntropySql =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, n,
+      |       CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+      |      FROM c)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      | round(sum(-(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 8)
+      |   AS entropy
+      |FROM t GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_entropy" -> aggEntropy,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_hist" -> aggHist,
     "agg_hll_sketch" -> aggHllSketch,
@@ -569,6 +607,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_entropy" -> aggEntropySql,
     "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_hist" -> aggHistSql,
     "agg_percentiles" -> aggPercentilesSql,

@@ -365,7 +365,110 @@ object Etl {
       |   OR b.c_acctbal <> v.c_acctbal
       |ORDER BY custkey""".stripMargin
 
+  /** Linear interpolation over the hourly grid (the gapfill twin that
+    * estimates rather than carries forward): gap hours take
+    * prev + (next − prev) · elapsed/spanned, from the nearest observed
+    * neighbors on each side; leading/trailing gaps fall back to the
+    * single available neighbor. Four window functions over ONE
+    * (event_type)-partitioned sort — same single-shuffle shape as
+    * ts_gapfill; the hour positions are exact integers so the
+    * interpolation factor is IEEE-identical across engines. */
+  val tsInterpolate: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum("value"), 2).as("v"))
+    val bounds = e.agg(
+      date_trunc("hour", min("ts")).as("h0"),
+      date_trunc("hour", max("ts")).as("h1")
+    )
+    val grid = e
+      .select("event_type")
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h")
+      )
+    val byType = Window.partitionBy("event_type").orderBy("h")
+    val back = byType.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = byType.rowsBetween(0, Window.unboundedFollowing)
+    val pos = expr("unix_micros(h) div 3600000000")
+    grid
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("v"), pos.as("p"))
+      .withColumn("pv", last("v", ignoreNulls = true).over(back))
+      .withColumn(
+        "pp",
+        last(when(col("v").isNotNull, col("p")), ignoreNulls = true).over(back)
+      )
+      .withColumn("nv", first("v", ignoreNulls = true).over(fwd))
+      .withColumn(
+        "np",
+        first(when(col("v").isNotNull, col("p")), ignoreNulls = true).over(fwd)
+      )
+      .select(
+        col("event_type"),
+        col("h"),
+        col("v").isNull.as("is_gap"),
+        // no final round: pv/nv are 2dp-grid doubles identical across
+        // engines and +,-,*,/ are IEEE-identical, so the raw double is
+        // bit-equal — while ANY decimal rounding of an off-grid
+        // interpolant hits half-boundary collisions (seen at sf0.001)
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("p") - col("pp")) / (col("np") - col("pp")))
+          )
+          .as("v_interp")
+      )
+      .orderBy("event_type", "h")
+  }
+
+  private val tsInterpolateSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         round(sum(value), 2) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+      |grid AS (
+      |  SELECT t.event_type,
+      |         unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM events) t, bounds b),
+      |j AS (
+      |  SELECT g.event_type, g.h, h2.v, epoch_us(g.h) // 3600000000 AS p
+      |  FROM grid g LEFT JOIN hourly h2
+      |    ON g.event_type = h2.event_type AND g.h = h2.h),
+      |w AS (
+      |  SELECT event_type, h, v, p,
+      |   last_value(v IGNORE NULLS) OVER wb AS pv,
+      |   last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)
+      |     OVER wb AS pp,
+      |   first_value(v IGNORE NULLS) OVER wf AS nv,
+      |   first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)
+      |     OVER wf AS np
+      |  FROM j
+      |  WINDOW
+      |   wb AS (PARTITION BY event_type ORDER BY h
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |   wf AS (PARTITION BY event_type ORDER BY h
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, h, v IS NULL AS is_gap,
+      | CASE
+      |   WHEN v IS NOT NULL THEN v
+      |   WHEN pv IS NULL THEN nv
+      |   WHEN nv IS NULL THEN pv
+      |   ELSE pv + (nv - pv) * (CAST(p - pp AS DOUBLE) / CAST(np - pp AS DOUBLE))
+      | END AS v_interp
+      |FROM w
+      |ORDER BY event_type, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_interpolate" -> tsInterpolate,
     "etl_snapshot_diff" -> etlSnapshotDiff,
     "etl_dq_checks" -> etlDqChecks,
     "ts_gapfill" -> tsGapfill,
@@ -378,6 +481,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_interpolate" -> tsInterpolateSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql,
     "etl_dq_checks" -> etlDqChecksSql,
     "ts_gapfill" -> tsGapfillSql,

@@ -323,7 +323,36 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cosu"), 6).as("cos"))
   }
 
+  /** k-means assignment step (the inner loop of Lloyd's at any scale):
+    * k=8 deterministic seeds (vec_id < 8), every vector scored against
+    * the BROADCAST centroid set with the codegen'd `cosine_sim` kernel,
+    * then argmax per vector through the custom TopKPerGroup physical
+    * operator — its partial stage prunes the k-fold fan-out to one row
+    * per vector BEFORE the exchange, so the shuffle carries n rows, not
+    * n×k. Scores are rounded to the 4dp cross-engine grid before the
+    * argmax so tie-breaks (lowest centroid id) agree with the oracle. */
+  val simKmeansAssign: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        round(expr("cosine_sim(embedding, ce)"), 4).as("cos")
+      )
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("vec_id"), Seq(("cos", false), ("cid", true)), 1)
+      .select("vec_id", "cid", "cos")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_kmeans_assign" -> simKmeansAssign,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_pairs_ann" -> simPairsAnn,
@@ -363,6 +392,22 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_kmeans_assign" ->
+      s"""$normCte,
+         |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm
+         |      FROM n WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT a.vec_id, c.cid,
+         |   round((SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+         |          FROM (SELECT unnest(a.embedding) x, unnest(c.ce) y) z)
+         |         / (a.nrm * c.cnrm), 4) AS cos
+         |  FROM n a, c),
+         |r AS (SELECT vec_id, cid, cos,
+         |       row_number() OVER (PARTITION BY vec_id
+         |                          ORDER BY cos DESC, cid) AS rn
+         |      FROM scored)
+         |SELECT vec_id, cid, cos FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "sim_quantize_int8" ->
       """SELECT vec_id, label, round(scale, 6) AS scale_r,
         | array_to_string(list_transform(embedding,

@@ -220,6 +220,75 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("sim_kmeans_assign: argmax matches brute force and custom node fires") {
+    val assign = sim.Similarity.simKmeansAssign(spark, sf001)
+    val phys = assign.queryExecution.executedPlan.toString
+    assert(phys.contains("TopKPerGroupPartial"), phys)
+    val got = assign
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    // brute force argmax over the same rounded scores
+    functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf001)
+    val cents = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val brute = emb
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        round(expr("cosine_sim(embedding, ce)"), 4).as("cos")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (v, rows) =>
+        v -> rows.minBy(r => (-r._3, r._2))
+      }
+    brute.foreach { case (v, (_, cid, cos)) =>
+      assert(got(v) == (cid, cos), s"vec $v")
+    }
+  }
+
+  test("agg_entropy: bounded by ln(n_types) and zero only for single-type users") {
+    val rows = operators.Aggregates
+      .aggEntropy(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, h) =>
+      assert(h >= 0.0 && h <= math.log(5) + 1e-9)
+      if (n == 1) assert(h == 0.0)
+    }
+  }
+
+  test("ts_interpolate: observed rows pass through, gaps lie within neighbor range") {
+    val rows = operators.Etl
+      .tsInterpolate(spark, sf001)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getTimestamp(1), r.getBoolean(2), r.getDouble(3))
+      )
+    assert(rows.exists(_._3) && rows.exists(!_._3))
+    rows.groupBy(_._1).values.foreach { series =>
+      val s = series.sortBy(_._2.getTime)
+      s.zipWithIndex.filter(_._1._3).foreach { case ((_, _, _, v), i) =>
+        // nearest observed neighbors on each side
+        val prev = s.take(i).reverse.find(!_._3).map(_._4)
+        val next = s.drop(i + 1).find(!_._3).map(_._4)
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            assert(v >= math.min(p, n) - 1e-9 && v <= math.max(p, n) + 1e-9)
+          case (None, Some(n)) => assert(v == n)
+          case (Some(p), None) => assert(v == p)
+          case _               => fail("series with no observations")
+        }
+      }
+    }
+  }
+
   test("ts_pattern_seq: matches are adjacent error->purchase within an hour") {
     val m = operators.EventAnalytics.tsPatternSeq(spark, sf001).collect()
     assert(m.nonEmpty)
