@@ -467,7 +467,78 @@ object Etl {
       |FROM w
       |ORDER BY event_type, h""".stripMargin
 
+  /** Fuzzy entity matching with blocking — the record-linkage core of
+    * a data-integration tool: a "dirty" registry (deterministic typos
+    * injected per key: one digit deleted, or '#'→'@') is matched back
+    * to the clean dimension by Levenshtein distance ≤ 1, but ONLY
+    * within blocks sharing the last-3-character suffix. Blocking keeps
+    * the candidate join linear (suffix blocks are ~uniform), the
+    * classic ER shape at any scale — never the all-pairs edit-distance
+    * join. Best match per dirty row = (lowest distance, lowest key),
+    * deterministic. */
+  val etlFuzzyMatch: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val clean = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val dirty = clean.select(
+      col("c_custkey").as("d_key"),
+      when(
+        col("c_custkey") % 3 === 0,
+        expr(
+          "concat(substring(c_name, 1, 9 + (c_custkey div 3) % 3)," +
+            " substring(c_name, 11 + (c_custkey div 3) % 3, 100))"
+        )
+      ).when(col("c_custkey") % 3 === 1, regexp_replace(col("c_name"), "#", "@"))
+        .otherwise(col("c_name"))
+        .as("d_name")
+    )
+    val cand = dirty
+      .withColumn("blk", expr("right(d_name, 3)"))
+      .join(clean.withColumn("blk", expr("right(c_name, 3)")), "blk")
+      .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
+      .filter(col("dist") <= 1)
+    cand
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("d_key").orderBy(col("dist"), col("c_custkey"))
+        )
+      )
+      .filter(col("rn") === 1)
+      .select(
+        col("d_key").as("custkey"),
+        col("d_name").as("dirty_name"),
+        col("c_custkey").as("matched_key"),
+        col("dist")
+      )
+      .orderBy("custkey")
+  }
+
+  private val etlFuzzyMatchSql =
+    """WITH clean AS (SELECT c_custkey, c_name FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey AS d_key,
+      |   CASE WHEN c_custkey % 3 = 0 THEN
+      |     substring(c_name, 1, 9 + (c_custkey // 3) % 3) ||
+      |     substring(c_name, 11 + (c_custkey // 3) % 3, 100)
+      |   WHEN c_custkey % 3 = 1 THEN replace(c_name, '#', '@')
+      |   ELSE c_name END AS d_name
+      |  FROM clean),
+      |cand AS (
+      |  SELECT d.d_key, d.d_name, c.c_custkey,
+      |         levenshtein(d.d_name, c.c_name) AS dist
+      |  FROM dirty d JOIN clean c ON right(d.d_name, 3) = right(c.c_name, 3)
+      |  WHERE levenshtein(d.d_name, c.c_name) <= 1),
+      |r AS (SELECT d_key, d_name, c_custkey, dist,
+      |       row_number() OVER (PARTITION BY d_key
+      |                          ORDER BY dist, c_custkey) AS rn
+      |      FROM cand)
+      |SELECT d_key AS custkey, d_name AS dirty_name,
+      |       c_custkey AS matched_key, dist
+      |FROM r WHERE rn = 1
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_fuzzy_match" -> etlFuzzyMatch,
     "ts_interpolate" -> tsInterpolate,
     "etl_snapshot_diff" -> etlSnapshotDiff,
     "etl_dq_checks" -> etlDqChecks,
@@ -481,6 +552,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_fuzzy_match" -> etlFuzzyMatchSql,
     "ts_interpolate" -> tsInterpolateSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql,
     "etl_dq_checks" -> etlDqChecksSql,

@@ -210,7 +210,29 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** JSON sink round-trip: write line-delimited JSON, read it back with
+    * an explicit schema (schema-on-read, no inference pass over the
+    * files) — the lossy-format twin of sink_csv for the JSON side.
+    * Doubles survive via full-precision serialization; the timestamp
+    * column round-trips through ISO-8601. */
+  val sinkJson: Q = (spark, dir) => {
+    val path = tmp("customer_json")
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .write
+      .mode("overwrite")
+      .json(path)
+    spark.read
+      .schema(
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING"
+      )
+      .json(path)
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_json" -> sinkJson,
     "sink_csv" -> sinkCsv,
     "sink_codec" -> sinkCodec,
     "etl_compact" -> etlCompact,
@@ -225,6 +247,9 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    "sink_json" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "sink_csv" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,

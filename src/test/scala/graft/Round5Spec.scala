@@ -289,6 +289,19 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("etl_fuzzy_match: every dirty record links back to its own entity") {
+    val m = operators.Etl
+      .etlFuzzyMatch(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val total = Tables.customer(spark, sf001).count()
+    assert(m.length == total) // no dirty row lost to blocking
+    m.foreach { case (key, matched, dist) =>
+      assert(matched == key, s"dirty $key matched $matched")
+      assert(dist == (if (key % 3 == 2) 0 else 1))
+    }
+  }
+
   test("ts_pattern_seq: matches are adjacent error->purchase within an hour") {
     val m = operators.EventAnalytics.tsPatternSeq(spark, sf001).collect()
     assert(m.nonEmpty)
