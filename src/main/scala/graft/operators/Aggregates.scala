@@ -584,7 +584,28 @@ object Aggregates {
       |FROM t GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Approximate quantiles via percentile_approx (Greenwald-Khanna
+    * style mergeable sketch): the scale path beside the exact
+    * agg_percentiles — the sketch merges associatively across
+    * partitions, so a 1000-executor run pays one small-state shuffle
+    * instead of sorting each group. Approximate by construction → no
+    * DuckDB oracle; Round5Spec bounds the rank error against the exact
+    * percentile on the same data. */
+  val aggApproxQuantile: Q = (spark, dir) => {
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("ap95"),
+        expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("ap99"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_entropy" -> aggEntropy,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_hist" -> aggHist,

@@ -210,7 +210,50 @@ object Windows {
       |WHERE rn <= 5
       |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** Running DISTINCT count per user over event time — not directly
+    * expressible as a window aggregate (COUNT(DISTINCT) OVER is
+    * unsupported in both engines), so it composes two windows on the
+    * SAME (user_id) partitioning: a first-occurrence flag from
+    * row_number over (user, event_type), then a running sum of flags
+    * over the event-time order. One shuffle total; the standard
+    * cumulative-cardinality feature at any scale. */
+  val winCumDistinct: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Window
+      .partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val running = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    graft.Tables
+      .events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn(
+        "first_flag",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L)
+      )
+      .withColumn("distinct_types_so_far", sum("first_flag").over(running))
+      .select("user_id", "event_id", "event_type", "distinct_types_so_far")
+      .orderBy("event_id")
+  }
+
+  private val winCumDistinctSql =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |   CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |                                ORDER BY ts, event_id) = 1
+      |        THEN 1 ELSE 0 END AS first_flag
+      |  FROM events)
+      |SELECT user_id, event_id, event_type,
+      | CAST(sum(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS distinct_types_so_far
+      |FROM f
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win_cum_distinct" -> winCumDistinct,
     "win_topk_exec" -> winTopkExec,
     "win_dense_percent" -> winDensePercent,
     "win_first_last" -> winFirstLast,
@@ -222,6 +265,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_cum_distinct" -> winCumDistinctSql,
     "win_topk_exec" -> winTopkExecSql,
     "win_dense_percent" -> winDensePercentSql,
     "win_first_last" ->

@@ -201,6 +201,61 @@ object StreamOps {
       )
   }
 
+  /** A user's funnel progress: stage 1 = signup seen, 2 = click after
+    * the signup, 3 = purchase after that click. */
+  case class FunnelStage(user_id: Long, stage: Int, event_id: Long)
+
+  /** Streaming funnel tracker — the incremental twin of the batch
+    * ts_funnel (operators.EventAnalytics): per-user ValueState holds
+    * the furthest stage reached; each arriving event (processed in
+    * event-time order within the batch) can only ADVANCE the stage, and
+    * every advance emits one row carrying the event that caused it. On
+    * a 1000-executor run the state is one Int per user in RocksDB and
+    * the stream shuffles once on user_id — funnel conversion without
+    * ever re-scanning history. */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, Event, FunnelStage] {
+    @transient private var stage: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stage = getHandle
+        .getValueState[Int]("stage", Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[FunnelStage] = {
+      var s = if (stage.exists()) stage.get() else 0
+      val out = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+        .flatMap { e =>
+          val advanced = (s, e.event_type) match {
+            case (0, "signup")   => true
+            case (1, "click")    => true
+            case (2, "purchase") => true
+            case _               => false
+          }
+          if (advanced) { s += 1; Some(FunnelStage(user, s, e.event_id)) }
+          else None
+        }
+      stage.update(s)
+      out.iterator
+    }
+  }
+
+  /** Funnel stage transitions over the live event stream. */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor,
+        TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
   /** LEFT OUTER stream-stream join: inner matches emit immediately;
     * an unmatched purchase's null-extended row emits only once BOTH
     * watermarks guarantee no qualifying click can still arrive — the

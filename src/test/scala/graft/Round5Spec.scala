@@ -302,6 +302,33 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("agg_approx_quantile: rank error within the sketch's 1/accuracy bound") {
+    val approx = operators.Aggregates
+      .aggApproxQuantile(spark, sf001)
+      .collect()
+      .map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      )
+      .toMap
+    val vals = Tables
+      .lineitem(spark, sf001)
+      .select("l_returnflag", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    // percentile_approx(accuracy=10000) guarantees rank error <= n/10000
+    approx.foreach { case (flag, (p50, p95, p99)) =>
+      val sorted = vals(flag)
+      val n = sorted.length
+      val tol = math.max(1, n / 10000) + 1
+      def rankOf(v: Double): Int = sorted.count(_ <= v)
+      assert(math.abs(rankOf(p50) - 0.5 * n) <= tol, s"$flag p50")
+      assert(math.abs(rankOf(p95) - 0.95 * n) <= tol, s"$flag p95")
+      assert(math.abs(rankOf(p99) - 0.99 * n) <= tol, s"$flag p99")
+    }
+  }
+
   test("ts_pattern_seq: matches are adjacent error->purchase within an hour") {
     val m = operators.EventAnalytics.tsPatternSeq(spark, sf001).collect()
     assert(m.nonEmpty)

@@ -434,6 +434,56 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming funnel advances stages incrementally on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+      val q = StreamOps
+        .funnelStages(ms.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("funnel")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        // batch 1: user 1 signs up then clicks; a click BEFORE any
+        // signup (user 2) must not advance anything
+        ms.addData(
+          ev(1, "2024-01-01 10:00:00", user = 1, typ = "signup"),
+          ev(2, "2024-01-01 10:05:00", user = 1, typ = "click"),
+          ev(3, "2024-01-01 10:00:00", user = 2, typ = "click")
+        )
+        q.processAllAvailable()
+        // batch 2: user 1 purchases (stage 3); a second click must not
+        // re-emit stage 2; user 2 finally signs up (stage 1)
+        ms.addData(
+          ev(4, "2024-01-01 10:10:00", user = 1, typ = "click"),
+          ev(5, "2024-01-01 10:12:00", user = 1, typ = "purchase"),
+          ev(6, "2024-01-01 10:11:00", user = 2, typ = "signup")
+        )
+        q.processAllAvailable()
+        val got = spark
+          .table("funnel")
+          .collect()
+          .map(r =>
+            (
+              r.getAs[Long]("user_id"),
+              r.getAs[Int]("stage"),
+              r.getAs[Long]("event_id")
+            )
+          )
+          .toSet
+        assert(
+          got == Set((1L, 1, 1L), (1L, 2, 2L), (1L, 3, 5L), (2L, 1, 6L)),
+          s"stage transitions wrong: $got"
+        )
+      } finally q.stop()
+    }
+  }
+
   test("flatMapGroupsWithState tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
