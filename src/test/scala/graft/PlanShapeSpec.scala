@@ -192,6 +192,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("ts_sessionize runs on a single user_id exchange") {
+    val s = planString(operators.EventAnalytics.tsSessionize(spark, sf0001))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$s")
+  }
+
+  test("etl_fuzzy_match joins on the block key, never all-pairs") {
+    val s = planString(operators.Etl.etlFuzzyMatch(spark, sf0001))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("sim_kmeans_assign broadcasts the centroid side") {
+    val s = planString(sim.Similarity.simKmeansAssign(spark, sf0001))
+    assert(s.contains("BroadcastExchange"), s)
+    // the k-fold fan-out is pruned before the exchange by the custom node
+    assert(s.contains("TopKPerGroupPartial"), s)
+  }
+
   test("bench count() does not collapse the flagship aggregation") {
     // SURVEY §3.3 hazard: df.count() must still execute the aggregate
     val df = operators.Aggregates.aggHash(spark, sf0001)
