@@ -537,7 +537,42 @@ object Etl {
       |FROM r WHERE rn = 1
       |ORDER BY custkey""".stripMargin
 
+  /** Size-budgeted shard assignment (the WebDataset/TFRecord export
+    * carve): documents pack into ~20 kB shards per language by a
+    * running character total; `(cum − 1) div budget` bins the prefix
+    * sum so a single oversized doc still lands in its own shard.
+    * Shards are computed per lang partition in parallel; within one
+    * lang this demo uses a plain window prefix-sum — at 100 TB the
+    * per-key stream would use the two-phase offset scheme demonstrated
+    * in etl_global_ids (count pass → prefix offsets → local sums),
+    * same output. */
+  val etlShardAssign: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("lang")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables
+      .documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+      .withColumn("cum_chars", sum("n_chars").over(w))
+      .withColumn("shard", expr("(cum_chars - 1) div 20000"))
+      .orderBy("doc_id")
+  }
+
+  private val etlShardAssignSql =
+    """SELECT doc_id, lang, n_chars,
+      | CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS cum_chars,
+      | (CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+      |   // 20000 AS shard
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_shard_assign" -> etlShardAssign,
     "etl_fuzzy_match" -> etlFuzzyMatch,
     "ts_interpolate" -> tsInterpolate,
     "etl_snapshot_diff" -> etlSnapshotDiff,
@@ -552,6 +587,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_shard_assign" -> etlShardAssignSql,
     "etl_fuzzy_match" -> etlFuzzyMatchSql,
     "ts_interpolate" -> tsInterpolateSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql,

@@ -324,7 +324,95 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** PageRank over the near-dup graph (jaccard ≥ 0.5 edges, both
+    * directions): 5 power iterations of
+    * pr = 0.15/N + 0.85·Σ pr(in)/outdeg(in). Each iteration is one
+    * join + one aggregate keyed on vertex id — the same per-round
+    * dataflow as dedupClusterCc, so the 100 TB posture is identical
+    * (edge list persisted once, no driver-side state, rounds
+    * independent of vertex count). Canonical-doc selection by rank
+    * rather than min-id is what this buys a dedup pipeline. */
+  val graphPagerank: Q = (spark, dir) => {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val edges = sh
+      .toDF("d1", "s1")
+      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+      .join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+      .filter(col("common") / (col("n1") + col("n2") - col("common")) >= 0.5)
+      .select("d1", "d2")
+    val sym = edges
+      .union(edges.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+      .persist()
+    val outdeg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val nTotal = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    var pr = docs
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), (lit(1.0) / col("n_docs")).as("pr"))
+    for (_ <- 1 to 5) {
+      val inflow = sym
+        .join(outdeg, "src")
+        .join(
+          pr.select(col("doc_id").as("p_id"), col("pr")),
+          col("src") === col("p_id")
+        )
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("inflow"))
+      pr = docs
+        .crossJoin(broadcast(nTotal))
+        .join(inflow, col("doc_id") === col("dst"), "left")
+        .select(
+          col("doc_id"),
+          (lit(0.15) / col("n_docs") +
+            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr")
+        )
+    }
+    pr.select(col("doc_id"), round(col("pr"), 8).as("pr"))
+      .orderBy("doc_id")
+  }
+
+  private val graphPagerankSql = {
+    val base =
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+        |        WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |edges AS (SELECT d1, d2 FROM co
+        |          JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id
+        |          WHERE common*1.0/(x.n + y.n - common) >= 0.5),
+        |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+        |        UNION ALL SELECT d2, d1 FROM edges),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |pr0 AS (SELECT doc_id, 1.0/(SELECT n FROM nn) AS pr FROM documents)""".stripMargin
+    val iters = (1 to 5)
+      .map { i =>
+        s"""pr$i AS (
+           |  SELECT d.doc_id,
+           |   0.15/(SELECT n FROM nn) + 0.85*coalesce(f.inflow, 0.0) AS pr
+           |  FROM documents d LEFT JOIN (
+           |    SELECT s.dst, sum(p.pr/dg.deg) AS inflow
+           |    FROM sym s JOIN deg dg ON s.src = dg.src
+           |    JOIN pr${i - 1} p ON p.doc_id = s.src
+           |    GROUP BY s.dst) f ON d.doc_id = f.dst)""".stripMargin
+      }
+      .mkString(",\n", ",\n", "\n")
+    base + iters +
+      "SELECT doc_id, round(pr, 8) AS pr FROM pr5 ORDER BY doc_id"
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> graphPagerank,
     "dedup_cluster_cc" -> dedupClusterCc,
     "dedup_simhash_fast" -> dedupSimhashFast,
     "dedup_exact" -> dedupExact,
@@ -334,6 +422,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE
         |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents

@@ -329,6 +329,48 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("graph_pagerank: mass is conserved within damping leak, ranks ordered by degree") {
+    val pr = text.Dedup
+      .graphPagerank(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val n = pr.length
+    val total = pr.map(_._2).sum
+    // with no dangling redistribution total ∈ (0.15, 1]; isolated docs
+    // sit at exactly 0.15/N after the first iteration
+    assert(total > 0.15 && total <= 1.0 + 1e-9, s"mass $total")
+    val floor = BigDecimal(0.15 / n)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(pr.exists(_._2 == floor), "no isolated vertex at the floor")
+    assert(pr.exists(_._2 > floor), "no connected vertex above the floor")
+  }
+
+  test("etl_shard_assign: shards are monotone per lang and respect the budget") {
+    val rows = operators.Etl
+      .etlShardAssign(spark, sf001)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).values.foreach { perLang =>
+      val s = perLang.sortBy(_._2)
+      assert(s.head._5 == 0L) // first doc in shard 0
+      s.sliding(2).foreach {
+        case Array((_, _, _, _, sh1), (_, _, _, _, sh2)) =>
+          assert(sh2 == sh1 || sh2 == sh1 + 1 || sh2 > sh1) // monotone
+        case _ => ()
+      }
+      // endpoint binning: a shard covers <= budget of cumulative range,
+      // so its char total exceeds the budget by at most one straddling doc
+      s.groupBy(_._5).values.foreach { shard =>
+        val chars = shard.map(_._3).sum
+        assert(
+          chars < 20000 + shard.map(_._3).max,
+          s"overfull shard $chars"
+        )
+      }
+    }
+  }
+
   test("ts_pattern_seq: matches are adjacent error->purchase within an hour") {
     val m = operators.EventAnalytics.tsPatternSeq(spark, sf001).collect()
     assert(m.nonEmpty)
