@@ -604,7 +604,37 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Median absolute deviation per group — the robust dispersion
+    * statistic outlier-resistant pipelines use instead of stddev. Two
+    * phases on the SAME group key: the per-group median (broadcast back
+    * — group-cardinality rows), then the median of absolute deviations.
+    * Exact percentile both phases, matching DuckDB's quantile_cont. */
+  val aggMad: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val med = li
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        round(first("med"), 4).as("median"),
+        round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4).as("mad")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  private val aggMadSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, round(min(m.med), 4) AS median,
+      | round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
+      |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      |GROUP BY l.l_returnflag
+      |ORDER BY l.l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_mad" -> aggMad,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_entropy" -> aggEntropy,
     "agg_corr_matrix" -> aggCorrMatrix,
@@ -628,6 +658,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_mad" -> aggMadSql,
     "agg_entropy" -> aggEntropySql,
     "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_hist" -> aggHistSql,

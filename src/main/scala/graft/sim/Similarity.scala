@@ -351,7 +351,38 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension feature statistics over the embedding corpus — the
+    * mean/std/min/max a normalization (or whitening) step needs. One
+    * posexplode + one aggregate keyed on the 64 dimension ids: the
+    * shuffle carries 64 keys with partial aggregation upstream, so the
+    * reduce side is constant-size at any corpus scale. */
+  val mlFeatureStats: Q = (spark, dir) => {
+    Tables
+      .embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(
+        round(avg("x"), 6).as("mean"),
+        round(stddev_samp(col("x")), 6).as("std"),
+        round(min("x"), 6).as("mn"),
+        round(max("x"), 6).as("mx")
+      )
+      .orderBy("dim")
+  }
+
+  private val mlFeatureStatsSql =
+    """SELECT d.d AS dim,
+      | round(avg(CAST(e.embedding[d.d + 1] AS DOUBLE)), 6) AS mean,
+      | round(stddev_samp(CAST(e.embedding[d.d + 1] AS DOUBLE)), 6) AS std,
+      | round(min(CAST(e.embedding[d.d + 1] AS DOUBLE)), 6) AS mn,
+      | round(max(CAST(e.embedding[d.d + 1] AS DOUBLE)), 6) AS mx
+      |FROM embeddings e, range(64) d(d)
+      |GROUP BY d.d
+      |ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ml_feature_stats" -> mlFeatureStats,
     "sim_kmeans_assign" -> simKmeansAssign,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_cosine_pairs" -> simCosinePairs,
@@ -392,6 +423,7 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ml_feature_stats" -> mlFeatureStatsSql,
     "sim_kmeans_assign" ->
       s"""$normCte,
          |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm

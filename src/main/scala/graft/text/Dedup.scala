@@ -411,7 +411,61 @@ object Dedup {
       "SELECT doc_id, round(pr, 8) AS pr FROM pr5 ORDER BY doc_id"
   }
 
+  /** Directed containment detection — the asymmetric twin of jaccard
+    * dedup: doc A is "contained" in B when ≥ 80% of A's shingles also
+    * appear in B, which catches sub-document duplication (quotes,
+    * boilerplate wrapping, truncated copies) that the symmetric ratio
+    * misses. Same shingle co-count join as the jaccard family; the
+    * direction is decided row-locally from the two set sizes. */
+  val dedupContainment: Q = (spark, dir) => {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val co = sh
+      .toDF("d1", "s1")
+      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+      .join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+    val fwd = co
+      .filter(col("common") / col("n1") >= 0.8)
+      .select(
+        col("d1").as("contained"),
+        col("d2").as("container"),
+        round(col("common") / col("n1"), 4).as("containment")
+      )
+    val bwd = co
+      .filter(col("common") / col("n2") >= 0.8)
+      .select(
+        col("d2").as("contained"),
+        col("d1").as("container"),
+        round(col("common") / col("n2"), 4).as("containment")
+      )
+    fwd.unionByName(bwd).orderBy("contained", "container")
+  }
+
+  private val dedupContainmentSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |        WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |j AS (SELECT co.d1, co.d2, co.common, x.n AS n1, y.n AS n2 FROM co
+      |      JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id)
+      |SELECT * FROM (
+      |  SELECT d1 AS contained, d2 AS container,
+      |         round(common*1.0/n1, 4) AS containment
+      |  FROM j WHERE common*1.0/n1 >= 0.8
+      |  UNION ALL
+      |  SELECT d2, d1, round(common*1.0/n2, 4)
+      |  FROM j WHERE common*1.0/n2 >= 0.8) u
+      |ORDER BY contained, container""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_containment" -> dedupContainment,
     "graph_pagerank" -> graphPagerank,
     "dedup_cluster_cc" -> dedupClusterCc,
     "dedup_simhash_fast" -> dedupSimhashFast,
@@ -422,6 +476,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "graph_pagerank" -> graphPagerankSql,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE

@@ -371,6 +371,33 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("dedup_containment: directed, thresholded, and consistent with shingle sets") {
+    val rows = text.Dedup
+      .dedupContainment(spark, sf001)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate directed pairs")
+    rows.foreach { case ((a, b), c) =>
+      assert(a != b && c >= 0.8 && c <= 1.0)
+    }
+    // recompute one pair's containment from raw shingle sets
+    val ((a, b), c) = rows.head
+    def shingleSet(id: Long): Set[String] = {
+      val txt = Tables
+        .documents(spark, sf001)
+        .filter(col("doc_id") === id)
+        .select("text")
+        .collect()
+        .head
+        .getString(0)
+      txt.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    val expected = sa.intersect(sb).size.toDouble / sa.size
+    assert(math.abs(c - expected) < 5e-5, s"got $c expected $expected")
+  }
+
   test("ts_pattern_seq: matches are adjacent error->purchase within an hour") {
     val m = operators.EventAnalytics.tsPatternSeq(spark, sf001).collect()
     assert(m.nonEmpty)
