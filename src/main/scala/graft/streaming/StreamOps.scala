@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{
   GroupState,
   GroupStateTimeout,
   ListState,
+  MapState,
   OutputMode,
   StatefulProcessor,
   TTLConfig,
@@ -242,6 +243,71 @@ object StreamOps {
       stage.update(s)
       out.iterator
     }
+  }
+
+  /** One first-activity-per-day retention hit. */
+  case class RetentionHit(user_id: Long, cohort_epoch_day: Int, day_offset: Int)
+
+  /** Streaming cohort retention — the incremental twin of the batch
+    * ts_retention: per user, ValueState pins the cohort day at first
+    * sight and MapState records which day offsets have already been
+    * emitted, so each (user, day) contributes exactly one hit no matter
+    * how many events arrive. MapState is the right shape because the
+    * offset set is unbounded-but-sparse per key — a ListState would
+    * scan linearly and a ValueState would rewrite the whole set per
+    * event; RocksDB stores each offset as its own key. Note the
+    * semantic difference from batch: the cohort is the FIRST-SEEN day
+    * in arrival order, which equals the batch min-day whenever the
+    * stream respects event-time order per user (watermark-bounded
+    * disorder can pin a later cohort; the batch twin is the audit). */
+  class RetentionProcessor
+      extends StatefulProcessor[Long, Event, RetentionHit] {
+    @transient private var cohort: ValueState[Int] = _
+    @transient private var seen: MapState[Int, Boolean] = _
+
+    private def epochDay(e: Event): Int =
+      math.floorDiv(e.ts.getTime, 86400000L).toInt
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cohort = getHandle
+        .getValueState[Int]("cohort", Encoders.scalaInt, TTLConfig.NONE)
+      seen = getHandle.getMapState[Int, Boolean](
+        "seen",
+        Encoders.scalaInt,
+        Encoders.scalaBoolean,
+        TTLConfig.NONE
+      )
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[RetentionHit] = {
+      val out = scala.collection.mutable.ListBuffer.empty[RetentionHit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val day = epochDay(e)
+        if (!cohort.exists()) cohort.update(day)
+        val off = day - cohort.get()
+        if (off >= 0 && !seen.containsKey(off)) {
+          seen.updateValue(off, true)
+          out += RetentionHit(user, cohort.get(), off)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** First-activity-per-day retention hits over the live stream. */
+  def retentionHits(events: Dataset[Event]): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RetentionProcessor,
+        TimeMode.None(),
+        OutputMode.Append()
+      )
   }
 
   /** Funnel stage transitions over the live event stream. */

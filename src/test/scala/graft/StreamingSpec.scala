@@ -484,6 +484,46 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming retention emits one hit per (user, day) via MapState (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ret").toString
+      val q = StreamOps
+        .retentionHits(ms.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("retention")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        ms.addData(
+          ev(1, "2024-01-01 09:00:00", user = 1), // cohort day
+          ev(2, "2024-01-01 18:00:00", user = 1), // same day: no new hit
+          ev(3, "2024-01-02 09:00:00", user = 1) // offset 1
+        )
+        q.processAllAvailable()
+        ms.addData(
+          ev(4, "2024-01-02 10:00:00", user = 1), // offset 1 again: dedup'd
+          ev(5, "2024-01-04 09:00:00", user = 1), // offset 3
+          ev(6, "2024-01-03 09:00:00", user = 2) // second cohort
+        )
+        q.processAllAvailable()
+        val got = spark
+          .table("retention")
+          .collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("day_offset")))
+          .toSet
+        assert(
+          got == Set((1L, 0), (1L, 1), (1L, 3), (2L, 0)),
+          s"retention hits wrong: $got"
+        )
+      } finally q.stop()
+    }
+  }
+
   test("flatMapGroupsWithState tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
