@@ -571,7 +571,51 @@ object Etl {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental-ingest dedup: a re-offered batch (every 10th doc plus
+    * genuinely new synthetic docs) is anti-joined against the corpus on
+    * the content hash, so only never-seen content survives — the
+    * admission gate of a continuously-fed training corpus. The join
+    * keys on md5(text): at scale both sides shuffle once on the hash
+    * (or the corpus side becomes a bloom/broadcast when small), never
+    * on the full text. */
+  val etlDedupIncremental: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val batch = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("b_id"), col("text"))
+      .unionByName(
+        docs
+          .filter(col("doc_id") < 5)
+          .select(
+            (col("doc_id") + 1000000).as("b_id"),
+            concat(lit("NEW "), col("text")).as("text")
+          )
+      )
+    batch
+      .withColumn("h", md5(col("text")))
+      .join(
+        docs.select(md5(col("text")).as("h")),
+        Seq("h"),
+        "left_anti"
+      )
+      .select(col("b_id"), col("h"))
+      .orderBy("b_id")
+  }
+
+  private val etlDedupIncrementalSql =
+    """WITH batch AS (
+      |  SELECT doc_id AS b_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'NEW ' || text FROM documents
+      |  WHERE doc_id < 5)
+      |SELECT b.b_id, md5(b.text) AS h
+      |FROM batch b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+      |ORDER BY b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_dedup_incremental" -> etlDedupIncremental,
     "etl_shard_assign" -> etlShardAssign,
     "etl_fuzzy_match" -> etlFuzzyMatch,
     "ts_interpolate" -> tsInterpolate,
@@ -587,6 +631,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_dedup_incremental" -> etlDedupIncrementalSql,
     "etl_shard_assign" -> etlShardAssignSql,
     "etl_fuzzy_match" -> etlFuzzyMatchSql,
     "ts_interpolate" -> tsInterpolateSql,

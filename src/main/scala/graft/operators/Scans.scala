@@ -231,7 +231,37 @@ object Scans {
       .orderBy("c_custkey")
   }
 
+  /** Raw-file ingestion via the `binaryFile` data source — Spark's
+    * native path for bringing media/blob files into a DataFrame as
+    * (path, modificationTime, length, content: binary). The corpus is
+    * materialized as a text file first, then re-read as opaque bytes
+    * and summarized; at scale this is the one-file-per-task pattern a
+    * multimodal pipeline starts from (maxPartitionBytes governs file
+    * grouping; no row-splitting inside a blob). Output is
+    * path-independent (counts and byte totals only) so it is
+    * oracle-checkable against the source table. */
+  val sourceBinaryfile: Q = (spark, dir) => {
+    val path = tmp("docs_binary")
+    Tables
+      .documents(spark, dir)
+      .orderBy("doc_id")
+      .select("text")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .text(path)
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(path)
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(length(col("content"))).cast("long").as("total_bytes")
+      )
+  }
+
   val queries: Map[String, Q] = Map(
+    "source_binaryfile" -> sourceBinaryfile,
     "sink_json" -> sinkJson,
     "sink_csv" -> sinkCsv,
     "sink_codec" -> sinkCodec,
@@ -247,6 +277,11 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    // 1 coalesced file; bytes = chars (ASCII corpus) + one newline/row
+    "source_binaryfile" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files,
+        | CAST(sum(n_chars) + count(*) AS BIGINT) AS total_bytes
+        |FROM documents""".stripMargin,
     "sink_json" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
