@@ -251,12 +251,88 @@ object EventAnalytics {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** OHLC downsampling to 5-minute bars per event_type — the classic
+    * time-series resample. open/close are `min_by`/`max_by` keyed on
+    * `event_id` (unique, event-time-ordered in this corpus), NOT on
+    * `ts`: duplicate timestamps inside a bar would make a ts-keyed
+    * first/last nondeterministic across engines. One hash aggregate
+    * keyed by (bar, event_type) — map-side combine does the heavy
+    * lifting, output is bounded by time-range/5min × |event_type| at
+    * any corpus size. */
+  val tsResample: Q = (spark, dir) =>
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sum_val")
+      )
+      .select(
+        col("w.start").as("bar"),
+        col("event_type"),
+        col("open"),
+        col("high"),
+        col("low"),
+        col("close"),
+        col("n"),
+        col("sum_val")
+      )
+      .orderBy("bar", "event_type")
+
+  private val tsResampleSql =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bar, event_type,
+      | arg_min(value, event_id) AS open,
+      | max(value) AS high, min(value) AS low,
+      | arg_max(value, event_id) AS close,
+      | CAST(count(*) AS BIGINT) AS n,
+      | round(sum(value), 4) AS sum_val
+      |FROM events GROUP BY 1, 2 ORDER BY bar, event_type""".stripMargin
+
+  /** Z-score anomaly flags: an event is anomalous if its value is more
+    * than 3 sample-stddevs from its event_type's mean. The per-type
+    * stats table is |event_type| rows — broadcast back onto the fact
+    * side, so the corpus is scanned twice but never shuffled on a wide
+    * key. The 3σ comparison is done on raw doubles: mean/std drift
+    * between engines is ~1e-12 relative (order of summation), far from
+    * any realistic boundary; the reported z is rounded to 4dp. */
+  val tsAnomaly: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val stats = e
+      .groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sigma"))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z")
+      )
+      .orderBy("event_id")
+  }
+
+  private val tsAnomalySql =
+    """WITH s AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      | round((e.value - s.mu) / s.sigma, 4) AS z
+      |FROM events e JOIN s ON e.event_type = s.event_type
+      |WHERE abs(e.value - s.mu) > 3.0 * s.sigma
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ts_streaks" -> tsStreaks,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_sessionize" -> tsSessionize,
-    "ts_pattern_seq" -> tsPatternSeq
+    "ts_pattern_seq" -> tsPatternSeq,
+    "ts_resample" -> tsResample,
+    "ts_anomaly" -> tsAnomaly
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +340,8 @@ object EventAnalytics {
     "ts_funnel" -> tsFunnelSql,
     "ts_retention" -> tsRetentionSql,
     "ts_sessionize" -> tsSessionizeSql,
-    "ts_pattern_seq" -> tsPatternSeqSql
+    "ts_pattern_seq" -> tsPatternSeqSql,
+    "ts_resample" -> tsResampleSql,
+    "ts_anomaly" -> tsAnomalySql
   )
 }

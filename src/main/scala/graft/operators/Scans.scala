@@ -260,7 +260,49 @@ object Scans {
       )
   }
 
+  /** Shard-partitioned corpus export + manifest: the size-budgeted
+    * shard assignment (etl_shard_assign) feeds a
+    * `partitionBy(lang, shard)` parquet write — the layout a training
+    * job consumes shard-by-shard — and the returned DataFrame is the
+    * per-shard MANIFEST (doc count, char total, id range) computed
+    * from the read-back files, i.e. it verifies what actually landed
+    * on disk. At 100 TB the manifest is the unit of work-tracking:
+    * bounded by shard count, never by corpus size. */
+  val sinkManifest: Q = (spark, dir) => {
+    val path = tmp("docs_sharded")
+    Etl
+      .etlShardAssign(spark, dir)
+      .write
+      .mode("overwrite")
+      .partitionBy("lang", "shard")
+      .parquet(path)
+    spark.read
+      .parquet(path)
+      .groupBy("lang", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("shard_chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc")
+      )
+      .withColumn("shard", col("shard").cast("long"))
+      .orderBy("lang", "shard")
+  }
+
+  private val sinkManifestSql =
+    """WITH s AS (
+      |  SELECT doc_id, lang, n_chars,
+      |   (CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+      |     // 20000 AS shard
+      |  FROM documents)
+      |SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+      | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM s GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sink_manifest" -> sinkManifest,
     "source_binaryfile" -> sourceBinaryfile,
     "sink_json" -> sinkJson,
     "sink_csv" -> sinkCsv,
@@ -277,6 +319,7 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    "sink_manifest" -> sinkManifestSql,
     // 1 coalesced file; bytes = chars (ASCII corpus) + one newline/row
     "source_binaryfile" ->
       """SELECT CAST(1 AS BIGINT) AS n_files,

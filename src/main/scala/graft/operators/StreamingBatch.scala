@@ -32,17 +32,34 @@ object StreamingBatch {
       )
       .orderBy("ws", "event_type")
 
+  /** Sliding 1h/15m windows via PANE rollup: pre-aggregate to 15-min
+    * tumbling panes (a plain hash aggregate with map-side combine over
+    * the raw events), then fan each pane out to the 4 sliding windows
+    * it belongs to and combine. Semantically identical to
+    * `window(ts, "1 hour", "15 minutes")` — a slide that divides the
+    * width partitions events into panes, and each pane lands in exactly
+    * width/slide windows — but the 4× expand runs over the pane table
+    * (bounded by time-range/15min × |event_type|), not over the raw
+    * corpus. At 100 TB the raw-side cost is one tumbling partial
+    * aggregate; the naive form quadruples the shuffle input instead. */
   val streamSliding: Q = (spark, dir) =>
     Tables
       .events(spark, dir)
-      .groupBy(
-        window(col("ts"), "1 hour", "15 minutes").as("w"),
-        col("event_type")
-      )
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_val"))
+      .groupBy(window(col("ts"), "15 minutes").as("p"), col("event_type"))
+      .agg(count(lit(1)).as("pc"), sum("value").as("pv"))
+      .select(col("p.start").as("ps"), col("event_type"), col("pc"), col("pv"))
+      .withColumn("k", explode(array((0 to 3).map(lit(_)): _*)))
       .select(
-        col("w.start").as("ws"),
-        col("w.end").as("we"),
+        expr("ps - k * INTERVAL '15' MINUTE").as("ws"),
+        col("event_type"),
+        col("pc"),
+        col("pv")
+      )
+      .groupBy("ws", "event_type")
+      .agg(sum("pc").as("cnt"), round(sum("pv"), 4).as("sum_val"))
+      .select(
+        col("ws"),
+        expr("ws + INTERVAL '1' HOUR").as("we"),
         col("event_type"),
         col("cnt"),
         col("sum_val")

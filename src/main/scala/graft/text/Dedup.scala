@@ -332,11 +332,12 @@ object Dedup {
     * (edge list persisted once, no driver-side state, rounds
     * independent of vertex count). Canonical-doc selection by rank
     * rather than min-id is what this buys a dedup pipeline. */
-  val graphPagerank: Q = (spark, dir) => {
+  /** The near-dup graph's edge list (jaccard ≥ 0.5, d1 < d2) — shared
+    * by graphPagerank / graphDegree / graphTriangles. */
+  private def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val edges = sh
-      .toDF("d1", "s1")
+    sh.toDF("d1", "s1")
       .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("common"))
@@ -344,6 +345,10 @@ object Dedup {
       .join(sz.toDF("d2", "n2"), "d2")
       .filter(col("common") / (col("n1") + col("n2") - col("common")) >= 0.5)
       .select("d1", "d2")
+  }
+
+  val graphPagerank: Q = (spark, dir) => {
+    val edges = nearDupEdges(spark, dir)
     val sym = edges
       .union(edges.select(col("d2"), col("d1")))
       .toDF("src", "dst")
@@ -464,8 +469,131 @@ object Dedup {
       |  FROM j WHERE common*1.0/n2 >= 0.8) u
       |ORDER BY contained, container""".stripMargin
 
+  /** Scale path for [[dedupContainment]] via PREFIX FILTERING (the
+    * ppjoin/AllPairs family from the public set-similarity-join
+    * literature): if ≥ 80% of A's shingles appear in B, then at most
+    * floor(0.2·|A|) of A's shingles are missing from B, so among A's
+    * floor(0.2·|A|)+1 globally RAREST shingles at least one must hit
+    * B. That makes the prefix probe an EXACT candidate filter, not an
+    * approximation: output is hash-identical to the brute twin (same
+    * oracle SQL). Rarest-first probing is what bounds the join —
+    * a rare shingle's posting list is short by definition, so the
+    * candidate join never sees the hot buckets that a random 20%
+    * sample of shingles would, and the probe side is 5× smaller than
+    * the full inverted index. The exact containment count then runs
+    * only over candidate pairs. */
+  val dedupContainmentPrefix: Q = (spark, dir) => {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sdf = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
+    val byRarity = Window.partitionBy("doc_id").orderBy("sdf", "s")
+    val prefix = sh
+      .join(sdf, "s")
+      .withColumn("rn", row_number().over(byRarity))
+      .join(sz, "doc_id")
+      .filter(col("rn") <= expr("n div 5 + 1")) // floor(0.2·n)+1
+      .select(col("doc_id").as("a"), col("s"))
+    // Directed candidates: A's prefix hits ANY shingle of B. The
+    // reverse direction arises symmetrically from B's own prefix.
+    val cand = prefix
+      .join(sh.toDF("b", "s"), "s")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b")
+      .distinct()
+    val common = cand
+      .join(sh.toDF("a", "s"), "a")
+      .join(sh.toDF("b", "s"), Seq("b", "s"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.toDF("a", "n_a"), "a")
+      .filter(col("common") / col("n_a") >= 0.8)
+      .select(
+        col("a").as("contained"),
+        col("b").as("container"),
+        round(col("common") / col("n_a"), 4).as("containment")
+      )
+      .orderBy("contained", "container")
+  }
+
+  /** DuckDB CTE prefix reconstructing [[nearDupEdges]] — shared by the
+    * graph-analytics oracles below. */
+  private val edgesCteSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |        WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |edges AS (SELECT d1, d2 FROM co
+      |          JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id
+      |          WHERE common*1.0/(x.n + y.n - common) >= 0.5)""".stripMargin
+
+  /** Degree histogram of the near-dup graph: how many documents have
+    * 0, 1, 2, … near-duplicates. Isolated docs are kept via a left
+    * join of the (tiny) symmetric edge list onto the doc spine. The
+    * final output is bounded by max-degree — a dedup-health dashboard
+    * number, not a per-doc table — so the reduce side is trivial at
+    * any corpus size. */
+  val graphDegree: Q = (spark, dir) => {
+    val e = nearDupEdges(spark, dir)
+    val sym = e.union(e.select(col("d2"), col("d1"))).toDF("src", "dst")
+    Tables
+      .documents(spark, dir)
+      .select("doc_id")
+      .join(sym, col("doc_id") === col("src"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("dst")).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("deg")
+  }
+
+  private val graphDegreeSql =
+    edgesCteSql +
+      """,
+        |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+        |        UNION ALL SELECT d2, d1 FROM edges),
+        |deg AS (SELECT d.doc_id, CAST(count(s.dst) AS BIGINT) AS deg
+        |        FROM documents d LEFT JOIN sym s ON d.doc_id = s.src
+        |        GROUP BY 1)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY 1 ORDER BY deg""".stripMargin
+
+  /** Global triangle count of the near-dup graph via ordered wedge
+    * join: with edges kept as d1 < d2, the wedge (a<b, b<c) closed by
+    * (a,c) enumerates each triangle exactly once — no /6 correction,
+    * no symmetric blowup. The wedge join's cost is Σ deg², the
+    * standard bound; at 100 TB one would cap or sample hub vertices
+    * first (the degree histogram above is exactly the gauge for that
+    * decision). Triangle density is the classic template-boilerplate
+    * signal in a dedup graph. */
+  val graphTriangles: Q = (spark, dir) => {
+    val e = nearDupEdges(spark, dir)
+    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+    val tri = wedges
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+  }
+
+  private val graphTrianglesSql =
+    edgesCteSql +
+      """,
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |      FROM edges e1
+        |      JOIN edges e2 ON e1.d2 = e2.d1
+        |      JOIN edges e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+        |SELECT m.n_edges, t.n_triangles FROM m, t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_containment" -> dedupContainment,
+    "dedup_containment_prefix" -> dedupContainmentPrefix,
+    "graph_degree" -> graphDegree,
+    "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank,
     "dedup_cluster_cc" -> dedupClusterCc,
     "dedup_simhash_fast" -> dedupSimhashFast,
@@ -478,6 +606,10 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_containment" -> dedupContainmentSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_degree" -> graphDegreeSql,
+    "graph_triangles" -> graphTrianglesSql,
+    // exact by the prefix-filter guarantee — shares the brute twin's oracle
+    "dedup_containment_prefix" -> dedupContainmentSql,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE
         |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents

@@ -317,7 +317,45 @@ object TextOps {
       |FROM tf JOIN model USING (b), total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-wide most frequent word-3-grams — the boilerplate-span
+    * detector an LLM-data pipeline runs before dedup (headers, cookie
+    * banners, license blurbs show up as high-document-frequency
+    * n-grams). One explode + one hash aggregate; `df` counts documents
+    * (the boilerplate signal), `tf` total occurrences. Top-50 by df
+    * with a full deterministic tiebreak — at 100 TB this is a
+    * TakeOrderedAndProject heap over the aggregate, never a global
+    * sort of the n-gram universe. */
+  val textTopNgrams: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(0, size(ts)-3)," +
+              " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+          )
+        ).as("ngram")
+      )
+      .groupBy("ngram")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("ngram"))
+      .limit(50)
+
+  private val textTopNgramsSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |        WHERE len(string_split(text,' ')) >= 3),
+      |ng AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+      |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i))
+      |SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |       CAST(count(*) AS BIGINT) AS tf
+      |FROM ng GROUP BY 1
+      |ORDER BY df DESC, tf DESC, ngram LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_top_ngrams" -> textTopNgrams,
     "text_pii_redact" -> textPiiRedact,
     "text_bigram_score" -> textBigramScore,
     "text_url_parse" -> textUrlParse,
@@ -332,6 +370,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_top_ngrams" -> textTopNgramsSql,
     "text_pii_redact" -> textPiiRedactSql,
     "text_bigram_score" -> textBigramScoreSql,
     "text_url_parse" ->
