@@ -4,8 +4,9 @@ import graft.functions.CosineSim
 import org.apache.spark.sql.catalyst.expressions.{
   Attribute,
   Descending,
+  Expression,
   IntegerLiteral,
-  Literal,
+  ScalarSubquery,
   SortOrder
 }
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -18,7 +19,9 @@ import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
 /** §4/§8 Catalyst extension: conf-gated logical rewrite of brute-force
   * cosine top-k to the IVF search path.
   *
-  * Pattern: `Limit(k, Sort(cosine_sim(emb, <literal probe>) DESC, ...))`
+  * Pattern: `Limit(k, Sort(cosine_sim(emb, <probe>) DESC, ...))` where
+  * the probe is evaluable at plan time (foldable expression or an
+  * uncorrelated scalar-subquery vector lookup — see [[probeOf]])
   * over a join/aggregate-free child that carries a `label` column (the
   * IVF cells). Rewritten to: per-label centroids → score the ~|labels|
   * centroids against the probe → visit the top-3 cells → the ORIGINAL
@@ -84,27 +87,56 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.isEmpty && plan.output.exists(_.name == "label") &&
       (mode != "auto" || plan.stats.sizeInBytes >= minBytes)
 
-  /** Matches `Sort(cosine_sim(attr, literal) DESC, ...)` and returns
-    * (order, emb attr, probe floats, child, hint). NOTE: the cell
-    * column `label` must survive column pruning — i.e. be part of the
-    * query output — because this batch runs after pruning. */
+  /** Extracts the probe vector from any expression the rewrite can
+    * evaluate at plan time:
+    *   - any FOLDABLE float-array expression (literal probes, `array(
+    *     CAST(…))`, constant `transform`s — the round-3 pattern and its
+    *     constant-folded relatives);
+    *   - an UNCORRELATED scalar subquery — the vector-lookup idiom
+    *     `cosine_sim(emb, (SELECT emb FROM t WHERE id = …))`. The
+    *     subquery is a one-row plan, so executing it during
+    *     optimization costs what the physical plan would pay anyway
+    *     (the sort's own copy still evaluates in the final plan, and
+    *     the rule cannot re-enter: its rewritten child contains a Join,
+    *     which [[eligible]] rejects before this runs again).
+    */
+  private def probeOf(e: Expression): Option[Seq[Double]] = e match {
+    case _ if e.foldable =>
+      e.dataType match {
+        case ArrayType(FloatType, _) =>
+          Option(e.eval(null)).map(
+            _.asInstanceOf[ArrayData].toFloatArray.toSeq.map(_.toDouble)
+          )
+        case _ => None
+      }
+    case s: ScalarSubquery
+        if s.outerAttrs.isEmpty && s.plan.output.length == 1 &&
+          (s.plan.output.head.dataType match {
+            case ArrayType(FloatType, _) => true
+            case _                       => false
+          }) =>
+      val rows = GraftPlanBridge.ofRows(spark, s.plan).collect()
+      if (rows.length == 1 && !rows(0).isNullAt(0))
+        Some(rows(0).getSeq[Float](0).map(_.toDouble).toSeq)
+      else None
+    case _ => None
+  }
+
+  /** Matches `Sort(cosine_sim(attr, <plan-time probe>) DESC, ...)` and
+    * returns (order, emb attr, probe floats, child, hint). NOTE: the
+    * cell column `label` must survive column pruning — i.e. be part of
+    * the query output — because this batch runs after pruning. */
   private object CosineTopSort {
     def unapply(plan: LogicalPlan): Option[
       (Seq[SortOrder], Attribute, Seq[Double], LogicalPlan, Option[SortHint])
     ] = plan match {
       case Sort(
-            order @ SortOrder(
-              CosineSim(emb: Attribute, Literal(probe, ArrayType(FloatType, _))),
-              Descending,
-              _,
-              _
-            ) +: _,
+            order @ SortOrder(CosineSim(emb: Attribute, probeExpr), Descending, _, _) +: _,
             true,
             child,
             sortHint
-          ) if probe != null && eligible(child) =>
-        val p = probe.asInstanceOf[ArrayData].toFloatArray.toSeq.map(_.toDouble)
-        Some((order, emb, p, child, sortHint))
+          ) if eligible(child) =>
+        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint))
       case _ => None
     }
   }

@@ -125,6 +125,39 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("ANN IVF rewrite fires on a scalar-subquery vector-lookup probe") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 8).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 40).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 40 + j, v, s"c$ci")
+      }
+    }
+    rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("pvecs")
+    // probe by id — the vector-lookup idiom, not a literal array
+    def q = spark.sql(
+      """SELECT * FROM pvecs
+        |ORDER BY cosine_sim(embedding,
+        |  (SELECT embedding FROM pvecs WHERE vec_id = 123)) DESC, vec_id
+        |LIMIT 10""".stripMargin
+    )
+    val brute = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val bruteOpt = q.queryExecution.optimizedPlan.toString
+    assert(!bruteOpt.contains("centroid"), s"rewrite fired while gated off:\n$bruteOpt")
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val rewritten = q
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("centroid"), s"IVF rewrite did not fire on subquery probe:\n$opt")
+      val got = rewritten.collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got == brute, s"IVF rewrite changed results: $got vs $brute")
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+  }
+
   test("ANN IVF auto mode is cost-gated on the child's estimated size") {
     graft.functions.GraftFunctions.register(spark)
     graft.plans.AnnIvfRewrite.install(spark)
@@ -196,6 +229,16 @@ class PlanShapeSpec extends SparkTestBase {
     val s = planString(operators.EventAnalytics.tsSessionize(spark, sf0001))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
     assert(shuffles == 1, s"expected 1 shuffle, plan:\n$s")
+  }
+
+  test("ts_sessionize_exec plans the fused SessionizeExec on one exchange") {
+    val s = planString(operators.EventAnalytics.tsSessionizeExec(spark, sf0001))
+    // SparkPlan.nodeName strips the Exec suffix: the node prints as "Sessionize"
+    assert(s.contains("Sessionize "), s"custom node missing, plan:\n$s")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$s")
+    // no window operators survive — the fused pass replaced them
+    assert(!s.contains("RunningWindowFunction") && !s.contains("Window"), s)
   }
 
   test("etl_fuzzy_match joins on the block key, never all-pairs") {
