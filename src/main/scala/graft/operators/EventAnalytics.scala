@@ -251,6 +251,32 @@ object EventAnalytics {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** [[tsSessionize]] through the custom `Sessionize` physical
+    * operator (graft.plans.Sessionize): the two window passes (lag +
+    * running sum) collapse into one O(1)-state streamed pass over the
+    * same single user_id exchange, and the per-session aggregate
+    * reuses that exchange. Output — and oracle — are identical to the
+    * window-idiom twin; PlanShapeSpec pins the plan shape
+    * (SessionizeExec present, exactly one hash exchange). */
+  val tsSessionizeExec: Q = (spark, dir) => {
+    val sess = graft.plans.Sessionize.sessionize(
+      Tables.events(spark, dir),
+      "user_id",
+      "ts",
+      Seq("event_id"),
+      1800L * 1000000L
+    )
+    sess
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
   /** OHLC downsampling to 5-minute bars per event_type — the classic
     * time-series resample. open/close are `min_by`/`max_by` keyed on
     * `event_id` (unique, event-time-ordered in this corpus), NOT on
@@ -330,6 +356,7 @@ object EventAnalytics {
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_sessionize" -> tsSessionize,
+    "ts_sessionize_exec" -> tsSessionizeExec,
     "ts_pattern_seq" -> tsPatternSeq,
     "ts_resample" -> tsResample,
     "ts_anomaly" -> tsAnomaly
@@ -340,6 +367,8 @@ object EventAnalytics {
     "ts_funnel" -> tsFunnelSql,
     "ts_retention" -> tsRetentionSql,
     "ts_sessionize" -> tsSessionizeSql,
+    // the fused-operator twin is exact — shares the window idiom's oracle
+    "ts_sessionize_exec" -> tsSessionizeSql,
     "ts_pattern_seq" -> tsPatternSeqSql,
     "ts_resample" -> tsResampleSql,
     "ts_anomaly" -> tsAnomalySql

@@ -132,4 +132,24 @@ class OperatorSpec extends SparkTestBase {
     assert(sessionsOf(Seq("2024-01-01 10:00:00", "2024-01-01 10:30:00")) == 1)
     assert(sessionsOf(Seq("2024-01-01 10:00:00", "2024-01-01 10:30:01")) == 2)
   }
+
+  test("SessionizeExec matches session_window boundary semantics and resets per user") {
+    // same merge rule as the built-in: exactly prev + gap CONTINUES;
+    // the counter restarts at 1 for each user in clustering order
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-01 10:30:00"), // exactly gap: same session
+      (1L, "2024-01-01 11:00:01"), // 1s past gap: new session
+      (2L, "2024-01-01 10:00:00")  // new user: counter resets to 1
+    ).toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = graft.plans.Sessionize
+      .sessionize(df, "user_id", "ts", Seq("event_id"), 1800L * 1000000L)
+      .orderBy("user_id", "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")))
+      .toSeq
+    assert(out == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)), out.toString)
+  }
 }
