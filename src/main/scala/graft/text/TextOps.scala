@@ -354,7 +354,78 @@ object TextOps {
       |FROM ng GROUP BY 1
       |ORDER BY df DESC, tf DESC, ngram LIMIT 50""".stripMargin
 
+  /** Corpus admission gate — the C4/RefinedWeb-style filter CHAIN
+    * composed from this module's own primitives, per doc in one pass:
+    * language gate (the en-marker heuristic of text_lang_id), quality
+    * gate (text_quality's composite ≥ 0.25, i.e. the corpus median),
+    * and an exact-dedup gate (first doc_id per md5 keeps). Emitting
+    * per-stage booleans rather than a filtered corpus is deliberate:
+    * at 100 TB you audit WHY documents die (per-gate kill rates) before
+    * materializing the survivors, and the admitted flag is then a
+    * single conjunction. The only shuffle is the md5 window — the
+    * scoring gates are row-local expression work. */
+  val etlCorpusFilter: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstByHash = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    Tables
+      .documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stopwords: _*))))
+      .withColumn("avg_tok_len", round(col("n_alpha") / col("n_tok"), 4))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tok"), 4))
+      .withColumn(
+        "quality",
+        round(
+          lit(0.5) * col("stop_ratio") +
+            lit(0.5) * least(col("avg_tok_len") / 10.0, lit(1.0)),
+          6
+        )
+      )
+      .withColumn(
+        "n_marker",
+        size(filter(col("toks"), t => t.isin("the", "a")))
+      )
+      .withColumn("pass_lang", col("n_marker") / col("n_tok") >= 0.05)
+      .withColumn("pass_quality", col("quality") >= 0.25)
+      .withColumn("pass_dedup", row_number().over(firstByHash) === 1)
+      .withColumn(
+        "admitted",
+        col("pass_lang") && col("pass_quality") && col("pass_dedup")
+      )
+      .select(
+        col("doc_id"),
+        col("quality"),
+        col("pass_lang"),
+        col("pass_quality"),
+        col("pass_dedup"),
+        col("admitted")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val etlCorpusFilterSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, text, len(string_split(text,' ')) AS n_tok,
+       |   length(regexp_replace(text,'[^a-z]','','g')) AS n_alpha,
+       |   len(list_filter(string_split(text,' '), t -> list_contains($stopSql, t))) AS n_stop,
+       |   len(list_filter(string_split(text,' '), t -> list_contains(['the','a'], t))) AS n_marker
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |   round(0.5*round(n_stop*1.0/n_tok,4)
+       |         + 0.5*least(round(n_alpha*1.0/n_tok,4)/10.0, 1.0), 6) AS quality,
+       |   n_marker*1.0/n_tok >= 0.05 AS pass_lang,
+       |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS pass_dedup
+       |  FROM f)
+       |SELECT doc_id, quality, pass_lang,
+       | quality >= 0.25 AS pass_quality, pass_dedup,
+       | pass_lang AND quality >= 0.25 AND pass_dedup AS admitted
+       |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_corpus_filter" -> etlCorpusFilter,
     "text_top_ngrams" -> textTopNgrams,
     "text_pii_redact" -> textPiiRedact,
     "text_bigram_score" -> textBigramScore,
@@ -370,6 +441,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_corpus_filter" -> etlCorpusFilterSql,
     "text_top_ngrams" -> textTopNgramsSql,
     "text_pii_redact" -> textPiiRedactSql,
     "text_bigram_score" -> textBigramScoreSql,
