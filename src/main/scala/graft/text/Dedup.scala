@@ -321,39 +321,23 @@ object Dedup {
     * independent of vertex count). Canonical-doc selection by rank
     * rather than min-id is what this buys a dedup pipeline. */
   /** The near-dup graph's edge list (jaccard ≥ 0.5, d1 < d2) — shared
-    * by graphPagerank / graphDegree / graphTriangles.
+    * by dedupClusterCc / graphPagerank / graphDegree / graphTriangles.
     *
-    * Built with a TWO-SIDED PREFIX FILTER (AllPairs, public
-    * set-similarity-join literature), which is EXACT for this
-    * threshold: J(A,B) ≥ 0.5 forces |A∩B| ≥ max(⌈|A|/2⌉, ⌈|B|/2⌉), and
-    * with every doc's shingles ranked in one global rarity order, two
-    * sets overlapping in ≥ c elements must share one within their
-    * first (size − c + 1) elements — so candidates need only join the
-    * rarest ⌊n/2⌋+1 shingles of EACH side. That keeps the hot half of
-    * the shingle universe (the quadratic posting lists) out of the
-    * candidate join entirely; the exact jaccard co-count then runs
-    * only over candidate pairs, the same candidate-proportional shape
-    * as dedup_minhash_near's verification. Output — and the graph
-    * oracles, which do the brute-force work in DuckDB — are unchanged. */
+    * Deliberately the direct shingle self-join: a two-sided prefix
+    * filter (see [[dedupContainmentPrefix]]) was measured HERE at
+    * sf0.1 and LOST 3× (graph_triangles 3.8s → 16.8s) — this corpus's
+    * shingles are near-unique, so posting lists are already tiny and
+    * the rarity ranking (a full-shingle window sort) plus the
+    * candidate-restricted re-join cost more than the brute join they
+    * avoid. Prefix/LSH candidate generation pays off exactly when
+    * posting lists get heavy (boilerplate-laden real corpora) — the
+    * same measured crossover as sim_pairs_ann vs its brute twin on
+    * near-orthogonal embeddings. */
   private def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sdf = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
-    val byRarity = Window.partitionBy("doc_id").orderBy("sdf", "s")
-    val prefix = sh
-      .join(sdf, "s")
-      .withColumn("rn", row_number().over(byRarity))
-      .join(sz, "doc_id")
-      .filter(col("rn") <= expr("n div 2 + 1"))
-      .select("doc_id", "s")
-    val cand = prefix
-      .toDF("d1", "s1")
-      .join(prefix.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
-      .select("d1", "d2")
-      .distinct()
-    cand
-      .join(sh.toDF("d1", "s"), "d1")
-      .join(sh.toDF("d2", "s"), Seq("d2", "s"))
+    sh.toDF("d1", "s1")
+      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("common"))
       .join(sz.toDF("d1", "n1"), "d1")
@@ -496,7 +480,14 @@ object Dedup {
     * candidate join never sees the hot buckets that a random 20%
     * sample of shingles would, and the probe side is 5× smaller than
     * the full inverted index. The exact containment count then runs
-    * only over candidate pairs. */
+    * only over candidate pairs.
+    *
+    * Measured on THIS corpus (near-unique shingles, sf0.1) the prefix
+    * machinery costs more than the brute twin (4.5s vs 3.1s): the
+    * rarity ranking is a full-shingle window sort and there is nothing
+    * to prune when posting lists are 1-2 entries long. It earns its
+    * keep on boilerplate-heavy real corpora where posting lists are
+    * the quadratic term — the same crossover nearDupEdges documents. */
   val dedupContainmentPrefix: Q = (spark, dir) => {
     val sh = shingles(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
