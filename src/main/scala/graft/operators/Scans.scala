@@ -301,7 +301,50 @@ object Scans {
       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM s GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin
 
+  /** Generated date-spine dimension: a gap-free calendar spanning the
+    * fact table's date range, with the attributes reporting joins key
+    * on (ISO week, weekday, quarter, month end). Generation is
+    * `sequence` + `explode` from a one-row min/max aggregate — no
+    * driver-side loop, and the spine is bounded by days-of-history at
+    * any fact-table size. The standard gap-fill companion: left-join
+    * facts onto the spine so absent days surface as nulls. */
+  val sourceDatespine: Q = (spark, dir) => {
+    val span = Tables
+      .orders(spark, dir)
+      .agg(
+        to_date(min("o_orderdate")).as("lo"),
+        to_date(max("o_orderdate")).as("hi")
+      )
+    span
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .select(
+        col("day"),
+        year(col("day")).as("y"),
+        month(col("day")).as("m"),
+        dayofmonth(col("day")).as("dom"),
+        weekday(col("day")).as("wd"),
+        weekofyear(col("day")).as("woy"),
+        quarter(col("day")).as("q"),
+        last_day(col("day")).as("month_end"),
+        (weekday(col("day")) >= 5).as("is_weekend")
+      )
+      .orderBy("day")
+  }
+
+  private val sourceDatespineSql =
+    """WITH span AS (
+      |  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+      |         CAST(max(o_orderdate) AS DATE) AS hi
+      |  FROM orders),
+      |d AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |      FROM span)
+      |SELECT day, year(day) AS y, month(day) AS m, day(day) AS dom,
+      | isodow(day) - 1 AS wd, weekofyear(day) AS woy, quarter(day) AS q,
+      | last_day(day) AS month_end, isodow(day) - 1 >= 5 AS is_weekend
+      |FROM d ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "source_datespine" -> sourceDatespine,
     "sink_manifest" -> sinkManifest,
     "source_binaryfile" -> sourceBinaryfile,
     "sink_json" -> sinkJson,
@@ -319,6 +362,7 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    "source_datespine" -> sourceDatespineSql,
     "sink_manifest" -> sinkManifestSql,
     // 1 coalesced file; bytes = chars (ASCII corpus) + one newline/row
     "source_binaryfile" ->

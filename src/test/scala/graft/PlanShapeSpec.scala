@@ -231,6 +231,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles == 1, s"expected 1 shuffle, plan:\n$s")
   }
 
+  test("win_rank_topk_per_group engages Spark's WindowGroupLimit pushdown") {
+    // the rn <= k filter over row_number should plan the 3.5+ group-limit
+    // operator, which caps per-group rows BEFORE the full window sort —
+    // the built-in cousin of the custom TopKPerGroup node
+    val s = planString(operators.Windows.winRankTopk(spark, sf001))
+    assert(s.contains("WindowGroupLimit"), s)
+  }
+
   test("ts_sessionize_exec plans the fused SessionizeExec on one exchange") {
     val s = planString(operators.EventAnalytics.tsSessionizeExec(spark, sf0001))
     // SparkPlan.nodeName strips the Exec suffix: the node prints as "Sessionize"
