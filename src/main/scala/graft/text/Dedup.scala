@@ -522,6 +522,43 @@ object Dedup {
       .orderBy("contained", "container")
   }
 
+  /** Benchmark decontamination — the train/eval overlap audit every
+    * LLM data pipeline runs before training: flag training documents
+    * sharing word-3-grams with a held-out benchmark set (here the
+    * deterministic doc_id % 97 slice stands in for the benchmark).
+    * The benchmark's shingle set is tiny relative to the corpus, so it
+    * BROADCASTS and the train side never shuffles — at 100 TB this is
+    * one map-side semi-join pass over the corpus, the same shape as a
+    * bloom-filter prejoin. Output: every overlapping train doc with
+    * its distinct-shingle hit count and the contaminated flag (≥ 3
+    * shared 3-grams ≈ one shared 5-gram span). */
+  val dedupDecontaminate: Q = (spark, dir) => {
+    val sh = shingles(spark, dir)
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        col("doc_id"),
+        col("n_hits"),
+        (col("n_hits") >= 3).as("contaminated")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val dedupDecontaminateSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |        WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |       count(*) >= 3 AS contaminated
+      |FROM sh JOIN b USING (s)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** DuckDB CTE prefix reconstructing [[nearDupEdges]] — shared by the
     * graph-analytics oracles below. */
   private val edgesCteSql =
@@ -598,6 +635,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_containment" -> dedupContainment,
     "dedup_containment_prefix" -> dedupContainmentPrefix,
+    "dedup_decontaminate" -> dedupDecontaminate,
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank,
@@ -616,6 +654,7 @@ object Dedup {
     "graph_triangles" -> graphTrianglesSql,
     // exact by the prefix-filter guarantee — shares the brute twin's oracle
     "dedup_containment_prefix" -> dedupContainmentSql,
+    "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE
         |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
