@@ -53,6 +53,33 @@ object StreamOps {
         col("sum_val")
       )
 
+  /** Sliding 1h/15m windows as CHAINED stateful aggregates — the
+    * streaming twin of the batch pane rollup (StreamingBatch.
+    * streamSliding): a 15-minute tumbling pane aggregate feeds a
+    * second windowed aggregate keyed on the sliding windows containing
+    * each pane (`window_time` re-exposes a window's event time, the
+    * Spark 3.5+ multiple-stateful-operator pattern). Per-event state is
+    * pane-granular, and only the (tiny) pane stream pays the 4×
+    * sliding fan-out — the streaming analogue of the batch plan's
+    * map-side-combine-then-expand. Exactness vs the one-shot sliding
+    * aggregate is asserted in StreamingSpec. */
+  def slidingByPanes(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("pc"), sum("value").as("pv"))
+      .groupBy(
+        window(window_time(col("window")), "1 hour", "15 minutes").as("w"),
+        col("event_type")
+      )
+      .agg(sum("pc").as("cnt"), sum("pv").as("sum_val"))
+      .select(
+        col("w.start").as("ws"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_val")
+      )
+
   /** Session windows (30-minute gap) per user with watermark-bounded
     * state — sessions merge as events arrive and emit on close. */
   def sessionAgg(events: DataFrame): DataFrame =

@@ -54,6 +54,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained pane aggregates emit exact sliding windows (multi-stateful)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = StreamOps
+      .slidingByPanes(ms.toDF)
+      .writeStream
+      .format("memory")
+      .queryName("pane_sliding")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:05:00"),
+        ev(2, "2024-01-01 10:10:00"),
+        ev(3, "2024-01-01 10:20:00"),
+        ev(4, "2024-01-01 10:50:00")
+      )
+      q.processAllAvailable()
+      // march the watermark well past 11:00 so every sliding window
+      // covering the 10:xx events closes through BOTH stateful operators
+      ms.addData(ev(5, "2024-01-01 13:00:00")); q.processAllAvailable()
+      ms.addData(ev(6, "2024-01-01 13:10:00")); q.processAllAvailable()
+      ms.addData(ev(7, "2024-01-01 13:20:00")); q.processAllAvailable()
+      ms.addData(ev(8, "2024-01-01 13:30:00")); q.processAllAvailable()
+      val got = spark
+        .table("pane_sliding")
+        .collect()
+        .map(r => r.getTimestamp(0) -> r.getAs[Long]("cnt"))
+        .toMap
+      // [10:00,11:00) sees all four events; [09:30,10:30) only the first three
+      assert(got.get(ts("2024-01-01 10:00:00")).contains(4L), got.toString)
+      assert(got.get(ts("2024-01-01 09:30:00")).contains(3L), got.toString)
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap and emit on close") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
