@@ -141,6 +141,50 @@ object Aggregates {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Weighted median (lower): smallest price whose cumulative quantity
+    * weight reaches half the group's total. One windowed prefix sum
+    * over the (group, price) sort + a broadcast-size total join — no
+    * collect, no per-group sort beyond the single exchange. The
+    * threshold compare is DRIFT-FREE across engines because
+    * l_quantity is integral (1..50): both the running and the total
+    * weight are exact integers in float64, so `2·cum ≥ tot` can never
+    * straddle an epsilon. */
+  val aggWeightedMedian: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_extendedprice"),
+        col("l_quantity"),
+        col("l_orderkey"),
+        col("l_linenumber")
+      )
+      .withColumn("cumw", sum("l_quantity").over(w))
+    val tot = li.groupBy("l_returnflag").agg(sum("l_quantity").as("totw"))
+    li.join(broadcast(tot), "l_returnflag")
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("w_median"))
+      .orderBy("l_returnflag")
+  }
+
+  private val aggWeightedMedianSql =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |   sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |        ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM lineitem)
+      |SELECT l_returnflag, min(l_extendedprice) AS w_median
+      |FROM c WHERE cumw * 2 >= totw
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   /** Statistical aggregates incl. exact interpolated median. */
   val aggStats: Q = (spark, dir) =>
     Tables
@@ -654,7 +698,8 @@ object Aggregates {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_cube" -> aggCube,
     "agg_stats" -> aggStats,
-    "agg_stats_pop" -> aggStatsPop
+    "agg_stats_pop" -> aggStatsPop,
+    "agg_weighted_median" -> aggWeightedMedian
   )
 
   val oracles: Map[String, String] = Map(
@@ -675,6 +720,7 @@ object Aggregates {
     "agg_hash" -> aggHashSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
-    "agg_stats" -> aggStatsSql
+    "agg_stats" -> aggStatsSql,
+    "agg_weighted_median" -> aggWeightedMedianSql
   )
 }

@@ -351,7 +351,118 @@ object EventAnalytics {
       |WHERE abs(e.value - s.mu) > 3.0 * s.sigma
       |ORDER BY e.event_id""".stripMargin
 
+  /** Week-over-week growth: weekly counts per event_type (Monday-start
+    * weeks — Spark and DuckDB `date_trunc('week', …)` agree) with a
+    * lag-based percent delta. Output is bounded by weeks × types; the
+    * growth division is int/int in float64, exact before the 4dp
+    * round. */
+  val tsWowGrowth: Q = (spark, dir) => {
+    val wk = Window.partitionBy("event_type").orderBy("week")
+    Tables
+      .events(spark, dir)
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev_cnt", lag("cnt", 1).over(wk))
+      .withColumn(
+        "wow_pct",
+        round((col("cnt") - col("prev_cnt")) / col("prev_cnt") * 100, 4)
+      )
+      .orderBy("week", "event_type")
+  }
+
+  private val tsWowGrowthSql =
+    """WITH w AS (
+      |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT week, event_type, cnt,
+      | lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt,
+      | round((cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY week))
+      |       / lag(cnt) OVER (PARTITION BY event_type ORDER BY week) * 100, 4)
+      |   AS wow_pct
+      |FROM w ORDER BY week, event_type""".stripMargin
+
+  /** 24-hour rolling correlation between hourly purchase revenue and
+    * hourly click traffic — the metric-coupling signal an integration
+    * dashboard tracks. The hourly series is built first (both inputs
+    * rounded to the 4dp grid so the two engines correlate IDENTICAL
+    * numbers — order-of-summation drift dies at the round), then
+    * `corr` runs as a window aggregate over ROWS 23 PRECEDING.
+    * Undefined frames (constant series, n<2) surface as NULL on both
+    * sides: Spark's NaN is mapped through nullif-style guard. */
+  val tsRollingCorr: Q = (spark, dir) => {
+    val w24 = Window.orderBy("hour").rowsBetween(-23, 0)
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        round(
+          sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)),
+          4
+        ).as("purch_val"),
+        count(when(col("event_type") === "click", lit(1))).as("click_cnt")
+      )
+    // explicit moment formula instead of corr(): (a) Spark 4 ANSI corr
+    // raises DIVIDE_BY_ZERO on zero-variance frames, and (b) mirroring
+    // the exact same expression in the oracle removes any dependence on
+    // either engine's internal corr algorithm. Degenerate frames (n=1,
+    // constant integer click counts, all-zero purchase hours) cancel
+    // EXACTLY in float64 on both sides, so the vx/vy > 0 guard can't
+    // disagree across engines.
+    val x = col("purch_val")
+    val y = col("click_cnt").cast("double")
+    hourly
+      .withColumn("n", count(lit(1)).over(w24).cast("double"))
+      .withColumn("sx", sum(x).over(w24))
+      .withColumn("sy", sum(y).over(w24))
+      .withColumn("sxx", sum(x * x).over(w24))
+      .withColumn("syy", sum(y * y).over(w24))
+      .withColumn("sxy", sum(x * y).over(w24))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(
+        col("hour"),
+        col("purch_val"),
+        col("click_cnt"),
+        round(
+          when(
+            col("vx") > 0 && col("vy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(col("vx") * col("vy"))
+          ),
+          6
+        ).as("corr_24h")
+      )
+      .orderBy("hour")
+  }
+
+  private val tsRollingCorrSql =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |   round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
+      |     AS purch_val,
+      |   CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+      |     AS click_cnt
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT hour, purch_val, click_cnt,
+      |   CAST(count(*) OVER w AS DOUBLE) AS n,
+      |   sum(purch_val) OVER w AS sx,
+      |   sum(CAST(click_cnt AS DOUBLE)) OVER w AS sy,
+      |   sum(purch_val * purch_val) OVER w AS sxx,
+      |   sum(CAST(click_cnt AS DOUBLE) * CAST(click_cnt AS DOUBLE)) OVER w AS syy,
+      |   sum(purch_val * CAST(click_cnt AS DOUBLE)) OVER w AS sxy
+      |  FROM h
+      |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT hour, purch_val, click_cnt,
+      | round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |   THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+      |   END, 6) AS corr_24h
+      |FROM m ORDER BY hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_wow_growth" -> tsWowGrowth,
+    "ts_rolling_corr" -> tsRollingCorr,
     "ts_streaks" -> tsStreaks,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
@@ -363,6 +474,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_wow_growth" -> tsWowGrowthSql,
+    "ts_rolling_corr" -> tsRollingCorrSql,
     "ts_streaks" -> tsStreaksSql,
     "ts_funnel" -> tsFunnelSql,
     "ts_retention" -> tsRetentionSql,
