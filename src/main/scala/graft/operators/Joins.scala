@@ -222,6 +222,90 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join — the other `merge_asof` direction: each error
+    * event picks the same user's FIRST purchase at-or-after it (time to
+    * recovery/conversion after a failure — unlike ts_pattern_seq this
+    * looks past intervening events). Same single-shuffle
+    * interleave-and-sort shape as [[joinAsof]], with the carry running
+    * backward (`first(…, ignoreNulls)` over
+    * [CURRENT ROW, UNBOUNDED FOLLOWING]). Tie policy: a purchase at the
+    * exact error timestamp is visible (probes sort before quotes at
+    * equal t, so it lands inside the forward frame), and among
+    * equal-time purchases the lowest event_id wins. */
+  val joinAsofFwd: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val probe = ev
+      .filter(col("event_type") === "error")
+      .select(
+        col("user_id"),
+        col("ts").as("t"),
+        lit(0).as("is_quote"),
+        col("event_id").as("error_id"),
+        col("ts").as("error_ts"),
+        lit(null).cast("bigint").as("p_id"),
+        lit(null).cast("timestamp").as("p_ts"),
+        lit(null).cast("double").as("p_value")
+      )
+    val quote = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("t"),
+        lit(1).as("is_quote"),
+        lit(null).cast("bigint").as("error_id"),
+        lit(null).cast("timestamp").as("error_ts"),
+        col("event_id").as("p_id"),
+        col("ts").as("p_ts"),
+        col("value").as("p_value")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("t"), col("is_quote"), col("p_id").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    probe
+      .unionByName(quote)
+      .withColumn("n_id", first("p_id", ignoreNulls = true).over(w))
+      .withColumn("n_ts", first("p_ts", ignoreNulls = true).over(w))
+      .withColumn("n_value", first("p_value", ignoreNulls = true).over(w))
+      .filter(col("is_quote") === 0 && col("n_id").isNotNull)
+      .select(
+        col("error_id"),
+        col("user_id"),
+        col("error_ts"),
+        col("n_id").as("purchase_id"),
+        col("n_ts").as("purchase_ts"),
+        col("n_value").as("purchase_value"),
+        expr("(unix_micros(n_ts) - unix_micros(error_ts)) div 1000000")
+          .as("recovery_seconds")
+      )
+      .orderBy("error_id")
+  }
+
+  private val joinAsofFwdSql =
+    """WITH u AS (
+      |  SELECT user_id, ts AS t, 0 AS is_quote, event_id AS error_id,
+      |         ts AS error_ts, CAST(NULL AS BIGINT) AS p_id,
+      |         CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS DOUBLE) AS p_value
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, NULL, NULL, event_id, ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT *,
+      |   first_value(p_id IGNORE NULLS) OVER w AS n_id,
+      |   first_value(p_ts IGNORE NULLS) OVER w AS n_ts,
+      |   first_value(p_value IGNORE NULLS) OVER w AS n_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY t, is_quote, p_id NULLS FIRST
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT error_id, user_id, error_ts, n_id AS purchase_id,
+      |       n_ts AS purchase_ts, n_value AS purchase_value,
+      |       (epoch_us(n_ts) - epoch_us(error_ts)) // 1000000
+      |         AS recovery_seconds
+      |FROM c WHERE is_quote = 0 AND n_id IS NOT NULL
+      |ORDER BY error_id""".stripMargin
+
   /** Bucketed co-located join: both sides pre-bucketed on the join key
     * (8 buckets) and read back through the catalog, so the join needs
     * NO shuffle of either side — the storage-layout answer to repeated
@@ -356,10 +440,12 @@ object Joins {
     "join_null_aware_anti" -> joinNullAwareAnti,
     "join_broadcast" -> joinBroadcast,
     "join_theta_range" -> joinThetaRange,
-    "join_asof" -> joinAsof
+    "join_asof" -> joinAsof,
+    "join_asof_fwd" -> joinAsofFwd
   )
 
   val oracles: Map[String, String] = Map(
+    "join_asof_fwd" -> joinAsofFwdSql,
     "join_range_binned" -> joinRangeBinnedSql,
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
