@@ -384,7 +384,10 @@ object EventAnalytics {
 
   /** 24-hour rolling correlation between hourly purchase revenue and
     * hourly click traffic — the metric-coupling signal an integration
-    * dashboard tracks. The hourly series is built first (both inputs
+    * dashboard tracks. The unpartitioned window is safe at any corpus
+    * size: it runs over the HOURLY series, whose row count is bounded
+    * by the time range (the corpus-sized work is the preceding hash
+    * aggregate with map-side combine). The hourly series is built first (both inputs
     * rounded to the 4dp grid so the two engines correlate IDENTICAL
     * numbers — order-of-summation drift dies at the round), then
     * `corr` runs as a window aggregate over ROWS 23 PRECEDING.
