@@ -351,6 +351,35 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Batch ANN serving shape: exact top-10 neighbors for EVERY probe in
+    * a probe set (vec_id < 10) in ONE corpus pass. The probe table
+    * broadcasts, the codegen'd cosine scores |corpus|×|probes| rows
+    * map-side, and the custom TopKPerGroup operator's PARTIAL stage
+    * prunes each probe's candidates to k per input partition before the
+    * exchange — shuffle volume is k·|probes| per partition, independent
+    * of corpus size (the window-function idiom would shuffle every
+    * scored row). Scores are rounded to the 6dp grid BEFORE selection
+    * with a vec_id tiebreak, so the heap's choices are deterministic
+    * across engines. */
+  val simBatchTopk: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val scored = emb
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(
+        col("pid"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, pe)"), 6).as("cos")
+      )
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("pid"), Seq(("cos", false), ("vec_id", true)), 10)
+      .orderBy(col("pid"), col("cos").desc, col("vec_id"))
+  }
+
   /** Per-dimension feature statistics over the embedding corpus — the
     * mean/std/min/max a normalization (or whitening) step needs. One
     * posexplode + one aggregate keyed on the 64 dimension ids: the
@@ -390,6 +419,7 @@ object Similarity {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_ann" -> dedupEmbedAnn,
     "sim_topk_nn" -> simTopkNn,
+    "sim_batch_topk" -> simBatchTopk,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_quantize_int8" -> simQuantizeInt8
@@ -534,7 +564,21 @@ object Similarity {
          |  / (e.nrm * p.pn) AS cosu
          | FROM n e, p WHERE e.vec_id <> 0)
          |SELECT vec_id, round(cosu, 6) AS cos FROM c
-         |ORDER BY cosu DESC, vec_id LIMIT 10""".stripMargin
+         |ORDER BY cosu DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_batch_topk" ->
+      s"""$normCte,
+         |p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pn
+         |      FROM n WHERE vec_id < 10),
+         |s AS (SELECT p.pid, e.vec_id,
+         |  round((SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+         |   FROM (SELECT unnest(e.embedding) x, unnest(p.pe) y) z)
+         |   / (e.nrm * p.pn), 6) AS cos
+         | FROM n e, p WHERE e.vec_id <> p.pid),
+         |r AS (SELECT pid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rn
+         | FROM s)
+         |SELECT pid, vec_id, cos FROM r WHERE rn <= 10
+         |ORDER BY pid, cos DESC, vec_id""".stripMargin
     // sim_ann_lsh: approximate + hash-seeded — rows-only; recall
     // asserted against brute force in SimilaritySpec.
   )

@@ -261,6 +261,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("TopKPerGroupPartial"), s)
   }
 
+  test("sim_batch_topk broadcasts probes and heap-prunes before the exchange") {
+    val s = planString(sim.Similarity.simBatchTopk(spark, sf0001))
+    assert(s.contains("BroadcastExchange"), s)
+    val exIdx = s.indexOf("Exchange hashpartitioning")
+    val partialIdx = s.indexOf("TopKPerGroupPartial")
+    assert(partialIdx >= 0, s"partial heap missing, plan:\n$s")
+    // printed top-down: the hash exchange must sit ABOVE the partial
+    // prune, i.e. only <= k rows per probe per partition are shuffled
+    assert(exIdx >= 0 && exIdx < partialIdx, s)
+  }
+
   test("bench count() does not collapse the flagship aggregation") {
     // SURVEY §3.3 hazard: df.count() must still execute the aggregate
     val df = operators.Aggregates.aggHash(spark, sf0001)
