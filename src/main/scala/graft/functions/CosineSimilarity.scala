@@ -145,10 +145,23 @@ object GraftFunctions {
       )
   }
 
+  val polyHashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => PolyHash(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"poly_hash expects 1 argument, got ${other.size}"
+      )
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       cosineBuilder,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash",
+      polyHashBuilder,
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

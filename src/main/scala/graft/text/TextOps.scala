@@ -120,6 +120,24 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** [[textFingerprint]] through the fused `poly_hash` codegen
+    * Expression (graft.functions.PolyHash): bit-identical fold, but the
+    * HOF idiom's one-UTF8String-per-character array never materializes —
+    * a single register loop inside whole-stage codegen, which is what
+    * matters when documents are megabytes. Shares the brute twin's
+    * oracle. */
+  val textFingerprintFast: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.register(spark)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("poly_hash(text)").as("fp"),
+        greatest(size(split(col("text"), " ")) - 2, lit(0)).as("n_shingles")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * lexer ([a-z]+ word pieces | digit runs | any other non-space
     * glyph) — the pretokenization shape LLM pipelines budget with. */
@@ -437,7 +455,8 @@ object TextOps {
     "text_lang_stats" -> textLangStats,
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
-    "text_fingerprint" -> textFingerprint
+    "text_fingerprint" -> textFingerprint,
+    "text_fingerprint_fast" -> textFingerprintFast
   )
 
   val oracles: Map[String, String] = Map(
@@ -516,6 +535,15 @@ object TextOps {
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split_regex(text,''), c -> CAST(unicode(c) AS BIGINT))),
+        |   (a, b) -> (a*31 + b) % 1000000007) AS fp,
+        | greatest(len(string_split(text,' ')) - 2, 0) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the fused-Expression twin is bit-identical — shares the oracle
+    "text_fingerprint_fast" ->
       """SELECT doc_id,
         | list_reduce(
         |   list_prepend(CAST(0 AS BIGINT),

@@ -133,6 +133,28 @@ class OperatorSpec extends SparkTestBase {
     assert(sessionsOf(Seq("2024-01-01 10:00:00", "2024-01-01 10:30:01")) == 2)
   }
 
+  test("poly_hash equals the HOF fingerprint fold beyond ASCII (codegen path)") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      "",
+      "plain ascii text",
+      "accents éàü and symbols ±×",
+      "emoji 😀 surrogate pair", // U+1F600: one code point, two chars
+      "mixed 中文 and ascii"
+    ).toDF("s")
+    val out = rows
+      .select(
+        expr("poly_hash(s)").as("fused"),
+        aggregate(
+          transform(split(col("s"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (h, c) => (h * 31 + c) % 1000000007L
+        ).as("hof")
+      )
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("SessionizeExec matches session_window boundary semantics and resets per user") {
     // same merge rule as the built-in: exactly prev + gap CONTINUES;
     // the counter restarts at 1 for each user in clustering order
