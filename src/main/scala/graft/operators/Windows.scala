@@ -117,6 +117,39 @@ object Windows {
       .orderBy("day")
   }
 
+  /** 7-day rolling MEDIAN of daily revenue — the robust trend line a
+    * dashboard plots beside the trailing sum (win_range_frame). Exact
+    * `percentile` as a window aggregate over ROWS 6 PRECEDING; daily
+    * revenue is rounded to the 2dp grid FIRST so both engines
+    * interpolate identical inputs, and the median of 2dp values lies
+    * on the 0.005 grid, so the 4dp output round can never sit on a
+    * cross-engine half boundary. The window runs over the bounded
+    * daily series (the corpus-sized work is the preceding aggregate). */
+  val winRollingMedian: Q = (spark, dir) => {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("day_rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(
+        col("day"),
+        col("day_rev"),
+        round(expr("percentile(day_rev, 0.5)").over(w), 4).as("med7")
+      )
+      .orderBy("day")
+  }
+
+  private val winRollingMedianSql =
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |   round(sum(o_totalprice), 2) AS day_rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, day_rev,
+      | round(quantile_cont(day_rev, 0.5) OVER (ORDER BY day
+      |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+      |FROM d ORDER BY day""".stripMargin
+
   /** first_value / last_value / nth_value family per customer. */
   val winFirstLast: Q = (spark, dir) => {
     val wRun = Window
@@ -261,7 +294,8 @@ object Windows {
     "win_running" -> winRunning,
     "win_lag_lead" -> winLagLead,
     "win_ntile_cume" -> winNtileCume,
-    "win_range_frame" -> winRangeFrame
+    "win_range_frame" -> winRangeFrame,
+    "win_rolling_median" -> winRollingMedian
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +357,7 @@ object Windows {
         |SELECT day, round(day_rev,2) AS day_rev,
         | round(sum(day_rev) OVER (ORDER BY epoch_s
         |   RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW),2) AS trail7
-        |FROM d ORDER BY day""".stripMargin
+        |FROM d ORDER BY day""".stripMargin,
+    "win_rolling_median" -> winRollingMedianSql
   )
 }
