@@ -12,6 +12,13 @@ object Verify {
     val wanted: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (args.length > 2) {
         val names = args(2).split(",").toSet
+        // fail fast on typos: a silently-empty subset would dump nothing
+        // and gate nothing, making a broken iteration look green
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(
+          unknown.isEmpty,
+          s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}"
+        )
         SparkEntry.queries.filter { case (k, _) => names(k) }
       } else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

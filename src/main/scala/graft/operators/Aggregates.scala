@@ -142,31 +142,66 @@ object Aggregates {
       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   /** Weighted median (lower): smallest price whose cumulative quantity
-    * weight reaches half the group's total. One windowed prefix sum
-    * over the (group, price) sort + a broadcast-size total join — no
-    * collect, no per-group sort beyond the single exchange. The
-    * threshold compare is DRIFT-FREE across engines because
-    * l_quantity is integral (1..50): both the running and the total
-    * weight are exact integers in float64, so `2·cum ≥ tot` can never
-    * straddle an epsilon. */
+    * weight reaches half the group's total — WITHOUT sorting the fact
+    * table into |distinct flag| (= 3) window partitions, which is a
+    * 3-task bottleneck by construction at any scale. Two-phase
+    * bucket-histogram crossing instead:
+    *
+    *   1. One hash aggregate builds a fixed-width price-bucket
+    *      histogram per flag (bucket count is a CONSTANT, so the
+    *      histogram — and the prefix-sum window over it — is bounded
+    *      regardless of input size).
+    *   2. The crossing bucket per flag (first bucket where 2·cum ≥
+    *      tot) plus the weight strictly below it are broadcast back,
+    *      and only the rows INSIDE the crossing bucket are
+    *      re-aggregated per exact price; the bounded per-price window
+    *      finds the crossing price.
+    *
+    * The answer equals the row-level formulation's because prices are
+    * nondecreasing across buckets: the smallest price p with
+    * 2·W(≤p) ≥ tot is the crossing row's price. Identical oracle SQL
+    * as before. Threshold compares are DRIFT-FREE: l_quantity is
+    * integral (1..50), so every partial weight is an exact integer in
+    * float64 and `2·cum ≥ tot` can never straddle an epsilon. */
   val aggWeightedMedian: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy("l_returnflag")
-      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val bucketOf = floor(col("l_extendedprice") / lit(64.0)).cast("long")
     val li = Tables
       .lineitem(spark, dir)
-      .select(
-        col("l_returnflag"),
-        col("l_extendedprice"),
-        col("l_quantity"),
-        col("l_orderkey"),
-        col("l_linenumber")
-      )
-      .withColumn("cumw", sum("l_quantity").over(w))
-    val tot = li.groupBy("l_returnflag").agg(sum("l_quantity").as("totw"))
-    li.join(broadcast(tot), "l_returnflag")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+    // phase 1: bounded histogram (≤ ~1.7k buckets per flag at any SF)
+    val hist = li
+      .groupBy(col("l_returnflag"), bucketOf.as("b"))
+      .agg(sum("l_quantity").as("bw"))
+    val wb = Window
+      .partitionBy("l_returnflag")
+      .orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cumbw", sum("bw").over(wb))
+      .withColumn("totw", sum("bw").over(Window.partitionBy("l_returnflag")))
+    val crossing = cum
+      .filter(col("cumbw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min("b").as("bc"), first("totw").as("totw"))
+    val below = cum
+      .join(crossing.select("l_returnflag", "bc"), Seq("l_returnflag"))
+      .filter(col("b") < col("bc"))
+      .groupBy("l_returnflag")
+      .agg(sum("bw").as("below"))
+    val crossInfo = crossing
+      .join(below, Seq("l_returnflag"), "left")
+      .withColumn("below", coalesce(col("below"), lit(0.0d)))
+    // phase 2: exact crossing price from ONLY the crossing bucket's rows
+    val wp = Window
+      .partitionBy("l_returnflag")
+      .orderBy("l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    li.join(broadcast(crossInfo), Seq("l_returnflag"))
+      .filter(bucketOf === col("bc"))
+      .groupBy("l_returnflag", "l_extendedprice", "below", "totw")
+      .agg(sum("l_quantity").as("pw"))
+      .withColumn("cumw", col("below") + sum("pw").over(wp))
       .filter(col("cumw") * 2 >= col("totw"))
       .groupBy("l_returnflag")
       .agg(min("l_extendedprice").as("w_median"))

@@ -79,17 +79,57 @@ object Windows {
       .orderBy("event_id")
   }
 
-  /** Quartiles / distribution functions over account balances. */
+  /** Quartiles / distribution functions over account balances —
+    * WITHOUT the single-partition `Window.orderBy` anti-pattern (an
+    * unpartitioned window serializes every row through one task; Spark
+    * itself warns `WindowExec: No Partition Defined`). Instead the
+    * global rank is assigned by the same two-phase scheme as
+    * etl_global_ids: range-partition on the order key, sort within
+    * partitions, collect only the per-partition COUNTS (bounded by the
+    * partition count), and turn their prefix sums into per-partition
+    * rank offsets. ntile/cume_dist/percent_rank are then pure
+    * arithmetic on (rank, n): the ordering key (c_acctbal, c_custkey)
+    * is unique, so cume_dist = r/n and percent_rank = (r-1)/(n-1)
+    * exactly as the window functions define them, and ntile uses the
+    * standard first-(n mod k)-buckets-get-one-extra fill. Same oracle
+    * as the window formulation; no task ever sees more than its range
+    * slice. */
   val winNtileCume: Q = (spark, dir) => {
-    val w = Window.orderBy("c_acctbal", "c_custkey")
-    Tables
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val cust = Tables
       .customer(spark, dir)
+      .select("c_custkey", "c_acctbal")
+      .repartitionByRange(8, col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions("c_acctbal", "c_custkey")
+    val counts = cust.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = counts.sum
+    val ranked = cust.rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    val k = 4L
+    val base = n / k
+    val rem = n % k
+    val pivot = rem * (base + 1) // rows in the first `rem` (larger) buckets
+    cust.sparkSession
+      .createDataFrame(ranked, cust.schema.add("r", LongType))
       .select(
         col("c_custkey"),
         col("c_acctbal"),
-        ntile(4).over(w).as("nt"),
-        cume_dist().over(w).as("cd"),
-        percent_rank().over(w).as("pr")
+        when(
+          lit(rem) > 0 && col("r") <= lit(pivot),
+          floor((col("r") - 1) / lit(base + 1)) + 1
+        ).otherwise(lit(rem) + floor((col("r") - lit(pivot) - 1) / lit(base)) + 1)
+          .cast("int")
+          .as("nt"),
+        (col("r").cast("double") / lit(n.toDouble)).as("cd"),
+        ((col("r") - 1).cast("double") / lit((n - 1).toDouble)).as("pr")
       )
       .orderBy("c_custkey")
   }

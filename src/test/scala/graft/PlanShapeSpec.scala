@@ -272,6 +272,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exIdx >= 0 && exIdx < partialIdx, s)
   }
 
+  test("win_ntile_cume plans no window operator at all (two-phase ranks)") {
+    // the old formulation was `Window.orderBy(...)` with no partitioning —
+    // a single-partition WindowExec (Spark logs `WARN WindowExec: No
+    // Partition Defined`). The two-phase rank/offset rewrite must leave
+    // NO window node in the executed plan.
+    val s = planString(operators.Windows.winNtileCume(spark, sf001))
+    assert(!s.contains("Window"), s"window operator survived:\n$s")
+    assert(s.contains("rangepartitioning"), s"range partitioning missing:\n$s")
+  }
+
+  test("agg_weighted_median windows only over bounded histograms, never raw fact rows") {
+    // the old shape sorted the whole fact table into 3 window partitions
+    // (one per l_returnflag). The bucket-histogram rewrite must place an
+    // aggregate below EVERY window, so window state is bounded by the
+    // constant bucket count, not the data size.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = operators.Aggregates.aggWeightedMedian(spark, sf001)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected histogram windows, plan:\n$plan")
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect { case a: BaseAggregateExec => a }
+      assert(
+        aggsBelow.nonEmpty,
+        s"WindowExec runs over raw (unaggregated) rows:\n$w"
+      )
+    }
+  }
+
   test("bench count() does not collapse the flagship aggregation") {
     // SURVEY §3.3 hazard: df.count() must still execute the aggregate
     val df = operators.Aggregates.aggHash(spark, sf0001)
