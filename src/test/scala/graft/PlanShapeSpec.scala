@@ -302,6 +302,15 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("etl_shard_assign plans no per-lang window (two-phase keyed offsets)") {
+    // |langs| is tiny, so `Window.partitionBy(lang)` would sort the whole
+    // corpus into a handful of tasks; the keyed two-phase offset rewrite
+    // must leave no window node and range-partition on (lang, doc_id).
+    val s = planString(operators.Etl.etlShardAssign(spark, sf001))
+    assert(!s.contains("Window"), s"window operator survived:\n$s")
+    assert(s.contains("rangepartitioning"), s"range partitioning missing:\n$s")
+  }
+
   test("bench count() does not collapse the flagship aggregation") {
     // SURVEY §3.3 hazard: df.count() must still execute the aggregate
     val df = operators.Aggregates.aggHash(spark, sf0001)
