@@ -593,7 +593,10 @@ object Aggregates {
     )
     o.select(col("o_totalprice"))
       .crossJoin(broadcast(bounds))
-      .withColumn("w", (col("hi") - col("lo")) / 10)
+      // degenerate input (all values equal → hi == lo) would divide by
+      // a zero bucket width; the epsilon floor puts every row in bucket
+      // 0 instead of emitting a null bucket, mirrored in the oracle
+      .withColumn("w", greatest((col("hi") - col("lo")) / 10, lit(1e-9)))
       .withColumn(
         "bucket",
         least(lit(9), floor((col("o_totalprice") - col("lo")) / col("w")))
@@ -615,9 +618,10 @@ object Aggregates {
     """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |           FROM orders),
       |binned AS (
-      |  SELECT least(9, CAST(floor((o_totalprice - lo) / ((hi - lo) / 10))
+      |  SELECT least(9, CAST(floor((o_totalprice - lo)
+      |                       / greatest((hi - lo) / 10, 1e-9))
       |                       AS BIGINT)) AS bucket,
-      |         lo, (hi - lo) / 10 AS w
+      |         lo, greatest((hi - lo) / 10, 1e-9) AS w
       |  FROM orders, b)
       |SELECT bucket,
       | round(min(lo) + bucket * min(w), 4) AS bucket_lo,

@@ -205,14 +205,20 @@ object StreamingBatch {
         | time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS we,
         | event_type, count(*) AS cnt, round(sum(value),4) AS sum_val
         |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
+    // mirrors the Spark-side PANE rollup (pane partials, then sum of
+    // pane sums) so both engines add floats in the same two-level
+    // order — summing raw values here could round differently on a
+    // half boundary at an untested scale factor
     "stream_sliding" ->
-      """SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
-        | count(*) AS cnt, round(sum(value),4) AS sum_val
+      """WITH pane AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS ps, event_type,
+        |         count(*) AS pc, sum(value) AS pv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
+        | CAST(sum(pc) AS BIGINT) AS cnt, round(sum(pv),4) AS sum_val
         |FROM (
-        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
-        |          - k * INTERVAL '15 minutes' AS ws,
-        |         event_type, value
-        |  FROM events, unnest([0,1,2,3]) AS u(k)) t
+        |  SELECT ps - k * INTERVAL '15 minutes' AS ws, event_type, pc, pv
+        |  FROM pane, unnest([0,1,2,3]) AS u(k)) t
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
     "stream_session" ->
       """WITH o AS (

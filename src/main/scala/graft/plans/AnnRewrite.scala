@@ -2,13 +2,21 @@ package graft.plans
 
 import graft.functions.CosineSim
 import org.apache.spark.sql.catalyst.expressions.{
+  Alias,
+  And,
   Attribute,
   Descending,
+  EqualTo,
   Expression,
   IntegerLiteral,
+  LessThan,
+  LessThanOrEqual,
+  RowNumber,
   ScalarSubquery,
-  SortOrder
+  SortOrder,
+  WindowExpression
 }
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -115,12 +123,39 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case ArrayType(FloatType, _) => true
             case _                       => false
           }) =>
-      val rows = GraftPlanBridge.ofRows(spark, s.plan).collect()
-      if (rows.length == 1 && !rows(0).isNullAt(0))
-        Some(rows(0).getSeq[Float](0).map(_.toDouble).toSeq)
-      else None
+      // the one-row eval launches a driver-side job at PLAN time, and
+      // fixed-point optimization can re-match the same pattern several
+      // times — memoize per canonicalized subquery plan so the job runs
+      // once, and fall back to no-rewrite (None) instead of failing the
+      // whole planning if the probe lookup errors
+      val key = s.plan.canonicalized
+      probeMemo.synchronized {
+        probeMemo.get(key) match {
+          case cached: Option[Seq[Double]] @unchecked if cached != null =>
+            cached
+          case _ =>
+            val res =
+              try {
+                val rows = GraftPlanBridge.ofRows(spark, s.plan).collect()
+                if (rows.length == 1 && !rows(0).isNullAt(0))
+                  Some(rows(0).getSeq[Float](0).map(_.toDouble).toSeq)
+                else None
+              } catch { case _: Exception => None }
+            probeMemo.put(key, res)
+            res
+        }
+      }
     case _ => None
   }
+
+  /** Bounded plan-time probe cache (see [[probeOf]]); insertion-order
+    * eviction keeps it from growing across a long session. */
+  private val probeMemo =
+    new java.util.LinkedHashMap[LogicalPlan, Option[Seq[Double]]]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, Option[Seq[Double]]]
+      ): Boolean = size() > 32
+    }
 
   /** Matches `Sort(cosine_sim(attr, <plan-time probe>) DESC, ...)` and
     * returns (order, emb attr, probe floats, child, hint). NOTE: the
@@ -162,7 +197,165 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Sort(order, global = true, pruneToTopCells(child, emb.name, probe), hint)
           )
         )
+      // per-row probe batch: Filter(rn <= k, Window(row_number ...
+      // order by cosine_sim(corpusEmb, probeEmb) DESC, Join(P, C)))
+      case f @ Filter(cond, w: Window) =>
+        rewritePerRowTopK(f, cond, w).getOrElse(f)
     }
+  }
+
+  /** Column-probe ANN join rewrite (the batch-serving shape): every row
+    * of a probe relation P ranks the corpus C by
+    * `cosine_sim(C.emb, P.probe)` through the standard
+    * row_number-over-join idiom. Brute force, that Join is a cross
+    * product — |P|·|C| scored rows. Rewritten: per-`label` centroids
+    * from C (one map-side aggregate), each probe scores the broadcast
+    * centroid set and keeps its top-3 cells, and the Join becomes an
+    * EQUI-join `P.__cell = C.label` — a hash join whose output is only
+    * each probe's candidate cells (~3/|cells| of the corpus per probe).
+    * The original Window + rank Filter re-bind unchanged on top, so
+    * results match the IVF semantics of [[pruneToTopCells]] probe-by-
+    * probe. Guards: exactly ONE Join below the window (the rewritten
+    * child contains several, so the rule cannot re-enter), both sides
+    * join/agg-free, the window partition keys all on the probe side,
+    * and in `auto` mode the corpus-size cost gate. */
+  private def rewritePerRowTopK(
+      f: Filter,
+      cond: Expression,
+      w: Window
+  ): Option[LogicalPlan] = {
+    // rank predicate over the single row_number window expression
+    val rank = cond match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) => Some((a, k))
+      case LessThan(a: Attribute, IntegerLiteral(k))        => Some((a, k - 1))
+      case _                                                => None
+    }
+    rank match {
+      case Some((rnAttr, k)) if k >= 1 && k <= 1000 =>
+        val rnOk = w.windowExpressions match {
+          case Seq(al: Alias) =>
+            al.child match {
+              case WindowExpression(_: RowNumber, _) => al.exprId == rnAttr.exprId
+              case _                                 => false
+            }
+          case _ => false
+        }
+        // the optimizer extracts window order expressions into a Project
+        // below (`cosine_sim(...) AS _w0`), so the order key is usually
+        // an Attribute — chase it to its defining Alias in the child
+        def cosIn(e: Expression): Option[CosineSim] =
+          e.collectFirst { case c @ CosineSim(_: Attribute, _: Attribute) => c }
+        val cos = w.orderSpec.headOption.flatMap {
+          case SortOrder(oe, Descending, _, _) =>
+            cosIn(oe).orElse(oe match {
+              case a: Attribute =>
+                w.child
+                  .collect { case pr: Project => pr.projectList }
+                  .flatten
+                  .collectFirst { case al: Alias if al.exprId == a.exprId => al }
+                  .flatMap(al => cosIn(al.child))
+              case _ => None
+            })
+          case _ => None
+        }
+        val pids = w.partitionSpec.flatMap {
+          case a: Attribute => Some(a)
+          case _            => None
+        }
+        val joins = w.child.collect { case j: Join => j }
+        (cos, joins) match {
+          case (Some(CosineSim(embA: Attribute, probeA: Attribute)), Seq(j))
+              if rnOk && pids.length == w.partitionSpec.length &&
+                (j.joinType == Inner || j.joinType == Cross) =>
+            val sides =
+              if (j.right.outputSet.contains(embA) && j.left.outputSet.contains(probeA))
+                Some((j.left, j.right))
+              else if (j.left.outputSet.contains(embA) && j.right.outputSet.contains(probeA))
+                Some((j.right, j.left))
+              else None
+            sides.flatMap { case (pSide, cSide) =>
+              val joinFree = (p: LogicalPlan) =>
+                p.collectFirst {
+                  case jj: Join      => jj
+                  case a: Aggregate  => a
+                  case ww: Window    => ww
+                }.isEmpty
+              val namesOk = (p: LogicalPlan) =>
+                p.output.map(_.name).distinct.length == p.output.length
+              val eligibleSides =
+                joinFree(pSide) && joinFree(cSide) &&
+                  namesOk(pSide) && namesOk(cSide) &&
+                  cSide.output.exists(_.name == "label") &&
+                  !pSide.output.exists(n => n.name == "label" || n.name == "__cell") &&
+                  pids.forall(pSide.outputSet.contains) &&
+                  (mode != "auto" || cSide.stats.sizeInBytes >= minBytes)
+              if (!eligibleSides) None
+              else {
+                val pruned = pruneJoinToProbeCells(j, pSide, cSide, embA, probeA, pids)
+                val newChild = w.child.transformUp {
+                  case jj: Join if jj eq j => pruned
+                }
+                Some(Filter(cond, w.copy(child = newChild)))
+              }
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Builds the cell-pruned replacement for the probe×corpus Join: the
+    * same 6dp-rounded per-label centroids as [[pruneToTopCells]], a
+    * broadcast centroid fan-out scored per probe, top-3 cells per probe
+    * (window over the probe keys — |P|·|cells| rows, tiny), then the
+    * equi-join on the candidate cell. Output attrs are exactly
+    * `j.output` so the window above re-binds unchanged; the original
+    * join condition (e.g. probe != corpus id) is kept alongside the
+    * cell equality. */
+  private def pruneJoinToProbeCells(
+      j: Join,
+      pSide: LogicalPlan,
+      cSide: LogicalPlan,
+      embA: Attribute,
+      probeA: Attribute,
+      pids: Seq[Attribute]
+  ): LogicalPlan = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val pDf = GraftPlanBridge.ofRows(spark, pSide)
+    val cDf = GraftPlanBridge.ofRows(spark, cSide)
+    val cent = cDf
+      .select(col("label"), posexplode(col(s"`${embA.name}`")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(
+        expr("transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 6) + 0.0)")
+          .as("__cent")
+      )
+    val pn = s"`${probeA.name}`"
+    val csSql =
+      s"aggregate(zip_with(__cent, $pn, (c, p) -> c * CAST(p AS DOUBLE)), 0D, (a, x) -> a + x)" +
+        s" / (sqrt(aggregate(__cent, 0D, (a, c) -> a + c * c))" +
+        s" * sqrt(aggregate($pn, 0D, (a, p) -> a + CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+    val topCells = pDf
+      .crossJoin(broadcast(cent))
+      .withColumn("__cscore", expr(csSql))
+      .withColumn(
+        "__crn",
+        row_number().over(
+          W.partitionBy(pids.map(a => col(s"`${a.name}`")): _*)
+            .orderBy(col("__cscore").desc, col("label"))
+        )
+      )
+      .filter(col("__crn") <= 3)
+      .select(pSide.output.map(a => col(s"`${a.name}`")) :+ col("label").as("__cell"): _*)
+    // optimizedPlan folds the broadcast ResolvedHint (see pruneToTopCells)
+    val topPlan = topCells.queryExecution.optimizedPlan
+    val cellAttr = topPlan.output.find(_.name == "__cell").get
+    val labelAttr = cSide.output.find(_.name == "label").get
+    val eq = EqualTo(cellAttr, labelAttr)
+    val newCond = j.condition.map(And(eq, _)).getOrElse(eq)
+    Project(j.output, Join(topPlan, cSide, Inner, Some(newCond), JoinHint.NONE))
   }
 
   /** Builds (via the DataFrame API) the cell-pruned child: centroid per

@@ -323,6 +323,63 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cosu"), 6).as("cos"))
   }
 
+  /** Column-probe ANN join — the batch-serving form of [[simIvfTopk]]:
+    * EVERY probe row (vec_id < 20) ranks the corpus by cosine through
+    * the standard row_number-over-join idiom, and the
+    * [[graft.plans.AnnIvfRewriteRule]] per-row extension rewrites the
+    * probe×corpus cross product into an equi-join on each probe's
+    * top-3 IVF cells (broadcast 6dp centroids → per-probe cell pick →
+    * hash join on the cell label). The rule is applied EAGERLY to the
+    * optimized brute plan so the returned DataFrame IS the rewritten
+    * plan regardless of session conf state when the driver finally
+    * executes it; PlanShapeSpec asserts the same rewrite fires through
+    * the normal optimizer pipeline (install + conf) and that the brute
+    * single-join plan survives when disabled. The oracle replicates
+    * the cell pruning, so the approximate path itself is hash-checked
+    * (the sim_pairs_ann pattern). */
+  val simAnnJoin: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val brute = probes
+      .join(emb, col("pid") =!= col("vec_id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("cosine_sim(embedding, pe)").desc, col("vec_id"))
+        )
+      )
+      .filter(col("rn") <= 10)
+      .select(
+        col("pid"),
+        col("vec_id"),
+        col("label"),
+        round(expr("cosine_sim(embedding, pe)"), 6).as("cos"),
+        col("rn")
+      )
+      .orderBy("pid", "rn")
+    val rule = graft.plans.AnnIvfRewriteRule(spark)
+    val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        rewritten.collectFirst { case a if a.output.exists(_.name == "__cell") => a }.isDefined ||
+          rewritten.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.length > 1,
+        "per-row ANN rewrite did not fire"
+      )
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
+      case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+    }
+  }
+
   /** k-means assignment step (the inner loop of Lloyd's at any scale):
     * k=8 deterministic seeds (vec_id < 8), every vector scored against
     * the BROADCAST centroid set with the codegen'd `cosine_sim` kernel,
@@ -414,6 +471,7 @@ object Similarity {
     "ml_feature_stats" -> mlFeatureStats,
     "sim_kmeans_assign" -> simKmeansAssign,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_ann_join" -> simAnnJoin,
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_pairs_ann" -> simPairsAnn,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -479,6 +537,45 @@ object Similarity {
         |   list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
         |  FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,
+    "sim_ann_join" ->
+      """WITH cent AS (
+        |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (
+        |    SELECT label, i, avg(x) AS m FROM (
+        |      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings) u
+        |    GROUP BY label, i) t
+        |  GROUP BY label),
+        |p AS (SELECT vec_id AS pid, embedding AS pe,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) q)) AS pn
+        |  FROM embeddings WHERE vec_id < 20),
+        |ls AS (SELECT p.pid, cent.label,
+        |  (SELECT sum(c * CAST(pp AS DOUBLE))
+        |   FROM (SELECT unnest(cent.centroid) c, unnest(p.pe) pp) z)
+        |  / (sqrt((SELECT sum(c*c) FROM (SELECT unnest(cent.centroid) c) z2))
+        |     * p.pn) AS cscore
+        | FROM cent, p),
+        |cells AS (SELECT pid, label FROM (
+        |  SELECT pid, label,
+        |   row_number() OVER (PARTITION BY pid ORDER BY cscore DESC, label) AS crn
+        |  FROM ls) t WHERE crn <= 3),
+        |n AS (SELECT vec_id, label, embedding,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) z)) AS nrm
+        | FROM embeddings),
+        |sc AS (SELECT cells.pid, e.vec_id, e.label,
+        |  (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) x, unnest(p.pe) y) z)
+        |  / (e.nrm * p.pn) AS cosu
+        | FROM cells JOIN p ON cells.pid = p.pid
+        |  JOIN n e ON e.label = cells.label
+        | WHERE e.vec_id <> cells.pid),
+        |r AS (SELECT pid, vec_id, label, cosu,
+        |  row_number() OVER (PARTITION BY pid ORDER BY cosu DESC, vec_id) AS rn
+        | FROM sc)
+        |SELECT pid, vec_id, label, round(cosu, 6) AS cos, rn
+        |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
     "sim_ivf_topk" ->
       """WITH cent AS (
         |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (

@@ -300,6 +300,14 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
+    // the final iteration's cached join still backs `lbl` — cut the
+    // lineage with an eager localCheckpoint (one row per doc) so the
+    // last cache can be released instead of leaking into the session
+    // for the rest of a multi-query run
+    if (prevCache != null) {
+      lbl = lbl.localCheckpoint(true)
+      prevCache.unpersist()
+    }
     val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
     lbl
       .join(sizes, "cluster_id")
@@ -547,6 +555,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Long-span (5-gram) decontamination — the precision upgrade over
+    * the 3-gram audit above: a shared word-5-gram is an exact 5-word
+    * span match, so boilerplate phrases and short common spans stop
+    * over-flagging — at sf0.01 the 3-gram audit flags 171 docs, this
+    * flags 1 (sf0.001: 2, sf0.1: 20). Span length is a measured
+    * choice: word-6-grams and longer (including the classic 8-gram
+    * setting) have ZERO cross-split overlap on this corpus at every
+    * SF, so 5 is the longest granularity that still gates anything —
+    * on a real benchmark suite the same operator runs at n=8 by
+    * changing one constant. Same 100 TB shape as the 3-gram form: the
+    * benchmark slice's shingle set broadcasts, the train side is one
+    * map-side semi-join pass, never shuffled. A single shared 5-gram
+    * is already decisive, so contaminated := n_hits >= 1. */
+  val dedupDecontaminate5g: Q = (spark, dir) => {
+    val sh = Tables
+      .documents(spark, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 5)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(0, size(ts)-5)," +
+              " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3]," +
+              " ts[i+4]))"
+          )
+        ).as("s")
+      )
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        col("doc_id"),
+        col("n_hits"),
+        (col("n_hits") >= 1).as("contaminated")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val dedupDecontaminate5gSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |        WHERE len(string_split(text,' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id,
+      |        ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+      |        || ' ' || ts[i+4] AS s
+      |       FROM tok, unnest(range(1, len(ts)-3)) AS u(i)),
+      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |       count(*) >= 1 AS contaminated
+      |FROM sh JOIN b USING (s)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   private val dedupDecontaminateSql =
     """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
       |        WHERE len(string_split(text,' ')) >= 3),
@@ -636,6 +700,7 @@ object Dedup {
     "dedup_containment" -> dedupContainment,
     "dedup_containment_prefix" -> dedupContainmentPrefix,
     "dedup_decontaminate" -> dedupDecontaminate,
+    "dedup_decontaminate_5g" -> dedupDecontaminate5g,
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank,
@@ -655,6 +720,7 @@ object Dedup {
     // exact by the prefix-filter guarantee — shares the brute twin's oracle
     "dedup_containment_prefix" -> dedupContainmentSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
+    "dedup_decontaminate_5g" -> dedupDecontaminate5gSql,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE
         |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents

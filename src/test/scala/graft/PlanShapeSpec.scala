@@ -158,6 +158,55 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("per-row probe ANN join rewrite fires through the optimizer; brute plan when disabled") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{round => _, _}
+    import spark.implicits._
+    // tight clusters: every probe's true top-10 live in its own cell,
+    // so the cell-pruned path is exact here
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 10).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 50).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 50 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probes = df
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    // label kept in the output: the cell column must survive pruning
+    def q = probes
+      .join(df, $"pid" =!= $"vec_id")
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("cosine_sim(embedding, pe)").desc, $"vec_id")
+        )
+      )
+      .filter($"rn" <= 10)
+      .select($"pid", $"vec_id", $"label", $"rn")
+      .orderBy("pid", "rn")
+    def rowsOf(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+    val brute = rowsOf(q)
+    val bruteJoins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(bruteJoins.length == 1, s"expected the single brute join:\n${q.queryExecution.optimizedPlan}")
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.toString.contains("__cell"), s"per-row rewrite did not fire:\n$opt")
+      assert(opt.collect { case j: Join => j }.length > 1, opt.toString)
+      assert(rowsOf(q) == brute, "cell-pruned per-row top-k diverged on clustered data")
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+  }
+
   test("ANN IVF auto mode is cost-gated on the child's estimated size") {
     graft.functions.GraftFunctions.register(spark)
     graft.plans.AnnIvfRewrite.install(spark)
