@@ -93,10 +93,14 @@ object Udfs {
     words
       .groupBy("w")
       .agg(count(lit(1)).as("cnt"))
+      // top-20 selection: orderBy+limit plans as a TakeOrderedAndProject
+      // heap (no full sort of the vocabulary)
       .orderBy(col("cnt").desc, col("w"))
       .limit(20)
       .crossJoin(broadcast(sk))
       .select(col("w"), col("cnt"), est(col("sk"), col("w")).as("est"))
+      // output order: the join does not guarantee row order, and this
+      // sort touches exactly the 20 surviving rows
       .orderBy(col("cnt").desc, col("w"))
   }
 

@@ -122,6 +122,44 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Exactly-once sink protocol, batch-checkable form: each "micro-
+    * batch" writes its PARTIAL aggregate into a `batch_id=<N>`
+    * partition with dynamic partition overwrite, so replaying a batch
+    * (the crash-between-sink-write-and-offset-commit window where an
+    * at-least-once sink duplicates) overwrites its own partition
+    * instead of appending — idempotence keyed by Spark's stable
+    * foreachBatch batchId. Batch 1 is deliberately applied TWICE here;
+    * the read-back total still equals the plain aggregate, which is
+    * exactly what the oracle checks. The true streaming form (injected
+    * mid-stream crash + checkpoint restart on a real foreachBatch
+    * query) is proven in StreamingSpec; this key gates the sink
+    * protocol's arithmetic end to end. */
+  val sinkExactlyOnce: Q = (spark, dir) => {
+    val path = tmp("events_eos")
+    val ev = Tables.events(spark, dir)
+    def writeBatch(id: Int): Unit =
+      ev.filter(col("event_id") % 2 === id)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        .withColumn("batch_id", lit(id))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    writeBatch(0)
+    writeBatch(1)
+    writeBatch(1) // replay: same partition overwritten, no dupes
+    spark.read
+      .parquet(path)
+      .groupBy("user_id")
+      .agg(
+        sum("n").cast("long").as("n_events"),
+        round(sum("v"), 4).as("sum_val")
+      )
+      .orderBy("user_id")
+  }
+
   /** Schema evolution on read: two batches of one feed written with
     * different schemas (a column added in v2), unified by parquet
     * mergeSchema — missing columns null-fill, the read-side half of
@@ -348,6 +386,7 @@ object Scans {
     "sink_manifest" -> sinkManifest,
     "source_binaryfile" -> sourceBinaryfile,
     "sink_json" -> sinkJson,
+    "sink_exactly_once" -> sinkExactlyOnce,
     "sink_csv" -> sinkCsv,
     "sink_codec" -> sinkCodec,
     "etl_compact" -> etlCompact,
@@ -372,6 +411,15 @@ object Scans {
     "sink_json" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // mirrors the two-level batch-partial summation order
+    "sink_exactly_once" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id % 2 AS batch_id,
+        |         count(*) AS n, sum(value) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |       round(sum(v), 4) AS sum_val
+        |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin,
     "sink_csv" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,

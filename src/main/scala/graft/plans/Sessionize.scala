@@ -7,12 +7,19 @@ import org.apache.spark.sql.catalyst.expressions.{
   Attribute,
   AttributeReference,
   AttributeSet,
+  BindReferences,
   Expression,
   GenericInternalRow,
   JoinedRow,
   SortOrder,
   UnsafeProjection,
   UnsafeRow
+}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext,
+  CodeGenerator,
+  ExprCode,
+  JavaCode
 }
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{
@@ -21,8 +28,13 @@ import org.apache.spark.sql.catalyst.plans.physical.{
   Partitioning
 }
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.execution.{
+  CodegenSupport,
+  SparkPlan,
+  SparkStrategy,
+  UnaryExecNode
+}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 
 /** §4 Catalyst extension #2: gap-based sessionization as a first-class
@@ -72,7 +84,8 @@ case class SessionizeExec(
     gapMicros: Long,
     sessionAttr: Attribute,
     child: SparkPlan
-) extends UnaryExecNode {
+) extends UnaryExecNode
+    with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output :+ sessionAttr
   override def producedAttributes: AttributeSet = AttributeSet(sessionAttr :: Nil)
@@ -119,6 +132,62 @@ case class SessionizeExec(
       },
       preservesPartitioning = true
     )
+  }
+
+  // ---- whole-stage codegen (the iterator doExecute above remains the
+  // interpreted fallback). The per-row state machine is three scalars
+  // (prev key, prev ts, running session id) kept as generated-class
+  // mutable state — a WholeStageCodegen instance is created per
+  // partition, so state starts fresh at every partition boundary, same
+  // as the mapPartitions closure. Gated to fixed-width key types: a
+  // long/int user key compares with `!=`; wider types keep the
+  // interpreted path rather than pay reference-equality bugs.
+  override def supportCodegen: Boolean =
+    (user.dataType == LongType || user.dataType == IntegerType) &&
+      ts.dataType == TimestampType
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(
+      ctx: CodegenContext,
+      input: Seq[ExprCode],
+      row: ExprCode
+  ): String = {
+    val numSessions = metricTerm(ctx, "numSessions")
+    val init = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessInit")
+    val prevUser = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessPrevUser")
+    val prevNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessPrevNull")
+    val lastTs = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessLastTs")
+    val sidState = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessSid")
+    ctx.currentVars = input
+    val userEv = BindReferences.bindReference(user, child.output).genCode(ctx)
+    val tsEv = BindReferences.bindReference(ts, child.output).genCode(ctx)
+    val changed = ctx.freshName("sessChanged")
+    val sidTerm = ctx.freshName("sessionId")
+    val sidCode = ExprCode.forNonNullValue(JavaCode.variable(sidTerm, LongType))
+    s"""
+       |${userEv.code}
+       |${tsEv.code}
+       |boolean $changed = !$init || ($prevNull != ${userEv.isNull}) ||
+       |  (!${userEv.isNull} && ${userEv.value} != $prevUser);
+       |if ($changed) {
+       |  $sidState = 1L;
+       |  $numSessions.add(1);
+       |} else if (${tsEv.value} - $lastTs > ${gapMicros}L) {
+       |  $sidState += 1L;
+       |  $numSessions.add(1);
+       |}
+       |$init = true;
+       |$prevNull = ${userEv.isNull};
+       |if (!${userEv.isNull}) { $prevUser = ${userEv.value}; }
+       |$lastTs = ${tsEv.value};
+       |long $sidTerm = $sidState;
+       |${consume(ctx, input :+ sidCode)}
+     """.stripMargin
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

@@ -98,6 +98,56 @@ object StreamOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates(Seq("event_id"))
 
+  /** Exactly-once file sink: foreachBatch writes each micro-batch's
+    * per-user partial aggregate into a `batch_id=<N>` parquet partition
+    * with DYNAMIC partition overwrite. foreachBatch is at-least-once —
+    * a crash after the sink write but before the offset commit replays
+    * the batch — but Spark guarantees the replayed batch carries the
+    * SAME batchId, so the rewrite lands on the same partition and the
+    * sink output is exactly-once end to end. `failAfterWriteAt`
+    * injects precisely that crash window once (write completes, then
+    * the batch function throws, so the offset never commits);
+    * StreamingSpec restarts from the checkpoint and proves no dupes
+    * and no loss. Readers total the partials with
+    * `readExactlyOnce`. */
+  def exactlyOnceSink(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      failAfterWriteAt: Option[Long] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("value").as("v"))
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        if (failAfterWriteAt.contains(batchId) && !tripped.getAndSet(true))
+          throw new RuntimeException(
+            s"injected crash after sink write, before offset commit (batch $batchId)"
+          )
+      }
+      .start()
+  }
+
+  /** Read-back totals for [[exactlyOnceSink]]'s partial-aggregate
+    * layout: sum the per-batch partials per user. */
+  def readExactlyOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String
+  ): DataFrame =
+    spark.read
+      .parquet(outDir)
+      .groupBy("user_id")
+      .agg(sum("n").cast("long").as("n_events"), sum("v").as("sum_val"))
+
   /** Stream-stream inner join: each purchase joined to clicks by the
     * same user within the preceding hour. Watermarks on both sides let
     * Spark bound the join state (a side can discard buffered rows once

@@ -298,6 +298,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!s.contains("RunningWindowFunction") && !s.contains("Window"), s)
   }
 
+  test("SessionizeExec participates in whole-stage codegen") {
+    // the `*(n)` prefix in the printed tree marks nodes fused into
+    // WholeStageCodegen span n (collect-based traversal would stop at
+    // AQE query-stage boundaries, so assert on the rendered plan)
+    val s = planString(operators.EventAnalytics.tsSessionizeExec(spark, sf0001))
+    assert(
+      s.linesIterator.exists(l => l.contains("Sessionize ") && l.contains("*(")),
+      s"SessionizeExec not inside a WholeStageCodegen span:\n$s"
+    )
+  }
+
   test("etl_fuzzy_match joins on the block key, never all-pairs") {
     val s = planString(operators.Etl.etlFuzzyMatch(spark, sf0001))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)

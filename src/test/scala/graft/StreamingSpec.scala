@@ -161,6 +161,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactly-once foreachBatch sink: crash after write + restart replays without dupes or loss") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-eos").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val ms = MemoryStream[Event]
+    // batch 0: three events (users 1,1,2) — commits cleanly
+    val q1 = StreamOps.exactlyOnceSink(ms.toDF, out, ckpt, failAfterWriteAt = Some(1))
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:01:00", user = 1),
+        ev(3, "2024-01-01 10:02:00", user = 2)
+      )
+      q1.processAllAvailable()
+      // batch 1: the injected crash fires AFTER the sink write and
+      // BEFORE the offset commit — the at-least-once duplication window
+      ms.addData(
+        ev(4, "2024-01-01 10:03:00", user = 1),
+        ev(5, "2024-01-01 10:04:00", user = 2)
+      )
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(e.getMessage.contains("injected crash"), e.getMessage)
+      // the crash window is real: batch 1's output is already on disk
+      assert(
+        new java.io.File(s"$out/batch_id=1").exists(),
+        "batch 1 must be written before the crash for the replay to matter"
+      )
+    } finally q1.stop()
+    // restart from the checkpoint: batch 1 replays with the SAME
+    // batchId and overwrites its own partition — no dupes, no loss
+    val q2 = StreamOps.exactlyOnceSink(ms.toDF, out, ckpt)
+    try {
+      q2.processAllAvailable()
+      ms.addData(ev(6, "2024-01-01 10:05:00", user = 3))
+      q2.processAllAvailable()
+      val totals = StreamOps
+        .readExactlyOnce(spark, out)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(totals == Map(1L -> ((3L, 3.0)), 2L -> ((2L, 2.0)), 3L -> ((1L, 1.0))), totals)
+      // and the replayed batch holds exactly one partial per user
+      val b1 = spark.read.parquet(out).filter($"batch_id" === 1).collect()
+      assert(b1.length == 2, s"replay must overwrite, not append: ${b1.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming file sink writes closed windows with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
