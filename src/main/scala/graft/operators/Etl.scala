@@ -645,7 +645,106 @@ object Etl {
       |  SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
       |ORDER BY b_id""".stripMargin
 
+  /** One declared field mapping: target column name, source expression
+    * (any SQL over the source schema), target type, and whether a null
+    * after mapping quarantines the row. */
+  case class FieldMap(
+      target: String,
+      sourceExpr: String,
+      targetType: String,
+      required: Boolean = false
+  )
+
+  /** Compiles a declarative mapping spec + domain checks into ONE
+    * narrow projection pass: every target column is
+    * `cast(sourceExpr as targetType)`, required-null and domain
+    * violations fold into a first-match `reject_reason` CASE chain, and
+    * the caller routes on `valid` (`reject_reason IS NULL`). This is a
+    * generic interpreter, not a one-off query — the spec is data, so
+    * integrating the next "complex system" is a new spec, not new
+    * code. One projection = one map-side pass at any corpus size;
+    * nothing here shuffles. */
+  def applyMapping(
+      df: org.apache.spark.sql.DataFrame,
+      spec: Seq[FieldMap],
+      checks: Seq[(String, String)]
+  ): org.apache.spark.sql.DataFrame = {
+    val mapped = df.select(
+      spec.map(f => expr(f.sourceExpr).cast(f.targetType).as(f.target)): _*
+    )
+    val allChecks =
+      spec.filter(_.required).map(f => (s"missing_${f.target}", s"${f.target} IS NULL")) ++
+        checks
+    val reason = allChecks.foldRight(lit(null).cast("string")) {
+      case ((why, pred), els) => when(expr(pred), lit(why)).otherwise(els)
+    }
+    mapped
+      .withColumn("reject_reason", reason)
+      .withColumn("valid", col("reject_reason").isNull)
+  }
+
+  /** The reference's core job (BASELINE.json:6 — "formatting data from
+    * one complex system to another"): orders reshaped into a target
+    * system's order feed via [[applyMapping]] — key prefixing + zero
+    * padding, enum recode, money-to-cents, date normalization, a
+    * parsed priority rank — with required-field and domain-range
+    * quarantine reasons inline. Valid and rejected rows ship in one
+    * output keyed by `valid`/`reject_reason`, the split an integration
+    * pipeline routes on. */
+  val etlMappingDsl: Q = (spark, dir) => {
+    val spec = Seq(
+      FieldMap(
+        "order_ref",
+        "concat('ORD-', lpad(cast(o_orderkey as string), 10, '0'))",
+        "string",
+        required = true
+      ),
+      FieldMap("customer_ref", "cast(o_custkey as string)", "string", required = true),
+      FieldMap(
+        "status_code",
+        "CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 WHEN 'P' THEN 3 ELSE 0 END",
+        "int"
+      ),
+      FieldMap("total_cents", "round(o_totalprice * 100, 0)", "bigint"),
+      FieldMap("order_date", "cast(o_orderdate as date)", "date"),
+      FieldMap(
+        "priority_rank",
+        "cast(substring(o_orderpriority, 1, 1) as int)",
+        "int",
+        required = true
+      )
+    )
+    val checks = Seq(
+      ("total_out_of_range", "total_cents > 45000000"),
+      ("unknown_status", "status_code = 0")
+    )
+    applyMapping(Tables.orders(spark, dir), spec, checks)
+      .orderBy("order_ref")
+  }
+
+  private val etlMappingDslSql =
+    """WITH m AS (
+      |  SELECT 'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS order_ref,
+      |         CAST(o_custkey AS VARCHAR) AS customer_ref,
+      |         CAST(CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2
+      |              WHEN 'P' THEN 3 ELSE 0 END AS INT) AS status_code,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+      |         CAST(o_orderdate AS DATE) AS order_date,
+      |         CAST(substring(o_orderpriority, 1, 1) AS INT) AS priority_rank
+      |  FROM orders)
+      |SELECT *, reject_reason IS NULL AS valid FROM (
+      |  SELECT *,
+      |    CASE WHEN order_ref IS NULL THEN 'missing_order_ref'
+      |         WHEN customer_ref IS NULL THEN 'missing_customer_ref'
+      |         WHEN priority_rank IS NULL THEN 'missing_priority_rank'
+      |         WHEN total_cents > 45000000 THEN 'total_out_of_range'
+      |         WHEN status_code = 0 THEN 'unknown_status'
+      |         ELSE NULL END AS reject_reason
+      |  FROM m) t
+      |ORDER BY order_ref""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_mapping_dsl" -> etlMappingDsl,
     "etl_dedup_incremental" -> etlDedupIncremental,
     "etl_shard_assign" -> etlShardAssign,
     "etl_fuzzy_match" -> etlFuzzyMatch,
@@ -662,6 +761,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_mapping_dsl" -> etlMappingDslSql,
     "etl_dedup_incremental" -> etlDedupIncrementalSql,
     "etl_shard_assign" -> etlShardAssignSql,
     "etl_fuzzy_match" -> etlFuzzyMatchSql,

@@ -122,6 +122,38 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Fixed-width flat-file round trip — the mainframe-feed format a
+    * data-integration tool meets first: nation serialized as padded
+    * fixed-offset lines (key 4 | name 12 | region 4), written as plain
+    * text, read back with `spark.read.text` and re-parsed by column
+    * offsets. The oracle reads the original table, so the check is
+    * byte-exact round-trip fidelity through the weakest format there
+    * is. Parsing is substring/trim/cast — one codegen'd map pass, no
+    * shuffle beyond the final presentation sort. */
+  val sourceFixedWidth: Q = (spark, dir) => {
+    val path = tmp("nation_fixed_width")
+    Tables
+      .nation(spark, dir)
+      .select(
+        concat(
+          lpad(col("n_nationkey").cast("string"), 4, "0"),
+          rpad(col("n_name"), 12, " "),
+          lpad(col("n_regionkey").cast("string"), 4, "0")
+        ).as("value")
+      )
+      .write
+      .mode("overwrite")
+      .text(path)
+    spark.read
+      .text(path)
+      .select(
+        substring(col("value"), 1, 4).cast("long").as("n_nationkey"),
+        trim(substring(col("value"), 5, 12)).as("n_name"),
+        substring(col("value"), 17, 4).cast("long").as("n_regionkey")
+      )
+      .orderBy("n_nationkey")
+  }
+
   /** Exactly-once sink protocol, batch-checkable form: each "micro-
     * batch" writes its PARTIAL aggregate into a `batch_id=<N>`
     * partition with dynamic partition overwrite, so replaying a batch
@@ -387,6 +419,7 @@ object Scans {
     "source_binaryfile" -> sourceBinaryfile,
     "sink_json" -> sinkJson,
     "sink_exactly_once" -> sinkExactlyOnce,
+    "source_fixed_width" -> sourceFixedWidth,
     "sink_csv" -> sinkCsv,
     "sink_codec" -> sinkCodec,
     "etl_compact" -> etlCompact,
@@ -411,6 +444,11 @@ object Scans {
     "sink_json" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the oracle reads the ORIGINAL table: round-trip fidelity check
+    "source_fixed_width" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // mirrors the two-level batch-partial summation order
     "sink_exactly_once" ->
       """WITH b AS (

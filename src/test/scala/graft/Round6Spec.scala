@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-6 additions beyond the DuckDB parity
+  * gate.
+  */
+class Round6Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("applyMapping: required-null reasons fire before domain checks, in declared order") {
+    val src = Seq(
+      (1L, "ok", 10.0),
+      (2L, null.asInstanceOf[String], 10.0), // required name missing
+      (3L, "ok", 999.0), // domain breach
+      (4L, null.asInstanceOf[String], 999.0) // both: required wins
+    ).toDF("id", "name", "amount")
+    val out = operators.Etl
+      .applyMapping(
+        src,
+        Seq(
+          operators.Etl.FieldMap("ref", "cast(id as string)", "string", required = true),
+          operators.Etl.FieldMap("nm", "upper(name)", "string", required = true),
+          operators.Etl.FieldMap("cents", "round(amount * 100, 0)", "bigint")
+        ),
+        Seq(("amount_out_of_range", "cents > 50000"))
+      )
+      .collect()
+      .map(r => r.getAs[String]("ref") -> r.getAs[String]("reject_reason"))
+      .toMap
+    assert(out("1") == null)
+    assert(out("2") == "missing_nm")
+    assert(out("3") == "amount_out_of_range")
+    assert(out("4") == "missing_nm", "required checks precede domain checks")
+  }
+
+  test("applyMapping marks valid rows and keeps one row per input") {
+    val out = operators.Etl.etlMappingDsl(spark, sf0001)
+    val n = Tables.orders(spark, sf0001).count()
+    assert(out.count() == n, "mapping must not drop rows — routing is the caller's job")
+    val split = out.groupBy("valid").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(split.getOrElse(true, 0L) > 0 && split.getOrElse(false, 0L) > 0,
+      s"expected both valid and quarantined rows, got $split")
+  }
+
+  test("5-gram decontamination flags a subset of the 3-gram audit (precision, not drift)") {
+    val flag3 = text.Dedup.dedupDecontaminate(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val flag5 = text.Dedup.dedupDecontaminate5g(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flag5.nonEmpty, "5-gram audit must gate something on this corpus")
+    assert(flag5.subsetOf(flag3),
+      s"a shared 5-gram implies shared 3-grams: ${flag5 -- flag3} flagged only at 5g")
+    assert(flag5.size < flag3.size, "longer spans must flag strictly fewer docs here")
+  }
+
+  test("sim_ann_join returns exactly top-10 per probe with descending scores") {
+    functions.GraftFunctions.register(spark)
+    val rows = sim.Similarity.simAnnJoin(spark, sf0001).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == 20, s"expected 20 probes, got ${byProbe.size}")
+    byProbe.foreach { case (pid, rs) =>
+      assert(rs.length == 10, s"probe $pid: ${rs.length} rows")
+      val cos = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"probe $pid scores not descending by rank")
+      assert(!rs.exists(_.getLong(1) == pid), s"probe $pid matched itself")
+    }
+  }
+
+  test("fixed-width round trip is byte-exact against the source table") {
+    val back = operators.Scans.sourceFixedWidth(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val orig = Tables.nation(spark, sf0001)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .orderBy("n_nationkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(back == orig)
+  }
+}
