@@ -87,16 +87,66 @@ object SetOps {
       .select("o_orderkey", "zx", "zy", "z")
       .orderBy("z", "o_orderkey")
 
+  /** Multiset difference (EXCEPT ALL): open-order custkey occurrences
+    * minus finished-order occurrences, multiplicity-aware — Catalyst
+    * rewrites it into one count aggregate + replication generate, so
+    * the shuffle is keyed on the value and carries counts, not copies.
+    * Emitted as (custkey, surviving multiplicity) so the output is
+    * deterministic for the hash gate. */
+  val setExceptAll: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+      .exceptAll(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))
+      )
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("custkey")
+  }
+
+  /** Multiset intersection (INTERSECT ALL): per-custkey min(open
+    * occurrences, finished occurrences) — same count-based rewrite. */
+  val setIntersectAll: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+      .intersectAll(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))
+      )
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "sort_zorder" -> sortZorder,
     "sort_multi" -> sortMulti,
     "topk_global" -> topkGlobal,
     "set_union_dedup" -> setUnionDedup,
     "set_intersect" -> setIntersect,
-    "set_except" -> setExcept
+    "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll
   )
 
   val oracles: Map[String, String] = Map(
+    "set_except_all" ->
+      """WITH d AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT custkey, CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "set_intersect_all" ->
+      """WITH d AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT custkey, CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1 ORDER BY custkey""".stripMargin,
     "sort_zorder" ->
       s"""SELECT o_orderkey, zx, zy, $zExprSql AS z FROM (
          |  SELECT o_orderkey,

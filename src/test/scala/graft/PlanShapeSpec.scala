@@ -309,6 +309,41 @@ class PlanShapeSpec extends SparkTestBase {
     )
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // engine-knowledge pin: Spark injects a bloom filter from the
+    // selective build side into the fact scan when the runtime filter
+    // framework decides it pays — the 100 TB semi-join pruning we rely
+    // on being available. Thresholds forced low so the tiny test corpus
+    // qualifies.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf001)
+      val sel = Tables
+        .orders(spark, sf001)
+        .filter(col("o_totalprice") > 480000)
+        .select("o_orderkey")
+      val joined = li
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity")
+      val s = joined.queryExecution.optimizedPlan.toString
+      assert(
+        s.contains("might_contain") && s.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$s"
+      )
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("etl_fuzzy_match joins on the block key, never all-pairs") {
     val s = planString(operators.Etl.etlFuzzyMatch(spark, sf0001))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
