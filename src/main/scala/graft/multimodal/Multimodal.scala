@@ -110,6 +110,51 @@ object Multimodal {
       )
       .orderBy("doc_id")
 
+  /** Perceptual-hash-shaped media dedup (average hash): 64 sampled
+    * "pixels" (the stub decode — character codes, a real deployment
+    * decodes luma blocks), thresholded at their own mean into a 64-bit
+    * signature, then exact-grouped — identical signatures are duplicate
+    * media even when trailing bytes differ. This is the image-dedup
+    * bridge of the multimodal family: the hash is one map-side pass,
+    * and the group step is an equi-shuffle on the 64-bit key, never a
+    * pairwise compare. Emitted as a bitstring (sign-safe across
+    * engines); canonical = min doc_id per group. */
+  val mmPhash: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("phash")
+    Tables
+      .documents(spark, dir)
+      .withColumn(
+        "pix",
+        expr("transform(sequence(1, 64), i -> ascii(substring(rpad(text, 64, ' '), i, 1)))")
+      )
+      .withColumn("avgp", expr("aggregate(pix, 0D, (a, x) -> a + x) / 64"))
+      .withColumn(
+        "phash",
+        expr("concat_ws('', transform(pix, x -> IF(x >= avgp, '1', '0')))")
+      )
+      .select(
+        col("doc_id"),
+        col("phash"),
+        (col("doc_id") === min("doc_id").over(w)).as("is_canonical"),
+        count(lit(1)).over(w).as("group_n")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val mmPhashSql =
+    """WITH px AS (
+      |  SELECT doc_id, i, ascii(substring(rpad(text, 64, ' '), CAST(i AS INT), 1)) AS v
+      |  FROM documents, range(1, 65) r(i)),
+      |a AS (SELECT doc_id, sum(v) / 64.0 AS m FROM px GROUP BY 1),
+      |h AS (SELECT px.doc_id,
+      |        string_agg(CASE WHEN v >= m THEN '1' ELSE '0' END, '' ORDER BY i) AS phash
+      |      FROM px JOIN a ON px.doc_id = a.doc_id GROUP BY 1)
+      |SELECT doc_id, phash,
+      |  doc_id = min(doc_id) OVER (PARTITION BY phash) AS is_canonical,
+      |  count(*) OVER (PARTITION BY phash) AS group_n
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** Fixed-size chunking with positional ids and per-chunk content
     * hashes — how a multimodal/long-document pipeline shards payloads
     * for downstream batch processing. posexplode keeps the chunk index
@@ -135,10 +180,12 @@ object Multimodal {
     "mm_binary_features" -> mmBinaryFeatures,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_chunk" -> mmChunk
+    "mm_chunk" -> mmChunk,
+    "mm_phash" -> mmPhash
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_phash" -> mmPhashSql,
     "mm_chunk" ->
       """SELECT doc_id, CAST((i - 1) // 256 AS INT) AS chunk_id,
         | length(substring(text, i, 256)) AS n_chars,
