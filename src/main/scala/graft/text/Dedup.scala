@@ -320,6 +320,99 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Large-star/small-star connected components — the O(log n)-round
+    * contraction [[dedupClusterCc]]'s scaladoc names as the long-chain
+    * fallback, shipped and hash-checked against the SAME recursive-CTE
+    * oracle. Min-label propagation needs DIAMETER rounds; the
+    * alternating star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond") contracts every component onto its
+    * minimum in O(log n) rounds regardless of chain length:
+    *   large-star: each node points its strictly-LARGER neighbors at
+    *     min(Γ⁺) of its full neighborhood;
+    *   small-star: with edges directed larger→smaller, each node
+    *     points its smaller neighbors and itself at min(Γ⁺) of that
+    *     restricted neighborhood.
+    * Each star is one aggregate + one join on the edge list — the same
+    * per-round dataflow cost as a propagation round, just fewer
+    * rounds. Convergence here checks edge-set equality (two
+    * anti-joins); a production run tracks a changed-edge accumulator
+    * instead. Dup clusters on THIS corpus are shallow, so the
+    * propagation twin wins locally — this exists for the 100 TB graph
+    * where it's the other way around, and the shared oracle proves
+    * they agree. */
+  val dedupClusterLsStar: Q = (spark, dir) => {
+    val star = alternatingStarCc(nearDupEdges(spark, dir).toDF("u", "v"))
+    val lbl = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .join(star, col("doc_id") === col("u"), "left")
+      .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
+    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    lbl
+      .join(sizes, "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"),
+        col("cluster_n")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** The alternating-star contraction itself, over any (u, v) edge
+    * list: returns the converged star edges (node → its component
+    * minimum; component minima and isolated nodes are absent — they
+    * label themselves). Exposed for the long-chain round-count test
+    * in Round6Spec. */
+  private[graft] def alternatingStarCc(edges: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val m = adj
+        .groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      adj
+        .join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val down = e
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val m = down
+        .groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val nbrs = down.join(m, "u").select(col("v").as("n"), col("m"))
+      val selfs = m.select(col("u").as("n"), col("m"))
+      nbrs
+        .union(selfs)
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // each round's frame is localCheckpoint'ed (not just persisted):
+    // the checkpoint cuts the logical plan to a LogicalRDD, so plan
+    // analysis stays O(1) per round instead of re-analyzing a tree
+    // that nests every previous round (which blows up on long-chain
+    // inputs needing many rounds)
+    var e = edges.localCheckpoint(true)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done && rounds < 15) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      done = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      rounds += 1
+    }
+    // converged: every non-minimum node points at its component min
+    e
+  }
+
   /** PageRank over the near-dup graph (jaccard ≥ 0.5 edges, both
     * directions): 5 power iterations of
     * pr = 0.15/N + 0.85·Σ pr(in)/outdeg(in). Each iteration is one
@@ -705,12 +798,39 @@ object Dedup {
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank,
     "dedup_cluster_cc" -> dedupClusterCc,
+    "dedup_cluster_lsstar" -> dedupClusterLsStar,
     "dedup_simhash_fast" -> dedupSimhashFast,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_near" -> dedupMinhashNear,
     "dedup_simhash" -> dedupSimhash
   )
+
+  private lazy val dedupClusterCcSql =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |        WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |edges AS (SELECT d1, d2 FROM co
+      |          JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id
+      |          WHERE common*1.0/(x.n + y.n - common) >= 0.5),
+      |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+      |        UNION ALL SELECT d2, d1 FROM edges),
+      |reach(v, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.src, r.m FROM sym s JOIN reach r ON s.dst = r.v),
+      |lbl AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v),
+      |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+      |          FROM lbl GROUP BY 1)
+      |SELECT l.doc_id, l.cluster_id, l.doc_id = l.cluster_id AS is_canonical,
+      |       s.cluster_n
+      |FROM lbl l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_containment" -> dedupContainmentSql,
@@ -721,31 +841,10 @@ object Dedup {
     "dedup_containment_prefix" -> dedupContainmentSql,
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_decontaminate_5g" -> dedupDecontaminate5gSql,
-    "dedup_cluster_cc" ->
-      """WITH RECURSIVE
-        |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
-        |        WHERE len(string_split(text,' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-        |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |edges AS (SELECT d1, d2 FROM co
-        |          JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id
-        |          WHERE common*1.0/(x.n + y.n - common) >= 0.5),
-        |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
-        |        UNION ALL SELECT d2, d1 FROM edges),
-        |reach(v, m) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT s.src, r.m FROM sym s JOIN reach r ON s.dst = r.v),
-        |lbl AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v),
-        |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
-        |          FROM lbl GROUP BY 1)
-        |SELECT l.doc_id, l.cluster_id, l.doc_id = l.cluster_id AS is_canonical,
-        |       s.cluster_n
-        |FROM lbl l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    // the alternating-star variant must produce the IDENTICAL
+    // clustering — it shares the recursive-CTE oracle verbatim
+    "dedup_cluster_lsstar" -> dedupClusterCcSql,
+    "dedup_cluster_cc" -> dedupClusterCcSql,
     "dedup_exact" ->
       """SELECT doc_id, lang, n_chars, group_n FROM (
         |  SELECT doc_id, lang, n_chars,

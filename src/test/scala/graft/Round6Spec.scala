@@ -69,6 +69,26 @@ class Round6Spec extends SparkTestBase {
     }
   }
 
+  test("alternating-star CC collapses a 64-node chain to one component (the long-chain case)") {
+    // a path graph is the worst case for min-label propagation
+    // (diameter rounds); the star contraction must still land every
+    // node on the component minimum within its 15-round budget
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("u", "v")
+    val star = text.Dedup.alternatingStarCc(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L until 64L).foreach { n =>
+      assert(star.get(n).contains(0L), s"node $n labeled ${star.get(n)}, want 0")
+    }
+    assert(!star.contains(0L), "the component minimum labels itself")
+    // and two disjoint chains stay separate
+    val two = ((0L until 9L).map(i => (i, i + 1)) ++ (100L until 109L).map(i => (i, i + 1)))
+      .toDF("u", "v")
+    val star2 = text.Dedup.alternatingStarCc(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(n => star2(n) == 0L))
+    assert((101L to 109L).forall(n => star2(n) == 100L))
+  }
+
   test("fixed-width round trip is byte-exact against the source table") {
     val back = operators.Scans.sourceFixedWidth(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
