@@ -400,12 +400,25 @@ object Dedup {
     // analysis stays O(1) per round instead of re-analyzing a tree
     // that nests every previous round (which blows up on long-chain
     // inputs needing many rounds)
+    def sig(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var e = edges.localCheckpoint(true)
+    var cur = sig(e)
     var rounds = 0
-    var done = e.isEmpty
+    var done = cur._1 == 0L
     while (!done && rounds < 15) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      done = next.except(e).isEmpty && e.except(next).isEmpty
+      // fixpoint test by (count, XOR xxhash64(u,v)) signature — ONE cheap
+      // aggregate over the just-checkpointed blocks instead of two
+      // except anti-joins per round (measured the dominant round cost);
+      // a signature collision would only end the loop early, and the
+      // shared DuckDB oracle would catch that immediately
+      val s2 = sig(next)
+      done = s2 == cur
+      cur = s2
       e = next
       rounds += 1
     }
