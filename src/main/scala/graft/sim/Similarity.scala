@@ -437,6 +437,73 @@ object Similarity {
       .orderBy(col("pid"), col("cos").desc, col("vec_id"))
   }
 
+  /** Product quantization encode — the PQ half of the IVF-PQ index
+    * that serves ANN at extreme scale: the 64-dim vector splits into
+    * 8 subspaces of 8 dims; each subvector is assigned to its nearest
+    * codebook entry (L2), so a vector stores as 8 code bytes instead
+    * of 256 float bytes (32×). Codebooks here are deterministic — the
+    * subvectors of vec_id < 16 — where a production build runs k-means
+    * per subspace (sim_kmeans_assign IS that step). The codebook
+    * BROADCASTS; assignment is one map-side pass through the fused
+    * argmin (TopKPerGroup partial prunes the 16-way fan-out before the
+    * exchange); distances are rounded to the 6dp grid so the argmin
+    * tie-break (lowest code id) agrees with the oracle. */
+  val simPqEncode: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+    val sub = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("s", explode(sequence(lit(0), lit(7))))
+    val scored = sub
+      .crossJoin(broadcast(cb))
+      .select(
+        col("vec_id"),
+        col("s"),
+        col("cid"),
+        round(
+          expr(
+            "aggregate(sequence(0, 7), 0D, (a, d) ->" +
+              " a + pow(CAST(embedding[s*8 + d] AS DOUBLE)" +
+              " - CAST(ce[s*8 + d] AS DOUBLE), 2))"
+          ),
+          6
+        ).as("dist")
+      )
+    val assigned = graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("vec_id", "s"), Seq(("dist", true), ("cid", true)), 1)
+    assigned
+      .groupBy("vec_id")
+      .agg(
+        concat_ws(
+          ",",
+          expr("transform(sort_array(collect_list(struct(s, cid))), x -> cast(x.cid as string))")
+        ).as("pq_code"),
+        round(sum("dist"), 6).as("recon_err")
+      )
+      .orderBy("vec_id")
+  }
+
+  private val simPqEncodeSql =
+    """WITH cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+      |            FROM embeddings WHERE vec_id < 16),
+      |d AS (
+      |  SELECT e.vec_id, s.s, cb.cid,
+      |    round((SELECT sum(pow(CAST(e.embedding[s.s*8 + dd.d + 1] AS DOUBLE)
+      |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+      |           FROM range(8) dd(d)), 6) AS dist
+      |  FROM embeddings e, range(8) s(s), cb),
+      |a AS (SELECT vec_id, s, cid, dist,
+      |        row_number() OVER (PARTITION BY vec_id, s
+      |                           ORDER BY dist, cid) AS rn
+      |      FROM d)
+      |SELECT vec_id,
+      |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS pq_code,
+      |  round(sum(dist), 6) AS recon_err
+      |FROM a WHERE rn = 1
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Per-dimension feature statistics over the embedding corpus — the
     * mean/std/min/max a normalization (or whitening) step needs. One
     * posexplode + one aggregate keyed on the 64 dimension ids: the
@@ -480,7 +547,8 @@ object Similarity {
     "sim_batch_topk" -> simBatchTopk,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
-    "sim_quantize_int8" -> simQuantizeInt8
+    "sim_quantize_int8" -> simQuantizeInt8,
+    "sim_pq_encode" -> simPqEncode
   )
 
   private val normCte =
@@ -511,6 +579,7 @@ object Similarity {
       |  FROM embeddings)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_encode" -> simPqEncodeSql,
     "ml_feature_stats" -> mlFeatureStatsSql,
     "sim_kmeans_assign" ->
       s"""$normCte,
