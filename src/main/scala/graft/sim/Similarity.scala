@@ -448,7 +448,12 @@ object Similarity {
     * argmin (TopKPerGroup partial prunes the 16-way fan-out before the
     * exchange); distances are rounded to the 6dp grid so the argmin
     * tie-break (lowest code id) agrees with the oracle. */
-  val simPqEncode: Q = (spark, dir) => {
+  /** PQ code assignment shared by [[simPqEncode]] and [[simPqAdc]]:
+    * (vec_id, s, cid, dist) — nearest codebook entry per subspace. */
+  private def pqAssign(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cb = emb
       .filter(col("vec_id") < 16)
@@ -471,9 +476,12 @@ object Similarity {
           6
         ).as("dist")
       )
-    val assigned = graft.plans.TopKPerGroup
+    graft.plans.TopKPerGroup
       .topKPerGroup(scored, Seq("vec_id", "s"), Seq(("dist", true), ("cid", true)), 1)
-    assigned
+  }
+
+  val simPqEncode: Q = (spark, dir) => {
+    pqAssign(spark, dir)
       .groupBy("vec_id")
       .agg(
         concat_ws(
@@ -484,6 +492,70 @@ object Similarity {
       )
       .orderBy("vec_id")
   }
+
+  /** Asymmetric distance computation (ADC) over the PQ codes — the
+    * IVF-PQ SERVING path: the probe precomputes its 8×16 distance
+    * table against the codebook (a broadcast-sized lookup), and every
+    * corpus vector scores as the sum of 8 TABLE LOOKUPS over its code
+    * bytes — no float vector is ever touched at query time, which is
+    * the entire point of PQ at 100 TB (the index fits in memory, the
+    * vectors stay cold). Approximate by construction; the oracle
+    * replicates the code assignment AND the table, so the approximate
+    * path itself is hash-checked. */
+  val simPqAdc: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val dtab = cb
+      .crossJoin(broadcast(probe))
+      .withColumn("s", explode(sequence(lit(0), lit(7))))
+      .select(
+        col("s"),
+        col("cid"),
+        round(
+          expr(
+            "aggregate(sequence(0, 7), 0D, (a, d) ->" +
+              " a + pow(CAST(pe[s*8 + d] AS DOUBLE)" +
+              " - CAST(ce[s*8 + d] AS DOUBLE), 2))"
+          ),
+          6
+        ).as("pdist")
+      )
+    pqAssign(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(dtab), Seq("s", "cid"))
+      .groupBy("vec_id")
+      .agg(round(sum("pdist"), 6).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val simPqAdcSql =
+    """WITH cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+      |            FROM embeddings WHERE vec_id < 16),
+      |d AS (
+      |  SELECT e.vec_id, s.s, cb.cid,
+      |    round((SELECT sum(pow(CAST(e.embedding[s.s*8 + dd.d + 1] AS DOUBLE)
+      |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+      |           FROM range(8) dd(d)), 6) AS dist
+      |  FROM embeddings e, range(8) s(s), cb),
+      |enc AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+      |  FROM d) t WHERE rn = 1),
+      |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      |dt AS (SELECT s.s, cb.cid,
+      |    round((SELECT sum(pow(CAST(p.pe[s.s*8 + dd.d + 1] AS DOUBLE)
+      |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+      |           FROM range(8) dd(d)), 6) AS pdist
+      |  FROM cb, range(8) s(s), p),
+      |sc AS (SELECT enc.vec_id, round(sum(dt.pdist), 6) AS adist
+      |       FROM enc JOIN dt ON enc.s = dt.s AND enc.cid = dt.cid
+      |       WHERE enc.vec_id <> 0 GROUP BY 1)
+      |SELECT vec_id, adist FROM sc
+      |ORDER BY adist, vec_id LIMIT 10""".stripMargin
 
   private val simPqEncodeSql =
     """WITH cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
@@ -548,7 +620,8 @@ object Similarity {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_quantize_int8" -> simQuantizeInt8,
-    "sim_pq_encode" -> simPqEncode
+    "sim_pq_encode" -> simPqEncode,
+    "sim_pq_adc" -> simPqAdc
   )
 
   private val normCte =
@@ -580,6 +653,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_pq_encode" -> simPqEncodeSql,
+    "sim_pq_adc" -> simPqAdcSql,
     "ml_feature_stats" -> mlFeatureStatsSql,
     "sim_kmeans_assign" ->
       s"""$normCte,
