@@ -579,6 +579,48 @@ object Aggregates {
       .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, var_x, var_y")
   }
 
+  /** Skewness and excess kurtosis per group via EXPLICIT two-pass
+    * central moments — deliberately NOT Spark's skewness()/kurtosis()
+    * builtins, whose bias-correction conventions differ from DuckDB's
+    * (the ts_rolling_corr lesson: explicit formulas are the only
+    * cross-engine-stable higher-order stats). Pass 1 computes the
+    * broadcastable per-group means; pass 2 averages centered powers;
+    * the ratios m3/m2^1.5 and m4/m2²−3 are rounded at 6dp AFTER
+    * division, where float-sum ordering noise is ~1e-11 relative. */
+  val aggSkewKurt: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val means = li.groupBy("l_returnflag").agg(avg("l_quantity").as("m"))
+    li.join(broadcast(means), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(pow(col("l_quantity") - col("m"), 2)).as("m2"),
+        avg(pow(col("l_quantity") - col("m"), 3)).as("m3"),
+        avg(pow(col("l_quantity") - col("m"), 4)).as("m4")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skew"),
+        round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurt")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  private val aggSkewKurtSql =
+    """WITH m AS (SELECT l_returnflag, avg(l_quantity) AS m
+      |           FROM lineitem GROUP BY 1),
+      |c AS (SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |        avg(pow(l.l_quantity - m.m, 2)) AS m2,
+      |        avg(pow(l.l_quantity - m.m, 3)) AS m3,
+      |        avg(pow(l.l_quantity - m.m, 4)) AS m4
+      |      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      |      GROUP BY 1)
+      |SELECT l_returnflag, n,
+      | round(m3 / pow(m2, 1.5), 6) AS skew,
+      | round(m4 / (m2 * m2) - 3, 6) AS kurt
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
   /** Fixed-width histogram of order totals: 10 equal buckets over the
     * observed [min, max], bucket edges derived from a broadcast
     * single-row bounds aggregate (no driver-side action). The bucket
@@ -722,6 +764,7 @@ object Aggregates {
     "agg_entropy" -> aggEntropy,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_hist" -> aggHist,
+    "agg_skew_kurt" -> aggSkewKurt,
     "agg_hll_sketch" -> aggHllSketch,
     "agg_percentiles" -> aggPercentiles,
     "agg_mode" -> aggMode,
@@ -746,6 +789,7 @@ object Aggregates {
     "agg_entropy" -> aggEntropySql,
     "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_hist" -> aggHistSql,
+    "agg_skew_kurt" -> aggSkewKurtSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_mode" -> aggModeSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,

@@ -463,7 +463,25 @@ object EventAnalytics {
       |   END, 6) AS corr_24h
       |FROM m ORDER BY hour""".stripMargin
 
+  /** Day-of-week × hour activity matrix — the seasonality heatmap an
+    * event dashboard always draws. One aggregate on a 7×24-bounded key
+    * space: partial aggregation collapses everything map-side, the
+    * reduce side is ≤168 rows at any corpus size. Spark dayofweek is
+    * 1=Sunday..7; DuckDB's is 0=Sunday..6, offset in the oracle. */
+  val tsDowHour: Q = (spark, dir) =>
+    Tables
+      .events(spark, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_val"))
+      .orderBy("dow", "hr")
+
+  private val tsDowHourSql =
+    """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+      | count(*) AS n, round(sum(value), 4) AS sum_val
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_dow_hour" -> tsDowHour,
     "ts_wow_growth" -> tsWowGrowth,
     "ts_rolling_corr" -> tsRollingCorr,
     "ts_streaks" -> tsStreaks,
@@ -477,6 +495,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_dow_hour" -> tsDowHourSql,
     "ts_wow_growth" -> tsWowGrowthSql,
     "ts_rolling_corr" -> tsRollingCorrSql,
     "ts_streaks" -> tsStreaksSql,
