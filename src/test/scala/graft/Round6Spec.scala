@@ -89,6 +89,36 @@ class Round6Spec extends SparkTestBase {
     assert((101L to 109L).forall(n => star2(n) == 100L))
   }
 
+  test("alternating-star CC agrees with union-find on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val p = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (p(r) != r) r = p(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to component minima (union always roots the min)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = Seq.fill(20)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .distinct
+      val expect = unionFind(n, edges)
+      val star = text.Dedup
+        .alternatingStarCc(edges.toDF("u", "v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      (0L until n.toLong).foreach { v =>
+        val got = star.getOrElse(v, v) // absent = labels itself
+        assert(got == expect(v), s"seed $seed node $v: star=$got uf=${expect(v)}")
+      }
+    }
+  }
+
   test("fixed-width round trip is byte-exact against the source table") {
     val back = operators.Scans.sourceFixedWidth(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
