@@ -62,6 +62,12 @@ object AnnIvfRewrite {
   val MinBytesKey = "spark.graft.ann.ivfRewrite.minBytes"
   val DefaultMinBytes: Long = 128L << 20
 
+  /** Cells visited per probe (IVF nprobe) — the query-time recall/cost
+    * dial. Setting it to ≥ the cell count makes the rewrite EXACT on
+    * any data (every cell scanned), which PlanShapeSpec asserts. */
+  val NprobeKey = "spark.graft.ann.ivfRewrite.nprobe"
+  val DefaultNprobe = 3
+
   /** Runtime injection into an existing session (idempotent) — same
     * contract as GraftFunctions.register; the build-time path is
     * `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -84,6 +90,12 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOption(AnnIvfRewrite.MinBytesKey)
       .map(_.toLong)
       .getOrElse(AnnIvfRewrite.DefaultMinBytes)
+
+  private def nprobe: Int =
+    spark.conf
+      .getOption(AnnIvfRewrite.NprobeKey)
+      .map(_.toInt)
+      .getOrElse(AnnIvfRewrite.DefaultNprobe)
 
   /** Conservative eligibility: a scan-like child (no joins, no aggs)
     * with the IVF cell column present; in `auto` mode additionally the
@@ -347,7 +359,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .orderBy(col("__cscore").desc, col("label"))
         )
       )
-      .filter(col("__crn") <= 3)
+      .filter(col("__crn") <= nprobe)
       .select(pSide.output.map(a => col(s"`${a.name}`")) :+ col("label").as("__cell"): _*)
     // optimizedPlan folds the broadcast ResolvedHint (see pruneToTopCells)
     val topPlan = topCells.queryExecution.optimizedPlan
@@ -389,7 +401,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         )
       )
       .orderBy(col("cscore").desc, col("label"))
-      .limit(3)
+      .limit(nprobe)
       .select("label")
     // optimizedPlan, not analyzed: this batch runs after hint
     // elimination, so an injected ResolvedHint (from broadcast()) would

@@ -207,6 +207,49 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("per-row ANN rewrite with nprobe >= cell count is exact on ANY data") {
+    // un-clustered (near-random labels): top-3 cells would miss true
+    // neighbors, but probing every cell degenerates to exact search —
+    // the recall dial's boundary law
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), s"c${i % 10}")
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probes = df
+      .filter($"vec_id" < 5)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    def q = probes
+      .join(df, $"pid" =!= $"vec_id")
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("cosine_sim(embedding, pe)").desc, $"vec_id")
+        )
+      )
+      .filter($"rn" <= 10)
+      .select($"pid", $"vec_id", $"label", $"rn")
+      .orderBy("pid", "rn")
+    val brute = q.collect().toSeq
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, "10")
+    try {
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__cell"), s"rewrite did not fire:\n$opt")
+      assert(q.collect().toSeq == brute, "nprobe=all-cells must equal brute force")
+    } finally {
+      spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+      spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
+    }
+  }
+
   test("ANN IVF auto mode is cost-gated on the child's estimated size") {
     graft.functions.GraftFunctions.register(spark)
     graft.plans.AnnIvfRewrite.install(spark)
