@@ -279,6 +279,56 @@ object StreamOps {
       )
   }
 
+  /** First-seen record per key. */
+  case class FirstSeen(user_id: Long, event_id: Long)
+
+  /** TTL-bounded stateful dedup: a keyed ValueState carrying a
+    * processing-time TTL — the state-size bound for UNBOUNDED key
+    * spaces (content hashes, URLs) where watermark-based cleanup does
+    * not apply because keys never stop being valid, they just go cold.
+    * Only the first event per key within the TTL window emits; once
+    * the TTL lapses the store forgets the key (RocksDB compaction
+    * reclaims it) and the next arrival emits again. This is the
+    * suppression-window shape (alert dedup, crawl revisit policy) and
+    * the reason a 100 TB keyspace doesn't grow state without bound. */
+  class TtlDedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, FirstSeen] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle
+        .getValueState[Boolean]("seen", Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[FirstSeen] = {
+      // an expired entry is invisible to exists() — same as absent
+      if (seen.exists()) Iterator.empty
+      else {
+        val first = rows.toSeq.minBy(e => (e.ts.getTime, e.event_id))
+        seen.update(true)
+        Iterator.single(FirstSeen(user, first.event_id))
+      }
+    }
+  }
+
+  /** First event per user within a processing-time TTL window. */
+  def firstSeenWithTtl(
+      events: Dataset[Event],
+      ttl: java.time.Duration
+  ): Dataset[FirstSeen] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TtlDedupProcessor(ttl),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append()
+      )
+  }
+
   /** A user's funnel progress: stage 1 = signup seen, 2 = click after
     * the signup, 3 = purchase after that click. */
   case class FunnelStage(user_id: Long, stage: Int, event_id: Long)

@@ -281,6 +281,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("TTL'd ValueState forgets cold keys: suppress within the window, re-emit after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+      // TTL sized well above per-run query-startup cost (~5s each, and
+      // the TTL clock starts at the state WRITE, not the batch end)
+      // one single-batch query per step: under TimeMode.ProcessingTime
+      // every batch schedules a successor to advance the TTL clock, so
+      // a long-lived query (and even AvailableNow) never terminates —
+      // Trigger.Once processes exactly one batch, commits state, and
+      // stops; the TTL clock keeps running across restarts via the
+      // checkpointed expiry timestamps
+      // the memory sink can't recover from a checkpoint — use the
+      // (recoverable) parquet file sink and read the cumulative output
+      val out = java.nio.file.Files.createTempDirectory("graft-ttl-out").toString
+      def runOnce(): Set[Long] = {
+        val q = StreamOps
+          .firstSeenWithTtl(ms.toDS(), java.time.Duration.ofSeconds(15))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(out).collect().map(_.getLong(1)).toSet
+      }
+      ms.addData(ev(1, "2024-01-01 10:00:00", user = 7))
+      assert(runOnce() == Set(1L))
+      // duplicate key well inside the TTL window: suppressed
+      ms.addData(ev(2, "2024-01-01 10:00:05", user = 7))
+      assert(runOnce() == Set(1L), "in-window duplicate must be suppressed")
+      // let the processing-time TTL lapse, then the same key re-emits
+      Thread.sleep(20000)
+      ms.addData(ev(3, "2024-01-01 10:00:10", user = 7))
+      assert(runOnce() == Set(1L, 3L), "expired key must re-emit")
+    }
+  }
+
   test("transformWithState on RocksDB tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
