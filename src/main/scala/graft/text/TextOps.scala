@@ -153,6 +153,42 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** Overlapping word-window chunking — the unit a RAG / embedding
+    * pipeline slices documents into: 32-word windows on a 24-word
+    * stride (25% overlap so no span straddles a boundary unseen).
+    * mm_chunk is the fixed-BYTE twin; this one respects token
+    * boundaries. One split + one posexplode — map-side at any scale,
+    * output ~size/stride rows per doc. */
+  val textChunkWords: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            "transform(sequence(0, greatest(size(ts)-1, 0), 24)," +
+              " i -> concat_ws(' ', slice(ts, i+1, 32)))"
+          )
+        )
+      )
+      .withColumn("nw", size(split(col("col"), " ")))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        col("col").as("chunk"),
+        col("nw").as("n_words")
+      )
+      .orderBy("doc_id", "chunk_id")
+
+  private val textChunkWordsSql =
+    """SELECT doc_id, CAST(i // 24 AS INT) AS chunk_id,
+      | array_to_string(ts[i+1 : i+32], ' ') AS chunk,
+      | CAST(len(ts[i+1 : i+32]) AS INT) AS n_words
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+      | unnest(range(0, len(ts), 24)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace — the canonicalization pass that precedes shingling/
     * fingerprinting in a dedup pipeline. Pure codegen'd expressions. */
@@ -449,6 +485,7 @@ object TextOps {
     "text_bigram_score" -> textBigramScore,
     "text_url_parse" -> textUrlParse,
     "text_normalize" -> textNormalize,
+    "text_chunk_words" -> textChunkWords,
     "text_tfidf" -> textTfidf,
     "text_token_count" -> textTokenCount,
     "text_tokens_tf" -> textTokensTf,
@@ -476,6 +513,7 @@ object TextOps {
         |     || '?q=' || n_chars AS url
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "text_chunk_words" -> textChunkWordsSql,
     "text_normalize" ->
       """SELECT doc_id,
         | regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
