@@ -306,6 +306,112 @@ object Joins {
       |FROM c WHERE is_quote = 0 AND n_id IS NOT NULL
       |ORDER BY error_id""".stripMargin
 
+  /** Nearest as-of join — the third `merge_asof` direction: each error
+    * event picks the same user's CLOSEST purchase in either time
+    * direction. Both carries come out of ONE interleave-and-sort (the
+    * [[joinAsof]] shape): a backward `last(…) ignoreNulls` frame and a
+    * forward `first(…) ignoreNulls` frame over the same window sort —
+    * still a single shuffle on user_id. Tie policy (mirrored in the
+    * oracle): equal distance prefers backward, and an exact-timestamp
+    * purchase counts as backward (quotes sort before probes at equal
+    * t, so only the backward frame sees them — distance 0 wins
+    * regardless). */
+  val joinAsofNearest: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val probe = ev
+      .filter(col("event_type") === "error")
+      .select(
+        col("user_id"),
+        col("ts").as("t"),
+        lit(0).as("is_quote"),
+        col("event_id").as("error_id"),
+        col("ts").as("error_ts"),
+        lit(null).cast("bigint").as("p_id"),
+        lit(null).cast("timestamp").as("p_ts")
+      )
+    val quote = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("t"),
+        lit(1).as("is_quote"),
+        lit(null).cast("bigint").as("error_id"),
+        lit(null).cast("timestamp").as("error_ts"),
+        col("event_id").as("p_id"),
+        col("ts").as("p_ts")
+      )
+    val sorted = Window
+      .partitionBy("user_id")
+      .orderBy(col("t"), col("is_quote").desc, col("p_id").asc_nulls_first)
+    val wb = sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = sorted.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    probe
+      .unionByName(quote)
+      .withColumn("b_id", last("p_id", ignoreNulls = true).over(wb))
+      .withColumn("b_ts", last("p_ts", ignoreNulls = true).over(wb))
+      .withColumn("f_id", first("p_id", ignoreNulls = true).over(wf))
+      .withColumn("f_ts", first("p_ts", ignoreNulls = true).over(wf))
+      .filter(col("is_quote") === 0)
+      .withColumn("b_gap", expr("unix_micros(error_ts) - unix_micros(b_ts)"))
+      .withColumn("f_gap", expr("unix_micros(f_ts) - unix_micros(error_ts)"))
+      .withColumn(
+        "use_fwd",
+        col("f_id").isNotNull &&
+          (col("b_id").isNull || col("f_gap") < col("b_gap"))
+      )
+      .filter(col("b_id").isNotNull || col("f_id").isNotNull)
+      .withColumn("gap", when(col("use_fwd"), col("f_gap")).otherwise(col("b_gap")))
+      .select(
+        col("error_id"),
+        col("user_id"),
+        col("error_ts"),
+        when(col("use_fwd"), col("f_id")).otherwise(col("b_id")).as("purchase_id"),
+        when(col("use_fwd"), col("f_ts")).otherwise(col("b_ts")).as("purchase_ts"),
+        when(col("use_fwd"), lit("fwd")).otherwise(lit("bwd")).as("direction"),
+        expr("gap div 1000000").as("gap_seconds")
+      )
+      .orderBy("error_id")
+  }
+
+  private val joinAsofNearestSql =
+    """WITH u AS (
+      |  SELECT user_id, ts AS t, 0 AS is_quote, event_id AS error_id,
+      |         ts AS error_ts, CAST(NULL AS BIGINT) AS p_id,
+      |         CAST(NULL AS TIMESTAMP) AS p_ts
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, NULL, NULL, event_id, ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT *,
+      |   last_value(p_id IGNORE NULLS) OVER wb AS b_id,
+      |   last_value(p_ts IGNORE NULLS) OVER wb AS b_ts,
+      |   first_value(p_id IGNORE NULLS) OVER wf AS f_id,
+      |   first_value(p_ts IGNORE NULLS) OVER wf AS f_ts
+      |  FROM u
+      |  WINDOW wb AS (PARTITION BY user_id
+      |                ORDER BY t, is_quote DESC, p_id NULLS FIRST
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id
+      |                ORDER BY t, is_quote DESC, p_id NULLS FIRST
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |g AS (
+      |  SELECT *,
+      |   epoch_us(error_ts) - epoch_us(b_ts) AS b_gap,
+      |   epoch_us(f_ts) - epoch_us(error_ts) AS f_gap,
+      |   f_id IS NOT NULL AND (b_id IS NULL OR
+      |     epoch_us(f_ts) - epoch_us(error_ts)
+      |       < epoch_us(error_ts) - epoch_us(b_ts)) AS use_fwd
+      |  FROM c WHERE is_quote = 0)
+      |SELECT error_id, user_id, error_ts,
+      | CASE WHEN use_fwd THEN f_id ELSE b_id END AS purchase_id,
+      | CASE WHEN use_fwd THEN f_ts ELSE b_ts END AS purchase_ts,
+      | CASE WHEN use_fwd THEN 'fwd' ELSE 'bwd' END AS direction,
+      | CAST((CASE WHEN use_fwd THEN f_gap ELSE b_gap END) // 1000000
+      |      AS BIGINT) AS gap_seconds
+      |FROM g WHERE b_id IS NOT NULL OR f_id IS NOT NULL
+      |ORDER BY error_id""".stripMargin
+
   /** Bucketed co-located join: both sides pre-bucketed on the join key
     * (8 buckets) and read back through the catalog, so the join needs
     * NO shuffle of either side — the storage-layout answer to repeated
@@ -441,11 +547,13 @@ object Joins {
     "join_broadcast" -> joinBroadcast,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
-    "join_asof_fwd" -> joinAsofFwd
+    "join_asof_fwd" -> joinAsofFwd,
+    "join_asof_nearest" -> joinAsofNearest
   )
 
   val oracles: Map[String, String] = Map(
     "join_asof_fwd" -> joinAsofFwdSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "join_range_binned" -> joinRangeBinnedSql,
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
