@@ -579,6 +579,29 @@ object Aggregates {
       .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, var_x, var_y")
   }
 
+  /** Ordered string aggregation — Spark 4's `listagg` WITHIN GROUP
+    * (the SQL:2016 form; DuckDB's twin is ordered string_agg). The
+    * explicit ORDER BY inside the aggregate is what makes the result
+    * deterministic under any partitioning — an unordered listagg would
+    * concatenate in shuffle-arrival order. */
+  val aggListagg: Q = (spark, dir) =>
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") <= 100)
+      .groupBy("c_mktsegment")
+      .agg(
+        expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").as("names"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("c_mktsegment")
+
+  private val aggListaggSql =
+    """SELECT c_mktsegment,
+      | string_agg(c_name, ',' ORDER BY c_name) AS names,
+      | count(*) AS n
+      |FROM customer WHERE c_custkey <= 100
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   /** Skewness and excess kurtosis per group via EXPLICIT two-pass
     * central moments — deliberately NOT Spark's skewness()/kurtosis()
     * builtins, whose bias-correction conventions differ from DuckDB's
@@ -765,6 +788,7 @@ object Aggregates {
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_hist" -> aggHist,
     "agg_skew_kurt" -> aggSkewKurt,
+    "agg_listagg" -> aggListagg,
     "agg_hll_sketch" -> aggHllSketch,
     "agg_percentiles" -> aggPercentiles,
     "agg_mode" -> aggMode,
@@ -790,6 +814,7 @@ object Aggregates {
     "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_hist" -> aggHistSql,
     "agg_skew_kurt" -> aggSkewKurtSql,
+    "agg_listagg" -> aggListaggSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_mode" -> aggModeSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
