@@ -32,8 +32,20 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // per-area rollup (key prefix before the first '_') — budget
+    // tracking for the sidecar file only; the stdout line stays in the
+    // exact driver-parsed shape
+    val areas = results.toSeq
+      .groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .toSeq
+      .sortBy { case (_, vs) => -vs.map(_._2).sum }
+      .map { case (a, vs) =>
+        "\"" + a + "\":{\"sec\":" + r3(vs.map(_._2).sum) + ",\"n\":" + vs.size + "}"
+      }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), mkLine(fullQs) + "\n")
+      java.nio.file.Paths.get("bench_out.json"),
+      mkLine(fullQs).dropRight(1) + s""","areas":$areas}""" + "\n")
     val budget = 1500
     val bySlow = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val overhead = mkLine("{}").length + "\"_rest\":9999.999,".length

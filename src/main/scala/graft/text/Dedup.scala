@@ -359,6 +359,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** 2-core of the near-dup graph — iterative degree-<2 peeling, the
+    * core-decomposition step that separates genuine duplicate CLUSTERS
+    * (cycles, cliques) from incidental pairwise matches (trees peel
+    * away entirely). Exactly 6 unrolled peel rounds, mirrored verbatim
+    * in the oracle — like graph_pagerank's fixed iterations, the fixed
+    * count makes both engines compute the identical intermediate even
+    * if the peel has already converged. Each round is one degree
+    * aggregate + two semi joins on the (tiny) surviving edge list; the
+    * corpus-sized work remains the shared edge build. */
+  val graph2core: Q = (spark, dir) => {
+    val e = nearDupEdges(spark, dir)
+    // each round references the previous edge list THREE times (degree
+    // aggregate + two semi joins) — checkpoint per round so the shared
+    // subtree is materialized once, not recomputed multiplicatively
+    // through six rounds of nesting (the lsstar lesson)
+    var sym = e
+      .union(e.select(col("d2"), col("d1")))
+      .toDF("u", "v")
+      .localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      val deg = sym
+        .groupBy("u")
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2)
+        .select("u")
+      sym = sym
+        .join(deg, "u")
+        .join(deg.select(col("u").as("v")), "v")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    val core = sym.select(col("u").as("doc_id")).distinct().withColumn("f", lit(true))
+    Tables
+      .documents(spark, dir)
+      .select("doc_id")
+      .join(core, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("f"), lit(false)).as("in_2core"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: references edgesCteSql, declared further down the object.
+  // Every per-round CTE is MATERIALIZED: DuckDB inlines CTEs by
+  // default, and each round references the previous one three times —
+  // inlined, the shingle self-join would be re-planned ~3^6 times.
+  private lazy val graph2coreSql = {
+    val rounds = (1 to 6)
+      .map { i =>
+        val prev = if (i == 1) "sym0" else s"s${i - 1}"
+        s"""n$i AS MATERIALIZED (
+           |  SELECT u FROM $prev GROUP BY u HAVING count(*) >= 2),
+           |s$i AS MATERIALIZED (
+           |  SELECT a.u, a.v FROM $prev a
+           |  JOIN n$i x ON a.u = x.u JOIN n$i y ON a.v = y.u)""".stripMargin
+      }
+      .mkString(",\n")
+    edgesCteSql +
+      s""",
+         |sym0 AS MATERIALIZED (
+         |  SELECT d1 AS u, d2 AS v FROM edges
+         |  UNION ALL SELECT d2, d1 FROM edges),
+         |$rounds
+         |SELECT d.doc_id, d.doc_id IN (SELECT u FROM s6) AS in_2core
+         |FROM documents d ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The alternating-star contraction itself, over any (u, v) edge
     * list: returns the converged star edges (node → its component
     * minimum; component minima and isolated nodes are absent — they
@@ -812,6 +877,7 @@ object Dedup {
     "graph_pagerank" -> graphPagerank,
     "dedup_cluster_cc" -> dedupClusterCc,
     "dedup_cluster_lsstar" -> dedupClusterLsStar,
+    "graph_2core" -> graph2core,
     "dedup_simhash_fast" -> dedupSimhashFast,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -857,6 +923,7 @@ object Dedup {
     // the alternating-star variant must produce the IDENTICAL
     // clustering — it shares the recursive-CTE oracle verbatim
     "dedup_cluster_lsstar" -> dedupClusterCcSql,
+    "graph_2core" -> graph2coreSql,
     "dedup_cluster_cc" -> dedupClusterCcSql,
     "dedup_exact" ->
       """SELECT doc_id, lang, n_chars, group_n FROM (
