@@ -134,6 +134,20 @@ object Scans {
     val path = tmp("nation_fixed_width")
     Tables
       .nation(spark, dir)
+      // lpad/rpad silently TRUNCATE over-width values — a fixed-width
+      // serializer must fail loudly instead of corrupting the feed.
+      // assert_true returns NULL on success and throws on violation,
+      // so the filter keeps every valid row while refusing to write a
+      // corrupted one (and, living in a Filter, it cannot be pruned
+      // away with an unused projection column).
+      .filter(
+        expr(
+          "assert_true(length(cast(n_nationkey as string)) <= 4" +
+            " and length(n_name) <= 12" +
+            " and length(cast(n_regionkey as string)) <= 4," +
+            " 'fixed-width field overflow') is null"
+        )
+      )
       .select(
         concat(
           lpad(col("n_nationkey").cast("string"), 4, "0"),

@@ -146,15 +146,20 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case cached: Option[Seq[Double]] @unchecked if cached != null =>
             cached
           case _ =>
-            val res =
-              try {
-                val rows = GraftPlanBridge.ofRows(spark, s.plan).collect()
+            try {
+              val rows = GraftPlanBridge.ofRows(spark, s.plan).collect()
+              val res =
                 if (rows.length == 1 && !rows(0).isNullAt(0))
                   Some(rows(0).getSeq[Float](0).map(_.toDouble).toSeq)
                 else None
-              } catch { case _: Exception => None }
-            probeMemo.put(key, res)
-            res
+              probeMemo.put(key, res)
+              res
+            } catch {
+              // fall back to no-rewrite but do NOT memoize: a transient
+              // eval failure (lost executor, concurrent compaction) must
+              // not permanently disable the rewrite for this plan
+              case _: Exception => None
+            }
         }
       }
     case _ => None

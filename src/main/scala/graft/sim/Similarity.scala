@@ -365,7 +365,15 @@ object Similarity {
       .orderBy("pid", "rn")
     val rule = graft.plans.AnnIvfRewriteRule(spark)
     val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
+    // pin nprobe to the oracle's 3 cells for the eager apply — a
+    // session-level recall experiment (nprobe=5) must not silently
+    // diverge this key from its hash-proven twin
+    val prevNp = spark.conf.getOption(graft.plans.AnnIvfRewrite.NprobeKey)
     spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    spark.conf.set(
+      graft.plans.AnnIvfRewrite.NprobeKey,
+      graft.plans.AnnIvfRewrite.DefaultNprobe.toString
+    )
     try {
       val rewritten = rule(brute.queryExecution.optimizedPlan)
       require(
@@ -374,9 +382,15 @@ object Similarity {
         "per-row ANN rewrite did not fire"
       )
       org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
-    } finally prev match {
-      case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
-      case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+      }
+      prevNp match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
+      }
     }
   }
 

@@ -359,26 +359,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 2-core of the near-dup graph — iterative degree-<2 peeling, the
-    * core-decomposition step that separates genuine duplicate CLUSTERS
-    * (cycles, cliques) from incidental pairwise matches (trees peel
-    * away entirely). Exactly 6 unrolled peel rounds, mirrored verbatim
-    * in the oracle — like graph_pagerank's fixed iterations, the fixed
-    * count makes both engines compute the identical intermediate even
-    * if the peel has already converged. Each round is one degree
-    * aggregate + two semi joins on the (tiny) surviving edge list; the
-    * corpus-sized work remains the shared edge build. */
+  /** Bounded 6-round degree-<2 peel toward the 2-core of the near-dup
+    * graph — the core-decomposition step that separates genuine
+    * duplicate CLUSTERS (cycles, cliques) from incidental pairwise
+    * matches (trees peel away). Exactly 6 unrolled peel rounds,
+    * mirrored verbatim in the oracle — like graph_pagerank's fixed
+    * iterations, the fixed count keeps the intermediate identical
+    * across engines AND keeps the oracle expressible (a
+    * converge-until-fixpoint loop has no static SQL twin). The bound
+    * is semantic, not just operational: a pendant chain longer than 6
+    * edges is only partially peeled, so this is a k-PEEL
+    * approximation that equals the true 2-core exactly when peeling
+    * converges within the budget (it does on this corpus — Round6Spec
+    * shows both the equality here and the divergence on a longer
+    * synthetic chain). Each round is one degree aggregate + two semi
+    * joins on the (tiny) surviving edge list; the corpus-sized work
+    * remains the shared edge build. */
   val graph2core: Q = (spark, dir) => {
     val e = nearDupEdges(spark, dir)
-    // each round references the previous edge list THREE times (degree
-    // aggregate + two semi joins) — checkpoint per round so the shared
-    // subtree is materialized once, not recomputed multiplicatively
-    // through six rounds of nesting (the lsstar lesson)
-    var sym = e
+    val sym = e
       .union(e.select(col("d2"), col("d1")))
       .toDF("u", "v")
-      .localCheckpoint(true)
-    for (_ <- 1 to 6) {
+    val core = peelToCore(sym, 6)
+      .select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("f", lit(true))
+    Tables
+      .documents(spark, dir)
+      .select("doc_id")
+      .join(core, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("f"), lit(false)).as("in_2core"))
+      .orderBy("doc_id")
+  }
+
+  /** The peel loop itself (see [[graph2core]]): `rounds` iterations of
+    * drop-degree-<2. Each round references the previous edge list
+    * THREE times (degree aggregate + two semi joins) — checkpoint per
+    * round so the shared subtree is materialized once, not recomputed
+    * multiplicatively through the nesting (the lsstar lesson). */
+  private[graft] def peelToCore(edges: DataFrame, rounds: Int): DataFrame = {
+    var sym = edges.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
       val deg = sym
         .groupBy("u")
         .agg(count(lit(1)).as("d"))
@@ -390,13 +411,7 @@ object Dedup {
         .select("u", "v")
         .localCheckpoint(true)
     }
-    val core = sym.select(col("u").as("doc_id")).distinct().withColumn("f", lit(true))
-    Tables
-      .documents(spark, dir)
-      .select("doc_id")
-      .join(core, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("f"), lit(false)).as("in_2core"))
-      .orderBy("doc_id")
+    sym
   }
 
   // lazy: references edgesCteSql, declared further down the object.
@@ -487,6 +502,11 @@ object Dedup {
       e = next
       rounds += 1
     }
+    // a silent unconverged exit would emit intermediate star edges as
+    // final cluster ids — fail loudly instead; 15 rounds covers
+    // O(log^2 n) for any realistic component, and a caller hitting
+    // this on a pathological graph should raise the budget knowingly
+    require(done, s"alternating-star did not converge within $rounds rounds")
     // converged: every non-minimum node points at its component min
     e
   }

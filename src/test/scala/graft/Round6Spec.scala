@@ -119,6 +119,27 @@ class Round6Spec extends SparkTestBase {
     }
   }
 
+  test("6-round peel is the exact 2-core when it converges, and honestly bounded when not") {
+    // triangle {0,1,2} with a 3-node pendant chain: converges in 3
+    // rounds — 6-round peel == true 2-core == the triangle
+    def sym(edges: Seq[(Long, Long)]) =
+      (edges ++ edges.map(_.swap)).toDF("u", "v")
+    val short = sym(Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val core6 = text.Dedup.peelToCore(short, 6)
+      .select("u").distinct().as[Long].collect().toSet
+    assert(core6 == Set(0L, 1L, 2L), s"got $core6")
+    // triangle with a 9-edge pendant chain: 6 rounds peel only 6 chain
+    // nodes — the k-peel bound is real; 12 rounds finish the job
+    val chain = (2L until 11L).map(i => (i, i + 1))
+    val long = sym(Seq((0L, 1L), (1L, 2L), (2L, 0L)) ++ chain)
+    val bounded = text.Dedup.peelToCore(long, 6)
+      .select("u").distinct().as[Long].collect().toSet
+    assert(bounded.size > 3, "a >6-edge pendant chain must not fully peel in 6 rounds")
+    val converged = text.Dedup.peelToCore(long, 12)
+      .select("u").distinct().as[Long].collect().toSet
+    assert(converged == Set(0L, 1L, 2L), s"got $converged")
+  }
+
   test("fixed-width round trip is byte-exact against the source table") {
     val back = operators.Scans.sourceFixedWidth(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq

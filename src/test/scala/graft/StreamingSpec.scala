@@ -287,8 +287,9 @@ class StreamingSpec extends SparkTestBase {
     withStateProvider(rocksProvider) {
       val ms = MemoryStream[Event]
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl").toString
-      // TTL sized well above per-run query-startup cost (~5s each, and
-      // the TTL clock starts at the state WRITE, not the batch end)
+      // TTL sized with a wide margin over per-run query-startup cost
+      // (~5s each; the clock starts at the state WRITE, not batch end,
+      // and the in-window assertion runs a whole query-start later)
       // one single-batch query per step: under TimeMode.ProcessingTime
       // every batch schedules a successor to advance the TTL clock, so
       // a long-lived query (and even AvailableNow) never terminates —
@@ -300,7 +301,7 @@ class StreamingSpec extends SparkTestBase {
       val out = java.nio.file.Files.createTempDirectory("graft-ttl-out").toString
       def runOnce(): Set[Long] = {
         val q = StreamOps
-          .firstSeenWithTtl(ms.toDS(), java.time.Duration.ofSeconds(15))
+          .firstSeenWithTtl(ms.toDS(), java.time.Duration.ofSeconds(30))
           .writeStream
           .format("parquet")
           .option("path", out)
@@ -317,7 +318,7 @@ class StreamingSpec extends SparkTestBase {
       ms.addData(ev(2, "2024-01-01 10:00:05", user = 7))
       assert(runOnce() == Set(1L), "in-window duplicate must be suppressed")
       // let the processing-time TTL lapse, then the same key re-emits
-      Thread.sleep(20000)
+      Thread.sleep(35000)
       ms.addData(ev(3, "2024-01-01 10:00:10", user = 7))
       assert(runOnce() == Set(1L, 3L), "expired key must re-emit")
     }
