@@ -542,53 +542,50 @@ object Etl {
     * running character total; `(cum − 1) div budget` bins the prefix
     * sum so a single oversized doc still lands in its own shard.
     * |langs| is small, so a per-lang window prefix-sum would sort the
-    * whole corpus into a handful of tasks. Instead this is the
-    * two-phase offset scheme of etl_global_ids generalized to keyed
-    * prefix sums: range-partition on (lang, doc_id) — so every lang's
-    * rows sit in doc_id order across MANY partitions — then pass 1
-    * collects only the per-(partition, lang) character totals (bounded
-    * by partitions × languages), whose per-lang prefix sums become
-    * broadcast running-total offsets for pass 2's local sums. Same
-    * output as the window formulation at any parallelism. */
+    * whole corpus into a handful of tasks. Instead this is
+    * [[TwoPhase.prefixScan]] with a per-lang subtotal MAP as the
+    * partition summary: range-partition on (lang, doc_id) — so every
+    * lang's rows sit in doc_id order across MANY partitions — phase 1
+    * collects only per-(partition, lang) character totals (bounded by
+    * partitions × languages), and the prefix-merged maps seed phase
+    * 2's local running sums. Same output as the window formulation at
+    * any parallelism. */
   val etlShardAssign: Q = (spark, dir) => {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    val docs = Tables
-      .documents(spark, dir)
-      .select("doc_id", "lang", "n_chars")
-      .repartitionByRange(8, col("lang"), col("doc_id"))
-      .sortWithinPartitions("lang", "doc_id")
-    val partials = docs.rdd
-      .mapPartitionsWithIndex { (i, it) =>
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("cum_chars", LongType, nullable = false),
+        StructField("shard", LongType, nullable = false)
+      )
+    )
+    TwoPhase
+      .prefixScan(
+        Tables.documents(spark, dir).select("doc_id", "lang", "n_chars"),
+        8,
+        Seq(col("lang"), col("doc_id")),
+        Map.empty[String, Long]
+      ) { it =>
         val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         it.foreach { r =>
-          val l = r.getString(1)
-          acc.update(l, acc.getOrElse(l, 0L) + r.getLong(2))
+          acc.update(r.getString(1), acc.getOrElse(r.getString(1), 0L) + r.getLong(2))
         }
-        acc.iterator.map { case (l, s) => (i, l, s) }
-      }
-      .collect()
-    val offsets: Map[(Int, String), Long] = partials
-      .groupBy(_._2)
-      .flatMap { case (lang, arr) =>
-        var acc = 0L
-        arr.sortBy(_._1).map { case (i, _, s) =>
-          val kv = ((i, lang), acc); acc += s; kv
+        acc.toMap
+      } { (a, b) =>
+        b.foldLeft(a) { case (m, (l, s)) => m.updated(l, m.getOrElse(l, 0L) + s) }
+      }(outSchema) { (offsets, _, it) =>
+        val run = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { r =>
+          val lang = r.getString(1)
+          val cum = run.getOrElse(lang, offsets.getOrElse(lang, 0L)) + r.getLong(2)
+          run.update(lang, cum)
+          Row(r.getLong(0), lang, r.getLong(2), cum, (cum - 1) / 20000L)
         }
       }
-    val bOff = docs.sparkSession.sparkContext.broadcast(offsets)
-    val out = docs.rdd.mapPartitionsWithIndex { (i, it) =>
-      val run = scala.collection.mutable.HashMap.empty[String, Long]
-      it.map { r =>
-        val lang = r.getString(1)
-        val n = r.getLong(2)
-        val cum = run.getOrElse(lang, bOff.value.getOrElse((i, lang), 0L)) + n
-        run.update(lang, cum)
-        Row(r.getLong(0), lang, n, cum, (cum - 1) / 20000L)
-      }
-    }
-    val schema = docs.schema.add("cum_chars", LongType).add("shard", LongType)
-    docs.sparkSession.createDataFrame(out, schema).orderBy("doc_id")
+      .orderBy("doc_id")
   }
 
   private val etlShardAssignSql =

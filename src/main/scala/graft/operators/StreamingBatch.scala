@@ -90,15 +90,18 @@ object StreamingBatch {
     * >10 min behind the running max event-time in arrival order
     * (event_id). The true streaming drop is proven in StreamingSpec.
     *
-    * The running max over a GLOBAL order is computed two-phase (the
-    * etl_global_ids scheme) instead of an unpartitioned window — the
-    * window form serializes the whole event table through one task at
-    * any scale: range-partition by the arrival key, per-partition max
-    * event-times collected (bounded by the partition count), prefix
-    * maxes broadcast back, then a local running max per partition.
-    * Identical values — max is associative over any prefix split. */
+    * The running max over a GLOBAL order is computed by
+    * [[TwoPhase.prefixScan]] instead of an unpartitioned window
+    * — the window form serializes the whole event table through one
+    * task at any scale. The partition summary is the per-partition max
+    * event-time; prefix-combined maxes seed each partition's local
+    * running max. Identical values — max is associative over any
+    * prefix split. */
   val streamWatermarkLate: Q = (spark, dir) => {
     import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
     // events.parquet is written in event-time order, so a deterministic
     // interleave (event_id + (event_id % 13) * 2) stands in for a
     // realistic out-of-order arrival sequence.
@@ -106,41 +109,31 @@ object StreamingBatch {
       .events(spark, dir)
       .withColumn("arr", expr("event_id + (event_id % 13) * 2"))
       .select("event_id", "user_id", "ts", "arr")
-      .repartitionByRange(8, col("arr"), col("event_id"))
-      .sortWithinPartitions("arr", "event_id")
-    def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
-    val partMax = ev.rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        Iterator((i, it.foldLeft(Long.MinValue)((m, r) => math.max(m, micros(r.getTimestamp(2))))))
-      }
-      .collect()
-      .sortBy(_._1)
-      .map(_._2)
-    // prefix(i) = max event time over all partitions BEFORE i
-    val prefix = partMax.scanLeft(Long.MinValue)(math.max)
-    val lateMicros = 10L * 60 * 1000000
-    val flagged = ev.rdd.mapPartitionsWithIndex { (i, it) =>
-      var runMax = prefix(i)
-      it.flatMap { r =>
-        val t = micros(r.getTimestamp(2))
-        runMax = math.max(runMax, t)
-        if (t < runMax - lateMicros) {
-          val rm = new java.sql.Timestamp(runMax / 1000)
-          rm.setNanos((runMax % 1000000).toInt * 1000)
-          Some(Row(r.getLong(0), r.getLong(1), r.getTimestamp(2), rm))
-        } else None
-      }
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      ev.schema.take(3) :+
-        org.apache.spark.sql.types.StructField(
-          "run_max",
-          org.apache.spark.sql.types.TimestampType,
-          nullable = false
-        )
+    val outSchema = StructType(
+      ev.schema.take(3) :+ StructField("run_max", TimestampType, nullable = false)
     )
-    spark.createDataFrame(flagged, schema).orderBy("event_id")
+    val lateMicros = 10L * 60 * 1000000
+    TwoPhase
+      .prefixScan(
+        ev,
+        8,
+        Seq(col("arr"), col("event_id")),
+        Long.MinValue
+      ) { it =>
+        it.foldLeft(Long.MinValue)((m, r) => math.max(m, micros(r.getTimestamp(2))))
+      }(math.max)(outSchema) { (prefixMax, _, it) =>
+        var runMax = prefixMax
+        it.flatMap { r =>
+          val t = micros(r.getTimestamp(2))
+          runMax = math.max(runMax, t)
+          if (t < runMax - lateMicros) {
+            val rm = new java.sql.Timestamp(runMax / 1000)
+            rm.setNanos((runMax % 1000000).toInt * 1000)
+            Some(Row(r.getLong(0), r.getLong(1), r.getTimestamp(2), rm))
+          } else None
+        }
+      }
+      .orderBy("event_id")
   }
 
   /** Stateful dedup by (user, type, minute) keeping the first arrival

@@ -83,10 +83,8 @@ object Windows {
     * WITHOUT the single-partition `Window.orderBy` anti-pattern (an
     * unpartitioned window serializes every row through one task; Spark
     * itself warns `WindowExec: No Partition Defined`). Instead the
-    * global rank is assigned by the same two-phase scheme as
-    * etl_global_ids: range-partition on the order key, sort within
-    * partitions, collect only the per-partition COUNTS (bounded by the
-    * partition count), and turn their prefix sums into per-partition
+    * global rank comes from [[TwoPhase.prefixScan]] (the
+    * etl_global_ids scheme): per-partition COUNTS prefix-summed into
     * rank offsets. ntile/cume_dist/percent_rank are then pure
     * arithmetic on (rank, n): the ordering key (c_acctbal, c_custkey)
     * is unique, so cume_dist = r/n and percent_rank = (r-1)/(n-1)
@@ -96,41 +94,42 @@ object Windows {
     * slice. */
   val winNtileCume: Q = (spark, dir) => {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    val cust = Tables
-      .customer(spark, dir)
-      .select("c_custkey", "c_acctbal")
-      .repartitionByRange(8, col("c_acctbal"), col("c_custkey"))
-      .sortWithinPartitions("c_acctbal", "c_custkey")
-    val counts = cust.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect()
-      .sortBy(_._1)
-      .map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val n = counts.sum
-    val ranked = cust.rdd.mapPartitionsWithIndex { (i, it) =>
-      var r = offsets(i)
-      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
-    }
-    val k = 4L
-    val base = n / k
-    val rem = n % k
-    val pivot = rem * (base + 1) // rows in the first `rem` (larger) buckets
-    cust.sparkSession
-      .createDataFrame(ranked, cust.schema.add("r", LongType))
-      .select(
-        col("c_custkey"),
-        col("c_acctbal"),
-        when(
-          lit(rem) > 0 && col("r") <= lit(pivot),
-          floor((col("r") - 1) / lit(base + 1)) + 1
-        ).otherwise(lit(rem) + floor((col("r") - lit(pivot) - 1) / lit(base)) + 1)
-          .cast("int")
-          .as("nt"),
-        (col("r").cast("double") / lit(n.toDouble)).as("cd"),
-        ((col("r") - 1).cast("double") / lit((n - 1).toDouble)).as("pr")
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(
+      Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_acctbal", DoubleType),
+        StructField("nt", IntegerType, nullable = false),
+        StructField("cd", DoubleType, nullable = false),
+        StructField("pr", DoubleType, nullable = false)
       )
+    )
+    val k = 4L
+    TwoPhase
+      .prefixScan(
+        Tables.customer(spark, dir).select("c_custkey", "c_acctbal"),
+        8,
+        Seq(col("c_acctbal"), col("c_custkey")),
+        0L
+      )(it => it.size.toLong)(_ + _)(outSchema) { (offset, n, it) =>
+        val base = n / k
+        val rem = n % k
+        val pivot = rem * (base + 1) // rows in the first `rem` (larger) buckets
+        var r = offset
+        it.map { row =>
+          r += 1
+          val nt =
+            if (rem > 0 && r <= pivot) (r - 1) / (base + 1) + 1
+            else rem + (r - pivot - 1) / base + 1
+          Row(
+            row.getLong(0),
+            row.getDouble(1),
+            nt.toInt,
+            r.toDouble / n.toDouble,
+            (r - 1).toDouble / (n - 1).toDouble
+          )
+        }
+      }
       .orderBy("c_custkey")
   }
 

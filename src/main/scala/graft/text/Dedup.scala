@@ -17,25 +17,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per document. Deliberately NOT
-    * cached: the self-join's two sides share one shuffle via Spark's
-    * ReuseExchange, and measurement showed an explicit cache only adds
-    * materialization cost here. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct word-n-gram shingles per document — the span length is
+    * the ONE knob the whole dedup/decontamination family turns
+    * (3-gram near-dup edges, 5-gram decontamination, 8-gram on a real
+    * benchmark suite). Deliberately NOT cached: a self-join's two
+    * sides share one shuffle via Spark's ReuseExchange, and
+    * measurement showed an explicit cache only adds materialization
+    * cost here. */
+  private def wordShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val terms =
+      (0 until n).map(j => if (j == 0) "ts[i]" else s"ts[i+$j]").mkString(", ")
     Tables
       .documents(spark, dir)
       .withColumn("ts", split(col("text"), " "))
-      .filter(size(col("ts")) >= 3)
+      .filter(size(col("ts")) >= n)
       .select(
         col("doc_id"),
         explode(
-          expr(
-            "transform(sequence(0, size(ts)-3)," +
-              " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
-          )
+          expr(s"transform(sequence(0, size(ts)-$n), i -> concat_ws(' ', $terms))")
         ).as("s")
       )
       .distinct()
+  }
+
+  /** The DuckDB twin of [[wordShingles]]: `tok`/`sh` CTEs producing
+    * the same distinct (doc_id, s) set — shared by the
+    * decontamination oracles and [[edgesCteSql]]. */
+  private def wordShinglesCteSql(n: Int): String = {
+    val concatExpr =
+      (0 until n).map(j => if (j == 0) "ts[i]" else s"ts[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+       |        WHERE len(string_split(text,' ')) >= $n),
+       |sh AS (SELECT DISTINCT doc_id, $concatExpr AS s
+       |       FROM tok, unnest(range(1, len(ts)-${n - 2})) AS u(i))""".stripMargin
+  }
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    wordShingles(spark, dir, 3)
 
   /** Stop-shingle cap for the LSH pipeline (the module doc's skew
     * bound): shingles present in more than [[StopDf]] documents connect
@@ -308,6 +326,15 @@ object Dedup {
       lbl = lbl.localCheckpoint(true)
       prevCache.unpersist()
     }
+    clusterOutput(lbl)
+  }
+
+  /** Shared output tail of both CC variants: cluster sizes joined back
+    * onto the (doc_id, cluster_id) labeling, canonical = the min-id
+    * member carrying the cluster label. The size aggregate is keyed on
+    * cluster_id — bounded fan-in, no skew beyond the largest dup
+    * cluster. */
+  private def clusterOutput(lbl: DataFrame): DataFrame = {
     val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
     lbl
       .join(sizes, "cluster_id")
@@ -347,16 +374,7 @@ object Dedup {
       .select(col("doc_id"))
       .join(star, col("doc_id") === col("u"), "left")
       .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
-    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
-    lbl
-      .join(sizes, "cluster_id")
-      .select(
-        col("doc_id"),
-        col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("is_canonical"),
-        col("cluster_n")
-      )
-      .orderBy("doc_id")
+    clusterOutput(lbl)
   }
 
   /** Bounded 6-round degree-<2 peel toward the 2-core of the near-dup
@@ -760,21 +778,7 @@ object Dedup {
     * map-side semi-join pass, never shuffled. A single shared 5-gram
     * is already decisive, so contaminated := n_hits >= 1. */
   val dedupDecontaminate5g: Q = (spark, dir) => {
-    val sh = Tables
-      .documents(spark, dir)
-      .withColumn("ts", split(col("text"), " "))
-      .filter(size(col("ts")) >= 5)
-      .select(
-        col("doc_id"),
-        explode(
-          expr(
-            "transform(sequence(0, size(ts)-5)," +
-              " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3]," +
-              " ts[i+4]))"
-          )
-        ).as("s")
-      )
-      .distinct()
+    val sh = wordShingles(spark, dir, 5)
     val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), "s")
@@ -788,39 +792,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val dedupDecontaminate5gSql =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
-      |        WHERE len(string_split(text,' ')) >= 5),
-      |sh AS (SELECT DISTINCT doc_id,
-      |        ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
-      |        || ' ' || ts[i+4] AS s
-      |       FROM tok, unnest(range(1, len(ts)-3)) AS u(i)),
-      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-      |       count(*) >= 1 AS contaminated
-      |FROM sh JOIN b USING (s)
-      |WHERE doc_id % 97 <> 0
-      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  /** The decontamination oracle at span length `n` with admission
+    * threshold `minHits` — the SQL twin of the operator pair above,
+    * assembled from [[wordShinglesCteSql]]. */
+  private def decontaminateSql(n: Int, minHits: Int): String =
+    wordShinglesCteSql(n) +
+      s""",
+         |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       count(*) >= $minHits AS contaminated
+         |FROM sh JOIN b USING (s)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  private val dedupDecontaminateSql =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
-      |        WHERE len(string_split(text,' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-      |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
-      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-      |       count(*) >= 3 AS contaminated
-      |FROM sh JOIN b USING (s)
-      |WHERE doc_id % 97 <> 0
-      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  private val dedupDecontaminate5gSql = decontaminateSql(5, 1)
+
+  private val dedupDecontaminateSql = decontaminateSql(3, 3)
 
   /** DuckDB CTE prefix reconstructing [[nearDupEdges]] — shared by the
     * graph-analytics oracles below. */
-  private val edgesCteSql =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
-      |        WHERE len(string_split(text,' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-      |       FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+  private val edgesCteSql = wordShinglesCteSql(3) +
+    """,
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

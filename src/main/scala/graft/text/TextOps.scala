@@ -398,6 +398,86 @@ object TextOps {
       .orderBy(col("df").desc, col("tf").desc, col("ngram"))
       .limit(50)
 
+  /** Within-document repetition signals (the Gopher/RefinedWeb
+    * repetitious-text gate): over each document's word-2-gram
+    * OCCURRENCES (not the distinct set), the fraction covered by
+    * 2-grams that repeat within the doc (`dup_frac`) and by the single
+    * most frequent 2-gram (`top_frac`). Templated/spun text scores
+    * high on dup_frac, keyword-stuffed text on top_frac; both are
+    * admission-gate features upstream of dedup. One explode + two
+    * keyed aggregates, all keyed on doc_id — embarrassingly parallel,
+    * no corpus-wide state at any scale. Ratios are exact rationals of
+    * per-doc counts, so rounding is engine-stable. */
+  val textRepetition: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(0, size(ts)-2), i -> concat_ws(' ', ts[i], ts[i+1]))")
+        ).as("g")
+      )
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_grams"),
+        round(
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) / sum("c"),
+          6
+        ).as("dup_frac"),
+        round(max("c") / sum("c"), 6).as("top_frac")
+      )
+      .orderBy("doc_id")
+
+  private val textRepetitionSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
+      |        WHERE len(string_split(text,' ')) >= 2),
+      |g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      |      FROM tok, unnest(range(1, len(ts))) AS u(i)),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      | round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)*1.0 / sum(c), 6) AS dup_frac,
+      | round(max(c)*1.0 / sum(c), 6) AS top_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary-richness profile: type-token ratio and hapax-legomena
+    * ratio per document. Low TTR is the complementary repetition
+    * signal to [[textRepetition]] (repeated WORDS rather than repeated
+    * spans); a high hapax ratio flags gibberish/ID-heavy text. Same
+    * doc_id-keyed two-aggregate shape. */
+  val textHapax: Q = (spark, dir) =>
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(count(lit(1)) / sum("c"), 6).as("ttr"),
+        round(
+          sum(when(col("c") === 1, 1L).otherwise(0L)) / count(lit(1)),
+          6
+        ).as("hapax_ratio")
+      )
+      .orderBy("doc_id")
+
+  private val textHapaxSql =
+    """WITH c AS (SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+      | CAST(count(*) AS BIGINT) AS n_types,
+      | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      | round(count(*)*1.0 / sum(c), 6) AS ttr,
+      | round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)*1.0 / count(*), 6) AS hapax_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val textTopNgramsSql =
     """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents
       |        WHERE len(string_split(text,' ')) >= 3),
@@ -480,6 +560,8 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "etl_corpus_filter" -> etlCorpusFilter,
+    "text_repetition" -> textRepetition,
+    "text_hapax" -> textHapax,
     "text_top_ngrams" -> textTopNgrams,
     "text_pii_redact" -> textPiiRedact,
     "text_bigram_score" -> textBigramScore,
@@ -498,6 +580,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "etl_corpus_filter" -> etlCorpusFilterSql,
+    "text_repetition" -> textRepetitionSql,
+    "text_hapax" -> textHapaxSql,
     "text_top_ngrams" -> textTopNgramsSql,
     "text_pii_redact" -> textPiiRedactSql,
     "text_bigram_score" -> textBigramScoreSql,
