@@ -781,7 +781,35 @@ object Aggregates {
       |GROUP BY l.l_returnflag
       |ORDER BY l.l_returnflag""".stripMargin
 
+  /** Market-basket co-occurrence: part pairs ordered together, top-20
+    * by support. The self-join is keyed on l_orderkey, whose group
+    * size is bounded by order line count (≤7 in TPC-H, 17 here), so
+    * the pair fan-out is linear in the fact table — the classic
+    * within-group pair explode that stays safe at any corpus size
+    * because the quadratic term is per-GROUP, not per-table. The
+    * `p1 < p2` ordering counts each unordered pair once; the top-20
+    * runs as a TakeOrderedAndProject heap over the pair aggregate. */
+  val aggCopurchase: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val a = li.toDF("k", "p1")
+    val b = li.toDF("k", "p2")
+    a.join(b, Seq("k"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  private val aggCopurchaseSql =
+    """SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_copurchase" -> aggCopurchase,
     "agg_mad" -> aggMad,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_entropy" -> aggEntropy,
@@ -809,6 +837,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_copurchase" -> aggCopurchaseSql,
     "agg_mad" -> aggMadSql,
     "agg_entropy" -> aggEntropySql,
     "agg_corr_matrix" -> aggCorrMatrixSql,

@@ -740,7 +740,49 @@ object Etl {
       |  FROM m) t
       |ORDER BY order_ref""".stripMargin
 
+  /** k-anonymity suppression (k = 5) over the (nation, segment)
+    * quasi-identifier pair — the privacy gate a training-data export
+    * runs before release: any combination identifying fewer than k
+    * customers has both quasi-identifiers masked. Group cardinality is
+    * bounded by |nations| × |segments|, so the violating-group list
+    * broadcasts and the whole operator is one map-side pass over the
+    * fact side after a bounded aggregate — no per-row shuffle at any
+    * scale. */
+  val etlKanonymity: Q = (spark, dir) => {
+    val k = 5
+    val cust = Tables.customer(spark, dir)
+    val groups = cust
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("grp_n"))
+    cust
+      .join(broadcast(groups), Seq("c_nationkey", "c_mktsegment"))
+      .select(
+        col("c_custkey"),
+        when(col("grp_n") < k, lit("*"))
+          .otherwise(col("c_nationkey").cast("string"))
+          .as("nation_q"),
+        when(col("grp_n") < k, lit("*"))
+          .otherwise(col("c_mktsegment"))
+          .as("segment_q"),
+        col("grp_n"),
+        (col("grp_n") < k).as("suppressed")
+      )
+      .orderBy("c_custkey")
+  }
+
+  private val etlKanonymitySql =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_custkey,
+      | CASE WHEN grp_n < 5 THEN '*' ELSE CAST(c_nationkey AS VARCHAR) END AS nation_q,
+      | CASE WHEN grp_n < 5 THEN '*' ELSE c_mktsegment END AS segment_q,
+      | grp_n, grp_n < 5 AS suppressed
+      |FROM customer JOIN g USING (c_nationkey, c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_kanonymity" -> etlKanonymity,
     "etl_mapping_dsl" -> etlMappingDsl,
     "etl_dedup_incremental" -> etlDedupIncremental,
     "etl_shard_assign" -> etlShardAssign,
@@ -758,6 +800,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_kanonymity" -> etlKanonymitySql,
     "etl_mapping_dsl" -> etlMappingDslSql,
     "etl_dedup_incremental" -> etlDedupIncrementalSql,
     "etl_shard_assign" -> etlShardAssignSql,

@@ -480,7 +480,120 @@ object EventAnalytics {
       | count(*) AS n, round(sum(value), 4) AS sum_val
       |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
 
+  /** Exponentially weighted trailing revenue (α = 0.5, 8-day horizon)
+    * per order priority. The recursive EWMA definition is re-expressed
+    * as its closed finite-horizon form — each source day contributes
+    * to the next 8 output days with weight 0.5^j — so the whole thing
+    * is one bounded explode + one keyed aggregate instead of a
+    * sequential scan: the scale shape a per-key recursion can never
+    * have. Normalizing by the sum of PRESENT weights handles calendar
+    * gaps deterministically. Numeric parity: daily revenue is rounded
+    * to the 2dp grid first (both engines then weight IDENTICAL
+    * numbers), the weights 0.5^j are exact in binary, and the final
+    * 4dp round sits far above the summation-order noise floor. */
+  val tsEwma: Q = (spark, dir) => {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy(
+        col("o_orderpriority").as("prio"),
+        to_date(date_trunc("day", col("o_orderdate"))).as("day")
+      )
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val contrib = daily
+      .select(col("prio"), col("day"), col("rev"), explode(expr("sequence(0, 7)")).as("j"))
+      .select(
+        col("prio"),
+        date_add(col("day"), col("j")).as("day"),
+        (col("rev") * pow(lit(0.5), col("j"))).as("wrev"),
+        pow(lit(0.5), col("j")).as("w")
+      )
+      .groupBy("prio", "day")
+      .agg(sum("wrev").as("num"), sum("w").as("den"))
+    daily
+      .join(contrib, Seq("prio", "day"))
+      .select(
+        col("prio"),
+        col("day"),
+        col("rev"),
+        round(col("num") / col("den"), 4).as("ewma")
+      )
+      .orderBy("prio", "day")
+  }
+
+  private val tsEwmaSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |         round(sum(o_totalprice), 2) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT prio, day + CAST(j AS INTEGER) AS day,
+      |         rev * power(0.5, j) AS wrev, power(0.5, j) AS w
+      |  FROM daily, unnest(range(0, 8)) AS u(j)),
+      |e AS (SELECT prio, day, sum(wrev) AS num, sum(w) AS den
+      |      FROM contrib GROUP BY 1, 2)
+      |SELECT d.prio, d.day, d.rev, round(e.num / e.den, 4) AS ewma
+      |FROM daily d JOIN e USING (prio, day)
+      |ORDER BY prio, day""".stripMargin
+
+  /** CUSUM change detection over the per-type daily value series. The
+    * textbook one-sided CUSUM `S_t = max(0, S_{t-1} + dev_t)` is a
+    * sequential recursion; it is re-expressed through the identity
+    * `S_t = P_t − min_{i≤t} P_i` (P = running prefix sum of
+    * deviations), which needs only two running-frame window aggregates
+    * — window-expressible in BOTH engines and partitioned on
+    * event_type over the bounded DAILY series (the corpus-sized work
+    * is the preceding hash aggregate). Breach threshold = 2σ of the
+    * per-type daily values, computed from the same 2dp-grid series so
+    * the flag comparison is engine-stable. */
+  val tsCusum: Q = (spark, dir) => {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("x"))
+    val stats = daily
+      .groupBy("event_type")
+      .agg(avg("x").as("mu"), stddev_samp("x").as("sd"))
+    val run = Window
+      .partitionBy("event_type")
+      .orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .join(broadcast(stats), "event_type")
+      .withColumn("p", sum(col("x") - col("mu")).over(run))
+      .withColumn("cusum", round(col("p") - min("p").over(run), 4))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("x"),
+        col("cusum"),
+        (col("cusum") > round(lit(2.0) * col("sd"), 4)).as("breach")
+      )
+      .orderBy("event_type", "day")
+  }
+
+  private val tsCusumSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 2) AS x
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+      |      FROM daily GROUP BY 1),
+      |p AS (
+      |  SELECT d.event_type, d.day, d.x, s.sd,
+      |   sum(d.x - s.mu) OVER w AS p
+      |  FROM daily d JOIN s USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, x,
+      | round(p - min(p) OVER w, 4) AS cusum,
+      | round(p - min(p) OVER w, 4) > round(2.0 * sd, 4) AS breach
+      |FROM p
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_ewma" -> tsEwma,
+    "ts_cusum" -> tsCusum,
     "ts_dow_hour" -> tsDowHour,
     "ts_wow_growth" -> tsWowGrowth,
     "ts_rolling_corr" -> tsRollingCorr,
@@ -495,6 +608,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_ewma" -> tsEwmaSql,
+    "ts_cusum" -> tsCusumSql,
     "ts_dow_hour" -> tsDowHourSql,
     "ts_wow_growth" -> tsWowGrowthSql,
     "ts_rolling_corr" -> tsRollingCorrSql,

@@ -532,7 +532,71 @@ object Joins {
       | ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Interval-overlap join, NLJ-free: per-(user, day) activity spans
+    * [min ts, max ts] against a daily audit window (10:30–14:45,
+    * half-open). The naive plan is a nested-loop over the raw overlap
+    * predicate `s < we AND e >= ws`; instead BOTH interval sides
+    * explode into the hour bins they cover — bounded fan-out: a span
+    * covers ≤24 bins, the window 5 — and the join becomes an EQUI-join
+    * on the bin with the exact predicate as a residual filter, then a
+    * distinct to collapse multi-bin matches. At 100 TB this is one
+    * shuffle on the bin key (or map-side if the window side
+    * broadcasts); the nested loop never exists. Oracle joins on the
+    * raw predicate directly — same pairs, hash-proven. */
+  val joinIntervalOverlap: Q = (spark, dir) => {
+    val spans = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("sday"))
+      .agg(min("ts").as("s"), max("ts").as("e"))
+    val wins = spans
+      .select(col("sday").as("day"))
+      .distinct()
+      .select(
+        col("day"),
+        (col("day").cast("timestamp") + expr("INTERVAL '10:30' HOUR TO MINUTE")).as("ws"),
+        (col("day").cast("timestamp") + expr("INTERVAL '14:45' HOUR TO MINUTE")).as("we")
+      )
+    val spanBins = spans.withColumn(
+      "bin",
+      explode(expr("sequence(date_trunc('hour', s), date_trunc('hour', e), INTERVAL 1 HOUR)"))
+    )
+    val winBins = wins.withColumn(
+      "bin",
+      explode(
+        expr(
+          "sequence(date_trunc('hour', ws)," +
+            " date_trunc('hour', we - INTERVAL 1 MICROSECOND), INTERVAL 1 HOUR)"
+        )
+      )
+    )
+    spanBins
+      .join(
+        winBins,
+        spanBins("bin") === winBins("bin") &&
+          col("s") < col("we") && col("e") >= col("ws")
+      )
+      .select(col("day"), col("user_id"), col("sday"))
+      .distinct()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("day")
+  }
+
+  private val joinIntervalOverlapSql =
+    """WITH spans AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS sday, min(ts) AS s, max(ts) AS e
+      |  FROM events GROUP BY 1, 2),
+      |wins AS (
+      |  SELECT DISTINCT sday AS day,
+      |   CAST(sday AS TIMESTAMP) + INTERVAL '10 hours 30 minutes' AS ws,
+      |   CAST(sday AS TIMESTAMP) + INTERVAL '14 hours 45 minutes' AS we
+      |  FROM spans)
+      |SELECT w.day, CAST(count(*) AS BIGINT) AS n_overlap
+      |FROM wins w JOIN spans p ON p.s < w.we AND p.e >= w.ws
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_interval_overlap" -> joinIntervalOverlap,
     "join_range_binned" -> joinRangeBinned,
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
@@ -552,6 +616,7 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_interval_overlap" -> joinIntervalOverlapSql,
     "join_asof_fwd" -> joinAsofFwdSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "join_range_binned" -> joinRangeBinnedSql,

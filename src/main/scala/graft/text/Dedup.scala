@@ -879,7 +879,59 @@ object Dedup {
         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
         |SELECT m.n_edges, t.n_triangles FROM m, t""".stripMargin
 
+  /** Structural node similarity on the near-dup graph: for every pair
+    * of documents sharing at least one neighbor, the Jaccard overlap
+    * of their NEIGHBOR sets — common/(deg(u)+deg(v)−common). Two docs
+    * that each near-duplicate the same third doc are transitive-dup
+    * candidates even when their direct similarity fell below the edge
+    * threshold; this is the link-prediction gauge for whether the 0.5
+    * cutoff is fragmenting clusters. Same ordered-wedge dataflow as
+    * [[graphTriangles]] (cost Σ deg², hub-cappable via the degree
+    * histogram); degrees broadcast-join back onto the bounded pair
+    * set. */
+  val graphJaccard: Q = (spark, dir) => {
+    val e = nearDupEdges(spark, dir)
+    val sym = e.union(e.select(col("d2"), col("d1"))).toDF("node", "nbr")
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    sym
+      .toDF("u", "w")
+      .join(sym.toDF("v", "w"), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(deg.toDF("u", "deg_u")), "u")
+      .join(broadcast(deg.toDF("v", "deg_v")), "v")
+      .select(
+        col("u"),
+        col("v"),
+        col("common"),
+        col("deg_u"),
+        col("deg_v"),
+        round(
+          col("common") / (col("deg_u") + col("deg_v") - col("common")),
+          6
+        ).as("nbr_jac")
+      )
+      .orderBy("u", "v")
+  }
+
+  private val graphJaccardSql =
+    edgesCteSql +
+      """,
+        |sym AS (SELECT d1 AS node, d2 AS nbr FROM edges
+        |        UNION ALL SELECT d2, d1 FROM edges),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |pairs AS (SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS common
+        |          FROM sym a JOIN sym b ON a.nbr = b.nbr AND a.node < b.node
+        |          GROUP BY 1, 2)
+        |SELECT p.u, p.v, p.common, x.deg AS deg_u, y.deg AS deg_v,
+        | round(p.common*1.0/(x.deg + y.deg - p.common), 6) AS nbr_jac
+        |FROM pairs p JOIN deg x ON p.u = x.node JOIN deg y ON p.v = y.node
+        |ORDER BY u, v""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "graph_jaccard" -> graphJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_containment_prefix" -> dedupContainmentPrefix,
     "dedup_decontaminate" -> dedupDecontaminate,
@@ -924,6 +976,7 @@ object Dedup {
       |FROM lbl l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_jaccard" -> graphJaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_degree" -> graphDegreeSql,
