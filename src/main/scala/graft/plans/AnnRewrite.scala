@@ -235,7 +235,12 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * probe. Guards: exactly ONE Join below the window (the rewritten
     * child contains several, so the rule cannot re-enter), both sides
     * join/agg-free, the window partition keys all on the probe side,
-    * and in `auto` mode the corpus-size cost gate. */
+    * and in `auto` mode the corpus-size cost gate. The probe side may
+    * be ASYMMETRIC — carry its own `label` column (a probe relation
+    * that is itself an IVF-indexed corpus slice): the corpus cell is
+    * referenced by attribute and the rewrite's working columns use
+    * reserved `__`-names, so only genuine name collisions with those
+    * reserved names disqualify a plan. */
   private def rewritePerRowTopK(
       f: Filter,
       cond: Expression,
@@ -299,11 +304,19 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 }.isEmpty
               val namesOk = (p: LogicalPlan) =>
                 p.output.map(_.name).distinct.length == p.output.length
+              // an ASYMMETRIC probe side may carry its own `label`
+              // column (a probe relation that is itself an IVF-indexed
+              // corpus slice) — the rewrite only rejects its RESERVED
+              // working names; the corpus cell column is referenced by
+              // attribute, never by a bare name, so the two labels
+              // cannot cross
+              val reserved = Set("__cell", "__cscore", "__crn", "__ivf_label", "__cent")
               val eligibleSides =
                 joinFree(pSide) && joinFree(cSide) &&
                   namesOk(pSide) && namesOk(cSide) &&
                   cSide.output.exists(_.name == "label") &&
-                  !pSide.output.exists(n => n.name == "label" || n.name == "__cell") &&
+                  !cSide.output.exists(a => reserved(a.name)) &&
+                  !pSide.output.exists(a => reserved(a.name)) &&
                   pids.forall(pSide.outputSet.contains) &&
                   (mode != "auto" || cSide.stats.sizeInBytes >= minBytes)
               if (!eligibleSides) None
@@ -340,6 +353,9 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.expressions.{Window => W}
     val pDf = GraftPlanBridge.ofRows(spark, pSide)
     val cDf = GraftPlanBridge.ofRows(spark, cSide)
+    // the centroid frame's cell column is renamed to a reserved name so
+    // a probe side carrying its OWN `label` column stays unambiguous
+    // through the cross join below
     val cent = cDf
       .select(col("label"), posexplode(col(s"`${embA.name}`")))
       .groupBy("label", "pos")
@@ -349,6 +365,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         expr("transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 6) + 0.0)")
           .as("__cent")
       )
+      .withColumnRenamed("label", "__ivf_label")
     val pn = s"`${probeA.name}`"
     val csSql =
       s"aggregate(zip_with(__cent, $pn, (c, p) -> c * CAST(p AS DOUBLE)), 0D, (a, x) -> a + x)" +
@@ -361,11 +378,13 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "__crn",
         row_number().over(
           W.partitionBy(pids.map(a => col(s"`${a.name}`")): _*)
-            .orderBy(col("__cscore").desc, col("label"))
+            .orderBy(col("__cscore").desc, col("__ivf_label"))
         )
       )
       .filter(col("__crn") <= nprobe)
-      .select(pSide.output.map(a => col(s"`${a.name}`")) :+ col("label").as("__cell"): _*)
+      .select(
+        pSide.output.map(a => col(s"`${a.name}`")) :+ col("__ivf_label").as("__cell"): _*
+      )
     // optimizedPlan folds the broadcast ResolvedHint (see pruneToTopCells)
     val topPlan = topCells.queryExecution.optimizedPlan
     val cellAttr = topPlan.output.find(_.name == "__cell").get

@@ -394,6 +394,73 @@ object Similarity {
     }
   }
 
+  /** Asymmetric column-probe ANN join: [[simAnnJoin]] with a probe
+    * relation that CARRIES ITS OWN `label` column — the cross-corpus
+    * serving shape, where the probe set is itself an IVF-indexed slice
+    * (its cell assignment rides along as provenance). Round 6's
+    * per-row rewrite refused any probe side containing a column named
+    * `label`; the generalized rule references the corpus cell by
+    * ATTRIBUTE and keeps its working columns on reserved `__`-names,
+    * so the probe's label passes through untouched and appears in the
+    * output beside the matched corpus cell (`plabel` / `clabel`).
+    * Applied eagerly like the twin; the oracle replicates the cell
+    * pruning with both labels carried through. */
+  val simAnnJoinAsym: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.embeddings(spark, dir)
+    val probes = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("label"), col("embedding").as("pe"))
+    val brute = probes
+      .join(corpus, col("pid") =!= corpus("vec_id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("cosine_sim(embedding, pe)").desc, corpus("vec_id"))
+        )
+      )
+      .filter(col("rn") <= 10)
+      .select(
+        col("pid"),
+        probes("label").as("plabel"),
+        corpus("vec_id"),
+        corpus("label").as("clabel"),
+        round(expr("cosine_sim(embedding, pe)"), 6).as("cos"),
+        col("rn")
+      )
+      .orderBy("pid", "rn")
+    val rule = graft.plans.AnnIvfRewriteRule(spark)
+    val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
+    val prevNp = spark.conf.getOption(graft.plans.AnnIvfRewrite.NprobeKey)
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    spark.conf.set(
+      graft.plans.AnnIvfRewrite.NprobeKey,
+      graft.plans.AnnIvfRewrite.DefaultNprobe.toString
+    )
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        rewritten.collectFirst { case a if a.output.exists(_.name == "__cell") => a }.isDefined ||
+          rewritten.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.length > 1,
+        "asymmetric per-row ANN rewrite did not fire"
+      )
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+      }
+      prevNp match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
+      }
+    }
+  }
+
   /** k-means assignment step (the inner loop of Lloyd's at any scale):
     * k=8 deterministic seeds (vec_id < 8), every vector scored against
     * the BROADCAST centroid set with the codegen'd `cosine_sim` kernel,
@@ -625,6 +692,7 @@ object Similarity {
     "sim_kmeans_assign" -> simKmeansAssign,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_ann_join" -> simAnnJoin,
+    "sim_ann_join_asym" -> simAnnJoinAsym,
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_pairs_ann" -> simPairsAnn,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -694,6 +762,45 @@ object Similarity {
         |   list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
         |  FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,
+    "sim_ann_join_asym" ->
+      """WITH cent AS (
+        |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (
+        |    SELECT label, i, avg(x) AS m FROM (
+        |      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings) u
+        |    GROUP BY label, i) t
+        |  GROUP BY label),
+        |p AS (SELECT vec_id AS pid, label AS plabel, embedding AS pe,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) q)) AS pn
+        |  FROM embeddings WHERE vec_id < 20),
+        |ls AS (SELECT p.pid, cent.label,
+        |  (SELECT sum(c * CAST(pp AS DOUBLE))
+        |   FROM (SELECT unnest(cent.centroid) c, unnest(p.pe) pp) z)
+        |  / (sqrt((SELECT sum(c*c) FROM (SELECT unnest(cent.centroid) c) z2))
+        |     * p.pn) AS cscore
+        | FROM cent, p),
+        |cells AS (SELECT pid, label FROM (
+        |  SELECT pid, label,
+        |   row_number() OVER (PARTITION BY pid ORDER BY cscore DESC, label) AS crn
+        |  FROM ls) t WHERE crn <= 3),
+        |n AS (SELECT vec_id, label, embedding,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) z)) AS nrm
+        | FROM embeddings),
+        |sc AS (SELECT cells.pid, p.plabel, e.vec_id, e.label AS clabel,
+        |  (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) x, unnest(p.pe) y) z)
+        |  / (e.nrm * p.pn) AS cosu
+        | FROM cells JOIN p ON cells.pid = p.pid
+        |  JOIN n e ON e.label = cells.label
+        | WHERE e.vec_id <> cells.pid),
+        |r AS (SELECT pid, plabel, vec_id, clabel, cosu,
+        |  row_number() OVER (PARTITION BY pid ORDER BY cosu DESC, vec_id) AS rn
+        | FROM sc)
+        |SELECT pid, plabel, vec_id, clabel, round(cosu, 6) AS cos, rn
+        |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
     "sim_ann_join" ->
       """WITH cent AS (
         |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (

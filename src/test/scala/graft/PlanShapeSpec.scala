@@ -207,6 +207,65 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("per-row ANN rewrite fires with an asymmetric probe side carrying its own label") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{round => _, _}
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 10).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 50).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 50 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // a SEPARATE frame for the probe side (the operator reads the table
+    // twice, too) — df(...) refs in a self-join would be ambiguous
+    // the probe relation KEEPS a column literally named `label` — the
+    // round-6 guard rejected this shape outright
+    val probes = rows
+      .toDF("vec_id", "embedding", "label")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("pid"), $"label", $"embedding".as("pe"))
+    def q = probes
+      .join(df, $"pid" =!= df("vec_id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("cosine_sim(embedding, pe)").desc, df("vec_id"))
+        )
+      )
+      .filter($"rn" <= 10)
+      .select(
+        $"pid",
+        probes("label").as("plabel"),
+        df("vec_id"),
+        df("label").as("clabel"),
+        $"rn"
+      )
+      .orderBy("pid", "rn")
+    def rowsOf(d: DataFrame) =
+      d.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getInt(4)))
+        .toSeq
+    val brute = rowsOf(q)
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.toString.contains("__cell"), s"asym per-row rewrite did not fire:\n$opt")
+      assert(opt.collect { case j: Join => j }.length > 1, opt.toString)
+      assert(rowsOf(q) == brute, "asym cell-pruned top-k diverged on clustered data")
+      // the probe's own label must ride through untouched
+      assert(brute.forall { case (pid, plabel, _, _, _) => plabel == s"c${pid / 50}" })
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+  }
+
   test("per-row ANN rewrite with nprobe >= cell count is exact on ANY data") {
     // un-clustered (near-random labels): top-3 cells would miss true
     // neighbors, but probing every cell degenerates to exact search —
