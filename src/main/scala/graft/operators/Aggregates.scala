@@ -808,7 +808,73 @@ object Aggregates {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** Welch's two-sample t-test between the purchase and click value
+    * distributions — the A/B-comparison aggregate a metrics pipeline
+    * runs constantly. Everything reduces to per-group (n, Σx, Σx²) —
+    * one map-side-combinable aggregate over the fact table; the t
+    * statistic and Welch–Satterthwaite degrees of freedom are scalar
+    * arithmetic on the two broadcastable summary rows. The explicit
+    * sum-of-squares formula is mirrored in the oracle (same
+    * ts_rolling_corr rationale: no dependence on either engine's
+    * variance algorithm or bias convention). */
+  val aggTtest: Q = (spark, dir) => {
+    val s = Tables
+      .events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("value").as("sx"),
+        sum(col("value") * col("value")).as("sxx")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("sx") / col("n")).as("m"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("v")
+      )
+    val p = s
+      .filter(col("event_type") === "purchase")
+      .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+    val c = s
+      .filter(col("event_type") === "click")
+      .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+    val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+    p.crossJoin(c)
+      .select(
+        col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        round(col("m1"), 4).as("mean1"),
+        round(col("m2"), 4).as("mean2"),
+        round((col("m1") - col("m2")) / sqrt(se2), 4).as("t_welch"),
+        round(
+          (se2 * se2) / (
+            (col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1) +
+              (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1)
+          ),
+          2
+        ).as("df_welch")
+      )
+  }
+
+  private val aggTtestSql =
+    """WITH s AS (
+      |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(value) AS sx,
+      |         sum(value*value) AS sxx
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |  GROUP BY 1),
+      |g AS (SELECT event_type, n, sx/n AS m, (sxx - sx*sx/n)/(n - 1) AS v FROM s),
+      |p AS (SELECT n AS n1, m AS m1, v AS v1 FROM g WHERE event_type = 'purchase'),
+      |c AS (SELECT n AS n2, m AS m2, v AS v2 FROM g WHERE event_type = 'click')
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      | round(m1, 4) AS mean1, round(m2, 4) AS mean2,
+      | round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_welch,
+      | round((v1/n1 + v2/n2)*(v1/n1 + v2/n2) /
+      |       ((v1/n1)*(v1/n1)/(n1 - 1) + (v2/n2)*(v2/n2)/(n2 - 1)), 2) AS df_welch
+      |FROM p CROSS JOIN c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg_ttest" -> aggTtest,
     "agg_copurchase" -> aggCopurchase,
     "agg_mad" -> aggMad,
     "agg_approx_quantile" -> aggApproxQuantile,
@@ -837,6 +903,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_ttest" -> aggTtestSql,
     "agg_copurchase" -> aggCopurchaseSql,
     "agg_mad" -> aggMadSql,
     "agg_entropy" -> aggEntropySql,

@@ -542,7 +542,11 @@ object EventAnalytics {
     * deviations), which needs only two running-frame window aggregates
     * — window-expressible in BOTH engines and partitioned on
     * event_type over the bounded DAILY series (the corpus-sized work
-    * is the preceding hash aggregate). Breach threshold = 2σ of the
+    * is the preceding hash aggregate). The min is clamped to 0 — the
+    * EMPTY prefix P_0 = 0 participates, exactly as the recursion's
+    * S_0 = 0 does (without the clamp the two diverge whenever the
+    * series opens with positive deviations; Round7Spec pins the
+    * identity against a sequential fold). Breach threshold = 2σ of the
     * per-type daily values, computed from the same 2dp-grid series so
     * the flag comparison is engine-stable. */
   val tsCusum: Q = (spark, dir) => {
@@ -560,7 +564,7 @@ object EventAnalytics {
     daily
       .join(broadcast(stats), "event_type")
       .withColumn("p", sum(col("x") - col("mu")).over(run))
-      .withColumn("cusum", round(col("p") - min("p").over(run), 4))
+      .withColumn("cusum", round(col("p") - least(min("p").over(run), lit(0.0)), 4))
       .select(
         col("event_type"),
         col("day"),
@@ -584,14 +588,85 @@ object EventAnalytics {
       |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT event_type, day, x,
-      | round(p - min(p) OVER w, 4) AS cusum,
-      | round(p - min(p) OVER w, 4) > round(2.0 * sd, 4) AS breach
+      | round(p - least(min(p) OVER w, 0.0), 4) AS cusum,
+      | round(p - least(min(p) OVER w, 0.0), 4) > round(2.0 * sd, 4) AS breach
       |FROM p
       |WINDOW w AS (PARTITION BY event_type ORDER BY day
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Lag-1..7 autocorrelation of the per-type daily value series — the
+    * seasonality detector (a weekly cycle surfaces as an ACF peak at
+    * lag 7). Lag pairs come from ONE bounded explode (each day joins
+    * its 7 successors through an equi-join on the lagged date), and
+    * the correlation uses the same explicit moment formula as
+    * ts_rolling_corr so neither engine's internal corr algorithm is in
+    * the hash. Daily sums land on the 2dp grid first; the reduce side
+    * is |types| × 7 rows at any scale. */
+  val tsAutocorr: Q = (spark, dir) => {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("x"))
+    val pairs = daily
+      .withColumn("k", explode(expr("sequence(1, 7)")))
+      .select(
+        col("event_type"),
+        date_add(col("day"), col("k")).as("day"),
+        col("k"),
+        col("x").as("xlag")
+      )
+      .join(daily, Seq("event_type", "day"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    pairs
+      .groupBy("event_type", "k")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("xlag").as("sx"),
+        sum("x").as("sy"),
+        sum(col("xlag") * col("xlag")).as("sxx"),
+        sum(col("x") * col("x")).as("syy"),
+        sum(col("xlag") * col("x")).as("sxy")
+      )
+      .select(
+        col("event_type"),
+        col("k"),
+        col("n").cast("long").as("n_pairs"),
+        round(
+          when(
+            vx > 0 && vy > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(vx * vy)
+          ),
+          6
+        ).as("acf")
+      )
+      .orderBy("event_type", "k")
+  }
+
+  private val tsAutocorrSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 2) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT d1.event_type, u.k, d1.x AS xlag, d2.x AS x
+      |  FROM daily d1
+      |  CROSS JOIN unnest(range(1, 8)) AS u(k)
+      |  JOIN daily d2 ON d2.event_type = d1.event_type
+      |   AND d2.day = d1.day + CAST(u.k AS INTEGER)),
+      |m AS (
+      |  SELECT event_type, k, CAST(count(*) AS DOUBLE) AS n,
+      |   sum(xlag) AS sx, sum(x) AS sy, sum(xlag*xlag) AS sxx,
+      |   sum(x*x) AS syy, sum(xlag*x) AS sxy
+      |  FROM pr GROUP BY 1, 2)
+      |SELECT event_type, CAST(k AS INTEGER) AS k, CAST(n AS BIGINT) AS n_pairs,
+      | round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |   THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+      |   END, 6) AS acf
+      |FROM m ORDER BY event_type, k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_autocorr" -> tsAutocorr,
     "ts_ewma" -> tsEwma,
     "ts_cusum" -> tsCusum,
     "ts_dow_hour" -> tsDowHour,
@@ -608,6 +683,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_autocorr" -> tsAutocorrSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_cusum" -> tsCusumSql,
     "ts_dow_hour" -> tsDowHourSql,

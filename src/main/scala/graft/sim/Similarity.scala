@@ -461,6 +461,30 @@ object Similarity {
     }
   }
 
+  /** Radius (range) similarity search — the threshold dual of top-k:
+    * every corpus vector within cosine ≥ 0.2 of any probe (vec_id <
+    * 5), self excluded. The probe set broadcasts, the codegen'd
+    * `cosine_sim` kernel scores map-side, and the threshold filter
+    * runs BEFORE any shuffle — at 100 TB this is a single corpus scan
+    * emitting only matches, the shape a similarity-join prefilter
+    * (LSH/IVF) would feed candidates into. Unlike top-k there is no
+    * per-probe state, so no window and no heap: embarrassingly
+    * parallel. */
+  val simRangeSearch: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    emb
+      .crossJoin(broadcast(probes))
+      .filter(col("pid") =!= col("vec_id"))
+      .withColumn("cs", expr("cosine_sim(embedding, pe)"))
+      .filter(col("cs") >= 0.2)
+      .select(col("pid"), col("vec_id"), col("label"), round(col("cs"), 6).as("cos"))
+      .orderBy("pid", "vec_id")
+  }
+
   /** k-means assignment step (the inner loop of Lloyd's at any scale):
     * k=8 deterministic seeds (vec_id < 8), every vector scored against
     * the BROADCAST centroid set with the codegen'd `cosine_sim` kernel,
@@ -693,6 +717,7 @@ object Similarity {
     "sim_ivf_topk" -> simIvfTopk,
     "sim_ann_join" -> simAnnJoin,
     "sim_ann_join_asym" -> simAnnJoinAsym,
+    "sim_range_search" -> simRangeSearch,
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_pairs_ann" -> simPairsAnn,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -762,6 +787,22 @@ object Similarity {
         |   list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
         |  FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,
+    "sim_range_search" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) q)) AS pn
+        |  FROM embeddings WHERE vec_id < 5),
+        |n AS (SELECT vec_id, label, embedding,
+        |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |        FROM (SELECT unnest(embedding) x) z)) AS nrm
+        | FROM embeddings),
+        |sc AS (SELECT p.pid, n.vec_id, n.label,
+        |  (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(n.embedding) x, unnest(p.pe) y) z)
+        |  / (n.nrm * p.pn) AS cs
+        | FROM p, n WHERE p.pid <> n.vec_id)
+        |SELECT pid, vec_id, label, round(cs, 6) AS cos
+        |FROM sc WHERE cs >= 0.2 ORDER BY pid, vec_id""".stripMargin,
     "sim_ann_join_asym" ->
       """WITH cent AS (
         |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (
