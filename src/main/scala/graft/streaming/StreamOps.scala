@@ -209,6 +209,56 @@ object StreamOps {
     }
   }
 
+  case class EwmaPoint(user_id: Long, event_id: Long, ewma: Double)
+
+  /** Streaming EWMA — the TRUE infinite-horizon recursion
+    * `y = α·x + (1−α)·y_prev`, one ValueState read-modify-write per
+    * event. The batch twin (operators.EventAnalytics ts_ewma) ships
+    * the closed FINITE-horizon form precisely because batch has no
+    * per-key sequential state at scale; streaming owns exactly that
+    * state, so here the recursion is the natural — and O(1)-per-event
+    * — shape. Events are folded in (ts, event_id) order within each
+    * batch, and the carried state makes the fold exact across batch
+    * boundaries (StreamingSpec feeds the same series in one batch and
+    * split across three, and asserts bit-identical trajectories vs a
+    * driver-side fold). */
+  class EwmaProcessor(alpha: Double)
+      extends StatefulProcessor[Long, Event, EwmaPoint] {
+    @transient private var prev: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prev = getHandle
+        .getValueState[Double]("ewma", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[EwmaPoint] = {
+      var hasPrev = prev.exists()
+      var y = if (hasPrev) prev.get() else 0.0
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        y = if (hasPrev) alpha * e.value + (1.0 - alpha) * y else e.value
+        hasPrev = true
+        EwmaPoint(user, e.event_id, y)
+      }
+      prev.update(y)
+      out.iterator
+    }
+  }
+
+  /** Per-user streaming EWMA trajectory (α = 0.5). */
+  def ewmaByUser(events: Dataset[Event], alpha: Double = 0.5): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new EwmaProcessor(alpha),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append()
+      )
+  }
+
   /** Per-user session summary emitted by TIMER, not by incoming data:
     * each batch refreshes the state and re-arms an event-time timer at
     * last-event + gap; when the WATERMARK passes it, handleExpiredTimer

@@ -324,6 +324,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming EWMA recursion is exact across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val series = Seq(10.0, 20.0, 5.0, 40.0, 2.5, 17.0)
+      val events = series.zipWithIndex.map { case (v, i) =>
+        ev(i + 1L, f"2024-01-01 10:00:${i}%02d", user = 7, v = v)
+      }
+      // driver-side reference fold (first value seeds the state)
+      val expect = series.tail
+        .scanLeft(series.head)((y, x) => 0.5 * x + 0.5 * y)
+      def run(batches: Seq[Seq[Event]], name: String): Seq[Double] = {
+        val ms = MemoryStream[Event]
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ewma-$name").toString
+        val q = StreamOps
+          .ewmaByUser(ms.toDS())
+          .writeStream
+          .format("memory")
+          .queryName(s"ewma_$name")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        q.stop()
+        spark
+          .table(s"ewma_$name")
+          .collect()
+          .map(r => r.getLong(1) -> r.getDouble(2))
+          .sortBy(_._1)
+          .map(_._2)
+          .toSeq
+      }
+      val oneBatch = run(Seq(events), "one")
+      val threeBatches = run(Seq(events.take(2), events.slice(2, 5), events.drop(5)), "three")
+      assert(oneBatch == expect, s"single-batch fold diverged: $oneBatch vs $expect")
+      assert(
+        threeBatches == expect,
+        "state carried across batches must reproduce the identical trajectory"
+      )
+    }
+  }
+
   test("transformWithState on RocksDB tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
