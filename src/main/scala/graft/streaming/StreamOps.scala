@@ -254,7 +254,61 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(
         new EwmaProcessor(alpha),
-        TimeMode.ProcessingTime(),
+        // no timers, no TTL => TimeMode.None: under ProcessingTime the
+        // runtime schedules an empty successor batch after EVERY batch
+        // to advance the clock, so the query is never idle and
+        // processAllAvailable() can block indefinitely (same lesson as
+        // TtlDedupProcessor, from the other side)
+        TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
+  case class CusumPoint(user_id: Long, event_id: Long, cusum: Double, breach: Boolean)
+
+  /** Streaming CUSUM — the sequential `S = max(0, S + (x − target))`
+    * recursion verbatim, one ValueState per key. The batch twin
+    * (ts_cusum) rewrites this through the prefix-sum/running-min
+    * identity because batch has no per-key scan state; streaming holds
+    * S directly, so drift detection emits in-flight, per event, with
+    * O(1) state per key — the online change-detector a monitoring
+    * pipeline actually deploys. `target`/`threshold` come from a batch
+    * calibration pass (broadcast config), not from the stream. */
+  class CusumProcessor(target: Double, threshold: Double)
+      extends StatefulProcessor[Long, Event, CusumPoint] {
+    @transient private var s: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      s = getHandle
+        .getValueState[Double]("cusum", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[CusumPoint] = {
+      var cur = if (s.exists()) s.get() else 0.0
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        cur = math.max(0.0, cur + (e.value - target))
+        CusumPoint(user, e.event_id, cur, cur > threshold)
+      }
+      s.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Per-user streaming CUSUM trajectory against a calibrated target. */
+  def cusumByUser(
+      events: Dataset[Event],
+      target: Double,
+      threshold: Double
+  ): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new CusumProcessor(target, threshold),
+        TimeMode.None(), // see ewmaByUser: ProcessingTime never idles
         OutputMode.Append()
       )
   }

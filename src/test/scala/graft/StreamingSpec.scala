@@ -366,6 +366,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CUSUM matches the batch prefix-min identity and carries S across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val target = 10.0
+      val series = Seq(12.0, 9.0, 15.0, 4.0, 4.0, 30.0, 11.0)
+      val events = series.zipWithIndex.map { case (v, i) =>
+        ev(i + 1L, f"2024-01-01 10:00:${i}%02d", user = 3, v = v)
+      }
+      // the recursion the processor runs...
+      val recursion = series
+        .scanLeft(0.0)((s, x) => math.max(0.0, s + (x - target)))
+        .tail
+      // ...and the identity ts_cusum computes in batch: both must agree
+      val prefix = series.map(_ - target).scanLeft(0.0)(_ + _).tail
+      val identity = prefix.zipWithIndex.map { case (p, i) =>
+        p - math.min(prefix.take(i + 1).min, 0.0)
+      }
+      assert(
+        recursion.zip(identity).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+        "the test's own identity must match the recursion"
+      )
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+      val q = StreamOps
+        .cusumByUser(ms.toDS(), target, threshold = 8.0)
+        .writeStream
+        .format("memory")
+        .queryName("cusum_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      Seq(events.take(3), events.slice(3, 6), events.drop(6)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark
+        .table("cusum_stream")
+        .collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .sortBy(_._1)
+      assert(got.map(_._2).toSeq == recursion, s"${got.toSeq} vs $recursion")
+      assert(got.map(_._3).toSeq == recursion.map(_ > 8.0))
+    }
+  }
+
   test("transformWithState on RocksDB tracks purchases since last error") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
