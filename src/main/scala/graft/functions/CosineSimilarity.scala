@@ -116,6 +116,14 @@ object GraftFunctions {
       )
   }
 
+  val innerProductBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => InnerProduct(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"inner_product expects 2 arguments, got ${other.size}"
+      )
+  }
+
   val simhashBuilder: Seq[Expression] => Expression = {
     case Seq(a) => SimHash64(a)
     case other =>
@@ -160,6 +168,11 @@ object GraftFunctions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "inner_product",
+      innerProductBuilder,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash",
       polyHashBuilder,
       "built-in"
@@ -189,6 +202,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
         GraftFunctions.cosineBuilder
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("inner_product"),
+        new ExpressionInfo(classOf[InnerProduct].getName, "inner_product"),
+        GraftFunctions.innerProductBuilder
       )
     )
     ext.injectFunction(

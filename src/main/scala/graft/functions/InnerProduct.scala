@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused inner (dot) product over two `array<float>` columns in
+  * float64 — the MIPS (maximum inner product search) scoring kernel.
+  * Same single-pass codegen shape as [[CosineSim]] minus the norms;
+  * sequential accumulation over the element index matches DuckDB's
+  * `sum(x*y)` over parallel `unnest` exactly, so MIPS oracles can
+  * hash-compare unscaled scores. Unlike cosine there is no zero-norm
+  * guard — the dot product of any two vectors is defined (NULL only
+  * propagates from NULL inputs). */
+case class InnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      e.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      }
+    )
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"inner_product expects (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})"
+      )
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "inner_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}

@@ -240,7 +240,10 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * that is itself an IVF-indexed corpus slice): the corpus cell is
     * referenced by attribute and the rewrite's working columns use
     * reserved `__`-names, so only genuine name collisions with those
-    * reserved names disqualify a plan. */
+    * reserved names disqualify a plan. Ordering by the raw
+    * `inner_product` kernel (MIPS) rewrites too — cells then rank by
+    * the centroid DOT product, unnormalized, because dividing by the
+    * norms is exactly what MIPS ordering must not do. */
   private def rewritePerRowTopK(
       f: Filter,
       cond: Expression,
@@ -264,18 +267,24 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         // the optimizer extracts window order expressions into a Project
         // below (`cosine_sim(...) AS _w0`), so the order key is usually
-        // an Attribute — chase it to its defining Alias in the child
-        def cosIn(e: Expression): Option[CosineSim] =
-          e.collectFirst { case c @ CosineSim(_: Attribute, _: Attribute) => c }
+        // an Attribute — chase it to its defining Alias in the child.
+        // Both scoring kernels rewrite: cosine (IVF proper) and raw
+        // inner product (MIPS) — the flag picks the centroid scoring.
+        def scoreIn(e: Expression): Option[(Attribute, Attribute, Boolean)] =
+          e.collectFirst {
+            case CosineSim(a: Attribute, b: Attribute) => (a, b, false)
+            case graft.functions.InnerProduct(a: Attribute, b: Attribute) =>
+              (a, b, true)
+          }
         val cos = w.orderSpec.headOption.flatMap {
           case SortOrder(oe, Descending, _, _) =>
-            cosIn(oe).orElse(oe match {
+            scoreIn(oe).orElse(oe match {
               case a: Attribute =>
                 w.child
                   .collect { case pr: Project => pr.projectList }
                   .flatten
                   .collectFirst { case al: Alias if al.exprId == a.exprId => al }
-                  .flatMap(al => cosIn(al.child))
+                  .flatMap(al => scoreIn(al.child))
               case _ => None
             })
           case _ => None
@@ -286,7 +295,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         val joins = w.child.collect { case j: Join => j }
         (cos, joins) match {
-          case (Some(CosineSim(embA: Attribute, probeA: Attribute)), Seq(j))
+          case (Some((embA, probeA, mips)), Seq(j))
               if rnOk && pids.length == w.partitionSpec.length &&
                 (j.joinType == Inner || j.joinType == Cross) =>
             val sides =
@@ -321,7 +330,8 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   (mode != "auto" || cSide.stats.sizeInBytes >= minBytes)
               if (!eligibleSides) None
               else {
-                val pruned = pruneJoinToProbeCells(j, pSide, cSide, embA, probeA, pids)
+                val pruned =
+                  pruneJoinToProbeCells(j, pSide, cSide, embA, probeA, pids, mips)
                 val newChild = w.child.transformUp {
                   case jj: Join if jj eq j => pruned
                 }
@@ -348,7 +358,8 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       cSide: LogicalPlan,
       embA: Attribute,
       probeA: Attribute,
-      pids: Seq[Attribute]
+      pids: Seq[Attribute],
+      mips: Boolean = false
   ): LogicalPlan = {
     import org.apache.spark.sql.expressions.{Window => W}
     val pDf = GraftPlanBridge.ofRows(spark, pSide)
@@ -367,10 +378,16 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       )
       .withColumnRenamed("label", "__ivf_label")
     val pn = s"`${probeA.name}`"
+    // MIPS cells rank by the raw centroid dot product — the norms that
+    // make it cosine are exactly what MIPS ordering must NOT divide by
+    val dotSql =
+      s"aggregate(zip_with(__cent, $pn, (c, p) -> c * CAST(p AS DOUBLE)), 0D, (a, x) -> a + x)"
     val csSql =
-      s"aggregate(zip_with(__cent, $pn, (c, p) -> c * CAST(p AS DOUBLE)), 0D, (a, x) -> a + x)" +
-        s" / (sqrt(aggregate(__cent, 0D, (a, c) -> a + c * c))" +
-        s" * sqrt(aggregate($pn, 0D, (a, p) -> a + CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+      if (mips) dotSql
+      else
+        dotSql +
+          s" / (sqrt(aggregate(__cent, 0D, (a, c) -> a + c * c))" +
+          s" * sqrt(aggregate($pn, 0D, (a, p) -> a + CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
     val topCells = pDf
       .crossJoin(broadcast(cent))
       .withColumn("__cscore", expr(csSql))

@@ -461,6 +461,68 @@ object Similarity {
     }
   }
 
+  /** MIPS column-probe join — [[simAnnJoin]] ordered by the raw
+    * `inner_product` kernel instead of cosine: the
+    * recommendation-serving shape (user × item score matrices rank by
+    * dot product; normalizing would erase the magnitude signal). The
+    * per-row AnnIvfRewriteRule matches this kernel too and ranks the
+    * candidate cells by the UNNORMALIZED centroid dot product — see
+    * the rule's scaladoc. Oracle replicates the dot-product cell
+    * pruning; applied eagerly like the twins. */
+  val simMipsJoin: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val brute = probes
+      .join(emb, col("pid") =!= col("vec_id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("inner_product(embedding, pe)").desc, col("vec_id"))
+        )
+      )
+      .filter(col("rn") <= 10)
+      .select(
+        col("pid"),
+        col("vec_id"),
+        col("label"),
+        round(expr("inner_product(embedding, pe)"), 6).as("ip"),
+        col("rn")
+      )
+      .orderBy("pid", "rn")
+    val rule = graft.plans.AnnIvfRewriteRule(spark)
+    val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
+    val prevNp = spark.conf.getOption(graft.plans.AnnIvfRewrite.NprobeKey)
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    spark.conf.set(
+      graft.plans.AnnIvfRewrite.NprobeKey,
+      graft.plans.AnnIvfRewrite.DefaultNprobe.toString
+    )
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        rewritten.collectFirst { case a if a.output.exists(_.name == "__cell") => a }.isDefined ||
+          rewritten.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.length > 1,
+        "MIPS per-row ANN rewrite did not fire"
+      )
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+      }
+      prevNp match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
+      }
+    }
+  }
+
   /** Radius (range) similarity search — the threshold dual of top-k:
     * every corpus vector within cosine ≥ 0.2 of any probe (vec_id <
     * 5), self excluded. The probe set broadcasts, the codegen'd
@@ -718,6 +780,7 @@ object Similarity {
     "sim_ann_join" -> simAnnJoin,
     "sim_ann_join_asym" -> simAnnJoinAsym,
     "sim_range_search" -> simRangeSearch,
+    "sim_mips_join" -> simMipsJoin,
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_pairs_ann" -> simPairsAnn,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -787,6 +850,36 @@ object Similarity {
         |   list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
         |  FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,
+    "sim_mips_join" ->
+      """WITH cent AS (
+        |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (
+        |    SELECT label, i, avg(x) AS m FROM (
+        |      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings) u
+        |    GROUP BY label, i) t
+        |  GROUP BY label),
+        |p AS (SELECT vec_id AS pid, embedding AS pe
+        |  FROM embeddings WHERE vec_id < 20),
+        |ls AS (SELECT p.pid, cent.label,
+        |  (SELECT sum(c * CAST(pp AS DOUBLE))
+        |   FROM (SELECT unnest(cent.centroid) c, unnest(p.pe) pp) z) AS cscore
+        | FROM cent, p),
+        |cells AS (SELECT pid, label FROM (
+        |  SELECT pid, label,
+        |   row_number() OVER (PARTITION BY pid ORDER BY cscore DESC, label) AS crn
+        |  FROM ls) t WHERE crn <= 3),
+        |sc AS (SELECT cells.pid, e.vec_id, e.label,
+        |  (SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |   FROM (SELECT unnest(e.embedding) x, unnest(p.pe) y) z) AS ip
+        | FROM cells JOIN p ON cells.pid = p.pid
+        |  JOIN embeddings e ON e.label = cells.label
+        | WHERE e.vec_id <> cells.pid),
+        |r AS (SELECT pid, vec_id, label, ip,
+        |  row_number() OVER (PARTITION BY pid ORDER BY ip DESC, vec_id) AS rn
+        | FROM sc)
+        |SELECT pid, vec_id, label, round(ip, 6) AS ip, rn
+        |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
     "sim_range_search" ->
       """WITH p AS (SELECT vec_id AS pid, embedding AS pe,
         |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))

@@ -266,6 +266,55 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("per-row rewrite fires on inner_product ordering (MIPS) and stays exact on clustered cells") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{round => _, _}
+    import spark.implicits._
+    // clusters separated by MAGNITUDE as well as direction: cluster ci
+    // scales its base by (1 + ci) so MIPS ordering (which, unlike
+    // cosine, sees magnitude) still keeps each probe's true top-10 in
+    // its own cell
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 10).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian() * (1.0 + ci))
+      (0 until 50).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 50 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probes = rows
+      .toDF("vec_id", "embedding", "label")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    def q = probes
+      .join(df, $"pid" =!= df("vec_id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("inner_product(embedding, pe)").desc, df("vec_id"))
+        )
+      )
+      .filter($"rn" <= 10)
+      .select($"pid", df("vec_id"), df("label"), $"rn")
+      .orderBy("pid", "rn")
+    def rowsOf(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+    val brute = rowsOf(q)
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.toString.contains("__cell"), s"MIPS per-row rewrite did not fire:\n$opt")
+      assert(opt.collect { case j: Join => j }.length > 1, opt.toString)
+      assert(rowsOf(q) == brute, "MIPS cell-pruned top-k diverged on clustered data")
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+  }
+
   test("per-row ANN rewrite with nprobe >= cell count is exact on ANY data") {
     // un-clustered (near-random labels): top-3 cells would miss true
     // neighbors, but probing every cell degenerates to exact search —
