@@ -781,7 +781,46 @@ object Etl {
       |FROM customer JOIN g USING (c_nationkey, c_mktsegment)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Deterministic keyed pseudonymization — the privacy transform
+    * BETWEEN plain export and k-anonymity: the natural key (c_name) is
+    * replaced by a peppered hash, referential integrity survives (the
+    * same customer always maps to the same pid, so joins and rollups
+    * still work), and the raw identifier never leaves. The order
+    * aggregate runs keyed on o_custkey FIRST (one shuffle with
+    * map-side combine), then one join projects the pid — grouping on
+    * the derived pid directly would shuffle the fact table a second
+    * time for the same answer. Customers without orders survive the
+    * left join with zeroed metrics (the referential-completeness
+    * check). */
+  val etlPseudonymize: Q = (spark, dir) => {
+    val byCust = Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+    Tables
+      .customer(spark, dir)
+      .join(byCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        md5(concat(lit("graft-pepper-1"), col("c_name"))).as("pid"),
+        col("c_mktsegment"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0.0)).as("revenue")
+      )
+      .orderBy("pid")
+  }
+
+  private val etlPseudonymizeSql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+      |         round(sum(o_totalprice), 2) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT md5('graft-pepper-1' || c_name) AS pid, c_mktsegment,
+      | coalesce(n, 0) AS n_orders, coalesce(rev, 0.0) AS revenue
+      |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+      |ORDER BY pid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_pseudonymize" -> etlPseudonymize,
     "etl_kanonymity" -> etlKanonymity,
     "etl_mapping_dsl" -> etlMappingDsl,
     "etl_dedup_incremental" -> etlDedupIncremental,
@@ -800,6 +839,7 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_pseudonymize" -> etlPseudonymizeSql,
     "etl_kanonymity" -> etlKanonymitySql,
     "etl_mapping_dsl" -> etlMappingDslSql,
     "etl_dedup_incremental" -> etlDedupIncrementalSql,

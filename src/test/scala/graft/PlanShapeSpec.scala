@@ -394,6 +394,36 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sink_partitioned read prunes partitions at the directory level") {
+    // partition-directory pruning is a different mechanism from the
+    // row-group predicate pushdown scan_pruned pins: the filter on the
+    // partition column must land in PartitionFilters so non-matching
+    // directories are never listed into the scan at all
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val df = operators.Scans.sinkPartitioned(spark, sf0001)
+    // AQE wraps the physical plan — unwrap to reach the scan leaf
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).headOption
+    assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+    val pf = scan.get.partitionFilters.map(_.sql).mkString(", ")
+    assert(
+      pf.contains("o_orderstatus"),
+      s"partition filter not pushed to directory pruning: [$pf]"
+    )
+    // the pruned scan must see strictly fewer partition dirs than exist
+    val selected = scan.get.relation.location.listFiles(scan.get.partitionFilters, Nil)
+    val all = scan.get.relation.location.listFiles(Nil, Nil)
+    assert(
+      selected.length < all.length,
+      s"pruning selected ${selected.length} of ${all.length} partitions"
+    )
+  }
+
   test("text_tfidf builder runs no aggregation job before the action") {
     // parquet schema inference may launch trivial single-stage jobs at
     // read time; what must NOT happen at build time is a shuffle-bearing
