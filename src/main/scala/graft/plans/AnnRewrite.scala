@@ -174,13 +174,14 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       ): Boolean = size() > 32
     }
 
-  /** Matches `Sort(cosine_sim(attr, <plan-time probe>) DESC, ...)` and
-    * returns (order, emb attr, probe floats, child, hint). NOTE: the
-    * cell column `label` must survive column pruning — i.e. be part of
-    * the query output — because this batch runs after pruning. */
+  /** Matches `Sort(cosine_sim(attr, <plan-time probe>) DESC, ...)` —
+    * or the `inner_product` (MIPS) ordering — and returns (order, emb
+    * attr, probe floats, child, hint, mips). NOTE: the cell column
+    * `label` must survive column pruning — i.e. be part of the query
+    * output — because this batch runs after pruning. */
   private object CosineTopSort {
     def unapply(plan: LogicalPlan): Option[
-      (Seq[SortOrder], Attribute, Seq[Double], LogicalPlan, Option[SortHint])
+      (Seq[SortOrder], Attribute, Seq[Double], LogicalPlan, Option[SortHint], Boolean)
     ] = plan match {
       case Sort(
             order @ SortOrder(CosineSim(emb: Attribute, probeExpr), Descending, _, _) +: _,
@@ -188,7 +189,19 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             child,
             sortHint
           ) if eligible(child) =>
-        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint))
+        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint, false))
+      case Sort(
+            order @ SortOrder(
+              graft.functions.InnerProduct(emb: Attribute, probeExpr),
+              Descending,
+              _,
+              _
+            ) +: _,
+            true,
+            child,
+            sortHint
+          ) if eligible(child) =>
+        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint, true))
       case _ => None
     }
   }
@@ -196,22 +209,22 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
-      case Limit(le @ IntegerLiteral(k), CosineTopSort(order, emb, probe, child, hint))
+      case Limit(le @ IntegerLiteral(k), CosineTopSort(order, emb, probe, child, hint, mips))
           if k <= 1000 =>
         Limit(
           le,
-          Sort(order, global = true, pruneToTopCells(child, emb.name, probe), hint)
+          Sort(order, global = true, pruneToTopCells(child, emb.name, probe, mips), hint)
         )
       // column pruning often parks a Project between the limit and sort
       case Limit(
             le @ IntegerLiteral(k),
-            Project(projList, CosineTopSort(order, emb, probe, child, hint))
+            Project(projList, CosineTopSort(order, emb, probe, child, hint, mips))
           ) if k <= 1000 =>
         Project(
           projList,
           Limit(
             le,
-            Sort(order, global = true, pruneToTopCells(child, emb.name, probe), hint)
+            Sort(order, global = true, pruneToTopCells(child, emb.name, probe, mips), hint)
           )
         )
       // per-row probe batch: Filter(rn <= k, Window(row_number ...
@@ -419,7 +432,8 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def pruneToTopCells(
       child: LogicalPlan,
       embCol: String,
-      probe: Seq[Double]
+      probe: Seq[Double],
+      mips: Boolean = false
   ): LogicalPlan = {
     val df = GraftPlanBridge.ofRows(spark, child)
     val cent = df
@@ -431,14 +445,19 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
           .as("centroid")
       )
+    // MIPS cells rank by the raw dot product (see pruneJoinToProbeCells)
+    val dotSql =
+      "aggregate(zip_with(centroid, pe, (c, p) -> c * p), 0D, (a, x) -> a + x)"
     val top3 = cent
       .withColumn("pe", typedlit(probe))
       .withColumn(
         "cscore",
         expr(
-          "aggregate(zip_with(centroid, pe, (c, p) -> c * p), 0D, (a, x) -> a + x)" +
-            " / (sqrt(aggregate(centroid, 0D, (a, c) -> a + c * c))" +
-            " * sqrt(aggregate(pe, 0D, (a, p) -> a + p * p)))"
+          if (mips) dotSql
+          else
+            dotSql +
+              " / (sqrt(aggregate(centroid, 0D, (a, c) -> a + c * c))" +
+              " * sqrt(aggregate(pe, 0D, (a, p) -> a + p * p)))"
         )
       )
       .orderBy(col("cscore").desc, col("label"))

@@ -125,6 +125,36 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("IVF rewrite fires on literal-probe inner_product (MIPS) top-k, exact on clustered cells") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import spark.implicits._
+    // clusters separated by magnitude too — MIPS ordering sees it
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 10).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian() * (1.0 + ci))
+      (0 until 50).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 50 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probeSql = rows(473)._2
+      .map(f => s"CAST($f AS FLOAT)")
+      .mkString("array(", ",", ")")
+    def q = df
+      .orderBy(expr(s"inner_product(embedding, $probeSql)").desc, col("vec_id"))
+      .limit(10)
+    val brute = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val got = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Join"), s"MIPS literal-probe rewrite did not fire:\n$opt")
+      assert(got == brute, s"MIPS rewrite changed results: $got vs $brute")
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+  }
+
   test("ANN IVF rewrite fires on a scalar-subquery vector-lookup probe") {
     graft.functions.GraftFunctions.register(spark)
     graft.plans.AnnIvfRewrite.install(spark)
