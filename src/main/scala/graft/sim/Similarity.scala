@@ -743,6 +743,121 @@ object Similarity {
       |FROM a WHERE rn = 1
       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** The full IVF-PQ query path — [[simIvfTopk]]'s cell pruning
+    * composed with [[simPqAdc]]'s table-lookup scoring: the probe
+    * picks its top-3 cells from the broadcast 6dp centroids, and ONLY
+    * those cells' members are ADC-scored — from their code bytes, via
+    * the probe's 8×16 distance table, no float vector touched. This is
+    * the serving shape a 100 TB vector store actually runs: the IVF
+    * list bounds how much of the corpus wakes up (~nprobe/|cells|),
+    * PQ bounds what each touched row costs (8 byte lookups). Codes
+    * come from the shared [[pqAssign]] — in production they ARE the
+    * stored index; recomputing them here keeps the key self-contained
+    * while the oracle replicates assignment, table, and cell pick, so
+    * the whole composed approximate path is hash-checked. */
+  val simIvfpqTopk: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(
+        expr(
+          "transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 6) + 0.0)"
+        ).as("centroid")
+      )
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val top3 = cent
+      .crossJoin(broadcast(probe))
+      .withColumn(
+        "cscore",
+        expr(
+          "aggregate(zip_with(centroid, pe, (c, p) -> c * CAST(p AS DOUBLE)), 0D, (a, x) -> a + x)" +
+            " / (sqrt(aggregate(centroid, 0D, (a, c) -> a + c * c))" +
+            " * sqrt(aggregate(pe, 0D, (a, p) -> a + CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+        )
+      )
+      .orderBy(col("cscore").desc, col("label"))
+      .limit(3)
+      .select("label")
+    val cb = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+    val dtab = cb
+      .crossJoin(broadcast(probe))
+      .withColumn("s", explode(sequence(lit(0), lit(7))))
+      .select(
+        col("s"),
+        col("cid"),
+        round(
+          expr(
+            "aggregate(sequence(0, 7), 0D, (a, d) ->" +
+              " a + pow(CAST(pe[s*8 + d] AS DOUBLE)" +
+              " - CAST(ce[s*8 + d] AS DOUBLE), 2))"
+          ),
+          6
+        ).as("pdist")
+      )
+    val members = emb
+      .join(broadcast(top3), Seq("label"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "label")
+    pqAssign(spark, dir)
+      .join(members, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("s", "cid"))
+      .groupBy("vec_id", "label")
+      .agg(round(sum("pdist"), 6).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val simIvfpqTopkSql =
+    """WITH cent AS (
+      |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (
+      |    SELECT label, i, avg(x) AS m FROM (
+      |      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |             generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings) u
+      |    GROUP BY label, i) t
+      |  GROUP BY label),
+      |p AS (SELECT embedding AS pe,
+      |  sqrt((SELECT sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+      |        FROM (SELECT unnest(embedding) x) q)) AS pn
+      |  FROM embeddings WHERE vec_id = 0),
+      |ls AS (SELECT label,
+      |  (SELECT sum(c * CAST(pp AS DOUBLE))
+      |   FROM (SELECT unnest(cent.centroid) c, unnest(p.pe) pp) z)
+      |  / (sqrt((SELECT sum(c*c) FROM (SELECT unnest(cent.centroid) c) z2)) * p.pn)
+      |  AS cscore
+      | FROM cent, p),
+      |top3 AS (SELECT label FROM ls ORDER BY cscore DESC, label LIMIT 3),
+      |cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+      |       FROM embeddings WHERE vec_id < 16),
+      |d AS (
+      |  SELECT e.vec_id, s.s, cb.cid,
+      |    round((SELECT sum(pow(CAST(e.embedding[s.s*8 + dd.d + 1] AS DOUBLE)
+      |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+      |           FROM range(8) dd(d)), 6) AS dist
+      |  FROM embeddings e, range(8) s(s), cb),
+      |enc AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+      |  FROM d) t WHERE rn = 1),
+      |dt AS (SELECT s.s, cb.cid,
+      |    round((SELECT sum(pow(CAST(p.pe[s.s*8 + dd.d + 1] AS DOUBLE)
+      |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+      |           FROM range(8) dd(d)), 6) AS pdist
+      |  FROM cb, range(8) s(s), p),
+      |mem AS (SELECT e.vec_id, e.label FROM embeddings e
+      |        JOIN top3 USING (label) WHERE e.vec_id <> 0),
+      |sc AS (SELECT enc.vec_id, mem.label, round(sum(dt.pdist), 6) AS adist
+      |       FROM enc JOIN mem ON enc.vec_id = mem.vec_id
+      |       JOIN dt ON enc.s = dt.s AND enc.cid = dt.cid
+      |       GROUP BY 1, 2)
+      |SELECT vec_id, label, adist FROM sc
+      |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+
   /** Per-dimension feature statistics over the embedding corpus — the
     * mean/std/min/max a normalization (or whitening) step needs. One
     * posexplode + one aggregate keyed on the 64 dimension ids: the
@@ -791,7 +906,8 @@ object Similarity {
     "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_quantize_int8" -> simQuantizeInt8,
     "sim_pq_encode" -> simPqEncode,
-    "sim_pq_adc" -> simPqAdc
+    "sim_pq_adc" -> simPqAdc,
+    "sim_ivfpq_topk" -> simIvfpqTopk
   )
 
   private val normCte =
@@ -824,6 +940,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_pq_encode" -> simPqEncodeSql,
     "sim_pq_adc" -> simPqAdcSql,
+    "sim_ivfpq_topk" -> simIvfpqTopkSql,
     "ml_feature_stats" -> mlFeatureStatsSql,
     "sim_kmeans_assign" ->
       s"""$normCte,
