@@ -3,6 +3,7 @@ package graft.sim
 import graft.functions.GraftFunctions
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** §2.9 Similarity search over the `embeddings` table (SURVEY.md,
   * PAPERS.md top-k motif).
@@ -323,6 +324,47 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cosu"), 6).as("cos"))
   }
 
+  /** Shared tail of the three per-row rewrite keys (sim_ann_join /
+    * _asym / _mips): applies [[graft.plans.AnnIvfRewriteRule]] EAGERLY
+    * to the optimized brute plan with the conf pinned on and nprobe
+    * pinned to the oracle's 3 cells (a session-level recall experiment
+    * must not silently diverge these keys from their hash-proven
+    * twins), restoring both confs afterwards. Requires the rewrite to
+    * have actually fired — a silently-brute plan would still pass the
+    * oracle, hiding a dead rule. */
+  private def applyIvfRewriteEagerly(
+      spark: SparkSession,
+      brute: DataFrame,
+      what: String
+  ): DataFrame = {
+    val rule = graft.plans.AnnIvfRewriteRule(spark)
+    val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
+    val prevNp = spark.conf.getOption(graft.plans.AnnIvfRewrite.NprobeKey)
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    spark.conf.set(
+      graft.plans.AnnIvfRewrite.NprobeKey,
+      graft.plans.AnnIvfRewrite.DefaultNprobe.toString
+    )
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        rewritten.collectFirst { case a if a.output.exists(_.name == "__cell") => a }.isDefined ||
+          rewritten.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.length > 1,
+        s"$what per-row ANN rewrite did not fire"
+      )
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+      }
+      prevNp match {
+        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, v)
+        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
+      }
+    }
+  }
+
   /** Column-probe ANN join — the batch-serving form of [[simIvfTopk]]:
     * EVERY probe row (vec_id < 20) ranks the corpus by cosine through
     * the standard row_number-over-join idiom, and the
@@ -363,35 +405,7 @@ object Similarity {
         col("rn")
       )
       .orderBy("pid", "rn")
-    val rule = graft.plans.AnnIvfRewriteRule(spark)
-    val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
-    // pin nprobe to the oracle's 3 cells for the eager apply — a
-    // session-level recall experiment (nprobe=5) must not silently
-    // diverge this key from its hash-proven twin
-    val prevNp = spark.conf.getOption(graft.plans.AnnIvfRewrite.NprobeKey)
-    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
-    spark.conf.set(
-      graft.plans.AnnIvfRewrite.NprobeKey,
-      graft.plans.AnnIvfRewrite.DefaultNprobe.toString
-    )
-    try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
-      require(
-        rewritten.collectFirst { case a if a.output.exists(_.name == "__cell") => a }.isDefined ||
-          rewritten.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.length > 1,
-        "per-row ANN rewrite did not fire"
-      )
-      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
-        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
-      }
-      prevNp match {
-        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, v)
-        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
-      }
-    }
+    applyIvfRewriteEagerly(spark, brute, "cosine")
   }
 
   /** Asymmetric column-probe ANN join: [[simAnnJoin]] with a probe
@@ -433,32 +447,7 @@ object Similarity {
         col("rn")
       )
       .orderBy("pid", "rn")
-    val rule = graft.plans.AnnIvfRewriteRule(spark)
-    val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
-    val prevNp = spark.conf.getOption(graft.plans.AnnIvfRewrite.NprobeKey)
-    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
-    spark.conf.set(
-      graft.plans.AnnIvfRewrite.NprobeKey,
-      graft.plans.AnnIvfRewrite.DefaultNprobe.toString
-    )
-    try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
-      require(
-        rewritten.collectFirst { case a if a.output.exists(_.name == "__cell") => a }.isDefined ||
-          rewritten.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.length > 1,
-        "asymmetric per-row ANN rewrite did not fire"
-      )
-      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
-        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
-      }
-      prevNp match {
-        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, v)
-        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
-      }
-    }
+    applyIvfRewriteEagerly(spark, brute, "asymmetric")
   }
 
   /** MIPS column-probe join — [[simAnnJoin]] ordered by the raw
@@ -495,32 +484,7 @@ object Similarity {
         col("rn")
       )
       .orderBy("pid", "rn")
-    val rule = graft.plans.AnnIvfRewriteRule(spark)
-    val prev = spark.conf.getOption(graft.plans.AnnIvfRewrite.ConfKey)
-    val prevNp = spark.conf.getOption(graft.plans.AnnIvfRewrite.NprobeKey)
-    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
-    spark.conf.set(
-      graft.plans.AnnIvfRewrite.NprobeKey,
-      graft.plans.AnnIvfRewrite.DefaultNprobe.toString
-    )
-    try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
-      require(
-        rewritten.collectFirst { case a if a.output.exists(_.name == "__cell") => a }.isDefined ||
-          rewritten.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.length > 1,
-        "MIPS per-row ANN rewrite did not fire"
-      )
-      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, v)
-        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
-      }
-      prevNp match {
-        case Some(v) => spark.conf.set(graft.plans.AnnIvfRewrite.NprobeKey, v)
-        case None    => spark.conf.unset(graft.plans.AnnIvfRewrite.NprobeKey)
-      }
-    }
+    applyIvfRewriteEagerly(spark, brute, "MIPS")
   }
 
   /** Radius (range) similarity search — the threshold dual of top-k:
