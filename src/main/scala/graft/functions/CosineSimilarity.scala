@@ -124,6 +124,14 @@ object GraftFunctions {
       )
   }
 
+  val l2SqBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => L2Sq(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"l2_sq expects 2 arguments, got ${other.size}"
+      )
+  }
+
   val simhashBuilder: Seq[Expression] => Expression = {
     case Seq(a) => SimHash64(a)
     case other =>
@@ -173,6 +181,11 @@ object GraftFunctions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq",
+      l2SqBuilder,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash",
       polyHashBuilder,
       "built-in"
@@ -209,6 +222,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("inner_product"),
         new ExpressionInfo(classOf[InnerProduct].getName, "inner_product"),
         GraftFunctions.innerProductBuilder
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("l2_sq"),
+        new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
+        GraftFunctions.l2SqBuilder
       )
     )
     ext.injectFunction(

@@ -487,6 +487,38 @@ object Similarity {
     applyIvfRewriteEagerly(spark, brute, "MIPS")
   }
 
+  /** Exact Euclidean nearest neighbors — top-10 by the fused `l2_sq`
+    * kernel for probe vec_id=0: the third metric beside cosine and
+    * inner product, and the one PQ/k-means already use internally.
+    * Squared distance orders identically to true L2 (monotone), so no
+    * sqrt enters the hash. orderBy ASC + limit compiles to
+    * TakeOrderedAndProject — per-partition heaps, no full sort. The
+    * IVF rewrite arm for L2 (cells by NEAREST centroid, ascending) is
+    * the named round-8 candidate. */
+  val simL2Topk: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val probe =
+      broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("pe")))
+    emb
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .select(col("vec_id"), col("label"), expr("l2_sq(embedding, pe)").as("d2"))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("d2"), 6).as("dist_sq"))
+  }
+
+  private val simL2TopkSql =
+    """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label, round(d2, 6) AS dist_sq FROM (
+      |  SELECT e.vec_id, e.label,
+      |   (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+      |               * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+      |    FROM (SELECT unnest(e.embedding) x, unnest(p.pe) y) z) AS d2
+      |  FROM embeddings e, p WHERE e.vec_id <> 0) t
+      |ORDER BY d2, vec_id LIMIT 10""".stripMargin
+
   /** Radius (range) similarity search — the threshold dual of top-k:
     * every corpus vector within cosine ≥ 0.2 of any probe (vec_id <
     * 5), self excluded. The probe set broadcasts, the codegen'd
@@ -860,6 +892,7 @@ object Similarity {
     "sim_ann_join_asym" -> simAnnJoinAsym,
     "sim_range_search" -> simRangeSearch,
     "sim_mips_join" -> simMipsJoin,
+    "sim_l2_topk" -> simL2Topk,
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_pairs_ann" -> simPairsAnn,
     "dedup_embed_cosine" -> dedupEmbedCosine,
@@ -931,6 +964,7 @@ object Similarity {
         |   list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
         |  FROM embeddings) t
         |ORDER BY vec_id""".stripMargin,
+    "sim_l2_topk" -> simL2TopkSql,
     "sim_mips_join" ->
       """WITH cent AS (
         |  SELECT label, list(round(m, 6) + 0.0 ORDER BY i) AS centroid FROM (

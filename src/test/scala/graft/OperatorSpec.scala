@@ -174,6 +174,24 @@ class OperatorSpec extends SparkTestBase {
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
   }
 
+  test("l2_sq equals the zip_with/aggregate HOF fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 50)
+      .map(_ => (Array.fill(64)(rnd.nextGaussian().toFloat), Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("a", "b")
+    val out = rows
+      .select(
+        expr("l2_sq(a, b)").as("fused"),
+        expr(
+          "aggregate(zip_with(a, b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))" +
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+        ).as("hof")
+      )
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("SessionizeExec matches session_window boundary semantics and resets per user") {
     // same merge rule as the built-in: exactly prev + gap CONTINUES;
     // the counter restarts at 1 for each user in clustering order

@@ -44,6 +44,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("cosine_sim"), s)
   }
 
+  test("sim_l2_topk plans TakeOrderedAndProject over the fused l2_sq") {
+    val s = planString(sim.Similarity.simL2Topk(spark, sf0001))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("l2_sq"), s)
+  }
+
   test("sim_pairs_ann candidate join is key-equi on buckets, not a nested loop") {
     val s = planString(sim.Similarity.simPairsAnn(spark, sf0001))
     assert(
