@@ -14,7 +14,15 @@ object Bench {
     // measured query isn't charged ~4s of JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated key subset (SPARK_GRAFT_BENCH_KEYS) for
+    // fresh-JVM per-key medians — the driver sets no subset and always
+    // measures the full inventory.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_KEYS").map(_.split(",").toSet)
+    val picked = subset match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
