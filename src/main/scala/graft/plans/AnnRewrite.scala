@@ -4,6 +4,7 @@ import graft.functions.CosineSim
 import org.apache.spark.sql.catalyst.expressions.{
   Alias,
   And,
+  Ascending,
   Attribute,
   Descending,
   EqualTo,
@@ -174,14 +175,18 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       ): Boolean = size() > 32
     }
 
-  /** Matches `Sort(cosine_sim(attr, <plan-time probe>) DESC, ...)` —
-    * or the `inner_product` (MIPS) ordering — and returns (order, emb
-    * attr, probe floats, child, hint, mips). NOTE: the cell column
-    * `label` must survive column pruning — i.e. be part of the query
-    * output — because this batch runs after pruning. */
+  /** Matches `Sort(cosine_sim(attr, <plan-time probe>) DESC, ...)`,
+    * the `inner_product` (MIPS) DESC ordering, or the `l2_sq`
+    * (Euclidean) ASC ordering — and returns (order, emb attr, probe
+    * floats, child, hint, metric) with metric ∈ {cos, mips, l2}.
+    * Direction is part of the pattern: a DESCENDING l2_sq (farthest
+    * points) or ASCENDING cosine is not a nearest-neighbor query and
+    * must not be rewritten. NOTE: the cell column `label` must survive
+    * column pruning — i.e. be part of the query output — because this
+    * batch runs after pruning. */
   private object CosineTopSort {
     def unapply(plan: LogicalPlan): Option[
-      (Seq[SortOrder], Attribute, Seq[Double], LogicalPlan, Option[SortHint], Boolean)
+      (Seq[SortOrder], Attribute, Seq[Double], LogicalPlan, Option[SortHint], String)
     ] = plan match {
       case Sort(
             order @ SortOrder(CosineSim(emb: Attribute, probeExpr), Descending, _, _) +: _,
@@ -189,7 +194,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             child,
             sortHint
           ) if eligible(child) =>
-        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint, false))
+        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint, "cos"))
       case Sort(
             order @ SortOrder(
               graft.functions.InnerProduct(emb: Attribute, probeExpr),
@@ -201,7 +206,19 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             child,
             sortHint
           ) if eligible(child) =>
-        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint, true))
+        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint, "mips"))
+      case Sort(
+            order @ SortOrder(
+              graft.functions.L2Sq(emb: Attribute, probeExpr),
+              Ascending,
+              _,
+              _
+            ) +: _,
+            true,
+            child,
+            sortHint
+          ) if eligible(child) =>
+        probeOf(probeExpr).map(p => (order, emb, p, child, sortHint, "l2"))
       case _ => None
     }
   }
@@ -209,22 +226,22 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
-      case Limit(le @ IntegerLiteral(k), CosineTopSort(order, emb, probe, child, hint, mips))
+      case Limit(le @ IntegerLiteral(k), CosineTopSort(order, emb, probe, child, hint, metric))
           if k <= 1000 =>
         Limit(
           le,
-          Sort(order, global = true, pruneToTopCells(child, emb.name, probe, mips), hint)
+          Sort(order, global = true, pruneToTopCells(child, emb.name, probe, metric), hint)
         )
       // column pruning often parks a Project between the limit and sort
       case Limit(
             le @ IntegerLiteral(k),
-            Project(projList, CosineTopSort(order, emb, probe, child, hint, mips))
+            Project(projList, CosineTopSort(order, emb, probe, child, hint, metric))
           ) if k <= 1000 =>
         Project(
           projList,
           Limit(
             le,
-            Sort(order, global = true, pruneToTopCells(child, emb.name, probe, mips), hint)
+            Sort(order, global = true, pruneToTopCells(child, emb.name, probe, metric), hint)
           )
         )
       // per-row probe batch: Filter(rn <= k, Window(row_number ...
@@ -281,26 +298,33 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // the optimizer extracts window order expressions into a Project
         // below (`cosine_sim(...) AS _w0`), so the order key is usually
         // an Attribute — chase it to its defining Alias in the child.
-        // Both scoring kernels rewrite: cosine (IVF proper) and raw
-        // inner product (MIPS) — the flag picks the centroid scoring.
-        def scoreIn(e: Expression): Option[(Attribute, Attribute, Boolean)] =
+        // All three scoring kernels rewrite: cosine (IVF proper), raw
+        // inner product (MIPS), and squared L2 — the metric picks the
+        // centroid scoring AND binds the required sort direction
+        // (similarity kernels DESC, distance kernel ASC; the wrong
+        // direction is a farthest-point query, not ANN).
+        def scoreIn(e: Expression): Option[(Attribute, Attribute, String)] =
           e.collectFirst {
-            case CosineSim(a: Attribute, b: Attribute) => (a, b, false)
+            case CosineSim(a: Attribute, b: Attribute) => (a, b, "cos")
             case graft.functions.InnerProduct(a: Attribute, b: Attribute) =>
-              (a, b, true)
+              (a, b, "mips")
+            case graft.functions.L2Sq(a: Attribute, b: Attribute) =>
+              (a, b, "l2")
           }
+        def resolveScore(oe: Expression): Option[(Attribute, Attribute, String)] =
+          scoreIn(oe).orElse(oe match {
+            case a: Attribute =>
+              w.child
+                .collect { case pr: Project => pr.projectList }
+                .flatten
+                .collectFirst { case al: Alias if al.exprId == a.exprId => al }
+                .flatMap(al => scoreIn(al.child))
+            case _ => None
+          })
         val cos = w.orderSpec.headOption.flatMap {
-          case SortOrder(oe, Descending, _, _) =>
-            scoreIn(oe).orElse(oe match {
-              case a: Attribute =>
-                w.child
-                  .collect { case pr: Project => pr.projectList }
-                  .flatten
-                  .collectFirst { case al: Alias if al.exprId == a.exprId => al }
-                  .flatMap(al => scoreIn(al.child))
-              case _ => None
-            })
-          case _ => None
+          case SortOrder(oe, Descending, _, _) => resolveScore(oe).filter(_._3 != "l2")
+          case SortOrder(oe, Ascending, _, _)  => resolveScore(oe).filter(_._3 == "l2")
+          case _                               => None
         }
         val pids = w.partitionSpec.flatMap {
           case a: Attribute => Some(a)
@@ -308,7 +332,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         val joins = w.child.collect { case j: Join => j }
         (cos, joins) match {
-          case (Some((embA, probeA, mips)), Seq(j))
+          case (Some((embA, probeA, metric)), Seq(j))
               if rnOk && pids.length == w.partitionSpec.length &&
                 (j.joinType == Inner || j.joinType == Cross) =>
             val sides =
@@ -344,7 +368,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               if (!eligibleSides) None
               else {
                 val pruned =
-                  pruneJoinToProbeCells(j, pSide, cSide, embA, probeA, pids, mips)
+                  pruneJoinToProbeCells(j, pSide, cSide, embA, probeA, pids, metric)
                 val newChild = w.child.transformUp {
                   case jj: Join if jj eq j => pruned
                 }
@@ -372,7 +396,7 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       embA: Attribute,
       probeA: Attribute,
       pids: Seq[Attribute],
-      mips: Boolean = false
+      metric: String = "cos"
   ): LogicalPlan = {
     import org.apache.spark.sql.expressions.{Window => W}
     val pDf = GraftPlanBridge.ofRows(spark, pSide)
@@ -392,15 +416,20 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .withColumnRenamed("label", "__ivf_label")
     val pn = s"`${probeA.name}`"
     // MIPS cells rank by the raw centroid dot product — the norms that
-    // make it cosine are exactly what MIPS ordering must NOT divide by
+    // make it cosine are exactly what MIPS ordering must NOT divide by;
+    // L2 cells by squared distance to the centroid, ASCENDING (nearest)
     val dotSql =
       s"aggregate(zip_with(__cent, $pn, (c, p) -> c * CAST(p AS DOUBLE)), 0D, (a, x) -> a + x)"
-    val csSql =
-      if (mips) dotSql
-      else
+    val csSql = metric match {
+      case "l2" =>
+        s"aggregate(zip_with(__cent, $pn, (c, p) -> (c - CAST(p AS DOUBLE))" +
+          s" * (c - CAST(p AS DOUBLE))), 0D, (a, x) -> a + x)"
+      case "mips" => dotSql
+      case _ =>
         dotSql +
           s" / (sqrt(aggregate(__cent, 0D, (a, c) -> a + c * c))" +
           s" * sqrt(aggregate($pn, 0D, (a, p) -> a + CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+    }
     val topCells = pDf
       .crossJoin(broadcast(cent))
       .withColumn("__cscore", expr(csSql))
@@ -408,7 +437,10 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "__crn",
         row_number().over(
           W.partitionBy(pids.map(a => col(s"`${a.name}`")): _*)
-            .orderBy(col("__cscore").desc, col("__ivf_label"))
+            .orderBy(
+              (if (metric == "l2") col("__cscore").asc else col("__cscore").desc),
+              col("__ivf_label")
+            )
         )
       )
       .filter(col("__crn") <= nprobe)
@@ -433,34 +465,48 @@ case class AnnIvfRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       child: LogicalPlan,
       embCol: String,
       probe: Seq[Double],
-      mips: Boolean = false
+      metric: String = "cos"
   ): LogicalPlan = {
     val df = GraftPlanBridge.ofRows(spark, child)
+    // centroids on the 6dp grid, same as the per-row arm: float-sum
+    // order inside avg() differs between engines (and between runs of
+    // a distributed aggregate), and the rounded grid is what keeps the
+    // cell RANKING deterministic — which round 8's oracle-checked
+    // sim_l2_ivf_topk now depends on, not just the fire/exactness specs
     val cent = df
       .select(col("label"), posexplode(col(embCol)))
       .groupBy("label", "pos")
       .agg(avg(col("col").cast("double")).as("m"))
       .groupBy("label")
       .agg(
-        expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+        expr("transform(sort_array(collect_list(struct(pos, m))), x -> round(x.m, 6) + 0.0)")
           .as("centroid")
       )
-    // MIPS cells rank by the raw dot product (see pruneJoinToProbeCells)
+    // MIPS cells rank by the raw dot product (see pruneJoinToProbeCells);
+    // L2 cells by NEAREST centroid — squared distance, ASCENDING
     val dotSql =
       "aggregate(zip_with(centroid, pe, (c, p) -> c * p), 0D, (a, x) -> a + x)"
+    val l2Sql =
+      "aggregate(zip_with(centroid, pe, (c, p) -> (c - p) * (c - p)), 0D, (a, x) -> a + x)"
     val top3 = cent
       .withColumn("pe", typedlit(probe))
       .withColumn(
         "cscore",
         expr(
-          if (mips) dotSql
-          else
-            dotSql +
-              " / (sqrt(aggregate(centroid, 0D, (a, c) -> a + c * c))" +
-              " * sqrt(aggregate(pe, 0D, (a, p) -> a + p * p)))"
+          metric match {
+            case "l2"   => l2Sql
+            case "mips" => dotSql
+            case _ =>
+              dotSql +
+                " / (sqrt(aggregate(centroid, 0D, (a, c) -> a + c * c))" +
+                " * sqrt(aggregate(pe, 0D, (a, p) -> a + p * p)))"
+          }
         )
       )
-      .orderBy(col("cscore").desc, col("label"))
+      .orderBy(
+        (if (metric == "l2") col("cscore").asc else col("cscore").desc),
+        col("label")
+      )
       .limit(nprobe)
       .select("label")
     // optimizedPlan, not analyzed: this batch runs after hint

@@ -161,6 +161,95 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
   }
 
+  test("IVF rewrite fires on literal-probe l2_sq nearest (ASC), exact on clustered cells") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 10).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 50).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 50 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probeSql = rows(217)._2
+      .map(f => s"CAST($f AS FLOAT)")
+      .mkString("array(", ",", ")")
+    // nearest = ASCENDING squared distance — the l2 arm's direction
+    def q = df
+      .orderBy(expr(s"l2_sq(embedding, $probeSql)").asc, col("vec_id"))
+      .limit(10)
+    val brute = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+    val bruteOpt = q.queryExecution.optimizedPlan.toString
+    assert(!bruteOpt.contains("Join"), s"rewrite fired while gated off:\n$bruteOpt")
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val got = q.collect().map(_.getAs[Long]("vec_id")).toSeq
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Join"), s"L2 literal-probe rewrite did not fire:\n$opt")
+      assert(got == brute, s"L2 rewrite changed results: $got vs $brute")
+      // farthest-point query (DESC distance) is NOT ANN — must stay brute
+      val far = df
+        .orderBy(expr(s"l2_sq(embedding, $probeSql)").desc, col("vec_id"))
+        .limit(10)
+      val farOpt = far.queryExecution.optimizedPlan.toString
+      assert(!farOpt.contains("Join"), s"DESC l2_sq must not rewrite:\n$farOpt")
+      // and ASC cosine (least similar) must stay brute symmetrically
+      val asc = df
+        .orderBy(expr(s"cosine_sim(embedding, $probeSql)").asc, col("vec_id"))
+        .limit(10)
+      val ascOpt = asc.queryExecution.optimizedPlan.toString
+      assert(!ascOpt.contains("Join"), s"ASC cosine_sim must not rewrite:\n$ascOpt")
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+  }
+
+  test("per-row ANN join rewrite fires on l2_sq ASC window ordering") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{round => _, _}
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val rows = (0 until 10).flatMap { ci =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 50).map { j =>
+        val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        (ci.toLong * 50 + j, v, s"c$ci")
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val probes = df
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("pid"), $"embedding".as("pe"))
+    def q = probes
+      .join(df, $"pid" =!= $"vec_id")
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("pid")
+            .orderBy(expr("l2_sq(embedding, pe)").asc, $"vec_id")
+        )
+      )
+      .filter($"rn" <= 10)
+      .select($"pid", $"vec_id", $"label", $"rn")
+      .orderBy("pid", "rn")
+    def rowsOf(d: DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+    val brute = rowsOf(q)
+    assert(q.queryExecution.optimizedPlan.collect { case j: Join => j }.length == 1)
+    spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "true")
+    try {
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.toString.contains("__cell"), s"per-row L2 rewrite did not fire:\n$opt")
+      assert(opt.collect { case j: Join => j }.length > 1, opt.toString)
+      assert(rowsOf(q) == brute, "cell-pruned per-row L2 top-k diverged on clustered data")
+    } finally spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+  }
+
   test("ANN IVF rewrite fires on a scalar-subquery vector-lookup probe") {
     graft.functions.GraftFunctions.register(spark)
     graft.plans.AnnIvfRewrite.install(spark)
