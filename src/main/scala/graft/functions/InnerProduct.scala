@@ -12,8 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * sequential accumulation over the element index matches DuckDB's
   * `sum(x*y)` over parallel `unnest` exactly, so MIPS oracles can
   * hash-compare unscaled scores. Unlike cosine there is no zero-norm
-  * guard — the dot product of any two vectors is defined (NULL only
-  * propagates from NULL inputs). */
+  * guard — the dot product of any two vectors is defined (NULL comes
+  * only from NULL inputs or mismatched vector lengths). */
 case class InnerProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -38,10 +38,13 @@ case class InnerProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "inner_product"
 
+  // Mismatched lengths → NULL, not a truncated partial dot product
+  // (round-8 advice; same contract as L2Sq).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -60,12 +63,16 @@ case class InnerProduct(left: Expression, right: Expression)
         val n = ctx.freshName("n")
         val dot = ctx.freshName("dot")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  ${ev.value} = $dot;
            |}
-           |${ev.value} = $dot;
          """.stripMargin
       }
     )

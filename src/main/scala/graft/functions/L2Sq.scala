@@ -37,10 +37,16 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
 
   override def prettyName: String = "l2_sq"
 
+  // Mismatched vector lengths return NULL, not a silently-truncated
+  // score (round-8 advice): a plausible-but-wrong distance from a
+  // min-length fold is the worst failure mode for a ranking kernel.
+  // Stricter than the CosineSim precedent; safe because every staged
+  // embedding column is fixed-width by construction.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -61,13 +67,17 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
         val acc = ctx.freshName("acc")
         val d = ctx.freshName("d")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
-           |  $acc += $d * $d;
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |    $acc += $d * $d;
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       }
     )

@@ -554,9 +554,27 @@ object EventAnalytics {
       .events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum("value"), 2).as("x"))
+    // sd via the explicit moment formula over the 2dp-gridded x, not
+    // each engine's own stddev_samp recurrence (round-8 advice): both
+    // engines then derive the breach threshold from the same sums, so
+    // the 4dp rounding boundary in the boolean can't flip on internal
+    // algorithm differences (the ts_rolling_corr pattern).
     val stats = daily
       .groupBy("event_type")
-      .agg(avg("x").as("mu"), stddev_samp("x").as("sd"))
+      .agg(
+        avg("x").as("mu"),
+        count(lit(1)).cast("double").as("n_d"),
+        sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .withColumn(
+        "sd",
+        sqrt(
+          (col("n_d") * col("sxx") - col("sx") * col("sx")) /
+            (col("n_d") * (col("n_d") - 1))
+        )
+      )
+      .select("event_type", "mu", "sd")
     val run = Window
       .partitionBy("event_type")
       .orderBy("day")
@@ -579,7 +597,9 @@ object EventAnalytics {
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 2) AS x
       |  FROM events GROUP BY 1, 2),
-      |s AS (SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+      |s AS (SELECT event_type, avg(x) AS mu,
+      |      sqrt((count(*) * sum(x*x) - sum(x) * sum(x))
+      |           / (count(*) * (count(*) - 1.0))) AS sd
       |      FROM daily GROUP BY 1),
       |p AS (
       |  SELECT d.event_type, d.day, d.x, s.sd,

@@ -30,6 +30,17 @@ private[graft] object TwoPhase {
     * the one range exchange via Spark's ReuseExchange, and the phase-1
     * pass reduces each partition to a single summary value, so the
     * recompute is the cheaper side of a materialization.
+    *
+    * DETERMINISM REQUIREMENT: `df` must be a deterministic frame and
+    * `keys` a total order (unique across rows). The two jobs evaluate
+    * the same lazy plan independently, so the range boundaries and the
+    * within-partition row order must reproduce exactly between the
+    * summary pass and the output pass — a non-deterministic source
+    * (sampling, rand(), a shuffling non-stable input) or a key with
+    * duplicates would silently misalign prefix offsets with partition
+    * contents. Every current caller orders by a unique key suffix
+    * (c_custkey / o_orderkey / event id) over a parquet scan, which
+    * satisfies both.
     */
   def prefixScan[S](
       df: DataFrame,

@@ -95,10 +95,11 @@ object Windows {
   val winNtileCume: Q = (spark, dir) => {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val in = Tables.customer(spark, dir).select("c_custkey", "c_acctbal")
+    // carry the input's own field types (a DecimalType acctbal — the
+    // usual TPC-H shape — must round-trip untouched, not assume Double)
     val outSchema = StructType(
-      Seq(
-        StructField("c_custkey", LongType),
-        StructField("c_acctbal", DoubleType),
+      in.schema.fields.toSeq ++ Seq(
         StructField("nt", IntegerType, nullable = false),
         StructField("cd", DoubleType, nullable = false),
         StructField("pr", DoubleType, nullable = false)
@@ -107,7 +108,7 @@ object Windows {
     val k = 4L
     TwoPhase
       .prefixScan(
-        Tables.customer(spark, dir).select("c_custkey", "c_acctbal"),
+        in,
         8,
         Seq(col("c_acctbal"), col("c_custkey")),
         0L
@@ -122,8 +123,8 @@ object Windows {
             if (rem > 0 && r <= pivot) (r - 1) / (base + 1) + 1
             else rem + (r - pivot - 1) / base + 1
           Row(
-            row.getLong(0),
-            row.getDouble(1),
+            row.get(0),
+            row.get(1),
             nt.toInt,
             r.toDouble / n.toDouble,
             (r - 1).toDouble / (n - 1).toDouble

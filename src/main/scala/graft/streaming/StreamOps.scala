@@ -222,6 +222,17 @@ object StreamOps {
     * boundaries (StreamingSpec feeds the same series in one batch and
     * split across three, and asserts bit-identical trajectories vs a
     * driver-side fold). */
+  /** MEMORY BOUND (round-8 advice): `rows.toSeq.sortBy` here and in
+    * CusumProcessor materializes one key's rows for ONE micro-batch —
+    * bounded by per-key batch arrival rate, not by stream length (state
+    * carries only the scalar between batches). The recursions are
+    * order-sensitive, and rows within a micro-batch arrive unordered,
+    * so the sort is semantically required; a production deployment
+    * bounds the per-key batch via source admission control
+    * (maxOffsetsPerTrigger and partition-count × batch-interval), not
+    * inside the processor. A key whose single-batch volume outgrows
+    * executor memory needs a pre-aggregated source, not a lazy fold —
+    * laziness cannot reorder. */
   class EwmaProcessor(alpha: Double)
       extends StatefulProcessor[Long, Event, EwmaPoint] {
     @transient private var prev: ValueState[Double] = _

@@ -78,6 +78,19 @@ class Round8Spec extends SparkTestBase {
     assert(v3.count() == 2, "after rebuild, table() serves the rebuilt bytes")
   }
 
+  test("l2_sq and inner_product return NULL on mismatched vector lengths") {
+    functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+      .selectExpr("l2_sq(a, b) AS l2", "inner_product(a, b) AS ip")
+      .collect()
+    assert(df(0).getDouble(0) == 0.0 && df(0).getDouble(1) == 14.0)
+    assert(df(1).isNullAt(0), "truncated-length l2 score must be NULL")
+    assert(df(1).isNullAt(1), "truncated-length dot product must be NULL")
+  }
+
   test("staged near-dup edges equal the inline recomputation bit-for-bit") {
     // graph_edges_stage IS the staged table ordered; rebuild from source
     // through the public key and compare against a second serve pass
