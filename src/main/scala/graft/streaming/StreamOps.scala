@@ -382,6 +382,83 @@ object StreamOps {
       )
   }
 
+  /** One row of the per-window top-k serving output. */
+  case class TopkRow(ws_epoch_ms: Long, user_id: Long, cnt: Long, rn: Int)
+
+  /** Streaming per-window top-k under a SPACE-SAVING cap — the
+    * streaming twin of the batch stream_topk key (whose TopKPerGroup
+    * partial-heap shuffle is the batch analogue of exactly this
+    * bounded state). Keyed by window start; MapState holds at most
+    * `capacity` (user → count) entries. Within capacity the counts
+    * are exact; past it the new user EVICTS the current minimum and
+    * inherits its count + 1 — the classic Space-Saving guarantee
+    * (count overestimates bounded by the evicted minimum; any user
+    * with true count > N/capacity is retained). That is the state
+    * bound that lets a 100 TB stream serve per-window leaderboards
+    * without per-user state growing with the keyspace. Emits the
+    * current top-`k` after every batch (update-style serving); a
+    * window's ranking refines as batches arrive, state carries across
+    * batches, and StreamingSpec proves batch-split invariance and
+    * agreement with the batch key when the cap is not binding. */
+  class TopkProcessor(k: Int, capacity: Int)
+      extends StatefulProcessor[Long, Event, TopkRow] {
+    @transient private var counts: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long](
+        "counts",
+        Encoders.scalaLong,
+        Encoders.scalaLong,
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        ws: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[TopkRow] = {
+      // fold this batch's arrivals into a local copy of the bounded
+      // summary (capacity entries — O(1) per key), then write it back
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      counts.iterator().foreach { p => m(p._1) = p._2 }
+      rows.foreach { e =>
+        m.get(e.user_id) match {
+          case Some(c) => m(e.user_id) = c + 1
+          case None if m.size < capacity => m(e.user_id) = 1L
+          case None =>
+            // Space-Saving eviction: replace the minimum, inherit its count
+            val (mu, mc) = m.minBy { case (u, c) => (c, u) }
+            m.remove(mu)
+            counts.removeKey(mu)
+            m(e.user_id) = mc + 1
+        }
+      }
+      m.foreach { case (u, c) => counts.updateValue(u, c) }
+      m.toSeq
+        .sortBy { case (u, c) => (-c, u) }
+        .take(k)
+        .iterator
+        .zipWithIndex
+        .map { case ((u, c), i) => TopkRow(ws, u, c, i + 1) }
+    }
+  }
+
+  /** Per-hourly-window top-k users by event count (see TopkProcessor). */
+  def topkByWindow(
+      events: Dataset[Event],
+      k: Int = 3,
+      capacity: Int = 32
+  ): Dataset[TopkRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L))
+      .transformWithState(
+        new TopkProcessor(k, capacity),
+        TimeMode.None(),
+        OutputMode.Update()
+      )
+  }
+
   /** purchasesSinceError on the Spark 4 `transformWithState` API. */
   def purchasesSinceErrorTws(events: Dataset[Event]): Dataset[PurchaseState] = {
     import events.sparkSession.implicits._

@@ -775,4 +775,113 @@ class StreamingSpec extends SparkTestBase {
       )
     } finally q.stop()
   }
+
+  test("streaming per-window top-k: batch-split invariant, agrees with exact ranking") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      // two hourly windows; user event counts w1: u1=3 u2=2 u3=1 u4=1,
+      // w2: u2=2 u5=1 — exact while capacity (32) is not binding
+      val w1 = Seq(
+        ev(1, "2024-01-01 10:00:01", user = 1), ev(2, "2024-01-01 10:10:00", user = 1),
+        ev(3, "2024-01-01 10:20:00", user = 1), ev(4, "2024-01-01 10:05:00", user = 2),
+        ev(5, "2024-01-01 10:15:00", user = 2), ev(6, "2024-01-01 10:25:00", user = 3),
+        ev(7, "2024-01-01 10:35:00", user = 4)
+      )
+      val w2 = Seq(
+        ev(8, "2024-01-01 11:00:01", user = 2), ev(9, "2024-01-01 11:30:00", user = 2),
+        ev(10, "2024-01-01 11:40:00", user = 5)
+      )
+      val all = w1 ++ w2
+      // expected final top-3 per window: (ws hour, user, cnt, rn)
+      def truth(events: Seq[Event]): Set[(Long, Long, Long, Int)] =
+        events
+          .groupBy(e => (e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L), e.user_id))
+          .map { case ((ws, u), es) => (ws, u, es.size.toLong) }
+          .toSeq
+          .groupBy(_._1)
+          .flatMap { case (_, rows) =>
+            rows.sortBy { case (_, u, c) => (-c, u) }.take(3).zipWithIndex.map {
+              case ((ws, u, c), i) => (ws, u, c, i + 1)
+            }
+          }
+          .toSet
+      def run(batches: Seq[Seq[Event]], name: String): Set[(Long, Long, Long, Int)] = {
+        val ms = MemoryStream[Event]
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-topk-$name").toString
+        val q = StreamOps
+          .topkByWindow(ms.toDS())
+          .writeStream
+          .format("memory")
+          .queryName(s"topk_$name")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .start()
+        var before = 0
+        batches.foreach { b =>
+          before = spark.table(s"topk_$name").count().toInt
+          ms.addData(b)
+          q.processAllAvailable()
+        }
+        val rows = spark.table(s"topk_$name").collect()
+        q.stop()
+        // the LAST batch touches every window, so its emission (rows
+        // appended after `before`) is the final snapshot for all keys
+        rows
+          .drop(before)
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          .toSet
+      }
+      val expect = truth(all)
+      // final batch mixes both windows so every key re-emits its snapshot
+      val oneShot = run(Seq(all), "one")
+      val split = run(
+        Seq(w1.take(3), w1.drop(3) ++ w2.take(1), w2.drop(1) :+ ev(11, "2024-01-01 10:55:00", user = 9)),
+        "split"
+      )
+      assert(oneShot == expect, s"single-batch top-k diverged: $oneShot vs $expect")
+      val expectSplit = truth(all :+ ev(11, "2024-01-01 10:55:00", user = 9))
+      assert(split == expectSplit, s"split-batch top-k diverged: $split vs $expectSplit")
+    }
+  }
+
+  test("streaming top-k Space-Saving cap: heavy hitter survives eviction pressure") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      // capacity 2, three distinct users: the heavy user (5 events)
+      // must hold rank 1 even after evictions; the evicting newcomer
+      // inherits min+1 (Space-Saving overestimate, bounded by the min)
+      val events = Seq(
+        ev(1, "2024-01-01 10:00:01", user = 1), ev(2, "2024-01-01 10:01:00", user = 1),
+        ev(3, "2024-01-01 10:02:00", user = 1), ev(4, "2024-01-01 10:03:00", user = 2),
+        ev(5, "2024-01-01 10:04:00", user = 1), ev(6, "2024-01-01 10:05:00", user = 3),
+        ev(7, "2024-01-01 10:06:00", user = 1)
+      )
+      val ms = MemoryStream[Event]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-topk-cap").toString
+      val q = StreamOps
+        .topkByWindow(ms.toDS(), k = 2, capacity = 2)
+        .writeStream
+        .format("memory")
+        .queryName("topk_cap")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+      try {
+        ms.addData(events)
+        q.processAllAvailable()
+        val rows = spark
+          .table("topk_cap")
+          .collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+          .sortBy(_._3)
+        assert(rows.length == 2)
+        assert(rows(0) == ((1L, 5L, 1)), s"heavy hitter lost under cap: ${rows.toSeq}")
+        // u3 evicted u2 (count 1) and inherited 1+1=2 — the documented
+        // Space-Saving overestimate
+        assert(rows(1) == ((3L, 2L, 2)), s"eviction inheritance wrong: ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
 }
