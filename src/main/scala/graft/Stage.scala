@@ -55,6 +55,11 @@ object Stage {
   def pathFor(dir: String, name: String, inputs: Seq[String]): String =
     s"$root/${name}_${fingerprint(dir, inputs)}"
 
+  /** The source fingerprint alone — for derived CATALOG identifiers
+    * (e.g. the stats_analyze table name) that need the same
+    * changed-input-means-new-identity contract as staged paths. */
+  def fp(dir: String, inputs: Seq[String]): String = fingerprint(dir, inputs)
+
   /** Read the staged table, building it first iff absent (or `force`).
     * `build` must be deterministic in its inputs — every consumer's
     * oracle recomputes the intermediate from source, so staged and

@@ -52,7 +52,13 @@ import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
   *     sized corpus beats building centroids; at 100 TB the same query
   *     flips to the pruned path with no query change. The user still
   *     opts into approximation once; WHERE it applies is the
-  *     optimizer's cost decision.
+  *     optimizer's cost decision. The estimate is as good as the stats
+  *     pipeline feeding it: on a raw path scan it is the file size, and
+  *     the size-only estimator passes Filter through untouched, so a
+  *     selective slice of a huge table still opens the gate. With the
+  *     table ANALYZEd (`stats_analyze`) and `spark.sql.cbo.enabled`,
+  *     `plan.stats` carries selectivity-refined row counts and the gate
+  *     follows the data instead (Round8Spec pins both directions).
   * The guard on join/aggregate-free children keeps the rule from
   * re-firing on its own output (whose child contains the cell join) and
   * from touching the centroid subplan (whose sort child is an

@@ -114,4 +114,80 @@ class Round8Spec extends SparkTestBase {
     // and the serve result must not contain its own probe id
     assert(!b.map(_.getLong(0)).contains(1L))
   }
+
+  test("stats_analyze reports the catalog's exact column stats") {
+    val out = operators.Scans.queries("stats_analyze")(spark, sf0001).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_orderkey", "l_quantity"))
+    val li = Tables.lineitem(spark, sf0001)
+    val n = li.count()
+    out.foreach { r =>
+      assert(r.getLong(1) == n, s"rowCount for ${r.getString(0)}")
+      assert(r.getLong(2) == 0L, s"nullCount for ${r.getString(0)}")
+    }
+    val qty = out.find(_.getString(0) == "l_quantity").get
+    val (lo, hi) = li
+      .agg(min("l_quantity"), max("l_quantity"))
+      .as[(Double, Double)]
+      .first()
+    assert(qty.getDouble(3) == lo && qty.getDouble(4) == hi)
+  }
+
+  test("ANALYZE column stats drive the ANN auto cost gate through CBO") {
+    // The r7 verdict's gap #3: without ANALYZE, the auto gate's
+    // `plan.stats.sizeInBytes` for a FILTERED corpus is the raw file
+    // size (the size-only estimator passes Filter through untouched),
+    // so a tiny slice of a huge table still looks huge and the gate
+    // fires. ANALYZE FOR COLUMNS + CBO turns the equality filter into
+    // a 1/ndv selectivity estimate, the size drops below the gate, and
+    // the same query keeps the brute plan — the cost decision now
+    // follows the DATA, not the file listing.
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.AnnIvfRewrite.install(spark)
+    val tbl = "graft_cbo_emb"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"CREATE TABLE $tbl USING parquet LOCATION '$sf0001/embeddings.parquet'"
+    )
+    try {
+      val probe = spark
+        .table(tbl)
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()(0)
+        .getAs[scala.collection.Seq[Float]]("embedding")
+      val probeSql =
+        probe.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      def q = spark
+        .table(tbl)
+        .filter(col("label") === 3)
+        .orderBy(expr(s"cosine_sim(embedding, $probeSql)").desc, col("vec_id"))
+        .limit(5)
+      val fullBytes =
+        spark.table(tbl).queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set(graft.plans.AnnIvfRewrite.ConfKey, "auto")
+      spark.conf.set(
+        graft.plans.AnnIvfRewrite.MinBytesKey,
+        (fullBytes / 2).toString
+      )
+      try {
+        val noStats = q.queryExecution.optimizedPlan.toString
+        assert(
+          noStats.contains("Join"),
+          s"file-size estimate should open the gate:\n$noStats"
+        )
+        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS label")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        val withStats = q.queryExecution.optimizedPlan.toString
+        assert(
+          !withStats.contains("Join"),
+          s"selectivity estimate should close the gate:\n$withStats"
+        )
+      } finally {
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset(graft.plans.AnnIvfRewrite.ConfKey)
+        spark.conf.unset(graft.plans.AnnIvfRewrite.MinBytesKey)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
