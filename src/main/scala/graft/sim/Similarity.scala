@@ -624,6 +624,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The Lloyd UPDATE step — the missing half of the k-means iterate
+    * that [[simKmeansAssign]]'s assignment step begins, and the
+    * REFRESH operation of the IVF index lifecycle (build →
+    * [this] refresh → serve): per cell, the element-wise mean of the
+    * vectors assigned to it, which becomes the next iteration's
+    * centroid (and the replacement for a drifted IVF cell centroid
+    * after corpus growth). Dataflow: broadcast centroids score
+    * map-side, TopKPerGroup's partial heap picks each vector's cell
+    * CARRYING the vector through (no second join back to the corpus —
+    * at 100 TB re-joining the assignment to fetch vectors would pay
+    * the corpus shuffle twice), then posexplode + (cell, dim) mean:
+    * one shuffle of |cells|·|dims| partial sums, map-side combined.
+    * Mean rounded on the 6dp grid (the ml_feature_stats parity
+    * pattern — partial-sum order differs between engines; 6dp absorbs
+    * the ~1e-13 relative float-sum noise). */
+  val simKmeansRefresh: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cid"),
+        round(expr("cosine_sim(embedding, ce)"), 4).as("cos")
+      )
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("vec_id"), Seq(("cos", false), ("cid", true)), 1)
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("x").cast("double")), 6).as("c")
+      )
+      .orderBy("cid", "dim")
+  }
+
   /** Batch ANN serving shape: exact top-10 neighbors for EVERY probe in
     * a probe set (vec_id < 10) in ONE corpus pass. The probe table
     * broadcasts, the codegen'd cosine scores |corpus|×|probes| rows
@@ -1023,6 +1064,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "ml_feature_stats" -> mlFeatureStats,
     "sim_kmeans_assign" -> simKmeansAssign,
+    "sim_kmeans_refresh" -> simKmeansRefresh,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_ann_join" -> simAnnJoin,
     "sim_ann_join_asym" -> simAnnJoinAsym,
@@ -1081,6 +1123,27 @@ object Similarity {
     "sim_index_serve" -> pqAdcSqlFor(1),
     "sim_l2_ivf_topk" -> simL2IvfTopkSql,
     "ml_feature_stats" -> mlFeatureStatsSql,
+    "sim_kmeans_refresh" ->
+      s"""$normCte,
+         |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm
+         |      FROM n WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT a.vec_id, c.cid,
+         |   round((SELECT sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+         |          FROM (SELECT unnest(a.embedding) x, unnest(c.ce) y) z)
+         |         / (a.nrm * c.cnrm), 4) AS cos
+         |  FROM n a, c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |   row_number() OVER (PARTITION BY vec_id
+         |                      ORDER BY cos DESC, cid) AS rn
+         |  FROM scored) t WHERE rn = 1),
+         |px AS (SELECT a.cid, d.dim,
+         |        CAST(e.embedding[d.dim + 1] AS DOUBLE) AS x
+         |       FROM asg a JOIN embeddings e USING (vec_id)
+         |       CROSS JOIN range(64) d(dim))
+         |SELECT cid, dim, count(*) AS n, round(avg(x), 6) AS c
+         |FROM px GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
     "sim_kmeans_assign" ->
       s"""$normCte,
          |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm

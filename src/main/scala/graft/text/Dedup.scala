@@ -52,8 +52,40 @@ object Dedup {
        |       FROM tok, unnest(range(1, len(ts)-${n - 2})) AS u(i))""".stripMargin
   }
 
+  /** STAGED distinct word-n-gram table (round 8, same contract as
+    * [[nearDupEdges]]): the scan → split → explode → distinct build is
+    * the shared upstream of the whole shingle family — the jaccard
+    * baseline reads it 3×, containment-prefix 4×, plus containment,
+    * minhash, and decontamination once each — and Spark recomputes an
+    * unreferenced plan subtree at every use. Built once per source
+    * fingerprint, every consumer (and every REUSE inside one query)
+    * becomes a plain parquet scan with pushdown. Deterministic exact
+    * content (a distinct string set), so parquet round-trips it
+    * bit-identically and all consumers keep their recompute-from-
+    * source oracles; `dedup_shingle_stage` hash-checks the staged
+    * bytes themselves at the per-doc grain. */
+  private def stagedShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
+    graft.Stage.table(spark, dir, s"doc_shingles_$n", Seq("documents"))(
+      wordShingles(spark, dir, n)
+    )
+
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    wordShingles(spark, dir, 3)
+    stagedShingles(spark, dir, 3)
+
+  /** The staged shingle table as an oracle-checked key (the
+    * [[graphEdgesStage]] precedent): per-doc shingle count plus the
+    * lexicographic extremes, all computed FROM the staged parquet, so
+    * the stored rows every shingle consumer reads are hash-compared
+    * against the oracle's from-source reconstruction. */
+  val dedupShingleStage: Q = (spark, dir) =>
+    shingles(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        min(col("s")).as("s_min"),
+        max(col("s")).as("s_max")
+      )
+      .orderBy("doc_id")
 
   /** Stop-shingle cap for the LSH pipeline (the module doc's skew
     * bound): shingles present in more than [[StopDf]] documents connect
@@ -810,7 +842,7 @@ object Dedup {
     * map-side semi-join pass, never shuffled. A single shared 5-gram
     * is already decisive, so contaminated := n_hits >= 1. */
   val dedupDecontaminate5g: Q = (spark, dir) => {
-    val sh = wordShingles(spark, dir, 5)
+    val sh = stagedShingles(spark, dir, 5)
     val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), "s")
@@ -963,6 +995,7 @@ object Dedup {
         |ORDER BY u, v""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "dedup_shingle_stage" -> dedupShingleStage,
     "graph_edges_stage" -> graphEdgesStage,
     "graph_jaccard" -> graphJaccard,
     "dedup_containment" -> dedupContainment,
@@ -1009,6 +1042,11 @@ object Dedup {
       |FROM lbl l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_shingle_stage" -> (wordShinglesCteSql(3) +
+      """
+        |SELECT doc_id, count(*) AS n_shingles,
+        | min(s) AS s_min, max(s) AS s_max
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "graph_edges_stage" -> (edgesCteSql +
       "\nSELECT d1, d2 FROM edges ORDER BY d1, d2"),
     "graph_jaccard" -> graphJaccardSql,
