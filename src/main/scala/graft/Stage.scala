@@ -86,4 +86,35 @@ object Stage {
     }
     spark.read.parquet(path)
   }
+
+  /** Housekeeping — the retention half of the staging contract.
+    * Fingerprinted paths make freshness structural, but every source
+    * change ORPHANS the previous fingerprint's directory: nothing will
+    * ever read it again, and nothing else deletes it. `gc` removes
+    * exactly those: staged directories whose name prefix matches a
+    * live (dir, name, inputs) binding but whose fingerprint is no
+    * longer the one those sources map to. Directories with prefixes
+    * NOT in `live` are left untouched — a deployment that gc's with a
+    * partial binding list must not eat siblings it doesn't know about
+    * (on a real cluster this runs against the warehouse staging
+    * prefix, keyed on table snapshot ids instead of mtimes). Returns
+    * the deleted paths. */
+  def gc(live: Seq[(String, String, Seq[String])]): Seq[String] =
+    buildLock.synchronized {
+      val keep = live.map { case (d, n, in) => pathFor(d, n, in) }.toSet
+      val prefixes = live.map { case (_, n, _) => s"${n}_" }.distinct
+      val rootDir = new java.io.File(root)
+      val gone = Option(rootDir.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(_.isDirectory)
+        .filter(f => prefixes.exists(f.getName.startsWith))
+        .filterNot(f => keep.contains(f.getPath))
+      gone.foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+      gone.map(_.getPath)
+    }
 }

@@ -299,6 +299,35 @@ object Scans {
     * files) — the lossy-format twin of sink_csv for the JSON side.
     * Doubles survive via full-precision serialization; the timestamp
     * column round-trips through ISO-8601. */
+  /** XML source round-trip (round 8): Spark 4 ships the previously
+    * external spark-xml as a NATIVE format (`format("xml")`, rowTag
+    * option), so XML joins csv/json/orc in the format-conversion
+    * surface. Same shape as [[sinkJson]]: write a graded table as XML,
+    * read it back with an explicit schema (schema-on-read — XML has no
+    * types), oracle checks against the ORIGINAL table, so the gate is
+    * round-trip fidelity including double precision and string
+    * escaping (&amp;-class entities round-trip by the format's own
+    * encoder). */
+  val sourceXml: Q = (spark, dir) => {
+    val path = tmp("customer_xml")
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .write
+      .mode("overwrite")
+      .option("rowTag", "cust")
+      .format("xml")
+      .save(path)
+    spark.read
+      .schema(
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING"
+      )
+      .option("rowTag", "cust")
+      .format("xml")
+      .load(path)
+      .orderBy("c_custkey")
+  }
+
   val sinkJson: Q = (spark, dir) => {
     val path = tmp("customer_json")
     Tables
@@ -494,6 +523,7 @@ object Scans {
     "sink_manifest" -> sinkManifest,
     "source_binaryfile" -> sourceBinaryfile,
     "sink_json" -> sinkJson,
+    "source_xml" -> sourceXml,
     "sink_exactly_once" -> sinkExactlyOnce,
     "source_fixed_width" -> sourceFixedWidth,
     "sink_csv" -> sinkCsv,
@@ -519,6 +549,9 @@ object Scans {
         | CAST(sum(n_chars) + count(*) AS BIGINT) AS total_bytes
         |FROM documents""".stripMargin,
     "sink_json" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "source_xml" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     // the oracle reads the ORIGINAL table: round-trip fidelity check

@@ -459,6 +459,50 @@ object StreamOps {
       )
   }
 
+  /** SERVE the streaming top-k from a stored table — the streaming
+    * half of the round-8 staging architecture (the batch half is
+    * Stage.table; this is its continuously-refreshed sibling). Each
+    * micro-batch, [[TopkProcessor]] re-emits the COMPLETE current
+    * top-k of every window it touched, so the foreachBatch upsert is a
+    * per-window snapshot replace: dynamic partition overwrite on the
+    * window key swaps exactly the touched windows' partitions and
+    * leaves cold windows untouched. Readers always see a full, point-
+    * in-time leaderboard per window partition — the classic serving-
+    * table contract (and the same idempotent-replay protocol as
+    * [[exactlyOnceSink]]: a replayed batch regenerates the same
+    * snapshots from the same state version and overwrites in place).
+    * At 100 TB: state is O(windows × capacity), each refresh writes
+    * k·|touched windows| rows, and the serving table is a plain
+    * partitioned parquet scan for any consumer. */
+  def topkServeSink(
+      events: Dataset[Event],
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 3,
+      capacity: Int = 32
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    topkByWindow(events, k, capacity).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[TopkRow], _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ws_epoch_ms")
+          .parquet(outDir)
+      }
+      .start()
+
+  /** Current leaderboard read-back for [[topkServeSink]]'s layout. */
+  def readTopkServe(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String
+  ): DataFrame =
+    spark.read
+      .parquet(outDir)
+      .select("ws_epoch_ms", "user_id", "cnt", "rn")
+      .orderBy("ws_epoch_ms", "rn")
+
   /** purchasesSinceError on the Spark 4 `transformWithState` API. */
   def purchasesSinceErrorTws(events: Dataset[Event]): Dataset[PurchaseState] = {
     import events.sparkSession.implicits._

@@ -115,6 +115,37 @@ class Round8Spec extends SparkTestBase {
     assert(!b.map(_.getLong(0)).contains(1L))
   }
 
+  test("Stage.gc removes superseded fingerprints, keeps live and foreign") {
+    val dir = freshSourceDir("gc")
+    def build = Seq((1L, 2L)).toDF("d1", "d2")
+    Stage.table(spark, dir, "gcspec_edges", Seq("documents"))(build)
+    val stale = Stage.pathFor(dir, "gcspec_edges", Seq("documents"))
+    // source changes -> new fingerprint; the old directory is orphaned
+    Thread.sleep(1100) // mtime granularity
+    Seq(("x", 9L), ("y", 8L))
+      .toDF("k", "v")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Stage.table(spark, dir, "gcspec_edges", Seq("documents"))(build)
+    val liveP = Stage.pathFor(dir, "gcspec_edges", Seq("documents"))
+    assert(stale != liveP, "fingerprint must change with the source")
+    // a sibling stage the gc call does NOT know about must survive
+    Stage.table(spark, dir, "gcspec_other", Seq("documents"))(build)
+    val foreign = Stage.pathFor(dir, "gcspec_other", Seq("documents"))
+
+    val deleted = Stage.gc(Seq((dir, "gcspec_edges", Seq("documents"))))
+    assert(deleted.contains(stale), s"stale $stale not collected: $deleted")
+    assert(!new java.io.File(stale).exists())
+    assert(new java.io.File(s"$liveP/_SUCCESS").exists(), "live deleted")
+    assert(new java.io.File(s"$foreign/_SUCCESS").exists(), "foreign deleted")
+    // and the live staged table still serves
+    assert(
+      Stage.table(spark, dir, "gcspec_edges", Seq("documents"))(build).count() == 1
+    )
+  }
+
   test("stats_analyze reports the catalog's exact column stats") {
     val out = operators.Scans.queries("stats_analyze")(spark, sf0001).collect()
     assert(out.map(_.getString(0)).toSeq ==

@@ -845,6 +845,65 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("top-k serving table: per-window snapshot upsert, cold windows untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withStateProvider(rocksProvider) {
+      val base = java.nio.file.Files.createTempDirectory("graft-topk-serve").toString
+      val out = s"$base/out"
+      val ms = MemoryStream[Event]
+      val q = StreamOps.topkServeSink(ms.toDS(), out, s"$base/ckpt")
+      val w1 = 1704103200000L // 2024-01-01 10:00 UTC
+      val w2 = w1 + 3600000L
+      try {
+        // batch 0: window 1 only — u1=2, u2=1
+        ms.addData(
+          ev(1, "2024-01-01 10:00:01", user = 1),
+          ev(2, "2024-01-01 10:10:00", user = 1),
+          ev(3, "2024-01-01 10:20:00", user = 2)
+        )
+        q.processAllAvailable()
+        val snap1 = StreamOps
+          .readTopkServe(spark, out)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        assert(snap1.toSeq == Seq((w1, 1L, 2L, 1), (w1, 2L, 1L, 2)), snap1.toSeq)
+        val w1Files = new java.io.File(s"$out/ws_epoch_ms=$w1")
+          .listFiles()
+          .map(_.getName)
+          .toSet
+        // batch 1: window 2 only — the w1 partition must NOT be rewritten
+        ms.addData(
+          ev(4, "2024-01-01 11:05:00", user = 5),
+          ev(5, "2024-01-01 11:15:00", user = 5)
+        )
+        q.processAllAvailable()
+        assert(
+          new java.io.File(s"$out/ws_epoch_ms=$w1").listFiles().map(_.getName).toSet == w1Files,
+          "cold window partition was rewritten"
+        )
+        // batch 2: window 1 again — its snapshot is REPLACED (u2 overtakes)
+        ms.addData(
+          ev(6, "2024-01-01 10:40:00", user = 2),
+          ev(7, "2024-01-01 10:50:00", user = 2)
+        )
+        q.processAllAvailable()
+        val fin = StreamOps
+          .readTopkServe(spark, out)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        assert(
+          fin.toSeq == Seq(
+            (w1, 2L, 3L, 1),
+            (w1, 1L, 2L, 2),
+            (w2, 5L, 2L, 1)
+          ),
+          s"serving table must hold replaced snapshots: ${fin.toSeq}"
+        )
+      } finally q.stop()
+    }
+  }
+
   test("streaming top-k Space-Saving cap: heavy hitter survives eviction pressure") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
