@@ -819,7 +819,40 @@ object Etl {
       |FROM customer LEFT JOIN o ON c_custkey = o_custkey
       |ORDER BY pid""".stripMargin
 
+  /** Column-level lineage of a representative integration query (see
+    * [[graft.plans.Lineage]]): 3-table join → grouped aggregate → a
+    * derived multi-source column. The lineage of a FIXED query is
+    * deterministic plan metadata, so the oracle is the expected
+    * mapping itself declared as a VALUES table — the same golden-
+    * answer contract as a scalatest assertion, routed through the
+    * driver gate. Extraction never touches data: the result is
+    * identical at every SF (and would be at 100 TB). */
+  val etlLineage: Q = (spark, dir) => {
+    val q = Tables
+      .orders(spark, dir)
+      .join(
+        Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey")
+      )
+      .join(
+        Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(
+        sum("o_totalprice").as("revenue"),
+        countDistinct("o_custkey").as("n_custs")
+      )
+      .select(
+        concat_ws("-", col("n_name"), col("c_mktsegment")).as("region_seg"),
+        col("revenue"),
+        col("n_custs")
+      )
+    graft.plans.Lineage.columnLineage(q)
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_lineage" -> etlLineage,
     "etl_pseudonymize" -> etlPseudonymize,
     "etl_kanonymity" -> etlKanonymity,
     "etl_mapping_dsl" -> etlMappingDsl,
@@ -839,6 +872,16 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    // golden expected mapping — lineage of a fixed query is plan
+    // metadata, constant across SFs (see etlLineage scaladoc)
+    "etl_lineage" ->
+      """SELECT * FROM (VALUES
+        | ('n_custs',    'orders',   'o_custkey'),
+        | ('region_seg', 'customer', 'c_mktsegment'),
+        | ('region_seg', 'nation',   'n_name'),
+        | ('revenue',    'orders',   'o_totalprice')
+        |) AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
     "etl_pseudonymize" -> etlPseudonymizeSql,
     "etl_kanonymity" -> etlKanonymitySql,
     "etl_mapping_dsl" -> etlMappingDslSql,

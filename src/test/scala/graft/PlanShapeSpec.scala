@@ -662,6 +662,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("TopKPerGroupPartial"), s)
   }
 
+  test("stream_topk heap-prunes each window's candidates before the exchange") {
+    val s = planString(operators.StreamingBatch.streamTopk(spark, sf0001))
+    val exIdx = s.indexOf("Exchange hashpartitioning")
+    val partialIdx = s.indexOf("TopKPerGroupPartial")
+    assert(partialIdx >= 0, s"partial heap missing, plan:\n$s")
+    assert(exIdx >= 0 && exIdx < partialIdx, s)
+  }
+
+  test("shingle consumers serve from the staged parquet, not a recompute") {
+    // build-if-absent, then the consumer's scan leaves must include the
+    // staged table (graft_stage path) and must NOT re-derive shingles
+    // (no Generate/explode over documents.text in the plan)
+    val df = text.Dedup.queries("dedup_decontaminate")(spark, sf0001)
+    val s = planString(df)
+    assert(s.contains("graft_stage"), s"staged scan missing:\n$s")
+    assert(!s.contains("Generate explode"), s"shingles recomputed:\n$s")
+  }
+
+  test("sim_kmeans_refresh carries vectors through the heap, centroids broadcast") {
+    val s = planString(sim.Similarity.simKmeansRefresh(spark, sf0001))
+    assert(s.contains("BroadcastExchange"), s)
+    assert(s.contains("TopKPerGroupPartial"), s)
+    // one hash exchange for the (cell, dim) aggregate is expected; the
+    // assignment itself must not add a corpus re-join (a second scan of
+    // the embeddings table beyond centroids would show as a SortMerge)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("sim_batch_topk broadcasts probes and heap-prunes before the exchange") {
     val s = planString(sim.Similarity.simBatchTopk(spark, sf0001))
     assert(s.contains("BroadcastExchange"), s)

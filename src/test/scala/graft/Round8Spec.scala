@@ -146,6 +146,62 @@ class Round8Spec extends SparkTestBase {
     )
   }
 
+  test("Lineage walks windows, grouping sets, explode, and aliased self-joins") {
+    import graft.plans.Lineage
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Lineage
+        .columnLineage(df)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+    val li = Tables.lineitem(spark, sf0001)
+
+    // window: partition/order columns shape the VALUE of a windowed
+    // aggregate (which rows sum, in what running order), so direct
+    // lineage includes them
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy("l_orderkey")
+    assert(
+      m(li.select(col("l_orderkey"), sum("l_quantity").over(w).as("run_qty"))) ==
+        Set(
+          ("l_orderkey", "lineitem", "l_orderkey"),
+          ("run_qty", "lineitem", "l_quantity"),
+          ("run_qty", "lineitem", "l_returnflag"),
+          ("run_qty", "lineitem", "l_orderkey")
+        )
+    )
+
+    // grouping sets route through Expand (null-padded projections must
+    // not erase the real source)
+    assert(
+      m(li.cube(col("l_returnflag")).agg(sum("l_quantity").as("sq"))) ==
+        Set(
+          ("l_returnflag", "lineitem", "l_returnflag"),
+          ("sq", "lineitem", "l_quantity")
+        )
+    )
+
+    // explode routes through Generate
+    val docs = Tables.documents(spark, sf0001)
+    assert(
+      m(docs.select(explode(split(col("text"), " ")).as("word"))) ==
+        Set(("word", "documents", "text"))
+    )
+
+    // aliased self-join: exprId-based tracing keeps the two sides
+    // straight even though names collide at the source
+    val a = li.select(col("l_orderkey").as("k1"), col("l_quantity").as("qa"))
+    val b = li.select(col("l_orderkey").as("k2"), col("l_tax").as("qb"))
+    assert(
+      m(a.join(b, col("k1") === col("k2")).select(col("qa"), col("qb"))) ==
+        Set(
+          ("qa", "lineitem", "l_quantity"),
+          ("qb", "lineitem", "l_tax")
+        )
+    )
+  }
+
   test("stats_analyze reports the catalog's exact column stats") {
     val out = operators.Scans.queries("stats_analyze")(spark, sf0001).collect()
     assert(out.map(_.getString(0)).toSeq ==
