@@ -785,21 +785,31 @@ object Similarity {
   /** One ADC probe against the STORED code table (see [[pqAssign]]):
     * the serve-path unit [[simPqAdc]] and [[simIndexServe]] share —
     * two different probes amortizing one staged index build. */
-  private def pqAdcTopk(
+  /** ADC top-10 from the staged code table for EVERY probe in
+    * `probes` (`pid` long, `pe` array&lt;float&gt;) in ONE pass — the
+    * multi-probe generalization of the single-probe ADC serve, and the
+    * unit the STREAMING serve path feeds micro-batches of probes into
+    * ([[graft.streaming.StreamOps]]). Probes broadcast twice (once to
+    * build the |probes|×8×16 distance-table fan-out, once joined to
+    * the codes); the stored codes are scanned once regardless of probe
+    * count; TopKPerGroup's partial heap bounds the shuffle at
+    * 10·|probes| rows per partition. Float vectors are touched only
+    * for the probes and the 16-row codebook — the corpus side is pure
+    * code bytes, the entire point of serving from the stored index. */
+  def adcServeBatch(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      probeId: Int
+      probes: org.apache.spark.sql.DataFrame
   ): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cb = emb
       .filter(col("vec_id") < 16)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
-    val probe =
-      emb.filter(col("vec_id") === probeId).select(col("embedding").as("pe"))
     val dtab = cb
-      .crossJoin(broadcast(probe))
+      .crossJoin(broadcast(probes))
       .withColumn("s", explode(sequence(lit(0), lit(7))))
       .select(
+        col("pid"),
         col("s"),
         col("cid"),
         round(
@@ -811,13 +821,27 @@ object Similarity {
           6
         ).as("pdist")
       )
-    pqAssign(spark, dir)
-      .filter(col("vec_id") =!= probeId)
+    val scored = pqAssign(spark, dir)
       .join(broadcast(dtab), Seq("s", "cid"))
-      .groupBy("vec_id")
+      .filter(col("vec_id") =!= col("pid"))
+      .groupBy("pid", "vec_id")
       .agg(round(sum("pdist"), 6).as("adist"))
-      .orderBy(col("adist"), col("vec_id"))
-      .limit(10)
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("pid"), Seq(("adist", true), ("vec_id", true)), 10)
+      .select("pid", "vec_id", "adist")
+      .orderBy("pid", "adist", "vec_id")
+  }
+
+  private def pqAdcTopk(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      probeId: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val probe = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") === probeId)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    adcServeBatch(spark, dir, probe).select("vec_id", "adist")
   }
 
   /** Explicit IVF-PQ index BUILD/refresh key: rebuilds the staged code
@@ -895,6 +919,48 @@ object Similarity {
       |ORDER BY adist, vec_id LIMIT 10""".stripMargin
 
   private val simPqAdcSql = pqAdcSqlFor(0)
+
+  /** Batch ADC serving over a probe SET (vec_id < 5), through
+    * [[adcServeBatch]] — the batch twin of the streaming serve. */
+  val simAdcBatch: Q = (spark, dir) =>
+    adcServeBatch(
+      spark,
+      dir,
+      Tables
+        .embeddings(spark, dir)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    )
+
+  private val simAdcBatchSql =
+    """WITH cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+      |            FROM embeddings WHERE vec_id < 16),
+      |d AS (
+      |  SELECT e.vec_id, s.s, cb.cid,
+      |    round((SELECT sum(pow(CAST(e.embedding[s.s*8 + dd.d + 1] AS DOUBLE)
+      |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+      |           FROM range(8) dd(d)), 6) AS dist
+      |  FROM embeddings e, range(8) s(s), cb),
+      |enc AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+      |  FROM d) t WHERE rn = 1),
+      |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+      |      WHERE vec_id < 5),
+      |dt AS (SELECT p.pid, s.s, cb.cid,
+      |    round((SELECT sum(pow(CAST(p.pe[s.s*8 + dd.d + 1] AS DOUBLE)
+      |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+      |           FROM range(8) dd(d)), 6) AS pdist
+      |  FROM cb, range(8) s(s), p),
+      |sc AS (SELECT dt.pid, enc.vec_id, round(sum(dt.pdist), 6) AS adist
+      |       FROM enc JOIN dt ON enc.s = dt.s AND enc.cid = dt.cid
+      |       WHERE enc.vec_id <> dt.pid GROUP BY 1, 2),
+      |r AS (SELECT pid, vec_id, adist,
+      |        row_number() OVER (PARTITION BY pid
+      |                           ORDER BY adist, vec_id) AS rn
+      |      FROM sc)
+      |SELECT pid, vec_id, adist FROM r WHERE rn <= 10
+      |ORDER BY pid, adist, vec_id""".stripMargin
 
   private val simPqEncodeSql =
     """WITH cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
@@ -1085,6 +1151,7 @@ object Similarity {
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_index_build" -> simIndexBuild,
     "sim_index_serve" -> simIndexServe,
+    "sim_adc_batch" -> simAdcBatch,
     "sim_l2_ivf_topk" -> simL2IvfTopk
   )
 
@@ -1121,6 +1188,7 @@ object Similarity {
     "sim_ivfpq_topk" -> simIvfpqTopkSql,
     "sim_index_build" -> simIndexBuildSql,
     "sim_index_serve" -> pqAdcSqlFor(1),
+    "sim_adc_batch" -> simAdcBatchSql,
     "sim_l2_ivf_topk" -> simL2IvfTopkSql,
     "ml_feature_stats" -> mlFeatureStatsSql,
     "sim_kmeans_refresh" ->

@@ -503,6 +503,46 @@ object StreamOps {
       .select("ws_epoch_ms", "user_id", "cnt", "rn")
       .orderBy("ws_epoch_ms", "rn")
 
+  /** STREAMING ANN serving: a stream of probe ids answered from the
+    * STAGED PQ index — the query-side half of the round-8 index
+    * lifecycle (build → refresh → serve), now with probes arriving
+    * continuously instead of as a batch argument. Each micro-batch
+    * fetches its probes' vectors (a broadcast-sized lookup), runs the
+    * same [[graft.sim.Similarity.adcServeBatch]] dataflow every batch
+    * key uses — stored code bytes scanned once per batch, float
+    * vectors touched only for probes and the 16-row codebook — and
+    * upserts each probe's top-10 into a `pid`-partitioned serving
+    * table (dynamic overwrite: re-probing replaces that probe's
+    * answer, idempotent on replay). At 100 TB the per-batch cost is
+    * one code-table scan amortized over the batch's probes; state
+    * lives entirely in the staged index and the serving table, so the
+    * stream itself is stateless. */
+  def annServeStream(
+      probeIds: Dataset[Long],
+      dir: String,
+      outDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    probeIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Long], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val probes = graft.Tables
+            .embeddings(spark, dir)
+            .join(broadcast(batch.toDF("pid")), col("vec_id") === col("pid"))
+            .select(col("pid"), col("embedding").as("pe"))
+          graft.sim.Similarity
+            .adcServeBatch(spark, dir, probes)
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pid")
+            .parquet(outDir)
+        }
+      }
+      .start()
+
   /** purchasesSinceError on the Spark 4 `transformWithState` API. */
   def purchasesSinceErrorTws(events: Dataset[Event]): Dataset[PurchaseState] = {
     import events.sparkSession.implicits._

@@ -904,6 +904,60 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ANN serve answers probes from the staged index, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-serve").toString
+    val out = s"$base/out"
+    val ms = MemoryStream[Long]
+    val q = StreamOps.annServeStream(ms.toDS(), sf0001, out, s"$base/ckpt")
+    try {
+      ms.addData(0L)
+      q.processAllAvailable()
+      // the streamed answer for probe 0 IS the batch sim_pq_adc result
+      val batch0 = sim.Similarity
+        .queries("sim_pq_adc")(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq
+      def served(pid: Long) = spark.read
+        .parquet(out)
+        .filter(col("pid") === pid)
+        .orderBy("adist", "vec_id")
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getDouble(r.fieldIndex("adist"))))
+        .toSeq
+      assert(served(0L) == batch0, s"${served(0L)} vs $batch0")
+      // second batch adds probes 1 and 2; probe 0's partition persists
+      ms.addData(1L, 2L)
+      q.processAllAvailable()
+      assert(served(0L) == batch0, "earlier probe's answer must persist")
+      val batch12 = sim.Similarity
+        .adcServeBatch(
+          spark,
+          sf0001,
+          graft.Tables
+            .embeddings(spark, sf0001)
+            .filter(col("vec_id").isin(1L, 2L))
+            .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val servedBoth = spark.read
+        .parquet(out)
+        .filter(col("pid") =!= 0L)
+        // partition-directory inference types pid as INT; normalize
+        .select(col("pid").cast("long"), col("vec_id"), col("adist"))
+        .orderBy("pid", "adist", "vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(servedBoth == batch12, s"$servedBoth vs $batch12")
+    } finally q.stop()
+  }
+
   test("streaming top-k Space-Saving cap: heavy hitter survives eviction pressure") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
