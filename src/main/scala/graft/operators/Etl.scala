@@ -851,7 +851,92 @@ object Etl {
     graft.plans.Lineage.columnLineage(q)
   }
 
+  /** Single-pass pipeline observability via Spark's `Observation` API:
+    * DQ metrics (row count, null count, domain breaches, value sums)
+    * collected ON THE SAME JOB that produces the output — the observe
+    * node rides the scan as an accumulator, so at 100 TB the metrics
+    * cost ZERO extra passes (etl_dq_checks, by contrast, is a
+    * dedicated audit scan; both postures are needed — this one is the
+    * per-run health telemetry every production pipeline emits). The
+    * observed action here is the pipeline's real output (a filtered
+    * write-shaped aggregate); the key returns the metrics row, which
+    * the oracle recomputes relationally. The one-row driver-side
+    * collect is the metric VALUES, bounded by construction. */
+  val etlObserveMetrics: Q = (spark, dir) => {
+    val obs = new org.apache.spark.sql.Observation()
+    val out = Tables
+      .lineitem(spark, dir)
+      .observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") > 45, 1).otherwise(0)).as("n_hi_qty"),
+        count(when(col("l_returnflag").isNull, 1)).as("n_null_flag"),
+        round(sum("l_extendedprice"), 2).as("sum_price")
+      )
+      .filter(col("l_quantity") > 45)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+    out.collect() // the pipeline's own action; metrics ride it
+    val m = obs.get
+    import spark.implicits._
+    Seq(
+      (
+        m("n_rows").asInstanceOf[Long],
+        m("n_hi_qty").asInstanceOf[Long],
+        m("n_null_flag").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double]
+      )
+    ).toDF("n_rows", "n_hi_qty", "n_null_flag", "sum_price")
+  }
+
+  /** Recursively flatten nested struct columns into top-level columns
+    * with underscore-joined names — the normalization step between a
+    * document-shaped source (JSON/XML/VARIANT ingest) and a columnar
+    * warehouse table. Pure projection: one codegen'd map pass, no
+    * shuffle, and column pruning still reaches the scan because the
+    * flattened columns are ordinary nested-field references (Catalyst
+    * pushes struct-field extraction into parquet's column indexes).
+    * Arrays are left as values (explode is a row-multiplying decision
+    * the caller owns — see text_chunk_words/udtf_generator for that
+    * posture). */
+  def flattenNested(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def cols(
+        schema: StructType,
+        path: Seq[String]
+    ): Seq[org.apache.spark.sql.Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val p = path :+ f.name
+        f.dataType match {
+          case st: StructType => cols(st, p)
+          case _ =>
+            Seq(col(p.mkString(".")).as(p.mkString("_")))
+        }
+      }
+    df.select(cols(df.schema, Nil): _*)
+  }
+
+  /** [[flattenNested]] over a document-shaped projection of customer —
+    * the oracle rebuilds the flat table directly from source. */
+  val etlFlattenNested: Q = (spark, dir) =>
+    flattenNested(
+      Tables
+        .customer(spark, dir)
+        .select(
+          col("c_custkey"),
+          struct(
+            col("c_name").as("name"),
+            struct(
+              col("c_acctbal").as("bal"),
+              col("c_mktsegment").as("seg")
+            ).as("account")
+          ).as("profile")
+        )
+    ).orderBy("c_custkey")
+
   val queries: Map[String, Q] = Map(
+    "etl_flatten_nested" -> etlFlattenNested,
+    "etl_observe_metrics" -> etlObserveMetrics,
     "etl_lineage" -> etlLineage,
     "etl_pseudonymize" -> etlPseudonymize,
     "etl_kanonymity" -> etlKanonymity,
@@ -872,6 +957,18 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_flatten_nested" ->
+      """SELECT c_custkey, c_name AS profile_name,
+        | c_acctbal AS profile_account_bal,
+        | c_mktsegment AS profile_account_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "etl_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_hi_qty,
+        | count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS n_null_flag,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem""".stripMargin,
     // golden expected mapping — lineage of a fixed query is plan
     // metadata, constant across SFs (see etlLineage scaladoc)
     "etl_lineage" ->

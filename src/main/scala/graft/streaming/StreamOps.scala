@@ -543,6 +543,39 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental file ingestion on `Trigger.AvailableNow` — the
+    * scheduled-batch posture of a production feed: each invocation
+    * drains everything NEW under `srcDir` since the checkpoint's file
+    * log, writes it through an exactly-once file sink, and STOPS (no
+    * resident query). Re-running is the catch-up: already-ingested
+    * files are never re-read (the checkpoint's seen-file log is the
+    * state), new files flow through in bounded batches
+    * (`maxFilesPerTrigger` paces memory at any backlog size — a
+    * 100 TB backlog drains as many bounded batches, not one giant
+    * one). This is the missing middle between a one-shot batch read
+    * and an always-on stream: cron-able, restartable, no dupes. */
+  def ingestAvailableNow(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1
+  ): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** purchasesSinceError on the Spark 4 `transformWithState` API. */
   def purchasesSinceErrorTws(events: Dataset[Event]): Dataset[PurchaseState] = {
     import events.sparkSession.implicits._

@@ -958,6 +958,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("AvailableNow ingestion drains only new files per run, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val src = s"$base/src"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def feed(ids: Seq[Long], file: String): Unit = {
+      // the file source lists top-level FILES; stage the dir-shaped
+      // write and promote its part file to $src/<file>.parquet
+      val stage = s"$base/stage_$file"
+      ids.toDF("id").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage)
+        .listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .get
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.move(
+        part.toPath,
+        java.nio.file.Paths.get(s"$src/$file.parquet")
+      )
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))
+    )
+    feed(Seq(1L, 2L, 3L), "a")
+    feed(Seq(4L, 5L), "b")
+    // run 1: two files drain in BOUNDED batches (maxFilesPerTrigger=1)
+    // and the query stops on its own
+    StreamOps.ingestAvailableNow(spark, src, out, ckpt, schema)
+    def ingested() =
+      spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(ingested() == Seq(1L, 2L, 3L, 4L, 5L))
+    // run 2 with nothing new: a no-op, no dupes
+    StreamOps.ingestAvailableNow(spark, src, out, ckpt, schema)
+    assert(ingested() == Seq(1L, 2L, 3L, 4L, 5L))
+    // a new file lands; run 3 picks up ONLY it
+    feed(Seq(6L, 7L), "c")
+    StreamOps.ingestAvailableNow(spark, src, out, ckpt, schema)
+    assert(ingested() == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    val files = new java.io.File(out)
+      .listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 3, "bounded batches must produce incremental sink files")
+  }
+
   test("streaming top-k Space-Saving cap: heavy hitter survives eviction pressure") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
