@@ -24,11 +24,17 @@ object Dedup {
     * sides share one shuffle via Spark's ReuseExchange, and
     * measurement showed an explicit cache only adds materialization
     * cost here. */
-  private def wordShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  private[graft] def wordShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
+    wordShinglesOf(Tables.documents(spark, dir), n)
+
+  /** [[wordShingles]] over an arbitrary (doc_id, text) frame — the
+    * shingle dataflow itself, separated from the table loader so the
+    * boilerplate-corpus crossover proof (Round8Spec) and any future
+    * incremental batch path can shingle a delta frame directly. */
+  private[graft] def wordShinglesOf(docs: DataFrame, n: Int): DataFrame = {
     val terms =
       (0 until n).map(j => if (j == 0) "ts[i]" else s"ts[i+$j]").mkString(", ")
-    Tables
-      .documents(spark, dir)
+    docs
       .withColumn("ts", split(col("text"), " "))
       .filter(size(col("ts")) >= n)
       .select(
@@ -158,16 +164,24 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** MinHash (k=16) + LSH banding (8 bands × rows of 2): candidate
-    * pairs from band-bucket collisions, then signature-estimated and
-    * exact Jaccard for each candidate — both over the stop-capped
-    * shingle universe ([[cappedShingles]]), the working set a 100 TB
-    * pipeline would use. Hash family is xxhash64 seeded by the hash
-    * index — fully deterministic (SURVEY.md §7 risk 5). */
-  val dedupMinhashNear: Q = (spark, dir) => {
-    val sh = cappedShingles(spark, dir)
-    val sig = sh
-      .withColumn("i", explode(sequence(lit(0), lit(15))))
+  /** MinHash signature per document over any (doc_id, s) shingle
+    * frame: k hash families (xxhash64 seeded by the family index —
+    * fully deterministic, SURVEY.md §7 risk 5), per-family min,
+    * assembled into a k-long array ordered by family index.
+    *
+    * The signature is PURE PER-DOC STATE — no cross-document term
+    * anywhere in the dataflow — which is what makes MinHash
+    * INCREMENTAL: a newly arrived batch's signatures are computed from
+    * the new docs alone and banded against the stored signature table
+    * of the existing corpus ([[bandedCandidatePairs]] with the delta
+    * frame on one side), so admission costs O(|delta|), never a corpus
+    * re-signature. Round8Spec proves sig(doc) is byte-identical
+    * whether computed inside the full corpus or from the doc alone,
+    * and that delta-vs-stored banding reproduces exactly the full
+    * rebanding's candidate pairs that touch the delta. */
+  private[graft] def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
       .select(col("doc_id"), col("i"), xxhash64(col("i"), col("s")).as("h"))
       .groupBy("doc_id", "i")
       .agg(min("h").as("mh"))
@@ -176,12 +190,54 @@ object Dedup {
         expr("transform(sort_array(collect_list(struct(i, mh))), x -> x.mh)")
           .as("sig")
       )
-    val bands = sig
-      .withColumn("band", explode(sequence(lit(0), lit(7))))
+
+  /** LSH banding over a signature frame: `bands` keys per doc, each a
+    * string of `rows` consecutive signature slots. Returns the input
+    * frame widened with (band, band_key) — callers that carry the
+    * signature through the candidate join (dedup_minhash_near's
+    * est_jac) keep their columns. */
+  private[graft] def bandKeys(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn(
         "band_key",
-        expr("concat_ws(',', transform(slice(sig, band*2+1, 2), x -> cast(x as string)))")
+        expr(
+          s"concat_ws(',', transform(slice(sig, band*$rows+1, $rows), x -> cast(x as string)))"
+        )
       )
+
+  /** Band-bucket candidate pairs between two signature frames,
+    * normalized to d1 < d2 and distinct. With `right` = a delta batch
+    * and `left` = stored ∪ delta this is the INCREMENTAL admission
+    * join: it emits delta×stored and delta×delta collisions and can
+    * never pay a stored×stored pair. */
+  private[graft] def bandedCandidatePairs(
+      left: DataFrame,
+      right: DataFrame,
+      bands: Int,
+      rows: Int
+  ): DataFrame =
+    bandKeys(left, bands, rows)
+      .select(col("doc_id").as("da"), col("band"), col("band_key"))
+      .join(
+        bandKeys(right, bands, rows)
+          .select(col("doc_id").as("db"), col("band"), col("band_key")),
+        Seq("band", "band_key")
+      )
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("d1"), greatest(col("da"), col("db")).as("d2"))
+      .distinct()
+
+  /** MinHash (k=16) + LSH banding (8 bands × rows of 2): candidate
+    * pairs from band-bucket collisions, then signature-estimated and
+    * exact Jaccard for each candidate — both over the stop-capped
+    * shingle universe ([[cappedShingles]]), the working set a 100 TB
+    * pipeline would use. Signature/banding dataflow shared with the
+    * incremental path via [[minhashSignatures]]/[[bandKeys]]. */
+  val dedupMinhashNear: Q = (spark, dir) => {
+    val sh = cappedShingles(spark, dir)
+    val sig = minhashSignatures(sh, 16)
+    val bands = bandKeys(sig, 8, 2)
     val cand = bands
       .select(col("doc_id").as("d1"), col("band"), col("band_key"), col("sig").as("sig1"))
       .join(
