@@ -153,6 +153,53 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (concat-and-chunk at a 256-token budget): the
+    * canonical LLM training-data assembly step — documents in doc_id
+    * order are concatenated into one global token stream and cut into
+    * fixed-length sequences; each doc reports its global token offset
+    * and the first/last sequence it lands in (seq_first < seq_last =
+    * a boundary-straddling doc the loader either splits or re-pads).
+    * The global running offset is [[TwoPhase.prefixScan]] (one bounded
+    * summary per range partition, never the single-task
+    * `Window.orderBy` anti-pattern), so the plan shape is unchanged at
+    * 100 TB: tokenize map-side, ONE range exchange, O(partitions)
+    * driver state — the same posture as etl_global_ids, which packing
+    * generalizes from counting rows to summing token lengths. */
+  val etlPackSequences: Q = (spark, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val budget = 256L
+    val toks = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")
+      )
+    val schema = StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("n_tok", LongType),
+        StructField("start_off", LongType),
+        StructField("seq_first", LongType),
+        StructField("seq_last", LongType)
+      )
+    )
+    TwoPhase
+      .prefixScan(toks, 8, Seq(col("doc_id")), 0L)(
+        _.foldLeft(0L)((a, r) => a + r.getLong(1))
+      )(_ + _)(schema) { (before, _, rows) =>
+        var off = before
+        rows.map { r =>
+          val n = r.getLong(1) // >= 1: split("") is [""]
+          val out =
+            Row(r.getLong(0), n, off, off / budget, (off + n - 1) / budget)
+          off += n
+          out
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Data-quality audit: constraint-violation counts over the fact
     * table — null keys, domain-range breaches, duplicate primary keys,
     * and referential orphans — assembled as a union of independent
@@ -947,6 +994,7 @@ object Etl {
     "ts_interpolate" -> tsInterpolate,
     "etl_snapshot_diff" -> etlSnapshotDiff,
     "etl_dq_checks" -> etlDqChecks,
+    "etl_pack_sequences" -> etlPackSequences,
     "ts_gapfill" -> tsGapfill,
     "etl_global_ids" -> etlGlobalIds,
     "etl_upsert_scd1" -> etlUpsertScd1,
@@ -988,6 +1036,19 @@ object Etl {
     "ts_interpolate" -> tsInterpolateSql,
     "etl_snapshot_diff" -> etlSnapshotDiffSql,
     "etl_dq_checks" -> etlDqChecksSql,
+    "etl_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(cs - n_tok AS BIGINT) AS start_off,
+        |  CAST((cs - n_tok) // 256 AS BIGINT) AS seq_first,
+        |  CAST((cs - 1) // 256 AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
     "ts_gapfill" -> tsGapfillSql,
     "etl_global_ids" ->
       """SELECT doc_id, lang, n_chars,

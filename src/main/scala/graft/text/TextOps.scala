@@ -558,9 +558,73 @@ object TextOps {
        | pass_lang AND quality >= 0.25 AND pass_dedup AS admitted
        |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level boilerplate removal — the pipeline step between
+    * exact dedup and near-dedup: 3-gram spans occurring in more than
+    * 5 DISTINCT documents (the StopDf operating point the LSH family
+    * shares) are template text, and every token covered by any
+    * occurrence of a hot span is stripped. Emits per doc the token
+    * count, stripped-token count, boilerplate ratio, and the cleaned
+    * text reassembled from the surviving tokens in position order.
+    *
+    * Scale shape: the hot-span set is by definition small relative to
+    * the corpus (template headers/footers/license blocks), so it
+    * broadcasts — coverage is then a map-side semi-join of each doc's
+    * gram stream against the broadcast set plus a per-doc distinct;
+    * the only full shuffle is the final doc_id aggregate, exactly one
+    * row per doc. No window functions, no self-joins: at 100 TB the
+    * cost is two corpus scans (gram frequency, strip pass). */
+  val textBoilerplateRm: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w"))
+    )
+    val grams = docs
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            "transform(sequence(0, size(ts)-3)," +
+              " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+          )
+        ).as(Seq("p", "s"))
+      )
+    val hot = grams
+      .select("doc_id", "s")
+      .distinct()
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 5)
+      .select("s")
+    val cov = grams
+      .join(broadcast(hot), "s")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 2)).as("pos"))
+      .distinct()
+    tok
+      .join(cov.withColumn("c", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        count(col("c")).as("n_boiler"),
+        round(count(col("c")) / count(lit(1)).cast("double"), 4)
+          .as("boiler_ratio"),
+        concat_ws(
+          " ",
+          expr(
+            "transform(sort_array(collect_list(" +
+              "CASE WHEN c IS NULL THEN struct(pos, w) END)), x -> x.w)"
+          )
+        ).as("cleaned")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_corpus_filter" -> etlCorpusFilter,
     "text_repetition" -> textRepetition,
+    "text_boilerplate_rm" -> textBoilerplateRm,
     "text_hapax" -> textHapax,
     "text_top_ngrams" -> textTopNgrams,
     "text_pii_redact" -> textPiiRedact,
@@ -581,6 +645,26 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "etl_corpus_filter" -> etlCorpusFilterSql,
     "text_repetition" -> textRepetitionSql,
+    "text_boilerplate_rm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |p AS (SELECT doc_id, i, ts[i] AS w
+        |  FROM tok, unnest(range(1, len(ts)+1)) AS u(i)),
+        |g AS (SELECT doc_id, i, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |  FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+        |hot AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM g)
+        |  GROUP BY s HAVING count(*) > 5),
+        |cov AS (SELECT DISTINCT g.doc_id, g.i + d AS i
+        |  FROM g JOIN hot USING (s), unnest(range(0, 3)) AS u(d)),
+        |f AS (SELECT p.doc_id, p.i, p.w, cov.i IS NOT NULL AS covered
+        |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.i = cov.i)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  count(CASE WHEN covered THEN 1 END) AS n_boiler,
+        |  round(count(CASE WHEN covered THEN 1 END) * 1.0 / count(*), 4)
+        |    AS boiler_ratio,
+        |  coalesce(string_agg(CASE WHEN NOT covered THEN w END, ' '
+        |    ORDER BY i), '') AS cleaned
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_hapax" -> textHapaxSql,
     "text_top_ngrams" -> textTopNgramsSql,
     "text_pii_redact" -> textPiiRedactSql,

@@ -670,6 +670,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exIdx >= 0 && exIdx < partialIdx, s)
   }
 
+  test("text_boilerplate_rm broadcasts the hot-span set; coverage join map-side") {
+    val s = planString(text.TextOps.textBoilerplateRm(spark, sf0001))
+    // gram-vs-hot-set semi join must be broadcast (the hot set is tiny
+    // by construction), never a shuffled join of two exploded streams
+    assert(s.contains("BroadcastHashJoin"), s"hot-span join not broadcast:\n$s")
+  }
+
+  test("etl_pack_sequences plans exactly one range exchange, no window") {
+    val df = operators.Etl.etlPackSequences(spark, sf0001)
+    val s = planString(df)
+    // the single-task Window.orderBy anti-pattern would appear as a
+    // Window over Exchange SinglePartition — the two-phase scheme must
+    // show one rangepartitioning exchange and no Window at all
+    assert(!s.contains("Window"), s"window anti-pattern:\n$s")
+    assert(!s.contains("SinglePartition"), s"single-partition exchange:\n$s")
+    assert(
+      "Exchange rangepartitioning".r.findAllIn(s).size >= 1,
+      s"range exchange missing:\n$s"
+    )
+  }
+
   test("shingle consumers serve from the staged parquet, not a recompute") {
     // build-if-absent, then the consumer's scan leaves must include the
     // staged table (graft_stage path) and must NOT re-derive shingles
