@@ -781,6 +781,76 @@ object Aggregates {
       |GROUP BY l.l_returnflag
       |ORDER BY l.l_returnflag""".stripMargin
 
+  /** TPC-H-Q1-shaped pricing summary answered from a STAGED ROLLUP MV
+    * via the [[graft.plans.MvRollupRewriteRule]] Catalyst extension:
+    * the query is written as a plain filter+groupBy over lineitem, and
+    * the optimizer rewrites it to re-aggregate the daily-grain
+    * (returnflag, linestatus, shipdate) materialized view — count(*)
+    * becomes sum(cnt), sum/min/max roll up from their partials, and
+    * the shipdate predicate transplants onto the MV scan where it
+    * prunes with pushdown. The MV is built once per source fingerprint
+    * ([[graft.Stage]], the same build-once/serve-many contract as the
+    * ANN index), ~3 orders of magnitude smaller than its source at
+    * this grain; the rule is applied EAGERLY to the optimized brute
+    * plan (the applyIvfRewriteEagerly precedent) so the returned frame
+    * IS the MV plan regardless of session conf at action time, and a
+    * silently-dead rule fails loudly rather than serving the source
+    * scan. Exactness is structural — counts, integral-valued sums,
+    * min/max are reassociation-safe — and the DuckDB oracle computes
+    * from SOURCE rows, so the hash match proves the rewrite sound.
+    * PlanShapeSpec additionally pins fire-through-the-optimizer,
+    * bail-when-disabled, and bail-on-non-decomposable-aggregates. */
+  val aggRollupMv: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val li = Tables.lineitem(spark, dir)
+    val mvName = "mv_lineitem_daily"
+    graft.Stage.table(spark, dir, mvName, Seq("lineitem")) {
+      li.groupBy("l_returnflag", "l_linestatus", "l_shipdate")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_l_quantity"),
+          min("l_quantity").as("min_l_quantity"),
+          max("l_quantity").as("max_l_quantity")
+        )
+    }
+    MvRewrite.register(
+      MvRewrite.MvDef(
+        sourcePath = s"$dir/lineitem.parquet",
+        mvPath = graft.Stage.pathFor(dir, mvName, Seq("lineitem")),
+        dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+        measures = Seq("l_quantity")
+      )
+    )
+    val brute = li
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(MvRewrite.readsMv(rewritten), "MV rollup rewrite did not fire")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  private val aggRollupMvSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      | sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty,
+      | max(l_quantity) AS max_qty
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Market-basket co-occurrence: part pairs ordered together, top-20
     * by support. The self-join is keyed on l_orderkey, whose group
     * size is bounded by order line count (≤7 in TPC-H, 17 here), so
@@ -876,6 +946,7 @@ object Aggregates {
   val queries: Map[String, Q] = Map(
     "agg_ttest" -> aggTtest,
     "agg_copurchase" -> aggCopurchase,
+    "agg_rollup_mv" -> aggRollupMv,
     "agg_mad" -> aggMad,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_entropy" -> aggEntropy,
@@ -905,6 +976,7 @@ object Aggregates {
   val oracles: Map[String, String] = Map(
     "agg_ttest" -> aggTtestSql,
     "agg_copurchase" -> aggCopurchaseSql,
+    "agg_rollup_mv" -> aggRollupMvSql,
     "agg_mad" -> aggMadSql,
     "agg_entropy" -> aggEntropySql,
     "agg_corr_matrix" -> aggCorrMatrixSql,

@@ -1,0 +1,211 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias,
+  Attribute,
+  AttributeReference,
+  Expression,
+  Literal,
+  NamedExpression
+}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression,
+  Complete,
+  Count,
+  Max,
+  Min,
+  Sum
+}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate,
+  Filter,
+  LogicalPlan,
+  Project
+}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation,
+  LogicalRelation
+}
+import org.apache.spark.sql.SparkSession
+
+/** §4/§8 Catalyst extension #2: MATERIALIZED-VIEW ROLLUP REWRITE
+  * (aggregate navigation) — the warehouse-side dual of the staged ANN
+  * index. A rollup MV stores partial aggregates of a source table at a
+  * fine grain (dims + `cnt` + `sum_/min_/max_<measure>` columns,
+  * staged once via [[graft.Stage]]); this rule rewrites any matching
+  * aggregate over the SOURCE scan into a re-aggregation of the MV:
+  *
+  *   - `count(*)`  → `sum(cnt)`         - `sum(x)` → `sum(sum_x)`
+  *   - `min(x)`    → `min(min_x)`       - `max(x)` → `max(max_x)`
+  *
+  * provided the query's GROUP BY columns are a subset of the MV's dims
+  * (coarser grains roll up from finer ones — never the reverse) and
+  * any residual Filter references dims only (the predicate transplants
+  * onto the MV scan, where it prunes with full pushdown). Distinct
+  * aggregates, expression-valued groupings, and non-decomposable
+  * functions (avg's float-order sensitivity, percentiles) make the
+  * rule bail to the source plan — the rewrite only fires when the
+  * rollup answer is EXACT: counts, integral-valued sums, min/max are
+  * reassociation-safe, so the rewritten query is hash-identical to the
+  * source aggregate (the DuckDB oracle for `agg_rollup_mv` computes
+  * from source, proving it).
+  *
+  * At 100 TB this is the difference between scanning the fact table
+  * and scanning a table |dims-cross| rows long: the daily-grain
+  * lineitem rollup is ~4 orders of magnitude smaller than its source,
+  * and every dashboard-style aggregate at or above that grain serves
+  * from it with no query change — the optimizer, not the analyst,
+  * decides. Conf-gated (`spark.graft.mv.rewrite`) with an explicit
+  * registry: an MV is declared for a source path, and freshness rides
+  * the Stage fingerprint (a changed source file maps to a new staged
+  * path at registration time, so the registry can never serve a stale
+  * rollup for re-registered sources).
+  */
+object MvRewrite {
+  val ConfKey = "spark.graft.mv.rewrite"
+
+  /** A registered rollup MV for `sourcePath`: parquet at `mvPath` with
+    * columns `dims ++ (cnt +: measures.flatMap(m => sum_m/min_m/max_m))`. */
+  case class MvDef(
+      sourcePath: String,
+      mvPath: String,
+      dims: Seq[String],
+      measures: Seq[String]
+  )
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  def register(mv: MvDef): Unit = registry.put(norm(mv.sourcePath), mv)
+
+  def lookup(sourcePath: String): Option[MvDef] =
+    Option(registry.get(norm(sourcePath)))
+
+  /** True iff the plan scans a registered MV path — the fired/bailed
+    * probe the eager key and the plan pins assert on. */
+  def readsMv(plan: LogicalPlan): Boolean = {
+    val mvPaths = {
+      import scala.jdk.CollectionConverters._
+      registry.values().asScala.map(d => norm(d.mvPath)).toSet
+    }
+    plan
+      .collectFirst {
+        case rel: LogicalRelation
+            if rel.relation.isInstanceOf[HadoopFsRelation] &&
+              rel.relation
+                .asInstanceOf[HadoopFsRelation]
+                .location
+                .rootPaths
+                .exists(p => mvPaths(norm(p.toString))) =>
+          rel
+      }
+      .isDefined
+  }
+
+  /** Runtime injection (idempotent), same contract as
+    * [[AnnIvfRewrite.install]]. */
+  def install(spark: SparkSession): Unit = {
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.exists(_.isInstanceOf[MvRollupRewriteRule]))
+      em.extraOptimizations = em.extraOptimizations :+ MvRollupRewriteRule(spark)
+  }
+}
+
+case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption(MvRewrite.ConfKey).contains("true")
+
+  /** Strips attribute-only Projects and at most one Filter above a
+    * file-source scan of a registered path, returning the residual
+    * condition and the MV definition. */
+  private def sourceOf(
+      plan: LogicalPlan
+  ): Option[(Option[Expression], MvRewrite.MvDef)] = plan match {
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      sourceOf(child)
+    case Filter(cond, child) =>
+      // one residual filter max; nested filters collapse earlier in
+      // optimization, so a second one means a shape we don't claim
+      sourceOf(child).collect { case (None, mv) => (Some(cond), mv) }
+    case rel: LogicalRelation =>
+      rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths
+            .flatMap(p => MvRewrite.lookup(p.toString))
+            .headOption
+            .map(mv => (None, mv))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown { case agg @ Aggregate(_, _, _, _) =>
+      rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] =
+    for {
+      (condOpt, mv) <- sourceOf(agg.child)
+      dimNames = mv.dims.toSet
+      // every grouping expression a bare dim attribute
+      groupAttrs <- seqOpt(agg.groupingExpressions.map {
+        case a: AttributeReference if dimNames(a.name) => Some(a)
+        case _                                         => None
+      })
+      // residual predicate touches dims only — measures' row-level
+      // values no longer exist in the rollup
+      if condOpt.forall(_.references.forall(a => dimNames(a.name)))
+      mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+      mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      // all MV columns the mapping can target must exist
+      if mv.dims.forall(mvAttr.contains) && mvAttr.contains("cnt")
+      newAggExprs <- seqOpt(agg.aggregateExpressions.map {
+        case a: AttributeReference if dimNames(a.name) =>
+          Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+        case al @ Alias(
+              AggregateExpression(fn, Complete, false, None, _),
+              name
+            ) =>
+          val merged = fn match {
+            case c: Count if c.children == Seq(Literal(1)) =>
+              Some(Sum(mvAttr("cnt")))
+            case Sum(x: AttributeReference, _)
+                if mvAttr.contains(s"sum_${x.name}") =>
+              Some(Sum(mvAttr(s"sum_${x.name}")))
+            case Min(x: AttributeReference)
+                if mvAttr.contains(s"min_${x.name}") =>
+              Some(Min(mvAttr(s"min_${x.name}")))
+            case Max(x: AttributeReference)
+                if mvAttr.contains(s"max_${x.name}") =>
+              Some(Max(mvAttr(s"max_${x.name}")))
+            case _ => None
+          }
+          merged.map(m =>
+            Alias(m.toAggregateExpression(), name)(exprId = al.exprId)
+          )
+        case _ => None
+      })
+    } yield {
+      val scan = condOpt match {
+        case Some(cond) =>
+          Filter(
+            cond.transform { case a: AttributeReference => mvAttr(a.name) },
+            mvPlan
+          )
+        case None => mvPlan
+      }
+      Aggregate(groupAttrs.map(a => mvAttr(a.name)), newAggExprs, scan)
+    }
+
+  private def seqOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}

@@ -670,6 +670,61 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exIdx >= 0 && exIdx < partialIdx, s)
   }
 
+  test("MV rollup rewrite fires through the optimizer; source scan when disabled or non-decomposable") {
+    import graft.plans.MvRewrite
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // running the key registers the MV for sf0.001 (and stages it)
+    operators.Aggregates.aggRollupMv(spark, sf0001).collect()
+    MvRewrite.install(spark)
+    def brute(aggs: Seq[org.apache.spark.sql.Column]) =
+      Tables
+        .lineitem(spark, sf0001)
+        .filter(col("l_shipdate") <= org.apache.spark.sql.functions.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("l_returnflag", "l_linestatus")
+    import org.apache.spark.sql.functions.{count => cnt, lit => l, sum, min, max, avg}
+    val decomposable = Seq(
+      cnt(l(1)).as("n_rows"),
+      sum("l_quantity").as("sum_qty"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty")
+    )
+    def srcScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation
+            if r.relation
+              .isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              r.relation
+                .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location
+                .rootPaths
+                .exists(_.toString.contains("lineitem.parquet")) =>
+          r
+      }.size
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val mvDf = brute(decomposable)
+      assert(
+        MvRewrite.readsMv(mvDf.queryExecution.optimizedPlan),
+        s"rewrite did not fire:\n${mvDf.queryExecution.optimizedPlan}"
+      )
+      assert(srcScans(mvDf) == 0, "MV plan still scans the source")
+      // avg is float-order sensitive — not decomposable from partials:
+      // the rule must bail to the source plan even when enabled
+      val avgDf = brute(decomposable :+ avg("l_quantity").as("avg_qty"))
+      assert(!MvRewrite.readsMv(avgDf.queryExecution.optimizedPlan))
+      assert(srcScans(avgDf) == 1, "avg query must keep the source scan")
+      // rewritten and disabled plans agree row-for-row
+      val mvRows = mvDf.collect().toSeq
+      spark.conf.unset(MvRewrite.ConfKey)
+      val bruteDf = brute(decomposable)
+      assert(!MvRewrite.readsMv(bruteDf.queryExecution.optimizedPlan))
+      assert(srcScans(bruteDf) == 1)
+      assert(bruteDf.collect().toSeq == mvRows)
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("text_boilerplate_rm broadcasts the hot-span set; coverage join map-side") {
     val s = planString(text.TextOps.textBoilerplateRm(spark, sf0001))
     // gram-vs-hot-set semi join must be broadcast (the hot set is tiny
