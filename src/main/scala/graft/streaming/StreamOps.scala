@@ -576,6 +576,98 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Fact record for the incremental-view-maintenance surface —
+    * lineitem's MV-relevant slice (graft.operators.Aggregates
+    * .aggRollupMv's grain and measures). */
+  case class Fact(flag: String, status: String, ship: String, qty: Double)
+
+  /** INCREMENTAL VIEW MAINTENANCE for the rollup MV — the streaming
+    * half of agg_rollup_mv's lifecycle (the index analogue: build →
+    * maintain → serve). Each micro-batch reduces to its PARTIAL
+    * aggregates at the MV grain and lands them as a `batch_id=<id>`
+    * delta segment via dynamic partition overwrite — the
+    * [[exactlyOnceSink]] idempotence contract, so a crash-replayed
+    * batch overwrites its own segment instead of double-counting.
+    * Serving re-aggregates the segments ([[readMvMaintained]]), which
+    * is EXACT because every MV aggregate is reassociation-safe
+    * (cnt/sum/min/max — the same decomposability rule
+    * MvRollupRewriteRule enforces); fact rows are touched exactly once,
+    * at ingestion. [[mvCompact]] is the segment-merge maintenance every
+    * delta architecture schedules: it folds all segments into one base
+    * segment (batch_id=-1) so serve cost stays O(grain), and a
+    * restarted stream keeps appending fresh segments after it — the
+    * checkpoint's batch counter never goes backwards, so base and
+    * delta ids can't collide. Run compaction with the stream stopped:
+    * the one batch that may replay after restart must still find its
+    * own segment to overwrite, not a base that already absorbed it. */
+  def mvMaintainSink(
+      facts: Dataset[Fact],
+      outDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Fact], batchId: Long) =>
+        batch
+          .groupBy("flag", "status", "ship")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum("qty").as("sum_qty"),
+            min("qty").as("min_qty"),
+            max("qty").as("max_qty")
+          )
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
+  /** Serve the maintained view: merge the delta segments' partials at
+    * the MV grain — sum-of-counts, sum-of-sums, min-of-mins,
+    * max-of-maxes. */
+  def readMvMaintained(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String
+  ): DataFrame =
+    spark.read
+      .parquet(outDir)
+      .groupBy("flag", "status", "ship")
+      .agg(
+        sum("cnt").cast("long").as("cnt"),
+        sum("sum_qty").as("sum_qty"),
+        min("min_qty").as("min_qty"),
+        max("max_qty").as("max_qty")
+      )
+
+  /** Fold every delta segment into one base segment (batch_id = -1).
+    * The merged frame is staged to a sibling directory first — the
+    * overwrite would otherwise truncate its own lazy input. */
+  def mvCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String
+  ): Unit = {
+    val tmp = s"$outDir.compact_tmp"
+    readMvMaintained(spark, outDir)
+      .withColumn("batch_id", lit(-1L))
+      .write
+      .mode("overwrite")
+      .parquet(tmp)
+    spark.read
+      .parquet(tmp)
+      .write
+      .mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    // best-effort tmp cleanup; a leftover tmp dir is invisible to reads
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+  }
+
   /** purchasesSinceError on the Spark 4 `transformWithState` API. */
   def purchasesSinceErrorTws(events: Dataset[Event]): Dataset[PurchaseState] = {
     import events.sparkSession.implicits._

@@ -1043,4 +1043,73 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("incremental MV maintenance: delta segments == batch rollup, compaction preserves, stream resumes after compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.Fact
+    val base = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+    val out = s"$base/mv"
+    val ckpt = s"$base/ckpt"
+    def facts(seed: Int, n: Int): Seq[Fact] =
+      (0 until n).map { i =>
+        Fact(
+          flag = Seq("A", "N", "R")((seed + i) % 3),
+          status = Seq("F", "O")((seed + i) % 2),
+          ship = f"1998-09-${(seed + i) % 4 + 1}%02d",
+          qty = ((seed * 7 + i * 3) % 50 + 1).toDouble
+        )
+      }
+    val b1 = facts(0, 40)
+    val b2 = facts(5, 40)
+    val b3 = facts(11, 40)
+    def expected(rows: Seq[Fact]) =
+      rows.toDS
+        .groupBy("flag", "status", "ship")
+        .agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum("qty").as("sum_qty"),
+          org.apache.spark.sql.functions.min("qty").as("min_qty"),
+          org.apache.spark.sql.functions.max("qty").as("max_qty")
+        )
+        .collect()
+        .map(r => r.getString(0) + r.getString(1) + r.getString(2) ->
+          ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+        .toMap
+    def served() =
+      StreamOps
+        .readMvMaintained(spark, out)
+        .collect()
+        .map(r => r.getString(0) + r.getString(1) + r.getString(2) ->
+          ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+        .toMap
+    def segments() =
+      new java.io.File(out)
+        .listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName)
+        .sorted
+        .toSeq
+    val ms = MemoryStream[Fact]
+    val q1 = StreamOps.mvMaintainSink(ms.toDS(), out, ckpt)
+    try {
+      ms.addData(b1: _*); q1.processAllAvailable()
+      ms.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // two delta segments, and serving them equals the batch rollup
+    assert(segments() == Seq("batch_id=0", "batch_id=1"), segments())
+    assert(served() == expected(b1 ++ b2))
+    // compaction: one base segment, same served view
+    StreamOps.mvCompact(spark, out)
+    assert(segments() == Seq("batch_id=-1"), segments())
+    assert(served() == expected(b1 ++ b2))
+    // restart from the same checkpoint: fresh deltas land AFTER the
+    // base (the batch counter never rewinds), view stays exact
+    val q2 = StreamOps.mvMaintainSink(ms.toDS(), out, ckpt)
+    try {
+      ms.addData(b3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(segments() == Seq("batch_id=-1", "batch_id=2"), segments())
+    assert(served() == expected(b1 ++ b2 ++ b3))
+  }
 }
