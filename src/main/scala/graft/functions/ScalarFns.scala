@@ -229,6 +229,43 @@ object ScalarFns {
   /** ANSI-safe error handling: try_divide/try_cast/try_to_timestamp
     * return NULL instead of throwing under ANSI mode (Spark 4 default;
     * SURVEY.md §5 division pitfall). */
+  /** SQL-defined scalar functions (Spark 4 `CREATE FUNCTION … RETURN
+    * expr`) — the engine-native macro surface a conversion DSL sits
+    * on: the discounted-price and charge formulas are declared ONCE in
+    * SQL and reused; the analyzer INLINES the body into the plan, so
+    * the query codegens like the hand-written expression (no ScalaUDF
+    * node, no eval boundary — PlanShapeSpec pins both). One function
+    * composes the other, proving macro-in-macro expansion. Outputs
+    * round at 6dp — ON the product's decimal grid (2dp·2dp·2dp), so no
+    * cross-engine half-way boundary exists (a 2dp round hit one at
+    * sf0.01: Spark rounds the shortest decimal rendering, DuckDB the
+    * binary value). */
+  val fnSqlMacro: Q = (spark, dir) => {
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)" +
+        " RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(p DOUBLE, d DOUBLE, t DOUBLE)" +
+        " RETURNS DOUBLE RETURN graft_disc_price(p, d) * (1.0 + t)"
+    )
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_li_macro")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        | round(graft_disc_price(l_extendedprice, l_discount), 6) AS disc_price,
+        | round(graft_charge(l_extendedprice, l_discount, l_tax), 6) AS charge
+        |FROM v_li_macro WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    )
+  }
+
+  private val fnSqlMacroSql =
+    """SELECT l_orderkey, l_linenumber,
+      | round(l_extendedprice * (1.0 - l_discount), 6) AS disc_price,
+      | round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS charge
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val fnTry: Q = (spark, dir) =>
     Tables
       .orders(spark, dir)
@@ -269,6 +306,7 @@ object ScalarFns {
   val queries: Map[String, Q] = Map(
     "fn_regex" -> fnRegex,
     "fn_try" -> fnTry,
+    "fn_sql_macro" -> fnSqlMacro,
     "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -289,6 +327,7 @@ object ScalarFns {
         | len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
         | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_sql_macro" -> fnSqlMacroSql,
     "fn_try" ->
       """SELECT o_orderkey,
         | round(o_totalprice / CAST(nullif(o_custkey % 3, 0) AS DOUBLE), 4) AS div_or_null,

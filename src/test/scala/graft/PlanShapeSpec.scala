@@ -725,6 +725,18 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("fn_sql_macro SQL functions inline into the plan (no UDF eval boundary)") {
+    val df = functions.ScalarFns.fnSqlMacro(spark, sf0001)
+    val s = planString(df)
+    assert(!s.contains("ScalaUDF"), s"macro not inlined:\n$s")
+    assert(!s.contains("BatchEvalPython"), s)
+    // the inlined arithmetic participates in whole-stage codegen (the
+    // *(n) stage markers) and the macro body is visible as plain
+    // expressions in the projection
+    assert("""\*\(\d+\)""".r.findFirstIn(s).isDefined, s)
+    assert(s.contains("* (1.0 - l_discount"), s"macro body not inlined:\n$s")
+  }
+
   test("text_boilerplate_rm broadcasts the hot-span set; coverage join map-side") {
     val s = planString(text.TextOps.textBoilerplateRm(spark, sf0001))
     // gram-vs-hot-set semi join must be broadcast (the hot set is tiny
