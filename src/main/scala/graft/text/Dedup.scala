@@ -961,6 +961,187 @@ object Dedup {
       |          JOIN sz x ON co.d1 = x.doc_id JOIN sz y ON co.d2 = y.doc_id
       |          WHERE common*1.0/(x.n + y.n - common) >= 0.5)""".stripMargin
 
+  /** END-TO-END CORPUS CLEANING — the composite a training-data
+    * pipeline actually ships, assembled from the library's own stages
+    * with one reason per dropped doc, first-match precedence (the
+    * etl_mapping_dsl quarantine pattern):
+    *
+    *   1. exact_dup    — not the min doc_id of its (lang, n_chars)
+    *                     fingerprint group (dedup_exact's keep rule);
+    *   2. near_dup     — the larger endpoint of any jaccard ≥ 0.5 edge
+    *                     (served from the STAGED edge table — the
+    *                     corpus is not re-shingled here);
+    *   3. boilerplate  — ≥ 15% of tokens covered by corpus-frequent
+    *                     3-gram spans (text_boilerplate_rm's coverage);
+    *   4. too_short    — under 16 tokens;
+    *   5. kept.
+    *
+    * One pass over documents plus the staged edges and the two
+    * gram aggregates; every stage is a dataflow already proven alone,
+    * and the composite is STILL fully oracle-checked end to end —
+    * the DuckDB twin recomputes all four signals from source. */
+  val etlCorpusClean: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs
+      .groupBy("lang", "n_chars")
+      .agg(min("doc_id").as("keeper"))
+    val nd = nearDupEdges(spark, dir)
+      .select(col("d2").as("doc_id"))
+      .distinct()
+      .withColumn("near", lit(true))
+    val grams = docs
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            "transform(sequence(0, size(ts)-3)," +
+              " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+          )
+        ).as(Seq("p", "s"))
+      )
+    val hot = grams
+      .select("doc_id", "s")
+      .distinct()
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 5)
+      .select("s")
+    val nb = grams
+      .join(broadcast(hot), "s")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 2)).as("pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_boiler"))
+    docs
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")
+      )
+      .join(keepers, Seq("lang", "n_chars"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(nb, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") =!= col("keeper"), "exact_dup")
+          .when(col("near"), "near_dup")
+          .when(col("n_boiler") / col("n_tok") >= 0.15, "boilerplate")
+          .when(col("n_tok") < 16, "too_short")
+          .otherwise("kept")
+          .as("reason"),
+        col("n_tok"),
+        round(col("n_boiler") / col("n_tok"), 4).as("boiler_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val etlCorpusCleanSql = edgesCteSql +
+    """,
+      |g AS (SELECT doc_id, i, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  FROM tok, unnest(range(1, len(ts)-1)) AS u(i)),
+      |hot AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM g)
+      |  GROUP BY s HAVING count(*) > 5),
+      |cov AS (SELECT DISTINCT g.doc_id, g.i + d AS i
+      |  FROM g JOIN hot USING (s), unnest(range(0, 3)) AS u2(d)),
+      |nb AS (SELECT doc_id, count(*) AS n_boiler FROM cov GROUP BY doc_id),
+      |tk AS (SELECT doc_id, lang, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |keepers AS (SELECT lang, n_chars, min(doc_id) AS keeper
+      |  FROM documents GROUP BY 1, 2),
+      |nd AS (SELECT DISTINCT d2 AS doc_id FROM edges)
+      |SELECT t.doc_id,
+      | CASE WHEN t.doc_id <> k.keeper THEN 'exact_dup'
+      |      WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+      |      WHEN COALESCE(nb.n_boiler, 0) * 1.0 / t.n_tok >= 0.15
+      |        THEN 'boilerplate'
+      |      WHEN t.n_tok < 16 THEN 'too_short'
+      |      ELSE 'kept' END AS reason,
+      | t.n_tok,
+      | round(COALESCE(nb.n_boiler, 0) * 1.0 / t.n_tok, 4) AS boiler_ratio
+      |FROM tk t JOIN keepers k ON t.lang = k.lang AND t.n_chars = k.n_chars
+      |LEFT JOIN nd ON t.doc_id = nd.doc_id
+      |LEFT JOIN nb ON t.doc_id = nb.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Train/val/test split with NEAR-DUP LEAKAGE AUDIT — the assignment
+    * step every training pipeline runs plus the check most forget:
+    * docs split 12/2/2 sixteenths by the first md5 hex digit of the
+    * doc id (content-hash assignment — reproducible across engines,
+    * runs, and cluster sizes, the etl_sample_hash contract), then the
+    * STAGED near-dup edge set is joined against the assignment and any
+    * edge crossing a split boundary is counted as leakage for BOTH of
+    * its endpoints' splits — a near-duplicate of a training doc
+    * sitting in test silently inflates eval. Per split: doc/token/char
+    * totals and the leaked-edge count. The audit costs one broadcast-
+    * sized map join over the staged edges — the corpus is never
+    * re-shingled ([[nearDupEdges]] serves from parquet). */
+  val dedupSplitLeakage: Q = (spark, dir) => {
+    val b = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val splitCol = when(b.isin("c", "d"), "val")
+      .when(b.isin("e", "f"), "test")
+      .otherwise("train")
+    val sp = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        splitCol.as("split"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")
+      )
+    val stats = sp
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars")
+      )
+    val asg = sp.select("doc_id", "split")
+    val crossing = nearDupEdges(spark, dir)
+      .join(asg.toDF("d1", "s1"), "d1")
+      .join(asg.toDF("d2", "s2"), "d2")
+      .filter(col("s1") =!= col("s2"))
+    val leaked = crossing
+      .select(col("s1").as("split"))
+      .unionAll(crossing.select(col("s2").as("split")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_leaked_edges"))
+    stats
+      .join(leaked, Seq("split"), "left")
+      .withColumn(
+        "n_leaked_edges",
+        coalesce(col("n_leaked_edges"), lit(0L))
+      )
+      .orderBy("split")
+  }
+
+  private val dedupSplitLeakageSql = edgesCteSql +
+    """,
+      |asg AS (SELECT doc_id, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+      |         THEN 'val'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+      |         THEN 'test'
+      |       ELSE 'train' END AS split
+      |  FROM documents),
+      |crossing AS (SELECT x.split AS s1, y.split AS s2 FROM edges
+      |  JOIN asg x ON edges.d1 = x.doc_id
+      |  JOIN asg y ON edges.d2 = y.doc_id
+      |  WHERE x.split <> y.split),
+      |leaked AS (SELECT split, count(*) AS n_leaked_edges FROM (
+      |  SELECT s1 AS split FROM crossing
+      |  UNION ALL SELECT s2 AS split FROM crossing) GROUP BY split)
+      |SELECT a.split, count(*) AS n_docs,
+      |  CAST(sum(a.n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(a.n_chars) AS BIGINT) AS n_chars,
+      |  COALESCE(min(l.n_leaked_edges), 0) AS n_leaked_edges
+      |FROM asg a LEFT JOIN leaked l ON a.split = l.split
+      |GROUP BY a.split ORDER BY a.split""".stripMargin
+
   /** Degree histogram of the near-dup graph: how many documents have
     * 0, 1, 2, … near-duplicates. Isolated docs are kept via a left
     * join of the (tiny) symmetric edge list onto the doc spine. The
@@ -1086,6 +1267,8 @@ object Dedup {
     "graph_2core" -> graph2core,
     "dedup_simhash_fast" -> dedupSimhashFast,
     "dedup_exact" -> dedupExact,
+    "dedup_split_leakage" -> dedupSplitLeakage,
+    "etl_corpus_clean" -> etlCorpusClean,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_near" -> dedupMinhashNear,
     "dedup_simhash" -> dedupSimhash
@@ -1139,6 +1322,8 @@ object Dedup {
     "dedup_cluster_lsstar" -> dedupClusterCcSql,
     "graph_2core" -> graph2coreSql,
     "dedup_cluster_cc" -> dedupClusterCcSql,
+    "dedup_split_leakage" -> dedupSplitLeakageSql,
+    "etl_corpus_clean" -> etlCorpusCleanSql,
     "dedup_exact" ->
       """SELECT doc_id, lang, n_chars, group_n FROM (
         |  SELECT doc_id, lang, n_chars,
