@@ -266,6 +266,36 @@ object ScalarFns {
       |FROM lineitem WHERE l_orderkey % 50 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** SQL-defined TABLE function (the UDTF half of the Spark 4
+    * `CREATE FUNCTION` surface): a declarative row generator — here a
+    * bounded integer expansion — invoked through `LATERAL`, the
+    * macro-ized form of the explode/sequence idiom the ingest layer
+    * uses for fan-out. Inlined by the analyzer like the scalar macros:
+    * the plan is a plain Generate/Join, no eval boundary. */
+  val udtfSql: Q = (spark, dir) => {
+    spark.sql(
+      // `range()` demands foldable bounds even after inlining, so the
+      // generator is explode(sequence(...)), which accepts the
+      // parameter-dependent bound
+      "CREATE OR REPLACE TEMPORARY FUNCTION graft_tail_keys(k BIGINT, n INT)" +
+        " RETURNS TABLE(slot BIGINT) RETURN" +
+        " SELECT k * 10 + id AS slot" +
+        " FROM (SELECT explode(sequence(0, n - 1)) AS id)"
+    )
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation_udtf")
+    spark.sql(
+      """SELECT n_nationkey, t.slot
+        |FROM v_nation_udtf,
+        | LATERAL graft_tail_keys(n_nationkey, CAST(n_nationkey % 3 + 1 AS INT)) t
+        |ORDER BY n_nationkey, t.slot""".stripMargin
+    )
+  }
+
+  private val udtfSqlSql =
+    """SELECT n_nationkey, n_nationkey * 10 + id AS slot
+      |FROM nation, unnest(range(0, n_nationkey % 3 + 1)) AS t(id)
+      |ORDER BY n_nationkey, slot""".stripMargin
+
   val fnTry: Q = (spark, dir) =>
     Tables
       .orders(spark, dir)
@@ -307,6 +337,7 @@ object ScalarFns {
     "fn_regex" -> fnRegex,
     "fn_try" -> fnTry,
     "fn_sql_macro" -> fnSqlMacro,
+    "udtf_sql" -> udtfSql,
     "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -328,6 +359,7 @@ object ScalarFns {
         | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_sql_macro" -> fnSqlMacroSql,
+    "udtf_sql" -> udtfSqlSql,
     "fn_try" ->
       """SELECT o_orderkey,
         | round(o_totalprice / CAST(nullif(o_custkey % 3, 0) AS DOUBLE), 4) AS div_or_null,

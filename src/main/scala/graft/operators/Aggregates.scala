@@ -531,6 +531,47 @@ object Aggregates {
       )
       .orderBy("l_returnflag")
 
+  /** Sketch MERGE — the re-aggregatable distinct-count architecture a
+    * 100 TB rollup needs: per-nation HLL sketches of the customer key
+    * (the stored form — one binary column per group) re-aggregate to
+    * region level via `hll_union_agg`, never re-touching source rows.
+    * HLL union is lossless at the register level (union-of-sketches IS
+    * the sketch-of-union), so the merged estimate equals the direct
+    * region-level sketch EXACTLY — the key emits both paths side by
+    * side plus the exact count; Round8Spec pins merged==direct and the
+    * error bound vs exact. Approximate → no DuckDB oracle (rows-only),
+    * the agg_hll_sketch precedent. */
+  val aggHllUnion: Q = (spark, dir) => {
+    val joined = Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+      .join(
+        broadcast(
+          Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+        ),
+        col("c_nationkey") === col("n_nationkey")
+      )
+    val merged = joined
+      .groupBy("n_regionkey", "c_nationkey")
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+      .groupBy("n_regionkey")
+      .agg(
+        expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
+          .as("est_merged")
+      )
+    val direct = joined
+      .groupBy("n_regionkey")
+      .agg(
+        expr("cast(hll_sketch_estimate(hll_sketch_agg(c_custkey)) as bigint)")
+          .as("est_direct"),
+        countDistinct("c_custkey").as("exact_cnt")
+      )
+    merged
+      .join(direct, "n_regionkey")
+      .select("n_regionkey", "est_merged", "est_direct", "exact_cnt")
+      .orderBy("n_regionkey")
+  }
+
   /** Pairwise correlation matrix, melted: every numeric-column pair of
     * lineitem per returnflag group as (group, var_x, var_y, corr) rows.
     * All six pairs compute in ONE grouped aggregate pass (a single
@@ -955,6 +996,7 @@ object Aggregates {
     "agg_skew_kurt" -> aggSkewKurt,
     "agg_listagg" -> aggListagg,
     "agg_hll_sketch" -> aggHllSketch,
+    "agg_hll_union" -> aggHllUnion,
     "agg_percentiles" -> aggPercentiles,
     "agg_mode" -> aggMode,
     "agg_bitmap_distinct" -> aggBitmapDistinct,

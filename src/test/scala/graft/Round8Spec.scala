@@ -278,6 +278,21 @@ class Round8Spec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("HLL sketch union is lossless: merged per-nation sketches == direct region sketch, within bound of exact") {
+    val rows = operators.Aggregates
+      .aggHllUnion(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (merged, direct, exact) =>
+      assert(merged == direct, s"union must be lossless: $merged vs $direct")
+      assert(
+        math.abs(merged - exact).toDouble / exact < 0.05,
+        s"estimate $merged vs exact $exact"
+      )
+    }
+  }
+
   // ---- judge item #6: the posting-list/LSH crossover on a
   // boilerplate-heavy corpus, and the incremental-minhash contract ----
 
