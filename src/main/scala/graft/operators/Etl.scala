@@ -82,6 +82,123 @@ object Etl {
     )
   }
 
+  /** Recursive CTE (`WITH RECURSIVE`, Spark 4's UnionLoop execution):
+    * a capped running fold S_t = min(cap, S_{t-1} + x_t) along each
+    * (nation, segment) customer chain — a true sequential recursion no
+    * window frame can express (the cap makes each step depend on the
+    * folded value, not a prefix aggregate). All arithmetic is integer
+    * cents so the Spark and DuckDB trajectories are bit-identical (no
+    * float rounding at any step; see parity notes in SURVEY §5).
+    * Scale shape: each iteration is one hash join of the frontier
+    * (one row per chain) against the rn-indexed chain table — frontier
+    * size is bounded by group count, not input rows, so the loop
+    * shuffles O(groups) per level regardless of corpus size. Two
+    * scale disciplines make the loop itself cheap: the walk depth is
+    * BOUNDED BY DESIGN (rn ≤ 24, the same posture as pagerank's fixed
+    * iteration count — an unbounded-depth recursive query is a latent
+    * runaway at 100 TB, and Spark schedules one job per level, so
+    * depth is the dominant cost term: the unbounded form cost 24 s at
+    * sf0.1, this one 1-2 s), and the chain table is CACHED before the
+    * loop so every iteration joins against the in-memory relation
+    * instead of re-running scan+window per level (UnionLoop re-plans
+    * the referenced subquery each iteration). */
+  val sqlRecursiveCte: Q = (spark, dir) => {
+    // Depth = walk cap (24) < the 100 default level limit; row limit
+    // (1M default) is never approached: ≤ 24 rows per group total.
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    val chain = spark
+      .sql(
+        """SELECT c_nationkey AS nk, c_mktsegment AS seg,
+          |       c_custkey AS ck,
+          |       CAST(round(c_acctbal * 100) AS BIGINT) AS cents, rn
+          |FROM (
+          |  SELECT *, row_number() OVER (
+          |      PARTITION BY c_nationkey, c_mktsegment
+          |      ORDER BY c_custkey) AS rn
+          |  FROM v_customer)
+          |WHERE rn <= 24""".stripMargin
+      )
+      .cache()
+    chain.createOrReplaceTempView("v_rcte_chain")
+    val out = spark.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT nk, seg, rn, ck,
+        |         least(cents, CAST(100000 AS BIGINT)) AS bal
+        |  FROM v_rcte_chain WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.nk, c.seg, c.rn, c.ck,
+        |         least(w.bal + c.cents, CAST(100000 AS BIGINT)) AS bal
+        |  FROM walk w JOIN v_rcte_chain c
+        |    ON c.nk = w.nk AND c.seg = w.seg AND c.rn = w.rn + 1
+        |)
+        |SELECT nk, seg, CAST(max(rn) AS BIGINT) AS chain_len,
+        |       CAST(sum(bal) AS BIGINT) AS total_capped_cents,
+        |       CAST(max_by(bal, rn) AS BIGINT) AS final_capped_cents
+        |FROM walk GROUP BY nk, seg ORDER BY nk, seg""".stripMargin
+    )
+    // Materialize (125 result rows) while the chain cache is live, then
+    // release the cache so a long-lived session doesn't pin it.
+    val materialized = out.localCheckpoint(eager = true)
+    chain.unpersist()
+    materialized
+  }
+
+  /** Full MERGE semantics (Delta/Iceberg `MERGE INTO` as a pure
+    * dataflow): one change-set carrying updates, tombstones, and
+    * inserts applied in a single full-outer join on the merge key —
+    * WHEN MATCHED AND tombstone THEN DELETE, WHEN MATCHED AND the
+    * update condition holds THEN UPDATE (condition false → source row
+    * kept untouched), WHEN NOT MATCHED THEN INSERT. This is exactly
+    * the join the table formats plan underneath; one shuffle on the
+    * key at any scale, and the change-set side broadcasts whenever it
+    * is small relative to the base. */
+  val etlMerge: Q = (spark, dir) => {
+    val base = Tables.customer(spark, dir)
+    val matched = base
+      .filter(col("c_custkey") % 5 === 0)
+      .select(
+        col("c_custkey").as("m_custkey"),
+        concat(col("c_name"), lit("_m")).as("m_name"),
+        round(col("c_acctbal") + 100, 2).as("m_acctbal"),
+        (col("c_custkey") % 10 === 5).as("m_delete")
+      )
+    val inserts = base
+      .filter(col("c_custkey") < 5)
+      .select(
+        (col("c_custkey") + 2000000).as("m_custkey"),
+        concat(lit("Merged#"), col("c_custkey")).as("m_name"),
+        lit(1.0).as("m_acctbal"),
+        lit(false).as("m_delete")
+      )
+    val changes = matched.unionByName(inserts)
+    base
+      .join(changes, col("c_custkey") === col("m_custkey"), "full")
+      // WHEN MATCHED AND m_delete THEN DELETE
+      .filter(!(col("c_custkey").isNotNull && col("m_custkey").isNotNull
+        && col("m_delete")))
+      .select(
+        coalesce(col("c_custkey"), col("m_custkey")).as("custkey"),
+        // conditional update: only positive-balance rows take the new
+        // values; a matched row failing the condition stays untouched
+        when(col("c_custkey").isNotNull && col("m_custkey").isNotNull
+          && col("c_acctbal") >= 0, col("m_name"))
+          .otherwise(coalesce(col("c_name"), col("m_name")))
+          .as("name"),
+        round(
+          when(col("c_custkey").isNotNull && col("m_custkey").isNotNull
+            && col("c_acctbal") >= 0, col("m_acctbal"))
+            .otherwise(coalesce(col("c_acctbal"), col("m_acctbal"))),
+          2
+        ).as("acctbal"),
+        when(col("c_custkey").isNull, "insert")
+          .when(col("m_custkey").isNull, "keep")
+          .when(col("c_acctbal") >= 0, "update")
+          .otherwise("keep_cond")
+          .as("op")
+      )
+      .orderBy("custkey")
+  }
+
   /** SCD2 history build: each user's events become validity intervals
     * [valid_from, valid_to) via lead(); the open interval marks the
     * current row. One shuffle on user_id — the standard history-table
@@ -1001,7 +1118,9 @@ object Etl {
     "etl_schema_drift" -> etlSchemaDrift,
     "etl_scd2" -> etlScd2,
     "etl_sample_hash" -> etlSampleHash,
-    "sql_subquery" -> sqlSubquery
+    "etl_merge" -> etlMerge,
+    "sql_subquery" -> sqlSubquery,
+    "sql_recursive_cte" -> sqlRecursiveCte
   )
 
   val oracles: Map[String, String] = Map(
@@ -1095,6 +1214,61 @@ object Etl {
         |SELECT s_suppkey, s_name, CAST(NULL AS INT) AS s_nationkey, s_acctbal
         |FROM supplier WHERE s_suppkey % 2 = 1
         |ORDER BY s_suppkey""".stripMargin,
+    "etl_merge" ->
+      """WITH matched AS (
+        |  SELECT c_custkey AS m_custkey, c_name || '_m' AS m_name,
+        |         round(c_acctbal + 100, 2) AS m_acctbal,
+        |         c_custkey % 10 = 5 AS m_delete
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |inserts AS (
+        |  SELECT c_custkey + 2000000 AS m_custkey,
+        |         'Merged#' || c_custkey AS m_name,
+        |         1.0 AS m_acctbal, false AS m_delete
+        |  FROM customer WHERE c_custkey < 5),
+        |changes AS (SELECT * FROM matched UNION ALL SELECT * FROM inserts),
+        |merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |         m_custkey, m_name, m_acctbal, m_delete
+        |  FROM customer FULL OUTER JOIN changes ON c_custkey = m_custkey
+        |  WHERE NOT (c_custkey IS NOT NULL AND m_custkey IS NOT NULL
+        |             AND m_delete))
+        |SELECT coalesce(c_custkey, m_custkey) AS custkey,
+        | CASE WHEN c_custkey IS NOT NULL AND m_custkey IS NOT NULL
+        |           AND c_acctbal >= 0 THEN m_name
+        |      ELSE coalesce(c_name, m_name) END AS name,
+        | round(CASE WHEN c_custkey IS NOT NULL AND m_custkey IS NOT NULL
+        |           AND c_acctbal >= 0 THEN m_acctbal
+        |      ELSE coalesce(c_acctbal, m_acctbal) END, 2) AS acctbal,
+        | CASE WHEN c_custkey IS NULL THEN 'insert'
+        |      WHEN m_custkey IS NULL THEN 'keep'
+        |      WHEN c_acctbal >= 0 THEN 'update'
+        |      ELSE 'keep_cond' END AS op
+        |FROM merged ORDER BY custkey""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT * FROM (
+        |    SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |           c_custkey AS ck,
+        |           CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |           row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                              ORDER BY c_custkey) AS rn
+        |    FROM customer) t
+        |  WHERE rn <= 24
+        |),
+        |walk AS (
+        |  SELECT nk, seg, rn, ck,
+        |         least(cents, CAST(100000 AS BIGINT)) AS bal
+        |  FROM chain WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.nk, c.seg, c.rn, c.ck,
+        |         least(w.bal + c.cents, CAST(100000 AS BIGINT)) AS bal
+        |  FROM walk w JOIN chain c
+        |    ON c.nk = w.nk AND c.seg = w.seg AND c.rn = w.rn + 1
+        |)
+        |SELECT nk, seg, CAST(max(rn) AS BIGINT) AS chain_len,
+        |       CAST(sum(bal) AS BIGINT) AS total_capped_cents,
+        |       CAST(max_by(bal, rn) AS BIGINT) AS final_capped_cents
+        |FROM walk GROUP BY nk, seg ORDER BY nk, seg""".stripMargin,
     "sql_subquery" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM orders o
