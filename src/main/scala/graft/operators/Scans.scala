@@ -328,6 +328,57 @@ object Scans {
       .orderBy("c_custkey")
   }
 
+  /** Custom DataSource V2 connector end to end (round 8): orders
+    * serialized as pipe-delimited flat files, read back through
+    * [[graft.sources.GraftTblSource]] — a full TableProvider/Scan/
+    * PartitionReader stack with REAL column pruning and filter
+    * pushdown (`SupportsPushDownRequiredColumns` /
+    * `SupportsPushDownFilters`): the status/price predicates are
+    * evaluated inside the partition reader against the parsed line and
+    * never surface as a Filter node, and the pruned read schema skips
+    * the fields the query doesn't touch. 8 files → 8 input partitions,
+    * the file-granular parallelism of every line format. The oracle
+    * reads the ORIGINAL table with the same predicate, so the gate is
+    * round-trip fidelity THROUGH the connector including the pushed
+    * evaluation. PlanShapeSpec pins the scan description's
+    * PushedFilters/ReadSchema and the absence of a residual Filter. */
+  val sourceDsv2: Q = (spark, dir) => {
+    val path = tmp("orders_graft_tbl")
+    Tables
+      .orders(spark, dir)
+      .select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority"
+      )
+      .repartition(8)
+      .select(
+        concat_ws(
+          "|",
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice"),
+          col("o_orderpriority")
+        ).as("value")
+      )
+      .write
+      .mode("overwrite")
+      .text(path)
+    spark.read
+      .format("graft.sources.GraftTblSource")
+      .schema(
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING," +
+          " o_totalprice DOUBLE, o_orderpriority STRING"
+      )
+      .load(path)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val sinkJson: Q = (spark, dir) => {
     val path = tmp("customer_json")
     Tables
@@ -522,6 +573,7 @@ object Scans {
     "source_datespine" -> sourceDatespine,
     "sink_manifest" -> sinkManifest,
     "source_binaryfile" -> sourceBinaryfile,
+    "source_dsv2" -> sourceDsv2,
     "sink_json" -> sinkJson,
     "source_xml" -> sourceXml,
     "sink_exactly_once" -> sinkExactlyOnce,
@@ -548,6 +600,14 @@ object Scans {
       """SELECT CAST(1 AS BIGINT) AS n_files,
         | CAST(sum(n_chars) + count(*) AS BIGINT) AS total_bytes
         |FROM documents""".stripMargin,
+    // the oracle reads the ORIGINAL table with the same predicate: the
+    // gate is round-trip fidelity THROUGH the custom connector,
+    // including its reader-side pushed-filter evaluation
+    "source_dsv2" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_json" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -28,6 +28,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!scanSchema.contains("l_discount"), s"column not pruned: $scanSchema")
   }
 
+  test("source_dsv2 pushes filters and prunes columns into the custom connector") {
+    val df = operators.Scans.sourceDsv2(spark, sf001)
+    val s = planString(df)
+    // the scan's own description carries what reached the reader
+    assert(s.contains("GraftTblScan"), s)
+    assert(
+      s.contains("GreaterThan(o_totalprice") && s.contains("EqualTo(o_orderstatus"),
+      s
+    )
+    // the status column is consumed by the pushed predicate and the
+    // query never projects it — pruning must drop it from the read
+    val scanLine =
+      s.linesIterator.find(_.contains("GraftTblScan")).getOrElse("")
+    assert(!scanLine.contains("o_orderstatus") ||
+      scanLine.indexOf("o_orderstatus") > scanLine.indexOf("PushedFilters"),
+      scanLine)
+    assert(scanLine.contains("o_orderkey"), scanLine)
+    // fully-consumed predicates leave no residual Filter above the scan
+    assert(!s.contains("Filter ("), s)
+  }
+
   test("join_broadcast plans a BroadcastHashJoin") {
     val s = planString(operators.Joins.joinBroadcast(spark, sf001))
     assert(s.contains("BroadcastHashJoin"), s)
