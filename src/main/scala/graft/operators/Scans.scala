@@ -379,6 +379,47 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** The WRITE half of the custom connector (round 8): orders pushed
+    * THROUGH [[graft.sources.GraftTblSource]]'s DataWriter/BatchWrite
+    * stack — per-task-attempt temp files, driver-side rename-commit
+    * (exactly one winner per partition), truncate-on-overwrite. TWO
+    * generations are written: a full decoy, then the real filtered set
+    * with a different partition count — so the read-back proves the
+    * truncate dropped every file of the superseded generation (stale
+    * files would surface as extra rows and fail the oracle's row
+    * count). A null field round-trips via the empty-field marker
+    * (format limitation shared with CSV's emptyValue: a non-null empty
+    * string is indistinguishable from null). */
+  val sinkDsv2: Q = (spark, dir) => {
+    val path = tmp("orders_graft_tbl_sink")
+    val fmt = "graft.sources.GraftTblSource"
+    val base = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        when(col("o_custkey") % 50 === 0, lit(null))
+          .otherwise(col("o_orderpriority"))
+          .as("prio"),
+        col("o_totalprice")
+      )
+    base.write.format(fmt).mode("overwrite").save(path)
+    base
+      .filter(col("o_orderkey") % 3 === 0)
+      .repartition(5)
+      .write
+      .format(fmt)
+      .mode("overwrite")
+      .save(path)
+    spark.read
+      .format(fmt)
+      .schema(
+        "o_orderkey LONG, o_custkey LONG, prio STRING, o_totalprice DOUBLE"
+      )
+      .load(path)
+      .orderBy("o_orderkey")
+  }
+
   val sinkJson: Q = (spark, dir) => {
     val path = tmp("customer_json")
     Tables
@@ -574,6 +615,7 @@ object Scans {
     "sink_manifest" -> sinkManifest,
     "source_binaryfile" -> sourceBinaryfile,
     "source_dsv2" -> sourceDsv2,
+    "sink_dsv2" -> sinkDsv2,
     "sink_json" -> sinkJson,
     "source_xml" -> sourceXml,
     "sink_exactly_once" -> sinkExactlyOnce,
@@ -607,6 +649,14 @@ object Scans {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    // only generation 2 (the %3 filter) may survive the truncate
+    "sink_dsv2" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_custkey % 50 = 0 THEN NULL
+        |      ELSE o_orderpriority END AS prio,
+        | o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "sink_json" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment

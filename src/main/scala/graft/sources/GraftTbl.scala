@@ -9,9 +9,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,13 +67,20 @@ class GraftTblSource extends TableProvider {
 
 case class GraftTblTable(tableSchema: StructType, path: String)
     extends Table
-    with SupportsRead {
+    with SupportsRead
+    with SupportsWrite {
   override def name(): String = s"graft_tbl($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE
+    )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTblScanBuilder(tableSchema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftTblWriteBuilder(info.schema(), path)
 }
 
 class GraftTblScanBuilder(fullSchema: StructType, path: String)
@@ -217,6 +225,137 @@ class GraftTblReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** The WRITE half: the standard two-phase commit protocol every
+  * distributed file sink needs. Each task writes its rows to a
+  * uniquely-named temp file under `_temp/` (unique per task ATTEMPT, so
+  * speculative or retried attempts never collide), task `commit()`
+  * reports the temp path to the driver, and only the driver-side
+  * `BatchWrite.commit` — which Spark calls with EXACTLY ONE message per
+  * partition — renames winners into place. A failed/losing attempt's
+  * file is deleted by `abort()` and the job-level abort sweeps `_temp`.
+  * Truncate (SaveMode.Overwrite) deletes prior committed files inside
+  * the same driver commit, after the new files land — the swap is as
+  * atomic as a rename-based protocol gets without a manifest (the
+  * manifest/snapshot upgrade is what a table format adds on top; see
+  * sink_manifest / sink_exactly_once for those postures). */
+class GraftTblWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder
+    with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      GraftTblBatchWrite(schema, path, doTruncate)
+  }
+}
+
+case class GraftTblBatchWrite(
+    schema: StructType,
+    path: String,
+    truncate: Boolean
+) extends BatchWrite {
+
+  // Job-unique suffix: final names can never collide with a previous
+  // generation's, so the rename-commit never lands on an existing
+  // target (HDFS/local rename does NOT overwrite — it returns false
+  // and the stale file would silently win; measured exactly that).
+  private val jobId = java.util.UUID.randomUUID.toString.take(8)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo
+  ): DataWriterFactory = GraftTblWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val committed = messages.collect { case GraftTblCommit(temp, part) =>
+      (temp, part)
+    }
+    // snapshot the superseded generation BEFORE landing the new one
+    val previous =
+      if (truncate && fs.exists(new Path(path)))
+        fs.listStatus(new Path(path))
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(_.getPath)
+      else Array.empty[Path]
+    committed.foreach { case (temp, part) =>
+      val target = new Path(s"$path/part-$part-$jobId.gtbl")
+      require(
+        fs.rename(new Path(temp), target),
+        s"graft-tbl commit: rename $temp -> $target failed"
+      )
+    }
+    previous.foreach(fs.delete(_, false))
+    fs.delete(new Path(s"$path/_temp"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(new Path(s"$path/_temp"), true)
+  }
+}
+
+case class GraftTblCommit(tempPath: String, partitionId: Int)
+    extends WriterCommitMessage
+
+case class GraftTblWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long
+  ): DataWriter[InternalRow] =
+    new GraftTblWriter(schema, path, partitionId, taskId)
+}
+
+class GraftTblWriter(
+    schema: StructType,
+    path: String,
+    partitionId: Int,
+    taskId: Long
+) extends DataWriter[InternalRow] {
+
+  private val temp = s"$path/_temp/attempt-$partitionId-$taskId.gtbl"
+  private val fs = new Path(temp).getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(
+      fs.create(new Path(temp), true),
+      java.nio.charset.StandardCharsets.UTF_8
+    )
+  )
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('|')
+      if (!row.isNullAt(i)) // null ⇒ empty field, the reader's marker
+        schema.fields(i).dataType match {
+          case LongType   => sb.append(row.getLong(i))
+          case DoubleType => sb.append(row.getDouble(i))
+          case StringType => sb.append(row.getUTF8String(i).toString)
+          case dt =>
+            throw new UnsupportedOperationException(s"graft-tbl: $dt")
+        }
+      i += 1
+    }
+    out.write(sb.toString)
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftTblCommit(temp, partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(new Path(temp), false)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** The connector's predicate dialect: simple comparisons and null
