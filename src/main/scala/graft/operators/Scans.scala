@@ -379,6 +379,74 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Malformed-record quarantine (round 8): the PERMISSIVE read mode
+    * every feed ingestion needs — a corrupted CSV batch (every
+    * o_orderkey % 97 = 0 row serialized as a wrong-field-count line)
+    * read with an explicit `_corrupt_record` column: good rows parse
+    * normally, bad rows surface with their RAW LINE in the corrupt
+    * column and nulls elsewhere, and NOTHING is silently dropped — the
+    * audit aggregate proves every source row landed in exactly one of
+    * the two buckets. FAILFAST would kill the job on row one;
+    * DROPMALFORMED would lose rows invisibly; this is the posture that
+    * scales: parse errors are data, routed to quarantine with full
+    * provenance. One scan, one 2-group aggregate at any size.
+    *
+    * MEASURED SEMANTICS NOTE: corruption must live in a field the
+    * query REQUIRES. Spark's CSV parser prunes to required columns
+    * (`spark.sql.csv.parser.columnPruning.enabled`, on by default),
+    * and under pruning a wrong-TOKEN-COUNT line is not malformed —
+    * missing fields null-pad silently (first attempt here corrupted
+    * the line shape and got 15000 rows with zero corrupt flags). What
+    * is always malformed is a required field whose PARSE fails, so the
+    * injector writes an unparseable totalprice and the aggregate
+    * requires that column. This is the connector-documented behavior
+    * ("corrupt records can be different based on required fields"),
+    * pinned here so the trap stays visible. */
+  val sourceCsvCorrupt: Q = (spark, dir) => {
+    val path = tmp("orders_corrupt_csv")
+    Tables
+      .orders(spark, dir)
+      .select(
+        when(
+          col("o_orderkey") % 97 === 0,
+          concat_ws(
+            ",",
+            col("o_orderkey"),
+            col("o_custkey"),
+            col("o_orderstatus"),
+            lit("NOT_A_NUMBER")
+          )
+        ).otherwise(
+            concat_ws(
+              ",",
+              col("o_orderkey"),
+              col("o_custkey"),
+              col("o_orderstatus"),
+              col("o_totalprice")
+            )
+          )
+          .as("value")
+      )
+      .write
+      .mode("overwrite")
+      .text(path)
+    spark.read
+      .schema(
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING," +
+          " o_totalprice DOUBLE, _corrupt_record STRING"
+      )
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .groupBy(col("_corrupt_record").isNotNull.as("is_bad"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2)
+          .as("sum_price")
+      )
+      .orderBy("is_bad")
+  }
+
   /** The WRITE half of the custom connector (round 8): orders pushed
     * THROUGH [[graft.sources.GraftTblSource]]'s DataWriter/BatchWrite
     * stack — per-task-attempt temp files, driver-side rename-commit
@@ -616,6 +684,7 @@ object Scans {
     "source_binaryfile" -> sourceBinaryfile,
     "source_dsv2" -> sourceDsv2,
     "sink_dsv2" -> sinkDsv2,
+    "source_csv_corrupt" -> sourceCsvCorrupt,
     "sink_json" -> sinkJson,
     "source_xml" -> sourceXml,
     "sink_exactly_once" -> sinkExactlyOnce,
@@ -650,6 +719,13 @@ object Scans {
         |FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
         |ORDER BY o_orderkey""".stripMargin,
+    // both buckets must account for every source row: nothing dropped
+    "source_csv_corrupt" ->
+      """SELECT (o_orderkey % 97 = 0) AS is_bad,
+        | count(*) AS n,
+        | round(sum(CASE WHEN o_orderkey % 97 = 0 THEN 0.0
+        |                ELSE o_totalprice END), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // only generation 2 (the %3 filter) may survive the truncate
     "sink_dsv2" ->
       """SELECT o_orderkey, o_custkey,
