@@ -28,17 +28,26 @@ object Tables {
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * refuses at scan time (`PARQUET_TYPE_ILLEGAL`). Read the nanos as a
-    * long and convert to a microsecond timestamp — bit-identical to
-    * DuckDB's µs-truncated read of the same file (SURVEY.md §5, verified).
+  /** `events.parquet`'s `ts` physical type has varied across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses
+    * at scan time, `PARQUET_TYPE_ILLEGAL`, and must be read as a long via
+    * `nanosAsLong` then µs-truncated — bit-identical to DuckDB's read of
+    * the same file, SURVEY.md §5) vs. a plain TIMESTAMP(MICROS) that needs
+    * no conversion. Dispatch on the scanned schema so both generations
+    * load identically; every downstream key sees a µs TimestampType `ts`.
     * The conf is runtime-settable, so each query can depend on this loader
     * regardless of how the driver built the session.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a µs TimestampType
+    }
   }
 }
