@@ -1220,8 +1220,16 @@ object Dedup {
       .filter(col("u") < col("v"))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(deg.toDF("u", "deg_u")), "u")
-      .join(broadcast(deg.toDF("v", "deg_v")), "v")
+      // Degree joins SHUFFLE on purpose: `deg` has one row per graph
+      // node, which grows with the corpus — at 100 TB a broadcast of it
+      // is a large-object ship to every executor (and contradicts the
+      // hub-cap note above). The pair set is already exchanged on u/v,
+      // so the two shuffle joins reuse that partitioning; AQE is free
+      // to demote them to broadcast when runtime stats say the degree
+      // table is actually small. Plan pin: PlanShapeSpec
+      // "graph_jaccard degree joins are NOT hint-broadcast".
+      .join(deg.toDF("u", "deg_u"), "u")
+      .join(deg.toDF("v", "deg_v"), "v")
       .select(
         col("u"),
         col("v"),

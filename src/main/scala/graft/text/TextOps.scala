@@ -250,8 +250,15 @@ object TextOps {
     val nDocs = Tables
       .documents(spark, dir)
       .agg(count(lit(1)).cast("double").as("n_total"))
+    // tf⋈df is a SHUFFLE join on purpose: `df` has one row per distinct
+    // token in the corpus, which at 100 TB (typos, IDs, hashes) is
+    // billions of rows — a broadcast here OOMs the driver. Both sides
+    // derive from the same tokenization and key on `w`, so the shuffle
+    // co-partitions naturally. Only the single-row `nDocs` aggregate is
+    // broadcast. Plan pin: PlanShapeSpec "text_tfidf tf⋈df join is NOT
+    // broadcast".
     val scored = tf
-      .join(broadcast(df), "w")
+      .join(df, "w")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * log(col("n_total") / col("df")))
     import org.apache.spark.sql.expressions.Window

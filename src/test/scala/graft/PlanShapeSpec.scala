@@ -856,4 +856,50 @@ class PlanShapeSpec extends SparkTestBase {
     val s = counted.queryExecution.executedPlan.toString
     assert(s.contains("HashAggregate"), s)
   }
+
+  // INVERSE broadcast pins (round 10): these two queries carry tables
+  // that GROW with the corpus (per-token document frequency, per-node
+  // degree). A broadcast() hint there is unconditional — it fires at
+  // 100 TB just as at sf0.001 and OOMs. The scale-safe form is a plain
+  // shuffle join, leaving AQE free to demote to broadcast when RUNTIME
+  // stats say the side is small. Proven by disabling the size-based
+  // auto-broadcast entirely: any Broadcast*Join that still appears can
+  // only come from a hint.
+  private def withNoAutoBroadcast(body: => Unit): Unit = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("text_tfidf tf⋈df join is NOT hint-broadcast (vocabulary grows with corpus)") {
+    withNoAutoBroadcast {
+      val s = planString(graft.text.TextOps.textTfidf(spark, sf0001))
+      assert(
+        !s.contains("BroadcastHashJoin"),
+        s"tf⋈df must shuffle-join, found hinted broadcast:\n$s"
+      )
+      // the single-row nDocs aggregate keeps its hint: with the size
+      // threshold off, only the hint can produce this node
+      assert(
+        s.contains("BroadcastNestedLoopJoin"),
+        s"nDocs single-row broadcast hint lost:\n$s"
+      )
+      assert(s.contains("SortMergeJoin"), s"expected shuffled tf⋈df join:\n$s")
+    }
+  }
+
+  test("graph_jaccard degree joins are NOT hint-broadcast (nodes grow with corpus)") {
+    withNoAutoBroadcast {
+      val s = planString(graft.text.Dedup.graphJaccard(spark, sf0001))
+      assert(
+        !s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"),
+        s"degree joins must shuffle, found hinted broadcast:\n$s"
+      )
+      assert(s.contains("SortMergeJoin"), s"expected shuffled degree joins:\n$s")
+    }
+  }
 }
