@@ -1,19 +1,46 @@
 package graft
 
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the graded parquet tables (TESTDATA.md / FIXTURES.md).
   *
   * All loaders are plain `spark.read.parquet` so Catalyst keeps full
-  * pushdown/pruning into the scan; the only special case is `events`.
+  * pushdown/pruning into the scan. The one hazard is timestamp columns:
+  * the driver's testdata generations have varied the PHYSICAL encoding
+  * of `events.ts` across rounds (INT64 TIMESTAMP(NANOS) — which Spark 4
+  * refuses at scan time, `PARQUET_TYPE_ILLEGAL` — vs TIMESTAMP(MICROS)),
+  * and `lineitem.l_shipdate` / `orders.o_orderdate` carry the same
+  * exposure. Every timestamp-bearing loader therefore dispatches on the
+  * parquet FOOTER's logical-type annotation (round 10, replacing the
+  * round-9 scanned-schema dispatch): the footer says exactly which
+  * generation this file is, so
+  *
+  *   - TIMESTAMP(NANOS)  → scan under `nanosAsLong`, µs-truncate the
+  *     long (bit-identical to DuckDB's read of the same file, SURVEY §5);
+  *   - TIMESTAMP(MICROS/MILLIS) → plain scan;
+  *   - a plain INT64 with NO annotation, or any other encoding, →
+  *     LOUD error naming the observed type. A magnitude heuristic could
+  *     mis-divide a µs-as-long column by 1000 silently; refusing is the
+  *     only safe read (ADVICE r9).
+  *
+  * The result is coerced to ONE downstream type per table — `events.ts`
+  * TimestampType, `l_shipdate`/`o_orderdate` TimestampNTZType (what the
+  * current generation scans as, so 218 green keys stay byte-identical) —
+  * making every generation load identically. Footer reads are metadata-
+  * only (~ms, driver-side) and cached per file path.
   */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Oracle parity for every date/timestamp query assumes UTC. The
     // driver builds its own session, so pin the (runtime-settable) conf
-    // here rather than trusting session construction — same pattern as
-    // nanosAsLong in `events`.
+    // here rather than trusting session construction.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
@@ -23,31 +50,104 @@ object Tables {
   def customer(s: SparkSession, d: String)  = t(s, d, "customer")
   def supplier(s: SparkSession, d: String)  = t(s, d, "supplier")
   def part(s: SparkSession, d: String)      = t(s, d, "part")
-  def orders(s: SparkSession, d: String)    = t(s, d, "orders")
-  def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 
-  /** `events.parquet`'s `ts` physical type has varied across driver
-    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses
-    * at scan time, `PARQUET_TYPE_ILLEGAL`, and must be read as a long via
-    * `nanosAsLong` then µs-truncated — bit-identical to DuckDB's read of
-    * the same file, SURVEY.md §5) vs. a plain TIMESTAMP(MICROS) that needs
-    * no conversion. Dispatch on the scanned schema so both generations
-    * load identically; every downstream key sees a µs TimestampType `ts`.
-    * The conf is runtime-settable, so each query can depend on this loader
-    * regardless of how the driver built the session.
-    */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def orders(s: SparkSession, d: String): DataFrame =
+    loadWithTs(s, s"$d/orders.parquet", "o_orderdate", TimestampNTZType)
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    loadWithTs(s, s"$d/lineitem.parquet", "l_shipdate", TimestampNTZType)
+  def events(s: SparkSession, d: String): DataFrame =
+    loadWithTs(s, s"$d/events.parquet", "ts", TimestampType)
+
+  /** Footer-declared time unit of `column`, cached per file. None =
+    * column carries no TIMESTAMP logical annotation. */
+  private val unitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[LogicalTypeAnnotation.TimeUnit]]()
+
+  private def footerTsUnit(
+      spark: SparkSession,
+      file: String,
+      column: String
+  ): Option[LogicalTypeAnnotation.TimeUnit] =
+    unitCache.computeIfAbsent(
+      s"$file#$column",
+      _ => {
+        val conf = spark.sessionState.newHadoopConf()
+        // driver testdata is one file per table, but a Spark-written
+        // table is a DIRECTORY of part files — all parts share one
+        // schema, so any data file's footer answers for the table
+        val p = new HPath(file)
+        val fs = p.getFileSystem(conf)
+        val dataFile =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p)
+              .filter(st =>
+                st.isFile && st.getLen > 0 &&
+                  !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith(".")
+              )
+              .map(_.getPath)
+              .minBy(_.getName)
+          else p
+        val in = HadoopInputFile.fromPath(dataFile, conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val schema = reader.getFileMetaData.getSchema
+          if (!schema.containsField(column)) None
+          else
+            schema.getType(schema.getFieldIndex(column)).getLogicalTypeAnnotation match {
+              case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit)
+              case _                                  => None
+            }
+        } finally reader.close()
+      }
+    )
+
+  /** package-visible so TablesSpec can drive it over synthetic files of
+    * each generation encoding */
+  private[graft] def loadWithTs(
+      spark: SparkSession,
+      file: String,
+      tsCol: String,
+      want: DataType
+  ): DataFrame = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw // already a µs TimestampType
+    val normalized = footerTsUnit(spark, file, tsCol) match {
+      case Some(LogicalTypeAnnotation.TimeUnit.NANOS) =>
+        // Spark 4 refuses TIMESTAMP(NANOS) outright; read the raw long
+        // and truncate ns → µs. Only annotation-confirmed NANOS takes
+        // this branch, so a plain µs-as-INT64 column can never be
+        // silently divided by 1000.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(file)
+        raw.schema(tsCol).dataType match {
+          case LongType =>
+            raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+          case other =>
+            throw new IllegalStateException(
+              s"$file: $tsCol is TIMESTAMP(NANOS) in the footer but scanned as " +
+                s"$other — nanosAsLong not honored; refusing a guessed conversion"
+            )
+        }
+      case Some(_) => // MICROS / MILLIS: Spark reads these natively
+        spark.read.parquet(file)
+      case None =>
+        val raw = spark.read.parquet(file)
+        raw.schema(tsCol).dataType match {
+          case TimestampType | TimestampNTZType => raw // e.g. INT96 legacy
+          case other =>
+            // A plain INT64 here is ambiguous (s? ms? µs?); erroring at
+            // load names the problem, instead of every downstream key
+            // failing its oracle with plausible-looking wrong values.
+            throw new IllegalStateException(
+              s"$file: $tsCol has no TIMESTAMP annotation and scans as $other" +
+                " — unknown generation encoding; refusing to guess the unit"
+            )
+        }
     }
+    // One downstream type per table, whatever the generation: the cast
+    // is a no-op under the UTC session pin when types already agree.
+    normalized.withColumn(tsCol, col(tsCol).cast(want))
   }
 }

@@ -336,8 +336,12 @@ object Scans {
     * `SupportsPushDownFilters`): the status/price predicates are
     * evaluated inside the partition reader against the parsed line and
     * never surface as a Filter node, and the pruned read schema skips
-    * the fields the query doesn't touch. 8 files → 8 input partitions,
-    * the file-granular parallelism of every line format. The oracle
+    * the fields the query doesn't touch. 8 files → 8 input partitions
+    * here; files beyond `split_bytes` (default
+    * `spark.sql.files.maxPartitionBytes`) further split into byte
+    * ranges with line-boundary ownership (round 10, Round10Spec), so a
+    * feed of a few giant files no longer collapses to a few tasks. The
+    * oracle
     * reads the ORIGINAL table with the same predicate, so the gate is
     * round-trip fidelity THROUGH the connector including the pushed
     * evaluation. PlanShapeSpec pins the scan description's

@@ -35,11 +35,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *     would drop never leave the scan. Unsupported predicates are
   *     returned to Spark for residual evaluation, so correctness never
   *     depends on the connector's ambition.
-  *   - **One InputPartition per file**: parallelism follows the file
-  *     layout exactly as Spark's own text source; a production format
-  *     would add byte-range splits within large files (this one keeps
-  *     files as the split unit, the posture of every line-oriented
-  *     format without a sync marker).
+  *   - **Byte-range splits within large files** (round 10): a file
+  *     larger than the split size becomes multiple InputPartitions,
+  *     each owning the byte range `[start, start+length)` with the
+  *     line-boundary convention of Hadoop's TextInputFormat: a reader
+  *     whose range starts mid-file discards everything up to and
+  *     including the first newline at-or-after `start` (that prefix
+  *     belongs to the previous split), then reads every line whose
+  *     first byte offset is ≤ `end` — including a line that starts
+  *     exactly at `end`, which the next reader unconditionally
+  *     discards. Each line is thus owned by exactly one split, however
+  *     the boundaries fall. Without this, a feed of a few giant
+  *     pipe-delimited files collapses to a few tasks at 100 TB. Split
+  *     size: `split_bytes` read option, defaulting to
+  *     `spark.sql.files.maxPartitionBytes` — the same knob that sizes
+  *     Spark's own file scans.
   *
   * The provider requires an explicit read schema
   * (`supportsExternalMetadata`), the honest contract for a headerless
@@ -78,13 +88,20 @@ case class GraftTblTable(tableSchema: StructType, path: String)
       TableCapability.TRUNCATE
     )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTblScanBuilder(tableSchema, path)
+    new GraftTblScanBuilder(
+      tableSchema,
+      path,
+      Option(options.get("split_bytes")).map(_.toLong)
+    )
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftTblWriteBuilder(info.schema(), path)
 }
 
-class GraftTblScanBuilder(fullSchema: StructType, path: String)
-    extends ScanBuilder
+class GraftTblScanBuilder(
+    fullSchema: StructType,
+    path: String,
+    splitBytes: Option[Long]
+) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -108,14 +125,16 @@ class GraftTblScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftTblScan(fullSchema, required, pushed, path)
+  override def build(): Scan =
+    GraftTblScan(fullSchema, required, pushed, path, splitBytes)
 }
 
 case class GraftTblScan(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    path: String
+    path: String,
+    splitBytes: Option[Long]
 ) extends Scan
     with Batch {
 
@@ -129,59 +148,106 @@ case class GraftTblScan(
       s", PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val session = SparkSession.active
+    val conf = session.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
+    // option > session files.maxPartitionBytes — the same sizing knob
+    // Spark's own FileScan uses, so executor-memory tuning covers both.
+    val split = splitBytes
+      .getOrElse(session.sessionState.conf.filesMaxPartitionBytes)
+      .max(1L)
     fs.listStatus(new Path(path))
       .filter(st => st.isFile && st.getLen > 0)
-      .map(_.getPath.toString)
-      .filterNot(p => p.contains("_SUCCESS") || p.contains("/."))
-      .sorted // deterministic partition order
-      .map(GraftTblPartition(_): InputPartition)
+      .filterNot { st =>
+        val p = st.getPath.toString
+        p.contains("_SUCCESS") || p.contains("/.")
+      }
+      .sortBy(_.getPath.toString) // deterministic partition order
+      .flatMap { st =>
+        val len = st.getLen
+        (0L until len by split).map { start =>
+          GraftTblPartition(
+            st.getPath.toString,
+            start,
+            math.min(split, len - start)
+          ): InputPartition
+        }
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftTblReaderFactory(fullSchema, required, pushed)
 }
 
-case class GraftTblPartition(file: String) extends InputPartition
+case class GraftTblPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 case class GraftTblReaderFactory(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter]
 ) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftTblReader(
-      p.asInstanceOf[GraftTblPartition].file,
-      fullSchema,
-      required,
-      pushed
-    )
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftTblPartition]
+    new GraftTblReader(gp.file, gp.start, gp.length, fullSchema, required, pushed)
+  }
 }
 
-/** Executor-side line reader: parse the full row once, evaluate the
-  * pushed predicates on it, then emit only the required fields. */
+/** Executor-side line reader over the byte range `[start, start+length)`:
+  * parse the full row once, evaluate the pushed predicates on it, then
+  * emit only the required fields.
+  *
+  * Split ownership (see [[GraftTblSource]] doc): a mid-file reader
+  * discards through the first newline at-or-after `start`, then reads
+  * every line whose first byte is at offset ≤ `start+length` (the
+  * boundary line is read here and discarded by the next reader) —
+  * lines are counted in raw BYTES, so multi-byte UTF-8 never shifts
+  * the boundary arithmetic. */
 class GraftTblReader(
     file: String,
+    start: Long,
+    length: Long,
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter]
 ) extends PartitionReader[InternalRow] {
 
   private val fs = new Path(file).getFileSystem(new Configuration())
-  private val in = new java.io.BufferedReader(
-    new java.io.InputStreamReader(
-      fs.open(new Path(file)),
-      java.nio.charset.StandardCharsets.UTF_8
-    )
-  )
+  private val end = start + length
+  private val stream = fs.open(new Path(file))
+  private val in: java.io.InputStream = {
+    if (start > 0) stream.seek(start)
+    new java.io.BufferedInputStream(stream, 1 << 16)
+  }
+  // byte offset of the NEXT unread byte in the file
+  private var pos: Long = start
+  private val buf = new java.io.ByteArrayOutputStream(256)
+  if (start > 0) readLineBytes() // discard the previous split's tail
+
+  /** Reads one '\n'-terminated line (newline consumed, not returned);
+    * null at EOF with nothing read. Advances `pos` by raw bytes. */
+  private def readLineBytes(): Array[Byte] = {
+    buf.reset()
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    buf.toByteArray
+  }
+
   private val fieldIndex = fullSchema.fieldNames.zipWithIndex.toMap
   private val outIndices = required.fieldNames.map(fieldIndex)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null) {
+    // a line STARTING beyond `end` belongs to the next split; starting
+    // exactly AT `end` it is ours (the next reader's skip discards it)
+    while (pos <= end) {
+      val bytes = readLineBytes()
+      if (bytes == null) return false
+      var n = bytes.length
+      if (n > 0 && bytes(n - 1) == '\r') n -= 1 // tolerate CRLF feeds
+      val line = new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
       val parsed = parse(line)
       if (pushed.forall(GraftTblFilters.eval(_, name => parsed(fieldIndex(name))))) {
         val out = new Array[Any](outIndices.length)
@@ -197,7 +263,6 @@ class GraftTblReader(
         row = new GenericInternalRow(out)
         return true
       }
-      line = in.readLine()
     }
     false
   }

@@ -82,13 +82,16 @@ class OperatorSpec extends SparkTestBase {
   test("as-of join: latest at-or-before wins, equal-ts inclusive, key tiebreak") {
     // drive the real operator through crafted parquet fixtures
     val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
-    def ns(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // ts as a REAL timestamp column (current generation encoding; the
+    // round-10 footer-dispatch loader refuses a bare long — TablesSpec
+    // covers the per-encoding paths)
     Seq(
-      (1L, ns("2024-01-05 00:00:00"), 10L, "click", 1.0, "{}"),
-      (2L, ns("2024-01-03 00:00:00"), 10L, "click", 1.0, "{}"), // == order ts
-      (3L, ns("2023-12-01 00:00:00"), 10L, "click", 1.0, "{}"), // before all
-      (4L, ns("2024-01-05 00:00:00"), 99L, "click", 1.0, "{}")  // no orders
+      (1L, "2024-01-05 00:00:00", 10L, "click", 1.0, "{}"),
+      (2L, "2024-01-03 00:00:00", 10L, "click", 1.0, "{}"), // == order ts
+      (3L, "2023-12-01 00:00:00", 10L, "click", 1.0, "{}"), // before all
+      (4L, "2024-01-05 00:00:00", 99L, "click", 1.0, "{}")  // no orders
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Seq(
       (100L, 10L, "2024-01-01 00:00:00", 50.0),
