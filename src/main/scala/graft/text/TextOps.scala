@@ -606,7 +606,13 @@ object TextOps {
       .filter(col("df") > 5)
       .select("s")
     val cov = grams
-      .join(broadcast(hot), "s")
+      // no broadcast hint: the hot set (3-gram spans with df > 5) grows
+      // with the corpus — common phrases keep qualifying as data grows —
+      // so an unconditional hint is the same 100 TB OOM as the tfidf
+      // vocabulary broadcast was. Size-gated selection instead: the
+      // static planner or AQE broadcasts when the set is actually small
+      // (plan-pinned both ways in PlanShapeSpec).
+      .join(hot, "s")
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + 2)).as("pos"))
       .distinct()
     tok

@@ -758,10 +758,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("* (1.0 - l_discount"), s"macro body not inlined:\n$s")
   }
 
-  test("text_boilerplate_rm broadcasts the hot-span set; coverage join map-side") {
+  test("text_boilerplate_rm hot-span join broadcasts by SIZE, not by hint") {
+    // the hot set (df>5 spans) grows with the corpus, so the broadcast
+    // must come from the size-based planner/AQE — which still fires
+    // here because the set IS small at this SF...
     val s = planString(text.TextOps.textBoilerplateRm(spark, sf0001))
-    // gram-vs-hot-set semi join must be broadcast (the hot set is tiny
-    // by construction), never a shuffled join of two exploded streams
     assert(s.contains("BroadcastHashJoin"), s"hot-span join not broadcast:\n$s")
   }
 
@@ -900,6 +901,19 @@ class PlanShapeSpec extends SparkTestBase {
         s"degree joins must shuffle, found hinted broadcast:\n$s"
       )
       assert(s.contains("SortMergeJoin"), s"expected shuffled degree joins:\n$s")
+    }
+  }
+
+  test("text_boilerplate_rm hot-span join is NOT hint-broadcast (df>5 set grows)") {
+    // ...and with the size-based path disabled, no Broadcast*Join may
+    // remain: any survivor could only come from an unconditional hint,
+    // the 100 TB OOM posture this round removed.
+    withNoAutoBroadcast {
+      val s = planString(text.TextOps.textBoilerplateRm(spark, sf0001))
+      assert(
+        !s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"),
+        s"hot-span join must be hint-free:\n$s"
+      )
     }
   }
 }
