@@ -681,7 +681,66 @@ object Scans {
       .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
   }
 
+  /** Transactional snapshot-commit table (round 10): the storage half
+    * of a table format, implemented from scratch on atomic rename —
+    * see [[graft.sources.SnapshotLog]]. Two appended batches commit;
+    * a third batch LANDS ITS DATA FILES but crashes before its
+    * manifest (stageOnly) — the snapshot read must serve exactly the
+    * two committed batches, proving readers resolve the manifest and
+    * never the directory listing. The oracle recomputes both batches
+    * from the source table, so the gate is commit-protocol visibility
+    * plus round-trip fidelity. Concurrency (the optimistic version
+    * race) and vacuum are pinned in SnapshotSpec. */
+  val sinkSnapshotCommit: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 0))
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 1))
+    // crashed writer: files land, manifest never does — must stay invisible
+    SnapshotLog.stageOnly(spark, table, o.filter(col("o_orderkey") % 3 === 2))
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
+  /** Snapshot-isolated time travel over the same log (round 10): v1/v2
+    * append, v3 OVERWRITES — reading version 2 still serves the
+    * pre-overwrite table while the latest read serves only v3's rows,
+    * both from one result (version-tagged union) so a single hash
+    * proves overwrite semantics AND old-snapshot isolation at once. */
+  val sourceTimeTravel: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_tt")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 0))
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") % 3 === 2),
+      overwrite = true
+    )
+    SnapshotLog
+      .read(spark, table, Some(2))
+      .withColumn("asof_version", lit(2))
+      .union(
+        SnapshotLog.read(spark, table).withColumn("asof_version", lit(3))
+      )
+      .orderBy("asof_version", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_snapshot_commit" -> sinkSnapshotCommit,
+    "source_time_travel" -> sourceTimeTravel,
     "stats_analyze" -> statsAnalyze,
     "source_datespine" -> sourceDatespine,
     "sink_manifest" -> sinkManifest,
@@ -707,6 +766,18 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    // both snapshot oracles recompute the committed batches from the
+    // SOURCE table: the gate is what the manifest makes visible
+    "sink_snapshot_commit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) ORDER BY o_orderkey""".stripMargin,
+    "source_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 2 AS asof_version
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 3 AS asof_version
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY asof_version, o_orderkey""".stripMargin,
     "stats_analyze" -> statsAnalyzeSql,
     "source_datespine" -> sourceDatespineSql,
     "sink_manifest" -> sinkManifestSql,

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotLog
+
+/** Round-10 snapshot/manifest commit protocol (sources/SnapshotLog):
+  * the table-grain transactional guarantees the graded keys rely on —
+  * optimistic concurrency on the version claim, orphan invisibility,
+  * vacuum safety, and snapshot isolation across overwrites. */
+class SnapshotSpec extends SparkTestBase {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_snap").toString + "/t"
+
+  private def rows(table: String, v: Option[Int] = None): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    SnapshotLog.read(spark, table, v)
+      .select("id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("append commits accumulate; staged-but-uncommitted files stay invisible") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"))
+    SnapshotLog.stageOnly(spark, t, (100L to 120L).toDF("id")) // crash
+    assert(SnapshotLog.versions(spark, t) == Seq(1, 2))
+    assert(rows(t) == (1L to 9L).toSet)
+  }
+
+  test("overwrite replaces the live set; old versions stay readable (time travel)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"))
+    SnapshotLog.commit(spark, t, (50L to 52L).toDF("id"), overwrite = true)
+    assert(rows(t) == (50L to 52L).toSet)
+    assert(rows(t, Some(2)) == (1L to 9L).toSet)
+    assert(rows(t, Some(1)) == (1L to 5L).toSet)
+  }
+
+  test("concurrent appends race on the version claim; no commit is lost") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, Seq(0L).toDF("id"))
+    // 8 writers land disjoint batches concurrently; rename-claim makes
+    // exactly one winner per version and losers retry on the new tip
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        SnapshotLog.commit(spark, t, Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("id"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(SnapshotLog.versions(spark, t) == (1 to 9))
+    assert(rows(t) == (Set(0L) ++ (1 to 8).flatMap(i => Seq(i.toLong * 10, i.toLong * 10 + 1))))
+  }
+
+  test("vacuum deletes only unreferenced files; every version survives") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"))
+    val orphaned = SnapshotLog.stageOnly(spark, t, (100L to 110L).toDF("id"))
+    val deleted = SnapshotLog.vacuum(spark, t)
+    assert(deleted.toSet == orphaned.toSet, s"deleted $deleted, orphaned $orphaned")
+    assert(rows(t) == (1L to 9L).toSet)
+    assert(rows(t, Some(1)) == (1L to 5L).toSet)
+    assert(SnapshotLog.vacuum(spark, t).isEmpty) // idempotent
+  }
+}
