@@ -738,9 +738,46 @@ object Scans {
       .orderBy("asof_version", "o_orderkey")
   }
 
+  /** File-level data skipping from manifest stats (round 10): commits
+    * land with per-file INT64/DOUBLE min/max lifted from the parquet
+    * footer (metadata-only), and a range read resolves the manifest,
+    * drops every provably-disjoint file, and row-filters the rest —
+    * the table-format half of partition pruning, effective whenever
+    * batches arrive key-clustered (range shards, time-ordered
+    * ingestion). Three RANGE-sharded appends here; the [c1+1, c2]
+    * probe touches only the middle batch's files (skip count pinned in
+    * SnapshotSpec; the result is layout-independent, so the oracle is
+    * the plain range SELECT). The single-row max() action mirrors the
+    * accepted bounded two-phase pattern — it sizes the shards, it does
+    * not iterate data. */
+  val scanSnapshotPruned: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_rng")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+    )
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    SnapshotLog
+      .readPruned(spark, table, "o_orderkey", c1 + 1, c2)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
+    "scan_snapshot_pruned" -> scanSnapshotPruned,
     "stats_analyze" -> statsAnalyze,
     "source_datespine" -> sourceDatespine,
     "sink_manifest" -> sinkManifest,
@@ -778,6 +815,13 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice, 3 AS asof_version
         |FROM orders WHERE o_orderkey % 3 = 2
         |ORDER BY asof_version, o_orderkey""".stripMargin,
+    // file skipping can only EXCLUDE disjoint files, so the result is
+    // layout-independent: the oracle is the plain range scan
+    "scan_snapshot_pruned" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
+        |ORDER BY o_orderkey""".stripMargin,
     "stats_analyze" -> statsAnalyzeSql,
     "source_datespine" -> sourceDatespineSql,
     "sink_manifest" -> sinkManifestSql,

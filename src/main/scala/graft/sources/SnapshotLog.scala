@@ -63,8 +63,16 @@ object SnapshotLog {
         .toSeq
   }
 
-  /** Live data files (relative names) at `version`. */
-  def manifest(spark: SparkSession, table: String, version: Int): Seq[String] = {
+  /** Full manifest lines at `version`: `<file>` or
+    * `<file>\t<col>=l:<min>:<max>;<col>=d:<min>:<max>;...` — the
+    * per-file column-stats suffix (INT64/DOUBLE min/max lifted from the
+    * parquet FOOTER at commit time, metadata-only) that powers
+    * file-level data skipping in [[readPruned]]. */
+  def manifestEntries(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Seq[String] = {
     val f = fs(spark, table)
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(
@@ -81,6 +89,60 @@ object SnapshotLog {
         .filter(_.nonEmpty)
         .toList
     } finally in.close()
+  }
+
+  /** Live data files (relative names) at `version`. */
+  def manifest(spark: SparkSession, table: String, version: Int): Seq[String] =
+    manifestEntries(spark, table, version).map(_.split('\t')(0))
+
+  /** Footer min/max stats suffix for one landed parquet file —
+    * INT64/DOUBLE top-level columns with statistics present in EVERY
+    * row group (a column missing stats anywhere is omitted and can
+    * never prune). Metadata-only read, no data pages touched. */
+  private def statsSuffix(
+      f: FileSystem,
+      spark: SparkSession,
+      file: Path
+  ): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(file, spark.sessionState.newHadoopConf())
+    )
+    try {
+      val perCol =
+        reader.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala.map { c =>
+            (c.getPath.toDotString, c.getPrimitiveType.getPrimitiveTypeName,
+              c.getStatistics)
+          }
+        }
+      perCol
+        .groupBy(_._1)
+        .toSeq
+        .sortBy(_._1)
+        .flatMap { case (col, chunks) =>
+          val ok = chunks.forall { case (_, _, st) =>
+            st != null && !st.isEmpty && st.hasNonNullValue
+          }
+          if (!ok || col.contains('=') || col.contains(';')) None
+          else
+            chunks.head._2 match {
+              case PrimitiveTypeName.INT64 =>
+                val mins = chunks.map(_._3.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+                val maxs = chunks.map(_._3.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                Some(s"$col=l:${mins.min}:${maxs.max}")
+              case PrimitiveTypeName.DOUBLE =>
+                val mins = chunks.map(_._3.genericGetMin.asInstanceOf[java.lang.Double].doubleValue)
+                val maxs = chunks.map(_._3.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+                Some(s"$col=d:${mins.min}:${maxs.max}")
+              case _ => None
+            }
+        }
+        .mkString(";")
+    } finally reader.close()
   }
 
   /** Lands `df` as uniquely-named parquet files in the table directory
@@ -134,7 +196,12 @@ object SnapshotLog {
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
-    val landed = stageOnly(spark, table, df)
+    val landed = stageOnly(spark, table, df).map { name =>
+      // footer stats ride the manifest so reads can skip files without
+      // opening them; a file contributes `name` alone if stats are absent
+      val suffix = statsSuffix(f, spark, new Path(s"$table/$name"))
+      if (suffix.isEmpty) name else s"$name\t$suffix"
+    }
     val lock = claimLocks.computeIfAbsent(table, _ => new Object)
     var attempts = 0
     while (attempts < 20) {
@@ -144,7 +211,10 @@ object SnapshotLog {
         val next = vs.lastOption.getOrElse(0) + 1
         val live =
           if (overwrite) landed
-          else vs.lastOption.map(manifest(spark, table, _)).getOrElse(Nil) ++ landed
+          else
+            vs.lastOption
+              .map(manifestEntries(spark, table, _))
+              .getOrElse(Nil) ++ landed
         val action = if (overwrite) "overwrite" else "append"
         val tmp =
           new Path(s"$table/$LogDir/.tmp-${UUID.randomUUID.toString.take(8)}")
@@ -182,6 +252,69 @@ object SnapshotLog {
     val files = manifest(spark, table, v).map(n => s"$table/$n")
     require(files.nonEmpty, s"snapshot read: version $v is empty")
     spark.read.parquet(files: _*)
+  }
+
+  /** File names at `version` whose manifest stats admit rows with
+    * `column` in `[lo, hi]` — a file is kept when it has no stats for
+    * the column (skipping must never lose rows) or its [min,max]
+    * intersects the range. INT64 stats compare in LONG space (64-bit
+    * keys survive past 2^53); DOUBLE stats in double space. */
+  def prunedFiles(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Long,
+      hi: Long,
+      version: Option[Int] = None
+  ): (Seq[String], Int) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot read: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    val entries = manifestEntries(spark, table, v)
+    val kept = entries.filter { e =>
+      val parts = e.split('\t')
+      if (parts.length < 2) true // no stats: must scan
+      else
+        parts(1).split(';').find(_.startsWith(s"$column=")) match {
+          case None => true // column unstated: must scan
+          case Some(s) =>
+            s.stripPrefix(s"$column=").split(':') match {
+              case Array("l", mn, mx) => !(mx.toLong < lo || mn.toLong > hi)
+              case Array("d", mn, mx) =>
+                !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+              case _ => true
+            }
+        }
+    }
+    (kept.map(_.split('\t')(0)), entries.length)
+  }
+
+  /** Snapshot read with FILE-LEVEL DATA SKIPPING: resolves the manifest,
+    * drops every file whose footer stats exclude `column ∈ [lo, hi]`,
+    * and applies the row-grain filter on what remains — the table-format
+    * half of partition pruning, effective whenever the data was written
+    * in key-clustered batches (range-sharded appends, time-ordered
+    * ingestion). Pruning can only EXCLUDE provably-disjoint files, so
+    * the result is identical to `read().filter(...)` at any layout;
+    * SnapshotSpec pins both the equality and the skip count. */
+  def readPruned(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Long,
+      hi: Long,
+      version: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = prunedFiles(spark, table, column, lo, hi, version)
+    // every file excluded → empty result; read the full manifest for
+    // schema and let the (row-group-skipped) filter return zero rows
+    val files =
+      if (kept.nonEmpty) kept
+      else manifest(spark, table, version.getOrElse(versions(spark, table).last))
+    spark.read
+      .parquet(files.map(n => s"$table/$n"): _*)
+      .filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Deletes data files referenced by NO version (crashed writers'

@@ -59,6 +59,36 @@ class SnapshotSpec extends SparkTestBase {
     assert(rows(t) == (Set(0L) ++ (1 to 8).flatMap(i => Seq(i.toLong * 10, i.toLong * 10 + 1))))
   }
 
+  test("manifest stats skip disjoint files; pruned read equals full read+filter") {
+    import spark.implicits._
+    val t = freshTable()
+    // three key-clustered batches, each range-split into 2 files with
+    // tight disjoint id spans — the layout data skipping exists for
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("id").repartitionByRange(2, col("id"))
+    SnapshotLog.commit(spark, t, batch(1, 100))
+    SnapshotLog.commit(spark, t, batch(101, 200))
+    SnapshotLog.commit(spark, t, batch(201, 300))
+    val (keptMid, total) = SnapshotLog.prunedFiles(spark, t, "id", 120, 180)
+    assert(total == 6, s"expected 6 files, saw $total")
+    // only batch-2's files can contain [120,180]
+    assert(keptMid.nonEmpty && keptMid.size <= 2, s"mid-range probe kept $keptMid")
+    val pruned = SnapshotLog.readPruned(spark, t, "id", 120, 180)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned == (120L to 180L).toSet)
+    // range straddling two batches keeps one file from each, still exact
+    val (kept2, _) = SnapshotLog.prunedFiles(spark, t, "id", 90, 110)
+    assert(kept2.size == 2, s"straddle probe kept $kept2")
+    // stats carried forward through appends: v1 entries still prune at v3
+    val (keptLo, _) = SnapshotLog.prunedFiles(spark, t, "id", 1, 10)
+    assert(keptLo.size == 1, s"low probe kept $keptLo")
+    // unstated column never prunes (skipping must not lose rows)
+    val (keptAll, _) = SnapshotLog.prunedFiles(spark, t, "nope", 0, 1)
+    assert(keptAll.size == 6)
+    // fully-disjoint probe: zero files admit it, result is empty not error
+    assert(SnapshotLog.readPruned(spark, t, "id", 5000, 6000).count() == 0)
+  }
+
   test("vacuum deletes only unreferenced files; every version survives") {
     import spark.implicits._
     val t = freshTable()
