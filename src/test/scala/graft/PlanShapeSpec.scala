@@ -904,6 +904,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot readPruned keeps parquet pushdown under the manifest layer") {
+    // the manifest resolves WHICH files to open; inside them the range
+    // predicate must still reach the parquet reader (row-group skipping)
+    // — a table format that breaks scan pushdown has negative value
+    val df = operators.Scans.scanSnapshotPruned(spark, sf0001)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: ["), s)
+    assert(
+      s.contains("GreaterThanOrEqual(o_orderkey") &&
+        s.contains("LessThanOrEqual(o_orderkey"),
+      s"range predicate not pushed to parquet:\n$s"
+    )
+  }
+
   test("text_boilerplate_rm hot-span join is NOT hint-broadcast (df>5 set grows)") {
     // ...and with the size-based path disabled, no Broadcast*Join may
     // remain: any survivor could only come from an unconditional hint,
