@@ -193,6 +193,64 @@ object SnapshotLog {
       table: String,
       df: DataFrame,
       overwrite: Boolean = false
+  ): Int = commitInternal(spark, table, df, overwrite, None)
+
+  /** Header line (`append` / `overwrite`, plus ` txn=<id>` when the
+    * commit carried one) of `version`'s manifest. */
+  private def header(spark: SparkSession, table: String, version: Int): String = {
+    val f = fs(spark, table)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(
+        f.open(commitPath(table, version)),
+        java.nio.charset.StandardCharsets.UTF_8
+      )
+    )
+    try Option(in.readLine()).getOrElse("")
+    finally in.close()
+  }
+
+  /** Version that already committed `txnId`, if any. */
+  def committedTxn(
+      spark: SparkSession,
+      table: String,
+      txnId: String
+  ): Option[Int] =
+    versions(spark, table).find(v =>
+      header(spark, table, v).endsWith(s" txn=$txnId")
+    )
+
+  /** Idempotent commit for at-least-once producers (foreachBatch with
+    * its stable batchId, a retried ingestion job): the txn id rides the
+    * winning manifest's header, and a REPLAY of the same id returns the
+    * existing version without committing — the table-grain form of the
+    * sink_exactly_once contract, so a streaming query can crash between
+    * sink write and offset commit and re-deliver its batch harmlessly.
+    * The replay check runs again inside the claim lock, so two racing
+    * deliveries of one batch cannot both land; the loser's already-
+    * staged files become vacuum-able orphans, never visible rows. */
+  def commitIdempotent(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      txnId: String,
+      overwrite: Boolean = false
+  ): Int = {
+    require(
+      txnId.nonEmpty && txnId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"txn id must be [A-Za-z0-9_-]+: $txnId"
+    )
+    committedTxn(spark, table, txnId) match {
+      case Some(v) => v // replay: nothing staged, nothing committed
+      case None    => commitInternal(spark, table, df, overwrite, Some(txnId))
+    }
+  }
+
+  private def commitInternal(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      overwrite: Boolean,
+      txnId: Option[String]
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
@@ -207,29 +265,36 @@ object SnapshotLog {
     while (attempts < 20) {
       attempts += 1
       val won = lock.synchronized {
-        val vs = versions(spark, table)
-        val next = vs.lastOption.getOrElse(0) + 1
-        val live =
-          if (overwrite) landed
-          else
-            vs.lastOption
-              .map(manifestEntries(spark, table, _))
-              .getOrElse(Nil) ++ landed
-        val action = if (overwrite) "overwrite" else "append"
-        val tmp =
-          new Path(s"$table/$LogDir/.tmp-${UUID.randomUUID.toString.take(8)}")
-        val out = f.create(tmp, true)
-        try out.write(
-          (action +: live)
-            .mkString("", "\n", "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        )
-        finally out.close()
-        val target = commitPath(table, next)
-        // exists-check + rename: atomic cross-JVM on HDFS (rename
-        // refuses), serialized by the lock on local FS
-        if (!f.exists(target) && f.rename(tmp, target)) Some(next)
-        else { f.delete(tmp, false); None }
+        // a racing delivery of the same txn may have won while this one
+        // staged: its version answers, this delivery's files are orphans
+        val replayed = txnId.flatMap(committedTxn(spark, table, _))
+        if (replayed.isDefined) replayed
+        else {
+          val vs = versions(spark, table)
+          val next = vs.lastOption.getOrElse(0) + 1
+          val live =
+            if (overwrite) landed
+            else
+              vs.lastOption
+                .map(manifestEntries(spark, table, _))
+                .getOrElse(Nil) ++ landed
+          val action = (if (overwrite) "overwrite" else "append") +
+            txnId.map(t => s" txn=$t").getOrElse("")
+          val tmp =
+            new Path(s"$table/$LogDir/.tmp-${UUID.randomUUID.toString.take(8)}")
+          val out = f.create(tmp, true)
+          try out.write(
+            (action +: live)
+              .mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          )
+          finally out.close()
+          val target = commitPath(table, next)
+          // exists-check + rename: atomic cross-JVM on HDFS (rename
+          // refuses), serialized by the lock on local FS
+          if (!f.exists(target) && f.rename(tmp, target)) Some(next)
+          else { f.delete(tmp, false); None }
+        }
       }
       won.foreach(return _)
     }

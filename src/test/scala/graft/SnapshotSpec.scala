@@ -89,6 +89,24 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotLog.readPruned(spark, t, "id", 5000, 6000).count() == 0)
   }
 
+  test("idempotent commits: a replayed batch id lands exactly once") {
+    import spark.implicits._
+    val t = freshTable()
+    // the foreachBatch delivery pattern with an at-least-once producer:
+    // batch 1 is delivered twice (crash between sink write and offset
+    // commit), batch ids are the stable idempotency token
+    val v0 = SnapshotLog.commitIdempotent(spark, t, (1L to 3L).toDF("id"), "b0")
+    val v1a = SnapshotLog.commitIdempotent(spark, t, (4L to 6L).toDF("id"), "b1")
+    val v1b = SnapshotLog.commitIdempotent(spark, t, (4L to 6L).toDF("id"), "b1")
+    val v2 = SnapshotLog.commitIdempotent(spark, t, (7L to 9L).toDF("id"), "b2")
+    assert((v0, v1a, v2) == (1, 2, 3))
+    assert(v1b == v1a, "replay must return the original version")
+    assert(SnapshotLog.versions(spark, t) == Seq(1, 2, 3))
+    assert(rows(t) == (1L to 9L).toSet, "replayed batch must not duplicate rows")
+    assert(SnapshotLog.committedTxn(spark, t, "b1").contains(2))
+    assert(SnapshotLog.committedTxn(spark, t, "b9").isEmpty)
+  }
+
   test("vacuum deletes only unreferenced files; every version survives") {
     import spark.implicits._
     val t = freshTable()
