@@ -80,16 +80,22 @@ object Tables {
         val p = new HPath(file)
         val fs = p.getFileSystem(conf)
         val dataFile =
-          if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p)
+          if (fs.getFileStatus(p).isDirectory) {
+            val candidates = fs
+              .listStatus(p)
               .filter(st =>
                 st.isFile && st.getLen > 0 &&
                   !st.getPath.getName.startsWith("_") &&
                   !st.getPath.getName.startsWith(".")
               )
               .map(_.getPath)
-              .minBy(_.getName)
-          else p
+            require(
+              candidates.nonEmpty,
+              s"$file: directory-form parquet table has no data files to " +
+                s"read a footer from (empty write or partial cleanup?)"
+            )
+            candidates.minBy(_.getName)
+          } else p
         val in = HadoopInputFile.fromPath(dataFile, conf)
         val reader = ParquetFileReader.open(in)
         try {
@@ -136,6 +142,9 @@ object Tables {
         val raw = spark.read.parquet(file)
         raw.schema(tsCol).dataType match {
           case TimestampType | TimestampNTZType => raw // e.g. INT96 legacy
+          // DATE (the canonical TPC-H type for orderdate/shipdate) needs
+          // no unit guess: midnight-UTC widening is exact either way
+          case org.apache.spark.sql.types.DateType => raw
           case other =>
             // A plain INT64 here is ambiguous (s? ms? µs?); erroring at
             // load names the problem, instead of every downstream key

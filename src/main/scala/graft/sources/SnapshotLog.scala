@@ -99,11 +99,7 @@ object SnapshotLog {
     * INT64/DOUBLE top-level columns with statistics present in EVERY
     * row group (a column missing stats anywhere is omitted and can
     * never prune). Metadata-only read, no data pages touched. */
-  private def statsSuffix(
-      f: FileSystem,
-      spark: SparkSession,
-      file: Path
-  ): String = {
+  private def statsSuffix(spark: SparkSession, file: Path): String = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -209,15 +205,37 @@ object SnapshotLog {
     finally in.close()
   }
 
+  /** txn → version map per table, maintained INCREMENTALLY: on lookup
+    * only versions newer than the last scan are read, so a streaming
+    * ingestion's replay check costs O(new commits) headers rather than
+    * re-reading the whole log every batch (O(V²) over the table's life
+    * — ruinous on an object store where each open is a round trip). */
+  private val txnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Map[String, Int])]()
+
   /** Version that already committed `txnId`, if any. */
   def committedTxn(
       spark: SparkSession,
       table: String,
       txnId: String
-  ): Option[Int] =
-    versions(spark, table).find(v =>
-      header(spark, table, v).endsWith(s" txn=$txnId")
+  ): Option[Int] = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return None
+    val updated = txnCache.compute(
+      table,
+      (_, prev) => {
+        val (scanned, known) =
+          Option(prev).getOrElse((0, Map.empty[String, Int]))
+        val fresh = vs.filter(_ > scanned).flatMap { v =>
+          val h = header(spark, table, v)
+          val i = h.indexOf(" txn=")
+          if (i < 0) None else Some(h.substring(i + 5) -> v)
+        }
+        (vs.last, known ++ fresh)
+      }
     )
+    updated._2.get(txnId)
+  }
 
   /** Idempotent commit for at-least-once producers (foreachBatch with
     * its stable batchId, a retried ingestion job): the txn id rides the
@@ -257,7 +275,7 @@ object SnapshotLog {
     val landed = stageOnly(spark, table, df).map { name =>
       // footer stats ride the manifest so reads can skip files without
       // opening them; a file contributes `name` alone if stats are absent
-      val suffix = statsSuffix(f, spark, new Path(s"$table/$name"))
+      val suffix = statsSuffix(spark, new Path(s"$table/$name"))
       if (suffix.isEmpty) name else s"$name\t$suffix"
     }
     val lock = claimLocks.computeIfAbsent(table, _ => new Object)
@@ -335,6 +353,7 @@ object SnapshotLog {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot read: no commits in $table")
     val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot read: version $v not in $vs")
     val entries = manifestEntries(spark, table, v)
     val kept = entries.filter { e =>
       val parts = e.split('\t')
@@ -386,17 +405,35 @@ object SnapshotLog {
     * orphans). Returns the deleted names. Production note: a real
     * retention policy also expires OLD versions first; this keeps every
     * committed version readable. */
-  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+  def vacuum(
+      spark: SparkSession,
+      table: String,
+      olderThanMs: Long = 60L * 60 * 1000
+  ): Seq[String] = {
     val f = fs(spark, table)
-    val referenced = versions(spark, table)
-      .flatMap(manifest(spark, table, _))
-      .toSet
-    val orphans = f
-      .listStatus(new Path(table))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-      .filterNot(p => referenced(p.getName))
-    orphans.foreach(f.delete(_, false))
-    orphans.map(_.getName).toSeq
+    val lock = claimLocks.computeIfAbsent(table, _ => new Object)
+    // The claim lock serializes against same-JVM commits, but a commit
+    // STAGES its files before taking the lock — an in-flight writer's
+    // landed-but-unclaimed files look exactly like orphans. The mtime
+    // grace period is what actually protects them (the posture every
+    // table format's VACUUM takes): only files older than `olderThanMs`
+    // are eligible, so a live writer would have to stall longer than
+    // the grace window to lose files. olderThanMs=0 is test-only.
+    lock.synchronized {
+      val referenced = versions(spark, table)
+        .flatMap(manifest(spark, table, _))
+        .toSet
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val orphans = f
+        .listStatus(new Path(table))
+        .filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            st.getModificationTime <= cutoff
+        )
+        .map(_.getPath)
+        .filterNot(p => referenced(p.getName))
+      orphans.foreach(f.delete(_, false))
+      orphans.map(_.getName).toSeq
+    }
   }
 }

@@ -97,9 +97,10 @@ object Dedup {
     * bound): shingles present in more than [[StopDf]] documents connect
     * unrelated docs into mega-buckets — quadratic candidate blowup —
     * while carrying no near-dup signal, so they are dropped from
-    * signature and verification universes alike. The stop list is tiny
-    * by construction (29 shingles at sf0.01, 24.5k at sf0.1) and is
-    * broadcast for an anti-join; the exact baseline
+    * signature and verification universes alike. The stop list (29
+    * shingles at sf0.01, 24.5k at sf0.1 — it GROWS with the corpus)
+    * anti-joins WITHOUT a broadcast hint since round 10: AQE demotes to
+    * broadcast at runtime while it is small; the exact baseline
     * `dedup_ngram_jaccard` keeps the full universe (it IS the exact
     * answer). */
   private val StopDf = 5

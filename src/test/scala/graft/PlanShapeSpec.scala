@@ -867,11 +867,17 @@ class PlanShapeSpec extends SparkTestBase {
   // auto-broadcast entirely: any Broadcast*Join that still appears can
   // only come from a hint.
   private def withNoAutoBroadcast(body: => Unit): Unit = {
+    // restore the PRIOR value, not a hardcoded default, so these tests
+    // can't reorder-couple with any suite that tunes the threshold
+    val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try body
     finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }

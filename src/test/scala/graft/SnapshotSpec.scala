@@ -113,10 +113,14 @@ class SnapshotSpec extends SparkTestBase {
     SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
     SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"))
     val orphaned = SnapshotLog.stageOnly(spark, t, (100L to 110L).toDF("id"))
-    val deleted = SnapshotLog.vacuum(spark, t)
+    // default grace period protects freshly-landed files (an in-flight
+    // writer's staged-but-unclaimed batch must not be reaped)...
+    assert(SnapshotLog.vacuum(spark, t).isEmpty)
+    // ...olderThanMs=0 is the test-only full sweep
+    val deleted = SnapshotLog.vacuum(spark, t, olderThanMs = 0)
     assert(deleted.toSet == orphaned.toSet, s"deleted $deleted, orphaned $orphaned")
     assert(rows(t) == (1L to 9L).toSet)
     assert(rows(t, Some(1)) == (1L to 5L).toSet)
-    assert(SnapshotLog.vacuum(spark, t).isEmpty) // idempotent
+    assert(SnapshotLog.vacuum(spark, t, olderThanMs = 0).isEmpty) // idempotent
   }
 }

@@ -12,11 +12,20 @@ import json
 import statistics
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--keys")]
+args = []
 keysel = None
-for a in sys.argv[1:]:
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--keys="):
         keysel = a.split("=", 1)[1].split(",")
+    elif a == "--keys":  # space-separated form from the usage line
+        i += 1
+        keysel = argv[i].split(",")
+    else:
+        args.append(a)
+    i += 1
 
 runs = []
 for p in args:
@@ -30,6 +39,9 @@ keys = keysel or allkeys
 print("| key | " + " | ".join(f"run{i+1}" for i in range(len(runs))) + " | median |")
 print("|---|" + "---|" * (len(runs) + 1))
 for k in keys:
+    if any(k not in r["queries"] for r in runs):
+        print(f"| {k} | (absent from at least one run — skipped) |")
+        continue
     vals = [r["queries"][k] for r in runs]
     med = statistics.median(vals)
     print(f"| {k} | " + " | ".join(f"{v:.2f}" for v in vals) + f" | {med:.2f} |")
