@@ -152,8 +152,16 @@ object Etl {
     * the join the table formats plan underneath; one shuffle on the
     * key at any scale, and the change-set side broadcasts whenever it
     * is small relative to the base. */
-  val etlMerge: Q = (spark, dir) => {
-    val base = Tables.customer(spark, dir)
+  val etlMerge: Q = (spark, dir) =>
+    customerMerge(Tables.customer(spark, dir))
+
+  /** The MERGE dataflow itself, parameterized on the base relation so
+    * the transactional variant (Scans.etl_merge_snapshot, round 10) can
+    * apply the SAME change-set to a snapshot-table read and commit the
+    * result — both keys share one oracle, so the dataflow is proven
+    * identical through either storage path. `base` needs c_custkey,
+    * c_name, c_acctbal. */
+  private[operators] def customerMerge(base: org.apache.spark.sql.DataFrame) = {
     val matched = base
       .filter(col("c_custkey") % 5 === 0)
       .select(
