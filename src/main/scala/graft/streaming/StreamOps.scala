@@ -137,6 +137,37 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ingestion into the TRANSACTIONAL snapshot table (round
+    * 10): each micro-batch commits through
+    * [[graft.sources.SnapshotLog.commitIdempotent]] with the stable
+    * foreachBatch batchId as its txn token, so the crash window between
+    * snapshot commit and offset commit — where an at-least-once runner
+    * re-delivers the batch — replays into the SAME version instead of a
+    * duplicate commit. This is [[exactlyOnceSink]]'s idempotence
+    * contract upgraded from a partition-overwrite layout to a table
+    * format: every committed version additionally stays time-travel
+    * readable. `failAfterCommitAt` injects the crash exactly inside
+    * that window (once), for the restart test. */
+  def snapshotSink(
+      events: DataFrame,
+      table: String,
+      checkpointDir: String,
+      failAfterCommitAt: Option[Long] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.SnapshotLog
+          .commitIdempotent(batch.sparkSession, table, batch, s"batch-$batchId")
+        if (failAfterCommitAt.contains(batchId) && !tripped.getAndSet(true))
+          throw new RuntimeException(
+            s"injected crash after snapshot commit, before offset commit (batch $batchId)"
+          )
+      }
+      .start()
+  }
+
   /** Read-back totals for [[exactlyOnceSink]]'s partial-aggregate
     * layout: sum the per-batch partials per user. */
   def readExactlyOnce(

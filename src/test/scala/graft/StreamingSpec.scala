@@ -212,6 +212,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("snapshot-table streaming sink: crash between commit and offset replays into the same version") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft-snapstream").toString
+    val table = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    val ms = MemoryStream[Event]
+    val q1 = StreamOps.snapshotSink(ms.toDF, table, ckpt, failAfterCommitAt = Some(1))
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", user = 1))
+      q1.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 10:01:00", user = 2))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(e.getMessage.contains("injected crash"), e.getMessage)
+      // the crash window is real: batch 1's snapshot commit landed
+      assert(SnapshotLog.versions(spark, table) == Seq(1, 2))
+    } finally q1.stop()
+    // restart from the checkpoint: batch 1 replays with the same id and
+    // must resolve to its EXISTING version — not commit a duplicate
+    val q2 = StreamOps.snapshotSink(ms.toDF, table, ckpt)
+    try {
+      q2.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:02:00", user = 3))
+      q2.processAllAvailable()
+      assert(
+        SnapshotLog.versions(spark, table) == Seq(1, 2, 3),
+        "replayed batch must not create a fourth version"
+      )
+      val ids = SnapshotLog.read(spark, table)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L), s"no dupes, no loss: $ids")
+      assert(SnapshotLog.committedTxn(spark, table, "batch-1").contains(2))
+    } finally q2.stop()
+  }
+
   test("streaming file sink writes closed windows with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
