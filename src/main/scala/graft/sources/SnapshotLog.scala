@@ -17,10 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     before committing leaves orphans a `vacuum` sweeps, never a
   *     half-visible table (the exact failure sink_dsv2's two-phase
   *     commit solves at task grain, lifted to TABLE grain).
-  *   - **Each commit is one manifest file** `_log/v%08d.commit` holding
-  *     the FULL list of live data files after the commit (snapshot
-  *     style: append = previous list + new files, overwrite = new
-  *     files only). The manifest is claimed by rename-into-place,
+  *   - **Each commit is one manifest file** `_log/v%08d.commit`. An
+  *     append is a DELTA — its own new files plus a `parent=N` header
+  *     pointer — so commit cost stays O(batch) as the table grows;
+  *     every [[FoldEvery]]th version (and every overwrite) folds to a
+  *     full-list CHECKPOINT, bounding resolution to <FoldEvery parent
+  *     hops. The manifest is claimed by rename-into-place,
   *     which refuses to replace an existing destination — so version
   *     numbers are an optimistic-concurrency token: two concurrent
   *     appends race on `v N+1`, the loser re-reads the winner's list
@@ -43,6 +45,10 @@ object SnapshotLog {
   private val LogDir = "_log"
   private val CommitSuffix = ".commit"
 
+  /** Checkpoint cadence: every FoldEvery-th version writes the full
+    * live-file list; appends in between are O(batch)-sized deltas. */
+  private val FoldEvery = 10
+
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -63,16 +69,12 @@ object SnapshotLog {
         .toSeq
   }
 
-  /** Full manifest lines at `version`: `<file>` or
-    * `<file>\t<col>=l:<min>:<max>;<col>=d:<min>:<max>;...` — the
-    * per-file column-stats suffix (INT64/DOUBLE min/max lifted from the
-    * parquet FOOTER at commit time, metadata-only) that powers
-    * file-level data skipping in [[readPruned]]. */
-  def manifestEntries(
+  /** One commit file's header + own lines, verbatim. */
+  private def readCommitFile(
       spark: SparkSession,
       table: String,
       version: Int
-  ): Seq[String] = {
+  ): (String, Seq[String]) = {
     val f = fs(spark, table)
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(
@@ -81,14 +83,43 @@ object SnapshotLog {
       )
     )
     try {
-      // line 1: "append" | "overwrite"; remaining lines: one file each
-      Iterator
+      val lines = Iterator
         .continually(in.readLine())
         .takeWhile(_ != null)
-        .drop(1)
         .filter(_.nonEmpty)
         .toList
+      (lines.headOption.getOrElse(""), lines.drop(1))
     } finally in.close()
+  }
+
+  /** `key=value` token from a commit header (`append parent=3 txn=b1`). */
+  private def headerToken(header: String, key: String): Option[String] =
+    header.split(' ').collectFirst {
+      case t if t.startsWith(s"$key=") => t.stripPrefix(s"$key=")
+    }
+
+  /** Full manifest lines at `version`: `<file>` or
+    * `<file>\t<col>=l:<min>:<max>;<col>=d:<min>:<max>;...` — the
+    * per-file column-stats suffix (INT64/DOUBLE min/max lifted from the
+    * parquet FOOTER at commit time, metadata-only) that powers
+    * file-level data skipping in [[readPruned]].
+    *
+    * A DELTA commit (header carries `parent=N`) lists only its OWN new
+    * files; the live set is the parent's resolved set plus them —
+    * appends cost O(batch) manifest bytes instead of rewriting the
+    * O(live files) list every time. Every [[FoldEvery]]th version (and
+    * every overwrite) is a full-list CHECKPOINT, so resolution walks at
+    * most FoldEvery−1 parents. */
+  def manifestEntries(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Seq[String] = {
+    val (header, own) = readCommitFile(spark, table, version)
+    headerToken(header, "parent") match {
+      case Some(p) => manifestEntries(spark, table, p.toInt) ++ own
+      case None    => own
+    }
   }
 
   /** Live data files (relative names) at `version`. */
@@ -193,17 +224,8 @@ object SnapshotLog {
 
   /** Header line (`append` / `overwrite`, plus ` txn=<id>` when the
     * commit carried one) of `version`'s manifest. */
-  private def header(spark: SparkSession, table: String, version: Int): String = {
-    val f = fs(spark, table)
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(
-        f.open(commitPath(table, version)),
-        java.nio.charset.StandardCharsets.UTF_8
-      )
-    )
-    try Option(in.readLine()).getOrElse("")
-    finally in.close()
-  }
+  private def header(spark: SparkSession, table: String, version: Int): String =
+    readCommitFile(spark, table, version)._1
 
   /** txn → version map per table, maintained INCREMENTALLY: on lookup
     * only versions newer than the last scan are read, so a streaming
@@ -227,9 +249,7 @@ object SnapshotLog {
         val (scanned, known) =
           Option(prev).getOrElse((0, Map.empty[String, Int]))
         val fresh = vs.filter(_ > scanned).flatMap { v =>
-          val h = header(spark, table, v)
-          val i = h.indexOf(" txn=")
-          if (i < 0) None else Some(h.substring(i + 5) -> v)
+          headerToken(header(spark, table, v), "txn").map(_ -> v)
         }
         (vs.last, known ++ fresh)
       }
@@ -290,19 +310,26 @@ object SnapshotLog {
         else {
           val vs = versions(spark, table)
           val next = vs.lastOption.getOrElse(0) + 1
-          val live =
+          val prev = vs.lastOption
+          // Append commits are DELTAS (own files + parent pointer) so a
+          // long-lived table's commit cost stays O(batch), not O(live
+          // files); every FoldEvery-th version is a full-list CHECKPOINT
+          // bounding manifest resolution to <FoldEvery parent hops.
+          // Overwrites are naturally full lists.
+          val delta = !overwrite && prev.isDefined && next % FoldEvery != 0
+          val lines =
             if (overwrite) landed
+            else if (delta) landed
             else
-              vs.lastOption
-                .map(manifestEntries(spark, table, _))
-                .getOrElse(Nil) ++ landed
+              prev.map(manifestEntries(spark, table, _)).getOrElse(Nil) ++ landed
           val action = (if (overwrite) "overwrite" else "append") +
+            (if (delta) s" parent=${prev.get}" else "") +
             txnId.map(t => s" txn=$t").getOrElse("")
           val tmp =
             new Path(s"$table/$LogDir/.tmp-${UUID.randomUUID.toString.take(8)}")
           val out = f.create(tmp, true)
           try out.write(
-            (action +: live)
+            (action +: lines)
               .mkString("", "\n", "\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           )

@@ -107,6 +107,36 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotLog.committedTxn(spark, t, "b9").isEmpty)
   }
 
+  test("delta manifests + checkpoints: O(batch) appends, every version resolves") {
+    import spark.implicits._
+    val t = freshTable()
+    // 25 single-file appends: versions 10 and 20 fold to checkpoints,
+    // everything else is a delta carrying one file + a parent pointer
+    (1 to 25).foreach { i =>
+      SnapshotLog.commit(spark, t, Seq(i.toLong).toDF("id").coalesce(1))
+    }
+    // every historical version resolves to exactly its prefix
+    for (v <- Seq(1, 9, 10, 11, 19, 20, 21, 25))
+      assert(rows(t, Some(v)) == (1L to v.toLong).toSet, s"version $v")
+    // the log cost model: delta manifests stay O(batch) while the live
+    // set grows — v25's commit file lists 1 file, the v20 checkpoint 20
+    def ownLines(v: Int) = {
+      val p = java.nio.file.Paths.get(t, "_log", f"v$v%08d.commit")
+      scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
+        .count(_.nonEmpty) - 1 // minus header
+    }
+    assert(ownLines(25) == 1, s"v25 should be a 1-file delta, has ${ownLines(25)}")
+    assert(ownLines(20) == 20, s"v20 should be a folded checkpoint, has ${ownLines(20)}")
+    // overwrite resets to a full list; history before it still resolves
+    SnapshotLog.commit(spark, t, Seq(1000L).toDF("id"), overwrite = true)
+    assert(rows(t) == Set(1000L))
+    assert(rows(t, Some(13)) == (1L to 13L).toSet)
+    // vacuum against the delta log keeps every referenced file
+    assert(SnapshotLog.vacuum(spark, t, olderThanMs = 0).isEmpty)
+    assert(rows(t, Some(25)) == (1L to 25L).toSet)
+  }
+
   test("vacuum deletes only unreferenced files; every version survives") {
     import spark.implicits._
     val t = freshTable()
