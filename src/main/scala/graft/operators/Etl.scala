@@ -161,8 +161,18 @@ object Etl {
     * result — both keys share one oracle, so the dataflow is proven
     * identical through either storage path. `base` needs c_custkey,
     * c_name, c_acctbal. */
-  private[operators] def customerMerge(base: org.apache.spark.sql.DataFrame) = {
-    val matched = base
+  private[operators] def customerMerge(base: org.apache.spark.sql.DataFrame) =
+    applyMergeChanges(base, customerChanges(base))
+
+  /** The MERGE change set alone (updates, tombstones, inserts keyed by
+    * m_custkey), split out (round 11) so the copy-on-write snapshot
+    * variant can derive it from the SOURCE relation and hand its keys
+    * to [[graft.sources.SnapshotLog.touchedFiles]] for file selection
+    * before the join ever runs. */
+  private[operators] def customerChanges(
+      source: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val matched = source
       .filter(col("c_custkey") % 5 === 0)
       .select(
         col("c_custkey").as("m_custkey"),
@@ -170,7 +180,7 @@ object Etl {
         round(col("c_acctbal") + 100, 2).as("m_acctbal"),
         (col("c_custkey") % 10 === 5).as("m_delete")
       )
-    val inserts = base
+    val inserts = source
       .filter(col("c_custkey") < 5)
       .select(
         (col("c_custkey") + 2000000).as("m_custkey"),
@@ -178,7 +188,18 @@ object Etl {
         lit(1.0).as("m_acctbal"),
         lit(false).as("m_delete")
       )
-    val changes = matched.unionByName(inserts)
+    matched.unionByName(inserts)
+  }
+
+  /** The MERGE join/apply half, against an arbitrary change set — for
+    * the CoW path this `base` is only the stats-admitted file subset,
+    * and the unmatched-change-row → insert arm is exactly why that is
+    * sound: a change key absent from every admitted file is absent from
+    * the TABLE (skipping can only exclude provably-disjoint files). */
+  private[operators] def applyMergeChanges(
+      base: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
     base
       .join(changes, col("c_custkey") === col("m_custkey"), "full")
       // WHEN MATCHED AND m_delete THEN DELETE

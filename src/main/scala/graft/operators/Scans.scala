@@ -774,28 +774,97 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
-  /** Transactional MERGE INTO (round 10 late): the full loop the r9
-    * verdict's missing #3 described — etl_merge's change-set dataflow
-    * applied to a SNAPSHOT-TABLE read, committed back as an atomic
-    * overwrite, and read again from storage. The pre-merge state stays
-    * time-travel readable at v1; a reader concurrent with the merge
-    * keeps its v1 manifest (snapshot isolation). Shares etl_merge's
-    * oracle verbatim, so the dataflow is proven identical through the
-    * table-format round trip. */
+  /** Transactional MERGE INTO, FILE-GRANULAR copy-on-write (round 11,
+    * upgrading the round-10 full-overwrite): the table lands as three
+    * range-sharded appends (key-clustered files with manifest stats),
+    * the change set's keys select via [[graft.sources.SnapshotLog
+    * .touchedFiles]] exactly the files whose stats admit a changed key,
+    * only THOSE are rewritten through etl_merge's join dataflow, and
+    * every untouched file carries into the new manifest by reference
+    * (a `replace` delta commit) — a merge touching 0.1 % of a 100 TB
+    * table now rewrites 0.1 % of it, not 100 %. The table keeps the
+    * MERGE-invariant schema (custkey, name, acctbal, op), op starting
+    * at 'keep': untouched files' rows are, by the skipping invariant,
+    * precisely the rows the oracle classifies 'keep'. Pre-merge state
+    * stays time-travel readable; the shard-granularity pin (untouched
+    * file NAMES surviving into the new manifest) lives in SnapshotSpec.
+    * Shares etl_merge's oracle verbatim, so the CoW path is proven
+    * row-identical to the full-table dataflow. */
   val etlMergeSnapshot: Q = (spark, dir) => {
     import graft.sources.SnapshotLog
     val table = tmp("customer_snapshot_merge")
     new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sessionState.newHadoopConf())
       .delete(new org.apache.hadoop.fs.Path(table), true)
+    val c = Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        // oracle rounds every surviving balance; rounding at ingestion
+        // keeps untouched (carried-by-reference) rows bit-identical
+        round(col("c_acctbal"), 2).as("acctbal"),
+        lit("keep").as("op")
+      )
+    val maxK = c.agg(max("custkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    SnapshotLog.commit(spark, table, c.filter(col("custkey") <= c1))
     SnapshotLog.commit(
       spark,
       table,
-      Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal")
+      c.filter(col("custkey") > c1 && col("custkey") <= c2)
     )
-    val merged = Etl.customerMerge(SnapshotLog.read(spark, table))
-    SnapshotLog.commit(spark, table, merged, overwrite = true)
+    SnapshotLog.commit(spark, table, c.filter(col("custkey") > c2))
+    // MERGE INTO table USING changes: source-derived change set, keys
+    // drive file selection, dataflow runs on the admitted subset only
+    val changes = Etl.customerChanges(Tables.customer(spark, dir))
+    SnapshotLog.mergeCoW(
+      spark,
+      table,
+      "custkey",
+      changes.select("m_custkey"),
+      base =>
+        Etl.applyMergeChanges(
+          base.select(
+            col("custkey").as("c_custkey"),
+            col("name").as("c_name"),
+            col("acctbal").as("c_acctbal")
+          ),
+          changes
+        )
+    )
     SnapshotLog.read(spark, table).orderBy("custkey")
+  }
+
+  /** Change-data feed over the snapshot log (round 11): an append then
+    * an overwrite, read back as row-level changes — the appended files
+    * surface as `insert` at v2; the overwrite as delete-all + insert-all
+    * at v3. File-granular CDC (O(changed files) IO, no snapshot diff),
+    * the incremental feeder for MV maintenance; composition over
+    * consecutive ranges and the CoW-replace diff are pinned in
+    * SnapshotSpec/StreamingSpec. The oracle recomputes every change row
+    * from the source table. */
+  val sourceChanges: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_cdf")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 0))
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") % 3 === 2),
+      overwrite = true
+    )
+    SnapshotLog
+      .readChanges(spark, table, 1, 3)
+      .orderBy("commit_version", "change_type", "o_orderkey")
   }
 
   val queries: Map[String, Q] = Map(
@@ -824,7 +893,8 @@ object Scans {
     "source_orc" -> sourceOrc,
     "source_merge_schema" -> sourceMergeSchema,
     "sink_parquet" -> sinkParquet,
-    "sink_partitioned" -> sinkPartitioned
+    "sink_partitioned" -> sinkPartitioned,
+    "source_changes" -> sourceChanges
   )
 
   val oracles: Map[String, String] = Map(
@@ -844,6 +914,21 @@ object Scans {
     // change-set, same result — just round-tripped through the
     // snapshot table's commit protocol
     "etl_merge_snapshot" -> Etl.oracles("etl_merge"),
+    // file-granular CDC: v2's appended files are inserts, v3's
+    // overwrite deletes everything live at v2 and inserts its own rows
+    "source_changes" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'insert' AS change_type, 2 AS commit_version
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'delete' AS change_type, 3 AS commit_version
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'insert' AS change_type, 3 AS commit_version
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY commit_version, change_type, o_orderkey""".stripMargin,
     // file skipping can only EXCLUDE disjoint files, so the result is
     // layout-independent: the oracle is the plain range scan
     "scan_snapshot_pruned" ->

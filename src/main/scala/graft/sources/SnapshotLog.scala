@@ -4,6 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** A from-scratch snapshot/manifest commit protocol over plain parquet —
   * the storage half of a transactional table format (the Delta/Iceberg
@@ -32,22 +33,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     resolves one manifest and hands Spark exactly those parquet
   *     paths — full pushdown/pruning applies, and a concurrent commit
   *     cannot change what an in-flight query sees.
+  *   - **REPLACE commits are file-granular copy-on-write** (round 11):
+  *     a MERGE that touches 0.1 % of rows removes only the files whose
+  *     manifest stats admit a changed key, commits their rewritten
+  *     replacement, and carries every untouched file BY REFERENCE into
+  *     the new manifest — [[mergeCoW]] is the whole loop. Removed files
+  *     stay referenced by older versions, so time travel and vacuum
+  *     safety are unchanged.
+  *   - **The commit header records the table schema** (round 11), which
+  *     makes an all-files-skipped or genuinely empty version readable,
+  *     and gives appends a defined schema-evolution story: added
+  *     columns and int→long / float→double widenings merge into the
+  *     union schema reads use; any other type change fails loudly at
+  *     commit time.
+  *   - **`readChanges(vFrom, vTo)`** (round 11) is the change-data feed:
+  *     per version, files added to the manifest surface as `insert`
+  *     rows and files dropped from it as `delete` rows — O(changed
+  *     files) IO for appends and CoW replaces, never a diff of full
+  *     snapshots — feeding incremental MV maintenance downstream.
   *
-  * Scale posture: the log is O(commits) tiny text files and each
-  * manifest is O(live files) paths — the same driver-side metadata
-  * budget as the table formats this mirrors; data-file IO is untouched
-  * parquet at any size. At 100 TB the next upgrades are manifest
-  * CHECKPOINTS (fold the list every N commits) and per-file column
-  * stats for data skipping — both additive to this layout.
+  * Scale posture: the log is O(commits) tiny text files; the
+  * `_log/_tip` pointer makes tip discovery O(1) round trips instead of
+  * a directory listing per operation (the `_last_checkpoint` idiom);
+  * each manifest is O(batch) delta lines between checkpoints. Data-file
+  * IO is untouched parquet at any size, with per-file INT64 / INT32 /
+  * DOUBLE / short-STRING footer min/max riding the manifest for
+  * file-level skipping before Spark ever lists a path.
   */
 object SnapshotLog {
 
   private val LogDir = "_log"
   private val CommitSuffix = ".commit"
+  private val TipFile = "_tip"
 
   /** Checkpoint cadence: every FoldEvery-th version writes the full
     * live-file list; appends in between are O(batch)-sized deltas. */
   private val FoldEvery = 10
+
+  /** String footer stats longer than this many raw bytes are omitted
+    * from the manifest (a truncated max is not a valid upper bound
+    * without increment-last-byte logic, so we store whole values or
+    * nothing — omission only costs pruning, never correctness). */
+  private val MaxStringStatBytes = 48
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
@@ -55,18 +82,59 @@ object SnapshotLog {
   private def commitPath(table: String, v: Int): Path =
     new Path(s"$table/$LogDir/v${"%08d".format(v)}$CommitSuffix")
 
-  /** Versions present in the log, ascending; empty for a fresh table. */
+  private def tipPath(table: String): Path =
+    new Path(s"$table/$LogDir/$TipFile")
+
+  /** Best-effort tip read; 0 when absent/corrupt (callers fall back to
+    * listing). The tip may lag the true latest version (a writer can
+    * die between manifest rename and tip update, and a slow loser can
+    * overwrite a faster winner's pointer with an older value) — it is a
+    * HINT that bounds the forward probe, never an authority. */
+  private def readTip(f: FileSystem, table: String): Int =
+    try {
+      val p = tipPath(table)
+      if (!f.exists(p)) 0
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(
+            f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+        try in.readLine().trim.toInt
+        finally in.close()
+      }
+    } catch { case _: Exception => 0 }
+
+  private def writeTip(f: FileSystem, table: String, v: Int): Unit =
+    try {
+      val out = f.create(tipPath(table), true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () } // pointer is advisory; commit already durable
+
+  /** Versions present in the log, ascending; empty for a fresh table.
+    * Versions are assigned contiguously from 1, so the set is fully
+    * determined by its tip: read the `_tip` pointer, verify it, probe
+    * forward past any commits the pointer missed — O(1) existence
+    * checks instead of a full `_log` listing per operation (one round
+    * trip per HISTORY entry on an object store). A missing or stale
+    * pointer (fresh table, pre-round-11 log, crashed tip write) falls
+    * back to the listing. */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val f = fs(spark, table)
     val dir = new Path(s"$table/$LogDir")
-    if (!f.exists(dir)) Seq.empty
-    else
+    if (!f.exists(dir)) return Seq.empty
+    val t0 = readTip(f, table)
+    if (t0 > 0 && f.exists(commitPath(table, t0))) {
+      var t = t0
+      while (f.exists(commitPath(table, t + 1))) t += 1
+      1 to t
+    } else {
       f.listStatus(dir)
         .map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(CommitSuffix))
         .map(n => n.stripPrefix("v").stripSuffix(CommitSuffix).toInt)
         .sorted
         .toSeq
+    }
   }
 
   /** One commit file's header + own lines, verbatim. */
@@ -100,25 +168,32 @@ object SnapshotLog {
 
   /** Full manifest lines at `version`: `<file>` or
     * `<file>\t<col>=l:<min>:<max>;<col>=d:<min>:<max>;...` — the
-    * per-file column-stats suffix (INT64/DOUBLE min/max lifted from the
-    * parquet FOOTER at commit time, metadata-only) that powers
-    * file-level data skipping in [[readPruned]].
+    * per-file column-stats suffix (INT64/INT32/DOUBLE/short-STRING
+    * min/max lifted from the parquet FOOTER at commit time,
+    * metadata-only) that powers file-level data skipping in
+    * [[readPruned]].
     *
-    * A DELTA commit (header carries `parent=N`) lists only its OWN new
-    * files; the live set is the parent's resolved set plus them —
-    * appends cost O(batch) manifest bytes instead of rewriting the
-    * O(live files) list every time. Every [[FoldEvery]]th version (and
-    * every overwrite) is a full-list CHECKPOINT, so resolution walks at
-    * most FoldEvery−1 parents. */
+    * A DELTA commit (header carries `parent=N`) lists only its OWN
+    * lines; the live set is the parent's resolved set, minus any
+    * `-<file>` removal lines (a copy-on-write REPLACE dropping the
+    * rewritten files), plus its additions — appends and replaces cost
+    * O(batch) manifest bytes instead of rewriting the O(live files)
+    * list every time. Every [[FoldEvery]]th version (and every
+    * overwrite) is a full-list CHECKPOINT, so resolution walks at most
+    * FoldEvery−1 parents. */
   def manifestEntries(
       spark: SparkSession,
       table: String,
       version: Int
   ): Seq[String] = {
     val (header, own) = readCommitFile(spark, table, version)
+    val (removals, adds) = own.partition(_.startsWith("-"))
     headerToken(header, "parent") match {
-      case Some(p) => manifestEntries(spark, table, p.toInt) ++ own
-      case None    => own
+      case Some(p) =>
+        val removed = removals.map(_.stripPrefix("-")).toSet
+        manifestEntries(spark, table, p.toInt)
+          .filterNot(e => removed(e.split('\t')(0))) ++ adds
+      case None => adds
     }
   }
 
@@ -126,10 +201,72 @@ object SnapshotLog {
   def manifest(spark: SparkSession, table: String, version: Int): Seq[String] =
     manifestEntries(spark, table, version).map(_.split('\t')(0))
 
+  private def b64(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def unb64(s: String): String =
+    new String(
+      java.util.Base64.getUrlDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8
+    )
+
+  /** Table schema recorded at `version`'s commit header, if present
+    * (every round-11 commit writes one; pre-upgrade logs have none and
+    * readers fall back to parquet inference). */
+  def tableSchema(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Option[StructType] =
+    headerToken(header(spark, table, version), "schema")
+      .map(t => DataType.fromJson(unb64(t)).asInstanceOf[StructType])
+
+  /** int→long / float→double are the widenings Spark's parquet reader
+    * performs natively when handed the wider read schema; anything else
+    * that differs is an incompatible evolution and must fail loudly. */
+  private def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if a == b                            => Some(a)
+    case (IntegerType, LongType) | (LongType, IntegerType)   => Some(LongType)
+    case (FloatType, DoubleType) | (DoubleType, FloatType)   => Some(DoubleType)
+    case _                                      => None
+  }
+
+  /** Union schema for an append: existing columns keep their (possibly
+    * widened) type, new columns join at the end. Incompatible type
+    * changes throw — silently coercing a column is how a table format
+    * corrupts data, so the refusal is the feature. */
+  private def mergeSchemas(current: StructType, incoming: StructType): StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val merged = current.fields.map { f =>
+      byName.get(f.name) match {
+        case None => f
+        case Some(nf) =>
+          widen(f.dataType, nf.dataType) match {
+            case Some(dt) => StructField(f.name, dt, nullable = true)
+            case None =>
+              throw new IllegalArgumentException(
+                s"snapshot append: incompatible schema evolution on '${f.name}': " +
+                  s"table has ${f.dataType.simpleString}, batch has " +
+                  s"${nf.dataType.simpleString} (only added columns and " +
+                  "int->long / float->double widening are supported)"
+              )
+          }
+      }
+    }
+    val currentNames = current.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => currentNames(f.name))
+    StructType(merged ++ added.map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
   /** Footer min/max stats suffix for one landed parquet file —
-    * INT64/DOUBLE top-level columns with statistics present in EVERY
-    * row group (a column missing stats anywhere is omitted and can
-    * never prune). Metadata-only read, no data pages touched. */
+    * INT64 (`l:`), INT32 (`i:`, covers DATE whose physical type is
+    * days-as-int32), DOUBLE (`d:`) and short UTF8 STRING (`s:`,
+    * base64url-wrapped so separators can't collide, whole values only —
+    * see [[MaxStringStatBytes]]) top-level columns with statistics
+    * present in EVERY row group (a column missing stats anywhere is
+    * omitted and can never prune). Metadata-only read, no data pages
+    * touched. */
   private def statsSuffix(spark: SparkSession, file: Path): String = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -142,8 +279,7 @@ object SnapshotLog {
       val perCol =
         reader.getFooter.getBlocks.asScala.flatMap { block =>
           block.getColumns.asScala.map { c =>
-            (c.getPath.toDotString, c.getPrimitiveType.getPrimitiveTypeName,
-              c.getStatistics)
+            (c.getPath.toDotString, c.getPrimitiveType, c.getStatistics)
           }
         }
       perCol
@@ -156,20 +292,50 @@ object SnapshotLog {
           }
           if (!ok || col.contains('=') || col.contains(';')) None
           else
-            chunks.head._2 match {
+            chunks.head._2.getPrimitiveTypeName match {
               case PrimitiveTypeName.INT64 =>
                 val mins = chunks.map(_._3.genericGetMin.asInstanceOf[java.lang.Long].longValue)
                 val maxs = chunks.map(_._3.genericGetMax.asInstanceOf[java.lang.Long].longValue)
                 Some(s"$col=l:${mins.min}:${maxs.max}")
+              case PrimitiveTypeName.INT32 =>
+                val mins = chunks.map(_._3.genericGetMin.asInstanceOf[java.lang.Integer].intValue)
+                val maxs = chunks.map(_._3.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
+                Some(s"$col=i:${mins.min}:${maxs.max}")
               case PrimitiveTypeName.DOUBLE =>
                 val mins = chunks.map(_._3.genericGetMin.asInstanceOf[java.lang.Double].doubleValue)
                 val maxs = chunks.map(_._3.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
                 Some(s"$col=d:${mins.min}:${maxs.max}")
+              case PrimitiveTypeName.BINARY
+                  if chunks.head._2.getLogicalTypeAnnotation
+                    .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                // unsigned-byte lexicographic order, the parquet UTF8 sort order
+                val mins = chunks.map(_._3.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                val maxs = chunks.map(_._3.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                val mn = mins.reduce((a, b) => if (compareBytes(a, b) <= 0) a else b)
+                val mx = maxs.reduce((a, b) => if (compareBytes(a, b) >= 0) a else b)
+                if (mn.length > MaxStringStatBytes || mx.length > MaxStringStatBytes) None
+                else {
+                  val enc = java.util.Base64.getUrlEncoder.withoutPadding
+                  Some(s"$col=s:${enc.encodeToString(mn)}:${enc.encodeToString(mx)}")
+                }
               case _ => None
             }
         }
         .mkString(";")
     } finally reader.close()
+  }
+
+  /** Unsigned byte-wise lexicographic compare — parquet's UTF8 binary
+    * sort order (Java String compare disagrees past the BMP). */
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Lands `df` as uniquely-named parquet files in the table directory
@@ -220,10 +386,10 @@ object SnapshotLog {
       table: String,
       df: DataFrame,
       overwrite: Boolean = false
-  ): Int = commitInternal(spark, table, df, overwrite, None)
+  ): Int = commitInternal(spark, table, df, overwrite, None, None)
 
-  /** Header line (`append` / `overwrite`, plus ` txn=<id>` when the
-    * commit carried one) of `version`'s manifest. */
+  /** Header line (`append` / `overwrite` / `replace`, plus its
+    * key=value tokens) of `version`'s manifest. */
   private def header(spark: SparkSession, table: String, version: Int): String =
     readCommitFile(spark, table, version)._1
 
@@ -231,30 +397,47 @@ object SnapshotLog {
     * only versions newer than the last scan are read, so a streaming
     * ingestion's replay check costs O(new commits) headers rather than
     * re-reading the whole log every batch (O(V²) over the table's life
-    * — ruinous on an object store where each open is a round trip). */
+    * — ruinous on an object store where each open is a round trip).
+    * Invalidation: if the log's tip has moved BACKWARD past the scan
+    * watermark, the table directory was deleted and recreated at the
+    * same path — the cache belongs to a dead incarnation and is rebuilt
+    * from scratch (returning a dead incarnation's version would make
+    * commitIdempotent silently skip real commits). */
   private val txnCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Map[String, Int])]()
 
-  /** Version that already committed `txnId`, if any. */
+  /** Version that already committed `txnId`, if any. The hit is
+    * re-verified against the live log header before being returned, so
+    * a recreated table that happens to have MORE versions than the dead
+    * incarnation still can't resurrect a stale txn→version binding. */
   def committedTxn(
       spark: SparkSession,
       table: String,
       txnId: String
   ): Option[Int] = {
     val vs = versions(spark, table)
-    if (vs.isEmpty) return None
+    if (vs.isEmpty) { txnCache.remove(table); return None }
     val updated = txnCache.compute(
       table,
       (_, prev) => {
-        val (scanned, known) =
+        val (scanned0, known0) =
           Option(prev).getOrElse((0, Map.empty[String, Int]))
+        // tip moved backward => same-path table recreation: full rescan
+        val (scanned, known) =
+          if (scanned0 > vs.last) (0, Map.empty[String, Int])
+          else (scanned0, known0)
         val fresh = vs.filter(_ > scanned).flatMap { v =>
           headerToken(header(spark, table, v), "txn").map(_ -> v)
         }
         (vs.last, known ++ fresh)
       }
     )
-    updated._2.get(txnId)
+    updated._2
+      .get(txnId)
+      .filter(v =>
+        vs.contains(v) &&
+          headerToken(header(spark, table, v), "txn").contains(txnId)
+      )
   }
 
   /** Idempotent commit for at-least-once producers (foreachBatch with
@@ -279,19 +462,43 @@ object SnapshotLog {
     )
     committedTxn(spark, table, txnId) match {
       case Some(v) => v // replay: nothing staged, nothing committed
-      case None    => commitInternal(spark, table, df, overwrite, Some(txnId))
+      case None    => commitInternal(spark, table, df, overwrite, Some(txnId), None)
     }
   }
+
+  /** Copy-on-write REPLACE: commits `df`'s files while atomically
+    * dropping `removed` (which must all be live in the parent manifest
+    * — a concurrent writer having already removed one is a real
+    * write-write conflict and fails loudly rather than silently
+    * double-applying a merge). Untouched files carry into the new
+    * version BY REFERENCE: the delta manifest lists only `-file`
+    * removals plus the additions, so a merge touching one shard costs
+    * O(that shard), not O(table). */
+  def commitReplace(
+      spark: SparkSession,
+      table: String,
+      removed: Seq[String],
+      df: DataFrame,
+      txnId: Option[String] = None
+  ): Int = commitInternal(spark, table, df, overwrite = false, txnId, Some(removed))
 
   private def commitInternal(
       spark: SparkSession,
       table: String,
       df: DataFrame,
       overwrite: Boolean,
-      txnId: Option[String]
+      txnId: Option[String],
+      replaceRemoved: Option[Seq[String]]
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
+    // fail an incompatible evolution BEFORE staging any data (the
+    // authoritative merge recomputes under the claim lock; this check
+    // just keeps a doomed commit from landing orphan files)
+    if (!overwrite)
+      versions(spark, table).lastOption
+        .flatMap(tableSchema(spark, table, _))
+        .foreach(mergeSchemas(_, df.schema))
     val landed = stageOnly(spark, table, df).map { name =>
       // footer stats ride the manifest so reads can skip files without
       // opening them; a file contributes `name` alone if stats are absent
@@ -311,20 +518,49 @@ object SnapshotLog {
           val vs = versions(spark, table)
           val next = vs.lastOption.getOrElse(0) + 1
           val prev = vs.lastOption
+          replaceRemoved.foreach { rm =>
+            require(prev.isDefined, s"snapshot replace: no commits in $table")
+            val live = manifest(spark, table, prev.get).toSet
+            val gone = rm.filterNot(live)
+            if (gone.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"snapshot replace: files already removed by a concurrent " +
+                  s"commit: ${gone.mkString(", ")}"
+              )
+          }
+          // schema evolution: appends/replaces merge into the union
+          // schema (loud error on incompatible change); overwrite resets
+          // the table schema to the batch's
+          val schema =
+            if (overwrite || prev.isEmpty) df.schema
+            else
+              tableSchema(spark, table, prev.get)
+                .map(mergeSchemas(_, df.schema))
+                .getOrElse(df.schema)
           // Append commits are DELTAS (own files + parent pointer) so a
           // long-lived table's commit cost stays O(batch), not O(live
           // files); every FoldEvery-th version is a full-list CHECKPOINT
           // bounding manifest resolution to <FoldEvery parent hops.
           // Overwrites are naturally full lists.
           val delta = !overwrite && prev.isDefined && next % FoldEvery != 0
+          val removals = replaceRemoved.getOrElse(Nil)
           val lines =
             if (overwrite) landed
-            else if (delta) landed
-            else
-              prev.map(manifestEntries(spark, table, _)).getOrElse(Nil) ++ landed
-          val action = (if (overwrite) "overwrite" else "append") +
-            (if (delta) s" parent=${prev.get}" else "") +
-            txnId.map(t => s" txn=$t").getOrElse("")
+            else if (delta) removals.map("-" + _) ++ landed
+            else {
+              val removed = removals.toSet
+              prev
+                .map(manifestEntries(spark, table, _))
+                .getOrElse(Nil)
+                .filterNot(e => removed(e.split('\t')(0))) ++ landed
+            }
+          val action =
+            (if (overwrite) "overwrite"
+             else if (replaceRemoved.isDefined) "replace"
+             else "append") +
+              (if (delta) s" parent=${prev.get}" else "") +
+              txnId.map(t => s" txn=$t").getOrElse("") +
+              s" schema=${b64(schema.json)}"
           val tmp =
             new Path(s"$table/$LogDir/.tmp-${UUID.randomUUID.toString.take(8)}")
           val out = f.create(tmp, true)
@@ -337,8 +573,10 @@ object SnapshotLog {
           val target = commitPath(table, next)
           // exists-check + rename: atomic cross-JVM on HDFS (rename
           // refuses), serialized by the lock on local FS
-          if (!f.exists(target) && f.rename(tmp, target)) Some(next)
-          else { f.delete(tmp, false); None }
+          if (!f.exists(target) && f.rename(tmp, target)) {
+            writeTip(f, table, next)
+            Some(next)
+          } else { f.delete(tmp, false); None }
         }
       }
       won.foreach(return _)
@@ -348,8 +586,33 @@ object SnapshotLog {
     )
   }
 
+  /** Read of an explicit file subset under the version's recorded
+    * schema — empty subsets are a valid empty table when the schema is
+    * known (an all-files-removed overwrite, a fully-skipped probe). */
+  private def readFiles(
+      spark: SparkSession,
+      table: String,
+      files: Seq[String],
+      schema: Option[StructType]
+  ): DataFrame = (files, schema) match {
+    case (Nil, Some(s)) =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    case (Nil, None) =>
+      throw new IllegalStateException(
+        s"snapshot read: empty version of $table with no recorded schema " +
+          "(pre-upgrade log?)"
+      )
+    case (fsq, Some(s)) =>
+      spark.read.schema(s).parquet(fsq.map(n => s"$table/$n"): _*)
+    case (fsq, None) => spark.read.parquet(fsq.map(n => s"$table/$n"): _*)
+  }
+
   /** Snapshot read at `version` (default: latest). Hands Spark exactly
-    * the manifest's paths, so pushdown/pruning see plain parquet. */
+    * the manifest's paths, so pushdown/pruning see plain parquet; the
+    * commit's recorded schema is the read schema, which makes empty
+    * versions readable and schema-evolved tables read under the union
+    * schema (absent columns null-fill per file). */
   def read(
       spark: SparkSession,
       table: String,
@@ -359,16 +622,24 @@ object SnapshotLog {
     require(vs.nonEmpty, s"snapshot read: no commits in $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot read: version $v not in $vs")
-    val files = manifest(spark, table, v).map(n => s"$table/$n")
-    require(files.nonEmpty, s"snapshot read: version $v is empty")
-    spark.read.parquet(files: _*)
+    readFiles(spark, table, manifest(spark, table, v), tableSchema(spark, table, v))
+  }
+
+  private def entryName(e: String): String = e.split('\t')(0)
+
+  private def entryStat(e: String, column: String): Option[String] = {
+    val parts = e.split('\t')
+    if (parts.length < 2) None
+    else
+      parts(1).split(';').find(_.startsWith(s"$column="))
+        .map(_.stripPrefix(s"$column="))
   }
 
   /** File names at `version` whose manifest stats admit rows with
     * `column` in `[lo, hi]` — a file is kept when it has no stats for
     * the column (skipping must never lose rows) or its [min,max]
-    * intersects the range. INT64 stats compare in LONG space (64-bit
-    * keys survive past 2^53); DOUBLE stats in double space. */
+    * intersects the range. INT64/INT32 stats compare in LONG space
+    * (64-bit keys survive past 2^53); DOUBLE stats in double space. */
   def prunedFiles(
       spark: SparkSession,
       table: String,
@@ -383,21 +654,55 @@ object SnapshotLog {
     require(vs.contains(v), s"snapshot read: version $v not in $vs")
     val entries = manifestEntries(spark, table, v)
     val kept = entries.filter { e =>
-      val parts = e.split('\t')
-      if (parts.length < 2) true // no stats: must scan
-      else
-        parts(1).split(';').find(_.startsWith(s"$column=")) match {
-          case None => true // column unstated: must scan
-          case Some(s) =>
-            s.stripPrefix(s"$column=").split(':') match {
-              case Array("l", mn, mx) => !(mx.toLong < lo || mn.toLong > hi)
-              case Array("d", mn, mx) =>
-                !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
-              case _ => true
-            }
-        }
+      entryStat(e, column) match {
+        case None => true // no stats / column unstated: must scan
+        case Some(s) =>
+          s.split(':') match {
+            case Array("l", mn, mx) => !(mx.toLong < lo || mn.toLong > hi)
+            case Array("i", mn, mx) => !(mx.toLong < lo || mn.toLong > hi)
+            case Array("d", mn, mx) =>
+              !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+            case _ => true
+          }
+      }
     }
-    (kept.map(_.split('\t')(0)), entries.length)
+    (kept.map(entryName), entries.length)
+  }
+
+  /** String-range twin of [[prunedFiles]]: keeps files whose UTF8
+    * min/max (unsigned byte order, the parquet sort order) intersects
+    * `[lo, hi]`. Files with no string stats (including values longer
+    * than [[MaxStringStatBytes]], which are never recorded) always
+    * scan. */
+  def prunedFilesString(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: String,
+      hi: String,
+      version: Option[Int] = None
+  ): (Seq[String], Int) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot read: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot read: version $v not in $vs")
+    val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val dec = java.util.Base64.getUrlDecoder
+    val entries = manifestEntries(spark, table, v)
+    val kept = entries.filter { e =>
+      entryStat(e, column) match {
+        case None => true
+        case Some(s) =>
+          s.split(':') match {
+            case Array("s", mn, mx) =>
+              !(compareBytes(dec.decode(mx), loB) < 0 ||
+                compareBytes(dec.decode(mn), hiB) > 0)
+            case _ => true
+          }
+      }
+    }
+    (kept.map(entryName), entries.length)
   }
 
   /** Snapshot read with FILE-LEVEL DATA SKIPPING: resolves the manifest,
@@ -418,20 +723,183 @@ object SnapshotLog {
   ): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (kept, _) = prunedFiles(spark, table, column, lo, hi, version)
-    // every file excluded → empty result; read the full manifest for
-    // schema and let the (row-group-skipped) filter return zero rows
-    val files =
-      if (kept.nonEmpty) kept
-      else manifest(spark, table, version.getOrElse(versions(spark, table).last))
-    spark.read
-      .parquet(files.map(n => s"$table/$n"): _*)
+    val v = version.getOrElse(versions(spark, table).last)
+    readFiles(spark, table, kept, tableSchema(spark, table, v))
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** String twin of [[readPruned]] — the text-corpus case (clustering
+    * keys like language, domain, or shard label are strings). */
+  def readPrunedString(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: String,
+      hi: String,
+      version: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = prunedFilesString(spark, table, column, lo, hi, version)
+    val v = version.getOrElse(versions(spark, table).last)
+    readFiles(spark, table, kept, tableSchema(spark, table, v))
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Splits the live files at `version` into (touched, untouched) by
+    * whether their manifest stats ADMIT any key in `changeKeys` (single
+    * LONG column). Files without stats for `column` are always touched
+    * (selection must never miss a matchable file). The stats table is
+    * O(live files) DRIVER-SIDE METADATA — the manifest we already
+    * resolved — so it broadcasts to the (arbitrarily large) change set
+    * rather than ever collecting change keys to the driver; only the
+    * O(files) distinct touched names come back. */
+  def touchedFiles(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      changeKeys: DataFrame,
+      version: Option[Int] = None
+  ): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot read: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    val entries = manifestEntries(spark, table, v)
+    val parsed = entries.map { e =>
+      val rng = entryStat(e, column).flatMap(_.split(':') match {
+        case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
+        case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
+        case _                  => None
+      })
+      (entryName(e), rng)
+    }
+    val blind = parsed.collect { case (n, None) => n }
+    val ranged = parsed.collect { case (n, Some((mn, mx))) => (n, mn, mx) }
+    val touchedRanged: Set[String] =
+      if (ranged.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val keyCol = changeKeys.columns.head
+        val ranges = ranged.toDF("_file", "_mn", "_mx")
+        changeKeys
+          .select(col(keyCol).cast("long").as("_k"))
+          .join(
+            broadcast(ranges),
+            col("_k") >= col("_mn") && col("_k") <= col("_mx")
+          )
+          .select("_file")
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSet
+      }
+    val names = parsed.map(_._1)
+    val touched = names.filter(n => blind.contains(n) || touchedRanged(n))
+    val untouched = names.filterNot(touched.toSet)
+    (touched, untouched)
+  }
+
+  /** File-granular copy-on-write MERGE: selects via [[touchedFiles]]
+    * the only files whose stats admit a changed key, applies `merge` to
+    * THAT subset of the table, and commits the rewritten subset with
+    * [[commitReplace]] — every untouched file survives into the new
+    * manifest by reference. Correctness leans on the skipping
+    * invariant: a file the stats exclude provably contains no change
+    * key, so the merge dataflow restricted to the touched subset plus
+    * the carried files is row-identical to merging the full table
+    * (change rows unmatched against the subset are genuine inserts —
+    * their key exists in NO file). `merge` must preserve the table
+    * schema (MERGE INTO never changes column names or types).
+    * Returns (version, rewrittenFiles, carriedFiles). */
+  def mergeCoW(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      changeKeys: DataFrame,
+      merge: DataFrame => DataFrame,
+      txnId: Option[String] = None
+  ): (Int, Seq[String], Seq[String]) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot merge: no commits in $table")
+    val v = vs.last
+    val schema = tableSchema(spark, table, v)
+    val (touched, untouched) = touchedFiles(spark, table, column, changeKeys, Some(v))
+    val base = readFiles(spark, table, touched, schema)
+    val merged = merge(base)
+    schema.foreach { s =>
+      require(
+        merged.schema.fieldNames.sameElements(s.fieldNames),
+        s"snapshot merge must preserve the table schema ${s.fieldNames.mkString(",")}; " +
+          s"got ${merged.schema.fieldNames.mkString(",")}"
+      )
+    }
+    val version = commitReplace(spark, table, touched, merged, txnId)
+    (version, touched, untouched)
+  }
+
+  /** Change-data feed between two committed versions: for each version
+    * in `(vFrom, vTo]`, files ADDED to the manifest surface their rows
+    * as `insert` and files DROPPED surface theirs as `delete`, tagged
+    * with `change_type` and `commit_version`. File-granular CDC — exact
+    * for appends and copy-on-write replaces (the only rows that move
+    * live in changed files); an overwrite legitimately emits
+    * delete-all + insert-all. Cost is O(changed files) IO per version,
+    * never a row-level diff of full snapshots; old files remain
+    * readable because vacuum keeps every version's references. */
+  def readChanges(
+      spark: SparkSession,
+      table: String,
+      vFrom: Int,
+      vTo: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, table)
+    require(
+      vs.contains(vFrom) && vs.contains(vTo) && vFrom < vTo,
+      s"snapshot changes: need committed vFrom < vTo, got ($vFrom, $vTo) of $vs"
+    )
+    val schema = tableSchema(spark, table, vTo)
+    val pieces = (vFrom + 1 to vTo).flatMap { v =>
+      val prev = manifest(spark, table, v - 1).toSet
+      val cur = manifest(spark, table, v)
+      val added = cur.filterNot(prev)
+      val removed = (prev -- cur.toSet).toSeq.sorted
+      val ins =
+        if (added.isEmpty) None
+        else
+          Some(
+            readFiles(spark, table, added, schema)
+              .withColumn("change_type", lit("insert"))
+              .withColumn("commit_version", lit(v))
+          )
+      val del =
+        if (removed.isEmpty) None
+        else
+          Some(
+            readFiles(spark, table, removed, schema)
+              .withColumn("change_type", lit("delete"))
+              .withColumn("commit_version", lit(v))
+          )
+      Seq(del, ins).flatten
+    }
+    require(
+      pieces.nonEmpty || schema.isDefined,
+      s"snapshot changes: empty range with no recorded schema in $table"
+    )
+    if (pieces.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      readFiles(spark, table, Nil, schema)
+        .withColumn("change_type", lit(""))
+        .withColumn("commit_version", lit(0))
+        .filter(col("commit_version") > 0)
+    } else pieces.reduce(_ unionByName _)
+  }
+
   /** Deletes data files referenced by NO version (crashed writers'
-    * orphans). Returns the deleted names. Production note: a real
-    * retention policy also expires OLD versions first; this keeps every
-    * committed version readable. */
+    * orphans), and sweeps `_staging/` job directories a writer that
+    * died inside [[stageOnly]] left behind. Returns the deleted names.
+    * Production note: a real retention policy also expires OLD versions
+    * first; this keeps every committed version readable. */
   def vacuum(
       spark: SparkSession,
       table: String,
@@ -460,7 +928,18 @@ object SnapshotLog {
         .map(_.getPath)
         .filterNot(p => referenced(p.getName))
       orphans.foreach(f.delete(_, false))
-      orphans.map(_.getName).toSeq
+      // a writer that crashed INSIDE stageOnly (before any rename into
+      // the table root) leaves its whole _staging/<jobId> directory;
+      // same grace window, swept recursively
+      val stagingRoot = new Path(s"$table/_staging")
+      val staged =
+        if (!f.exists(stagingRoot)) Array.empty[Path]
+        else
+          f.listStatus(stagingRoot)
+            .filter(st => st.isDirectory && st.getModificationTime <= cutoff)
+            .map(_.getPath)
+      staged.foreach(f.delete(_, true))
+      (orphans.map(_.getName) ++ staged.map(p => s"_staging/${p.getName}")).toSeq
     }
   }
 }
