@@ -56,6 +56,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * format — inference would be a guess. Supported field types: LONG,
   * DOUBLE, STRING (empty string ⇒ null for all three).
   */
+/** Java-serializable Hadoop `Configuration` carrier for shipping the
+  * SESSION'S conf inside reader/writer factories to executors. Without
+  * it, executor code building `new Configuration()` loads only the
+  * default resources — any non-default filesystem configuration the
+  * session carries (object-store credentials, endpoints, timeouts)
+  * silently vanishes on a real cluster (invisible in local mode, where
+  * driver and "executor" share defaults). Hadoop's Configuration is
+  * Writable but not Serializable, hence the custom hooks. */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class GraftTblSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
@@ -176,7 +197,16 @@ case class GraftTblScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftTblReaderFactory(fullSchema, required, pushed)
+    // driver-side: capture the session's Hadoop conf into the factory
+    // so executor-side readers resolve filesystems under it
+    GraftTblReaderFactory(
+      fullSchema,
+      required,
+      pushed,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()
+      )
+    )
 }
 
 case class GraftTblPartition(file: String, start: Long, length: Long)
@@ -185,11 +215,13 @@ case class GraftTblPartition(file: String, start: Long, length: Long)
 case class GraftTblReaderFactory(
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter]
+    pushed: Array[Filter],
+    conf: SerializableHadoopConf
 ) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftTblPartition]
-    new GraftTblReader(gp.file, gp.start, gp.length, fullSchema, required, pushed)
+    new GraftTblReader(
+      gp.file, gp.start, gp.length, fullSchema, required, pushed, conf.value)
   }
 }
 
@@ -209,10 +241,11 @@ class GraftTblReader(
     length: Long,
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter]
+    pushed: Array[Filter],
+    hadoopConf: Configuration
 ) extends PartitionReader[InternalRow] {
 
-  private val fs = new Path(file).getFileSystem(new Configuration())
+  private val fs = new Path(file).getFileSystem(hadoopConf)
   private val end = start + length
   private val stream = fs.open(new Path(file))
   private val in: java.io.InputStream = {
@@ -330,7 +363,15 @@ case class GraftTblBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo
-  ): DataWriterFactory = GraftTblWriterFactory(schema, path)
+  ): DataWriterFactory =
+    // driver-side: session conf rides the factory to executor writers
+    GraftTblWriterFactory(
+      schema,
+      path,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()
+      )
+    )
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -366,24 +407,28 @@ case class GraftTblBatchWrite(
 case class GraftTblCommit(tempPath: String, partitionId: Int)
     extends WriterCommitMessage
 
-case class GraftTblWriterFactory(schema: StructType, path: String)
-    extends DataWriterFactory {
+case class GraftTblWriterFactory(
+    schema: StructType,
+    path: String,
+    conf: SerializableHadoopConf
+) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long
   ): DataWriter[InternalRow] =
-    new GraftTblWriter(schema, path, partitionId, taskId)
+    new GraftTblWriter(schema, path, partitionId, taskId, conf.value)
 }
 
 class GraftTblWriter(
     schema: StructType,
     path: String,
     partitionId: Int,
-    taskId: Long
+    taskId: Long,
+    hadoopConf: Configuration
 ) extends DataWriter[InternalRow] {
 
   private val temp = s"$path/_temp/attempt-$partitionId-$taskId.gtbl"
-  private val fs = new Path(temp).getFileSystem(new Configuration())
+  private val fs = new Path(temp).getFileSystem(hadoopConf)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(
       fs.create(new Path(temp), true),

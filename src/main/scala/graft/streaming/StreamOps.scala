@@ -147,19 +147,31 @@ object StreamOps {
     * contract upgraded from a partition-overwrite layout to a table
     * format: every committed version additionally stays time-travel
     * readable. `failAfterCommitAt` injects the crash exactly inside
-    * that window (once), for the restart test. */
+    * that window (once), for the restart test.
+    *
+    * The idempotency token is SCOPED, not the bare batchId (the Delta
+    * (txnAppId, txnVersion) posture): batchIds are only meaningful
+    * within one checkpoint lineage, so a second query writing the same
+    * table — or the same query restarted against a FRESH checkpoint,
+    * whose batchIds restart at 0 — must not see the first lineage's
+    * `batch-N` in the log and silently skip its own commit (that is
+    * data loss, not deduplication). The default scope tag hashes the
+    * checkpoint location, which is exactly the unit a batchId sequence
+    * belongs to; pass `appId` to override with an explicit stable id. */
   def snapshotSink(
       events: DataFrame,
       table: String,
       checkpointDir: String,
-      failAfterCommitAt: Option[Long] = None
+      failAfterCommitAt: Option[Long] = None,
+      appId: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val scope = appId.getOrElse(snapshotTxnScope(checkpointDir))
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sources.SnapshotLog
-          .commitIdempotent(batch.sparkSession, table, batch, s"batch-$batchId")
+          .commitIdempotent(batch.sparkSession, table, batch, s"$scope-batch-$batchId")
         if (failAfterCommitAt.contains(batchId) && !tripped.getAndSet(true))
           throw new RuntimeException(
             s"injected crash after snapshot commit, before offset commit (batch $batchId)"
@@ -167,6 +179,19 @@ object StreamOps {
       }
       .start()
   }
+
+  /** Deterministic per-checkpoint scope tag for [[snapshotSink]]'s txn
+    * ids — stable across restarts FROM that checkpoint (replay dedup
+    * keeps working), distinct across checkpoints (no cross-query or
+    * fresh-checkpoint token collision). Package-visible so tests can
+    * predict tokens. */
+  private[graft] def snapshotTxnScope(checkpointDir: String): String =
+    java.security.MessageDigest
+      .getInstance("SHA-1")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4)
+      .map("%02x".format(_))
+      .mkString("q", "", "")
 
   /** Read-back totals for [[exactlyOnceSink]]'s partial-aggregate
     * layout: sum the per-batch partials per user. */

@@ -99,7 +99,8 @@ class Round10Spec extends SparkTestBase {
       while (start < fileLen) {
         val len = math.min(split, fileLen - start)
         val r = new graft.sources.GraftTblReader(
-          file, start, len, schema, schema, Array.empty
+          file, start, len, schema, schema, Array.empty,
+          new org.apache.hadoop.conf.Configuration()
         )
         try while (r.next()) got += r.get().getLong(0)
         finally r.close()
@@ -111,6 +112,54 @@ class Round10Spec extends SparkTestBase {
           s"missing=${expectedIds.diff(got).take(5)}"
       )
     }
+  }
+
+  test("graft-tbl factories carry the SESSION hadoop conf to executor code") {
+    // round 11: executor-side readers/writers used to build a bare
+    // `new Configuration()` — on a real cluster that silently drops any
+    // session-level filesystem conf (object-store credentials, custom
+    // schemes). The factories now capture the session conf at driver
+    // time; java serialization below IS the executor shipping path.
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def roundTrip[T <: AnyRef](x: T): T = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(x); oos.close()
+      new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray)
+      ).readObject().asInstanceOf[T]
+    }
+    // the path cluster credentials take: core hadoopConfiguration, which
+    // newHadoopConf() clones per session (runtime spark.conf.set keys
+    // keep their full "spark.hadoop."-prefixed names there — only
+    // startup SparkConf entries are stripped)
+    spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "ring-the-bell")
+    try {
+      val schema = StructType.fromDDL("id LONG")
+      // reader factory, built through the real table/scan stack
+      val scan = graft.sources
+        .GraftTblTable(schema, "/tmp/graft_r11_conf")
+        .newScanBuilder(new CaseInsensitiveStringMap(java.util.Map.of()))
+        .build()
+      val rf = scan.toBatch
+        .createReaderFactory()
+        .asInstanceOf[graft.sources.GraftTblReaderFactory]
+      assert(
+        roundTrip(rf).conf.value.get("graft.test.marker") == "ring-the-bell",
+        "session hadoop conf must survive into deserialized reader factories"
+      )
+      // writer factory: same capture (createBatchWriterFactory calls the
+      // same newHadoopConf), same serialization contract
+      val wf = graft.sources.GraftTblWriterFactory(
+        schema,
+        "/tmp/graft_r11_conf",
+        new graft.sources.SerializableHadoopConf(
+          spark.sessionState.newHadoopConf()
+        )
+      )
+      assert(roundTrip(wf).conf.value.get("graft.test.marker") == "ring-the-bell")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.marker")
   }
 
   test("graft-tbl splits compose with pushdown and pruning (source_dsv2 parity)") {
