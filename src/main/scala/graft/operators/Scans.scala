@@ -867,7 +867,223 @@ object Scans {
       .orderBy("commit_version", "change_type", "o_orderkey")
   }
 
+  /** Snapshot-table OPTIMIZE (round 11): eight micro-batch appends —
+    * the small-file accretion every streaming ingestion and CoW merge
+    * produces — then [[graft.sources.SnapshotLog.compact]] bin-packs
+    * all of them into one file as a data-preserving `replace` commit.
+    * At 100 TB un-compacted tables pay per-file open latency and
+    * footer reads on every query; compaction is the maintenance op
+    * that keeps the file count O(size/target), and because it commits
+    * `datachange=false` the change feed is provably silent across it
+    * (checked inline — the rows did not change, only their layout).
+    * The read-back after compaction must be byte-identical to the
+    * pre-compaction table, so the oracle is the plain source scan. */
+  val sinkSnapshotCompact: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_opt")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    (0 to 7).foreach(i =>
+      SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 8 === i))
+    )
+    val v0 = SnapshotLog.versions(spark, table).last
+    val before = SnapshotLog.manifest(spark, table, v0).size
+    val (v1, rewritten, carried) = SnapshotLog.compact(
+      spark,
+      table,
+      smallerThanBytes = Long.MaxValue,
+      filesOut = Some(1)
+    )
+    val after = SnapshotLog.manifest(spark, table, v1).size
+    require(
+      after < before && rewritten.size == before && carried.isEmpty,
+      s"compaction must shrink the manifest: $before -> $after"
+    )
+    require(
+      SnapshotLog.readChanges(spark, table, v0, v1).isEmpty,
+      "a data-preserving rewrite must be invisible to the change feed"
+    )
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
+  /** Clustering rewrite driving file skipping (round 11): four
+    * MODULO-sharded appends give every file a key range spanning the
+    * whole table — manifest stats can prune nothing (checked inline).
+    * `compact(sortBy = o_orderkey)` then range-clusters the rewrite,
+    * so the new files carry tight disjoint footer ranges and the same
+    * probe skips most of them (also checked inline) — the OPTIMIZE
+    * ZORDER posture: at 100 TB, clustering is what turns footer stats
+    * from dead weight into partition-pruning-grade file skipping for
+    * ingestion orders that arrive unclustered. Skipping can only
+    * exclude provably-disjoint files, so the result is
+    * layout-independent and the oracle is the plain range SELECT. */
+  val scanClusterPruned: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_cluster")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    // round-robin repartition inside each batch: the parquet scan's
+    // splits are orderkey-contiguous, so without it every landed file
+    // would accidentally arrive range-clustered and there'd be nothing
+    // for the rewrite to fix
+    (0 to 3).foreach(i =>
+      SnapshotLog.commit(
+        spark,
+        table,
+        o.filter(col("o_orderkey") % 4 === i).repartition(2)
+      )
+    )
+    val (keptBefore, totalBefore) =
+      SnapshotLog.prunedFiles(spark, table, "o_orderkey", c1 + 1, c2)
+    require(
+      keptBefore.size == totalBefore,
+      "modulo-sharded layout must admit every file"
+    )
+    SnapshotLog.compact(
+      spark,
+      table,
+      smallerThanBytes = Long.MaxValue,
+      sortBy = Seq("o_orderkey"),
+      filesOut = Some(6)
+    )
+    val (keptAfter, totalAfter) =
+      SnapshotLog.prunedFiles(spark, table, "o_orderkey", c1 + 1, c2)
+    require(
+      keptAfter.size < totalAfter,
+      s"clustered layout must skip files: kept ${keptAfter.size} of $totalAfter"
+    )
+    SnapshotLog.readPruned(spark, table, "o_orderkey", c1 + 1, c2)
+      .orderBy("o_orderkey")
+  }
+
+  /** Copy-on-write DELETE (round 11): three range-sharded appends,
+    * then `deleteWhere` removes a sub-range of the middle shard —
+    * manifest stats admit only that shard's files, so they alone are
+    * rewritten (with their surviving rows) and both outer shards carry
+    * by reference (checked inline). A second delete on a range no
+    * file's stats admit is a free no-op: no files rewritten, no
+    * version burned. The 100 TB contract: deleting one ingestion
+    * shard's range costs O(that shard), not a table rewrite. */
+  val etlDeleteSnapshot: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_del")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val mid = (3 * c1) / 2
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+    )
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    val (v, rewritten, carried) =
+      SnapshotLog.deleteWhere(spark, table, "o_orderkey", c1 + 1, mid)
+    require(
+      rewritten.nonEmpty && carried.nonEmpty,
+      "a mid-shard delete must rewrite only the admitted files"
+    )
+    val (v2, r2, _) =
+      SnapshotLog.deleteWhere(spark, table, "o_orderkey", maxK * 10, maxK * 20)
+    require(
+      v2 == v && r2.isEmpty,
+      "a delete no file admits must be a no-op (no version burned)"
+    )
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
+  /** Incremental MV maintenance fed by the change feed (round 11): the
+    * per-customer rollup is materialized ONCE as of v2, then an append
+    * (v3) and a file-granular CoW update (v4, doubling cents for the
+    * low-key half-shard) land — and maintenance reads ONLY
+    * `readChanges(2, 4)`: inserts add into the aggregate, deletes
+    * subtract, in exact long-space cents. The CoW replace's carried
+    * files never re-enter the feed, so the maintenance cost is
+    * O(changed files), the whole point of a CDF on a 100 TB table —
+    * recomputing the MV would scan everything. The oracle recomputes
+    * the final rollup from the source, so the incremental path must
+    * land exactly on the full-recompute answer. */
+  val etlMvIncremental: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_mv")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")
+      )
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val h = c1 / 2
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+    )
+    val mv0 = SnapshotLog
+      .read(spark, table, Some(2))
+      .groupBy("o_custkey")
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_orders"))
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    SnapshotLog.mergeCoW(
+      spark,
+      table,
+      "o_orderkey",
+      o.filter(col("o_orderkey") <= h).select("o_orderkey"),
+      base =>
+        base.withColumn(
+          "cents",
+          when(col("o_orderkey") <= h, col("cents") * 2).otherwise(col("cents"))
+        )
+    )
+    val sign =
+      when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val delta = SnapshotLog
+      .readChanges(spark, table, 2, 4)
+      .groupBy("o_custkey")
+      .agg(sum(col("cents") * sign).as("d_cents"), sum(sign).as("d_n"))
+    mv0
+      .join(delta, Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        (coalesce(col("sum_cents"), lit(0L)) +
+          coalesce(col("d_cents"), lit(0L))).as("sum_cents"),
+        (coalesce(col("n_orders"), lit(0L)) +
+          coalesce(col("d_n"), lit(0L))).as("n_orders")
+      )
+      .filter(col("n_orders") > 0)
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_snapshot_compact" -> sinkSnapshotCompact,
+    "scan_cluster_pruned" -> scanClusterPruned,
+    "etl_delete_snapshot" -> etlDeleteSnapshot,
+    "etl_mv_incremental" -> etlMvIncremental,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -898,6 +1114,38 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    // compaction is data-preserving by contract, so the oracle is the
+    // plain source scan: any row lost or duplicated by the rewrite
+    // breaks the hash
+    "sink_snapshot_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // skipping can only exclude provably-disjoint files: the result is
+    // layout-independent before AND after the clustering rewrite
+    "scan_cluster_pruned" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
+        |ORDER BY o_orderkey""".stripMargin,
+    // the CoW delete must drop exactly the [c1+1, 3*c1/2] range and
+    // nothing else — carried-by-reference rows included
+    "etl_delete_snapshot" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the incremental path (MV@v2 + change feed) must land exactly on
+    // the full recompute of the final table state: appended rows
+    // counted once, CoW-updated rows at their doubled value, exact
+    // long-space cents
+    "etl_mv_incremental" ->
+      """WITH b AS (SELECT (max(o_orderkey) // 3) // 2 AS h FROM orders)
+        |SELECT o_custkey,
+        | CAST(sum(CASE WHEN o_orderkey <= b.h THEN 2 ELSE 1 END *
+        |          CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders, b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // both snapshot oracles recompute the committed batches from the
     // SOURCE table: the gate is what the manifest makes visible
     "sink_snapshot_commit" ->

@@ -51,6 +51,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
   *     rows and files dropped from it as `delete` rows — O(changed
   *     files) IO for appends and CoW replaces, never a diff of full
   *     snapshots — feeding incremental MV maintenance downstream.
+  *   - **[[compact]] is OPTIMIZE** (round 11): bin-packs the small
+  *     files incremental ingestion accretes into target-size outputs
+  *     (optionally range-CLUSTERING on sort keys so footer stats prune
+  *     hard afterwards), committed as a `datachange=false` replace the
+  *     change feed skips — rows moved files, no row changed.
+  *     [[deleteWhere]] is the CoW DELETE twin: stats select the only
+  *     files that can hold a doomed row; everything else carries by
+  *     reference.
   *
   * Scale posture: the log is O(commits) tiny text files; the
   * `_log/_tip` pointer makes tip discovery O(1) round trips instead of
@@ -479,8 +487,10 @@ object SnapshotLog {
       table: String,
       removed: Seq[String],
       df: DataFrame,
-      txnId: Option[String] = None
-  ): Int = commitInternal(spark, table, df, overwrite = false, txnId, Some(removed))
+      txnId: Option[String] = None,
+      dataChange: Boolean = true
+  ): Int =
+    commitInternal(spark, table, df, overwrite = false, txnId, Some(removed), dataChange)
 
   private def commitInternal(
       spark: SparkSession,
@@ -488,7 +498,8 @@ object SnapshotLog {
       df: DataFrame,
       overwrite: Boolean,
       txnId: Option[String],
-      replaceRemoved: Option[Seq[String]]
+      replaceRemoved: Option[Seq[String]],
+      dataChange: Boolean = true
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
@@ -501,9 +512,14 @@ object SnapshotLog {
         .foreach(mergeSchemas(_, df.schema))
     val landed = stageOnly(spark, table, df).map { name =>
       // footer stats ride the manifest so reads can skip files without
-      // opening them; a file contributes `name` alone if stats are absent
-      val suffix = statsSuffix(spark, new Path(s"$table/$name"))
-      if (suffix.isEmpty) name else s"$name\t$suffix"
+      // opening them; a file contributes `name` alone if stats are
+      // absent. The file's byte size rides the same suffix (`_sz=z:`)
+      // so compaction planning never stats files one by one — at 1e6
+      // files on an object store that is 1e6 metadata round trips.
+      val stats = statsSuffix(spark, new Path(s"$table/$name"))
+      val size = s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen}"
+      val suffix = if (stats.isEmpty) size else s"$size;$stats"
+      s"$name\t$suffix"
     }
     val lock = claimLocks.computeIfAbsent(table, _ => new Object)
     var attempts = 0
@@ -560,6 +576,11 @@ object SnapshotLog {
              else "append") +
               (if (delta) s" parent=${prev.get}" else "") +
               txnId.map(t => s" txn=$t").getOrElse("") +
+              // data-preserving rewrites (compaction, clustering) mark
+              // themselves so the change feed can skip them — the rows
+              // did not change, only their file layout (the posture
+              // Delta's OPTIMIZE takes with dataChange=false)
+              (if (dataChange) "" else " datachange=false") +
               s" schema=${b64(schema.json)}"
           val tmp =
             new Path(s"$table/$LogDir/.tmp-${UUID.randomUUID.toString.take(8)}")
@@ -860,6 +881,16 @@ object SnapshotLog {
     )
     val schema = tableSchema(spark, table, vTo)
     val pieces = (vFrom + 1 to vTo).flatMap { v =>
+      // data-preserving rewrites (compaction/clustering commit with
+      // dataChange=false) moved rows between files without changing
+      // them — a row-level change feed must emit NOTHING for such a
+      // version, not a spurious delete-all+insert-all of the rewritten
+      // files. Skipping is sound because the manifest diff of the NEXT
+      // data change is computed against this version's (row-identical)
+      // manifest.
+      if (headerToken(header(spark, table, v), "datachange").contains("false"))
+        Seq.empty
+      else {
       val prev = manifest(spark, table, v - 1).toSet
       val cur = manifest(spark, table, v)
       val added = cur.filterNot(prev)
@@ -881,6 +912,7 @@ object SnapshotLog {
               .withColumn("commit_version", lit(v))
           )
       Seq(del, ins).flatten
+      }
     }
     require(
       pieces.nonEmpty || schema.isDefined,
@@ -893,6 +925,114 @@ object SnapshotLog {
         .withColumn("commit_version", lit(0))
         .filter(col("commit_version") > 0)
     } else pieces.reduce(_ unionByName _)
+  }
+
+  /** Manifest-recorded byte size of an entry's file (`_sz=z:` token,
+    * written by every commit since the size rider landed); None for
+    * pre-upgrade entries, whose callers fall back to a filesystem
+    * stat. */
+  private def entrySize(e: String): Option[Long] =
+    e.split('\t') match {
+      case parts if parts.length >= 2 =>
+        parts(1).split(';').collectFirst {
+          case t if t.startsWith("_sz=z:") => t.stripPrefix("_sz=z:").toLong
+        }
+      case _ => None
+    }
+
+  /** Bin-packs the live files below `smallerThanBytes` into
+    * ~`targetBytes` outputs as a DATA-PRESERVING replace commit — the
+    * OPTIMIZE half of a table format. Small files are the chronic
+    * disease of incremental ingestion (every streaming micro-batch and
+    * every CoW merge lands a few), and at 100 TB an un-compacted table
+    * pays per-file open latency and footer reads on every query.
+    *
+    * With `sortBy` the rewrite also CLUSTERS: the selected rows are
+    * range-repartitioned and sorted on the keys, so the rewritten
+    * files' footer min/max become tight disjoint ranges and
+    * [[readPruned]]/[[touchedFiles]] skip hard afterwards (Delta's
+    * OPTIMIZE ZORDER posture; for the 1-2 column case range-clustering
+    * gives strictly tighter per-file ranges than bit-interleaving).
+    * Pass `smallerThanBytes = Long.MaxValue` for a full clustering
+    * rewrite.
+    *
+    * The commit carries `datachange=false`: rows did not change, so
+    * [[readChanges]] emits nothing for it and incremental consumers
+    * are undisturbed. Untouched files carry by reference; file sizes
+    * come from the manifest's `_sz` rider (no per-file stat calls).
+    * Returns (version, rewrittenFiles, carriedFiles) — version is the
+    * PRE-compaction tip when nothing qualified (no empty commit). */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      smallerThanBytes: Long = 64L << 20,
+      targetBytes: Long = 128L << 20,
+      sortBy: Seq[String] = Nil,
+      filesOut: Option[Int] = None
+  ): (Int, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot compact: no commits in $table")
+    val v = vs.last
+    val entries = manifestEntries(spark, table, v)
+    val f = fs(spark, table)
+    val sized = entries.map { e =>
+      val name = entryName(e)
+      val sz = entrySize(e).getOrElse(
+        f.getFileStatus(new Path(s"$table/$name")).getLen)
+      (name, sz)
+    }
+    val (small, large) = sized.partition(_._2 < smallerThanBytes)
+    // one small file alone gains nothing unless a clustering sort was
+    // asked for — don't burn a version on a no-op rewrite
+    if (small.size < 2 && sortBy.isEmpty)
+      return (v, Nil, sized.map(_._1))
+    if (small.isEmpty) return (v, Nil, sized.map(_._1))
+    val picked = small.map(_._1)
+    val total = small.map(_._2).sum
+    val nOut = filesOut.getOrElse(
+      math.max(1L, (total + targetBytes - 1) / targetBytes).toInt)
+    val schema = tableSchema(spark, table, v)
+    val df = readFiles(spark, table, picked, schema)
+    val packed =
+      if (sortBy.isEmpty) df.coalesce(nOut) // pure concat, no shuffle
+      else
+        df.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+    val version =
+      commitReplace(spark, table, picked, packed, dataChange = false)
+    (version, picked, large.map(_._1))
+  }
+
+  /** Copy-on-write DELETE of `column ∈ [lo, hi]`: manifest stats
+    * select the only files that can hold a doomed row ([[prunedFiles]]
+    * — the same skipping invariant MERGE leans on), those are
+    * rewritten with the range filtered OUT, and every other file
+    * carries by reference. A delete touching one ingestion shard of a
+    * 100 TB table rewrites that shard only; when no file's stats admit
+    * the range the table is untouched — no commit, no version burned.
+    * Returns (version, rewrittenFiles, carriedFiles). */
+  def deleteWhere(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Long,
+      hi: Long,
+      txnId: Option[String] = None
+  ): (Int, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot delete: no commits in $table")
+    val v = vs.last
+    val (touched, _) = prunedFiles(spark, table, column, lo, hi, Some(v))
+    val all = manifest(spark, table, v)
+    val untouched = all.filterNot(touched.toSet)
+    if (touched.isEmpty) return (v, Nil, untouched)
+    val schema = tableSchema(spark, table, v)
+    val kept = readFiles(spark, table, touched, schema)
+      .filter(!(col(column) >= lo && col(column) <= hi))
+    val version = commitReplace(spark, table, touched, kept, txnId)
+    (version, touched, untouched)
   }
 
   /** Deletes data files referenced by NO version (crashed writers'

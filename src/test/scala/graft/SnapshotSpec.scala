@@ -335,4 +335,116 @@ class SnapshotSpec extends SparkTestBase {
     assert(rows(t, Some(1)) == (1L to 5L).toSet)
     assert(SnapshotLog.vacuum(spark, t, olderThanMs = 0).isEmpty) // idempotent
   }
+
+  test("compact bin-packs small files; data preserved, change feed silent, no-op below threshold") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 6).foreach(i =>
+      SnapshotLog.commit(spark, t, (i * 10L until i * 10L + 10L).toDF("id")))
+    val v0 = SnapshotLog.versions(spark, t).last
+    val before = SnapshotLog.manifest(spark, t, v0)
+    assert(before.size >= 6)
+    // nothing under 1 byte: compaction must not burn a version
+    val (vNoop, r0, _) = SnapshotLog.compact(spark, t, smallerThanBytes = 1)
+    assert(vNoop == v0 && r0.isEmpty, "no-op compaction must not commit")
+    val (v1, rewritten, carried) =
+      SnapshotLog.compact(spark, t, smallerThanBytes = Long.MaxValue, filesOut = Some(1))
+    assert(rewritten.toSet == before.toSet && carried.isEmpty)
+    assert(SnapshotLog.manifest(spark, t, v1).size == 1, "bin-pack to one file")
+    assert(rows(t) == (0L until 60L).toSet, "compaction must preserve rows exactly")
+    assert(rows(t, Some(v0)) == (0L until 60L).toSet, "pre-compaction version intact")
+    // datachange=false: a row-level change feed emits NOTHING for the
+    // rewrite (the Delta OPTIMIZE posture)
+    assert(SnapshotLog.readChanges(spark, t, v0, v1).count() == 0)
+    // old files are still referenced by old versions: vacuum keeps them
+    assert(SnapshotLog.vacuum(spark, t, olderThanMs = 0).isEmpty)
+  }
+
+  test("compact(sortBy) clusters: pruning dead on modulo layout, alive after the rewrite") {
+    import spark.implicits._
+    val t = freshTable()
+    // round-robin-partitioned shards: every file's id range spans
+    // ~the whole table (a contiguous parallelize would accidentally
+    // range-cluster each file — measured exactly that)
+    (0 until 4).foreach(i =>
+      SnapshotLog.commit(spark, t,
+        (0L until 400L).filter(_ % 4 == i).toDF("id").repartition(4)))
+    val (keptB, totalB) = SnapshotLog.prunedFiles(spark, t, "id", 100, 199)
+    assert(keptB.size == totalB, "modulo layout admits every file")
+    val (v1, _, _) = SnapshotLog.compact(
+      spark, t, smallerThanBytes = Long.MaxValue,
+      sortBy = Seq("id"), filesOut = Some(4))
+    val (keptA, totalA) = SnapshotLog.prunedFiles(spark, t, "id", 100, 199)
+    assert(totalA == 4)
+    assert(keptA.size <= 2, s"clustered quarter-range probe kept $keptA")
+    assert(SnapshotLog.readPruned(spark, t, "id", 100, 199)
+      .collect().map(_.getLong(0)).toSet == (100L to 199L).toSet)
+    // clustered files carry stats+size riders: a later CoW merge
+    // selects a strict subset via touchedFiles
+    val (touched, untouched) = SnapshotLog.touchedFiles(
+      spark, t, "id", Seq(5L, 7L).toDF("id"), Some(v1))
+    assert(touched.size == 1 && untouched.size == 3,
+      s"low-key change set must touch one clustered file: $touched")
+  }
+
+  test("deleteWhere rewrites only admitted files; disjoint delete is a free no-op") {
+    import spark.implicits._
+    val t = freshTable()
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("id").repartitionByRange(2, col("id"))
+    SnapshotLog.commit(spark, t, batch(1, 100))
+    SnapshotLog.commit(spark, t, batch(101, 200))
+    SnapshotLog.commit(spark, t, batch(201, 300))
+    val preManifest = SnapshotLog.manifest(spark, t, 3)
+    val (v, rewritten, carried) = SnapshotLog.deleteWhere(spark, t, "id", 120, 180)
+    assert(v == 4)
+    assert(rewritten.size <= 2, s"only batch-2's files admit [120,180]: $rewritten")
+    assert(carried.size == preManifest.size - rewritten.size)
+    // carried names survive VERBATIM into the post-delete manifest
+    val post = SnapshotLog.manifest(spark, t, v).toSet
+    assert(carried.forall(post), "untouched files must carry by reference")
+    assert(rewritten.forall(n => !post(n)), "rewritten files must leave the manifest")
+    assert(rows(t) == ((1L to 119L) ++ (181L to 300L)).toSet)
+    assert(rows(t, Some(3)) == (1L to 300L).toSet, "pre-delete version intact")
+    // no file's stats admit [5000, 6000]: no rewrite, no version burned
+    val (v2, r2, _) = SnapshotLog.deleteWhere(spark, t, "id", 5000, 6000)
+    assert(v2 == v && r2.isEmpty, "disjoint delete must be a no-op")
+    // the delete IS a data change: the feed emits it (deletes of the
+    // rewritten files' rows, re-inserts of their survivors)
+    val ch = SnapshotLog.readChanges(spark, t, 3, v)
+    val deleted = ch.filter(col("change_type") === "delete").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val reinserted = ch.filter(col("change_type") === "insert").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert((deleted -- reinserted) == (120L to 180L).toSet,
+      "net change of the delete must be exactly the doomed range")
+  }
+
+  test("change feed composes across a skipped compaction version") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))   // v1
+    SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"))   // v2
+    val (v3, _, _) = SnapshotLog.compact(
+      spark, t, smallerThanBytes = Long.MaxValue, filesOut = Some(1))
+    assert(v3 == 3)
+    SnapshotLog.commit(spark, t, (10L to 12L).toDF("id")) // v4
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    // the compaction version contributes nothing; appends around it do
+    assert(ids(SnapshotLog.readChanges(spark, t, 1, 4)
+      .filter(col("change_type") === "insert")) == (6L to 12L).toSet)
+    assert(SnapshotLog.readChanges(spark, t, 1, 4)
+      .filter(col("change_type") === "delete").count() == 0)
+    // a CoW delete AFTER compaction diffs against the compacted layout
+    val (v5, rewritten, _) = SnapshotLog.deleteWhere(spark, t, "id", 2, 3)
+    assert(rewritten.nonEmpty)
+    val net = {
+      val ch = SnapshotLog.readChanges(spark, t, 4, v5)
+      ids(ch.filter(col("change_type") === "delete")) --
+        ids(ch.filter(col("change_type") === "insert"))
+    }
+    assert(net == Set(2L, 3L))
+    assert(rows(t) == ((1L to 12L).toSet -- Set(2L, 3L)))
+  }
 }
