@@ -967,6 +967,59 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Z-ORDER clustering rewrite (round 11): lexicographic sortBy
+    * privileges the leading key — every file still spans the trailing
+    * key's whole domain, so probes on it prune nothing. `compact
+    * (zorderBy = orderkey, custkey)` rewrites on the
+    * [[graft.functions.ZCurve]] Morton value of equi-depth ranks
+    * instead, bounding every file's extent in BOTH dimensions — and
+    * the inline checks demand what only a space-filling curve can
+    * deliver: a single-column range probe on EACH key independently
+    * skips files. The served result is the custkey range read; stats
+    * can only exclude provably-disjoint files, so it is
+    * layout-independent and the oracle is the plain range SELECT. */
+  val scanZorderPruned: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_zorder")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val mx = o
+      .agg(max("o_orderkey"), max("o_custkey"))
+      .collect()(0)
+    val (maxK, maxC) = (mx.getLong(0), mx.getLong(1))
+    // round-robin batches: unclustered arrival order in both keys
+    (0 to 3).foreach(i =>
+      SnapshotLog.commit(
+        spark,
+        table,
+        o.filter(col("o_orderkey") % 4 === i).repartition(2)
+      )
+    )
+    SnapshotLog.compact(
+      spark,
+      table,
+      smallerThanBytes = Long.MaxValue,
+      filesOut = Some(16),
+      zorderBy = Seq("o_orderkey", "o_custkey")
+    )
+    val (keptK, totalK) = SnapshotLog
+      .prunedFiles(spark, table, "o_orderkey", maxK / 3 + 1, 2 * (maxK / 3))
+    val (keptC, totalC) = SnapshotLog
+      .prunedFiles(spark, table, "o_custkey", maxC / 3 + 1, 2 * (maxC / 3))
+    require(
+      keptK.size < totalK && keptC.size < totalC,
+      s"z-order must prune on BOTH dimensions: orderkey ${keptK.size}/$totalK, " +
+        s"custkey ${keptC.size}/$totalC"
+    )
+    SnapshotLog
+      .readPruned(spark, table, "o_custkey", maxC / 3 + 1, 2 * (maxC / 3))
+      .orderBy("o_orderkey")
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -1082,6 +1135,7 @@ object Scans {
   val queries: Map[String, Q] = Map(
     "sink_snapshot_compact" -> sinkSnapshotCompact,
     "scan_cluster_pruned" -> scanClusterPruned,
+    "scan_zorder_pruned" -> scanZorderPruned,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_mv_incremental" -> etlMvIncremental,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1126,6 +1180,13 @@ object Scans {
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
+        |ORDER BY o_orderkey""".stripMargin,
+    // z-order can only exclude provably-disjoint files: served result
+    // is the plain custkey range read at any layout
+    "scan_zorder_pruned" ->
+      """WITH b AS (SELECT max(o_custkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_custkey > b.c1 AND o_custkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
     // the CoW delete must drop exactly the [c1+1, 3*c1/2] range and
     // nothing else — carried-by-reference rows included

@@ -950,11 +950,15 @@ object SnapshotLog {
     * With `sortBy` the rewrite also CLUSTERS: the selected rows are
     * range-repartitioned and sorted on the keys, so the rewritten
     * files' footer min/max become tight disjoint ranges and
-    * [[readPruned]]/[[touchedFiles]] skip hard afterwards (Delta's
-    * OPTIMIZE ZORDER posture; for the 1-2 column case range-clustering
-    * gives strictly tighter per-file ranges than bit-interleaving).
-    * Pass `smallerThanBytes = Long.MaxValue` for a full clustering
-    * rewrite.
+    * [[readPruned]]/[[touchedFiles]] skip hard afterwards. That is the
+    * single-key optimum — but lexicographic order privileges the
+    * LEADING key: every file still spans the trailing key's whole
+    * domain. `zorderBy` instead clusters on the
+    * [[graft.functions.ZCurve]] Morton value of the keys, bounding
+    * every file's extent in EVERY listed dimension, so single-column
+    * probes prune on each key independently (Delta's OPTIMIZE ZORDER
+    * posture). Pass `smallerThanBytes = Long.MaxValue` for a full
+    * clustering rewrite.
     *
     * The commit carries `datachange=false`: rows did not change, so
     * [[readChanges]] emits nothing for it and incremental consumers
@@ -968,8 +972,13 @@ object SnapshotLog {
       smallerThanBytes: Long = 64L << 20,
       targetBytes: Long = 128L << 20,
       sortBy: Seq[String] = Nil,
-      filesOut: Option[Int] = None
+      filesOut: Option[Int] = None,
+      zorderBy: Seq[String] = Nil
   ): (Int, Seq[String], Seq[String]) = {
+    require(
+      sortBy.isEmpty || zorderBy.isEmpty,
+      "compact: sortBy and zorderBy are mutually exclusive"
+    )
     import org.apache.spark.sql.functions.col
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot compact: no commits in $table")
@@ -985,7 +994,7 @@ object SnapshotLog {
     val (small, large) = sized.partition(_._2 < smallerThanBytes)
     // one small file alone gains nothing unless a clustering sort was
     // asked for — don't burn a version on a no-op rewrite
-    if (small.size < 2 && sortBy.isEmpty)
+    if (small.size < 2 && sortBy.isEmpty && zorderBy.isEmpty)
       return (v, Nil, sized.map(_._1))
     if (small.isEmpty) return (v, Nil, sized.map(_._1))
     val picked = small.map(_._1)
@@ -995,7 +1004,14 @@ object SnapshotLog {
     val schema = tableSchema(spark, table, v)
     val df = readFiles(spark, table, picked, schema)
     val packed =
-      if (sortBy.isEmpty) df.coalesce(nOut) // pure concat, no shuffle
+      if (zorderBy.nonEmpty) {
+        // contiguous z-ranges per file; the helper column never lands
+        val z = graft.functions.ZCurve.zValue(df, zorderBy)
+        df.withColumn("_graft_z", z)
+          .repartitionByRange(nOut, col("_graft_z"))
+          .sortWithinPartitions("_graft_z")
+          .drop("_graft_z")
+      } else if (sortBy.isEmpty) df.coalesce(nOut) // pure concat, no shuffle
       else
         df.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)

@@ -387,6 +387,39 @@ class SnapshotSpec extends SparkTestBase {
       s"low-key change set must touch one clustered file: $touched")
   }
 
+  test("zorder compact prunes on BOTH dims where lexicographic sort only prunes the leading one") {
+    import spark.implicits._
+    val t = freshTable()
+    // decorrelated 2D keys: y = 173x mod 400 — any 25 consecutive x
+    // values throw y across nearly the whole domain
+    val xy = (0L until 400L).map(x => (x, (x * 173) % 400))
+    (0 until 4).foreach(i =>
+      SnapshotLog.commit(spark, t,
+        xy.filter(_._1 % 4 == i).toDF("x", "y").repartition(4)))
+    // lexicographic clustering: leading key prunes, trailing key dead
+    SnapshotLog.compact(spark, t, smallerThanBytes = Long.MaxValue,
+      sortBy = Seq("x", "y"), filesOut = Some(16))
+    val (lexX, _) = SnapshotLog.prunedFiles(spark, t, "x", 0, 99)
+    val (lexY, totalLex) = SnapshotLog.prunedFiles(spark, t, "y", 0, 99)
+    assert(totalLex == 16)
+    assert(lexX.size <= 6, s"leading-key probe must prune: ${lexX.size}")
+    assert(lexY.size == 16, "trailing key spans every lexicographic file")
+    // z-order rewrite of the SAME table: bounded extent in BOTH dims
+    SnapshotLog.compact(spark, t, smallerThanBytes = Long.MaxValue,
+      zorderBy = Seq("x", "y"), filesOut = Some(16))
+    val (zX, _) = SnapshotLog.prunedFiles(spark, t, "x", 0, 99)
+    val (zY, totalZ) = SnapshotLog.prunedFiles(spark, t, "y", 0, 99)
+    assert(totalZ == 16)
+    assert(zX.size < 16, s"z-order x-probe must skip files: ${zX.size}")
+    assert(zY.size < 16, s"z-order y-probe must skip files: ${zY.size}")
+    // layout changes are invisible to data: rows and pruned reads exact
+    assert(SnapshotLog.read(spark, t).select("x")
+      .collect().map(_.getLong(0)).toSet == (0L until 400L).toSet)
+    assert(SnapshotLog.readPruned(spark, t, "y", 0, 99)
+      .select("x").collect().map(_.getLong(0)).toSet
+      == xy.filter(p => p._2 <= 99).map(_._1).toSet)
+  }
+
   test("deleteWhere rewrites only admitted files; disjoint delete is a free no-op") {
     import spark.implicits._
     val t = freshTable()
