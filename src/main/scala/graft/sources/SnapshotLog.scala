@@ -927,6 +927,30 @@ object SnapshotLog {
     } else pieces.reduce(_ unionByName _)
   }
 
+  /** Per-version admission view for incremental consumers (the
+    * streaming source, change-feed tooling): the commit's action
+    * keyword, whether it changed data (`datachange=false` marks
+    * layout-only rewrites), the files ADDED at this version (manifest
+    * DIFF vs the parent, so checkpoint folds never re-surface carried
+    * files), and whether any parent file was dropped (an overwrite or
+    * CoW replace — rows changed in place, which an insert-only
+    * consumer must either reject loudly or deliberately skip). */
+  def commitInfo(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): (String, Boolean, Seq[String], Boolean) = {
+    val head = header(spark, table, version)
+    val action = head.split(' ').head
+    val dataChange = !headerToken(head, "datachange").contains("false")
+    val prev =
+      if (version <= 1) Set.empty[String]
+      else manifest(spark, table, version - 1).toSet
+    val cur = manifest(spark, table, version)
+    val curSet = cur.toSet
+    (action, dataChange, cur.filterNot(prev), prev.exists(!curSet(_)))
+  }
+
   /** Manifest-recorded byte size of an entry's file (`_sz=z:` token,
     * written by every commit since the size rider landed); None for
     * pre-upgrade entries, whose callers fall back to a filesystem

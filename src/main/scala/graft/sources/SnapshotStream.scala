@@ -1,0 +1,264 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured Streaming SOURCE over a [[SnapshotLog]] table — the read
+  * half of the streaming story whose write half is
+  * `StreamOps.snapshotSink`: a snapshot table becomes a replayable,
+  * exactly-once message log.
+  *
+  *   - **Offsets are commit versions.** `latestOffset` is the log tip
+  *     (an O(1) pointer read), a micro-batch is the half-open version
+  *     range `(start, end]`, and the files ADDED at each version —
+  *     the manifest diff against the parent, so checkpoint folds never
+  *     re-surface carried files — become one input partition each.
+  *     Restart replays from the checkpointed version: a file is
+  *     delivered exactly once per query lineage because commits are
+  *     immutable and versions never renumber.
+  *   - **Layout-only rewrites are silent.** Compaction / clustering
+  *     commits carry `datachange=false` and contribute nothing — the
+  *     rows were already delivered from their previous files.
+  *   - **In-place changes are loud.** An overwrite or CoW replace
+  *     drops parent files: rows changed in place, which an insert-only
+  *     stream cannot represent. The source fails the query with the
+  *     remedy in the message; `skipChangeCommits=true` (the posture
+  *     Delta names the same way) deliberately skips those versions
+  *     instead.
+  *   - **Executors read raw parquet** through parquet-hadoop's Group
+  *     API under the session's Hadoop conf (shipped via
+  *     [[SerializableHadoopConf]]): no SparkSession on the executor
+  *     path, no directory listing — exactly the manifest's files.
+  *     INT96 timestamps (Spark's default parquet timestamp encoding)
+  *     are converted with the public Julian-day layout; int→long and
+  *     float→double file-vs-table widenings mirror the log's schema
+  *     evolution rules, and files predating an added column null-fill.
+  *
+  * 100 TB posture: a micro-batch costs O(new files) — tip read, ≤
+  * FoldEvery manifest hops per version, and the new files' bytes. No
+  * full-table scan, no directory listing, ever.
+  */
+class GraftSnapshotSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val table = options.get("path")
+    require(table != null, "graft-snapshot requires a path")
+    val vs = SnapshotLog.versions(spark, table)
+    require(vs.nonEmpty, s"graft-snapshot: no commits in $table")
+    SnapshotLog
+      .tableSchema(spark, table, vs.last)
+      .getOrElse(
+        spark.read
+          .parquet(SnapshotLog.manifest(spark, table, vs.last).map(n => s"$table/$n"): _*)
+          .schema
+      )
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = {
+    val path = properties.get("path")
+    require(path != null, "graft-snapshot requires a path")
+    GraftSnapshotTable(schema, path)
+  }
+}
+
+case class GraftSnapshotTable(tableSchema: StructType, path: String)
+    extends Table
+    with SupportsRead {
+  override def name(): String = s"graft_snapshot($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = GraftSnapshotScan(
+        tableSchema,
+        path,
+        skipChangeCommits = Option(options.get("skipChangeCommits"))
+          .exists(_.toBoolean),
+        startingVersion = Option(options.get("startingVersion"))
+          .map(_.toInt)
+          .getOrElse(0)
+      )
+    }
+}
+
+case class GraftSnapshotScan(
+    tableSchema: StructType,
+    path: String,
+    skipChangeCommits: Boolean,
+    startingVersion: Int
+) extends Scan {
+  override def readSchema(): StructType = tableSchema
+  override def description(): String =
+    s"graft-snapshot stream over $path (skipChangeCommits=$skipChangeCommits)"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftSnapshotMicroBatchStream(tableSchema, path, skipChangeCommits, startingVersion)
+}
+
+/** Version-number offset; json form is the bare integer. */
+case class GraftSnapshotOffset(version: Int) extends Offset {
+  override def json(): String = version.toString
+}
+
+class GraftSnapshotMicroBatchStream(
+    schema: StructType,
+    table: String,
+    skipChangeCommits: Boolean,
+    startingVersion: Int
+) extends MicroBatchStream {
+  // driver-side only: planning reads the log through the session
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = GraftSnapshotOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    GraftSnapshotOffset(
+      SnapshotLog.versions(spark, table).lastOption.getOrElse(startingVersion)
+    )
+
+  override def deserializeOffset(json: String): Offset =
+    GraftSnapshotOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftSnapshotOffset].version
+    val e = end.asInstanceOf[GraftSnapshotOffset].version
+    (s + 1 to e)
+      .flatMap { v =>
+        val (action, dataChange, added, removedAny) =
+          SnapshotLog.commitInfo(spark, table, v)
+        if (!dataChange) Nil // compaction/clustering: rows already delivered
+        else if (removedAny) {
+          if (skipChangeCommits) Nil
+          else
+            throw new IllegalStateException(
+              s"graft-snapshot stream on $table: version $v is a '$action' that " +
+                "dropped live files — rows changed in place, which an insert-only " +
+                "stream cannot represent. Set skipChangeCommits=true to skip such " +
+                "versions, or restart from a fresh checkpoint to reprocess the table."
+            )
+        } else added.map(f => GraftSnapshotPartition(s"$table/$f"))
+      }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftSnapshotReaderFactory(
+      schema,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    )
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GraftSnapshotPartition(file: String) extends InputPartition
+
+case class GraftSnapshotReaderFactory(
+    schema: StructType,
+    conf: SerializableHadoopConf
+) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftSnapshotReader(
+      p.asInstanceOf[GraftSnapshotPartition].file,
+      conf.value,
+      schema
+    )
+}
+
+/** Executor-side parquet reader over one manifest file via the Group
+  * API — row-at-a-time assembly, adequate for streaming micro-batches
+  * (the batch path hands Spark the vectorized native reader instead).
+  * Column lookup is BY NAME so schema-evolved tables work: absent
+  * columns null-fill, int32→long and float→double widen per the log's
+  * evolution rules, INT96 timestamps convert via the public Julian-day
+  * layout. Anything else unsupported fails loudly. */
+class GraftSnapshotReader(
+    file: String,
+    conf: Configuration,
+    schema: StructType
+) extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[Group] =
+    ParquetReader
+      .builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf)
+      .build()
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val gt = g.getType
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      vals(i) =
+        if (!gt.containsField(f.name)) null // pre-evolution file: null-fill
+        else {
+          val fi = gt.getFieldIndex(f.name)
+          if (g.getFieldRepetitionCount(fi) == 0) null
+          else readValue(g, gt, fi, f.dataType)
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def readValue(g: Group, gt: org.apache.parquet.schema.GroupType, fi: Int, dt: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val prim = gt.getType(fi).asPrimitiveType().getPrimitiveTypeName
+    (dt, prim) match {
+      case (LongType, INT64)      => g.getLong(fi, 0)
+      case (LongType, INT32)      => g.getInteger(fi, 0).toLong // widened table
+      case (IntegerType, INT32)   => g.getInteger(fi, 0)
+      case (DoubleType, DOUBLE)   => g.getDouble(fi, 0)
+      case (DoubleType, FLOAT)    => g.getFloat(fi, 0).toDouble // widened table
+      case (FloatType, FLOAT)     => g.getFloat(fi, 0)
+      case (BooleanType, BOOLEAN) => g.getBoolean(fi, 0)
+      case (StringType, BINARY)   => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+      case (BinaryType, BINARY)   => g.getBinary(fi, 0).getBytes
+      case (DateType, INT32)      => g.getInteger(fi, 0)
+      case (TimestampType, INT64) => g.getLong(fi, 0) // micros
+      case (TimestampType, INT96) =>
+        // Spark's default parquet timestamp: 8 LE bytes nanos-of-day +
+        // 4 LE bytes Julian day (epoch day 2440588)
+        val b = g.getInt96(fi, 0).getBytes
+        val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanos = buf.getLong
+        val julian = buf.getInt
+        (julian - 2440588L) * 86400L * 1000000L + nanos / 1000L
+      case _ =>
+        throw new UnsupportedOperationException(
+          s"graft-snapshot stream: unsupported column type $dt over parquet $prim " +
+            s"in $file (supported: long/int/double/float/boolean/string/binary/date/timestamp)"
+        )
+    }
+  }
+
+  override def close(): Unit = reader.close()
+}

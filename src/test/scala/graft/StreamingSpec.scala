@@ -1218,4 +1218,76 @@ class StreamingSpec extends SparkTestBase {
     assert(segments() == Seq("batch_id=-1", "batch_id=2"), segments())
     assert(served() == expected(b1 ++ b2 ++ b3))
   }
+
+  test("snapshot streaming source: versions as offsets, restart exactly-once, compaction silent, change commits loud") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft-snapsrc").toString
+    val table = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    def stream(extra: (String, String)*) = {
+      val r0 = spark.readStream.format("graft.sources.GraftSnapshotSource")
+      extra.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }.load(table)
+    }
+    // foreachBatch (fault-tolerant, unlike the memory sink, so the
+    // SAME checkpoint survives restarts) draining into a per-query
+    // buffer
+    def start(buf: scala.collection.mutable.Set[Long], extra: (String, String)*) =
+      stream(extra: _*).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.select("id").collect().map(_.getLong(0))
+          }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    SnapshotLog.commit(spark, table, (1L to 5L).toDF("id"))
+    SnapshotLog.commit(spark, table, (6L to 9L).toDF("id"))
+    val got1 = scala.collection.mutable.Set[Long]()
+    val q1 = start(got1)
+    try {
+      q1.processAllAvailable()
+      assert(got1.toSet == (1L to 9L).toSet, "initial batch serves both versions")
+      // a new append flows incrementally; an interleaved compaction
+      // contributes NOTHING (its rows were already delivered)
+      SnapshotLog.commit(spark, table, (10L to 12L).toDF("id"))
+      SnapshotLog.compact(spark, table,
+        smallerThanBytes = Long.MaxValue, filesOut = Some(1))
+      q1.processAllAvailable()
+      assert(got1.toSet == (1L to 12L).toSet,
+        "append delivered once; compaction delivered nothing")
+    } finally q1.stop()
+    // offline append, restart from the SAME checkpoint with a fresh
+    // buffer: only the new version arrives — exactly-once across restarts
+    SnapshotLog.commit(spark, table, (13L to 15L).toDF("id"))
+    val got2 = scala.collection.mutable.Set[Long]()
+    val q2 = start(got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSet == (13L to 15L).toSet,
+        "restart must resume at the checkpointed version, not replay")
+    } finally q2.stop()
+    // an in-place change (CoW delete) breaks an insert-only stream
+    // LOUDLY by default...
+    SnapshotLog.deleteWhere(spark, table, "id", 2, 3)
+    val got3 = scala.collection.mutable.Set[Long]()
+    val q3 = start(got3)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable(); q3.awaitTermination()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("skipChangeCommits")) ||
+        mentions(t.getCause))
+    assert(mentions(err), s"failure must name the remedy: ${err.getMessage}")
+    // ...and is deliberately skipped with skipChangeCommits=true; the
+    // next append flows normally
+    SnapshotLog.commit(spark, table, (16L to 17L).toDF("id"))
+    val got4 = scala.collection.mutable.Set[Long]()
+    val q4 = start(got4, "skipChangeCommits" -> "true")
+    try {
+      q4.processAllAvailable()
+      assert(got4.toSet == (16L to 17L).toSet,
+        "change commit skipped, later append delivered")
+    } finally q4.stop()
+  }
 }
