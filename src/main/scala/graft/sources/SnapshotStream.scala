@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -98,7 +98,9 @@ case class GraftSnapshotTable(tableSchema: StructType, path: String)
           .exists(_.toBoolean),
         startingVersion = Option(options.get("startingVersion"))
           .map(_.toInt)
-          .getOrElse(0)
+          .getOrElse(0),
+        maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger"))
+          .map(_.toInt)
       )
     }
 }
@@ -107,13 +109,15 @@ case class GraftSnapshotScan(
     tableSchema: StructType,
     path: String,
     skipChangeCommits: Boolean,
-    startingVersion: Int
+    startingVersion: Int,
+    maxFilesPerTrigger: Option[Int]
 ) extends Scan {
   override def readSchema(): StructType = tableSchema
   override def description(): String =
     s"graft-snapshot stream over $path (skipChangeCommits=$skipChangeCommits)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftSnapshotMicroBatchStream(tableSchema, path, skipChangeCommits, startingVersion)
+    new GraftSnapshotMicroBatchStream(
+      tableSchema, path, skipChangeCommits, startingVersion, maxFilesPerTrigger)
 }
 
 /** Version-number offset; json form is the bare integer. */
@@ -125,16 +129,59 @@ class GraftSnapshotMicroBatchStream(
     schema: StructType,
     table: String,
     skipChangeCommits: Boolean,
-    startingVersion: Int
-) extends MicroBatchStream {
+    startingVersion: Int,
+    maxFilesPerTrigger: Option[Int]
+) extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   // driver-side only: planning reads the log through the session
   private def spark = SparkSession.active
 
+  // Trigger.AvailableNow pins the goalpost at start time: the query
+  // drains to here (rate-limited into several batches if configured)
+  // and terminates, ignoring later commits
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  private def tip: Int =
+    SnapshotLog.versions(spark, table).lastOption.getOrElse(startingVersion)
+
   override def initialOffset(): Offset = GraftSnapshotOffset(startingVersion)
 
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(tip)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Version-granular admission: a commit is indivisible (offsets name
+    * versions, not files), so the cap admits WHOLE versions until the
+    * file budget is spent — but always at least one, or a single
+    * commit larger than the cap would stall the stream forever. At
+    * 100 TB this is what keeps a restart after a long gap from
+    * planning the whole backlog as one micro-batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftSnapshotOffset].version
+    val target = availableNowTarget.map(t => math.min(t, tip)).getOrElse(tip)
+    limit match {
+      case mf: ReadMaxFiles =>
+        var v = s
+        var files = 0
+        while (v < target && files < mf.maxFiles()) {
+          val (_, dataChange, added, _) = SnapshotLog.commitInfo(spark, table, v + 1)
+          val cost = if (dataChange) added.size else 0
+          if (files > 0 && files + cost > mf.maxFiles())
+            return GraftSnapshotOffset(v)
+          v += 1
+          files += cost
+        }
+        GraftSnapshotOffset(v)
+      case _ => GraftSnapshotOffset(target)
+    }
+  }
+
   override def latestOffset(): Offset =
-    GraftSnapshotOffset(
-      SnapshotLog.versions(spark, table).lastOption.getOrElse(startingVersion)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method"
     )
 
   override def deserializeOffset(json: String): Offset =

@@ -1290,4 +1290,38 @@ class StreamingSpec extends SparkTestBase {
         "change commit skipped, later append delivered")
     } finally q4.stop()
   }
+
+  test("snapshot streaming source: maxFilesPerTrigger paces the backlog; AvailableNow drains and stops") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft-snaprate").toString
+    val table = s"$base/t"
+    // a 4-commit backlog, one file each (the restart-after-a-gap shape
+    // that must NOT become one giant micro-batch at 100 TB)
+    (0 until 4).foreach(i =>
+      SnapshotLog.commit(spark, table,
+        (i * 10L until i * 10L + 5L).toDF("id").coalesce(1)))
+    val batches = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("maxFilesPerTrigger", "1")
+      .load(table)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches(id) = df.select("id").collect().map(_.getLong(0)).toSet
+        }: Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow pins the goalpost at start, drains it in rate-limited
+    // batches, then terminates on its own
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(batches.size >= 4,
+      s"4 one-file commits under maxFilesPerTrigger=1 need >=4 batches, got ${batches.size}")
+    assert(batches.values.reduce(_ ++ _) ==
+      (0 until 4).flatMap(i => i * 10L until i * 10L + 5L).toSet,
+      "paced delivery must still be exactly-once over the whole backlog")
+  }
 }
