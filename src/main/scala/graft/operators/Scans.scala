@@ -1065,6 +1065,51 @@ object Scans {
     spark.table(qn).orderBy("o_orderkey")
   }
 
+  /** STREAMING change-data feed (round 11): the same log as
+    * source_changes — append at v2, overwrite at v3 — consumed through
+    * the streaming source in `readChangeFeed=true` mode from
+    * startingVersion=1: dropped files stream their rows tagged
+    * `delete`, added files `insert`, `commit_version` riding along.
+    * Sharing source_changes' oracle VERBATIM proves the streaming path
+    * delivers row-for-row the same change feed as the batch
+    * `readChanges` — the continuous feeder for the MV-maintenance
+    * story etl_mv_incremental grades in batch form. */
+  val streamChangesFeed: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_cdfstream")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 0))
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") % 3 === 2),
+      overwrite = true
+    )
+    val qn = "graft_stream_changes_feed"
+    spark.catalog.dropTempView(qn)
+    val q = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(table)
+      .writeStream
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", s"$table/_ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark
+      .table(qn)
+      .orderBy("commit_version", "change_type", "o_orderkey")
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -1182,6 +1227,7 @@ object Scans {
     "scan_cluster_pruned" -> scanClusterPruned,
     "scan_zorder_pruned" -> scanZorderPruned,
     "stream_snapshot_source" -> streamSnapshotSource,
+    "stream_changes_feed" -> streamChangesFeed,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_mv_incremental" -> etlMvIncremental,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1227,6 +1273,21 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
+    // the streaming CDF shares the batch change feed's oracle verbatim:
+    // the two paths must deliver row-for-row the same changes
+    "stream_changes_feed" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'insert' AS change_type, 2 AS commit_version
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'delete' AS change_type, 3 AS commit_version
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        | 'insert' AS change_type, 3 AS commit_version
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY commit_version, change_type, o_orderkey""".stripMargin,
     // exactly-once delivery: duplicated compaction rows or a lost
     // append both break the hash against the plain source scan
     "stream_snapshot_source" ->

@@ -932,14 +932,15 @@ object SnapshotLog {
     * keyword, whether it changed data (`datachange=false` marks
     * layout-only rewrites), the files ADDED at this version (manifest
     * DIFF vs the parent, so checkpoint folds never re-surface carried
-    * files), and whether any parent file was dropped (an overwrite or
-    * CoW replace — rows changed in place, which an insert-only
-    * consumer must either reject loudly or deliberately skip). */
+    * files), and the parent files DROPPED (an overwrite or CoW
+    * replace — rows changed in place, which an insert-only consumer
+    * must reject loudly or deliberately skip, and a change-feed
+    * consumer surfaces as tagged deletes). */
   def commitInfo(
       spark: SparkSession,
       table: String,
       version: Int
-  ): (String, Boolean, Seq[String], Boolean) = {
+  ): (String, Boolean, Seq[String], Seq[String]) = {
     val head = header(spark, table, version)
     val action = head.split(' ').head
     val dataChange = !headerToken(head, "datachange").contains("false")
@@ -948,7 +949,7 @@ object SnapshotLog {
       else manifest(spark, table, version - 1).toSet
     val cur = manifest(spark, table, version)
     val curSet = cur.toSet
-    (action, dataChange, cur.filterNot(prev), prev.exists(!curSet(_)))
+    (action, dataChange, cur.filterNot(prev), (prev -- curSet).toSeq.sorted)
   }
 
   /** Manifest-recorded byte size of an entry's file (`_sz=z:` token,

@@ -39,7 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     stream cannot represent. The source fails the query with the
   *     remedy in the message; `skipChangeCommits=true` (the posture
   *     Delta names the same way) deliberately skips those versions
-  *     instead.
+  *     instead — or `readChangeFeed=true` streams the table as a
+  *     CHANGE FEED: dropped files surface their rows tagged `delete`,
+  *     added files tagged `insert`, with `commit_version` riding along
+  *     — the streaming twin of [[SnapshotLog.readChanges]], feeding
+  *     incremental MV maintenance continuously.
   *   - **Executors read raw parquet** through parquet-hadoop's Group
   *     API under the session's Hadoop conf (shipped via
   *     [[SerializableHadoopConf]]): no SparkSession on the executor
@@ -62,13 +66,16 @@ class GraftSnapshotSource extends TableProvider {
     require(table != null, "graft-snapshot requires a path")
     val vs = SnapshotLog.versions(spark, table)
     require(vs.nonEmpty, s"graft-snapshot: no commits in $table")
-    SnapshotLog
+    val data = SnapshotLog
       .tableSchema(spark, table, vs.last)
       .getOrElse(
         spark.read
           .parquet(SnapshotLog.manifest(spark, table, vs.last).map(n => s"$table/$n"): _*)
           .schema
       )
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftSnapshotSource.withCdfColumns(data)
+    else data
   }
 
   override def getTable(
@@ -80,6 +87,14 @@ class GraftSnapshotSource extends TableProvider {
     require(path != null, "graft-snapshot requires a path")
     GraftSnapshotTable(schema, path)
   }
+}
+
+object GraftSnapshotSource {
+  /** Change-feed rider columns, appended after the data schema. */
+  def withCdfColumns(data: StructType): StructType =
+    data
+      .add(StructField("change_type", StringType, nullable = false))
+      .add(StructField("commit_version", IntegerType, nullable = false))
 }
 
 case class GraftSnapshotTable(tableSchema: StructType, path: String)
@@ -100,7 +115,9 @@ case class GraftSnapshotTable(tableSchema: StructType, path: String)
           .map(_.toInt)
           .getOrElse(0),
         maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger"))
-          .map(_.toInt)
+          .map(_.toInt),
+        readChangeFeed = Option(options.get("readChangeFeed"))
+          .exists(_.toBoolean)
       )
     }
 }
@@ -110,14 +127,17 @@ case class GraftSnapshotScan(
     path: String,
     skipChangeCommits: Boolean,
     startingVersion: Int,
-    maxFilesPerTrigger: Option[Int]
+    maxFilesPerTrigger: Option[Int],
+    readChangeFeed: Boolean
 ) extends Scan {
   override def readSchema(): StructType = tableSchema
   override def description(): String =
-    s"graft-snapshot stream over $path (skipChangeCommits=$skipChangeCommits)"
+    s"graft-snapshot stream over $path (cdf=$readChangeFeed, " +
+      s"skipChangeCommits=$skipChangeCommits)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftSnapshotMicroBatchStream(
-      tableSchema, path, skipChangeCommits, startingVersion, maxFilesPerTrigger)
+      tableSchema, path, skipChangeCommits, startingVersion,
+      maxFilesPerTrigger, readChangeFeed)
 }
 
 /** Version-number offset; json form is the bare integer. */
@@ -130,7 +150,8 @@ class GraftSnapshotMicroBatchStream(
     table: String,
     skipChangeCommits: Boolean,
     startingVersion: Int,
-    maxFilesPerTrigger: Option[Int]
+    maxFilesPerTrigger: Option[Int],
+    readChangeFeed: Boolean
 ) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -167,8 +188,12 @@ class GraftSnapshotMicroBatchStream(
         var v = s
         var files = 0
         while (v < target && files < mf.maxFiles()) {
-          val (_, dataChange, added, _) = SnapshotLog.commitInfo(spark, table, v + 1)
-          val cost = if (dataChange) added.size else 0
+          val (_, dataChange, added, removed) =
+            SnapshotLog.commitInfo(spark, table, v + 1)
+          val cost =
+            if (!dataChange) 0
+            else if (readChangeFeed) added.size + removed.size
+            else added.size
           if (files > 0 && files + cost > mf.maxFiles())
             return GraftSnapshotOffset(v)
           v += 1
@@ -192,19 +217,25 @@ class GraftSnapshotMicroBatchStream(
     val e = end.asInstanceOf[GraftSnapshotOffset].version
     (s + 1 to e)
       .flatMap { v =>
-        val (action, dataChange, added, removedAny) =
+        val (action, dataChange, added, removed) =
           SnapshotLog.commitInfo(spark, table, v)
         if (!dataChange) Nil // compaction/clustering: rows already delivered
-        else if (removedAny) {
+        else if (readChangeFeed)
+          // change-feed mode represents in-place changes: dropped files
+          // surface their rows as tagged deletes, added files as inserts
+          removed.map(f => GraftSnapshotPartition(s"$table/$f", Some(("delete", v)))) ++
+            added.map(f => GraftSnapshotPartition(s"$table/$f", Some(("insert", v))))
+        else if (removed.nonEmpty) {
           if (skipChangeCommits) Nil
           else
             throw new IllegalStateException(
               s"graft-snapshot stream on $table: version $v is a '$action' that " +
                 "dropped live files — rows changed in place, which an insert-only " +
                 "stream cannot represent. Set skipChangeCommits=true to skip such " +
-                "versions, or restart from a fresh checkpoint to reprocess the table."
+                "versions, readChangeFeed=true to stream them as tagged " +
+                "delete/insert rows, or restart from a fresh checkpoint."
             )
-        } else added.map(f => GraftSnapshotPartition(s"$table/$f"))
+        } else added.map(f => GraftSnapshotPartition(s"$table/$f", None))
       }
       .toArray
   }
@@ -212,25 +243,32 @@ class GraftSnapshotMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     GraftSnapshotReaderFactory(
       schema,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      readChangeFeed
     )
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class GraftSnapshotPartition(file: String) extends InputPartition
+case class GraftSnapshotPartition(
+    file: String,
+    cdfTag: Option[(String, Int)] // (change_type, commit_version) in CDF mode
+) extends InputPartition
 
 case class GraftSnapshotReaderFactory(
     schema: StructType,
-    conf: SerializableHadoopConf
+    conf: SerializableHadoopConf,
+    readChangeFeed: Boolean
 ) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftSnapshotReader(
-      p.asInstanceOf[GraftSnapshotPartition].file,
-      conf.value,
-      schema
-    )
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftSnapshotPartition]
+    // in CDF mode the scan schema carries the two rider columns; the
+    // file holds only the data columns
+    val dataSchema =
+      if (readChangeFeed) StructType(schema.fields.dropRight(2)) else schema
+    new GraftSnapshotReader(part.file, conf.value, dataSchema, part.cdfTag)
+  }
 }
 
 /** Executor-side parquet reader over one manifest file via the Group
@@ -243,8 +281,13 @@ case class GraftSnapshotReaderFactory(
 class GraftSnapshotReader(
     file: String,
     conf: Configuration,
-    schema: StructType
+    schema: StructType,
+    cdfTag: Option[(String, Int)] = None
 ) extends PartitionReader[InternalRow] {
+  private val tagVals: Array[Any] =
+    cdfTag
+      .map { case (t, v) => Array[Any](UTF8String.fromString(t), v) }
+      .getOrElse(Array.empty[Any])
   private val reader: ParquetReader[Group] =
     ParquetReader
       .builder(new GroupReadSupport(), new Path(file))
@@ -260,7 +303,7 @@ class GraftSnapshotReader(
   override def get(): InternalRow = {
     val g = current
     val gt = g.getType
-    val vals = new Array[Any](schema.length)
+    val vals = new Array[Any](schema.length + tagVals.length)
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
@@ -272,6 +315,11 @@ class GraftSnapshotReader(
           else readValue(g, gt, fi, f.dataType)
         }
       i += 1
+    }
+    var j = 0
+    while (j < tagVals.length) { // CDF riders: change_type, commit_version
+      vals(schema.length + j) = tagVals(j)
+      j += 1
     }
     new GenericInternalRow(vals)
   }

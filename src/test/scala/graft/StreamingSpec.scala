@@ -1291,6 +1291,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q4.stop()
   }
 
+  test("snapshot streaming CDF: deletes stream tagged, compaction silent, restart exactly-once") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft-snapcdfs").toString
+    val table = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    val got = scala.collection.mutable.Set[(Long, String, Int)]()
+    def start() = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("readChangeFeed", "true")
+      .load(table)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select("id", "change_type", "commit_version")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    SnapshotLog.commit(spark, table, (1L to 6L).toDF("id")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("id")))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(got.toSet == (1L to 6L).map((_, "insert", 1)).toSet)
+      // a CoW delete flows as tagged delete+reinsert of the touched
+      // file's rows — NO loud failure in CDF mode
+      SnapshotLog.deleteWhere(spark, table, "id", 2, 2)
+      q1.processAllAvailable()
+      val v2 = got.toSet.filter(_._3 == 2)
+      assert(v2.filter(_._2 == "delete").map(_._1) == Set(1L, 2L, 3L),
+        s"touched file's rows stream as deletes: $v2")
+      assert(v2.filter(_._2 == "insert").map(_._1) == Set(1L, 3L),
+        s"survivors re-insert: $v2")
+      // compaction is silent in CDF mode too
+      SnapshotLog.compact(spark, table,
+        smallerThanBytes = Long.MaxValue, filesOut = Some(1))
+      q1.processAllAvailable()
+      assert(!got.exists(_._3 == 3), "datachange=false emits no CDF rows")
+    } finally q1.stop()
+    // offline append; restart from the same checkpoint delivers ONLY it
+    SnapshotLog.commit(spark, table, Seq(10L).toDF("id"))
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.toSet == Set((10L, "insert", 4)),
+        s"restart resumes at the checkpointed version: $got")
+    } finally q2.stop()
+  }
+
   test("snapshot streaming source: maxFilesPerTrigger paces the backlog; AvailableNow drains and stops") {
     import spark.implicits._
     import graft.sources.SnapshotLog
