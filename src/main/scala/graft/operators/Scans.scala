@@ -1110,6 +1110,93 @@ object Scans {
       .orderBy("commit_version", "change_type", "o_orderkey")
   }
 
+  /** Exactly-once TABLE REPLICATION (round 11): the streaming source
+    * and the idempotent snapshot sink composed end-to-end — three
+    * commits (with a compaction interleaved) stream OUT of the source
+    * table and INTO a replica table through
+    * `StreamOps.snapshotSink`'s checkpoint-scoped idempotent commits,
+    * paced by maxFilesPerTrigger so the pipeline takes the
+    * multi-micro-batch path. The replica's read-back must equal the
+    * source data exactly: a replayed batch would duplicate, a skipped
+    * one would lose, a re-delivered compaction would double rows. This
+    * is the CDC-replication loop a 100 TB lakehouse runs continuously,
+    * at O(new files) per trigger on both ends. */
+  val etlSnapshotReplicate: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val src = tmp("orders_snapshot_repl_src")
+    val dst = tmp("orders_snapshot_repl_dst")
+    val fsys = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(src), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") % 3 === 0))
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") % 3 === 1))
+    SnapshotLog.compact(
+      spark,
+      src,
+      smallerThanBytes = Long.MaxValue,
+      filesOut = Some(2)
+    )
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") % 3 === 2))
+    val q = graft.streaming.StreamOps.snapshotSink(
+      spark.readStream
+        .format("graft.sources.GraftSnapshotSource")
+        .option("maxFilesPerTrigger", "2")
+        .load(src),
+      dst,
+      s"$dst/_ckpt"
+    )
+    try q.processAllAvailable()
+    finally q.stop()
+    SnapshotLog.read(spark, dst).orderBy("o_orderkey")
+  }
+
+  /** DESCRIBE HISTORY (round 11): the commit ledger as data — action,
+    * data-change flag, txn id, and the live ROW total per version,
+    * summed from the manifest's `_rc` row-count riders (written from
+    * the parquet footer at commit time, so history never opens a data
+    * file). The sequence pins every commit kind at once: plain append,
+    * idempotent append carrying its txn id, a compaction that changes
+    * files but NOT the live row total (data_change=false), and an
+    * overwrite that resets it. The oracle recomputes each version's
+    * expected row total from the source table. */
+  val etlSnapshotHistory: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_hist")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") % 3 === 0))
+    SnapshotLog.commitIdempotent(
+      spark,
+      table,
+      o.filter(col("o_orderkey") % 3 === 1),
+      "load-2"
+    )
+    SnapshotLog.compact(
+      spark,
+      table,
+      smallerThanBytes = Long.MaxValue,
+      filesOut = Some(1)
+    )
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") % 3 === 2),
+      overwrite = true
+    )
+    SnapshotLog
+      .describeHistory(spark, table)
+      .select("version", "action", "data_change", "txn_id", "n_live_rows")
+      .orderBy("version")
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -1228,6 +1315,8 @@ object Scans {
     "scan_zorder_pruned" -> scanZorderPruned,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_changes_feed" -> streamChangesFeed,
+    "etl_snapshot_replicate" -> etlSnapshotReplicate,
+    "etl_snapshot_history" -> etlSnapshotHistory,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_mv_incremental" -> etlMvIncremental,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1273,6 +1362,27 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
+    // replication is exactly-once by contract: the replica's read-back
+    // must equal the source scan — replay duplicates, skip loses
+    "etl_snapshot_replicate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // the ledger's row totals recompute from the source: appends
+    // accumulate, the compaction changes files but never the total,
+    // the overwrite resets it
+    "etl_snapshot_history" ->
+      """WITH c AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        | FROM orders)
+        |SELECT * FROM (
+        | SELECT 1 AS version, 'append' AS action, TRUE AS data_change,
+        |        '' AS txn_id, a AS n_live_rows FROM c
+        | UNION ALL SELECT 2, 'append', TRUE, 'load-2', a + b FROM c
+        | UNION ALL SELECT 3, 'replace', FALSE, '', a + b FROM c
+        | UNION ALL SELECT 4, 'overwrite', TRUE, '', d FROM c
+        |) ORDER BY version""".stripMargin,
     // the streaming CDF shares the batch change feed's oracle verbatim:
     // the two paths must deliver row-for-row the same changes
     "stream_changes_feed" ->

@@ -275,7 +275,7 @@ object SnapshotLog {
     * present in EVERY row group (a column missing stats anywhere is
     * omitted and can never prune). Metadata-only read, no data pages
     * touched. */
-  private def statsSuffix(spark: SparkSession, file: Path): String = {
+  private def statsSuffix(spark: SparkSession, file: Path): (Long, String) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -284,13 +284,15 @@ object SnapshotLog {
       HadoopInputFile.fromPath(file, spark.sessionState.newHadoopConf())
     )
     try {
+      val rowCount =
+        reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       val perCol =
         reader.getFooter.getBlocks.asScala.flatMap { block =>
           block.getColumns.asScala.map { c =>
             (c.getPath.toDotString, c.getPrimitiveType, c.getStatistics)
           }
         }
-      perCol
+      val perColStr = perCol
         .groupBy(_._1)
         .toSeq
         .sortBy(_._1)
@@ -330,6 +332,7 @@ object SnapshotLog {
             }
         }
         .mkString(";")
+      (rowCount, perColStr)
     } finally reader.close()
   }
 
@@ -512,12 +515,13 @@ object SnapshotLog {
         .foreach(mergeSchemas(_, df.schema))
     val landed = stageOnly(spark, table, df).map { name =>
       // footer stats ride the manifest so reads can skip files without
-      // opening them; a file contributes `name` alone if stats are
-      // absent. The file's byte size rides the same suffix (`_sz=z:`)
-      // so compaction planning never stats files one by one — at 1e6
+      // opening them. The file's byte size (`_sz=z:`) and row count
+      // (`_rc=r:`) ride the same suffix, so compaction planning and
+      // DESCRIBE HISTORY never stat/open files one by one — at 1e6
       // files on an object store that is 1e6 metadata round trips.
-      val stats = statsSuffix(spark, new Path(s"$table/$name"))
-      val size = s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen}"
+      val (rows, stats) = statsSuffix(spark, new Path(s"$table/$name"))
+      val size =
+        s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen};_rc=r:$rows"
       val suffix = if (stats.isEmpty) size else s"$size;$stats"
       s"$name\t$suffix"
     }
@@ -643,6 +647,7 @@ object SnapshotLog {
     require(vs.nonEmpty, s"snapshot read: no commits in $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot read: version $v not in $vs")
+    requireUnexpired(spark, table, v)
     readFiles(spark, table, manifest(spark, table, v), tableSchema(spark, table, v))
   }
 
@@ -745,6 +750,7 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.col
     val (kept, _) = prunedFiles(spark, table, column, lo, hi, version)
     val v = version.getOrElse(versions(spark, table).last)
+    requireUnexpired(spark, table, v)
     readFiles(spark, table, kept, tableSchema(spark, table, v))
       .filter(col(column) >= lo && col(column) <= hi)
   }
@@ -762,6 +768,7 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.col
     val (kept, _) = prunedFilesString(spark, table, column, lo, hi, version)
     val v = version.getOrElse(versions(spark, table).last)
+    requireUnexpired(spark, table, v)
     readFiles(spark, table, kept, tableSchema(spark, table, v))
       .filter(col(column) >= lo && col(column) <= hi)
   }
@@ -879,6 +886,10 @@ object SnapshotLog {
       vs.contains(vFrom) && vs.contains(vTo) && vFrom < vTo,
       s"snapshot changes: need committed vFrom < vTo, got ($vFrom, $vTo) of $vs"
     )
+    // a file removed at the first surviving version is referenced only
+    // by expired ones — its content is gone, so the whole range must
+    // start at-or-after the horizon
+    requireUnexpired(spark, table, vFrom)
     val schema = tableSchema(spark, table, vTo)
     val pieces = (vFrom + 1 to vTo).flatMap { v =>
       // data-preserving rewrites (compaction/clustering commit with
@@ -952,6 +963,103 @@ object SnapshotLog {
     (action, dataChange, cur.filterNot(prev), (prev -- curSet).toSeq.sorted)
   }
 
+  /** DESCRIBE HISTORY twin: one row per version — the commit's action,
+    * data-change flag, txn id, files added/removed by it, and the live
+    * file/byte totals of the resulting snapshot (from the manifest's
+    * `_sz` riders; pre-upgrade entries count as 0 bytes rather than
+    * triggering per-file stats). Driver-side O(history) metadata, the
+    * same cost class as the table formats' DESCRIBE HISTORY. */
+  def describeHistory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val rows = versions(spark, table).map { v =>
+      val (action, dataChange, added, removed) = commitInfo(spark, table, v)
+      val entries = manifestEntries(spark, table, v)
+      (
+        v,
+        action,
+        dataChange,
+        headerToken(header(spark, table, v), "txn").getOrElse(""),
+        added.size,
+        removed.size,
+        entries.size,
+        entries.flatMap(entrySize).sum,
+        entries.flatMap(entryRows).sum
+      )
+    }
+    rows.toDF(
+      "version", "action", "data_change", "txn_id",
+      "n_added", "n_removed", "n_live_files", "live_bytes", "n_live_rows")
+  }
+
+  private def horizonPath(table: String): Path =
+    new Path(s"$table/$LogDir/_horizon")
+
+  /** Oldest version still readable after retention; 1 when no
+    * retention has run. */
+  def readHorizon(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    try {
+      val p = horizonPath(table)
+      if (!f.exists(p)) 1
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(
+            f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+        try in.readLine().trim.toInt
+        finally in.close()
+      }
+    } catch { case _: Exception => 1 }
+  }
+
+  /** RETENTION: deletes data files whose only references are versions
+    * older than the horizon (the last `keepLast` versions stay fully
+    * readable) and records the horizon so expired time travel fails
+    * LOUDLY ("expired by retention") instead of FileNotFound mid-scan.
+    * Manifests stay — they are O(commits) tiny text files, and keeping
+    * them means `versions()`, delta resolution, the txn cache, and the
+    * streaming source's version offsets are all unaffected. This is
+    * the bounded-storage half that [[vacuum]] deliberately does not
+    * do: vacuum reclaims files NO version references (crashed
+    * writers); expire reclaims history. At 100 TB an un-expired
+    * copy-on-write table retains every rewritten generation forever.
+    * Returns the deleted file names. */
+  def expire(
+      spark: SparkSession,
+      table: String,
+      keepLast: Int
+  ): Seq[String] = {
+    require(keepLast >= 1, s"expire: keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, table)
+    val lock = claimLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      val vs = versions(spark, table)
+      if (vs.size <= keepLast) return Nil
+      val horizon = vs(vs.size - keepLast)
+      val surviving = vs.filter(_ >= horizon)
+      val expired = vs.filter(_ < horizon)
+      val live = surviving.flatMap(manifest(spark, table, _)).toSet
+      val dead = (expired.flatMap(manifest(spark, table, _)).toSet -- live)
+        .filter(n => f.exists(new Path(s"$table/$n"))) // idempotent re-runs
+      val out = f.create(horizonPath(table), true)
+      try out.write(
+        horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      dead.toSeq.sorted.map { name =>
+        f.delete(new Path(s"$table/$name"), false)
+        name
+      }
+    }
+  }
+
+  private def requireUnexpired(spark: SparkSession, table: String, v: Int): Unit = {
+    val h = readHorizon(spark, table)
+    if (v < h)
+      throw new IllegalStateException(
+        s"snapshot read: version $v of $table expired by retention " +
+          s"(oldest readable version is $h)"
+      )
+  }
+
   /** Manifest-recorded byte size of an entry's file (`_sz=z:` token,
     * written by every commit since the size rider landed); None for
     * pre-upgrade entries, whose callers fall back to a filesystem
@@ -961,6 +1069,18 @@ object SnapshotLog {
       case parts if parts.length >= 2 =>
         parts(1).split(';').collectFirst {
           case t if t.startsWith("_sz=z:") => t.stripPrefix("_sz=z:").toLong
+        }
+      case _ => None
+    }
+
+  /** Manifest-recorded row count (`_rc=r:` rider); None for
+    * pre-upgrade entries, which DESCRIBE HISTORY counts as 0 rather
+    * than opening footers. */
+  private def entryRows(e: String): Option[Long] =
+    e.split('\t') match {
+      case parts if parts.length >= 2 =>
+        parts(1).split(';').collectFirst {
+          case t if t.startsWith("_rc=r:") => t.stripPrefix("_rc=r:").toLong
         }
       case _ => None
     }

@@ -215,16 +215,34 @@ class GraftSnapshotMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftSnapshotOffset].version
     val e = end.asInstanceOf[GraftSnapshotOffset].version
+    // retention guard: files ADDED at a version are alive iff that
+    // version survives the horizon; CDF-mode removed-file reads are
+    // checked per version below (a removal at v reads files live at
+    // v-1)
+    val horizon = SnapshotLog.readHorizon(spark, table)
+    if (s + 1 < horizon && e > s)
+      throw new IllegalStateException(
+        s"graft-snapshot stream on $table: checkpointed offset $s predates " +
+          s"the retention horizon $horizon — versions this stream has not " +
+          "consumed were expired. Restart from a fresh checkpoint."
+      )
     (s + 1 to e)
       .flatMap { v =>
         val (action, dataChange, added, removed) =
           SnapshotLog.commitInfo(spark, table, v)
         if (!dataChange) Nil // compaction/clustering: rows already delivered
-        else if (readChangeFeed)
+        else if (readChangeFeed) {
           // change-feed mode represents in-place changes: dropped files
           // surface their rows as tagged deletes, added files as inserts
+          if (removed.nonEmpty && v - 1 < horizon)
+            throw new IllegalStateException(
+              s"graft-snapshot stream on $table: version $v removes files " +
+                s"whose content predates the retention horizon $horizon. " +
+                "Restart from a fresh checkpoint."
+            )
           removed.map(f => GraftSnapshotPartition(s"$table/$f", Some(("delete", v)))) ++
             added.map(f => GraftSnapshotPartition(s"$table/$f", Some(("insert", v))))
+        }
         else if (removed.nonEmpty) {
           if (skipChangeCommits) Nil
           else

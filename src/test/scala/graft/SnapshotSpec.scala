@@ -453,6 +453,73 @@ class SnapshotSpec extends SparkTestBase {
       "net change of the delete must be exactly the doomed range")
   }
 
+  test("expire bounds history: old generations reclaimed, survivors exact, expired reads loud") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))          // v1
+    SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"))          // v2
+    SnapshotLog.commit(spark, t, (50L to 55L).toDF("id"), overwrite = true) // v3
+    SnapshotLog.commit(spark, t, (56L to 58L).toDF("id"))        // v4
+    val v1Files = SnapshotLog.manifest(spark, t, 1)
+    val deleted = SnapshotLog.expire(spark, t, keepLast = 2)
+    // v1/v2's generation is referenced ONLY by expired versions: gone.
+    // v3's files survive (still live at v4).
+    assert(deleted.nonEmpty && v1Files.forall(deleted.contains), s"deleted=$deleted")
+    assert(rows(t) == ((50L to 58L).toSet), "tip unaffected")
+    assert(rows(t, Some(3)) == (50L to 55L).toSet, "oldest SURVIVING version exact")
+    // expired time travel fails loudly, not FileNotFound mid-scan
+    val err = intercept[IllegalStateException] { rows(t, Some(2)) }
+    assert(err.getMessage.contains("expired by retention"), err.getMessage)
+    intercept[IllegalStateException] { SnapshotLog.readChanges(spark, t, 1, 4) }
+    // the surviving range still serves changes
+    assert(SnapshotLog.readChanges(spark, t, 3, 4)
+      .select("id").collect().map(_.getLong(0)).toSet == (56L to 58L).toSet)
+    // manifests stay: versions() and the log are unaffected; idempotent
+    assert(SnapshotLog.versions(spark, t) == Seq(1, 2, 3, 4))
+    assert(SnapshotLog.expire(spark, t, keepLast = 2).isEmpty)
+    // a stream whose checkpoint predates the horizon is refused loudly
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-exp-ck").toString
+    val got = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.format("graft.sources.GraftSnapshotSource")
+      .option("startingVersion", "0").load(t)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("id").collect().map(_.getLong(0)) }: Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+    val serr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    def mentions(x: Throwable): Boolean =
+      x != null && (Option(x.getMessage).exists(_.contains("retention horizon")) ||
+        mentions(x.getCause))
+    assert(mentions(serr), s"stream refusal must name the horizon: ${serr.getMessage}")
+  }
+
+  test("describeHistory reports the commit ledger") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    SnapshotLog.commitIdempotent(spark, t, (6L to 9L).toDF("id"), "b7")
+    SnapshotLog.compact(spark, t, smallerThanBytes = Long.MaxValue, filesOut = Some(1))
+    SnapshotLog.deleteWhere(spark, t, "id", 2, 3)
+    val h = SnapshotLog.describeHistory(spark, t)
+      .select("version", "action", "data_change", "txn_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(h.toSeq == Seq(
+      (1, "append", true, ""),
+      (2, "append", true, "b7"),
+      (3, "replace", false, ""),
+      (4, "replace", true, "")
+    ), h.toSeq)
+    // live totals follow the manifest: one compacted file rewritten by
+    // the delete leaves exactly one live file
+    val last = SnapshotLog.describeHistory(spark, t)
+      .filter(org.apache.spark.sql.functions.col("version") === 4)
+      .select("n_live_files").collect()(0).getInt(0)
+    assert(last == 1, s"live files after compact+delete: $last")
+  }
+
   test("change feed composes across a skipped compaction version") {
     import spark.implicits._
     val t = freshTable()
