@@ -1197,6 +1197,59 @@ object Scans {
       .orderBy("version")
   }
 
+  /** Avro ROUND TRIP through the from-scratch connector (round 11):
+    * every prior round recorded source_avro as environment-blocked
+    * (no spark-avro module ships here) — `sources/GraftAvro` closes it
+    * on the avro CORE jars alone: container write with two-phase
+    * commit, schema in the header (the read side infers it — no
+    * `.schema(...)`), timestamp-micros/date logical types, and
+    * byte-range splits via SYNC MARKERS (the property that makes Avro
+    * a 100 TB wire format — a feed of giant containers fans out
+    * instead of collapsing to a few tasks). The oracle reads the
+    * ORIGINAL table with the same predicate, so the gate is round-trip
+    * fidelity through the connector including the timestamp column. */
+  val sourceAvro: Q = (spark, dir) => {
+    val out = tmp("avro_orders")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.format("graft.sources.GraftAvroSource").mode("append").save(out)
+    spark.read
+      .format("graft.sources.GraftAvroSource")
+      .load(out) // no schema: the container header is authoritative
+      .filter(col("o_totalprice") > 100000.0)
+      .orderBy("o_orderkey")
+  }
+
+  /** Avro WRITE-half gate (round 11): the two-phase-commit truncate
+    * story through the avro connector — generation 1 lands in 4
+    * containers, generation 2 OVERWRITES with 2; only generation 2 may
+    * survive (the rename-commit protocol plus SupportsTruncate's
+    * delete-after-land, the same posture sink_dsv2 grades for the
+    * pipe-delimited format). */
+  val sinkAvro: Q = (spark, dir) => {
+    val out = tmp("avro_orders_sink")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    o.filter(col("o_orderkey") % 3 =!= 0)
+      .repartition(4)
+      .write.format("graft.sources.GraftAvroSource").mode("append").save(out)
+    o.filter(col("o_orderkey") % 3 === 0)
+      .repartition(2)
+      .write.format("graft.sources.GraftAvroSource").mode("overwrite").save(out)
+    spark.read
+      .format("graft.sources.GraftAvroSource")
+      .load(out)
+      .orderBy("o_orderkey")
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -1317,6 +1370,8 @@ object Scans {
     "stream_changes_feed" -> streamChangesFeed,
     "etl_snapshot_replicate" -> etlSnapshotReplicate,
     "etl_snapshot_history" -> etlSnapshotHistory,
+    "source_avro" -> sourceAvro,
+    "sink_avro" -> sinkAvro,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_mv_incremental" -> etlMvIncremental,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1361,6 +1416,17 @@ object Scans {
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
+        |ORDER BY o_orderkey""".stripMargin,
+    // the oracle reads the ORIGINAL table: round-trip fidelity through
+    // the from-scratch avro connector, timestamp column included
+    "source_avro" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    // only generation 2 (the %3 filter) may survive the truncate
+    "sink_avro" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
     // replication is exactly-once by contract: the replica's read-back
     // must equal the source scan — replay duplicates, skip loses
