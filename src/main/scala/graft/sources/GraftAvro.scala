@@ -205,9 +205,15 @@ case class GraftAvroTable(tableSchema: StructType, path: String)
       TableCapability.TRUNCATE
     )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning: the reader assembles rows by NAME, so shrinking
+      // the read schema skips decoding-to-row of every untouched field
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = GraftAvroScan(
-        tableSchema,
+        required,
         path,
         Option(options.get("split_bytes")).map(_.toLong)
       )

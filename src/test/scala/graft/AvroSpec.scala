@@ -87,6 +87,21 @@ class AvroSpec extends SparkTestBase {
       "stale generation must not survive the truncate")
   }
 
+  test("column pruning reaches the avro scan") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1L to 50L).map(i => (i, s"s$i", i * 2.0)).toDF("id", "s", "d")
+      .write.format(fmt).mode("append").save(dir)
+    val pruned = spark.read.format(fmt).load(dir).select("id")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) == Seq("id"),
+      s"scan must read only the projected column: ${scans.head.output}")
+    assert(pruned.collect().map(_.getLong(0)).toSet == (1L to 50L).toSet)
+  }
+
   test("unsupported schema fails at write planning, not mid-task") {
     import spark.implicits._
     val dir = tmpDir()
