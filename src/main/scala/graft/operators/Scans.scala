@@ -1224,6 +1224,41 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Avro SCHEMA EVOLUTION on read (round 11): two generations of
+    * containers — an early one with (custkey int, name) and a later
+    * one with (custkey LONG, name, acctbal) — land in one directory,
+    * and the read must resolve them the way Avro's reader-vs-writer
+    * rules say: headers merged into the union schema, custkey WIDENED
+    * int→long (the int-written files decode under the long reader
+    * schema), and the early generation NULL-FILLING the added acctbal
+    * column. The oracle reproduces exactly that from the source table,
+    * so a mis-widened value or a wrongly-defaulted null breaks the
+    * hash. */
+  val sourceAvroEvolve: Q = (spark, dir) => {
+    val out = tmp("avro_customer_evolve")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_custkey") % 2 === 0)
+      .select(
+        col("c_custkey").cast("int").as("custkey"),
+        col("c_name").as("name")
+      )
+      .write.format("graft.sources.GraftAvroSource").mode("append").save(out)
+    c.filter(col("c_custkey") % 2 === 1)
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("acctbal")
+      )
+      .write.format("graft.sources.GraftAvroSource").mode("append").save(out)
+    spark.read
+      .format("graft.sources.GraftAvroSource")
+      .load(out) // header merge: custkey widens, acctbal null-fills
+      .orderBy("custkey")
+  }
+
   /** Avro WRITE-half gate (round 11): the two-phase-commit truncate
     * story through the avro connector — generation 1 lands in 4
     * containers, generation 2 OVERWRITES with 2; only generation 2 may
@@ -1371,6 +1406,7 @@ object Scans {
     "etl_snapshot_replicate" -> etlSnapshotReplicate,
     "etl_snapshot_history" -> etlSnapshotHistory,
     "source_avro" -> sourceAvro,
+    "source_avro_evolve" -> sourceAvroEvolve,
     "sink_avro" -> sinkAvro,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_mv_incremental" -> etlMvIncremental,
@@ -1423,6 +1459,16 @@ object Scans {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders WHERE o_totalprice > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+    // reader-vs-writer resolution: even custkeys were written as INT
+    // without acctbal (widen + null-fill), odd ones as LONG with it
+    "source_avro_evolve" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name,
+        | CAST(NULL AS DOUBLE) AS acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT), c_name, round(c_acctbal, 2)
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY custkey""".stripMargin,
     // only generation 2 (the %3 filter) may survive the truncate
     "sink_avro" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -148,6 +148,35 @@ object GraftAvro {
         )
     }
 
+  /** Union schema across containers: shared columns keep their
+    * (possibly widened) type, new columns join at the end nullable —
+    * the same evolution rules the snapshot log enforces. Incompatible
+    * type changes fail loudly: silently coercing is how data corrupts. */
+  def mergeSchemas(current: StructType, incoming: StructType): StructType = {
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case _ if a == b                                       => a
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case _ =>
+        throw new IllegalArgumentException(
+          s"graft-avro: incompatible schemas across containers: " +
+            s"${a.simpleString} vs ${b.simpleString} for the same field"
+        )
+    }
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val merged = current.fields.map { f =>
+      byName.get(f.name) match {
+        case None     => f.copy(nullable = true) // absent downstream: null-fill
+        case Some(nf) =>
+          StructField(f.name, widen(f.dataType, nf.dataType),
+            f.nullable || nf.nullable || f.dataType != nf.dataType)
+      }
+    }
+    val names = current.fieldNames.toSet
+    StructType(merged ++ incoming.fields.filterNot(f => names(f.name))
+      .map(_.copy(nullable = true)))
+  }
+
   def listAvroFiles(
       conf: Configuration,
       path: String
@@ -166,19 +195,28 @@ object GraftAvro {
 class GraftAvroSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
-  /** Avro is self-describing: open the first container's header. */
+  /** Avro is self-describing: every container carries its writer
+    * schema in the header. Inference opens each header (metadata-only)
+    * and MERGES them — Avro's reader-vs-writer resolution story at
+    * directory grain: files written before a column was added
+    * null-fill it, int→long / float→double widen, anything else
+    * conflicts loudly. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null, "graft-avro requires a path")
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = GraftAvro.listAvroFiles(conf, path)
     require(files.nonEmpty, s"graft-avro: no .avro files under $path")
-    val reader = new DataFileReader[GenericRecord](
-      new FsInput(files.head.getPath, conf),
-      new GenericDatumReader[GenericRecord]()
-    )
-    try GraftAvro.toSparkSchema(reader.getSchema)
-    finally reader.close()
+    files
+      .map { st =>
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(st.getPath, conf),
+          new GenericDatumReader[GenericRecord]()
+        )
+        try GraftAvro.toSparkSchema(reader.getSchema)
+        finally reader.close()
+      }
+      .reduce(GraftAvro.mergeSchemas)
   }
 
   override def getTable(
@@ -312,9 +350,16 @@ class GraftAvroReader(
         else
           f.dataType match {
             case LongType | TimestampType | TimestampNTZType =>
-              raw.asInstanceOf[java.lang.Long].longValue()
+              raw match { // int-written file under a widened long schema
+                case l: java.lang.Long    => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+              }
             case IntegerType | DateType   => raw.asInstanceOf[java.lang.Integer].intValue()
-            case DoubleType               => raw.asInstanceOf[java.lang.Double].doubleValue()
+            case DoubleType =>
+              raw match { // float-written file under a widened double schema
+                case d: java.lang.Double => d.doubleValue()
+                case fl: java.lang.Float => fl.doubleValue()
+              }
             case FloatType                => raw.asInstanceOf[java.lang.Float].floatValue()
             case BooleanType              => raw.asInstanceOf[java.lang.Boolean].booleanValue()
             case StringType               => UTF8String.fromString(raw.toString)

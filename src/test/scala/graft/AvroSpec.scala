@@ -102,6 +102,36 @@ class AvroSpec extends SparkTestBase {
     assert(pruned.collect().map(_.getLong(0)).toSet == (1L to 50L).toSet)
   }
 
+  test("schema evolution across containers: headers merge, int widens to long, added column null-fills") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1 to 50).map(i => (i, s"a$i")).toDF("id", "s")
+      .write.format(fmt).mode("append").save(dir) // generation 1: id INT
+    (51L to 80L).map(i => (i, s"b$i", i * 0.5)).toDF("id", "s", "d")
+      .write.format(fmt).mode("append").save(dir) // generation 2: id LONG + d
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", org.apache.spark.sql.types.LongType),
+        ("s", org.apache.spark.sql.types.StringType),
+        ("d", org.apache.spark.sql.types.DoubleType)),
+      back.schema.simpleString)
+    val rows = back.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    val expected =
+      (1 to 50).map(i => (i.toLong, s"a$i", None: Option[Any])).toSet ++
+        (51L to 80L).map(i => (i, s"b$i", Some(i * 0.5): Option[Any]))
+    assert(rows == expected)
+    // incompatible change (same field, irreconcilable type) is loud
+    val dir2 = tmpDir()
+    Seq((1L, "x")).toDF("id", "s").write.format(fmt).mode("append").save(dir2)
+    Seq((true, "y")).toDF("id", "s").write.format(fmt).mode("append").save(dir2)
+    val err = intercept[Exception] { spark.read.format(fmt).load(dir2) }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("incompatible")) ||
+        mentions(t.getCause))
+    assert(mentions(err), s"conflict must be loud: ${err.getMessage}")
+  }
+
   test("unsupported schema fails at write planning, not mid-task") {
     import spark.implicits._
     val dir = tmpDir()
