@@ -1285,6 +1285,44 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Metadata-only aggregation (round 11): COUNT(*)/MIN/MAX over the
+    * snapshot table answered entirely from manifest riders — zero data
+    * files opened (the table reaches the answer through `_rc` row
+    * counts and footer min/max written at commit time; files are
+    * immutable, so this is EXACT, not an estimate). The key builds the
+    * table with three range-sharded appends plus a CoW delete of a
+    * mid-range slice — so the riders being summed are a MIX of
+    * original and rewritten files — and the oracle recomputes from the
+    * source. The honest-fallback contract (None when any file lacks a
+    * rider, never a guess) is pinned in SnapshotSpec. At 100 TB this
+    * is the difference between a manifest read and a cluster-hour
+    * scan. */
+  val aggMetadataOnly: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_meta")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+    )
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    SnapshotLog.deleteWhere(spark, table, "o_orderkey", c1 + 1, (3 * c1) / 2)
+    val n = SnapshotLog.metadataCount(spark, table).get
+    val (lo, hi) = SnapshotLog.metadataRange(spark, table, "o_orderkey").get
+    import spark.implicits._
+    Seq((n, lo, hi)).toDF("n_rows", "min_key", "max_key")
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -1410,6 +1448,7 @@ object Scans {
     "sink_avro" -> sinkAvro,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_mv_incremental" -> etlMvIncremental,
+    "agg_metadata_only" -> aggMetadataOnly,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -1522,6 +1561,16 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_custkey > b.c1 AND o_custkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
+    // metadata-only answers must be EXACT: rider sums over the mixed
+    // original+rewritten file set vs the full recompute
+    "agg_metadata_only" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders),
+        | live AS (SELECT o_orderkey FROM orders, b
+        |   WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        | CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM live""".stripMargin,
     // the CoW delete must drop exactly the [c1+1, 3*c1/2] range and
     // nothing else — carried-by-reference rows included
     "etl_delete_snapshot" ->

@@ -1051,6 +1051,53 @@ object SnapshotLog {
     }
   }
 
+  /** Metadata-only COUNT(*): summed from the manifest's `_rc` riders
+    * without opening any data file — exact, not an estimate, because
+    * the riders are written from the parquet footer at commit time and
+    * data files are immutable. None if any live file predates the
+    * rider (correctness never degrades to a guess; the caller falls
+    * back to a scan). At 100 TB this answers in one manifest
+    * resolution what a scan answers in a cluster-hour. */
+  def metadataCount(
+      spark: SparkSession,
+      table: String,
+      version: Option[Int] = None
+  ): Option[Long] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot count: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    val counts = manifestEntries(spark, table, v).map(entryRows)
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** Metadata-only MIN/MAX of an integral column, folded over the
+    * manifest's per-file footer stats in LONG space. Exact for the
+    * same immutability reason; None unless EVERY live file carries
+    * stats for the column (a single blind file could hide the true
+    * extremum). */
+  def metadataRange(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      version: Option[Int] = None
+  ): Option[(Long, Long)] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot range: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    val ranges = manifestEntries(spark, table, v).map { e =>
+      entryStat(e, column).flatMap(_.split(':') match {
+        case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
+        case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
+        case _                  => None
+      })
+    }
+    if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+    else {
+      val rs = ranges.flatten
+      Some((rs.map(_._1).min, rs.map(_._2).max))
+    }
+  }
+
   private def requireUnexpired(spark: SparkSession, table: String, v: Int): Unit = {
     val h = readHorizon(spark, table)
     if (v < h)

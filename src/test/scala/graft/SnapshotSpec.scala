@@ -520,6 +520,27 @@ class SnapshotSpec extends SparkTestBase {
     assert(last == 1, s"live files after compact+delete: $last")
   }
 
+  test("metadata-only count/min/max are exact over mixed generations, and refuse rather than guess") {
+    import spark.implicits._
+    val t = freshTable()
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("id").repartitionByRange(2, org.apache.spark.sql.functions.col("id"))
+    SnapshotLog.commit(spark, t, batch(1, 100))
+    SnapshotLog.commit(spark, t, batch(101, 300))
+    assert(SnapshotLog.metadataCount(spark, t).contains(300L))
+    assert(SnapshotLog.metadataRange(spark, t, "id").contains((1L, 300L)))
+    // after a CoW delete the riders being summed mix original and
+    // rewritten files — still exact against the actual scan
+    SnapshotLog.deleteWhere(spark, t, "id", 50, 120)
+    assert(SnapshotLog.metadataCount(spark, t)
+      .contains(SnapshotLog.read(spark, t).count()))
+    assert(SnapshotLog.metadataRange(spark, t, "id").contains((1L, 300L)))
+    // time travel: pre-delete version still answers from its manifest
+    assert(SnapshotLog.metadataCount(spark, t, Some(2)).contains(300L))
+    // a column with no stats anywhere: None, never a guess
+    assert(SnapshotLog.metadataRange(spark, t, "nope").isEmpty)
+  }
+
   test("change feed composes across a skipped compaction version") {
     import spark.implicits._
     val t = freshTable()
