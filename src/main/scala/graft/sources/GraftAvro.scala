@@ -49,6 +49,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     deleting the superseded generation after the new one lands.
   *     Codec: `deflate` by default (in avro core), `snappy` accepted
   *     (snappy-java ships in the Spark jars), `null` for none.
+  *   - **Filter and column pushdown on the read**: the graft-tbl
+  *     predicate dialect ([[GraftTblFilters]] — comparisons and null
+  *     checks on long/int/double/string literals, SQL null semantics)
+  *     is evaluated against the decoded record BEFORE any InternalRow
+  *     is built, and the pruned read schema skips converting untouched
+  *     fields; unsupported predicates return to Spark for residual
+  *     evaluation, so correctness never depends on connector ambition.
   *
   * The session's Hadoop conf rides both factories via
   * [[SerializableHadoopConf]] — executors never build a bare
@@ -244,16 +251,33 @@ case class GraftAvroTable(tableSchema: StructType, path: String)
     )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       // column pruning: the reader assembles rows by NAME, so shrinking
       // the read schema skips decoding-to-row of every untouched field
       private var required: StructType = tableSchema
+      // same predicate dialect as graft-tbl (comparisons + null checks
+      // on long/int/double/string literals, SQL null semantics);
+      // dropped rows never become InternalRows, unsupported predicates
+      // return to Spark for residual evaluation
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter]
+      ): Array[org.apache.spark.sql.sources.Filter] = {
+        val (can, cannot) =
+          filters.partition(GraftTblFilters.evaluable(_, tableSchema))
+        pushed = can
+        cannot
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
       override def build(): Scan = GraftAvroScan(
         required,
         path,
-        Option(options.get("split_bytes")).map(_.toLong)
+        Option(options.get("split_bytes")).map(_.toLong),
+        pushed.toSeq
       )
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -263,12 +287,14 @@ case class GraftAvroTable(tableSchema: StructType, path: String)
 case class GraftAvroScan(
     tableSchema: StructType,
     path: String,
-    splitBytes: Option[Long]
+    splitBytes: Option[Long],
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
 ) extends Scan
     with Batch {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-avro scan of $path"
+  override def description(): String =
+    s"graft-avro scan of $path, pushed=[${pushedFilters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -297,7 +323,8 @@ case class GraftAvroScan(
       tableSchema,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()
-      )
+      ),
+      pushedFilters
     )
 }
 
@@ -306,11 +333,13 @@ case class GraftAvroPartition(file: String, start: Long, length: Long)
 
 case class GraftAvroReaderFactory(
     schema: StructType,
-    conf: SerializableHadoopConf
+    conf: SerializableHadoopConf,
+    filters: Seq[org.apache.spark.sql.sources.Filter]
 ) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftAvroPartition]
-    new GraftAvroReader(part.file, part.start, part.length, conf.value, schema)
+    new GraftAvroReader(
+      part.file, part.start, part.length, conf.value, schema, filters)
   }
 }
 
@@ -322,7 +351,8 @@ class GraftAvroReader(
     start: Long,
     length: Long,
     conf: Configuration,
-    schema: StructType
+    schema: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil
 ) extends PartitionReader[InternalRow] {
   private val reader = new DataFileReader[GenericRecord](
     new FsInput(new Path(file), conf),
@@ -331,12 +361,31 @@ class GraftAvroReader(
   reader.sync(start)
   private var record: GenericRecord = _
 
-  override def next(): Boolean =
-    if (!reader.hasNext || reader.pastSync(start + length)) false
-    else {
+  /** Pushed-filter operand: decoded into the comparison dialect's value
+    * space (Utf8→String, Float widened to Double; Long/Int/Double pass
+    * through). Only columns compared against long/int/double/string
+    * literals are ever pushed, so other shapes never reach here. */
+  private def fieldValue(name: String): Any = {
+    val af = record.getSchema.getField(name)
+    if (af == null) null
+    else
+      record.get(af.pos()) match {
+        case null                 => null
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case s: String            => s
+        case f: java.lang.Float   => java.lang.Double.valueOf(f.doubleValue())
+        case other                => other
+      }
+  }
+
+  override def next(): Boolean = {
+    while (reader.hasNext && !reader.pastSync(start + length)) {
       record = reader.next(record)
-      true
+      // dropped rows never become InternalRows
+      if (filters.forall(GraftTblFilters.eval(_, fieldValue))) return true
     }
+    false
+  }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](schema.length)

@@ -102,6 +102,24 @@ class AvroSpec extends SparkTestBase {
     assert(pruned.collect().map(_.getLong(0)).toSet == (1L to 50L).toSet)
   }
 
+  test("filter pushdown: dropped rows never leave the scan, residual predicates stay with Spark") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1L to 1000L).map(i => (i, s"s$i", i * 0.5)).toDF("id", "s", "d")
+      .write.format(fmt).mode("append").save(dir)
+    val q = spark.read.format(fmt).load(dir)
+      .filter(col("id") > 900L && col("d") <= 475.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("GreaterThan(id"),
+      s"comparisons must reach the scan: $plan")
+    assert(q.collect().map(_.getLong(0)).toSet == (901L to 950L).toSet)
+    // a predicate outside the dialect (endsWith) stays with Spark as a
+    // residual Filter — correctness never depends on connector ambition
+    val q2 = spark.read.format(fmt).load(dir)
+      .filter(col("id") > 990L && col("s").endsWith("5"))
+    assert(q2.collect().map(_.getLong(0)).toSet == Set(995L))
+  }
+
   test("schema evolution across containers: headers merge, int widens to long, added column null-fills") {
     import spark.implicits._
     val dir = tmpDir()
