@@ -1343,6 +1343,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("streaming CDF refuses a change commit whose removed files predate the retention horizon") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft-cdfexp").toString
+    val table = s"$base/t"
+    SnapshotLog.commit(spark, table, (1L to 5L).toDF("id").coalesce(1))   // v1
+    SnapshotLog.commit(spark, table, (6L to 9L).toDF("id").coalesce(1))   // v2
+    SnapshotLog.deleteWhere(spark, table, "id", 2, 3)                      // v3: removes a v1 file
+    SnapshotLog.commit(spark, table, (10L to 12L).toDF("id").coalesce(1)) // v4
+    // horizon = v3: the file v3 removed was referenced only by expired
+    // versions — its content is gone
+    SnapshotLog.expire(spark, table, keepLast = 2)
+    val q = spark.readStream.format("graft.sources.GraftSnapshotSource")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .load(table)
+      .writeStream
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => (): Unit)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("retention horizon")) ||
+        mentions(t.getCause))
+    assert(mentions(err), s"CDF over expired removals must be loud: ${err.getMessage}")
+  }
+
   test("snapshot streaming source: maxFilesPerTrigger paces the backlog; AvailableNow drains and stops") {
     import spark.implicits._
     import graft.sources.SnapshotLog
