@@ -774,6 +774,134 @@ object Scans {
       .orderBy("o_orderkey")
   }
 
+  /** Registers the snapshot SQL catalog once per session (the catalog
+    * instance is cached by Spark's CatalogManager at first use, so the
+    * warehouse is a deterministic per-JVM path all keys share). */
+  private def sqlCatalog(spark: org.apache.spark.sql.SparkSession): String = {
+    val cat = "graft_cat"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf
+        .set(s"spark.sql.catalog.$cat", classOf[graft.sources.SnapshotCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp("sql_warehouse"))
+    }
+    cat
+  }
+
+  /** SQL SELECT over the snapshot catalog (round 11 late): the table
+    * lands as three range-sharded appends through the commit protocol,
+    * and the query reads it purely through `spark.sql` against
+    * [[graft.sources.SnapshotCatalog]] — the pushed range predicate
+    * drives manifest-stats file skipping at PLANNING time (only the
+    * middle shard's files become input partitions; pinned in
+    * CatalogSpec via the scan's files=k/n description), and the scan
+    * reports EXACT row/byte statistics from the manifest riders to
+    * Catalyst. The oracle recomputes the same aggregate from the source
+    * table, so the hash proves fidelity THROUGH catalog resolution,
+    * executor-side Group-API parquet reading, and the pruning path. */
+  val sqlSnapshotSelect: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    val table = tmp("sql_warehouse/main/orders_sqlsel")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+    )
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    spark.sql(
+      s"""SELECT o_custkey, count(*) AS cnt,
+         |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+         |FROM $cat.main.orders_sqlsel
+         |WHERE o_orderkey > $c1 AND o_orderkey <= $c2
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    )
+  }
+
+  /** SQL DDL + DML end-to-end (round 11 late): CREATE TABLE, two
+    * INSERT INTO appends, INSERT OVERWRITE — every statement through
+    * `spark.sql`, every write through the catalog's DSv2 task writers
+    * landing attempt-unique parquet committed by manifest. The final
+    * read must serve exactly the OVERWRITE's rows: a duplicated append
+    * file, a lost truncate, or a visible loser attempt all break the
+    * hash. */
+  val sqlSnapshotInsert: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_sqlins"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sql_orders_src")
+    spark.sql(
+      s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 3 = 0")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 3 = 1")
+    spark.sql(
+      s"INSERT OVERWRITE $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 3 = 2")
+    spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+  }
+
+  /** CTAS through the catalog (round 11 late): CREATE TABLE AS SELECT
+    * materializes an aggregate into a snapshot table (v1 schema-only
+    * commit + v2 data append under the hood), read back via SQL. */
+  val sqlSnapshotCtas: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_ctas"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sql_orders_src")
+    spark.sql(
+      s"""CREATE TABLE $t AS
+         |SELECT o_custkey, count(*) AS cnt,
+         |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+         |FROM graft_sql_orders_src GROUP BY o_custkey""".stripMargin
+    )
+    spark.sql(s"SELECT * FROM $t ORDER BY o_custkey")
+  }
+
+  /** SQL time travel (round 11 late): the all-SQL twin of
+    * source_time_travel — appends at v2/v3, INSERT OVERWRITE at v4,
+    * and one result unioning `VERSION AS OF 3` with the latest read so
+    * a single hash proves overwrite semantics AND old-snapshot
+    * isolation through the SQL surface. */
+  val sqlSnapshotTimeTravel: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_sqltt"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sql_orders_src")
+    spark.sql(
+      s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 3 = 0")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 3 = 1")
+    spark.sql(
+      s"INSERT OVERWRITE $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 3 = 2")
+    spark.sql(
+      s"""SELECT *, 3 AS asof_version FROM $t VERSION AS OF 3
+         |UNION ALL
+         |SELECT *, 4 AS asof_version FROM $t
+         |ORDER BY asof_version, o_orderkey""".stripMargin
+    )
+  }
+
   /** Transactional MERGE INTO, FILE-GRANULAR copy-on-write (round 11,
     * upgrading the round-10 full-overwrite): the table lands as three
     * range-sharded appends (key-clustered files with manifest stats),
@@ -1452,6 +1580,10 @@ object Scans {
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
+    "sql_snapshot_select" -> sqlSnapshotSelect,
+    "sql_snapshot_insert" -> sqlSnapshotInsert,
+    "sql_snapshot_ctas" -> sqlSnapshotCtas,
+    "sql_snapshot_time_travel" -> sqlSnapshotTimeTravel,
     "etl_merge_snapshot" -> etlMergeSnapshot,
     "stats_analyze" -> statsAnalyze,
     "source_datespine" -> sourceDatespine,
@@ -1628,6 +1760,27 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
+    "sql_snapshot_select" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_custkey, count(*) AS cnt,
+        |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        |FROM orders, b
+        |WHERE o_orderkey > b.c1 AND o_orderkey <= 2 * b.c1
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "sql_snapshot_insert" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 2 ORDER BY o_orderkey""".stripMargin,
+    "sql_snapshot_ctas" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "sql_snapshot_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 3 AS asof_version
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 4 AS asof_version
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY asof_version, o_orderkey""".stripMargin,
     "stats_analyze" -> statsAnalyzeSql,
     "source_datespine" -> sourceDatespineSql,
     "sink_manifest" -> sinkManifestSql,

@@ -1,0 +1,725 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.Type.Repetition
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL catalog over [[SnapshotLog]] tables — the surface that turns the
+  * storage layer into a queryable lakehouse:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_cat", classOf[SnapshotCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft_cat.warehouse", "/data/warehouse")
+  *   spark.sql("CREATE TABLE graft_cat.main.orders (o_orderkey BIGINT, ...)")
+  *   spark.sql("INSERT INTO graft_cat.main.orders SELECT ...")
+  *   spark.sql("SELECT * FROM graft_cat.main.orders VERSION AS OF 2 WHERE ...")
+  * }}}
+  *
+  *   - **Reads are snapshot-isolated** — a table load pins a manifest
+  *     version (`VERSION AS OF` / `TIMESTAMP AS OF` pin explicitly; the
+  *     default pins the tip at load). The scan hands executors exactly
+  *     the manifest's parquet files; no directory listing.
+  *   - **Pushed filters drive manifest-stats file skipping at PLANNING
+  *     time**: range/equality predicates on INT/LONG/STRING columns
+  *     intersect against each file's footer min/max riding the manifest,
+  *     and provably-disjoint files are never planned as partitions.
+  *     Skipping is best-effort — every filter is also returned to Spark
+  *     as a residual, so correctness never depends on stats coverage
+  *     (the posture the lakehouse formats' data-skipping takes).
+  *   - **The scan reports EXACT statistics** from the manifest's
+  *     `_sz`/`_rc` riders (post-pruning bytes and row counts), so
+  *     Catalyst's broadcast/join planning sees real numbers instead of
+  *     a file-listing guess — at 100 TB the difference between a
+  *     broadcast and a sort-merge join on the dimension side.
+  *   - **Writes are the commit protocol**: task writers land
+  *     attempt-unique parquet straight into the table root (invisible
+  *     until a manifest names them — loser attempts become vacuum-able
+  *     orphans, and no rename pass means no object-store copy), and the
+  *     driver commits exactly the winners under the claim lock.
+  *     `INSERT INTO` appends; `INSERT OVERWRITE` truncates via
+  *     [[SupportsTruncate]]; CTAS is CREATE + append.
+  *   - **Streaming reads reuse the snapshot stream**: a catalog table
+  *     exposes MICRO_BATCH_READ through the same version-offset
+  *     [[GraftSnapshotMicroBatchStream]], so
+  *     `spark.readStream.table("graft_cat.main.t")` is the message-log
+  *     view with admission control and AvailableNow intact.
+  *
+  * Namespaces are warehouse subdirectories; a table is any directory
+  * with a `_log`. `ALTER TABLE ADD COLUMN` is a schema-only commit
+  * (the log's evolution rules null-fill earlier files); other ALTERs
+  * refuse loudly. Hive-style partition transforms are deliberately
+  * unsupported — manifest-stats skipping plus OPTIMIZE clustering is
+  * the scale path, without small-file partition explosion.
+  */
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def wfs =
+    new Path(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(
+      name: String,
+      options: CaseInsensitiveStringMap
+  ): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot catalog '$name': set spark.sql.catalog.$name.warehouse"
+      )
+    )
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path =
+    new Path((warehouse +: ns).mkString("/"))
+
+  private def tablePath(ident: Identifier): String =
+    ((warehouse +: ident.namespace) :+ ident.name).mkString("/")
+
+  private def isTable(p: Path): Boolean =
+    wfs.exists(new Path(p, "_log"))
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val p = nsPath(ns)
+    if (!wfs.exists(p)) throw new NoSuchNamespaceException(ns)
+    wfs
+      .listStatus(p)
+      .filter(st => st.isDirectory && isTable(st.getPath))
+      .map(st => Identifier.of(ns, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(new Path(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    SnapshotSqlTable(spark, tablePath(ident), ident.toString, None)
+  }
+
+  /** `VERSION AS OF <v>` — pins the named commit. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"snapshot catalog: VERSION AS OF wants a commit number, got '$version'"
+          )
+      }
+    SnapshotSqlTable(spark, tablePath(ident), ident.toString, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` (micros since epoch) — the latest commit
+    * whose manifest landed at or before `t`, by commit-file mtime (the
+    * lakehouse formats' resolution rule). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = tablePath(ident)
+    val ms = timestamp / 1000L
+    val vs = SnapshotLog
+      .versions(spark, path)
+      .filter(SnapshotLog.commitTimestamp(spark, path, _) <= ms)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(
+        s"snapshot catalog: no commit of $ident at or before timestamp " +
+          s"$timestamp — the table's first commit is newer"
+      )
+    SnapshotSqlTable(spark, path, ident.toString, Some(vs.last))
+  }
+
+  @deprecated("TableCatalog's StructType createTable is deprecated", "")
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "snapshot catalog: partition transforms are unsupported — " +
+          "manifest-stats file skipping plus OPTIMIZE clustering is the " +
+          "scale path (no small-file partition explosion)"
+      )
+    SnapshotSql.requireSupported(schema) // refuse at DDL, not first INSERT
+    wfs.mkdirs(nsPath(ident.namespace))
+    // v1 is a schema-only commit: the empty table is immediately
+    // readable under its recorded schema
+    SnapshotLog.commitLanded(spark, tablePath(ident), Nil, schema)
+    loadTable(ident)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = {
+    val fields = columns.map { c =>
+      if (c.defaultValue() != null || c.generationExpression() != null)
+        throw new UnsupportedOperationException(
+          "snapshot catalog: column defaults / generated columns unsupported"
+        )
+      StructField(c.name(), c.dataType(), c.nullable())
+    }
+    createTable(ident, StructType(fields), partitions, properties): @annotation.nowarn("cat=deprecation")
+  }
+
+  /** ADD COLUMN is a schema-only commit (earlier files null-fill per
+    * the log's evolution rules); everything else refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = tablePath(ident)
+    val current = SnapshotLog
+      .tableSchema(spark, path, SnapshotLog.versions(spark, path).last)
+      .getOrElse(
+        throw new IllegalStateException(
+          s"snapshot catalog: $ident has no recorded schema (pre-upgrade log?)"
+        )
+      )
+    val added = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        StructField(a.fieldNames()(0), a.dataType(), a.isNullable)
+      case c =>
+        throw new UnsupportedOperationException(
+          s"snapshot catalog: unsupported ALTER TABLE change $c " +
+            "(only top-level ADD COLUMN)"
+        )
+    }
+    SnapshotSql.requireSupported(StructType(added))
+    SnapshotLog.commitLanded(spark, path, Nil, StructType(current.fields ++ added))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && wfs.delete(new Path(tablePath(ident)), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    wfs.mkdirs(nsPath(to.namespace))
+    require(
+      wfs.rename(new Path(tablePath(from)), new Path(tablePath(to))),
+      s"snapshot catalog: rename $from -> $to failed"
+    )
+  }
+
+  // --- namespaces: warehouse subdirectories ---
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!wfs.exists(root)) Array.empty
+    else
+      wfs
+        .listStatus(root)
+        .filter(st => st.isDirectory && !isTable(st.getPath))
+        .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    val p = nsPath(ns)
+    if (!wfs.exists(p)) throw new NoSuchNamespaceException(ns)
+    wfs
+      .listStatus(p)
+      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .map(st => ns :+ st.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]
+  ): util.Map[String, String] = {
+    if (!wfs.exists(nsPath(ns)) || isTable(nsPath(ns)))
+      throw new NoSuchNamespaceException(ns)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      ns: Array[String],
+      metadata: util.Map[String, String]
+  ): Unit = wfs.mkdirs(nsPath(ns))
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "snapshot catalog: ALTER NAMESPACE unsupported"
+    )
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(ns)
+    if (!wfs.exists(p)) return false
+    if (!cascade && wfs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot catalog: namespace ${ns.mkString(".")} is not empty"
+      )
+    wfs.delete(p, true)
+  }
+}
+
+/** One snapshot-catalog table, pinned at `pinned` (or the tip at load
+  * time) — the pin is what makes a multi-statement query
+  * snapshot-isolated against concurrent commits. */
+case class SnapshotSqlTable(
+    spark: SparkSession,
+    path: String,
+    ident: String,
+    pinned: Option[Int]
+) extends Table
+    with SupportsRead
+    with SupportsWrite {
+
+  private val snapVersion: Int = {
+    val vs = SnapshotLog.versions(spark, path)
+    require(vs.nonEmpty, s"snapshot catalog: no commits in $path")
+    val v = pinned.getOrElse(vs.last)
+    require(
+      vs.contains(v),
+      s"snapshot catalog: version $v of $ident not in $vs"
+    )
+    v
+  }
+
+  private val dataSchema: StructType =
+    SnapshotLog
+      .tableSchema(spark, path, snapVersion)
+      .getOrElse(
+        spark.read
+          .parquet(SnapshotLog.manifest(spark, path, snapVersion).map(n => s"$path/$n"): _*)
+          .schema
+      )
+
+  override def name(): String = ident
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE
+    )
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotSqlScanBuilder(spark, path, snapVersion, dataSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(
+      pinned.isEmpty,
+      s"snapshot catalog: cannot write to $ident pinned at VERSION AS OF $snapVersion"
+    )
+    SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
+    new SnapshotSqlWriteBuilder(path, info.schema())
+  }
+}
+
+/** Scan builder: records range/equality predicates on stats-bearing
+  * columns for file skipping, prunes the read schema, and returns EVERY
+  * filter to Spark as a residual — skipping is an optimization, never
+  * the correctness boundary. */
+class SnapshotSqlScanBuilder(
+    spark: SparkSession,
+    path: String,
+    version: Int,
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap
+) extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var readSchema: StructType = dataSchema
+
+  private def prunable(f: Filter): Boolean = {
+    def typed(col: String, isString: Boolean): Boolean =
+      dataSchema.fields.find(_.name == col).exists { fld =>
+        if (isString) fld.dataType == StringType
+        else
+          fld.dataType == LongType || fld.dataType == IntegerType
+      }
+    f match {
+      case EqualTo(c, _: Long)             => typed(c, isString = false)
+      case EqualTo(c, _: Int)              => typed(c, isString = false)
+      case EqualTo(c, _: String)           => typed(c, isString = true)
+      case GreaterThan(c, _: Long)         => typed(c, isString = false)
+      case GreaterThan(c, _: Int)          => typed(c, isString = false)
+      case GreaterThanOrEqual(c, _: Long)  => typed(c, isString = false)
+      case GreaterThanOrEqual(c, _: Int)   => typed(c, isString = false)
+      case LessThan(c, _: Long)            => typed(c, isString = false)
+      case LessThan(c, _: Int)             => typed(c, isString = false)
+      case LessThan(c, _: String)          => typed(c, isString = true)
+      case LessThanOrEqual(c, _: Long)     => typed(c, isString = false)
+      case LessThanOrEqual(c, _: Int)      => typed(c, isString = false)
+      case LessThanOrEqual(c, _: String)   => typed(c, isString = true)
+      case _                               => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(prunable)
+    filters // all residual: Spark re-evaluates, skipping stays best-effort
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    // preserve table column order; `required` may reorder
+    readSchema = StructType(
+      dataSchema.fields.filter(f => required.fieldNames.contains(f.name))
+    )
+
+  override def build(): Scan =
+    new SnapshotSqlScan(spark, path, version, readSchema, pushed, options)
+}
+
+class SnapshotSqlScan(
+    spark: SparkSession,
+    path: String,
+    version: Int,
+    prunedSchema: StructType,
+    pushed: Array[Filter],
+    options: CaseInsensitiveStringMap
+) extends Scan
+    with Batch
+    with SupportsReportStatistics {
+
+  /** Manifest names surviving every pushed predicate's stats check —
+    * the intersection, since pushed filters are conjunctive. */
+  private lazy val keptFiles: Seq[String] = {
+    val all = SnapshotLog.manifest(spark, path, version)
+    var kept = all.toSet
+    pushed.foreach { f =>
+      val admitted: Option[Set[String]] = f match {
+        case EqualTo(c, v: Long)  => Some(longRange(c, v, v))
+        case EqualTo(c, v: Int)   => Some(longRange(c, v.toLong, v.toLong))
+        case EqualTo(c, v: String) =>
+          Some(SnapshotLog.prunedFilesString(spark, path, c, v, v, Some(version))._1.toSet)
+        case GreaterThan(c, v: Long)        => Some(longRange(c, v, Long.MaxValue))
+        case GreaterThan(c, v: Int)         => Some(longRange(c, v.toLong, Long.MaxValue))
+        case GreaterThanOrEqual(c, v: Long) => Some(longRange(c, v, Long.MaxValue))
+        case GreaterThanOrEqual(c, v: Int)  => Some(longRange(c, v.toLong, Long.MaxValue))
+        case LessThan(c, v: Long)           => Some(longRange(c, Long.MinValue, v))
+        case LessThan(c, v: Int)            => Some(longRange(c, Long.MinValue, v.toLong))
+        case LessThanOrEqual(c, v: Long)    => Some(longRange(c, Long.MinValue, v))
+        case LessThanOrEqual(c, v: Int)     => Some(longRange(c, Long.MinValue, v.toLong))
+        case LessThan(c, v: String) =>
+          Some(SnapshotLog.prunedFilesString(spark, path, c, "", v, Some(version))._1.toSet)
+        case LessThanOrEqual(c, v: String) =>
+          Some(SnapshotLog.prunedFilesString(spark, path, c, "", v, Some(version))._1.toSet)
+        case _ => None
+      }
+      admitted.foreach(a => kept = kept.intersect(a))
+    }
+    all.filter(kept) // manifest order
+  }
+
+  private def longRange(col: String, lo: Long, hi: Long): Set[String] =
+    SnapshotLog.prunedFiles(spark, path, col, lo, hi, Some(version))._1.toSet
+
+  override def readSchema(): StructType = prunedSchema
+
+  override def description(): String = {
+    val total = SnapshotLog.manifest(spark, path, version).length
+    s"graft-snapshot $path v$version, files=${keptFiles.length}/$total, " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${prunedSchema.catalogString}"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.map(f => GraftSnapshotPartition(s"$path/$f", None)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftSnapshotReaderFactory(
+      prunedSchema,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      readChangeFeed = false
+    )
+
+  /** EXACT post-pruning size/rows from the manifest riders — Catalyst's
+    * broadcast decision sees real numbers, zero file opens. */
+  override def estimateStatistics(): Statistics = {
+    val stats = SnapshotLog.manifestFileStats(spark, path, version)
+    val byName = stats.map(s => s._1 -> s).toMap
+    val kept = keptFiles.flatMap(byName.get)
+    val size = kept.flatMap(_._2)
+    val rows = kept.flatMap(_._3)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        if (size.length == kept.length && kept.nonEmpty)
+          util.OptionalLong.of(size.sum)
+        else if (kept.isEmpty) util.OptionalLong.of(0L)
+        else util.OptionalLong.empty()
+      override def numRows(): util.OptionalLong =
+        if (rows.length == kept.length && kept.nonEmpty)
+          util.OptionalLong.of(rows.sum)
+        else if (kept.isEmpty) util.OptionalLong.of(0L)
+        else util.OptionalLong.empty()
+    }
+  }
+
+  /** `spark.readStream.table(...)` — the same version-offset stream the
+    * path-based source runs; CDF mode needs the path-based source (its
+    * rider columns change the schema). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(
+      !Option(options.get("readChangeFeed")).exists(_.toBoolean),
+      "snapshot catalog: readChangeFeed changes the schema — stream it " +
+        "via the path-based graft.sources.GraftSnapshotSource instead"
+    )
+    new GraftSnapshotMicroBatchStream(
+      prunedSchema,
+      path,
+      skipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      startingVersion =
+        Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      readChangeFeed = false
+    )
+  }
+}
+
+// --- write path ---
+
+class SnapshotSqlWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder
+    with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      SnapshotSqlBatchWrite(path, schema, overwrite)
+  }
+}
+
+case class SnapshotSqlBatchWrite(
+    path: String,
+    schema: StructType,
+    overwrite: Boolean
+) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo
+  ): DataWriterFactory =
+    SnapshotSqlWriterFactory(
+      path,
+      schema,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()
+      )
+    )
+
+  /** Exactly one message per partition (commit coordinator): the
+    * manifest names only winner attempts; losers are invisible orphans
+    * the mtime-grace vacuum reclaims. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val names = messages.toSeq.collect {
+      case SnapshotSqlCommit(Some(n)) => n
+    }
+    SnapshotLog.commitLanded(
+      SparkSession.active, path, names, schema, overwrite = overwrite)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // best-effort: anything missed is an unreferenced orphan for vacuum
+    val fs = new Path(path)
+      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    messages.foreach {
+      case SnapshotSqlCommit(Some(n)) =>
+        try fs.delete(new Path(s"$path/$n"), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+case class SnapshotSqlCommit(name: Option[String]) extends WriterCommitMessage
+
+case class SnapshotSqlWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableHadoopConf
+) extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long
+  ): DataWriter[InternalRow] =
+    new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
+}
+
+/** Task-side parquet writer (Group API) landing one attempt-unique file
+  * in the table root. Lazy: an empty partition writes nothing at all —
+  * no zero-row files accreting in the manifest. */
+class SnapshotParquetWriter(
+    table: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    hadoopConf: org.apache.hadoop.conf.Configuration
+) extends DataWriter[InternalRow] {
+
+  private val messageType: MessageType = SnapshotSql.toMessageType(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private var writer: ParquetWriter[Group] = _
+  private var fileName: String = _
+
+  private def ensureOpen(): Unit =
+    if (writer == null) {
+      fileName =
+        s"part-sql-$partitionId-$taskId-${UUID.randomUUID.toString.take(8)}.parquet"
+      writer = ExampleParquetWriter
+        .builder(
+          HadoopOutputFile.fromPath(new Path(s"$table/$fileName"), hadoopConf)
+        )
+        .withType(messageType)
+        .withConf(hadoopConf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    writer.write(SnapshotSql.toGroup(factory, schema, row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null }
+    SnapshotSqlCommit(Option(fileName))
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    if (fileName != null) {
+      val fs = new Path(table).getFileSystem(hadoopConf)
+      try fs.delete(new Path(s"$table/$fileName"), false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  override def close(): Unit =
+    if (writer != null) { writer.close(); writer = null }
+}
+
+/** Spark↔parquet type mapping for the catalog write path. The allowlist
+  * matches what [[GraftSnapshotReader]] decodes and what
+  * `SnapshotLog`'s stats lifter understands; anything else refuses at
+  * planning, before a task runs. */
+private[sources] object SnapshotSql {
+
+  def requireSupported(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+            StringType | BinaryType | DateType | TimestampType |
+            TimestampNTZType =>
+        case dt =>
+          throw new UnsupportedOperationException(
+            s"snapshot catalog: unsupported column type $dt for '${f.name}' " +
+              "(supported: bigint/int/double/float/boolean/string/binary/" +
+              "date/timestamp/timestamp_ntz)"
+          )
+      }
+    }
+
+  def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) Repetition.OPTIONAL else Repetition.REQUIRED
+      val prim = f.dataType match {
+        case LongType    => Types.primitive(PrimitiveTypeName.INT64, rep)
+        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        case DoubleType  => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
+        case FloatType   => Types.primitive(PrimitiveTypeName.FLOAT, rep)
+        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
+        case StringType =>
+          Types
+            .primitive(PrimitiveTypeName.BINARY, rep)
+            .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+        case DateType =>
+          Types
+            .primitive(PrimitiveTypeName.INT32, rep)
+            .as(LogicalTypeAnnotation.dateType())
+        case TimestampType =>
+          Types
+            .primitive(PrimitiveTypeName.INT64, rep)
+            .as(
+              LogicalTypeAnnotation
+                .timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS)
+            )
+        case TimestampNTZType =>
+          Types
+            .primitive(PrimitiveTypeName.INT64, rep)
+            .as(
+              LogicalTypeAnnotation
+                .timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS)
+            )
+        case dt =>
+          throw new UnsupportedOperationException(
+            s"snapshot catalog write: $dt" // requireSupported ran earlier
+          )
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("graft_snapshot")
+  }
+
+  def toGroup(
+      factory: SimpleGroupFactory,
+      schema: StructType,
+      row: InternalRow
+  ): Group = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val n = schema(i).name
+        schema(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            g.add(n, row.getLong(i))
+          case IntegerType | DateType => g.add(n, row.getInt(i))
+          case DoubleType             => g.add(n, row.getDouble(i))
+          case FloatType              => g.add(n, row.getFloat(i))
+          case BooleanType            => g.add(n, row.getBoolean(i))
+          case StringType             => g.add(n, row.getUTF8String(i).toString)
+          case BinaryType =>
+            g.add(n, Binary.fromConstantByteArray(row.getBinary(i)))
+          case dt =>
+            throw new UnsupportedOperationException(
+              s"snapshot catalog write: $dt"
+            )
+        }
+      }
+      i += 1
+    }
+    g
+  }
+}

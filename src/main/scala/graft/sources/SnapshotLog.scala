@@ -206,6 +206,27 @@ object SnapshotLog {
   }
 
   /** Live data files (relative names) at `version`. */
+  /** (name, bytes, rows) per live file at `version`, from the
+    * manifest's `_sz`/`_rc` riders — O(manifest) driver metadata, zero
+    * file opens. Files committed before the riders existed report
+    * None. Feeds the SQL catalog's `SupportsReportStatistics` (exact
+    * scan-size/row-count estimates for Catalyst's join planning) and
+    * compaction planning. */
+  def manifestFileStats(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Seq[(String, Option[Long], Option[Long])] =
+    manifestEntries(spark, table, version)
+      .map(e => (entryName(e), entrySize(e), entryRows(e)))
+
+  /** Commit-file modification time (epoch ms) — TIMESTAMP AS OF
+    * resolution, the rule the table formats use: mtimes are written in
+    * version order, so "latest commit at or before t" is well-defined
+    * up to filesystem clock skew. */
+  def commitTimestamp(spark: SparkSession, table: String, version: Int): Long =
+    fs(spark, table).getFileStatus(commitPath(table, version)).getModificationTime
+
   def manifest(spark: SparkSession, table: String, version: Int): Seq[String] =
     manifestEntries(spark, table, version).map(_.split('\t')(0))
 
@@ -513,7 +534,52 @@ object SnapshotLog {
       versions(spark, table).lastOption
         .flatMap(tableSchema(spark, table, _))
         .foreach(mergeSchemas(_, df.schema))
-    val landed = stageOnly(spark, table, df).map { name =>
+    val landed = stageOnly(spark, table, df)
+    commitLandedInternal(
+      spark, table, landed, df.schema, overwrite, txnId, replaceRemoved,
+      dataChange)
+  }
+
+  /** Commits files a writer has ALREADY landed in the table root under
+    * unique names (the SQL catalog's DSv2 write path: task writers land
+    * attempt-unique parquet directly — invisible until the manifest
+    * names them — and the driver commits exactly the winners' names, so
+    * speculative/retried attempts become vacuum-able orphans, never
+    * visible rows; no rename pass, which on an object store is a copy).
+    * `batchSchema` is the writer's schema — merged into the table
+    * schema under the usual evolution rules, or replacing it when
+    * `overwrite`. An empty `landedNames` is a valid schema-only commit
+    * (CREATE TABLE, an empty INSERT). */
+  def commitLanded(
+      spark: SparkSession,
+      table: String,
+      landedNames: Seq[String],
+      batchSchema: StructType,
+      overwrite: Boolean = false,
+      txnId: Option[String] = None,
+      dataChange: Boolean = true
+  ): Int =
+    txnId.flatMap(committedTxn(spark, table, _)) match {
+      case Some(v) => v // replay: the files are orphans, vacuum's problem
+      case None =>
+        commitLandedInternal(
+          spark, table, landedNames, batchSchema, overwrite, txnId, None,
+          dataChange)
+    }
+
+  private def commitLandedInternal(
+      spark: SparkSession,
+      table: String,
+      landedNames: Seq[String],
+      batchSchema: StructType,
+      overwrite: Boolean,
+      txnId: Option[String],
+      replaceRemoved: Option[Seq[String]],
+      dataChange: Boolean
+  ): Int = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/$LogDir"))
+    val entryLines = landedNames.map { name =>
       // footer stats ride the manifest so reads can skip files without
       // opening them. The file's byte size (`_sz=z:`) and row count
       // (`_rc=r:`) ride the same suffix, so compaction planning and
@@ -525,6 +591,27 @@ object SnapshotLog {
       val suffix = if (stats.isEmpty) size else s"$size;$stats"
       s"$name\t$suffix"
     }
+    commitEntriesInternal(
+      spark, table, entryLines, batchSchema, overwrite, txnId,
+      replaceRemoved, dataChange)
+  }
+
+  /** Claim-loop commit of fully-formed manifest entry LINES (name +
+    * stats suffix). The deletion-vector path uses this to re-add an
+    * existing file's entry with an amended `_dv` rider — no data is
+    * staged or rewritten. */
+  private def commitEntriesInternal(
+      spark: SparkSession,
+      table: String,
+      landed: Seq[String],
+      batchSchema: StructType,
+      overwrite: Boolean,
+      txnId: Option[String],
+      replaceRemoved: Option[Seq[String]],
+      dataChange: Boolean
+  ): Int = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/$LogDir"))
     val lock = claimLocks.computeIfAbsent(table, _ => new Object)
     var attempts = 0
     while (attempts < 20) {
@@ -552,11 +639,11 @@ object SnapshotLog {
           // schema (loud error on incompatible change); overwrite resets
           // the table schema to the batch's
           val schema =
-            if (overwrite || prev.isEmpty) df.schema
+            if (overwrite || prev.isEmpty) batchSchema
             else
               tableSchema(spark, table, prev.get)
-                .map(mergeSchemas(_, df.schema))
-                .getOrElse(df.schema)
+                .map(mergeSchemas(_, batchSchema))
+                .getOrElse(batchSchema)
           // Append commits are DELTAS (own files + parent pointer) so a
           // long-lived table's commit cost stays O(batch), not O(live
           // files); every FoldEvery-th version is a full-list CHECKPOINT
@@ -1122,7 +1209,8 @@ object SnapshotLog {
 
   /** Manifest-recorded row count (`_rc=r:` rider); None for
     * pre-upgrade entries, which DESCRIBE HISTORY counts as 0 rather
-    * than opening footers. */
+    * than opening footers. `_rc` stays the PHYSICAL row count even
+    * under a deletion vector — live rows = `_rc` − `_dvc`. */
   private def entryRows(e: String): Option[Long] =
     e.split('\t') match {
       case parts if parts.length >= 2 =>
@@ -1131,6 +1219,118 @@ object SnapshotLog {
         }
       case _ => None
     }
+
+  // --- merge-on-read DELETION VECTORS -------------------------------
+  //
+  // A MoR delete never rewrites a data file: it writes a tiny sidecar
+  // under `_dv/` listing the DOOMED ROW POSITIONS of one file and
+  // re-commits that file's manifest entry with `_dv=v:<sidecar>` and
+  // `_dvc=c:<dead rows>` riders (a replace-delta: `-name` + the
+  // amended line — O(touched files) manifest bytes, O(deleted rows)
+  // sidecar bytes, ZERO data bytes moved). Readers subtract the DV by
+  // position; OPTIMIZE materializes it away (the rewrite reads through
+  // the DV and the fresh entry carries no rider). Deleting 0.1 % of
+  // rows from a 100 TB table costs megabytes where copy-on-write costs
+  // the touched shards — the Delta/Iceberg position-delete posture.
+  // Sidecars are immutable: a second delete UNIONS into a NEW sidecar,
+  // so older versions keep their own DV and time travel stays exact.
+
+  private def entryToken(e: String, prefix: String): Option[String] =
+    e.split('\t') match {
+      case parts if parts.length >= 2 =>
+        parts(1).split(';').collectFirst {
+          case t if t.startsWith(prefix) => t.stripPrefix(prefix)
+        }
+      case _ => None
+    }
+
+  /** Deletion-vector sidecar file name riding an entry, if any. */
+  private def entryDv(e: String): Option[String] = entryToken(e, "_dv=v:")
+
+  /** Dead-row count of an entry's deletion vector. */
+  private def entryDvCount(e: String): Option[Long] =
+    entryToken(e, "_dvc=c:").map(_.toLong)
+
+  private val DvMagic = 0x47445631 // "GDV1"
+
+  /** Sidecar format: magic, int count, sorted longs. A production
+    * encoding would be a roaring bitmap; positions-as-longs keeps the
+    * format inspectable and is byte-bounded by deleted rows either
+    * way. */
+  private[sources] def writeDvFile(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: Path,
+      positions: Array[Long]
+  ): Unit = {
+    val f = path.getFileSystem(conf)
+    f.mkdirs(path.getParent)
+    val out = new java.io.DataOutputStream(f.create(path, false))
+    try {
+      out.writeInt(DvMagic)
+      out.writeInt(positions.length)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  private[sources] def readDvFile(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: Path
+  ): Array[Long] = {
+    val f = path.getFileSystem(conf)
+    val in = new java.io.DataInputStream(f.open(path))
+    try {
+      require(in.readInt() == DvMagic, s"not a deletion vector: $path")
+      val n = in.readInt()
+      Array.fill(n)(in.readLong())
+    } finally in.close()
+  }
+
+  /** Entries (full lines) for `names`, preserving manifest order. */
+  private def entriesFor(entries: Seq[String], names: Seq[String]): Seq[String] = {
+    val wanted = names.toSet
+    entries.filter(e => wanted(entryName(e)))
+  }
+
+  /** Entry-aware read: plain files take the untouched vectorized path;
+    * files carrying a deletion vector are read with their in-file row
+    * position (`_metadata.row_index`) and doomed positions are dropped
+    * through a BROADCAST (file → sorted positions) filter — no
+    * shuffle, cost proportional to the DV'd files only. Driver memory
+    * is the live deleted-row count, small by the MoR contract
+    * (large-fraction deletes belong to the CoW paths; OPTIMIZE
+    * materializes DVs away). */
+  private def readEntries(
+      spark: SparkSession,
+      table: String,
+      entries: Seq[String],
+      schema: Option[StructType]
+  ): DataFrame = {
+    val (dvd, plain) = entries.partition(e => entryDv(e).isDefined)
+    if (dvd.isEmpty) readFiles(spark, table, entries.map(entryName), schema)
+    else {
+      import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
+      val conf = spark.sessionState.newHadoopConf()
+      val dvMap: Map[String, Array[Long]] = dvd.map { e =>
+        entryName(e) -> readDvFile(conf, new Path(s"$table/_dv/${entryDv(e).get}"))
+      }.toMap
+      val bc = spark.sparkContext.broadcast(dvMap)
+      val alive = udf((file: String, pos: Long) =>
+        bc.value.get(file).forall(a => java.util.Arrays.binarySearch(a, pos) < 0))
+      val base = readFiles(spark, table, dvd.map(entryName), schema)
+      val dataCols = base.columns.map(col)
+      val filtered = base
+        .withColumn(
+          "__graft_file",
+          element_at(splitCol(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .where(alive(col("__graft_file"), col("__graft_pos")))
+        .select(dataCols: _*)
+      if (plain.isEmpty) filtered
+      else
+        readFiles(spark, table, plain.map(entryName), schema)
+          .unionByName(filtered)
+    }
+  }
 
   /** Bin-packs the live files below `smallerThanBytes` into
     * ~`targetBytes` outputs as a DATA-PRESERVING replace commit — the

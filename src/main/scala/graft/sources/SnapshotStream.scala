@@ -357,6 +357,7 @@ class GraftSnapshotReader(
       case (BinaryType, BINARY)   => g.getBinary(fi, 0).getBytes
       case (DateType, INT32)      => g.getInteger(fi, 0)
       case (TimestampType, INT64) => g.getLong(fi, 0) // micros
+      case (TimestampNTZType, INT64) => g.getLong(fi, 0) // micros, no zone
       case (TimestampType, INT96) =>
         // Spark's default parquet timestamp: 8 LE bytes nanos-of-day +
         // 4 LE bytes Julian day (epoch day 2440588)

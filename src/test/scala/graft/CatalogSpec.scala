@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SnapshotCatalog, SnapshotLog}
+
+/** Round-11 SQL catalog over the snapshot log
+  * (sources/SnapshotCatalog): DDL/DML through `spark.sql`, pushed-
+  * filter file skipping at planning, exact manifest statistics, and
+  * interop with the programmatic SnapshotLog API on the same table. */
+class CatalogSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_cat_wh").toString
+    spark.conf.set(
+      "spark.sql.catalog.cattest", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cattest.warehouse", w)
+    w
+  }
+
+  /** Fresh fully-qualified table name (unique per call). */
+  private var n = 0
+  private def freshName(): String = {
+    val _ = warehouse // force catalog registration
+    n += 1
+    s"cattest.main.t$n"
+  }
+  private def pathOf(name: String): String =
+    s"$warehouse/main/${name.split('.').last}"
+
+  test("CREATE TABLE / tableExists / SELECT on empty / DROP TABLE") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING)")
+    assert(spark.sql(s"SELECT * FROM $t").collect().isEmpty)
+    assert(
+      spark.sql("SHOW TABLES IN cattest.main").collect()
+        .map(_.getString(1)).contains(t.split('.').last))
+    spark.sql(s"DROP TABLE $t")
+    val err = intercept[Exception](spark.sql(s"SELECT * FROM $t").collect())
+    assert(err.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("INSERT INTO appends commits; SnapshotLog reads the same table") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range(1, 6)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range(6, 10)")
+    assert(
+      spark.sql(s"SELECT sum(id) FROM $t").head.getLong(0) == (1L to 9L).sum)
+    // interop: the programmatic API reads what SQL wrote
+    val direct = SnapshotLog.read(spark, pathOf(t))
+    assert(direct.agg(sum("id")).head.getLong(0) == (1L to 9L).sum)
+    // CREATE was v1 (schema-only), the inserts v2 and v3
+    assert(SnapshotLog.versions(spark, pathOf(t)) == Seq(1, 2, 3))
+    // and SQL reads what the programmatic API commits
+    SnapshotLog.commit(
+      spark, pathOf(t),
+      spark.range(10, 12).select(col("id"), col("id").cast("double").as("v")))
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 11L)
+  }
+
+  test("INSERT OVERWRITE truncates to the new content") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 100)")
+    spark.sql(s"INSERT OVERWRITE $t SELECT id FROM range(500, 510)")
+    assert(
+      spark.sql(s"SELECT min(id), max(id), count(*) FROM $t").head.toSeq ==
+        Seq(500L, 509L, 10L))
+    // pre-overwrite version still time-travels
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head.getLong(0) == 100L)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin snapshots") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 5)")
+    val tsAfterV2 = System.currentTimeMillis()
+    Thread.sleep(1100) // commit mtimes have second granularity on some FS
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(5, 9)")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head.getLong(0) == 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 9L)
+    val asOf = java.time.Instant.ofEpochMilli(tsAfterV2).toString.replace("T", " ").stripSuffix("Z")
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$asOf'").head.getLong(0) == 5L)
+  }
+
+  test("pushed range filter skips provably-disjoint files at planning") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE)")
+    // three range-sharded inserts => three stats-disjoint file sets
+    Seq((0, 1000), (1000, 2000), (2000, 3000)).foreach { case (lo, hi) =>
+      spark.sql(
+        s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range($lo, $hi)")
+    }
+    val q = spark.sql(s"SELECT sum(id) FROM $t WHERE id >= 1200 AND id < 1800")
+    assert(q.head.getLong(0) == (1200L until 1800L).sum)
+    // the scan description carries kept/total manifest file counts
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no files=k/n in plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"pruning kept everything: ${m.get.matched}")
+    assert(m.get.group(1).toInt >= 1)
+  }
+
+  test("scan reports exact statistics from manifest riders") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 1234)")
+    val cat = spark.sessionState.catalogManager
+      .catalog("cattest").asInstanceOf[SnapshotCatalog]
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("main"), t.split('.').last))
+    val scan = tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val stats = scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(stats.numRows().getAsLong == 1234L)
+    assert(stats.sizeInBytes().getAsLong > 0L)
+  }
+
+  test("ALTER TABLE ADD COLUMN null-fills earlier files") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 3)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN tag STRING")
+    spark.sql(s"INSERT INTO $t SELECT id, 'new' FROM range(3, 5)")
+    val got = spark.sql(s"SELECT id, tag FROM $t ORDER BY id").collect()
+    assert(got.length == 5)
+    assert(got.take(3).forall(_.isNullAt(1)))
+    assert(got.drop(3).forall(_.getString(1) == "new"))
+  }
+
+  test("CTAS creates and fills in one statement") {
+    val t = freshName()
+    spark.sql(
+      s"CREATE TABLE $t AS SELECT id % 3 AS k, count(*) AS c FROM range(0, 30) GROUP BY 1")
+    assert(spark.sql(s"SELECT sum(c) FROM $t").head.getLong(0) == 30L)
+  }
+
+  test("loud refusals: pinned-version write, unsupported type, partitioned create") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 3)")
+    val e1 = intercept[Exception](
+      spark.sql(s"INSERT INTO $t VERSION AS OF 1 SELECT id FROM range(0, 3)"))
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE ${freshName()} (a ARRAY<INT>)"))
+    assert(e2.getMessage.contains("unsupported column type"))
+    val e3 = intercept[Exception](
+      spark.sql(s"CREATE TABLE ${freshName()} (id BIGINT, p INT) PARTITIONED BY (p)"))
+    assert(e3.getMessage.contains("partition transforms"))
+  }
+
+  test("empty INSERT commits a readable schema-only version") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10) WHERE id < 0")
+    assert(SnapshotLog.versions(spark, pathOf(t)) == Seq(1, 2))
+    assert(spark.sql(s"SELECT * FROM $t").collect().isEmpty)
+  }
+
+  test("streaming read via readStream.table delivers appends exactly once") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 5)")
+    val ckpt = Files.createTempDirectory("graft_cat_ckpt").toString
+    val q = spark.readStream
+      .table(t)
+      .writeStream
+      .format("memory")
+      .queryName("cat_stream_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(
+      spark.table("cat_stream_sink").agg(sum("id")).head.getLong(0) ==
+        (0L until 5L).sum)
+  }
+
+  test("graded sql_* catalog keys run and match their dataflow at sf0.001") {
+    val orders = Tables.orders(spark, sf0001)
+    val shard2 = orders.filter(expr("o_orderkey % 3 = 2")).count()
+    val insert = SparkEntry.queries("sql_snapshot_insert")(spark, sf0001)
+    assert(insert.count() == shard2)
+    val tt = SparkEntry.queries("sql_snapshot_time_travel")(spark, sf0001)
+    assert(tt.count() == orders.count())
+    val sel = SparkEntry.queries("sql_snapshot_select")(spark, sf0001)
+    assert(sel.count() > 0)
+    val ctas = SparkEntry.queries("sql_snapshot_ctas")(spark, sf0001)
+    assert(ctas.count() == orders.select("o_custkey").distinct().count())
+  }
+
+  test("column pruning reaches the catalog scan") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, a STRING, b DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING), CAST(id AS DOUBLE) FROM range(0, 10)")
+    val q = spark.sql(s"SELECT sum(b) FROM $t")
+    val plan = q.queryExecution.executedPlan.toString
+    val rs = "ReadSchema: ([^,]+)".r.findFirstMatchIn(plan)
+    assert(rs.isDefined, s"no ReadSchema in plan:\n$plan")
+    assert(rs.get.group(1).contains("b"))
+    assert(!rs.get.group(1).contains("a:"), s"unpruned: ${rs.get.matched}")
+    assert(q.head.getDouble(0) == (0 until 10).map(_.toDouble).sum)
+  }
+}
