@@ -1494,6 +1494,64 @@ object Scans {
     SnapshotLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** MERGE-ON-READ delete via deletion vectors (round 11 late): the
+    * same mid-shard delete as etl_delete_snapshot, but through
+    * [[graft.sources.SnapshotLog.deleteWhereMoR]] — position-delete
+    * sidecars instead of file rewrites. The inline checks pin the
+    * storage contract: the live file NAMES are IDENTICAL before and
+    * after (zero data bytes rewritten — at 100 TB the delete costs
+    * megabytes of sidecar where CoW costs the touched shards), a
+    * delete no file admits burns no version, and the manifest-rider
+    * row count stays EXACT under the DV. The oracle is the same
+    * range-subtraction SQL as the CoW twin, so the hash proves the
+    * read-side position subtraction row-for-row — through the pruned
+    * read path included. */
+  val etlDeleteMor: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_mor")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val mid = (3 * c1) / 2
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+    )
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    val before = SnapshotLog.manifest(spark, table, 3).toSet
+    val total = SnapshotLog.metadataCount(spark, table)
+    val (v, amended, carried) =
+      SnapshotLog.deleteWhereMoR(spark, table, "o_orderkey", c1 + 1, mid)
+    require(
+      amended.nonEmpty && carried.nonEmpty,
+      "a mid-shard MoR delete must amend only the admitted files"
+    )
+    require(
+      SnapshotLog.manifest(spark, table, v).toSet == before,
+      "merge-on-read must not rewrite any data file"
+    )
+    val live = SnapshotLog.metadataCount(spark, table)
+    require(
+      total.isDefined && live.isDefined && live.get < total.get,
+      "manifest riders must keep the live count exact under a DV"
+    )
+    val (v2, a2, _) =
+      SnapshotLog.deleteWhereMoR(spark, table, "o_orderkey", maxK * 10, maxK * 20)
+    require(
+      v2 == v && a2.isEmpty,
+      "a MoR delete no file admits must be a no-op (no version burned)"
+    )
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
   /** Incremental MV maintenance fed by the change feed (round 11): the
     * per-customer rollup is materialized ONCE as of v2, then an append
     * (v3) and a file-granular CoW update (v4, doubling cents for the
@@ -1575,6 +1633,7 @@ object Scans {
     "source_avro_evolve" -> sourceAvroEvolve,
     "sink_avro" -> sinkAvro,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
+    "etl_delete_mor" -> etlDeleteMor,
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1706,6 +1765,13 @@ object Scans {
     // the CoW delete must drop exactly the [c1+1, 3*c1/2] range and
     // nothing else — carried-by-reference rows included
     "etl_delete_snapshot" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the MoR twin deletes the identical range; the sidecar
+    // subtraction must land on the same rows as the CoW rewrite
+    "etl_delete_mor" ->
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)

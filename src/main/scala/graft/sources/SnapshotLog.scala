@@ -735,7 +735,8 @@ object SnapshotLog {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot read: version $v not in $vs")
     requireUnexpired(spark, table, v)
-    readFiles(spark, table, manifest(spark, table, v), tableSchema(spark, table, v))
+    readEntries(
+      spark, table, manifestEntries(spark, table, v), tableSchema(spark, table, v))
   }
 
   private def entryName(e: String): String = e.split('\t')(0)
@@ -838,7 +839,9 @@ object SnapshotLog {
     val (kept, _) = prunedFiles(spark, table, column, lo, hi, version)
     val v = version.getOrElse(versions(spark, table).last)
     requireUnexpired(spark, table, v)
-    readFiles(spark, table, kept, tableSchema(spark, table, v))
+    readEntries(
+      spark, table, entriesFor(manifestEntries(spark, table, v), kept),
+      tableSchema(spark, table, v))
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -856,7 +859,9 @@ object SnapshotLog {
     val (kept, _) = prunedFilesString(spark, table, column, lo, hi, version)
     val v = version.getOrElse(versions(spark, table).last)
     requireUnexpired(spark, table, v)
-    readFiles(spark, table, kept, tableSchema(spark, table, v))
+    readEntries(
+      spark, table, entriesFor(manifestEntries(spark, table, v), kept),
+      tableSchema(spark, table, v))
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -939,7 +944,10 @@ object SnapshotLog {
     val v = vs.last
     val schema = tableSchema(spark, table, v)
     val (touched, untouched) = touchedFiles(spark, table, column, changeKeys, Some(v))
-    val base = readFiles(spark, table, touched, schema)
+    // DV-aware: a touched file's already-deleted rows must not re-enter
+    // the merge (they would resurrect as 'keep' rows in the rewrite)
+    val base = readEntries(
+      spark, table, entriesFor(manifestEntries(spark, table, v), touched), schema)
     val merged = merge(base)
     schema.foreach { s =>
       require(
@@ -989,15 +997,24 @@ object SnapshotLog {
       if (headerToken(header(spark, table, v), "datachange").contains("false"))
         Seq.empty
       else {
-      val prev = manifest(spark, table, v - 1).toSet
-      val cur = manifest(spark, table, v)
-      val added = cur.filterNot(prev)
-      val removed = (prev -- cur.toSet).toSeq.sorted
+      val prevE = manifestEntries(spark, table, v - 1)
+      val curE = manifestEntries(spark, table, v)
+      val prevByName = prevE.map(e => entryName(e) -> e).toMap
+      val curByName = curE.map(e => entryName(e) -> e).toMap
+      val added = curE.filterNot(e => prevByName.contains(entryName(e)))
+      val removed = prevE
+        .filterNot(e => curByName.contains(entryName(e)))
+        .sortBy(entryName)
+      // same file name, changed entry: a deletion-vector amendment —
+      // the only row-level change is the NEWLY-dead positions
+      val amended = curE
+        .filter(e => prevByName.get(entryName(e)).exists(_ != e))
+        .map(e => (prevByName(entryName(e)), e))
       val ins =
         if (added.isEmpty) None
         else
           Some(
-            readFiles(spark, table, added, schema)
+            readEntries(spark, table, added, schema)
               .withColumn("change_type", lit("insert"))
               .withColumn("commit_version", lit(v))
           )
@@ -1005,11 +1022,21 @@ object SnapshotLog {
         if (removed.isEmpty) None
         else
           Some(
-            readFiles(spark, table, removed, schema)
+            // the PREVIOUS entry's DV applies: rows a deletion vector
+            // already killed must not surface as deleted again
+            readEntries(spark, table, removed, schema)
               .withColumn("change_type", lit("delete"))
               .withColumn("commit_version", lit(v))
           )
-      Seq(del, ins).flatten
+      val dvDel =
+        if (amended.isEmpty) None
+        else
+          Some(
+            dvDeltaRows(spark, table, amended, schema)
+              .withColumn("change_type", lit("delete"))
+              .withColumn("commit_version", lit(v))
+          )
+      Seq(del, dvDel, ins).flatten
       }
     }
     require(
@@ -1025,6 +1052,78 @@ object SnapshotLog {
     } else pieces.reduce(_ unionByName _)
   }
 
+  /** Rows a deletion-vector amendment NEWLY killed: for each
+    * (prevEntry, curEntry) pair, the positions in the current DV but
+    * not the previous one — read from the (unchanged) data file by
+    * `row_index`. An un-delete (a position leaving the DV) is
+    * impossible by construction and refuses loudly. */
+  private def dvDeltaRows(
+      spark: SparkSession,
+      table: String,
+      pairs: Seq[(String, String)],
+      schema: Option[StructType]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
+    val conf = spark.sessionState.newHadoopConf()
+    def positions(e: String): Array[Long] =
+      entryDv(e)
+        .map(d => readDvFile(conf, new Path(s"$table/_dv/$d")))
+        .getOrElse(Array.empty[Long])
+    val delta: Map[String, Array[Long]] = pairs.map { case (p, c) =>
+      val oldPos = positions(p)
+      val newPos = positions(c)
+      val oldSet = oldPos.toSet
+      val gone = oldPos.filterNot(newPos.toSet)
+      require(
+        gone.isEmpty,
+        s"snapshot changes: ${entryName(c)} lost DV positions " +
+          s"${gone.take(5).mkString(",")}… — an un-delete cannot happen; " +
+          "the log is corrupt"
+      )
+      entryName(c) -> newPos.filterNot(oldSet).sorted
+    }.toMap
+    val bc = spark.sparkContext.broadcast(delta)
+    val newlyDead = udf((file: String, pos: Long) =>
+      bc.value.get(file).exists(a => java.util.Arrays.binarySearch(a, pos) >= 0))
+    val base = readFiles(spark, table, pairs.map(p => entryName(p._2)), schema)
+    val dataCols = base.columns.map(col)
+    base
+      .withColumn(
+        "__graft_file",
+        element_at(splitCol(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .where(newlyDead(col("__graft_file"), col("__graft_pos")))
+      .select(dataCols: _*)
+  }
+
+  /** Dead positions of `file` at `version` (its entry's DV); empty
+    * when the file carries none. O(manifest) + O(DV bytes). */
+  def dvPositionsAt(
+      spark: SparkSession,
+      table: String,
+      version: Int,
+      file: String
+  ): Array[Long] =
+    manifestEntries(spark, table, version)
+      .find(entryName(_) == file)
+      .flatMap(entryDv)
+      .map(d => readDvFile(
+        spark.sessionState.newHadoopConf(), new Path(s"$table/_dv/$d")))
+      .getOrElse(Array.empty[Long])
+
+  /** Positions of `file` NEWLY dead at `version` (DV delta vs the
+    * parent manifest) — what a streaming change feed delivers as
+    * tagged deletes for a deletion-vector amendment. */
+  def dvDeltaPositions(
+      spark: SparkSession,
+      table: String,
+      version: Int,
+      file: String
+  ): Array[Long] = {
+    val prev = dvPositionsAt(spark, table, version - 1, file).toSet
+    dvPositionsAt(spark, table, version, file).filterNot(prev).sorted
+  }
+
   /** Per-version admission view for incremental consumers (the
     * streaming source, change-feed tooling): the commit's action
     * keyword, whether it changed data (`datachange=false` marks
@@ -1038,16 +1137,25 @@ object SnapshotLog {
       spark: SparkSession,
       table: String,
       version: Int
-  ): (String, Boolean, Seq[String], Seq[String]) = {
+  ): (String, Boolean, Seq[String], Seq[String], Seq[String]) = {
     val head = header(spark, table, version)
     val action = head.split(' ').head
     val dataChange = !headerToken(head, "datachange").contains("false")
-    val prev =
-      if (version <= 1) Set.empty[String]
-      else manifest(spark, table, version - 1).toSet
-    val cur = manifest(spark, table, version)
-    val curSet = cur.toSet
-    (action, dataChange, cur.filterNot(prev), (prev -- curSet).toSeq.sorted)
+    val prevE =
+      if (version <= 1) Seq.empty[String]
+      else manifestEntries(spark, table, version - 1)
+    val curE = manifestEntries(spark, table, version)
+    val prevByName = prevE.map(e => entryName(e) -> e).toMap
+    val curNames = curE.map(entryName).toSet
+    val added = curE.map(entryName).filterNot(prevByName.contains)
+    val removed = prevE.map(entryName).filterNot(curNames).sorted
+    // files whose entry CHANGED in place — a deletion-vector
+    // amendment: rows died without any file moving, which insert-only
+    // consumers must treat as an in-place change
+    val amended = curE
+      .filter(e => prevByName.get(entryName(e)).exists(_ != e))
+      .map(entryName)
+    (action, dataChange, added, removed, amended)
   }
 
   /** DESCRIBE HISTORY twin: one row per version — the commit's action,
@@ -1059,7 +1167,7 @@ object SnapshotLog {
   def describeHistory(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val rows = versions(spark, table).map { v =>
-      val (action, dataChange, added, removed) = commitInfo(spark, table, v)
+      val (action, dataChange, added, removed, _) = commitInfo(spark, table, v)
       val entries = manifestEntries(spark, table, v)
       (
         v,
@@ -1070,7 +1178,8 @@ object SnapshotLog {
         removed.size,
         entries.size,
         entries.flatMap(entrySize).sum,
-        entries.flatMap(entryRows).sum
+        // live rows: physical rows minus deletion-vector dead rows
+        entries.flatMap(entryRows).sum - entries.flatMap(entryDvCount).sum
       )
     }
     rows.toDF(
@@ -1127,14 +1236,25 @@ object SnapshotLog {
       val live = surviving.flatMap(manifest(spark, table, _)).toSet
       val dead = (expired.flatMap(manifest(spark, table, _)).toSet -- live)
         .filter(n => f.exists(new Path(s"$table/$n"))) // idempotent re-runs
+      // deletion-vector sidecars referenced only by expired versions go
+      // with their history (surviving versions keep theirs — time
+      // travel inside the horizon stays exact)
+      val liveDv = surviving
+        .flatMap(manifestEntries(spark, table, _).flatMap(entryDv))
+        .toSet
+      val deadDv = (expired
+        .flatMap(manifestEntries(spark, table, _).flatMap(entryDv))
+        .toSet -- liveDv)
+        .filter(n => f.exists(new Path(s"$table/_dv/$n")))
       val out = f.create(horizonPath(table), true)
       try out.write(
         horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      deadDv.toSeq.sorted.foreach(n => f.delete(new Path(s"$table/_dv/$n"), false))
       dead.toSeq.sorted.map { name =>
         f.delete(new Path(s"$table/$name"), false)
         name
-      }
+      } ++ deadDv.toSeq.sorted.map(n => s"_dv/$n")
     }
   }
 
@@ -1153,8 +1273,13 @@ object SnapshotLog {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot count: no commits in $table")
     val v = version.getOrElse(vs.last)
-    val counts = manifestEntries(spark, table, v).map(entryRows)
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    val entries = manifestEntries(spark, table, v)
+    val counts = entries.map(entryRows)
+    // a DV without its count rider would make the sum a guess — refuse
+    if (counts.exists(_.isEmpty) ||
+        entries.exists(e => entryDv(e).isDefined && entryDvCount(e).isEmpty))
+      None
+    else Some(counts.flatten.sum - entries.flatMap(entryDvCount).sum)
   }
 
   /** Metadata-only MIN/MAX of an integral column, folded over the
@@ -1171,7 +1296,13 @@ object SnapshotLog {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot range: no commits in $table")
     val v = version.getOrElse(vs.last)
-    val ranges = manifestEntries(spark, table, v).map { e =>
+    val entries = manifestEntries(spark, table, v)
+    // a deletion vector may have killed the row holding the extremum —
+    // footer stats are still valid BOUNDS but no longer exact; refuse
+    // rather than guess (OPTIMIZE materializes the DV and restores
+    // exactness)
+    if (entries.exists(e => entryDv(e).isDefined)) return None
+    val ranges = entries.map { e =>
       entryStat(e, column).flatMap(_.split(':') match {
         case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
         case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
@@ -1383,10 +1514,17 @@ object SnapshotLog {
         f.getFileStatus(new Path(s"$table/$name")).getLen)
       (name, sz)
     }
-    val (small, large) = sized.partition(_._2 < smallerThanBytes)
+    // files carrying a deletion vector are ALWAYS eligible regardless
+    // of size: OPTIMIZE is how a DV gets materialized away
+    val dvNames = entries.filter(e => entryDv(e).isDefined).map(entryName).toSet
+    val (small, large) = sized.partition { case (n, sz) =>
+      sz < smallerThanBytes || dvNames(n)
+    }
     // one small file alone gains nothing unless a clustering sort was
-    // asked for — don't burn a version on a no-op rewrite
-    if (small.size < 2 && sortBy.isEmpty && zorderBy.isEmpty)
+    // asked for or it carries a DV to materialize — don't burn a
+    // version on a no-op rewrite
+    if (small.size < 2 && sortBy.isEmpty && zorderBy.isEmpty &&
+        !small.exists(s => dvNames(s._1)))
       return (v, Nil, sized.map(_._1))
     if (small.isEmpty) return (v, Nil, sized.map(_._1))
     val picked = small.map(_._1)
@@ -1394,7 +1532,10 @@ object SnapshotLog {
     val nOut = filesOut.getOrElse(
       math.max(1L, (total + targetBytes - 1) / targetBytes).toInt)
     val schema = tableSchema(spark, table, v)
-    val df = readFiles(spark, table, picked, schema)
+    // DV-aware: compaction reads THROUGH deletion vectors, so the
+    // rewrite materializes them — the fresh entries carry no rider and
+    // the datachange=false contract still holds (live rows unchanged)
+    val df = readEntries(spark, table, entriesFor(entries, picked), schema)
     val packed =
       if (zorderBy.nonEmpty) {
         // contiguous z-ranges per file; the helper column never lands
@@ -1437,10 +1578,101 @@ object SnapshotLog {
     val untouched = all.filterNot(touched.toSet)
     if (touched.isEmpty) return (v, Nil, untouched)
     val schema = tableSchema(spark, table, v)
-    val kept = readFiles(spark, table, touched, schema)
+    // DV-aware: rewriting a DV'd file materializes its deletion vector
+    // (and must not resurrect already-dead rows)
+    val kept = readEntries(
+      spark, table, entriesFor(manifestEntries(spark, table, v), touched), schema)
       .filter(!(col(column) >= lo && col(column) <= hi))
     val version = commitReplace(spark, table, touched, kept, txnId)
     (version, touched, untouched)
+  }
+
+  /** MERGE-ON-READ delete of `column ∈ [lo, hi]`: instead of rewriting
+    * the admitted files ([[deleteWhere]]'s copy-on-write), each one
+    * gets a DELETION-VECTOR sidecar listing its doomed row positions
+    * (`_metadata.row_index`), and the manifest re-commits those
+    * entries with `_dv`/`_dvc` riders — ZERO data bytes rewritten.
+    * Positions are computed and sidecars written ON THE EXECUTORS
+    * (one task per touched file, each collecting only that file's
+    * doomed positions); only O(touched files) (name, sidecar, count)
+    * tuples return to the driver. A repeated delete UNIONS into a NEW
+    * sidecar (old versions keep theirs — time travel stays exact); a
+    * delete no file admits, or one matching no rows, is a free no-op.
+    * The trade against CoW: reads of DV'd files pay a position filter
+    * until OPTIMIZE materializes the DV — MoR is for small-fraction
+    * deletes (GDPR row erasure, late-data retractions), CoW for range
+    * drops. Returns (version, dvAmendedFiles, untouchedFiles). */
+  def deleteWhereMoR(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Long,
+      hi: Long,
+      txnId: Option[String] = None
+  ): (Int, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split => splitCol}
+    import spark.implicits._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot mor-delete: no commits in $table")
+    val v = vs.last
+    val entries = manifestEntries(spark, table, v)
+    val (admitNames, _) = prunedFiles(spark, table, column, lo, hi, Some(v))
+    val allNames = entries.map(entryName)
+    if (admitNames.isEmpty) return (v, Nil, allNames)
+    val entryByName = entries.map(e => entryName(e) -> e).toMap
+    val schema = tableSchema(spark, table, v)
+    val oldDv: Map[String, String] =
+      admitNames.flatMap(n => entryDv(entryByName(n)).map(n -> _)).toMap
+    val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val tableLoc = table
+    // one row per touched file: (file, sorted doomed positions) — the
+    // per-file position list is bounded by the MoR small-delete
+    // contract; already-DV-dead rows re-matching is harmless (union)
+    val specs: Array[(String, String, Long)] = readFiles(
+      spark, table, admitNames, schema)
+      .where(col(column) >= lo && col(column) <= hi)
+      .select(
+        element_at(splitCol(col("_metadata.file_path"), "/"), -1).as("__file"),
+        col("_metadata.row_index").as("__pos"))
+      .groupBy("__file")
+      .agg(sort_array(collect_list(col("__pos"))).as("pos"))
+      .as[(String, Seq[Long])]
+      .map { case (file, fresh) =>
+        // executor-side: union with the file's existing DV and write
+        // the NEW immutable sidecar right where the positions live
+        val existing = oldDv
+          .get(file)
+          .map(d => readDvFile(sconf.value, new Path(s"$tableLoc/_dv/$d")))
+          .getOrElse(Array.empty[Long])
+        val merged = (existing ++ fresh).distinct.sorted
+        val dvName = s"dv-${UUID.randomUUID.toString.take(12)}.bin"
+        writeDvFile(sconf.value, new Path(s"$tableLoc/_dv/$dvName"), merged)
+        (file, dvName, merged.length.toLong)
+      }
+      .collect()
+    if (specs.isEmpty) return (v, Nil, allNames) // stats admitted, no row matched
+    val amended = specs.toSeq.map { case (file, dvName, cnt) =>
+      val base = entryByName(file)
+      val parts = base.split('\t')
+      val suffix0 =
+        if (parts.length < 2) ""
+        else
+          parts(1)
+            .split(';')
+            .filterNot(t => t.startsWith("_dv=") || t.startsWith("_dvc="))
+            .mkString(";")
+      val suffix =
+        (if (suffix0.isEmpty) "" else suffix0 + ";") +
+          s"_dv=v:$dvName;_dvc=c:$cnt"
+      s"$file\t$suffix"
+    }
+    val amendedNames = specs.map(_._1).toSeq
+    val commitSchema = schema.getOrElse(
+      readFiles(spark, table, admitNames, None).schema)
+    val version = commitEntriesInternal(
+      spark, table, amended, commitSchema, overwrite = false, txnId,
+      Some(amendedNames), dataChange = true)
+    (version, amendedNames, allNames.filterNot(amendedNames.toSet))
   }
 
   /** Deletes data files referenced by NO version (crashed writers'
@@ -1487,7 +1719,24 @@ object SnapshotLog {
             .filter(st => st.isDirectory && st.getModificationTime <= cutoff)
             .map(_.getPath)
       staged.foreach(f.delete(_, true))
-      (orphans.map(_.getName) ++ staged.map(p => s"_staging/${p.getName}")).toSeq
+      // deletion-vector sidecars no version references (a crashed or
+      // replayed MoR delete wrote them before losing its commit) —
+      // same grace window
+      val dvRoot = new Path(s"$table/_dv")
+      val dvReferenced = versions(spark, table)
+        .flatMap(manifestEntries(spark, table, _).flatMap(entryDv))
+        .toSet
+      val dvOrphans =
+        if (!f.exists(dvRoot)) Array.empty[Path]
+        else
+          f.listStatus(dvRoot)
+            .filter(st =>
+              st.isFile && st.getModificationTime <= cutoff &&
+                !dvReferenced(st.getPath.getName))
+            .map(_.getPath)
+      dvOrphans.foreach(f.delete(_, false))
+      (orphans.map(_.getName) ++ staged.map(p => s"_staging/${p.getName}") ++
+        dvOrphans.map(p => s"_dv/${p.getName}")).toSeq
     }
   }
 }

@@ -188,12 +188,12 @@ class GraftSnapshotMicroBatchStream(
         var v = s
         var files = 0
         while (v < target && files < mf.maxFiles()) {
-          val (_, dataChange, added, removed) =
+          val (_, dataChange, added, removed, amended) =
             SnapshotLog.commitInfo(spark, table, v + 1)
           val cost =
             if (!dataChange) 0
-            else if (readChangeFeed) added.size + removed.size
-            else added.size
+            else if (readChangeFeed) added.size + removed.size + amended.size
+            else added.size + amended.size
           if (files > 0 && files + cost > mf.maxFiles())
             return GraftSnapshotOffset(v)
           v += 1
@@ -228,27 +228,46 @@ class GraftSnapshotMicroBatchStream(
       )
     (s + 1 to e)
       .flatMap { v =>
-        val (action, dataChange, added, removed) =
+        val (action, dataChange, added, removed, amended) =
           SnapshotLog.commitInfo(spark, table, v)
         if (!dataChange) Nil // compaction/clustering: rows already delivered
         else if (readChangeFeed) {
           // change-feed mode represents in-place changes: dropped files
-          // surface their rows as tagged deletes, added files as inserts
-          if (removed.nonEmpty && v - 1 < horizon)
+          // surface their rows as tagged deletes, added files as
+          // inserts, and a deletion-vector amendment streams ONLY its
+          // newly-dead positions as tagged deletes (the position list
+          // rides the partition; the reader filters by sequential row
+          // index)
+          if ((removed.nonEmpty || amended.nonEmpty) && v - 1 < horizon)
             throw new IllegalStateException(
               s"graft-snapshot stream on $table: version $v removes files " +
                 s"whose content predates the retention horizon $horizon. " +
                 "Restart from a fresh checkpoint."
             )
-          removed.map(f => GraftSnapshotPartition(s"$table/$f", Some(("delete", v)))) ++
+          val dvParts = amended.map { f =>
+            val delta = SnapshotLog.dvDeltaPositions(spark, table, v, f)
+            GraftSnapshotPartition(
+              s"$table/$f", Some(("delete", v)), onlyPositions = Some(delta))
+          }
+          val removedParts = removed.map { f =>
+            // a removed file's PRIOR deletion vector must not re-delete
+            // already-dead rows
+            val prior = SnapshotLog.dvPositionsAt(spark, table, v - 1, f)
+            GraftSnapshotPartition(
+              s"$table/$f", Some(("delete", v)),
+              skipPositions = if (prior.isEmpty) None else Some(prior))
+          }
+          removedParts ++ dvParts ++
             added.map(f => GraftSnapshotPartition(s"$table/$f", Some(("insert", v))))
         }
-        else if (removed.nonEmpty) {
+        else if (removed.nonEmpty || amended.nonEmpty) {
           if (skipChangeCommits) Nil
           else
             throw new IllegalStateException(
               s"graft-snapshot stream on $table: version $v is a '$action' that " +
-                "dropped live files — rows changed in place, which an insert-only " +
+                (if (removed.nonEmpty) "dropped live files"
+                 else "amended deletion vectors") +
+                " — rows changed in place, which an insert-only " +
                 "stream cannot represent. Set skipChangeCommits=true to skip such " +
                 "versions, readChangeFeed=true to stream them as tagged " +
                 "delete/insert rows, or restart from a fresh checkpoint."
@@ -271,7 +290,13 @@ class GraftSnapshotMicroBatchStream(
 
 case class GraftSnapshotPartition(
     file: String,
-    cdfTag: Option[(String, Int)] // (change_type, commit_version) in CDF mode
+    cdfTag: Option[(String, Int)], // (change_type, commit_version) in CDF mode
+    // deletion-vector position filters (CDF mode): emit ONLY these
+    // in-file row positions (a DV amendment's newly-dead rows as tagged
+    // deletes), or emit all EXCEPT these (a removed file whose prior DV
+    // already killed some rows)
+    onlyPositions: Option[Array[Long]] = None,
+    skipPositions: Option[Array[Long]] = None
 ) extends InputPartition
 
 case class GraftSnapshotReaderFactory(
@@ -285,7 +310,9 @@ case class GraftSnapshotReaderFactory(
     // file holds only the data columns
     val dataSchema =
       if (readChangeFeed) StructType(schema.fields.dropRight(2)) else schema
-    new GraftSnapshotReader(part.file, conf.value, dataSchema, part.cdfTag)
+    new GraftSnapshotReader(
+      part.file, conf.value, dataSchema, part.cdfTag,
+      part.onlyPositions, part.skipPositions)
   }
 }
 
@@ -300,7 +327,9 @@ class GraftSnapshotReader(
     file: String,
     conf: Configuration,
     schema: StructType,
-    cdfTag: Option[(String, Int)] = None
+    cdfTag: Option[(String, Int)] = None,
+    onlyPositions: Option[Array[Long]] = None,
+    skipPositions: Option[Array[Long]] = None
 ) extends PartitionReader[InternalRow] {
   private val tagVals: Array[Any] =
     cdfTag
@@ -312,9 +341,21 @@ class GraftSnapshotReader(
       .withConf(conf)
       .build()
   private var current: Group = _
+  // sequential in-file row position — the Group API reads rows in file
+  // order, so a simple counter IS `_metadata.row_index`
+  private var rowIdx: Long = -1L
+
+  private def admit(i: Long): Boolean =
+    onlyPositions.forall(a => java.util.Arrays.binarySearch(a, i) >= 0) &&
+      skipPositions.forall(a => java.util.Arrays.binarySearch(a, i) < 0)
 
   override def next(): Boolean = {
     current = reader.read()
+    rowIdx += 1
+    while (current != null && !admit(rowIdx)) {
+      current = reader.read()
+      rowIdx += 1
+    }
     current != null
   }
 
