@@ -1552,6 +1552,55 @@ object Scans {
     SnapshotLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** MERGE-ON-READ update (round 11 late): the matched mid-range rows
+    * are deletion-vectored in place and their updated versions
+    * appended as new files — ONE atomic commit, the Delta MoR-update
+    * shape. Inline checks pin the storage contract (every pre-update
+    * file survives by name; only the appended files are new) and the
+    * live-count invariant (dead == appended, so the manifest-rider
+    * count is unchanged). The oracle recomputes the update as a CASE
+    * expression over the source, so the hash proves the read-side
+    * subtraction and the appended rows land row-identically. */
+  val etlUpdateMor: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_umor")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val mid = (3 * c1) / 2
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark,
+      table,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= 2 * c1)
+    )
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > 2 * c1))
+    val before = SnapshotLog.manifest(spark, table, 3).toSet
+    val total = SnapshotLog.metadataCount(spark, table)
+    val (v, amended, appended) = SnapshotLog.updateWhereMoR(
+      spark, table, "o_orderkey", c1 + 1, mid,
+      df => df.withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)))
+    require(
+      amended.nonEmpty && appended.nonEmpty,
+      "a mid-shard MoR update must amend the admitted files and append"
+    )
+    val after = SnapshotLog.manifest(spark, table, v).toSet
+    require(
+      before.subsetOf(after) && (after -- before) == appended.toSet,
+      "merge-on-read update must keep every old file and add only the appends"
+    )
+    require(
+      SnapshotLog.metadataCount(spark, table) == total,
+      "update leaves the live row count invariant (dead == appended)"
+    )
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
   /** Incremental MV maintenance fed by the change feed (round 11): the
     * per-customer rollup is materialized ONCE as of v2, then an append
     * (v3) and a file-granular CoW update (v4, doubling cents for the
@@ -1634,6 +1683,7 @@ object Scans {
     "sink_avro" -> sinkAvro,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_delete_mor" -> etlDeleteMor,
+    "etl_update_mor" -> etlUpdateMor,
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1769,6 +1819,15 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
         |ORDER BY o_orderkey""".stripMargin,
+    // the MoR update doubles the mid-range price: deleted-in-place old
+    // rows must vanish and the appended updates must land exactly
+    "etl_update_mor" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2
+        |            THEN round(o_totalprice * 2, 2) ELSE o_totalprice END
+        |         AS o_totalprice
+        |FROM orders, b ORDER BY o_orderkey""".stripMargin,
     // the MoR twin deletes the identical range; the sidecar
     // subtraction must land on the same rows as the CoW rewrite
     "etl_delete_mor" ->

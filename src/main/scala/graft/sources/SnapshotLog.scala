@@ -579,21 +579,30 @@ object SnapshotLog {
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
-    val entryLines = landedNames.map { name =>
-      // footer stats ride the manifest so reads can skip files without
-      // opening them. The file's byte size (`_sz=z:`) and row count
-      // (`_rc=r:`) ride the same suffix, so compaction planning and
-      // DESCRIBE HISTORY never stat/open files one by one — at 1e6
-      // files on an object store that is 1e6 metadata round trips.
+    commitEntriesInternal(
+      spark, table, annotateEntries(spark, table, landedNames), batchSchema,
+      overwrite, txnId, replaceRemoved, dataChange)
+  }
+
+  /** Entry lines (name + stats suffix) for landed files. Footer stats
+    * ride the manifest so reads can skip files without opening them;
+    * the byte size (`_sz=z:`) and row count (`_rc=r:`) ride the same
+    * suffix, so compaction planning and DESCRIBE HISTORY never
+    * stat/open files one by one — at 1e6 files on an object store that
+    * is 1e6 metadata round trips. */
+  private def annotateEntries(
+      spark: SparkSession,
+      table: String,
+      landedNames: Seq[String]
+  ): Seq[String] = {
+    val f = fs(spark, table)
+    landedNames.map { name =>
       val (rows, stats) = statsSuffix(spark, new Path(s"$table/$name"))
       val size =
         s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen};_rc=r:$rows"
       val suffix = if (stats.isEmpty) size else s"$size;$stats"
       s"$name\t$suffix"
     }
-    commitEntriesInternal(
-      spark, table, entryLines, batchSchema, overwrite, txnId,
-      replaceRemoved, dataChange)
   }
 
   /** Claim-loop commit of fully-formed manifest entry LINES (name +
@@ -1673,6 +1682,124 @@ object SnapshotLog {
       spark, table, amended, commitSchema, overwrite = false, txnId,
       Some(amendedNames), dataChange = true)
     (version, amendedNames, allNames.filterNot(amendedNames.toSet))
+  }
+
+  /** All given entries read with their in-file position columns
+    * (`__graft_file`, `__graft_pos`) retained and deletion-vector dead
+    * rows already filtered out — the MoR UPDATE path needs both the
+    * live data and where each row lives. */
+  private def readEntriesWithPos(
+      spark: SparkSession,
+      table: String,
+      entries: Seq[String],
+      schema: Option[StructType]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
+    val conf = spark.sessionState.newHadoopConf()
+    val dvMap: Map[String, Array[Long]] = entries
+      .flatMap(e =>
+        entryDv(e).map(d =>
+          entryName(e) -> readDvFile(conf, new Path(s"$table/_dv/$d"))))
+      .toMap
+    val bc = spark.sparkContext.broadcast(dvMap)
+    val alive = udf((file: String, pos: Long) =>
+      bc.value.get(file).forall(a => java.util.Arrays.binarySearch(a, pos) < 0))
+    readFiles(spark, table, entries.map(entryName), schema)
+      .withColumn(
+        "__graft_file",
+        element_at(splitCol(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .where(alive(col("__graft_file"), col("__graft_pos")))
+  }
+
+  /** MERGE-ON-READ update of `column ∈ [lo, hi]`: one atomic commit
+    * that (a) deletion-vectors the matched rows in place — no admitted
+    * file is rewritten — and (b) appends the updated versions of those
+    * rows as new files (the Delta MoR-update shape: position-delete
+    * the old row, insert the new). Matched rows are selected THROUGH
+    * existing deletion vectors, so a row already dead can neither
+    * resurrect nor be double-updated; `update` must preserve the table
+    * schema. Live row count is invariant (`_dvc` dead == appended), so
+    * [[metadataCount]] stays exact across the update. Cost:
+    * O(matched rows) sidecar + data bytes, never O(admitted files) —
+    * updating 0.1 % of a 100 TB table writes 0.1 % of it. Returns
+    * (version, dvAmendedFiles, appendedFiles). */
+  def updateWhereMoR(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Long,
+      hi: Long,
+      update: DataFrame => DataFrame,
+      txnId: Option[String] = None
+  ): (Int, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import spark.implicits._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot mor-update: no commits in $table")
+    val v = vs.last
+    val entries = manifestEntries(spark, table, v)
+    val (admitNames, _) = prunedFiles(spark, table, column, lo, hi, Some(v))
+    val allNames = entries.map(entryName)
+    if (admitNames.isEmpty) return (v, Nil, Nil)
+    val entryByName = entries.map(e => entryName(e) -> e).toMap
+    val schema = tableSchema(spark, table, v)
+    val matched = readEntriesWithPos(
+      spark, table, entriesFor(entries, admitNames), schema)
+      .where(col(column) >= lo && col(column) <= hi)
+    val dataCols = matched.columns
+      .filterNot(c => c == "__graft_file" || c == "__graft_pos")
+    val updated = update(matched.select(dataCols.map(col): _*))
+    require(
+      updated.schema.fieldNames.sameElements(dataCols),
+      s"snapshot mor-update must preserve the table schema " +
+        s"${dataCols.mkString(",")}; got ${updated.schema.fieldNames.mkString(",")}"
+    )
+    // sidecars for the matched positions, written executor-side
+    val oldDv: Map[String, String] =
+      admitNames.flatMap(n => entryDv(entryByName(n)).map(n -> _)).toMap
+    val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val tableLoc = table
+    val specs: Array[(String, String, Long)] = matched
+      .groupBy("__graft_file")
+      .agg(sort_array(collect_list(col("__graft_pos"))).as("pos"))
+      .as[(String, Seq[Long])]
+      .map { case (file, fresh) =>
+        val existing = oldDv
+          .get(file)
+          .map(d => readDvFile(sconf.value, new Path(s"$tableLoc/_dv/$d")))
+          .getOrElse(Array.empty[Long])
+        val merged = (existing ++ fresh).distinct.sorted
+        val dvName = s"dv-${UUID.randomUUID.toString.take(12)}.bin"
+        writeDvFile(sconf.value, new Path(s"$tableLoc/_dv/$dvName"), merged)
+        (file, dvName, merged.length.toLong)
+      }
+      .collect()
+    if (specs.isEmpty) return (v, Nil, Nil) // stats admitted, no row matched
+    val amended = specs.toSeq.map { case (file, dvName, cnt) =>
+      val base = entryByName(file)
+      val parts = base.split('\t')
+      val suffix0 =
+        if (parts.length < 2) ""
+        else
+          parts(1)
+            .split(';')
+            .filterNot(t => t.startsWith("_dv=") || t.startsWith("_dvc="))
+            .mkString(";")
+      val suffix =
+        (if (suffix0.isEmpty) "" else suffix0 + ";") +
+          s"_dv=v:$dvName;_dvc=c:$cnt"
+      s"$file\t$suffix"
+    }
+    val amendedNames = specs.map(_._1).toSeq
+    val landed = stageOnly(spark, table, updated)
+    val commitSchema =
+      schema.getOrElse(readFiles(spark, table, admitNames, None).schema)
+    val version = commitEntriesInternal(
+      spark, table, annotateEntries(spark, table, landed) ++ amended,
+      commitSchema, overwrite = false, txnId, Some(amendedNames),
+      dataChange = true)
+    (version, amendedNames, landed)
   }
 
   /** Deletes data files referenced by NO version (crashed writers'

@@ -203,6 +203,40 @@ class MorSpec extends SparkTestBase {
     assert(batch == got.map(_.getLong(0)).toSet)
   }
 
+  test("MoR update: DV in place + appended new rows, one atomic commit") {
+    val t = shardedTable()
+    val before = SnapshotLog.manifest(spark, t, 3).toSet
+    val (v, amended, appended) = SnapshotLog.updateWhereMoR(
+      spark, t, "id", 12, 14,
+      df => df.withColumn("id", col("id") + 1000L))
+    assert(v == 4 && amended.nonEmpty && appended.nonEmpty)
+    // old files all survive by name; only new files appear
+    val after = SnapshotLog.manifest(spark, t, v).toSet
+    assert(before.subsetOf(after))
+    assert((after -- before) == appended.toSet)
+    assert(ids(t) == ((0L to 29L).toSet -- Set(12L, 13L, 14L)) ++ Set(1012L, 1013L, 1014L))
+    // live count invariant: dead == appended
+    assert(SnapshotLog.metadataCount(spark, t).contains(30L))
+    // pre-update snapshot intact
+    assert(ids(t, Some(3)) == (0L to 29L).toSet)
+  }
+
+  test("MoR update selects through existing DVs: dead rows cannot double-update") {
+    val t = shardedTable()
+    SnapshotLog.deleteWhereMoR(spark, t, "id", 13, 13)
+    SnapshotLog.updateWhereMoR(
+      spark, t, "id", 12, 14, df => df.withColumn("id", col("id") + 1000L))
+    // 13 was dead before the update — it must not resurrect as 1013
+    assert(ids(t) == ((0L to 29L).toSet -- Set(12L, 13L, 14L)) ++ Set(1012L, 1014L))
+  }
+
+  test("MoR update no-ops burn no version") {
+    val t = shardedTable()
+    val (v, a, n) = SnapshotLog.updateWhereMoR(
+      spark, t, "id", 500, 600, df => df)
+    assert(v == 3 && a.isEmpty && n.isEmpty)
+  }
+
   test("vacuum keeps referenced sidecars, reclaims orphaned ones; expire reclaims dead ones") {
     import spark.implicits._
     val t = shardedTable()
