@@ -1494,6 +1494,60 @@ object Scans {
     SnapshotLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** STORAGE-PARTITIONED JOIN (round 11 late): orders and customer are
+    * committed BUCKET-CLUSTERED on the customer key (8 buckets,
+    * `SnapshotLog.commitBucketed` — the shuffle is paid once at write
+    * time), the catalog's scans report `bucket(8, key)`
+    * KeyGroupedPartitioning bound through the catalog's
+    * FunctionCatalog, and the join then needs NO exchange: the inline
+    * pin REQUIRES a SortMergeJoin with zero `Exchange
+    * hashpartitioning` operators in the plan (broadcast disabled
+    * during planning so the shuffle elision is what's actually
+    * proven). At 100 TB this is the canonical co-located fact-dim
+    * join: every query over the pair reads aligned buckets instead of
+    * re-shuffling both tables. The oracle recomputes the plain join,
+    * so the hash proves bucket alignment loses no rows. */
+  val joinSpj: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    val fsys = new org.apache.hadoop.fs.Path(tmp("sql_warehouse"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("orders_bkt", "customer_bkt").foreach(t =>
+      fsys.delete(new org.apache.hadoop.fs.Path(tmp(s"sql_warehouse/main/$t")), true))
+    SnapshotLog.commitBucketed(
+      spark, tmp("sql_warehouse/main/orders_bkt"),
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", 8)
+    SnapshotLog.commitBucketed(
+      spark, tmp("sql_warehouse/main/customer_bkt"),
+      Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+      "c_custkey", 8)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT c_mktsegment, count(*) AS cnt,
+           |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+           |FROM $cat.main.orders_bkt o
+           |JOIN $cat.main.customer_bkt c ON o.o_custkey = c.c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      // the GROUP BY after the join legitimately shuffles on the
+      // segment; the JOIN KEYS must never appear in an exchange
+      require(
+        !plan.contains("Exchange hashpartitioning(o_custkey") &&
+          !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"storage-partitioned join must not shuffle the join keys:\n$plan")
+      // materialize under the planning confs (the result is the
+      // bounded per-segment aggregate — five rows)
+      val rows = df.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   /** MERGE-ON-READ delete via deletion vectors (round 11 late): the
     * same mid-shard delete as etl_delete_snapshot, but through
     * [[graft.sources.SnapshotLog.deleteWhereMoR]] — position-delete
@@ -1684,6 +1738,7 @@ object Scans {
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_delete_mor" -> etlDeleteMor,
     "etl_update_mor" -> etlUpdateMor,
+    "join_spj" -> joinSpj,
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1819,6 +1874,12 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
         |ORDER BY o_orderkey""".stripMargin,
+    // bucket alignment must lose no rows: the oracle is the plain join
+    "join_spj" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the MoR update doubles the mid-range price: deleted-in-place old
     // rows must vanish and the appended updates must land exactly
     "etl_update_mor" ->

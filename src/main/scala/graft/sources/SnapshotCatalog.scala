@@ -75,7 +75,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * unsupported — manifest-stats skipping plus OPTIMIZE clustering is
   * the scale path, without small-file partition explosion.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -282,6 +282,60 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       )
     wfs.delete(p, true)
   }
+
+  // --- functions: the bucket transform for storage-partitioned joins ---
+  //
+  // Spark validates a scan's KeyGroupedPartitioning by binding its
+  // transform expressions against the table's catalog — without a
+  // FunctionCatalog serving `bucket`, the partitioning is silently
+  // discarded and every join re-shuffles. Both sides of a join bind to
+  // the same canonical function, which is what makes the two scans'
+  // partitionings comparable.
+
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    Array(Identifier.of(ns, "bucket"))
+
+  override def loadFunction(
+      ident: Identifier
+  ): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** `bucket(n, key)` = `pmod(key, n)` in long space — the SAME function
+  * [[SnapshotLog.commitBucketed]] clusters with at write time, so the
+  * scan-reported partitioning is the data's true layout. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): pmod(key, n) — the snapshot layout's bucket transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(
+      inputType.length == 2 &&
+        inputType(0).dataType == IntegerType &&
+        (inputType(1).dataType == LongType || inputType(1).dataType == IntegerType),
+      s"bucket(n, key) wants (int, int|bigint); got ${inputType.catalogString}"
+    )
+    val keyType = inputType(1).dataType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val key =
+          if (keyType == LongType) input.getLong(1) else input.getInt(1).toLong
+        (((key % n) + n) % n).toInt
+      }
+    }
+  }
 }
 
 /** One snapshot-catalog table, pinned at `pinned` (or the tip at load
@@ -407,7 +461,8 @@ class SnapshotSqlScan(
     options: CaseInsensitiveStringMap
 ) extends Scan
     with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Manifest names surviving every pushed predicate's stats check —
     * the intersection, since pushed filters are conjunctive. */
@@ -444,23 +499,73 @@ class SnapshotSqlScan(
 
   override def readSchema(): StructType = prunedSchema
 
+  /** Per-file layout riders of the KEPT files: bucket id and
+    * deletion-vector sidecar. */
+  private lazy val riders: Map[String, (Option[Int], Option[String])] =
+    SnapshotLog
+      .fileRiders(spark, path, version)
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+
+  /** Bucket layout claim: Some(col, n, bucket → files) only when the
+    * latest commit declares bucketing AND every kept file carries a
+    * bucket rider — a later un-bucketed append drops the claim rather
+    * than serving a stale one. */
+  private lazy val bucketing: Option[(String, Int, Map[Int, Seq[String]])] =
+    SnapshotLog.bucketSpec(spark, path, version).flatMap { case (c, n) =>
+      val kept = keptFiles.map(f => f -> riders(f)._1)
+      if (kept.exists(_._2.isEmpty)) None
+      else
+        Some(
+          (c, n,
+            kept.groupBy(_._2.get).view.mapValues(_.map(_._1)).toMap))
+    }
+
   override def description(): String = {
     val total = SnapshotLog.manifest(spark, path, version).length
     s"graft-snapshot $path v$version, files=${keptFiles.length}/$total, " +
+      bucketing.map(b => s"buckets=${b._2}(${b._1}), ").getOrElse("") +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${prunedSchema.catalogString}"
   }
 
   override def toBatch: Batch = this
 
+  /** The scan's layout claim to Catalyst: bucket(n, col) key-grouped —
+    * a join of two tables committed with the same spec needs NO
+    * shuffle (storage-partitioned join). */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketing match {
+      case Some((c, n, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  private def dvPathOf(f: String): Option[String] =
+    riders.get(f).flatMap(_._2).map(d => s"$path/_dv/$d")
+
   override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map(f => GraftSnapshotPartition(s"$path/$f", None)).toArray
+    bucketing match {
+      case Some((_, _, groups)) =>
+        groups.toSeq.sortBy(_._1).map { case (b, files) =>
+          SnapshotBucketPartition(
+            files.map(f => (s"$path/$f", dvPathOf(f))), b)
+        }.toArray
+      case None =>
+        // deletion vectors apply by position; the sidecar is read
+        // executor-side from the path shipped with the partition
+        keptFiles.map { f =>
+          SnapshotFilePartition(s"$path/$f", dvPathOf(f))
+        }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftSnapshotReaderFactory(
+    SnapshotSqlReaderFactory(
       prunedSchema,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      readChangeFeed = false
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     )
 
   /** EXACT post-pruning size/rows from the manifest riders — Catalyst's
@@ -505,6 +610,75 @@ class SnapshotSqlScan(
       readChangeFeed = false
     )
   }
+}
+
+/** One data file (+ optional deletion-vector sidecar) of a catalog
+  * scan. */
+case class SnapshotFilePartition(file: String, dvPath: Option[String])
+    extends InputPartition
+
+/** One BUCKET of a bucket-clustered table: all its files as a single
+  * input partition, reporting the bucket id as its partition key — the
+  * unit Spark's storage-partitioned join aligns across tables. */
+case class SnapshotBucketPartition(
+    files: Seq[(String, Option[String])],
+    bucket: Int
+) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
+case class SnapshotSqlReaderFactory(
+    schema: StructType,
+    conf: SerializableHadoopConf
+) extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition
+  ): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val files = p match {
+      case SnapshotFilePartition(f, dv)  => Seq((f, dv))
+      case SnapshotBucketPartition(fs, _) => fs
+      case other =>
+        throw new IllegalStateException(s"unexpected partition $other")
+    }
+    new SnapshotSqlReader(files, conf.value, schema)
+  }
+}
+
+/** Sequential reader over a partition's files; each file's deletion
+  * vector (if any) is loaded executor-side and applied by position. */
+class SnapshotSqlReader(
+    files: Seq[(String, Option[String])],
+    conf: org.apache.hadoop.conf.Configuration,
+    schema: StructType
+) extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var current: GraftSnapshotReader = _
+
+  private def openNext(): Boolean =
+    if (!it.hasNext) false
+    else {
+      val (f, dv) = it.next()
+      val skip = dv.map(d => SnapshotLog.readDvFile(conf, new Path(d)))
+      current = new GraftSnapshotReader(
+        f, conf, schema, None, None, skipPositions = skip)
+      true
+    }
+
+  override def next(): Boolean = {
+    while (current == null || !current.next()) {
+      if (current != null) { current.close(); current = null }
+      if (!openNext()) return false
+    }
+    true
+  }
+
+  override def get(): InternalRow = current.get()
+
+  override def close(): Unit =
+    if (current != null) { current.close(); current = null }
 }
 
 // --- write path ---

@@ -617,7 +617,8 @@ object SnapshotLog {
       overwrite: Boolean,
       txnId: Option[String],
       replaceRemoved: Option[Seq[String]],
-      dataChange: Boolean
+      dataChange: Boolean,
+      extraHeader: String = ""
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
@@ -681,6 +682,7 @@ object SnapshotLog {
               // did not change, only their file layout (the posture
               // Delta's OPTIMIZE takes with dataChange=false)
               (if (dataChange) "" else " datachange=false") +
+              (if (extraHeader.isEmpty) "" else s" $extraHeader") +
               s" schema=${b64(schema.json)}"
           val tmp =
             new Path(s"$table/$LogDir/.tmp-${UUID.randomUUID.toString.take(8)}")
@@ -1683,6 +1685,100 @@ object SnapshotLog {
       Some(amendedNames), dataChange = true)
     (version, amendedNames, allNames.filterNot(amendedNames.toSet))
   }
+
+  // --- BUCKETED layout (storage-partitioned joins) ------------------
+
+  /** Commits `df` BUCKET-CLUSTERED on `bucketCol`: rows shuffle once by
+    * `pmod(key, nBuckets)`, land as per-bucket files (the bucket id
+    * rides each entry as `_bk=k:<b>`, and the commit header declares
+    * `buckets=<col>:<n>`), and the SQL catalog's scan then reports
+    * KeyGroupedPartitioning over `bucket(n, col)` — two tables
+    * committed with the same spec JOIN WITHOUT A SHUFFLE
+    * (storage-partitioned join). At 100 TB this is the difference
+    * between re-shuffling both fact tables on every join and reading
+    * co-located buckets: the shuffle is paid ONCE at write time.
+    * The bucket function is `pmod` in long space, served to Spark by
+    * the catalog's FunctionCatalog so both sides bind to the same
+    * canonical function. A later un-bucketed commit simply drops the
+    * declaration — the scan then reports nothing rather than a stale
+    * claim. */
+  def commitBucketed(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      bucketCol: String,
+      nBuckets: Int,
+      overwrite: Boolean = false
+  ): Int = {
+    require(nBuckets > 0, s"commitBucketed: nBuckets must be > 0, got $nBuckets")
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/$LogDir"))
+    if (!overwrite)
+      versions(spark, table).lastOption
+        .flatMap(tableSchema(spark, table, _))
+        .foreach(mergeSchemas(_, df.schema))
+    val jobId = UUID.randomUUID.toString.take(8)
+    val staging = new Path(s"$table/_staging/$jobId")
+    // partitionBy keeps the bucket OUT of the data files (it lives in
+    // the directory name) and the repartition bounds files-per-bucket
+    df.withColumn(
+        "__graft_bucket", pmod(col(bucketCol), lit(nBuckets)).cast("int"))
+      .repartition(nBuckets, col("__graft_bucket"))
+      .write.mode("overwrite").partitionBy("__graft_bucket")
+      .parquet(staging.toString)
+    val landed: Seq[(String, Int)] = f
+      .listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__graft_bucket="))
+      .sortBy(_.getPath.getName)
+      .toSeq
+      .flatMap { dir =>
+        val b = dir.getPath.getName.stripPrefix("__graft_bucket=").toInt
+        f.listStatus(dir.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex
+          .map { case (st, i) =>
+            val name = s"part-$jobId-b$b-$i.parquet"
+            require(
+              f.rename(st.getPath, new Path(s"$table/$name")),
+              s"snapshot bucketed stage: rename ${st.getPath} failed")
+            (name, b)
+          }
+      }
+    f.delete(staging, true)
+    val lines = annotateEntries(spark, table, landed.map(_._1))
+      .zip(landed)
+      .map { case (line, (_, b)) => s"$line;_bk=k:$b" }
+    commitEntriesInternal(
+      spark, table, lines, df.schema, overwrite, None, None,
+      dataChange = true,
+      extraHeader = s"buckets=${b64(s"$bucketCol:$nBuckets")}")
+  }
+
+  /** (bucketCol, nBuckets) declared by `version`'s commit header, if
+    * the commit was bucket-clustered. */
+  def bucketSpec(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Option[(String, Int)] =
+    headerToken(header(spark, table, version), "buckets").map { t =>
+      val s = unb64(t)
+      val i = s.lastIndexOf(':')
+      (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+
+  /** Per-file layout riders at `version`: (name, bucket id, deletion-
+    * vector sidecar) — the SQL catalog's planning view for
+    * storage-partitioned joins and DV subtraction. */
+  def fileRiders(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Seq[(String, Option[Int], Option[String])] =
+    manifestEntries(spark, table, version).map(e =>
+      (entryName(e), entryToken(e, "_bk=k:").map(_.toInt), entryDv(e)))
 
   /** All given entries read with their in-file position columns
     * (`__graft_file`, `__graft_pos`) retained and deletion-vector dead

@@ -200,6 +200,69 @@ class CatalogSpec extends SparkTestBase {
     assert(ctas.count() == orders.select("o_custkey").distinct().count())
   }
 
+  test("catalog reads subtract deletion vectors") {
+    import spark.implicits._
+    val _ = warehouse
+    val p = s"$warehouse/main/dvread"
+    SnapshotLog.commit(spark, p, (0L to 9L).toDF("id"))
+    SnapshotLog.commit(spark, p, (10L to 19L).toDF("id"))
+    SnapshotLog.deleteWhereMoR(spark, p, "id", 3, 12)
+    val got = spark.sql("SELECT id FROM cattest.main.dvread")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == ((0L to 19L).toSet -- (3L to 12L)))
+    // pruned catalog read over a DV'd file also subtracts
+    val pruned = spark.sql("SELECT id FROM cattest.main.dvread WHERE id <= 5")
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned == Set(0L, 1L, 2L))
+  }
+
+  test("storage-partitioned join: co-bucketed tables join with no shuffle on the keys") {
+    import spark.implicits._
+    val _ = warehouse
+    SnapshotLog.commitBucketed(
+      spark, s"$warehouse/main/spj_a",
+      (0L to 99L).map(i => (i, i * 2)).toDF("id", "a"), "id", 4)
+    SnapshotLog.commitBucketed(
+      spark, s"$warehouse/main/spj_b",
+      (0L to 99L).map(i => (i, i * 3)).toDF("id", "b"), "id", 4)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        """SELECT x.id, x.a, y.b FROM cattest.main.spj_a x
+          |JOIN cattest.main.spj_b y ON x.id = y.id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join still shuffled:\n$plan")
+      val rows = df.collect()
+      assert(rows.length == 100)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 2 &&
+        r.getLong(2) == r.getLong(0) * 3))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("an un-bucketed append drops the partitioning claim, never serves it stale") {
+    import spark.implicits._
+    val _ = warehouse
+    val p = s"$warehouse/main/spj_stale"
+    SnapshotLog.commitBucketed(
+      spark, p, (0L to 49L).toDF("id"), "id", 4)
+    SnapshotLog.commit(spark, p, (50L to 59L).toDF("id")) // plain append
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        """SELECT x.id FROM cattest.main.spj_stale x
+          |JOIN cattest.main.spj_stale y ON x.id = y.id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      // the claim is gone: Spark must shuffle (correctness over speed)
+      assert(plan.contains("Exchange hashpartitioning"), plan)
+      assert(df.collect().length == 60)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("column pruning reaches the catalog scan") {
     val t = freshName()
     spark.sql(s"CREATE TABLE $t (id BIGINT, a STRING, b DOUBLE)")
