@@ -1494,6 +1494,45 @@ object Scans {
     SnapshotLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** STREAMING TABLE-TO-TABLE through the SQL surface (round 11 late):
+    * `spark.readStream.table` over one catalog table into
+    * `writeStream.toTable` on another — versions-as-offsets on the
+    * read side, epoch-scoped idempotent commits on the write side
+    * (txn id = queryId:epochId, so a crash between sink commit and
+    * offset commit re-delivers harmlessly). The etl_snapshot_replicate
+    * loop, now expressed entirely in the catalog API a user would
+    * actually write. Oracle recomputes the source, so the hash is the
+    * dual exactly-once gate: a replayed epoch duplicates, a skipped
+    * version loses. */
+  val streamTableSink: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    val fsys = new org.apache.hadoop.fs.Path(tmp("sql_warehouse"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val src = tmp("sql_warehouse/main/orders_tstream_src")
+    fsys.delete(new org.apache.hadoop.fs.Path(src), true)
+    val ckpt = tmp("orders_tstream_ckpt")
+    fsys.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") % 3 === 0))
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") % 3 === 1))
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") % 3 === 2))
+    val dst = s"$cat.main.orders_tstream_dst"
+    spark.sql(s"DROP TABLE IF EXISTS $dst")
+    spark.sql(
+      s"CREATE TABLE $dst (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    val q = spark.readStream
+      .table(s"$cat.main.orders_tstream_src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(dst)
+    q.awaitTermination(180000)
+    spark.sql(s"SELECT * FROM $dst ORDER BY o_orderkey")
+  }
+
   /** STORAGE-PARTITIONED JOIN (round 11 late): orders and customer are
     * committed BUCKET-CLUSTERED on the customer key (8 buckets,
     * `SnapshotLog.commitBucketed` — the shuffle is paid once at write
@@ -1739,6 +1778,7 @@ object Scans {
     "etl_delete_mor" -> etlDeleteMor,
     "etl_update_mor" -> etlUpdateMor,
     "join_spj" -> joinSpj,
+    "stream_table_sink" -> streamTableSink,
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1873,6 +1913,11 @@ object Scans {
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    // exactly-once both directions through the SQL surface: replay
+    // duplicates, a skipped version loses — either breaks the hash
+    "stream_table_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     // bucket alignment must lose no rows: the oracle is the plain join
     "join_spj" ->

@@ -377,6 +377,7 @@ case class SnapshotSqlTable(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE
     )
 
@@ -389,7 +390,7 @@ case class SnapshotSqlTable(
       s"snapshot catalog: cannot write to $ident pinned at VERSION AS OF $snapVersion"
     )
     SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
-    new SnapshotSqlWriteBuilder(path, info.schema())
+    new SnapshotSqlWriteBuilder(path, info.schema(), info.queryId())
   }
 }
 
@@ -683,7 +684,7 @@ class SnapshotSqlReader(
 
 // --- write path ---
 
-class SnapshotSqlWriteBuilder(path: String, schema: StructType)
+class SnapshotSqlWriteBuilder(path: String, schema: StructType, queryId: String)
     extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
@@ -691,7 +692,71 @@ class SnapshotSqlWriteBuilder(path: String, schema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       SnapshotSqlBatchWrite(path, schema, overwrite)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      SnapshotSqlStreamingWrite(path, schema, overwrite, queryId)
   }
+}
+
+/** `writeStream.toTable(...)` sink: each epoch commits EXACTLY ONCE —
+  * the txn id scopes by (streaming queryId, epochId), so a crash
+  * between sink commit and offset commit re-delivers the epoch and
+  * [[SnapshotLog.commitLanded]]'s replay check drops it harmlessly
+  * (the table-grain exactly-once contract StreamOps.snapshotSink
+  * pioneered, now reachable as a first-class catalog sink). Complete
+  * mode (truncate) overwrites per epoch under the same replay key. */
+case class SnapshotSqlStreamingWrite(
+    path: String,
+    schema: StructType,
+    overwrite: Boolean,
+    queryId: String
+) extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo
+  ): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    SnapshotSqlStreamingWriterFactory(path, schema, conf)
+  }
+
+  override def commit(
+      epochId: Long,
+      messages: Array[WriterCommitMessage]
+  ): Unit = {
+    val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n)) => n }
+    SnapshotLog.commitLanded(
+      SparkSession.active, path, names, schema,
+      overwrite = overwrite,
+      txnId = Some(s"sql-$queryId-$epochId"))
+  }
+
+  override def abort(
+      epochId: Long,
+      messages: Array[WriterCommitMessage]
+  ): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    messages.foreach {
+      case SnapshotSqlCommit(Some(n)) =>
+        try fs.delete(new Path(s"$path/$n"), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+case class SnapshotSqlStreamingWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableHadoopConf
+) extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long,
+      epochId: Long
+  ): DataWriter[InternalRow] =
+    new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
 }
 
 case class SnapshotSqlBatchWrite(

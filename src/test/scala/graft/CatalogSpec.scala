@@ -263,6 +263,36 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("writeStream.toTable commits epochs exactly once into a catalog table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (value BIGINT)")
+    val ms = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("graft_cat_wsink").toString
+    val q = ms.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable(t)
+    ms.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    ms.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql(s"SELECT sum(value) FROM $t").head.getLong(0) == 15L)
+    // each epoch carried its replay-scoped txn id into the commit log
+    val txns = SnapshotLog.describeHistory(spark, pathOf(t))
+      .where(col("txn_id") =!= "").count()
+    assert(txns >= 2)
+    // a restart from the same checkpoint must not re-deliver epochs
+    val q2 = ms.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable(t)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.sql(s"SELECT sum(value) FROM $t").head.getLong(0) == 15L)
+  }
+
   test("column pruning reaches the catalog scan") {
     val t = freshName()
     spark.sql(s"CREATE TABLE $t (id BIGINT, a STRING, b DOUBLE)")
