@@ -1494,6 +1494,116 @@ object Scans {
     SnapshotLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** Shared setup for the SQL DML keys: orders projection landed as
+    * three RANGE-SHARDED inserts through the catalog, so runtime group
+    * filtering has distinct groups to prove its granularity on.
+    * Returns (tableRef, c1, mid). */
+  private def sqlDmlTable(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      name: String
+  ): (String, Long, Long) = {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    o.createOrReplaceTempView("graft_sql_dml_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val mid = (3 * c1) / 2
+    spark.sql(
+      s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_dml_src WHERE o_orderkey <= $c1")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_dml_src WHERE o_orderkey > $c1 AND o_orderkey <= ${2 * c1}")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_dml_src WHERE o_orderkey > ${2 * c1}")
+    (t, c1, mid)
+  }
+
+  /** SQL `DELETE FROM` (round 11 late): the group-based copy-on-write
+    * rewrite with RUNTIME GROUP FILTERING — Spark's dynamic-pruning
+    * subquery finds the `_file` groups that actually hold a doomed row
+    * and only THOSE are rewritten; the inline checks pin that the
+    * untouched shards' file names survive verbatim into the post-DML
+    * manifest and that a DELETE matching nothing burns no version. The
+    * oracle is the same range-subtraction SQL as the programmatic
+    * delete twins. */
+  val sqlDelete: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val (t, c1, mid) = sqlDmlTable(spark, dir, "orders_sqldel")
+    val p = tmp("sql_warehouse/main/orders_sqldel")
+    val before = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey >= ${c1 + 1} AND o_orderkey <= $mid")
+    val v = SnapshotLog.versions(spark, p).last
+    val after = SnapshotLog.manifest(spark, p, v)
+    require(
+      before.toSet.intersect(after.toSet).nonEmpty &&
+        (before.toSet -- after.toSet).nonEmpty,
+      "SQL DELETE must rewrite only the groups holding matched rows"
+    )
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey > ${mid * 100}")
+    require(
+      SnapshotLog.versions(spark, p).last == v,
+      "a DELETE matching no rows must not burn a version"
+    )
+    spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+  }
+
+  /** SQL `UPDATE` (round 11 late): same group-granular rewrite; shares
+    * etl_update_mor's CASE-expression oracle shape so the SQL surface
+    * is proven row-identical to the programmatic MoR update. */
+  val sqlUpdate: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val (t, c1, mid) = sqlDmlTable(spark, dir, "orders_sqlupd")
+    val p = tmp("sql_warehouse/main/orders_sqlupd")
+    val before = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    spark.sql(
+      s"""UPDATE $t SET o_totalprice = round(o_totalprice * 2, 2)
+         |WHERE o_orderkey >= ${c1 + 1} AND o_orderkey <= $mid""".stripMargin)
+    val after =
+      SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    require(
+      before.toSet.intersect(after.toSet).nonEmpty,
+      "SQL UPDATE must carry untouched groups by reference"
+    )
+    spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+  }
+
+  /** SQL `MERGE INTO` (round 11 late): matched rows update in place
+    * (acctbal doubled for every tenth customer), unmatched source rows
+    * insert — the full MERGE dataflow through the catalog's row-level
+    * operation, group-granular like the other DML. The oracle
+    * recomputes both arms in one CASE + UNION. */
+  val sqlMerge: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.customer_sqlmrg"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_acctbal")
+      .createOrReplaceTempView("graft_sql_mrg_tgt")
+    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, c_acctbal DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_sql_mrg_tgt")
+    spark.sql(
+      """SELECT c_custkey, round(c_acctbal * 2, 2) AS c_acctbal
+        |FROM graft_sql_mrg_tgt WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT * FROM VALUES (CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |                     (CAST(-2 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |                     (CAST(-3 AS BIGINT), CAST(0.0 AS DOUBLE))""".stripMargin)
+      .createOrReplaceTempView("graft_sql_mrg_src")
+    spark.sql(
+      s"""MERGE INTO $t USING graft_sql_mrg_src s ON $t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+         |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+         |VALUES (s.c_custkey, s.c_acctbal)""".stripMargin)
+    spark.sql(s"SELECT * FROM $t ORDER BY c_custkey")
+  }
+
   /** STREAMING TABLE-TO-TABLE through the SQL surface (round 11 late):
     * `spark.readStream.table` over one catalog table into
     * `writeStream.toTable` on another — versions-as-offsets on the
@@ -1779,6 +1889,9 @@ object Scans {
     "etl_update_mor" -> etlUpdateMor,
     "join_spj" -> joinSpj,
     "stream_table_sink" -> streamTableSink,
+    "sql_delete" -> sqlDelete,
+    "sql_update" -> sqlUpdate,
+    "sql_merge" -> sqlMerge,
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
@@ -1914,6 +2027,29 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
         |ORDER BY o_orderkey""".stripMargin,
+    // group-granular SQL DML: same oracles as the programmatic twins
+    "sql_delete" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_update" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2
+        |            THEN round(o_totalprice * 2, 2) ELSE o_totalprice END
+        |         AS o_totalprice
+        |FROM orders, b ORDER BY o_orderkey""".stripMargin,
+    "sql_merge" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal * 2, 2)
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |                      (CAST(-2 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |                      (CAST(-3 AS BIGINT), CAST(0.0 AS DOUBLE)))
+        |ORDER BY c_custkey""".stripMargin,
     // exactly-once both directions through the SQL surface: replay
     // duplicates, a skipped version loses — either breaks the hash
     "stream_table_sink" ->

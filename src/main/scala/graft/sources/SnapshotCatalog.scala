@@ -348,7 +348,20 @@ case class SnapshotSqlTable(
     pinned: Option[Int]
 ) extends Table
     with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite
+    with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
+
+  /** `_file`: the manifest file a row lives in — user-visible
+    * observability (`SELECT _file FROM t`) and the GROUP IDENTITY the
+    * row-level DML rewrite tracks. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest data file holding this row"
+    })
 
   private val snapVersion: Int = {
     val vs = SnapshotLog.versions(spark, path)
@@ -392,6 +405,25 @@ case class SnapshotSqlTable(
     SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
     new SnapshotSqlWriteBuilder(path, info.schema(), info.queryId())
   }
+
+  /** SQL row-level DML — `DELETE FROM` / `UPDATE` / `MERGE INTO` — as
+    * GROUP-BASED copy-on-write: Spark rewrites the affected groups
+    * (files) through the operation's scan/write pair, and the commit
+    * atomically replaces exactly the scanned files with the rewritten
+    * survivors ([[SnapshotLog]]'s replace-delta; untouched files carry
+    * by reference). Deletion vectors on scanned files subtract on the
+    * way in and are materialized away by the rewrite. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo
+  ): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(
+      pinned.isEmpty,
+      s"snapshot catalog: cannot modify $ident pinned at VERSION AS OF $snapVersion")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new SnapshotRowLevelOperation(spark, path, dataSchema, info.command())
+    }
+  }
 }
 
 /** Scan builder: records range/equality predicates on stats-bearing
@@ -410,6 +442,7 @@ class SnapshotSqlScanBuilder(
 
   private var pushed: Array[Filter] = Array.empty
   private var readSchema: StructType = dataSchema
+  private var wantFile: Boolean = false
 
   private def prunable(f: Filter): Boolean = {
     def typed(col: String, isString: Boolean): Boolean =
@@ -443,14 +476,18 @@ class SnapshotSqlScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(required: StructType): Unit =
-    // preserve table column order; `required` may reorder
+  override def pruneColumns(required: StructType): Unit = {
+    // preserve table column order; `required` may reorder. `_file` is
+    // the metadata column (SupportsMetadataColumns) — when requested it
+    // rides LAST and the reader appends the manifest-relative name.
+    wantFile = required.fieldNames.contains("_file")
     readSchema = StructType(
       dataSchema.fields.filter(f => required.fieldNames.contains(f.name))
     )
+  }
 
   override def build(): Scan =
-    new SnapshotSqlScan(spark, path, version, readSchema, pushed, options)
+    new SnapshotSqlScan(spark, path, version, readSchema, pushed, options, wantFile)
 }
 
 class SnapshotSqlScan(
@@ -459,7 +496,8 @@ class SnapshotSqlScan(
     version: Int,
     prunedSchema: StructType,
     pushed: Array[Filter],
-    options: CaseInsensitiveStringMap
+    options: CaseInsensitiveStringMap,
+    wantFile: Boolean = false
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -498,7 +536,10 @@ class SnapshotSqlScan(
   private def longRange(col: String, lo: Long, hi: Long): Set[String] =
     SnapshotLog.prunedFiles(spark, path, col, lo, hi, Some(version))._1.toSet
 
-  override def readSchema(): StructType = prunedSchema
+  override def readSchema(): StructType =
+    if (wantFile)
+      prunedSchema.add(StructField("_file", StringType, nullable = false))
+    else prunedSchema
 
   /** Per-file layout riders of the KEPT files: bucket id and
     * deletion-vector sidecar. */
@@ -565,8 +606,9 @@ class SnapshotSqlScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotSqlReaderFactory(
-      prunedSchema,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+      readSchema(),
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      appendFileName = wantFile
     )
 
   /** EXACT post-pruning size/rows from the manifest riders — Catalyst's
@@ -633,7 +675,8 @@ case class SnapshotBucketPartition(
 
 case class SnapshotSqlReaderFactory(
     schema: StructType,
-    conf: SerializableHadoopConf
+    conf: SerializableHadoopConf,
+    appendFileName: Boolean = false
 ) extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition
@@ -644,7 +687,7 @@ case class SnapshotSqlReaderFactory(
       case other =>
         throw new IllegalStateException(s"unexpected partition $other")
     }
-    new SnapshotSqlReader(files, conf.value, schema)
+    new SnapshotSqlReader(files, conf.value, schema, appendFileName)
   }
 }
 
@@ -653,18 +696,27 @@ case class SnapshotSqlReaderFactory(
 class SnapshotSqlReader(
     files: Seq[(String, Option[String])],
     conf: org.apache.hadoop.conf.Configuration,
-    schema: StructType
+    schema: StructType,
+    appendFileName: Boolean = false
 ) extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
   private val it = files.iterator
   private var current: GraftSnapshotReader = _
+  // when `_file` rides last in the scan schema, the parquet reader
+  // decodes only the data prefix and the name is appended as a tag
+  private val dataSchema =
+    if (appendFileName) StructType(schema.fields.dropRight(1)) else schema
 
   private def openNext(): Boolean =
     if (!it.hasNext) false
     else {
       val (f, dv) = it.next()
       val skip = dv.map(d => SnapshotLog.readDvFile(conf, new Path(d)))
+      // the `_file` metadata value is the MANIFEST-relative name
+      val tag =
+        if (appendFileName) Some(f.substring(f.lastIndexOf('/') + 1)) else None
       current = new GraftSnapshotReader(
-        f, conf, schema, None, None, skipPositions = skip)
+        f, conf, dataSchema, None, None, skipPositions = skip,
+        fileNameTag = tag)
       true
     }
 
@@ -680,6 +732,175 @@ class SnapshotSqlReader(
 
   override def close(): Unit =
     if (current != null) { current.close(); current = null }
+}
+
+// --- SQL row-level DML (group-based copy-on-write) ---
+
+/** One DELETE/UPDATE/MERGE execution: the scan side decides WHICH live
+  * files are candidate groups and remembers them; the write side
+  * commits the rewritten survivors while atomically removing exactly
+  * those files (concurrent removal of one is a loud conflict). The
+  * version is pinned when the scan plans, so the operation is
+  * snapshot-consistent end to end. */
+class SnapshotRowLevelOperation(
+    spark: SparkSession,
+    path: String,
+    dataSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command
+) extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  // the groups the scan planned — what the write's commit replaces
+  private[sources] val scannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-snapshot $cmd $path"
+
+  /** Requiring `_file` keeps Spark on the metadata-projecting write
+    * path (the data row reaches the writer PROJECTED, without the
+    * rewrite's operation column) and names the group identity. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new SnapshotRowLevelScan(spark, path, dataSchema, SnapshotRowLevelOperation.this)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          SnapshotReplaceBatchWrite(path, info.schema(), SnapshotRowLevelOperation.this)
+      }
+    }
+}
+
+/** The candidate-group scan of a row-level operation. It must deliver
+  * EVERY live row of every group it returns (the rewrite recomputes
+  * survivors from whole groups), so it deliberately supports no
+  * filter/column pushdown; deletion vectors still subtract. */
+class SnapshotRowLevelScan(
+    spark: SparkSession,
+    path: String,
+    dataSchema: StructType,
+    op: SnapshotRowLevelOperation
+) extends Scan
+    with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private lazy val version: Int = {
+    val vs = SnapshotLog.versions(spark, path)
+    require(vs.nonEmpty, s"snapshot DML: no commits in $path")
+    vs.last
+  }
+
+  /** RUNTIME GROUP FILTERING (the Iceberg CoW-DML posture): Spark runs
+    * `SELECT DISTINCT _file FROM t WHERE cond` as a dynamic-pruning
+    * subquery and hands the result back as `_file IN (...)` — only
+    * files that actually HOLD a matching row are rewritten; everything
+    * else carries by reference. A DELETE touching one shard of a
+    * 100 TB table rewrites that shard, not the table. */
+  private var runtimeKept: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]
+  ): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val children = p.children()
+        val onFile = children.headOption.exists {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames().sameElements(Array("_file"))
+          case _ => false
+        }
+        if (onFile) {
+          val values: Set[String] = children.drop(1).collect {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              String.valueOf(l.value())
+          }.toSet
+          // conjunction with any earlier runtime filter
+          runtimeKept = Some(runtimeKept.fold(values)(_.intersect(values)))
+        }
+      }
+      // unrecognized predicates are ignored: filtering only EXCLUDES
+      // groups a subquery proved unmatched, never correctness
+    }
+
+  override def readSchema(): StructType =
+    dataSchema.add(StructField("_file", StringType, nullable = false))
+
+  override def description(): String =
+    s"graft-snapshot row-level scan $path"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = SnapshotLog.fileRiders(spark, path, version)
+    val riders = runtimeKept match {
+      case Some(keep) => all.filter(r => keep(r._1))
+      case None       => all
+    }
+    op.scannedFiles.set(riders.map(_._1))
+    riders.map { case (f, _, dv) =>
+      SnapshotFilePartition(s"$path/$f", dv.map(d => s"$path/_dv/$d"))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotSqlReaderFactory(
+      readSchema(), // data columns + trailing _file
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      appendFileName = true)
+}
+
+/** Commit side of the rewrite: replace the scanned groups with the
+  * written survivors in one replace-delta commit. */
+case class SnapshotReplaceBatchWrite(
+    path: String,
+    schema: StructType,
+    op: SnapshotRowLevelOperation
+) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo
+  ): DataWriterFactory =
+    SnapshotSqlWriterFactory(
+      path,
+      schema,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val removed = op.scannedFiles.get()
+    require(
+      removed != null,
+      "snapshot DML: write committed before its scan planned any group")
+    val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n)) => n }
+    // runtime group filtering proved no file holds a matching row: a
+    // true no-op — don't burn a version on an empty replace
+    if (removed.isEmpty && names.isEmpty) return
+    SnapshotLog.commitLandedReplace(
+      SparkSession.active, path, names, schema, removed)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    messages.foreach {
+      case SnapshotSqlCommit(Some(n)) =>
+        try fs.delete(new Path(s"$path/$n"), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
 }
 
 // --- write path ---
@@ -848,6 +1069,11 @@ class SnapshotParquetWriter(
     ensureOpen()
     writer.write(SnapshotSql.toGroup(factory, schema, row))
   }
+
+  /** Metadata-carrying write (the row-level DML path): the `_file`
+    * metadata row named the source group; only the data row lands. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) { writer.close(); writer = null }

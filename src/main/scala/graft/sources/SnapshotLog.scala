@@ -567,6 +567,25 @@ object SnapshotLog {
           dataChange)
     }
 
+  /** [[commitLanded]] that atomically REPLACES `removed` (which must
+    * all be live — a concurrent removal is a loud conflict): the SQL
+    * row-level DML commit path. */
+  def commitLandedReplace(
+      spark: SparkSession,
+      table: String,
+      landedNames: Seq[String],
+      batchSchema: StructType,
+      removed: Seq[String],
+      txnId: Option[String] = None
+  ): Int =
+    txnId.flatMap(committedTxn(spark, table, _)) match {
+      case Some(v) => v
+      case None =>
+        commitLandedInternal(
+          spark, table, landedNames, batchSchema, overwrite = false, txnId,
+          Some(removed), dataChange = true)
+    }
+
   private def commitLandedInternal(
       spark: SparkSession,
       table: String,

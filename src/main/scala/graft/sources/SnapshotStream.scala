@@ -329,12 +329,14 @@ class GraftSnapshotReader(
     schema: StructType,
     cdfTag: Option[(String, Int)] = None,
     onlyPositions: Option[Array[Long]] = None,
-    skipPositions: Option[Array[Long]] = None
+    skipPositions: Option[Array[Long]] = None,
+    fileNameTag: Option[String] = None // appended as a `_file` column
 ) extends PartitionReader[InternalRow] {
   private val tagVals: Array[Any] =
     cdfTag
       .map { case (t, v) => Array[Any](UTF8String.fromString(t), v) }
-      .getOrElse(Array.empty[Any])
+      .getOrElse(Array.empty[Any]) ++
+      fileNameTag.map(f => UTF8String.fromString(f): Any).toArray
   private val reader: ParquetReader[Group] =
     ParquetReader
       .builder(new GroupReadSupport(), new Path(file))

@@ -293,6 +293,63 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT sum(value) FROM $t").head.getLong(0) == 15L)
   }
 
+  test("SQL DELETE FROM / UPDATE / MERGE INTO rewrite the table correctly") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 20)")
+    spark.sql(s"DELETE FROM $t WHERE id >= 15")
+    assert(
+      spark.sql(s"SELECT count(*), max(id) FROM $t").head.toSeq == Seq(15L, 14L))
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id < 5")
+    assert(
+      spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) ==
+        (0 until 15).map(_ * 10L).sum + 5)
+    spark.range(3, 25, 7).createOrReplaceTempView("merge_src") // 3,10,17,24
+    spark.sql(
+      s"""MERGE INTO $t USING merge_src s ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 0
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, -1)""".stripMargin)
+    val got = spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(3) == 0L && got(10) == 0L) // matched -> zeroed
+    assert(got(17) == -1L && got(24) == -1L) // unmatched -> inserted
+    assert(got(4) == 41L) // earlier UPDATE preserved
+    assert(got.size == 17)
+    // DML over a deletion-vectored table must not resurrect dead rows
+    SnapshotLog.deleteWhereMoR(spark, pathOf(t), "id", 0, 1)
+    spark.sql(s"DELETE FROM $t WHERE id = 2")
+    val after = spark.sql(s"SELECT id FROM $t ORDER BY id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!after.contains(0L) && !after.contains(1L) && !after.contains(2L))
+  }
+
+  test("runtime group filtering: DML rewrites only files holding matched rows") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $t SELECT id FROM range($lo, $hi)")
+    }
+    val p = pathOf(t)
+    val before = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    // the doomed range lives entirely in the middle shard
+    spark.sql(s"DELETE FROM $t WHERE id >= 120 AND id < 180")
+    val vAfter = SnapshotLog.versions(spark, p).last
+    val after = SnapshotLog.manifest(spark, p, vAfter)
+    val survivors = before.toSet.intersect(after.toSet)
+    assert(survivors.nonEmpty,
+      s"untouched shards must carry BY NAME; before=$before after=$after")
+    assert(before.toSet -- after.toSet != Set.empty,
+      "the matched shard's files must be rewritten")
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 240L)
+    // a DELETE matching no rows must not burn a version
+    spark.sql(s"DELETE FROM $t WHERE id > 100000")
+    assert(SnapshotLog.versions(spark, p).last == vAfter)
+    // the _file metadata column is user-queryable
+    val nFiles = spark.sql(s"SELECT count(DISTINCT _file) FROM $t").head.getLong(0)
+    assert(nFiles.toInt == after.length)
+  }
+
   test("column pruning reaches the catalog scan") {
     val t = freshName()
     spark.sql(s"CREATE TABLE $t (id BIGINT, a STRING, b DOUBLE)")
