@@ -1553,6 +1553,37 @@ object Scans {
     spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
   }
 
+  /** METADATA-ONLY SQL DELETE (round 11 late): the doomed range is the
+    * ENTIRE third shard, so every live file is provably fully-inside
+    * or fully-disjoint by its manifest stats — Spark's
+    * OptimizeMetadataOnlyDeleteFromTable converts the row-level
+    * rewrite back into `SupportsDeleteV2.deleteWhere`, and the delete
+    * becomes a MANIFEST EDIT: inside files drop, nothing is read or
+    * written (inline pins: the plan is DeleteFromTable with no
+    * ReplaceData; the post-delete manifest is a strict subset of the
+    * pre-delete one). At 100 TB, dropping an expired ingestion shard
+    * costs one commit instead of a cluster-hour rewrite. */
+  val sqlDeleteMetadata: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val (t, c1, _) = sqlDmlTable(spark, dir, "orders_sqldelmeta")
+    val p = tmp("sql_warehouse/main/orders_sqldelmeta")
+    val plan = spark
+      .sql(s"EXPLAIN DELETE FROM $t WHERE o_orderkey > ${2 * c1}")
+      .collect()(0).getString(0)
+    require(
+      plan.contains("DeleteFromTable") && !plan.contains("ReplaceData"),
+      s"a whole-shard delete must take the metadata-only path:\n$plan"
+    )
+    val before = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey > ${2 * c1}")
+    val after = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    require(
+      after.toSet.subsetOf(before.toSet) && after.size < before.size,
+      "a metadata-only delete drops files and adds NONE"
+    )
+    spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+  }
+
   /** SQL `UPDATE` (round 11 late): same group-granular rewrite; shares
     * etl_update_mor's CASE-expression oracle shape so the SQL surface
     * is proven row-identical to the programmatic MoR update. */
@@ -1890,6 +1921,7 @@ object Scans {
     "join_spj" -> joinSpj,
     "stream_table_sink" -> streamTableSink,
     "sql_delete" -> sqlDelete,
+    "sql_delete_metadata" -> sqlDeleteMetadata,
     "sql_update" -> sqlUpdate,
     "sql_merge" -> sqlMerge,
     "etl_mv_incremental" -> etlMvIncremental,
@@ -2032,6 +2064,11 @@ object Scans {
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_delete_metadata" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
     "sql_update" ->
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)

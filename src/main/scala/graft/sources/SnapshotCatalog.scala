@@ -350,7 +350,8 @@ case class SnapshotSqlTable(
     with SupportsRead
     with SupportsWrite
     with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with SupportsDeleteV2 {
 
   /** `_file`: the manifest file a row lives in — user-visible
     * observability (`SELECT _file FROM t`) and the GROUP IDENTITY the
@@ -404,6 +405,62 @@ case class SnapshotSqlTable(
     )
     SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
     new SnapshotSqlWriteBuilder(path, info.schema(), info.queryId())
+  }
+
+  // --- metadata-only DELETE + TRUNCATE ------------------------------
+  //
+  // When the delete condition is a LONG range under which EVERY live
+  // file is provably fully-inside or fully-disjoint (manifest stats,
+  // LONG space), the delete is a MANIFEST EDIT: drop the inside files,
+  // zero data IO — Spark's OptimizeMetadataOnlyDeleteFromTable turns
+  // the row-level rewrite back into this when canDeleteWhere agrees.
+  // Any undecidable file makes canDeleteWhere false and the
+  // group-based rewrite runs instead; correctness never hinges on the
+  // fast path. A file fully inside the range may carry a deletion
+  // vector: every LIVE row still matches, so dropping it stays exact.
+
+  private def deleteRange(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]
+  ): Option[(String, Long, Long)] = SnapshotSql.conjunctiveLongRange(predicates)
+
+  private def metadataDeletePlan(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]
+  ): Option[Seq[String]] =
+    deleteRange(predicates).flatMap { case (c, lo, hi) =>
+      val vs = SnapshotLog.versions(spark, path)
+      if (vs.isEmpty) return Some(Nil)
+      val ranges = SnapshotLog.fileLongRanges(spark, path, vs.last, c)
+      val decided = ranges.map {
+        case (f, Some((mn, mx))) =>
+          if (mn >= lo && mx <= hi) Some(Some(f)) // fully inside: drop
+          else if (mx < lo || mn > hi) Some(None) // fully disjoint: keep
+          else None // straddles: undecidable
+        case (_, None) => None // blind file: undecidable
+      }
+      if (decided.exists(_.isEmpty)) None
+      else Some(decided.flatten.flatten)
+    }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]
+  ): Boolean = pinned.isEmpty && metadataDeletePlan(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]
+  ): Unit = {
+    val doomed = metadataDeletePlan(predicates).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot catalog: $ident is no longer eligible for a metadata-only " +
+          "delete (a concurrent commit changed the file layout)"))
+    if (doomed.nonEmpty)
+      SnapshotLog.commitLandedReplace(spark, path, Nil, dataSchema, doomed)
+  }
+
+  /** `TRUNCATE TABLE` — an empty overwrite commit; history stays
+    * time-travel readable. */
+  override def truncateTable(): Boolean = {
+    SnapshotLog.commitLanded(spark, path, Nil, dataSchema, overwrite = true)
+    true
   }
 
   /** SQL row-level DML — `DELETE FROM` / `UPDATE` / `MERGE INTO` — as
@@ -1098,6 +1155,75 @@ class SnapshotParquetWriter(
   * `SnapshotLog`'s stats lifter understands; anything else refuses at
   * planning, before a task runs. */
 private[sources] object SnapshotSql {
+
+  /** Folds a conjunction of v2 predicates into a single LONG range on
+    * one column: `=`, `<`, `<=`, `>`, `>=`, `AND`, and the always-true
+    * `IS NOT NULL` fold; anything else (another column, OR, strings)
+    * returns None and the caller falls back to the row-level rewrite. */
+  def conjunctiveLongRange(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]
+  ): Option[(String, Long, Long)] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Predicate => VPred}
+    var col: Option[String] = None
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def litLong(e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] =
+      e match {
+        case l: VLit[_] =>
+          l.value() match {
+            case v: java.lang.Long    => Some(v.longValue())
+            case v: java.lang.Integer => Some(v.longValue())
+            case v: java.lang.Short   => Some(v.longValue())
+            case _                    => None
+          }
+        case _ => None
+      }
+    def claim(c: String): Boolean =
+      col match {
+        case Some(x) => x == c
+        case None    => col = Some(c); true
+      }
+    def walk(p: VPred): Boolean = p match {
+      case a: VAnd => walk(a.left()) && walk(a.right())
+      case _ =>
+        val ch = p.children()
+        (p.name(), ch) match {
+          case ("IS_NOT_NULL", _) => true // implied by any range
+          case (op, Array(l, r)) =>
+            (colOf(l), litLong(r), colOf(r), litLong(l)) match {
+              case (Some(c), Some(v), _, _) =>
+                claim(c) && (op match {
+                  case "="  => { lo = math.max(lo, v); hi = math.min(hi, v); true }
+                  case ">"  => { if (v == Long.MaxValue) return false; lo = math.max(lo, v + 1); true }
+                  case ">=" => { lo = math.max(lo, v); true }
+                  case "<"  => { if (v == Long.MinValue) return false; hi = math.min(hi, v - 1); true }
+                  case "<=" => { hi = math.min(hi, v); true }
+                  case _    => false
+                })
+              case (_, _, Some(c), Some(v)) => // literal on the left: flip
+                claim(c) && (op match {
+                  case "="  => { lo = math.max(lo, v); hi = math.min(hi, v); true }
+                  case "<"  => { if (v == Long.MaxValue) return false; lo = math.max(lo, v + 1); true }
+                  case "<=" => { lo = math.max(lo, v); true }
+                  case ">"  => { if (v == Long.MinValue) return false; hi = math.min(hi, v - 1); true }
+                  case ">=" => { hi = math.min(hi, v); true }
+                  case _    => false
+                })
+              case _ => false
+            }
+          case _ => false
+        }
+    }
+    if (predicates.nonEmpty && predicates.forall(walk)) col.map((_, lo, hi))
+    else None
+  }
 
   def requireSupported(schema: StructType): Unit =
     schema.fields.foreach { f =>

@@ -1788,6 +1788,27 @@ object SnapshotLog {
       (s.substring(0, i), s.substring(i + 1).toInt)
     }
 
+  /** Per-file LONG-space [min,max] of an integral `column` at
+    * `version`; None for a file without stats on it. Powers the SQL
+    * catalog's metadata-only DELETE eligibility check (every file must
+    * be provably fully-inside or fully-disjoint). */
+  def fileLongRanges(
+      spark: SparkSession,
+      table: String,
+      version: Int,
+      column: String
+  ): Seq[(String, Option[(Long, Long)])] =
+    manifestEntries(spark, table, version).map { e =>
+      (
+        entryName(e),
+        entryStat(e, column).flatMap(_.split(':') match {
+          case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
+          case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
+          case _                  => None
+        })
+      )
+    }
+
   /** Per-file layout riders at `version`: (name, bucket id, deletion-
     * vector sidecar) — the SQL catalog's planning view for
     * storage-partitioned joins and DV subtraction. */

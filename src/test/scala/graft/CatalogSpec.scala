@@ -350,6 +350,37 @@ class CatalogSpec extends SparkTestBase {
     assert(nFiles.toInt == after.length)
   }
 
+  test("whole-shard DELETE is metadata-only; straddling DELETE falls back to rewrite") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $t SELECT id FROM range($lo, $hi)")
+    }
+    val p = pathOf(t)
+    // whole third shard: every file provably inside or disjoint
+    val planMeta = spark.sql(s"EXPLAIN DELETE FROM $t WHERE id >= 200")
+      .head.getString(0)
+    assert(planMeta.contains("DeleteFromTable") && !planMeta.contains("ReplaceData"),
+      s"expected a metadata-only delete:\n$planMeta")
+    val before = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    spark.sql(s"DELETE FROM $t WHERE id >= 200")
+    val after = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+    assert(after.toSet.subsetOf(before.toSet), "metadata delete adds no file")
+    assert(spark.sql(s"SELECT count(*), max(id) FROM $t").head.toSeq == Seq(200L, 199L))
+    // a range straddling a file's [min,max]: undecidable by stats ->
+    // the rewrite path (file boundaries fall on task splits, so an
+    // odd bound like 161 cannot align with any file edge)
+    val planRewrite = spark.sql(s"EXPLAIN DELETE FROM $t WHERE id >= 161")
+      .head.getString(0)
+    assert(planRewrite.contains("ReplaceData"), planRewrite)
+    spark.sql(s"DELETE FROM $t WHERE id >= 161")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 161L)
+    // TRUNCATE TABLE: empty overwrite, history intact
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 0L)
+    assert(SnapshotLog.read(spark, p, Some(4)).count() == 300L)
+  }
+
   test("column pruning reaches the catalog scan") {
     val t = freshName()
     spark.sql(s"CREATE TABLE $t (id BIGINT, a STRING, b DOUBLE)")
