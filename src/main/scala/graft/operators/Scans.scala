@@ -1728,6 +1728,55 @@ object Scans {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  /** ALL-SQL storage-partitioned join (round 11 late): the bucketed
+    * layout now declares in DDL (`CREATE TABLE ... PARTITIONED BY
+    * (bucket(8, key))`) and `INSERT INTO` MAINTAINS it — the write
+    * asks Spark for a clustered distribution on the catalog-served
+    * bucket function (`RequiresDistributionAndOrdering`), task writers
+    * route rows to per-bucket files, and the commit re-declares the
+    * layout — so the join stays shuffle-free across SQL ingestion, not
+    * just after a one-shot programmatic load. Same inline no-exchange
+    * pin and plain-join oracle as join_spj. */
+  val joinSpjSql: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    Seq("orders_bsql", "customer_bsql").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.main.$t"))
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_spj_orders")
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment")
+      .createOrReplaceTempView("graft_spj_customer")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_bsql
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.main.customer_bsql
+         |(c_custkey BIGINT, c_mktsegment STRING)
+         |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.main.orders_bsql SELECT * FROM graft_spj_orders")
+    spark.sql(s"INSERT INTO $cat.main.customer_bsql SELECT * FROM graft_spj_customer")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT c_mktsegment, count(*) AS cnt,
+           |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+           |FROM $cat.main.orders_bsql o
+           |JOIN $cat.main.customer_bsql c ON o.o_custkey = c.c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(
+        !plan.contains("Exchange hashpartitioning(o_custkey") &&
+          !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"SQL-ingested bucketed tables must join shuffle-free: $plan")
+      val rows = df.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   /** MERGE-ON-READ delete via deletion vectors (round 11 late): the
     * same mid-shard delete as etl_delete_snapshot, but through
     * [[graft.sources.SnapshotLog.deleteWhereMoR]] — position-delete
@@ -1919,6 +1968,7 @@ object Scans {
     "etl_delete_mor" -> etlDeleteMor,
     "etl_update_mor" -> etlUpdateMor,
     "join_spj" -> joinSpj,
+    "join_spj_sql" -> joinSpjSql,
     "stream_table_sink" -> streamTableSink,
     "sql_delete" -> sqlDelete,
     "sql_delete_metadata" -> sqlDeleteMetadata,
@@ -2093,6 +2143,11 @@ object Scans {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     // bucket alignment must lose no rows: the oracle is the plain join
+    "join_spj_sql" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_spj" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total

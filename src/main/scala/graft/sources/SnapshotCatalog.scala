@@ -164,17 +164,54 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with Function
       properties: util.Map[String, String]
   ): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "snapshot catalog: partition transforms are unsupported — " +
-          "manifest-stats file skipping plus OPTIMIZE clustering is the " +
-          "scale path (no small-file partition explosion)"
-      )
+    // the ONE supported transform is bucket(n, col): it declares the
+    // co-location layout storage-partitioned joins align on. Hive-style
+    // value partitioning stays unsupported — manifest-stats skipping
+    // plus OPTIMIZE clustering is the scale path, without small-file
+    // partition explosion.
+    val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name() == "bucket" =>
+        val col = t.references() match {
+          case Array(r) if r.fieldNames().length == 1 => r.fieldNames()(0)
+          case _ =>
+            throw new UnsupportedOperationException(
+              "snapshot catalog: bucket() wants exactly one column")
+        }
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[java.lang.Integer] =>
+            l.value().asInstanceOf[java.lang.Integer].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          "snapshot catalog: bucket() wants an integer bucket count"))
+        Some((col, n))
+      case _ =>
+        throw new UnsupportedOperationException(
+          "snapshot catalog: only PARTITIONED BY (bucket(n, col)) is " +
+            "supported — manifest-stats file skipping plus OPTIMIZE " +
+            "clustering replace hive partitioning"
+        )
+    }
+    bucketSpec.foreach { case (c, _) =>
+      val fld = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot catalog: bucket column '$c' is not in the schema"))
+      require(
+        fld.dataType == LongType || fld.dataType == IntegerType,
+        s"snapshot catalog: bucket column '$c' must be int/bigint")
+    }
     SnapshotSql.requireSupported(schema) // refuse at DDL, not first INSERT
     wfs.mkdirs(nsPath(ident.namespace))
     // v1 is a schema-only commit: the empty table is immediately
-    // readable under its recorded schema
-    SnapshotLog.commitLanded(spark, tablePath(ident), Nil, schema)
+    // readable under its recorded schema (and DECLARES the bucket
+    // layout when one was asked for)
+    bucketSpec match {
+      case Some((c, n)) =>
+        SnapshotLog.commitLandedBucketed(
+          spark, tablePath(ident), Nil, schema, c, n)
+      case None =>
+        SnapshotLog.commitLanded(spark, tablePath(ident), Nil, schema)
+    }
     loadTable(ident)
   }
 
@@ -384,6 +421,18 @@ case class SnapshotSqlTable(
           .schema
       )
 
+  /** The tip commit's declared bucket layout, if any (a later
+    * un-bucketed commit drops the declaration). */
+  private val tipBucketSpec: Option[(String, Int)] =
+    SnapshotLog.bucketSpec(spark, path, snapVersion)
+
+  /** Reported so DESCRIBE shows the layout and Spark understands the
+    * table as bucket-partitioned. */
+  override def partitioning(): Array[Transform] =
+    tipBucketSpec.toArray.map { case (c, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }
+
   override def name(): String = ident
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -404,7 +453,7 @@ case class SnapshotSqlTable(
       s"snapshot catalog: cannot write to $ident pinned at VERSION AS OF $snapVersion"
     )
     SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
-    new SnapshotSqlWriteBuilder(path, info.schema(), info.queryId())
+    new SnapshotSqlWriteBuilder(path, info.schema(), info.queryId(), tipBucketSpec)
   }
 
   // --- metadata-only DELETE + TRUNCATE ------------------------------
@@ -962,17 +1011,40 @@ case class SnapshotReplaceBatchWrite(
 
 // --- write path ---
 
-class SnapshotSqlWriteBuilder(path: String, schema: StructType, queryId: String)
-    extends WriteBuilder
+class SnapshotSqlWriteBuilder(
+    path: String,
+    schema: StructType,
+    queryId: String,
+    bucketSpec: Option[(String, Int)] = None
+) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
-      SnapshotSqlBatchWrite(path, schema, overwrite)
+      SnapshotSqlBatchWrite(path, schema, overwrite, bucketSpec)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      SnapshotSqlStreamingWrite(path, schema, overwrite, queryId)
+      SnapshotSqlStreamingWrite(path, schema, overwrite, queryId, bucketSpec)
+
+    /** A bucketed table asks Spark to CLUSTER incoming rows by the
+      * SAME bucket function the layout uses (bound via the catalog's
+      * FunctionCatalog), so each task holds whole buckets and the
+      * write maintains the storage-partitioned-join layout; an
+      * unbucketed table imposes nothing. */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      bucketSpec match {
+        case Some((c, n)) =>
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      }
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
   }
 }
 
@@ -987,7 +1059,8 @@ case class SnapshotSqlStreamingWrite(
     path: String,
     schema: StructType,
     overwrite: Boolean,
-    queryId: String
+    queryId: String,
+    bucketSpec: Option[(String, Int)] = None
 ) extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -995,18 +1068,27 @@ case class SnapshotSqlStreamingWrite(
   ): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    SnapshotSqlStreamingWriterFactory(path, schema, conf)
+    SnapshotSqlStreamingWriterFactory(path, schema, conf, bucketSpec)
   }
 
   override def commit(
       epochId: Long,
       messages: Array[WriterCommitMessage]
-  ): Unit = {
-    val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n)) => n }
-    SnapshotLog.commitLanded(
-      SparkSession.active, path, names, schema,
-      overwrite = overwrite,
-      txnId = Some(s"sql-$queryId-$epochId"))
+  ): Unit = bucketSpec match {
+    case Some((c, n)) =>
+      val files = messages.toSeq.collect {
+        case SnapshotSqlBucketedCommit(fs) => fs
+      }.flatten
+      SnapshotLog.commitLandedBucketed(
+        SparkSession.active, path, files, schema, c, n,
+        overwrite = overwrite,
+        txnId = Some(s"sql-$queryId-$epochId"))
+    case None =>
+      val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n)) => n }
+      SnapshotLog.commitLanded(
+        SparkSession.active, path, names, schema,
+        overwrite = overwrite,
+        txnId = Some(s"sql-$queryId-$epochId"))
   }
 
   override def abort(
@@ -1027,20 +1109,28 @@ case class SnapshotSqlStreamingWrite(
 case class SnapshotSqlStreamingWriterFactory(
     path: String,
     schema: StructType,
-    conf: SerializableHadoopConf
+    conf: SerializableHadoopConf,
+    bucketSpec: Option[(String, Int)] = None
 ) extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long,
       epochId: Long
   ): DataWriter[InternalRow] =
-    new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
+    bucketSpec match {
+      case Some((c, n)) =>
+        new SnapshotBucketedParquetWriter(
+          path, schema, partitionId, taskId, conf.value, c, n)
+      case None =>
+        new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
+    }
 }
 
 case class SnapshotSqlBatchWrite(
     path: String,
     schema: StructType,
-    overwrite: Boolean
+    overwrite: Boolean,
+    bucketSpec: Option[(String, Int)] = None
 ) extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1051,45 +1141,139 @@ case class SnapshotSqlBatchWrite(
       schema,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()
-      )
+      ),
+      bucketSpec
     )
 
   /** Exactly one message per partition (commit coordinator): the
     * manifest names only winner attempts; losers are invisible orphans
     * the mtime-grace vacuum reclaims. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val names = messages.toSeq.collect {
-      case SnapshotSqlCommit(Some(n)) => n
+    bucketSpec match {
+      case Some((c, n)) =>
+        val files = messages.toSeq.collect {
+          case SnapshotSqlBucketedCommit(fs) => fs
+        }.flatten
+        SnapshotLog.commitLandedBucketed(
+          SparkSession.active, path, files, schema, c, n,
+          overwrite = overwrite)
+      case None =>
+        val names = messages.toSeq.collect {
+          case SnapshotSqlCommit(Some(n)) => n
+        }
+        SnapshotLog.commitLanded(
+          SparkSession.active, path, names, schema, overwrite = overwrite)
     }
-    SnapshotLog.commitLanded(
-      SparkSession.active, path, names, schema, overwrite = overwrite)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort: anything missed is an unreferenced orphan for vacuum
     val fs = new Path(path)
       .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    messages.foreach {
-      case SnapshotSqlCommit(Some(n)) =>
-        try fs.delete(new Path(s"$path/$n"), false)
-        catch { case _: java.io.IOException => () }
-      case _ => ()
+    val names = messages.toSeq.flatMap {
+      case SnapshotSqlCommit(Some(n))    => Seq(n)
+      case SnapshotSqlBucketedCommit(fs) => fs.map(_._1)
+      case _                             => Nil
+    }
+    names.foreach { n =>
+      try fs.delete(new Path(s"$path/$n"), false)
+      catch { case _: java.io.IOException => () }
     }
   }
 }
 
 case class SnapshotSqlCommit(name: Option[String]) extends WriterCommitMessage
 
+/** Bucketed write commit: every file a task landed, tagged with its
+  * bucket id. */
+case class SnapshotSqlBucketedCommit(files: Seq[(String, Int)])
+    extends WriterCommitMessage
+
 case class SnapshotSqlWriterFactory(
     path: String,
     schema: StructType,
-    conf: SerializableHadoopConf
+    conf: SerializableHadoopConf,
+    bucketSpec: Option[(String, Int)] = None
 ) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long
   ): DataWriter[InternalRow] =
-    new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
+    bucketSpec match {
+      case Some((c, n)) =>
+        new SnapshotBucketedParquetWriter(
+          path, schema, partitionId, taskId, conf.value, c, n)
+      case None =>
+        new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
+    }
+}
+
+/** Bucketed task writer: one open file PER BUCKET VALUE seen (the
+  * required clustered distribution keeps that a small number per
+  * task), each row routed by the SAME pmod the layout declares. */
+class SnapshotBucketedParquetWriter(
+    table: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    bucketCol: String,
+    nBuckets: Int
+) extends DataWriter[InternalRow] {
+
+  private val messageType: MessageType = SnapshotSql.toMessageType(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private val colIdx = schema.fieldIndex(bucketCol)
+  private val isLong = schema(colIdx).dataType == LongType
+  private val writers =
+    scala.collection.mutable.Map.empty[Int, (ParquetWriter[Group], String)]
+
+  private def writerFor(b: Int): ParquetWriter[Group] =
+    writers.getOrElseUpdate(b, {
+      val name =
+        s"part-sql-$partitionId-$taskId-b$b-${UUID.randomUUID.toString.take(8)}.parquet"
+      val w = ExampleParquetWriter
+        .builder(
+          HadoopOutputFile.fromPath(new Path(s"$table/$name"), hadoopConf))
+        .withType(messageType)
+        .withConf(hadoopConf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      (w, name)
+    })._1
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(colIdx),
+      s"bucketed table $table: bucket column '$bucketCol' must not be null")
+    val key = if (isLong) row.getLong(colIdx) else row.getInt(colIdx).toLong
+    val b = (((key % nBuckets) + nBuckets) % nBuckets).toInt
+    writerFor(b).write(SnapshotSql.toGroup(factory, schema, row))
+  }
+
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    val files = writers.toSeq.map { case (b, (_, name)) => (name, b) }
+    writers.clear()
+    SnapshotSqlBucketedCommit(files)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(_._1.close())
+    val fs = new Path(table).getFileSystem(hadoopConf)
+    writers.values.foreach { case (_, n) =>
+      try fs.delete(new Path(s"$table/$n"), false)
+      catch { case _: java.io.IOException => () }
+    }
+    writers.clear()
+  }
+
+  override def close(): Unit = {
+    writers.values.foreach(_._1.close())
+    writers.clear()
+  }
 }
 
 /** Task-side parquet writer (Group API) landing one attempt-unique file

@@ -1775,6 +1775,35 @@ object SnapshotLog {
       extraHeader = s"buckets=${b64(s"$bucketCol:$nBuckets")}")
   }
 
+  /** [[commitLanded]] for BUCKET-TAGGED files: each landed name carries
+    * its bucket id into an `_bk` entry rider and the commit header
+    * declares `buckets=<col>:<n>` — the SQL catalog's write path for
+    * bucketed tables (CREATE TABLE ... PARTITIONED BY (bucket(n, col))
+    * + INSERT INTO), which keeps storage-partitioned joins alive
+    * across SQL ingestion. An empty `landed` is the schema-only CREATE
+    * commit that DECLARES the layout. */
+  def commitLandedBucketed(
+      spark: SparkSession,
+      table: String,
+      landed: Seq[(String, Int)],
+      batchSchema: StructType,
+      bucketCol: String,
+      nBuckets: Int,
+      overwrite: Boolean = false,
+      txnId: Option[String] = None
+  ): Int =
+    txnId.flatMap(committedTxn(spark, table, _)) match {
+      case Some(v) => v
+      case None =>
+        val lines = annotateEntries(spark, table, landed.map(_._1))
+          .zip(landed)
+          .map { case (line, (_, b)) => s"$line;_bk=k:$b" }
+        commitEntriesInternal(
+          spark, table, lines, batchSchema, overwrite, txnId, None,
+          dataChange = true,
+          extraHeader = s"buckets=${b64(s"$bucketCol:$nBuckets")}")
+    }
+
   /** (bucketCol, nBuckets) declared by `version`'s commit header, if
     * the commit was bucket-clustered. */
   def bucketSpec(

@@ -157,7 +157,7 @@ class CatalogSpec extends SparkTestBase {
     assert(e2.getMessage.contains("unsupported column type"))
     val e3 = intercept[Exception](
       spark.sql(s"CREATE TABLE ${freshName()} (id BIGINT, p INT) PARTITIONED BY (p)"))
-    assert(e3.getMessage.contains("partition transforms"))
+    assert(e3.getMessage.contains("bucket(n, col)"))
   }
 
   test("empty INSERT commits a readable schema-only version") {
@@ -379,6 +379,41 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"TRUNCATE TABLE $t")
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 0L)
     assert(SnapshotLog.read(spark, p, Some(4)).count() == 300L)
+  }
+
+  test("all-SQL bucketed tables: CREATE PARTITIONED BY bucket, INSERT maintains the layout") {
+    val _ = warehouse
+    spark.sql("DROP TABLE IF EXISTS cattest.main.bkt_a")
+    spark.sql("DROP TABLE IF EXISTS cattest.main.bkt_b")
+    spark.sql(
+      "CREATE TABLE cattest.main.bkt_a (id BIGINT, a BIGINT) PARTITIONED BY (bucket(4, id))")
+    spark.sql(
+      "CREATE TABLE cattest.main.bkt_b (id BIGINT, b BIGINT) PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO cattest.main.bkt_a SELECT id, id * 2 FROM range(0, 60)")
+    spark.sql("INSERT INTO cattest.main.bkt_b SELECT id, id * 3 FROM range(0, 60)")
+    // a second insert must keep the layout claim alive
+    spark.sql("INSERT INTO cattest.main.bkt_a SELECT id, id * 2 FROM range(60, 100)")
+    spark.sql("INSERT INTO cattest.main.bkt_b SELECT id, id * 3 FROM range(60, 100)")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        """SELECT x.id, x.a, y.b FROM cattest.main.bkt_a x
+          |JOIN cattest.main.bkt_b y ON x.id = y.id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"SQL-ingested bucketed tables must storage-partition join:\n$plan")
+      val rows = df.collect()
+      assert(rows.length == 100)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 2 &&
+        r.getLong(2) == r.getLong(0) * 3))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    // every committed file carries its bucket rider
+    val riders = SnapshotLog.fileRiders(
+      spark, s"$warehouse/main/bkt_a",
+      SnapshotLog.versions(spark, s"$warehouse/main/bkt_a").last)
+    assert(riders.nonEmpty && riders.forall(_._2.isDefined))
   }
 
   test("column pruning reaches the catalog scan") {
