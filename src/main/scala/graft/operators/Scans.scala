@@ -1728,6 +1728,42 @@ object Scans {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  /** SQL maintenance surface (round 11 late): `CALL
+    * <cat>.system.optimize(...)` — the lakehouse OPTIMIZE reachable
+    * from SQL via Spark's procedure catalog (no parser extension).
+    * Eight small single-shard inserts accrete small files; the CALL
+    * bin-packs them as a datachange=false replace (the change feed
+    * stays silent), the inline pins require the rewrite actually
+    * happened AND the manifest shrank, and the oracle recomputes the
+    * source rows — any row lost or duplicated by the rewrite breaks
+    * the hash. */
+  val sqlCallOptimize: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_sqlopt"
+    val p = tmp("sql_warehouse/main/orders_sqlopt")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sql_opt_src")
+    spark.sql(
+      s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    (0 until 8).foreach(i =>
+      spark.sql(
+        s"INSERT INTO $t SELECT * FROM graft_sql_opt_src WHERE o_orderkey % 8 = $i"))
+    val before = SnapshotLog
+      .manifest(spark, p, SnapshotLog.versions(spark, p).last).size
+    val res = spark
+      .sql(s"CALL $cat.system.optimize(table => 'main.orders_sqlopt')")
+      .collect()(0)
+    require(res.getInt(1) > 0, "CALL optimize must rewrite the small files")
+    val after = SnapshotLog
+      .manifest(spark, p, SnapshotLog.versions(spark, p).last).size
+    require(after < before, s"optimize must shrink the manifest ($before -> $after)")
+    spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+  }
+
   /** ALL-SQL storage-partitioned join (round 11 late): the bucketed
     * layout now declares in DDL (`CREATE TABLE ... PARTITIONED BY
     * (bucket(8, key))`) and `INSERT INTO` MAINTAINS it — the write
@@ -1969,6 +2005,7 @@ object Scans {
     "etl_update_mor" -> etlUpdateMor,
     "join_spj" -> joinSpj,
     "join_spj_sql" -> joinSpjSql,
+    "sql_call_optimize" -> sqlCallOptimize,
     "stream_table_sink" -> streamTableSink,
     "sql_delete" -> sqlDelete,
     "sql_delete_metadata" -> sqlDeleteMetadata,
@@ -2140,6 +2177,10 @@ object Scans {
     // exactly-once both directions through the SQL surface: replay
     // duplicates, a skipped version loses — either breaks the hash
     "stream_table_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // OPTIMIZE is data-preserving by contract: oracle = the source scan
+    "sql_call_optimize" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     // bucket alignment must lose no rows: the oracle is the plain join

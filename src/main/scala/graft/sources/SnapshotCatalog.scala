@@ -75,7 +75,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * unsupported — manifest-stats skipping plus OPTIMIZE clustering is
   * the scale path, without small-file partition explosion.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class SnapshotCatalog
+    extends TableCatalog
+    with SupportsNamespaces
+    with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -319,6 +323,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with Function
       )
     wfs.delete(p, true)
   }
+
+  // --- maintenance procedures: CALL <cat>.system.<proc>(...) ---
+  //
+  // OPTIMIZE / VACUUM / retention / DESCRIBE HISTORY reachable from
+  // SQL — the lakehouse maintenance surface, expressed through Spark's
+  // procedure catalog API instead of a parser extension. Each returns
+  // its summary as rows (a LocalScan), so `CALL ...` reads like a
+  // query.
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    SnapshotProcedures.names.map(Identifier.of(ns, _))
+
+  override def loadProcedure(
+      ident: Identifier
+  ): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.load(
+      ident.name,
+      ref => (warehouse +: ref.split('.').toSeq).mkString("/")
+    )
 
   // --- functions: the bucket transform for storage-partitioned joins ---
   //
@@ -1497,4 +1520,141 @@ private[sources] object SnapshotSql {
     }
     g
   }
+}
+
+/** The catalog's maintenance procedures — `CALL <cat>.system.<name>`.
+  * Each resolves its `table` argument ('ns.tbl') against the catalog
+  * warehouse, runs the corresponding [[SnapshotLog]] operation, and
+  * returns a one-row (or per-version) summary as a LocalScan. */
+private[sources] object SnapshotProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val names: Array[String] =
+    Array("optimize", "vacuum", "expire", "describe_history")
+
+  private def spark = SparkSession.active
+
+  private def scanOf(schema: StructType, out: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = out.toArray
+      override def description(): String = "graft procedure result"
+    }).iterator()
+
+  private def proc(
+      procName: String,
+      params: Seq[ProcedureParameter],
+      out: StructType,
+      run: InternalRow => Seq[InternalRow]
+  ): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft snapshot $procName"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft snapshot $procName"
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        scanOf(out, run(input))
+    }
+  }
+
+  def load(procName: String, resolve: String => String): UnboundProcedure =
+    procName match {
+      case "optimize" =>
+        proc(
+          "optimize",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("target_mb", IntegerType)
+              .defaultValue("128").build(),
+            ProcedureParameter.in("zorder_by", StringType)
+              .defaultValue("''").build()
+          ),
+          StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("rewritten_files", IntegerType),
+            StructField("carried_files", IntegerType))),
+          in => {
+            val table = resolve(in.getUTF8String(0).toString)
+            val target = in.getInt(1).toLong << 20
+            val zorder = Option(in.getUTF8String(2)).map(_.toString)
+              .filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
+            val (v, rewritten, carried) =
+              if (zorder.nonEmpty)
+                SnapshotLog.compact(
+                  spark, table, smallerThanBytes = Long.MaxValue,
+                  targetBytes = target, zorderBy = zorder)
+              else
+                SnapshotLog.compact(
+                  spark, table, smallerThanBytes = target, targetBytes = target)
+            Seq(new GenericInternalRow(
+              Array[Any](v, rewritten.size, carried.size)))
+          }
+        )
+      case "vacuum" =>
+        proc(
+          "vacuum",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("older_than_ms", LongType)
+              .defaultValue((60L * 60 * 1000).toString).build()
+          ),
+          StructType(Seq(StructField("removed", IntegerType))),
+          in => {
+            val removed = SnapshotLog.vacuum(
+              spark, resolve(in.getUTF8String(0).toString), in.getLong(1))
+            Seq(new GenericInternalRow(Array[Any](removed.size)))
+          }
+        )
+      case "expire" =>
+        proc(
+          "expire",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("keep_last", IntegerType).build()
+          ),
+          StructType(Seq(
+            StructField("removed", IntegerType),
+            StructField("horizon", IntegerType))),
+          in => {
+            val table = resolve(in.getUTF8String(0).toString)
+            val removed = SnapshotLog.expire(spark, table, in.getInt(1))
+            Seq(new GenericInternalRow(
+              Array[Any](removed.size, SnapshotLog.readHorizon(spark, table))))
+          }
+        )
+      case "describe_history" =>
+        proc(
+          "describe_history",
+          Seq(ProcedureParameter.in("table", StringType).build()),
+          StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("action", StringType),
+            StructField("data_change", BooleanType),
+            StructField("txn_id", StringType),
+            StructField("n_added", IntegerType),
+            StructField("n_removed", IntegerType),
+            StructField("n_live_files", IntegerType),
+            StructField("live_bytes", LongType),
+            StructField("n_live_rows", LongType))),
+          in => {
+            val table = resolve(in.getUTF8String(0).toString)
+            // bounded: one row per version (O(history) driver metadata)
+            SnapshotLog.describeHistory(spark, table).collect().toSeq.map { r =>
+              new GenericInternalRow(Array[Any](
+                r.getInt(0), UTF8String.fromString(r.getString(1)),
+                r.getBoolean(2), UTF8String.fromString(r.getString(3)),
+                r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7),
+                r.getLong(8)))
+            }
+          }
+        )
+      case other =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+          Identifier.of(Array("system"), other))
+    }
 }

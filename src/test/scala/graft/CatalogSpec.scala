@@ -416,6 +416,32 @@ class CatalogSpec extends SparkTestBase {
     assert(riders.nonEmpty && riders.forall(_._2.isDefined))
   }
 
+  test("CALL procedures: optimize, vacuum, expire, describe_history") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    (0 until 6).foreach(i =>
+      spark.sql(s"INSERT INTO $t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val filesBefore = SnapshotLog
+      .manifest(spark, pathOf(t), SnapshotLog.versions(spark, pathOf(t)).last).size
+    val opt = spark.sql(s"CALL cattest.system.optimize(table => '$short')").head
+    assert(opt.getInt(1) > 0, "optimize must rewrite the small files")
+    val filesAfter = SnapshotLog
+      .manifest(spark, pathOf(t), SnapshotLog.versions(spark, pathOf(t)).last).size
+    assert(filesAfter < filesBefore)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 60L)
+    val hist = spark.sql(s"CALL cattest.system.describe_history(table => '$short')")
+    assert(hist.count() == SnapshotLog.versions(spark, pathOf(t)).size)
+    assert(hist.where(col("data_change") === false).count() == 1) // the optimize
+    val vac = spark.sql(
+      s"CALL cattest.system.vacuum(table => '$short', older_than_ms => 0L)").head
+    assert(vac.getInt(0) >= 0)
+    val exp = spark.sql(
+      s"CALL cattest.system.expire(table => '$short', keep_last => 1)").head
+    assert(exp.getInt(0) > 0 && exp.getInt(1) > 1)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 60L)
+  }
+
   test("column pruning reaches the catalog scan") {
     val t = freshName()
     spark.sql(s"CREATE TABLE $t (id BIGINT, a STRING, b DOUBLE)")
