@@ -1813,6 +1813,73 @@ object Scans {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  /** RESTORE TABLE TO VERSION (round 11 cont.): metadata-only rollback
+    * through [[graft.sources.SnapshotLog.restore]]. Three range-sharded
+    * appends build the table, a copy-on-write DELETE (the "bad write")
+    * rewrites the middle shard, and the restore to v2 rolls the table
+    * back BEFORE the third shard and the delete — by re-committing v2's
+    * manifest entries verbatim. The inline pins carry the storage
+    * contract: the restored manifest's file NAMES equal v2's verbatim
+    * (the original middle shard is re-added BY REFERENCE, the rewritten
+    * file and the third shard drop), the data-file population on disk
+    * is untouched (zero bytes moved — at 100 TB the rollback costs one
+    * manifest write), rolled-back versions stay time-travel readable
+    * (history is append-only), and a second restore to the same content
+    * is a no-op that burns no version. The oracle recomputes v2's state
+    * from the source, so a restore that resurrected the deleted range
+    * from the wrong generation or leaked shard-3 rows breaks the
+    * hash. */
+  val etlSnapshotRestore: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_restore")
+    val fsys = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val mid = (3 * c1) / 2
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark, table, o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2))
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    val (v4, rewritten, _) =
+      SnapshotLog.deleteWhere(spark, table, "o_orderkey", c1 + 1, mid)
+    require(rewritten.nonEmpty, "the bad delete must have rewritten a shard")
+    def diskParquet(): Set[String] = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+      .toSet
+    val before = diskParquet()
+    val (v5, readded, dropped) = SnapshotLog.restore(spark, table, 2)
+    require(v5 == v4 + 1, s"restore must commit one new version, got $v5")
+    require(
+      SnapshotLog.manifest(spark, table, v5).sorted ==
+        SnapshotLog.manifest(spark, table, 2).sorted,
+      "restored manifest must name exactly v2's files")
+    require(
+      rewritten.toSet.subsetOf(readded.toSet) && dropped.nonEmpty,
+      "restore must re-add the delete's rewritten-away originals and drop " +
+        "the replacement files")
+    require(
+      diskParquet() == before,
+      "restore must be metadata-only: no data file may appear or vanish")
+    // rolled-back history stays readable: the bad tip is still v4
+    require(
+      SnapshotLog.manifest(spark, table, v4).sorted !=
+        SnapshotLog.manifest(spark, table, v5).sorted,
+      "pre-restore version must remain its own snapshot")
+    val (v6, r2, d2) = SnapshotLog.restore(spark, table, 2)
+    require(
+      v6 == v5 && r2.isEmpty && d2.isEmpty,
+      "restore to the tip's own content must be a no-op (no version burned)")
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
   /** MERGE-ON-READ delete via deletion vectors (round 11 late): the
     * same mid-shard delete as etl_delete_snapshot, but through
     * [[graft.sources.SnapshotLog.deleteWhereMoR]] — position-delete
@@ -2001,6 +2068,7 @@ object Scans {
     "source_avro_evolve" -> sourceAvroEvolve,
     "sink_avro" -> sinkAvro,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
+    "etl_snapshot_restore" -> etlSnapshotRestore,
     "etl_delete_mor" -> etlDeleteMor,
     "etl_update_mor" -> etlUpdateMor,
     "join_spj" -> joinSpj,
@@ -2145,6 +2213,13 @@ object Scans {
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the metadata-only rollback must land exactly on v2's state: the
+    // deleted range back at its original values, shard 3 gone
+    "etl_snapshot_restore" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
     // group-granular SQL DML: same oracles as the programmatic twins
     "sql_delete" ->

@@ -440,7 +440,7 @@ case class SnapshotSqlTable(
       .tableSchema(spark, path, snapVersion)
       .getOrElse(
         spark.read
-          .parquet(SnapshotLog.manifest(spark, path, snapVersion).map(n => s"$path/$n"): _*)
+          .parquet(SnapshotLog.manifest(spark, path, snapVersion).map(n => SnapshotLog.dataPath(path, n)): _*)
           .schema
       )
 
@@ -716,20 +716,20 @@ class SnapshotSqlScan(
     }
 
   private def dvPathOf(f: String): Option[String] =
-    riders.get(f).flatMap(_._2).map(d => s"$path/_dv/$d")
+    riders.get(f).flatMap(_._2).map(d => SnapshotLog.dvFilePath(path, d))
 
   override def planInputPartitions(): Array[InputPartition] =
     bucketing match {
       case Some((_, _, groups)) =>
         groups.toSeq.sortBy(_._1).map { case (b, files) =>
           SnapshotBucketPartition(
-            files.map(f => (s"$path/$f", dvPathOf(f))), b)
+            files.map(f => (SnapshotLog.dataPath(path, f), dvPathOf(f))), b)
         }.toArray
       case None =>
         // deletion vectors apply by position; the sidecar is read
         // executor-side from the path shipped with the partition
         keptFiles.map { f =>
-          SnapshotFilePartition(s"$path/$f", dvPathOf(f))
+          SnapshotFilePartition(SnapshotLog.dataPath(path, f), dvPathOf(f))
         }.toArray
     }
 
@@ -973,13 +973,18 @@ class SnapshotRowLevelScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val all = SnapshotLog.fileRiders(spark, path, version)
+    // `_file` literals are BASE names (what the scan tags rows with);
+    // manifest names of external (cloned) entries are full paths, so
+    // compare in base space — a base collision only keeps an extra
+    // file, it can never drop a matched group
     val riders = runtimeKept match {
-      case Some(keep) => all.filter(r => keep(r._1))
-      case None       => all
+      case Some(keep) =>
+        all.filter(r => keep(r._1.substring(r._1.lastIndexOf('/') + 1)))
+      case None => all
     }
     op.scannedFiles.set(riders.map(_._1))
     riders.map { case (f, _, dv) =>
-      SnapshotFilePartition(s"$path/$f", dv.map(d => s"$path/_dv/$d"))
+      SnapshotFilePartition(SnapshotLog.dataPath(path, f), dv.map(d => SnapshotLog.dvFilePath(path, d)))
     }.toArray
   }
 
@@ -1533,7 +1538,7 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Array[String] =
-    Array("optimize", "vacuum", "expire", "describe_history")
+    Array("optimize", "vacuum", "expire", "describe_history", "restore")
 
   private def spark = SparkSession.active
 
@@ -1625,6 +1630,24 @@ private[sources] object SnapshotProcedures {
             val removed = SnapshotLog.expire(spark, table, in.getInt(1))
             Seq(new GenericInternalRow(
               Array[Any](removed.size, SnapshotLog.readHorizon(spark, table))))
+          }
+        )
+      case "restore" =>
+        proc(
+          "restore",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("version", IntegerType).build()
+          ),
+          StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("restored_files", IntegerType),
+            StructField("dropped_files", IntegerType))),
+          in => {
+            val (v, readded, dropped) = SnapshotLog.restore(
+              spark, resolve(in.getUTF8String(0).toString), in.getInt(1))
+            Seq(new GenericInternalRow(
+              Array[Any](v, readded.size, dropped.size)))
           }
         )
       case "describe_history" =>

@@ -87,6 +87,39 @@ object SnapshotLog {
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** True when a manifest entry name is an EXTERNAL reference — an
+    * absolute path or full URI into ANOTHER table's directory, the
+    * zero-copy mechanism behind [[cloneTable]]. Locally-landed files
+    * are always committed by bare relative name, so the prefix test is
+    * exact. */
+  private[sources] def isExternal(name: String): Boolean =
+    name.startsWith("/") || name.contains(":/")
+
+  /** Data-file path of a manifest entry: table-relative for owned
+    * files, verbatim for external (cloned) references. */
+  private[sources] def dataPath(table: String, name: String): String =
+    if (isExternal(name)) name else s"$table/$name"
+
+  /** Deletion-vector sidecar path: table-relative under `_dv/` for
+    * owned sidecars, verbatim for external (cloned) references. */
+  private[sources] def dvFilePath(table: String, dv: String): String =
+    if (isExternal(dv)) dv else s"$table/_dv/$dv"
+
+  /** Base file name of an entry — what `_metadata.file_path` exposes
+    * row-side. External references make entry names non-unique in
+    * their base, so every base-keyed join guards uniqueness. */
+  private def baseName(name: String): String =
+    name.substring(name.lastIndexOf('/') + 1)
+
+  private def requireUniqueBases(names: Seq[String], ctx: String): Unit = {
+    val dup = names.groupBy(baseName).filter(_._2.size > 1)
+    require(
+      dup.isEmpty,
+      s"$ctx: entries collide on base file name (external clones of " +
+        s"same-named files cannot be position-joined): ${dup.keys.mkString(", ")}"
+    )
+  }
+
   private def commitPath(table: String, v: Int): Path =
     new Path(s"$table/$LogDir/v${"%08d".format(v)}$CommitSuffix")
 
@@ -746,8 +779,8 @@ object SnapshotLog {
           "(pre-upgrade log?)"
       )
     case (fsq, Some(s)) =>
-      spark.read.schema(s).parquet(fsq.map(n => s"$table/$n"): _*)
-    case (fsq, None) => spark.read.parquet(fsq.map(n => s"$table/$n"): _*)
+      spark.read.schema(s).parquet(fsq.map(n => dataPath(table, n)): _*)
+    case (fsq, None) => spark.read.parquet(fsq.map(n => dataPath(table, n)): _*)
   }
 
   /** Snapshot read at `version` (default: latest). Hands Spark exactly
@@ -1036,7 +1069,9 @@ object SnapshotLog {
         .filterNot(e => curByName.contains(entryName(e)))
         .sortBy(entryName)
       // same file name, changed entry: a deletion-vector amendment —
-      // the only row-level change is the NEWLY-dead positions
+      // positions ENTERING the DV are row deletes; positions LEAVING it
+      // (a [[restore]] rolling back past a MoR delete) are row
+      // re-inserts
       val amended = curE
         .filter(e => prevByName.get(entryName(e)).exists(_ != e))
         .map(e => (prevByName(entryName(e)), e))
@@ -1058,15 +1093,24 @@ object SnapshotLog {
               .withColumn("change_type", lit("delete"))
               .withColumn("commit_version", lit(v))
           )
+      val (newlyDead, newlyAlive) = dvShifts(spark, table, amended)
       val dvDel =
-        if (amended.isEmpty) None
+        if (newlyDead.isEmpty) None
         else
           Some(
-            dvDeltaRows(spark, table, amended, schema)
+            rowsAtPositions(spark, table, newlyDead, schema)
               .withColumn("change_type", lit("delete"))
               .withColumn("commit_version", lit(v))
           )
-      Seq(del, dvDel, ins).flatten
+      val dvIns =
+        if (newlyAlive.isEmpty) None
+        else
+          Some(
+            rowsAtPositions(spark, table, newlyAlive, schema)
+              .withColumn("change_type", lit("insert"))
+              .withColumn("commit_version", lit(v))
+          )
+      Seq(del, dvDel, dvIns, ins).flatten
       }
     }
     require(
@@ -1082,47 +1126,61 @@ object SnapshotLog {
     } else pieces.reduce(_ unionByName _)
   }
 
-  /** Rows a deletion-vector amendment NEWLY killed: for each
-    * (prevEntry, curEntry) pair, the positions in the current DV but
-    * not the previous one — read from the (unchanged) data file by
-    * `row_index`. An un-delete (a position leaving the DV) is
-    * impossible by construction and refuses loudly. */
-  private def dvDeltaRows(
+  /** Per-file DV position deltas of the (prevEntry, curEntry) pairs:
+    * `(newlyDead, newlyAlive)` — positions that ENTERED the current DV
+    * (a MoR delete) and positions that LEFT it (a [[restore]] rolling
+    * back past one; nothing else can shrink a DV because sidecars are
+    * immutable). Driver-side O(DV bytes), so callers can skip whole
+    * Spark jobs for empty sides. */
+  private def dvShifts(
       spark: SparkSession,
       table: String,
-      pairs: Seq[(String, String)],
-      schema: Option[StructType]
-  ): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
+      pairs: Seq[(String, String)]
+  ): (Map[String, Array[Long]], Map[String, Array[Long]]) = {
     val conf = spark.sessionState.newHadoopConf()
     def positions(e: String): Array[Long] =
       entryDv(e)
-        .map(d => readDvFile(conf, new Path(s"$table/_dv/$d")))
+        .map(d => readDvFile(conf, new Path(dvFilePath(table, d))))
         .getOrElse(Array.empty[Long])
-    val delta: Map[String, Array[Long]] = pairs.map { case (p, c) =>
+    val both = pairs.map { case (p, c) =>
       val oldPos = positions(p)
       val newPos = positions(c)
       val oldSet = oldPos.toSet
-      val gone = oldPos.filterNot(newPos.toSet)
-      require(
-        gone.isEmpty,
-        s"snapshot changes: ${entryName(c)} lost DV positions " +
-          s"${gone.take(5).mkString(",")}… — an un-delete cannot happen; " +
-          "the log is corrupt"
+      val newSet = newPos.toSet
+      (
+        entryName(c) -> newPos.filterNot(oldSet).sorted,
+        entryName(c) -> oldPos.filterNot(newSet).sorted
       )
-      entryName(c) -> newPos.filterNot(oldSet).sorted
-    }.toMap
-    val bc = spark.sparkContext.broadcast(delta)
-    val newlyDead = udf((file: String, pos: Long) =>
+    }
+    (
+      both.map(_._1).filter(_._2.nonEmpty).toMap,
+      both.map(_._2).filter(_._2.nonEmpty).toMap
+    )
+  }
+
+  /** Rows of the named files at exactly the given in-file positions —
+    * read from the (unchanged) data files by `_metadata.row_index`
+    * against a broadcast of the position sets. */
+  private def rowsAtPositions(
+      spark: SparkSession,
+      table: String,
+      filePositions: Map[String, Array[Long]],
+      schema: Option[StructType]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
+    requireUniqueBases(filePositions.keys.toSeq, "snapshot changes (DV shift)")
+    val bc = spark.sparkContext.broadcast(
+      filePositions.map { case (n, p) => baseName(n) -> p })
+    val wanted = udf((file: String, pos: Long) =>
       bc.value.get(file).exists(a => java.util.Arrays.binarySearch(a, pos) >= 0))
-    val base = readFiles(spark, table, pairs.map(p => entryName(p._2)), schema)
+    val base = readFiles(spark, table, filePositions.keys.toSeq.sorted, schema)
     val dataCols = base.columns.map(col)
     base
       .withColumn(
         "__graft_file",
         element_at(splitCol(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-      .where(newlyDead(col("__graft_file"), col("__graft_pos")))
+      .where(wanted(col("__graft_file"), col("__graft_pos")))
       .select(dataCols: _*)
   }
 
@@ -1138,7 +1196,7 @@ object SnapshotLog {
       .find(entryName(_) == file)
       .flatMap(entryDv)
       .map(d => readDvFile(
-        spark.sessionState.newHadoopConf(), new Path(s"$table/_dv/$d")))
+        spark.sessionState.newHadoopConf(), new Path(dvFilePath(table, d))))
       .getOrElse(Array.empty[Long])
 
   /** Positions of `file` NEWLY dead at `version` (DV delta vs the
@@ -1265,6 +1323,7 @@ object SnapshotLog {
       val expired = vs.filter(_ < horizon)
       val live = surviving.flatMap(manifest(spark, table, _)).toSet
       val dead = (expired.flatMap(manifest(spark, table, _)).toSet -- live)
+        .filterNot(isExternal) // a clone never deletes files it doesn't own
         .filter(n => f.exists(new Path(s"$table/$n"))) // idempotent re-runs
       // deletion-vector sidecars referenced only by expired versions go
       // with their history (surviving versions keep theirs — time
@@ -1275,6 +1334,7 @@ object SnapshotLog {
       val deadDv = (expired
         .flatMap(manifestEntries(spark, table, _).flatMap(entryDv))
         .toSet -- liveDv)
+        .filterNot(isExternal) // cloned sidecars belong to the source
         .filter(n => f.exists(new Path(s"$table/_dv/$n")))
       val out = f.create(horizonPath(table), true)
       try out.write(
@@ -1286,6 +1346,118 @@ object SnapshotLog {
         name
       } ++ deadDv.toSeq.sorted.map(n => s"_dv/$n")
     }
+  }
+
+  /** RESTORE TABLE TO VERSION — metadata-only rollback: re-commits
+    * `toVersion`'s manifest entries VERBATIM (stats/DV riders included)
+    * as a new full-list commit under `toVersion`'s recorded schema.
+    * Zero data IO: the restored files already exist — they were never
+    * deleted because every version keeps its references until
+    * [[expire]] — so rolling back a bad write on a 100 TB table costs
+    * one manifest, not a copy. History is append-only (the rolled-back
+    * versions stay time-travel readable; the restore is just a new tip
+    * whose content equals an old one), the change feed across the
+    * restore emits exactly the revert diff (dropped files' rows as
+    * deletes, re-added files' rows as inserts, DV'd positions leaving
+    * the vector as re-inserts — never a blanket delete-all), and an
+    * insert-only streaming consumer refuses it loudly like any other
+    * in-place change. Restoring past the retention horizon refuses —
+    * those files are gone. Returns (newVersion, reAddedFiles,
+    * droppedFiles); a restore to the tip's own content is a no-op that
+    * burns no version. */
+  def restore(
+      spark: SparkSession,
+      table: String,
+      toVersion: Int
+  ): (Int, Seq[String], Seq[String]) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot restore: no commits in $table")
+    require(
+      vs.contains(toVersion),
+      s"snapshot restore: version $toVersion not in $vs")
+    requireUnexpired(spark, table, toVersion)
+    val tip = vs.last
+    val cur = manifestEntries(spark, table, tip)
+    val tgt = manifestEntries(spark, table, toVersion)
+    val schemaSame =
+      tableSchema(spark, table, tip) == tableSchema(spark, table, toVersion)
+    if (cur.sorted == tgt.sorted && schemaSame) return (tip, Nil, Nil)
+    val schema = tableSchema(spark, table, toVersion).getOrElse {
+      require(
+        tgt.nonEmpty,
+        s"snapshot restore: version $toVersion is empty with no recorded " +
+          "schema (pre-upgrade log?)")
+      readFiles(spark, table, tgt.map(entryName), None).schema
+    }
+    val curNames = cur.map(entryName).toSet
+    val tgtNames = tgt.map(entryName).toSet
+    val v = commitEntriesInternal(
+      spark, table, tgt, schema, overwrite = true, None, None,
+      dataChange = true, extraHeader = s"restore=$toVersion")
+    (
+      v,
+      tgt.map(entryName).filterNot(curNames),
+      cur.map(entryName).filterNot(tgtNames)
+    )
+  }
+
+  /** SHALLOW CLONE — a zero-copy branch of `src` at `version` (default
+    * tip): `dst`'s first commit references `src`'s data files (and any
+    * deletion-vector sidecars) BY ABSOLUTE PATH, stats/bucket riders
+    * carried verbatim, so the clone of a 100 TB table costs one
+    * manifest write and prunes/joins exactly like its source from the
+    * first query. The tables then evolve INDEPENDENTLY: appends land in
+    * `dst`'s own directory; CoW rewrites and OPTIMIZE drop external
+    * references and replace them with owned local files (progressive
+    * localization); `dst`'s vacuum/expire never delete a file they do
+    * not own. The one shared-fate hazard is the table formats' own:
+    * [[expire]] (retention) on the SOURCE can reclaim files the clone
+    * still references — run `compact` on the clone to localize it
+    * before expiring the source, exactly the documented shallow-clone
+    * contract elsewhere. Returns the clone's first version (always 1;
+    * `dst` must be empty). */
+  def cloneTable(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      version: Option[Int] = None
+  ): Int = {
+    require(
+      new Path(src).isAbsolute,
+      s"snapshot clone: src must be an absolute path, got $src")
+    require(
+      versions(spark, dst).isEmpty,
+      s"snapshot clone: dst $dst already has commits")
+    val vs = versions(spark, src)
+    require(vs.nonEmpty, s"snapshot clone: no commits in $src")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot clone: version $v not in $vs")
+    requireUnexpired(spark, src, v)
+    val entries = manifestEntries(spark, src, v).map { e =>
+      val parts = e.split('\t')
+      val extName = dataPath(src, parts(0))
+      val suffix =
+        if (parts.length < 2) ""
+        else
+          parts(1)
+            .split(';')
+            .map { tok =>
+              if (tok.startsWith("_dv=v:"))
+                s"_dv=v:${dvFilePath(src, tok.stripPrefix("_dv=v:"))}"
+              else tok
+            }
+            .mkString(";")
+      if (suffix.isEmpty) extName else s"$extName\t$suffix"
+    }
+    val schema = tableSchema(spark, src, v).getOrElse {
+      require(
+        entries.nonEmpty,
+        s"snapshot clone: version $v of $src is empty with no recorded schema")
+      readFiles(spark, src, manifest(spark, src, v), None).schema
+    }
+    commitEntriesInternal(
+      spark, dst, entries, schema, overwrite = true, None, None,
+      dataChange = true, extraHeader = s"clone=${b64(s"$src@$v")}")
   }
 
   /** Metadata-only COUNT(*): summed from the manifest's `_rc` riders
@@ -1471,8 +1643,10 @@ object SnapshotLog {
     else {
       import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
       val conf = spark.sessionState.newHadoopConf()
+      requireUniqueBases(dvd.map(entryName), "snapshot read (DV subtraction)")
       val dvMap: Map[String, Array[Long]] = dvd.map { e =>
-        entryName(e) -> readDvFile(conf, new Path(s"$table/_dv/${entryDv(e).get}"))
+        baseName(entryName(e)) ->
+          readDvFile(conf, new Path(dvFilePath(table, entryDv(e).get)))
       }.toMap
       val bc = spark.sparkContext.broadcast(dvMap)
       val alive = udf((file: String, pos: Long) =>
@@ -1541,7 +1715,7 @@ object SnapshotLog {
     val sized = entries.map { e =>
       val name = entryName(e)
       val sz = entrySize(e).getOrElse(
-        f.getFileStatus(new Path(s"$table/$name")).getLen)
+        f.getFileStatus(new Path(dataPath(table, name))).getLen)
       (name, sz)
     }
     // files carrying a deletion vector are ALWAYS eligible regardless
@@ -1649,10 +1823,16 @@ object SnapshotLog {
     val (admitNames, _) = prunedFiles(spark, table, column, lo, hi, Some(v))
     val allNames = entries.map(entryName)
     if (admitNames.isEmpty) return (v, Nil, allNames)
-    val entryByName = entries.map(e => entryName(e) -> e).toMap
+    requireUniqueBases(admitNames, "snapshot mor-delete")
+    val entryByBase = entries.map(e => baseName(entryName(e)) -> e).toMap
     val schema = tableSchema(spark, table, v)
+    // keyed by BASE file name — what `_metadata.file_path` exposes —
+    // so external (cloned) entries resolve; sidecar paths resolve
+    // external references verbatim, fresh sidecars always land locally
     val oldDv: Map[String, String] =
-      admitNames.flatMap(n => entryDv(entryByName(n)).map(n -> _)).toMap
+      admitNames
+        .flatMap(n => entryDv(entryByBase(baseName(n))).map(baseName(n) -> _))
+        .toMap
     val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val tableLoc = table
     // one row per touched file: (file, sorted doomed positions) — the
@@ -1672,7 +1852,7 @@ object SnapshotLog {
         // the NEW immutable sidecar right where the positions live
         val existing = oldDv
           .get(file)
-          .map(d => readDvFile(sconf.value, new Path(s"$tableLoc/_dv/$d")))
+          .map(d => readDvFile(sconf.value, new Path(dvFilePath(tableLoc, d))))
           .getOrElse(Array.empty[Long])
         val merged = (existing ++ fresh).distinct.sorted
         val dvName = s"dv-${UUID.randomUUID.toString.take(12)}.bin"
@@ -1682,7 +1862,7 @@ object SnapshotLog {
       .collect()
     if (specs.isEmpty) return (v, Nil, allNames) // stats admitted, no row matched
     val amended = specs.toSeq.map { case (file, dvName, cnt) =>
-      val base = entryByName(file)
+      val base = entryByBase(file)
       val parts = base.split('\t')
       val suffix0 =
         if (parts.length < 2) ""
@@ -1694,9 +1874,9 @@ object SnapshotLog {
       val suffix =
         (if (suffix0.isEmpty) "" else suffix0 + ";") +
           s"_dv=v:$dvName;_dvc=c:$cnt"
-      s"$file\t$suffix"
+      s"${entryName(base)}\t$suffix"
     }
-    val amendedNames = specs.map(_._1).toSeq
+    val amendedNames = specs.toSeq.map(s => entryName(entryByBase(s._1)))
     val commitSchema = schema.getOrElse(
       readFiles(spark, table, admitNames, None).schema)
     val version = commitEntriesInternal(
@@ -1861,10 +2041,12 @@ object SnapshotLog {
   ): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
     val conf = spark.sessionState.newHadoopConf()
+    requireUniqueBases(entries.map(entryName), "snapshot read (positions)")
     val dvMap: Map[String, Array[Long]] = entries
       .flatMap(e =>
         entryDv(e).map(d =>
-          entryName(e) -> readDvFile(conf, new Path(s"$table/_dv/$d"))))
+          baseName(entryName(e)) ->
+            readDvFile(conf, new Path(dvFilePath(table, d)))))
       .toMap
     val bc = spark.sparkContext.broadcast(dvMap)
     val alive = udf((file: String, pos: Long) =>
@@ -1907,7 +2089,8 @@ object SnapshotLog {
     val (admitNames, _) = prunedFiles(spark, table, column, lo, hi, Some(v))
     val allNames = entries.map(entryName)
     if (admitNames.isEmpty) return (v, Nil, Nil)
-    val entryByName = entries.map(e => entryName(e) -> e).toMap
+    requireUniqueBases(admitNames, "snapshot mor-update")
+    val entryByBase = entries.map(e => baseName(entryName(e)) -> e).toMap
     val schema = tableSchema(spark, table, v)
     val matched = readEntriesWithPos(
       spark, table, entriesFor(entries, admitNames), schema)
@@ -1920,9 +2103,13 @@ object SnapshotLog {
       s"snapshot mor-update must preserve the table schema " +
         s"${dataCols.mkString(",")}; got ${updated.schema.fieldNames.mkString(",")}"
     )
-    // sidecars for the matched positions, written executor-side
+    // sidecars for the matched positions, written executor-side; maps
+    // keyed by BASE file name (what the metadata column exposes) so
+    // external (cloned) entries resolve too
     val oldDv: Map[String, String] =
-      admitNames.flatMap(n => entryDv(entryByName(n)).map(n -> _)).toMap
+      admitNames
+        .flatMap(n => entryDv(entryByBase(baseName(n))).map(baseName(n) -> _))
+        .toMap
     val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val tableLoc = table
     val specs: Array[(String, String, Long)] = matched
@@ -1932,7 +2119,7 @@ object SnapshotLog {
       .map { case (file, fresh) =>
         val existing = oldDv
           .get(file)
-          .map(d => readDvFile(sconf.value, new Path(s"$tableLoc/_dv/$d")))
+          .map(d => readDvFile(sconf.value, new Path(dvFilePath(tableLoc, d))))
           .getOrElse(Array.empty[Long])
         val merged = (existing ++ fresh).distinct.sorted
         val dvName = s"dv-${UUID.randomUUID.toString.take(12)}.bin"
@@ -1942,7 +2129,7 @@ object SnapshotLog {
       .collect()
     if (specs.isEmpty) return (v, Nil, Nil) // stats admitted, no row matched
     val amended = specs.toSeq.map { case (file, dvName, cnt) =>
-      val base = entryByName(file)
+      val base = entryByBase(file)
       val parts = base.split('\t')
       val suffix0 =
         if (parts.length < 2) ""
@@ -1954,9 +2141,9 @@ object SnapshotLog {
       val suffix =
         (if (suffix0.isEmpty) "" else suffix0 + ";") +
           s"_dv=v:$dvName;_dvc=c:$cnt"
-      s"$file\t$suffix"
+      s"${entryName(base)}\t$suffix"
     }
-    val amendedNames = specs.map(_._1).toSeq
+    val amendedNames = specs.toSeq.map(s => entryName(entryByBase(s._1)))
     val landed = stageOnly(spark, table, updated)
     val commitSchema =
       schema.getOrElse(readFiles(spark, table, admitNames, None).schema)

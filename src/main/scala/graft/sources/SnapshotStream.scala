@@ -70,7 +70,7 @@ class GraftSnapshotSource extends TableProvider {
       .tableSchema(spark, table, vs.last)
       .getOrElse(
         spark.read
-          .parquet(SnapshotLog.manifest(spark, table, vs.last).map(n => s"$table/$n"): _*)
+          .parquet(SnapshotLog.manifest(spark, table, vs.last).map(n => SnapshotLog.dataPath(table, n)): _*)
           .schema
       )
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
@@ -247,18 +247,18 @@ class GraftSnapshotMicroBatchStream(
           val dvParts = amended.map { f =>
             val delta = SnapshotLog.dvDeltaPositions(spark, table, v, f)
             GraftSnapshotPartition(
-              s"$table/$f", Some(("delete", v)), onlyPositions = Some(delta))
+              SnapshotLog.dataPath(table, f), Some(("delete", v)), onlyPositions = Some(delta))
           }
           val removedParts = removed.map { f =>
             // a removed file's PRIOR deletion vector must not re-delete
             // already-dead rows
             val prior = SnapshotLog.dvPositionsAt(spark, table, v - 1, f)
             GraftSnapshotPartition(
-              s"$table/$f", Some(("delete", v)),
+              SnapshotLog.dataPath(table, f), Some(("delete", v)),
               skipPositions = if (prior.isEmpty) None else Some(prior))
           }
           removedParts ++ dvParts ++
-            added.map(f => GraftSnapshotPartition(s"$table/$f", Some(("insert", v))))
+            added.map(f => GraftSnapshotPartition(SnapshotLog.dataPath(table, f), Some(("insert", v))))
         }
         else if (removed.nonEmpty || amended.nonEmpty) {
           if (skipChangeCommits) Nil
@@ -272,7 +272,7 @@ class GraftSnapshotMicroBatchStream(
                 "versions, readChangeFeed=true to stream them as tagged " +
                 "delete/insert rows, or restart from a fresh checkpoint."
             )
-        } else added.map(f => GraftSnapshotPartition(s"$table/$f", None))
+        } else added.map(f => GraftSnapshotPartition(SnapshotLog.dataPath(table, f), None))
       }
       .toArray
   }

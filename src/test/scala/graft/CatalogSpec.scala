@@ -454,4 +454,23 @@ class CatalogSpec extends SparkTestBase {
     assert(!rs.get.group(1).contains("a:"), s"unpruned: ${rs.get.matched}")
     assert(q.head.getDouble(0) == (0 until 10).map(_.toDouble).sum)
   }
+
+  test("CALL restore rolls a catalog table back to a version, metadata-only") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")                     // v1
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 100)")     // v2
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(100, 200)")   // v3
+    spark.sql(s"DELETE FROM $t WHERE id >= 50 AND id < 150")      // v4: bad write
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 100L)
+    val res = spark.sql(
+      s"CALL cattest.system.restore(table => '$short', version => 3)").head
+    assert(res.getInt(0) == 5 && res.getInt(1) > 0)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 200L)
+    // manifest equals v3's verbatim; the bad version stays readable
+    val p = pathOf(t)
+    assert(SnapshotLog.manifest(spark, p, 5).sorted ==
+      SnapshotLog.manifest(spark, p, 3).sorted)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 4").head.getLong(0) == 100L)
+  }
 }

@@ -568,4 +568,69 @@ class SnapshotSpec extends SparkTestBase {
     assert(net == Set(2L, 3L))
     assert(rows(t) == ((1L to 12L).toSet -- Set(2L, 3L)))
   }
+
+  test("restore is a metadata-only rollback: manifest reverts, disk untouched, history append-only") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 100L).toDF("id"))    // v1
+    SnapshotLog.commit(spark, t, (101L to 200L).toDF("id"))  // v2
+    SnapshotLog.deleteWhere(spark, t, "id", 120, 150)        // v3: the bad write
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def disk(): Set[String] = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(t))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val before = disk()
+    val (v4, readded, dropped) = SnapshotLog.restore(spark, t, 2)
+    assert(v4 == 4 && readded.nonEmpty && dropped.nonEmpty)
+    assert(disk() == before, "restore moved data bytes")
+    assert(SnapshotLog.manifest(spark, t, 4).sorted ==
+      SnapshotLog.manifest(spark, t, 2).sorted)
+    assert(rows(t) == (1L to 200L).toSet)
+    // history is append-only: the rolled-back delete is still readable
+    assert(rows(t, Some(3)) == ((1L to 200L).toSet -- (120L to 150L)))
+    // the change feed across the restore is the exact revert diff
+    val ch = SnapshotLog.readChanges(spark, t, 3, 4)
+    val ins = ch.filter(col("change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val del = ch.filter(col("change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ins -- del == (120L to 150L).toSet)
+    // no-op restore burns no version
+    val (v5, r2, d2) = SnapshotLog.restore(spark, t, 2)
+    assert(v5 == 4 && r2.isEmpty && d2.isEmpty)
+  }
+
+  test("restore past a MoR delete: DV positions leaving the vector surface as re-inserts") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 50L).toDF("id"))       // v1
+    val (v2, amended, _) = SnapshotLog.deleteWhereMoR(spark, t, "id", 10, 15)
+    assert(v2 == 2 && amended.nonEmpty)
+    assert(rows(t) == ((1L to 50L).toSet -- (10L to 15L)))
+    val (v3, _, _) = SnapshotLog.restore(spark, t, 1)
+    assert(v3 == 3)
+    assert(rows(t) == (1L to 50L).toSet)
+    // the un-delete is file-stable (same name, DV rider dropped): the
+    // feed must emit exactly the resurrected positions as inserts
+    val ch = SnapshotLog.readChanges(spark, t, 2, 3)
+    assert(ch.filter(col("change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet == (10L to 15L).toSet)
+    assert(ch.filter(col("change_type") === "delete").count() == 0)
+  }
+
+  test("restore refuses a retention-expired target") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"), overwrite = true)  // v1
+    SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"), overwrite = true)  // v2
+    SnapshotLog.commit(spark, t, (10L to 12L).toDF("id"), overwrite = true) // v3
+    SnapshotLog.expire(spark, t, keepLast = 2)
+    val e = intercept[IllegalStateException](SnapshotLog.restore(spark, t, 1))
+    assert(e.getMessage.contains("expired by retention"))
+    // in-horizon restore still works
+    assert(SnapshotLog.restore(spark, t, 2)._1 == 4)
+    assert(rows(t) == (6L to 9L).toSet)
+  }
 }
