@@ -346,6 +346,67 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** Training-data MIXTURE sampling (round 11 cont.): downsample every
+    * source to a 40 % token budget, greedily in doc_id order — the
+    * data-mixing step an LLM pre-training pipeline runs to hit per-
+    * source token proportions. A doc is admitted while its source's
+    * cumulative token count BEFORE it is under budget (so the doc that
+    * crosses the line still lands — budgets are fill targets, not
+    * caps), which makes the selection fully deterministic and
+    * oracle-checkable. The budget test is pure integer arithmetic
+    * (`before * 10 < total * 4`), so Spark and DuckDB agree bit-for-bit
+    * with no float rounding seam.
+    *
+    * Scale shape: tokenize map-side, then ONE range exchange on
+    * (source, doc_id) through [[TwoPhase.prefixScan]] with a per-source
+    * token-subtotal MAP as the bounded partition summary — the
+    * per-source running sums every partition needs arrive as O(sources)
+    * driver state, never a single-task `Window.orderBy` and never a
+    * second pass. A source 1000× bigger than the rest just spans more
+    * range partitions; no task sees more than its slice. */
+  val etlDataMixture: Q = (spark, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val toks = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")
+      )
+    val schema = StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("n_tok", LongType)
+      )
+    )
+    TwoPhase
+      .prefixScan(
+        toks, 8, Seq(col("source"), col("doc_id")),
+        Map.empty[String, Long]
+      )(
+        _.foldLeft(Map.empty[String, Long]) { (m, r) =>
+          val s = r.getString(1)
+          m.updated(s, m.getOrElse(s, 0L) + r.getLong(2))
+        }
+      )((a, b) => b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })(
+        schema
+      ) { (before, total, rows) =>
+        val cum = scala.collection.mutable.Map.empty[String, Long]
+        rows.flatMap { r =>
+          val s = r.getString(1)
+          val n = r.getLong(2)
+          val at = cum.getOrElse(s, before.getOrElse(s, 0L))
+          cum(s) = at + n
+          // admit while the source's tokens BEFORE this doc are under
+          // 40% of its grand total (integer-exact: at/total < 4/10)
+          if (at * 10 < total(s) * 4) Some(Row(r.getLong(0), s, n)) else None
+        }
+      }
+      .orderBy("doc_id")
+  }
+
   /** Data-quality audit: constraint-violation counts over the fact
     * table — null keys, domain-range breaches, duplicate primary keys,
     * and referential orphans — assembled as a union of independent
@@ -1141,6 +1202,7 @@ object Etl {
     "etl_snapshot_diff" -> etlSnapshotDiff,
     "etl_dq_checks" -> etlDqChecks,
     "etl_pack_sequences" -> etlPackSequences,
+    "etl_data_mixture" -> etlDataMixture,
     "ts_gapfill" -> tsGapfill,
     "etl_global_ids" -> etlGlobalIds,
     "etl_upsert_scd1" -> etlUpsertScd1,
@@ -1197,6 +1259,20 @@ object Etl {
         |  CAST((cs - n_tok) // 256 AS BIGINT) AS seq_first,
         |  CAST((cs - 1) // 256 AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+    // greedy per-source 40%-token-budget fill, integer-exact admission
+    "etl_data_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n_tok) AS total FROM t GROUP BY source),
+        |c AS (SELECT doc_id, source, n_tok,
+        |  COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.n_tok
+        |FROM c JOIN tot ON c.source = tot.source
+        |WHERE c.before * 10 < tot.total * 4
+        |ORDER BY c.doc_id""".stripMargin,
     "ts_gapfill" -> tsGapfillSql,
     "etl_global_ids" ->
       """SELECT doc_id, lang, n_chars,

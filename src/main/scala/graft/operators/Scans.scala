@@ -1451,6 +1451,58 @@ object Scans {
     Seq((n, lo, hi)).toDF("n_rows", "min_key", "max_key")
   }
 
+  /** PLANNER-INTEGRATED metadata-only aggregation (round 11 cont.):
+    * `SELECT count(*), min, max` over a catalog table completely
+    * pushes down into the snapshot scan
+    * (`SupportsPushDownAggregates`), which answers from the manifest's
+    * `_rc`/stats riders — zero data files opened at any table size.
+    * The zero-IO claim is pinned the honest way: every data file is
+    * RENAMED OUT of the table before the query plans and executes, so
+    * a fallback scan would throw, and the plan string must carry the
+    * scan's PushedAggregation marker. Complete pushdown is claimed
+    * only when exact (no filters, no grouping, riders on every file,
+    * no live DV under a MIN/MAX) — anything else falls back to the
+    * ordinary scan, so the fast path can never change an answer. The
+    * oracle recomputes the three aggregates from the source. */
+  val sqlAggPushdown: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_aggpd")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_aggpd_src")
+    spark.sql(
+      s"CREATE TABLE $cat.main.orders_aggpd AS SELECT * FROM graft_aggpd_src")
+    val tablePath = tmp("sql_warehouse") + "/main/orders_aggpd"
+    val fsys = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hidden = new org.apache.hadoop.fs.Path(s"$tablePath/_hidden")
+    fsys.mkdirs(hidden)
+    val dataFiles = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    require(dataFiles.nonEmpty, "CTAS must have landed data files")
+    try {
+      dataFiles.foreach(p =>
+        require(fsys.rename(p, new org.apache.hadoop.fs.Path(hidden, p.getName))))
+      val df = spark.sql(
+        s"""SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+           |       max(o_orderkey) AS max_key
+           |FROM $cat.main.orders_aggpd""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(
+        plan.contains("PushedAggregation"),
+        s"aggregate must push into the snapshot scan: $plan")
+      val rows = df.collect() // data files are GONE — this is metadata or bust
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally {
+      dataFiles.foreach(p =>
+        fsys.rename(new org.apache.hadoop.fs.Path(hidden, p.getName), p))
+      fsys.delete(hidden, true)
+    }
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -1880,6 +1932,114 @@ object Scans {
     SnapshotLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** WRITE–AUDIT–PUBLISH (round 11 cont.): the lakehouse staging
+    * pattern on the snapshot log's branch layer. Main holds two shards;
+    * a zero-copy BRANCH takes the risky work — an appended third shard
+    * plus a merge-on-read delete of a bad range — while main's tip
+    * manifest stays bit-identical (pinned: writers of the branch are
+    * invisible to main's readers, the whole point of WAP). The audit
+    * step reads the BRANCH (it is a full snapshot table; every read
+    * path works unchanged), and PUBLISH fast-forwards main in one
+    * commit: branch-owned files RENAME into main's directory (zero
+    * bytes copied — pinned by disk-parquet-count identity), entries
+    * still referencing main's own files convert back to owned relative
+    * names (pinned: no published entry is external), and the branch
+    * directory is consumed. The oracle recomputes the published state
+    * from the source, so a publish that leaked the audit-failed range
+    * or lost a shard breaks the hash. */
+  val etlSnapshotWap: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_wap")
+    val fsys = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val mid = (3 * c1) / 2
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark, table, o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2))
+    val mainTipBefore = SnapshotLog.manifest(spark, table, 2).sorted
+    // WRITE: the risky batch goes to a branch, not to main
+    val branch = SnapshotLog.branchCreate(spark, table, "audit")
+    SnapshotLog.commit(spark, branch, o.filter(col("o_orderkey") > c2))
+    SnapshotLog.deleteWhereMoR(spark, branch, "o_orderkey", c1 + 1, mid)
+    // AUDIT: read the branch like any table; main is untouched
+    require(
+      SnapshotLog.read(spark, branch).filter(
+        col("o_orderkey").between(c1 + 1, mid)).isEmpty,
+      "audit: the bad range must already be dead on the branch")
+    require(
+      SnapshotLog.manifest(spark, table, 2).sorted == mainTipBefore &&
+        SnapshotLog.versions(spark, table).last == 2,
+      "branch writes must be invisible to the main table until publish")
+    def diskParquet(): Int = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(table))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val mainOwned = diskParquet()
+    // PUBLISH: one fast-forward commit; branch files rename in, 0 copied
+    val (v, moved) = SnapshotLog.publish(spark, table, "audit")
+    require(v == 3 && moved.nonEmpty, s"publish must fast-forward main, got v$v")
+    val published = SnapshotLog.manifest(spark, table, v)
+    require(
+      published.forall { e =>
+        !graft.sources.SnapshotLog.isExternal(e.split('\t')(0)) &&
+          !e.contains("_dv=v:/")
+      },
+      s"published entries must all be owned relative names: $published")
+    require(
+      diskParquet() == mainOwned + moved.count(_.endsWith(".parquet")),
+      "publish must MOVE branch files (rename), never copy")
+    require(
+      !fsys.exists(new org.apache.hadoop.fs.Path(s"$table/_branches/audit")),
+      "publish consumes the branch")
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
+  /** Tagged snapshot read (round 11 cont.): an immutable named ref over
+    * the version history. v2 (two shards) is tagged `baseline`, a third
+    * shard lands after it, and the graded read resolves the TAG — the
+    * oracle recomputes the first two shards, so a tag that drifted to
+    * the tip or to the wrong version breaks the hash. Inline pins carry
+    * the ref contract: re-tagging an existing name refuses (immutable),
+    * and the tag PINS RETENTION — after `expire(keepLast=1)` the tagged
+    * v2 is still readable (the horizon clamps at the oldest tag) while
+    * the untagged v1 is genuinely expired and refuses loudly. */
+  val sourceTagRead: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_tag")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
+    SnapshotLog.commit(
+      spark, table, o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2))
+    SnapshotLog.tagCreate(spark, table, "baseline")
+    SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") > c2))
+    require(
+      SnapshotLog.tagVersion(spark, table, "baseline").contains(2),
+      "tag must pin the version it was created at, not follow the tip")
+    val dup = scala.util.Try(SnapshotLog.tagCreate(spark, table, "baseline"))
+    require(dup.isFailure, "re-tagging an existing name must refuse (immutable)")
+    // retention: the tag clamps the horizon — v2 survives keepLast=1,
+    // the untagged v1 is reclaimed and refuses loudly
+    SnapshotLog.expire(spark, table, keepLast = 1)
+    require(
+      scala.util.Try(SnapshotLog.read(spark, table, Some(1))).isFailure,
+      "untagged v1 must be expired past keepLast=1")
+    SnapshotLog.readTag(spark, table, "baseline").orderBy("o_orderkey")
+  }
+
   /** MERGE-ON-READ delete via deletion vectors (round 11 late): the
     * same mid-shard delete as etl_delete_snapshot, but through
     * [[graft.sources.SnapshotLog.deleteWhereMoR]] — position-delete
@@ -2069,6 +2229,8 @@ object Scans {
     "sink_avro" -> sinkAvro,
     "etl_delete_snapshot" -> etlDeleteSnapshot,
     "etl_snapshot_restore" -> etlSnapshotRestore,
+    "etl_snapshot_wap" -> etlSnapshotWap,
+    "source_tag_read" -> sourceTagRead,
     "etl_delete_mor" -> etlDeleteMor,
     "etl_update_mor" -> etlUpdateMor,
     "join_spj" -> joinSpj,
@@ -2081,6 +2243,7 @@ object Scans {
     "sql_merge" -> sqlMerge,
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
+    "sql_agg_pushdown" -> sqlAggPushdown,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -2207,6 +2370,13 @@ object Scans {
         | CAST(min(o_orderkey) AS BIGINT) AS min_key,
         | CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM live""".stripMargin,
+    // planner-integrated metadata aggregation: the pushed-down answer
+    // (computed with every data file renamed away) vs the recompute
+    "sql_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        | CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin,
     // the CoW delete must drop exactly the [c1+1, 3*c1/2] range and
     // nothing else — carried-by-reference rows included
     "etl_delete_snapshot" ->
@@ -2217,6 +2387,20 @@ object Scans {
     // the metadata-only rollback must land exactly on v2's state: the
     // deleted range back at its original values, shard 3 gone
     "etl_snapshot_restore" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey <= 2 * b.c1
+        |ORDER BY o_orderkey""".stripMargin,
+    // WAP: the published state is all three shards minus the range the
+    // audit branch killed — a leak either direction breaks the hash
+    "etl_snapshot_wap" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the tag must resolve to exactly v2's two shards — a tag that
+    // followed the tip (shard 3) or drifted breaks the hash
+    "source_tag_read" ->
       """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey <= 2 * b.c1

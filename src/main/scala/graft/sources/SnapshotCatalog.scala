@@ -567,11 +567,84 @@ class SnapshotSqlScanBuilder(
     options: CaseInsensitiveStringMap
 ) extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var readSchema: StructType = dataSchema
   private var wantFile: Boolean = false
+  private var aggPush: Option[(StructType, Seq[Any])] = None
+
+  /** COUNT(*)/MIN/MAX answered EXACTLY from the manifest's `_rc`/stats
+    * riders — zero data files opened, the planner-integrated form of
+    * [[SnapshotLog.metadataCount]]/[[SnapshotLog.metadataRange]]. Only
+    * COMPLETE pushdown is ever claimed, and only when the answer is
+    * provably exact: no residual-filtered scan (our file skipping is
+    * best-effort, so any pushed filter disqualifies), no grouping, every
+    * aggregate a COUNT(*) or an int/long MIN/MAX, every live file
+    * carrying the rider, and no live deletion vector under a MIN/MAX
+    * (the extremum may be dead — metadataRange already refuses). A
+    * refusal falls back to the ordinary scan; the fast path can never
+    * change an answer, only skip the IO. */
+  private def metadataAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    def intish(
+        e: org.apache.spark.sql.connector.expressions.Expression
+    ): Option[StructField] = e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames().length == 1 =>
+        dataSchema.fields
+          .find(_.name == f.fieldNames()(0))
+          .filter(fl => fl.dataType == LongType || fl.dataType == IntegerType)
+      case _ => None
+    }
+    def narrowed(v: Long, dt: DataType): Any =
+      if (dt == IntegerType) v.toInt else v
+    val answered: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          SnapshotLog
+            .metadataCount(spark, path, Some(version))
+            .map(c => (StructField("count(*)", LongType, nullable = false), c: Any))
+        case m: Min =>
+          intish(m.column).flatMap { fl =>
+            SnapshotLog
+              .metadataRange(spark, path, fl.name, Some(version))
+              .map { case (lo, _) =>
+                (StructField(s"min(${fl.name})", fl.dataType), narrowed(lo, fl.dataType))
+              }
+          }
+        case m: Max =>
+          intish(m.column).flatMap { fl =>
+            SnapshotLog
+              .metadataRange(spark, path, fl.name, Some(version))
+              .map { case (_, hi) =>
+                (StructField(s"max(${fl.name})", fl.dataType), narrowed(hi, fl.dataType))
+              }
+          }
+        case _ => None
+      }
+    if (answered.isEmpty || answered.exists(_.isEmpty)) None
+    else {
+      val flat = answered.flatten
+      Some((StructType(flat.map(_._1)), flat.map(_._2)))
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean = metadataAnswer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean =
+    metadataAnswer(agg) match {
+      case Some(a) => aggPush = Some(a); true
+      case None    => false // partial pushdown would still scan; decline
+    }
 
   private def prunable(f: Filter): Boolean = {
     def typed(col: String, isString: Boolean): Boolean =
@@ -615,8 +688,59 @@ class SnapshotSqlScanBuilder(
     )
   }
 
-  override def build(): Scan =
-    new SnapshotSqlScan(spark, path, version, readSchema, pushed, options, wantFile)
+  override def build(): Scan = aggPush match {
+    case Some((schema, values)) =>
+      new SnapshotMetadataAggScan(path, version, schema, values)
+    case None =>
+      new SnapshotSqlScan(spark, path, version, readSchema, pushed, options, wantFile)
+  }
+}
+
+/** Scan serving a COMPLETELY pushed-down aggregation as one
+  * pre-computed row — the values were folded from the manifest riders
+  * at planning time, so execution opens zero data files at any table
+  * size. */
+class SnapshotMetadataAggScan(
+    path: String,
+    version: Int,
+    schema: StructType,
+    values: Seq[Any]
+) extends Scan
+    with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot $path v$version metadata-only, " +
+      s"PushedAggregation: ${schema.fieldNames.mkString("[", ", ", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotAggPartition(
+      values.map { case i: Int => i.toLong; case l: Long => l },
+      schema.fields.map(_.dataType == IntegerType).toSeq))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotAggReaderFactory
+}
+
+/** The single pre-computed aggregate row, longs + re-narrow flags (Seq
+  * of primitives serializes cleanly to executors). */
+case class SnapshotAggPartition(longs: Seq[Long], isInt: Seq[Boolean])
+    extends InputPartition
+
+object SnapshotAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition
+  ): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val part = p.asInstanceOf[SnapshotAggPartition]
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          part.longs
+            .zip(part.isInt)
+            .map { case (v, i) => if (i) v.toInt: Any else v: Any }
+            .toArray)
+      override def close(): Unit = ()
+    }
 }
 
 class SnapshotSqlScan(

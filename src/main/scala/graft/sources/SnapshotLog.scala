@@ -92,7 +92,7 @@ object SnapshotLog {
     * zero-copy mechanism behind [[cloneTable]]. Locally-landed files
     * are always committed by bare relative name, so the prefix test is
     * exact. */
-  private[sources] def isExternal(name: String): Boolean =
+  private[graft] def isExternal(name: String): Boolean =
     name.startsWith("/") || name.contains(":/")
 
   /** Data-file path of a manifest entry: table-relative for owned
@@ -1318,7 +1318,14 @@ object SnapshotLog {
     lock.synchronized {
       val vs = versions(spark, table)
       if (vs.size <= keepLast) return Nil
-      val horizon = vs(vs.size - keepLast)
+      // a tag pins retention: the horizon clamps at the oldest tagged
+      // version, so a tagged snapshot (and everything after it, since
+      // versions are contiguous) stays readable until the tag is
+      // deleted — reclaiming a version a named ref still points at
+      // would be silent data loss with a friendly name
+      val horizon =
+        (tags(spark, table).values.toSeq :+ vs(vs.size - keepLast)).min
+      if (horizon <= vs.head) return Nil
       val surviving = vs.filter(_ >= horizon)
       val expired = vs.filter(_ < horizon)
       val live = surviving.flatMap(manifest(spark, table, _)).toSet
@@ -2159,6 +2166,238 @@ object SnapshotLog {
     * died inside [[stageOnly]] left behind. Returns the deleted names.
     * Production note: a real retention policy also expires OLD versions
     * first; this keeps every committed version readable. */
+  // ------------------------------------------------------------------
+  // Tags and branches (write–audit–publish)
+  // ------------------------------------------------------------------
+
+  private def tagsDir(table: String): Path = new Path(s"$table/$LogDir/_tags")
+
+  private def tagPath(table: String, name: String): Path =
+    new Path(s"$table/$LogDir/_tags/$name")
+
+  private def requireRefName(name: String, ctx: String): Unit =
+    require(
+      name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"$ctx name must be [A-Za-z0-9_-]+: $name"
+    )
+
+  /** Creates an IMMUTABLE named pointer to `version` (default: tip) —
+    * `_log/_tags/<name>` holding the version number. A tag pins
+    * retention: [[expire]] clamps its horizon at the oldest tagged
+    * version, so a tagged snapshot can never be reclaimed while the tag
+    * exists ([[tagDelete]] releases the pin). Re-tagging an existing
+    * name refuses loudly — a tag that can silently move is a version
+    * number with extra steps. Returns the tagged version. */
+  def tagCreate(
+      spark: SparkSession,
+      table: String,
+      name: String,
+      version: Option[Int] = None
+  ): Int = {
+    requireRefName(name, "snapshot tag")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot tag: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot tag: version $v not in $vs")
+    requireUnexpired(spark, table, v)
+    val f = fs(spark, table)
+    f.mkdirs(tagsDir(table))
+    val p = tagPath(table, name)
+    require(!f.exists(p), s"snapshot tag: '$name' already exists (immutable; tagDelete first)")
+    // same claim idiom as the manifest: write a temp, rename into place,
+    // refuse an existing destination — two racing tagCreates of one
+    // name cannot both win
+    val tmp = new Path(s"$table/$LogDir/_tags/.tmp-${UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p) || !f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot tag: lost the race creating '$name' on $table")
+    }
+    v
+  }
+
+  /** Version a tag points at, if the tag exists. */
+  def tagVersion(spark: SparkSession, table: String, name: String): Option[Int] = {
+    requireRefName(name, "snapshot tag")
+    val f = fs(spark, table)
+    val p = tagPath(table, name)
+    if (!f.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(
+          f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      try Some(in.readLine().trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** All tags on the table, name → version. */
+  def tags(spark: SparkSession, table: String): Map[String, Int] = {
+    val f = fs(spark, table)
+    val dir = tagsDir(table)
+    if (!f.exists(dir)) Map.empty
+    else
+      f.listStatus(dir)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .flatMap(st => tagVersion(spark, table, st.getPath.getName).map(st.getPath.getName -> _))
+        .toMap
+  }
+
+  /** Releases a tag's retention pin. Idempotent. */
+  def tagDelete(spark: SparkSession, table: String, name: String): Unit = {
+    requireRefName(name, "snapshot tag")
+    fs(spark, table).delete(tagPath(table, name), false)
+  }
+
+  /** Snapshot read at a tag — `read(table, tags(name))`. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val v = tagVersion(spark, table, name).getOrElse(
+      throw new IllegalArgumentException(s"snapshot tag: no tag '$name' on $table"))
+    read(spark, table, Some(v))
+  }
+
+  /** Directory a branch lives in — a branch IS a snapshot table (every
+    * operation in this object works on it unchanged), created as a
+    * zero-copy [[cloneTable]] of its source under `_branches/<name>`. */
+  def branchDir(table: String, name: String): String = {
+    requireRefName(name, "snapshot branch")
+    s"$table/_branches/$name"
+  }
+
+  /** WRITE–AUDIT–PUBLISH, step 1: branch `table` at its tip (or
+    * `version`). The branch's first commit references the source's
+    * files by absolute path — one manifest write regardless of table
+    * size — and subsequent writes land in the branch's own directory,
+    * INVISIBLE to readers of the main table until [[publish]]. Returns
+    * the branch table path; run any append/delete/merge/optimize and
+    * audit reads against it directly. */
+  def branchCreate(
+      spark: SparkSession,
+      table: String,
+      name: String,
+      version: Option[Int] = None
+  ): String = {
+    require(
+      new Path(table).isAbsolute,
+      s"snapshot branch: table must be an absolute path, got $table")
+    val dir = branchDir(table, name)
+    cloneTable(spark, table, dir, version)
+    dir
+  }
+
+  /** Abandons an unpublished branch — audit failed, the work is
+    * discarded. Safe at any point before publish: every file the branch
+    * owns lives inside its own directory and the main table never
+    * references it. */
+  def branchDrop(spark: SparkSession, table: String, name: String): Unit = {
+    val dir = branchDir(table, name)
+    fs(spark, table).delete(new Path(dir), true)
+  }
+
+  /** WRITE–AUDIT–PUBLISH, step 3: atomically fast-forwards the main
+    * table to the branch tip. The branch's own new data files (and DV
+    * sidecars) are RENAMED into the main table's directory — a metadata
+    * move per file, zero bytes copied at any table size — while entries
+    * that still reference the main table's files convert back to owned
+    * relative names; references into third tables (a branch of a clone)
+    * carry verbatim. The result is ONE commit on main whose content is
+    * exactly the branch tip, after which the branch directory is
+    * deleted (publish consumes the branch).
+    *
+    * Fast-forward ONLY: if main's tip content has changed since the
+    * fork (any append/delete/compact — file-level merge has no
+    * row-level conflict story), publish refuses loudly; re-branch from
+    * the new tip and re-apply (the WAP rebase). The check-then-commit
+    * window is the same single-publisher optimistic posture as
+    * [[restore]]. Returns (newMainVersion, movedFileNames). */
+  def publish(
+      spark: SparkSession,
+      table: String,
+      name: String
+  ): (Int, Seq[String]) = {
+    val branch = branchDir(table, name)
+    val bvs = versions(spark, branch)
+    require(bvs.nonEmpty, s"snapshot publish: no branch '$name' on $table")
+    val forkHeader = header(spark, branch, 1)
+    val forkRef = headerToken(forkHeader, "clone").map(unb64).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot publish: branch '$name' v1 carries no clone header"))
+    val at = forkRef.lastIndexOf('@')
+    val (forkSrc, forkV) = (forkRef.take(at), forkRef.drop(at + 1).toInt)
+    require(
+      forkSrc == table,
+      s"snapshot publish: branch '$name' was forked from $forkSrc, not $table")
+    val tip = versions(spark, table).last
+    require(
+      manifestEntries(spark, table, tip).sorted ==
+        manifestEntries(spark, table, forkV).sorted &&
+        tableSchema(spark, table, tip) == tableSchema(spark, table, forkV),
+      s"snapshot publish: $table advanced since branch '$name' forked at " +
+        s"v$forkV (tip v$tip differs) — re-branch from the tip and re-apply")
+    val f = fs(spark, table)
+    val mainPrefix = s"$table/"
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    def adoptData(n: String): String =
+      if (isExternal(n)) {
+        // reference back into main's own directory → owned relative name
+        if (n.startsWith(mainPrefix) && !n.stripPrefix(mainPrefix).contains("/"))
+          n.stripPrefix(mainPrefix)
+        else n // third-table reference: carry verbatim
+      } else {
+        // branch-owned: move into main's root (metadata rename, 0 bytes)
+        val src = new Path(s"$branch/$n")
+        val dst = new Path(s"$table/$n")
+        require(!f.exists(dst), s"snapshot publish: name collision on $n")
+        require(f.rename(src, dst), s"snapshot publish: rename $src failed")
+        moved += n
+        n
+      }
+    def adoptDv(n: String): String =
+      if (isExternal(n)) {
+        val dvPrefix = s"$table/_dv/"
+        if (n.startsWith(dvPrefix) && !n.stripPrefix(dvPrefix).contains("/"))
+          n.stripPrefix(dvPrefix)
+        else n
+      } else {
+        f.mkdirs(new Path(s"$table/_dv"))
+        val src = new Path(s"$branch/_dv/$n")
+        val dst = new Path(s"$table/_dv/$n")
+        require(!f.exists(dst), s"snapshot publish: DV name collision on $n")
+        require(f.rename(src, dst), s"snapshot publish: DV rename $src failed")
+        moved += s"_dv/$n"
+        n
+      }
+    val entries = manifestEntries(spark, branch, bvs.last).map { e =>
+      val parts = e.split('\t')
+      val nm = adoptData(parts(0))
+      val suffix =
+        if (parts.length < 2) ""
+        else
+          parts(1)
+            .split(';')
+            .map { tok =>
+              if (tok.startsWith("_dv=v:")) s"_dv=v:${adoptDv(tok.stripPrefix("_dv=v:"))}"
+              else tok
+            }
+            .mkString(";")
+      if (suffix.isEmpty) nm else s"$nm\t$suffix"
+    }
+    val schema = tableSchema(spark, branch, bvs.last).getOrElse {
+      require(
+        entries.nonEmpty,
+        s"snapshot publish: branch '$name' tip is empty with no recorded schema")
+      readFiles(spark, branch, manifest(spark, branch, bvs.last), None).schema
+    }
+    val v = commitEntriesInternal(
+      spark, table, entries, schema, overwrite = true, None, None,
+      dataChange = true, extraHeader = s"publish=${b64(s"$name@${bvs.last}")}")
+    f.delete(new Path(branch), true)
+    (v, moved.toSeq)
+  }
+
   def vacuum(
       spark: SparkSession,
       table: String,

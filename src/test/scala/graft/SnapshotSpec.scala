@@ -633,4 +633,110 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotLog.restore(spark, t, 2)._1 == 4)
     assert(rows(t) == (6L to 9L).toSet)
   }
+
+  // ---- tags and branches (write–audit–publish), round 11 cont. ----
+
+  test("publish refuses a non-fast-forward: main advanced since the fork") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    val b = SnapshotLog.branchCreate(spark, t, "wip")
+    SnapshotLog.commit(spark, b, (10L to 12L).toDF("id"))
+    // main moves on while the branch is in flight — file-level merge has
+    // no row-conflict story, so publish must refuse, not clobber
+    SnapshotLog.commit(spark, t, (6L to 7L).toDF("id"))
+    val e = intercept[IllegalArgumentException](SnapshotLog.publish(spark, t, "wip"))
+    assert(e.getMessage.contains("advanced since branch"))
+    assert(rows(t) == (1L to 7L).toSet, "a refused publish must not touch main")
+    // the WAP rebase: drop, re-branch from the new tip, re-apply, publish
+    SnapshotLog.branchDrop(spark, t, "wip")
+    val b2 = SnapshotLog.branchCreate(spark, t, "wip")
+    SnapshotLog.commit(spark, b2, (10L to 12L).toDF("id"))
+    val (v, moved) = SnapshotLog.publish(spark, t, "wip")
+    assert(v == 3 && moved.nonEmpty)
+    assert(rows(t) == ((1L to 7L) ++ (10L to 12L)).toSet)
+  }
+
+  test("branchDrop abandons unpublished work without touching main") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    val b = SnapshotLog.branchCreate(spark, t, "bad")
+    SnapshotLog.commit(spark, b, (90L to 99L).toDF("id"))
+    SnapshotLog.branchDrop(spark, t, "bad")
+    assert(rows(t) == (1L to 5L).toSet)
+    assert(SnapshotLog.versions(spark, t) == Seq(1))
+    // a dropped name is reusable
+    SnapshotLog.branchCreate(spark, t, "bad")
+    SnapshotLog.branchDrop(spark, t, "bad")
+  }
+
+  test("published branch work composes: CoW delete on the branch lands on main") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t,
+      (1L to 100L).toDF("id").repartitionByRange(4, col("id")))
+    val b = SnapshotLog.branchCreate(spark, t, "fix")
+    // CoW delete on the branch rewrites the admitted (main-external)
+    // files into branch-owned locals; publish must move exactly those
+    val (_, rewritten, carried) = SnapshotLog.deleteWhere(spark, b, "id", 40, 60)
+    assert(rewritten.nonEmpty && carried.nonEmpty)
+    val (v, moved) = SnapshotLog.publish(spark, t, "fix")
+    val manifest = SnapshotLog.manifest(spark, t, v)
+    assert(manifest.forall(!SnapshotLog.isExternal(_)),
+      s"published manifest must be fully owned: $manifest")
+    assert(rows(t) == ((1L to 39L) ++ (61L to 100L)).toSet)
+    // the rewrite produced branch-owned files; publish must move them
+    assert(moved.count(_.endsWith(".parquet")) >= 1)
+  }
+
+  test("tag pins retention through expire; tagDelete releases the pin") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 3L).toDF("id"), overwrite = true)  // v1
+    SnapshotLog.commit(spark, t, (4L to 6L).toDF("id"), overwrite = true)  // v2
+    SnapshotLog.tagCreate(spark, t, "keep", Some(1))
+    SnapshotLog.commit(spark, t, (7L to 9L).toDF("id"), overwrite = true)  // v3
+    SnapshotLog.expire(spark, t, keepLast = 1)
+    // the tag clamps the horizon at v1: everything stays readable
+    assert(rows(t, Some(1)) == (1L to 3L).toSet)
+    assert(SnapshotLog.readTag(spark, t, "keep")
+      .select("id").collect().map(_.getLong(0)).toSet == (1L to 3L).toSet)
+    SnapshotLog.tagDelete(spark, t, "keep")
+    SnapshotLog.expire(spark, t, keepLast = 1)
+    val e = intercept[IllegalStateException](SnapshotLog.read(spark, t, Some(1)))
+    assert(e.getMessage.contains("expired by retention"))
+    assert(rows(t) == (7L to 9L).toSet)
+  }
+
+  test("tags listing and unknown-tag read error") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 3L).toDF("id"))
+    SnapshotLog.commit(spark, t, (4L to 6L).toDF("id"))
+    SnapshotLog.tagCreate(spark, t, "a", Some(1))
+    SnapshotLog.tagCreate(spark, t, "b")
+    assert(SnapshotLog.tags(spark, t) == Map("a" -> 1, "b" -> 2))
+    val e = intercept[IllegalArgumentException](SnapshotLog.readTag(spark, t, "nope"))
+    assert(e.getMessage.contains("no tag"))
+    intercept[IllegalArgumentException](
+      SnapshotLog.tagCreate(spark, t, "bad name with spaces"))
+  }
+
+  test("publish of a branch carrying a MoR deletion vector moves the sidecar") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t,
+      (1L to 50L).toDF("id").repartitionByRange(2, col("id")))
+    val b = SnapshotLog.branchCreate(spark, t, "mor")
+    val (_, amended, _) = SnapshotLog.deleteWhereMoR(spark, b, "id", 10, 15)
+    assert(amended.nonEmpty)
+    val (v, moved) = SnapshotLog.publish(spark, t, "mor")
+    assert(moved.exists(_.startsWith("_dv/")), s"DV sidecar must move: $moved")
+    // the published DV subtracts on main's read path
+    assert(rows(t) == ((1L to 9L) ++ (16L to 50L)).toSet)
+    // and the entries reference main-owned files + main-local sidecars
+    assert(SnapshotLog.manifest(spark, t, v).forall(e =>
+      !SnapshotLog.isExternal(e.split('\t')(0)) && !e.contains("_dv=v:/")))
+  }
 }
