@@ -1503,6 +1503,78 @@ object Scans {
     }
   }
 
+  /** METADATA-ONLY `ALTER TABLE RENAME COLUMN` (round 11 cont.): the
+    * column-mapping layer. Two shards land via CTAS, the rename commits
+    * ONE schema manifest (pinned: the on-disk parquet set is
+    * bit-identical before and after — at 100 TB the rename costs a
+    * manifest write where a rewrite costs the table), and the third
+    * shard INSERTs AFTER the rename — its files spell the frozen
+    * PHYSICAL name while the query reads the logical one. The oracle
+    * recomputes the whole table under the new name, so a read that
+    * missed pre-rename files, post-rename files, or mixed the
+    * spellings breaks the hash. */
+  val sqlRenameCol: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_ren")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c2 = 2 * (maxK / 3)
+    o.createOrReplaceTempView("graft_ren_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_ren AS
+         |SELECT * FROM graft_ren_src WHERE o_orderkey <= $c2""".stripMargin)
+    val tablePath = tmp("sql_warehouse") + "/main/orders_ren"
+    val fsys = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def disk(): Set[String] = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val before = disk()
+    spark.sql(s"ALTER TABLE $cat.main.orders_ren RENAME COLUMN o_totalprice TO price")
+    require(disk() == before, "RENAME COLUMN must be metadata-only: no file may change")
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_ren
+         |SELECT o_orderkey, o_custkey, o_totalprice AS price
+         |FROM graft_ren_src WHERE o_orderkey > $c2""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, price
+         |FROM $cat.main.orders_ren ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** METADATA-ONLY `ALTER TABLE DROP COLUMN` + same-name re-ADD (round
+    * 11 cont.): the resurrection hazard the mapping layer exists to
+    * close. Two shards land, `o_custkey` is DROPPED (one manifest, zero
+    * data IO), re-ADDED (fresh physical name), and the third shard
+    * inserts WITH custkey values. The oracle expects the old shards'
+    * custkey to be NULL and the new shard's to be real — if the re-added
+    * column ever read the dropped bytes out of the old files (the
+    * failure field-ID-less formats hit), the hash breaks row-by-row. */
+  val sqlDropCol: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_drop")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c2 = 2 * (maxK / 3)
+    o.createOrReplaceTempView("graft_drop_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_drop AS
+         |SELECT * FROM graft_drop_src WHERE o_orderkey <= $c2""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.main.orders_drop DROP COLUMN o_custkey")
+    spark.sql(s"ALTER TABLE $cat.main.orders_drop ADD COLUMN o_custkey BIGINT")
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_drop
+         |SELECT o_orderkey, o_totalprice, o_custkey
+         |FROM graft_drop_src WHERE o_orderkey > $c2""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderkey, o_totalprice, o_custkey
+         |FROM $cat.main.orders_drop ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -2244,6 +2316,8 @@ object Scans {
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
     "sql_agg_pushdown" -> sqlAggPushdown,
+    "sql_rename_col" -> sqlRenameCol,
+    "sql_drop_col" -> sqlDropCol,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -2377,6 +2451,19 @@ object Scans {
         | CAST(min(o_orderkey) AS BIGINT) AS min_key,
         | CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders""".stripMargin,
+    // metadata-only rename: the whole table reads under the new name,
+    // pre- and post-rename files alike
+    "sql_rename_col" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // drop + same-name re-add: old shards NULL, new shard real values —
+    // any resurrection of the dropped bytes breaks the hash row-by-row
+    "sql_drop_col" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey > 2 * b.c1 THEN o_custkey
+        |            ELSE NULL END AS o_custkey
+        |FROM orders, b ORDER BY o_orderkey""".stripMargin,
     // the CoW delete must drop exactly the [c1+1, 3*c1/2] range and
     // nothing else — carried-by-reference rows included
     "etl_delete_snapshot" ->

@@ -236,7 +236,12 @@ class SnapshotCatalog
   }
 
   /** ADD COLUMN is a schema-only commit (earlier files null-fill per
-    * the log's evolution rules); everything else refuses loudly. */
+    * the log's evolution rules). RENAME COLUMN and DROP COLUMN are
+    * METADATA-ONLY through the log's column mapping — one manifest
+    * write, zero data files touched, with the physical in-file name
+    * frozen at the column's birth so old files keep reading and a
+    * re-added name can never resurrect dropped data. Everything else
+    * refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val path = tablePath(ident)
@@ -247,17 +252,46 @@ class SnapshotCatalog
           s"snapshot catalog: $ident has no recorded schema (pre-upgrade log?)"
         )
       )
-    val added = changes.map {
+    val added = Seq.newBuilder[StructField]
+    changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
-        StructField(a.fieldNames()(0), a.dataType(), a.isNullable)
+        added += StructField(a.fieldNames()(0), a.dataType(), a.isNullable)
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        SnapshotLog.renameColumn(spark, path, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        SnapshotLog.dropColumn(spark, path, d.fieldNames()(0))
       case c =>
         throw new UnsupportedOperationException(
           s"snapshot catalog: unsupported ALTER TABLE change $c " +
-            "(only top-level ADD COLUMN)"
+            "(top-level ADD/RENAME/DROP COLUMN only)"
         )
     }
-    SnapshotSql.requireSupported(StructType(added))
-    SnapshotLog.commitLanded(spark, path, Nil, StructType(current.fields ++ added))
+    val toAdd = added.result()
+    if (toAdd.nonEmpty) {
+      SnapshotSql.requireSupported(StructType(toAdd))
+      // re-read the tip: a rename/drop in the same ALTER already
+      // committed, and adding against the stale schema would resurrect
+      // the old names
+      val tipNow = SnapshotLog
+        .tableSchema(spark, path, SnapshotLog.versions(spark, path).last)
+        .getOrElse(current)
+      // a mapped table's new column gets a FRESH physical name — the
+      // added name may equal a dropped column's physical spelling in
+      // old files, which must stay invisible
+      val stamped =
+        if (!SnapshotLog.isMapped(tipNow)) toAdd
+        else
+          toAdd.map(f =>
+            StructField(
+              f.name, f.dataType, f.nullable,
+              new MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(
+                  "graftPhys",
+                  s"${f.name}__p${UUID.randomUUID.toString.take(8)}")
+                .build()))
+      SnapshotLog.commitLanded(spark, path, Nil, StructType(tipNow.fields ++ stamped))
+    }
     loadTable(ident)
   }
 
@@ -476,7 +510,8 @@ case class SnapshotSqlTable(
       s"snapshot catalog: cannot write to $ident pinned at VERSION AS OF $snapVersion"
     )
     SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
-    new SnapshotSqlWriteBuilder(path, info.schema(), info.queryId(), tipBucketSpec)
+    val (phys, commit) = SnapshotSql.mapWriteSchemas(dataSchema, info.schema())
+    new SnapshotSqlWriteBuilder(path, phys, commit, info.queryId(), tipBucketSpec)
   }
 
   // --- metadata-only DELETE + TRUNCATE ------------------------------
@@ -857,12 +892,17 @@ class SnapshotSqlScan(
         }.toArray
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // mapped tables: the reader must look up PHYSICAL column names in
+    // the files; rows bind positionally to the logical readSchema()
+    val physData = SnapshotLog.toPhysical(prunedSchema)
     SnapshotSqlReaderFactory(
-      readSchema(),
+      if (wantFile) physData.add(StructField("_file", StringType, nullable = false))
+      else physData,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       appendFileName = wantFile
     )
+  }
 
   /** EXACT post-pruning size/rows from the manifest riders — Catalyst's
     * broadcast decision sees real numbers, zero file opens. */
@@ -1026,8 +1066,10 @@ class SnapshotRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          SnapshotReplaceBatchWrite(path, info.schema(), SnapshotRowLevelOperation.this)
+        override def toBatch: BatchWrite = {
+          val (phys, commit) = SnapshotSql.mapWriteSchemas(dataSchema, info.schema())
+          SnapshotReplaceBatchWrite(path, phys, commit, SnapshotRowLevelOperation.this)
+        }
       }
     }
 }
@@ -1114,16 +1156,21 @@ class SnapshotRowLevelScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotSqlReaderFactory(
-      readSchema(), // data columns + trailing _file
+      // data columns under their PHYSICAL names + trailing _file
+      SnapshotLog.toPhysical(dataSchema)
+        .add(StructField("_file", StringType, nullable = false)),
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       appendFileName = true)
 }
 
 /** Commit side of the rewrite: replace the scanned groups with the
-  * written survivors in one replace-delta commit. */
+  * written survivors in one replace-delta commit. Mapped tables write
+  * files under `physSchema` (frozen physical names) and commit under
+  * `commitSchema` (logical names + mapping metadata). */
 case class SnapshotReplaceBatchWrite(
     path: String,
-    schema: StructType,
+    physSchema: StructType,
+    commitSchema: StructType,
     op: SnapshotRowLevelOperation
 ) extends BatchWrite {
 
@@ -1132,7 +1179,7 @@ case class SnapshotReplaceBatchWrite(
   ): DataWriterFactory =
     SnapshotSqlWriterFactory(
       path,
-      schema,
+      physSchema,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()))
 
@@ -1146,7 +1193,7 @@ case class SnapshotReplaceBatchWrite(
     // true no-op — don't burn a version on an empty replace
     if (removed.isEmpty && names.isEmpty) return
     SnapshotLog.commitLandedReplace(
-      SparkSession.active, path, names, schema, removed)
+      SparkSession.active, path, names, commitSchema, removed)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1165,7 +1212,8 @@ case class SnapshotReplaceBatchWrite(
 
 class SnapshotSqlWriteBuilder(
     path: String,
-    schema: StructType,
+    physSchema: StructType,
+    commitSchema: StructType,
     queryId: String,
     bucketSpec: Option[(String, Int)] = None
 ) extends WriteBuilder
@@ -1175,10 +1223,11 @@ class SnapshotSqlWriteBuilder(
   override def build(): Write = new Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
-      SnapshotSqlBatchWrite(path, schema, overwrite, bucketSpec)
+      SnapshotSqlBatchWrite(path, physSchema, commitSchema, overwrite, bucketSpec)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      SnapshotSqlStreamingWrite(path, schema, overwrite, queryId, bucketSpec)
+      SnapshotSqlStreamingWrite(
+        path, physSchema, commitSchema, overwrite, queryId, bucketSpec)
 
     /** A bucketed table asks Spark to CLUSTER incoming rows by the
       * SAME bucket function the layout uses (bound via the catalog's
@@ -1209,7 +1258,8 @@ class SnapshotSqlWriteBuilder(
   * mode (truncate) overwrites per epoch under the same replay key. */
 case class SnapshotSqlStreamingWrite(
     path: String,
-    schema: StructType,
+    physSchema: StructType,
+    commitSchema: StructType,
     overwrite: Boolean,
     queryId: String,
     bucketSpec: Option[(String, Int)] = None
@@ -1220,7 +1270,7 @@ case class SnapshotSqlStreamingWrite(
   ): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    SnapshotSqlStreamingWriterFactory(path, schema, conf, bucketSpec)
+    SnapshotSqlStreamingWriterFactory(path, physSchema, conf, bucketSpec)
   }
 
   override def commit(
@@ -1232,13 +1282,13 @@ case class SnapshotSqlStreamingWrite(
         case SnapshotSqlBucketedCommit(fs) => fs
       }.flatten
       SnapshotLog.commitLandedBucketed(
-        SparkSession.active, path, files, schema, c, n,
+        SparkSession.active, path, files, commitSchema, c, n,
         overwrite = overwrite,
         txnId = Some(s"sql-$queryId-$epochId"))
     case None =>
       val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n)) => n }
       SnapshotLog.commitLanded(
-        SparkSession.active, path, names, schema,
+        SparkSession.active, path, names, commitSchema,
         overwrite = overwrite,
         txnId = Some(s"sql-$queryId-$epochId"))
   }
@@ -1280,7 +1330,8 @@ case class SnapshotSqlStreamingWriterFactory(
 
 case class SnapshotSqlBatchWrite(
     path: String,
-    schema: StructType,
+    physSchema: StructType,
+    commitSchema: StructType,
     overwrite: Boolean,
     bucketSpec: Option[(String, Int)] = None
 ) extends BatchWrite {
@@ -1290,7 +1341,7 @@ case class SnapshotSqlBatchWrite(
   ): DataWriterFactory =
     SnapshotSqlWriterFactory(
       path,
-      schema,
+      physSchema,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()
       ),
@@ -1307,14 +1358,14 @@ case class SnapshotSqlBatchWrite(
           case SnapshotSqlBucketedCommit(fs) => fs
         }.flatten
         SnapshotLog.commitLandedBucketed(
-          SparkSession.active, path, files, schema, c, n,
+          SparkSession.active, path, files, commitSchema, c, n,
           overwrite = overwrite)
       case None =>
         val names = messages.toSeq.collect {
           case SnapshotSqlCommit(Some(n)) => n
         }
         SnapshotLog.commitLanded(
-          SparkSession.active, path, names, schema, overwrite = overwrite)
+          SparkSession.active, path, names, commitSchema, overwrite = overwrite)
     }
   }
 
@@ -1491,6 +1542,38 @@ class SnapshotParquetWriter(
   * `SnapshotLog`'s stats lifter understands; anything else refuses at
   * planning, before a task runs. */
 private[sources] object SnapshotSql {
+
+  /** Write-path schemas for a possibly column-mapped table:
+    * `(physSchema, commitSchema)` — the parquet writers spell the
+    * frozen PHYSICAL names, the manifest commit records the LOGICAL
+    * names with their mapping metadata. Identity for unmapped tables.
+    * A write naming a column the table doesn't have fails loudly (the
+    * catalog write surface can't add columns, so there is no fresh-name
+    * case here). */
+  def mapWriteSchemas(
+      tableSchema: StructType,
+      writeSchema: StructType
+  ): (StructType, StructType) =
+    if (!SnapshotLog.isMapped(tableSchema)) (writeSchema, writeSchema)
+    else {
+      val byName = tableSchema.fields.map(f => f.name -> f).toMap
+      val paired = writeSchema.fields.map { f =>
+        val tf = byName.getOrElse(
+          f.name,
+          throw new IllegalArgumentException(
+            s"snapshot catalog: write column '${f.name}' not in table schema " +
+              tableSchema.fieldNames.mkString(",")))
+        (f, tf)
+      }
+      (
+        StructType(paired.map { case (f, tf) =>
+          StructField(SnapshotLog.physNameOf(tf), f.dataType, f.nullable)
+        }),
+        StructType(paired.map { case (f, tf) =>
+          StructField(f.name, f.dataType, f.nullable, tf.metadata)
+        })
+      )
+    }
 
   /** Folds a conjunction of v2 predicates into a single LONG range on
     * one column: `=`, `<`, `<=`, `>`, `>=`, `AND`, and the always-true

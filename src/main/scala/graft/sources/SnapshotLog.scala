@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, MetadataBuilder, StructField, StructType}
 
 /** A from-scratch snapshot/manifest commit protocol over plain parquet —
   * the storage half of a transactional table format (the Delta/Iceberg
@@ -284,6 +284,45 @@ object SnapshotLog {
     headerToken(header(spark, table, version), "schema")
       .map(t => DataType.fromJson(unb64(t)).asInstanceOf[StructType])
 
+  // ------------------------------------------------------------------
+  // Column mapping (metadata-only RENAME/DROP COLUMN)
+  // ------------------------------------------------------------------
+
+  /** Physical (in-file) column name of a logical schema field. Tables
+    * start with physical == logical; the first RENAME/DROP COLUMN
+    * stamps every field with an explicit `graftPhys` and the table is
+    * thereafter MAPPED: renames change only the logical name (the
+    * physical name is frozen at birth, the Delta column-mapping
+    * posture), drops remove the field, and re-added names get FRESH
+    * physical names so data from a dropped column's files can never
+    * resurrect under a re-used name. */
+  private[graft] def physNameOf(f: StructField): String =
+    if (f.metadata.contains("graftPhys")) f.metadata.getString("graftPhys")
+    else f.name
+
+  private[graft] def isMapped(s: StructType): Boolean =
+    s.fields.exists(f => f.metadata.contains("graftPhys"))
+
+  /** The schema as the data files spell it (names swapped to physical,
+    * metadata dropped) — what every parquet read/write under a mapped
+    * table actually uses. */
+  private[graft] def toPhysical(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(physNameOf(f), f.dataType, f.nullable)))
+
+  /** Logical → physical name for stat lookups: manifest stats are keyed
+    * by the FILE's column names (they are lifted from footers), so every
+    * stats-driven API maps its caller's logical column first. Identity
+    * for unmapped tables and unknown columns. */
+  private def physColumn(
+      spark: SparkSession,
+      table: String,
+      version: Int,
+      column: String
+  ): String =
+    tableSchema(spark, table, version)
+      .flatMap(_.fields.find(_.name == column).map(physNameOf))
+      .getOrElse(column)
+
   /** int→long / float→double are the widenings Spark's parquet reader
     * performs natively when handed the wider read schema; anything else
     * that differs is an incompatible evolution and must fail loudly. */
@@ -305,7 +344,9 @@ object SnapshotLog {
         case None => f
         case Some(nf) =>
           widen(f.dataType, nf.dataType) match {
-            case Some(dt) => StructField(f.name, dt, nullable = true)
+            // the physical-name metadata must survive a widen — losing
+            // it would silently unmap a renamed column
+            case Some(dt) => StructField(f.name, dt, nullable = true, f.metadata)
             case None =>
               throw new IllegalArgumentException(
                 s"snapshot append: incompatible schema evolution on '${f.name}': " +
@@ -318,7 +359,10 @@ object SnapshotLog {
     }
     val currentNames = current.fieldNames.toSet
     val added = incoming.fields.filterNot(f => currentNames(f.name))
-    StructType(merged ++ added.map(f => StructField(f.name, f.dataType, nullable = true)))
+    // added fields keep their metadata: a mapped-table append stamps the
+    // writer-assigned fresh physical name there before the merge
+    StructType(
+      merged ++ added.map(f => StructField(f.name, f.dataType, nullable = true, f.metadata)))
   }
 
   /** Footer min/max stats suffix for one landed parquet file —
@@ -563,13 +607,14 @@ object SnapshotLog {
     // fail an incompatible evolution BEFORE staging any data (the
     // authoritative merge recomputes under the claim lock; this check
     // just keeps a doomed commit from landing orphan files)
-    if (!overwrite)
-      versions(spark, table).lastOption
-        .flatMap(tableSchema(spark, table, _))
-        .foreach(mergeSchemas(_, df.schema))
-    val landed = stageOnly(spark, table, df)
+    val tipSchema =
+      if (overwrite) None
+      else versions(spark, table).lastOption.flatMap(tableSchema(spark, table, _))
+    tipSchema.foreach(mergeSchemas(_, df.schema))
+    val (stagedDf, batchSchema) = mapForStage(tipSchema, df)
+    val landed = stageOnly(spark, table, stagedDf)
     commitLandedInternal(
-      spark, table, landed, df.schema, overwrite, txnId, replaceRemoved,
+      spark, table, landed, batchSchema, overwrite, txnId, replaceRemoved,
       dataChange)
   }
 
@@ -764,20 +809,32 @@ object SnapshotLog {
   /** Read of an explicit file subset under the version's recorded
     * schema — empty subsets are a valid empty table when the schema is
     * known (an all-files-removed overwrite, a fully-skipped probe). */
+  /** `aliasLogical = false` hands back the frame under PHYSICAL column
+    * names with no projection on top — required by the deletion-vector
+    * paths, which must still resolve `_metadata` (a projection would
+    * hide it); they re-alias to logical names themselves after their
+    * position columns are materialized. */
   private def readFiles(
       spark: SparkSession,
       table: String,
       files: Seq[String],
-      schema: Option[StructType]
+      schema: Option[StructType],
+      aliasLogical: Boolean = true
   ): DataFrame = (files, schema) match {
     case (Nil, Some(s)) =>
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (aliasLogical) s else toPhysical(s))
     case (Nil, None) =>
       throw new IllegalStateException(
         s"snapshot read: empty version of $table with no recorded schema " +
           "(pre-upgrade log?)"
       )
+    case (fsq, Some(s)) if isMapped(s) =>
+      // mapped table: the files spell physical names; read under them
+      // and surface the logical names (one zero-cost Project)
+      val phys = spark.read.schema(toPhysical(s)).parquet(fsq.map(n => dataPath(table, n)): _*)
+      if (aliasLogical) phys.toDF(s.fieldNames.toIndexedSeq: _*) else phys
     case (fsq, Some(s)) =>
       spark.read.schema(s).parquet(fsq.map(n => dataPath(table, n)): _*)
     case (fsq, None) => spark.read.parquet(fsq.map(n => dataPath(table, n)): _*)
@@ -829,9 +886,10 @@ object SnapshotLog {
     require(vs.nonEmpty, s"snapshot read: no commits in $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot read: version $v not in $vs")
+    val pc = physColumn(spark, table, v, column)
     val entries = manifestEntries(spark, table, v)
     val kept = entries.filter { e =>
-      entryStat(e, column) match {
+      entryStat(e, pc) match {
         case None => true // no stats / column unstated: must scan
         case Some(s) =>
           s.split(':') match {
@@ -866,9 +924,10 @@ object SnapshotLog {
     val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val dec = java.util.Base64.getUrlDecoder
+    val pc = physColumn(spark, table, v, column)
     val entries = manifestEntries(spark, table, v)
     val kept = entries.filter { e =>
-      entryStat(e, column) match {
+      entryStat(e, pc) match {
         case None => true
         case Some(s) =>
           s.split(':') match {
@@ -947,9 +1006,10 @@ object SnapshotLog {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot read: no commits in $table")
     val v = version.getOrElse(vs.last)
+    val pc = physColumn(spark, table, v, column)
     val entries = manifestEntries(spark, table, v)
     val parsed = entries.map { e =>
-      val rng = entryStat(e, column).flatMap(_.split(':') match {
+      val rng = entryStat(e, pc).flatMap(_.split(':') match {
         case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
         case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
         case _                  => None
@@ -1173,15 +1233,20 @@ object SnapshotLog {
       filePositions.map { case (n, p) => baseName(n) -> p })
     val wanted = udf((file: String, pos: Long) =>
       bc.value.get(file).exists(a => java.util.Arrays.binarySearch(a, pos) >= 0))
-    val base = readFiles(spark, table, filePositions.keys.toSeq.sorted, schema)
+    val base = readFiles(
+      spark, table, filePositions.keys.toSeq.sorted, schema, aliasLogical = false)
     val dataCols = base.columns.map(col)
-    base
+    val out = base
       .withColumn(
         "__graft_file",
         element_at(splitCol(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
       .where(wanted(col("__graft_file"), col("__graft_pos")))
       .select(dataCols: _*)
+    schema match {
+      case Some(s) if isMapped(s) => out.toDF(s.fieldNames.toIndexedSeq: _*)
+      case _                      => out
+    }
   }
 
   /** Dead positions of `file` at `version` (its entry's DV); empty
@@ -1511,8 +1576,9 @@ object SnapshotLog {
     // rather than guess (OPTIMIZE materializes the DV and restores
     // exactness)
     if (entries.exists(e => entryDv(e).isDefined)) return None
+    val pc = physColumn(spark, table, v, column)
     val ranges = entries.map { e =>
-      entryStat(e, column).flatMap(_.split(':') match {
+      entryStat(e, pc).flatMap(_.split(':') match {
         case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
         case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
         case _                  => None
@@ -1658,15 +1724,20 @@ object SnapshotLog {
       val bc = spark.sparkContext.broadcast(dvMap)
       val alive = udf((file: String, pos: Long) =>
         bc.value.get(file).forall(a => java.util.Arrays.binarySearch(a, pos) < 0))
-      val base = readFiles(spark, table, dvd.map(entryName), schema)
+      // physical names so `_metadata` stays resolvable; re-alias after
+      val base = readFiles(spark, table, dvd.map(entryName), schema, aliasLogical = false)
       val dataCols = base.columns.map(col)
-      val filtered = base
+      val filtered0 = base
         .withColumn(
           "__graft_file",
           element_at(splitCol(col("_metadata.file_path"), "/"), -1))
         .withColumn("__graft_pos", col("_metadata.row_index"))
         .where(alive(col("__graft_file"), col("__graft_pos")))
         .select(dataCols: _*)
+      val filtered = schema match {
+        case Some(s) if isMapped(s) => filtered0.toDF(s.fieldNames.toIndexedSeq: _*)
+        case _                      => filtered0
+      }
       if (plain.isEmpty) filtered
       else
         readFiles(spark, table, plain.map(entryName), schema)
@@ -1920,15 +1991,18 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
-    if (!overwrite)
-      versions(spark, table).lastOption
-        .flatMap(tableSchema(spark, table, _))
-        .foreach(mergeSchemas(_, df.schema))
+    val tipSchema =
+      if (overwrite) None
+      else versions(spark, table).lastOption.flatMap(tableSchema(spark, table, _))
+    tipSchema.foreach(mergeSchemas(_, df.schema))
+    // mapped tables stage under physical names (the bucket column's
+    // physical name equals its logical one — renaming it is refused)
+    val (stagedSrc, batchSchema) = mapForStage(tipSchema, df)
     val jobId = UUID.randomUUID.toString.take(8)
     val staging = new Path(s"$table/_staging/$jobId")
     // partitionBy keeps the bucket OUT of the data files (it lives in
     // the directory name) and the repartition bounds files-per-bucket
-    df.withColumn(
+    stagedSrc.withColumn(
         "__graft_bucket", pmod(col(bucketCol), lit(nBuckets)).cast("int"))
       .repartition(nBuckets, col("__graft_bucket"))
       .write.mode("overwrite").partitionBy("__graft_bucket")
@@ -1957,7 +2031,7 @@ object SnapshotLog {
       .zip(landed)
       .map { case (line, (_, b)) => s"$line;_bk=k:$b" }
     commitEntriesInternal(
-      spark, table, lines, df.schema, overwrite, None, None,
+      spark, table, lines, batchSchema, overwrite, None, None,
       dataChange = true,
       extraHeader = s"buckets=${b64(s"$bucketCol:$nBuckets")}")
   }
@@ -2013,17 +2087,19 @@ object SnapshotLog {
       table: String,
       version: Int,
       column: String
-  ): Seq[(String, Option[(Long, Long)])] =
+  ): Seq[(String, Option[(Long, Long)])] = {
+    val pc = physColumn(spark, table, version, column)
     manifestEntries(spark, table, version).map { e =>
       (
         entryName(e),
-        entryStat(e, column).flatMap(_.split(':') match {
+        entryStat(e, pc).flatMap(_.split(':') match {
           case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
           case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
           case _                  => None
         })
       )
     }
+  }
 
   /** Per-file layout riders at `version`: (name, bucket id, deletion-
     * vector sidecar) — the SQL catalog's planning view for
@@ -2058,12 +2134,19 @@ object SnapshotLog {
     val bc = spark.sparkContext.broadcast(dvMap)
     val alive = udf((file: String, pos: Long) =>
       bc.value.get(file).forall(a => java.util.Arrays.binarySearch(a, pos) < 0))
-    readFiles(spark, table, entries.map(entryName), schema)
+    val withPos = readFiles(
+      spark, table, entries.map(entryName), schema, aliasLogical = false)
       .withColumn(
         "__graft_file",
         element_at(splitCol(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
       .where(alive(col("__graft_file"), col("__graft_pos")))
+    schema match {
+      case Some(s) if isMapped(s) =>
+        // alias the data prefix back to logical, keep the position cols
+        withPos.toDF(s.fieldNames.toIndexedSeq ++ Seq("__graft_file", "__graft_pos"): _*)
+      case _ => withPos
+    }
   }
 
   /** MERGE-ON-READ update of `column ∈ [lo, hi]`: one atomic commit
@@ -2166,6 +2249,143 @@ object SnapshotLog {
     * died inside [[stageOnly]] left behind. Returns the deleted names.
     * Production note: a real retention policy also expires OLD versions
     * first; this keeps every committed version readable. */
+  // ------------------------------------------------------------------
+  // Metadata-only RENAME/DROP COLUMN
+  // ------------------------------------------------------------------
+
+  /** Schema-only commit: the tip's manifest entries carry VERBATIM
+    * under a new schema — `datachange=false` (no row changed, the
+    * change feed and insert-only streams skip it), zero data IO. The
+    * ALTER TABLE primitive. */
+  private def commitSchemaOnly(
+      spark: SparkSession,
+      table: String,
+      schema: StructType,
+      what: String
+  ): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot alter: no commits in $table")
+    commitEntriesInternal(
+      spark, table, manifestEntries(spark, table, vs.last), schema,
+      overwrite = true, None, None, dataChange = false,
+      extraHeader = s"alter=$what")
+  }
+
+  /** Mapped-table staging: rename the batch's columns to the frozen
+    * PHYSICAL names so every data file spells columns identically
+    * regardless of rename history. A genuinely new column gets a
+    * writer-assigned fresh physical name, decided HERE (not from the
+    * racing version number) and carried into the commit via the batch
+    * schema's metadata — a lost version race retries the manifest
+    * only, never re-stages, so the name in the file and the name in
+    * the schema cannot diverge. Identity for unmapped tables. */
+  private def mapForStage(
+      tipSchema: Option[StructType],
+      df: DataFrame
+  ): (DataFrame, StructType) = tipSchema match {
+    case Some(ts) if isMapped(ts) =>
+      val physFor = ts.fields.map(f0 => f0.name -> physNameOf(f0)).toMap
+      val assigned = df.schema.fields.map { fld =>
+        val p = physFor.getOrElse(
+          fld.name, s"${fld.name}__p${UUID.randomUUID.toString.take(8)}")
+        (fld, p)
+      }
+      val renamed = df.toDF(assigned.map(_._2).toIndexedSeq: _*)
+      val bs = StructType(assigned.map { case (fld, p) =>
+        StructField(
+          fld.name, fld.dataType, fld.nullable,
+          new MetadataBuilder()
+            .withMetadata(fld.metadata).putString("graftPhys", p).build())
+      })
+      (renamed, bs)
+    case _ => (df, df.schema)
+  }
+
+  /** Every field stamped with an explicit physical name — entering
+    * MAPPED mode freezes each column's in-file spelling at what it is
+    * today. */
+  private def stampPhys(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains("graftPhys")) f
+      else
+        StructField(
+          f.name, f.dataType, f.nullable,
+          new MetadataBuilder()
+            .withMetadata(f.metadata).putString("graftPhys", f.name).build())
+    })
+
+  /** METADATA-ONLY column rename: one schema commit, zero files
+    * touched — at 100 TB the rename costs one manifest write where a
+    * rewrite costs the table. The physical name freezes at the
+    * column's birth name; reads map physical → logical, writes map
+    * logical → physical, and manifest-stats skipping keys through the
+    * mapping, so pruning on the renamed column keeps working. Renaming
+    * the declared bucket column refuses (the layout claim names it);
+    * re-using a live name refuses. Returns the new version. */
+  def renameColumn(
+      spark: SparkSession,
+      table: String,
+      from: String,
+      to: String
+  ): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot rename-column: no commits in $table")
+    val cur = tableSchema(spark, table, vs.last).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot rename-column: $table has no recorded schema (pre-upgrade log?)"))
+    require(
+      cur.fieldNames.contains(from),
+      s"snapshot rename-column: no column '$from' in ${cur.fieldNames.mkString(",")}")
+    require(
+      !cur.fieldNames.contains(to),
+      s"snapshot rename-column: column '$to' already exists")
+    require(
+      to.nonEmpty && !to.contains('\t') && !to.contains(';') && !to.contains('='),
+      s"snapshot rename-column: invalid column name '$to'")
+    bucketSpec(spark, table, vs.last).foreach { case (bc, _) =>
+      require(
+        bc != from,
+        s"snapshot rename-column: '$from' is the declared bucket column — " +
+          "drop the bucket layout (un-bucketed rewrite) before renaming it")
+    }
+    val next = StructType(stampPhys(cur).fields.map { f =>
+      if (f.name == from) StructField(to, f.dataType, f.nullable, f.metadata)
+      else f
+    })
+    commitSchemaOnly(spark, table, next, s"rename-${b64(s"$from>$to")}")
+  }
+
+  /** METADATA-ONLY column drop: the field leaves the schema; the bytes
+    * stay where they are (retention reclaims them with their files).
+    * Reads never request the dead physical column again, and a later
+    * re-ADD of the same logical name gets a FRESH physical name — old
+    * files' values can never resurrect under the re-used name (the
+    * hazard that forces Iceberg/Delta to field IDs, closed here by the
+    * writer-assigned fresh names). Dropping the bucket column or the
+    * last column refuses. */
+  def dropColumn(
+      spark: SparkSession,
+      table: String,
+      name: String
+  ): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot drop-column: no commits in $table")
+    val cur = tableSchema(spark, table, vs.last).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot drop-column: $table has no recorded schema (pre-upgrade log?)"))
+    require(
+      cur.fieldNames.contains(name),
+      s"snapshot drop-column: no column '$name' in ${cur.fieldNames.mkString(",")}")
+    require(cur.fields.length > 1, "snapshot drop-column: cannot drop the last column")
+    bucketSpec(spark, table, vs.last).foreach { case (bc, _) =>
+      require(
+        bc != name,
+        s"snapshot drop-column: '$name' is the declared bucket column")
+    }
+    val next = StructType(stampPhys(cur).fields.filterNot(_.name == name))
+    commitSchemaOnly(spark, table, next, s"drop-${b64(name)}")
+  }
+
   // ------------------------------------------------------------------
   // Tags and branches (write–audit–publish)
   // ------------------------------------------------------------------

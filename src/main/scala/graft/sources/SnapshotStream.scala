@@ -279,7 +279,10 @@ class GraftSnapshotMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftSnapshotReaderFactory(
-      schema,
+      // a column-mapped table's files spell PHYSICAL names; the reader
+      // looks columns up by name, rows bind to the stream's logical
+      // schema positionally (CDF rider columns are identity-mapped)
+      SnapshotLog.toPhysical(schema),
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       readChangeFeed
     )

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{SnapshotCatalog, SnapshotLog}
@@ -453,6 +455,61 @@ class CatalogSpec extends SparkTestBase {
     assert(rs.get.group(1).contains("b"))
     assert(!rs.get.group(1).contains("a:"), s"unpruned: ${rs.get.matched}")
     assert(q.head.getDouble(0) == (0 until 10).map(_.toDouble).sum)
+  }
+
+  test("ALTER TABLE RENAME COLUMN: metadata-only, DML and filters work on the new name") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(1, 21)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO score")
+    assert(spark.sql(s"SELECT score FROM $t WHERE id = 4").head.getLong(0) == 8L)
+    assert(spark.table(t).columns.toSeq == Seq("id", "score"))
+    // INSERT under the new name lands physical-name files; reads unify
+    spark.sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(21, 31)")
+    assert(spark.sql(s"SELECT sum(score) FROM $t").head.getLong(0) ==
+      (1L to 30L).map(_ * 2).sum)
+    // row-level DML through the mapping: UPDATE on the renamed column
+    spark.sql(s"UPDATE $t SET score = 0 WHERE id <= 5")
+    assert(spark.sql(s"SELECT sum(score) FROM $t").head.getLong(0) ==
+      (6L to 30L).map(_ * 2).sum)
+    // renaming to a live name refuses
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN score TO id"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("ALTER TABLE DROP COLUMN + re-ADD: nulls, never resurrected bytes") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, c BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 7 FROM range(1, 6)")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN c")
+    assert(spark.table(t).columns.toSeq == Seq("id"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMN c BIGINT")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1000 FROM range(6, 9)")
+    val rows = spark.sql(s"SELECT id, c FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq ==
+      ((1L to 5L).map((_, -1L)) ++ (6L to 8L).map(i => (i, i * 1000))),
+      s"got ${rows.mkString(",")}")
+    // metadata aggregate pushdown stays EXACT through the mapping
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 8L)
+  }
+
+  test("streaming read of a renamed table delivers logical columns") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id + 100 FROM range(1, 6)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO score")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.table(t).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => out.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(out.asScala.toSet == (1L to 5L).map(i => (i, i + 100)).toSet)
   }
 
   test("CALL restore rolls a catalog table back to a version, metadata-only") {

@@ -723,6 +723,94 @@ class SnapshotSpec extends SparkTestBase {
       SnapshotLog.tagCreate(spark, t, "bad name with spaces"))
   }
 
+  // ---- metadata-only RENAME/DROP COLUMN (column mapping) ----
+
+  test("renameColumn is metadata-only: values read under the new name, zero files touched") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 50L).map(i => (i, i * 2)).toDF("id", "v"))
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def disk(): Set[String] = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(t))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val before = disk()
+    val v = SnapshotLog.renameColumn(spark, t, "v", "val2")
+    assert(v == 2 && disk() == before, "rename must not touch a data file")
+    val df = SnapshotLog.read(spark, t)
+    assert(df.columns.toSeq == Seq("id", "val2"))
+    assert(df.filter(col("id") === 7).select("val2").collect()(0).getLong(0) == 14)
+    // time travel reads v1 under the OLD name
+    assert(SnapshotLog.read(spark, t, Some(1)).columns.toSeq == Seq("id", "v"))
+    // refusals: unknown source, live target
+    intercept[IllegalArgumentException](SnapshotLog.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](SnapshotLog.renameColumn(spark, t, "id", "val2"))
+  }
+
+  test("stats pruning keys through the rename: the new name still skips files") {
+    import spark.implicits._
+    val t = freshTable()
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, i * 10)).toDF("k", "v").repartitionByRange(2, col("k"))
+    SnapshotLog.commit(spark, t, batch(1, 100))
+    SnapshotLog.commit(spark, t, batch(101, 200))
+    SnapshotLog.renameColumn(spark, t, "k", "key")
+    val (kept, total) = SnapshotLog.prunedFiles(spark, t, "key", 120, 180)
+    assert(total == 4 && kept.size <= 2, s"renamed column must still prune: $kept/$total")
+    val got = SnapshotLog.readPruned(spark, t, "key", 120, 180)
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(got == (120L to 180L).toSet)
+  }
+
+  test("append after rename lands physical names; old and new files read as one") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 10L).map(i => (i, i + 100)).toDF("id", "v"))
+    SnapshotLog.renameColumn(spark, t, "v", "score")
+    // append under the LOGICAL name; the file must spell the physical one
+    SnapshotLog.commit(spark, t, (11L to 20L).map(i => (i, i + 100)).toDF("id", "score"))
+    val all = SnapshotLog.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.toSeq == (1L to 20L).map(i => (i, i + 100)))
+    // the new file's footer stats rider is keyed by the PHYSICAL name
+    // (v), which is exactly why pruning maps through the schema
+    val entries = SnapshotLog.manifestEntries(spark, t, SnapshotLog.versions(spark, t).last)
+    assert(entries.exists(_.contains("v=l:")), s"physical stats key expected: $entries")
+    assert(!entries.exists(_.contains("score=l:")), "no file may spell the logical name")
+  }
+
+  test("dropColumn then re-add: old values can never resurrect under the re-used name") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).map(i => (i, i * 7)).toDF("id", "c"))
+    SnapshotLog.dropColumn(spark, t, "c")
+    assert(SnapshotLog.read(spark, t).columns.toSeq == Seq("id"))
+    // re-add the same logical name by appending rows that carry it
+    SnapshotLog.commit(spark, t, (6L to 8L).map(i => (i, i * 1000)).toDF("id", "c"))
+    val rowsOut = SnapshotLog.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rowsOut.toSeq ==
+      ((1L to 5L).map(i => (i, None)) ++ (6L to 8L).map(i => (i, Some(i * 1000)))),
+      s"dropped data resurfaced: ${rowsOut.mkString(",")}")
+    intercept[IllegalArgumentException](SnapshotLog.dropColumn(spark, t, "nope"))
+  }
+
+  test("MoR delete subtracts correctly on a renamed table (DV path re-aliases)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t,
+      (1L to 40L).map(i => (i, i * 3)).toDF("id", "v").repartitionByRange(2, col("id")))
+    SnapshotLog.renameColumn(spark, t, "id", "key")
+    val (_, amended, _) = SnapshotLog.deleteWhereMoR(spark, t, "key", 10, 15)
+    assert(amended.nonEmpty)
+    val keys = SnapshotLog.read(spark, t).select("key").collect().map(_.getLong(0)).toSet
+    assert(keys == ((1L to 9L) ++ (16L to 40L)).toSet)
+    // and the change feed across the rename+delete stays coherent
+    val ch = SnapshotLog.readChanges(spark, t, 2, 3)
+    assert(ch.filter(col("change_type") === "delete").count() == 6)
+  }
+
   test("publish of a branch carrying a MoR deletion vector moves the sidecar") {
     import spark.implicits._
     val t = freshTable()
