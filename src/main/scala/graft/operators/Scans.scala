@@ -1575,6 +1575,39 @@ object Scans {
          |FROM $cat.main.orders_drop ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** SQL tag travel (round 11 cont.): `VERSION AS OF '<tag>'` resolves
+    * a NAMED ref — two shards land via CTAS, `CALL system.tag` pins
+    * `baseline` at that snapshot, a third shard inserts after, and the
+    * graded query reads the TAG through pure SQL. The oracle recomputes
+    * the first two shards, so a tag that followed the tip or resolved
+    * to the wrong version breaks the hash. Unknown tags refuse loudly
+    * (pinned inline). */
+  val sqlTimeTravelTag: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_tagsql")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c2 = 2 * (maxK / 3)
+    o.createOrReplaceTempView("graft_tagsql_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_tagsql AS
+         |SELECT * FROM graft_tagsql_src WHERE o_orderkey <= $c2""".stripMargin)
+    spark.sql(s"CALL $cat.system.tag(table => 'main.orders_tagsql', name => 'baseline')")
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_tagsql
+         |SELECT * FROM graft_tagsql_src WHERE o_orderkey > $c2""".stripMargin)
+    val bad = scala.util.Try(
+      spark.sql(
+        s"SELECT * FROM $cat.main.orders_tagsql VERSION AS OF 'nope'").collect())
+    require(bad.isFailure, "an unknown tag must refuse, not fall back to the tip")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $cat.main.orders_tagsql VERSION AS OF 'baseline'
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -2318,6 +2351,7 @@ object Scans {
     "sql_agg_pushdown" -> sqlAggPushdown,
     "sql_rename_col" -> sqlRenameCol,
     "sql_drop_col" -> sqlDropCol,
+    "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -2451,6 +2485,13 @@ object Scans {
         | CAST(min(o_orderkey) AS BIGINT) AS min_key,
         | CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders""".stripMargin,
+    // VERSION AS OF '<tag>': the named ref resolves to exactly the two
+    // shards it pinned — tip-following or mis-resolution breaks the hash
+    "sql_time_travel_tag" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey <= 2 * b.c1
+        |ORDER BY o_orderkey""".stripMargin,
     // metadata-only rename: the whole table reads under the new name,
     // pre- and post-rename files alike
     "sql_rename_col" ->

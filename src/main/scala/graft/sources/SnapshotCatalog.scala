@@ -128,18 +128,24 @@ class SnapshotCatalog
     SnapshotSqlTable(spark, tablePath(ident), ident.toString, None)
   }
 
-  /** `VERSION AS OF <v>` — pins the named commit. */
+  /** `VERSION AS OF <v>` — pins the named commit. A non-numeric
+    * version string resolves as a TAG name (`VERSION AS OF 'baseline'`,
+    * the Iceberg ref-travel idiom); an unknown tag refuses loudly. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = tablePath(ident)
     val v =
       try version.toInt
       catch {
         case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"snapshot catalog: VERSION AS OF wants a commit number, got '$version'"
-          )
+          SnapshotLog.tagVersion(spark, path, version).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapshot catalog: VERSION AS OF wants a commit number or a " +
+                s"tag name; '$version' is neither (tags: " +
+                s"${SnapshotLog.tags(spark, path).keys.toSeq.sorted.mkString(",")})"
+            ))
       }
-    SnapshotSqlTable(spark, tablePath(ident), ident.toString, Some(v))
+    SnapshotSqlTable(spark, path, ident.toString, Some(v))
   }
 
   /** `TIMESTAMP AS OF <t>` (micros since epoch) — the latest commit
@@ -1745,7 +1751,9 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Array[String] =
-    Array("optimize", "vacuum", "expire", "describe_history", "restore")
+    Array(
+      "optimize", "vacuum", "expire", "describe_history", "restore",
+      "tag", "tag_delete", "branch", "publish", "branch_drop")
 
   private def spark = SparkSession.active
 
@@ -1855,6 +1863,87 @@ private[sources] object SnapshotProcedures {
               spark, resolve(in.getUTF8String(0).toString), in.getInt(1))
             Seq(new GenericInternalRow(
               Array[Any](v, readded.size, dropped.size)))
+          }
+        )
+      case "tag" =>
+        proc(
+          "tag",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build(),
+            ProcedureParameter.in("version", IntegerType)
+              .defaultValue("0").build() // 0 = tip
+          ),
+          StructType(Seq(StructField("version", IntegerType))),
+          in => {
+            val table = resolve(in.getUTF8String(0).toString)
+            val v = in.getInt(2)
+            val tagged = SnapshotLog.tagCreate(
+              spark, table, in.getUTF8String(1).toString,
+              if (v > 0) Some(v) else None)
+            Seq(new GenericInternalRow(Array[Any](tagged)))
+          }
+        )
+      case "tag_delete" =>
+        proc(
+          "tag_delete",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build()
+          ),
+          StructType(Seq(StructField("deleted", BooleanType))),
+          in => {
+            SnapshotLog.tagDelete(
+              spark, resolve(in.getUTF8String(0).toString),
+              in.getUTF8String(1).toString)
+            Seq(new GenericInternalRow(Array[Any](true)))
+          }
+        )
+      case "branch" =>
+        proc(
+          "branch",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build()
+          ),
+          StructType(Seq(StructField("branch_path", StringType))),
+          in => {
+            val dir = SnapshotLog.branchCreate(
+              spark, resolve(in.getUTF8String(0).toString),
+              in.getUTF8String(1).toString)
+            Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(dir))))
+          }
+        )
+      case "publish" =>
+        proc(
+          "publish",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build()
+          ),
+          StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("moved_files", IntegerType))),
+          in => {
+            val (v, moved) = SnapshotLog.publish(
+              spark, resolve(in.getUTF8String(0).toString),
+              in.getUTF8String(1).toString)
+            Seq(new GenericInternalRow(Array[Any](v, moved.size)))
+          }
+        )
+      case "branch_drop" =>
+        proc(
+          "branch_drop",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("name", StringType).build()
+          ),
+          StructType(Seq(StructField("dropped", BooleanType))),
+          in => {
+            SnapshotLog.branchDrop(
+              spark, resolve(in.getUTF8String(0).toString),
+              in.getUTF8String(1).toString)
+            Seq(new GenericInternalRow(Array[Any](true)))
           }
         )
       case "describe_history" =>

@@ -512,6 +512,39 @@ class CatalogSpec extends SparkTestBase {
     assert(out.asScala.toSet == (1L to 5L).map(i => (i, i + 100)).toSet)
   }
 
+  test("CALL tag/branch/publish: the SQL write-audit-publish flow") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(1, 11)")
+    // tag the clean state; audit work goes to a branch
+    val tagged = spark.sql(
+      s"CALL cattest.system.tag(table => '$short', name => 'clean')").head.getInt(0)
+    assert(tagged == 2)
+    val branchPath = spark.sql(
+      s"CALL cattest.system.branch(table => '$short', name => 'audit')")
+      .head.getString(0)
+    SnapshotLog.commit(
+      spark, branchPath, spark.range(11, 21).select(col("id")))
+    // main unchanged until publish; the tag travels by name in SQL
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10L)
+    val res = spark.sql(
+      s"CALL cattest.system.publish(table => '$short', name => 'audit')").head
+    assert(res.getInt(0) == 3 && res.getInt(1) > 0)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'clean'")
+      .head.getLong(0) == 10L)
+    // a dropped branch leaves no trace
+    spark.sql(s"CALL cattest.system.branch(table => '$short', name => 'junk')")
+    spark.sql(s"CALL cattest.system.branch_drop(table => '$short', name => 'junk')")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20L)
+    // tag_delete releases the name for re-use
+    spark.sql(s"CALL cattest.system.tag_delete(table => '$short', name => 'clean')")
+    assert(spark.sql(
+      s"CALL cattest.system.tag(table => '$short', name => 'clean')")
+      .head.getInt(0) == 3)
+  }
+
   test("CALL restore rolls a catalog table back to a version, metadata-only") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
