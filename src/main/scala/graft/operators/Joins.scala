@@ -532,6 +532,68 @@ object Joins {
       | ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** SPATIAL radius join via grid-cell binning (round 11 cont.), the
+    * canonical distributed spatial-join shape. Points live on an
+    * integer 1000×1000 grid (coordinates derived deterministically
+    * from the keys, so the oracle is integer-exact — no float libm
+    * seam); the query finds every (customer, supplier) pair within
+    * Euclidean distance 5. The naive plan is a cartesian product; here
+    * each point maps to a radius-sized grid CELL, the smaller side
+    * replicates to its 3×3 cell neighborhood (bounded ×9 fan-out,
+    * broadcast-joined when small), and the join becomes an EQUI-join
+    * on the cell with the exact distance predicate as a residual —
+    * each pair meets at most once because the probe's cell is unique,
+    * so no dedup pass. Pinned inline: the plan contains NO cartesian
+    * or nested-loop join. At 100 TB this is one shuffle keyed by cell;
+    * skewed cells fall out of AQE like any other equi-join skew. */
+  val joinGeoGrid: Q = (spark, dir) => {
+    val cell = 5
+    val c = Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        (col("c_custkey") % 1000).as("x"),
+        ((col("c_custkey") * 7) % 1000).as("y"))
+      .withColumn("cx", col("x") / cell cast "long")
+      .withColumn("cy", col("y") / cell cast "long")
+    val offsets = array(
+      (for { i <- -1 to 1; j <- -1 to 1 }
+        yield struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"))): _*)
+    val s = Tables
+      .supplier(spark, dir)
+      .select(
+        col("s_suppkey"),
+        (col("s_suppkey") % 1000).as("sx"),
+        ((col("s_suppkey") * 13) % 1000).as("sy"))
+      .withColumn("o", explode(offsets))
+      .withColumn("cx", (col("sx") / cell cast "long") + col("o.di"))
+      .withColumn("cy", (col("sy") / cell cast "long") + col("o.dj"))
+      .drop("o")
+    val d2 = (col("x") - col("sx")) * (col("x") - col("sx")) +
+      (col("y") - col("sy")) * (col("y") - col("sy"))
+    val out = c
+      .join(s, Seq("cx", "cy"))
+      .filter(d2 <= cell * cell)
+      .select(col("c_custkey"), col("s_suppkey"), d2.cast("long").as("d2"))
+      .orderBy("c_custkey", "s_suppkey")
+    val plan = out.queryExecution.executedPlan.toString
+    require(
+      !plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the grid join must never fall back to a cartesian plan: $plan")
+    out
+  }
+
+  private val joinGeoGridSql =
+    """WITH c AS (SELECT c_custkey, c_custkey % 1000 AS x,
+      |                  (c_custkey * 7) % 1000 AS y FROM customer),
+      |     s AS (SELECT s_suppkey, s_suppkey % 1000 AS sx,
+      |                  (s_suppkey * 13) % 1000 AS sy FROM supplier)
+      |SELECT c.c_custkey, s.s_suppkey,
+      |       (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) AS d2
+      |FROM c, s
+      |WHERE (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) <= 25
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   /** Interval-overlap join, NLJ-free: per-(user, day) activity spans
     * [min ts, max ts] against a daily audit window (10:30–14:45,
     * half-open). The naive plan is a nested-loop over the raw overlap
@@ -598,6 +660,7 @@ object Joins {
   val queries: Map[String, Q] = Map(
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_range_binned" -> joinRangeBinned,
+    "join_geo_grid" -> joinGeoGrid,
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "join_salted" -> joinSalted,
@@ -617,6 +680,7 @@ object Joins {
 
   val oracles: Map[String, String] = Map(
     "join_interval_overlap" -> joinIntervalOverlapSql,
+    "join_geo_grid" -> joinGeoGridSql,
     "join_asof_fwd" -> joinAsofFwdSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "join_range_binned" -> joinRangeBinnedSql,

@@ -1282,6 +1282,90 @@ object Scans {
     SnapshotLog.read(spark, dst).orderBy("o_orderkey")
   }
 
+  /** Streaming CDF APPLY (round 11 cont.): row-level replication WITH
+    * deletes — the half etl_snapshot_replicate (insert-only) cannot
+    * express. The source takes two range-sharded appends, a
+    * MERGE-ON-READ delete (positions entering a DV), and a third
+    * append; the change feed streams out as tagged delete/insert rows
+    * and a foreachBatch consumer APPLIES them to a replica table:
+    * versions apply in commit order (a batch may span several), each
+    * through [[graft.sources.SnapshotLog.mergeCoW]] — file-granular:
+    * only replica files whose stats admit a changed key rewrite,
+    * everything else carries by reference — under a
+    * (checkpoint, version)-scoped idempotent txn, so a crash-replayed
+    * batch re-applies harmlessly. The oracle recomputes the source's
+    * final live state; a dropped delete, a double-applied insert, or a
+    * mis-ordered version breaks the hash. */
+  val streamCdfApply: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val src = tmp("orders_snapshot_cdfapply_src")
+    val dst = tmp("orders_snapshot_cdfapply_dst")
+    val fsys = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(src), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val mid = (3 * c1) / 2
+    SnapshotLog.commit(
+      spark, src,
+      o.filter(col("o_orderkey") <= c1).repartitionByRange(2, col("o_orderkey")))
+    SnapshotLog.commit(
+      spark, src,
+      o.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2)
+        .repartitionByRange(2, col("o_orderkey")))
+    SnapshotLog.deleteWhereMoR(spark, src, "o_orderkey", c1 + 1, mid)
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") > c2))
+    val q = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("readChangeFeed", "true")
+      // startingVersion is EXCLUSIVE (the consumer's base snapshot);
+      // 0 = replicate from the very first commit
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2")
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", s"$dst/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val dataCols = batch.columns
+          .filterNot(c => c == "change_type" || c == "commit_version")
+        val cached = batch.cache()
+        try {
+          val versionsIn = cached.select("commit_version").distinct()
+            .collect().map(_.getInt(0)).sorted
+          versionsIn.foreach { v =>
+            val ofV = cached.filter(col("commit_version") === v)
+            val dels = ofV.filter(col("change_type") === "delete")
+              .select(dataCols.map(col): _*)
+            val ins = ofV.filter(col("change_type") === "insert")
+              .select(dataCols.map(col): _*)
+            val txn = s"cdf-$batchId-$v"
+            if (SnapshotLog.versions(spark, dst).isEmpty)
+              SnapshotLog.commitIdempotent(spark, dst, ins, txn)
+            else {
+              val keys = dels.select("o_orderkey").union(ins.select("o_orderkey"))
+              SnapshotLog.mergeCoW(
+                spark, dst, "o_orderkey", keys,
+                base =>
+                  base
+                    .join(dels.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+                    .unionByName(ins),
+                txnId = Some(txn))
+            }
+          }
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    SnapshotLog.read(spark, dst).orderBy("o_orderkey")
+  }
+
   /** DESCRIBE HISTORY (round 11): the commit ledger as data — action,
     * data-change flag, txn id, and the live ROW total per version,
     * summed from the manifest's `_rc` row-count riders (written from
@@ -1606,6 +1690,60 @@ object Scans {
       s"""SELECT o_orderkey, o_custkey, o_totalprice
          |FROM $cat.main.orders_tagsql VERSION AS OF 'baseline'
          |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** INGESTION-TIME clustering (round 11 cont.): `CREATE TABLE ...
+    * TBLPROPERTIES ('sorted_by' = 'o_orderkey')` makes every plain
+    * `INSERT INTO` range-partition + sort on the declared column
+    * (`RequiresDistributionAndOrdering`), so each task writes a tight
+    * disjoint key slice and footer-stats skipping prunes from the very
+    * first insert — no OPTIMIZE pass, no hive partitions, no
+    * small-file explosion. Pinned inline: a narrow-range probe keeps
+    * at most 2 of the sorted table's files but would keep ALL files of
+    * an identically-inserted unsorted twin (the layout, not the data,
+    * is what prunes). The oracle recomputes the range aggregate, so
+    * the sort cannot have lost or duplicated rows. */
+  val sinkSortedInsert: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    Seq("orders_sorted", "orders_unsorted").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.main.$t"))
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    // shuffle the source order so the sort is doing real work
+    o.orderBy("o_custkey", "o_orderkey").createOrReplaceTempView("graft_sorted_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_sorted
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('sorted_by' = 'o_orderkey',
+         |               'sorted_partitions' = '8')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_unsorted
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.main.orders_sorted SELECT * FROM graft_sorted_src")
+    spark.sql(s"INSERT INTO $cat.main.orders_unsorted SELECT * FROM graft_sorted_src")
+    val sortedPath = tmp("sql_warehouse") + "/main/orders_sorted"
+    val unsortedPath = tmp("sql_warehouse") + "/main/orders_unsorted"
+    val probe = (maxK / 2, maxK / 2 + maxK / 20)
+    val (keptS, totalS) =
+      SnapshotLog.prunedFiles(spark, sortedPath, "o_orderkey", probe._1, probe._2)
+    val (keptU, totalU) =
+      SnapshotLog.prunedFiles(spark, unsortedPath, "o_orderkey", probe._1, probe._2)
+    require(
+      totalS >= 6 && keptS.size <= 2,
+      s"sorted ingestion must prune a narrow probe: kept ${keptS.size}/$totalS")
+    require(
+      keptU.size == totalU,
+      s"the unsorted twin must NOT prune (else the pin proves nothing): " +
+        s"${keptU.size}/$totalU")
+    spark.sql(
+      s"""SELECT o_custkey, count(*) AS n,
+         |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+         |FROM $cat.main.orders_sorted
+         |WHERE o_orderkey BETWEEN ${probe._1} AND ${probe._2}
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
@@ -2327,6 +2465,7 @@ object Scans {
     "scan_zorder_pruned" -> scanZorderPruned,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_changes_feed" -> streamChangesFeed,
+    "stream_cdf_apply" -> streamCdfApply,
     "etl_snapshot_replicate" -> etlSnapshotReplicate,
     "etl_snapshot_history" -> etlSnapshotHistory,
     "source_avro" -> sourceAvro,
@@ -2352,6 +2491,7 @@ object Scans {
     "sql_rename_col" -> sqlRenameCol,
     "sql_drop_col" -> sqlDropCol,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
+    "sink_sorted_insert" -> sinkSortedInsert,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -2485,6 +2625,22 @@ object Scans {
         | CAST(min(o_orderkey) AS BIGINT) AS min_key,
         | CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders""".stripMargin,
+    // CDF apply: the replica's final live state equals the source's —
+    // the MoR-deleted range gone, all three shards' survivors present
+    "stream_cdf_apply" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE NOT (o_orderkey BETWEEN b.c1 + 1 AND (3 * b.c1) // 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    // ingestion-time clustering must not lose/dup rows: the range agg
+    // over the sorted table equals the recompute
+    "sink_sorted_insert" ->
+      """WITH b AS (SELECT max(o_orderkey) AS mk FROM orders)
+        |SELECT o_custkey, count(*) AS n,
+        |       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        |FROM orders, b
+        |WHERE o_orderkey BETWEEN b.mk // 2 AND b.mk // 2 + b.mk // 20
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // VERSION AS OF '<tag>': the named ref resolves to exactly the two
     // shards it pinned — tip-following or mis-resolution breaks the hash
     "sql_time_travel_tag" ->

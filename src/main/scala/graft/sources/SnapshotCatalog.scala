@@ -211,6 +211,19 @@ class SnapshotCatalog
         s"snapshot catalog: bucket column '$c' must be int/bigint")
     }
     SnapshotSql.requireSupported(schema) // refuse at DDL, not first INSERT
+    // `TBLPROPERTIES ('sorted_by' = 'col')` — ingestion-time
+    // clustering: every INSERT range-partitions + sorts on the column,
+    // so footer stats prune from day one without a separate OPTIMIZE
+    val sortedBy = Option(properties.get("sorted_by")).map(_.trim).filter(_.nonEmpty)
+    sortedBy.foreach { c =>
+      require(
+        schema.fieldNames.contains(c),
+        s"snapshot catalog: sorted_by column '$c' is not in the schema")
+      require(
+        bucketSpec.isEmpty,
+        "snapshot catalog: sorted_by and bucket layout are mutually " +
+          "exclusive (a bucketed write clusters by bucket id)")
+    }
     wfs.mkdirs(nsPath(ident.namespace))
     // v1 is a schema-only commit: the empty table is immediately
     // readable under its recorded schema (and DECLARES the bucket
@@ -221,6 +234,12 @@ class SnapshotCatalog
           spark, tablePath(ident), Nil, schema, c, n)
       case None =>
         SnapshotLog.commitLanded(spark, tablePath(ident), Nil, schema)
+    }
+    sortedBy.foreach { c =>
+      val parts = Option(properties.get("sorted_partitions"))
+        .map(p => "sorted_partitions" -> p.trim.toInt.toString)
+      SnapshotLog.setTableProps(
+        spark, tablePath(ident), Map("sorted_by" -> c) ++ parts)
     }
     loadTable(ident)
   }
@@ -489,6 +508,14 @@ case class SnapshotSqlTable(
   private val tipBucketSpec: Option[(String, Int)] =
     SnapshotLog.bucketSpec(spark, path, snapVersion)
 
+  /** Declared ingestion sort column (`TBLPROPERTIES ('sorted_by' =
+    * 'col')`) — every INSERT clusters on it at write time — plus the
+    * optional pinned range-partition count (0 = Spark decides). */
+  private val tipProps: Map[String, String] = SnapshotLog.tableProps(spark, path)
+  private val sortedBy: Option[String] = tipProps.get("sorted_by")
+  private val sortedParts: Int =
+    tipProps.get("sorted_partitions").map(_.toInt).getOrElse(0)
+
   /** Reported so DESCRIBE shows the layout and Spark understands the
     * table as bucket-partitioned. */
   override def partitioning(): Array[Transform] =
@@ -517,7 +544,8 @@ case class SnapshotSqlTable(
     )
     SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
     val (phys, commit) = SnapshotSql.mapWriteSchemas(dataSchema, info.schema())
-    new SnapshotSqlWriteBuilder(path, phys, commit, info.queryId(), tipBucketSpec)
+    new SnapshotSqlWriteBuilder(
+      path, phys, commit, info.queryId(), tipBucketSpec, sortedBy, sortedParts)
   }
 
   // --- metadata-only DELETE + TRUNCATE ------------------------------
@@ -1221,7 +1249,9 @@ class SnapshotSqlWriteBuilder(
     physSchema: StructType,
     commitSchema: StructType,
     queryId: String,
-    bucketSpec: Option[(String, Int)] = None
+    bucketSpec: Option[(String, Int)] = None,
+    sortedBy: Option[String] = None,
+    sortedParts: Int = 0
 ) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
@@ -1238,20 +1268,43 @@ class SnapshotSqlWriteBuilder(
     /** A bucketed table asks Spark to CLUSTER incoming rows by the
       * SAME bucket function the layout uses (bound via the catalog's
       * FunctionCatalog), so each task holds whole buckets and the
-      * write maintains the storage-partitioned-join layout; an
-      * unbucketed table imposes nothing. */
+      * write maintains the storage-partitioned-join layout. A
+      * `sorted_by` table instead asks for a RANGE distribution on the
+      * sort column — each task receives a contiguous key slice, so its
+      * files' footer min/max are tight disjoint ranges and stats
+      * skipping prunes from the very first INSERT (ingestion-time
+      * clustering, no OPTIMIZE pass needed). An undeclared table
+      * imposes nothing. */
     override def requiredDistribution()
-        : org.apache.spark.sql.connector.distributions.Distribution =
-      bucketSpec match {
-        case Some((c, n)) =>
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)))
-        case None =>
-          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        : org.apache.spark.sql.connector.distributions.Distribution = {
+      import org.apache.spark.sql.connector.distributions.Distributions
+      import org.apache.spark.sql.connector.expressions.Expressions
+      (bucketSpec, sortedBy) match {
+        case (Some((c, n)), _) =>
+          Distributions.clustered(Array(Expressions.bucket(n, c)))
+        case (None, Some(c)) =>
+          Distributions.ordered(Array(Expressions.sort(
+            Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+        case _ => Distributions.unspecified()
       }
+    }
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+      sortedBy match {
+        case Some(c) if bucketSpec.isEmpty =>
+          Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        case _ => Array.empty
+      }
+
+    /** `sorted_partitions` pins the range-partition count of sorted
+      * writes (0 = let Spark/AQE decide). Without the pin AQE coalesces
+      * a small insert into one file, which is fine for data but defeats
+      * a layout test; at scale the default sizing is the right call. */
+    override def requiredNumPartitions(): Int =
+      if (sortedBy.isDefined && bucketSpec.isEmpty) sortedParts else 0
   }
 }
 

@@ -2250,6 +2250,58 @@ object SnapshotLog {
     * Production note: a real retention policy also expires OLD versions
     * first; this keeps every committed version readable. */
   // ------------------------------------------------------------------
+  // Table properties (static layout declarations)
+  // ------------------------------------------------------------------
+
+  private def propsPath(table: String): Path =
+    new Path(s"$table/$LogDir/_props")
+
+  /** Writes the table's static properties (`_log/_props`, `k=v` lines)
+    * — set once at CREATE; the catalog reads them per table load.
+    * Currently: `sorted_by`, the declared ingestion sort column. */
+  def setTableProps(
+      spark: SparkSession,
+      table: String,
+      props: Map[String, String]
+  ): Unit = {
+    require(
+      props.forall { case (k, v) =>
+        !k.contains('=') && !k.contains('\n') && !v.contains('\n')
+      },
+      s"snapshot props: keys/values must be line-safe: $props")
+    val f = fs(spark, table)
+    f.mkdirs(new Path(s"$table/$LogDir"))
+    val out = f.create(propsPath(table), true)
+    try out.write(
+      props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The table's static properties; empty when none were declared. */
+  def tableProps(spark: SparkSession, table: String): Map[String, String] = {
+    val f = fs(spark, table)
+    val p = propsPath(table)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(
+          f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      try Iterator
+        .continually(in.readLine())
+        .takeWhile(_ != null)
+        .filter(_.contains('='))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.take(i) -> l.drop(i + 1)
+        }
+        .toMap
+      finally in.close()
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Metadata-only RENAME/DROP COLUMN
   // ------------------------------------------------------------------
 
@@ -2348,6 +2400,9 @@ object SnapshotLog {
         s"snapshot rename-column: '$from' is the declared bucket column — " +
           "drop the bucket layout (un-bucketed rewrite) before renaming it")
     }
+    require(
+      !tableProps(spark, table).get("sorted_by").contains(from),
+      s"snapshot rename-column: '$from' is the declared sorted_by column")
     val next = StructType(stampPhys(cur).fields.map { f =>
       if (f.name == from) StructField(to, f.dataType, f.nullable, f.metadata)
       else f
@@ -2382,6 +2437,9 @@ object SnapshotLog {
         bc != name,
         s"snapshot drop-column: '$name' is the declared bucket column")
     }
+    require(
+      !tableProps(spark, table).get("sorted_by").contains(name),
+      s"snapshot drop-column: '$name' is the declared sorted_by column")
     val next = StructType(stampPhys(cur).fields.filterNot(_.name == name))
     commitSchemaOnly(spark, table, next, s"drop-${b64(name)}")
   }

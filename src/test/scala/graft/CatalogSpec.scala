@@ -545,6 +545,27 @@ class CatalogSpec extends SparkTestBase {
       .head.getInt(0) == 3)
   }
 
+  test("sorted_by tables: plain INSERT clusters; pruning fires; rename of the sort key refuses") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('sorted_by' = 'k', 'sorted_partitions' = '4')""".stripMargin)
+    // insert in shuffled key order: the ordered distribution must sort
+    spark.sql(s"INSERT INTO $t SELECT (id * 37) % 1000 AS k, id AS v FROM range(0, 1000)")
+    val p = pathOf(t)
+    val (kept, total) = SnapshotLog.prunedFiles(spark, p, "k", 100, 150)
+    assert(total >= 4 && kept.size <= 2,
+      s"sorted ingestion must produce prunable layout: ${kept.size}/$total")
+    // data intact through the sort
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) == (0L until 1000L).sum)
+    // layout keys are rename-protected like bucket columns
+    val e = intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO key"))
+    assert(e.getMessage.contains("sorted_by"))
+    // non-layout columns still rename freely
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO val2")
+    assert(spark.sql(s"SELECT sum(val2) FROM $t").head.getLong(0) == (0L until 1000L).sum)
+  }
+
   test("CALL restore rolls a catalog table back to a version, metadata-only") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
