@@ -1746,6 +1746,97 @@ object Scans {
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
+  /** CHECK constraints at the storage boundary (round 11 cont.):
+    * `TBLPROPERTIES ('check' = '<boolean sql>')` compiles at DDL time
+    * (a malformed constraint fails the CREATE) and every write path —
+    * INSERT, streaming epochs, DML rewrites — evaluates the bound
+    * expression per row EXECUTOR-SIDE before a byte lands; a violation
+    * aborts the task, the two-phase commit never runs, and the losers
+    * are vacuum-able orphans. Pinned inline: a violating INSERT throws
+    * AND burns no version AND leaves the read-back bit-identical
+    * (atomicity of the refusal, not just the error). The oracle
+    * recomputes the accepted rows. */
+  val sqlCheckConstraint: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_check")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_check_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_check
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('check' = 'o_totalprice >= 0 AND o_orderkey >= 0')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.main.orders_check SELECT * FROM graft_check_src")
+    val tablePath = tmp("sql_warehouse") + "/main/orders_check"
+    val vBefore = SnapshotLog.versions(spark, tablePath).last
+    val nBefore = spark.sql(s"SELECT count(*) FROM $cat.main.orders_check")
+      .head.getLong(0)
+    val bad = scala.util.Try(
+      spark.sql(
+        s"""INSERT INTO $cat.main.orders_check
+           |SELECT o_orderkey, o_custkey, -o_totalprice
+           |FROM graft_check_src""".stripMargin))
+    require(bad.isFailure, "a violating INSERT must refuse")
+    require(
+      SnapshotLog.versions(spark, tablePath).last == vBefore,
+      "a refused INSERT must not burn a version")
+    require(
+      spark.sql(s"SELECT count(*) FROM $cat.main.orders_check")
+        .head.getLong(0) == nBefore,
+      "a refused INSERT must leave the table bit-identical")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $cat.main.orders_check ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** OPTIMIZE WHERE (round 11 cont.): range-scoped incremental
+    * compaction — on a 100 TB table you bin-pack the shard that just
+    * finished ingesting, never the whole table. Each of three key
+    * ranges lands as several small files; the scoped compact admits
+    * only the files whose manifest stats intersect the middle range,
+    * bin-packs exactly those, and carries every out-of-scope file BY
+    * REFERENCE (pinned: the outer shards' file NAMES survive verbatim
+    * in the new manifest; the rewrite count is bounded by the middle
+    * shard). Like whole-table OPTIMIZE the commit is
+    * `datachange=false`, so the change feed stays silent; the oracle
+    * is the source scan because compaction is data-preserving by
+    * contract. */
+  val sinkOptimizeWhere: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_optwhere")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    def shard(lo: Long, hi: Long) = o
+      .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      .repartitionByRange(3, col("o_orderkey"))
+    SnapshotLog.commit(spark, table, shard(-1, c1))
+    SnapshotLog.commit(spark, table, shard(c1, c2))
+    SnapshotLog.commit(spark, table, shard(c2, maxK))
+    val before = SnapshotLog.manifest(spark, table, 3)
+    val (v, rewritten, carried) = SnapshotLog.compact(
+      spark, table, where = Some(("o_orderkey", c1 + 1, c2)))
+    require(
+      rewritten.nonEmpty && rewritten.size <= 3,
+      s"scoped optimize must rewrite only the admitted shard: $rewritten")
+    val after = SnapshotLog.manifest(spark, table, v).toSet
+    val outer = before.filterNot(rewritten.toSet)
+    require(
+      outer.nonEmpty && outer.forall(after),
+      "out-of-scope files must carry by reference, name-identical")
+    require(carried.toSet.intersect(outer.toSet) == outer.toSet,
+      "carried list must include every out-of-scope file")
+    SnapshotLog.read(spark, table).orderBy("o_orderkey")
+  }
+
   /** Copy-on-write DELETE (round 11): three range-sharded appends,
     * then `deleteWhere` removes a sub-range of the middle shard —
     * manifest stats admit only that shard's files, so they alone are
@@ -2492,6 +2583,8 @@ object Scans {
     "sql_drop_col" -> sqlDropCol,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
+    "sql_check_constraint" -> sqlCheckConstraint,
+    "sink_optimize_where" -> sinkOptimizeWhere,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -2625,6 +2718,15 @@ object Scans {
         | CAST(min(o_orderkey) AS BIGINT) AS min_key,
         | CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders""".stripMargin,
+    // scoped OPTIMIZE is data-preserving: oracle = the source scan
+    "sink_optimize_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the accepted rows survive the constraint gate verbatim; the
+    // refused batch left nothing behind
+    "sql_check_constraint" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // CDF apply: the replica's final live state equals the source's —
     // the MoR-deleted range gone, all three shards' survivors present
     "stream_cdf_apply" ->

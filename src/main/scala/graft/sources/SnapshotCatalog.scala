@@ -235,12 +235,20 @@ class SnapshotCatalog
       case None =>
         SnapshotLog.commitLanded(spark, tablePath(ident), Nil, schema)
     }
-    sortedBy.foreach { c =>
-      val parts = Option(properties.get("sorted_partitions"))
-        .map(p => "sorted_partitions" -> p.trim.toInt.toString)
-      SnapshotLog.setTableProps(
-        spark, tablePath(ident), Map("sorted_by" -> c) ++ parts)
-    }
+    val declaredProps =
+      sortedBy.map("sorted_by" -> _).toMap ++
+        sortedBy.flatMap(_ =>
+          Option(properties.get("sorted_partitions"))
+            .map(p => "sorted_partitions" -> p.trim.toInt.toString)) ++
+        // `TBLPROPERTIES ('check' = '<boolean sql>')` — validated HERE
+        // so a malformed constraint fails the CREATE, not the first
+        // INSERT; enforced executor-side on every write path
+        Option(properties.get("check")).map(_.trim).filter(_.nonEmpty).map { c =>
+          SnapshotSql.compileCheck(spark, schema, c)
+          "check" -> c
+        }
+    if (declaredProps.nonEmpty)
+      SnapshotLog.setTableProps(spark, tablePath(ident), declaredProps)
     loadTable(ident)
   }
 
@@ -544,8 +552,13 @@ case class SnapshotSqlTable(
     )
     SnapshotSql.requireSupported(info.schema()) // fail at write PLANNING
     val (phys, commit) = SnapshotSql.mapWriteSchemas(dataSchema, info.schema())
+    // the CHECK constraint binds to the write schema's ordinals here
+    // (driver-side analysis) and ships to every task writer
+    val check = tipProps.get("check")
+      .map(c => SnapshotSql.compileCheck(spark, info.schema(), c))
     new SnapshotSqlWriteBuilder(
-      path, phys, commit, info.queryId(), tipBucketSpec, sortedBy, sortedParts)
+      path, phys, commit, info.queryId(), tipBucketSpec, sortedBy, sortedParts,
+      check)
   }
 
   // --- metadata-only DELETE + TRUNCATE ------------------------------
@@ -619,7 +632,13 @@ case class SnapshotSqlTable(
       s"snapshot catalog: cannot modify $ident pinned at VERSION AS OF $snapVersion")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new SnapshotRowLevelOperation(spark, path, dataSchema, info.command())
+        new SnapshotRowLevelOperation(
+          spark, path, dataSchema, info.command(),
+          // UPDATE/MERGE rewrite rows re-validate: a DML cannot sneak a
+          // constraint-violating row past the boundary the INSERT path
+          // enforces
+          tipProps.get("check").map(c =>
+            SnapshotSql.compileCheck(spark, dataSchema, c)))
     }
   }
 }
@@ -1073,7 +1092,8 @@ class SnapshotRowLevelOperation(
     spark: SparkSession,
     path: String,
     dataSchema: StructType,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    private[sources] val check: Option[SnapshotSql.CheckSpec] = None
 ) extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   // the groups the scan planned — what the write's commit replaces
@@ -1215,7 +1235,8 @@ case class SnapshotReplaceBatchWrite(
       path,
       physSchema,
       new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()),
+      check = op.check)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val removed = op.scannedFiles.get()
@@ -1251,7 +1272,8 @@ class SnapshotSqlWriteBuilder(
     queryId: String,
     bucketSpec: Option[(String, Int)] = None,
     sortedBy: Option[String] = None,
-    sortedParts: Int = 0
+    sortedParts: Int = 0,
+    check: Option[SnapshotSql.CheckSpec] = None
 ) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
@@ -1259,11 +1281,12 @@ class SnapshotSqlWriteBuilder(
   override def build(): Write = new Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
-      SnapshotSqlBatchWrite(path, physSchema, commitSchema, overwrite, bucketSpec)
+      SnapshotSqlBatchWrite(
+        path, physSchema, commitSchema, overwrite, bucketSpec, check)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       SnapshotSqlStreamingWrite(
-        path, physSchema, commitSchema, overwrite, queryId, bucketSpec)
+        path, physSchema, commitSchema, overwrite, queryId, bucketSpec, check)
 
     /** A bucketed table asks Spark to CLUSTER incoming rows by the
       * SAME bucket function the layout uses (bound via the catalog's
@@ -1321,7 +1344,8 @@ case class SnapshotSqlStreamingWrite(
     commitSchema: StructType,
     overwrite: Boolean,
     queryId: String,
-    bucketSpec: Option[(String, Int)] = None
+    bucketSpec: Option[(String, Int)] = None,
+    check: Option[SnapshotSql.CheckSpec] = None
 ) extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -1329,7 +1353,7 @@ case class SnapshotSqlStreamingWrite(
   ): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    SnapshotSqlStreamingWriterFactory(path, physSchema, conf, bucketSpec)
+    SnapshotSqlStreamingWriterFactory(path, physSchema, conf, bucketSpec, check)
   }
 
   override def commit(
@@ -1371,7 +1395,8 @@ case class SnapshotSqlStreamingWriterFactory(
     path: String,
     schema: StructType,
     conf: SerializableHadoopConf,
-    bucketSpec: Option[(String, Int)] = None
+    bucketSpec: Option[(String, Int)] = None,
+    check: Option[SnapshotSql.CheckSpec] = None
 ) extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int,
@@ -1381,9 +1406,10 @@ case class SnapshotSqlStreamingWriterFactory(
     bucketSpec match {
       case Some((c, n)) =>
         new SnapshotBucketedParquetWriter(
-          path, schema, partitionId, taskId, conf.value, c, n)
+          path, schema, partitionId, taskId, conf.value, c, n, check)
       case None =>
-        new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
+        new SnapshotParquetWriter(
+          path, schema, partitionId, taskId, conf.value, check)
     }
 }
 
@@ -1392,7 +1418,8 @@ case class SnapshotSqlBatchWrite(
     physSchema: StructType,
     commitSchema: StructType,
     overwrite: Boolean,
-    bucketSpec: Option[(String, Int)] = None
+    bucketSpec: Option[(String, Int)] = None,
+    check: Option[SnapshotSql.CheckSpec] = None
 ) extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1404,7 +1431,8 @@ case class SnapshotSqlBatchWrite(
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()
       ),
-      bucketSpec
+      bucketSpec,
+      check
     )
 
   /** Exactly one message per partition (commit coordinator): the
@@ -1455,7 +1483,8 @@ case class SnapshotSqlWriterFactory(
     path: String,
     schema: StructType,
     conf: SerializableHadoopConf,
-    bucketSpec: Option[(String, Int)] = None
+    bucketSpec: Option[(String, Int)] = None,
+    check: Option[SnapshotSql.CheckSpec] = None
 ) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
@@ -1464,9 +1493,10 @@ case class SnapshotSqlWriterFactory(
     bucketSpec match {
       case Some((c, n)) =>
         new SnapshotBucketedParquetWriter(
-          path, schema, partitionId, taskId, conf.value, c, n)
+          path, schema, partitionId, taskId, conf.value, c, n, check)
       case None =>
-        new SnapshotParquetWriter(path, schema, partitionId, taskId, conf.value)
+        new SnapshotParquetWriter(
+          path, schema, partitionId, taskId, conf.value, check)
     }
 }
 
@@ -1480,7 +1510,8 @@ class SnapshotBucketedParquetWriter(
     taskId: Long,
     hadoopConf: org.apache.hadoop.conf.Configuration,
     bucketCol: String,
-    nBuckets: Int
+    nBuckets: Int,
+    check: Option[SnapshotSql.CheckSpec] = None
 ) extends DataWriter[InternalRow] {
 
   private val messageType: MessageType = SnapshotSql.toMessageType(schema)
@@ -1505,6 +1536,7 @@ class SnapshotBucketedParquetWriter(
     })._1
 
   override def write(row: InternalRow): Unit = {
+    check.foreach(_.validate(row))
     require(!row.isNullAt(colIdx),
       s"bucketed table $table: bucket column '$bucketCol' must not be null")
     val key = if (isLong) row.getLong(colIdx) else row.getInt(colIdx).toLong
@@ -1546,7 +1578,8 @@ class SnapshotParquetWriter(
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    hadoopConf: org.apache.hadoop.conf.Configuration
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    check: Option[SnapshotSql.CheckSpec] = None
 ) extends DataWriter[InternalRow] {
 
   private val messageType: MessageType = SnapshotSql.toMessageType(schema)
@@ -1569,6 +1602,7 @@ class SnapshotParquetWriter(
     }
 
   override def write(row: InternalRow): Unit = {
+    check.foreach(_.validate(row))
     ensureOpen()
     writer.write(SnapshotSql.toGroup(factory, schema, row))
   }
@@ -1601,6 +1635,54 @@ class SnapshotParquetWriter(
   * `SnapshotLog`'s stats lifter understands; anything else refuses at
   * planning, before a task runs. */
 private[sources] object SnapshotSql {
+
+  /** A CHECK constraint compiled for executor-side row evaluation: the
+    * declared SQL text plus the analyzed expression BOUND to the write
+    * schema's ordinals (catalyst expressions serialize to tasks). SQL
+    * semantics: a row violates only when the predicate evaluates to
+    * FALSE — null/unknown passes. */
+  case class CheckSpec(sql: String, bound: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends Serializable {
+    def validate(row: InternalRow): Unit = {
+      val r = bound.eval(row)
+      if (r != null && r == false)
+        throw new IllegalArgumentException(
+          s"CHECK constraint violated: ($sql) is false for an incoming row — " +
+            "the write aborts and no version is committed")
+    }
+  }
+
+  /** Parses + analyzes `checkSql` against `schema` and binds it to the
+    * schema's ordinals. Refuses non-boolean, non-deterministic, or
+    * subquery-carrying expressions — run at DDL time so a bad
+    * constraint fails the CREATE, not the first INSERT. */
+  def compileCheck(
+      spark: SparkSession,
+      schema: StructType,
+      checkSql: String
+  ): CheckSpec = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val parsed = spark.sessionState.sqlParser.parseExpression(checkSql)
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val analyzed =
+      spark.sessionState.analyzer.execute(Filter(parsed, LocalRelation(attrs)))
+    spark.sessionState.analyzer.checkAnalysis(analyzed)
+    val cond = analyzed match {
+      case Filter(c, _) => c
+      case other =>
+        throw new IllegalArgumentException(
+          s"check constraint did not analyze to a filter: $other")
+    }
+    require(
+      cond.dataType == BooleanType,
+      s"check constraint must be boolean, got ${cond.dataType.simpleString}: $checkSql")
+    require(
+      cond.deterministic && !SubqueryExpression.hasSubquery(cond),
+      s"check constraint must be deterministic and subquery-free: $checkSql")
+    CheckSpec(checkSql, BindReferences.bindReference(cond, attrs))
+  }
 
   /** Write-path schemas for a possibly column-mapped table:
     * `(physSchema, commitSchema)` — the parquet writers spell the
@@ -1845,7 +1927,16 @@ private[sources] object SnapshotProcedures {
             ProcedureParameter.in("target_mb", IntegerType)
               .defaultValue("128").build(),
             ProcedureParameter.in("zorder_by", StringType)
-              .defaultValue("''").build()
+              .defaultValue("''").build(),
+            // OPTIMIZE WHERE: restrict the rewrite to files whose
+            // stats admit [where_lo, where_hi] on where_column — the
+            // incremental form a 100 TB table actually runs
+            ProcedureParameter.in("where_column", StringType)
+              .defaultValue("''").build(),
+            ProcedureParameter.in("where_lo", LongType)
+              .defaultValue(Long.MinValue.toString).build(),
+            ProcedureParameter.in("where_hi", LongType)
+              .defaultValue(Long.MaxValue.toString).build()
           ),
           StructType(Seq(
             StructField("version", IntegerType),
@@ -1856,14 +1947,17 @@ private[sources] object SnapshotProcedures {
             val target = in.getInt(1).toLong << 20
             val zorder = Option(in.getUTF8String(2)).map(_.toString)
               .filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
+            val scope = Option(in.getUTF8String(3)).map(_.toString)
+              .filter(_.nonEmpty).map(c => (c, in.getLong(4), in.getLong(5)))
             val (v, rewritten, carried) =
               if (zorder.nonEmpty)
                 SnapshotLog.compact(
                   spark, table, smallerThanBytes = Long.MaxValue,
-                  targetBytes = target, zorderBy = zorder)
+                  targetBytes = target, zorderBy = zorder, where = scope)
               else
                 SnapshotLog.compact(
-                  spark, table, smallerThanBytes = target, targetBytes = target)
+                  spark, table, smallerThanBytes = target, targetBytes = target,
+                  where = scope)
             Seq(new GenericInternalRow(
               Array[Any](v, rewritten.size, carried.size)))
           }

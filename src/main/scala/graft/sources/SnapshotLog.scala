@@ -1778,7 +1778,8 @@ object SnapshotLog {
       targetBytes: Long = 128L << 20,
       sortBy: Seq[String] = Nil,
       filesOut: Option[Int] = None,
-      zorderBy: Seq[String] = Nil
+      zorderBy: Seq[String] = Nil,
+      where: Option[(String, Long, Long)] = None
   ): (Int, Seq[String], Seq[String]) = {
     require(
       sortBy.isEmpty || zorderBy.isEmpty,
@@ -1790,25 +1791,38 @@ object SnapshotLog {
     val v = vs.last
     val entries = manifestEntries(spark, table, v)
     val f = fs(spark, table)
-    val sized = entries.map { e =>
-      val name = entryName(e)
-      val sz = entrySize(e).getOrElse(
-        f.getFileStatus(new Path(dataPath(table, name))).getLen)
-      (name, sz)
+    // OPTIMIZE WHERE: a `(column, lo, hi)` scope restricts eligibility
+    // to files whose manifest stats ADMIT the range — at 100 TB you
+    // optimize the shard that just ingested, never the whole table.
+    // A blind file (no stats for the column) is admitted: skipping it
+    // could leave the one file the caller meant to rewrite.
+    val inScope: String => Boolean = where match {
+      case None => _ => true
+      case Some((c, lo, hi)) =>
+        prunedFiles(spark, table, c, lo, hi, Some(v))._1.toSet
     }
+    val sized = entries.collect {
+      case e if inScope(entryName(e)) =>
+        val name = entryName(e)
+        val sz = entrySize(e).getOrElse(
+          f.getFileStatus(new Path(dataPath(table, name))).getLen)
+        (name, sz)
+    }
+    val outOfScope = entries.map(entryName).filterNot(inScope)
     // files carrying a deletion vector are ALWAYS eligible regardless
     // of size: OPTIMIZE is how a DV gets materialized away
     val dvNames = entries.filter(e => entryDv(e).isDefined).map(entryName).toSet
-    val (small, large) = sized.partition { case (n, sz) =>
+    val (small, large0) = sized.partition { case (n, sz) =>
       sz < smallerThanBytes || dvNames(n)
     }
+    val large = large0 ++ outOfScope.map(n => (n, 0L))
     // one small file alone gains nothing unless a clustering sort was
     // asked for or it carries a DV to materialize — don't burn a
     // version on a no-op rewrite
     if (small.size < 2 && sortBy.isEmpty && zorderBy.isEmpty &&
         !small.exists(s => dvNames(s._1)))
-      return (v, Nil, sized.map(_._1))
-    if (small.isEmpty) return (v, Nil, sized.map(_._1))
+      return (v, Nil, entries.map(entryName))
+    if (small.isEmpty) return (v, Nil, entries.map(entryName))
     val picked = small.map(_._1)
     val total = small.map(_._2).sum
     val nOut = filesOut.getOrElse(
@@ -2400,9 +2414,18 @@ object SnapshotLog {
         s"snapshot rename-column: '$from' is the declared bucket column — " +
           "drop the bucket layout (un-bucketed rewrite) before renaming it")
     }
+    val props = tableProps(spark, table)
     require(
-      !tableProps(spark, table).get("sorted_by").contains(from),
+      !props.get("sorted_by").contains(from),
       s"snapshot rename-column: '$from' is the declared sorted_by column")
+    // conservative word-boundary test: may refuse a false positive,
+    // never lets a constraint silently reference a dead name
+    props.get("check").foreach(c =>
+      require(
+        !("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+          .findFirstIn(c).isDefined,
+        s"snapshot rename-column: '$from' is referenced by the CHECK " +
+          s"constraint ($c)"))
     val next = StructType(stampPhys(cur).fields.map { f =>
       if (f.name == from) StructField(to, f.dataType, f.nullable, f.metadata)
       else f
@@ -2437,9 +2460,16 @@ object SnapshotLog {
         bc != name,
         s"snapshot drop-column: '$name' is the declared bucket column")
     }
+    val props = tableProps(spark, table)
     require(
-      !tableProps(spark, table).get("sorted_by").contains(name),
+      !props.get("sorted_by").contains(name),
       s"snapshot drop-column: '$name' is the declared sorted_by column")
+    props.get("check").foreach(c =>
+      require(
+        !("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+          .findFirstIn(c).isDefined,
+        s"snapshot drop-column: '$name' is referenced by the CHECK " +
+          s"constraint ($c)"))
     val next = StructType(stampPhys(cur).fields.filterNot(_.name == name))
     commitSchemaOnly(spark, table, next, s"drop-${b64(name)}")
   }

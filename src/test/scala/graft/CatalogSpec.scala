@@ -566,6 +566,57 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT sum(val2) FROM $t").head.getLong(0) == (0L until 1000L).sum)
   }
 
+  test("CHECK constraints: DDL validation, write refusal, DML re-validation, ALTER guard") {
+    val t = freshName()
+    // malformed constraint fails the CREATE, not the first INSERT
+    val ddlErr = intercept[Exception](spark.sql(
+      s"CREATE TABLE ${t}_bad (id BIGINT) TBLPROPERTIES ('check' = 'id +')"))
+    assert(ddlErr != null)
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, v BIGINT)
+         |TBLPROPERTIES ('check' = 'v >= 0')""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(1, 6)")
+    // violating insert refuses atomically
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t SELECT id, -id FROM range(6, 9)"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 5L)
+    // an UPDATE cannot sneak a violating row past the boundary
+    intercept[Exception](spark.sql(s"UPDATE $t SET v = -1 WHERE id = 3"))
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) == 15L)
+    // a compliant UPDATE still works
+    spark.sql(s"UPDATE $t SET v = 100 WHERE id = 3")
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) == 112L)
+    // null passes (SQL unknown-is-allowed), and the ALTER guard holds
+    spark.sql(s"INSERT INTO $t SELECT 9, CAST(NULL AS BIGINT)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 6L)
+    val e = intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w"))
+    assert(e.getMessage.contains("CHECK"))
+  }
+
+  test("aggregate pushdown: complete when exact, refused when it could guess") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(1, 101)")
+    def plan(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // clean table, no filter: complete metadata answer
+    val p1 = plan(s"SELECT count(*), min(id), max(id) FROM $t")
+    assert(p1.contains("PushedAggregation"), s"must push: $p1")
+    assert(spark.sql(s"SELECT count(*), min(id), max(id) FROM $t")
+      .head match { case r => r.getLong(0) == 100L && r.getLong(1) == 1L && r.getLong(2) == 100L })
+    // a WHERE clause leaves residual filters: pushdown must NOT fire
+    val p2 = plan(s"SELECT count(*) FROM $t WHERE id > 50")
+    assert(!p2.contains("PushedAggregation"), s"filtered agg must scan: $p2")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id > 50").head.getLong(0) == 50L)
+    // a live deletion vector makes MIN/MAX inexact: refuse, fall back
+    spark.sql(s"DELETE FROM $t WHERE id = 100") // CoW delete — still exact
+    SnapshotLog.deleteWhereMoR(spark, pathOf(t), "id", 1, 1) // DV — now inexact
+    val p3 = plan(s"SELECT min(id), max(id) FROM $t")
+    assert(!p3.contains("PushedAggregation"), s"DV'd min/max must scan: $p3")
+    assert(spark.sql(s"SELECT count(*), min(id), max(id) FROM $t")
+      .head match { case r => r.getLong(0) == 98L && r.getLong(1) == 2L && r.getLong(2) == 99L })
+  }
+
   test("CALL restore rolls a catalog table back to a version, metadata-only") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
