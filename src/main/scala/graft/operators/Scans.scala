@@ -1791,6 +1791,52 @@ object Scans {
          |FROM $cat.main.orders_check ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** QUARANTINE (dead-letter) mode for CHECK constraints (round 11
+    * cont.): `'check_mode' = 'quarantine'` diverts violating rows to
+    * the sibling `<table>_quarantine` snapshot table instead of
+    * failing the job — a 100 TB ingestion does not die for a handful
+    * of bad rows, and the bad rows stay QUERYABLE (the quarantine
+    * table is a first-class catalog table with its own log/history).
+    * One INSERT carries a mix of valid rows and negated-price
+    * violations; the graded result is both populations labeled with
+    * their disposition, and the oracle recomputes the split from the
+    * source — a row kept that should have been quarantined (or lost
+    * entirely) breaks the hash row-by-row. */
+  val sqlCheckQuarantine: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    Seq("orders_quar", "orders_quar_quarantine").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.main.$t"))
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_quar_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_quar
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('check' = 'o_totalprice >= 0',
+         |               'check_mode' = 'quarantine')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_quar
+         |SELECT o_orderkey, o_custkey,
+         |       CASE WHEN o_custkey % 10 = 0 THEN -o_totalprice
+         |            ELSE o_totalprice END
+         |FROM graft_quar_src""".stripMargin)
+    val kept = spark.sql(
+      s"SELECT min(o_totalprice) FROM $cat.main.orders_quar").head.getDouble(0)
+    require(kept >= 0, "no violating row may reach the main table")
+    require(
+      spark.sql(s"SELECT count(*) FROM $cat.main.orders_quar_quarantine")
+        .head.getLong(0) > 0,
+      "the dead-letter table must hold the violations, queryable via SQL")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice, 'kept' AS disposition
+         |FROM $cat.main.orders_quar
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_totalprice, 'quarantined'
+         |FROM $cat.main.orders_quar_quarantine
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** OPTIMIZE WHERE (round 11 cont.): range-scoped incremental
     * compaction — on a 100 TB table you bin-pack the shard that just
     * finished ingesting, never the whole table. Each of three key
@@ -2585,6 +2631,7 @@ object Scans {
     "sink_sorted_insert" -> sinkSortedInsert,
     "sql_check_constraint" -> sqlCheckConstraint,
     "sink_optimize_where" -> sinkOptimizeWhere,
+    "sql_check_quarantine" -> sqlCheckQuarantine,
     "sink_snapshot_commit" -> sinkSnapshotCommit,
     "source_time_travel" -> sourceTimeTravel,
     "scan_snapshot_pruned" -> scanSnapshotPruned,
@@ -2718,6 +2765,15 @@ object Scans {
         | CAST(min(o_orderkey) AS BIGINT) AS min_key,
         | CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders""".stripMargin,
+    // dead-letter split: every source row lands exactly once, on the
+    // side its constraint verdict dictates
+    "sql_check_quarantine" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey % 10 = 0 THEN -o_totalprice
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_custkey % 10 = 0 THEN 'quarantined'
+        |       ELSE 'kept' END AS disposition
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // scoped OPTIMIZE is data-preserving: oracle = the source scan
     "sink_optimize_where" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -246,6 +246,22 @@ class SnapshotCatalog
         Option(properties.get("check")).map(_.trim).filter(_.nonEmpty).map { c =>
           SnapshotSql.compileCheck(spark, schema, c)
           "check" -> c
+        } ++
+        // 'check_mode' = 'fail' (default) | 'quarantine' (dead-letter:
+        // violating rows divert to <table>_quarantine instead of
+        // failing the job)
+        Option(properties.get("check_mode")).map(_.trim).filter(_.nonEmpty).map { m =>
+          require(
+            m == "fail" || m == "quarantine",
+            s"snapshot catalog: check_mode must be 'fail' or 'quarantine', got '$m'")
+          require(
+            Option(properties.get("check")).exists(_.trim.nonEmpty),
+            "snapshot catalog: check_mode without a check constraint")
+          require(
+            m == "fail" || bucketSpec.isEmpty,
+            "snapshot catalog: check_mode=quarantine is unsupported on " +
+              "bucketed tables (the quarantine table is unbucketed)")
+          "check_mode" -> m
         }
     if (declaredProps.nonEmpty)
       SnapshotLog.setTableProps(spark, tablePath(ident), declaredProps)
@@ -555,7 +571,8 @@ case class SnapshotSqlTable(
     // the CHECK constraint binds to the write schema's ordinals here
     // (driver-side analysis) and ships to every task writer
     val check = tipProps.get("check")
-      .map(c => SnapshotSql.compileCheck(spark, info.schema(), c))
+      .map(c => SnapshotSql.compileCheck(spark, info.schema(), c)
+        .copy(quarantine = tipProps.get("check_mode").contains("quarantine")))
     new SnapshotSqlWriteBuilder(
       path, phys, commit, info.queryId(), tipBucketSpec, sortedBy, sortedParts,
       check)
@@ -1243,7 +1260,7 @@ case class SnapshotReplaceBatchWrite(
     require(
       removed != null,
       "snapshot DML: write committed before its scan planned any group")
-    val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n)) => n }
+    val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n), _) => n }
     // runtime group filtering proved no file holds a matching row: a
     // true no-op — don't burn a version on an empty replace
     if (removed.isEmpty && names.isEmpty) return
@@ -1255,9 +1272,13 @@ case class SnapshotReplaceBatchWrite(
     val fs = new Path(path)
       .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     messages.foreach {
-      case SnapshotSqlCommit(Some(n)) =>
-        try fs.delete(new Path(s"$path/$n"), false)
-        catch { case _: java.io.IOException => () }
+      case SnapshotSqlCommit(n, q) =>
+        n.foreach(f =>
+          try fs.delete(new Path(s"$path/$f"), false)
+          catch { case _: java.io.IOException => () })
+        q.foreach(f =>
+          try fs.delete(new Path(s"${path}_quarantine/$f"), false)
+          catch { case _: java.io.IOException => () })
       case _ => ()
     }
   }
@@ -1369,11 +1390,18 @@ case class SnapshotSqlStreamingWrite(
         overwrite = overwrite,
         txnId = Some(s"sql-$queryId-$epochId"))
     case None =>
-      val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n)) => n }
+      val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n), _) => n }
       SnapshotLog.commitLanded(
         SparkSession.active, path, names, commitSchema,
         overwrite = overwrite,
         txnId = Some(s"sql-$queryId-$epochId"))
+      val qnames = messages.toSeq.collect {
+        case SnapshotSqlCommit(_, Some(q)) => q
+      }
+      if (qnames.nonEmpty)
+        SnapshotLog.commitLanded(
+          SparkSession.active, s"${path}_quarantine", qnames, commitSchema,
+          txnId = Some(s"sqlq-$queryId-$epochId"))
   }
 
   override def abort(
@@ -1383,9 +1411,13 @@ case class SnapshotSqlStreamingWrite(
     val fs = new Path(path)
       .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     messages.foreach {
-      case SnapshotSqlCommit(Some(n)) =>
-        try fs.delete(new Path(s"$path/$n"), false)
-        catch { case _: java.io.IOException => () }
+      case SnapshotSqlCommit(n, q) =>
+        n.foreach(f =>
+          try fs.delete(new Path(s"$path/$f"), false)
+          catch { case _: java.io.IOException => () })
+        q.foreach(f =>
+          try fs.delete(new Path(s"${path}_quarantine/$f"), false)
+          catch { case _: java.io.IOException => () })
       case _ => ()
     }
   }
@@ -1449,10 +1481,22 @@ case class SnapshotSqlBatchWrite(
           overwrite = overwrite)
       case None =>
         val names = messages.toSeq.collect {
-          case SnapshotSqlCommit(Some(n)) => n
+          case SnapshotSqlCommit(Some(n), _) => n
         }
         SnapshotLog.commitLanded(
           SparkSession.active, path, names, commitSchema, overwrite = overwrite)
+        // quarantined rows (check_mode=quarantine) commit to the
+        // sibling dead-letter table — its own log, fully queryable.
+        // Not atomic with the main commit (two logs): on a driver
+        // crash between the two, the quarantine files are orphans its
+        // vacuum sweeps — bad rows can vanish, never duplicate into
+        // the MAIN table.
+        val qnames = messages.toSeq.collect {
+          case SnapshotSqlCommit(_, Some(q)) => q
+        }
+        if (qnames.nonEmpty)
+          SnapshotLog.commitLanded(
+            SparkSession.active, s"${path}_quarantine", qnames, commitSchema)
     }
   }
 
@@ -1460,19 +1504,28 @@ case class SnapshotSqlBatchWrite(
     // best-effort: anything missed is an unreferenced orphan for vacuum
     val fs = new Path(path)
       .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    val names = messages.toSeq.flatMap {
-      case SnapshotSqlCommit(Some(n))    => Seq(n)
-      case SnapshotSqlBucketedCommit(fs) => fs.map(_._1)
-      case _                             => Nil
-    }
-    names.foreach { n =>
-      try fs.delete(new Path(s"$path/$n"), false)
-      catch { case _: java.io.IOException => () }
+    messages.foreach {
+      case SnapshotSqlCommit(n, q) =>
+        n.foreach(f =>
+          try fs.delete(new Path(s"$path/$f"), false)
+          catch { case _: java.io.IOException => () })
+        q.foreach(f =>
+          try fs.delete(new Path(s"${path}_quarantine/$f"), false)
+          catch { case _: java.io.IOException => () })
+      case SnapshotSqlBucketedCommit(bfs) =>
+        bfs.foreach { case (f, _) =>
+          try fs.delete(new Path(s"$path/$f"), false)
+          catch { case _: java.io.IOException => () }
+        }
+      case _ => ()
     }
   }
 }
 
-case class SnapshotSqlCommit(name: Option[String]) extends WriterCommitMessage
+case class SnapshotSqlCommit(
+    name: Option[String],
+    quarantined: Option[String] = None
+) extends WriterCommitMessage
 
 /** Bucketed write commit: every file a task landed, tagged with its
   * bucket id. */
@@ -1536,7 +1589,8 @@ class SnapshotBucketedParquetWriter(
     })._1
 
   override def write(row: InternalRow): Unit = {
-    check.foreach(_.validate(row))
+    // bucketed tables enforce fail-mode only (quarantine refused at DDL)
+    check.foreach(_.passes(row))
     require(!row.isNullAt(colIdx),
       s"bucketed table $table: bucket column '$bucketCol' must not be null")
     val key = if (isLong) row.getLong(colIdx) else row.getInt(colIdx).toLong
@@ -1586,26 +1640,42 @@ class SnapshotParquetWriter(
   private val factory = new SimpleGroupFactory(messageType)
   private var writer: ParquetWriter[Group] = _
   private var fileName: String = _
+  // quarantine-mode CHECK: violating rows divert here (dead-letter),
+  // landing in the sibling `<table>_quarantine` directory — invisible
+  // until the driver commits them to that table's own log
+  private var qWriter: ParquetWriter[Group] = _
+  private var qFileName: String = _
+
+  private def open(dir: String, name: String): ParquetWriter[Group] =
+    ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(s"$dir/$name"), hadoopConf))
+      .withType(messageType)
+      .withConf(hadoopConf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
 
   private def ensureOpen(): Unit =
     if (writer == null) {
       fileName =
         s"part-sql-$partitionId-$taskId-${UUID.randomUUID.toString.take(8)}.parquet"
-      writer = ExampleParquetWriter
-        .builder(
-          HadoopOutputFile.fromPath(new Path(s"$table/$fileName"), hadoopConf)
-        )
-        .withType(messageType)
-        .withConf(hadoopConf)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+      writer = open(table, fileName)
     }
 
-  override def write(row: InternalRow): Unit = {
-    check.foreach(_.validate(row))
-    ensureOpen()
-    writer.write(SnapshotSql.toGroup(factory, schema, row))
-  }
+  private def ensureQOpen(): Unit =
+    if (qWriter == null) {
+      qFileName =
+        s"part-q-$partitionId-$taskId-${UUID.randomUUID.toString.take(8)}.parquet"
+      qWriter = open(s"${table}_quarantine", qFileName)
+    }
+
+  override def write(row: InternalRow): Unit =
+    if (check.forall(_.passes(row))) {
+      ensureOpen()
+      writer.write(SnapshotSql.toGroup(factory, schema, row))
+    } else {
+      ensureQOpen()
+      qWriter.write(SnapshotSql.toGroup(factory, schema, row))
+    }
 
   /** Metadata-carrying write (the row-level DML path): the `_file`
     * metadata row named the source group; only the data row lands. */
@@ -1614,20 +1684,28 @@ class SnapshotParquetWriter(
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) { writer.close(); writer = null }
-    SnapshotSqlCommit(Option(fileName))
+    if (qWriter != null) { qWriter.close(); qWriter = null }
+    SnapshotSqlCommit(Option(fileName), Option(qFileName))
   }
 
   override def abort(): Unit = {
     if (writer != null) { writer.close(); writer = null }
+    if (qWriter != null) { qWriter.close(); qWriter = null }
+    val fs = new Path(table).getFileSystem(hadoopConf)
     if (fileName != null) {
-      val fs = new Path(table).getFileSystem(hadoopConf)
       try fs.delete(new Path(s"$table/$fileName"), false)
+      catch { case _: java.io.IOException => () }
+    }
+    if (qFileName != null) {
+      try fs.delete(new Path(s"${table}_quarantine/$qFileName"), false)
       catch { case _: java.io.IOException => () }
     }
   }
 
-  override def close(): Unit =
+  override def close(): Unit = {
     if (writer != null) { writer.close(); writer = null }
+    if (qWriter != null) { qWriter.close(); qWriter = null }
+  }
 }
 
 /** Spark↔parquet type mapping for the catalog write path. The allowlist
@@ -1641,14 +1719,25 @@ private[sources] object SnapshotSql {
     * schema's ordinals (catalyst expressions serialize to tasks). SQL
     * semantics: a row violates only when the predicate evaluates to
     * FALSE — null/unknown passes. */
-  case class CheckSpec(sql: String, bound: org.apache.spark.sql.catalyst.expressions.Expression)
-      extends Serializable {
-    def validate(row: InternalRow): Unit = {
+  case class CheckSpec(
+      sql: String,
+      bound: org.apache.spark.sql.catalyst.expressions.Expression,
+      // 'fail' (default): a violation aborts the write atomically.
+      // 'quarantine': violating rows divert to the sibling
+      // `<table>_quarantine` snapshot table (dead-letter) and the main
+      // write proceeds — a 100 TB ingestion does not die for three bad
+      // rows, and the bad rows stay queryable instead of vanishing.
+      quarantine: Boolean = false
+  ) extends Serializable {
+    /** True = the row passes; 'fail' mode throws instead of returning. */
+    def passes(row: InternalRow): Boolean = {
       val r = bound.eval(row)
-      if (r != null && r == false)
+      val ok = r == null || r != false
+      if (!ok && !quarantine)
         throw new IllegalArgumentException(
           s"CHECK constraint violated: ($sql) is false for an incoming row — " +
             "the write aborts and no version is committed")
+      ok
     }
   }
 
