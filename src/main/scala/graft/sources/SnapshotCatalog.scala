@@ -1880,18 +1880,37 @@ private[sources] object SnapshotSql {
         case LongType | IntegerType | DoubleType | FloatType | BooleanType |
             StringType | BinaryType | DateType | TimestampType |
             TimestampNTZType =>
+        // numeric arrays: vector embeddings as first-class columns
+        case ArrayType(LongType | IntegerType | DoubleType | FloatType, _) =>
         case dt =>
           throw new UnsupportedOperationException(
             s"snapshot catalog: unsupported column type $dt for '${f.name}' " +
               "(supported: bigint/int/double/float/boolean/string/binary/" +
-              "date/timestamp/timestamp_ntz)"
+              "date/timestamp/timestamp_ntz, and arrays of the numeric types)"
           )
       }
     }
 
+  private def elementPrim(et: DataType): PrimitiveTypeName = et match {
+    case LongType    => PrimitiveTypeName.INT64
+    case IntegerType => PrimitiveTypeName.INT32
+    case DoubleType  => PrimitiveTypeName.DOUBLE
+    case FloatType   => PrimitiveTypeName.FLOAT
+    case dt =>
+      throw new UnsupportedOperationException(s"snapshot catalog write: array<$dt>")
+  }
+
   def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
+    schema.fields.foreach {
+      // 3-level LIST for numeric arrays (vector embeddings)
+      case f @ StructField(_, ArrayType(et, _), _, _) =>
+        b.addField(
+          Types
+            .optionalList()
+            .optionalElement(elementPrim(et))
+            .named(f.name))
+      case f =>
       val rep = if (f.nullable) Repetition.OPTIONAL else Repetition.REQUIRED
       val prim = f.dataType match {
         case LongType    => Types.primitive(PrimitiveTypeName.INT64, rep)
@@ -1952,6 +1971,24 @@ private[sources] object SnapshotSql {
           case StringType             => g.add(n, row.getUTF8String(i).toString)
           case BinaryType =>
             g.add(n, Binary.fromConstantByteArray(row.getBinary(i)))
+          case ArrayType(et, _) =>
+            // 3-level LIST assembly: <name> { repeated list { element } }
+            val arr = row.getArray(i)
+            val lg = g.addGroup(n)
+            var j = 0
+            while (j < arr.numElements()) {
+              val el = lg.addGroup(0)
+              et match {
+                case FloatType   => el.add(0, arr.getFloat(j))
+                case DoubleType  => el.add(0, arr.getDouble(j))
+                case LongType    => el.add(0, arr.getLong(j))
+                case IntegerType => el.add(0, arr.getInt(j))
+                case dt =>
+                  throw new UnsupportedOperationException(
+                    s"snapshot catalog write: array<$dt>")
+              }
+              j += 1
+            }
           case dt =>
             throw new UnsupportedOperationException(
               s"snapshot catalog write: $dt"

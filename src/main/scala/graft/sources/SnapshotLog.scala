@@ -330,6 +330,12 @@ object SnapshotLog {
     case _ if a == b                            => Some(a)
     case (IntegerType, LongType) | (LongType, IntegerType)   => Some(LongType)
     case (FloatType, DoubleType) | (DoubleType, FloatType)   => Some(DoubleType)
+    // arrays: widen the element, union containsNull (a batch of
+    // provably non-null elements must append into a nullable-element
+    // column and vice versa)
+    case (org.apache.spark.sql.types.ArrayType(ea, na),
+          org.apache.spark.sql.types.ArrayType(eb, nb)) =>
+      widen(ea, eb).map(e => org.apache.spark.sql.types.ArrayType(e, na || nb))
     case _                                      => None
   }
 

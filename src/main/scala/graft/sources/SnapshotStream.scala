@@ -390,7 +390,38 @@ class GraftSnapshotReader(
 
   private def readValue(g: Group, gt: org.apache.parquet.schema.GroupType, fi: Int, dt: DataType): Any = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val prim = gt.getType(fi).asPrimitiveType().getPrimitiveTypeName
+    val fieldType = gt.getType(fi)
+    (dt, fieldType.isPrimitive) match {
+      // numeric ARRAY columns (vector embeddings as first-class
+      // lakehouse data): standard 3-level LIST encoding —
+      //   optional group <name> (LIST) { repeated group list {
+      //     optional <prim> element } }
+      case (org.apache.spark.sql.types.ArrayType(et, _), false) =>
+        val lg = g.getGroup(fi, 0)
+        val n = lg.getFieldRepetitionCount(0)
+        val elPrim = fieldType.asGroupType().getType(0).asGroupType()
+          .getType(0).asPrimitiveType().getPrimitiveTypeName
+        val out = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val el = lg.getGroup(0, j)
+          out(j) = (et, elPrim) match {
+            case (FloatType, FLOAT)    => el.getFloat(0, 0)
+            case (DoubleType, DOUBLE)  => el.getDouble(0, 0)
+            case (DoubleType, FLOAT)   => el.getFloat(0, 0).toDouble
+            case (LongType, INT64)     => el.getLong(0, 0)
+            case (LongType, INT32)     => el.getInteger(0, 0).toLong
+            case (IntegerType, INT32)  => el.getInteger(0, 0)
+            case other =>
+              throw new UnsupportedOperationException(
+                s"graft-snapshot: unsupported array element $other in $file")
+          }
+          j += 1
+        }
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case _ => ()
+    }
+    val prim = fieldType.asPrimitiveType().getPrimitiveTypeName
     (dt, prim) match {
       case (LongType, INT64)      => g.getLong(fi, 0)
       case (LongType, INT32)      => g.getInteger(fi, 0).toLong // widened table
