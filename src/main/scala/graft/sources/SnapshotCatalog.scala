@@ -2014,7 +2014,7 @@ private[sources] object SnapshotProcedures {
   val names: Array[String] =
     Array(
       "optimize", "vacuum", "expire", "describe_history", "restore",
-      "tag", "tag_delete", "branch", "publish", "branch_drop")
+      "tag", "tag_delete", "branch", "publish", "branch_drop", "tags")
 
   private def spark = SparkSession.active
 
@@ -2155,6 +2155,22 @@ private[sources] object SnapshotProcedures {
               spark, table, in.getUTF8String(1).toString,
               if (v > 0) Some(v) else None)
             Seq(new GenericInternalRow(Array[Any](tagged)))
+          }
+        )
+      case "tags" =>
+        proc(
+          "tags",
+          Seq(ProcedureParameter.in("table", StringType).build()),
+          StructType(Seq(
+            StructField("name", StringType),
+            StructField("version", IntegerType))),
+          in => {
+            SnapshotLog
+              .tags(spark, resolve(in.getUTF8String(0).toString))
+              .toSeq.sortBy(_._1)
+              .map { case (n, v) =>
+                new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
+              }
           }
         )
       case "tag_delete" =>

@@ -543,11 +543,14 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"CALL cattest.system.branch(table => '$short', name => 'junk')")
     spark.sql(s"CALL cattest.system.branch_drop(table => '$short', name => 'junk')")
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20L)
-    // tag_delete releases the name for re-use
+    // tag_delete releases the name for re-use; CALL tags lists the refs
     spark.sql(s"CALL cattest.system.tag_delete(table => '$short', name => 'clean')")
     assert(spark.sql(
       s"CALL cattest.system.tag(table => '$short', name => 'clean')")
       .head.getInt(0) == 3)
+    val listed = spark.sql(s"CALL cattest.system.tags(table => '$short')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(listed == Map("clean" -> 3))
   }
 
   test("sorted_by tables: plain INSERT clusters; pruning fires; rename of the sort key refuses") {
