@@ -2014,7 +2014,8 @@ private[sources] object SnapshotProcedures {
   val names: Array[String] =
     Array(
       "optimize", "vacuum", "expire", "describe_history", "restore",
-      "tag", "tag_delete", "branch", "publish", "branch_drop", "tags")
+      "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
+      "detail")
 
   private def spark = SparkSession.active
 
@@ -2155,6 +2156,51 @@ private[sources] object SnapshotProcedures {
               spark, table, in.getUTF8String(1).toString,
               if (v > 0) Some(v) else None)
             Seq(new GenericInternalRow(Array[Any](tagged)))
+          }
+        )
+      case "detail" =>
+        proc(
+          "detail",
+          Seq(ProcedureParameter.in("table", StringType).build()),
+          StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("n_versions", IntegerType),
+            StructField("n_live_files", IntegerType),
+            StructField("live_bytes", LongType),
+            StructField("live_rows", LongType),
+            StructField("n_tags", IntegerType),
+            StructField("bucket_spec", StringType),
+            StructField("sorted_by", StringType),
+            StructField("check_constraint", StringType),
+            StructField("column_mapped", BooleanType),
+            StructField("retention_horizon", IntegerType))),
+          in => {
+            // DESCRIBE DETAIL — one row of table-level observability,
+            // all of it metadata: manifest riders, props, refs; zero
+            // data files opened at any table size
+            val table = resolve(in.getUTF8String(0).toString)
+            val vs = SnapshotLog.versions(spark, table)
+            require(vs.nonEmpty, s"snapshot detail: no commits in $table")
+            val tip = vs.last
+            val stats = SnapshotLog.manifestFileStats(spark, table, tip)
+            val props = SnapshotLog.tableProps(spark, table)
+            val mapped = SnapshotLog
+              .tableSchema(spark, table, tip)
+              .exists(SnapshotLog.isMapped)
+            def s(o: Option[String]): UTF8String =
+              UTF8String.fromString(o.getOrElse(""))
+            Seq(new GenericInternalRow(Array[Any](
+              tip,
+              vs.size,
+              stats.size,
+              stats.flatMap(_._2).sum,
+              SnapshotLog.metadataCount(spark, table).getOrElse(-1L),
+              SnapshotLog.tags(spark, table).size,
+              s(SnapshotLog.bucketSpec(spark, table, tip).map { case (c, n) => s"bucket($n, $c)" }),
+              s(props.get("sorted_by")),
+              s(props.get("check")),
+              mapped,
+              SnapshotLog.readHorizon(spark, table))))
           }
         )
       case "tags" =>

@@ -551,6 +551,11 @@ class CatalogSpec extends SparkTestBase {
     val listed = spark.sql(s"CALL cattest.system.tags(table => '$short')")
       .collect().map(r => (r.getString(0), r.getInt(1))).toMap
     assert(listed == Map("clean" -> 3))
+    // DESCRIBE DETAIL: one metadata-only observability row
+    val d = spark.sql(s"CALL cattest.system.detail(table => '$short')").head
+    assert(d.getInt(0) == 3 && d.getInt(1) == 3, s"tip/version count: $d")
+    assert(d.getLong(4) == 20L, s"live rows from riders: $d")
+    assert(d.getInt(5) == 1 && !d.getBoolean(9), s"tags/mapped: $d")
   }
 
   test("sorted_by tables: plain INSERT clusters; pruning fires; rename of the sort key refuses") {
