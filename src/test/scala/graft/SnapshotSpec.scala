@@ -811,6 +811,48 @@ class SnapshotSpec extends SparkTestBase {
     assert(ch.filter(col("change_type") === "delete").count() == 6)
   }
 
+  test("mergeCoW upserts through a renamed key column (touched-file selection maps)") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t,
+      (1L to 100L).map(i => (i, i)).toDF("id", "v").repartitionByRange(4, col("id")))
+    SnapshotLog.renameColumn(spark, t, "id", "key")
+    // change set hits one shard's range; merge through the LOGICAL name
+    val changes = (40L to 45L).map(i => (i, i * 100)).toDF("key", "v")
+    val (_, touched, carried) = SnapshotLog.mergeCoW(
+      spark, t, "key", changes.select("key"),
+      base => base
+        .join(changes.select(col("key"), col("v").as("nv")), Seq("key"), "left")
+        .select(col("key"), coalesce(col("nv"), col("v")).as("v")))
+    assert(touched.nonEmpty && carried.nonEmpty,
+      s"stats selection must stay file-granular through the rename: $touched/$carried")
+    val got = SnapshotLog.read(spark, t)
+      .filter(col("key").between(38, 47)).orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (38L to 47L).map(i =>
+      (i, if (i >= 40 && i <= 45) i * 100 else i)))
+  }
+
+  test("clustering compact on a renamed column restores pruning under the new name") {
+    import spark.implicits._
+    val t = freshTable()
+    // modulo layout: every file spans the whole key domain — pruning dead
+    SnapshotLog.commit(spark, t,
+      (1L to 200L).map(i => (i, i)).toDF("id", "v").repartition(4, col("v")))
+    SnapshotLog.renameColumn(spark, t, "id", "key")
+    val (kept0, total0) = SnapshotLog.prunedFiles(spark, t, "key", 50, 60)
+    assert(kept0.size == total0, "modulo layout must not prune (test setup)")
+    val (_, rewritten, _) = SnapshotLog.compact(
+      spark, t, smallerThanBytes = Long.MaxValue, filesOut = Some(4),
+      sortBy = Seq("key"))
+    assert(rewritten.nonEmpty)
+    val (kept1, total1) = SnapshotLog.prunedFiles(spark, t, "key", 50, 60)
+    assert(kept1.size < total1,
+      s"clustered rewrite must prune on the renamed name: ${kept1.size}/$total1")
+    assert(SnapshotLog.readPruned(spark, t, "key", 50, 60)
+      .count() == 11)
+  }
+
   test("publish of a branch carrying a MoR deletion vector moves the sidecar") {
     import spark.implicits._
     val t = freshTable()
