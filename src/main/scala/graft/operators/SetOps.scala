@@ -106,6 +106,30 @@ object SetOps {
       .orderBy("custkey")
   }
 
+  /** SYMMETRIC multiset difference — rows on exactly one side, with
+    * multiplicity: (A ∖ B) ⊎ (B ∖ A), the "what changed in either
+    * direction" primitive reconciliation jobs run. Both legs are the
+    * same count-based exceptAll rewrite (two-phase hash aggregation on
+    * the key, no sort), unioned map-side and re-aggregated — at 100 TB
+    * this is two shuffles on the key and nothing else. A `side` tag
+    * disambiguates provenance, which a plain UNION of excepts would
+    * lose. */
+  val setSymmetricDiff: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    def leg(a: String, b: String, tag: String) =
+      o.filter(col("o_orderstatus") === a)
+        .select(col("o_custkey").as("custkey"))
+        .exceptAll(
+          o.filter(col("o_orderstatus") === b)
+            .select(col("o_custkey").as("custkey")))
+        .withColumn("side", lit(tag))
+    leg("O", "F", "only_open")
+      .unionByName(leg("F", "O", "only_finished"))
+      .groupBy("custkey", "side")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("custkey", "side")
+  }
+
   /** Multiset intersection (INTERSECT ALL): per-custkey min(open
     * occurrences, finished occurrences) — same count-based rewrite. */
   val setIntersectAll: Q = (spark, dir) => {
@@ -129,7 +153,8 @@ object SetOps {
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "set_except_all" -> setExceptAll,
-    "set_intersect_all" -> setIntersectAll
+    "set_intersect_all" -> setIntersectAll,
+    "set_symmetric_diff" -> setSymmetricDiff
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,6 +165,20 @@ object SetOps {
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |SELECT custkey, CAST(count(*) AS BIGINT) AS n
         |FROM d GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "set_symmetric_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS custkey, 'only_open' AS side FROM
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |   EXCEPT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')),
+        |b AS (
+        |  SELECT o_custkey AS custkey, 'only_finished' AS side FROM
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   EXCEPT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |SELECT custkey, side, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t
+        |GROUP BY 1, 2 ORDER BY custkey, side""".stripMargin,
     "set_intersect_all" ->
       """WITH d AS (
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
