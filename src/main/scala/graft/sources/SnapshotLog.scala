@@ -3,7 +3,7 @@ package graft.sources
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, MetadataBuilder, StructField, StructType}
 
 /** A from-scratch snapshot/manifest commit protocol over plain parquet —
@@ -123,6 +123,43 @@ object SnapshotLog {
   private def commitPath(table: String, v: Int): Path =
     new Path(s"$table/$LogDir/v${"%08d".format(v)}$CommitSuffix")
 
+  /** Cross-PROCESS claim safety on POSIX filesystems. HDFS rename
+    * refuses an existing destination atomically, so the exists+rename
+    * claim is already cross-JVM safe there — but POSIX rename
+    * OVERWRITES, so on a `file://` table two separate JVMs could both
+    * "win" the same version and one commit would silently vanish
+    * (same-JVM writers were always serialized by the per-table lock).
+    * The local path therefore claims the version with an
+    * `O_CREAT|O_EXCL` lock file first — `File.createNewFile` is
+    * create-exclusive, atomic on POSIX — and only the claim winner
+    * renames into place. A lock left by a crashed claimant (lock
+    * present, commit absent) is breakable after [[LockGraceMs]]: the
+    * residual hazard is a LIVE claimant stalled longer than the grace
+    * between two local-filesystem metadata ops, the same
+    * mtime-grace posture [[vacuum]] takes. Invisible to readers
+    * (versions() filters on the `.commit` suffix). */
+  private val LockGraceMs = 60000L
+
+  private def isLocalFs(f: FileSystem): Boolean = f.getScheme == "file"
+
+  private def lockFile(table: String, v: Int): java.io.File =
+    new java.io.File(
+      new Path(s"$table/$LogDir/v${"%08d".format(v)}.lock").toUri.getPath)
+
+  /** True = this process owns version `v` of `table`; false = retry.
+    * Breaks stale locks (older than the grace with no commit). */
+  private def claimLocal(f: FileSystem, table: String, v: Int): Boolean = {
+    val lk = lockFile(table, v)
+    if (lk.createNewFile()) true
+    else {
+      if (!f.exists(commitPath(table, v)) &&
+        lk.exists() &&
+        System.currentTimeMillis() - lk.lastModified() > LockGraceMs)
+        lk.delete() // abandoned claim; next attempt may take it
+      false
+    }
+  }
+
   private def tipPath(table: String): Path =
     new Path(s"$table/$LogDir/$TipFile")
 
@@ -144,12 +181,28 @@ object SnapshotLog {
       }
     } catch { case _: Exception => 0 }
 
+  /** Tables that already logged a tip-write failure — WARN once per
+    * table, not per commit: the pointer is advisory (readers fall back
+    * to forward-probe), but a PERMANENTLY failing tip write silently
+    * degrades every operation to the probe path, so the first failure
+    * deserves a signal. */
+  private val tipWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def writeTip(f: FileSystem, table: String, v: Int): Unit =
     try {
       val out = f.create(tipPath(table), true)
       try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-    } catch { case _: Exception => () } // pointer is advisory; commit already durable
+    } catch { // pointer is advisory; commit already durable
+      case e: Exception =>
+        if (tipWarned.add(table))
+          org.slf4j.LoggerFactory
+            .getLogger(getClass)
+            .warn(
+              s"tip pointer write failed for $table (v$v); readers fall " +
+                s"back to forward-probe until a later commit succeeds: $e")
+    }
 
   /** Versions present in the log, ascending; empty for a fresh table.
     * Versions are assigned contiguously from 1, so the set is fully
@@ -797,15 +850,30 @@ object SnapshotLog {
           )
           finally out.close()
           val target = commitPath(table, next)
-          // exists-check + rename: atomic cross-JVM on HDFS (rename
-          // refuses), serialized by the lock on local FS
-          if (!f.exists(target) && f.rename(tmp, target)) {
+          // HDFS: exists-check + rename (rename refuses an existing
+          // destination atomically — cross-JVM safe as-is). Local FS:
+          // POSIX rename overwrites, so the version is first claimed
+          // with an O_CREAT|O_EXCL lock file ([[claimLocal]]) — only
+          // the claim winner renames, making the claim cross-PROCESS
+          // safe too (same-JVM writers stay serialized by the lock).
+          val claimed =
+            if (isLocalFs(f)) claimLocal(f, table, next)
+            else !f.exists(target)
+          if (claimed && !f.exists(target) && f.rename(tmp, target)) {
+            if (isLocalFs(f)) lockFile(table, next).delete()
             writeTip(f, table, next)
             Some(next)
-          } else { f.delete(tmp, false); None }
+          } else {
+            if (claimed && isLocalFs(f)) lockFile(table, next).delete()
+            f.delete(tmp, false)
+            None
+          }
         }
       }
       won.foreach(return _)
+      // a lost claim usually means a contender (possibly in another
+      // process) is mid-commit — give it a beat before recomputing
+      Thread.sleep(25)
     }
     throw new IllegalStateException(
       s"snapshot commit: lost the version race 20 times on $table"
@@ -1684,10 +1752,18 @@ object SnapshotLog {
     } finally out.close()
   }
 
+  /** Test observability: DV sidecar reads issued ON THE DRIVER (task
+    * context absent). Plain snapshot/position reads must keep this at
+    * zero — DV application is per-task ([[DvSidecarLookup]]) — while
+    * CDF reconstruction legitimately pays O(touched files) driver
+    * reads per version. MorSpec pins the zero. */
+  private[graft] val driverDvReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[sources] def readDvFile(
       conf: org.apache.hadoop.conf.Configuration,
       path: Path
   ): Array[Long] = {
+    if (org.apache.spark.TaskContext.get() == null) driverDvReads.incrementAndGet()
     val f = path.getFileSystem(conf)
     val in = new java.io.DataInputStream(f.open(path))
     try {
@@ -1703,14 +1779,39 @@ object SnapshotLog {
     entries.filter(e => wanted(entryName(e)))
   }
 
+  /** Per-task deletion-vector predicate over `entries`: metadata-only
+    * on the driver (each DV'd entry contributes one (base name →
+    * sidecar path) string pair); sidecar bytes load lazily inside each
+    * scan task via [[DvSidecarLookup]]. Codegen'd — no UDF, no global
+    * broadcast, zero driver sidecar reads. */
+  private def dvAliveCol(
+      spark: SparkSession,
+      table: String,
+      dvd: Seq[String],
+      fileCol: Column,
+      posCol: Column
+  ): Column = {
+    val lookup = new DvSidecarLookup(
+      dvd.map(e =>
+        baseName(entryName(e)) -> dvFilePath(table, entryDv(e).get)).toMap,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    org.apache.spark.sql.GraftPlanBridge.column(
+      DvAlive(
+        org.apache.spark.sql.GraftPlanBridge.expression(fileCol),
+        org.apache.spark.sql.GraftPlanBridge.expression(posCol),
+        lookup))
+  }
+
   /** Entry-aware read: plain files take the untouched vectorized path;
     * files carrying a deletion vector are read with their in-file row
-    * position (`_metadata.row_index`) and doomed positions are dropped
-    * through a BROADCAST (file → sorted positions) filter — no
-    * shuffle, cost proportional to the DV'd files only. Driver memory
-    * is the live deleted-row count, small by the MoR contract
-    * (large-fraction deletes belong to the CoW paths; OPTIMIZE
-    * materializes DVs away). */
+    * position (`_metadata.row_index`) and doomed positions dropped by
+    * the PER-TASK [[DvAlive]] predicate — each file's sidecar is read
+    * on the executor scanning it, so driver cost is O(DV'd files)
+    * strings and task memory is that task's files' DVs only (the
+    * position-delete-reader posture; a heavily-churned 100 TB table no
+    * longer pays a driver round trip per sidecar plus a global
+    * positions broadcast before the first task runs). OPTIMIZE still
+    * materializes DVs away, bounding the window. */
   private def readEntries(
       spark: SparkSession,
       table: String,
@@ -1720,16 +1821,8 @@ object SnapshotLog {
     val (dvd, plain) = entries.partition(e => entryDv(e).isDefined)
     if (dvd.isEmpty) readFiles(spark, table, entries.map(entryName), schema)
     else {
-      import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
-      val conf = spark.sessionState.newHadoopConf()
+      import org.apache.spark.sql.functions.{col, element_at, split => splitCol}
       requireUniqueBases(dvd.map(entryName), "snapshot read (DV subtraction)")
-      val dvMap: Map[String, Array[Long]] = dvd.map { e =>
-        baseName(entryName(e)) ->
-          readDvFile(conf, new Path(dvFilePath(table, entryDv(e).get)))
-      }.toMap
-      val bc = spark.sparkContext.broadcast(dvMap)
-      val alive = udf((file: String, pos: Long) =>
-        bc.value.get(file).forall(a => java.util.Arrays.binarySearch(a, pos) < 0))
       // physical names so `_metadata` stays resolvable; re-alias after
       val base = readFiles(spark, table, dvd.map(entryName), schema, aliasLogical = false)
       val dataCols = base.columns.map(col)
@@ -1738,7 +1831,8 @@ object SnapshotLog {
           "__graft_file",
           element_at(splitCol(col("_metadata.file_path"), "/"), -1))
         .withColumn("__graft_pos", col("_metadata.row_index"))
-        .where(alive(col("__graft_file"), col("__graft_pos")))
+        .where(dvAliveCol(
+          spark, table, dvd, col("__graft_file"), col("__graft_pos")))
         .select(dataCols: _*)
       val filtered = schema match {
         case Some(s) if isMapped(s) => filtered0.toDF(s.fieldNames.toIndexedSeq: _*)
@@ -2142,25 +2236,20 @@ object SnapshotLog {
       entries: Seq[String],
       schema: Option[StructType]
   ): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
-    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.spark.sql.functions.{col, element_at, split => splitCol}
     requireUniqueBases(entries.map(entryName), "snapshot read (positions)")
-    val dvMap: Map[String, Array[Long]] = entries
-      .flatMap(e =>
-        entryDv(e).map(d =>
-          baseName(entryName(e)) ->
-            readDvFile(conf, new Path(dvFilePath(table, d)))))
-      .toMap
-    val bc = spark.sparkContext.broadcast(dvMap)
-    val alive = udf((file: String, pos: Long) =>
-      bc.value.get(file).forall(a => java.util.Arrays.binarySearch(a, pos) < 0))
-    val withPos = readFiles(
+    val dvd = entries.filter(e => entryDv(e).isDefined)
+    val base = readFiles(
       spark, table, entries.map(entryName), schema, aliasLogical = false)
       .withColumn(
         "__graft_file",
         element_at(splitCol(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-      .where(alive(col("__graft_file"), col("__graft_pos")))
+    val withPos =
+      if (dvd.isEmpty) base
+      else
+        base.where(dvAliveCol(
+          spark, table, dvd, col("__graft_file"), col("__graft_pos")))
     schema match {
       case Some(s) if isMapped(s) =>
         // alias the data prefix back to logical, keep the position cols
@@ -2480,6 +2569,49 @@ object SnapshotLog {
     commitSchemaOnly(spark, table, next, s"drop-${b64(name)}")
   }
 
+  /** METADATA-ONLY type widening: accepts EXACTLY the widenings the
+    * append path already merges (int→long, float→double) as a
+    * schema-only commit, so the wider type can be declared AHEAD of
+    * the data instead of being discovered from it. Old files read
+    * under the wider schema (both the vectorized and the Group-API
+    * readers up-convert INT32/FLOAT); anything else refuses — silent
+    * coercion is how a table format corrupts data. Widening to the
+    * current type is a no-op that burns no version. */
+  def widenColumn(
+      spark: SparkSession,
+      table: String,
+      name: String,
+      to: DataType
+  ): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot widen-column: no commits in $table")
+    val cur = tableSchema(spark, table, vs.last).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot widen-column: $table has no recorded schema (pre-upgrade log?)"))
+    val f = cur.fields
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot widen-column: no column '$name' in ${cur.fieldNames.mkString(",")}"))
+    if (f.dataType == to) return vs.last
+    require(
+      legalWidening(f.dataType, to),
+      s"snapshot widen-column: $name ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a widening (int->bigint and " +
+        "float->double only); rewrite the table to change types")
+    val next = StructType(cur.fields.map(x =>
+      if (x.name == name) StructField(name, to, x.nullable, x.metadata) else x))
+    commitSchemaOnly(spark, table, next, s"widen-${b64(s"$name>${to.simpleString}")}")
+  }
+
+  /** The widenings [[widenColumn]] (and the append path's merge)
+    * accept. */
+  private[sources] def legalWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _                       => false
+    }
+
   // ------------------------------------------------------------------
   // Tags and branches (write–audit–publish)
   // ------------------------------------------------------------------
@@ -2611,22 +2743,44 @@ object SnapshotLog {
     fs(spark, table).delete(new Path(dir), true)
   }
 
-  /** WRITE–AUDIT–PUBLISH, step 3: atomically fast-forwards the main
-    * table to the branch tip. The branch's own new data files (and DV
-    * sidecars) are RENAMED into the main table's directory — a metadata
-    * move per file, zero bytes copied at any table size — while entries
-    * that still reference the main table's files convert back to owned
-    * relative names; references into third tables (a branch of a clone)
-    * carry verbatim. The result is ONE commit on main whose content is
-    * exactly the branch tip, after which the branch directory is
-    * deleted (publish consumes the branch).
+  /** WRITE–AUDIT–PUBLISH, step 3: fast-forwards the main table to the
+    * branch tip in TWO commits, of which only the first is required:
+    *
+    *   1. **The publish point (atomic, metadata-only).** One commit on
+    *      main whose entries reference branch-owned files (and DV
+    *      sidecars) BY ABSOLUTE PATH into the branch directory — the
+    *      shallow-clone mechanism pointed backwards. No file moves; a
+    *      crash on either side of this commit leaves both main and the
+    *      branch fully intact and publish retriable. Main's [[vacuum]]
+    *      never descends into `_branches/`, so the referenced files
+    *      are not at risk while externalized.
+    *   2. **Un-externalize (best-effort, crash-safe).** Branch-owned
+    *      files are COPIED into main's directory, then one
+    *      `datachange=false` replace commit flips the references to
+    *      owned relative names, then the branch directory is deleted.
+    *      Every step is non-destructive until the flip commit lands:
+    *      a crash mid-copy leaves vacuumable orphan copies and a
+    *      still-valid externalized manifest; a crash after the flip
+    *      but before the branch delete leaves an unreferenced branch
+    *      directory ([[branchDrop]] reclaims it). If this phase fails
+    *      (name collision, IO), the PUBLISH HAS STILL HAPPENED —
+    *      the externalized manifest stays live, the branch directory
+    *      is retained (it owns the data), and `moved` returns empty.
+    *      Copying costs the branch's delta bytes once — the price of
+    *      having no crash window that dangles a reference, which the
+    *      round-11 rename-first design had.
+    *
+    * Entries that already reference the main table's files convert
+    * back to owned relative names (string rewrite only); references
+    * into third tables (a branch of a clone) carry verbatim.
     *
     * Fast-forward ONLY: if main's tip content has changed since the
     * fork (any append/delete/compact — file-level merge has no
     * row-level conflict story), publish refuses loudly; re-branch from
     * the new tip and re-apply (the WAP rebase). The check-then-commit
     * window is the same single-publisher optimistic posture as
-    * [[restore]]. Returns (newMainVersion, movedFileNames). */
+    * [[restore]]. Returns (mainVersionServingBranchContent,
+    * unExternalizedFileNames). */
   def publish(
       spark: SparkSession,
       table: String,
@@ -2653,63 +2807,101 @@ object SnapshotLog {
         s"v$forkV (tip v$tip differs) — re-branch from the tip and re-apply")
     val f = fs(spark, table)
     val mainPrefix = s"$table/"
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    def adoptData(n: String): String =
+    // phase 1 — resolve every entry to a reference that is valid WITHOUT
+    // moving anything: branch-owned names externalize to absolute paths
+    // into the branch dir; refs back into main re-own (string rewrite);
+    // third-table refs carry verbatim
+    def resolveData(n: String): String =
       if (isExternal(n)) {
-        // reference back into main's own directory → owned relative name
         if (n.startsWith(mainPrefix) && !n.stripPrefix(mainPrefix).contains("/"))
           n.stripPrefix(mainPrefix)
-        else n // third-table reference: carry verbatim
-      } else {
-        // branch-owned: move into main's root (metadata rename, 0 bytes)
-        val src = new Path(s"$branch/$n")
-        val dst = new Path(s"$table/$n")
-        require(!f.exists(dst), s"snapshot publish: name collision on $n")
-        require(f.rename(src, dst), s"snapshot publish: rename $src failed")
-        moved += n
-        n
-      }
-    def adoptDv(n: String): String =
+        else n
+      } else s"$branch/$n"
+    def resolveDv(n: String): String =
       if (isExternal(n)) {
         val dvPrefix = s"$table/_dv/"
         if (n.startsWith(dvPrefix) && !n.stripPrefix(dvPrefix).contains("/"))
           n.stripPrefix(dvPrefix)
         else n
-      } else {
-        f.mkdirs(new Path(s"$table/_dv"))
-        val src = new Path(s"$branch/_dv/$n")
-        val dst = new Path(s"$table/_dv/$n")
-        require(!f.exists(dst), s"snapshot publish: DV name collision on $n")
-        require(f.rename(src, dst), s"snapshot publish: DV rename $src failed")
-        moved += s"_dv/$n"
-        n
-      }
-    val entries = manifestEntries(spark, branch, bvs.last).map { e =>
+      } else s"$branch/_dv/$n"
+    def mapEntry(e: String, data: String => String, dv: String => String): String = {
       val parts = e.split('\t')
-      val nm = adoptData(parts(0))
+      val nm = data(parts(0))
       val suffix =
         if (parts.length < 2) ""
         else
           parts(1)
             .split(';')
             .map { tok =>
-              if (tok.startsWith("_dv=v:")) s"_dv=v:${adoptDv(tok.stripPrefix("_dv=v:"))}"
+              if (tok.startsWith("_dv=v:")) s"_dv=v:${dv(tok.stripPrefix("_dv=v:"))}"
               else tok
             }
             .mkString(";")
       if (suffix.isEmpty) nm else s"$nm\t$suffix"
     }
+    val branchEntries = manifestEntries(spark, branch, bvs.last)
+    val external = branchEntries.map(e => mapEntry(e, resolveData, resolveDv))
     val schema = tableSchema(spark, branch, bvs.last).getOrElse {
       require(
-        entries.nonEmpty,
+        external.nonEmpty,
         s"snapshot publish: branch '$name' tip is empty with no recorded schema")
       readFiles(spark, branch, manifest(spark, branch, bvs.last), None).schema
     }
-    val v = commitEntriesInternal(
-      spark, table, entries, schema, overwrite = true, None, None,
+    // THE publish point: after this commit main serves the branch tip,
+    // whatever happens below
+    val v1 = commitEntriesInternal(
+      spark, table, external, schema, overwrite = true, None, None,
       dataChange = true, extraHeader = s"publish=${b64(s"$name@${bvs.last}")}")
-    f.delete(new Path(branch), true)
-    (v, moved.toSeq)
+    // phase 2 — un-externalize: copy branch-owned files into main (non-
+    // destructive), flip the references in one datachange=false replace,
+    // then consume the branch. Failure anywhere leaves v1 live and the
+    // branch directory owning its data.
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val branchPrefix = s"$branch/"
+      def copyIn(rel: String): Unit = {
+        val src = new Path(s"$branch/$rel")
+        val dst = new Path(s"$table/$rel")
+        require(!f.exists(dst), s"snapshot publish: name collision on $rel")
+        f.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(
+          f, src, f, dst, false, spark.sessionState.newHadoopConf())
+        moved += rel
+      }
+      def ownData(n: String): String =
+        if (n.startsWith(branchPrefix) && !n.stripPrefix(branchPrefix).contains("/")) {
+          val rel = n.stripPrefix(branchPrefix); copyIn(rel); rel
+        } else n
+      def ownDv(n: String): String = {
+        val dvPrefix = s"$branch/_dv/"
+        if (n.startsWith(dvPrefix) && !n.stripPrefix(dvPrefix).contains("/")) {
+          val rel = n.stripPrefix(dvPrefix); copyIn(s"_dv/$rel"); rel
+        } else n
+      }
+      val owned = external.map(e => mapEntry(e, ownData, ownDv))
+      if (moved.isEmpty) { // nothing externalized — branch carried only refs
+        f.delete(new Path(branch), true)
+        (v1, Seq.empty[String])
+      } else {
+        val v2 = commitEntriesInternal(
+          spark, table, owned, schema, overwrite = true, None, None,
+          dataChange = false)
+        f.delete(new Path(branch), true)
+        (v2, moved.toSeq)
+      }
+    } catch {
+      case e: Exception =>
+        // copies made so far are unreferenced orphans in main's root —
+        // vacuum reclaims them past the grace window; the externalized
+        // manifest v1 stays correct and the branch dir keeps the data
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .warn(
+            s"snapshot publish: un-externalize of branch '$name' failed " +
+              s"after the publish commit (v$v1 stays live, externalized; " +
+              s"branch directory retained): $e")
+        (v1, Seq.empty[String])
+    }
   }
 
   def vacuum(
@@ -2767,6 +2959,19 @@ object SnapshotLog {
                 !dvReferenced(st.getPath.getName))
             .map(_.getPath)
       dvOrphans.foreach(f.delete(_, false))
+      // claim locks whose commit already landed (winner crashed between
+      // rename and lock delete) serve no purpose — sweep them; locks
+      // WITHOUT a commit are live or grace-protected claims and stay
+      val logRoot = new Path(s"$table/$LogDir")
+      val lockOrphans = (if (f.exists(logRoot)) f.listStatus(logRoot)
+                         else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".lock") &&
+            st.getModificationTime <= cutoff &&
+            f.exists(new Path(
+              s"$table/$LogDir/${st.getPath.getName.stripSuffix(".lock")}$CommitSuffix")))
+        .map(_.getPath)
+      lockOrphans.foreach(f.delete(_, false))
       (orphans.map(_.getName) ++ staged.map(p => s"_staging/${p.getName}") ++
         dvOrphans.map(p => s"_dv/${p.getName}")).toSeq
     }

@@ -17,4 +17,8 @@ object GraftPlanBridge {
   /** Wrap a catalyst Expression as a user-facing Column. */
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Unwrap a user-facing Column to its catalyst Expression. */
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
 }

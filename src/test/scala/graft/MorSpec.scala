@@ -44,6 +44,27 @@ class MorSpec extends SparkTestBase {
     assert(ids(t, Some(3)) == (0L to 29L).toSet)
   }
 
+  test("snapshot reads of DV'd files issue ZERO driver-side sidecar reads") {
+    // Per-partition DV application: three files each carrying a DV —
+    // reading the table must load every sidecar inside scan tasks
+    // (DvSidecarLookup), never on the driver. The positions-with-DV
+    // path (MoR update's read side) gets the same guarantee.
+    val t = shardedTable()
+    SnapshotLog.deleteWhereMoR(spark, t, "id", 2, 4)
+    SnapshotLog.deleteWhereMoR(spark, t, "id", 12, 14)
+    SnapshotLog.deleteWhereMoR(spark, t, "id", 22, 24)
+    SnapshotLog.driverDvReads.set(0)
+    assert(ids(t) == ((0L to 29L).toSet -- Set(2L, 3L, 4L, 12L, 13L, 14L, 22L, 23L, 24L)))
+    assert(SnapshotLog.driverDvReads.get() == 0,
+      "plain snapshot read materialized a deletion vector on the driver")
+    SnapshotLog.driverDvReads.set(0)
+    val (_, amended, appended) = SnapshotLog.updateWhereMoR(
+      spark, t, "id", 0, 29, df => df.withColumn("id", col("id") + 100L))
+    assert(amended.nonEmpty && appended.nonEmpty)
+    assert(SnapshotLog.driverDvReads.get() == 0,
+      "MoR update's read side materialized a deletion vector on the driver")
+  }
+
   test("a delete no file admits, or matching no rows, burns no version") {
     val t = shardedTable()
     val (v1, a1, _) = SnapshotLog.deleteWhereMoR(spark, t, "id", 1000, 2000)

@@ -59,6 +59,40 @@ class SnapshotSpec extends SparkTestBase {
     assert(rows(t) == (Set(0L) ++ (1 to 8).flatMap(i => Seq(i.toLong * 10, i.toLong * 10 + 1))))
   }
 
+  test("a foreign process's claim lock is never clobbered; a stale one is broken") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, Seq(1L).toDF("id"))
+    // simulate ANOTHER PROCESS mid-commit on v2: its O_EXCL lock file
+    // exists (created exactly as a second JVM would), no commit yet.
+    // Our commit must NOT rename over the claimed version — POSIX
+    // rename overwrites, so respecting the lock is what prevents the
+    // cross-process lost-commit the per-JVM lock can't see.
+    val logDir = new java.io.File(s"$t/_log")
+    val lock = new java.io.File(logDir, "v00000002.lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException](
+      SnapshotLog.commit(spark, t, Seq(2L).toDF("id")))
+    assert(e.getMessage.contains("lost the version race"))
+    assert(SnapshotLog.versions(spark, t) == Seq(1),
+      "a blocked commit must leave the log untouched")
+    // the foreign process completes: its commit appears, lock released
+    // (emulated by an overwrite-free path: just drop the lock — the
+    // version stays unused, which is also what a crashed claimant
+    // past the grace looks like once broken)
+    assert(lock.delete())
+    SnapshotLog.commit(spark, t, Seq(2L).toDF("id"))
+    assert(rows(t) == Set(1L, 2L))
+    // stale-claim break: a crashed claimant's lock older than the
+    // grace is removed and the version proceeds
+    val stale = new java.io.File(logDir, "v00000003.lock")
+    assert(stale.createNewFile())
+    assert(stale.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    SnapshotLog.commit(spark, t, Seq(3L).toDF("id"))
+    assert(rows(t) == Set(1L, 2L, 3L))
+    assert(!stale.exists(), "the abandoned claim must have been broken")
+  }
+
   test("manifest stats skip disjoint files; pruned read equals full read+filter") {
     import spark.implicits._
     val t = freshTable()
@@ -420,6 +454,29 @@ class SnapshotSpec extends SparkTestBase {
       == xy.filter(p => p._2 <= 99).map(_._1).toSet)
   }
 
+  test("string-key z-order: both a STRING and a numeric dim prune after the rewrite") {
+    import spark.implicits._
+    val t = freshTable()
+    // decorrelated (string, numeric) keys: s = zero-padded (x*173 mod
+    // 400) — any consecutive x window throws s across its whole domain
+    val xs = (0L until 400L).map(x => (x, f"s${(x * 173) % 400}%03d"))
+    (0 until 4).foreach(i =>
+      SnapshotLog.commit(spark, t,
+        xs.filter(_._1 % 4 == i).toDF("x", "s").repartition(4)))
+    SnapshotLog.compact(spark, t, smallerThanBytes = Long.MaxValue,
+      zorderBy = Seq("s", "x"), filesOut = Some(16))
+    val (zX, totalX) = SnapshotLog.prunedFiles(spark, t, "x", 0, 99)
+    val (zS, totalS) = SnapshotLog.prunedFilesString(spark, t, "s", "s000", "s099")
+    assert(totalX == 16 && totalS == 16)
+    assert(zX.size < 16, s"numeric probe must skip files: ${zX.size}")
+    assert(zS.size < 16, s"string probe must skip files: ${zS.size}")
+    // layout invisible to data: the pruned string read is exact
+    assert(SnapshotLog.readPrunedString(spark, t, "s", "s000", "s099")
+      .select("x").collect().map(_.getLong(0)).toSet
+      == xs.filter(_._2 <= "s099").map(_._1).toSet)
+    assert(SnapshotLog.read(spark, t).count() == 400)
+  }
+
   test("deleteWhere rewrites only admitted files; disjoint delete is a free no-op") {
     import spark.implicits._
     val t = freshTable()
@@ -653,8 +710,33 @@ class SnapshotSpec extends SparkTestBase {
     val b2 = SnapshotLog.branchCreate(spark, t, "wip")
     SnapshotLog.commit(spark, b2, (10L to 12L).toDF("id"))
     val (v, moved) = SnapshotLog.publish(spark, t, "wip")
-    assert(v == 3 && moved.nonEmpty)
+    assert(v == 4 && moved.nonEmpty) // v3 = metadata publish, v4 = flip
     assert(rows(t) == ((1L to 7L) ++ (10L to 12L)).toSet)
+  }
+
+  test("publish survives a failed un-externalize: metadata commit IS the publish") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    val b = SnapshotLog.branchCreate(spark, t, "wip")
+    SnapshotLog.commit(spark, b, (10L to 12L).toDF("id"))
+    // force phase 2 (copy-in) to fail: plant a collision for the
+    // branch-owned file name in main's root
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val branchOwned = SnapshotLog.manifest(spark, b, 2)
+      .filterNot(SnapshotLog.isExternal)
+    assert(branchOwned.nonEmpty)
+    f.create(new org.apache.hadoop.fs.Path(s"$t/${branchOwned.head}"), false).close()
+    val (v, moved) = SnapshotLog.publish(spark, t, "wip")
+    // un-externalize refused, but the publish still happened atomically:
+    // main serves the branch tip through external references and the
+    // branch directory retains the data it still owns
+    assert(moved.isEmpty)
+    assert(rows(t) == ((1L to 5L) ++ (10L to 12L)).toSet)
+    assert(SnapshotLog.manifest(spark, t, v).exists(SnapshotLog.isExternal))
+    assert(f.exists(new org.apache.hadoop.fs.Path(b)),
+      "branch dir must survive a failed un-externalize — it owns the data")
   }
 
   test("branchDrop abandons unpublished work without touching main") {
