@@ -138,7 +138,11 @@ class SnapshotCatalog
       try version.toInt
       catch {
         case _: NumberFormatException =>
-          SnapshotLog.tagVersion(spark, path, version).getOrElse(
+          // a string outside the legal ref charset (e.g. 'v1.0') must
+          // land on THIS friendly unknown-tag refusal, not on
+          // tagVersion's charset require
+          (try SnapshotLog.tagVersion(spark, path, version)
+           catch { case _: IllegalArgumentException => None }).getOrElse(
             throw new IllegalArgumentException(
               s"snapshot catalog: VERSION AS OF wants a commit number or a " +
                 s"tag name; '$version' is neither (tags: " +
@@ -289,8 +293,13 @@ class SnapshotCatalog
     * METADATA-ONLY through the log's column mapping — one manifest
     * write, zero data files touched, with the physical in-file name
     * frozen at the column's birth so old files keep reading and a
-    * re-added name can never resurrect dropped data. Everything else
-    * refuses loudly. */
+    * re-added name can never resurrect dropped data. ALTER COLUMN TYPE
+    * accepts exactly the widenings the log's append path merges
+    * (int→bigint, float→double) as a schema-only commit. Everything
+    * else refuses loudly — and refuses BEFORE any change commits: a
+    * multi-change ALTER validates every change against the evolving
+    * schema first, so a failure on the third change cannot leave the
+    * first two applied. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val path = tablePath(ident)
@@ -301,19 +310,74 @@ class SnapshotCatalog
           s"snapshot catalog: $ident has no recorded schema (pre-upgrade log?)"
         )
       )
-    val added = Seq.newBuilder[StructField]
+    // pass 1 — validate EVERY change against the evolving logical
+    // schema (names + types), including the guards the per-op appliers
+    // would hit (bucket/sort keys, CHECK references), so pass 2 cannot
+    // fail after a change has already committed
+    val guarded: Map[String, String] = {
+      val props = SnapshotLog.tableProps(spark, path)
+      (SnapshotLog
+        .bucketSpec(spark, path, SnapshotLog.versions(spark, path).last)
+        .map(_._1 -> "the declared bucket column").toSeq ++
+        props.get("sorted_by").map(_ -> "the declared sorted_by column").toSeq ++
+        props.get("check").toSeq.flatMap(c =>
+          current.fieldNames.filter(n =>
+            ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+              .findFirstIn(c).isDefined)
+            .map(_ -> s"referenced by the CHECK constraint ($c)"))).toMap
+    }
+    var names = scala.collection.immutable.ListMap(
+      current.fields.map(f => f.name -> f.dataType): _*)
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
-        added += StructField(a.fieldNames()(0), a.dataType(), a.isNullable)
+        val n = a.fieldNames()(0)
+        require(!names.contains(n), s"snapshot catalog ALTER: column '$n' already exists")
+        SnapshotSql.requireSupported(
+          StructType(Seq(StructField(n, a.dataType(), a.isNullable))))
+        names += n -> a.dataType()
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        SnapshotLog.renameColumn(spark, path, r.fieldNames()(0), r.newName())
+        val (from, to) = (r.fieldNames()(0), r.newName())
+        require(names.contains(from), s"snapshot catalog ALTER: no column '$from'")
+        require(!names.contains(to), s"snapshot catalog ALTER: column '$to' already exists")
+        guarded.get(from).foreach(why => throw new IllegalArgumentException(
+          s"snapshot catalog ALTER: '$from' is $why"))
+        names = names.map { case (k, v) => (if (k == from) to else k) -> v }
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
-        SnapshotLog.dropColumn(spark, path, d.fieldNames()(0))
+        val n = d.fieldNames()(0)
+        require(names.contains(n), s"snapshot catalog ALTER: no column '$n'")
+        require(names.size > 1, "snapshot catalog ALTER: cannot drop the last column")
+        guarded.get(n).foreach(why => throw new IllegalArgumentException(
+          s"snapshot catalog ALTER: '$n' is $why"))
+        names -= n
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+        val n = u.fieldNames()(0)
+        require(names.contains(n), s"snapshot catalog ALTER: no column '$n'")
+        require(
+          names(n) == u.newDataType() ||
+            SnapshotLog.legalWidening(names(n), u.newDataType()),
+          s"snapshot catalog ALTER: $n ${names(n).simpleString} -> " +
+            s"${u.newDataType().simpleString} is not a widening " +
+            "(int->bigint and float->double only)")
+        names += n -> u.newDataType()
       case c =>
         throw new UnsupportedOperationException(
           s"snapshot catalog: unsupported ALTER TABLE change $c " +
-            "(top-level ADD/RENAME/DROP COLUMN only)"
+            "(top-level ADD/RENAME/DROP/widen COLUMN TYPE only)"
         )
+    }
+    // pass 2 — apply in declared order (validated above; ADDs batch
+    // into one schema commit at the end)
+    val added = Seq.newBuilder[StructField]
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        added += StructField(a.fieldNames()(0), a.dataType(), a.isNullable)
+      case r: TableChange.RenameColumn =>
+        SnapshotLog.renameColumn(spark, path, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        SnapshotLog.dropColumn(spark, path, d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        SnapshotLog.widenColumn(spark, path, u.fieldNames()(0), u.newDataType())
+      case _ => ()
     }
     val toAdd = added.result()
     if (toAdd.nonEmpty) {
@@ -653,9 +717,13 @@ case class SnapshotSqlTable(
           spark, path, dataSchema, info.command(),
           // UPDATE/MERGE rewrite rows re-validate: a DML cannot sneak a
           // constraint-violating row past the boundary the INSERT path
-          // enforces
+          // enforces — under the TABLE'S declared mode: a quarantine
+          // table diverts the violating rewritten rows to the
+          // dead-letter table (committed by the replace write) instead
+          // of aborting the whole DML
           tipProps.get("check").map(c =>
-            SnapshotSql.compileCheck(spark, dataSchema, c)))
+            SnapshotSql.compileCheck(spark, dataSchema, c)
+              .copy(quarantine = tipProps.get("check_mode").contains("quarantine"))))
     }
   }
 }
@@ -1266,6 +1334,14 @@ case class SnapshotReplaceBatchWrite(
     if (removed.isEmpty && names.isEmpty) return
     SnapshotLog.commitLandedReplace(
       SparkSession.active, path, names, commitSchema, removed)
+    // quarantine-mode tables: rewritten rows the CHECK diverted land in
+    // the dead-letter table, same as the insert path (a crash between
+    // the two commits leaves the quarantine files as vacuumable
+    // orphans, never a lost or duplicated main-table row)
+    val qnames = messages.toSeq.collect { case SnapshotSqlCommit(_, Some(q)) => q }
+    if (qnames.nonEmpty)
+      SnapshotLog.commitLanded(
+        SparkSession.active, s"${path}_quarantine", qnames, commitSchema)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1978,7 +2054,11 @@ private[sources] object SnapshotSql {
             var j = 0
             while (j < arr.numElements()) {
               val el = lg.addGroup(0)
-              et match {
+              // null element = list group with NO element value (the
+              // optional-element half of the 3-level encoding) — NOT a
+              // zero; ArrayData.getFloat on a null slot reads back 0
+              // silently, so the isNullAt guard is load-bearing.
+              if (!arr.isNullAt(j)) et match {
                 case FloatType   => el.add(0, arr.getFloat(j))
                 case DoubleType  => el.add(0, arr.getDouble(j))
                 case LongType    => el.add(0, arr.getLong(j))

@@ -405,17 +405,22 @@ class GraftSnapshotReader(
         var j = 0
         while (j < n) {
           val el = lg.getGroup(0, j)
-          out(j) = (et, elPrim) match {
-            case (FloatType, FLOAT)    => el.getFloat(0, 0)
-            case (DoubleType, DOUBLE)  => el.getDouble(0, 0)
-            case (DoubleType, FLOAT)   => el.getFloat(0, 0).toDouble
-            case (LongType, INT64)     => el.getLong(0, 0)
-            case (LongType, INT32)     => el.getInteger(0, 0).toLong
-            case (IntegerType, INT32)  => el.getInteger(0, 0)
-            case other =>
-              throw new UnsupportedOperationException(
-                s"graft-snapshot: unsupported array element $other in $file")
-          }
+          // an element group with no value is a NULL element (optional
+          // element, 3-level encoding) — both our writer and Spark's
+          // native parquet writer emit nulls this way
+          out(j) =
+            if (el.getFieldRepetitionCount(0) == 0) null
+            else (et, elPrim) match {
+              case (FloatType, FLOAT)    => el.getFloat(0, 0)
+              case (DoubleType, DOUBLE)  => el.getDouble(0, 0)
+              case (DoubleType, FLOAT)   => el.getFloat(0, 0).toDouble
+              case (LongType, INT64)     => el.getLong(0, 0)
+              case (LongType, INT32)     => el.getInteger(0, 0).toLong
+              case (IntegerType, INT32)  => el.getInteger(0, 0)
+              case other =>
+                throw new UnsupportedOperationException(
+                  s"graft-snapshot: unsupported array element $other in $file")
+            }
           j += 1
         }
         return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -205,6 +205,10 @@ class CatalogSpec extends SparkTestBase {
     assert(sel.count() > 0)
     val ctas = SparkEntry.queries("sql_snapshot_ctas")(spark, sf0001)
     assert(ctas.count() == orders.select("o_custkey").distinct().count())
+    // widen: all rows survive, the third shard's values exceed INT range
+    val widened = SparkEntry.queries("sql_widen_col")(spark, sf0001)
+    assert(widened.count() == orders.count())
+    assert(widened.agg(max("cust")).head.getLong(0) > Int.MaxValue.toLong)
   }
 
   test("catalog reads subtract deletion vectors") {
@@ -535,7 +539,8 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10L)
     val res = spark.sql(
       s"CALL cattest.system.publish(table => '$short', name => 'audit')").head
-    assert(res.getInt(0) == 3 && res.getInt(1) > 0)
+    // v3 = atomic metadata publish, v4 = un-externalize flip
+    assert(res.getInt(0) == 4 && res.getInt(1) > 0)
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20L)
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'clean'")
       .head.getLong(0) == 10L)
@@ -547,13 +552,13 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"CALL cattest.system.tag_delete(table => '$short', name => 'clean')")
     assert(spark.sql(
       s"CALL cattest.system.tag(table => '$short', name => 'clean')")
-      .head.getInt(0) == 3)
+      .head.getInt(0) == 4)
     val listed = spark.sql(s"CALL cattest.system.tags(table => '$short')")
       .collect().map(r => (r.getString(0), r.getInt(1))).toMap
-    assert(listed == Map("clean" -> 3))
+    assert(listed == Map("clean" -> 4))
     // DESCRIBE DETAIL: one metadata-only observability row
     val d = spark.sql(s"CALL cattest.system.detail(table => '$short')").head
-    assert(d.getInt(0) == 3 && d.getInt(1) == 3, s"tip/version count: $d")
+    assert(d.getInt(0) == 4 && d.getInt(1) == 4, s"tip/version count: $d")
     assert(d.getLong(4) == 20L, s"live rows from riders: $d")
     assert(d.getInt(5) == 1 && !d.getBoolean(9), s"tags/mapped: $d")
   }
@@ -652,6 +657,100 @@ class CatalogSpec extends SparkTestBase {
     assert(SnapshotLog.read(spark, pathOf(t))
       .selectExpr("sum(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
       .head.getDouble(0) == (1 to 10).map(i => i + 2.0 * i + 0.5).sum)
+  }
+
+  test("ALTER COLUMN TYPE widening: metadata-only, declared ahead of the data") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v INT, f FLOAT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 7, CAST(1.5 AS FLOAT))")
+    val filesBefore = SnapshotLog.manifest(
+      spark, pathOf(t), SnapshotLog.versions(spark, pathOf(t)).last).toSet
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN f TYPE DOUBLE")
+    assert(SnapshotLog.manifest(
+      spark, pathOf(t), SnapshotLog.versions(spark, pathOf(t)).last).toSet
+      == filesBefore, "widening must be a schema-only commit")
+    // beyond-INT values only representable because the widen preceded them
+    spark.sql(s"INSERT INTO $t VALUES (2, ${3000000000L}, CAST(2.5 AS DOUBLE))")
+    val got = spark.sql(s"SELECT v, f FROM $t ORDER BY id").collect()
+    assert(got(0).getLong(0) == 7L && got(1).getLong(0) == 3000000000L)
+    assert(got(0).getDouble(1) == 1.5 && got(1).getDouble(1) == 2.5)
+    // narrowing and non-widening changes refuse (Spark's up-cast check
+    // or our own — either way the declaration stands)
+    assert(scala.util.Try(
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE INT")).isFailure)
+    assert(scala.util.Try(
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE STRING")).isFailure)
+  }
+
+  test("a multi-change ALTER validates everything before applying anything") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (a BIGINT, b BIGINT)")
+    val cat = spark.sessionState.catalogManager
+      .catalog("cattest").asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("main"), t.split('.').last)
+    // first change valid, second invalid: NEITHER may apply
+    val e = intercept[IllegalArgumentException](cat.alterTable(
+      ident,
+      TableChange.renameColumn(Array("a"), "c"),
+      TableChange.deleteColumn(Array("nope"), false)))
+    assert(e.getMessage.contains("no column"))
+    assert(spark.table(t).columns.toSeq == Seq("a", "b"),
+      "a failed multi-change ALTER must leave the schema untouched")
+    // rename-to-a-name-added-later-in-the-same-ALTER validates in order
+    cat.alterTable(
+      ident,
+      TableChange.renameColumn(Array("a"), "c"),
+      TableChange.addColumn(Array("a"), org.apache.spark.sql.types.LongType))
+    assert(spark.table(t).columns.toSeq == Seq("c", "b", "a"))
+  }
+
+  test("quarantine-mode DML: a violating UPDATE diverts, never aborts") {
+    val t = freshName()
+    val short = t.split('.').last
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, price DOUBLE)
+         |TBLPROPERTIES ('check' = 'price >= 0',
+         |               'check_mode' = 'quarantine')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    // the UPDATE drives one row below the constraint: on a quarantine
+    // table it must land in the dead-letter table, the rest of the DML
+    // proceeding — not abort the whole statement (fail-mode behavior)
+    spark.sql(s"UPDATE $t SET price = price - 25.0 WHERE id <= 2")
+    val kept = spark.sql(s"SELECT id, price FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(kept.forall(_._2 >= 0) && kept.map(_._1) == List(3L),
+      s"main table must keep only passing rows: $kept")
+    val quarantined = spark.sql(
+      s"SELECT id, price FROM cattest.main.${short}_quarantine ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(quarantined == List((1L, -15.0), (2L, -5.0)),
+      s"diverted rewritten rows must be queryable in the dead-letter: $quarantined")
+  }
+
+  test("NULL array elements survive the write/read round-trip as NULLs, not zeros") {
+    // ARRAY<FLOAT> parses with containsNull=true, so null elements are
+    // part of the declared type; the Group-API writer must encode them
+    // as empty element groups (never a silent 0) and both readers —
+    // Group-API and native vectorized — must surface them as nulls.
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v ARRAY<FLOAT>)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(1, array(CAST(1.5 AS FLOAT), NULL, CAST(2.5 AS FLOAT))),
+         |(2, array(NULL)),
+         |(3, array(CAST(7.0 AS FLOAT)))""".stripMargin)
+    val got = spark.sql(s"SELECT v FROM $t ORDER BY id").collect()
+      .map(_.getSeq[Any](0).toList).toList
+    assert(got == List(List(1.5f, null, 2.5f), List(null), List(7.0f)),
+      s"catalog read-back corrupted null elements: $got")
+    // native vectorized path agrees (empty element group IS the
+    // standard 3-level null encoding)
+    val native = SnapshotLog.read(spark, pathOf(t))
+      .selectExpr("size(filter(v, x -> x IS NULL))", "id").orderBy("id")
+      .collect().map(_.getInt(0)).toList
+    assert(native == List(1, 1, 0), s"native reader null counts: $native")
   }
 
   test("CALL restore rolls a catalog table back to a version, metadata-only") {
