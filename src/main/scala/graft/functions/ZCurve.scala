@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Morton (z-order) curve value over N columns, built entirely from
   * builtin functions — the clustering key behind multi-dimensional
@@ -15,45 +16,108 @@ import org.apache.spark.sql.functions._
   * ZORDER rationale; at 100 TB this is the difference between one
   * privileged query key and a whole family of prunable predicates).
   *
-  * Ranks are EQUI-DEPTH: each column is bucketed by its own
-  * `approxQuantile` cut points, so skewed columns still spread across
-  * the full bucket range (equi-width `width_bucket` would collapse a
-  * heavy-tailed column into a few buckets and lose the curve's
-  * balance). The cuts are a bounded driver-side array (≤255 doubles
-  * per column) embedded as an array literal; the per-row bucket is the
-  * count of cuts ≤ value, computed with the `aggregate` higher-order
-  * function — no UDF, no join, no shuffle, scales with the row count
-  * only.
+  * Ranks are EQUI-DEPTH: each column is bucketed by its own cut
+  * points, so skewed columns still spread across the full bucket range
+  * (equi-width `width_bucket` would collapse a heavy-tailed column
+  * into a few buckets and lose the curve's balance). Numeric columns
+  * get their cuts from ONE `approxQuantile` pass; STRING columns —
+  * the natural clustering keys of a text corpus (source, language,
+  * URL host), which approxQuantile rejects — get rank-based cuts from
+  * a bounded uniform sample sorted driver-side (the manifest's
+  * short-string footer stats make the resulting layout prunable via
+  * `readPrunedString`). Either way the cuts are a bounded driver-side
+  * array (≤255 values per column) embedded as literals; the per-row
+  * bucket is the count of cuts ≤ value, computed with the `aggregate`
+  * higher-order function — no UDF, no join, no shuffle, scales with
+  * the row count only.
   */
 object ZCurve {
 
-  /** Z-value column for `df` over `cols` (each cast to double for
-    * ranking; nulls rank lowest). `bits` buckets per column as
-    * 2^bits; cols.size * bits must fit a long. The returned column
-    * references only `cols`, so it can be attached to any DataFrame
-    * with the same columns — but the cuts are computed from THIS
-    * df's distribution. */
+  /** Z-value column for `df` over `cols` (numeric cols cast to double
+    * for ranking, string cols ranked lexicographically; nulls rank
+    * lowest). `bits` buckets per column as 2^bits; cols.size * bits
+    * must fit a long. The returned column references only `cols`, so
+    * it can be attached to any DataFrame with the same columns — but
+    * the cuts are computed from THIS df's distribution. */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
     require(cols.nonEmpty, "zValue needs at least one column")
     require(cols.size * bits <= 62, s"${cols.size} cols x $bits bits overflows a long")
     val nCuts = (1 << bits) - 1
+    val isStr: Map[String, Boolean] =
+      cols.map(c => c -> (df.schema(c).dataType == StringType)).toMap
+    val numCols = cols.filterNot(isStr)
+    val strCols = cols.filter(isStr)
+    // ONE pass computes every numeric column's cut points (bounded
+    // driver-side metadata: ≤255 doubles per column) — not a job per
+    // column
     val probes = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
-    // ONE pass computes every column's cut points (bounded driver-side
-    // metadata: ≤255 doubles per column) — not a job per column
-    val allCuts = df
-      .select(cols.map(c => col(c).cast("double").as(c)): _*)
-      .stat
-      .approxQuantile(cols.toArray, probes, 0.001)
-    val buckets = cols.zip(allCuts).map { case (c, raw) =>
-      val cuts = raw.distinct.sorted
-      val v = col(c).cast("double")
+    val numCuts: Map[String, Array[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else
+        numCols
+          .zip(
+            df.select(numCols.map(c => col(c).cast("double").as(c)): _*)
+              .stat
+              .approxQuantile(numCols.toArray, probes, 0.001))
+          .toMap
+    // string columns: equi-depth cuts from a seeded uniform sample —
+    // ~20 sampled values per bucket bound both the sample job and the
+    // driver sort; sampling error only smears bucket boundaries
+    // (layout quality), never correctness, by the skipping invariant
+    val strCuts: Map[String, Array[String]] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val total = df.count()
+        val target = (nCuts + 1) * 20L
+        val fraction =
+          math.min(1.0, target.toDouble / math.max(1L, total).toDouble)
+        strCols.map { c =>
+          val vals = df
+            .select(col(c))
+            .na.drop(Seq(c))
+            .sample(withReplacement = false, fraction, seed = 42)
+            .collect()
+            .map(_.getString(0))
+            .sorted
+          val cuts =
+            if (vals.isEmpty) Array.empty[String]
+            else
+              (1 to nCuts)
+                .map(i =>
+                  vals(((i.toLong * vals.length) / (nCuts + 1)).toInt
+                    .min(vals.length - 1)))
+                .toArray
+                .distinct
+                .sorted
+          c -> cuts
+        }.toMap
+      }
+    val buckets = cols.map { c =>
       // equi-depth bucket = #cuts <= value, via the aggregate HOF over
       // the cut array literal; nulls contribute 0 (lowest bucket)
-      aggregate(
-        array(cuts.map(lit(_)): _*),
-        lit(0),
-        (acc, cut) => acc + when(v.isNotNull && v >= cut, 1).otherwise(0)
-      ).cast("long")
+      // an all-null / empty column yields no cuts: constant bucket 0
+      // (an empty array literal would be NULL-typed and fail analysis)
+      if (isStr(c)) {
+        val cuts = strCuts(c)
+        val v = col(c)
+        if (cuts.isEmpty) lit(0L)
+        else
+          aggregate(
+            array(cuts.map(lit(_)): _*),
+            lit(0),
+            (acc, cut) => acc + when(v.isNotNull && v >= cut, 1).otherwise(0)
+          ).cast("long")
+      } else {
+        val cuts = numCuts(c).distinct.sorted
+        val v = col(c).cast("double")
+        if (cuts.isEmpty) lit(0L)
+        else
+          aggregate(
+            array(cuts.map(lit(_)): _*),
+            lit(0),
+            (acc, cut) => acc + when(v.isNotNull && v >= cut, 1).otherwise(0)
+          ).cast("long")
+      }
     }
     // interleave: bit b of column i lands at position b*k + i
     val k = cols.size

@@ -1106,6 +1106,55 @@ object Scans {
     * skips files. The served result is the custkey range read; stats
     * can only exclude provably-disjoint files, so it is
     * layout-independent and the oracle is the plain range SELECT. */
+  /** STRING-KEY Z-ORDER (round 12): the r11 verdict's #2 — equi-depth
+    * z-order cuts came from approxQuantile, which rejects STRING
+    * columns, yet string keys (doc source, lang, URL host) are the
+    * natural clustering keys of a text corpus and the manifest already
+    * carries short-string footer stats that prune after the rewrite.
+    * [[graft.functions.ZCurve]] now ranks string columns by cuts from
+    * a bounded seeded sample (sorted driver-side), so a (host, key)
+    * z-cluster bounds every file in BOTH dimensions. Same inline
+    * prune-flip contract as scan_zorder_pruned: after clustering from
+    * round-robin arrival, a single-column range probe on EACH of the
+    * string and the numeric key independently skips files. Result is
+    * layout-independent by the skipping invariant; the oracle
+    * recomputes the host derivation and range from the source. */
+  val scanZorderString: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_zstr")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        concat(lit("C"), lpad((col("o_custkey") % 100).cast("string"), 3, "0"))
+          .as("host"),
+        col("o_totalprice"))
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    // round-robin batches: unclustered arrival order in both keys
+    (0 to 3).foreach(i =>
+      SnapshotLog.commit(
+        spark, table, o.filter(col("o_orderkey") % 4 === i).repartition(2)))
+    SnapshotLog.compact(
+      spark, table,
+      smallerThanBytes = Long.MaxValue,
+      filesOut = Some(16),
+      zorderBy = Seq("host", "o_orderkey"))
+    val (keptS, totalS) = SnapshotLog
+      .prunedFilesString(spark, table, "host", "C020", "C040")
+    val (keptK, totalK) = SnapshotLog
+      .prunedFiles(spark, table, "o_orderkey", maxK / 3 + 1, 2 * (maxK / 3))
+    require(
+      keptS.size < totalS && keptK.size < totalK,
+      s"string z-order must prune on BOTH dimensions: host ${keptS.size}/$totalS, " +
+        s"orderkey ${keptK.size}/$totalK")
+    SnapshotLog
+      .readPrunedString(spark, table, "host", "C020", "C040")
+      .orderBy("o_orderkey")
+  }
+
   val scanZorderPruned: Q = (spark, dir) => {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_zorder")
@@ -1657,6 +1706,53 @@ object Scans {
     spark.sql(
       s"""SELECT o_orderkey, o_totalprice, o_custkey
          |FROM $cat.main.orders_drop ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** METADATA-ONLY `ALTER COLUMN ... TYPE` widening (round 12): the
+    * catalog accepts exactly the widenings the log's append path
+    * already merges (int→bigint, float→double) as a schema-only
+    * commit, so the wider type can be DECLARED ahead of the data. Two
+    * shards land with an INT column, the ALTER widens it to BIGINT
+    * (pinned: the on-disk parquet set is bit-identical — at 100 TB
+    * the widen costs one manifest write where a rewrite costs the
+    * table), and the third shard INSERTs values beyond INT range —
+    * only representable because the declaration preceded the data.
+    * Old INT32 files read up-converted under the wider schema. A
+    * narrowing ALTER refuses (pinned inline): silent coercion is how
+    * a table format corrupts data. */
+  val sqlWidenCol: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_widen")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c2 = 2 * (maxK / 3)
+    o.createOrReplaceTempView("graft_widen_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_widen AS
+         |SELECT o_orderkey, CAST(o_custkey AS INT) AS cust, o_totalprice
+         |FROM graft_widen_src WHERE o_orderkey <= $c2""".stripMargin)
+    val tablePath = tmp("sql_warehouse") + "/main/orders_widen"
+    val fsys = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def disk(): Set[String] = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val before = disk()
+    spark.sql(s"ALTER TABLE $cat.main.orders_widen ALTER COLUMN cust TYPE BIGINT")
+    require(disk() == before, "widening must be metadata-only: no file may change")
+    val narrow = scala.util.Try(
+      spark.sql(s"ALTER TABLE $cat.main.orders_widen ALTER COLUMN cust TYPE INT"))
+    require(narrow.isFailure, "a narrowing ALTER COLUMN TYPE must refuse")
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_widen
+         |SELECT o_orderkey, o_custkey + ${3000000000L}, o_totalprice
+         |FROM graft_widen_src WHERE o_orderkey > $c2""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderkey, cust, o_totalprice
+         |FROM $cat.main.orders_widen ORDER BY o_orderkey""".stripMargin)
   }
 
   /** SQL tag travel (round 11 cont.): `VERSION AS OF '<tag>'` resolves
@@ -2351,11 +2447,13 @@ object Scans {
     * manifest stays bit-identical (pinned: writers of the branch are
     * invisible to main's readers, the whole point of WAP). The audit
     * step reads the BRANCH (it is a full snapshot table; every read
-    * path works unchanged), and PUBLISH fast-forwards main in one
-    * commit: branch-owned files RENAME into main's directory (zero
-    * bytes copied — pinned by disk-parquet-count identity), entries
-    * still referencing main's own files convert back to owned relative
-    * names (pinned: no published entry is external), and the branch
+    * path works unchanged), and PUBLISH fast-forwards main in two
+    * commits: the atomic metadata-only publish point (branch files
+    * referenced in place — no crash window can dangle a reference),
+    * then the un-externalize flip (branch files copy in, datachange=
+    * false, branch consumed — net disk parquet count pinned identical);
+    * entries still referencing main's own files convert back to owned
+    * relative names (pinned: no published entry is external), and the branch
     * directory is consumed. The oracle recomputes the published state
     * from the source, so a publish that leaked the audit-failed range
     * or lost a shard breaks the hash. */
@@ -2393,9 +2491,9 @@ object Scans {
       .listStatus(new org.apache.hadoop.fs.Path(table))
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val mainOwned = diskParquet()
-    // PUBLISH: one fast-forward commit; branch files rename in, 0 copied
+    // PUBLISH: atomic metadata publish (v3) + un-externalize flip (v4)
     val (v, moved) = SnapshotLog.publish(spark, table, "audit")
-    require(v == 3 && moved.nonEmpty, s"publish must fast-forward main, got v$v")
+    require(v == 4 && moved.nonEmpty, s"publish must fast-forward main, got v$v")
     val published = SnapshotLog.manifest(spark, table, v)
     require(
       published.forall { e =>
@@ -2405,7 +2503,7 @@ object Scans {
       s"published entries must all be owned relative names: $published")
     require(
       diskParquet() == mainOwned + moved.count(_.endsWith(".parquet")),
-      "publish must MOVE branch files (rename), never copy")
+      "un-externalize must net exactly the branch delta (copy + consume)")
     require(
       !fsys.exists(new org.apache.hadoop.fs.Path(s"$table/_branches/audit")),
       "publish consumes the branch")
@@ -2632,6 +2730,7 @@ object Scans {
     "sink_snapshot_compact" -> sinkSnapshotCompact,
     "scan_cluster_pruned" -> scanClusterPruned,
     "scan_zorder_pruned" -> scanZorderPruned,
+    "scan_zorder_string" -> scanZorderString,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_changes_feed" -> streamChangesFeed,
     "stream_cdf_apply" -> streamCdfApply,
@@ -2659,6 +2758,7 @@ object Scans {
     "sql_agg_pushdown" -> sqlAggPushdown,
     "sql_rename_col" -> sqlRenameCol,
     "sql_drop_col" -> sqlDropCol,
+    "sql_widen_col" -> sqlWidenCol,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
     "sql_check_constraint" -> sqlCheckConstraint,
@@ -2781,6 +2881,17 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_custkey > b.c1 AND o_custkey <= 2 * b.c1
         |ORDER BY o_orderkey""".stripMargin,
+    // string-key z-order: the clustered read over the string dimension
+    // equals the plain recompute of the derived-host range — pruning
+    // can only exclude provably-disjoint files
+    "scan_zorder_string" ->
+      """SELECT o_orderkey, host, o_totalprice FROM (
+        |  SELECT o_orderkey,
+        |         'C' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') AS host,
+        |         o_totalprice
+        |  FROM orders) t
+        |WHERE host >= 'C020' AND host <= 'C040'
+        |ORDER BY o_orderkey""".stripMargin,
     // metadata-only answers must be EXACT: rider sums over the mixed
     // original+rewritten file set vs the full recompute
     "agg_metadata_only" ->
@@ -2867,6 +2978,16 @@ object Scans {
         |SELECT o_orderkey, o_totalprice,
         |       CASE WHEN o_orderkey > 2 * b.c1 THEN o_custkey
         |            ELSE NULL END AS o_custkey
+        |FROM orders, b ORDER BY o_orderkey""".stripMargin,
+    // declared-ahead widening: old INT32 shards up-convert, the new
+    // shard carries beyond-INT values — a read that kept the narrow
+    // type (overflow) or dropped a shard breaks the hash
+    "sql_widen_col" ->
+      """WITH b AS (SELECT 2 * (max(o_orderkey) // 3) AS c2 FROM orders)
+        |SELECT o_orderkey,
+        |       CASE WHEN o_orderkey <= b.c2 THEN CAST(o_custkey AS BIGINT)
+        |            ELSE o_custkey + 3000000000 END AS cust,
+        |       o_totalprice
         |FROM orders, b ORDER BY o_orderkey""".stripMargin,
     // the CoW delete must drop exactly the [c1+1, 3*c1/2] range and
     // nothing else — carried-by-reference rows included
