@@ -1227,20 +1227,42 @@ object SnapshotLog {
               .withColumn("change_type", lit("delete"))
               .withColumn("commit_version", lit(v))
           )
-      val (newlyDead, newlyAlive) = dvShifts(spark, table, amended)
+      // DV amendments: which SIDE each pair contributes is decided
+      // from the `_dvc` riders alone (sidecar chains of one file are
+      // nested supersets — deletes only union, restore only rewinds —
+      // so count ordering IS set ordering); the position diff itself
+      // evaluates inside the scan tasks via two [[DvAlive]] lookups.
+      // Zero driver sidecar reads, O(pairs) strings of metadata.
+      // a DV'd entry with no count rider (foreign writer?) admits the
+      // pair on BOTH sides — the task-side filter decides; costs a
+      // job, never correctness
+      def dvc(e: String): Option[Long] =
+        if (entryDv(e).isEmpty) Some(0L) else entryDvCount(e)
+      val deadPairs = amended.filter { case (p, c) =>
+        (dvc(p), dvc(c)) match {
+          case (Some(a), Some(b)) => b > a
+          case _                  => true
+        }
+      }
+      val alivePairs = amended.filter { case (p, c) =>
+        (dvc(p), dvc(c)) match {
+          case (Some(a), Some(b)) => b < a
+          case _                  => true
+        }
+      }
       val dvDel =
-        if (newlyDead.isEmpty) None
+        if (deadPairs.isEmpty) None
         else
           Some(
-            rowsAtPositions(spark, table, newlyDead, schema)
+            rowsAtDvDelta(spark, table, deadPairs, schema, newlyDead = true)
               .withColumn("change_type", lit("delete"))
               .withColumn("commit_version", lit(v))
           )
       val dvIns =
-        if (newlyAlive.isEmpty) None
+        if (alivePairs.isEmpty) None
         else
           Some(
-            rowsAtPositions(spark, table, newlyAlive, schema)
+            rowsAtDvDelta(spark, table, alivePairs, schema, newlyDead = false)
               .withColumn("change_type", lit("insert"))
               .withColumn("commit_version", lit(v))
           )
@@ -1260,68 +1282,62 @@ object SnapshotLog {
     } else pieces.reduce(_ unionByName _)
   }
 
-  /** Per-file DV position deltas of the (prevEntry, curEntry) pairs:
-    * `(newlyDead, newlyAlive)` — positions that ENTERED the current DV
-    * (a MoR delete) and positions that LEFT it (a [[restore]] rolling
-    * back past one; nothing else can shrink a DV because sidecars are
-    * immutable). Driver-side O(DV bytes), so callers can skip whole
-    * Spark jobs for empty sides. */
-  private def dvShifts(
+  /** Rows of the (prevEntry, curEntry) amendment pairs whose DV
+    * membership SHIFTED: `newlyDead=true` yields positions that
+    * ENTERED the current DV (a MoR delete), false the positions that
+    * LEFT it (a [[restore]] rolling back past one; nothing else can
+    * shrink a DV because sidecars are immutable). The diff evaluates
+    * INSIDE the scan tasks as a composition of two [[DvAlive]]
+    * predicates (alive-under-old vs alive-under-new) — the driver
+    * contributes O(pairs) sidecar-path strings and reads no sidecar
+    * bytes, same posture as [[readEntries]]. */
+  private def rowsAtDvDelta(
       spark: SparkSession,
       table: String,
-      pairs: Seq[(String, String)]
-  ): (Map[String, Array[Long]], Map[String, Array[Long]]) = {
-    val conf = spark.sessionState.newHadoopConf()
-    def positions(e: String): Array[Long] =
-      entryDv(e)
-        .map(d => readDvFile(conf, new Path(dvFilePath(table, d))))
-        .getOrElse(Array.empty[Long])
-    val both = pairs.map { case (p, c) =>
-      val oldPos = positions(p)
-      val newPos = positions(c)
-      val oldSet = oldPos.toSet
-      val newSet = newPos.toSet
-      (
-        entryName(c) -> newPos.filterNot(oldSet).sorted,
-        entryName(c) -> oldPos.filterNot(newSet).sorted
-      )
-    }
-    (
-      both.map(_._1).filter(_._2.nonEmpty).toMap,
-      both.map(_._2).filter(_._2.nonEmpty).toMap
-    )
-  }
-
-  /** Rows of the named files at exactly the given in-file positions —
-    * read from the (unchanged) data files by `_metadata.row_index`
-    * against a broadcast of the position sets. */
-  private def rowsAtPositions(
-      spark: SparkSession,
-      table: String,
-      filePositions: Map[String, Array[Long]],
-      schema: Option[StructType]
+      pairs: Seq[(String, String)],
+      schema: Option[StructType],
+      newlyDead: Boolean
   ): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split => splitCol, udf}
-    requireUniqueBases(filePositions.keys.toSeq, "snapshot changes (DV shift)")
-    val bc = spark.sparkContext.broadcast(
-      filePositions.map { case (n, p) => baseName(n) -> p })
-    val wanted = udf((file: String, pos: Long) =>
-      bc.value.get(file).exists(a => java.util.Arrays.binarySearch(a, pos) >= 0))
+    import org.apache.spark.sql.functions.{col, element_at, split => splitCol}
+    requireUniqueBases(
+      pairs.map(pc => entryName(pc._2)), "snapshot changes (DV shift)")
     val base = readFiles(
-      spark, table, filePositions.keys.toSeq.sorted, schema, aliasLogical = false)
+      spark, table, pairs.map(pc => entryName(pc._2)).sorted, schema,
+      aliasLogical = false)
     val dataCols = base.columns.map(col)
-    val out = base
+    val tagged = base
       .withColumn(
         "__graft_file",
         element_at(splitCol(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-      .where(wanted(col("__graft_file"), col("__graft_pos")))
-      .select(dataCols: _*)
+    val fileC = col("__graft_file")
+    val posC = col("__graft_pos")
+    val aliveOld = dvAliveCol(
+      spark, table, pairs.map(_._1).filter(e => entryDv(e).isDefined), fileC, posC)
+    val aliveNew = dvAliveCol(
+      spark, table, pairs.map(_._2).filter(e => entryDv(e).isDefined), fileC, posC)
+    val cond = if (newlyDead) aliveOld && !aliveNew else !aliveOld && aliveNew
+    val out = tagged.where(cond).select(dataCols: _*)
     schema match {
       case Some(s) if isMapped(s) => out.toDF(s.fieldNames.toIndexedSeq: _*)
       case _                      => out
     }
   }
+
+  /** Deletion-vector sidecar PATH of `file` at `version`, if its entry
+    * carries one — metadata only, no sidecar bytes read. The streaming
+    * planner ships these paths inside input partitions so position
+    * sets load on the EXECUTOR scanning the file, never the driver. */
+  def dvSidecarPathAt(
+      spark: SparkSession,
+      table: String,
+      version: Int,
+      file: String
+  ): Option[String] =
+    manifestEntries(spark, table, version)
+      .find(entryName(_) == file)
+      .flatMap(entryDv)
+      .map(d => dvFilePath(table, d))
 
   /** Dead positions of `file` at `version` (its entry's DV); empty
     * when the file carries none. O(manifest) + O(DV bytes). */

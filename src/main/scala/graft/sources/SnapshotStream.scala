@@ -244,18 +244,22 @@ class GraftSnapshotMicroBatchStream(
                 s"whose content predates the retention horizon $horizon. " +
                 "Restart from a fresh checkpoint."
             )
+          // the partitions carry sidecar PATHS, not positions: the
+          // executor scanning the file loads and diffs its own DVs
+          // (zero driver sidecar reads, O(strings) partition payload)
           val dvParts = amended.map { f =>
-            val delta = SnapshotLog.dvDeltaPositions(spark, table, v, f)
             GraftSnapshotPartition(
-              SnapshotLog.dataPath(table, f), Some(("delete", v)), onlyPositions = Some(delta))
+              SnapshotLog.dataPath(table, f), Some(("delete", v)),
+              deltaDvPaths = Some((
+                SnapshotLog.dvSidecarPathAt(spark, table, v - 1, f),
+                SnapshotLog.dvSidecarPathAt(spark, table, v, f))))
           }
           val removedParts = removed.map { f =>
             // a removed file's PRIOR deletion vector must not re-delete
             // already-dead rows
-            val prior = SnapshotLog.dvPositionsAt(spark, table, v - 1, f)
             GraftSnapshotPartition(
               SnapshotLog.dataPath(table, f), Some(("delete", v)),
-              skipPositions = if (prior.isEmpty) None else Some(prior))
+              skipDvPath = SnapshotLog.dvSidecarPathAt(spark, table, v - 1, f))
           }
           removedParts ++ dvParts ++
             added.map(f => GraftSnapshotPartition(SnapshotLog.dataPath(table, f), Some(("insert", v))))
@@ -294,12 +298,14 @@ class GraftSnapshotMicroBatchStream(
 case class GraftSnapshotPartition(
     file: String,
     cdfTag: Option[(String, Int)], // (change_type, commit_version) in CDF mode
-    // deletion-vector position filters (CDF mode): emit ONLY these
-    // in-file row positions (a DV amendment's newly-dead rows as tagged
-    // deletes), or emit all EXCEPT these (a removed file whose prior DV
-    // already killed some rows)
-    onlyPositions: Option[Array[Long]] = None,
-    skipPositions: Option[Array[Long]] = None
+    // deletion-vector filters (CDF mode), shipped as sidecar PATHS and
+    // resolved on the executor: `deltaDvPaths=(old, new)` emits ONLY
+    // the positions newly in the new sidecar (a DV amendment's
+    // newly-dead rows as tagged deletes); `skipDvPath` emits all
+    // EXCEPT its positions (a removed file whose prior DV already
+    // killed some rows)
+    deltaDvPaths: Option[(Option[String], Option[String])] = None,
+    skipDvPath: Option[String] = None
 ) extends InputPartition
 
 case class GraftSnapshotReaderFactory(
@@ -313,9 +319,17 @@ case class GraftSnapshotReaderFactory(
     // file holds only the data columns
     val dataSchema =
       if (readChangeFeed) StructType(schema.fields.dropRight(2)) else schema
+    // resolve sidecar paths to position sets HERE — this runs in the
+    // task, so DV bytes never touch the driver
+    def readDv(p: String): Array[Long] =
+      SnapshotLog.readDvFile(conf.value, new Path(p))
+    val only = part.deltaDvPaths.map { case (oldP, newP) =>
+      val oldSet = oldP.map(readDv(_).toSet).getOrElse(Set.empty[Long])
+      newP.map(readDv).getOrElse(Array.empty[Long]).filterNot(oldSet).sorted
+    }
+    val skip = part.skipDvPath.map(readDv(_).sorted)
     new GraftSnapshotReader(
-      part.file, conf.value, dataSchema, part.cdfTag,
-      part.onlyPositions, part.skipPositions)
+      part.file, conf.value, dataSchema, part.cdfTag, only, skip)
   }
 }
 

@@ -63,6 +63,12 @@ class MorSpec extends SparkTestBase {
     assert(amended.nonEmpty && appended.nonEmpty)
     assert(SnapshotLog.driverDvReads.get() == 0,
       "MoR update's read side materialized a deletion vector on the driver")
+    // the change feed too: DV amendment deltas diff inside scan tasks
+    SnapshotLog.driverDvReads.set(0)
+    val feed = SnapshotLog.readChanges(spark, t, 3, SnapshotLog.versions(spark, t).last)
+    assert(feed.where(col("change_type") === "delete").count() > 0)
+    assert(SnapshotLog.driverDvReads.get() == 0,
+      "readChanges materialized a deletion vector on the driver")
   }
 
   test("a delete no file admits, or matching no rows, burns no version") {
