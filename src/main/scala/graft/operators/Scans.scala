@@ -1755,6 +1755,54 @@ object Scans {
          |FROM $cat.main.orders_widen ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** METADATA TABLES (round 12): `SELECT * FROM ns.t.history|files|refs`
+    * — the Iceberg idiom, served entirely from manifest riders and the
+    * ref listing as LocalScans (O(metadata) rows, zero data files
+    * opened). The graded query reads the commit ledger THROUGH plain
+    * SQL over four commit kinds (empty create, two appends, a delete)
+    * and the oracle recomputes each version's live-row total from the
+    * source — a ledger that lost a version, mis-summed riders, or
+    * counted dead rows breaks the hash. The files and refs surfaces
+    * are pinned inline. */
+  val sqlMetaHistory: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_meta")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val mid = (3 * c1) / 2
+    o.createOrReplaceTempView("graft_meta_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_meta
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_meta
+         |SELECT * FROM graft_meta_src WHERE o_orderkey <= $c2""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_meta
+         |SELECT * FROM graft_meta_src WHERE o_orderkey > $c2""".stripMargin)
+    spark.sql(
+      s"DELETE FROM $cat.main.orders_meta WHERE o_orderkey BETWEEN ${c1 + 1} AND $mid")
+    // inline pins: the files inventory serves rider data; a tagged ref
+    // appears in the refs surface at the right version
+    val files = spark.sql(
+      s"SELECT sum(rows - dv_dead_rows) FROM $cat.main.orders_meta.files").head
+    require(!files.isNullAt(0) && files.getLong(0) > 0,
+      "t.files must serve live-row riders")
+    spark.sql(s"CALL $cat.system.tag(table => 'main.orders_meta', name => 'ledger')")
+    require(
+      spark.sql(
+        s"SELECT version FROM $cat.main.orders_meta.refs WHERE name = 'ledger'")
+        .head.getInt(0) == 4,
+      "t.refs must list the tag at its pinned version")
+    spark.sql(
+      s"""SELECT version, n_live_rows
+         |FROM $cat.main.orders_meta.history ORDER BY version""".stripMargin)
+  }
+
   /** SQL tag travel (round 11 cont.): `VERSION AS OF '<tag>'` resolves
     * a NAMED ref — two shards land via CTAS, `CALL system.tag` pins
     * `baseline` at that snapshot, a third shard inserts after, and the
@@ -2192,6 +2240,40 @@ object Scans {
          |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
          |VALUES (s.c_custkey, s.c_acctbal)""".stripMargin)
+    spark.sql(s"SELECT * FROM $t ORDER BY c_custkey")
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE` (round 12): the third MERGE clause —
+    * target rows with NO source counterpart act (here: conditional
+    * DELETE), which forces the rewrite to scan EVERY candidate group
+    * (any file may hold an unmatched row; runtime group filtering
+    * correctly degrades to all-files) while the commit is still one
+    * atomic replace. The dataflow: upsert the doubled-balance rows AND
+    * purge the %7 stragglers the source no longer carries, in ONE
+    * statement — the incremental-snapshot-apply shape a CDC consumer
+    * needs. Oracle recomputes all three populations row-by-row. */
+  val sqlMergeSource: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.customer_sqlmrgsrc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_acctbal")
+      .createOrReplaceTempView("graft_sql_mrgsrc_tgt")
+    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, c_acctbal DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_sql_mrgsrc_tgt")
+    spark.sql(
+      """SELECT c_custkey, round(c_acctbal * 2, 2) AS c_acctbal
+        |FROM graft_sql_mrgsrc_tgt WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT * FROM VALUES (CAST(-7 AS BIGINT), CAST(1.5 AS DOUBLE))""".stripMargin)
+      .createOrReplaceTempView("graft_sql_mrgsrc_src")
+    spark.sql(
+      s"""MERGE INTO $t USING graft_sql_mrgsrc_src s ON $t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+         |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+         |VALUES (s.c_custkey, s.c_acctbal)
+         |WHEN NOT MATCHED BY SOURCE AND $t.c_custkey % 7 = 0 THEN DELETE""".stripMargin)
     spark.sql(s"SELECT * FROM $t ORDER BY c_custkey")
   }
 
@@ -2753,12 +2835,14 @@ object Scans {
     "sql_delete_metadata" -> sqlDeleteMetadata,
     "sql_update" -> sqlUpdate,
     "sql_merge" -> sqlMerge,
+    "sql_merge_source" -> sqlMergeSource,
     "etl_mv_incremental" -> etlMvIncremental,
     "agg_metadata_only" -> aggMetadataOnly,
     "sql_agg_pushdown" -> sqlAggPushdown,
     "sql_rename_col" -> sqlRenameCol,
     "sql_drop_col" -> sqlDropCol,
     "sql_widen_col" -> sqlWidenCol,
+    "sql_meta_history" -> sqlMetaHistory,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
     "sql_check_constraint" -> sqlCheckConstraint,
@@ -2979,6 +3063,18 @@ object Scans {
         |       CASE WHEN o_orderkey > 2 * b.c1 THEN o_custkey
         |            ELSE NULL END AS o_custkey
         |FROM orders, b ORDER BY o_orderkey""".stripMargin,
+    // the commit ledger through the metadata table: per-version live
+    // rows over create/append/append/delete vs the source recompute
+    "sql_meta_history" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1 FROM orders)
+        |SELECT CAST(1 AS INTEGER) AS version, CAST(0 AS BIGINT) AS n_live_rows
+        |UNION ALL SELECT 2, (SELECT count(*) FROM orders
+        |  WHERE o_orderkey <= 2 * (SELECT c1 FROM b))
+        |UNION ALL SELECT 3, (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 4, (SELECT count(*) FROM orders
+        |  WHERE NOT (o_orderkey BETWEEN (SELECT c1 FROM b) + 1
+        |             AND (3 * (SELECT c1 FROM b)) // 2))
+        |ORDER BY version""".stripMargin,
     // declared-ahead widening: old INT32 shards up-convert, the new
     // shard carries beyond-INT values — a read that kept the narrow
     // type (overflow) or dropped a shard breaks the hash
@@ -3044,6 +3140,18 @@ object Scans {
         |SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)),
         |                      (CAST(-2 AS BIGINT), CAST(0.0 AS DOUBLE)),
         |                      (CAST(-3 AS BIGINT), CAST(0.0 AS DOUBLE)))
+        |ORDER BY c_custkey""".stripMargin,
+    // the three-clause MERGE: matched rows double (even the %7==0 ones
+    // — matched beats not-matched-by-source), unmatched-by-source %7
+    // stragglers purge, the -7 row inserts
+    "sql_merge_source" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal * 2, 2)
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |WHERE NOT (c_custkey % 10 <> 0 AND c_custkey % 7 = 0)
+        |UNION ALL
+        |SELECT * FROM (VALUES (CAST(-7 AS BIGINT), CAST(1.5 AS DOUBLE)))
         |ORDER BY c_custkey""".stripMargin,
     // exactly-once both directions through the SQL surface: replay
     // duplicates, a skipped version loses — either breaks the hash

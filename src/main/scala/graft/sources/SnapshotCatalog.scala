@@ -16,7 +16,7 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.Type.Repetition
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
@@ -124,8 +124,32 @@ class SnapshotCatalog
     isTable(new Path(tablePath(ident)))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    SnapshotSqlTable(spark, tablePath(ident), ident.toString, None)
+    if (tableExists(ident))
+      SnapshotSqlTable(spark, tablePath(ident), ident.toString, None)
+    else
+      metaTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Metadata TABLES (the Iceberg idiom): `SELECT * FROM ns.t.history
+    * | .files | .refs` — the multipart name arrives with the real
+    * table as the LAST namespace element. Everything is served from
+    * manifest riders and the ref listing (zero data files opened), as
+    * a LocalScan: O(history) / O(live files) / O(refs) driver rows —
+    * the same cost class as DESCRIBE HISTORY. Read-only by
+    * construction. */
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.length < 2) return None
+    val parent = Identifier.of(ns.dropRight(1), ns.last)
+    if (!tableExists(parent)) return None
+    val path = tablePath(parent)
+    val df: Option[DataFrame] = ident.name() match {
+      case "history" => Some(SnapshotLog.describeHistory(spark, path))
+      case "files"   => Some(SnapshotLog.describeFiles(spark, path))
+      case "refs"    => Some(SnapshotLog.describeRefs(spark, path))
+      case _         => None
+    }
+    df.map(d => SnapshotMetaTable(s"${parent.toString}.${ident.name()}", d))
   }
 
   /** `VERSION AS OF <v>` — pins the named commit. A non-numeric
@@ -2079,6 +2103,28 @@ private[sources] object SnapshotSql {
     }
     g
   }
+}
+
+/** A read-only metadata TABLE (`t.history` / `t.files` / `t.refs`)
+  * served as a LocalScan: the backing DataFrame is computed lazily at
+  * scan time from manifest riders — O(metadata) driver rows, zero data
+  * files opened, no write surface. */
+private[sources] case class SnapshotMetaTable(name0: String, df: DataFrame)
+    extends Table
+    with SupportsRead {
+  import org.apache.spark.sql.connector.read.LocalScan
+  override def name(): String = name0
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+        override def readSchema(): StructType = df.schema
+      }
+    }
 }
 
 /** The catalog's maintenance procedures — `CALL <cat>.system.<name>`.

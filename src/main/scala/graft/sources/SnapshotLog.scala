@@ -1430,6 +1430,50 @@ object SnapshotLog {
       "n_added", "n_removed", "n_live_files", "live_bytes", "n_live_rows")
   }
 
+  /** The live-file inventory at `version` (default tip) as data —
+    * everything from manifest riders, zero data files opened: name,
+    * on-disk bytes, physical rows, DV dead rows, bucket id, whether
+    * the entry is an external (cloned) reference. The `t.files`
+    * metadata-table backing. */
+  def describeFiles(
+      spark: SparkSession,
+      table: String,
+      version: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot files: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    val rows = manifestEntries(spark, table, v).map { e =>
+      (
+        entryName(e),
+        entrySize(e).getOrElse(-1L),
+        entryRows(e).getOrElse(-1L),
+        entryDvCount(e).getOrElse(0L),
+        entryToken(e, "_bk=k:").map(_.toInt),
+        isExternal(entryName(e))
+      )
+    }
+    rows.toDF("file", "bytes", "rows", "dv_dead_rows", "bucket", "external")
+  }
+
+  /** Named refs as data: every TAG with its pinned version, every
+    * BRANCH with its own tip. The `t.refs` metadata-table backing. */
+  def describeRefs(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val tagRows = tags(spark, table).toSeq.sorted.map { case (n, v) =>
+      (n, "tag", v)
+    }
+    val f = fs(spark, table)
+    val bRoot = new Path(s"$table/_branches")
+    val branchRows =
+      (if (!f.exists(bRoot)) Seq.empty[String]
+       else f.listStatus(bRoot).filter(_.isDirectory).map(_.getPath.getName).toSeq)
+        .sorted
+        .map(n => (n, "branch", versions(spark, branchDir(table, n)).lastOption.getOrElse(0)))
+    (tagRows ++ branchRows).toDF("name", "type", "version")
+  }
+
   private def horizonPath(table: String): Path =
     new Path(s"$table/$LogDir/_horizon")
 

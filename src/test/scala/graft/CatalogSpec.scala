@@ -209,6 +209,19 @@ class CatalogSpec extends SparkTestBase {
     val widened = SparkEntry.queries("sql_widen_col")(spark, sf0001)
     assert(widened.count() == orders.count())
     assert(widened.agg(max("cust")).head.getLong(0) > Int.MaxValue.toLong)
+    // metadata-table ledger: 4 versions, final live total = post-delete
+    val ledger = SparkEntry.queries("sql_meta_history")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(ledger.map(_._1) == List(1, 2, 3, 4) && ledger.head._2 == 0L)
+    assert(ledger(2)._2 == orders.count())
+    assert(ledger(3)._2 < orders.count() && ledger(3)._2 > 0)
+    // three-clause MERGE: matched doubled, straggler purged, row inserted
+    val m = SparkEntry.queries("sql_merge_source")(spark, sf0001)
+    val customers = Tables.customer(spark, sf0001)
+    val nDeleted = customers
+      .filter(expr("c_custkey % 10 <> 0 AND c_custkey % 7 = 0")).count()
+    assert(m.count() == customers.count() - nDeleted + 1)
+    assert(m.filter(expr("c_custkey = -7")).count() == 1)
   }
 
   test("catalog reads subtract deletion vectors") {
@@ -657,6 +670,52 @@ class CatalogSpec extends SparkTestBase {
     assert(SnapshotLog.read(spark, pathOf(t))
       .selectExpr("sum(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
       .head.getDouble(0) == (1 to 10).map(i => i + 2.0 * i + 0.5).sum)
+  }
+
+  test("metadata tables: t.history / t.files / t.refs serve rider data via SQL") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(10, 30)")
+    val hist = spark.sql(
+      s"SELECT version, n_live_rows, data_change FROM $t.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toList
+    assert(hist == List((1, 0L, true), (2, 10L, true), (3, 30L, true)), s"got $hist")
+    val files = spark.sql(s"SELECT file, rows, external FROM $t.files").collect()
+    assert(files.nonEmpty && files.forall(r =>
+      r.getString(0).endsWith(".parquet") && r.getLong(1) > 0 && !r.getBoolean(2)))
+    assert(spark.sql(s"SELECT sum(rows) FROM $t.files").head.getLong(0) == 30L)
+    spark.sql(s"CALL cattest.system.tag(table => '$short', name => 'seen')")
+    spark.sql(s"CALL cattest.system.branch(table => '$short', name => 'wip')")
+    val refs = spark.sql(s"SELECT name, type, version FROM $t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toList
+    assert(refs == List(("seen", "tag", 3), ("wip", "branch", 1)), s"got $refs")
+    // metadata tables are read-only and never shadow a real table
+    assert(scala.util.Try(
+      spark.sql(s"INSERT INTO $t.history VALUES (9, 'x', true, '', 0, 0, 0, 0, 0)"))
+      .isFailure)
+    assert(scala.util.Try(spark.sql(s"SELECT * FROM $t.nope").collect()).isFailure)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes stragglers in the same commit") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("SELECT * FROM VALUES (CAST(2 AS BIGINT), CAST(99 AS BIGINT)), " +
+      "(CAST(4 AS BIGINT), CAST(40 AS BIGINT))")
+      .toDF("id", "v").createOrReplaceTempView("mrgsrc_t")
+    val versBefore = SnapshotLog.versions(spark, pathOf(t)).last
+    spark.sql(
+      s"""MERGE INTO $t USING mrgsrc_t s ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND $t.id = 1 THEN DELETE""".stripMargin)
+    val got = spark.sql(s"SELECT id, v FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((2L, 99L), (3L, 30L), (4L, 40L)), s"got $got")
+    // one atomic commit for all three clauses
+    assert(SnapshotLog.versions(spark, pathOf(t)).last == versBefore + 1)
   }
 
   test("ALTER COLUMN TYPE widening: metadata-only, declared ahead of the data") {
