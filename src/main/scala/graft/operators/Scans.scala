@@ -1755,6 +1755,45 @@ object Scans {
          |FROM $cat.main.orders_widen ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** IDENTITY `PARTITIONED BY (col)` (round 12): the Iceberg-lite
+    * implementation — no hive directory layout, no partition-column
+    * removal from the data; batch INSERTs cluster by value
+    * (`Distributions.clustered(identity(col))`) and the task writer
+    * lands ONE FILE PER PARTITION VALUE, so every file carries a
+    * tight single-value footer stat and the EXISTING manifest-stats
+    * skipping prunes partition predicates exactly (pinned inline:
+    * the value probe keeps a strict subset of files). At 100 TB
+    * this gives partition pruning without the small-file explosion
+    * hive layouts invite, and OPTIMIZE re-packs freely because the
+    * layout is advisory, never a correctness boundary. The oracle
+    * recomputes the partition slice from the source. */
+  val sqlPartitionedTable: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_part")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_part_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_part
+         |(o_orderkey BIGINT, part BIGINT, o_totalprice DOUBLE)
+         |PARTITIONED BY (part)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_part
+         |SELECT o_orderkey, o_custkey % 8 AS part, o_totalprice
+         |FROM graft_part_src""".stripMargin)
+    val tablePath = tmp("sql_warehouse") + "/main/orders_part"
+    val (kept, total) = graft.sources.SnapshotLog
+      .prunedFiles(spark, tablePath, "part", 3, 3)
+    require(
+      total >= 8 && kept.size < total,
+      s"partition files must be value-pure and prunable: ${kept.size}/$total")
+    spark.sql(
+      s"""SELECT o_orderkey, part, o_totalprice
+         |FROM $cat.main.orders_part WHERE part = 3
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** METADATA TABLES (round 12): `SELECT * FROM ns.t.history|files|refs`
     * — the Iceberg idiom, served entirely from manifest riders and the
     * ref listing as LocalScans (O(metadata) rows, zero data files
@@ -2843,6 +2882,7 @@ object Scans {
     "sql_drop_col" -> sqlDropCol,
     "sql_widen_col" -> sqlWidenCol,
     "sql_meta_history" -> sqlMetaHistory,
+    "sql_partitioned_table" -> sqlPartitionedTable,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
     "sql_check_constraint" -> sqlCheckConstraint,
@@ -3063,6 +3103,13 @@ object Scans {
         |       CASE WHEN o_orderkey > 2 * b.c1 THEN o_custkey
         |            ELSE NULL END AS o_custkey
         |FROM orders, b ORDER BY o_orderkey""".stripMargin,
+    // the partition slice through value-clustered files equals the
+    // plain recompute — pruning can only exclude disjoint files
+    "sql_partitioned_table" ->
+      """SELECT o_orderkey, o_custkey % 8 AS part, o_totalprice
+        |FROM orders
+        |WHERE o_custkey % 8 = 3
+        |ORDER BY o_orderkey""".stripMargin,
     // the commit ledger through the metadata table: per-version live
     // rows over create/append/append/delete vs the source recompute
     "sql_meta_history" ->

@@ -202,13 +202,37 @@ class SnapshotCatalog
       properties: util.Map[String, String]
   ): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // the ONE supported transform is bucket(n, col): it declares the
-    // co-location layout storage-partitioned joins align on. Hive-style
-    // value partitioning stays unsupported — manifest-stats skipping
-    // plus OPTIMIZE clustering is the scale path, without small-file
-    // partition explosion.
+    // supported transforms: bucket(n, col) — the co-location layout
+    // storage-partitioned joins align on — and a single IDENTITY
+    // column. Identity partitioning is implemented the Iceberg-lite
+    // way: writes cluster by value (one file per partition value per
+    // task, tight single-value footer stats), and the EXISTING
+    // manifest-stats skipping prunes — no hive directory layout, no
+    // partition-column removal from the data, no small-file explosion
+    // (OPTIMIZE re-packs as usual; the claim is advisory layout, never
+    // a correctness boundary).
+    val partitionBy: Option[String] = partitions.toSeq match {
+      case Seq(t) if t.name() == "identity" =>
+        t.references() match {
+          case Array(r) if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+          case _ =>
+            throw new UnsupportedOperationException(
+              "snapshot catalog: PARTITIONED BY wants one top-level column")
+        }
+      case _ => None
+    }
+    partitionBy.foreach { c =>
+      val fld = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot catalog: partition column '$c' is not in the schema"))
+      require(
+        fld.dataType == LongType || fld.dataType == IntegerType ||
+          fld.dataType == StringType,
+        s"snapshot catalog: partition column '$c' must be int/bigint/string")
+    }
     val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
       case Nil => None
+      case _ if partitionBy.isDefined => None
       case Seq(t) if t.name() == "bucket" =>
         val col = t.references() match {
           case Array(r) if r.fieldNames().length == 1 => r.fieldNames()(0)
@@ -225,9 +249,10 @@ class SnapshotCatalog
         Some((col, n))
       case _ =>
         throw new UnsupportedOperationException(
-          "snapshot catalog: only PARTITIONED BY (bucket(n, col)) is " +
-            "supported — manifest-stats file skipping plus OPTIMIZE " +
-            "clustering replace hive partitioning"
+          "snapshot catalog: only PARTITIONED BY (bucket(n, col)) or a " +
+            "single identity column is supported — manifest-stats file " +
+            "skipping plus OPTIMIZE clustering replace deeper hive " +
+            "partitioning"
         )
     }
     bucketSpec.foreach { case (c, _) =>
@@ -251,6 +276,10 @@ class SnapshotCatalog
         bucketSpec.isEmpty,
         "snapshot catalog: sorted_by and bucket layout are mutually " +
           "exclusive (a bucketed write clusters by bucket id)")
+      require(
+        partitionBy.isEmpty,
+        "snapshot catalog: sorted_by and PARTITIONED BY are mutually " +
+          "exclusive (a partitioned write clusters by partition value)")
     }
     wfs.mkdirs(nsPath(ident.namespace))
     // v1 is a schema-only commit: the empty table is immediately
@@ -265,6 +294,7 @@ class SnapshotCatalog
     }
     val declaredProps =
       sortedBy.map("sorted_by" -> _).toMap ++
+        partitionBy.map("partition_by" -> _) ++
         sortedBy.flatMap(_ =>
           Option(properties.get("sorted_partitions"))
             .map(p => "sorted_partitions" -> p.trim.toInt.toString)) ++
@@ -627,13 +657,19 @@ case class SnapshotSqlTable(
   private val sortedBy: Option[String] = tipProps.get("sorted_by")
   private val sortedParts: Int =
     tipProps.get("sorted_partitions").map(_.toInt).getOrElse(0)
+  /** Declared identity-partition column (`PARTITIONED BY (col)`):
+    * batch INSERTs cluster by value and land one file per partition
+    * value per task, so the existing manifest-stats skipping prunes
+    * partition predicates exactly. */
+  private val partitionBy: Option[String] = tipProps.get("partition_by")
 
   /** Reported so DESCRIBE shows the layout and Spark understands the
-    * table as bucket-partitioned. */
+    * table as bucket- or value-partitioned. */
   override def partitioning(): Array[Transform] =
     tipBucketSpec.toArray.map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-    }
+    } ++ partitionBy.toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   override def name(): String = ident
   override def schema(): StructType = dataSchema
@@ -663,7 +699,7 @@ case class SnapshotSqlTable(
         .copy(quarantine = tipProps.get("check_mode").contains("quarantine")))
     new SnapshotSqlWriteBuilder(
       path, phys, commit, info.queryId(), tipBucketSpec, sortedBy, sortedParts,
-      check)
+      check, partitionBy)
   }
 
   // --- metadata-only DELETE + TRUNCATE ------------------------------
@@ -1394,7 +1430,8 @@ class SnapshotSqlWriteBuilder(
     bucketSpec: Option[(String, Int)] = None,
     sortedBy: Option[String] = None,
     sortedParts: Int = 0,
-    check: Option[SnapshotSql.CheckSpec] = None
+    check: Option[SnapshotSql.CheckSpec] = None,
+    partitionBy: Option[String] = None
 ) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
@@ -1403,9 +1440,14 @@ class SnapshotSqlWriteBuilder(
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       SnapshotSqlBatchWrite(
-        path, physSchema, commitSchema, overwrite, bucketSpec, check)
+        path, physSchema, commitSchema, overwrite, bucketSpec, check,
+        partitionBy)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      // streaming epochs keep the plain writer: micro-batch files may
+      // span partition values (wider stats, weaker pruning for those
+      // files) — layout is advisory, never a correctness boundary, and
+      // OPTIMIZE re-clusters
       SnapshotSqlStreamingWrite(
         path, physSchema, commitSchema, overwrite, queryId, bucketSpec, check)
 
@@ -1423,13 +1465,16 @@ class SnapshotSqlWriteBuilder(
         : org.apache.spark.sql.connector.distributions.Distribution = {
       import org.apache.spark.sql.connector.distributions.Distributions
       import org.apache.spark.sql.connector.expressions.Expressions
-      (bucketSpec, sortedBy) match {
-        case (Some((c, n)), _) =>
+      (bucketSpec, sortedBy, partitionBy) match {
+        case (Some((c, n)), _, _) =>
           Distributions.clustered(Array(Expressions.bucket(n, c)))
-        case (None, Some(c)) =>
+        case (None, Some(c), _) =>
           Distributions.ordered(Array(Expressions.sort(
             Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+        case (None, None, Some(c)) =>
+          // whole partition values per task → one file per value
+          Distributions.clustered(Array(Expressions.identity(c)))
         case _ => Distributions.unspecified()
       }
     }
@@ -1551,7 +1596,8 @@ case class SnapshotSqlBatchWrite(
     commitSchema: StructType,
     overwrite: Boolean,
     bucketSpec: Option[(String, Int)] = None,
-    check: Option[SnapshotSql.CheckSpec] = None
+    check: Option[SnapshotSql.CheckSpec] = None,
+    partitionBy: Option[String] = None
 ) extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1564,7 +1610,8 @@ case class SnapshotSqlBatchWrite(
         SparkSession.active.sessionState.newHadoopConf()
       ),
       bucketSpec,
-      check
+      check,
+      partitionBy
     )
 
   /** Exactly one message per partition (commit coordinator): the
@@ -1580,8 +1627,10 @@ case class SnapshotSqlBatchWrite(
           SparkSession.active, path, files, commitSchema, c, n,
           overwrite = overwrite)
       case None =>
-        val names = messages.toSeq.collect {
-          case SnapshotSqlCommit(Some(n), _) => n
+        val names = messages.toSeq.flatMap {
+          case SnapshotSqlCommit(Some(n), _)  => Seq(n)
+          case SnapshotSqlFilesCommit(fs, _)  => fs
+          case _                              => Nil
         }
         SnapshotLog.commitLanded(
           SparkSession.active, path, names, commitSchema, overwrite = overwrite)
@@ -1592,7 +1641,8 @@ case class SnapshotSqlBatchWrite(
         // vacuum sweeps — bad rows can vanish, never duplicate into
         // the MAIN table.
         val qnames = messages.toSeq.collect {
-          case SnapshotSqlCommit(_, Some(q)) => q
+          case SnapshotSqlCommit(_, Some(q))       => q
+          case SnapshotSqlFilesCommit(_, Some(q))  => q
         }
         if (qnames.nonEmpty)
           SnapshotLog.commitLanded(
@@ -1617,6 +1667,13 @@ case class SnapshotSqlBatchWrite(
           try fs.delete(new Path(s"$path/$f"), false)
           catch { case _: java.io.IOException => () }
         }
+      case SnapshotSqlFilesCommit(pfs, q) =>
+        pfs.foreach(f =>
+          try fs.delete(new Path(s"$path/$f"), false)
+          catch { case _: java.io.IOException => () })
+        q.foreach(f =>
+          try fs.delete(new Path(s"${path}_quarantine/$f"), false)
+          catch { case _: java.io.IOException => () })
       case _ => ()
     }
   }
@@ -1632,25 +1689,131 @@ case class SnapshotSqlCommit(
 case class SnapshotSqlBucketedCommit(files: Seq[(String, Int)])
     extends WriterCommitMessage
 
+/** Value-partitioned write commit: one file per partition value seen
+  * by the task (plus the task's quarantine file, if any). */
+case class SnapshotSqlFilesCommit(
+    files: Seq[String],
+    quarantined: Option[String] = None
+) extends WriterCommitMessage
+
 case class SnapshotSqlWriterFactory(
     path: String,
     schema: StructType,
     conf: SerializableHadoopConf,
     bucketSpec: Option[(String, Int)] = None,
-    check: Option[SnapshotSql.CheckSpec] = None
+    check: Option[SnapshotSql.CheckSpec] = None,
+    partitionBy: Option[String] = None
 ) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long
   ): DataWriter[InternalRow] =
-    bucketSpec match {
-      case Some((c, n)) =>
+    (bucketSpec, partitionBy) match {
+      case (Some((c, n)), _) =>
         new SnapshotBucketedParquetWriter(
           path, schema, partitionId, taskId, conf.value, c, n, check)
-      case None =>
+      case (None, Some(c)) =>
+        new SnapshotPartitionedParquetWriter(
+          path, schema, partitionId, taskId, conf.value, c, check)
+      case _ =>
         new SnapshotParquetWriter(
           path, schema, partitionId, taskId, conf.value, check)
     }
+}
+
+/** Identity-partitioned task writer: one open file PER PARTITION VALUE
+  * seen (the required clustered distribution keeps that a small number
+  * per task — typically one), so every landed file carries a tight
+  * single-value footer stat and the manifest-stats skipping prunes
+  * partition predicates exactly. NULL partition values route to their
+  * own file. Quarantine-mode CHECK diverts like the plain writer. */
+class SnapshotPartitionedParquetWriter(
+    table: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    partCol: String,
+    check: Option[SnapshotSql.CheckSpec] = None
+) extends DataWriter[InternalRow] {
+
+  private val messageType: MessageType = SnapshotSql.toMessageType(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private val colIdx = schema.fieldIndex(partCol)
+  private val dt = schema(colIdx).dataType
+  private val writers =
+    scala.collection.mutable.Map.empty[String, (ParquetWriter[Group], String)]
+  private var qWriter: ParquetWriter[Group] = _
+  private var qFileName: String = _
+
+  private def open(dir: String, name: String): ParquetWriter[Group] =
+    ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(s"$dir/$name"), hadoopConf))
+      .withType(messageType)
+      .withConf(hadoopConf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  private def keyOf(row: InternalRow): String =
+    if (row.isNullAt(colIdx)) "__null__"
+    else
+      dt match {
+        case LongType    => row.getLong(colIdx).toString
+        case IntegerType => row.getInt(colIdx).toString
+        case StringType  => row.getUTF8String(colIdx).toString
+        case other =>
+          throw new UnsupportedOperationException(
+            s"partitioned write: unsupported partition type $other")
+      }
+
+  override def write(row: InternalRow): Unit =
+    if (check.forall(_.passes(row))) {
+      val k = keyOf(row)
+      writers.getOrElseUpdate(k, {
+        val name =
+          s"part-sql-$partitionId-$taskId-${UUID.randomUUID.toString.take(8)}.parquet"
+        (open(table, name), name)
+      })._1.write(SnapshotSql.toGroup(factory, schema, row))
+    } else {
+      if (qWriter == null) {
+        qFileName =
+          s"part-q-$partitionId-$taskId-${UUID.randomUUID.toString.take(8)}.parquet"
+        qWriter = open(s"${table}_quarantine", qFileName)
+      }
+      qWriter.write(SnapshotSql.toGroup(factory, schema, row))
+    }
+
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    if (qWriter != null) { qWriter.close(); qWriter = null }
+    val files = writers.values.map(_._2).toSeq
+    writers.clear()
+    SnapshotSqlFilesCommit(files, Option(qFileName))
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(_._1.close())
+    if (qWriter != null) { qWriter.close(); qWriter = null }
+    val fs = new Path(table).getFileSystem(hadoopConf)
+    writers.values.foreach { case (_, n) =>
+      try fs.delete(new Path(s"$table/$n"), false)
+      catch { case _: java.io.IOException => () }
+    }
+    if (qFileName != null) {
+      try fs.delete(new Path(s"${table}_quarantine/$qFileName"), false)
+      catch { case _: java.io.IOException => () }
+    }
+    writers.clear()
+  }
+
+  override def close(): Unit = {
+    writers.values.foreach(_._1.close())
+    if (qWriter != null) { qWriter.close(); qWriter = null }
+    writers.clear()
+  }
 }
 
 /** Bucketed task writer: one open file PER BUCKET VALUE seen (the
@@ -2141,7 +2304,7 @@ private[sources] object SnapshotProcedures {
     Array(
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
-      "detail")
+      "detail", "clone")
 
   private def spark = SparkSession.active
 
@@ -2186,6 +2349,10 @@ private[sources] object SnapshotProcedures {
             // incremental form a 100 TB table actually runs
             ProcedureParameter.in("where_column", StringType)
               .defaultValue("''").build(),
+            // explicit output-file count (layout tests, small tables);
+            // -1 = size outputs from target_mb, the 100 TB default
+            ProcedureParameter.in("files_out", IntegerType)
+              .defaultValue("-1").build(),
             ProcedureParameter.in("where_lo", LongType)
               .defaultValue(Long.MinValue.toString).build(),
             ProcedureParameter.in("where_hi", LongType)
@@ -2200,17 +2367,20 @@ private[sources] object SnapshotProcedures {
             val target = in.getInt(1).toLong << 20
             val zorder = Option(in.getUTF8String(2)).map(_.toString)
               .filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
+            val filesOut =
+              if (in.isNullAt(4) || in.getInt(4) <= 0) None else Some(in.getInt(4))
             val scope = Option(in.getUTF8String(3)).map(_.toString)
-              .filter(_.nonEmpty).map(c => (c, in.getLong(4), in.getLong(5)))
+              .filter(_.nonEmpty).map(c => (c, in.getLong(5), in.getLong(6)))
             val (v, rewritten, carried) =
               if (zorder.nonEmpty)
                 SnapshotLog.compact(
                   spark, table, smallerThanBytes = Long.MaxValue,
-                  targetBytes = target, zorderBy = zorder, where = scope)
+                  targetBytes = target, zorderBy = zorder, where = scope,
+                  filesOut = filesOut)
               else
                 SnapshotLog.compact(
                   spark, table, smallerThanBytes = target, targetBytes = target,
-                  where = scope)
+                  where = scope, filesOut = filesOut)
             Seq(new GenericInternalRow(
               Array[Any](v, rewritten.size, carried.size)))
           }
@@ -2263,6 +2433,31 @@ private[sources] object SnapshotProcedures {
               spark, resolve(in.getUTF8String(0).toString), in.getInt(1))
             Seq(new GenericInternalRow(
               Array[Any](v, readded.size, dropped.size)))
+          }
+        )
+      case "clone" =>
+        // zero-copy shallow clone: the new table's v1 references the
+        // source's files by absolute path — O(manifest) metadata at
+        // any table size; vacuum on either side never touches the
+        // other's files (external refs are not listed locally)
+        proc(
+          "clone",
+          Seq(
+            ProcedureParameter.in("source", StringType).build(),
+            ProcedureParameter.in("target", StringType).build(),
+            ProcedureParameter.in("version", IntegerType)
+              .defaultValue("-1").build() // -1 = the source tip
+          ),
+          StructType(Seq(StructField("version", IntegerType))),
+          in => {
+            val v =
+              if (in.isNullAt(2) || in.getInt(2) < 0) None else Some(in.getInt(2))
+            Seq(new GenericInternalRow(Array[Any](
+              SnapshotLog.cloneTable(
+                spark,
+                resolve(in.getUTF8String(0).toString),
+                resolve(in.getUTF8String(1).toString),
+                v))))
           }
         )
       case "tag" =>

@@ -162,9 +162,37 @@ class CatalogSpec extends SparkTestBase {
     val e2b = intercept[Exception](
       spark.sql(s"CREATE TABLE ${freshName()} (a MAP<STRING, INT>)"))
     assert(e2b.getMessage.contains("unsupported column type"))
+    // single-identity partitioning is supported since round 12; deeper
+    // hive layouts (multi-column, transforms) still refuse
     val e3 = intercept[Exception](
-      spark.sql(s"CREATE TABLE ${freshName()} (id BIGINT, p INT) PARTITIONED BY (p)"))
+      spark.sql(
+        s"CREATE TABLE ${freshName()} (id BIGINT, p INT, q INT) PARTITIONED BY (p, q)"))
     assert(e3.getMessage.contains("bucket(n, col)"))
+  }
+
+  test("PARTITIONED BY (col): value-clustered files, stats pruning, null partition") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT id, CASE WHEN id < 90 THEN id % 3 ELSE NULL END AS p
+         |FROM range(0, 100)""".stripMargin)
+    // every landed file holds ONE partition value: a value probe prunes
+    // to at most one file per insert
+    val (kept, total) = SnapshotLog.prunedFiles(spark, pathOf(t), "p", 1, 1)
+    assert(total >= 3, s"expected one file per value, saw $total")
+    assert(kept.size < total, s"partition probe must prune: ${kept.size}/$total")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 1").head.getLong(0) == 30L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p IS NULL").head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 100L)
+    // DESCRIBE surfaces the layout; a second insert keeps it
+    assert(spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+      .exists(r => r.toString.contains("p")), "partitioning must be visible")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 3 FROM range(100, 130)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 130L)
+    // DML on a partitioned table stays correct (layout is advisory)
+    spark.sql(s"DELETE FROM $t WHERE p = 2 AND id < 90")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE p = 2").head.getLong(0) == 10L)
   }
 
   test("empty INSERT commits a readable schema-only version") {
@@ -215,6 +243,10 @@ class CatalogSpec extends SparkTestBase {
     assert(ledger.map(_._1) == List(1, 2, 3, 4) && ledger.head._2 == 0L)
     assert(ledger(2)._2 == orders.count())
     assert(ledger(3)._2 < orders.count() && ledger(3)._2 > 0)
+    // partitioned table: the part=3 slice equals the recompute
+    val part = SparkEntry.queries("sql_partitioned_table")(spark, sf0001)
+    assert(part.count() ==
+      orders.filter(expr("o_custkey % 8 = 3")).count())
     // three-clause MERGE: matched doubled, straggler purged, row inserted
     val m = SparkEntry.queries("sql_merge_source")(spark, sf0001)
     val customers = Tables.customer(spark, sf0001)
@@ -670,6 +702,50 @@ class CatalogSpec extends SparkTestBase {
     assert(SnapshotLog.read(spark, pathOf(t))
       .selectExpr("sum(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
       .head.getDouble(0) == (1 to 10).map(i => i + 2.0 * i + 0.5).sum)
+  }
+
+  test("CALL clone: zero-copy shallow clone through SQL, version-pinnable") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10)")   // v2
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(10, 30)")  // v3
+    // clone of the tip: same content, ZERO data files in the clone dir
+    spark.sql(
+      s"CALL cattest.system.clone(source => '$short', target => 'main.cl_tip')")
+    assert(spark.sql("SELECT count(*) FROM cattest.main.cl_tip").head.getLong(0) == 30L)
+    val cloneDir = new org.apache.hadoop.fs.Path(pathOf("cattest.main.cl_tip"))
+    val fs = cloneDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(cloneDir).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "a shallow clone must own no data files")
+    // version-pinned clone sees only v2's rows; diverges independently
+    spark.sql(
+      s"CALL cattest.system.clone(source => '$short', target => 'main.cl_v2', version => 2)")
+    assert(spark.sql("SELECT count(*) FROM cattest.main.cl_v2").head.getLong(0) == 10L)
+    spark.sql("INSERT INTO cattest.main.cl_v2 SELECT id FROM range(100, 105)")
+    assert(spark.sql("SELECT count(*) FROM cattest.main.cl_v2").head.getLong(0) == 15L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 30L,
+      "the source must not see the clone's writes")
+  }
+
+  test("CALL optimize z-orders on a STRING column through SQL") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (x BIGINT, s STRING)")
+    (0 until 4).foreach(i =>
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT id AS x, concat('k', lpad(CAST((id * 173) % 400 AS STRING), 3, '0')) AS s
+           |FROM range(0, 400) WHERE id % 4 = $i DISTRIBUTE BY x % 4""".stripMargin))
+    spark.sql(
+      s"CALL cattest.system.optimize(table => '$short', zorder_by => 's,x', files_out => 16)")
+    val (zS, totalS) = SnapshotLog.prunedFilesString(
+      spark, pathOf(t), "s", "k000", "k099")
+    val (zX, totalX) = SnapshotLog.prunedFiles(spark, pathOf(t), "x", 0, 99)
+    assert(totalS > 1 && zS.size < totalS, s"string probe must prune: ${zS.size}/$totalS")
+    assert(zX.size < totalX, s"numeric probe must prune: ${zX.size}/$totalX")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 400L)
   }
 
   test("metadata tables: t.history / t.files / t.refs serve rider data via SQL") {
