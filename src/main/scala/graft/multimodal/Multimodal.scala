@@ -176,16 +176,80 @@ object Multimodal {
       )
       .orderBy("doc_id", "chunk_id")
 
+  /** WEBDATASET-STYLE SHARD PACKING (round 12): assign atomic binary
+    * samples to size-bounded shards and emit the per-shard INDEX
+    * (sample count, byte total, id range) — the manifest a multimodal
+    * training loader reads to open tar-like shards. Placement is the
+    * deterministic prefix rule `shard = floor(bytes_before / target)`
+    * over id order: a sample is NEVER split (a shard may overflow by
+    * at most one sample), and the global running offset comes from
+    * [[graft.operators.TwoPhase.prefixScan]] — one bounded O(parallelism)
+    * summary collect, never a single-partition window, so the pack
+    * scales to any corpus. Distinct from etl_pack_sequences, which
+    * SPLITS token streams across fixed sequences; here samples are
+    * atomic and the graded result is the shard manifest. */
+  val mmShardPack: Q = (spark, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val target = 64L * 1024
+    val recs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("shard", LongType)))
+    graft.operators.TwoPhase
+      .prefixScan(recs, 8, Seq(col("doc_id")), 0L)(
+        _.foldLeft(0L)((a, r) => a + r.getLong(1))
+      )(_ + _)(schema) { (before, _, rows) =>
+        var off = before
+        rows.map { r =>
+          val n = r.getLong(1)
+          val out = Row(r.getLong(0), n, off / target)
+          off += n
+          out
+        }
+      }
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_binary_features" -> mmBinaryFeatures,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
     "mm_chunk" -> mmChunk,
-    "mm_phash" -> mmPhash
+    "mm_phash" -> mmPhash,
+    "mm_shard_pack" -> mmShardPack
   )
 
   val oracles: Map[String, String] = Map(
     "mm_phash" -> mmPhashSql,
+    // shard placement is a pure prefix rule, so DuckDB's running-sum
+    // window recomputes the manifest exactly
+    "mm_shard_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |         COALESCE(sum(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS before
+        |  FROM documents)
+        |SELECT CAST(before // 65536 AS BIGINT) AS shard,
+        |       count(*) AS n_samples,
+        |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |       min(doc_id) AS first_doc,
+        |       max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     "mm_chunk" ->
       """SELECT doc_id, CAST((i - 1) // 256 AS INT) AS chunk_id,
         | length(substring(text, i, 256)) AS n_chars,

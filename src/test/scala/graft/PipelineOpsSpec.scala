@@ -8,6 +8,29 @@ import org.apache.spark.sql.functions._
   * hash-sample stratum rates. */
 class PipelineOpsSpec extends SparkTestBase {
 
+  test("mm_shard_pack: shards partition the corpus, sizes bound, ranges disjoint") {
+    val target = 64L * 1024
+    val manifest = SparkEntry.queries("mm_shard_pack")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.documents(spark, sf0001).count()
+    assert(manifest.map(_._2).sum == total, "every sample in exactly one shard")
+    // shard ids contiguous from 0; doc ranges disjoint and ordered
+    assert(manifest.map(_._1).toSeq == manifest.indices.map(_.toLong))
+    manifest.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, "shard id ranges must be ordered")
+      case _           => ()
+    }
+    // atomic placement: a shard holds at least the bytes before its
+    // boundary minus one sample, and overflows by at most one sample
+    val maxDoc = Tables.documents(spark, sf0001)
+      .agg(max(length(col("text")))).head.getInt(0).toLong
+    manifest.dropRight(1).foreach { case (s, _, bytes, _, _) =>
+      assert(bytes <= target + maxDoc, s"shard $s exceeds target + one sample")
+      assert(bytes >= target - maxDoc, s"shard $s underfull: $bytes")
+    }
+  }
+
   test("mm_chunk: chunks reassemble to the original text, ids dense from 0") {
     val docs = Tables
       .documents(spark, sf0001)
