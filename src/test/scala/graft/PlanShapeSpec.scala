@@ -49,6 +49,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!s.contains("Filter ("), s)
   }
 
+  test("a DV'd snapshot read filters with the codegen'd dv_alive, no UDF") {
+    import graft.sources.SnapshotLog
+    val t = java.nio.file.Files.createTempDirectory("graft_dvplan").toString + "/t"
+    SnapshotLog.commit(spark, t, spark.range(0, 1000).toDF("id"))
+    SnapshotLog.deleteWhereMoR(spark, t, "id", 10, 20)
+    val plan = SnapshotLog.read(spark, t).queryExecution.executedPlan.toString
+    assert(plan.contains("dv_alive"), s"DV filter must be the native predicate:\n$plan")
+    assert(!plan.contains("UDF"), "the round-11 UDF path must be gone")
+    // `*(n)` markers = WholeStageCodegen spans; the dv_alive Filter
+    // line must carry one (the UDF it replaced broke the span)
+    assert(
+      plan.linesIterator.exists(l => l.contains("dv_alive") && l.contains("*(")),
+      s"the DV filter must live inside a codegen span:\n$plan")
+  }
+
+  test("a partitioned-table INSERT clusters by the partition column") {
+    // the identity distribution must surface as an Exchange
+    // hashpartitioning on the partition column — that clustering is
+    // what makes every landed file value-pure
+    val wtmp = java.nio.file.Files.createTempDirectory("graft_partplan").toString
+    spark.conf.set("spark.sql.catalog.partplan",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.partplan.warehouse", wtmp)
+    spark.sql("CREATE TABLE partplan.main.pp (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.range(0, 100).selectExpr("id", "id % 5 AS p")
+      .createOrReplaceTempView("pp_src")
+    spark.sql("INSERT INTO partplan.main.pp SELECT * FROM pp_src")
+    val (kept, total) = graft.sources.SnapshotLog
+      .prunedFiles(spark, s"$wtmp/main/pp", "p", 2, 2)
+    assert(total >= 5 && kept.size < total,
+      s"value-pure files must prune: ${kept.size}/$total")
+  }
+
   test("join_broadcast plans a BroadcastHashJoin") {
     val s = planString(operators.Joins.joinBroadcast(spark, sf001))
     assert(s.contains("BroadcastHashJoin"), s)
