@@ -673,6 +673,18 @@ case class SnapshotSqlTable(
 
   override def name(): String = ident
   override def schema(): StructType = dataSchema
+
+  /** Surfaced through SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the
+    * declared props plus the layout claims. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    tipProps.foreach { case (k, v) => m.put(k, v) }
+    tipBucketSpec.foreach { case (c, n) =>
+      m.put("bucket_column", c); m.put("bucket_count", n.toString)
+    }
+    m
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -1141,6 +1153,7 @@ class SnapshotSqlScan(
       startingVersion =
         Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       readChangeFeed = false
     )
   }

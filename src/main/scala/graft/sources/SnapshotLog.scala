@@ -1457,6 +1457,23 @@ object SnapshotLog {
     rows.toDF("file", "bytes", "rows", "dv_dead_rows", "bucket", "external")
   }
 
+  /** Summed `_sz` rider bytes of `files` at `version` (absent rider →
+    * 0) — metadata only; the streaming source's byte-based admission
+    * costing (maxBytesPerTrigger). */
+  def fileSizesAt(
+      spark: SparkSession,
+      table: String,
+      version: Int,
+      files: Seq[String]
+  ): Long = {
+    if (files.isEmpty) return 0L
+    val wanted = files.toSet
+    manifestEntries(spark, table, version)
+      .filter(e => wanted(entryName(e)))
+      .flatMap(entrySize)
+      .sum
+  }
+
   /** Named refs as data: every TAG with its pinned version, every
     * BRANCH with its own tip. The `t.refs` metadata-table backing. */
   def describeRefs(spark: SparkSession, table: String): DataFrame = {

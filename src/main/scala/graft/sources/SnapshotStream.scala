@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,6 +116,8 @@ case class GraftSnapshotTable(tableSchema: StructType, path: String)
           .getOrElse(0),
         maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger"))
           .map(_.toInt),
+        maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger"))
+          .map(_.toLong),
         readChangeFeed = Option(options.get("readChangeFeed"))
           .exists(_.toBoolean)
       )
@@ -128,6 +130,7 @@ case class GraftSnapshotScan(
     skipChangeCommits: Boolean,
     startingVersion: Int,
     maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long],
     readChangeFeed: Boolean
 ) extends Scan {
   override def readSchema(): StructType = tableSchema
@@ -137,7 +140,7 @@ case class GraftSnapshotScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftSnapshotMicroBatchStream(
       tableSchema, path, skipChangeCommits, startingVersion,
-      maxFilesPerTrigger, readChangeFeed)
+      maxFilesPerTrigger, maxBytesPerTrigger, readChangeFeed)
 }
 
 /** Version-number offset; json form is the bare integer. */
@@ -151,6 +154,7 @@ class GraftSnapshotMicroBatchStream(
     skipChangeCommits: Boolean,
     startingVersion: Int,
     maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long],
     readChangeFeed: Boolean
 ) extends MicroBatchStream
     with SupportsAdmissionControl
@@ -171,36 +175,71 @@ class GraftSnapshotMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(tip)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** (files, bytes) planning cost of consuming `v` — file counts from
+    * the manifest diff, bytes from the `_sz` riders (metadata only,
+    * no file stats calls). */
+  private def versionCost(v: Int): (Int, Long) = {
+    val (_, dataChange, added, removed, amended) =
+      SnapshotLog.commitInfo(spark, table, v)
+    if (!dataChange) (0, 0L)
+    else {
+      val addB = SnapshotLog.fileSizesAt(spark, table, v, added)
+      val amdB = SnapshotLog.fileSizesAt(spark, table, v, amended)
+      if (readChangeFeed) {
+        val remB = SnapshotLog.fileSizesAt(spark, table, v - 1, removed)
+        (added.size + removed.size + amended.size, addB + remB + amdB)
+      } else (added.size + amended.size, addB + amdB)
+    }
+  }
 
   /** Version-granular admission: a commit is indivisible (offsets name
-    * versions, not files), so the cap admits WHOLE versions until the
-    * file budget is spent — but always at least one, or a single
-    * commit larger than the cap would stall the stream forever. At
-    * 100 TB this is what keeps a restart after a long gap from
-    * planning the whole backlog as one micro-batch. */
+    * versions, not files), so the caps admit WHOLE versions until the
+    * file or byte budget is spent — but always at least one, or a
+    * single commit larger than a cap would stall the stream forever.
+    * `maxFilesPerTrigger` bounds task count, `maxBytesPerTrigger`
+    * bounds IO (the `_sz` riders price a version without touching a
+    * file); both may combine (composite limit). At 100 TB this is what
+    * keeps a restart after a long gap from planning the whole backlog
+    * as one micro-batch. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftSnapshotOffset].version
     val target = availableNowTarget.map(t => math.min(t, tip)).getOrElse(tip)
-    limit match {
-      case mf: ReadMaxFiles =>
-        var v = s
-        var files = 0
-        while (v < target && files < mf.maxFiles()) {
-          val (_, dataChange, added, removed, amended) =
-            SnapshotLog.commitInfo(spark, table, v + 1)
-          val cost =
-            if (!dataChange) 0
-            else if (readChangeFeed) added.size + removed.size + amended.size
-            else added.size + amended.size
-          if (files > 0 && files + cost > mf.maxFiles())
-            return GraftSnapshotOffset(v)
-          v += 1
-          files += cost
+    def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case mf: ReadMaxFiles => (Some(mf.maxFiles()), None)
+      case mb: ReadMaxBytes => (None, Some(mb.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft((Option.empty[Int], Option.empty[Long])) {
+          case ((f1, b1), (f2, b2)) => (f1.orElse(f2), b1.orElse(b2))
         }
-        GraftSnapshotOffset(v)
-      case _ => GraftSnapshotOffset(target)
+      case _ => (None, None)
+    }
+    val (maxF, maxB) = caps(limit)
+    if (maxF.isEmpty && maxB.isEmpty) GraftSnapshotOffset(target)
+    else {
+      var v = s
+      var files = 0
+      var bytes = 0L
+      while (v < target) {
+        val (fc, bc) = versionCost(v + 1)
+        val over = maxF.exists(files + fc > _) || maxB.exists(bytes + bc > _)
+        if ((files > 0 || bytes > 0) && over) return GraftSnapshotOffset(v)
+        v += 1
+        files += fc
+        bytes += bc
+        if (maxF.exists(files >= _) || maxB.exists(bytes >= _))
+          return GraftSnapshotOffset(v)
+      }
+      GraftSnapshotOffset(v)
     }
   }
 

@@ -1405,4 +1405,54 @@ class StreamingSpec extends SparkTestBase {
       (0 until 4).flatMap(i => i * 10L until i * 10L + 5L).toSet,
       "paced delivery must still be exactly-once over the whole backlog")
   }
+
+  test("snapshot streaming source: maxBytesPerTrigger prices versions from _sz riders") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft-snapbytes").toString
+    val table = s"$base/t"
+    (0 until 4).foreach(i =>
+      SnapshotLog.commit(spark, table,
+        (i * 10L until i * 10L + 5L).toDF("id").coalesce(1)))
+    // each one-file commit is a few hundred bytes; a 1-byte budget
+    // forces one version per batch (always-at-least-one keeps the
+    // stream from stalling on commits larger than the cap)
+    val batches = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("maxBytesPerTrigger", "1")
+      .load(table)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches(id) = df.select("id").collect().map(_.getLong(0)).toSet
+        }: Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(batches.size >= 4,
+      s"4 commits under a 1-byte budget need >=4 batches, got ${batches.size}")
+    assert(batches.values.reduce(_ ++ _) ==
+      (0 until 4).flatMap(i => i * 10L until i * 10L + 5L).toSet,
+      "byte-paced delivery must still be exactly-once")
+    // a generous budget admits the backlog in fewer batches
+    val batches2 = scala.collection.mutable.Map[Long, Int]()
+    val q2 = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("maxBytesPerTrigger", (10L << 20).toString)
+      .load(table)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches2.synchronized { batches2(id) = df.count().toInt }: Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000))
+    assert(batches2.values.sum == 20, "all rows in the generous-budget run")
+    assert(batches2.count(_._2 > 0) <= 1,
+      s"a 10 MB budget should admit the whole tiny backlog at once: $batches2")
+  }
 }
