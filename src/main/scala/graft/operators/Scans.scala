@@ -1755,6 +1755,58 @@ object Scans {
          |FROM $cat.main.orders_widen ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** ZERO-COPY CLONE through SQL (round 12): `CALL system.clone`
+    * creates a table whose v1 references the source's files BY
+    * ABSOLUTE PATH — O(manifest) metadata at any table size (pinned
+    * inline: the clone directory holds ZERO parquet). The clone is a
+    * full table: version-pinnable at creation, independently writable
+    * after. The graded flow clones the 2-shard version while the
+    * source moves on to shard 3, then DIVERGES the clone with a
+    * doubled-price shard — the result proves pin, divergence, and
+    * source isolation in one hash (the oracle recomputes both
+    * populations; the source's own read is count-pinned inline). */
+  val sqlCloneRead: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    Seq("orders_clsrc", "orders_clone").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.main.$t"))
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c2 = 2 * (maxK / 3)
+    o.createOrReplaceTempView("graft_clone_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_clsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_clsrc
+         |SELECT * FROM graft_clone_src WHERE o_orderkey <= $c2""".stripMargin) // v2
+    spark.sql(
+      s"CALL $cat.system.clone(source => 'main.orders_clsrc', " +
+        "target => 'main.orders_clone', version => 2)")
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_clsrc
+         |SELECT * FROM graft_clone_src WHERE o_orderkey > $c2""".stripMargin) // v3
+    val cloneDir = tmp("sql_warehouse") + "/main/orders_clone"
+    val fsys = new org.apache.hadoop.fs.Path(cloneDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(
+      !fsys.listStatus(new org.apache.hadoop.fs.Path(cloneDir)).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "a shallow clone must own no data files")
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_clone
+         |SELECT o_orderkey, o_custkey, round(o_totalprice * 2, 2)
+         |FROM graft_clone_src WHERE o_orderkey > $c2""".stripMargin)
+    require(
+      spark.sql(s"SELECT count(*) FROM $cat.main.orders_clsrc").head.getLong(0)
+        == o.count(),
+      "the source must not see the clone's writes")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $cat.main.orders_clone ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** IDENTITY `PARTITIONED BY (col)` (round 12): the Iceberg-lite
     * implementation — no hive directory layout, no partition-column
     * removal from the data; batch INSERTs cluster by value
@@ -2883,6 +2935,7 @@ object Scans {
     "sql_widen_col" -> sqlWidenCol,
     "sql_meta_history" -> sqlMetaHistory,
     "sql_partitioned_table" -> sqlPartitionedTable,
+    "sql_clone_read" -> sqlCloneRead,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
     "sql_check_constraint" -> sqlCheckConstraint,
@@ -3102,6 +3155,14 @@ object Scans {
         |SELECT o_orderkey, o_totalprice,
         |       CASE WHEN o_orderkey > 2 * b.c1 THEN o_custkey
         |            ELSE NULL END AS o_custkey
+        |FROM orders, b ORDER BY o_orderkey""".stripMargin,
+    // pinned clone + divergence: the clone serves the 2-shard pin plus
+    // its own doubled shard; source isolation is count-pinned inline
+    "sql_clone_read" ->
+      """WITH b AS (SELECT 2 * (max(o_orderkey) // 3) AS c2 FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey <= b.c2 THEN o_totalprice
+        |            ELSE round(o_totalprice * 2, 2) END AS o_totalprice
         |FROM orders, b ORDER BY o_orderkey""".stripMargin,
     // the partition slice through value-clustered files equals the
     // plain recompute — pruning can only exclude disjoint files
