@@ -704,6 +704,25 @@ class CatalogSpec extends SparkTestBase {
       .head.getDouble(0) == (1 to 10).map(i => i + 2.0 * i + 0.5).sum)
   }
 
+  test("CREATE OR REPLACE TABLE replaces; NOT NULL columns refuse null writes") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 5)")
+    // non-staging catalogs get Spark's drop-then-create REPLACE
+    spark.sql(s"CREATE OR REPLACE TABLE $t AS SELECT CAST(7 AS BIGINT) AS x")
+    assert(spark.table(t).columns.toSeq == Seq("x"))
+    assert(spark.sql(s"SELECT x FROM $t").head.getLong(0) == 7L)
+    // NOT NULL rides the schema into the commit header; the engine's
+    // AssertNotNull guards every write
+    val nn = freshName()
+    spark.sql(s"CREATE TABLE $nn (id BIGINT NOT NULL)")
+    assert(scala.util.Try(
+      spark.sql(s"INSERT INTO $nn VALUES (CAST(NULL AS BIGINT))")).isFailure,
+      "a NULL into a NOT NULL column must refuse")
+    spark.sql(s"INSERT INTO $nn VALUES (1)")
+    assert(spark.sql(s"SELECT count(*) FROM $nn").head.getLong(0) == 1L)
+  }
+
   test("CALL clone: zero-copy shallow clone through SQL, version-pinnable") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
