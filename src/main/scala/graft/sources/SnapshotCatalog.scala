@@ -1457,12 +1457,9 @@ class SnapshotSqlWriteBuilder(
         partitionBy)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      // streaming epochs keep the plain writer: micro-batch files may
-      // span partition values (wider stats, weaker pruning for those
-      // files) — layout is advisory, never a correctness boundary, and
-      // OPTIMIZE re-clusters
       SnapshotSqlStreamingWrite(
-        path, physSchema, commitSchema, overwrite, queryId, bucketSpec, check)
+        path, physSchema, commitSchema, overwrite, queryId, bucketSpec, check,
+        partitionBy)
 
     /** A bucketed table asks Spark to CLUSTER incoming rows by the
       * SAME bucket function the layout uses (bound via the catalog's
@@ -1524,7 +1521,8 @@ case class SnapshotSqlStreamingWrite(
     overwrite: Boolean,
     queryId: String,
     bucketSpec: Option[(String, Int)] = None,
-    check: Option[SnapshotSql.CheckSpec] = None
+    check: Option[SnapshotSql.CheckSpec] = None,
+    partitionBy: Option[String] = None
 ) extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -1532,7 +1530,8 @@ case class SnapshotSqlStreamingWrite(
   ): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    SnapshotSqlStreamingWriterFactory(path, physSchema, conf, bucketSpec, check)
+    SnapshotSqlStreamingWriterFactory(
+      path, physSchema, conf, bucketSpec, check, partitionBy)
   }
 
   override def commit(
@@ -1548,13 +1547,18 @@ case class SnapshotSqlStreamingWrite(
         overwrite = overwrite,
         txnId = Some(s"sql-$queryId-$epochId"))
     case None =>
-      val names = messages.toSeq.collect { case SnapshotSqlCommit(Some(n), _) => n }
+      val names = messages.toSeq.flatMap {
+        case SnapshotSqlCommit(Some(n), _) => Seq(n)
+        case SnapshotSqlFilesCommit(fs, _) => fs
+        case _                             => Nil
+      }
       SnapshotLog.commitLanded(
         SparkSession.active, path, names, commitSchema,
         overwrite = overwrite,
         txnId = Some(s"sql-$queryId-$epochId"))
       val qnames = messages.toSeq.collect {
-        case SnapshotSqlCommit(_, Some(q)) => q
+        case SnapshotSqlCommit(_, Some(q))      => q
+        case SnapshotSqlFilesCommit(_, Some(q)) => q
       }
       if (qnames.nonEmpty)
         SnapshotLog.commitLanded(
@@ -1576,6 +1580,13 @@ case class SnapshotSqlStreamingWrite(
         q.foreach(f =>
           try fs.delete(new Path(s"${path}_quarantine/$f"), false)
           catch { case _: java.io.IOException => () })
+      case SnapshotSqlFilesCommit(pfs, q) =>
+        pfs.foreach(f =>
+          try fs.delete(new Path(s"$path/$f"), false)
+          catch { case _: java.io.IOException => () })
+        q.foreach(f =>
+          try fs.delete(new Path(s"${path}_quarantine/$f"), false)
+          catch { case _: java.io.IOException => () })
       case _ => ()
     }
   }
@@ -1586,18 +1597,26 @@ case class SnapshotSqlStreamingWriterFactory(
     schema: StructType,
     conf: SerializableHadoopConf,
     bucketSpec: Option[(String, Int)] = None,
-    check: Option[SnapshotSql.CheckSpec] = None
+    check: Option[SnapshotSql.CheckSpec] = None,
+    partitionBy: Option[String] = None
 ) extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long,
       epochId: Long
   ): DataWriter[InternalRow] =
-    bucketSpec match {
-      case Some((c, n)) =>
+    (bucketSpec, partitionBy) match {
+      case (Some((c, n)), _) =>
         new SnapshotBucketedParquetWriter(
           path, schema, partitionId, taskId, conf.value, c, n, check)
-      case None =>
+      case (None, Some(c)) =>
+        // value-routed even without a required distribution: every
+        // landed file is value-pure (a value may span tasks, so an
+        // epoch lands up to tasks-per-value files for it — still
+        // prunable, OPTIMIZE re-packs)
+        new SnapshotPartitionedParquetWriter(
+          path, schema, partitionId, taskId, conf.value, c, check)
+      case _ =>
         new SnapshotParquetWriter(
           path, schema, partitionId, taskId, conf.value, check)
     }

@@ -767,6 +767,29 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 400L)
   }
 
+  test("streaming into a PARTITIONED BY table lands value-pure files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    in.addData(0L until 60L: _*)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pstr").toString
+    val q = in.toDF().selectExpr("value AS id", "value % 3 AS p")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination(60000)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 60L)
+    // epoch files are value-routed: a value probe prunes
+    val (kept, total) = SnapshotLog.prunedFiles(spark, pathOf(t), "p", 1, 1)
+    assert(total >= 3 && kept.size < total,
+      s"streamed partitioned files must be value-pure: ${kept.size}/$total")
+  }
+
   test("metadata tables: t.history / t.files / t.refs serve rider data via SQL") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
