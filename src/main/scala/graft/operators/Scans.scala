@@ -1755,6 +1755,48 @@ object Scans {
          |FROM $cat.main.orders_widen ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** PER-FILE BLOOM INDEX (round 12): min/max stats prune RANGE probes
+    * on clustered layouts and are USELESS for point lookups on a
+    * hash-distributed key — every file spans the whole domain (pinned
+    * inline: the stats probe keeps ALL files). A 512-byte k=5 bloom
+    * per file rides the manifest (`buildBloomIndex`, one distributed
+    * pass, O(files × 512 B) driver metadata, committed datachange=
+    * false so the change feed stays silent) and the point lookup opens
+    * ~1 file instead of all of them (pinned inline: strict subset) —
+    * at 100 TB the difference between a manifest consult and a
+    * cluster-hour scan. Blind files (post-build appends, CoW rewrites)
+    * are always kept, so the index can only skip, never lose. The
+    * oracle recomputes the point query from the source. */
+  val scanBloomPruned: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_bloom")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    // round-robin arrival: every file spans ~the whole key domain
+    (0 to 3).foreach(i =>
+      SnapshotLog.commit(
+        spark, table, o.filter(col("o_orderkey") % 4 === i).repartition(2)))
+    SnapshotLog.buildBloomIndex(spark, table, "o_orderkey")
+    // deterministic existing key: the smallest orderkey >= maxK/2
+    val k = o.filter(col("o_orderkey") >= maxK / 2)
+      .agg(min("o_orderkey")).collect()(0).getLong(0)
+    val (statKept, totalS) = SnapshotLog.prunedFiles(spark, table, "o_orderkey", k, k)
+    require(
+      statKept.size == totalS,
+      s"stats must be useless on this layout: ${statKept.size}/$totalS")
+    val (bloomKept, totalB) =
+      SnapshotLog.prunedFilesBloom(spark, table, "o_orderkey", k)
+    require(
+      bloomKept.size < totalB,
+      s"the bloom must prune the point probe: ${bloomKept.size}/$totalB")
+    SnapshotLog.readPoint(spark, table, "o_orderkey", k).orderBy("o_orderkey")
+  }
+
   /** ZERO-COPY CLONE through SQL (round 12): `CALL system.clone`
     * creates a table whose v1 references the source's files BY
     * ABSOLUTE PATH — O(manifest) metadata at any table size (pinned
@@ -2904,6 +2946,7 @@ object Scans {
     "scan_cluster_pruned" -> scanClusterPruned,
     "scan_zorder_pruned" -> scanZorderPruned,
     "scan_zorder_string" -> scanZorderString,
+    "scan_bloom_pruned" -> scanBloomPruned,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_changes_feed" -> streamChangesFeed,
     "stream_cdf_apply" -> streamCdfApply,
@@ -3156,6 +3199,13 @@ object Scans {
         |       CASE WHEN o_orderkey > 2 * b.c1 THEN o_custkey
         |            ELSE NULL END AS o_custkey
         |FROM orders, b ORDER BY o_orderkey""".stripMargin,
+    // the bloom point lookup equals the plain point query — the index
+    // can only skip disjoint files, never lose rows
+    "scan_bloom_pruned" ->
+      """WITH k AS (SELECT min(o_orderkey) AS k FROM orders
+        |           WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders))
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, k
+        |WHERE o_orderkey = k.k ORDER BY o_orderkey""".stripMargin,
     // pinned clone + divergence: the clone serves the 2-shard pin plus
     // its own doubled shard; source isolation is count-pinned inline
     "sql_clone_read" ->

@@ -1015,6 +1015,172 @@ object SnapshotLog {
     (kept.map(entryName), entries.length)
   }
 
+  // --- per-file BLOOM FILTER index ----------------------------------
+  //
+  // min/max footer stats prune RANGE predicates on clustered columns;
+  // they are useless for POINT lookups on a column whose values are
+  // hash-distributed across files (every file spans the whole domain).
+  // A tiny per-file bloom (512 B, k=5 — ~1 % false positives at ~600
+  // distinct values/file, maybe-semantics only) rides the manifest and
+  // lets `o_orderkey = K`-style lookups open ~1 file instead of all of
+  // them — the Delta/Iceberg bloom-index posture. Blind files (no
+  // bloom: post-build appends, CoW rewrites) are always kept, so the
+  // index can never lose rows; rebuilding refreshes coverage. Blooms
+  // are built over PHYSICAL rows (a DV'd dead row may contribute a
+  // false positive — harmless) and keyed by the column's PHYSICAL name
+  // so they survive metadata-only renames like footer stats do.
+
+  private val BloomBits = 4096
+  private val BloomK = 5
+
+  private[sources] def bloomIndexes(value: Array[Byte]): Seq[Int] = {
+    import scala.util.hashing.MurmurHash3
+    val h1 = MurmurHash3.bytesHash(value, 0x9747b28c)
+    val h2 = MurmurHash3.bytesHash(value, 0x85ebca6b) | 1
+    (0 until BloomK).map(i => math.floorMod(h1 + i * h2, BloomBits))
+  }
+
+  private[sources] def bloomValueBytes(v: Any): Array[Byte] = v match {
+    case l: java.lang.Long    => java.nio.ByteBuffer.allocate(8).putLong(l).array()
+    case i: java.lang.Integer => bloomValueBytes(i.longValue(): java.lang.Long)
+    case s: String            => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"bloom index: unsupported value type ${other.getClass.getSimpleName} " +
+          "(long/int/string)")
+  }
+
+  private def bloomKey(pc: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(pc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Builds (or rebuilds) the per-file bloom index for `column` over
+    * every live file and commits it as rider tokens in a
+    * `datachange=false` replace — rows unchanged, change feed silent.
+    * One distributed pass over the data; per-partition partial blooms
+    * OR-merge on the driver at O(files × 512 B) — metadata scale,
+    * same cost class as the stats lifter. */
+  def buildBloomIndex(
+      spark: SparkSession,
+      table: String,
+      column: String
+  ): Int = {
+    import org.apache.spark.sql.functions.{col, element_at, split => splitCol}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot bloom: no commits in $table")
+    val v = vs.last
+    val entries = manifestEntries(spark, table, v)
+    require(entries.nonEmpty, s"snapshot bloom: empty table $table")
+    requireUniqueBases(entries.map(entryName), "snapshot bloom build")
+    val schema = tableSchema(spark, table, v)
+    val pc = physColumn(spark, table, v, column)
+    val readCol = schema match {
+      case Some(s) if isMapped(s) => pc
+      case _                      => column
+    }
+    val withFile = readFiles(spark, table, entries.map(entryName), schema,
+      aliasLogical = false)
+      .select(
+        col(readCol),
+        element_at(splitCol(col("_metadata.file_path"), "/"), -1).as("__f"))
+    val words = BloomBits / 64
+    val partials: Array[(String, Array[Long])] = withFile.rdd
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        it.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val arr = m.getOrElseUpdate(r.getString(1), new Array[Long](words))
+            bloomIndexes(bloomValueBytes(r.get(0)))
+              .foreach(ix => arr(ix >> 6) |= (1L << (ix & 63)))
+          }
+        }
+        m.iterator
+      }
+      .collect()
+    val merged: Map[String, Array[Long]] = partials
+      .groupBy(_._1)
+      .map { case (f, as) =>
+        val acc = new Array[Long](words)
+        as.foreach(p => { var i = 0; while (i < words) { acc(i) |= p._2(i); i += 1 } })
+        f -> acc
+      }
+    val key = bloomKey(pc)
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+    val amended = entries.map { e =>
+      merged.get(baseName(entryName(e))) match {
+        case None => e
+        case Some(bits) =>
+          val bb = java.nio.ByteBuffer.allocate(words * 8)
+          bits.foreach(bb.putLong)
+          val tok = s"_bm$key=b:${enc.encodeToString(bb.array())}"
+          val parts = e.split('\t')
+          val suffix0 =
+            if (parts.length < 2) ""
+            else
+              parts(1).split(';')
+                .filterNot(_.startsWith(s"_bm$key=")).mkString(";")
+          val suffix = (if (suffix0.isEmpty) "" else suffix0 + ";") + tok
+          s"${entryName(e)}\t$suffix"
+      }
+    }
+    val commitSchema = schema.getOrElse(
+      readFiles(spark, table, entries.map(entryName), None).schema)
+    commitEntriesInternal(
+      spark, table, amended, commitSchema, overwrite = true, None, None,
+      dataChange = false, extraHeader = s"bloom=${b64(column)}")
+  }
+
+  /** Files at `version` whose bloom says `column = value` is POSSIBLE —
+    * blind files (no bloom for the column) always kept, so the result
+    * can never lose rows. */
+  def prunedFilesBloom(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      value: Any,
+      version: Option[Int] = None
+  ): (Seq[String], Int) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot read: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    val pc = physColumn(spark, table, v, column)
+    val key = bloomKey(pc)
+    val ixs = bloomIndexes(bloomValueBytes(value))
+    val dec = java.util.Base64.getUrlDecoder
+    val entries = manifestEntries(spark, table, v)
+    val kept = entries.filter { e =>
+      entryToken(e, s"_bm$key=b:") match {
+        case None => true
+        case Some(b) =>
+          val bytes = dec.decode(b)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val bits = Array.fill(bytes.length / 8)(bb.getLong())
+          ixs.forall(ix => (bits(ix >> 6) & (1L << (ix & 63))) != 0L)
+      }
+    }
+    (kept.map(entryName), entries.length)
+  }
+
+  /** Point lookup through the bloom index: open only the admitted
+    * files, row-filter the equality on what remains (deletion vectors
+    * still subtract). */
+  def readPoint(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      value: Any,
+      version: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunedFilesBloom(spark, table, column, value, version)
+    val v = version.getOrElse(versions(spark, table).last)
+    requireUnexpired(spark, table, v)
+    readEntries(
+      spark, table, entriesFor(manifestEntries(spark, table, v), kept),
+      tableSchema(spark, table, v))
+      .filter(col(column) === lit(value))
+  }
+
   /** Snapshot read with FILE-LEVEL DATA SKIPPING: resolves the manifest,
     * drops every file whose footer stats exclude `column ∈ [lo, hi]`,
     * and applies the row-grain filter on what remains — the table-format

@@ -454,6 +454,42 @@ class SnapshotSpec extends SparkTestBase {
       == xy.filter(p => p._2 <= 99).map(_._1).toSet)
   }
 
+  test("bloom index: point lookups prune where stats cannot; appends stay blind-safe") {
+    import spark.implicits._
+    val t = freshTable()
+    // round-robin by id%4: every file spans ~the whole id domain, so
+    // min/max stats keep everything for a point probe
+    (0 until 4).foreach(i =>
+      SnapshotLog.commit(spark, t,
+        (0L until 400L).filter(_ % 4 == i).toDF("id").repartition(2)))
+    val (statKept, total) = SnapshotLog.prunedFiles(spark, t, "id", 123, 123)
+    assert(total == 8 && statKept.size == total,
+      s"stats must be useless here: ${statKept.size}/$total")
+    SnapshotLog.buildBloomIndex(spark, t, "id")
+    val (bloomKept, total2) = SnapshotLog.prunedFilesBloom(spark, t, "id", 123L)
+    assert(total2 == 8 && bloomKept.size < total2,
+      s"bloom must prune the point probe: ${bloomKept.size}/$total2")
+    assert(SnapshotLog.readPoint(spark, t, "id", 123L)
+      .collect().map(_.getLong(0)).toSeq == Seq(123L))
+    // an absent value: bloom may keep a false-positive file, the row
+    // filter still yields nothing
+    assert(SnapshotLog.readPoint(spark, t, "id", 100000L).isEmpty)
+    // the index commit is datachange=false: the change feed is silent
+    val vIdx = SnapshotLog.versions(spark, t).last
+    assert(SnapshotLog.readChanges(spark, t, vIdx - 1, vIdx).isEmpty)
+    // post-build appends are BLIND: always kept, rows never lost
+    SnapshotLog.commit(spark, t, Seq(9999L).toDF("id"))
+    assert(SnapshotLog.readPoint(spark, t, "id", 9999L)
+      .collect().map(_.getLong(0)).toSeq == Seq(9999L))
+    // rebuild covers the new file too
+    SnapshotLog.buildBloomIndex(spark, t, "id")
+    val (k3, t3) = SnapshotLog.prunedFilesBloom(spark, t, "id", 9999L)
+    assert(k3.size < t3)
+    // a CoW delete drops the rewritten file's bloom (blind, safe)
+    SnapshotLog.deleteWhere(spark, t, "id", 123, 123)
+    assert(SnapshotLog.readPoint(spark, t, "id", 123L).isEmpty)
+  }
+
   test("string-key z-order: both a STRING and a numeric dim prune after the rewrite") {
     import spark.implicits._
     val t = freshTable()
