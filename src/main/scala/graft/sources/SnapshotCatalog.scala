@@ -1008,10 +1008,15 @@ class SnapshotSqlScan(
     var kept = all.toSet
     pushed.foreach { f =>
       val admitted: Option[Set[String]] = f match {
-        case EqualTo(c, v: Long)  => Some(longRange(c, v, v))
-        case EqualTo(c, v: Int)   => Some(longRange(c, v.toLong, v.toLong))
+        // equality consults BOTH the min/max stats and the per-file
+        // bloom index (when built): stats win on clustered layouts,
+        // blooms on hash-distributed ones; both only exclude, so the
+        // intersection is safe
+        case EqualTo(c, v: Long)  => Some(longRange(c, v, v).intersect(bloomSet(c, v)))
+        case EqualTo(c, v: Int)   => Some(longRange(c, v.toLong, v.toLong).intersect(bloomSet(c, v)))
         case EqualTo(c, v: String) =>
-          Some(SnapshotLog.prunedFilesString(spark, path, c, v, v, Some(version))._1.toSet)
+          Some(SnapshotLog.prunedFilesString(spark, path, c, v, v, Some(version))._1.toSet
+            .intersect(bloomSet(c, v)))
         case GreaterThan(c, v: Long)        => Some(longRange(c, v, Long.MaxValue))
         case GreaterThan(c, v: Int)         => Some(longRange(c, v.toLong, Long.MaxValue))
         case GreaterThanOrEqual(c, v: Long) => Some(longRange(c, v, Long.MaxValue))
@@ -1033,6 +1038,9 @@ class SnapshotSqlScan(
 
   private def longRange(col: String, lo: Long, hi: Long): Set[String] =
     SnapshotLog.prunedFiles(spark, path, col, lo, hi, Some(version))._1.toSet
+
+  private def bloomSet(col: String, v: Any): Set[String] =
+    SnapshotLog.prunedFilesBloom(spark, path, col, v, Some(version))._1.toSet
 
   override def readSchema(): StructType =
     if (wantFile)
@@ -2336,7 +2344,7 @@ private[sources] object SnapshotProcedures {
     Array(
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
-      "detail", "clone")
+      "detail", "clone", "build_bloom")
 
   private def spark = SparkSession.active
 
@@ -2466,6 +2474,21 @@ private[sources] object SnapshotProcedures {
             Seq(new GenericInternalRow(
               Array[Any](v, readded.size, dropped.size)))
           }
+        )
+      case "build_bloom" =>
+        proc(
+          "build_bloom",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("column", StringType).build()
+          ),
+          StructType(Seq(StructField("version", IntegerType))),
+          in =>
+            Seq(new GenericInternalRow(Array[Any](
+              SnapshotLog.buildBloomIndex(
+                spark,
+                resolve(in.getUTF8String(0).toString),
+                in.getUTF8String(1).toString))))
         )
       case "clone" =>
         // zero-copy shallow clone: the new table's v1 references the

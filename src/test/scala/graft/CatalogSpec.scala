@@ -723,6 +723,32 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $nn").head.getLong(0) == 1L)
   }
 
+  test("CALL build_bloom: SQL point lookups skip files at planning") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    // several inserts, values hash-spread: every file spans the domain
+    (0 until 4).foreach(i =>
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT id, id * 7 FROM range(0, 400) WHERE id % 4 = $i
+           |DISTRIBUTE BY id % 2""".stripMargin))
+    def keptOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val d = df.queryExecution.executedPlan.toString
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(d).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val (preK, preT) = keptOf(spark.sql(s"SELECT v FROM $t WHERE id = 123"))
+    assert(preK == preT && preT >= 4, s"stats must be useless pre-bloom: $preK/$preT")
+    spark.sql(s"CALL cattest.system.build_bloom(table => '$short', column => 'id')")
+    val q = spark.sql(s"SELECT v FROM $t WHERE id = 123")
+    val (postK, postT) = keptOf(q)
+    assert(postK < postT, s"bloom must skip at planning: $postK/$postT")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(123L * 7))
+    // absent key: possibly a false-positive file opens, zero rows serve
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 100000").collect().isEmpty)
+  }
+
   test("CALL clone: zero-copy shallow clone through SQL, version-pinnable") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
