@@ -912,6 +912,15 @@ class SnapshotSqlScanBuilder(
       case LessThanOrEqual(c, _: Long)     => typed(c, isString = false)
       case LessThanOrEqual(c, _: Int)      => typed(c, isString = false)
       case LessThanOrEqual(c, _: String)   => typed(c, isString = true)
+      // IN-lists: a bounded union of equality admissions (stats ∩
+      // bloom per value)
+      case In(c, vs) if vs.nonEmpty && vs.length <= 64 =>
+        vs.forall {
+          case _: Long   => typed(c, isString = false)
+          case _: Int    => typed(c, isString = false)
+          case _: String => typed(c, isString = true)
+          case _         => false
+        }
       case _                               => false
     }
   }
@@ -1029,6 +1038,17 @@ class SnapshotSqlScan(
           Some(SnapshotLog.prunedFilesString(spark, path, c, "", v, Some(version))._1.toSet)
         case LessThanOrEqual(c, v: String) =>
           Some(SnapshotLog.prunedFilesString(spark, path, c, "", v, Some(version))._1.toSet)
+        case In(c, vs) if vs.nonEmpty =>
+          // union of per-value equality admissions — a file survives
+          // iff SOME listed value might live in it
+          Some(vs.map {
+            case v: Long   => longRange(c, v, v).intersect(bloomSet(c, v))
+            case v: Int    => longRange(c, v.toLong, v.toLong).intersect(bloomSet(c, v))
+            case v: String =>
+              SnapshotLog.prunedFilesString(spark, path, c, v, v, Some(version))
+                ._1.toSet.intersect(bloomSet(c, v))
+            case _ => all.toSet // defensive: unknown type never prunes
+          }.reduce(_ union _))
         case _ => None
       }
       admitted.foreach(a => kept = kept.intersect(a))

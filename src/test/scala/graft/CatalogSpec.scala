@@ -747,6 +747,11 @@ class CatalogSpec extends SparkTestBase {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(123L * 7))
     // absent key: possibly a false-positive file opens, zero rows serve
     assert(spark.sql(s"SELECT v FROM $t WHERE id = 100000").collect().isEmpty)
+    // IN-lists: union of per-value admissions, exact result
+    val inq = spark.sql(s"SELECT v FROM $t WHERE id IN (7, 123, 100000)")
+    val (inK, inT) = keptOf(inq)
+    assert(inK < inT, s"IN-list must skip at planning: $inK/$inT")
+    assert(inq.collect().map(_.getLong(0)).toSet == Set(7L * 7, 123L * 7))
   }
 
   test("CALL clone: zero-copy shallow clone through SQL, version-pinnable") {
