@@ -2662,13 +2662,13 @@ object Scans {
     * manifest stays bit-identical (pinned: writers of the branch are
     * invisible to main's readers, the whole point of WAP). The audit
     * step reads the BRANCH (it is a full snapshot table; every read
-    * path works unchanged), and PUBLISH fast-forwards main in two
-    * commits: the atomic metadata-only publish point (branch files
-    * referenced in place — no crash window can dangle a reference),
-    * then the un-externalize flip (branch files copy in, datachange=
-    * false, branch consumed — net disk parquet count pinned identical);
-    * entries still referencing main's own files convert back to owned
-    * relative names (pinned: no published entry is external), and the branch
+    * path works unchanged), and PUBLISH fast-forwards main in ONE
+    * commit with copy-first crash safety: branch files copy into main
+    * BEFORE the commit (every pre-commit step non-destructive; net
+    * disk parquet count pinned identical after the branch is
+    * consumed); entries still referencing main's own files convert
+    * back to owned relative names (pinned: no published entry is
+    * external), and the branch
     * directory is consumed. The oracle recomputes the published state
     * from the source, so a publish that leaked the audit-failed range
     * or lost a shard breaks the hash. */
@@ -2706,9 +2706,9 @@ object Scans {
       .listStatus(new org.apache.hadoop.fs.Path(table))
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val mainOwned = diskParquet()
-    // PUBLISH: atomic metadata publish (v3) + un-externalize flip (v4)
+    // PUBLISH: copy-first, one fast-forward commit (v3)
     val (v, moved) = SnapshotLog.publish(spark, table, "audit")
-    require(v == 4 && moved.nonEmpty, s"publish must fast-forward main, got v$v")
+    require(v == 3 && moved.nonEmpty, s"publish must fast-forward main, got v$v")
     val published = SnapshotLog.manifest(spark, table, v)
     require(
       published.forall { e =>
@@ -2718,7 +2718,7 @@ object Scans {
       s"published entries must all be owned relative names: $published")
     require(
       diskParquet() == mainOwned + moved.count(_.endsWith(".parquet")),
-      "un-externalize must net exactly the branch delta (copy + consume)")
+      "copy-first publish must net exactly the branch delta (copy + consume)")
     require(
       !fsys.exists(new org.apache.hadoop.fs.Path(s"$table/_branches/audit")),
       "publish consumes the branch")

@@ -2987,43 +2987,37 @@ object SnapshotLog {
   }
 
   /** WRITE–AUDIT–PUBLISH, step 3: fast-forwards the main table to the
-    * branch tip in TWO commits, of which only the first is required:
+    * branch tip with COPY-FIRST crash safety — every step before the
+    * single commit is non-destructive:
     *
-    *   1. **The publish point (atomic, metadata-only).** One commit on
-    *      main whose entries reference branch-owned files (and DV
-    *      sidecars) BY ABSOLUTE PATH into the branch directory — the
-    *      shallow-clone mechanism pointed backwards. No file moves; a
-    *      crash on either side of this commit leaves both main and the
-    *      branch fully intact and publish retriable. Main's [[vacuum]]
-    *      never descends into `_branches/`, so the referenced files
-    *      are not at risk while externalized.
-    *   2. **Un-externalize (best-effort, crash-safe).** Branch-owned
-    *      files are COPIED into main's directory, then one
-    *      `datachange=false` replace commit flips the references to
-    *      owned relative names, then the branch directory is deleted.
-    *      Every step is non-destructive until the flip commit lands:
-    *      a crash mid-copy leaves vacuumable orphan copies and a
-    *      still-valid externalized manifest; a crash after the flip
-    *      but before the branch delete leaves an unreferenced branch
-    *      directory ([[branchDrop]] reclaims it). If this phase fails
-    *      (name collision, IO), the PUBLISH HAS STILL HAPPENED —
-    *      the externalized manifest stays live, the branch directory
-    *      is retained (it owns the data), and `moved` returns empty.
+    *   1. Branch-owned files (and DV sidecars) COPY into the main
+    *      directory under their own (UUID-unique) names. A crash
+    *      mid-copy leaves vacuumable orphans and an intact branch;
+    *      a RETRY skips copies that already landed (same name + same
+    *      length — names are attempt-unique, so an existing
+    *      destination is this publish's earlier attempt; a length
+    *      mismatch is a genuine collision and refuses loudly).
     *      Copying costs the branch's delta bytes once — the price of
-    *      having no crash window that dangles a reference, which the
-    *      round-11 rename-first design had.
-    *
-    * Entries that already reference the main table's files convert
-    * back to owned relative names (string rewrite only); references
-    * into third tables (a branch of a clone) carry verbatim.
+    *      having no crash window that dangles a reference or destroys
+    *      the branch's only copy, which the round-11 rename-first
+    *      design had.
+    *   2. ONE commit lands the branch tip on main: branch-owned
+    *      entries under their copied relative names, entries still
+    *      referencing main's own files converted back to owned
+    *      relative names (string rewrite only), third-table references
+    *      (a branch of a clone) verbatim. This is the only
+    *      publish point; before it main is untouched, after it main
+    *      serves the branch content from files it owns.
+    *   3. The branch directory is deleted (publish consumes the
+    *      branch, including its own version history). A crash between
+    *      2 and 3 leaves a stale branch dir for [[branchDrop]].
     *
     * Fast-forward ONLY: if main's tip content has changed since the
     * fork (any append/delete/compact — file-level merge has no
     * row-level conflict story), publish refuses loudly; re-branch from
     * the new tip and re-apply (the WAP rebase). The check-then-commit
     * window is the same single-publisher optimistic posture as
-    * [[restore]]. Returns (mainVersionServingBranchContent,
-    * unExternalizedFileNames). */
+    * [[restore]]. Returns (newMainVersion, copiedFileNames). */
   def publish(
       spark: SparkSession,
       table: String,
@@ -3050,101 +3044,67 @@ object SnapshotLog {
         s"v$forkV (tip v$tip differs) — re-branch from the tip and re-apply")
     val f = fs(spark, table)
     val mainPrefix = s"$table/"
-    // phase 1 — resolve every entry to a reference that is valid WITHOUT
-    // moving anything: branch-owned names externalize to absolute paths
-    // into the branch dir; refs back into main re-own (string rewrite);
-    // third-table refs carry verbatim
-    def resolveData(n: String): String =
+    val copied = scala.collection.mutable.ArrayBuffer.empty[String]
+    // copy-in is idempotent per attempt-unique name: an existing
+    // destination of the same length is a previous attempt's copy
+    // (skip); a different length is a genuine collision (refuse,
+    // BEFORE anything destructive happened)
+    def copyIn(rel: String): Unit = {
+      val src = new Path(s"$branch/$rel")
+      val dst = new Path(s"$table/$rel")
+      if (f.exists(dst)) {
+        require(
+          f.getFileStatus(dst).getLen == f.getFileStatus(src).getLen,
+          s"snapshot publish: name collision on $rel (existing file of " +
+            "different size in the table root)")
+      } else {
+        f.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(
+          f, src, f, dst, false, spark.sessionState.newHadoopConf())
+      }
+      copied += rel
+    }
+    def adoptData(n: String): String =
       if (isExternal(n)) {
         if (n.startsWith(mainPrefix) && !n.stripPrefix(mainPrefix).contains("/"))
           n.stripPrefix(mainPrefix)
-        else n
-      } else s"$branch/$n"
-    def resolveDv(n: String): String =
+        else n // third-table reference: carry verbatim
+      } else { copyIn(n); n }
+    def adoptDv(n: String): String =
       if (isExternal(n)) {
         val dvPrefix = s"$table/_dv/"
         if (n.startsWith(dvPrefix) && !n.stripPrefix(dvPrefix).contains("/"))
           n.stripPrefix(dvPrefix)
         else n
-      } else s"$branch/_dv/$n"
-    def mapEntry(e: String, data: String => String, dv: String => String): String = {
+      } else { copyIn(s"_dv/$n"); n }
+    val entries = manifestEntries(spark, branch, bvs.last).map { e =>
       val parts = e.split('\t')
-      val nm = data(parts(0))
+      val nm = adoptData(parts(0))
       val suffix =
         if (parts.length < 2) ""
         else
           parts(1)
             .split(';')
             .map { tok =>
-              if (tok.startsWith("_dv=v:")) s"_dv=v:${dv(tok.stripPrefix("_dv=v:"))}"
+              if (tok.startsWith("_dv=v:")) s"_dv=v:${adoptDv(tok.stripPrefix("_dv=v:"))}"
               else tok
             }
             .mkString(";")
       if (suffix.isEmpty) nm else s"$nm\t$suffix"
     }
-    val branchEntries = manifestEntries(spark, branch, bvs.last)
-    val external = branchEntries.map(e => mapEntry(e, resolveData, resolveDv))
     val schema = tableSchema(spark, branch, bvs.last).getOrElse {
       require(
-        external.nonEmpty,
+        entries.nonEmpty,
         s"snapshot publish: branch '$name' tip is empty with no recorded schema")
       readFiles(spark, branch, manifest(spark, branch, bvs.last), None).schema
     }
-    // THE publish point: after this commit main serves the branch tip,
-    // whatever happens below
-    val v1 = commitEntriesInternal(
-      spark, table, external, schema, overwrite = true, None, None,
+    // THE publish point — main untouched before, serving the branch
+    // content from owned files after
+    val v = commitEntriesInternal(
+      spark, table, entries, schema, overwrite = true, None, None,
       dataChange = true, extraHeader = s"publish=${b64(s"$name@${bvs.last}")}")
-    // phase 2 — un-externalize: copy branch-owned files into main (non-
-    // destructive), flip the references in one datachange=false replace,
-    // then consume the branch. Failure anywhere leaves v1 live and the
-    // branch directory owning its data.
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    try {
-      val branchPrefix = s"$branch/"
-      def copyIn(rel: String): Unit = {
-        val src = new Path(s"$branch/$rel")
-        val dst = new Path(s"$table/$rel")
-        require(!f.exists(dst), s"snapshot publish: name collision on $rel")
-        f.mkdirs(dst.getParent)
-        org.apache.hadoop.fs.FileUtil.copy(
-          f, src, f, dst, false, spark.sessionState.newHadoopConf())
-        moved += rel
-      }
-      def ownData(n: String): String =
-        if (n.startsWith(branchPrefix) && !n.stripPrefix(branchPrefix).contains("/")) {
-          val rel = n.stripPrefix(branchPrefix); copyIn(rel); rel
-        } else n
-      def ownDv(n: String): String = {
-        val dvPrefix = s"$branch/_dv/"
-        if (n.startsWith(dvPrefix) && !n.stripPrefix(dvPrefix).contains("/")) {
-          val rel = n.stripPrefix(dvPrefix); copyIn(s"_dv/$rel"); rel
-        } else n
-      }
-      val owned = external.map(e => mapEntry(e, ownData, ownDv))
-      if (moved.isEmpty) { // nothing externalized — branch carried only refs
-        f.delete(new Path(branch), true)
-        (v1, Seq.empty[String])
-      } else {
-        val v2 = commitEntriesInternal(
-          spark, table, owned, schema, overwrite = true, None, None,
-          dataChange = false)
-        f.delete(new Path(branch), true)
-        (v2, moved.toSeq)
-      }
-    } catch {
-      case e: Exception =>
-        // copies made so far are unreferenced orphans in main's root —
-        // vacuum reclaims them past the grace window; the externalized
-        // manifest v1 stays correct and the branch dir keeps the data
-        org.slf4j.LoggerFactory
-          .getLogger(getClass)
-          .warn(
-            s"snapshot publish: un-externalize of branch '$name' failed " +
-              s"after the publish commit (v$v1 stays live, externalized; " +
-              s"branch directory retained): $e")
-        (v1, Seq.empty[String])
-    }
+    f.delete(new Path(branch), true)
+    (v, copied.toSeq)
   }
 
   def vacuum(

@@ -584,8 +584,7 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10L)
     val res = spark.sql(
       s"CALL cattest.system.publish(table => '$short', name => 'audit')").head
-    // v3 = atomic metadata publish, v4 = un-externalize flip
-    assert(res.getInt(0) == 4 && res.getInt(1) > 0)
+    assert(res.getInt(0) == 3 && res.getInt(1) > 0)
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20L)
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'clean'")
       .head.getLong(0) == 10L)
@@ -597,13 +596,13 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"CALL cattest.system.tag_delete(table => '$short', name => 'clean')")
     assert(spark.sql(
       s"CALL cattest.system.tag(table => '$short', name => 'clean')")
-      .head.getInt(0) == 4)
+      .head.getInt(0) == 3)
     val listed = spark.sql(s"CALL cattest.system.tags(table => '$short')")
       .collect().map(r => (r.getString(0), r.getInt(1))).toMap
-    assert(listed == Map("clean" -> 4))
+    assert(listed == Map("clean" -> 3))
     // DESCRIBE DETAIL: one metadata-only observability row
     val d = spark.sql(s"CALL cattest.system.detail(table => '$short')").head
-    assert(d.getInt(0) == 4 && d.getInt(1) == 4, s"tip/version count: $d")
+    assert(d.getInt(0) == 3 && d.getInt(1) == 3, s"tip/version count: $d")
     assert(d.getLong(4) == 20L, s"live rows from riders: $d")
     assert(d.getInt(5) == 1 && !d.getBoolean(9), s"tags/mapped: $d")
   }

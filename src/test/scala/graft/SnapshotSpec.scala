@@ -746,33 +746,37 @@ class SnapshotSpec extends SparkTestBase {
     val b2 = SnapshotLog.branchCreate(spark, t, "wip")
     SnapshotLog.commit(spark, b2, (10L to 12L).toDF("id"))
     val (v, moved) = SnapshotLog.publish(spark, t, "wip")
-    assert(v == 4 && moved.nonEmpty) // v3 = metadata publish, v4 = flip
+    assert(v == 3 && moved.nonEmpty)
     assert(rows(t) == ((1L to 7L) ++ (10L to 12L)).toSet)
   }
 
-  test("publish survives a failed un-externalize: metadata commit IS the publish") {
+  test("a failed publish copy leaves main untouched and the branch intact") {
     import spark.implicits._
     val t = freshTable()
     SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
     val b = SnapshotLog.branchCreate(spark, t, "wip")
     SnapshotLog.commit(spark, b, (10L to 12L).toDF("id"))
-    // force phase 2 (copy-in) to fail: plant a collision for the
-    // branch-owned file name in main's root
+    // plant a DIFFERENT-SIZED collision for the branch-owned file name
+    // in main's root: copy-in must refuse BEFORE anything destructive
     val f = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val branchOwned = SnapshotLog.manifest(spark, b, 2)
       .filterNot(SnapshotLog.isExternal)
     assert(branchOwned.nonEmpty)
     f.create(new org.apache.hadoop.fs.Path(s"$t/${branchOwned.head}"), false).close()
-    val (v, moved) = SnapshotLog.publish(spark, t, "wip")
-    // un-externalize refused, but the publish still happened atomically:
-    // main serves the branch tip through external references and the
-    // branch directory retains the data it still owns
-    assert(moved.isEmpty)
-    assert(rows(t) == ((1L to 5L) ++ (10L to 12L)).toSet)
-    assert(SnapshotLog.manifest(spark, t, v).exists(SnapshotLog.isExternal))
+    val e = intercept[IllegalArgumentException](SnapshotLog.publish(spark, t, "wip"))
+    assert(e.getMessage.contains("collision"))
+    assert(SnapshotLog.versions(spark, t) == Seq(1),
+      "a refused publish must not commit anything on main")
+    assert(rows(t) == (1L to 5L).toSet)
     assert(f.exists(new org.apache.hadoop.fs.Path(b)),
-      "branch dir must survive a failed un-externalize — it owns the data")
+      "the branch must survive a refused publish — it still owns its data")
+    // clear the collision: a RETRY completes (copy-in is idempotent
+    // for same-name-same-length earlier attempts)
+    f.delete(new org.apache.hadoop.fs.Path(s"$t/${branchOwned.head}"), false)
+    val (v, moved) = SnapshotLog.publish(spark, t, "wip")
+    assert(v == 2 && moved.nonEmpty)
+    assert(rows(t) == ((1L to 5L) ++ (10L to 12L)).toSet)
   }
 
   test("branchDrop abandons unpublished work without touching main") {
