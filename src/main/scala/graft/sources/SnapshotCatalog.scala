@@ -382,6 +382,15 @@ class SnapshotCatalog
     }
     var names = scala.collection.immutable.ListMap(
       current.fields.map(f => f.name -> f.dataType): _*)
+    // columns ADDed in this very statement: pass 2 batches adds LAST,
+    // so a rename/drop/widen targeting one could not be honored in
+    // declared order — refuse up front rather than fail mid-apply
+    var addedHere = Set.empty[String]
+    def notAddedHere(n: String): Unit =
+      if (addedHere(n))
+        throw new UnsupportedOperationException(
+          s"snapshot catalog ALTER: '$n' was added in the same statement " +
+            "— split into two ALTERs")
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         val n = a.fieldNames()(0)
@@ -389,10 +398,12 @@ class SnapshotCatalog
         SnapshotSql.requireSupported(
           StructType(Seq(StructField(n, a.dataType(), a.isNullable))))
         names += n -> a.dataType()
+        addedHere += n
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
         val (from, to) = (r.fieldNames()(0), r.newName())
         require(names.contains(from), s"snapshot catalog ALTER: no column '$from'")
         require(!names.contains(to), s"snapshot catalog ALTER: column '$to' already exists")
+        notAddedHere(from)
         guarded.get(from).foreach(why => throw new IllegalArgumentException(
           s"snapshot catalog ALTER: '$from' is $why"))
         names = names.map { case (k, v) => (if (k == from) to else k) -> v }
@@ -400,12 +411,14 @@ class SnapshotCatalog
         val n = d.fieldNames()(0)
         require(names.contains(n), s"snapshot catalog ALTER: no column '$n'")
         require(names.size > 1, "snapshot catalog ALTER: cannot drop the last column")
+        notAddedHere(n)
         guarded.get(n).foreach(why => throw new IllegalArgumentException(
           s"snapshot catalog ALTER: '$n' is $why"))
         names -= n
       case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
         val n = u.fieldNames()(0)
         require(names.contains(n), s"snapshot catalog ALTER: no column '$n'")
+        notAddedHere(n)
         require(
           names(n) == u.newDataType() ||
             SnapshotLog.legalWidening(names(n), u.newDataType()),

@@ -911,6 +911,16 @@ class CatalogSpec extends SparkTestBase {
       TableChange.renameColumn(Array("a"), "c"),
       TableChange.addColumn(Array("a"), org.apache.spark.sql.types.LongType))
     assert(spark.table(t).columns.toSeq == Seq("c", "b", "a"))
+    // but a change TARGETING a column added in the same statement
+    // refuses up front (pass 2 batches adds last, so declared order
+    // could not be honored)
+    val e2 = intercept[UnsupportedOperationException](cat.alterTable(
+      ident,
+      TableChange.addColumn(Array("z"), org.apache.spark.sql.types.LongType),
+      TableChange.renameColumn(Array("z"), "zz")))
+    assert(e2.getMessage.contains("same statement"))
+    assert(spark.table(t).columns.toSeq == Seq("c", "b", "a"),
+      "the refused ALTER must leave the schema untouched")
   }
 
   test("quarantine-mode DML: a violating UPDATE diverts, never aborts") {
