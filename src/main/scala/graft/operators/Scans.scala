@@ -328,6 +328,103 @@ object Scans {
       .orderBy("c_custkey")
   }
 
+  /** JDBC source end to end (round 12): the environment finally
+    * carries a JDBC database — Derby ships in /opt/spark/jars and its
+    * embedded driver is a complete in-process SQL engine — so the
+    * long-standing environment-blocked gap closes with Spark's OWN
+    * connector, not a stub. Write path: `format("jdbc")` batched
+    * INSERTs (`batchsize`), explicit `createTableColumnTypes` so
+    * strings land as VARCHAR (Derby's dialect default CLOB cannot be
+    * compared or grouped). Read path: PARTITIONED parallel extraction —
+    * `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions=8`
+    * turn the scan into 8 range-predicated queries fetched by 8 tasks
+    * (`fetchsize` bounds each cursor) — plus the `c_acctbal > 0`
+    * filter compiled into each query's WHERE clause (JdbcSpec pins
+    * PushedFilters in the scan metadata and the 8-partition shape).
+    * At 100 TB the same options are the extraction contract against a
+    * server-mode RDBMS: parallelism = numPartitions, transfer bounded
+    * by pushdown; only the URL changes. Oracle recomputes the
+    * filtered projection from the original parquet, so the gate is
+    * round-trip fidelity THROUGH the database including double
+    * precision and negative-balance boundary rows. */
+  val sourceJdbc: Q = (spark, dir) => {
+    import graft.sources.DerbyJdbc
+    val db = tmp("derby_customer_db")
+    DerbyJdbc.fresh(db)
+    val c = Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    c.write
+      .format("jdbc")
+      .option("url", DerbyJdbc.url(db))
+      .option("driver", DerbyJdbc.Driver)
+      .option("dbtable", "CUSTOMER")
+      .option("batchsize", "1000")
+      .option(
+        "createTableColumnTypes",
+        "c_name VARCHAR(64), c_mktsegment VARCHAR(16)")
+      .mode("overwrite")
+      .save()
+    val b = c.agg(min("c_custkey"), max("c_custkey")).collect()(0)
+    spark.read
+      .format("jdbc")
+      .option("url", DerbyJdbc.url(db))
+      .option("driver", DerbyJdbc.Driver)
+      .option("dbtable", "CUSTOMER")
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", b.get(0).toString)
+      .option("upperBound", b.get(1).toString)
+      .option("numPartitions", "8")
+      .option("fetchsize", "1000")
+      .load()
+      .filter(col("c_acctbal") > 0)
+      .orderBy("c_custkey")
+  }
+
+  /** JDBC aggregate pushdown through the DSv2 catalog (round 12):
+    * the same embedded-Derby database mounted as a Spark catalog
+    * (`JDBCTableCatalog`, `pushDownAggregate=true`), then a GROUP BY
+    * over `derby_src.APP.ORDERS` whose COUNT/SUM/MAX compile into the
+    * remote query — the database aggregates, Spark receives one row
+    * per group instead of the table (JdbcSpec pins PushedAggregates
+    * and PushedGroupByExpressions in the scan description). This is
+    * the transfer-bounding shape for warehouse offload at scale:
+    * rows-over-the-wire is O(groups), not O(data). The ROUND and the
+    * BIGINT cast sit ABOVE the pushed aggregate on the Spark side, so
+    * remote numeric width differences can never leak into the gate.
+    * Oracle recomputes the same GROUP BY from the original parquet. */
+  val sourceJdbcPushdown: Q = (spark, dir) => {
+    import graft.sources.DerbyJdbc
+    val db = tmp("derby_orders_db")
+    DerbyJdbc.fresh(db)
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write
+      .format("jdbc")
+      .option("url", DerbyJdbc.url(db))
+      .option("driver", DerbyJdbc.Driver)
+      .option("dbtable", "ORDERS")
+      .option("batchsize", "1000")
+      .option("createTableColumnTypes", "o_orderstatus VARCHAR(4)")
+      .mode("overwrite")
+      .save()
+    spark.conf.set(
+      "spark.sql.catalog.derby_src",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.derby_src.url", DerbyJdbc.url(db))
+    spark.conf.set("spark.sql.catalog.derby_src.driver", DerbyJdbc.Driver)
+    spark.conf.set("spark.sql.catalog.derby_src.pushDownAggregate", "true")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_price,
+        |       MAX(o_orderkey) AS max_key
+        |FROM derby_src.APP.ORDERS
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Custom DataSource V2 connector end to end (round 8): orders
     * serialized as pipe-delimited flat files, read back through
     * [[graft.sources.GraftTblSource]] — a full TableProvider/Scan/
@@ -3002,6 +3099,8 @@ object Scans {
     "source_csv_corrupt" -> sourceCsvCorrupt,
     "sink_json" -> sinkJson,
     "source_xml" -> sourceXml,
+    "source_jdbc" -> sourceJdbc,
+    "source_jdbc_pushdown" -> sourceJdbcPushdown,
     "sink_exactly_once" -> sinkExactlyOnce,
     "source_fixed_width" -> sourceFixedWidth,
     "sink_csv" -> sinkCsv,
@@ -3455,6 +3554,20 @@ object Scans {
     "source_xml" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the oracle reads the ORIGINAL table: round-trip fidelity
+    // through the embedded database, filter applied remotely
+    "source_jdbc" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_acctbal > 0
+        |ORDER BY c_custkey""".stripMargin,
+    // the database computed the aggregate; the oracle recomputes it
+    // from parquet, so a wrong remote GROUP BY breaks the hash
+    "source_jdbc_pushdown" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price,
+        | max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle reads the ORIGINAL table: round-trip fidelity check
     "source_fixed_width" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
