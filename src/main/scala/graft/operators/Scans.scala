@@ -2165,6 +2165,71 @@ object Scans {
          |FROM $cat.main.orders_check ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** UNIQUE KEY constraint at the storage boundary (round 12): a
+    * declared `unique_key` BIGINT column is audited on every batch
+    * write BEFORE its manifest commit — in-batch duplicates, NULL
+    * keys, and collisions against the live table (only files whose
+    * manifest stats overlap the batch's key range are read, deletion
+    * vectors applied) — so a violation aborts with NO VERSION BURNED
+    * and the landed files reclaimed. The mainstream table formats
+    * don't enforce this; the audit's cost class — O(batch) +
+    * O(range-admitted files) — is what makes it affordable at 100 TB
+    * on a key-clustered table. The graded sequence: lower half
+    * inserts; an overlapping re-insert REFUSES (version pinned
+    * unchanged inline); the disjoint upper half inserts; an UPDATE
+    * rewriting a key onto an existing key REFUSES through the
+    * row-level path (rewritten rows audit against CARRIED files
+    * only); a DELETEd key re-inserts successfully (the audit sees
+    * live rows, not dead ones). Final state is exactly the source
+    * projection, so the oracle hash proves every refusal refused and
+    * every legitimate write landed. */
+  val sqlUniqueKey: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_unique")
+    val c = Tables
+      .customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    c.createOrReplaceTempView("graft_uniq_src")
+    val maxK = c.agg(max("c_custkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.cust_unique
+         |(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+         |TBLPROPERTIES ('unique_key' = 'c_custkey')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.cust_unique
+         |SELECT * FROM graft_uniq_src WHERE c_custkey <= $half""".stripMargin)
+    val tablePath = tmp("sql_warehouse") + "/main/cust_unique"
+    val vBefore = SnapshotLog.versions(spark, tablePath).last
+    val overlap = scala.util.Try(
+      spark.sql(
+        s"""INSERT INTO $cat.main.cust_unique
+           |SELECT * FROM graft_uniq_src
+           |WHERE c_custkey BETWEEN ${half / 2} AND $half""".stripMargin))
+    require(overlap.isFailure, "re-inserting existing keys must refuse")
+    require(
+      SnapshotLog.versions(spark, tablePath).last == vBefore,
+      "a refused INSERT must not burn a version")
+    spark.sql(
+      s"""INSERT INTO $cat.main.cust_unique
+         |SELECT * FROM graft_uniq_src WHERE c_custkey > $half""".stripMargin)
+    val keyClash = scala.util.Try(
+      spark.sql(
+        s"""UPDATE $cat.main.cust_unique SET c_custkey = 1
+           |WHERE c_custkey = $maxK""".stripMargin))
+    require(
+      keyClash.isFailure,
+      "an UPDATE rewriting a key onto an existing key must refuse")
+    spark.sql(s"DELETE FROM $cat.main.cust_unique WHERE c_custkey = $half")
+    spark.sql(
+      s"""INSERT INTO $cat.main.cust_unique
+         |SELECT * FROM graft_uniq_src WHERE c_custkey = $half""".stripMargin)
+    spark.sql(
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM $cat.main.cust_unique ORDER BY c_custkey""".stripMargin)
+  }
+
   /** VECTOR columns as first-class lakehouse data (round 11 cont.):
     * the catalog now stores numeric ARRAY columns (standard 3-level
     * parquet LIST encoding through the Group-API writers/readers), so
@@ -3079,6 +3144,7 @@ object Scans {
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
     "sql_check_constraint" -> sqlCheckConstraint,
+    "sql_unique_key" -> sqlUniqueKey,
     "sink_optimize_where" -> sinkOptimizeWhere,
     "sql_check_quarantine" -> sqlCheckQuarantine,
     "sql_vector_table" -> sqlVectorTable,
@@ -3257,6 +3323,12 @@ object Scans {
     "sink_optimize_where" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // every refusal refused (overlap insert, key-clash UPDATE) and
+    // every legitimate write landed (two halves + deleted-key
+    // re-insert): the final state is exactly the source projection
+    "sql_unique_key" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // the accepted rows survive the constraint gate verbatim; the
     // refused batch left nothing behind
     "sql_check_constraint" ->

@@ -281,17 +281,10 @@ class SnapshotCatalog
         "snapshot catalog: sorted_by and PARTITIONED BY are mutually " +
           "exclusive (a partitioned write clusters by partition value)")
     }
-    wfs.mkdirs(nsPath(ident.namespace))
-    // v1 is a schema-only commit: the empty table is immediately
-    // readable under its recorded schema (and DECLARES the bucket
-    // layout when one was asked for)
-    bucketSpec match {
-      case Some((c, n)) =>
-        SnapshotLog.commitLandedBucketed(
-          spark, tablePath(ident), Nil, schema, c, n)
-      case None =>
-        SnapshotLog.commitLanded(spark, tablePath(ident), Nil, schema)
-    }
+    // declared-property validation runs BEFORE the v1 commit: a
+    // malformed property must fail the CREATE without leaving a
+    // half-created table behind (commit-then-validate did exactly
+    // that — caught by the unique_key spec)
     val declaredProps =
       sortedBy.map("sorted_by" -> _).toMap ++
         partitionBy.map("partition_by" -> _) ++
@@ -304,6 +297,23 @@ class SnapshotCatalog
         Option(properties.get("check")).map(_.trim).filter(_.nonEmpty).map { c =>
           SnapshotSql.compileCheck(spark, schema, c)
           "check" -> c
+        } ++
+        // `TBLPROPERTIES ('unique_key' = '<bigint col>')` — a declared
+        // UNIQUE constraint: every batch INSERT is audited pre-commit
+        // (in-batch duplicates, NULL keys, and collisions against the
+        // stats-admitted live files — deletion vectors applied, so a
+        // DELETEd key is re-insertable); a violation aborts the write
+        // with no version burned. BIGINT-only so the audit prunes in
+        // LONG stat space.
+        Option(properties.get("unique_key")).map(_.trim).filter(_.nonEmpty).map { k =>
+          val f = schema.fields.find(_.name == k).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapshot catalog: unique_key column '$k' is not in the schema"))
+          require(
+            f.dataType == LongType,
+            s"snapshot catalog: unique_key must be a BIGINT column, " +
+              s"'$k' is ${f.dataType.simpleString}")
+          "unique_key" -> k
         } ++
         // 'check_mode' = 'fail' (default) | 'quarantine' (dead-letter:
         // violating rows divert to <table>_quarantine instead of
@@ -321,6 +331,17 @@ class SnapshotCatalog
               "bucketed tables (the quarantine table is unbucketed)")
           "check_mode" -> m
         }
+    wfs.mkdirs(nsPath(ident.namespace))
+    // v1 is a schema-only commit: the empty table is immediately
+    // readable under its recorded schema (and DECLARES the bucket
+    // layout when one was asked for)
+    bucketSpec match {
+      case Some((c, n)) =>
+        SnapshotLog.commitLandedBucketed(
+          spark, tablePath(ident), Nil, schema, c, n)
+      case None =>
+        SnapshotLog.commitLanded(spark, tablePath(ident), Nil, schema)
+    }
     if (declaredProps.nonEmpty)
       SnapshotLog.setTableProps(spark, tablePath(ident), declaredProps)
     loadTable(ident)
@@ -374,6 +395,7 @@ class SnapshotCatalog
         .bucketSpec(spark, path, SnapshotLog.versions(spark, path).last)
         .map(_._1 -> "the declared bucket column").toSeq ++
         props.get("sorted_by").map(_ -> "the declared sorted_by column").toSeq ++
+        props.get("unique_key").map(_ -> "the declared unique_key column").toSeq ++
         props.get("check").toSeq.flatMap(c =>
           current.fieldNames.filter(n =>
             ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
@@ -724,7 +746,7 @@ case class SnapshotSqlTable(
         .copy(quarantine = tipProps.get("check_mode").contains("quarantine")))
     new SnapshotSqlWriteBuilder(
       path, phys, commit, info.queryId(), tipBucketSpec, sortedBy, sortedParts,
-      check, partitionBy)
+      check, partitionBy, tipProps.get("unique_key"))
   }
 
   // --- metadata-only DELETE + TRUNCATE ------------------------------
@@ -808,7 +830,8 @@ case class SnapshotSqlTable(
           // of aborting the whole DML
           tipProps.get("check").map(c =>
             SnapshotSql.compileCheck(spark, dataSchema, c)
-              .copy(quarantine = tipProps.get("check_mode").contains("quarantine"))))
+              .copy(quarantine = tipProps.get("check_mode").contains("quarantine"))),
+          tipProps.get("unique_key"))
     }
   }
 }
@@ -1292,7 +1315,8 @@ class SnapshotRowLevelOperation(
     path: String,
     dataSchema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    private[sources] val check: Option[SnapshotSql.CheckSpec] = None
+    private[sources] val check: Option[SnapshotSql.CheckSpec] = None,
+    private[sources] val uniqueKey: Option[String] = None
 ) extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   // the groups the scan planned — what the write's commit replaces
@@ -1446,6 +1470,15 @@ case class SnapshotReplaceBatchWrite(
     // runtime group filtering proved no file holds a matching row: a
     // true no-op — don't burn a version on an empty replace
     if (removed.isEmpty && names.isEmpty) return
+    // an UPDATE/MERGE can rewrite the unique key itself, so the
+    // rewritten rows re-audit — against each other and against the
+    // CARRIED files only (the replaced files' rows are leaving).
+    // DELETE can only remove rows; no audit needed.
+    if (op.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      op.uniqueKey.foreach(k =>
+        SnapshotLog.validateUniqueKeys(
+          SparkSession.active, path, k, names, commitSchema,
+          excludeFiles = removed.toSet))
     SnapshotLog.commitLandedReplace(
       SparkSession.active, path, names, commitSchema, removed)
     // quarantine-mode tables: rewritten rows the CHECK diverted land in
@@ -1485,7 +1518,8 @@ class SnapshotSqlWriteBuilder(
     sortedBy: Option[String] = None,
     sortedParts: Int = 0,
     check: Option[SnapshotSql.CheckSpec] = None,
-    partitionBy: Option[String] = None
+    partitionBy: Option[String] = None,
+    uniqueKey: Option[String] = None
 ) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
@@ -1495,12 +1529,21 @@ class SnapshotSqlWriteBuilder(
     override def toBatch: BatchWrite =
       SnapshotSqlBatchWrite(
         path, physSchema, commitSchema, overwrite, bucketSpec, check,
-        partitionBy)
+        partitionBy, uniqueKey)
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // a streaming epoch cannot audit against a moving tip without
+      // serializing every epoch behind a table-wide check, and a
+      // REPLAYED epoch's keys are legitimately already present —
+      // refuse loudly rather than enforce wrongly
+      require(
+        uniqueKey.isEmpty,
+        s"snapshot catalog: streaming writes cannot enforce unique_key " +
+          s"on $path — stream into a staging table and MERGE")
       SnapshotSqlStreamingWrite(
         path, physSchema, commitSchema, overwrite, queryId, bucketSpec, check,
         partitionBy)
+    }
 
     /** A bucketed table asks Spark to CLUSTER incoming rows by the
       * SAME bucket function the layout uses (bound via the catalog's
@@ -1670,7 +1713,8 @@ case class SnapshotSqlBatchWrite(
     overwrite: Boolean,
     bucketSpec: Option[(String, Int)] = None,
     check: Option[SnapshotSql.CheckSpec] = None,
-    partitionBy: Option[String] = None
+    partitionBy: Option[String] = None,
+    uniqueKey: Option[String] = None
 ) extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1696,6 +1740,12 @@ case class SnapshotSqlBatchWrite(
         val files = messages.toSeq.collect {
           case SnapshotSqlBucketedCommit(fs) => fs
         }.flatten
+        // unique audit BEFORE the commit: a violation throws here, the
+        // manifest never references the batch, Spark aborts the write
+        uniqueKey.foreach(k =>
+          SnapshotLog.validateUniqueKeys(
+            SparkSession.active, path, k, files.map(_._1), commitSchema,
+            checkExisting = !overwrite))
         SnapshotLog.commitLandedBucketed(
           SparkSession.active, path, files, commitSchema, c, n,
           overwrite = overwrite)
@@ -1705,6 +1755,10 @@ case class SnapshotSqlBatchWrite(
           case SnapshotSqlFilesCommit(fs, _)  => fs
           case _                              => Nil
         }
+        uniqueKey.foreach(k =>
+          SnapshotLog.validateUniqueKeys(
+            SparkSession.active, path, k, names, commitSchema,
+            checkExisting = !overwrite))
         SnapshotLog.commitLanded(
           SparkSession.active, path, names, commitSchema, overwrite = overwrite)
         // quarantined rows (check_mode=quarantine) commit to the

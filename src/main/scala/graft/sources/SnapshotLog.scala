@@ -2469,6 +2469,73 @@ object SnapshotLog {
     manifestEntries(spark, table, version).map(e =>
       (entryName(e), entryToken(e, "_bk=k:").map(_.toInt), entryDv(e)))
 
+  /** Pre-commit uniqueness audit for a declared `unique_key` column:
+    * the landed-but-uncommitted files are scanned ONCE (null keys,
+    * in-batch duplicates, and the batch's key range in a single
+    * distributed aggregation), then — for appends and DML rewrites —
+    * only the live files whose manifest stats overlap that range are
+    * read (deletion vectors applied, so a DELETEd key is provably
+    * re-insertable) and semi-joined against the fresh keys. A
+    * violation throws BEFORE any manifest commit, so the refused
+    * write burns no version and Spark's abort path reclaims the
+    * landed files. Cost class at scale: O(batch) + O(range-admitted
+    * files) — on a key-clustered table an append touches its own
+    * shard's neighborhood, never the table.
+    *
+    * `excludeFiles` names the files a row-level rewrite is replacing:
+    * their rows are leaving the table, so they must not witness
+    * against the rewrite's own output.
+    */
+  def validateUniqueKeys(
+      spark: SparkSession,
+      table: String,
+      key: String,
+      newFiles: Seq[String],
+      schema: StructType,
+      excludeFiles: Set[String] = Set.empty,
+      checkExisting: Boolean = true
+  ): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    if (newFiles.isEmpty) return
+    val fresh = readFiles(spark, table, newFiles, Some(schema)).select(col(key))
+    val grouped = fresh.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val audit = grouped
+      .agg(
+        max(when(col("__n") > 1, col(key))).as("dup"),
+        count(when(col(key).isNull, lit(1))).as("nullk"),
+        min(col(key)).as("lo"),
+        max(col(key)).as("hi"))
+      .collect()(0)
+    if (audit.getLong(1) > 0)
+      throw new IllegalStateException(
+        s"unique_key violation on $table: NULL in '$key' — a unique key " +
+          "is an identity, not an optional attribute")
+    if (!audit.isNullAt(0))
+      throw new IllegalStateException(
+        s"unique_key violation on $table: '$key' = ${audit.get(0)} occurs " +
+          "more than once in the written batch")
+    if (!checkExisting || audit.isNullAt(2)) return
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return
+    val (lo, hi) = (audit.getLong(2), audit.getLong(3))
+    val kept = prunedFiles(spark, table, key, lo, hi, Some(vs.last))._1
+      .filterNot(excludeFiles)
+    if (kept.isEmpty) return
+    val existing = readEntries(
+      spark, table,
+      entriesFor(manifestEntries(spark, table, vs.last), kept),
+      tableSchema(spark, table, vs.last))
+    val clash = existing
+      .select(col(key))
+      .join(fresh.distinct(), Seq(key))
+      .limit(1)
+      .collect()
+    if (clash.nonEmpty)
+      throw new IllegalStateException(
+        s"unique_key violation on $table: '$key' = ${clash(0).get(0)} " +
+          "already exists in the table")
+  }
+
   /** All given entries read with their in-file position columns
     * (`__graft_file`, `__graft_pos`) retained and deletion-vector dead
     * rows already filtered out — the MoR UPDATE path needs both the

@@ -988,4 +988,75 @@ class CatalogSpec extends SparkTestBase {
       SnapshotLog.manifest(spark, p, 3).sorted)
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 4").head.getLong(0) == 100L)
   }
+
+  test("unique_key: DDL validation, NULL and in-batch dup refusals") {
+    val t = freshName()
+    // declaration gates: column must exist and be BIGINT
+    val missing = intercept[Exception](spark.sql(
+      s"CREATE TABLE $t (id BIGINT) TBLPROPERTIES ('unique_key'='nope')"))
+    assert(missing.getMessage.contains("not in the schema"))
+    val wrongType = intercept[Exception](spark.sql(
+      s"CREATE TABLE $t (id BIGINT, s STRING) " +
+        "TBLPROPERTIES ('unique_key'='s')"))
+    assert(wrongType.getMessage.contains("BIGINT"))
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('unique_key'='id')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    val vBefore = SnapshotLog.versions(spark, pathOf(t)).last
+    // NULL key refuses
+    val nullKey = intercept[Exception](spark.sql(
+      s"INSERT INTO $t VALUES (CAST(NULL AS BIGINT), 1)"))
+    assert(nullKey.getMessage.contains("NULL"))
+    // in-batch duplicate refuses even against an empty overlap
+    val inBatch = intercept[Exception](spark.sql(
+      s"INSERT INTO $t SELECT 100, id FROM range(0, 2)"))
+    assert(inBatch.getMessage.contains("more than once"))
+    // neither refusal burned a version or left rows behind
+    assert(SnapshotLog.versions(spark, pathOf(t)).last == vBefore)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10L)
+    // the unique column refuses rename (it is a declared layout claim)
+    val ren = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t RENAME COLUMN id TO id2"))
+    assert(ren.getMessage.contains("unique_key"))
+  }
+
+  test("unique_key: MoR-deleted keys are re-insertable (audit sees live rows)") {
+    val t = freshName()
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('unique_key'='id')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 20)")
+    // kill ids 5..9 via deletion vectors: rows stay in the file, dead
+    SnapshotLog.deleteWhereMoR(spark, pathOf(t), "id", 5L, 9L)
+    // re-inserting a DV-dead key must pass: the audit reads entries
+    // with deletion vectors applied, not raw files
+    spark.sql(s"INSERT INTO $t VALUES (7, 700)")
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 7").head.getLong(0) == 700L)
+    // but a LIVE key in the same DV'd file still refuses
+    val live = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (3, 0)"))
+    assert(live.getMessage.contains("already exists"))
+  }
+
+  test("unique_key: streaming writes refuse loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = freshName()
+    spark.sql(
+      s"CREATE TABLE $t (value BIGINT) TBLPROPERTIES ('unique_key'='value')")
+    val ms = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("graft_uniq_stream").toString
+    ms.addData(1L)
+    val err = intercept[Exception] {
+      val q = ms.toDF().writeStream
+        .option("checkpointLocation", ckpt).toTable(t)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+    assert(chain(err).exists(_.contains("unique_key")),
+      s"expected the unique_key refusal, got: ${chain(err)}")
+  }
 }
