@@ -634,7 +634,77 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The staged inverted-index posting table: distinct (term, doc_id)
+    * pairs, RANGE-repartitioned and sorted by term so each parquet
+    * file owns a contiguous term slice with tight footer min/max — a
+    * keyword query's `term IN (...)` probe prunes to the files owning
+    * those terms instead of scanning the index (the sharded-postings
+    * layout of a search engine, expressed as plain stats-prunable
+    * parquet). Fingerprint-cached via [[graft.Stage.table]] like the
+    * dedup shingle tables: built once per corpus state, served to
+    * both index keys. */
+  private def postingTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Stage.table(spark, dir, "inv_postings", Seq("documents"))(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id"))
+
+  /** Inverted-index BUILD (round 12): the dictionary view of the
+    * posting table — per-term document frequency plus a posting-list
+    * checksum (sum/min/max of doc ids), so the oracle hash proves the
+    * postings themselves, not just the term set. One shuffle on term
+    * at any scale; the staged table persists for serving. */
+  val textIndexBuild: Q = (spark, dir) =>
+    postingTable(spark, dir)
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("doc_id").as("doc_sum"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(200)
+
+  /** Inverted-index SEARCH (round 12): a conjunctive (AND) keyword
+    * query answered FROM THE INDEX — posting rows for the query terms
+    * only (the `term IN` probe prunes the range-sharded files), doc
+    * ids intersected by counting matched terms per doc, then joined
+    * back to the corpus for the result rows. Never scans document
+    * text at query time: at 100 TB the query cost is O(posting rows
+    * of the query terms) + the id join, the inverted-index contract.
+    * The query is data-derived and deterministic — the terms ranked
+    * 10/20/30 by (df desc, term), picked via a distributed
+    * orderBy-limit (no global window), so the key exercises mid-df
+    * terms at every SF; the oracle recomputes term choice AND
+    * matching docs from the raw text. */
+  val textIndexSearch: Q = (spark, dir) => {
+    val post = postingTable(spark, dir)
+    val top = post
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(30)
+      .collect()
+    val qterms = Seq(top(9), top(19), top(29)).map(_.getString(0))
+    val hits = post
+      .filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === qterms.size)
+    Tables
+      .documents(spark, dir)
+      .join(hits, "doc_id")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_index_build" -> textIndexBuild,
+    "text_index_search" -> textIndexSearch,
     "etl_corpus_filter" -> etlCorpusFilter,
     "text_repetition" -> textRepetition,
     "text_boilerplate_rm" -> textBoilerplateRm,
@@ -656,6 +726,36 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the posting-list checksums (sum/min/max of doc ids per term)
+    // gate the postings themselves, not just the dictionary
+    "text_index_build" ->
+      """WITH post AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents))
+        |SELECT term, count(*) AS df,
+        |  CAST(sum(doc_id) AS BIGINT) AS doc_sum,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM post GROUP BY term
+        |ORDER BY df DESC, term LIMIT 200""".stripMargin,
+    // recomputes BOTH the data-derived term choice (ranks 10/20/30 by
+    // df desc, term) and the conjunctive match from the raw text
+    "text_index_search" ->
+      """WITH post AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)),
+        |tf AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |ranked AS (
+        |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+        |  FROM tf),
+        |q AS (SELECT term FROM ranked WHERE rn IN (10, 20, 30)),
+        |hits AS (
+        |  SELECT p.doc_id FROM post p JOIN q USING (term)
+        |  GROUP BY p.doc_id HAVING count(*) = 3)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "etl_corpus_filter" -> etlCorpusFilterSql,
     "text_repetition" -> textRepetitionSql,
     "text_boilerplate_rm" ->

@@ -969,4 +969,20 @@ class PlanShapeSpec extends SparkTestBase {
       )
     }
   }
+
+  test("text_index_search probes the posting table, never the text") {
+    val s = planString(text.TextOps.textIndexSearch(spark, sf0001))
+    // the query terms reach the posting scan as a pushed In filter —
+    // on the range-sharded staged table that is file-level pruning
+    assert(
+      s.contains("In(term") || s.contains("EqualTo(term"),
+      s"term probe must push into the posting scan:\n$s")
+    // the document text column is never read at query time: the only
+    // documents scan is the id-join projection
+    val docScans = s.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("lang")).toList
+    assert(
+      docScans.nonEmpty && docScans.forall(!_.contains("text")),
+      s"search must not scan document text:\n${docScans.mkString("\n")}")
+  }
 }
