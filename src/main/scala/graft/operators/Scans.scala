@@ -1985,6 +1985,61 @@ object Scans {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** PARTITION EVOLUTION (round 12): `ALTER TABLE ... SET
+    * TBLPROPERTIES ('partition_by'='col')` re-declares the layout of
+    * a LIVE table with zero rewrite — possible exactly because the
+    * catalog's identity partitioning is advisory value-clustering
+    * over manifest-stats skipping, never a correctness boundary: the
+    * pre-evolution files keep their (wide) stats and always scan, the
+    * post-evolution INSERTs value-route into value-pure files with
+    * single-value footer stats, and the same planning-time skipping
+    * prunes partition predicates against the new generation.
+    * Iceberg's flagship feature, landed as a property write. Inline
+    * pins: a status probe AFTER evolution keeps every old-generation
+    * file (they straddle values) but prunes among the new generation;
+    * constraint properties evolve under ALTER-ADD-CONSTRAINT
+    * semantics instead (existing data audited — CatalogSpec). Oracle
+    * recomputes the status slice from the source, so cross-generation
+    * fidelity through the layout change is the hash gate. */
+  val sqlPartitionEvolve: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_evolve")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    o.createOrReplaceTempView("graft_evolve_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_evolve
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         | o_totalprice DOUBLE)""".stripMargin)
+    // generation 1: unpartitioned arrival — files straddle statuses
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_evolve
+         |SELECT * FROM graft_evolve_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""ALTER TABLE $cat.main.orders_evolve
+         |SET TBLPROPERTIES ('partition_by' = 'o_orderstatus')""".stripMargin)
+    // generation 2: value-routed — one status per file
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_evolve
+         |SELECT * FROM graft_evolve_src WHERE o_orderkey > $half""".stripMargin)
+    val tablePath = tmp("sql_warehouse") + "/main/orders_evolve"
+    val gen1 = SnapshotLog.manifest(spark, tablePath, 2).size
+    val (kept, total) = SnapshotLog
+      .prunedFilesString(spark, tablePath, "o_orderstatus", "F", "F")
+    require(
+      kept.size < total && kept.size >= gen1,
+      s"evolution must prune among generation 2 only: ${kept.size}/$total " +
+        s"(gen1 = $gen1 files must all scan)")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM $cat.main.orders_evolve WHERE o_orderstatus = 'F'
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** METADATA TABLES (round 12): `SELECT * FROM ns.t.history|files|refs`
     * — the Iceberg idiom, served entirely from manifest riders and the
     * ref listing as LocalScans (O(metadata) rows, zero data files
@@ -3145,6 +3200,7 @@ object Scans {
     "sink_sorted_insert" -> sinkSortedInsert,
     "sql_check_constraint" -> sqlCheckConstraint,
     "sql_unique_key" -> sqlUniqueKey,
+    "sql_partition_evolve" -> sqlPartitionEvolve,
     "sink_optimize_where" -> sinkOptimizeWhere,
     "sql_check_quarantine" -> sqlCheckQuarantine,
     "sql_vector_table" -> sqlVectorTable,
@@ -3323,6 +3379,12 @@ object Scans {
     "sink_optimize_where" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // cross-generation fidelity through the layout change: the status
+    // slice spans pre-evolution and value-routed files alike
+    "sql_partition_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
     // every refusal refused (overlap insert, key-clash UPDATE) and
     // every legitimate write landed (two halves + deleted-key
     // re-insert): the final state is exactly the source projection

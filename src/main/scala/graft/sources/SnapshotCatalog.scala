@@ -385,6 +385,20 @@ class SnapshotCatalog
           s"snapshot catalog: $ident has no recorded schema (pre-upgrade log?)"
         )
       )
+    // SET/UNSET TBLPROPERTIES route here too — property evolution is
+    // its own statement kind in SQL, so it never mixes with column
+    // changes; refuse a mixed batch rather than order-guess
+    if (changes.exists(c =>
+        c.isInstanceOf[TableChange.SetProperty] ||
+          c.isInstanceOf[TableChange.RemoveProperty])) {
+      require(
+        changes.forall(c =>
+          c.isInstanceOf[TableChange.SetProperty] ||
+            c.isInstanceOf[TableChange.RemoveProperty]),
+        "snapshot catalog ALTER: property and column changes cannot mix " +
+          "in one statement")
+      return alterProps(ident, path, current, changes)
+    }
     // pass 1 — validate EVERY change against the evolving logical
     // schema (names + types), including the guards the per-op appliers
     // would hit (bucket/sort keys, CHECK references), so pass 2 cannot
@@ -494,6 +508,125 @@ class SnapshotCatalog
                 .build()))
       SnapshotLog.commitLanded(spark, path, Nil, StructType(tipNow.fields ++ stamped))
     }
+    loadTable(ident)
+  }
+
+  /** Property evolution (`ALTER TABLE ... SET/UNSET TBLPROPERTIES`).
+    * Layout claims (`sorted_by`/`sorted_partitions`/`partition_by`)
+    * evolve freely because layout is advisory, never a correctness
+    * boundary: FUTURE writes cluster by the new spec, existing files
+    * keep their stats, and pruning stays exact by the skipping
+    * invariant — partition evolution without a rewrite. Constraint
+    * claims (`check`, `unique_key`) must additionally hold for the
+    * data ALREADY in the table, so newly setting one runs a
+    * distributed audit over the live rows (ALTER ADD CONSTRAINT
+    * semantics) and refuses — with the witness named — if any
+    * existing row would violate; removing a constraint is free. The
+    * whole change set validates first and lands as ONE props write,
+    * so a refused statement changes nothing. */
+  private def alterProps(
+      ident: Identifier,
+      path: String,
+      schema: StructType,
+      changes: Seq[TableChange]
+  ): Table = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, not, when}
+    val cur = SnapshotLog.tableProps(spark, path)
+    var p2 = cur
+    changes.foreach {
+      case s: TableChange.SetProperty    => p2 += s.property() -> s.value().trim
+      case r: TableChange.RemoveProperty => p2 -= r.property()
+      case _                             => ()
+    }
+    val bucketed = SnapshotLog
+      .bucketSpec(spark, path, SnapshotLog.versions(spark, path).last)
+      .isDefined
+    p2.get("sorted_by").foreach { c =>
+      require(
+        schema.fieldNames.contains(c),
+        s"snapshot catalog ALTER: sorted_by column '$c' is not in the schema")
+      require(
+        !bucketed,
+        "snapshot catalog ALTER: sorted_by and bucket layout are mutually " +
+          "exclusive")
+      require(
+        p2.get("partition_by").isEmpty,
+        "snapshot catalog ALTER: sorted_by and partition_by are mutually " +
+          "exclusive")
+    }
+    p2.get("sorted_partitions").foreach { v =>
+      require(
+        p2.contains("sorted_by"),
+        "snapshot catalog ALTER: sorted_partitions without sorted_by")
+      v.toInt
+    }
+    p2.get("partition_by").foreach { c =>
+      val fld = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot catalog ALTER: partition column '$c' is not in the schema"))
+      require(
+        fld.dataType == LongType || fld.dataType == IntegerType ||
+          fld.dataType == StringType,
+        s"snapshot catalog ALTER: partition column '$c' must be int/bigint/string")
+      require(
+        !bucketed,
+        "snapshot catalog ALTER: partition_by and bucket layout are mutually " +
+          "exclusive")
+    }
+    p2.get("check").foreach { c =>
+      SnapshotSql.compileCheck(spark, schema, c)
+      if (!cur.get("check").contains(c)) {
+        // ALTER ADD CONSTRAINT: the rows already committed must
+        // satisfy the new predicate (null/unknown passes, as on the
+        // write path) — one distributed scan, first witness named
+        val bad = SnapshotLog.read(spark, path)
+          .filter(not(coalesce(expr(c), lit(true))))
+          .limit(1)
+          .collect()
+        require(
+          bad.isEmpty,
+          s"snapshot catalog ALTER: existing row violates CHECK ($c): " +
+            bad.headOption.getOrElse(""))
+      }
+    }
+    p2.get("check_mode").foreach { m =>
+      require(
+        m == "fail" || m == "quarantine",
+        s"snapshot catalog ALTER: check_mode must be 'fail' or 'quarantine', got '$m'")
+      require(
+        p2.contains("check"),
+        "snapshot catalog ALTER: check_mode without a check constraint")
+      require(
+        m == "fail" || !bucketed,
+        "snapshot catalog ALTER: check_mode=quarantine is unsupported on " +
+          "bucketed tables")
+    }
+    p2.get("unique_key").foreach { k =>
+      val fld = schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot catalog ALTER: unique_key column '$k' is not in the schema"))
+      require(
+        fld.dataType == LongType,
+        s"snapshot catalog ALTER: unique_key must be a BIGINT column, " +
+          s"'$k' is ${fld.dataType.simpleString}")
+      if (!cur.get("unique_key").contains(k)) {
+        val audit = SnapshotLog.read(spark, path)
+          .groupBy(col(k)).agg(count(lit(1)).as("__n"))
+          .agg(
+            max(when(col("__n") > 1, col(k))).as("dup"),
+            count(when(col(k).isNull, lit(1))).as("nullk"))
+          .collect()(0)
+        require(
+          audit.getLong(1) == 0,
+          s"snapshot catalog ALTER: existing NULL in '$k' — cannot declare " +
+            "unique_key")
+        require(
+          audit.isNullAt(0),
+          s"snapshot catalog ALTER: '$k' = ${audit.get(0)} occurs more than " +
+            "once in existing data — cannot declare unique_key")
+      }
+    }
+    SnapshotLog.setTableProps(spark, path, p2)
     loadTable(ident)
   }
 

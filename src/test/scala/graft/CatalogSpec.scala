@@ -1059,4 +1059,50 @@ class CatalogSpec extends SparkTestBase {
     assert(chain(err).exists(_.contains("unique_key")),
       s"expected the unique_key refusal, got: ${chain(err)}")
   }
+
+  test("SET TBLPROPERTIES: layout evolves freely, constraints audit existing data") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    // layout claim: future inserts range-cluster; nothing rewritten
+    val vBefore = SnapshotLog.versions(spark, pathOf(t)).last
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('sorted_by' = 'id')")
+    assert(SnapshotLog.versions(spark, pathOf(t)).last == vBefore,
+      "a property write must not burn a data version")
+    assert(SnapshotLog.tableProps(spark, pathOf(t))("sorted_by") == "id")
+    // ALTER ADD CONSTRAINT semantics: a check the data satisfies lands…
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('check' = 'v >= 0')")
+    // …one it violates refuses WITH the witness, and changes nothing
+    val bad = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('check' = 'v < 50')"))
+    assert(bad.getMessage.contains("existing row violates"))
+    assert(SnapshotLog.tableProps(spark, pathOf(t))("check") == "v >= 0",
+      "a refused SET must keep the previous constraint")
+    // the landed check now enforces on writes
+    val ins = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (200, -1.0)"))
+    assert(ins.getMessage.contains("CHECK"))
+    // unique_key on existing data: clean data accepts, a dup refuses
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('unique_key' = 'id')")
+    val dupIns = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (5, 5.0)"))
+    assert(dupIns.getMessage.contains("already exists"))
+    // UNSET drops enforcement
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('unique_key')")
+    spark.sql(s"INSERT INTO $t VALUES (5, 5.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id = 5").head.getLong(0) == 2L)
+    // and declaring unique over now-duplicated data refuses
+    val dupDecl = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('unique_key' = 'id')"))
+    assert(dupDecl.getMessage.contains("more than once"))
+    // property and column changes cannot mix (defense: SQL cannot
+    // express the mix, but the catalog API can)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("cattest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val mixed = intercept[Exception](cat.alterTable(
+      Identifier.of(Array("main"), t.split('.').last),
+      TableChange.setProperty("sorted_by", "v"),
+      TableChange.addColumn(Array("z"), org.apache.spark.sql.types.LongType)))
+    assert(mixed.getMessage.contains("cannot mix"))
+  }
 }
