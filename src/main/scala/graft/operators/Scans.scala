@@ -2040,6 +2040,72 @@ object Scans {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** MATERIALIZED VIEW lifecycle through SQL (round 12):
+    * `CALL system.create_mv(source, mv, key, agg)` materializes a
+    * per-key sum/count rollup as a CATALOG TABLE recording its source
+    * and as-of version; `CALL system.refresh_mv(mv)` folds ONLY the
+    * source's change feed since that version into the rollup —
+    * inserts add, CoW deletes subtract — and advances the high-water
+    * mark. The refresh reads O(changed files) of the source (the
+    * point of a CDF on a 100 TB table: the third insert and the
+    * UPDATE here cost their own files, never a recompute), while the
+    * MV rewrite is O(distinct keys) — small by construction. The
+    * graded flow: two inserts, materialize, a third insert AND a SQL
+    * UPDATE (file-granular CoW) behind the MV's back, one refresh;
+    * the oracle recomputes the rollup from the FINAL source state, so
+    * the incremental path must land bit-exactly on the full
+    * recompute. etl_mv_incremental proves the algebra programmatically;
+    * this key proves the managed lifecycle — props-tracked versions,
+    * CDF exactness through catalog DML — end to end in SQL. */
+  val sqlMvRefresh: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mvsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_sqlmv_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val h = c1 / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_mvsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mvsrc
+         |SELECT * FROM graft_sqlmv_src WHERE o_orderkey <= $c1""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mvsrc
+         |SELECT * FROM graft_sqlmv_src
+         |WHERE o_orderkey > $c1 AND o_orderkey <= $c2""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_mv(
+         |  source => 'main.orders_mvsrc', mv => 'main.orders_mv',
+         |  key => 'o_custkey', agg => 'cents')""".stripMargin)
+    // the source moves on behind the MV's back: an append AND a
+    // file-granular CoW update
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mvsrc
+         |SELECT * FROM graft_sqlmv_src WHERE o_orderkey > $c2""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_mvsrc SET cents = cents * 2
+         |WHERE o_orderkey <= $h""".stripMargin)
+    val r = spark.sql(s"CALL $cat.system.refresh_mv(mv => 'main.orders_mv')").head
+    require(
+      r.getInt(1) > r.getInt(0),
+      s"refresh must advance the as-of version, got $r")
+    // a second refresh with no source movement is a no-op
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mv(mv => 'main.orders_mv')").head
+    require(r2.getInt(0) == r2.getInt(1), s"idle refresh must no-op, got $r2")
+    spark.sql(
+      s"""SELECT o_custkey, mv_sum, mv_n
+         |FROM $cat.main.orders_mv ORDER BY o_custkey""".stripMargin)
+  }
+
   /** METADATA TABLES (round 12): `SELECT * FROM ns.t.history|files|refs`
     * — the Iceberg idiom, served entirely from manifest riders and the
     * ref listing as LocalScans (O(metadata) rows, zero data files
@@ -3201,6 +3267,7 @@ object Scans {
     "sql_check_constraint" -> sqlCheckConstraint,
     "sql_unique_key" -> sqlUniqueKey,
     "sql_partition_evolve" -> sqlPartitionEvolve,
+    "sql_mv_refresh" -> sqlMvRefresh,
     "sink_optimize_where" -> sinkOptimizeWhere,
     "sql_check_quarantine" -> sqlCheckQuarantine,
     "sql_vector_table" -> sqlVectorTable,
@@ -3379,6 +3446,17 @@ object Scans {
     "sink_optimize_where" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the incremental path must land bit-exactly on the oracle's full
+    // recompute of the FINAL source state (same algebra as
+    // etl_mv_incremental, here driven through the managed lifecycle)
+    "sql_mv_refresh" ->
+      """WITH b AS (SELECT (max(o_orderkey) // 3) // 2 AS h FROM orders)
+        |SELECT o_custkey,
+        | CAST(sum(CASE WHEN o_orderkey <= b.h THEN 2 ELSE 1 END *
+        |          CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS mv_sum,
+        | CAST(count(*) AS BIGINT) AS mv_n
+        |FROM orders, b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // cross-generation fidelity through the layout change: the status
     // slice spans pre-evolution and value-routed files alike
     "sql_partition_evolve" ->

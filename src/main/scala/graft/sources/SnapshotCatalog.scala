@@ -2564,7 +2564,7 @@ private[sources] object SnapshotProcedures {
     Array(
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
-      "detail", "clone", "build_bloom")
+      "detail", "clone", "build_bloom", "create_mv", "refresh_mv")
 
   private def spark = SparkSession.active
 
@@ -2709,6 +2709,42 @@ private[sources] object SnapshotProcedures {
                 spark,
                 resolve(in.getUTF8String(0).toString),
                 in.getUTF8String(1).toString))))
+        )
+      case "create_mv" =>
+        // materialize a per-key sum/count rollup as a catalog table;
+        // the MV records its source + as-of version for refresh_mv
+        proc(
+          "create_mv",
+          Seq(
+            ProcedureParameter.in("source", StringType).build(),
+            ProcedureParameter.in("mv", StringType).build(),
+            ProcedureParameter.in("key", StringType).build(),
+            ProcedureParameter.in("agg", StringType).build()
+          ),
+          StructType(Seq(StructField("as_of_version", IntegerType))),
+          in =>
+            Seq(new GenericInternalRow(Array[Any](
+              SnapshotLog.createMv(
+                spark,
+                resolve(in.getUTF8String(0).toString),
+                resolve(in.getUTF8String(1).toString),
+                in.getUTF8String(2).toString,
+                in.getUTF8String(3).toString))))
+        )
+      case "refresh_mv" =>
+        // incremental: reads ONLY the source's change feed since the
+        // MV's as-of version — O(changed files), never a recompute
+        proc(
+          "refresh_mv",
+          Seq(ProcedureParameter.in("mv", StringType).build()),
+          StructType(Seq(
+            StructField("from_version", IntegerType),
+            StructField("to_version", IntegerType))),
+          in => {
+            val (f, t) = SnapshotLog.refreshMv(
+              spark, resolve(in.getUTF8String(0).toString))
+            Seq(new GenericInternalRow(Array[Any](f, t)))
+          }
         )
       case "clone" =>
         // zero-copy shallow clone: the new table's v1 references the
