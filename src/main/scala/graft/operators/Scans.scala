@@ -2106,6 +2106,144 @@ object Scans {
          |FROM $cat.main.orders_mv ORDER BY o_custkey""".stripMargin)
   }
 
+  /** MERGE-ON-READ SQL DML (round 12): `TBLPROPERTIES ('write_mode' =
+    * 'merge-on-read')` routes DELETE/UPDATE through Spark's
+    * position-delta row-level protocol (`SupportsDelta`, row identity
+    * `(_file, _pos)`) instead of the copy-on-write group rewrite:
+    * deletes land as deletion-vector sidecars written executor-side
+    * (clustered by `_file`, one complete sidecar per touched file),
+    * updates split into DV-kill + appended rows, and the manifest
+    * commit amends entries + appends files ATOMICALLY. The graded
+    * dataflow scatters a small-fraction DELETE (`%97`) and UPDATE
+    * (`%50` on the non-clustered key) across every shard — the shape
+    * where CoW would rewrite the whole table and MoR moves only
+    * sidecar bytes plus the updated rows. Inline pins: a pure DELETE
+    * adds NO files (entries amended in place, DV riders appear), the
+    * UPDATE keeps every original data file live and appends only the
+    * rewritten rows, and a no-match DELETE burns no version. The
+    * oracle recomputes the final state from the source parquet. */
+  val sqlDmlMor: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_mordml"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_mordml_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    spark.sql(
+      s"""CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_mordml_src WHERE o_orderkey <= $c1")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_mordml_src " +
+        s"WHERE o_orderkey > $c1 AND o_orderkey <= ${2 * c1}")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_mordml_src WHERE o_orderkey > ${2 * c1}")
+    val p = tmp("sql_warehouse/main/orders_mordml")
+    val before = SnapshotLog
+      .manifest(spark, p, SnapshotLog.versions(spark, p).last).toSet
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey % 97 = 0")
+    val afterDel = SnapshotLog
+      .manifest(spark, p, SnapshotLog.versions(spark, p).last).toSet
+    require(
+      afterDel == before,
+      "a merge-on-read DELETE must amend entries in place, not move files")
+    require(
+      SnapshotLog
+        .fileRiders(spark, p, SnapshotLog.versions(spark, p).last)
+        .exists(_._3.isDefined),
+      "the merge-on-read DELETE must leave deletion-vector riders")
+    spark.sql(s"UPDATE $t SET cents = cents + 7 WHERE o_custkey % 50 = 1")
+    val vUpd = SnapshotLog.versions(spark, p).last
+    val afterUpd = SnapshotLog.manifest(spark, p, vUpd).toSet
+    require(
+      before.subsetOf(afterUpd) && (afterUpd -- before).nonEmpty,
+      "a merge-on-read UPDATE must keep every original data file live " +
+        "and append only the rewritten rows")
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey > ${maxK * 100}")
+    require(
+      SnapshotLog.versions(spark, p).last == vUpd,
+      "a no-match merge-on-read DELETE must not burn a version")
+    spark.sql(s"SELECT o_orderkey, o_custkey, cents FROM $t ORDER BY o_orderkey")
+  }
+
+  /** LIMIT / TOP-N PUSHDOWN (round 12): the catalog scan prices
+    * `LIMIT n` from the manifest's live-row riders (`_rc` − `_dvc`)
+    * and plans only a file prefix covering n rows, and prices
+    * `ORDER BY k LIMIT n` from the per-file min/max stats — files
+    * sorted by their extremum, a prefix covering n live rows fixes the
+    * bound, and every file wholly past it is provably top-n-free. On a
+    * `sorted_by` table (disjoint key ranges per file) this collapses a
+    * 100 TB scan to O(n/rows-per-file) file opens. Both pushes are
+    * PARTIAL — Spark's CollectLimit/TakeOrderedAndProject still runs,
+    * so truncation can never change an answer — and both refuse to the
+    * full scan when a pushed filter could drop scan rows downstream,
+    * when the sort key is nullable (footer stats ignore nulls), or
+    * when any file lacks the riders. Inline pins: a bare LIMIT plans
+    * ONE file of a multi-file table, ASC and DESC top-n plan a strict
+    * subset with the right extremes, and a filtered LIMIT does NOT
+    * truncate. The oracle recomputes the returned top-500 exactly. */
+  val sqlTopnPushdown: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_topn"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // shuffle the source order so the sorted layout does real work
+    o.orderBy("o_custkey", "o_orderkey").createOrReplaceTempView("graft_topn_src")
+    spark.sql(
+      s"""CREATE TABLE $t
+         |(o_orderkey BIGINT NOT NULL, o_custkey BIGINT, cents BIGINT)
+         |TBLPROPERTIES ('sorted_by' = 'o_orderkey',
+         |               'sorted_partitions' = '8')""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_topn_src")
+    val filesOf = "files=(\\d+)/(\\d+)".r
+    def plannedFiles(sql: String): (Int, Int, String) = {
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      val m = filesOf.findFirstMatchIn(plan).getOrElse(
+        throw new IllegalStateException(s"no snapshot scan in plan:\n$plan"))
+      (m.group(1).toInt, m.group(2).toInt, plan)
+    }
+    val (limKept, limTotal, limPlan) = plannedFiles(s"SELECT * FROM $t LIMIT 7")
+    require(
+      limTotal >= 8 && limKept == 1 && limPlan.contains("PushedLimit: 7"),
+      s"a bare LIMIT must plan one file of many: $limKept/$limTotal")
+    require(spark.sql(s"SELECT * FROM $t LIMIT 7").count() == 7)
+    val (ascKept, ascTotal, ascPlan) =
+      plannedFiles(s"SELECT * FROM $t ORDER BY o_orderkey LIMIT 9")
+    require(
+      ascKept < ascTotal && ascPlan.contains("PushedTopN: o_orderkey#9"),
+      s"ascending top-n must prune files: $ascKept/$ascTotal")
+    val (descKept, descTotal, descPlan) =
+      plannedFiles(s"SELECT * FROM $t ORDER BY o_orderkey DESC LIMIT 9")
+    require(
+      descKept < descTotal && descPlan.contains("PushedTopN: -o_orderkey#9"),
+      s"descending top-n must prune files: $descKept/$descTotal")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    require(
+      spark.sql(s"SELECT max(o_orderkey) FROM (SELECT * FROM $t ORDER BY o_orderkey DESC LIMIT 9)")
+        .head.getLong(0) == maxK,
+      "descending top-n lost the global maximum")
+    // a residual filter drops scan rows downstream: no prefix of files
+    // is provably sufficient, so the scan must NOT truncate
+    val (fKept, fTotal, _) =
+      plannedFiles(s"SELECT * FROM $t WHERE o_custkey % 3 = 0 LIMIT 7")
+    require(fKept == fTotal, s"filtered LIMIT must not truncate: $fKept/$fTotal")
+    spark.sql(
+      s"SELECT o_orderkey, cents FROM $t ORDER BY o_orderkey LIMIT 500")
+  }
+
   /** METADATA TABLES (round 12): `SELECT * FROM ns.t.history|files|refs`
     * — the Iceberg idiom, served entirely from manifest riders and the
     * ref listing as LocalScans (O(metadata) rows, zero data files
@@ -3268,6 +3406,8 @@ object Scans {
     "sql_unique_key" -> sqlUniqueKey,
     "sql_partition_evolve" -> sqlPartitionEvolve,
     "sql_mv_refresh" -> sqlMvRefresh,
+    "sql_dml_mor" -> sqlDmlMor,
+    "sql_topn_pushdown" -> sqlTopnPushdown,
     "sink_optimize_where" -> sinkOptimizeWhere,
     "sql_check_quarantine" -> sqlCheckQuarantine,
     "sql_vector_table" -> sqlVectorTable,
@@ -3449,6 +3589,19 @@ object Scans {
     // the incremental path must land bit-exactly on the oracle's full
     // recompute of the FINAL source state (same algebra as
     // etl_mv_incremental, here driven through the managed lifecycle)
+    // merge-on-read DML: deleted rows subtract, surviving matched rows
+    // carry the update — recomputed from the source parquet
+    // top-n pushdown: the pruned plan must land on the exact global
+    // top-500 the oracle computes from the source parquet
+    "sql_topn_pushdown" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+    "sql_dml_mor" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey % 50 = 1 THEN cents + 7 ELSE cents END AS cents
+        |FROM src WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin,
     "sql_mv_refresh" ->
       """WITH b AS (SELECT (max(o_orderkey) // 3) // 2 AS h FROM orders)
         |SELECT o_custkey,

@@ -315,6 +315,25 @@ class SnapshotCatalog
               s"'$k' is ${f.dataType.simpleString}")
           "unique_key" -> k
         } ++
+        // 'write_mode' = 'copy-on-write' (default: DML rewrites whole
+        // files) | 'merge-on-read' (DML writes deletion vectors +
+        // appended files). Mutually exclusive with unique_key: the
+        // pre-commit uniqueness audit excludes replaced files BY NAME,
+        // and position-deletes change liveness WITHIN a file, so the
+        // exclusion semantics would be ambiguous.
+        Option(properties.get("write_mode")).map(_.trim).filter(_.nonEmpty).map { m =>
+          require(
+            m == "copy-on-write" || m == "merge-on-read",
+            s"snapshot catalog: write_mode must be 'copy-on-write' or " +
+              s"'merge-on-read', got '$m'")
+          require(
+            m == "copy-on-write" ||
+              !Option(properties.get("unique_key")).exists(_.trim.nonEmpty),
+            "snapshot catalog: write_mode=merge-on-read and unique_key are " +
+              "mutually exclusive (position-deletes make the uniqueness " +
+              "audit's replaced-file exclusion ambiguous)")
+          "write_mode" -> m
+        } ++
         // 'check_mode' = 'fail' (default) | 'quarantine' (dead-letter:
         // violating rows divert to <table>_quarantine instead of
         // failing the job)
@@ -601,6 +620,17 @@ class SnapshotCatalog
         "snapshot catalog ALTER: check_mode=quarantine is unsupported on " +
           "bucketed tables")
     }
+    p2.get("write_mode").foreach { m =>
+      require(
+        m == "copy-on-write" || m == "merge-on-read",
+        s"snapshot catalog ALTER: write_mode must be 'copy-on-write' or " +
+          s"'merge-on-read', got '$m'")
+      require(
+        m == "copy-on-write" || !p2.contains("unique_key"),
+        "snapshot catalog ALTER: write_mode=merge-on-read and unique_key " +
+          "are mutually exclusive (position-deletes make the uniqueness " +
+          "audit's replaced-file exclusion ambiguous)")
+    }
     p2.get("unique_key").foreach { k =>
       val fld = schema.fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(
@@ -784,14 +814,23 @@ case class SnapshotSqlTable(
 
   /** `_file`: the manifest file a row lives in — user-visible
     * observability (`SELECT _file FROM t`) and the GROUP IDENTITY the
-    * row-level DML rewrite tracks. */
+    * copy-on-write DML rewrite tracks. `_pos`: the row's raw in-file
+    * position (the deletion-vector position space) — with `_file` it
+    * is the ROW IDENTITY of the merge-on-read delta DML. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "manifest data file holding this row"
-    })
+    Array(
+      new MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "manifest data file holding this row"
+      },
+      new MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within its data file"
+      })
 
   private val snapVersion: Int = {
     val vs = SnapshotLog.versions(spark, path)
@@ -953,7 +992,15 @@ case class SnapshotSqlTable(
       s"snapshot catalog: cannot modify $ident pinned at VERSION AS OF $snapVersion")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new SnapshotRowLevelOperation(
+        // `write_mode = 'merge-on-read'`: position-delta DML (deletion
+        // vectors + appended files) instead of the group rewrite
+        if (tipProps.get("write_mode").contains("merge-on-read"))
+          new SnapshotMorRowLevelOperation(
+            spark, path, dataSchema, info.command(),
+            tipProps.get("check").map(c =>
+              SnapshotSql.compileCheck(spark, dataSchema, c)
+                .copy(quarantine = tipProps.get("check_mode").contains("quarantine"))))
+        else new SnapshotRowLevelOperation(
           spark, path, dataSchema, info.command(),
           // UPDATE/MERGE rewrite rows re-validate: a DML cannot sneak a
           // constraint-violating row past the boundary the INSERT path
@@ -982,12 +1029,64 @@ class SnapshotSqlScanBuilder(
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var readSchema: StructType = dataSchema
   private var wantFile: Boolean = false
+  private var wantPos: Boolean = false
   private var aggPush: Option[(StructType, Seq[Any])] = None
+  private var limitPush: Option[Int] = None
+  private var topNPush: Option[(String, Boolean, Int)] = None // col, asc, n
+
+  /** `LIMIT n` prices the scan from the manifest's live-row riders
+    * (`_rc` − `_dvc`): plan only a prefix of files whose live rows
+    * cover `n` — `SELECT * FROM t LIMIT 10` on a million-file table
+    * opens ONE file. Always PARTIAL (Spark keeps its own limit, so
+    * truncation can never change an answer), and refused outright when
+    * a filter is pushed: residual filters drop scan rows downstream,
+    * so no row-count prefix is provably sufficient. */
+  override def pushLimit(n: Int): Boolean =
+    if (pushed.nonEmpty || n <= 0) false
+    else { limitPush = Some(n); true }
+
+  /** `ORDER BY k LIMIT n` plans only files whose stats ADMIT a top-n
+    * row: files sorted by min (asc; max desc), a prefix covering `n`
+    * live rows fixes the bound `B` = that prefix's worst extremum, and
+    * any file wholly past `B` provably holds no qualifying row. On a
+    * range-clustered (`sorted_by`) table this collapses to O(n/rows)
+    * files of a 100 TB scan. Conditions, each refusing to the full
+    * scan: single int/long sort key declared NOT NULL (footer stats
+    * ignore nulls, and NULLS FIRST would hide in-file nulls from the
+    * bound), no pushed filters, every file carrying stats + row
+    * riders (checked at plan time in the Scan). Always PARTIAL —
+    * Spark's TopK still runs, so pruning is superset-safe even where a
+    * deletion vector leaves a stale (wider) bound. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int
+  ): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (pushed.nonEmpty || orders.length != 1 || n <= 0) return false
+    orders(0).expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        val col = r.fieldNames()(0)
+        val ok = dataSchema.fields.exists(f =>
+          f.name == col && !f.nullable &&
+            (f.dataType == LongType || f.dataType == IntegerType))
+        if (!ok) false
+        else {
+          topNPush =
+            Some((col, orders(0).direction() == SortDirection.ASCENDING, n))
+          true
+        }
+      case _ => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** COUNT(*)/MIN/MAX answered EXACTLY from the manifest's `_rc`/stats
     * riders — zero data files opened, the planner-integrated form of
@@ -1102,10 +1201,12 @@ class SnapshotSqlScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(required: StructType): Unit = {
-    // preserve table column order; `required` may reorder. `_file` is
-    // the metadata column (SupportsMetadataColumns) — when requested it
-    // rides LAST and the reader appends the manifest-relative name.
+    // preserve table column order; `required` may reorder. `_file` and
+    // `_pos` are metadata columns (SupportsMetadataColumns) — when
+    // requested they ride LAST (file then position) and the reader
+    // appends them as tags.
     wantFile = required.fieldNames.contains("_file")
+    wantPos = required.fieldNames.contains("_pos")
     readSchema = StructType(
       dataSchema.fields.filter(f => required.fieldNames.contains(f.name))
     )
@@ -1115,7 +1216,9 @@ class SnapshotSqlScanBuilder(
     case Some((schema, values)) =>
       new SnapshotMetadataAggScan(path, version, schema, values)
     case None =>
-      new SnapshotSqlScan(spark, path, version, readSchema, pushed, options, wantFile)
+      new SnapshotSqlScan(
+        spark, path, version, readSchema, pushed, options, wantFile, wantPos,
+        limitPush, topNPush)
   }
 }
 
@@ -1173,7 +1276,10 @@ class SnapshotSqlScan(
     prunedSchema: StructType,
     pushed: Array[Filter],
     options: CaseInsensitiveStringMap,
-    wantFile: Boolean = false
+    wantFile: Boolean = false,
+    wantPos: Boolean = false,
+    limitPush: Option[Int] = None,
+    topNPush: Option[(String, Boolean, Int)] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -1231,10 +1337,15 @@ class SnapshotSqlScan(
   private def bloomSet(col: String, v: Any): Set[String] =
     SnapshotLog.prunedFilesBloom(spark, path, col, v, Some(version))._1.toSet
 
-  override def readSchema(): StructType =
-    if (wantFile)
-      prunedSchema.add(StructField("_file", StringType, nullable = false))
-    else prunedSchema
+  override def readSchema(): StructType = {
+    val withFile =
+      if (wantFile)
+        prunedSchema.add(StructField("_file", StringType, nullable = false))
+      else prunedSchema
+    if (wantPos)
+      withFile.add(StructField("_pos", LongType, nullable = false))
+    else withFile
+  }
 
   /** Per-file layout riders of the KEPT files: bucket id and
     * deletion-vector sidecar. */
@@ -1258,10 +1369,64 @@ class SnapshotSqlScan(
             kept.groupBy(_._2.get).view.mapValues(_.map(_._1)).toMap))
     }
 
+  /** Kept files truncated by a pushed limit/top-N — a PREFIX covering
+    * the limit's live rows (limit), or the stats-admitted candidate
+    * set (top-N). Refuses back to `keptFiles` whenever any file lacks
+    * the riders the truncation prices from: dropping a file is only
+    * legal when provable. Bucketed scans never truncate (the bucket
+    * claim must cover every key group). */
+  private lazy val plannedFiles: Seq[String] = {
+    lazy val live: Map[String, Option[Long]] =
+      SnapshotLog.liveRowCounts(spark, path, version).toMap
+    def prefixCovering(files: Seq[String], n: Int): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var acc = 0L
+      val it = files.iterator
+      while (acc < n && it.hasNext) {
+        val f = it.next()
+        out += f
+        acc += live(f).get
+      }
+      out.result()
+    }
+    (topNPush, limitPush) match {
+      case _ if bucketing.isDefined => keptFiles
+      case (Some((col, asc, n)), _) =>
+        val stats = SnapshotLog.fileLongStats(spark, path, version, col).toMap
+        if (keptFiles.isEmpty ||
+          keptFiles.exists(f =>
+            stats.getOrElse(f, None).isEmpty || live.getOrElse(f, None).isEmpty))
+          keptFiles
+        else {
+          val ordered =
+            if (asc) keptFiles.sortBy(f => stats(f).get._1)
+            else keptFiles.sortBy(f => -stats(f).get._2)
+          val prefix = prefixCovering(ordered, n)
+          // the n-th best value is no worse than the prefix's worst
+          // extremum; anything wholly past it cannot qualify
+          if (asc) {
+            val bound = prefix.map(stats(_).get._2).max
+            keptFiles.filter(f => stats(f).get._1 <= bound)
+          } else {
+            val bound = prefix.map(stats(_).get._1).min
+            keptFiles.filter(f => stats(f).get._2 >= bound)
+          }
+        }
+      case (None, Some(n)) =>
+        if (keptFiles.exists(f => live.getOrElse(f, None).isEmpty)) keptFiles
+        else prefixCovering(keptFiles, n)
+      case _ => keptFiles
+    }
+  }
+
   override def description(): String = {
     val total = SnapshotLog.manifest(spark, path, version).length
-    s"graft-snapshot $path v$version, files=${keptFiles.length}/$total, " +
+    s"graft-snapshot $path v$version, files=${plannedFiles.length}/$total, " +
       bucketing.map(b => s"buckets=${b._2}(${b._1}), ").getOrElse("") +
+      limitPush.map(n => s"PushedLimit: $n, ").getOrElse("") +
+      topNPush.map { case (c, asc, n) =>
+        s"PushedTopN: ${if (asc) "" else "-"}$c#$n, "
+      }.getOrElse("") +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${prunedSchema.catalogString}"
   }
@@ -1294,7 +1459,7 @@ class SnapshotSqlScan(
       case None =>
         // deletion vectors apply by position; the sidecar is read
         // executor-side from the path shipped with the partition
-        keptFiles.map { f =>
+        plannedFiles.map { f =>
           SnapshotFilePartition(SnapshotLog.dataPath(path, f), dvPathOf(f))
         }.toArray
     }
@@ -1303,11 +1468,15 @@ class SnapshotSqlScan(
     // mapped tables: the reader must look up PHYSICAL column names in
     // the files; rows bind positionally to the logical readSchema()
     val physData = SnapshotLog.toPhysical(prunedSchema)
-    SnapshotSqlReaderFactory(
+    val withFile =
       if (wantFile) physData.add(StructField("_file", StringType, nullable = false))
-      else physData,
+      else physData
+    SnapshotSqlReaderFactory(
+      if (wantPos) withFile.add(StructField("_pos", LongType, nullable = false))
+      else withFile,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      appendFileName = wantFile
+      appendFileName = wantFile,
+      appendPosition = wantPos
     )
   }
 
@@ -1316,7 +1485,7 @@ class SnapshotSqlScan(
   override def estimateStatistics(): Statistics = {
     val stats = SnapshotLog.manifestFileStats(spark, path, version)
     val byName = stats.map(s => s._1 -> s).toMap
-    val kept = keptFiles.flatMap(byName.get)
+    val kept = plannedFiles.flatMap(byName.get)
     val size = kept.flatMap(_._2)
     val rows = kept.flatMap(_._3)
     new Statistics {
@@ -1377,7 +1546,8 @@ case class SnapshotBucketPartition(
 case class SnapshotSqlReaderFactory(
     schema: StructType,
     conf: SerializableHadoopConf,
-    appendFileName: Boolean = false
+    appendFileName: Boolean = false,
+    appendPosition: Boolean = false
 ) extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition
@@ -1388,7 +1558,7 @@ case class SnapshotSqlReaderFactory(
       case other =>
         throw new IllegalStateException(s"unexpected partition $other")
     }
-    new SnapshotSqlReader(files, conf.value, schema, appendFileName)
+    new SnapshotSqlReader(files, conf.value, schema, appendFileName, appendPosition)
   }
 }
 
@@ -1398,14 +1568,17 @@ class SnapshotSqlReader(
     files: Seq[(String, Option[String])],
     conf: org.apache.hadoop.conf.Configuration,
     schema: StructType,
-    appendFileName: Boolean = false
+    appendFileName: Boolean = false,
+    appendPosition: Boolean = false
 ) extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
   private val it = files.iterator
   private var current: GraftSnapshotReader = _
-  // when `_file` rides last in the scan schema, the parquet reader
-  // decodes only the data prefix and the name is appended as a tag
-  private val dataSchema =
-    if (appendFileName) StructType(schema.fields.dropRight(1)) else schema
+  // when `_file`/`_pos` ride last in the scan schema, the parquet
+  // reader decodes only the data prefix and they are appended as tags
+  private val dataSchema = {
+    val drop = (if (appendFileName) 1 else 0) + (if (appendPosition) 1 else 0)
+    if (drop > 0) StructType(schema.fields.dropRight(drop)) else schema
+  }
 
   private def openNext(): Boolean =
     if (!it.hasNext) false
@@ -1417,7 +1590,7 @@ class SnapshotSqlReader(
         if (appendFileName) Some(f.substring(f.lastIndexOf('/') + 1)) else None
       current = new GraftSnapshotReader(
         f, conf, dataSchema, None, None, skipPositions = skip,
-        fileNameTag = tag)
+        fileNameTag = tag, positionTag = appendPosition)
       true
     }
 
@@ -1639,6 +1812,261 @@ case class SnapshotReplaceBatchWrite(
     }
   }
 }
+
+// --- SQL row-level DML (delta-based merge-on-read) ---
+
+/** `TBLPROPERTIES ('write_mode' = 'merge-on-read')` routes DELETE /
+  * UPDATE / MERGE through THIS operation instead of the group-based
+  * copy-on-write rewrite: row identity is `(_file, _pos)` (Spark's
+  * position-delta protocol, [[org.apache.spark.sql.connector.write.SupportsDelta]]),
+  * deletes become deletion-vector sidecars written executor-side, and
+  * updates split into delete + insert (`representUpdateAsDeleteAndInsert`),
+  * so a DML touching 0.1% of a 100 TB table moves ~0.1% of one file's
+  * bytes per touched file instead of rewriting whole files. The scan is
+  * the NORMAL catalog scan (not the whole-group CoW scan): pushed
+  * filters drive planning-time file skipping and only truly matching
+  * rows generate deltas — delta semantics don't need whole groups.
+  * The trade is the CoW mirror image: reads pay the position filter
+  * until OPTIMIZE materializes the DVs away. */
+class SnapshotMorRowLevelOperation(
+    spark: SparkSession,
+    path: String,
+    dataSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    private[sources] val check: Option[SnapshotSql.CheckSpec]
+) extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-snapshot mor $cmd $path"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  /** Split updates: the delete half joins its file's deletion vector,
+    * the insert half lands in fresh files — no writer ever needs to
+    * rewrite a row in place. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val vs = SnapshotLog.versions(spark, path)
+    require(vs.nonEmpty, s"snapshot mor DML: no commits in $path")
+    new SnapshotSqlScanBuilder(spark, path, vs.last, dataSchema, options)
+  }
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo
+  ): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite = {
+        // bind the writer to the ACTUAL projection orders Spark hands
+        // it, not an assumed one
+        val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+          new IllegalStateException("snapshot mor DML: no rowId schema"))
+        val (phys, commit) =
+          if (info.schema().isEmpty)
+            (SnapshotLog.toPhysical(dataSchema), dataSchema) // pure DELETE
+          else SnapshotSql.mapWriteSchemas(dataSchema, info.schema())
+        new SnapshotMorDeltaWrite(
+          spark, path, phys, commit,
+          rowIdSchema.fieldIndex("_file"), rowIdSchema.fieldIndex("_pos"),
+          check)
+      }
+    }
+}
+
+/** The delta write requires CLUSTERING BY `_file`: all of one file's
+  * delete positions land in one task, so each touched file gets exactly
+  * one (complete) new sidecar — the invariant [[SnapshotLog.commitMorDelta]]
+  * asserts. Insert rows carry a null `_file` and cluster together; MoR
+  * is the small-fraction-DML path, so the single-task insert side is
+  * the accepted trade (bulk rewrites belong to copy-on-write). */
+class SnapshotMorDeltaWrite(
+    spark: SparkSession,
+    path: String,
+    physSchema: StructType,
+    commitSchema: StructType,
+    fileIdx: Int,
+    posIdx: Int,
+    check: Option[SnapshotSql.CheckSpec]
+) extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file")))
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new SnapshotMorBatchWrite(
+      spark, path, physSchema, commitSchema, fileIdx, posIdx, check)
+}
+
+class SnapshotMorBatchWrite(
+    spark: SparkSession,
+    path: String,
+    physSchema: StructType,
+    commitSchema: StructType,
+    fileIdx: Int,
+    posIdx: Int,
+    check: Option[SnapshotSql.CheckSpec]
+) extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo
+  ): org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    // existing sidecars of live files, so a second DML UNIONS into a
+    // new DV instead of dropping the first one's positions — O(DV'd
+    // files) name strings, no sidecar bytes on the driver
+    val oldDv: Map[String, String] = SnapshotLog
+      .fileRiders(spark, path, SnapshotLog.versions(spark, path).last)
+      .flatMap { case (f, _, dv) =>
+        dv.map(d =>
+          f.substring(f.lastIndexOf('/') + 1) -> SnapshotLog.dvFilePath(path, d))
+      }
+      .toMap
+    SnapshotMorWriterFactory(
+      path, physSchema,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      fileIdx, posIdx, oldDv, check)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.toSeq.collect { case m: SnapshotMorCommit => m }
+    val specs = ms.flatMap(_.dvSpecs)
+    val files = ms.flatMap(_.file)
+    // nothing matched: a true no-op — don't burn a version
+    if (specs.nonEmpty || files.nonEmpty)
+      SnapshotLog.commitMorDelta(
+        SparkSession.active, path, specs, files, commitSchema)
+    val qnames = ms.flatMap(_.q)
+    if (qnames.nonEmpty)
+      SnapshotLog.commitLanded(
+        SparkSession.active, s"${path}_quarantine", qnames, commitSchema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    messages.foreach {
+      case SnapshotMorCommit(specs, f, q) =>
+        // uncommitted sidecars and insert files are unreferenced by any
+        // manifest — delete best-effort; stragglers are vacuum's problem
+        specs.foreach { case (_, dvName, _) =>
+          try fs.delete(new Path(s"$path/_dv/$dvName"), false)
+          catch { case _: java.io.IOException => () }
+        }
+        f.foreach(n =>
+          try fs.delete(new Path(s"$path/$n"), false)
+          catch { case _: java.io.IOException => () })
+        q.foreach(n =>
+          try fs.delete(new Path(s"${path}_quarantine/$n"), false)
+          catch { case _: java.io.IOException => () })
+      case _ => ()
+    }
+  }
+}
+
+case class SnapshotMorWriterFactory(
+    path: String,
+    physSchema: StructType,
+    conf: SerializableHadoopConf,
+    fileIdx: Int,
+    posIdx: Int,
+    oldDv: Map[String, String],
+    check: Option[SnapshotSql.CheckSpec]
+) extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long
+  ): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new SnapshotMorDeltaWriter(
+      path, physSchema, partitionId, taskId, conf.value, fileIdx, posIdx,
+      oldDv, check)
+}
+
+/** Task side of the position-delta DML: delete callbacks buffer
+  * positions per file (bounded by the small-fraction-DML contract, the
+  * same bound [[SnapshotLog.deleteWhereMoR]] rides), insert callbacks
+  * stream through a plain parquet writer (CHECK constraints enforce /
+  * quarantine-divert exactly like the INSERT path); commit writes one
+  * merged sidecar per touched file right where the positions live and
+  * returns only (file, sidecar, count) strings. */
+class SnapshotMorDeltaWriter(
+    path: String,
+    physSchema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    fileIdx: Int,
+    posIdx: Int,
+    oldDv: Map[String, String],
+    check: Option[SnapshotSql.CheckSpec]
+) extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val deletes =
+    scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private val inserts =
+    new SnapshotParquetWriter(
+      path, physSchema, partitionId, taskId, hadoopConf, check)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    deletes.getOrElseUpdate(
+      id.getUTF8String(fileIdx).toString,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posIdx)
+
+  override def update(
+      metadata: InternalRow,
+      id: InternalRow,
+      row: InternalRow
+  ): Unit =
+    throw new IllegalStateException(
+      "snapshot mor DML: updates are represented as delete+insert")
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val specs = deletes.toSeq.sortBy(_._1).map { case (file, fresh) =>
+      // the scan already subtracted DV-dead rows, so fresh positions
+      // are disjoint from the existing sidecar: merge is a pure union
+      val existing = oldDv
+        .get(file)
+        .map(d => SnapshotLog.readDvFile(hadoopConf, new Path(d)))
+        .getOrElse(Array.empty[Long])
+      val merged = (existing ++ fresh).distinct.sorted
+      val dvName = s"dv-${UUID.randomUUID.toString.take(12)}.bin"
+      SnapshotLog.writeDvFile(
+        hadoopConf, new Path(s"$path/_dv/$dvName"), merged)
+      (file, dvName, merged.length.toLong)
+    }
+    inserts.commit() match {
+      case SnapshotSqlCommit(f, q) => SnapshotMorCommit(specs, f, q)
+      case _                       => SnapshotMorCommit(specs, None, None)
+    }
+  }
+
+  override def abort(): Unit = inserts.abort()
+
+  override def close(): Unit = inserts.close()
+}
+
+/** (file → new sidecar) amendments plus the task's insert/quarantine
+  * files — O(touched files) strings per task. */
+case class SnapshotMorCommit(
+    dvSpecs: Seq[(String, String, Long)],
+    file: Option[String],
+    q: Option[String]
+) extends WriterCommitMessage
 
 // --- write path ---
 
@@ -2306,9 +2734,24 @@ private[sources] object SnapshotSql {
   def mapWriteSchemas(
       tableSchema: StructType,
       writeSchema: StructType
-  ): (StructType, StructType) =
-    if (!SnapshotLog.isMapped(tableSchema)) (writeSchema, writeSchema)
-    else {
+  ): (StructType, StructType) = {
+    // committed nullability is the TABLE'S declaration, not the batch's:
+    // Spark guards every write into a NOT NULL column with
+    // AssertNotNull, but hands the writer an all-nullable batch schema —
+    // committing that verbatim would flip the header schema nullable on
+    // the first INSERT and silently lose the declared contract (and
+    // with it nullability-gated plans like top-N file pruning)
+    // (the PHYSICAL schema keeps the batch's nullability: files always
+    // encode OPTIONAL with definition levels, so old and new files of
+    // a table stay byte-compatible — only the manifest header narrows)
+    def declared(f: StructField, tf: StructField): Boolean =
+      f.nullable && tf.nullable
+    if (!SnapshotLog.isMapped(tableSchema)) {
+      val byName = tableSchema.fields.map(f => f.name -> f).toMap
+      val commit = StructType(writeSchema.fields.map(f =>
+        byName.get(f.name).fold(f)(tf => f.copy(nullable = declared(f, tf)))))
+      (writeSchema, commit)
+    } else {
       val byName = tableSchema.fields.map(f => f.name -> f).toMap
       val paired = writeSchema.fields.map { f =>
         val tf = byName.getOrElse(
@@ -2323,10 +2766,11 @@ private[sources] object SnapshotSql {
           StructField(SnapshotLog.physNameOf(tf), f.dataType, f.nullable)
         }),
         StructType(paired.map { case (f, tf) =>
-          StructField(f.name, f.dataType, f.nullable, tf.metadata)
+          StructField(f.name, f.dataType, declared(f, tf), tf.metadata)
         })
       )
     }
+  }
 
   /** Folds a conjunction of v2 predicates into a single LONG range on
     * one column: `=`, `<`, `<=`, `>`, `>=`, `AND`, and the always-true

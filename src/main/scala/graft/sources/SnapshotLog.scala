@@ -306,6 +306,41 @@ object SnapshotLog {
     manifestEntries(spark, table, version)
       .map(e => (entryName(e), entrySize(e), entryRows(e)))
 
+  /** Per-file LIVE row counts (`_rc` minus the deletion vector's
+    * `_dvc`) at `version` — the planning currency of limit/top-N file
+    * truncation: "how many rows will this file actually yield". None
+    * for pre-rider entries, whose callers must refuse to truncate. */
+  def liveRowCounts(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Seq[(String, Option[Long])] =
+    manifestEntries(spark, table, version).map(e =>
+      entryName(e) -> entryRows(e).map(_ - entryDvCount(e).getOrElse(0L)))
+
+  /** Per-file `[min,max]` of `column` in LONG space (the `l:`/`i:`
+    * stat riders; other types yield None) at `version` — feeds the
+    * catalog's top-N file pruning. The bounds are the FOOTER's, so
+    * under a deletion vector an extremum may be dead: callers may use
+    * them only where a stale bound widens a kept set (superset-safe),
+    * never to answer an extremum exactly ([[metadataRange]] owns that
+    * refusal). */
+  def fileLongStats(
+      spark: SparkSession,
+      table: String,
+      version: Int,
+      column: String
+  ): Seq[(String, Option[(Long, Long)])] = {
+    val pc = physColumn(spark, table, version, column)
+    manifestEntries(spark, table, version).map { e =>
+      entryName(e) -> entryStat(e, pc).flatMap(_.split(':') match {
+        case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
+        case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
+        case _                  => None
+      })
+    }
+  }
+
   /** Commit-file modification time (epoch ms) — TIMESTAMP AS OF
     * resolution, the rule the table formats use: mtimes are written in
     * version order, so "latest commit at or before t" is well-defined
@@ -400,12 +435,19 @@ object SnapshotLog {
     val byName = incoming.fields.map(f => f.name -> f).toMap
     val merged = current.fields.map { f =>
       byName.get(f.name) match {
-        case None => f
+        // batch omits the column: the new file null-fills it, so the
+        // union schema must admit nulls whatever the declaration was
+        case None => f.copy(nullable = true)
         case Some(nf) =>
           widen(f.dataType, nf.dataType) match {
             // the physical-name metadata must survive a widen — losing
-            // it would silently unmap a renamed column
-            case Some(dt) => StructField(f.name, dt, nullable = true, f.metadata)
+            // it would silently unmap a renamed column. Nullability is
+            // the UNION: a committed NOT NULL declaration survives
+            // appends whose batches honor it (the catalog write path
+            // narrows its commit schema to the declared contract it
+            // enforces), and any batch that admits nulls widens it.
+            case Some(dt) =>
+              StructField(f.name, dt, f.nullable || nf.nullable, f.metadata)
             case None =>
               throw new IllegalArgumentException(
                 s"snapshot append: incompatible schema evolution on '${f.name}': " +
@@ -1980,6 +2022,64 @@ object SnapshotLog {
     * encoding would be a roaring bitmap; positions-as-longs keeps the
     * format inspectable and is byte-bounded by deleted rows either
     * way. */
+  /** A manifest entry re-spelled with a NEW deletion-vector rider
+    * (`_dv`/`_dvc` replace any previous pair; everything else — stats,
+    * size, bucket id — carries unchanged). */
+  private def dvAmendEntry(base: String, dvName: String, cnt: Long): String = {
+    val parts = base.split('\t')
+    val suffix0 =
+      if (parts.length < 2) ""
+      else
+        parts(1)
+          .split(';')
+          .filterNot(t => t.startsWith("_dv=") || t.startsWith("_dvc="))
+          .mkString(";")
+    val suffix =
+      (if (suffix0.isEmpty) "" else suffix0 + ";") +
+        s"_dv=v:$dvName;_dvc=c:$cnt"
+    s"${entryName(base)}\t$suffix"
+  }
+
+  /** Atomic commit of a POSITION-DELTA DML (the SQL merge-on-read
+    * write path, [[graft.sources.SnapshotMorRowLevelOperation]]): each
+    * touched file's entry is re-added with its new deletion-vector
+    * rider AND the landed insert files append, in ONE replace-delta
+    * commit — an UPDATE's delete half and insert half can never be
+    * observed separately, and a concurrent removal of a touched file
+    * is a loud conflict. Sidecars were already written executor-side
+    * by the delta writers; this moves only O(touched + new files)
+    * metadata strings through the driver. The change feed composes
+    * both halves of such a commit exactly: DV deltas surface as row
+    * deletes, new files as inserts. */
+  def commitMorDelta(
+      spark: SparkSession,
+      table: String,
+      dvSpecs: Seq[(String, String, Long)], // (base file, sidecar, total dead)
+      landedNames: Seq[String],
+      batchSchema: StructType
+  ): Int = {
+    val v = versions(spark, table).last
+    val entries = manifestEntries(spark, table, v)
+    val entryByBase = entries.map(e => baseName(entryName(e)) -> e).toMap
+    require(
+      dvSpecs.map(_._1).distinct.size == dvSpecs.size,
+      "snapshot mor-delta: two writers amended the same file — the " +
+        "required clustered-by-_file distribution was not honored")
+    val amended = dvSpecs.map { case (file, dvName, cnt) =>
+      dvAmendEntry(
+        entryByBase.getOrElse(
+          file,
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot mor-delta: touched file $file no longer live")),
+        dvName, cnt)
+    }
+    val amendedNames = dvSpecs.map(s => entryName(entryByBase(s._1)))
+    commitEntriesInternal(
+      spark, table, amended ++ annotateEntries(spark, table, landedNames),
+      batchSchema, overwrite = false, None, Some(amendedNames),
+      dataChange = true)
+  }
+
   private[sources] def writeDvFile(
       conf: org.apache.hadoop.conf.Configuration,
       path: Path,
@@ -2297,19 +2397,7 @@ object SnapshotLog {
       .collect()
     if (specs.isEmpty) return (v, Nil, allNames) // stats admitted, no row matched
     val amended = specs.toSeq.map { case (file, dvName, cnt) =>
-      val base = entryByBase(file)
-      val parts = base.split('\t')
-      val suffix0 =
-        if (parts.length < 2) ""
-        else
-          parts(1)
-            .split(';')
-            .filterNot(t => t.startsWith("_dv=") || t.startsWith("_dvc="))
-            .mkString(";")
-      val suffix =
-        (if (suffix0.isEmpty) "" else suffix0 + ";") +
-          s"_dv=v:$dvName;_dvc=c:$cnt"
-      s"${entryName(base)}\t$suffix"
+      dvAmendEntry(entryByBase(file), dvName, cnt)
     }
     val amendedNames = specs.toSeq.map(s => entryName(entryByBase(s._1)))
     val commitSchema = schema.getOrElse(
@@ -2705,19 +2793,7 @@ object SnapshotLog {
       .collect()
     if (specs.isEmpty) return (v, Nil, Nil) // stats admitted, no row matched
     val amended = specs.toSeq.map { case (file, dvName, cnt) =>
-      val base = entryByBase(file)
-      val parts = base.split('\t')
-      val suffix0 =
-        if (parts.length < 2) ""
-        else
-          parts(1)
-            .split(';')
-            .filterNot(t => t.startsWith("_dv=") || t.startsWith("_dvc="))
-            .mkString(";")
-      val suffix =
-        (if (suffix0.isEmpty) "" else suffix0 + ";") +
-          s"_dv=v:$dvName;_dvc=c:$cnt"
-      s"${entryName(base)}\t$suffix"
+      dvAmendEntry(entryByBase(file), dvName, cnt)
     }
     val amendedNames = specs.toSeq.map(s => entryName(entryByBase(s._1)))
     val landed = stageOnly(spark, table, updated)

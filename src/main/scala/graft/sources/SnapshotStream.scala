@@ -386,7 +386,8 @@ class GraftSnapshotReader(
     cdfTag: Option[(String, Int)] = None,
     onlyPositions: Option[Array[Long]] = None,
     skipPositions: Option[Array[Long]] = None,
-    fileNameTag: Option[String] = None // appended as a `_file` column
+    fileNameTag: Option[String] = None, // appended as a `_file` column
+    positionTag: Boolean = false // appended (last) as a `_pos` column
 ) extends PartitionReader[InternalRow] {
   private val tagVals: Array[Any] =
     cdfTag
@@ -420,7 +421,8 @@ class GraftSnapshotReader(
   override def get(): InternalRow = {
     val g = current
     val gt = g.getType
-    val vals = new Array[Any](schema.length + tagVals.length)
+    val extra = if (positionTag) 1 else 0
+    val vals = new Array[Any](schema.length + tagVals.length + extra)
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
@@ -438,6 +440,9 @@ class GraftSnapshotReader(
       vals(schema.length + j) = tagVals(j)
       j += 1
     }
+    // `_pos`: the raw in-file row index (PRE-DV-skip, so it names the
+    // same position space the deletion-vector sidecars are written in)
+    if (positionTag) vals(vals.length - 1) = rowIdx
     new GenericInternalRow(vals)
   }
 

@@ -1105,4 +1105,202 @@ class CatalogSpec extends SparkTestBase {
       TableChange.addColumn(Array("z"), org.apache.spark.sql.types.LongType)))
     assert(mixed.getMessage.contains("cannot mix"))
   }
+
+  /** `write_mode = 'merge-on-read'` table with three range shards of
+    * id 0..29 (one file per INSERT, tight stats). */
+  private def morTable(): (String, String) = {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, v BIGINT)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    Seq((0, 10), (10, 20), (20, 30)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range($lo, $hi)")
+    }
+    (t, pathOf(t))
+  }
+
+  test("merge-on-read DELETE amends in place: same files, DV riders, no-op burns nothing") {
+    val (t, p) = morTable()
+    val before = SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last).toSet
+    spark.sql(s"DELETE FROM $t WHERE id % 7 = 3") // 3,10,17,24 — every shard
+    val v = SnapshotLog.versions(spark, p).last
+    assert(SnapshotLog.manifest(spark, p, v).toSet == before,
+      "a MoR DELETE must amend entries in place, never move a data file")
+    // an INSERT may land >1 file per shard; every file holding a
+    // matched row (at least one per shard) must carry a DV rider
+    val riders = SnapshotLog.fileRiders(spark, p, v)
+    val dvd = riders.count(_._3.isDefined)
+    assert(dvd >= 3 && dvd <= riders.size,
+      s"every touched shard must carry a DV rider, got $dvd of ${riders.size}")
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").collect().map(_.getLong(0)).toSet
+      == (0L to 29L).toSet -- Set(3L, 10L, 17L, 24L))
+    spark.sql(s"DELETE FROM $t WHERE id > 1000")
+    assert(SnapshotLog.versions(spark, p).last == v,
+      "a no-match MoR DELETE must not burn a version")
+  }
+
+  test("merge-on-read UPDATE: one atomic commit, originals live, only new rows appended") {
+    val (t, p) = morTable()
+    val v0 = SnapshotLog.versions(spark, p).last
+    val before = SnapshotLog.manifest(spark, p, v0).toSet
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id % 10 = 5") // 5,15,25 — every shard
+    val v1 = SnapshotLog.versions(spark, p).last
+    assert(v1 == v0 + 1, "the delete half and insert half must be ONE commit")
+    val after = SnapshotLog.manifest(spark, p, v1).toSet
+    assert(before.subsetOf(after) && (after -- before).nonEmpty,
+      "MoR UPDATE keeps every original file live and appends the rewritten rows")
+    val got = spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 30 && got(5) == 51L && got(15) == 151L && got(25) == 251L
+      && got(6) == 60L)
+  }
+
+  test("merge-on-read MERGE runs through the delta path; successive DMLs union DVs") {
+    val (t, p) = morTable()
+    spark.sql(s"DELETE FROM $t WHERE id = 4") // first DV on shard 0
+    spark.range(3, 40, 31).createOrReplaceTempView("mor_merge_src") // 3, 34
+    spark.sql(
+      s"""MERGE INTO $t USING mor_merge_src s ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 0
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, -1)""".stripMargin)
+    val got = spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!got.contains(4L), "the merge's new sidecar must UNION the first delete")
+    assert(got(3) == 0L && got(34) == -1L && got(2) == 20L && got.size == 30)
+    // one merged sidecar per file: the rider count never exceeds files
+    val v = SnapshotLog.versions(spark, p).last
+    val riders = SnapshotLog.fileRiders(spark, p, v)
+    assert(riders.count(_._3.isDefined) >= 1)
+  }
+
+  test("change feed of a MoR UPDATE: old rows delete + new rows insert, same version") {
+    val (t, p) = morTable()
+    val v0 = SnapshotLog.versions(spark, p).last
+    spark.sql(s"UPDATE $t SET v = -9 WHERE id IN (7, 13)")
+    val v1 = SnapshotLog.versions(spark, p).last
+    val feed = SnapshotLog.readChanges(spark, p, v0, v1)
+      .select("id", "v", "change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set((7L, 70L, "delete"), (13L, 130L, "delete"),
+      (7L, -9L, "insert"), (13L, -9L, "insert")),
+      s"the feed must compose both halves of the delta commit exactly: $feed")
+  }
+
+  test("quarantine-mode MoR UPDATE diverts the violating insert half, never aborts") {
+    val t = freshName()
+    val short = t.split('.').last
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, price DOUBLE)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read',
+         |               'check' = 'price >= 0',
+         |               'check_mode' = 'quarantine')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    spark.sql(s"UPDATE $t SET price = price - 25.0 WHERE id <= 2")
+    val kept = spark.sql(s"SELECT id, price FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(kept == List((3L, 30.0)), s"main must keep only passing rows: $kept")
+    val q = spark.sql(
+      s"SELECT id, price FROM cattest.main.${short}_quarantine ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(q == List((1L, -15.0), (2L, -5.0)), s"diverted rows: $q")
+  }
+
+  test("CALL optimize materializes a MoR-DML'd table's DVs away") {
+    val (t, p) = morTable()
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 0")
+    spark.sql(s"CALL cattest.system.optimize('main.${t.split('.').last}')")
+    val v = SnapshotLog.versions(spark, p).last
+    assert(SnapshotLog.fileRiders(spark, p, v).forall(_._3.isEmpty),
+      "OPTIMIZE must purge deletion vectors")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 15L)
+  }
+
+  private def scanInfo(sql: String): (Int, Int, String) = {
+    val plan = spark.sql(sql).queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).getOrElse(
+      fail(s"no snapshot scan in plan:\n$plan"))
+    (m.group(1).toInt, m.group(2).toInt, plan)
+  }
+
+  test("LIMIT plans a live-row-priced file prefix; deletion vectors re-price it") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v BIGINT)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $t SELECT id, id FROM range($lo, $hi, 1, 1)")
+    }
+    val (k1, t1, p1) = scanInfo(s"SELECT * FROM $t LIMIT 50")
+    assert(t1 == 3 && k1 == 1 && p1.contains("PushedLimit: 50"),
+      s"LIMIT 50 over 100-row files must plan one: $k1/$t1")
+    // kill half of EVERY file: 50 live rows each, so LIMIT 80 needs two
+    // files — pricing from the raw `_rc` (100) would plan one file and
+    // under-deliver the limit, so this pins correctness, not just cost
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 0")
+    val (k2, t2, _) = scanInfo(s"SELECT * FROM $t LIMIT 80")
+    assert(t2 == 3 && k2 == 2, s"DV'd limit must re-price live rows: $k2/$t2")
+    assert(spark.sql(s"SELECT * FROM $t LIMIT 80").count() == 80)
+  }
+
+  test("top-N pruning stays sound when a deletion vector kills the extremum") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v BIGINT)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $t SELECT id, id FROM range($lo, $hi, 1, 1)")
+    }
+    // the stats still say file-3 max=299, but 290..299 are dead: the
+    // stale (wider) bound may keep extra files, never lose the answer
+    spark.sql(s"DELETE FROM $t WHERE id >= 290")
+    val top = spark.sql(s"SELECT id FROM $t ORDER BY id DESC LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(289L, 288L, 287L), s"DV'd top-n wrong: $top")
+    val bottom = spark.sql(s"SELECT id FROM $t ORDER BY id LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(bottom == Seq(0L, 1L, 2L))
+  }
+
+  test("NOT NULL survives appends in the header schema; nullable sort keys refuse top-N") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT NOT NULL, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 50, 1, 1)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(50, 100, 1, 1)")
+    val sch = spark.table(t).schema
+    assert(!sch("id").nullable && sch("v").nullable,
+      s"declared nullability must survive the append merge: $sch")
+    val (_, _, byId) = scanInfo(s"SELECT * FROM $t ORDER BY id LIMIT 3")
+    assert(byId.contains("PushedTopN"))
+    // v is nullable: footer stats ignore nulls and NULLS FIRST rows
+    // would hide from the bound — must refuse to the full scan
+    val (kV, tV, byV) = scanInfo(s"SELECT * FROM $t ORDER BY v LIMIT 3")
+    assert(!byV.contains("PushedTopN") && kV == tV)
+  }
+
+  test("bucketed scans never truncate under LIMIT (the bucket claim covers every group)") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT NOT NULL, v BIGINT)
+         |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 200)")
+    val (k, tot, _) = scanInfo(s"SELECT * FROM $t LIMIT 5")
+    assert(k == tot, s"bucketed limit must keep every file: $k/$tot")
+    assert(spark.sql(s"SELECT * FROM $t LIMIT 5").count() == 5)
+  }
+
+  test("write_mode refusals: bad value, and merge-on-read × unique_key both ways") {
+    val bad = intercept[Exception](spark.sql(
+      s"CREATE TABLE ${freshName()} (id BIGINT) TBLPROPERTIES ('write_mode' = 'mor')"))
+    assert(bad.getMessage.contains("write_mode"))
+    val both = intercept[Exception](spark.sql(
+      s"""CREATE TABLE ${freshName()} (id BIGINT)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read',
+         |               'unique_key' = 'id')""".stripMargin))
+    assert(both.getMessage.contains("mutually exclusive"))
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT) TBLPROPERTIES ('unique_key' = 'id')")
+    val alter = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('write_mode' = 'merge-on-read')"))
+    assert(alter.getMessage.contains("mutually exclusive"))
+  }
 }
