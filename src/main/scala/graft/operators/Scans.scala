@@ -2174,6 +2174,66 @@ object Scans {
     spark.sql(s"SELECT o_orderkey, o_custkey, cents FROM $t ORDER BY o_orderkey")
   }
 
+  /** INCREMENTAL FILE INGESTION (round 12): `CALL system.ingest(table,
+    * landing_dir)` is the batch auto-loader — list the landing
+    * directory, subtract every source name an earlier ingest commit
+    * recorded, read ONLY the fresh files, and commit them with the
+    * consumed names riding the commit header, so the ledger and the
+    * data land in one atomic manifest write (no window where they
+    * disagree — the flaw of any two-commit design). The graded
+    * dataflow drops two waves of parquet into a landing dir with an
+    * ingest call after each, then a third idle call; pinned inline:
+    * wave 2 skips every wave-1 file, the idle call ingests nothing
+    * AND burns no version, and the ledger is exactly the landing
+    * listing. At 100 TB: a daily 10 GB drop moves 10 GB through the
+    * normal distributed write path plus O(listing + versions) driver
+    * metadata. Oracle recomputes the final table from the source. */
+  val sqlIngest: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_ingested"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val landing = tmp("ingest_landing")
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(lp, true)
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    spark.sql(
+      s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)")
+    // wave 1 lands, ingests
+    o.where(col("o_orderkey") <= maxK / 2)
+      .write.mode("append").parquet(landing)
+    val r1 = spark.sql(s"CALL $cat.system.ingest('main.orders_ingested', '$landing')")
+      .head
+    require(r1.getInt(1) > 0 && r1.getInt(2) == 0, s"wave 1 must ingest: $r1")
+    // wave 2 lands beside wave 1's files; only the new ones move
+    o.where(col("o_orderkey") > maxK / 2)
+      .write.mode("append").parquet(landing)
+    val r2 = spark.sql(s"CALL $cat.system.ingest('main.orders_ingested', '$landing')")
+      .head
+    require(
+      r2.getInt(1) > 0 && r2.getInt(2) == r1.getInt(1),
+      s"wave 2 must skip exactly wave 1's files: $r2 vs $r1")
+    // idle call: nothing fresh, no version burned
+    val r3 = spark.sql(s"CALL $cat.system.ingest('main.orders_ingested', '$landing')")
+      .head
+    require(
+      r3.getInt(1) == 0 && r3.getInt(0) == r2.getInt(0),
+      s"an idle ingest must be a true no-op: $r3 vs $r2")
+    val p = tmp("sql_warehouse/main/orders_ingested")
+    require(
+      SnapshotLog.ingestedFiles(spark, p).size == r1.getInt(1) + r2.getInt(1),
+      "the ledger must be exactly the landing listing")
+    spark.sql(
+      s"SELECT o_orderkey, o_custkey, cents FROM $t ORDER BY o_orderkey")
+  }
+
   /** LIMIT / TOP-N PUSHDOWN (round 12): the catalog scan prices
     * `LIMIT n` from the manifest's live-row riders (`_rc` − `_dvc`)
     * and plans only a file prefix covering n rows, and prices
@@ -3408,6 +3468,7 @@ object Scans {
     "sql_mv_refresh" -> sqlMvRefresh,
     "sql_dml_mor" -> sqlDmlMor,
     "sql_topn_pushdown" -> sqlTopnPushdown,
+    "sql_ingest" -> sqlIngest,
     "sink_optimize_where" -> sinkOptimizeWhere,
     "sql_check_quarantine" -> sqlCheckQuarantine,
     "sql_vector_table" -> sqlVectorTable,
@@ -3591,6 +3652,12 @@ object Scans {
     // etl_mv_incremental, here driven through the managed lifecycle)
     // merge-on-read DML: deleted rows subtract, surviving matched rows
     // carry the update — recomputed from the source parquet
+    // incremental ingestion: two waves through the ledger must land
+    // exactly the source, no row lost to skipping or doubled by replay
+    "sql_ingest" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // top-n pushdown: the pruned plan must land on the exact global
     // top-500 the oracle computes from the source parquet
     "sql_topn_pushdown" ->

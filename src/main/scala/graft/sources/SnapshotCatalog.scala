@@ -3008,7 +3008,8 @@ private[sources] object SnapshotProcedures {
     Array(
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
-      "detail", "clone", "build_bloom", "create_mv", "refresh_mv")
+      "detail", "clone", "build_bloom", "create_mv", "refresh_mv",
+      "ingest")
 
   private def spark = SparkSession.active
 
@@ -3153,6 +3154,30 @@ private[sources] object SnapshotProcedures {
                 spark,
                 resolve(in.getUTF8String(0).toString),
                 in.getUTF8String(1).toString))))
+        )
+      case "ingest" =>
+        // incremental exactly-once file ingestion from a landing dir —
+        // the ledger of consumed source names rides each commit header
+        proc(
+          "ingest",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("source_dir", StringType).build(),
+            ProcedureParameter.in("format", StringType)
+              .defaultValue("'parquet'").build()
+          ),
+          StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("ingested_files", IntegerType),
+            StructField("skipped_files", IntegerType))),
+          in => {
+            val (v, ingested, skipped) = SnapshotLog.ingest(
+              spark,
+              resolve(in.getUTF8String(0).toString),
+              in.getUTF8String(1).toString,
+              in.getUTF8String(2).toString)
+            Seq(new GenericInternalRow(Array[Any](v, ingested, skipped)))
+          }
         )
       case "create_mv" =>
         // materialize a per-key sum/count rollup as a catalog table;

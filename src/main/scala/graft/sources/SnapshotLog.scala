@@ -676,6 +676,87 @@ object SnapshotLog {
     }
   }
 
+  /** Source-file ledger of every [[ingest]] commit: the union of all
+    * `ingest=` header tokens — O(versions) header reads of driver
+    * metadata, never a data-file open. Identity is the source FILE
+    * NAME (the Auto-Loader-style contract): a replaced file with the
+    * same name is deliberately not re-ingested. */
+  def ingestedFiles(spark: SparkSession, table: String): Set[String] =
+    versions(spark, table)
+      .flatMap(v => headerToken(header(spark, table, v), "ingest"))
+      .flatMap(t => unb64(t).split('\n'))
+      .toSet
+
+  /** Incremental exactly-once FILE ingestion — the batch form of an
+    * auto-loader: list `srcDir`, subtract the names every earlier
+    * ingest commit recorded, read only the fresh files (under the
+    * table's declared schema), and commit them with the consumed names
+    * riding the commit HEADER — ledger and data land in ONE atomic
+    * manifest write, so a crash before the commit ingests nothing and
+    * a re-run after it skips everything (there is no window where the
+    * ledger and the data disagree, the flaw of any two-commit design).
+    * A re-run racing its own retry dedupes through the txn header (the
+    * txn id is a digest of the fresh-name set); CONCURRENT ingests
+    * computing different listings are the caller's contract to avoid —
+    * run one ingester per table, like every loader. Returns (version,
+    * ingested, skipped). Cost: O(listing + versions) driver metadata +
+    * a distributed read/write of only the new bytes — a 100 TB table
+    * ingesting a 10 GB drop moves 10 GB. */
+  def ingest(
+      spark: SparkSession,
+      table: String,
+      srcDir: String,
+      format: String = "parquet"
+  ): (Int, Int, Int) = {
+    require(
+      Set("parquet", "csv", "json")(format),
+      s"snapshot ingest: format must be parquet|csv|json, got '$format'")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot ingest: no commits in $table — create it first")
+    val sp = new Path(srcDir)
+    val sfs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(sfs.exists(sp), s"snapshot ingest: source dir $srcDir does not exist")
+    val ext = "." + format
+    val files = sfs
+      .listStatus(sp)
+      .toSeq
+      .filter(st =>
+        st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_") && n.endsWith(ext)
+        })
+      .map(_.getPath)
+    val done = ingestedFiles(spark, table)
+    val fresh = files.filterNot(p => done(p.getName)).sortBy(_.getName)
+    if (fresh.isEmpty) return (vs.last, 0, files.size)
+    val schema = tableSchema(spark, table, vs.last)
+    val paths = fresh.map(_.toString)
+    val df = format match {
+      case "parquet" =>
+        schema.fold(spark.read.parquet(paths: _*))(s =>
+          spark.read.schema(s).parquet(paths: _*))
+      case other =>
+        val s = schema.getOrElse(throw new IllegalArgumentException(
+          s"snapshot ingest: $other needs the table's recorded schema " +
+            "(pre-upgrade log?) — text formats are never inferred"))
+        if (other == "csv")
+          spark.read.schema(s).option("header", "true").csv(paths: _*)
+        else spark.read.schema(s).json(paths: _*)
+    }
+    val names = fresh.map(_.getName)
+    val digest = java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12)
+      .map("%02x".format(_))
+      .mkString
+    val v = commitInternal(
+      spark, table, df, overwrite = false, txnId = Some(s"ingest-$digest"),
+      replaceRemoved = None, dataChange = true,
+      extraHeader = s"ingest=${b64(names.mkString("\n"))}")
+    (v, names.size, files.size - names.size)
+  }
+
   /** Copy-on-write REPLACE: commits `df`'s files while atomically
     * dropping `removed` (which must all be live in the parent manifest
     * — a concurrent writer having already removed one is a real
@@ -701,7 +782,8 @@ object SnapshotLog {
       overwrite: Boolean,
       txnId: Option[String],
       replaceRemoved: Option[Seq[String]],
-      dataChange: Boolean = true
+      dataChange: Boolean = true,
+      extraHeader: String = ""
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
@@ -716,7 +798,7 @@ object SnapshotLog {
     val landed = stageOnly(spark, table, stagedDf)
     commitLandedInternal(
       spark, table, landed, batchSchema, overwrite, txnId, replaceRemoved,
-      dataChange)
+      dataChange, extraHeader)
   }
 
   /** Commits files a writer has ALREADY landed in the table root under
@@ -773,13 +855,14 @@ object SnapshotLog {
       overwrite: Boolean,
       txnId: Option[String],
       replaceRemoved: Option[Seq[String]],
-      dataChange: Boolean
+      dataChange: Boolean,
+      extraHeader: String = ""
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
     commitEntriesInternal(
       spark, table, annotateEntries(spark, table, landedNames), batchSchema,
-      overwrite, txnId, replaceRemoved, dataChange)
+      overwrite, txnId, replaceRemoved, dataChange, extraHeader)
   }
 
   /** Entry lines (name + stats suffix) for landed files. Footer stats

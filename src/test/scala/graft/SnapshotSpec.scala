@@ -991,4 +991,64 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotLog.manifest(spark, t, v).forall(e =>
       !SnapshotLog.isExternal(e.split('\t')(0)) && !e.contains("_dv=v:/")))
   }
+
+  test("ingest: ledger skips consumed names, idle call burns no version, " +
+    "same-name replacement is deliberately not re-read") {
+    import spark.implicits._
+    val t = freshTable()
+    val landing = Files.createTempDirectory("graft_ingest_src").toString
+    SnapshotLog.commit(spark, t, Seq.empty[Long].toDF("id"))
+    (1L to 4L).toDF("id").coalesce(1).write.mode("append").parquet(landing)
+    val (v1, in1, sk1) = SnapshotLog.ingest(spark, t, landing)
+    assert(in1 == 1 && sk1 == 0 && rows(t) == (1L to 4L).toSet)
+    // wave 2 lands beside wave 1: only the new file moves
+    (5L to 6L).toDF("id").coalesce(1).write.mode("append").parquet(landing)
+    val (v2, in2, sk2) = SnapshotLog.ingest(spark, t, landing)
+    assert(v2 == v1 + 1 && in2 == 1 && sk2 == 1 && rows(t) == (1L to 6L).toSet)
+    // idle: nothing fresh → no version burned, full listing reported skipped
+    val (v3, in3, sk3) = SnapshotLog.ingest(spark, t, landing)
+    assert(v3 == v2 && in3 == 0 && sk3 == 2)
+    assert(SnapshotLog.versions(spark, t).last == v2)
+    // name-identity contract: overwriting a consumed file IN PLACE with
+    // new content does not re-ingest it (Auto-Loader's posture — a
+    // landing file is immutable once dropped; replacing one is an
+    // upstream bug the ledger must not double-count)
+    val fs = new org.apache.hadoop.fs.Path(landing)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val consumed = fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val rewrite = Files.createTempDirectory("graft_ingest_rw").toString
+    (100L to 101L).toDF("id").coalesce(1).write.mode("append").parquet(rewrite)
+    val newFile = new org.apache.hadoop.fs.Path(rewrite).getFileSystem(
+      spark.sessionState.newHadoopConf())
+      .listStatus(new org.apache.hadoop.fs.Path(rewrite))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.delete(consumed, false)
+    fs.rename(newFile, consumed)
+    val (v4, in4, _) = SnapshotLog.ingest(spark, t, landing)
+    assert(v4 == v2 && in4 == 0 && rows(t) == (1L to 6L).toSet)
+  }
+
+  test("ingest: text formats read under the table's declared schema; " +
+    "unknown format and missing table refuse loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    val landing = Files.createTempDirectory("graft_ingest_csv").toString
+    SnapshotLog.commit(
+      spark, t, Seq((1L, "a")).toDF("id", "s").where(lit(false)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "drop1.csv"),
+      "id,s\n7,x\n8,y\n".getBytes("UTF-8"))
+    val (_, in1, _) = SnapshotLog.ingest(spark, t, landing, format = "csv")
+    assert(in1 == 1)
+    val got = SnapshotLog.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((7L, "x"), (8L, "y")))
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotLog.ingest(spark, t, landing, format = "orc"))
+    assert(e1.getMessage.contains("parquet|csv|json"))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotLog.ingest(spark, freshTable(), landing))
+    assert(e2.getMessage.contains("no commits"))
+  }
 }
