@@ -18,7 +18,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.Type.Repetition
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
@@ -79,7 +79,8 @@ class SnapshotCatalog
     extends TableCatalog
     with SupportsNamespaces
     with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -681,7 +682,9 @@ class SnapshotCatalog
     else
       wfs
         .listStatus(root)
-        .filter(st => st.isDirectory && !isTable(st.getPath))
+        .filter(st =>
+          st.isDirectory && !isTable(st.getPath) &&
+            !st.getPath.getName.startsWith("_"))
         .map(st => Array(st.getPath.getName))
   }
 
@@ -691,7 +694,9 @@ class SnapshotCatalog
     if (!wfs.exists(p)) throw new NoSuchNamespaceException(ns)
     wfs
       .listStatus(p)
-      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .filter(st =>
+        st.isDirectory && !isTable(st.getPath) &&
+          !st.getPath.getName.startsWith("_"))
       .map(st => ns :+ st.getPath.getName)
   }
 
@@ -721,6 +726,151 @@ class SnapshotCatalog
         s"snapshot catalog: namespace ${ns.mkString(".")} is not empty"
       )
     wfs.delete(p, true)
+  }
+
+  // --- views: SQL text stored beside the tables it reads ---
+  //
+  // A view is one metadata file under `<warehouse>/<ns>/_views/<name>`
+  // (line-token format like the commit header: every value b64'd, so
+  // arbitrary SQL round-trips). Definitions are stored as TEXT and
+  // re-analyzed per query — a view over a snapshot table therefore
+  // always reads the CURRENT tip (and current schema) of its base
+  // tables, never a frozen plan; at 100 TB this is pure driver
+  // metadata, and the expanded query plans with the same pushdown /
+  // pruning / statistics as if the user had typed the SQL inline.
+
+  private def viewsDir(ns: Array[String]): Path =
+    new Path(nsPath(ns), "_views")
+
+  private def viewPath(ident: Identifier): Path =
+    new Path(viewsDir(ident.namespace), ident.name)
+
+  private def vb64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def vunb64(s: String): String =
+    new String(
+      java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** null-safe list encoding: each entry b64'd (or `-` for null),
+    * space-joined; empty list → `.` so the token is never empty. */
+  private def vlist(xs: Seq[String]): String =
+    if (xs.isEmpty) "."
+    else xs.map(x => if (x == null) "-" else vb64(x)).mkString(" ")
+
+  private def vunlist(t: String): Array[String] =
+    if (t == ".") Array.empty
+    else t.split(' ').map(x => if (x == "-") null else vunb64(x))
+
+  override def viewExists(ident: Identifier): Boolean =
+    wfs.exists(viewPath(ident))
+
+  override def listViews(ns: String*): Array[Identifier] = {
+    val d = viewsDir(ns.toArray)
+    if (!wfs.exists(d)) Array.empty
+    else
+      wfs.listStatus(d).filter(_.isFile)
+        .map(st => Identifier.of(ns.toArray, st.getPath.getName))
+  }
+
+  private def writeViewFile(ident: Identifier, lines: Seq[String]): Unit = {
+    wfs.mkdirs(viewsDir(ident.namespace))
+    val out = wfs.create(viewPath(ident), true)
+    try out.write(
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readViewFile(ident: Identifier): Map[String, String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      wfs.open(viewPath(ident)), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+    finally in.close()
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    // a view must never shadow a table (or vice versa): one name, one
+    // meaning — the resolution order would otherwise silently decide
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (!wfs.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    writeViewFile(
+      ident,
+      Seq(
+        s"sql=${vb64(info.sql)}",
+        s"catalog=${vb64(info.currentCatalog)}",
+        s"ns=${vlist(info.currentNamespace.toSeq)}",
+        s"schema=${vb64(info.schema.json)}",
+        s"qcols=${vlist(info.queryColumnNames.toSeq)}",
+        s"aliases=${vlist(info.columnAliases.toSeq)}",
+        s"comments=${vlist(info.columnComments.toSeq)}",
+        s"props=${vlist(info.properties.asScala.toSeq.sorted.map {
+            case (k, v) => s"$k\t$v"
+          })}"
+      ))
+    loadView(ident)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    val t = readViewFile(ident)
+    new View {
+      override def name(): String =
+        (catalogName +: ident.namespace :+ ident.name).mkString(".")
+      override def query(): String = vunb64(t("sql"))
+      override def currentCatalog(): String = vunb64(t("catalog"))
+      override def currentNamespace(): Array[String] = vunlist(t("ns"))
+      override def schema(): StructType =
+        DataType.fromJson(vunb64(t("schema"))).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = vunlist(t("qcols"))
+      override def columnAliases(): Array[String] = vunlist(t("aliases"))
+      override def columnComments(): Array[String] = vunlist(t("comments"))
+      override def properties(): util.Map[String, String] =
+        vunlist(t("props")).map { kv =>
+          val i = kv.indexOf('\t'); kv.take(i) -> kv.drop(i + 1)
+        }.toMap.asJava
+    }
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    val t = readViewFile(ident)
+    val props0 = vunlist(t("props")).map { kv =>
+      val i = kv.indexOf('\t'); kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+    val props = changes.foldLeft(props0) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property -> s.value)
+      case (p, r: ViewChange.RemoveProperty) => p - r.property
+      case (_, c) =>
+        throw new UnsupportedOperationException(
+          s"snapshot catalog: unsupported view change $c")
+    }
+    writeViewFile(
+      ident,
+      t.toSeq.filterNot(_._1 == "props").sorted.map { case (k, v) => s"$k=$v" } :+
+        s"props=${vlist(props.toSeq.sorted.map { case (k, v) => s"$k\t$v" })}")
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExists(ident) && wfs.delete(viewPath(ident), false)
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    wfs.mkdirs(viewsDir(to.namespace))
+    require(
+      wfs.rename(viewPath(from), viewPath(to)),
+      s"snapshot catalog: view rename $from -> $to failed")
   }
 
   // --- maintenance procedures: CALL <cat>.system.<proc>(...) ---
