@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(
+        "spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (JIT, codegen compiler, FS metadata) so the first

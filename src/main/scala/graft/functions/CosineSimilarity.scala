@@ -210,6 +210,11 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the view-SQL surface: Spark 4.1 wires no SQL statement to the
+    // ViewCatalog API, so the parser wrapper owns CREATE/DROP/ALTER
+    // VIEW + view expansion for snapshot catalogs (plans/ViewSql.scala)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftViewParser(session, delegate))
     ext.injectFunction(
       (
         new FunctionIdentifier("cosine_sim"),

@@ -999,6 +999,50 @@ object Scans {
     )
   }
 
+  /** Catalog views end-to-end (round 13, gating the round-12
+    * ViewCatalog): CREATE VIEW through `spark.sql` stores the
+    * definition as TEXT in the catalog's `_views` metadata, and the
+    * SECOND insert lands in the base table AFTER the view exists — the
+    * final read through the view must therefore see BOTH batches,
+    * proving the definition re-analyzes at the base table's current
+    * tip (a frozen plan or materialized copy would serve only batch
+    * one and break the hash). A view-over-view layered on top proves
+    * nested resolution through the same path. The oracle recomputes
+    * from the full source table. Lifecycle pins (create/load/alter/
+    * rename/drop/SHOW VIEWS/shadow guards both directions) live in
+    * CatalogSpec. */
+  val sqlView: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_vwbase"
+    spark.sql(s"DROP VIEW IF EXISTS $cat.main.orders_vw2")
+    spark.sql(s"DROP VIEW IF EXISTS $cat.main.orders_vw")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_sql_orders_src")
+    spark.sql(
+      s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 2 = 0")
+    // DECIMAL sum: exact and order-independent — the two inserts land
+    // the rows in a different order than the oracle's single scan, and
+    // a DOUBLE sum's last-ulp drift would flip round() at .5
+    spark.sql(
+      s"""CREATE VIEW $cat.main.orders_vw AS
+         |SELECT o_custkey, count(*) AS cnt,
+         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18, 2))), 0) AS BIGINT) AS total
+         |FROM $t GROUP BY o_custkey""".stripMargin)
+    spark.sql(
+      s"""CREATE VIEW $cat.main.orders_vw2 AS
+         |SELECT * FROM $cat.main.orders_vw WHERE cnt > 0""".stripMargin)
+    // this batch lands AFTER both views exist: text re-analysis means
+    // the read below must include it
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_sql_orders_src WHERE o_orderkey % 2 = 1")
+    spark.sql(s"SELECT * FROM $cat.main.orders_vw2 ORDER BY o_custkey")
+  }
+
   /** Transactional MERGE INTO, FILE-GRANULAR copy-on-write (round 11,
     * upgrading the round-10 full-overwrite): the table lands as three
     * range-sharded appends (key-clustered files with manifest stats),
@@ -3479,6 +3523,7 @@ object Scans {
     "sql_snapshot_insert" -> sqlSnapshotInsert,
     "sql_snapshot_ctas" -> sqlSnapshotCtas,
     "sql_snapshot_time_travel" -> sqlSnapshotTimeTravel,
+    "sql_view" -> sqlView,
     "etl_merge_snapshot" -> etlMergeSnapshot,
     "stats_analyze" -> statsAnalyze,
     "source_datespine" -> sourceDatespine,
@@ -3949,6 +3994,14 @@ object Scans {
         |SELECT o_orderkey, o_custkey, o_totalprice, 4 AS asof_version
         |FROM orders WHERE o_orderkey % 3 = 2
         |ORDER BY asof_version, o_orderkey""".stripMargin,
+    // the view re-analyzes at the base table's current tip, so both
+    // inserted halves (i.e. the whole source) must be visible; DECIMAL
+    // sum keeps the rounding independent of row order
+    "sql_view" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18, 2))), 0) AS BIGINT) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) > 0 ORDER BY o_custkey""".stripMargin,
     "stats_analyze" -> statsAnalyzeSql,
     "source_datespine" -> sourceDatespineSql,
     "sink_manifest" -> sinkManifestSql,

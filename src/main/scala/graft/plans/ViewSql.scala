@@ -1,0 +1,396 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.connector.catalog.{CatalogNotFoundException, Identifier, ViewChange, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.SnapshotCatalog
+
+/** SQL surface for the snapshot catalog's [[SnapshotCatalog]] view
+  * layer.
+  *
+  * Spark 4.1 ships the `ViewCatalog` connector API but wires NO SQL
+  * statement to it: `CREATE VIEW cat.ns.v` in a non-session catalog
+  * fails analysis with MISSING_CATALOG_ABILITY (ResolveSessionCatalog
+  * raises it as soon as the identifier resolves, BEFORE any injected
+  * resolution rule can run — so a resolution-rule hook is structurally
+  * too late). The lakehouse engines close this the same way: an
+  * injected PARSER that owns the view statements. This one delegates
+  * every statement to Spark's parser and then rewrites the parsed
+  * tree:
+  *
+  *   - view DDL (`CREATE [OR REPLACE] VIEW`, `DROP VIEW`, `ALTER VIEW
+  *     ... SET/UNSET TBLPROPERTIES`, `ALTER VIEW ... AS`, `ALTER VIEW
+  *     ... RENAME TO`, `SHOW VIEWS`, `SHOW TBLPROPERTIES <view>`)
+  *     targeting a [[SnapshotCatalog]] becomes a [[LeafRunnableCommand]]
+  *     driving the catalog's `ViewCatalog` methods — the shadow guards
+  *     (no view over a table, no table over a view) live in the
+  *     catalog itself;
+  *   - a read of a view name expands IN PLACE to the view's stored SQL
+  *     text, parsed and recursively rewritten (view-over-view), with
+  *     relative names inside the body qualified against the view's
+  *     stored current catalog/namespace. Expansion is pure driver-side
+  *     metadata: the final plan is exactly what the user would get
+  *     typing the definition inline, so pushdown, file skipping, and
+  *     statistics are untouched — at 100 TB a view costs nothing over
+  *     its defining query. Re-parsing at every read is the pinned
+  *     freshness semantic: a view always serves the CURRENT tip and
+  *     CURRENT schema of its base tables (CatalogSpec pins both).
+  *
+  * Statements that touch no snapshot-catalog view pass through
+  * byte-identical, so the wrapper is invisible to the rest of the SQL
+  * surface.
+  */
+class GraftViewParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    ViewSql.rewrite(session, delegate, delegate.parsePlan(sqlText), None, 0)
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    ViewSql.rewrite(session, delegate, delegate.parseQuery(sqlText), None, 0)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object ViewSql {
+
+  /** Max view-over-view expansion depth — a definition cycle would
+    * otherwise recurse forever at parse time. */
+  private val MaxDepth = 16
+
+  /** Resolve `parts` to (catalogName, snapshot catalog, identifier)
+    * when — and only when — it names an object inside a registered
+    * [[SnapshotCatalog]]. `default` carries the stored current
+    * catalog/namespace of the view body being expanded, so relative
+    * names inside a definition resolve where the view was created,
+    * not where it is being read. */
+  private def inSnapshotCatalog(
+      session: SparkSession,
+      parts: Seq[String],
+      default: Option[(String, Array[String])]
+  ): Option[(String, SnapshotCatalog, Identifier)] = {
+    val cm = session.sessionState.catalogManager
+    def cat(name: String): Option[SnapshotCatalog] =
+      try cm.catalog(name) match {
+        case sc: SnapshotCatalog => Some(sc)
+        case _                   => None
+      } catch { case _: CatalogNotFoundException => None }
+    if (parts.length >= 2) {
+      cat(parts.head) match {
+        case Some(sc) =>
+          Some((parts.head, sc,
+            Identifier.of(parts.tail.init.toArray, parts.last)))
+        case None =>
+          // not catalog-qualified: resolve under the expansion default
+          // (view bodies) — never under the session current catalog,
+          // which for relative names belongs to the built-in resolver
+          default.flatMap { case (dc, _) =>
+            cat(dc).map(sc =>
+              (dc, sc, Identifier.of(parts.init.toArray, parts.last)))
+          }
+      }
+    } else
+      default.flatMap { case (dc, dns) =>
+        cat(dc).map(sc => (dc, sc, Identifier.of(dns, parts.last)))
+      }
+  }
+
+  private def nameParts(child: LogicalPlan): Option[Seq[String]] =
+    child match {
+      case u: UnresolvedIdentifier  => Some(u.nameParts)
+      case u: UnresolvedView        => Some(u.multipartIdentifier)
+      case u: UnresolvedTableOrView => Some(u.multipartIdentifier)
+      case u: UnresolvedNamespace   => Some(u.multipartIdentifier)
+      case _                        => None
+    }
+
+  /** The parse-time tree rewrite (see class doc). `default` is the
+    * (catalog, namespace) context for relative names — `None` at the
+    * top level (the session resolver owns those), the view's stored
+    * context inside an expansion. */
+  private[plans] def rewrite(
+      session: SparkSession,
+      parser: ParserInterface,
+      plan: LogicalPlan,
+      default: Option[(String, Array[String])],
+      depth: Int
+  ): LogicalPlan = {
+    def our(parts: Seq[String]) = inSnapshotCatalog(session, parts, default)
+    plan.transformDownWithSubqueries {
+      case cv: CreateView =>
+        nameParts(cv.child).flatMap(our) match {
+          case Some((cat, sc, ident)) =>
+            GraftCreateViewCommand(
+              sc, cat, ident,
+              cv.originalText.getOrElse(throw new IllegalArgumentException(
+                "snapshot catalog: CREATE VIEW needs the SQL text")),
+              // the command is a leaf, so transformDown won't descend
+              // into it — expand view references in the query subtree
+              // here so schema analysis at run() sees real scans
+              rewrite(session, parser, cv.query, default, depth),
+              cv.userSpecifiedColumns.map(_._1),
+              cv.userSpecifiedColumns.map(_._2.orNull),
+              cv.properties, cv.allowExisting, cv.replace)
+          case None => cv
+        }
+      case dv: DropView =>
+        nameParts(dv.child).flatMap(our) match {
+          case Some((_, sc, ident)) => GraftDropViewCommand(sc, ident, dv.ifExists)
+          case None                 => dv
+        }
+      case av: AlterViewAs =>
+        nameParts(av.child).flatMap(our) match {
+          case Some((cat, sc, ident)) =>
+            GraftAlterViewAsCommand(
+              sc, cat, ident, av.originalText,
+              rewrite(session, parser, av.query, default, depth))
+          case None => av
+        }
+      case sp: SetViewProperties =>
+        nameParts(sp.child).flatMap(our) match {
+          case Some((_, sc, ident)) =>
+            GraftAlterViewPropsCommand(
+              sc, ident,
+              sp.properties.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) })
+          case None => sp
+        }
+      case up: UnsetViewProperties =>
+        nameParts(up.child).flatMap(our) match {
+          case Some((_, sc, ident)) =>
+            GraftAlterViewPropsCommand(
+              sc, ident, up.propertyKeys.map(ViewChange.removeProperty))
+          case None => up
+        }
+      case rt: RenameTable if rt.isView =>
+        nameParts(rt.child).flatMap(our) match {
+          case Some((cat, sc, from)) =>
+            val to =
+              if (rt.newName.length >= 2 && rt.newName.head == cat)
+                Identifier.of(rt.newName.tail.init.toArray, rt.newName.last)
+              else if (rt.newName.length >= 2)
+                Identifier.of(rt.newName.init.toArray, rt.newName.last)
+              else Identifier.of(from.namespace, rt.newName.last)
+            GraftRenameViewCommand(sc, from, to)
+          case None => rt
+        }
+      case sv: ShowViews =>
+        nameParts(sv.namespace).flatMap(our2(session, _)) match {
+          case Some((_, sc, ns)) => GraftShowViewsCommand(sc, ns, sv.pattern, sv.output)
+          case None              => sv
+        }
+      case sp: ShowTableProperties
+          if nameParts(sp.table).flatMap(our)
+            .exists { case (_, sc, id) => sc.viewExists(id) } =>
+        val (_, sc, ident) = nameParts(sp.table).flatMap(our).get
+        GraftShowViewPropsCommand(sc, ident, sp.propertyKey, sp.output)
+      case r: UnresolvedRelation if !r.isStreaming && depth < MaxDepth =>
+        our(r.multipartIdentifier) match {
+          case Some((cat, sc, ident)) if sc.viewExists(ident) =>
+            expand(session, parser, cat, sc, ident, depth)
+          case Some((cat, _, ident)) if r.multipartIdentifier.length < 3 =>
+            // a relative TABLE name inside a view body: qualify it so
+            // it keeps resolving in the view's home catalog
+            r.copy(multipartIdentifier =
+              (cat +: ident.namespace.toSeq) :+ ident.name)
+          case _ => r
+        }
+    }
+  }
+
+  /** ShowViews' namespace has no `default` context — always explicit. */
+  private def our2(
+      session: SparkSession,
+      parts: Seq[String]
+  ): Option[(String, SnapshotCatalog, Array[String])] = {
+    val cm = session.sessionState.catalogManager
+    if (parts.isEmpty) return None
+    try cm.catalog(parts.head) match {
+      case sc: SnapshotCatalog => Some((parts.head, sc, parts.tail.toArray))
+      case _                   => None
+    } catch { case _: CatalogNotFoundException => None }
+  }
+
+  /** Expand a view reference to its parsed + recursively rewritten
+    * body, aliased back to the view's name (so `v.col` qualifies). */
+  private def expand(
+      session: SparkSession,
+      parser: ParserInterface,
+      cat: String,
+      sc: SnapshotCatalog,
+      ident: Identifier,
+      depth: Int
+  ): LogicalPlan = {
+    val v = sc.loadView(ident)
+    if (depth + 1 >= MaxDepth)
+      throw new IllegalStateException(
+        s"snapshot catalog: view expansion exceeded depth $MaxDepth at " +
+          s"$cat.${ident.namespace.mkString(".")}.${ident.name} — cyclic definition?")
+    val body = rewrite(
+      session, parser, parser.parsePlan(v.query),
+      Some((v.currentCatalog, v.currentNamespace)), depth + 1)
+    val aliased =
+      if (v.columnAliases.nonEmpty && v.columnAliases.length == v.queryColumnNames.length)
+        Project(
+          v.columnAliases.toSeq.zip(v.queryColumnNames.toSeq).map {
+            case (a, q) => Alias(UnresolvedAttribute.quoted(q), a)()
+          },
+          body)
+      else body
+    SubqueryAlias(ident.name, aliased)
+  }
+}
+
+/** CREATE [OR REPLACE] VIEW [IF NOT EXISTS] — analyzes the (already
+  * view-expanded) query for the recorded schema, then stores the SQL
+  * TEXT through the catalog's ViewCatalog API. */
+case class GraftCreateViewCommand(
+    catalog: SnapshotCatalog,
+    catalogName: String,
+    ident: Identifier,
+    sql: String,
+    query: LogicalPlan,
+    columnAliases: Seq[String],
+    columnComments: Seq[String],
+    properties: Map[String, String],
+    allowExisting: Boolean,
+    replace: Boolean
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (catalog.viewExists(ident)) {
+      if (allowExisting) return Nil
+      if (replace) catalog.dropView(ident)
+    }
+    val analyzed = session.sessionState.executePlan(query).analyzed
+    val queryCols = analyzed.schema.fieldNames.toSeq
+    require(
+      columnAliases.isEmpty || columnAliases.length == queryCols.length,
+      s"snapshot catalog: CREATE VIEW names ${columnAliases.length} columns " +
+        s"but the query produces ${queryCols.length}")
+    val schema =
+      if (columnAliases.isEmpty) analyzed.schema
+      else StructType(analyzed.schema.fields.zip(columnAliases).map {
+        case (f, a) => f.copy(name = a)
+      })
+    val cm = session.sessionState.catalogManager
+    catalog.createView(new ViewInfo(
+      ident, sql, catalogName, cm.currentNamespace,
+      schema, queryCols.toArray,
+      columnAliases.toArray,
+      (if (columnComments.isEmpty) Array.fill[String](0)("")
+       else columnComments.toArray),
+      properties.asJava))
+    Nil
+  }
+}
+
+case class GraftDropViewCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    ifExists: Boolean
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.dropView(ident) && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Nil
+  }
+}
+
+/** ALTER VIEW ... AS — replace the definition, keeping properties. */
+case class GraftAlterViewAsCommand(
+    catalog: SnapshotCatalog,
+    catalogName: String,
+    ident: Identifier,
+    sql: String,
+    query: LogicalPlan
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val old = catalog.loadView(ident) // refuses when absent
+    val analyzed = session.sessionState.executePlan(query).analyzed
+    catalog.dropView(ident)
+    catalog.createView(new ViewInfo(
+      ident, sql, catalogName, old.currentNamespace(),
+      analyzed.schema, analyzed.schema.fieldNames,
+      Array.empty[String], Array.empty[String], old.properties()))
+    Nil
+  }
+}
+
+case class GraftAlterViewPropsCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    changes: Seq[ViewChange]
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.alterView(ident, changes: _*)
+    Nil
+  }
+}
+
+case class GraftRenameViewCommand(
+    catalog: SnapshotCatalog,
+    from: Identifier,
+    to: Identifier
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.renameView(from, to)
+    Nil
+  }
+}
+
+case class GraftShowViewsCommand(
+    catalog: SnapshotCatalog,
+    namespace: Array[String],
+    pattern: Option[String],
+    override val output: Seq[Attribute]
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    // SHOW-style glob: '*' is any-string, '|' separates alternatives
+    val rx = pattern.map(p =>
+      java.util.regex.Pattern.compile(
+        p.split('|').map(a =>
+          a.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+          .mkString("|"),
+        java.util.regex.Pattern.CASE_INSENSITIVE))
+    catalog.listViews(namespace.toIndexedSeq: _*).toSeq
+      .filter(id => rx.forall(_.matcher(id.name).matches()))
+      .sortBy(_.name)
+      .map(id => Row(namespace.mkString("."), id.name, false))
+  }
+}
+
+case class GraftShowViewPropsCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    propertyKey: Option[String],
+    override val output: Seq[Attribute]
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val props = catalog.loadView(ident).properties().asScala
+    propertyKey match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k, s"View ${ident.name} does not have property: $k")))
+      case None    => props.toSeq.sorted.map { case (k, v) => Row(k, v) }
+    }
+  }
+}

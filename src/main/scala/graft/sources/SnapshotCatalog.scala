@@ -203,6 +203,10 @@ class SnapshotCatalog
       properties: util.Map[String, String]
   ): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // the shadow guard must be symmetric with createView's: a table
+    // must never shadow a view either — one name, one meaning. CTAS
+    // also lands here (CREATE + append), so this covers that path too.
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     // supported transforms: bucket(n, col) — the co-location layout
     // storage-partitioned joins align on — and a single IDENTITY
     // column. Identity partitioning is implemented the Iceberg-lite
@@ -667,6 +671,7 @@ class SnapshotCatalog
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
     wfs.mkdirs(nsPath(to.namespace))
     require(
       wfs.rename(new Path(tablePath(from)), new Path(tablePath(to))),
@@ -1929,14 +1934,21 @@ case class SnapshotReplaceBatchWrite(
     // an UPDATE/MERGE can rewrite the unique key itself, so the
     // rewritten rows re-audit — against each other and against the
     // CARRIED files only (the replaced files' rows are leaving).
-    // DELETE can only remove rows; no audit needed.
-    if (op.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
-      op.uniqueKey.foreach(k =>
-        SnapshotLog.validateUniqueKeys(
-          SparkSession.active, path, k, names, commitSchema,
-          excludeFiles = removed.toSet))
+    // DELETE can only remove rows; no audit needed. If the tip moves
+    // between audit and commit, the preCommit hook re-audits inside
+    // the commit critical section (same posture as the insert path).
+    val sp = SparkSession.active
+    val auditedTip = SnapshotLog.versions(sp, path).lastOption
+    val needAudit =
+      op.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
+        op.uniqueKey.isDefined
+    def audit(): Unit = op.uniqueKey.foreach(k =>
+      SnapshotLog.validateUniqueKeys(
+        sp, path, k, names, commitSchema, excludeFiles = removed.toSet))
+    if (needAudit) audit()
     SnapshotLog.commitLandedReplace(
-      SparkSession.active, path, names, commitSchema, removed)
+      sp, path, names, commitSchema, removed,
+      preCommit = prev => if (needAudit && prev != auditedTip) audit())
     // quarantine-mode tables: rewritten rows the CHECK diverted land in
     // the dead-letter table, same as the insert path (a crash between
     // the two commits leaves the quarantine files as vacuumable
@@ -2446,6 +2458,17 @@ case class SnapshotSqlBatchWrite(
     * manifest names only winner attempts; losers are invisible orphans
     * the mtime-grace vacuum reclaims. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val sp = SparkSession.active
+    // the audit runs against THIS tip; if another writer commits
+    // between audit and manifest write, the preCommit hook re-runs it
+    // against the actual parent INSIDE the commit critical section —
+    // without it two concurrent INSERTs carrying the same key both
+    // pass against the same tip and commit sequentially, admitting
+    // duplicates despite the declared constraint (the moving-tip race
+    // the streaming path refuses unique_key over)
+    val auditedTip = SnapshotLog.versions(sp, path).lastOption
+    def reauditOn(run: () => Unit): Option[Int] => Unit = prev =>
+      if (!overwrite && uniqueKey.isDefined && prev != auditedTip) run()
     bucketSpec match {
       case Some((c, n)) =>
         val files = messages.toSeq.collect {
@@ -2453,25 +2476,28 @@ case class SnapshotSqlBatchWrite(
         }.flatten
         // unique audit BEFORE the commit: a violation throws here, the
         // manifest never references the batch, Spark aborts the write
-        uniqueKey.foreach(k =>
+        def audit(): Unit = uniqueKey.foreach(k =>
           SnapshotLog.validateUniqueKeys(
-            SparkSession.active, path, k, files.map(_._1), commitSchema,
+            sp, path, k, files.map(_._1), commitSchema,
             checkExisting = !overwrite))
+        audit()
         SnapshotLog.commitLandedBucketed(
-          SparkSession.active, path, files, commitSchema, c, n,
-          overwrite = overwrite)
+          sp, path, files, commitSchema, c, n,
+          overwrite = overwrite, preCommit = reauditOn(() => audit()))
       case None =>
         val names = messages.toSeq.flatMap {
           case SnapshotSqlCommit(Some(n), _)  => Seq(n)
           case SnapshotSqlFilesCommit(fs, _)  => fs
           case _                              => Nil
         }
-        uniqueKey.foreach(k =>
+        def audit(): Unit = uniqueKey.foreach(k =>
           SnapshotLog.validateUniqueKeys(
-            SparkSession.active, path, k, names, commitSchema,
+            sp, path, k, names, commitSchema,
             checkExisting = !overwrite))
+        audit()
         SnapshotLog.commitLanded(
-          SparkSession.active, path, names, commitSchema, overwrite = overwrite)
+          sp, path, names, commitSchema, overwrite = overwrite,
+          preCommit = reauditOn(() => audit()))
         // quarantined rows (check_mode=quarantine) commit to the
         // sibling dead-letter table — its own log, fully queryable.
         // Not atomic with the main commit (two logs): on a driver
@@ -2890,12 +2916,17 @@ private[sources] object SnapshotSql {
     // AssertNotNull, but hands the writer an all-nullable batch schema —
     // committing that verbatim would flip the header schema nullable on
     // the first INSERT and silently lose the declared contract (and
-    // with it nullability-gated plans like top-N file pruning)
+    // with it nullability-gated plans like top-N file pruning). The
+    // declaration alone decides: AND-ing in the batch's nullability
+    // would let a non-nullable batch through INSERT OVERWRITE (whose
+    // truncate path resets the header to the commit schema) silently
+    // flip a declared-NULLABLE column to NOT NULL — later legitimate
+    // NULL inserts would then fail AssertNotNull behind the user's back.
     // (the PHYSICAL schema keeps the batch's nullability: files always
     // encode OPTIONAL with definition levels, so old and new files of
     // a table stay byte-compatible — only the manifest header narrows)
     def declared(f: StructField, tf: StructField): Boolean =
-      f.nullable && tf.nullable
+      tf.nullable
     if (!SnapshotLog.isMapped(tableSchema)) {
       val byName = tableSchema.fields.map(f => f.name -> f).toMap
       val commit = StructType(writeSchema.fields.map(f =>

@@ -147,15 +147,35 @@ object SnapshotLog {
       new Path(s"$table/$LogDir/v${"%08d".format(v)}.lock").toUri.getPath)
 
   /** True = this process owns version `v` of `table`; false = retry.
-    * Breaks stale locks (older than the grace with no commit). */
+    * Breaks stale locks (older than the grace with no commit) — and
+    * breaks them ATOMICALLY: a bare check-then-delete would let two
+    * contenders both observe the same stale lock, the first delete it,
+    * a third process immediately win `createNewFile`, and the second
+    * contender's delete then remove that FRESH lock. Instead the break
+    * is a rename to a unique tombstone: POSIX rename of a vanished
+    * source fails, so of N contenders exactly one "wins" the break.
+    * The winner re-checks the tombstone's mtime (rename preserves it):
+    * stale → delete; fresh (it raced a brand-new claimant between its
+    * check and its rename) → rename straight back, restoring the live
+    * claimant's lock. The residual window is two back-to-back local
+    * metadata ops, the same grace posture vacuum takes. */
   private def claimLocal(f: FileSystem, table: String, v: Int): Boolean = {
     val lk = lockFile(table, v)
     if (lk.createNewFile()) true
     else {
       if (!f.exists(commitPath(table, v)) &&
         lk.exists() &&
-        System.currentTimeMillis() - lk.lastModified() > LockGraceMs)
-        lk.delete() // abandoned claim; next attempt may take it
+        System.currentTimeMillis() - lk.lastModified() > LockGraceMs) {
+        val tomb = new java.io.File(
+          lk.getParent, s"${lk.getName}.stale-${java.util.UUID.randomUUID()}")
+        if (lk.renameTo(tomb)) {
+          if (System.currentTimeMillis() - tomb.lastModified() > LockGraceMs)
+            tomb.delete() // confirmed abandoned; next attempt may claim
+          else {
+            val _ = tomb.renameTo(lk) // broke a live lock — restore it
+          }
+        }
+      }
       false
     }
   }
@@ -818,14 +838,15 @@ object SnapshotLog {
       batchSchema: StructType,
       overwrite: Boolean = false,
       txnId: Option[String] = None,
-      dataChange: Boolean = true
+      dataChange: Boolean = true,
+      preCommit: Option[Int] => Unit = _ => ()
   ): Int =
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => v // replay: the files are orphans, vacuum's problem
       case None =>
         commitLandedInternal(
           spark, table, landedNames, batchSchema, overwrite, txnId, None,
-          dataChange)
+          dataChange, preCommit = preCommit)
     }
 
   /** [[commitLanded]] that atomically REPLACES `removed` (which must
@@ -837,14 +858,15 @@ object SnapshotLog {
       landedNames: Seq[String],
       batchSchema: StructType,
       removed: Seq[String],
-      txnId: Option[String] = None
+      txnId: Option[String] = None,
+      preCommit: Option[Int] => Unit = _ => ()
   ): Int =
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => v
       case None =>
         commitLandedInternal(
           spark, table, landedNames, batchSchema, overwrite = false, txnId,
-          Some(removed), dataChange = true)
+          Some(removed), dataChange = true, preCommit = preCommit)
     }
 
   private def commitLandedInternal(
@@ -856,13 +878,15 @@ object SnapshotLog {
       txnId: Option[String],
       replaceRemoved: Option[Seq[String]],
       dataChange: Boolean,
-      extraHeader: String = ""
+      extraHeader: String = "",
+      preCommit: Option[Int] => Unit = _ => ()
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
     commitEntriesInternal(
       spark, table, annotateEntries(spark, table, landedNames), batchSchema,
-      overwrite, txnId, replaceRemoved, dataChange, extraHeader)
+      overwrite, txnId, replaceRemoved, dataChange, extraHeader,
+      preCommit = preCommit)
   }
 
   /** Entry lines (name + stats suffix) for landed files. Footer stats
@@ -899,7 +923,17 @@ object SnapshotLog {
       txnId: Option[String],
       replaceRemoved: Option[Seq[String]],
       dataChange: Boolean,
-      extraHeader: String = ""
+      extraHeader: String = "",
+      // entry LINES (name + riders) this replace re-spells, verified
+      // VERBATIM against the parent manifest inside the commit lock: a
+      // rider that drifted concurrently (a DV amendment landing during
+      // a long index build) would otherwise be silently resurrected to
+      // its pre-drift spelling by the re-add
+      replaceExpected: Option[Seq[String]] = None,
+      // invoked INSIDE the commit critical section with the actual
+      // parent version this commit will land on — the unique-key audit
+      // re-verifies here when the tip moved between audit and commit
+      preCommit: Option[Int] => Unit = _ => ()
   ): Int = {
     val f = fs(spark, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
@@ -926,6 +960,17 @@ object SnapshotLog {
                   s"commit: ${gone.mkString(", ")}"
               )
           }
+          replaceExpected.foreach { exp =>
+            val cur = manifestEntries(spark, table, prev.get).toSet
+            val drifted = exp.filterNot(cur)
+            if (drifted.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"snapshot replace: entry riders changed under a concurrent " +
+                  s"commit (re-run the rewrite): " +
+                  drifted.map(_.split('\t')(0)).mkString(", ")
+              )
+          }
+          preCommit(prev)
           // schema evolution: appends/replaces merge into the union
           // schema (loud error on incompatible change); overwrite resets
           // the table schema to the batch's
@@ -1231,28 +1276,39 @@ object SnapshotLog {
       }
     val key = bloomKey(pc)
     val enc = java.util.Base64.getUrlEncoder.withoutPadding
-    val amended = entries.map { e =>
-      merged.get(baseName(entryName(e))) match {
-        case None => e
-        case Some(bits) =>
-          val bb = java.nio.ByteBuffer.allocate(words * 8)
-          bits.foreach(bb.putLong)
-          val tok = s"_bm$key=b:${enc.encodeToString(bb.array())}"
-          val parts = e.split('\t')
-          val suffix0 =
-            if (parts.length < 2) ""
-            else
-              parts(1).split(';')
-                .filterNot(_.startsWith(s"_bm$key=")).mkString(";")
-          val suffix = (if (suffix0.isEmpty) "" else suffix0 + ";") + tok
-          s"${entryName(e)}\t$suffix"
-      }
+    // only the entries that actually gained a bloom are re-spelled; the
+    // rest carry into the new version BY REFERENCE through the replace
+    // delta — and the commit is CONFLICT-CHECKED against the tip at
+    // commit time, not the tip this (long, distributed) build started
+    // from: a concurrent append survives untouched, a concurrent
+    // removal of an amended file refuses loudly, and a concurrent
+    // rider amendment (a DV landing mid-build) is caught by the
+    // verbatim replaceExpected check instead of being silently
+    // resurrected to its pre-drift spelling. Same posture as
+    // compact()'s replace — the blind tip overwrite this used to do
+    // dropped any commit that landed during the build.
+    val touched = entries.filter(e => merged.contains(baseName(entryName(e))))
+    val amendedTouched = touched.map { e =>
+      val bits = merged(baseName(entryName(e)))
+      val bb = java.nio.ByteBuffer.allocate(words * 8)
+      bits.foreach(bb.putLong)
+      val tok = s"_bm$key=b:${enc.encodeToString(bb.array())}"
+      val parts = e.split('\t')
+      val suffix0 =
+        if (parts.length < 2) ""
+        else
+          parts(1).split(';')
+            .filterNot(_.startsWith(s"_bm$key=")).mkString(";")
+      val suffix = (if (suffix0.isEmpty) "" else suffix0 + ";") + tok
+      s"${entryName(e)}\t$suffix"
     }
     val commitSchema = schema.getOrElse(
       readFiles(spark, table, entries.map(entryName), None).schema)
     commitEntriesInternal(
-      spark, table, amended, commitSchema, overwrite = true, None, None,
-      dataChange = false, extraHeader = s"bloom=${b64(column)}")
+      spark, table, amendedTouched, commitSchema, overwrite = false, None,
+      Some(touched.map(entryName)), dataChange = false,
+      extraHeader = s"bloom=${b64(column)}",
+      replaceExpected = Some(touched))
   }
 
   /** Files at `version` whose bloom says `column = value` is POSSIBLE —
@@ -1629,34 +1685,6 @@ object SnapshotLog {
       .find(entryName(_) == file)
       .flatMap(entryDv)
       .map(d => dvFilePath(table, d))
-
-  /** Dead positions of `file` at `version` (its entry's DV); empty
-    * when the file carries none. O(manifest) + O(DV bytes). */
-  def dvPositionsAt(
-      spark: SparkSession,
-      table: String,
-      version: Int,
-      file: String
-  ): Array[Long] =
-    manifestEntries(spark, table, version)
-      .find(entryName(_) == file)
-      .flatMap(entryDv)
-      .map(d => readDvFile(
-        spark.sessionState.newHadoopConf(), new Path(dvFilePath(table, d))))
-      .getOrElse(Array.empty[Long])
-
-  /** Positions of `file` NEWLY dead at `version` (DV delta vs the
-    * parent manifest) — what a streaming change feed delivers as
-    * tagged deletes for a deletion-vector amendment. */
-  def dvDeltaPositions(
-      spark: SparkSession,
-      table: String,
-      version: Int,
-      file: String
-  ): Array[Long] = {
-    val prev = dvPositionsAt(spark, table, version - 1, file).toSet
-    dvPositionsAt(spark, table, version, file).filterNot(prev).sorted
-  }
 
   /** Per-version admission view for incremental consumers (the
     * streaming source, change-feed tooling): the commit's action
@@ -2579,7 +2607,8 @@ object SnapshotLog {
       bucketCol: String,
       nBuckets: Int,
       overwrite: Boolean = false,
-      txnId: Option[String] = None
+      txnId: Option[String] = None,
+      preCommit: Option[Int] => Unit = _ => ()
   ): Int =
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => v
@@ -2590,7 +2619,8 @@ object SnapshotLog {
         commitEntriesInternal(
           spark, table, lines, batchSchema, overwrite, txnId, None,
           dataChange = true,
-          extraHeader = s"buckets=${b64(s"$bucketCol:$nBuckets")}")
+          extraHeader = s"buckets=${b64(s"$bucketCol:$nBuckets")}",
+          preCommit = preCommit)
     }
 
   /** (bucketCol, nBuckets) declared by `version`'s commit header, if
@@ -2723,7 +2753,13 @@ object SnapshotLog {
     val m = read(spark, source, Some(tip))
       .groupBy(col(keyCol))
       .agg(sum(col(aggCol)).as("mv_sum"), count(lit(1)).as("mv_n"))
-    commit(spark, mv, m)
+    // the as-of version rides the materialize commit's own header
+    // (`mvv=`): data and high-water mark land in ONE atomic write, the
+    // same ledger-rides-the-commit design as ingest. The props copy is
+    // discoverability metadata only — refreshMv reads the header.
+    commitInternal(
+      spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
+      dataChange = true, extraHeader = s"mvv=$tip")
     setTableProps(
       spark, mv,
       Map(
@@ -2733,6 +2769,15 @@ object SnapshotLog {
         "mv_version" -> tip.toString))
     tip
   }
+
+  /** The MV's committed high-water mark: the `mvv=` token of the most
+    * recent commit that carries one. Authoritative over the props copy
+    * — a crash between the refresh commit and the props rewrite must
+    * NOT replay the same change feed into the rollup (double-count). */
+  private def mvCommittedVersion(spark: SparkSession, mv: String): Option[Int] =
+    versions(spark, mv).reverseIterator
+      .map(v => headerToken(header(spark, mv, v), "mvv"))
+      .collectFirst { case Some(t) => t.toInt }
 
   /** Incremental MV refresh: reads ONLY `readChanges(asOf, tip)` of
     * the source — O(changed files), the point of a change feed on a
@@ -2752,7 +2797,10 @@ object SnapshotLog {
       throw new IllegalArgumentException(
         s"refreshMv: $mv is not a materialized view (no mv_source prop)"))
     val (key, agg) = (props("mv_key"), props("mv_agg"))
-    val from = props("mv_version").toInt
+    // committed header token first (atomic with the data); props are
+    // the pre-header fallback for MVs materialized by older builds
+    val from = mvCommittedVersion(spark, mv)
+      .getOrElse(props("mv_version").toInt)
     val to = versions(spark, source).last
     if (to == from) return (from, to)
     val sign =
@@ -2769,7 +2817,12 @@ object SnapshotLog {
         (coalesce(col("mv_n"), lit(0L)) +
           coalesce(col("d_n"), lit(0L))).as("mv_n"))
       .filter(col("mv_n") > 0)
-    commit(spark, mv, next, overwrite = true)
+    // fold result + new high-water mark in ONE commit: a crash after
+    // this line leaves props stale but the header authoritative, so a
+    // replayed refresh folds from `to`, not `from` — no double-count
+    commitInternal(
+      spark, mv, next, overwrite = true, txnId = None, replaceRemoved = None,
+      dataChange = true, extraHeader = s"mvv=$to")
     setTableProps(spark, mv, props + ("mv_version" -> to.toString))
     (from, to)
   }

@@ -1303,4 +1303,175 @@ class CatalogSpec extends SparkTestBase {
       s"ALTER TABLE $t SET TBLPROPERTIES ('write_mode' = 'merge-on-read')"))
     assert(alter.getMessage.contains("mutually exclusive"))
   }
+
+  test("INSERT OVERWRITE keeps the DECLARED nullability: a non-nullable batch " +
+    "cannot flip a nullable column to NOT NULL") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT NOT NULL, v DOUBLE)")
+    // literal VALUES analyze non-nullable — committing the batch's
+    // nullability through the truncate path recorded v as NOT NULL,
+    // and the later NULL insert then failed AssertNotNull
+    spark.sql(s"INSERT OVERWRITE $t VALUES (1, 1.5), (2, 2.5)")
+    assert(spark.table(t).schema("v").nullable,
+      "declared-nullable column must stay nullable through OVERWRITE")
+    assert(!spark.table(t).schema("id").nullable,
+      "declared NOT NULL must survive the overwrite too")
+    spark.sql(s"INSERT INTO $t VALUES (3, CAST(NULL AS DOUBLE))")
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t WHERE v IS NULL").head.getLong(0) == 1L)
+  }
+
+  test("concurrent same-key INSERTs on a unique_key table admit at most one " +
+    "(the audit re-runs inside the commit critical section)") {
+    val t = freshName()
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT) TBLPROPERTIES ('unique_key' = 'id')")
+    spark.sql(s"INSERT INTO $t VALUES (1)")
+    // two writers race the same fresh key: both audit against the same
+    // tip, then commit sequentially through the version race — without
+    // the in-lock re-audit both passed and the table ended with a
+    // duplicate despite the declared constraint
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 3).foreach { round =>
+      val k = 100L + round
+      val attempts = Seq(
+        Future(scala.util.Try(spark.sql(s"INSERT INTO $t VALUES ($k)"))),
+        Future(scala.util.Try(spark.sql(s"INSERT INTO $t VALUES ($k)"))))
+      val results = Await.result(Future.sequence(attempts), 120.seconds)
+      assert(results.exists(_.isSuccess), s"round $round: both inserts failed")
+      assert(
+        spark.sql(s"SELECT count(*) FROM $t WHERE id = $k").head.getLong(0) == 1L,
+        s"round $round: duplicate key admitted")
+    }
+  }
+
+  // --- round-13 gate of the round-12 ViewCatalog ---
+
+  private var vn = 0
+  private def freshView(): String = {
+    val _ = warehouse
+    vn += 1
+    s"cattest.main.vw$vn"
+  }
+
+  test("view lifecycle: CREATE VIEW / read-through / SHOW VIEWS / DROP VIEW") {
+    val t = freshName()
+    val v = freshView()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range(0, 5)")
+    spark.sql(s"CREATE VIEW $v AS SELECT id, x * 2 AS x2 FROM $t WHERE id > 0")
+    assert(
+      spark.sql(s"SELECT sum(x2) FROM $v").head.getDouble(0) ==
+        (1 to 4).map(_ * 2.0).sum)
+    assert(
+      spark.sql("SHOW VIEWS IN cattest.main").collect()
+        .map(_.getString(1)).contains(v.split('.').last))
+    spark.sql(s"DROP VIEW $v")
+    assert(
+      !spark.sql("SHOW VIEWS IN cattest.main").collect()
+        .map(_.getString(1)).contains(v.split('.').last))
+    intercept[Exception](spark.sql(s"SELECT * FROM $v").collect())
+  }
+
+  test("view re-analyzes at the base table's CURRENT tip (text, not a frozen plan)") {
+    val t = freshName()
+    val v = freshView()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 5)")
+    spark.sql(s"CREATE VIEW $v AS SELECT count(*) AS n FROM $t")
+    assert(spark.sql(s"SELECT n FROM $v").head.getLong(0) == 5L)
+    // rows landing AFTER view creation must be visible through it
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(5, 12)")
+    assert(spark.sql(s"SELECT n FROM $v").head.getLong(0) == 12L)
+  }
+
+  test("view-over-view resolves through nested definitions") {
+    val t = freshName()
+    val v1 = freshView()
+    val v2 = freshView()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10)")
+    spark.sql(s"CREATE VIEW $v1 AS SELECT id * 10 AS id10 FROM $t")
+    spark.sql(s"CREATE VIEW $v2 AS SELECT sum(id10) AS s FROM $v1 WHERE id10 >= 50")
+    assert(
+      spark.sql(s"SELECT s FROM $v2").head.getLong(0) ==
+        (5 to 9).map(_ * 10L).sum)
+  }
+
+  test("ALTER VIEW SET/UNSET properties round-trip; RENAME moves the definition") {
+    val t = freshName()
+    val v = freshView()
+    val v2 = freshView()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 4)")
+    spark.sql(s"CREATE VIEW $v AS SELECT count(*) AS n FROM $t")
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('steward' = 'graft', 'tier' = 'gold')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("steward").contains("graft") && props.get("tier").contains("gold"))
+    spark.sql(s"ALTER VIEW $v UNSET TBLPROPERTIES ('tier')")
+    val props2 = spark.sql(s"SHOW TBLPROPERTIES $v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.get("steward").contains("graft") && !props2.contains("tier"))
+    spark.sql(s"ALTER VIEW $v RENAME TO main.${v2.split('.').last}")
+    assert(spark.sql(s"SELECT n FROM $v2").head.getLong(0) == 4L)
+    intercept[Exception](spark.sql(s"SELECT n FROM $v").collect())
+  }
+
+  test("shadow guards are symmetric: no view over a table, no table over a view") {
+    val t = freshName()
+    val v = freshView()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    // view must not shadow the table
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE VIEW cattest.main.${t.split('.').last} AS SELECT 1 AS x"))
+    assert(e1.getMessage.toLowerCase.contains("already exists"))
+    spark.sql(s"CREATE VIEW $v AS SELECT id FROM $t")
+    // table must not shadow the view (the round-12 asymmetry, fixed)
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE cattest.main.${v.split('.').last} (id BIGINT)"))
+    assert(e2.getMessage.toLowerCase.contains("already exists"))
+    // CTAS goes through the same createTable and must refuse too
+    val e3 = intercept[Exception](
+      spark.sql(s"CREATE TABLE cattest.main.${v.split('.').last} AS SELECT 1 AS x"))
+    assert(e3.getMessage.toLowerCase.contains("already exists"))
+    // and renames refuse to land on the other kind's name
+    val t2 = freshName()
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT)")
+    val e4 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t2 RENAME TO main.${v.split('.').last}"))
+    assert(e4.getMessage.toLowerCase.contains("already exists"))
+    val e5 = intercept[Exception](spark.sql(
+      s"ALTER VIEW $v RENAME TO main.${t.split('.').last}"))
+    assert(e5.getMessage.toLowerCase.contains("already exists"))
+  }
+
+  test("view over a widened base column: re-analysis serves the CURRENT schema") {
+    // the stored view schema is frozen at creation while the SQL text
+    // re-analyzes at the current tip — the pinned semantics: a base
+    // widen (int->bigint via ALTER COLUMN TYPE) flows THROUGH the
+    // view, because resolution expands the text against the live
+    // table; SELECT * views therefore track base-schema drift rather
+    // than failing analysis.
+    val t = freshName()
+    val v = freshView()
+    spark.sql(s"CREATE TABLE $t (id INT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 1.5), (2, 2.5)")
+    spark.sql(s"CREATE VIEW $v AS SELECT id, x FROM $t")
+    assert(
+      spark.sql(s"SELECT * FROM $v").schema("id").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE BIGINT")
+    assert(
+      spark.sql(s"SELECT * FROM $v").schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+    assert(spark.sql(s"SELECT sum(id) FROM $v").head.getLong(0) == 3L)
+    // a DROPPED base column the view names fails analysis loudly with
+    // the column's name in the error — CREATE OR REPLACE is the remedy
+    spark.sql(s"ALTER TABLE $t DROP COLUMN x")
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $v").collect())
+    assert(e.getMessage.contains("x") || e.getMessage.toLowerCase.contains("resolve"))
+  }
 }

@@ -101,4 +101,28 @@ class MvSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("not a materialized view"))
   }
+
+  test("a crash between refresh commit and props rewrite cannot double-count " +
+    "(high-water mark rides the commit header)") {
+    val src = fresh("src")
+    val mv = fresh("mv")
+    SnapshotLog.commit(spark, src, kv(Seq(1L -> 10L, 2L -> 20L)))
+    val asOf = SnapshotLog.createMv(spark, src, mv, "k", "v")
+    SnapshotLog.commit(spark, src, kv(Seq(1L -> 5L, 3L -> 7L)))
+    val (_, to) = SnapshotLog.refreshMv(spark, mv)
+    val good = mvRows(mv)
+    assert(good == recompute(src))
+    // simulate the crash window: the fold COMMITTED (header carries
+    // mvv=to) but the props rewrite never ran — wind the props copy
+    // back to the pre-refresh version
+    val props = SnapshotLog.tableProps(spark, mv)
+    SnapshotLog.setTableProps(
+      spark, mv, props + ("mv_version" -> asOf.toString))
+    // a replayed refresh must trust the committed header, see nothing
+    // new, and change nothing — the stale-props design double-applied
+    // the same change feed here (1->15 became 1->20)
+    val (f2, t2) = SnapshotLog.refreshMv(spark, mv)
+    assert(f2 == to && t2 == to, s"replay must no-op from the header: $f2 -> $t2")
+    assert(mvRows(mv) == good)
+  }
 }

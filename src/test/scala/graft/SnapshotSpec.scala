@@ -490,6 +490,30 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotLog.readPoint(spark, t, "id", 123L).isEmpty)
   }
 
+  test("bloom build commits as a conflict-checked replace, not a tip overwrite") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (0L until 100L).toDF("id").repartition(2))
+    SnapshotLog.commit(spark, t, (100L until 200L).toDF("id").repartition(2))
+    SnapshotLog.buildBloomIndex(spark, t, "id")
+    val v = SnapshotLog.versions(spark, t).last
+    // the round-12 build overwrote the tip manifest blindly: any commit
+    // landing during the (long, distributed) build — its whole file
+    // list — was silently dropped, orphaning rows. The replace path
+    // carries untouched entries by reference and conflict-checks the
+    // re-spelled ones at commit time inside the lock.
+    val hist = SnapshotLog.describeHistory(spark, t)
+      .filter(col("version") === v).collect()(0)
+    assert(hist.getString(1) == "replace",
+      s"bloom commit must be a replace, got '${hist.getString(1)}'")
+    assert(!hist.getBoolean(2), "bloom commit must be datachange=false")
+    // data-preserving by contract: rows identical through the rebuild
+    assert(SnapshotLog.read(spark, t).count() == 200L)
+    // and the index still prunes the point probe
+    val (kept, total) = SnapshotLog.prunedFilesBloom(spark, t, "id", 42L)
+    assert(kept.size < total)
+  }
+
   test("string-key z-order: both a STRING and a numeric dim prune after the rewrite") {
     import spark.implicits._
     val t = freshTable()

@@ -13,6 +13,8 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(
+      "spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"
