@@ -2029,6 +2029,52 @@ object Scans {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** MULTI-COLUMN IDENTITY `PARTITIONED BY (a, b)` (round 13): writes
+    * cluster on the partition TUPLE (`Distributions.clustered(
+    * identity(a), identity(b))`) and the task writer routes by the
+    * value pair, so every landed file is value-pure in BOTH columns —
+    * each carries a tight single-value footer stat for each partition
+    * column, and the existing manifest-stats skipping prunes
+    * predicates on EITHER column alone or both (the time-series DDL
+    * shape: `PARTITIONED BY (region, day)` with queries filtering on
+    * just day, just region, or both). Pinned inline: the two-column
+    * probe keeps a strict subset of what either one-column probe
+    * keeps, and each one-column probe prunes on its own. The oracle
+    * recomputes the slice from the source. */
+  val sqlPartitionMulti: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_part2")
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_part2_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_part2
+         |(o_orderkey BIGINT, pa BIGINT, pb BIGINT, o_totalprice DOUBLE)
+         |PARTITIONED BY (pa, pb)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_part2
+         |SELECT o_orderkey, o_custkey % 4 AS pa, o_orderkey % 3 AS pb,
+         |       o_totalprice
+         |FROM graft_part2_src""".stripMargin)
+    val tablePath = tmp("sql_warehouse") + "/main/orders_part2"
+    import graft.sources.SnapshotLog
+    val (keptA, total) = SnapshotLog.prunedFiles(spark, tablePath, "pa", 2, 2)
+    val (keptB, _) = SnapshotLog.prunedFiles(spark, tablePath, "pb", 1, 1)
+    require(
+      total >= 12 && keptA.size < total && keptB.size < total,
+      s"each partition column must prune alone: pa=${keptA.size} " +
+        s"pb=${keptB.size} of $total")
+    require(
+      keptA.toSet.intersect(keptB.toSet).size < math.min(keptA.size, keptB.size) ||
+        keptA.toSet.intersect(keptB.toSet).size <= total / 3,
+      s"the conjunction must narrow further: ${keptA.toSet.intersect(keptB.toSet).size}")
+    spark.sql(
+      s"""SELECT o_orderkey, pa, pb, o_totalprice
+         |FROM $cat.main.orders_part2 WHERE pa = 2 AND pb = 1
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** PARTITION EVOLUTION (round 12): `ALTER TABLE ... SET
     * TBLPROPERTIES ('partition_by'='col')` re-declares the layout of
     * a LIVE table with zero rewrite — possible exactly because the
@@ -2148,6 +2194,64 @@ object Scans {
     spark.sql(
       s"""SELECT o_custkey, mv_sum, mv_n
          |FROM $cat.main.orders_mv ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** MIN/MAX managed MV (round 13, closing the sum/count-only
+    * restriction): `CALL system.create_mv(..., kind => 'minmax')`
+    * materializes a per-key min/max/count rollup. min/max cannot
+    * invert a delete (the removed row may BE the extremum), so the
+    * refresh splits the delta: pure-insert groups keep the exact
+    * least/greatest/count FOLD (O(changed files) of the source), and
+    * ONLY the groups the delta deletes touch recompute from the
+    * source's current state — a left-semi join on the affected keys,
+    * group-scoped, never the full table. The graded flow: two
+    * inserts, materialize, a third insert (fold path) AND a SQL
+    * DELETE scattering removals across groups — including extrema —
+    * then one refresh; the oracle recomputes the rollup from the
+    * final source state, so a fold that kept a deleted extremum or a
+    * recompute that missed a group breaks the hash. */
+  val sqlMvMinmax: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mmsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mm")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_sqlmm_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_mmsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mmsrc
+         |SELECT * FROM graft_sqlmm_src WHERE o_orderkey <= $c1""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mmsrc
+         |SELECT * FROM graft_sqlmm_src
+         |WHERE o_orderkey > $c1 AND o_orderkey <= $c2""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_mv(
+         |  source => 'main.orders_mmsrc', mv => 'main.orders_mm',
+         |  key => 'o_custkey', agg => 'cents', kind => 'minmax')""".stripMargin)
+    // fold path: a pure append behind the MV's back
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mmsrc
+         |SELECT * FROM graft_sqlmm_src WHERE o_orderkey > $c2""".stripMargin)
+    // recompute path: a CoW DELETE scattering across groups (removes
+    // many per-group extrema — %10 of all rows)
+    spark.sql(s"DELETE FROM $cat.main.orders_mmsrc WHERE o_orderkey % 10 = 0")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv(mv => 'main.orders_mm')").head
+    require(
+      r.getInt(1) > r.getInt(0),
+      s"refresh must advance the as-of version, got $r")
+    spark.sql(
+      s"""SELECT o_custkey, mv_min, mv_max, mv_n
+         |FROM $cat.main.orders_mm ORDER BY o_custkey""".stripMargin)
   }
 
   /** MERGE-ON-READ SQL DML (round 12): `TBLPROPERTIES ('write_mode' =
@@ -3503,6 +3607,7 @@ object Scans {
     "sql_widen_col" -> sqlWidenCol,
     "sql_meta_history" -> sqlMetaHistory,
     "sql_partitioned_table" -> sqlPartitionedTable,
+    "sql_partition_multi" -> sqlPartitionMulti,
     "sql_clone_read" -> sqlCloneRead,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
@@ -3510,6 +3615,7 @@ object Scans {
     "sql_unique_key" -> sqlUniqueKey,
     "sql_partition_evolve" -> sqlPartitionEvolve,
     "sql_mv_refresh" -> sqlMvRefresh,
+    "sql_mv_minmax" -> sqlMvMinmax,
     "sql_dml_mor" -> sqlDmlMor,
     "sql_topn_pushdown" -> sqlTopnPushdown,
     "sql_ingest" -> sqlIngest,
@@ -3722,6 +3828,18 @@ object Scans {
         |   AS mv_sum,
         | CAST(count(*) AS BIGINT) AS mv_n
         |FROM orders, b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the incremental minmax refresh (insert fold + delete-group
+    // recompute) must land bit-exactly on the full recompute of the
+    // final source state
+    "sql_mv_minmax" ->
+      """SELECT o_custkey,
+        | CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS mv_min,
+        | CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS mv_max,
+        | CAST(count(*) AS BIGINT) AS mv_n
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // cross-generation fidelity through the layout change: the status
     // slice spans pre-evolution and value-routed files alike
     "sql_partition_evolve" ->
@@ -3796,6 +3914,14 @@ object Scans {
       """SELECT o_orderkey, o_custkey % 8 AS part, o_totalprice
         |FROM orders
         |WHERE o_custkey % 8 = 3
+        |ORDER BY o_orderkey""".stripMargin,
+    // the two-column slice recomputed from the source: tuple-routed
+    // files must serve exactly the conjunction's rows
+    "sql_partition_multi" ->
+      """SELECT o_orderkey, o_custkey % 4 AS pa, o_orderkey % 3 AS pb,
+        |       o_totalprice
+        |FROM orders
+        |WHERE o_custkey % 4 = 2 AND o_orderkey % 3 = 1
         |ORDER BY o_orderkey""".stripMargin,
     // the commit ledger through the metadata table: per-version live
     // rows over create/append/append/delete vs the source recompute

@@ -216,17 +216,28 @@ class SnapshotCatalog
     // partition-column removal from the data, no small-file explosion
     // (OPTIMIZE re-packs as usual; the claim is advisory layout, never
     // a correctness boundary).
+    // PARTITIONED BY (a[, b, ...]) — any number of IDENTITY columns;
+    // the spec is stored comma-joined and writes cluster on the TUPLE,
+    // landing one value-pure file per distinct combination per task
+    // (tight single-value footer stats on every partition column, so
+    // the existing manifest-stats skipping prunes predicates on ANY
+    // prefix or subset of the partition columns)
     val partitionBy: Option[String] = partitions.toSeq match {
-      case Seq(t) if t.name() == "identity" =>
-        t.references() match {
-          case Array(r) if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
-          case _ =>
-            throw new UnsupportedOperationException(
-              "snapshot catalog: PARTITIONED BY wants one top-level column")
-        }
+      case ts if ts.nonEmpty && ts.forall(_.name() == "identity") =>
+        val cols = ts.map(t =>
+          t.references() match {
+            case Array(r) if r.fieldNames().length == 1 => r.fieldNames()(0)
+            case _ =>
+              throw new UnsupportedOperationException(
+                "snapshot catalog: PARTITIONED BY wants top-level columns")
+          })
+        require(
+          cols.distinct == cols,
+          s"snapshot catalog: duplicate partition column in ${cols.mkString(",")}")
+        Some(cols.mkString(","))
       case _ => None
     }
-    partitionBy.foreach { c =>
+    partitionBy.toSeq.flatMap(_.split(',')).foreach { c =>
       val fld = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot catalog: partition column '$c' is not in the schema"))
@@ -234,6 +245,9 @@ class SnapshotCatalog
         fld.dataType == LongType || fld.dataType == IntegerType ||
           fld.dataType == StringType,
         s"snapshot catalog: partition column '$c' must be int/bigint/string")
+      require(
+        !c.contains(','),
+        s"snapshot catalog: ',' in partition column name '$c'")
     }
     val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
       case Nil => None
@@ -584,7 +598,7 @@ class SnapshotCatalog
         "snapshot catalog ALTER: sorted_partitions without sorted_by")
       v.toInt
     }
-    p2.get("partition_by").foreach { c =>
+    p2.get("partition_by").toSeq.flatMap(_.split(',')).foreach { c =>
       val fld = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot catalog ALTER: partition column '$c' is not in the schema"))
@@ -1019,10 +1033,11 @@ case class SnapshotSqlTable(
   private val sortedBy: Option[String] = tipProps.get("sorted_by")
   private val sortedParts: Int =
     tipProps.get("sorted_partitions").map(_.toInt).getOrElse(0)
-  /** Declared identity-partition column (`PARTITIONED BY (col)`):
-    * batch INSERTs cluster by value and land one file per partition
-    * value per task, so the existing manifest-stats skipping prunes
-    * partition predicates exactly. */
+  /** Declared identity-partition columns (`PARTITIONED BY (a[, b])`,
+    * comma-joined): batch INSERTs cluster by the value TUPLE and land
+    * one file per distinct combination per task, so the existing
+    * manifest-stats skipping prunes partition predicates exactly —
+    * on any subset of the partition columns. */
   private val partitionBy: Option[String] = tipProps.get("partition_by")
 
   /** Reported so DESCRIBE shows the layout and Spark understands the
@@ -1030,7 +1045,7 @@ case class SnapshotSqlTable(
   override def partitioning(): Array[Transform] =
     tipBucketSpec.toArray.map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-    } ++ partitionBy.toArray.map(c =>
+    } ++ partitionBy.toSeq.flatMap(_.split(',')).map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   override def name(): String = ident
@@ -2289,9 +2304,12 @@ class SnapshotSqlWriteBuilder(
           Distributions.ordered(Array(Expressions.sort(
             Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
-        case (None, None, Some(c)) =>
-          // whole partition values per task → one file per value
-          Distributions.clustered(Array(Expressions.identity(c)))
+        case (None, None, Some(cs)) =>
+          // whole partition tuples per task → one file per combination
+          Distributions.clustered(
+            cs.split(',').map(c =>
+              Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression))
         case _ => Distributions.unspecified()
       }
     }
@@ -2603,8 +2621,12 @@ class SnapshotPartitionedParquetWriter(
 
   private val messageType: MessageType = SnapshotSql.toMessageType(schema)
   private val factory = new SimpleGroupFactory(messageType)
-  private val colIdx = schema.fieldIndex(partCol)
-  private val dt = schema(colIdx).dataType
+  // `partCol` is the comma-joined spec: one routing key per distinct
+  // value TUPLE, so every landed file is value-pure in EVERY declared
+  // partition column (tight single-value footer stats on each)
+  private val colIdxs: Array[Int] =
+    partCol.split(',').map(schema.fieldIndex)
+  private val dts = colIdxs.map(schema(_).dataType)
   private val writers =
     scala.collection.mutable.Map.empty[String, (ParquetWriter[Group], String)]
   private var qWriter: ParquetWriter[Group] = _
@@ -2619,16 +2641,19 @@ class SnapshotPartitionedParquetWriter(
       .build()
 
   private def keyOf(row: InternalRow): String =
-    if (row.isNullAt(colIdx)) "__null__"
-    else
-      dt match {
-        case LongType    => row.getLong(colIdx).toString
-        case IntegerType => row.getInt(colIdx).toString
-        case StringType  => row.getUTF8String(colIdx).toString
-        case other =>
-          throw new UnsupportedOperationException(
-            s"partitioned write: unsupported partition type $other")
-      }
+    colIdxs.indices.map { j =>
+      val i = colIdxs(j)
+      if (row.isNullAt(i)) "__null__"
+      else
+        dts(j) match {
+          case LongType    => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case StringType  => row.getUTF8String(i).toString
+          case other =>
+            throw new UnsupportedOperationException(
+              s"partitioned write: unsupported partition type $other")
+        }
+    }.mkString("\u0001") // separated: ("1","23") must not collide with ("12","3")
 
   override def write(row: InternalRow): Unit =
     if (check.forall(_.passes(row))) {
@@ -3361,15 +3386,19 @@ private[sources] object SnapshotProcedures {
           }
         )
       case "create_mv" =>
-        // materialize a per-key sum/count rollup as a catalog table;
-        // the MV records its source + as-of version for refresh_mv
+        // materialize a per-key rollup as a catalog table; the MV
+        // records its source + as-of version for refresh_mv. kind:
+        // 'sum' (sum/count, invertible fold) or 'minmax' (min/max/
+        // count — delete-touched groups recompute on refresh)
         proc(
           "create_mv",
           Seq(
             ProcedureParameter.in("source", StringType).build(),
             ProcedureParameter.in("mv", StringType).build(),
             ProcedureParameter.in("key", StringType).build(),
-            ProcedureParameter.in("agg", StringType).build()
+            ProcedureParameter.in("agg", StringType).build(),
+            ProcedureParameter.in("kind", StringType)
+              .defaultValue("'sum'").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
           in =>
@@ -3379,7 +3408,8 @@ private[sources] object SnapshotProcedures {
                 resolve(in.getUTF8String(0).toString),
                 resolve(in.getUTF8String(1).toString),
                 in.getUTF8String(2).toString,
-                in.getUTF8String(3).toString))))
+                in.getUTF8String(3).toString,
+                if (in.isNullAt(4)) "sum" else in.getUTF8String(4).toString))))
         )
       case "refresh_mv" =>
         // incremental: reads ONLY the source's change feed since the

@@ -2737,22 +2737,34 @@ object SnapshotLog {
           "already exists in the table")
   }
 
-  /** Materialize the per-key sum/count rollup of `source` as the
-    * snapshot table `mv`, recording (source, key, agg, high-water
-    * version) in the MV's props so [[refreshMv]] can maintain it from
-    * the change feed. Returns the source version the MV is as-of. */
+  /** Materialize a per-key rollup of `source` as the snapshot table
+    * `mv`, recording (source, key, agg, kind, high-water version) in
+    * the MV's props so [[refreshMv]] can maintain it from the change
+    * feed. `kind`: `sum` (default — sum/count, refresh is a pure
+    * invertible fold) or `minmax` (min/max/count — inserts fold,
+    * delete-touched GROUPS recompute, see refreshMv). Returns the
+    * source version the MV is as-of. */
   def createMv(
       spark: SparkSession,
       source: String,
       mv: String,
       keyCol: String,
-      aggCol: String
+      aggCol: String,
+      kind: String = "sum"
   ): Int = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    require(
+      kind == "sum" || kind == "minmax",
+      s"createMv: kind must be 'sum' or 'minmax', got '$kind'")
     val tip = versions(spark, source).last
-    val m = read(spark, source, Some(tip))
-      .groupBy(col(keyCol))
-      .agg(sum(col(aggCol)).as("mv_sum"), count(lit(1)).as("mv_n"))
+    val src = read(spark, source, Some(tip)).groupBy(col(keyCol))
+    val m =
+      if (kind == "sum")
+        src.agg(sum(col(aggCol)).as("mv_sum"), count(lit(1)).as("mv_n"))
+      else
+        src.agg(
+          min(col(aggCol)).as("mv_min"), max(col(aggCol)).as("mv_max"),
+          count(lit(1)).as("mv_n"))
     // the as-of version rides the materialize commit's own header
     // (`mvv=`): data and high-water mark land in ONE atomic write, the
     // same ledger-rides-the-commit design as ingest. The props copy is
@@ -2766,6 +2778,7 @@ object SnapshotLog {
         "mv_source" -> source,
         "mv_key" -> keyCol,
         "mv_agg" -> aggCol,
+        "mv_kind" -> kind,
         "mv_version" -> tip.toString))
     tip
   }
@@ -2781,42 +2794,83 @@ object SnapshotLog {
 
   /** Incremental MV refresh: reads ONLY `readChanges(asOf, tip)` of
     * the source — O(changed files), the point of a change feed on a
-    * 100 TB table — applies inserts as +, deletes as −, and commits
-    * the folded rollup as one overwrite. The MV itself is O(distinct
-    * keys), so the rewrite is the small side by construction; the
-    * incrementality claim is about the SOURCE read, and that is the
-    * side that scales with the data. A refresh past the retention
-    * horizon fails loudly in readChanges (the expired-read contract);
-    * re-materialize with [[createMv]] then. No-op (same version
-    * returned twice) when the source has not moved. */
+    * 100 TB table — and commits the folded rollup as one overwrite.
+    * `sum` MVs apply inserts as +, deletes as − (a pure invertible
+    * fold). `minmax` MVs fold INSERTS exactly (least/greatest/count)
+    * but min/max cannot invert a delete — so the refresh recomputes
+    * ONLY the groups the delta deletes touch, from the source's
+    * current state (group-scoped: a left-semi join on the affected
+    * keys; stats skipping admits only files whose range covers them),
+    * and every untouched group keeps the pure fold. The MV itself is
+    * O(distinct keys), so the rewrite is the small side by
+    * construction; the incrementality claim is about the SOURCE read,
+    * and that is the side that scales with the data. A refresh past
+    * the retention horizon fails loudly in readChanges (the
+    * expired-read contract); re-materialize with [[createMv]] then.
+    * No-op (same version returned twice) when the source has not
+    * moved. */
   def refreshMv(spark: SparkSession, mv: String): (Int, Int) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, greatest, least, lit, max, min, sum, when}
     val props = tableProps(spark, mv)
     val source = props.getOrElse(
       "mv_source",
       throw new IllegalArgumentException(
         s"refreshMv: $mv is not a materialized view (no mv_source prop)"))
     val (key, agg) = (props("mv_key"), props("mv_agg"))
+    val kind = props.getOrElse("mv_kind", "sum")
     // committed header token first (atomic with the data); props are
     // the pre-header fallback for MVs materialized by older builds
     val from = mvCommittedVersion(spark, mv)
       .getOrElse(props("mv_version").toInt)
     val to = versions(spark, source).last
     if (to == from) return (from, to)
-    val sign =
-      when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-    val delta = readChanges(spark, source, from, to)
-      .groupBy(col(key))
-      .agg(sum(col(agg) * sign).as("d_sum"), sum(sign).as("d_n"))
-    val next = read(spark, mv)
-      .join(delta, Seq(key), "full_outer")
-      .select(
-        col(key),
-        (coalesce(col("mv_sum"), lit(0L)) +
-          coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
-        (coalesce(col("mv_n"), lit(0L)) +
-          coalesce(col("d_n"), lit(0L))).as("mv_n"))
-      .filter(col("mv_n") > 0)
+    val changes = readChanges(spark, source, from, to)
+    val next = if (kind == "sum") {
+      val sign =
+        when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+      val delta = changes
+        .groupBy(col(key))
+        .agg(sum(col(agg) * sign).as("d_sum"), sum(sign).as("d_n"))
+      read(spark, mv)
+        .join(delta, Seq(key), "full_outer")
+        .select(
+          col(key),
+          (coalesce(col("mv_sum"), lit(0L)) +
+            coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
+          (coalesce(col("mv_n"), lit(0L)) +
+            coalesce(col("d_n"), lit(0L))).as("mv_n"))
+        .filter(col("mv_n") > 0)
+    } else {
+      // groups with a delete in the delta: fold is impossible (the
+      // removed row may BE the extremum) — recompute exactly these
+      val delKeys = changes
+        .filter(col("change_type") === "delete")
+        .select(col(key)).distinct()
+      val insDelta = changes
+        .filter(col("change_type") === "insert")
+        .groupBy(col(key))
+        .agg(
+          min(col(agg)).as("d_min"), max(col(agg)).as("d_max"),
+          count(lit(1)).as("d_n"))
+      // least/greatest skip nulls, so a one-sided key folds correctly
+      val folded = read(spark, mv)
+        .join(insDelta, Seq(key), "full_outer")
+        .select(
+          col(key),
+          least(col("mv_min"), col("d_min")).as("mv_min"),
+          greatest(col("mv_max"), col("d_max")).as("mv_max"),
+          (coalesce(col("mv_n"), lit(0L)) +
+            coalesce(col("d_n"), lit(0L))).as("mv_n"))
+      val recomputed = read(spark, source)
+        .join(delKeys, Seq(key), "left_semi")
+        .groupBy(col(key))
+        .agg(
+          min(col(agg)).as("mv_min"), max(col(agg)).as("mv_max"),
+          count(lit(1)).as("mv_n"))
+      // a fully-deleted group appears in delKeys but not in the
+      // recompute — it vanishes, as it must
+      folded.join(delKeys, Seq(key), "left_anti").unionByName(recomputed)
+    }
     // fold result + new high-water mark in ONE commit: a crash after
     // this line leaves props stale but the header authoritative, so a
     // replayed refresh folds from `to`, not `from` — no double-count

@@ -1347,6 +1347,41 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("PARTITIONED BY (a, b): tuple-routed files prune on either column " +
+    "alone and narrow further on the conjunction") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, pa BIGINT, pb BIGINT)
+         |PARTITIONED BY (pa, pb)""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $t SELECT id, id % 3 AS pa, id % 2 AS pb FROM range(0, 600)")
+    val path = pathOf(t)
+    val (keptA, total) = SnapshotLog.prunedFiles(spark, path, "pa", 1, 1)
+    val (keptB, _) = SnapshotLog.prunedFiles(spark, path, "pb", 0, 0)
+    assert(total >= 6, s"tuple routing must land >=6 value-pure files: $total")
+    assert(keptA.size < total && keptB.size < total,
+      s"each column must prune alone: ${keptA.size}/${keptB.size} of $total")
+    val both = keptA.toSet.intersect(keptB.toSet)
+    assert(both.size < keptA.size && both.size < keptB.size,
+      s"conjunction must narrow beyond either column: ${both.size}")
+    // and the rows are exact through the layout
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t WHERE pa = 1 AND pb = 0")
+        .head.getLong(0) ==
+        (0L until 600L).count(i => i % 3 == 1 && i % 2 == 0))
+    // a duplicate partition column refuses at DDL (Spark's analyzer
+    // catches it first; our catalog guard backs it up for direct API use)
+    val dup = intercept[Exception](spark.sql(
+      s"CREATE TABLE ${freshName()} (x BIGINT) PARTITIONED BY (x, x)"))
+    assert(dup.getMessage.toLowerCase.contains("duplicate"))
+    // transform partitioning still refuses loudly (advisory identity
+    // clustering only)
+    val tr = intercept[Exception](spark.sql(
+      s"CREATE TABLE ${freshName()} (ts TIMESTAMP) PARTITIONED BY (days(ts))"))
+    assert(tr.getMessage.toLowerCase.contains("identity") ||
+      tr.getMessage.toLowerCase.contains("bucket"))
+  }
+
   // --- round-13 gate of the round-12 ViewCatalog ---
 
   private var vn = 0

@@ -102,6 +102,52 @@ class MvSpec extends SparkTestBase {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  /** Full recompute of a minmax MV at the source's tip. */
+  private def recomputeMinmax(src: String): Set[(Long, Long, Long, Long)] =
+    SnapshotLog.read(spark, src)
+      .groupBy(col("k"))
+      .agg(min(col("v")).as("mv_min"), max(col("v")).as("mv_max"),
+        count(lit(1)).as("mv_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def mvMinmaxRows(mv: String): Set[(Long, Long, Long, Long)] =
+    SnapshotLog.read(spark, mv)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("minmax MV: inserts fold; a CoW delete that removes a group's minimum " +
+    "lands on the group-scoped recompute exactly") {
+    val src = fresh("src")
+    val mv = fresh("mv")
+    SnapshotLog.commit(spark, src, kv(Seq(1L -> 10L, 1L -> 30L, 2L -> 5L)))
+    val asOf = SnapshotLog.createMv(spark, src, mv, "k", "v", kind = "minmax")
+    assert(asOf == 1 && mvMinmaxRows(mv) == recomputeMinmax(src))
+    // pure-insert delta: the fold path (no recompute needed)
+    SnapshotLog.commit(spark, src, kv(Seq(1L -> 7L, 3L -> 50L)))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvMinmaxRows(mv) == recomputeMinmax(src))
+    assert(mvMinmaxRows(mv).contains((1L, 7L, 30L, 3L)))
+    // CoW delete of group 1's MINIMUM (v=7): min/max cannot invert a
+    // delete — the refresh must recompute group 1 from the source and
+    // land min back on 10, while groups 2 and 3 keep the fold
+    SnapshotLog.mergeCoW(
+      spark, src, "k", kv(Seq(1L -> 0L)).select("k"),
+      df => df.filter(!(col("k") === 1L && col("v") === 7L)))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvMinmaxRows(mv) == recomputeMinmax(src))
+    assert(mvMinmaxRows(mv).contains((1L, 10L, 30L, 2L)))
+    // a fully-deleted group vanishes from the MV
+    SnapshotLog.mergeCoW(
+      spark, src, "k", kv(Seq(3L -> 0L)).select("k"),
+      df => df.filter(col("k") =!= 3L))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvMinmaxRows(mv) == recomputeMinmax(src))
+    assert(!mvMinmaxRows(mv).exists(_._1 == 3L))
+  }
+
   test("a crash between refresh commit and props rewrite cannot double-count " +
     "(high-water mark rides the commit header)") {
     val src = fresh("src")
