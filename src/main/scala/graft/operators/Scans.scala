@@ -2075,6 +2075,57 @@ object Scans {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TRANSFORM PARTITIONING `PARTITIONED BY (days(ts))` (round 13 —
+    * the time-series user's first DDL, previously a loud refusal):
+    * the layout spec now carries TRANSFORM fields (days/months/years/
+    * hours of a timestamp or date, truncate(w, col)) under the same
+    * advisory machinery as identity — the write distribution clusters
+    * on the TRANSFORMED value (the catalog's FunctionCatalog serves
+    * the canonical transforms so Spark can evaluate the clustering),
+    * the task writer routes rows by transformed value, and every
+    * landed file is DAY-PURE. The payoff needs no new pruning code:
+    * a day-pure file's raw ts min/max spans at most that day, so the
+    * EXISTING manifest-stats skipping prunes ts range predicates
+    * (pinned inline: a one-day probe keeps a strict subset of files).
+    * No derived column is stored, no hive directories; OPTIMIZE
+    * re-packs freely. The oracle recomputes the day slice from the
+    * source. */
+  val sqlPartitionDays: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_bydate")
+    val e = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "value")
+    e.createOrReplaceTempView("graft_partdays_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_bydate
+         |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_bydate
+         |SELECT * FROM graft_partdays_src""".stripMargin)
+    // the probe day: the busiest day in the data (deterministic)
+    val probe = spark.sql(
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |FROM graft_partdays_src GROUP BY 1 ORDER BY n DESC, d LIMIT 1""".stripMargin)
+      .head.getDate(0).toString
+    val tablePath = tmp("sql_warehouse") + "/main/events_bydate"
+    // day-pure files: the one-day micros range prunes via RAW ts stats
+    val dayStart = java.time.LocalDate.parse(probe)
+    val loUs = dayStart.toEpochDay * 86400000000L
+    val hiUs = loUs + 86400000000L - 1
+    val (kept, total) = graft.sources.SnapshotLog
+      .prunedFiles(spark, tablePath, "ts", loUs, hiUs)
+    require(
+      total >= 3 && kept.size < total,
+      s"day-pure files must prune a one-day probe: ${kept.size}/$total")
+    spark.sql(
+      s"""SELECT event_id, user_id, value
+         |FROM $cat.main.events_bydate
+         |WHERE ts >= TIMESTAMP'$probe 00:00:00'
+         |  AND ts < TIMESTAMP'$probe 00:00:00' + INTERVAL 1 DAY
+         |ORDER BY event_id""".stripMargin)
+  }
+
   /** PARTITION EVOLUTION (round 12): `ALTER TABLE ... SET
     * TBLPROPERTIES ('partition_by'='col')` re-declares the layout of
     * a LIVE table with zero rewrite — possible exactly because the
@@ -3608,6 +3659,7 @@ object Scans {
     "sql_meta_history" -> sqlMetaHistory,
     "sql_partitioned_table" -> sqlPartitionedTable,
     "sql_partition_multi" -> sqlPartitionMulti,
+    "sql_partition_days" -> sqlPartitionDays,
     "sql_clone_read" -> sqlCloneRead,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
@@ -3915,6 +3967,15 @@ object Scans {
         |FROM orders
         |WHERE o_custkey % 8 = 3
         |ORDER BY o_orderkey""".stripMargin,
+    // the busiest-day slice recomputed from the source: day-routed
+    // files must serve exactly that day's rows
+    "sql_partition_days" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |           FROM events GROUP BY 1 ORDER BY n DESC, d LIMIT 1)
+        |SELECT event_id, user_id, value
+        |FROM events, d
+        |WHERE CAST(ts AS DATE) = d.d
+        |ORDER BY event_id""".stripMargin,
     // the two-column slice recomputed from the source: tuple-routed
     // files must serve exactly the conjunction's rows
     "sql_partition_multi" ->

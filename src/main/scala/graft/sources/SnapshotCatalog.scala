@@ -216,39 +216,47 @@ class SnapshotCatalog
     // partition-column removal from the data, no small-file explosion
     // (OPTIMIZE re-packs as usual; the claim is advisory layout, never
     // a correctness boundary).
-    // PARTITIONED BY (a[, b, ...]) — any number of IDENTITY columns;
-    // the spec is stored comma-joined and writes cluster on the TUPLE,
-    // landing one value-pure file per distinct combination per task
-    // (tight single-value footer stats on every partition column, so
-    // the existing manifest-stats skipping prunes predicates on ANY
-    // prefix or subset of the partition columns)
+    // PARTITIONED BY (a[, b, ...]) — any number of IDENTITY columns
+    // and/or TRANSFORMS (days/months/years/hours(ts), truncate(w, c));
+    // the spec is stored comma-joined and writes cluster on the
+    // TRANSFORMED tuple, landing one value-pure file per distinct
+    // combination per task (tight footer stats on every partition
+    // source column — a day-pure file's ts min/max spans at most one
+    // day — so the existing manifest-stats skipping prunes predicates
+    // on ANY prefix or subset of the partition columns)
+    val transformNames =
+      Set("identity", "days", "months", "years", "hours", "truncate")
     val partitionBy: Option[String] = partitions.toSeq match {
-      case ts if ts.nonEmpty && ts.forall(_.name() == "identity") =>
-        val cols = ts.map(t =>
-          t.references() match {
+      case ts if ts.nonEmpty && ts.forall(t => transformNames(t.name())) =>
+        val fields: Seq[PartField] = ts.map { t =>
+          val c = t.references() match {
             case Array(r) if r.fieldNames().length == 1 => r.fieldNames()(0)
             case _ =>
               throw new UnsupportedOperationException(
                 "snapshot catalog: PARTITIONED BY wants top-level columns")
-          })
+          }
+          t.name() match {
+            case "identity" => PartIdentity(c)
+            case "truncate" =>
+              val w = t.arguments().collectFirst {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                    if l.value().isInstanceOf[java.lang.Integer] =>
+                  l.value().asInstanceOf[java.lang.Integer].intValue()
+              }.getOrElse(throw new UnsupportedOperationException(
+                "snapshot catalog: truncate(width, col) wants an integer width"))
+              PartTruncate(w, c)
+            case u => PartTime(u, c)
+          }
+        }
         require(
-          cols.distinct == cols,
-          s"snapshot catalog: duplicate partition column in ${cols.mkString(",")}")
-        Some(cols.mkString(","))
+          fields.map(_.col).distinct == fields.map(_.col),
+          s"snapshot catalog: duplicate partition column in " +
+            fields.map(_.spec).mkString(","))
+        Some(fields.map(_.spec).mkString(","))
       case _ => None
     }
-    partitionBy.toSeq.flatMap(_.split(',')).foreach { c =>
-      val fld = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"snapshot catalog: partition column '$c' is not in the schema"))
-      require(
-        fld.dataType == LongType || fld.dataType == IntegerType ||
-          fld.dataType == StringType,
-        s"snapshot catalog: partition column '$c' must be int/bigint/string")
-      require(
-        !c.contains(','),
-        s"snapshot catalog: ',' in partition column name '$c'")
-    }
+    partitionBy.toSeq.flatMap(PartSpec.parse).foreach(
+      PartSpec.validate(_, schema, "snapshot catalog"))
     val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
       case Nil => None
       case _ if partitionBy.isDefined => None
@@ -598,14 +606,8 @@ class SnapshotCatalog
         "snapshot catalog ALTER: sorted_partitions without sorted_by")
       v.toInt
     }
-    p2.get("partition_by").toSeq.flatMap(_.split(',')).foreach { c =>
-      val fld = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"snapshot catalog ALTER: partition column '$c' is not in the schema"))
-      require(
-        fld.dataType == LongType || fld.dataType == IntegerType ||
-          fld.dataType == StringType,
-        s"snapshot catalog ALTER: partition column '$c' must be int/bigint/string")
+    p2.get("partition_by").toSeq.flatMap(PartSpec.parse).foreach { f =>
+      PartSpec.validate(f, schema, "snapshot catalog ALTER")
       require(
         !bucketed,
         "snapshot catalog ALTER: partition_by and bucket layout are mutually " +
@@ -921,14 +923,180 @@ class SnapshotCatalog
   // partitionings comparable.
 
   override def listFunctions(ns: Array[String]): Array[Identifier] =
-    Array(Identifier.of(ns, "bucket"))
+    ("bucket" +: GraftTimeTransformFunction.units :+ "truncate")
+      .map(Identifier.of(ns, _)).toArray
 
   override def loadFunction(
       ident: Identifier
   ): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name == "bucket") GraftBucketFunction
-    else
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    ident.name match {
+      case "bucket" => GraftBucketFunction
+      case u if GraftTimeTransformFunction.units.contains(u) =>
+        GraftTimeTransformFunction(u)
+      case "truncate" => GraftTruncateFunction
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
+}
+
+/** One field of a `partition_by` layout spec: a plain IDENTITY column
+  * or a derived TRANSFORM of one (`days/months/years/hours(ts)`,
+  * `truncate(w, col)` — the Iceberg transform vocabulary with the
+  * Iceberg-canonical value spaces: days = epoch days, hours = epoch
+  * hours, months = (y-1970)*12+(m-1), years = y-1970, truncate =
+  * floor-to-width for numbers / prefix for strings). The writer
+  * routes rows by the TRANSFORMED value, so every landed file is
+  * value-pure in the transform — and therefore carries a tight RAW
+  * footer stat (a day-pure file's ts min/max spans at most that day),
+  * which is exactly what the existing manifest-stats skipping prunes
+  * range predicates with. No derived column is stored; the layout
+  * stays advisory metadata. */
+sealed trait PartField { def col: String; def spec: String }
+case class PartIdentity(col: String) extends PartField {
+  def spec: String = col
+}
+case class PartTime(unit: String, col: String) extends PartField {
+  def spec: String = s"$unit($col)"
+}
+case class PartTruncate(width: Int, col: String) extends PartField {
+  def spec: String = s"truncate($width,$col)"
+}
+
+object PartSpec {
+  private val TimeRe = """(days|months|years|hours)\(([^)]+)\)""".r
+  private val TruncRe = """truncate\((\d+),([^)]+)\)""".r
+
+  /** Paren-aware comma split: `truncate(4,s),days(ts)` has a comma
+    * INSIDE a field. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case ch => cur += ch
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toSeq
+  }
+
+  def parse(s: String): Seq[PartField] = splitTop(s).map(parseOne)
+
+  def parseOne(f: String): PartField = f.trim match {
+    case TimeRe(u, c)  => PartTime(u, c.trim)
+    case TruncRe(w, c) => PartTruncate(w.toInt, c.trim)
+    case c             => PartIdentity(c)
+  }
+
+  /** DDL-time validation of a field against the table schema. */
+  def validate(f: PartField, schema: StructType, ctx: String): Unit = {
+    val fld = schema.fields.find(_.name == f.col).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ctx: partition column '${f.col}' is not in the schema"))
+    f match {
+      case _: PartIdentity =>
+        require(
+          fld.dataType == LongType || fld.dataType == IntegerType ||
+            fld.dataType == StringType,
+          s"$ctx: partition column '${f.col}' must be int/bigint/string")
+        require(
+          !f.col.contains(',') && !f.col.contains('(') && !f.col.contains(')'),
+          s"$ctx: unsupported character in partition column name '${f.col}'")
+      case PartTime("hours", c) =>
+        require(
+          fld.dataType == TimestampType,
+          s"$ctx: hours($c) wants a TIMESTAMP column, got ${fld.dataType.simpleString}")
+      case PartTime(u, c) =>
+        require(
+          fld.dataType == TimestampType || fld.dataType == DateType,
+          s"$ctx: $u($c) wants a TIMESTAMP or DATE column, got ${fld.dataType.simpleString}")
+      case PartTruncate(w, c) =>
+        require(w > 0, s"$ctx: truncate width must be positive, got $w")
+        require(
+          fld.dataType == LongType || fld.dataType == IntegerType ||
+            fld.dataType == StringType,
+          s"$ctx: truncate($w, $c) wants int/bigint/string, got ${fld.dataType.simpleString}")
+    }
+  }
+
+  /** The DSv2 Transform this field reports (DESCRIBE, distribution). */
+  def toTransform(
+      f: PartField
+  ): org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    f match {
+      case PartIdentity(c)      => Expressions.identity(c)
+      case PartTime("days", c)  => Expressions.days(c)
+      case PartTime("months", c) => Expressions.months(c)
+      case PartTime("years", c) => Expressions.years(c)
+      case PartTime("hours", c) => Expressions.hours(c)
+      case PartTime(u, c) =>
+        throw new IllegalStateException(s"unknown time unit $u($c)")
+      case PartTruncate(w, c) =>
+        Expressions.apply(
+          "truncate",
+          Expressions.literal(w),
+          Expressions.column(c))
+    }
+  }
+
+  /** Epoch-day of a timestamp in micros (floor semantics for pre-1970). */
+  def epochDays(micros: Long): Long = Math.floorDiv(micros, 86400000000L)
+
+  /** The transformed ROUTING value of `f` for a row — must agree with
+    * the catalog's canonical V2 functions bit-for-bit, or the write
+    * distribution and the file routing would disagree about what "one
+    * partition" means. */
+  def routeValue(
+      f: PartField,
+      dt: DataType,
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int
+  ): String = {
+    if (row.isNullAt(i)) return "__null__"
+    f match {
+      case _: PartIdentity =>
+        dt match {
+          case LongType    => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case StringType  => row.getUTF8String(i).toString
+          case other =>
+            throw new UnsupportedOperationException(
+              s"partitioned write: unsupported partition type $other")
+        }
+      case PartTime(u, _) =>
+        val days: Long = dt match {
+          case TimestampType => epochDays(row.getLong(i))
+          case DateType      => row.getInt(i).toLong
+          case other =>
+            throw new UnsupportedOperationException(
+              s"partitioned write: $u over $other")
+        }
+        u match {
+          case "days" => days.toString
+          case "hours" => // validated TIMESTAMP-only at DDL
+            Math.floorDiv(row.getLong(i), 3600000000L).toString
+          case "months" =>
+            val ld = java.time.LocalDate.ofEpochDay(days)
+            ((ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)).toString
+          case "years" =>
+            (java.time.LocalDate.ofEpochDay(days).getYear - 1970).toString
+        }
+      case PartTruncate(w, _) =>
+        dt match {
+          case LongType    => (Math.floorDiv(row.getLong(i), w.toLong) * w).toString
+          case IntegerType => (Math.floorDiv(row.getInt(i).toLong, w.toLong) * w).toString
+          case StringType =>
+            val s = row.getUTF8String(i).toString
+            s.substring(0, math.min(w, s.length))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"partitioned write: truncate over $other")
+        }
+    }
+  }
 }
 
 /** `bucket(n, key)` = `pmod(key, n)` in long space — the SAME function
@@ -963,6 +1131,108 @@ object GraftBucketFunction
         (((key % n) + n) % n).toInt
       }
     }
+  }
+}
+
+/** `days/months/years/hours(ts)` — the canonical time transforms the
+  * write distribution clusters with; value spaces match
+  * [[PartSpec.routeValue]] bit-for-bit (epoch days / epoch hours /
+  * months-since-1970 / years-since-1970), so Spark's shuffle and the
+  * task writer's file routing agree about what one partition is. */
+case class GraftTimeTransformFunction(unit: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(ts): the snapshot layout's $unit partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(
+      inputType.length == 1 &&
+        (inputType(0).dataType == TimestampType ||
+          (inputType(0).dataType == DateType && unit != "hours")),
+      s"$unit(ts) wants a timestamp${if (unit != "hours") " or date" else ""} " +
+        s"column; got ${inputType.catalogString}")
+    val srcType = inputType(0).dataType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(srcType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = unit
+      override def canonicalName(): String = s"graft.$unit"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): Integer = {
+        if (input.isNullAt(0)) return null
+        val days: Long =
+          if (srcType == TimestampType) PartSpec.epochDays(input.getLong(0))
+          else input.getInt(0).toLong
+        unit match {
+          case "days"  => days.toInt
+          case "hours" => Math.floorDiv(input.getLong(0), 3600000000L).toInt
+          case "months" =>
+            val ld = java.time.LocalDate.ofEpochDay(days)
+            (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
+          case "years" =>
+            java.time.LocalDate.ofEpochDay(days).getYear - 1970
+        }
+      }
+    }
+  }
+}
+
+object GraftTimeTransformFunction {
+  val units: Seq[String] = Seq("days", "months", "years", "hours")
+}
+
+/** `truncate(w, col)` — floor-to-width for int/bigint, prefix for
+  * strings; the same value space as [[PartSpec.routeValue]]. */
+object GraftTruncateFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w, col): the snapshot layout's truncate partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(
+      inputType.length == 2 && inputType(0).dataType == IntegerType &&
+        (inputType(1).dataType == LongType ||
+          inputType(1).dataType == IntegerType ||
+          inputType(1).dataType == StringType),
+      s"truncate(w, col) wants (int, int|bigint|string); got ${inputType.catalogString}")
+    val srcType = inputType(1).dataType
+    if (srcType == StringType)
+      new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
+        override def resultType(): DataType = StringType
+        override def name(): String = "truncate"
+        override def canonicalName(): String = "graft.truncate"
+        override def isResultNullable: Boolean = true
+        override def produceResult(
+            input: InternalRow): org.apache.spark.unsafe.types.UTF8String = {
+          if (input.isNullAt(1)) return null
+          val w = input.getInt(0)
+          val s = input.getUTF8String(1).toString
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            s.substring(0, math.min(w, s.length)))
+        }
+      }
+    else
+      new ScalarFunction[java.lang.Long] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
+        override def resultType(): DataType = LongType
+        override def name(): String = "truncate"
+        override def canonicalName(): String = "graft.truncate"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): java.lang.Long = {
+          if (input.isNullAt(1)) return null
+          val w = input.getInt(0).toLong
+          val v =
+            if (srcType == LongType) input.getLong(1) else input.getInt(1).toLong
+          Math.floorDiv(v, w) * w
+        }
+      }
   }
 }
 
@@ -1045,8 +1315,7 @@ case class SnapshotSqlTable(
   override def partitioning(): Array[Transform] =
     tipBucketSpec.toArray.map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-    } ++ partitionBy.toSeq.flatMap(_.split(',')).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    } ++ partitionBy.toSeq.flatMap(PartSpec.parse).map(PartSpec.toTransform)
 
   override def name(): String = ident
   override def schema(): StructType = dataSchema
@@ -2305,10 +2574,13 @@ class SnapshotSqlWriteBuilder(
             Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
         case (None, None, Some(cs)) =>
-          // whole partition tuples per task → one file per combination
+          // whole TRANSFORMED partition tuples per task → one file per
+          // combination (the catalog's FunctionCatalog serves the
+          // canonical days/months/years/hours/truncate so Spark can
+          // evaluate the clustering)
           Distributions.clustered(
-            cs.split(',').map(c =>
-              Expressions.identity(c)
+            PartSpec.parse(cs).toArray.map(f =>
+              PartSpec.toTransform(f)
                 : org.apache.spark.sql.connector.expressions.Expression))
         case _ => Distributions.unspecified()
       }
@@ -2622,10 +2894,11 @@ class SnapshotPartitionedParquetWriter(
   private val messageType: MessageType = SnapshotSql.toMessageType(schema)
   private val factory = new SimpleGroupFactory(messageType)
   // `partCol` is the comma-joined spec: one routing key per distinct
-  // value TUPLE, so every landed file is value-pure in EVERY declared
-  // partition column (tight single-value footer stats on each)
-  private val colIdxs: Array[Int] =
-    partCol.split(',').map(schema.fieldIndex)
+  // TRANSFORMED value tuple, so every landed file is value-pure in
+  // EVERY declared partition field (tight footer stats on each source
+  // column — a day-pure file's ts range spans at most one day)
+  private val fields: Array[PartField] = PartSpec.parse(partCol).toArray
+  private val colIdxs: Array[Int] = fields.map(f => schema.fieldIndex(f.col))
   private val dts = colIdxs.map(schema(_).dataType)
   private val writers =
     scala.collection.mutable.Map.empty[String, (ParquetWriter[Group], String)]
@@ -2641,19 +2914,9 @@ class SnapshotPartitionedParquetWriter(
       .build()
 
   private def keyOf(row: InternalRow): String =
-    colIdxs.indices.map { j =>
-      val i = colIdxs(j)
-      if (row.isNullAt(i)) "__null__"
-      else
-        dts(j) match {
-          case LongType    => row.getLong(i).toString
-          case IntegerType => row.getInt(i).toString
-          case StringType  => row.getUTF8String(i).toString
-          case other =>
-            throw new UnsupportedOperationException(
-              s"partitioned write: unsupported partition type $other")
-        }
-    }.mkString("\u0001") // separated: ("1","23") must not collide with ("12","3")
+    fields.indices
+      .map(j => PartSpec.routeValue(fields(j), dts(j), row, colIdxs(j)))
+      .mkString("\u0001") // separated: ("1","23") must not collide with ("12","3")
 
   override def write(row: InternalRow): Unit =
     if (check.forall(_.passes(row))) {

@@ -1382,6 +1382,46 @@ class CatalogSpec extends SparkTestBase {
       tr.getMessage.toLowerCase.contains("bucket"))
   }
 
+  test("PARTITIONED BY (days(ts)): day-pure files prune a one-day probe " +
+    "via raw ts stats; hours needs a timestamp; truncate routes prefixes") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    // 6 distinct days, interleaved arrival order (the write must
+    // route by day, not by input order)
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT id, timestamp'2024-03-01 00:00:00'
+         |  + make_interval(0, 0, 0, CAST(id % 6 AS INT), 0, 0, id)
+         |FROM range(0, 600)""".stripMargin)
+    val path = pathOf(t)
+    val lo = java.time.LocalDate.parse("2024-03-03").toEpochDay * 86400000000L
+    val (kept, total) = SnapshotLog.prunedFiles(
+      spark, path, "ts", lo, lo + 86400000000L - 1)
+    assert(total >= 6, s"day routing must land >=6 day-pure files: $total")
+    assert(kept.size < total, s"one-day probe must prune: ${kept.size}/$total")
+    assert(
+      spark.sql(
+        s"""SELECT count(*) FROM $t
+           |WHERE ts >= timestamp'2024-03-03 00:00:00'
+           |  AND ts < timestamp'2024-03-04 00:00:00'""".stripMargin)
+        .head.getLong(0) == 100L)
+    // truncate(100, id): ranges land value-pure and prune
+    val tt = freshName()
+    spark.sql(
+      s"""CREATE TABLE $tt (id BIGINT, v BIGINT)
+         |PARTITIONED BY (truncate(100, id))""".stripMargin)
+    spark.sql(s"INSERT INTO $tt SELECT id, id FROM range(0, 500)")
+    val (keptT, totalT) = SnapshotLog.prunedFiles(spark, pathOf(tt), "id", 210, 280)
+    assert(totalT >= 5 && keptT.size < totalT,
+      s"truncate routing must prune: ${keptT.size}/$totalT")
+    // hours() over a DATE refuses at DDL
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE ${freshName()} (d DATE) PARTITIONED BY (hours(d))"))
+    assert(e.getMessage.contains("TIMESTAMP"))
+  }
+
   // --- round-13 gate of the round-12 ViewCatalog ---
 
   private var vn = 0
@@ -1481,6 +1521,34 @@ class CatalogSpec extends SparkTestBase {
     val e5 = intercept[Exception](spark.sql(
       s"ALTER VIEW $v RENAME TO main.${t.split('.').last}"))
     assert(e5.getMessage.toLowerCase.contains("already exists"))
+  }
+
+  test("CREATE OR REPLACE VIEW swaps the definition; IF NOT EXISTS is a no-op; " +
+    "ALTER VIEW AS replaces the query and keeps properties") {
+    val t = freshName()
+    val v = freshView()
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 6)")
+    spark.sql(s"CREATE VIEW $v AS SELECT sum(id) AS s FROM $t")
+    assert(spark.sql(s"SELECT s FROM $v").head.getLong(0) == 15L)
+    // IF NOT EXISTS on an existing view: definition unchanged
+    spark.sql(s"CREATE VIEW IF NOT EXISTS $v AS SELECT count(*) AS s FROM $t")
+    assert(spark.sql(s"SELECT s FROM $v").head.getLong(0) == 15L)
+    // OR REPLACE swaps it
+    spark.sql(s"CREATE OR REPLACE VIEW $v AS SELECT count(*) AS n FROM $t")
+    assert(spark.sql(s"SELECT n FROM $v").head.getLong(0) == 6L)
+    // ALTER VIEW AS replaces the query, properties survive
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('tier' = 'silver')")
+    spark.sql(s"ALTER VIEW $v AS SELECT max(id) AS m FROM $t")
+    assert(spark.sql(s"SELECT m FROM $v").head.getLong(0) == 5L)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("tier").contains("silver"),
+      "ALTER VIEW AS must keep the view's properties")
+    // a plain CREATE VIEW on the existing name still refuses
+    val e = intercept[Exception](
+      spark.sql(s"CREATE VIEW $v AS SELECT 1 AS x"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
   }
 
   test("view over a widened base column: re-analysis serves the CURRENT schema") {
