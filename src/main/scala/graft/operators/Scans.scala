@@ -2126,6 +2126,35 @@ object Scans {
          |ORDER BY event_id""".stripMargin)
   }
 
+  /** METADATA-ONLY COUNT BY PARTITION (round 13): `CALL
+    * system.count_by(table, 'days(ts)')` answers `count(*) GROUP BY
+    * day` from manifest riders alone — each transform-routed file is
+    * day-PURE, so its `_rc − _dvc` row count belongs wholly to one
+    * day, and the whole aggregate folds driver-side in O(live files)
+    * metadata with ZERO data IO (on 100 TB: a listing-speed answer to
+    * the most common ops query a time-series table gets). The
+    * group-by twin of agg_metadata_only. Refuses loudly when any
+    * live file is blind or spans two days (pre-layout generations) —
+    * exactness or nothing, never a guess. The oracle recomputes the
+    * per-day counts from the source with a real GROUP BY. */
+  val aggCountByDay: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_cntday")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "value")
+      .createOrReplaceTempView("graft_cntday_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_cntday
+         |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.main.events_cntday SELECT * FROM graft_cntday_src")
+    spark.sql(
+      s"""CALL $cat.system.count_by(
+         |  table => 'main.events_cntday', field => 'days(ts)')""".stripMargin)
+      .orderBy("part")
+  }
+
   /** PARTITION EVOLUTION (round 12): `ALTER TABLE ... SET
     * TBLPROPERTIES ('partition_by'='col')` re-declares the layout of
     * a LIVE table with zero rewrite — possible exactly because the
@@ -3660,6 +3689,7 @@ object Scans {
     "sql_partitioned_table" -> sqlPartitionedTable,
     "sql_partition_multi" -> sqlPartitionMulti,
     "sql_partition_days" -> sqlPartitionDays,
+    "agg_count_by_day" -> aggCountByDay,
     "sql_clone_read" -> sqlCloneRead,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
@@ -3967,6 +3997,12 @@ object Scans {
         |FROM orders
         |WHERE o_custkey % 8 = 3
         |ORDER BY o_orderkey""".stripMargin,
+    // the metadata-only per-day counts must equal a real GROUP BY
+    // over the source — any impure file or miscounted rider breaks it
+    "agg_count_by_day" ->
+      """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS part,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the busiest-day slice recomputed from the source: day-routed
     // files must serve exactly that day's rows
     "sql_partition_days" ->

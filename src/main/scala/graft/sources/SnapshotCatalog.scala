@@ -3478,7 +3478,7 @@ private[sources] object SnapshotProcedures {
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
       "detail", "clone", "build_bloom", "create_mv", "refresh_mv",
-      "ingest")
+      "ingest", "count_by")
 
   private def spark = SparkSession.active
 
@@ -3673,6 +3673,80 @@ private[sources] object SnapshotProcedures {
                 in.getUTF8String(2).toString,
                 in.getUTF8String(3).toString,
                 if (in.isNullAt(4)) "sum" else in.getUTF8String(4).toString))))
+        )
+      case "count_by" =>
+        // metadata-only GROUP-BY-PARTITION count: CALL
+        // system.count_by(table, field) where field is a partition
+        // spec ('days(ts)', 'hours(ts)', 'months(d)', 'years(d)', or
+        // a plain identity column). Answered from manifest riders
+        // alone when every live file is partition-pure — O(files)
+        // driver metadata, zero data IO at any table size; refuses
+        // loudly (naming the fallback) when a blind or impure file
+        // would make the counts a guess.
+        proc(
+          "count_by",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("field", StringType).build()
+          ),
+          StructType(Seq(
+            StructField("part", LongType),
+            StructField("n_rows", LongType))),
+          in => {
+            val table = resolve(in.getUTF8String(0).toString)
+            val f = PartSpec.parseOne(in.getUTF8String(1).toString)
+            val vs = SnapshotLog.versions(spark, table)
+            require(vs.nonEmpty, s"count_by: no commits in $table")
+            val schema = SnapshotLog.tableSchema(spark, table, vs.last)
+              .getOrElse(throw new IllegalStateException(
+                s"count_by: $table has no recorded schema"))
+            val dt = schema.fields.find(_.name == f.col).getOrElse(
+              throw new IllegalArgumentException(
+                s"count_by: column '${f.col}' is not in the schema")).dataType
+            val usPerDay = 86400000000L
+            def calMonths(days: Long): Long = {
+              val ld = java.time.LocalDate.ofEpochDay(days)
+              (ld.getYear - 1970).toLong * 12 + (ld.getMonthValue - 1)
+            }
+            // stats space: micros for TIMESTAMP, epoch days for DATE,
+            // raw for identity/truncate
+            val mapv: Long => Long = f match {
+              case _: PartIdentity => identity
+              case PartTruncate(w, _) => x => Math.floorDiv(x, w.toLong) * w
+              case PartTime(u, _) if dt == TimestampType => u match {
+                case "days"   => x => Math.floorDiv(x, usPerDay)
+                case "hours"  => x => Math.floorDiv(x, 3600000000L)
+                case "months" => x => calMonths(Math.floorDiv(x, usPerDay))
+                case "years" =>
+                  x => java.time.LocalDate
+                    .ofEpochDay(Math.floorDiv(x, usPerDay)).getYear - 1970L
+              }
+              case PartTime(u, _) if dt == DateType => u match {
+                case "days"   => identity
+                case "months" => calMonths
+                case "years" =>
+                  x => java.time.LocalDate.ofEpochDay(x).getYear - 1970L
+                case other =>
+                  throw new IllegalArgumentException(
+                    s"count_by: $other() over a DATE column")
+              }
+              case _ =>
+                throw new IllegalArgumentException(
+                  s"count_by: ${f.spec} over ${dt.simpleString}")
+            }
+            SnapshotLog.metadataCountBy(spark, table, f.col, mapv) match {
+              case Some(groups) =>
+                groups.map { case (g, n) =>
+                  new GenericInternalRow(Array[Any](g, n))
+                }
+              case None =>
+                throw new IllegalStateException(
+                  s"count_by: $table has a file that is blind or not " +
+                    s"partition-pure under ${f.spec} — the metadata-only " +
+                    "count would be a guess; run the distributed GROUP BY " +
+                    "(or OPTIMIZE to restore purity) instead")
+            }
+          }
         )
       case "refresh_mv" =>
         // incremental: reads ONLY the source's change feed since the

@@ -2061,6 +2061,54 @@ object SnapshotLog {
     }
   }
 
+  /** Metadata-only GROUP-BY-PARTITION count: when every live file is
+    * partition-PURE under `map` (its stats lo/hi for `column` land on
+    * the same mapped value — what transform-routed writes guarantee),
+    * the per-group count folds from manifest riders alone: Σ(_rc −
+    * _dvc) per mapped value. On a 100 TB table `count(*) GROUP BY
+    * days(ts)` becomes O(live files) driver metadata with ZERO data
+    * IO — the group-by twin of [[metadataCount]]. DV'd files stay
+    * exact because a partition-pure file's dead rows belong to that
+    * same partition. None when any live file is blind (no stats / no
+    * row count), spans two mapped values (pre-layout generations), or
+    * carries a DV without its count rider — the caller falls back to
+    * the distributed scan rather than guess. */
+  def metadataCountBy(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      map: Long => Long,
+      version: Option[Int] = None
+  ): Option[Seq[(Long, Long)]] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot count_by: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    val entries = manifestEntries(spark, table, v)
+    val pc = physColumn(spark, table, v, column)
+    val per: Seq[Option[(Long, Long)]] = entries.map { e =>
+      val range = entryStat(e, pc).flatMap(_.split(':') match {
+        case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
+        case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
+        case _                  => None
+      })
+      val dvOk = entryDv(e).isEmpty || entryDvCount(e).isDefined
+      (range, entryRows(e)) match {
+        case (Some((lo, hi)), Some(rows)) if dvOk && map(lo) == map(hi) =>
+          Some((map(lo), rows - entryDvCount(e).getOrElse(0L)))
+        case _ => None
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else
+      Some(
+        per.flatten
+          .groupBy(_._1)
+          .map { case (g, xs) => (g, xs.map(_._2).sum) }
+          .toSeq
+          .filter(_._2 > 0)
+          .sortBy(_._1))
+  }
+
   private def requireUnexpired(spark: SparkSession, table: String, v: Int): Unit = {
     val h = readHorizon(spark, table)
     if (v < h)

@@ -1422,6 +1422,49 @@ class CatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("TIMESTAMP"))
   }
 
+  test("count_by: metadata-only day counts stay exact through a MoR delete; " +
+    "an impure layout refuses loudly") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (days(ts))
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT id, timestamp'2024-05-01 00:00:00'
+         |  + make_interval(0, 0, 0, CAST(id % 6 AS INT), 0, 0, id)
+         |FROM range(0, 600)""".stripMargin)
+    val ref = s"main.${t.split('.').last}"
+    def counts(): Map[Long, Long] =
+      spark.sql(
+        s"CALL cattest.system.count_by(table => '$ref', field => 'days(ts)')")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = counts()
+    assert(c1.size == 6 && c1.values.sum == 600L)
+    // a MoR DELETE kills rows via deletion vectors: files unchanged,
+    // dv-count riders keep the metadata-only answer EXACT
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0")
+    val c2 = counts()
+    val real = spark.sql(
+      s"""SELECT CAST(CAST(ts AS DATE) - DATE'1970-01-01' AS BIGINT), count(*)
+         |FROM $t GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == real, s"metadata counts must equal the real GROUP BY: $c2 vs $real")
+    assert(c2.values.sum == 480L)
+    // an UNPARTITIONED table's files span days: refuse, never guess
+    val u = freshName()
+    spark.sql(s"CREATE TABLE $u (id BIGINT, ts TIMESTAMP)")
+    spark.sql(
+      s"""INSERT INTO $u
+         |SELECT id, timestamp'2024-05-01 00:00:00'
+         |  + make_interval(0, 0, 0, CAST(id % 6 AS INT), 0, 0, id)
+         |FROM range(0, 100)""".stripMargin)
+    val e = intercept[Exception](spark.sql(
+      s"CALL cattest.system.count_by(table => 'main.${u.split('.').last}', " +
+        "field => 'days(ts)')").collect())
+    assert(e.getMessage.contains("partition-pure"))
+  }
+
   // --- round-13 gate of the round-12 ViewCatalog ---
 
   private var vn = 0
