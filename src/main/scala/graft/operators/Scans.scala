@@ -2334,6 +2334,50 @@ object Scans {
          |FROM $cat.main.orders_mm ORDER BY o_custkey""".stripMargin)
   }
 
+  /** COLUMN DEFAULT VALUES (round 13): `CREATE TABLE (c STRING
+    * DEFAULT 'x')` and `ALTER TABLE ADD COLUMN ... DEFAULT y` — the
+    * default rides the committed schema's field metadata
+    * (CURRENT_DEFAULT fills future INSERTs analyzer-side;
+    * EXISTS_DEFAULT fills the column for every file that PREDATES it,
+    * applied by the readers' existence-default fill), so a default on
+    * a 100 TB table costs zero storage and zero rewrite — the ADD
+    * COLUMN DEFAULT here is pinned metadata-only inline. The dataflow
+    * interleaves: an insert omitting defaulted columns, an ADD COLUMN
+    * DEFAULT behind existing files, a full-column insert, and an
+    * explicit `DEFAULT` keyword insert; the oracle reconstructs every
+    * row's expected defaults from which phase it landed in. */
+  val sqlDefaultCol: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_defaults"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+    o.createOrReplaceTempView("graft_defaults_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE,
+         |status STRING DEFAULT 'legacy')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $t (o_orderkey, o_totalprice)
+         |SELECT * FROM graft_defaults_src WHERE o_orderkey <= $half""".stripMargin)
+    val p = tmp("sql_warehouse/main/orders_defaults")
+    val before = SnapshotLog
+      .manifest(spark, p, SnapshotLog.versions(spark, p).last).toSet
+    spark.sql(s"ALTER TABLE $t ADD COLUMN tier STRING DEFAULT 'bronze'")
+    require(
+      SnapshotLog.manifest(spark, p, SnapshotLog.versions(spark, p).last)
+        .toSet == before,
+      "ADD COLUMN DEFAULT must be a metadata-only commit")
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey, o_totalprice, 'cur', 'gold'
+         |FROM graft_defaults_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+  }
+
   /** MERGE-ON-READ SQL DML (round 12): `TBLPROPERTIES ('write_mode' =
     * 'merge-on-read')` routes DELETE/UPDATE through Spark's
     * position-delta row-level protocol (`SupportsDelta`, row identity
@@ -3690,6 +3734,7 @@ object Scans {
     "sql_partition_multi" -> sqlPartitionMulti,
     "sql_partition_days" -> sqlPartitionDays,
     "agg_count_by_day" -> aggCountByDay,
+    "sql_default_col" -> sqlDefaultCol,
     "sql_clone_read" -> sqlCloneRead,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
@@ -3997,6 +4042,17 @@ object Scans {
         |FROM orders
         |WHERE o_custkey % 8 = 3
         |ORDER BY o_orderkey""".stripMargin,
+    // each phase's rows carry that phase's declared defaults: the
+    // first insert predates `tier`, so its rows serve the ADD-time
+    // default via existence fill — a null there breaks the hash
+    "sql_default_col" ->
+      """WITH b AS (SELECT max(o_orderkey) // 2 AS half FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey <= b.half THEN 'legacy' ELSE 'cur' END
+        |         AS status,
+        |       CASE WHEN o_orderkey <= b.half THEN 'bronze' ELSE 'gold' END
+        |         AS tier
+        |FROM orders, b ORDER BY o_orderkey""".stripMargin,
     // the metadata-only per-day counts must equal a real GROUP BY
     // over the source — any impure file or miscounted rider breaks it
     "agg_count_by_day" ->

@@ -103,6 +103,16 @@ class SnapshotCatalog
 
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are supported: `CREATE TABLE (c INT
+    * DEFAULT 5)` / `ALTER TABLE ADD COLUMN ... DEFAULT x` encode the
+    * default into the committed schema's field metadata
+    * (CURRENT_DEFAULT for future INSERTs — applied by Spark's
+    * analyzer; EXISTS_DEFAULT for rows in files that predate the
+    * column — applied by the parquet readers' existence-default
+    * fill), so defaults cost zero storage and zero rewrite. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def nsPath(ns: Array[String]): Path =
     new Path((warehouse +: ns).mkString("/"))
 
@@ -399,12 +409,29 @@ class SnapshotCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String]
   ): Table = {
-    val fields = columns.map { c =>
-      if (c.defaultValue() != null || c.generationExpression() != null)
+    columns.foreach { c =>
+      if (c.generationExpression() != null)
         throw new UnsupportedOperationException(
-          "snapshot catalog: column defaults / generated columns unsupported"
-        )
-      StructField(c.name(), c.dataType(), c.nullable())
+          "snapshot catalog: generated columns unsupported")
+      if (c.defaultValue() != null)
+        require(
+          c.defaultValue().getSql != null,
+          s"snapshot catalog: column '${c.name()}' default must carry its " +
+            "SQL text")
+    }
+    // DEFAULT values encode into field metadata (CURRENT_DEFAULT /
+    // EXISTS_DEFAULT — the keys Spark's analyzer and the parquet
+    // readers' existence-default fill consult) — the committed
+    // schema.json round-trips it and appends preserve it through
+    // mergeSchemas, so a default costs zero storage and zero rewrite
+    val fields = columns.map { c =>
+      val mb = new MetadataBuilder()
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { d =>
+        mb.putString("CURRENT_DEFAULT", d.getSql)
+        mb.putString("EXISTS_DEFAULT", d.getSql)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), mb.build())
     }
     createTable(ident, StructType(fields), partitions, properties): @annotation.nowarn("cat=deprecation")
   }
@@ -519,7 +546,22 @@ class SnapshotCatalog
     val added = Seq.newBuilder[StructField]
     changes.foreach {
       case a: TableChange.AddColumn =>
-        added += StructField(a.fieldNames()(0), a.dataType(), a.isNullable)
+        // a DEFAULT rides the field metadata: CURRENT_DEFAULT fills
+        // future INSERTs (analyzer-side), EXISTS_DEFAULT fills the
+        // column for every file that predates it (reader-side
+        // existence-default fill) — zero rewrite either way
+        val meta = Option(a.defaultValue()).map { d =>
+          require(
+            d.getSql != null,
+            s"snapshot catalog ALTER: default for '${a.fieldNames()(0)}' " +
+              "must carry its SQL text")
+          new MetadataBuilder()
+            .putString("CURRENT_DEFAULT", d.getSql)
+            .putString("EXISTS_DEFAULT", d.getSql)
+            .build()
+        }.getOrElse(Metadata.empty)
+        added += StructField(a.fieldNames()(0), a.dataType(), a.isNullable,
+          meta)
       case r: TableChange.RenameColumn =>
         SnapshotLog.renameColumn(spark, path, r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
@@ -3217,8 +3259,12 @@ private[sources] object SnapshotSql {
       tf.nullable
     if (!SnapshotLog.isMapped(tableSchema)) {
       val byName = tableSchema.fields.map(f => f.name -> f).toMap
+      // the TABLE's field metadata (column defaults, mapping) must
+      // round-trip through the commit too — a batch schema carries
+      // none, and an overwrite resets the header to the commit schema
       val commit = StructType(writeSchema.fields.map(f =>
-        byName.get(f.name).fold(f)(tf => f.copy(nullable = declared(f, tf)))))
+        byName.get(f.name).fold(f)(tf =>
+          StructField(f.name, f.dataType, declared(f, tf), tf.metadata))))
       (writeSchema, commit)
     } else {
       val byName = tableSchema.fields.map(f => f.name -> f).toMap

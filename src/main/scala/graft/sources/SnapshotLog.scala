@@ -415,7 +415,10 @@ object SnapshotLog {
     * metadata dropped) — what every parquet read/write under a mapped
     * table actually uses. */
   private[graft] def toPhysical(s: StructType): StructType =
-    StructType(s.fields.map(f => StructField(physNameOf(f), f.dataType, f.nullable)))
+    // metadata survives the physical spelling: the readers' existence-
+    // default fill (ADD COLUMN ... DEFAULT) reads EXISTS_DEFAULT there
+    StructType(s.fields.map(f =>
+      StructField(physNameOf(f), f.dataType, f.nullable, f.metadata)))
 
   /** Logical → physical name for stat lookups: manifest stats are keyed
     * by the FILE's column names (they are lifted from footers), so every

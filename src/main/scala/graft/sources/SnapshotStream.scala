@@ -403,6 +403,16 @@ class GraftSnapshotReader(
   // sequential in-file row position — the Group API reads rows in file
   // order, so a simple counter IS `_metadata.row_index`
   private var rowIdx: Long = -1L
+  // existence defaults (ADD COLUMN ... DEFAULT x): a column missing
+  // from THIS file serves its ADD-time default, not null — the same
+  // EXISTS_DEFAULT fill Spark's own parquet readers apply, evaluated
+  // once per reader from the schema's field metadata
+  private val existsDefaults: Array[Any] =
+    if (org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .hasExistenceDefaultValues(schema))
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .existenceDefaultValues(schema)
+    else null
 
   private def admit(i: Long): Boolean =
     onlyPositions.forall(a => java.util.Arrays.binarySearch(a, i) >= 0) &&
@@ -427,7 +437,9 @@ class GraftSnapshotReader(
     while (i < schema.length) {
       val f = schema(i)
       vals(i) =
-        if (!gt.containsField(f.name)) null // pre-evolution file: null-fill
+        if (!gt.containsField(f.name)) // pre-evolution file: existence
+          // default when declared, null-fill otherwise
+          (if (existsDefaults != null) existsDefaults(i) else null)
         else {
           val fi = gt.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(fi) == 0) null

@@ -1465,6 +1465,48 @@ class CatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("partition-pure"))
   }
 
+  test("column DEFAULTs: CREATE-time defaults fill missing INSERT columns; " +
+    "ADD COLUMN DEFAULT serves old rows without rewrite") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, status STRING DEFAULT 'new',
+         |score BIGINT DEFAULT 7)""".stripMargin)
+    // INSERT naming only id: the analyzer fills declared defaults
+    spark.sql(s"INSERT INTO $t (id) VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'done', 9)")
+    spark.sql(s"INSERT INTO $t (id, status) VALUES (4, DEFAULT)")
+    val rows = spark.sql(s"SELECT id, status, score FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (1L, "new", 7L), (2L, "new", 7L), (3L, "done", 9L), (4L, "new", 7L)))
+    // ADD COLUMN with DEFAULT: rows in files that PREDATE the column
+    // serve the default (existence fill), zero files rewritten
+    val path = pathOf(t)
+    val filesBefore = SnapshotLog
+      .manifest(spark, path, SnapshotLog.versions(spark, path).last).toSet
+    spark.sql(s"ALTER TABLE $t ADD COLUMN tier STRING DEFAULT 'bronze'")
+    assert(SnapshotLog
+      .manifest(spark, path, SnapshotLog.versions(spark, path).last)
+      .toSet == filesBefore, "ADD COLUMN DEFAULT must be metadata-only")
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t WHERE tier = 'bronze'")
+        .head.getLong(0) == 4L,
+      "pre-existing rows must serve the ADD-time default, not null")
+    // and new inserts keep filling it
+    spark.sql(s"INSERT INTO $t (id) VALUES (5)")
+    assert(
+      spark.sql(s"SELECT status, score, tier FROM $t WHERE id = 5")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .head == (("new", 7L, "bronze")))
+    // defaults survive an INSERT OVERWRITE (the truncate path resets
+    // the header schema — the declaration must round-trip)
+    spark.sql(s"INSERT OVERWRITE $t (id) VALUES (10)")
+    assert(
+      spark.sql(s"SELECT status, score, tier FROM $t WHERE id = 10")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .head == (("new", 7L, "bronze")))
+  }
+
   // --- round-13 gate of the round-12 ViewCatalog ---
 
   private var vn = 0
