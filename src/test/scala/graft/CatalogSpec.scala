@@ -162,12 +162,20 @@ class CatalogSpec extends SparkTestBase {
     val e2b = intercept[Exception](
       spark.sql(s"CREATE TABLE ${freshName()} (a MAP<STRING, INT>)"))
     assert(e2b.getMessage.contains("unsupported column type"))
-    // single-identity partitioning is supported since round 12; deeper
-    // hive layouts (multi-column, transforms) still refuse
+    // identity (multi-column, round 13) and the known transforms are
+    // supported; an UNKNOWN transform still refuses loudly
     val e3 = intercept[Exception](
       spark.sql(
-        s"CREATE TABLE ${freshName()} (id BIGINT, p INT, q INT) PARTITIONED BY (p, q)"))
-    assert(e3.getMessage.contains("bucket(n, col)"))
+        s"CREATE TABLE ${freshName()} (id BIGINT, p INT) " +
+          "PARTITIONED BY (my_transform(p))"))
+    assert(e3.getMessage.contains("bucket(n, col)") ||
+      e3.getMessage.toLowerCase.contains("transform"))
+    // mixing bucket with identity partitioning refuses too
+    val e4 = intercept[Exception](
+      spark.sql(
+        s"CREATE TABLE ${freshName()} (id BIGINT, p INT) " +
+          "PARTITIONED BY (p, bucket(4, id))"))
+    assert(e4.getMessage.contains("bucket(n, col)"))
   }
 
   test("PARTITIONED BY (col): value-clustered files, stats pruning, null partition") {
@@ -1374,12 +1382,8 @@ class CatalogSpec extends SparkTestBase {
     val dup = intercept[Exception](spark.sql(
       s"CREATE TABLE ${freshName()} (x BIGINT) PARTITIONED BY (x, x)"))
     assert(dup.getMessage.toLowerCase.contains("duplicate"))
-    // transform partitioning still refuses loudly (advisory identity
-    // clustering only)
-    val tr = intercept[Exception](spark.sql(
-      s"CREATE TABLE ${freshName()} (ts TIMESTAMP) PARTITIONED BY (days(ts))"))
-    assert(tr.getMessage.toLowerCase.contains("identity") ||
-      tr.getMessage.toLowerCase.contains("bucket"))
+    // (transform partitioning — days(ts) etc. — is supported as of
+    // this round; its pins live in the days(ts) test below)
   }
 
   test("PARTITIONED BY (days(ts)): day-pure files prune a one-day probe " +
