@@ -2839,8 +2839,41 @@ object SnapshotLog {
     * — a crash between the refresh commit and the props rewrite must
     * NOT replay the same change feed into the rollup (double-count). */
   private def mvCommittedVersion(spark: SparkSession, mv: String): Option[Int] =
-    versions(spark, mv).reverseIterator
-      .map(v => headerToken(header(spark, mv, v), "mvv"))
+    committedWatermark(spark, mv, "mvv")
+
+  /** Commit `df` with an incremental consumer's high-water mark riding
+    * the commit HEADER (`<token>=<value>`): derived-table maintenance
+    * (MVs, incremental indexes) folds a source's change feed and must
+    * record "folded through source version V" ATOMICALLY with the fold
+    * itself — a separate props write leaves a crash window where the
+    * delta re-applies (the two-commit flaw the ingest ledger and mvv
+    * header close). */
+  def commitWatermarked(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      token: String,
+      value: Int,
+      overwrite: Boolean = false
+  ): Int = {
+    require(
+      token.nonEmpty && token.forall(c => c.isLetterOrDigit || c == '_'),
+      s"watermark token must be [A-Za-z0-9_]+: $token")
+    commitInternal(
+      spark, table, df, overwrite, txnId = None, replaceRemoved = None,
+      dataChange = true, extraHeader = s"$token=$value")
+  }
+
+  /** The most recent `<token>=` header value in `table`'s log, if any
+    * commit carries one — the authoritative read side of
+    * [[commitWatermarked]]. */
+  def committedWatermark(
+      spark: SparkSession,
+      table: String,
+      token: String
+  ): Option[Int] =
+    versions(spark, table).reverseIterator
+      .map(v => headerToken(header(spark, table, v), token))
       .collectFirst { case Some(t) => t.toInt }
 
   /** Incremental MV refresh: reads ONLY `readChanges(asOf, tip)` of

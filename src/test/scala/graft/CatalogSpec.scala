@@ -357,6 +357,36 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT sum(value) FROM $t").head.getLong(0) == 15L)
   }
 
+  test("writeStream.toTable into a days-partitioned table routes day-pure files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    val ms = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("graft_cat_wpart").toString
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val q = ms.toDF()
+      .select(col("value").as("id"),
+        expr(s"timestamp_seconds(${base / 1000} + (value % 4) * 86400)").as("ts"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable(t)
+    ms.addData(0L until 200L: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the streaming writer routes by the days() transform too: a
+    // one-day probe in raw micros prunes via existing stats skipping
+    val lo = java.time.LocalDate.parse("2024-06-03").toEpochDay * 86400000000L
+    val (kept, total) = SnapshotLog.prunedFiles(
+      spark, pathOf(t), "ts", lo, lo + 86400000000L - 1)
+    assert(total >= 4 && kept.size < total,
+      s"streamed day files must prune: ${kept.size}/$total")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 200L)
+  }
+
   test("SQL DELETE FROM / UPDATE / MERGE INTO rewrite the table correctly") {
     val t = freshName()
     spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
