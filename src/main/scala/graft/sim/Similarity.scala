@@ -736,6 +736,17 @@ object Similarity {
     val cb = emb
       .filter(col("vec_id") < 16)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+    pqEncode(emb, cb)
+  }
+
+  /** PQ-encode `emb` (`vec_id`, `embedding`) against codebook `cb`
+    * (`cid`, `ce`): per (vector, subspace) the nearest codebook row.
+    * Parameterized so the INCREMENTAL index refresh can encode a
+    * change-feed delta against the FROZEN codebook. */
+  private def pqEncode(
+      emb: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
     val sub = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("s", explode(sequence(lit(0), lit(7))))
@@ -892,6 +903,77 @@ object Similarity {
     * build-once/serve-many contract: N probes pay one assignment pass,
     * which is the entire economics of a persisted ANN index. */
   val simIndexServe: Q = (spark, dir) => pqAdcTopk(spark, dir, 1)
+
+  /** INCREMENTAL ANN-index refresh (round 13): the PQ code table is a
+    * SNAPSHOT TABLE over a snapshot-table vector corpus, and a refresh
+    * encodes ONLY `readChanges(from, to)` against the FROZEN codebook
+    * — on a 100 TB vector store, ingesting a batch of new embeddings
+    * costs encoding that batch (8 code bytes/vector appended), never
+    * a corpus re-encode. The folded-through version rides the code
+    * commit's header ([[graft.sources.SnapshotLog.commitWatermarked]]
+    * — the same crash-safe watermark the MV and text-index refreshes
+    * use), and delete deltas refuse loudly (codes are append-only;
+    * removal means rebuild or DVs). Same cell-grain report and oracle
+    * as sim_index_build, so the incrementally-assembled codes must be
+    * bit-identical to a from-scratch encode of the full corpus —
+    * codebook drift, a missed vector, or a double-applied delta all
+    * break the hash. */
+  val simIndexRefresh: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val src = s"${sys.props("java.io.tmpdir")}/graft_io/emb_idxinc_src"
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_io/emb_idxinc_codes"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label")
+    val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    // the codebook freezes at build time (first 16 vectors — always in
+    // the first half); refresh deltas encode against it unchanged
+    val cb = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+    SnapshotLog.commit(spark, src, emb.filter(col("vec_id") <= half))
+    val v1 = SnapshotLog.versions(spark, src).last
+    SnapshotLog.commitWatermarked(
+      spark, idx,
+      pqEncode(SnapshotLog.read(spark, src), cb), "idxv", v1)
+    // the corpus grows behind the index's back
+    SnapshotLog.commit(spark, src, emb.filter(col("vec_id") > half))
+    val from = SnapshotLog.committedWatermark(spark, idx, "idxv").getOrElse(
+      throw new IllegalStateException("code table has no idxv watermark"))
+    val to = SnapshotLog.versions(spark, src).last
+    if (to != from) {
+      val changes = SnapshotLog.readChanges(spark, src, from, to)
+      require(
+        changes.filter(col("change_type") === "delete").isEmpty,
+        "incremental ANN refresh: the delta contains deletes — codes " +
+          "are append-only; rebuild the index instead")
+      SnapshotLog.commitWatermarked(
+        spark, idx,
+        pqEncode(
+          changes.filter(col("change_type") === "insert")
+            .select("vec_id", "embedding"),
+          cb),
+        "idxv", to)
+    }
+    require(
+      SnapshotLog.committedWatermark(spark, idx, "idxv").contains(to) &&
+        SnapshotLog.versions(spark, idx).last == 2,
+      "refresh bookkeeping wrong")
+    // cell-grain report over the incrementally-assembled codes — the
+    // sim_index_build contract served from the refreshed table
+    SnapshotLog.read(spark, idx)
+      .groupBy("vec_id")
+      .agg(round(sum("dist"), 6).as("err"))
+      .join(emb.select("vec_id", "label"), "vec_id")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum("err"), 6).as("recon_err"))
+      .orderBy("label")
+  }
 
   private def pqAdcSqlFor(probeId: Int): String =
     s"""WITH cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
@@ -1150,6 +1232,7 @@ object Similarity {
     "sim_pq_adc" -> simPqAdc,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_index_build" -> simIndexBuild,
+    "sim_index_refresh" -> simIndexRefresh,
     "sim_index_serve" -> simIndexServe,
     "sim_adc_batch" -> simAdcBatch,
     "sim_l2_ivf_topk" -> simL2IvfTopk
@@ -1187,6 +1270,9 @@ object Similarity {
     "sim_pq_adc" -> simPqAdcSql,
     "sim_ivfpq_topk" -> simIvfpqTopkSql,
     "sim_index_build" -> simIndexBuildSql,
+    // identical to sim_index_build's oracle: the incrementally
+    // refreshed codes must be bit-identical to a full-corpus encode
+    "sim_index_refresh" -> simIndexBuildSql,
     "sim_index_serve" -> pqAdcSqlFor(1),
     "sim_adc_batch" -> simAdcBatchSql,
     "sim_l2_ivf_topk" -> simL2IvfTopkSql,
