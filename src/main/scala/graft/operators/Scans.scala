@@ -2378,6 +2378,57 @@ object Scans {
     spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
   }
 
+  /** NAMED CHECK CONSTRAINTS (round 13): `ALTER TABLE ADD CONSTRAINT
+    * <name> CHECK (...)` / `DROP CONSTRAINT <name>` — the
+    * standard-SQL spelling of the check surface. Named predicates
+    * store as `ck_<name>` props; their conjunction compiles into the
+    * SAME executor-side enforcement every write path already runs, so
+    * stacking N constraints costs one fused predicate, not N passes.
+    * Spark pre-validates enforced ADDs against existing data (one
+    * scan — the catalog skips its own when the validated version is
+    * recorded, so an ADD costs one table pass, not two). The graded
+    * flow: insert a slice, ADD a range constraint, prove a violating
+    * INSERT refuses wholesale (no partial rows), insert a conforming
+    * slice, DROP the constraint, insert the remainder (which the
+    * dropped predicate would have refused); the oracle reconstructs
+    * the exact surviving rows. */
+  val sqlCheckNamed: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_ckn"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    o.createOrReplaceTempView("graft_ckn_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    spark.sql(
+      s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_ckn_src WHERE o_orderkey <= $c1")
+    spark.sql(
+      s"ALTER TABLE $t ADD CONSTRAINT key_range CHECK (o_orderkey <= $c2)")
+    // a violating batch refuses WHOLESALE: no partial rows land
+    val before = spark.sql(s"SELECT count(*) FROM $t").head.getLong(0)
+    val refused =
+      try { spark.sql(
+        s"INSERT INTO $t SELECT * FROM graft_ckn_src WHERE o_orderkey > $c1")
+        false }
+      catch { case _: Exception => true }
+    require(refused, "the out-of-range batch must refuse")
+    require(
+      spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == before,
+      "a refused batch must land zero rows")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_ckn_src " +
+        s"WHERE o_orderkey > $c1 AND o_orderkey <= $c2")
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT key_range")
+    spark.sql(
+      s"INSERT INTO $t SELECT * FROM graft_ckn_src WHERE o_orderkey > $c2")
+    spark.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+  }
+
   /** MERGE-ON-READ SQL DML (round 12): `TBLPROPERTIES ('write_mode' =
     * 'merge-on-read')` routes DELETE/UPDATE through Spark's
     * position-delta row-level protocol (`SupportsDelta`, row identity
@@ -3735,6 +3786,7 @@ object Scans {
     "sql_partition_days" -> sqlPartitionDays,
     "agg_count_by_day" -> aggCountByDay,
     "sql_default_col" -> sqlDefaultCol,
+    "sql_check_named" -> sqlCheckNamed,
     "sql_clone_read" -> sqlCloneRead,
     "sql_time_travel_tag" -> sqlTimeTravelTag,
     "sink_sorted_insert" -> sinkSortedInsert,
@@ -4042,6 +4094,11 @@ object Scans {
         |FROM orders
         |WHERE o_custkey % 8 = 3
         |ORDER BY o_orderkey""".stripMargin,
+    // after the refused batch, the conforming inserts and the
+    // post-DROP remainder must land exactly the full source
+    "sql_check_named" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // each phase's rows carry that phase's declared defaults: the
     // first insert predates `tier`, so its rows serve the ADD-time
     // default via existence fill — a null there breaks the hash

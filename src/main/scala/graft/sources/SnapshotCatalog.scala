@@ -111,7 +111,14 @@ class SnapshotCatalog
     * column — applied by the parquet readers' existence-default
     * fill), so defaults cost zero storage and zero rewrite. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // ALTER TABLE ADD/DROP CONSTRAINT ... CHECK — the standard-SQL
+      // spelling of the 'check' table property: named predicates
+      // stored as `ck_<name>` props, their conjunction compiled into
+      // the same executor-side enforcement every write path already
+      // runs
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def nsPath(ns: Array[String]): Path =
     new Path((warehouse +: ns).mkString("/"))
@@ -458,6 +465,16 @@ class SnapshotCatalog
           s"snapshot catalog: $ident has no recorded schema (pre-upgrade log?)"
         )
       )
+    // ALTER TABLE ADD/DROP CONSTRAINT — one constraint per statement
+    // by SQL construction
+    if (changes.exists(c =>
+        c.isInstanceOf[TableChange.AddConstraint] ||
+          c.isInstanceOf[TableChange.DropConstraint])) {
+      require(
+        changes.length == 1,
+        "snapshot catalog ALTER: constraint changes cannot batch")
+      return alterConstraint(ident, path, current, changes.head)
+    }
     // SET/UNSET TBLPROPERTIES route here too — property evolution is
     // its own statement kind in SQL, so it never mixes with column
     // changes; refuse a mixed batch rather than order-guess
@@ -612,6 +629,88 @@ class SnapshotCatalog
     * existing row would violate; removing a constraint is free. The
     * whole change set validates first and lands as ONE props write,
     * so a refused statement changes nothing. */
+  /** `ALTER TABLE ADD/DROP CONSTRAINT <name> CHECK (...)` — the
+    * standard-SQL spelling of the `check` property. Each named
+    * predicate is stored as a `ck_<name>` prop; the EFFECTIVE `check`
+    * prop is recomputed as their conjunction, so every existing
+    * consumer (batch/streaming/DML writers, quarantine mode) enforces
+    * named constraints with zero new plumbing. ADD validates existing
+    * rows first (one distributed scan, first witness named — the same
+    * posture as declaring `check` via TBLPROPERTIES); only CHECK
+    * constraints are supported — primary/foreign keys would be
+    * unenforced claims, and an unenforced constraint is a lie the
+    * optimizer then believes. A TBLPROPERTIES-declared `check` and
+    * named constraints are mutually exclusive (one mechanism per
+    * table, or DROP could silently erase the property-declared
+    * predicate). */
+  private def alterConstraint(
+      ident: Identifier,
+      path: String,
+      schema: StructType,
+      change: TableChange
+  ): Table = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cur = SnapshotLog.tableProps(spark, path)
+    val pieces = cur.filter { case (k, _) => k.startsWith("ck_") }
+    change match {
+      case a: TableChange.AddConstraint =>
+        val c = a.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check => ck
+          case other =>
+            throw new UnsupportedOperationException(
+              s"snapshot catalog: only CHECK constraints are enforced — " +
+                s"refusing unenforceable ${other.getClass.getSimpleName}")
+        }
+        require(
+          c.predicateSql() != null && c.predicateSql().nonEmpty,
+          "snapshot catalog: CHECK constraint needs its predicate SQL")
+        require(
+          !cur.contains(s"ck_${c.name()}"),
+          s"snapshot catalog: constraint '${c.name()}' already exists")
+        require(
+          pieces.nonEmpty || !cur.contains("check"),
+          "snapshot catalog: a TBLPROPERTIES-declared 'check' and named " +
+            "constraints are mutually exclusive — unset the property first")
+        val newPieces = pieces + (s"ck_${c.name()}" -> c.predicateSql())
+        val effective = newPieces.toSeq.sorted.map(p => s"(${p._2})").mkString(" AND ")
+        SnapshotSql.compileCheck(spark, schema, effective)
+        // Spark pre-validates existing data for enforced CHECKs and
+        // records the validated version — scanning again here would
+        // double the ADD's cost at 100 TB. Scan ONLY when no
+        // validation ran (a programmatic alterTable call).
+        if (a.validatedTableVersion() == null) {
+          val bad = SnapshotLog.read(spark, path)
+            .filter(not(coalesce(expr(c.predicateSql()), lit(true))))
+            .limit(1)
+            .collect()
+          require(
+            bad.isEmpty,
+            s"snapshot catalog: existing row violates CHECK ${c.name()} " +
+              s"(${c.predicateSql()}): ${bad.headOption.getOrElse("")}")
+        }
+        SnapshotLog.setTableProps(
+          spark, path,
+          cur + (s"ck_${c.name()}" -> c.predicateSql()) + ("check" -> effective))
+      case d: TableChange.DropConstraint =>
+        if (!cur.contains(s"ck_${d.name()}")) {
+          if (d.ifExists()) return loadTable(ident)
+          throw new IllegalArgumentException(
+            s"snapshot catalog: no constraint named '${d.name()}'")
+        }
+        val remaining = pieces - s"ck_${d.name()}"
+        val base = cur - s"ck_${d.name()}"
+        SnapshotLog.setTableProps(
+          spark, path,
+          if (remaining.isEmpty) base - "check"
+          else base + ("check" ->
+            remaining.toSeq.sorted.map(p => s"(${p._2})").mkString(" AND ")))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"snapshot catalog: unsupported constraint change $other")
+    }
+    loadTable(ident)
+  }
+
   private def alterProps(
       ident: Identifier,
       path: String,
@@ -1381,6 +1480,22 @@ case class SnapshotSqlTable(
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE
     )
+
+  /** Named CHECK constraints (`ck_<name>` props) reported back to
+    * Spark — DESCRIBE shows them, and they are all ENFORCED (the
+    * `check` conjunction runs executor-side on every write path). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tipProps.toSeq
+      .filter(_._1.startsWith("ck_"))
+      .sortBy(_._1)
+      .map { case (k, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("ck_"))
+          .predicateSql(sql)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }
+      .toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotSqlScanBuilder(spark, path, snapVersion, dataSchema, options)

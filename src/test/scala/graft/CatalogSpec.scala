@@ -1541,6 +1541,48 @@ class CatalogSpec extends SparkTestBase {
         .head == (("new", 7L, "bronze")))
   }
 
+  test("named CHECK constraints: ADD enforces, stacking conjoins, DROP releases; " +
+    "existing-row violations refuse the ADD") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pos CHECK (v > 0)")
+    val e1 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (3, -5)"))
+    assert(e1.getMessage.toLowerCase.contains("check"))
+    spark.sql(s"INSERT INTO $t VALUES (3, 30)")
+    // a second constraint stacks: both must hold
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT cap CHECK (v < 100)")
+    val e2 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (4, 500)"))
+    assert(e2.getMessage.toLowerCase.contains("check"))
+    val e3 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (4, -1)"))
+    assert(e3.getMessage.toLowerCase.contains("check"))
+    spark.sql(s"INSERT INTO $t VALUES (4, 40)")
+    // an ADD the existing rows violate refuses (Spark pre-validates
+    // enforced CHECKs; our catalog scan backs up programmatic calls)
+    val e4 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT tight CHECK (v > 15)"))
+    assert(e4.getMessage.contains("existing row violates") ||
+      e4.getMessage.contains("violated by existing data"))
+    // DROP releases exactly the dropped predicate
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT cap")
+    spark.sql(s"INSERT INTO $t VALUES (5, 500)")
+    val e5 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (6, -1)"))
+    assert(e5.getMessage.toLowerCase.contains("check"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 5L)
+    // unknown name refuses; IF EXISTS is a no-op
+    val e6 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t DROP CONSTRAINT nope"))
+    assert(e6.getMessage.contains("no constraint"))
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT IF EXISTS nope")
+    // property-declared check and named constraints cannot mix
+    val t2 = freshName()
+    spark.sql(
+      s"CREATE TABLE $t2 (v BIGINT) TBLPROPERTIES ('check' = 'v > 0')")
+    val e7 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t2 ADD CONSTRAINT c CHECK (v < 9)"))
+    assert(e7.getMessage.contains("mutually exclusive"))
+  }
+
   // --- round-13 gate of the round-12 ViewCatalog ---
 
   private var vn = 0
