@@ -1186,6 +1186,44 @@ object PartSpec {
   /** Epoch-day of a timestamp in micros (floor semantics for pre-1970). */
   def epochDays(micros: Long): Long = Math.floorDiv(micros, 86400000000L)
 
+  /** Maps a LONG-space footer stat of `f.col` (micros for TIMESTAMP,
+    * epoch days for DATE, raw for int/bigint) to the field's partition
+    * value — the shared math of the metadata-only count_by and the
+    * partition-aware compaction. None when the column's stats space
+    * can't be mapped (string identity/truncate). */
+  def statMapper(f: PartField, dt: DataType): Option[Long => Long] = {
+    val usPerDay = 86400000000L
+    def calMonths(days: Long): Long = {
+      val ld = java.time.LocalDate.ofEpochDay(days)
+      (ld.getYear - 1970).toLong * 12 + (ld.getMonthValue - 1)
+    }
+    f match {
+      case _: PartIdentity if dt == LongType || dt == IntegerType =>
+        Some(identity)
+      case PartTruncate(w, _) if dt == LongType || dt == IntegerType =>
+        Some(x => Math.floorDiv(x, w.toLong) * w)
+      case PartTime(u, _) if dt == TimestampType =>
+        u match {
+          case "days"   => Some(x => Math.floorDiv(x, usPerDay))
+          case "hours"  => Some(x => Math.floorDiv(x, 3600000000L))
+          case "months" => Some(x => calMonths(Math.floorDiv(x, usPerDay)))
+          case "years" =>
+            Some(x => java.time.LocalDate
+              .ofEpochDay(Math.floorDiv(x, usPerDay)).getYear - 1970L)
+          case _ => None
+        }
+      case PartTime(u, _) if dt == DateType =>
+        u match {
+          case "days"   => Some(identity)
+          case "months" => Some(calMonths)
+          case "years" =>
+            Some(x => java.time.LocalDate.ofEpochDay(x).getYear - 1970L)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** The transformed ROUTING value of `f` for a row — must agree with
     * the catalog's canonical V2 functions bit-for-bit, or the write
     * distribution and the file routing would disagree about what "one
@@ -3706,16 +3744,46 @@ private[sources] object SnapshotProcedures {
               if (in.isNullAt(4) || in.getInt(4) <= 0) None else Some(in.getInt(4))
             val scope = Option(in.getUTF8String(3)).map(_.toString)
               .filter(_.nonEmpty).map(c => (c, in.getLong(5), in.getLong(6)))
+            // a partition-declared table compacts WITHIN partition
+            // values (stats-derived groups, one union leg each) — a
+            // plain compact would merge across values and silently
+            // destroy the purity partition pruning and count_by stand
+            // on. z-order / scoped OPTIMIZE keep the plain path (an
+            // explicit re-layout request supersedes the claim).
+            val partitioned: Option[Seq[(String, Long => Long)]] =
+              if (zorder.nonEmpty || scope.isDefined) None
+              else
+                SnapshotLog.tableProps(spark, table).get("partition_by")
+                  .map(PartSpec.parse).filter(_.nonEmpty).flatMap { fields =>
+                    val vs0 = SnapshotLog.versions(spark, table)
+                    val schema0 = SnapshotLog
+                      .tableSchema(spark, table, vs0.last)
+                    // the group key is the FULL partition tuple —
+                    // grouping any coarser would merge across a later
+                    // field's values and break its purity
+                    val mapped = fields.map(f0 =>
+                      schema0.flatMap(_.fields.find(_.name == f0.col))
+                        .flatMap(sf => PartSpec.statMapper(f0, sf.dataType))
+                        .map(f0.col -> _))
+                    if (mapped.exists(_.isEmpty)) None // string fields:
+                    // no LONG stats mapping — plain compact (honest)
+                    else Some(mapped.flatten)
+                  }
             val (v, rewritten, carried) =
               if (zorder.nonEmpty)
                 SnapshotLog.compact(
                   spark, table, smallerThanBytes = Long.MaxValue,
                   targetBytes = target, zorderBy = zorder, where = scope,
                   filesOut = filesOut)
-              else
-                SnapshotLog.compact(
-                  spark, table, smallerThanBytes = target, targetBytes = target,
-                  where = scope, filesOut = filesOut)
+              else partitioned match {
+                case Some(fs0) =>
+                  SnapshotLog.compactPartitioned(
+                    spark, table, fs0, smallerThanBytes = target)
+                case None =>
+                  SnapshotLog.compact(
+                    spark, table, smallerThanBytes = target, targetBytes = target,
+                    where = scope, filesOut = filesOut)
+              }
             Seq(new GenericInternalRow(
               Array[Any](v, rewritten.size, carried.size)))
           }
@@ -3864,37 +3932,10 @@ private[sources] object SnapshotProcedures {
             val dt = schema.fields.find(_.name == f.col).getOrElse(
               throw new IllegalArgumentException(
                 s"count_by: column '${f.col}' is not in the schema")).dataType
-            val usPerDay = 86400000000L
-            def calMonths(days: Long): Long = {
-              val ld = java.time.LocalDate.ofEpochDay(days)
-              (ld.getYear - 1970).toLong * 12 + (ld.getMonthValue - 1)
-            }
-            // stats space: micros for TIMESTAMP, epoch days for DATE,
-            // raw for identity/truncate
-            val mapv: Long => Long = f match {
-              case _: PartIdentity => identity
-              case PartTruncate(w, _) => x => Math.floorDiv(x, w.toLong) * w
-              case PartTime(u, _) if dt == TimestampType => u match {
-                case "days"   => x => Math.floorDiv(x, usPerDay)
-                case "hours"  => x => Math.floorDiv(x, 3600000000L)
-                case "months" => x => calMonths(Math.floorDiv(x, usPerDay))
-                case "years" =>
-                  x => java.time.LocalDate
-                    .ofEpochDay(Math.floorDiv(x, usPerDay)).getYear - 1970L
-              }
-              case PartTime(u, _) if dt == DateType => u match {
-                case "days"   => identity
-                case "months" => calMonths
-                case "years" =>
-                  x => java.time.LocalDate.ofEpochDay(x).getYear - 1970L
-                case other =>
-                  throw new IllegalArgumentException(
-                    s"count_by: $other() over a DATE column")
-              }
-              case _ =>
-                throw new IllegalArgumentException(
-                  s"count_by: ${f.spec} over ${dt.simpleString}")
-            }
+            val mapv: Long => Long = PartSpec.statMapper(f, dt).getOrElse(
+              throw new IllegalArgumentException(
+                s"count_by: ${f.spec} over ${dt.simpleString} has no " +
+                  "LONG-space stats mapping"))
             SnapshotLog.metadataCountBy(spark, table, f.col, mapv) match {
               case Some(groups) =>
                 groups.map { case (g, n) =>

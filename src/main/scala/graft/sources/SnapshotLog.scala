@@ -581,7 +581,19 @@ object SnapshotLog {
     val f = fs(spark, table)
     val jobId = UUID.randomUUID.toString.take(8)
     val staging = new Path(s"$table/_staging/$jobId")
-    df.write.mode("overwrite").parquet(staging.toString)
+    // timestamps stage as INT64 micros, not Spark's INT96 default: the
+    // footer-stats lifter reads INT64 only, and an INT96 file is
+    // stats-BLIND — every skipping/count_by/partition-purity claim on
+    // a timestamp column would silently die at the first staged write
+    // (the catalog's own Group-API writers already spell INT64)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode("overwrite").parquet(staging.toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None    => spark.conf.unset(tsKey)
+    }
     val parts = f
       .listStatus(staging)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -2452,6 +2464,87 @@ object SnapshotLog {
     val version =
       commitReplace(spark, table, picked, packed, dataChange = false)
     (version, picked, large.map(_._1))
+  }
+
+  /** PARTITION-AWARE compaction: small files group by their (pure)
+    * partition value — derived from manifest stats alone via `mapv`,
+    * zero file opens — and each group coalesces INDEPENDENTLY (one
+    * union leg per group, so every rewritten file still holds exactly
+    * one partition value). A plain [[compact]] on a partition-routed
+    * table would merge across values and silently destroy the purity
+    * that partition pruning and the metadata-only count_by stand on.
+    * Blind or impure files (pre-layout generations) are left
+    * uncompacted rather than guessed at. Group count is capped: past
+    * it, per-partition small-file pressure dominates and the right
+    * tool is a scoped `OPTIMIZE WHERE`, so the call refuses with that
+    * guidance. Returns (version, rewritten, carried). */
+  def compactPartitioned(
+      spark: SparkSession,
+      table: String,
+      fields: Seq[(String, Long => Long)],
+      smallerThanBytes: Long = 64L << 20,
+      maxGroups: Int = 256
+  ): (Int, Seq[String], Seq[String]) = {
+    require(fields.nonEmpty, "snapshot compact: no partition fields")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot compact: no commits in $table")
+    val v = vs.last
+    val entries = manifestEntries(spark, table, v)
+    val f = fs(spark, table)
+    val pcs = fields.map { case (c, m) => (physColumn(spark, table, v, c), m) }
+    // one PURE mapped value per field, or the file is left alone
+    def tupleOf(e: String): Option[Seq[Long]] = {
+      val per = pcs.map { case (pc, mapv) =>
+        entryStat(e, pc).flatMap(_.split(':') match {
+          case Array("l" | "i", mn, mx) if mapv(mn.toLong) == mapv(mx.toLong) =>
+            Some(mapv(mn.toLong))
+          case _ => None // blind or impure in this field
+        })
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+    }
+    // (name, partition tuple) for every PURE small file
+    val small: Seq[(String, Seq[Long])] = entries.flatMap { e =>
+      val name = entryName(e)
+      val sz = entrySize(e).getOrElse(
+        f.getFileStatus(new Path(dataPath(table, name))).getLen)
+      if (sz >= smallerThanBytes && entryDv(e).isEmpty) None
+      else tupleOf(e).map(name -> _)
+    }
+    val groups = small.groupBy(_._2).filter { case (_, fs0) =>
+      fs0.size >= 2 ||
+        fs0.exists(x => entriesFor(entries, Seq(x._1))
+          .exists(e => entryDv(e).isDefined))
+    }
+    if (groups.isEmpty) return (v, Nil, entries.map(entryName))
+    require(
+      groups.size <= maxGroups,
+      s"snapshot compact: ${groups.size} partition groups exceed the " +
+        s"$maxGroups-group single-commit cap — compact a slice with " +
+        "OPTIMIZE WHERE instead")
+    val schema = tableSchema(spark, table, v)
+    // each group stages INDEPENDENTLY (a union of coalesced legs
+    // would be collapsed back to one partition by the optimizer —
+    // measured), then ALL landed files commit in ONE conflict-checked
+    // replace: every written file descends from exactly one group, so
+    // purity survives, and atomicity is unchanged (a crash before the
+    // commit leaves only vacuum-able staged orphans)
+    var batchSchema: StructType = null
+    val landed = groups.toSeq.sortBy(_._1.mkString(",")).flatMap {
+      case (_, fs0) =>
+        val leg = readEntries(
+          spark, table, entriesFor(entries, fs0.map(_._1)), schema)
+        // mapped tables stage under PHYSICAL names, exactly like the
+        // normal commit path
+        val (stagedLeg, bs) = mapForStage(schema, leg.coalesce(1))
+        batchSchema = bs
+        stageOnly(spark, table, stagedLeg)
+    }
+    val picked = groups.values.flatten.map(_._1).toSeq
+    val version = commitLandedInternal(
+      spark, table, landed, batchSchema, overwrite = false, txnId = None,
+      replaceRemoved = Some(picked), dataChange = false)
+    (version, picked, entries.map(entryName).filterNot(picked.toSet))
   }
 
   /** Copy-on-write DELETE of `column ∈ [lo, hi]`: manifest stats

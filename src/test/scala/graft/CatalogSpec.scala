@@ -1583,6 +1583,45 @@ class CatalogSpec extends SparkTestBase {
     assert(e7.getMessage.contains("mutually exclusive"))
   }
 
+  test("OPTIMIZE on a partition-declared table compacts WITHIN values: " +
+    "purity (and the metadata-only count) survives") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    // three small inserts: each lands one file per day → 3 files/day
+    (0 until 3).foreach(i =>
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT id, timestamp'2024-07-01 00:00:00'
+           |  + make_interval(0, 0, 0, CAST(id % 4 AS INT), 0, 0, id)
+           |FROM range(${i * 100}, ${i * 100 + 100})""".stripMargin))
+    val ref = s"main.${t.split('.').last}"
+    val path = pathOf(t)
+    val filesBefore = SnapshotLog
+      .manifest(spark, path, SnapshotLog.versions(spark, path).last).size
+    assert(filesBefore >= 12, s"expected >=12 small day files: $filesBefore")
+    val r = spark.sql(
+      s"CALL cattest.system.optimize(table => '$ref')").head
+    assert(r.getInt(1) > 0, "optimize must rewrite the small day files")
+    val filesAfter = SnapshotLog
+      .manifest(spark, path, SnapshotLog.versions(spark, path).last).size
+    assert(filesAfter == 4,
+      s"per-day compaction must land one file per day: $filesAfter")
+    // purity survived: the metadata-only count still answers, exactly
+    val counts = spark.sql(
+      s"CALL cattest.system.count_by(table => '$ref', field => 'days(ts)')")
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(counts.size == 4 && counts.values.sum == 300L)
+    // and the one-day prune still flips
+    val lo = java.time.LocalDate.parse("2024-07-02").toEpochDay * 86400000000L
+    val (kept, total) = SnapshotLog.prunedFiles(
+      spark, path, "ts", lo, lo + 86400000000L - 1)
+    assert(kept.size < total, s"post-optimize prune must hold: ${kept.size}/$total")
+    // rows intact through the rewrite
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 300L)
+  }
+
   // --- round-13 gate of the round-12 ViewCatalog ---
 
   private var vn = 0
