@@ -3752,6 +3752,16 @@ object SnapshotLog {
               s"$table/$LogDir/${st.getPath.getName.stripSuffix(".lock")}$CommitSuffix")))
         .map(_.getPath)
       lockOrphans.foreach(f.delete(_, false))
+      // stale-lock tombstones a breaker died holding (claimLocal
+      // renames a stale lock to `<lock>.stale-<uuid>` before deleting
+      // it) — dead by construction once past the grace window
+      val tombOrphans = (if (f.exists(logRoot)) f.listStatus(logRoot)
+                         else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st =>
+          st.isFile && st.getPath.getName.contains(".lock.stale-") &&
+            st.getModificationTime <= cutoff)
+        .map(_.getPath)
+      tombOrphans.foreach(f.delete(_, false))
       (orphans.map(_.getName) ++ staged.map(p => s"_staging/${p.getName}") ++
         dvOrphans.map(p => s"_dv/${p.getName}")).toSeq
     }

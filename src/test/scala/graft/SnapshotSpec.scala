@@ -91,6 +91,17 @@ class SnapshotSpec extends SparkTestBase {
     SnapshotLog.commit(spark, t, Seq(3L).toDF("id"))
     assert(rows(t) == Set(1L, 2L, 3L))
     assert(!stale.exists(), "the abandoned claim must have been broken")
+    // a breaker that dies between its rename-to-tombstone and the
+    // delete leaves `<lock>.stale-<uuid>` debris; vacuum reclaims it
+    // past the grace window but never a fresh one (a break in flight)
+    val deadTomb = new java.io.File(logDir, "v00000004.lock.stale-dead01")
+    assert(deadTomb.createNewFile())
+    assert(deadTomb.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000))
+    val freshTomb = new java.io.File(logDir, "v00000005.lock.stale-live01")
+    assert(freshTomb.createNewFile())
+    SnapshotLog.vacuum(spark, t)
+    assert(!deadTomb.exists(), "stale tombstone debris must be vacuumed")
+    assert(freshTomb.exists(), "a fresh tombstone (break in flight) survives vacuum")
   }
 
   test("manifest stats skip disjoint files; pruned read equals full read+filter") {
