@@ -2334,6 +2334,66 @@ object Scans {
          |FROM $cat.main.orders_mm ORDER BY o_custkey""".stripMargin)
   }
 
+  /** STATS managed MV (round 13): `CALL system.create_mv(...,
+    * kind => 'stats')` materializes per-key sum / sum-of-squares /
+    * count — the three moments avg, variance, and stddev all derive
+    * from WITHOUT re-reading the source. Unlike minmax, x² inverts a
+    * delete exactly as x does, so the refresh is a pure invertible
+    * fold over `readChanges(asOf, tip)` — O(changed files) of the
+    * source at every delete pattern, never a group recompute. The
+    * graded flow stresses exactly that: after materialization the
+    * source takes an append (insert fold), a CoW UPDATE (delete+insert
+    * pairs through the same fold — the x² of the OLD value must
+    * subtract while the NEW one adds), and a scattering DELETE; one
+    * refresh must land bit-exactly on the oracle's full recompute of
+    * the final state. */
+  val sqlMvStats: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_stsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_st")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_sqlst_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val h = c1 / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_stsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_stsrc
+         |SELECT * FROM graft_sqlst_src WHERE o_orderkey <= $c1""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_stsrc
+         |SELECT * FROM graft_sqlst_src
+         |WHERE o_orderkey > $c1 AND o_orderkey <= $c2""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_mv(
+         |  source => 'main.orders_stsrc', mv => 'main.orders_st',
+         |  key => 'o_custkey', agg => 'cents', kind => 'stats')""".stripMargin)
+    // behind the MV's back: an append, a CoW UPDATE (the x² fold must
+    // subtract c² and add (2c)²), and a scattering CoW DELETE
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_stsrc
+         |SELECT * FROM graft_sqlst_src WHERE o_orderkey > $c2""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_stsrc SET cents = cents * 2
+         |WHERE o_orderkey <= $h""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.main.orders_stsrc WHERE o_orderkey % 10 = 0")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv(mv => 'main.orders_st')").head
+    require(
+      r.getInt(1) > r.getInt(0),
+      s"refresh must advance the as-of version, got $r")
+    spark.sql(
+      s"""SELECT o_custkey, mv_sum, mv_sumsq, mv_n
+         |FROM $cat.main.orders_st ORDER BY o_custkey""".stripMargin)
+  }
+
   /** COLUMN DEFAULT VALUES (round 13): `CREATE TABLE (c STRING
     * DEFAULT 'x')` and `ALTER TABLE ADD COLUMN ... DEFAULT y` — the
     * default rides the committed schema's field metadata
@@ -3795,6 +3855,7 @@ object Scans {
     "sql_partition_evolve" -> sqlPartitionEvolve,
     "sql_mv_refresh" -> sqlMvRefresh,
     "sql_mv_minmax" -> sqlMvMinmax,
+    "sql_mv_stats" -> sqlMvStats,
     "sql_dml_mor" -> sqlDmlMor,
     "sql_topn_pushdown" -> sqlTopnPushdown,
     "sql_ingest" -> sqlIngest,
@@ -4019,6 +4080,21 @@ object Scans {
         | CAST(count(*) AS BIGINT) AS mv_n
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the stats fold (append + CoW update + CoW delete, all through
+    // the invertible x/x²/n delta) must land bit-exactly on the full
+    // recompute of the final source state
+    "sql_mv_stats" ->
+      """WITH src AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey <= (SELECT (max(o_orderkey) // 3) // 2
+        |                             FROM orders) THEN 2 ELSE 1 END
+        |      * CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 10 <> 0)
+        |SELECT o_custkey,
+        | CAST(sum(c) AS BIGINT) AS mv_sum,
+        | CAST(sum(c * c) AS BIGINT) AS mv_sumsq,
+        | CAST(count(*) AS BIGINT) AS mv_n
+        |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // cross-generation fidelity through the layout change: the status
     // slice spans pre-evolution and value-routed files alike
     "sql_partition_evolve" ->

@@ -3880,8 +3880,10 @@ private[sources] object SnapshotProcedures {
       case "create_mv" =>
         // materialize a per-key rollup as a catalog table; the MV
         // records its source + as-of version for refresh_mv. kind:
-        // 'sum' (sum/count, invertible fold) or 'minmax' (min/max/
-        // count — delete-touched groups recompute on refresh)
+        // 'sum' (sum/count, invertible fold), 'minmax' (min/max/
+        // count — delete-touched groups recompute on refresh), or
+        // 'stats' (sum/sum-of-squares/count — invertible fold;
+        // avg/var/stddev derive from the moments)
         proc(
           "create_mv",
           Seq(

@@ -2885,9 +2885,12 @@ object SnapshotLog {
     * `mv`, recording (source, key, agg, kind, high-water version) in
     * the MV's props so [[refreshMv]] can maintain it from the change
     * feed. `kind`: `sum` (default — sum/count, refresh is a pure
-    * invertible fold) or `minmax` (min/max/count — inserts fold,
-    * delete-touched GROUPS recompute, see refreshMv). Returns the
-    * source version the MV is as-of. */
+    * invertible fold), `minmax` (min/max/count — inserts fold,
+    * delete-touched GROUPS recompute, see refreshMv), or `stats`
+    * (sum/sum-of-squares/count — like `sum` a pure invertible fold,
+    * and avg/variance/stddev derive from the three moments without
+    * ever re-reading the source). Returns the source version the MV
+    * is as-of. */
   def createMv(
       spark: SparkSession,
       source: String,
@@ -2898,17 +2901,23 @@ object SnapshotLog {
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     require(
-      kind == "sum" || kind == "minmax",
-      s"createMv: kind must be 'sum' or 'minmax', got '$kind'")
+      kind == "sum" || kind == "minmax" || kind == "stats",
+      s"createMv: kind must be 'sum', 'minmax' or 'stats', got '$kind'")
     val tip = versions(spark, source).last
     val src = read(spark, source, Some(tip)).groupBy(col(keyCol))
-    val m =
-      if (kind == "sum")
+    val m = kind match {
+      case "sum" =>
         src.agg(sum(col(aggCol)).as("mv_sum"), count(lit(1)).as("mv_n"))
-      else
+      case "stats" =>
+        src.agg(
+          sum(col(aggCol)).as("mv_sum"),
+          sum(col(aggCol) * col(aggCol)).as("mv_sumsq"),
+          count(lit(1)).as("mv_n"))
+      case _ =>
         src.agg(
           min(col(aggCol)).as("mv_min"), max(col(aggCol)).as("mv_max"),
           count(lit(1)).as("mv_n"))
+    }
     // the as-of version rides the materialize commit's own header
     // (`mvv=`): data and high-water mark land in ONE atomic write, the
     // same ledger-rides-the-commit design as ingest. The props copy is
@@ -3014,6 +3023,29 @@ object SnapshotLog {
           col(key),
           (coalesce(col("mv_sum"), lit(0L)) +
             coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
+          (coalesce(col("mv_n"), lit(0L)) +
+            coalesce(col("d_n"), lit(0L))).as("mv_n"))
+        .filter(col("mv_n") > 0)
+    } else if (kind == "stats") {
+      // sum-of-squares inverts a delete exactly like sum does (the
+      // deleted row's x and x² both subtract) — the whole refresh
+      // stays a pure fold, no recompute branch at any delete pattern
+      val sign =
+        when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+      val delta = changes
+        .groupBy(col(key))
+        .agg(
+          sum(col(agg) * sign).as("d_sum"),
+          sum(col(agg) * col(agg) * sign).as("d_sumsq"),
+          sum(sign).as("d_n"))
+      read(spark, mv)
+        .join(delta, Seq(key), "full_outer")
+        .select(
+          col(key),
+          (coalesce(col("mv_sum"), lit(0L)) +
+            coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
+          (coalesce(col("mv_sumsq"), lit(0L)) +
+            coalesce(col("d_sumsq"), lit(0L))).as("mv_sumsq"),
           (coalesce(col("mv_n"), lit(0L)) +
             coalesce(col("d_n"), lit(0L))).as("mv_n"))
         .filter(col("mv_n") > 0)

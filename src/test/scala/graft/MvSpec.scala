@@ -148,6 +148,57 @@ class MvSpec extends SparkTestBase {
     assert(!mvMinmaxRows(mv).exists(_._1 == 3L))
   }
 
+  /** Full recompute of a stats MV at the source's tip. */
+  private def recomputeStats(src: String): Set[(Long, Long, Long, Long)] =
+    SnapshotLog.read(spark, src)
+      .groupBy(col("k"))
+      .agg(sum(col("v")).as("mv_sum"), sum(col("v") * col("v")).as("mv_sumsq"),
+        count(lit(1)).as("mv_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("stats MV: sum/sumsq/n fold through appends, CoW updates and deletes; " +
+    "avg and variance derive from the moments") {
+    val src = fresh("src")
+    val mv = fresh("mv")
+    SnapshotLog.commit(spark, src, kv(Seq(1L -> 3L, 1L -> 5L, 2L -> 4L)))
+    val asOf = SnapshotLog.createMv(spark, src, mv, "k", "v", kind = "stats")
+    assert(asOf == 1 && mvMinmaxRows(mv) == recomputeStats(src))
+    assert(mvMinmaxRows(mv).contains((1L, 8L, 34L, 2L))) // 3+5, 9+25
+    // append (fold +), then a CoW update: the x² of the OLD value must
+    // subtract while the NEW one adds — 3 leaves (−9), 30 lands (+900)
+    SnapshotLog.commit(spark, src, kv(Seq(3L -> 6L, 1L -> 2L)))
+    SnapshotLog.mergeCoW(
+      spark, src, "k", kv(Seq(1L -> 0L)).select("k"),
+      df => df.withColumn("v", when(col("k") === 1L && col("v") === 3L,
+        lit(30L)).otherwise(col("v"))))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvMinmaxRows(mv) == recomputeStats(src))
+    assert(mvMinmaxRows(mv).contains((1L, 37L, 929L, 3L))) // 30+5+2, 900+25+4
+    // a scattering delete folds too (no recompute branch in stats),
+    // and a fully-deleted group vanishes
+    SnapshotLog.mergeCoW(
+      spark, src, "k", kv(Seq(2L -> 0L)).select("k"),
+      df => df.filter(col("k") =!= 2L))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvMinmaxRows(mv) == recomputeStats(src))
+    assert(!mvMinmaxRows(mv).exists(_._1 == 2L))
+    // the promised derivation: mean and population variance from the
+    // three moments alone — k=1: mean 37/3, var 929/3 − mean²
+    val m = SnapshotLog.read(spark, mv)
+      .filter(col("k") === 1L)
+      .select(
+        (col("mv_sum").cast("double") / col("mv_n")).as("mean"),
+        (col("mv_sumsq").cast("double") / col("mv_n") -
+          pow(col("mv_sum").cast("double") / col("mv_n"), 2)).as("var"))
+      .head
+    val exact = SnapshotLog.read(spark, src).filter(col("k") === 1L)
+      .agg(avg(col("v")), var_pop(col("v"))).head
+    assert(math.abs(m.getDouble(0) - exact.getDouble(0)) < 1e-9)
+    assert(math.abs(m.getDouble(1) - exact.getDouble(1)) < 1e-9)
+  }
+
   test("a crash between refresh commit and props rewrite cannot double-count " +
     "(high-water mark rides the commit header)") {
     val src = fresh("src")
