@@ -2334,6 +2334,80 @@ object Scans {
          |FROM $cat.main.orders_mm ORDER BY o_custkey""".stripMargin)
   }
 
+  /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
+    * `SupportsRuntimeV2Filtering` over its declared layout columns
+    * (sorted_by / identity partitions / bucket key / bloom-indexed),
+    * so a join against a SELECTIVE dim prunes fact FILES at run time —
+    * Spark's dynamic-pruning subquery collects the build side's
+    * distinct keys and hands them back as `col IN (...)` before the
+    * scan executes; admission per key reuses the stats ∩ bloom
+    * machinery of static pushdown. The dataflow: orders land custkey-
+    * sorted (tight per-file ranges), the dim keeps every ~300th
+    * customer — a modulo predicate NO static range inference can turn
+    * into file pruning (the inferred constraint isn't a range, so
+    * planning keeps every file) — and the join must still open only
+    * the files an actual build-side key hits, pinned inline via the
+    * scan's runtime-prune hook. The fact carries a COLD TAIL — a
+    * shard whose custkeys lie beyond every customer (the unmatched-
+    * keys region every enrichment join has) — that static planning
+    * provably cannot drop (the inferred modulo constraint is not a
+    * range) but the runtime key list excludes at EVERY scale factor.
+    * On a 100 TB clustered fact a 0.3 % dim join reads the files its
+    * keys actually hit, not the table. Oracle: the plain join
+    * recomputed from the source parquet (the tail joins nothing, so
+    * it must vanish from the result, not from correctness). */
+  val joinDpp: Q = (spark, dir) => {
+    import graft.sources.SnapshotSqlScan
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_dppfact"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_dppf_src")
+    spark.sql(
+      s"""CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
+         |TBLPROPERTIES ('sorted_by' = 'o_custkey')""".stripMargin)
+    // four custkey-disjoint inserts: sorted_by range-sorts each, so
+    // files carry tight DISJOINT custkey ranges — the clustered layout
+    // runtime pruning bites on
+    val maxC = o.agg(max("o_custkey")).collect()(0).getLong(0)
+    val q = math.max(maxC / 4, 1L)
+    (0 until 4).foreach { s =>
+      val hi = if (s == 3) Long.MaxValue else (s + 1) * q
+      spark.sql(
+        s"""INSERT INTO $t SELECT * FROM graft_dppf_src
+           |WHERE o_custkey > ${s * q} AND o_custkey <= $hi""".stripMargin)
+    }
+    // the dim stays FILE-BACKED (parquet) so its selective predicate
+    // survives to the pruning rule, as every real dim's would
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    cust.createOrReplaceTempView("graft_dppf_dim")
+    // the cold tail: custkeys strictly beyond every customer — no
+    // build-side key can land here, only the runtime filter knows that
+    val maxCust = cust.agg(max("c_custkey")).collect()(0).getLong(0)
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey + ${4L * maxC}, o_custkey + $maxCust, cents
+         |FROM graft_dppf_src""".stripMargin)
+    SnapshotSqlScan.lastRuntimePrune.set((0, 0))
+    val joined = spark.sql(
+      s"""SELECT f.o_orderkey, f.o_custkey, f.cents, d.c_name
+         |FROM $t f JOIN graft_dppf_dim d ON f.o_custkey = d.c_custkey
+         |WHERE d.c_custkey % 293 = 1
+         |ORDER BY f.o_orderkey""".stripMargin)
+    val n = joined.count() // force an execution carrying runtime filters
+    require(n > 0, "dpp join must produce rows")
+    val (after, before) = SnapshotSqlScan.lastRuntimePrune.get()
+    require(
+      before >= 5 && after < before,
+      s"runtime filter must exclude files the static plan kept: $after/$before")
+    joined
+  }
+
   /** STATS managed MV (round 13): `CALL system.create_mv(...,
     * kind => 'stats')` materializes per-key sum / sum-of-squares /
     * count — the three moments avg, variance, and stddev all derive
@@ -3856,6 +3930,7 @@ object Scans {
     "sql_mv_refresh" -> sqlMvRefresh,
     "sql_mv_minmax" -> sqlMvMinmax,
     "sql_mv_stats" -> sqlMvStats,
+    "join_dpp" -> joinDpp,
     "sql_dml_mor" -> sqlDmlMor,
     "sql_topn_pushdown" -> sqlTopnPushdown,
     "sql_ingest" -> sqlIngest,
@@ -4080,6 +4155,14 @@ object Scans {
         | CAST(count(*) AS BIGINT) AS mv_n
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // runtime file pruning can only EXCLUDE provably keyless files —
+    // the join's rows must be exactly the plain recompute's
+    "join_dpp" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey % 293 = 1
+        |ORDER BY o.o_orderkey""".stripMargin,
     // the stats fold (append + CoW update + CoW delete, all through
     // the invertible x/x²/n delta) must land bit-exactly on the full
     // recompute of the final source state

@@ -1903,6 +1903,15 @@ object SnapshotAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
+object SnapshotSqlScan {
+  /** Test observability: (planned-after, planned-before) of the most
+    * recent runtime-filtered planInputPartitions in this JVM. Dynamic
+    * file pruning happens at EXECUTION time, invisible in the static
+    * plan text — specs pin the flip here. */
+  val lastRuntimePrune =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+}
+
 class SnapshotSqlScan(
     spark: SparkSession,
     path: String,
@@ -1917,7 +1926,115 @@ class SnapshotSqlScan(
 ) extends Scan
     with Batch
     with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** RUNTIME FILE PRUNING (the file-format half of dynamic partition
+    * pruning): advertise the columns where a join-time point filter
+    * can actually exclude files — the declared layout columns
+    * (sorted_by, identity partition_by fields, the bucket key) and any
+    * bloom-indexed column. Spark plans a dynamic-pruning subquery over
+    * the join's other side and hands the distinct build-side keys back
+    * as `col IN (...)` BEFORE this scan executes; admission per value
+    * reuses the SAME stats ∩ bloom machinery as static pushdown, so a
+    * selective dim filter prunes fact FILES at run time — on a 100 TB
+    * fact table a 1 %-of-keys dim join opens ~1 % of the clustered
+    * files instead of all of them. Filtering only EXCLUDES files whose
+    * stats/bloom PROVE no listed key lives there, never correctness;
+    * columns without a layout/bloom claim are not advertised (pruning
+    * could never bite, and the dim-side subquery would be pure cost). */
+  private lazy val runtimeFilterable: Seq[String] = {
+    val props = SnapshotLog.tableProps(spark, path)
+    // bloom riders name PHYSICAL columns; map back through the scan's
+    // own logical→physical pairing (identity for unmapped tables)
+    val bloomPhys = SnapshotLog.bloomPhysColumns(spark, path, version)
+    val bloomLogical = prunedSchema.fields
+      .zip(SnapshotLog.toPhysical(prunedSchema).fields)
+      .collect { case (lf, pf) if bloomPhys(pf.name) => lf.name }
+    val layout =
+      props.get("sorted_by").toSeq ++
+        props.get("partition_by").toSeq.flatMap(PartSpec.parse).collect {
+          case PartIdentity(c) => c
+        } ++
+        SnapshotLog.bucketSpec(spark, path, version).map(_._1).toSeq ++
+        bloomLogical
+    layout.distinct.filter(c =>
+      prunedSchema.fields.exists(f =>
+        f.name == c &&
+          (f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == StringType)))
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // a pushed limit/top-N prices a file PREFIX assuming every planned
+    // row counts toward n; a later runtime exclusion would break that
+    // accounting, so the scan simply does not invite one (the shapes
+    // cannot co-occur under a join anyway — DPP does not cross Limit)
+    if (limitPush.isDefined || topNPush.isDefined)
+      Array.empty
+    else
+      runtimeFilterable
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+
+  /** Manifest names admitted by runtime predicates; None = unfiltered. */
+  private var runtimeKept: Option[Set[String]] = None
+
+  /** One value's admission: the same stats ∩ bloom intersection the
+    * static EqualTo path takes. */
+  private def admitOne(c: String, v: Any): Set[String] = v match {
+    case l: java.lang.Long    => longRange(c, l, l).intersect(bloomSet(c, l))
+    case i: java.lang.Integer =>
+      longRange(c, i.toLong, i.toLong).intersect(bloomSet(c, i))
+    case s =>
+      val str = String.valueOf(s) // UTF8String → String
+      SnapshotLog.prunedFilesString(spark, path, c, str, str, Some(version))
+        ._1.toSet.intersect(bloomSet(c, str))
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]
+  ): Unit = predicates.foreach { p =>
+    val children = p.children()
+    val colOpt: Option[String] = children.headOption.collect {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 => r.fieldNames()(0)
+    }.filter(c => (p.name() == "IN" || p.name() == "=") &&
+      runtimeFilterable.contains(c))
+    colOpt.foreach { c =>
+      val values: Seq[Any] = children.drop(1).collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value()
+      }.toSeq
+      // per-value stats ∩ bloom for a bounded list (mirrors the static
+      // In path); a huge build side degrades to ONE [min,max] envelope
+      // pass — O(files) driver metadata either way, never O(values ×
+      // files). An empty IN (empty build side) admits nothing: no
+      // probe row can survive the join this filter came from.
+      val admitted: Set[String] =
+        if (values.isEmpty) Set.empty
+        else if (values.length <= 64)
+          values.map(v => admitOne(c, v)).reduce(_ union _)
+        else {
+          val longs = values.collect {
+            case l: java.lang.Long    => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+          }
+          if (longs.length == values.length)
+            longRange(c, longs.min, longs.max)
+          else {
+            val strs = values.map(String.valueOf(_))
+            SnapshotLog
+              .prunedFilesString(spark, path, c, strs.min, strs.max, Some(version))
+              ._1.toSet
+          }
+        }
+      runtimeKept = Some(runtimeKept.fold(admitted)(_.intersect(admitted)))
+    }
+    // unrecognized predicates are ignored: runtime filtering only
+    // EXCLUDES files a subquery proved unmatched, never correctness
+  }
 
   /** Manifest names surviving every pushed predicate's stats check —
     * the intersection, since pushed filters are conjunctive. */
@@ -2083,20 +2200,63 @@ class SnapshotSqlScan(
   private def dvPathOf(f: String): Option[String] =
     riders.get(f).flatMap(_._2).map(d => SnapshotLog.dvFilePath(path, d))
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // runtime (join-time) exclusions apply LAST, on top of the static
+    // plan: the admitted sets and plannedFiles share manifest-name
+    // space. Bucketed scans filter WITHIN groups and keep every group
+    // (possibly empty) so the KeyGroupedPartitioning claim made at
+    // planning time stays true.
+    def kept(files: Seq[String]): Seq[String] = runtimeKept match {
+      case Some(k) => files.filter(k)
+      case None    => files
+    }
+    runtimeKept.foreach { _ =>
+      SnapshotSqlScan.lastRuntimePrune.set(
+        (kept(plannedFiles).length, plannedFiles.length))
+    }
     bucketing match {
       case Some((_, _, groups)) =>
         groups.toSeq.sortBy(_._1).map { case (b, files) =>
           SnapshotBucketPartition(
-            files.map(f => (SnapshotLog.dataPath(path, f), dvPathOf(f))), b)
+            kept(files).map(f => (SnapshotLog.dataPath(path, f), dvPathOf(f))), b)
         }.toArray
       case None =>
-        // deletion vectors apply by position; the sidecar is read
-        // executor-side from the path shipped with the partition
-        plannedFiles.map { f =>
-          SnapshotFilePartition(SnapshotLog.dataPath(path, f), dvPathOf(f))
-        }.toArray
+        // TASK PACKING: one task per file schedules 10k tasks on a
+        // 10k-small-file table — pack CONSECUTIVE manifest files
+        // (manifest order preserves ingestion clustering) into splits
+        // of up to maxPartitionBytes, exactly Spark's own FileScan
+        // policy: per-file cost = max(_sz rider, openCostInBytes), and
+        // the target shrinks to totalBytes/defaultParallelism so a
+        // small table still fans out over every core. A rider-blind
+        // file (pre-upgrade entry) costs a full target: it packs
+        // alone rather than risking a giant accidental split. The
+        // deletion-vector sidecars ride per file either way.
+        val files = kept(plannedFiles)
+        val sz = SnapshotLog.fileSizeMap(spark, path, version)
+        val conf = spark.sessionState.conf
+        val maxBytes = conf.filesMaxPartitionBytes
+        val openCost = conf.filesOpenCostInBytes
+        val cost: String => Long =
+          f => math.max(sz.getOrElse(f, maxBytes), openCost)
+        val total = files.map(cost).sum
+        val par = math.max(spark.sparkContext.defaultParallelism, 1)
+        val target = math.max(math.min(maxBytes, total / par + 1), openCost)
+        val packs = Array.newBuilder[InputPartition]
+        var cur = List.empty[(String, Option[String])]
+        var acc = 0L
+        files.foreach { f =>
+          val c = cost(f)
+          if (cur.nonEmpty && acc + c > target) {
+            packs += SnapshotFilesPartition(cur.reverse)
+            cur = Nil; acc = 0L
+          }
+          cur = (SnapshotLog.dataPath(path, f), dvPathOf(f)) :: cur
+          acc += c
+        }
+        if (cur.nonEmpty) packs += SnapshotFilesPartition(cur.reverse)
+        packs.result()
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // mapped tables: the reader must look up PHYSICAL column names in
@@ -2177,6 +2337,11 @@ case class SnapshotBucketPartition(
       Array[Any](bucket))
 }
 
+/** A packed input split: consecutive manifest files read sequentially
+  * by one task (each with its own deletion-vector sidecar). */
+case class SnapshotFilesPartition(files: Seq[(String, Option[String])])
+    extends InputPartition
+
 case class SnapshotSqlReaderFactory(
     schema: StructType,
     conf: SerializableHadoopConf,
@@ -2187,8 +2352,9 @@ case class SnapshotSqlReaderFactory(
       p: InputPartition
   ): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val files = p match {
-      case SnapshotFilePartition(f, dv)  => Seq((f, dv))
+      case SnapshotFilePartition(f, dv)   => Seq((f, dv))
       case SnapshotBucketPartition(fs, _) => fs
+      case SnapshotFilesPartition(fs)     => fs
       case other =>
         throw new IllegalStateException(s"unexpected partition $other")
     }

@@ -1326,6 +1326,29 @@ object SnapshotLog {
       replaceExpected = Some(touched))
   }
 
+  /** PHYSICAL column names any live file carries a bloom rider for at
+    * `version` (`_bm<urlb64(col)>=b:` tokens) — ONE manifest read, no
+    * header scan, so the scan can advertise runtime-filterable columns
+    * at plan time without O(versions) metadata IO. */
+  def bloomPhysColumns(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Set[String] = {
+    val dec = java.util.Base64.getUrlDecoder
+    manifestEntries(spark, table, version).flatMap { e =>
+      val parts = e.split('\t')
+      if (parts.length < 2) Seq.empty[String]
+      else
+        parts(1).split(';').toSeq.collect {
+          case t if t.startsWith("_bm") && t.contains("=b:") =>
+            new String(
+              dec.decode(t.substring(3, t.indexOf("=b:"))),
+              java.nio.charset.StandardCharsets.UTF_8)
+        }
+    }.toSet
+  }
+
   /** Files at `version` whose bloom says `column = value` is POSSIBLE —
     * blind files (no bloom for the column) always kept, so the result
     * can never lose rows. */
@@ -1790,6 +1813,18 @@ object SnapshotLog {
     }
     rows.toDF("file", "bytes", "rows", "dv_dead_rows", "bucket", "external")
   }
+
+  /** Per-file `_sz` rider bytes at `version` (None where a pre-rider
+    * entry is blind) — metadata only; the scan's task packing sizes
+    * input splits from this without a single filesystem stat. */
+  def fileSizeMap(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): Map[String, Long] =
+    manifestEntries(spark, table, version)
+      .flatMap(e => entrySize(e).map(entryName(e) -> _))
+      .toMap
 
   /** Summed `_sz` rider bytes of `files` at `version` (absent rider →
     * 0) — metadata only; the streaming source's byte-based admission

@@ -1777,4 +1777,105 @@ class CatalogSpec extends SparkTestBase {
     val e = intercept[Exception](spark.sql(s"SELECT * FROM $v").collect())
     assert(e.getMessage.contains("x") || e.getMessage.toLowerCase.contains("resolve"))
   }
+
+  test("task packing: a many-small-file table scans as few packed splits " +
+    "without losing a row, a deletion vector, or full parallelism") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, v BIGINT)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    (0 until 24).foreach { s =>
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT id, id * 2 FROM range(${s * 10}, ${s * 10 + 10})""".stripMargin)
+    }
+    val total = SnapshotLog
+      .manifest(spark, pathOf(t), SnapshotLog.versions(spark, pathOf(t)).last)
+      .length
+    assert(total >= 24, s"wanted many small files, saw $total")
+    val df = spark.sql(s"SELECT * FROM $t")
+    val parts = df.rdd.getNumPartitions
+    // packed: far fewer tasks than files — but never below the
+    // parallelism the byte total can feed (target shrinks to
+    // total/defaultParallelism, so a small table still fans out)
+    assert(parts < total, s"packing should collapse $total files, got $parts tasks")
+    assert(parts >= 1 && df.count() == 240)
+    assert(
+      df.agg(sum("v")).head.getLong(0) == (0L until 240L).map(_ * 2).sum)
+    // a MoR delete's sidecar rides its file THROUGH the packing
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")
+    val after = spark.sql(s"SELECT * FROM $t")
+    assert(after.count() == 216)
+    assert(!after.collect().exists(_.getLong(0) % 10 == 3))
+  }
+
+  test("runtime file pruning: a selective dim join opens only the fact " +
+    "files whose key range the build side admits") {
+    import graft.sources.SnapshotSqlScan
+    val t = freshName()
+    // sorted_by range-sorts every insert; four disjoint key slices land
+    // four (sets of) files with tight disjoint custkey ranges — the
+    // clustered-fact layout dynamic pruning exists for
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT, v BIGINT)
+         |TBLPROPERTIES ('sorted_by' = 'k')""".stripMargin)
+    (0 until 4).foreach { s =>
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT id, id * 10 FROM range(${s * 1000}, ${s * 1000 + 1000})""".stripMargin)
+    }
+    val total = SnapshotLog
+      .manifest(spark, pathOf(t), SnapshotLog.versions(spark, pathOf(t)).last)
+      .length
+    assert(total >= 4, s"layout should have >= 4 files, saw $total")
+    import spark.implicits._
+    // the build side: a SELECTIVE dim covering only slice 0's keys —
+    // file-backed (a LocalRelation's filter constant-folds away before
+    // the pruning rule sees it, which no real dim ever hits)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    (0L until 2000L by 100L).toDF("dk").write.mode("overwrite")
+      .parquet(s"$dimDir/d1")
+    spark.read.parquet(s"$dimDir/d1").createOrReplaceTempView("graft_dpp_dim")
+    SnapshotSqlScan.lastRuntimePrune.set((0, 0))
+    val joined = spark.sql(
+      s"""SELECT f.k, f.v FROM $t f
+         |JOIN graft_dpp_dim d ON f.k = d.dk WHERE d.dk < 1000""".stripMargin)
+    val rows = joined.collect()
+    assert(rows.length == 10 && rows.map(_.getLong(0)).toSet == (0L until 1000L by 100L).toSet)
+    // static inference (k = dk ∧ dk < 1000 ⇒ k < 1000) already prunes
+    // some files at planning; the runtime filter must exclude MORE —
+    // files the static range admits but no actual build-side key hits
+    val (after, before) = SnapshotSqlScan.lastRuntimePrune.get()
+    assert(before >= 1 && after < before,
+      s"runtime filter should have excluded files: planned $after/$before")
+    // correctness twin: the pruned join equals the unfiltered recompute
+    val full = spark.sql(s"SELECT k, v FROM $t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(full(r.getLong(0)) == r.getLong(1)))
+    // an UNADVERTISED column invites no runtime filter: join on v (not
+    // the declared layout column) — no pruning, same correct rows
+    SnapshotSqlScan.lastRuntimePrune.set((0, 0))
+    (0L until 20000L by 1000L).toDF("dv").write.mode("overwrite")
+      .parquet(s"$dimDir/d2")
+    spark.read.parquet(s"$dimDir/d2").createOrReplaceTempView("graft_dpp_dim2")
+    val byV = spark.sql(
+      s"""SELECT f.k, f.v FROM $t f
+         |JOIN graft_dpp_dim2 d ON f.v = d.dv WHERE d.dv < 10000""".stripMargin)
+    assert(byV.count() == 10)
+    assert(SnapshotSqlScan.lastRuntimePrune.get() == ((0, 0)),
+      "no runtime filter should reach a non-layout column")
+    // building a bloom index PROMOTES the column: the same join now
+    // invites a runtime filter (detected from the tip manifest's _bm
+    // riders — no header scan), and the rows stay exactly right
+    spark.sql(
+      s"CALL cattest.system.build_bloom(table => 'main.${t.split('.').last}', column => 'v')")
+    SnapshotSqlScan.lastRuntimePrune.set((0, 0))
+    val byV2 = spark.sql(
+      s"""SELECT f.k, f.v FROM $t f
+         |JOIN graft_dpp_dim2 d ON f.v = d.dv WHERE d.dv < 10000""".stripMargin)
+    assert(byV2.count() == 10)
+    val (a2, b2) = SnapshotSqlScan.lastRuntimePrune.get()
+    assert(b2 > 0, "bloom-indexed column must be advertised for runtime filtering")
+    assert(a2 <= b2)
+  }
 }
