@@ -649,7 +649,7 @@ class SnapshotCatalog
       schema: StructType,
       change: TableChange
   ): Table = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val cur = SnapshotLog.tableProps(spark, path)
     val pieces = cur.filter { case (k, _) => k.startsWith("ck_") }
     change match {
@@ -675,11 +675,27 @@ class SnapshotCatalog
         val effective = newPieces.toSeq.sorted.map(p => s"(${p._2})").mkString(" AND ")
         SnapshotSql.compileCheck(spark, schema, effective)
         // Spark pre-validates existing data for enforced CHECKs and
-        // records the validated version — scanning again here would
-        // double the ADD's cost at 100 TB. Scan ONLY when no
-        // validation ran (a programmatic alterTable call).
-        if (a.validatedTableVersion() == null) {
-          val bad = SnapshotLog.read(spark, path)
+        // records the version it validated AGAINST — scanning again
+        // here would double the ADD's cost at 100 TB. But that tip may
+        // have MOVED since (an INSERT landing between Spark's scan and
+        // this commit was never validated): re-check ONLY the delta
+        // since the validated version — O(changed files) — and the
+        // FULL table only when no validation ran at all (programmatic
+        // alterTable) or the change feed is out of reach (expired).
+        val tipNow = SnapshotLog.versions(spark, path).last
+        val unvalidated: Option[org.apache.spark.sql.DataFrame] =
+          Option(a.validatedTableVersion())
+            .flatMap(s => scala.util.Try(s.toInt).toOption) match {
+            case Some(v) if v >= tipNow => None
+            case Some(v) =>
+              scala.util.Try(
+                SnapshotLog.readChanges(spark, path, v, tipNow)
+                  .filter(col("change_type") === "insert"))
+                .toOption.orElse(Some(SnapshotLog.read(spark, path)))
+            case None => Some(SnapshotLog.read(spark, path))
+          }
+        unvalidated.foreach { df =>
+          val bad = df
             .filter(not(coalesce(expr(c.predicateSql()), lit(true))))
             .limit(1)
             .collect()
@@ -1460,6 +1476,13 @@ case class SnapshotSqlTable(
     )
     v
   }
+
+  /** The snapshot version this table handle serves — Spark records it
+    * as `validatedTableVersion` when it pre-validates an enforced
+    * CHECK, which lets alterTable detect a tip that MOVED between the
+    * validation scan and the constraint commit (and re-check only the
+    * delta) instead of trusting a stale validation. */
+  override def version(): String = snapVersion.toString
 
   private val dataSchema: StructType =
     SnapshotLog

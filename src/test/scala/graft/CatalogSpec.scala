@@ -1583,6 +1583,33 @@ class CatalogSpec extends SparkTestBase {
     assert(e7.getMessage.contains("mutually exclusive"))
   }
 
+  test("ADD CONSTRAINT re-validates the delta when the tip moved past the " +
+    "validated version") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)") // v1
+    spark.sql(s"INSERT INTO $t VALUES (1, 10)") // v2
+    spark.sql(s"INSERT INTO $t VALUES (2, -5)") // v3 — violates v > 0
+    val cat = spark.sessionState.catalogManager
+      .catalog("cattest").asInstanceOf[SnapshotCatalog]
+    val ident = Identifier.of(Array("main"), t.split('.').last)
+    // the caller claims validation AT v2 — the v3 insert was never
+    // validated; the catalog must check the delta and refuse
+    val ck = Constraint.check("late").predicateSql("v > 0").build()
+    val e = intercept[Exception](
+      cat.alterTable(ident, TableChange.addConstraint(ck, "2")))
+    assert(e.getMessage.contains("existing row violates"))
+    // same stale claim with a predicate the delta satisfies: the
+    // delta-scoped re-check admits it, and it enforces from then on
+    cat.alterTable(ident, TableChange.addConstraint(
+      Constraint.check("loose").predicateSql("v > -100").build(), "2"))
+    val e2 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (3, -500)"))
+    assert(e2.getMessage.toLowerCase.contains("check"))
+    spark.sql(s"INSERT INTO $t VALUES (3, -50)") // within the loose bound
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3L)
+  }
+
   test("OPTIMIZE on a partition-declared table compacts WITHIN values: " +
     "purity (and the metadata-only count) survives") {
     val t = freshName()
