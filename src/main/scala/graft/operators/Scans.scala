@@ -2334,6 +2334,65 @@ object Scans {
          |FROM $cat.main.orders_mm ORDER BY o_custkey""".stripMargin)
   }
 
+  /** MATERIALIZED VIEW DDL (round 13): `CREATE MATERIALIZED VIEW mv
+    * AS <rollup>` / `REFRESH MATERIALIZED VIEW mv` / `DROP
+    * MATERIALIZED VIEW mv` — the standard-SQL spelling of the managed
+    * MV (OSS Spark 4.1 parses the CREATE as a Declarative-Pipelines
+    * dataset and refuses to execute it; the injected parser reclaims
+    * it for the snapshot catalog). The CREATE accepts EXACTLY the
+    * rollup shapes refresh can maintain incrementally — sum/count,
+    * min/max/count, sum/sumsq/count over one grouping column of one
+    * source table, maintained aliases required — and refuses anything
+    * else loudly naming the shapes: better no MV than one whose
+    * refresh silently recomputes the world. The graded flow mirrors
+    * sql_mv_refresh driven entirely by DDL: two inserts, CREATE, an
+    * append + CoW UPDATE behind the MV's back, one REFRESH, read —
+    * bit-exact against the full-recompute oracle. */
+  val sqlMvDdl: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_ddlsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_ddlmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_sqlddl_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val c1 = maxK / 3
+    val c2 = 2 * c1
+    val h = c1 / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_ddlsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_ddlsrc
+         |SELECT * FROM graft_sqlddl_src WHERE o_orderkey <= $c1""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_ddlsrc
+         |SELECT * FROM graft_sqlddl_src
+         |WHERE o_orderkey > $c1 AND o_orderkey <= $c2""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_ddlmv AS
+         |SELECT o_custkey, sum(cents) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.orders_ddlsrc GROUP BY o_custkey""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_ddlsrc
+         |SELECT * FROM graft_sqlddl_src WHERE o_orderkey > $c2""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_ddlsrc SET cents = cents * 2
+         |WHERE o_orderkey <= $h""".stripMargin)
+    val r = spark
+      .sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_ddlmv").head
+    require(
+      r.getInt(1) > r.getInt(0),
+      s"refresh must advance the as-of version, got $r")
+    spark.sql(
+      s"""SELECT o_custkey, mv_sum, mv_n
+         |FROM $cat.main.orders_ddlmv ORDER BY o_custkey""".stripMargin)
+  }
+
   /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
     * `SupportsRuntimeV2Filtering` over its declared layout columns
     * (sorted_by / identity partitions / bucket key / bloom-indexed),
@@ -3930,6 +3989,7 @@ object Scans {
     "sql_mv_refresh" -> sqlMvRefresh,
     "sql_mv_minmax" -> sqlMvMinmax,
     "sql_mv_stats" -> sqlMvStats,
+    "sql_mv_ddl" -> sqlMvDdl,
     "join_dpp" -> joinDpp,
     "sql_dml_mor" -> sqlDmlMor,
     "sql_topn_pushdown" -> sqlTopnPushdown,
@@ -4155,6 +4215,17 @@ object Scans {
         | CAST(count(*) AS BIGINT) AS mv_n
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the DDL-driven MV (CREATE/REFRESH MATERIALIZED VIEW) must land
+    // bit-exactly on the full recompute — same algebra as
+    // sql_mv_refresh, here through the standard-SQL spelling
+    "sql_mv_ddl" ->
+      """WITH b AS (SELECT (max(o_orderkey) // 3) // 2 AS h FROM orders)
+        |SELECT o_custkey,
+        | CAST(sum(CASE WHEN o_orderkey <= b.h THEN 2 ELSE 1 END *
+        |          CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS mv_sum,
+        | CAST(count(*) AS BIGINT) AS mv_n
+        |FROM orders, b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // runtime file pruning can only EXCLUDE provably keyless files —
     // the join's rows must be exactly the plain recompute's
     "join_dpp" ->

@@ -53,7 +53,13 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    ViewSql.rewrite(session, delegate, delegate.parsePlan(sqlText), None, 0)
+    try ViewSql.rewrite(session, delegate, delegate.parsePlan(sqlText), None, 0)
+    catch {
+      // CREATE/DROP MATERIALIZED VIEW are not in Spark's grammar at
+      // all — own them here; anything else re-raises the original
+      case pe: org.apache.spark.sql.catalyst.parser.ParseException =>
+        ViewSql.parseMaterialized(session, delegate, sqlText).getOrElse(throw pe)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     ViewSql.rewrite(session, delegate, delegate.parseQuery(sqlText), None, 0)
@@ -205,6 +211,21 @@ object ViewSql {
             .exists { case (_, sc, id) => sc.viewExists(id) } =>
         val (_, sc, ident) = nameParts(sp.table).flatMap(our).get
         GraftShowViewPropsCommand(sc, ident, sp.propertyKey, sp.output)
+      // Spark 4.1's grammar parses CREATE MATERIALIZED VIEW as a
+      // Declarative-Pipelines dataset whose direct execution refuses —
+      // reclaim it for the snapshot catalog's managed MVs
+      case cmv: CreateMaterializedViewAsSelect =>
+        nameParts(cmv.name).flatMap(our) match {
+          case Some((cat, sc, ident)) =>
+            val (srcParts, key, agg, kind) = mvShape(cmv.query)
+            val (_, srcSc, srcIdent) =
+              inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
+                .getOrElse(throw new IllegalArgumentException(
+                  "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
+                    s"catalog table, got '${srcParts.mkString(".")}'"))
+            GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind)
+          case None => cmv
+        }
       case r: UnresolvedRelation if !r.isStreaming && depth < MaxDepth =>
         our(r.multipartIdentifier) match {
           case Some((cat, sc, ident)) if sc.viewExists(ident) =>
@@ -216,6 +237,136 @@ object ViewSql {
               (cat +: ident.namespace.toSeq) :+ ident.name)
           case _ => r
         }
+    }
+  }
+
+  private val CreateMvRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([^\s(]+)\s+AS\s+(SELECT\b.*)$""".r
+  private val DropMvRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([^\s;]+)\s*;?\s*$""".r
+  private val RefreshMvRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([^\s;]+)\s*;?\s*$""".r
+
+  /** The MATERIALIZED VIEW statements Spark's grammar rejects outright
+    * (`DROP MATERIALIZED VIEW`; `REFRESH MATERIALIZED VIEW`, whose
+    * unquoted-path rule refuses spaces) plus a safety net for CREATE
+    * variants the pipelines grammar rejects — the normal CREATE path
+    * parses as [[CreateMaterializedViewAsSelect]] and is reclaimed in
+    * [[rewrite]]. Both CREATE paths accept EXACTLY the rollup shapes
+    * [[graft.sources.SnapshotLog.createMv]] can maintain incrementally
+    * — one grouping column over one source table with the maintained
+    * aliases — and refuse everything else loudly, naming the three
+    * shapes. A silent best-effort fallback would create an MV whose
+    * refresh recomputes the world; better no MV than a lying one. */
+  private[plans] def parseMaterialized(
+      session: SparkSession,
+      parser: ParserInterface,
+      sqlText: String
+  ): Option[LogicalPlan] = sqlText match {
+    case CreateMvRe(identText, query) =>
+      val parts = parser.parseMultipartIdentifier(identText)
+      val (cat, sc, ident) = inSnapshotCatalog(session, parts, None).getOrElse(
+        throw new IllegalArgumentException(
+          "CREATE MATERIALIZED VIEW targets a snapshot catalog " +
+            s"(qualify the name), got '$identText'"))
+      val (srcParts, key, agg, kind) = mvShape(parser.parseQuery(query))
+      val (_, srcSc, srcIdent) =
+        inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
+          .getOrElse(throw new IllegalArgumentException(
+            "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
+              s"catalog table, got '${srcParts.mkString(".")}'"))
+      Some(GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind))
+    case DropMvRe(ifExists, identText) =>
+      val parts = parser.parseMultipartIdentifier(identText)
+      inSnapshotCatalog(session, parts, None) match {
+        case Some((_, sc, ident)) =>
+          Some(GraftDropMvCommand(sc, ident, ifExists != null))
+        case None =>
+          throw new IllegalArgumentException(
+            "DROP MATERIALIZED VIEW targets a snapshot catalog " +
+              s"(qualify the name), got '$identText'")
+      }
+    case RefreshMvRe(identText) =>
+      val parts = parser.parseMultipartIdentifier(identText)
+      inSnapshotCatalog(session, parts, None) match {
+        case Some((_, sc, ident)) => Some(GraftRefreshMvCommand(sc, ident))
+        case None =>
+          throw new IllegalArgumentException(
+            "REFRESH MATERIALIZED VIEW targets a snapshot catalog " +
+              s"(qualify the name), got '$identText'")
+      }
+    case _ => None
+  }
+
+  /** Match the unanalyzed rollup query against the three maintainable
+    * shapes; anything else refuses naming them. */
+  private def mvShape(query: LogicalPlan): (Seq[String], String, String, String) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply}
+    val shapes =
+      "SELECT k, sum(a) AS mv_sum, count(*) AS mv_n FROM t GROUP BY k | " +
+        "SELECT k, min(a) AS mv_min, max(a) AS mv_max, count(*) AS mv_n " +
+        "FROM t GROUP BY k | " +
+        "SELECT k, sum(a) AS mv_sum, sum(a*a) AS mv_sumsq, count(*) AS mv_n " +
+        "FROM t GROUP BY k"
+    def refuse(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW: $why. Incrementally-maintainable " +
+          s"shapes (exact aliases required): $shapes")
+    sealed trait Arg
+    case class ColArg(n: String) extends Arg
+    case class SqArg(n: String) extends Arg
+    case object StarArg extends Arg
+    def parseAgg(e: Expression): Option[(String, String, Arg)] = e match {
+      case al @ Alias(u: UnresolvedFunction, _)
+          if !u.isDistinct && u.filter.isEmpty =>
+        val fn = u.nameParts.map(_.toLowerCase).mkString(".")
+        u.arguments match {
+          case Seq(a: UnresolvedAttribute) if a.nameParts.length == 1 =>
+            Some((fn, al.name, ColArg(a.nameParts.head)))
+          case Seq(Multiply(a: UnresolvedAttribute, b: UnresolvedAttribute, _))
+              if a.nameParts == b.nameParts && a.nameParts.length == 1 =>
+            Some((fn, al.name, SqArg(a.nameParts.head)))
+          case Seq(_: UnresolvedStar) => Some((fn, al.name, StarArg))
+          case Seq(Literal(1, _))     => Some((fn, al.name, StarArg))
+          case _                      => None
+        }
+      case _ => None
+    }
+    query match {
+      case a: Aggregate =>
+        val g = a.groupingExpressions match {
+          case Seq(ga: UnresolvedAttribute) if ga.nameParts.length == 1 =>
+            ga.nameParts.head
+          case _ => refuse("exactly one plain grouping column is required")
+        }
+        val src = a.child match {
+          case r: UnresolvedRelation => r.multipartIdentifier
+          case _ => refuse("the source must be a single table (no joins, " +
+            "no subqueries)")
+        }
+        val rest = a.aggregateExpressions match {
+          case Seq(k: UnresolvedAttribute, more @ _*)
+              if k.nameParts == Seq(g) => more
+          case _ => refuse("the select list must lead with the grouping column")
+        }
+        val parsed = rest.map(parseAgg)
+        if (parsed.exists(_.isEmpty))
+          refuse("unsupported aggregate expression")
+        parsed.flatten.toList match {
+          case List(("sum", "mv_sum", ColArg(x)), ("count", "mv_n", StarArg)) =>
+            (src, g, x, "sum")
+          case List(
+            ("min", "mv_min", ColArg(x)), ("max", "mv_max", ColArg(y)),
+            ("count", "mv_n", StarArg)) if x == y =>
+            (src, g, x, "minmax")
+          case List(
+            ("sum", "mv_sum", ColArg(x)), ("sum", "mv_sumsq", SqArg(y)),
+            ("count", "mv_n", StarArg)) if x == y =>
+            (src, g, x, "stats")
+          case _ => refuse("the aggregate list matches none of the shapes")
+        }
+      case _ => refuse("the query must be a single-table GROUP BY rollup")
     }
   }
 
@@ -355,6 +506,80 @@ case class GraftRenameViewCommand(
 ) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     catalog.renameView(from, to)
+    Nil
+  }
+}
+
+/** CREATE MATERIALIZED VIEW — materializes the rollup as a catalog
+  * table via [[graft.sources.SnapshotLog.createMv]] (the same engine
+  * behind CALL create_mv): one full build now, every REFRESH after it
+  * folds only the source's change feed. */
+case class GraftCreateMvCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    srcCatalog: SnapshotCatalog,
+    srcIdent: Identifier,
+    key: String,
+    agg: String,
+    kind: String
+) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "as_of_version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(
+      !catalog.tableExists(ident) && !catalog.viewExists(ident),
+      s"snapshot catalog: '${ident.name}' already exists — one name, " +
+        "one meaning (DROP it first)")
+    val v = graft.sources.SnapshotLog.createMv(
+      session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
+      key, agg, kind)
+    Seq(Row(v))
+  }
+}
+
+/** REFRESH MATERIALIZED VIEW — folds the source's change feed since
+  * the MV's committed high-water mark; O(changed files). */
+case class GraftRefreshMvCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier
+) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "from_version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "to_version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (f, t) = graft.sources.SnapshotLog.refreshMv(
+      session, catalog.pathOf(ident))
+    Seq(Row(f, t))
+  }
+}
+
+/** DROP MATERIALIZED VIEW — refuses on a table that is NOT an MV (the
+  * statement must mean what it says); IF EXISTS swallows only
+  * absence. */
+case class GraftDropMvCommand(
+    catalog: SnapshotCatalog,
+    ident: Identifier,
+    ifExists: Boolean
+) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.tableExists(ident)) {
+      if (ifExists) return Nil
+      throw new IllegalArgumentException(
+        s"snapshot catalog: no materialized view '${ident.name}'")
+    }
+    val props =
+      graft.sources.SnapshotLog.tableProps(session, catalog.pathOf(ident))
+    require(
+      props.contains("mv_source"),
+      s"snapshot catalog: '${ident.name}' is a plain table, not a " +
+        "materialized view — use DROP TABLE")
+    catalog.dropTable(ident)
     Nil
   }
 }

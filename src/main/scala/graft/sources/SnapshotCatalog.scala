@@ -126,6 +126,11 @@ class SnapshotCatalog
   private def tablePath(ident: Identifier): String =
     ((warehouse +: ident.namespace) :+ ident.name).mkString("/")
 
+  /** Filesystem path of `ident` — the injected SQL commands
+    * (views, materialized views) drive the programmatic SnapshotLog
+    * API against it. */
+  private[graft] def pathOf(ident: Identifier): String = tablePath(ident)
+
   private def isTable(p: Path): Boolean =
     wfs.exists(new Path(p, "_log"))
 

@@ -1610,6 +1610,57 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3L)
   }
 
+  test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the SQL spelling of the " +
+    "managed MV, with loud refusals off the maintainable shapes") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (1, 20), (2, 5)")
+    val mv = freshName()
+    val created = spark.sql(
+      s"""CREATE MATERIALIZED VIEW $mv AS
+         |SELECT k, sum(v) AS mv_sum, count(*) AS mv_n FROM $t GROUP BY k""".stripMargin)
+      .head
+    assert(created.getInt(0) == 2, s"as-of version, got $created")
+    assert(
+      spark.sql(s"SELECT * FROM $mv ORDER BY k").collect().map(_.toSeq).toSeq ==
+        Seq(Seq(1L, 30L, 2L), Seq(2L, 5L, 1L)))
+    // the source moves; REFRESH folds only the change feed
+    spark.sql(s"INSERT INTO $t VALUES (2, 7), (3, 1)")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW $mv").head
+    assert(r.getInt(1) > r.getInt(0), s"refresh must advance, got $r")
+    assert(
+      spark.sql(s"SELECT * FROM $mv ORDER BY k").collect().map(_.toSeq).toSeq ==
+        Seq(Seq(1L, 30L, 2L), Seq(2L, 12L, 2L), Seq(3L, 1L, 1L)))
+    // the other two maintainable shapes parse to their kinds
+    val mm = freshName()
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $mm AS
+         |SELECT k, min(v) AS mv_min, max(v) AS mv_max, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    assert(SnapshotLog.tableProps(spark, pathOf(mm))("mv_kind") == "minmax")
+    val st = freshName()
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $st AS
+         |SELECT k, sum(v) AS mv_sum, sum(v * v) AS mv_sumsq,
+         |count(*) AS mv_n FROM $t GROUP BY k""".stripMargin)
+    assert(SnapshotLog.tableProps(spark, pathOf(st))("mv_kind") == "stats")
+    // off-shape rollups refuse LOUDLY, naming the three shapes
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, avg(v) AS mv_avg FROM $t GROUP BY k"))
+    assert(e1.getMessage.contains("Incrementally-maintainable"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, sum(v) AS total, count(*) AS n FROM $t GROUP BY k"))
+    assert(e2.getMessage.contains("Incrementally-maintainable"))
+    // DROP MATERIALIZED VIEW means what it says: a plain table refuses
+    val e3 = intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW $t"))
+    assert(e3.getMessage.contains("plain table"))
+    spark.sql(s"DROP MATERIALIZED VIEW $mv")
+    assert(!spark.catalog.tableExists(mv))
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $mv") // absent: no-op
+  }
+
   test("OPTIMIZE on a partition-declared table compacts WITHIN values: " +
     "purity (and the metadata-only count) survives") {
     val t = freshName()
