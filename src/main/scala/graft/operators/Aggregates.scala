@@ -892,6 +892,71 @@ object Aggregates {
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** avg SERVED FROM THE ROLLUP (round 13, closing MvRewrite's
+    * documented avg gap): `avg(m)` rewrites to
+    * `sum(sum_m) / sum(cntnn_m)` — the exact partial sums divided by
+    * the exact non-null count, the same double ANY evaluation order
+    * produces while the sums stay below 2^53 — but ONLY for measures
+    * the registrant DECLARES integral-valued (`MvDef.avgExact`;
+    * l_quantity is whole units). The declaration carries the
+    * responsibility exactly like a CHECK constraint: a genuinely
+    * fractional measure keeps the bail, because float avg is
+    * order-sensitive and this rule only fires where the rollup answer
+    * is provably exact. The MV adds the `cntnn_m` column — count(*)
+    * is the wrong denominator the moment the measure has NULLs. The
+    * oracle computes avg from SOURCE rows; the hash match proves the
+    * two-sum derivation lands on Spark's own avg bit-for-bit. */
+  val aggRollupAvg: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val li = Tables.lineitem(spark, dir)
+    val mvName = "mv_lineitem_daily_avg"
+    graft.Stage.table(spark, dir, mvName, Seq("lineitem")) {
+      li.groupBy("l_returnflag", "l_linestatus", "l_shipdate")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_l_quantity"),
+          count(col("l_quantity")).as("cntnn_l_quantity"),
+          min("l_quantity").as("min_l_quantity"),
+          max("l_quantity").as("max_l_quantity")
+        )
+    }
+    MvRewrite.register(
+      MvRewrite.MvDef(
+        sourcePath = s"$dir/lineitem.parquet",
+        mvPath = graft.Stage.pathFor(dir, mvName, Seq("lineitem")),
+        dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+        measures = Seq("l_quantity"),
+        avgExact = Seq("l_quantity")
+      )
+    )
+    val brute = li
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        avg("l_quantity").as("avg_qty"),
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(MvRewrite.readsMv(rewritten), "MV avg rewrite did not fire")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  private val aggRollupAvgSql =
+    """SELECT l_returnflag, l_linestatus, avg(l_quantity) AS avg_qty,
+      | count(*) AS n_rows, sum(l_quantity) AS sum_qty
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Market-basket co-occurrence: part pairs ordered together, top-20
     * by support. The self-join is keyed on l_orderkey, whose group
     * size is bounded by order line count (≤7 in TPC-H, 17 here), so
@@ -988,6 +1053,7 @@ object Aggregates {
     "agg_ttest" -> aggTtest,
     "agg_copurchase" -> aggCopurchase,
     "agg_rollup_mv" -> aggRollupMv,
+    "agg_rollup_avg" -> aggRollupAvg,
     "agg_mad" -> aggMad,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_entropy" -> aggEntropy,
@@ -1019,6 +1085,7 @@ object Aggregates {
     "agg_ttest" -> aggTtestSql,
     "agg_copurchase" -> aggCopurchaseSql,
     "agg_rollup_mv" -> aggRollupMvSql,
+    "agg_rollup_avg" -> aggRollupAvgSql,
     "agg_mad" -> aggMadSql,
     "agg_entropy" -> aggEntropySql,
     "agg_corr_matrix" -> aggCorrMatrixSql,

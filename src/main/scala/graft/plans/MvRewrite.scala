@@ -44,12 +44,14 @@ import org.apache.spark.sql.SparkSession
   * any residual Filter references dims only (the predicate transplants
   * onto the MV scan, where it prunes with full pushdown). Distinct
   * aggregates, expression-valued groupings, and non-decomposable
-  * functions (avg's float-order sensitivity, percentiles) make the
-  * rule bail to the source plan — the rewrite only fires when the
-  * rollup answer is EXACT: counts, integral-valued sums, min/max are
-  * reassociation-safe, so the rewritten query is hash-identical to the
-  * source aggregate (the DuckDB oracle for `agg_rollup_mv` computes
-  * from source, proving it).
+  * functions (percentiles) make the rule bail to the source plan — the
+  * rewrite only fires when the rollup answer is EXACT: counts,
+  * integral-valued sums, min/max are reassociation-safe, so the
+  * rewritten query is hash-identical to the source aggregate (the
+  * DuckDB oracle for `agg_rollup_mv` computes from source, proving
+  * it). `avg(m)` rewrites to `sum(sum_m)/sum(cntnn_m)` ONLY for
+  * measures the registrant declared integral-valued
+  * ([[MvRewrite.MvDef.avgExact]]); float-valued avg keeps the bail.
   *
   * At 100 TB this is the difference between scanning the fact table
   * and scanning a table |dims-cross| rows long: the daily-grain
@@ -66,12 +68,23 @@ object MvRewrite {
   val ConfKey = "spark.graft.mv.rewrite"
 
   /** A registered rollup MV for `sourcePath`: parquet at `mvPath` with
-    * columns `dims ++ (cnt +: measures.flatMap(m => sum_m/min_m/max_m))`. */
+    * columns `dims ++ (cnt +: measures.flatMap(m => sum_m/min_m/max_m))`.
+    *
+    * `avgExact` lists measures the REGISTRANT declares integral-valued
+    * (quantities, counts, cents): their double sums reassociate
+    * exactly below 2^53, so `avg(m)` may rewrite to
+    * `sum(sum_m) / sum(cntnn_m)` (the MV must then also carry the
+    * non-null count `cntnn_m` — count(*) is the wrong denominator
+    * under NULLs). An undeclared measure keeps the bail: avg over
+    * genuinely fractional doubles is order-sensitive and the rewrite
+    * only fires where the answer is provably exact. The declaration
+    * carries the responsibility, exactly like a CHECK constraint. */
   case class MvDef(
       sourcePath: String,
       mvPath: String,
       dims: Seq[String],
-      measures: Seq[String]
+      measures: Seq[String],
+      avgExact: Seq[String] = Nil
   )
 
   private val registry =
@@ -175,23 +188,40 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               AggregateExpression(fn, Complete, false, None, _),
               name
             ) =>
-          val merged = fn match {
+          val merged: Option[Expression] = fn match {
             case c: Count if c.children == Seq(Literal(1)) =>
-              Some(Sum(mvAttr("cnt")))
+              Some(Sum(mvAttr("cnt")).toAggregateExpression())
             case Sum(x: AttributeReference, _)
                 if mvAttr.contains(s"sum_${x.name}") =>
-              Some(Sum(mvAttr(s"sum_${x.name}")))
+              Some(Sum(mvAttr(s"sum_${x.name}")).toAggregateExpression())
             case Min(x: AttributeReference)
                 if mvAttr.contains(s"min_${x.name}") =>
-              Some(Min(mvAttr(s"min_${x.name}")))
+              Some(Min(mvAttr(s"min_${x.name}")).toAggregateExpression())
             case Max(x: AttributeReference)
                 if mvAttr.contains(s"max_${x.name}") =>
-              Some(Max(mvAttr(s"max_${x.name}")))
+              Some(Max(mvAttr(s"max_${x.name}")).toAggregateExpression())
+            // avg ONLY over a measure the registrant DECLARED
+            // integral-valued (see MvDef.avgExact): the exact sum over
+            // the partials divided by the exact non-null count — the
+            // same double any evaluation order produces below 2^53.
+            // cntnn_m, not cnt, is the denominator: avg ignores NULLs.
+            case org.apache.spark.sql.catalyst.expressions.aggregate
+                  .Average(x: AttributeReference, _)
+                if mv.avgExact.contains(x.name) &&
+                  mvAttr.contains(s"sum_${x.name}") &&
+                  mvAttr.contains(s"cntnn_${x.name}") =>
+              import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+              import org.apache.spark.sql.types.DoubleType
+              Some(Divide(
+                Cast(
+                  Sum(mvAttr(s"sum_${x.name}")).toAggregateExpression(),
+                  DoubleType),
+                Cast(
+                  Sum(mvAttr(s"cntnn_${x.name}")).toAggregateExpression(),
+                  DoubleType)))
             case _ => None
           }
-          merged.map(m =>
-            Alias(m.toAggregateExpression(), name)(exprId = al.exprId)
-          )
+          merged.map(m => Alias(m, name)(exprId = al.exprId))
         case _ => None
       })
     } yield {

@@ -764,8 +764,9 @@ class PlanShapeSpec extends SparkTestBase {
         s"rewrite did not fire:\n${mvDf.queryExecution.optimizedPlan}"
       )
       assert(srcScans(mvDf) == 0, "MV plan still scans the source")
-      // avg is float-order sensitive — not decomposable from partials:
-      // the rule must bail to the source plan even when enabled
+      // avg is float-order sensitive — with no avgExact declaration on
+      // the registered MV the rule must bail to the source plan even
+      // when enabled
       val avgDf = brute(decomposable :+ avg("l_quantity").as("avg_qty"))
       assert(!MvRewrite.readsMv(avgDf.queryExecution.optimizedPlan))
       assert(srcScans(avgDf) == 1, "avg query must keep the source scan")
@@ -776,6 +777,38 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!MvRewrite.readsMv(bruteDf.queryExecution.optimizedPlan))
       assert(srcScans(bruteDf) == 1)
       assert(bruteDf.collect().toSeq == mvRows)
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("MV avg rewrite fires ONLY for registrant-declared integral measures") {
+    import graft.plans.MvRewrite
+    import org.apache.spark.sql.functions.{avg, lit => l}
+    // running the key registers the avgExact MV (and stages cntnn_*)
+    operators.Aggregates.aggRollupAvg(spark, sf0001).collect()
+    MvRewrite.install(spark)
+    def brute(a: org.apache.spark.sql.Column) =
+      Tables
+        .lineitem(spark, sf0001)
+        .filter(col("l_shipdate") <= l("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(a)
+        .orderBy("l_returnflag", "l_linestatus")
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      // declared measure: avg serves from the rollup's two sums
+      val fired = brute(avg("l_quantity").as("avg_qty"))
+      assert(
+        MvRewrite.readsMv(fired.queryExecution.optimizedPlan),
+        s"declared avg did not fire:\n${fired.queryExecution.optimizedPlan}")
+      // an UNDECLARED measure (genuinely fractional prices) bails
+      val bailed = brute(avg("l_extendedprice").as("avg_price"))
+      assert(!MvRewrite.readsMv(bailed.queryExecution.optimizedPlan))
+      // the rewritten avg equals the brute avg BIT-FOR-BIT (integral
+      // sums below 2^53 reassociate exactly)
+      val mvRows = fired.collect().toSeq
+      spark.conf.unset(MvRewrite.ConfKey)
+      val bruteRows = brute(avg("l_quantity").as("avg_qty")).collect().toSeq
+      assert(mvRows == bruteRows)
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
