@@ -3983,18 +3983,30 @@ private[sources] object SnapshotProcedures {
           }
         )
       case "vacuum" =>
+        // dry_run => true previews the reclamation: one row per file
+        // vacuum WOULD delete, nothing touched
         proc(
           "vacuum",
           Seq(
             ProcedureParameter.in("table", StringType).build(),
             ProcedureParameter.in("older_than_ms", LongType)
-              .defaultValue((60L * 60 * 1000).toString).build()
+              .defaultValue((60L * 60 * 1000).toString).build(),
+            ProcedureParameter.in("dry_run", BooleanType)
+              .defaultValue("false").build()
           ),
-          StructType(Seq(StructField("removed", IntegerType))),
+          StructType(Seq(
+            StructField("removed", IntegerType),
+            StructField("dry_run", BooleanType),
+            StructField("files", StringType))),
           in => {
+            val dry = !in.isNullAt(2) && in.getBoolean(2)
             val removed = SnapshotLog.vacuum(
-              spark, resolve(in.getUTF8String(0).toString), in.getLong(1))
-            Seq(new GenericInternalRow(Array[Any](removed.size)))
+              spark, resolve(in.getUTF8String(0).toString), in.getLong(1),
+              dryRun = dry)
+            Seq(new GenericInternalRow(Array[Any](
+              removed.size, dry,
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                removed.sorted.mkString(",")))))
           }
         )
       case "expire" =>

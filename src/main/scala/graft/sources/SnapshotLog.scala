@@ -3751,10 +3751,15 @@ object SnapshotLog {
     (v, copied.toSeq)
   }
 
+  /** `dryRun = true` reports what vacuum WOULD reclaim — the listing,
+    * reference resolution, and grace accounting all run for real, only
+    * the deletes are withheld. An operator previews a reclamation on a
+    * 100 TB table before spending it. */
   def vacuum(
       spark: SparkSession,
       table: String,
-      olderThanMs: Long = 60L * 60 * 1000
+      olderThanMs: Long = 60L * 60 * 1000,
+      dryRun: Boolean = false
   ): Seq[String] = {
     val f = fs(spark, table)
     val lock = claimLocks.computeIfAbsent(table, _ => new Object)
@@ -3778,7 +3783,7 @@ object SnapshotLog {
         )
         .map(_.getPath)
         .filterNot(p => referenced(p.getName))
-      orphans.foreach(f.delete(_, false))
+      if (!dryRun) orphans.foreach(f.delete(_, false))
       // a writer that crashed INSIDE stageOnly (before any rename into
       // the table root) leaves its whole _staging/<jobId> directory;
       // same grace window, swept recursively
@@ -3789,7 +3794,7 @@ object SnapshotLog {
           f.listStatus(stagingRoot)
             .filter(st => st.isDirectory && st.getModificationTime <= cutoff)
             .map(_.getPath)
-      staged.foreach(f.delete(_, true))
+      if (!dryRun) staged.foreach(f.delete(_, true))
       // deletion-vector sidecars no version references (a crashed or
       // replayed MoR delete wrote them before losing its commit) —
       // same grace window
@@ -3805,7 +3810,7 @@ object SnapshotLog {
               st.isFile && st.getModificationTime <= cutoff &&
                 !dvReferenced(st.getPath.getName))
             .map(_.getPath)
-      dvOrphans.foreach(f.delete(_, false))
+      if (!dryRun) dvOrphans.foreach(f.delete(_, false))
       // claim locks whose commit already landed (winner crashed between
       // rename and lock delete) serve no purpose — sweep them; locks
       // WITHOUT a commit are live or grace-protected claims and stay
@@ -3818,7 +3823,7 @@ object SnapshotLog {
             f.exists(new Path(
               s"$table/$LogDir/${st.getPath.getName.stripSuffix(".lock")}$CommitSuffix")))
         .map(_.getPath)
-      lockOrphans.foreach(f.delete(_, false))
+      if (!dryRun) lockOrphans.foreach(f.delete(_, false))
       // stale-lock tombstones a breaker died holding (claimLocal
       // renames a stale lock to `<lock>.stale-<uuid>` before deleting
       // it) — dead by construction once past the grace window
@@ -3828,7 +3833,7 @@ object SnapshotLog {
           st.isFile && st.getPath.getName.contains(".lock.stale-") &&
             st.getModificationTime <= cutoff)
         .map(_.getPath)
-      tombOrphans.foreach(f.delete(_, false))
+      if (!dryRun) tombOrphans.foreach(f.delete(_, false))
       (orphans.map(_.getName) ++ staged.map(p => s"_staging/${p.getName}") ++
         dvOrphans.map(p => s"_dv/${p.getName}")).toSeq
     }

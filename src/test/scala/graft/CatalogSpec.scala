@@ -1661,6 +1661,46 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $mv") // absent: no-op
   }
 
+  test("CALL vacuum dry_run previews the reclamation without touching a file") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10)")
+    // plant an orphan straggler (a crashed writer's landed file)
+    val orphan = new java.io.File(pathOf(t), "stray.parquet")
+    assert(orphan.createNewFile())
+    assert(orphan.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000))
+    val dry = spark.sql(
+      s"""CALL cattest.system.vacuum(table => '$short',
+         |  older_than_ms => 0L, dry_run => true)""".stripMargin).head
+    assert(dry.getInt(0) == 1 && dry.getBoolean(1))
+    assert(dry.getString(2).contains("stray.parquet"))
+    assert(orphan.exists(), "dry run must not delete anything")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10L)
+    // the real pass reclaims exactly what the preview named
+    val real = spark.sql(
+      s"CALL cattest.system.vacuum(table => '$short', older_than_ms => 0L)").head
+    assert(real.getInt(0) == 1 && !real.getBoolean(1))
+    assert(!orphan.exists(), "real vacuum must reclaim the straggler")
+  }
+
+  test("SHOW CREATE TABLE round-trips schema, layout, and properties") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, region STRING, v DOUBLE)
+         |TBLPROPERTIES ('sorted_by' = 'id')""".stripMargin)
+    val ddl = spark.sql(s"SHOW CREATE TABLE $t").head.getString(0)
+    assert(ddl.contains("CREATE TABLE"))
+    assert(ddl.contains("id BIGINT") && ddl.contains("region STRING"))
+    assert(ddl.contains("sorted_by") && ddl.contains("'id'"))
+    // a bucketed layout shows its transform
+    val b = freshName()
+    spark.sql(
+      s"CREATE TABLE $b (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, k))")
+    val bddl = spark.sql(s"SHOW CREATE TABLE $b").head.getString(0)
+    assert(bddl.toLowerCase.contains("bucket"), bddl)
+  }
+
   test("OPTIMIZE on a partition-declared table compacts WITHIN values: " +
     "purity (and the metadata-only count) survives") {
     val t = freshName()
