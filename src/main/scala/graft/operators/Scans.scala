@@ -2334,6 +2334,51 @@ object Scans {
          |FROM $cat.main.orders_mm ORDER BY o_custkey""".stripMargin)
   }
 
+  /** GROUP-BY AGGREGATE PUSHDOWN (round 13): `SELECT part, count(*)
+    * FROM t GROUP BY part` on an identity-partitioned table is
+    * answered COMPLETELY from the manifest riders — every value-routed
+    * file is pure in the partition column (min == max), carries a
+    * row-count rider, and subtracts its deletion-vector deaths, so the
+    * planner folds one exact row per partition value and execution
+    * opens ZERO data files at any table size (the planner-integrated
+    * form of CALL count_by). The dataflow: a partitioned CTAS-style
+    * load in two waves, a MoR DELETE (the metadata count must stay
+    * exact through the DVs), then the GROUP BY — pinned metadata-only
+    * inline — against the oracle's recount from source rows. Any
+    * blind/impure file or residual filter refuses to the ordinary
+    * distributed aggregate. */
+  val aggGroupbyPushdown: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_gbp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 5).as("region"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_gbp_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $t (o_orderkey BIGINT, region BIGINT, cents BIGINT)
+         |PARTITIONED BY (region)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $t SELECT * FROM graft_gbp_src
+         |WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $t SELECT * FROM graft_gbp_src
+         |WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey % 7 = 0")
+    val q = spark.sql(
+      s"SELECT region, count(*) AS n FROM $t GROUP BY region ORDER BY region")
+    require(
+      q.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "GROUP BY count must serve from the manifest, not a data scan")
+    q
+  }
+
   /** MATERIALIZED VIEW DDL (round 13): `CREATE MATERIALIZED VIEW mv
     * AS <rollup>` / `REFRESH MATERIALIZED VIEW mv` / `DROP
     * MATERIALIZED VIEW mv` — the standard-SQL spelling of the managed
@@ -3991,6 +4036,7 @@ object Scans {
     "sql_mv_stats" -> sqlMvStats,
     "sql_mv_ddl" -> sqlMvDdl,
     "join_dpp" -> joinDpp,
+    "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "sql_dml_mor" -> sqlDmlMor,
     "sql_topn_pushdown" -> sqlTopnPushdown,
     "sql_ingest" -> sqlIngest,
@@ -4215,6 +4261,12 @@ object Scans {
         | CAST(count(*) AS BIGINT) AS mv_n
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the manifest-folded per-partition counts (DVs subtracted) must
+    // equal the oracle's recount from source rows
+    "agg_groupby_pushdown" ->
+      """SELECT o_custkey % 5 AS region, count(*) AS n
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the DDL-driven MV (CREATE/REFRESH MATERIALIZED VIEW) must land
     // bit-exactly on the full recompute — same algebra as
     // sql_mv_refresh, here through the standard-SQL spelling

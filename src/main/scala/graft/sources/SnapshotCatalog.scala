@@ -1699,7 +1699,7 @@ class SnapshotSqlScanBuilder(
   private var readSchema: StructType = dataSchema
   private var wantFile: Boolean = false
   private var wantPos: Boolean = false
-  private var aggPush: Option[(StructType, Seq[Any])] = None
+  private var aggPush: Option[(StructType, Seq[Seq[Any]])] = None
   private var limitPush: Option[Int] = None
   private var topNPush: Option[(String, Boolean, Int)] = None // col, asc, n
 
@@ -1761,6 +1761,49 @@ class SnapshotSqlScanBuilder(
     * (the extremum may be dead — metadataRange already refuses). A
     * refusal falls back to the ordinary scan; the fast path can never
     * change an answer, only skip the IO. */
+  /** `GROUP BY <identity-partition col>` + COUNT(*) answered EXACTLY
+    * from the manifest riders — the planner-integrated form of
+    * [[SnapshotLog.metadataCountBy]] (CALL count_by's engine): every
+    * live file must be PURE in the grouping column (its min == max —
+    * exactly what identity value-routing lands) and carry a row-count
+    * rider, with DV deaths subtracted per file. One row per partition
+    * value, ZERO data files opened at any table size — the
+    * dashboard-count query on a 100 TB partitioned fact costs a
+    * manifest read. Any blind or impure file refuses the pushdown and
+    * the ordinary distributed aggregate runs instead (the fast path
+    * can never change an answer, only skip the IO). */
+  private def groupedMetadataAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Option[(StructType, Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (pushed.nonEmpty) return None
+    agg.groupByExpressions() match {
+      case Array(g: NamedReference) if g.fieldNames().length == 1 =>
+        val col = g.fieldNames()(0)
+        val fld = dataSchema.fields.find(_.name == col).filter(f =>
+          f.dataType == LongType || f.dataType == IntegerType)
+        if (fld.isEmpty) return None
+        if (agg.aggregateExpressions().isEmpty ||
+          !agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+          return None
+        SnapshotLog
+          .metadataCountBy(spark, path, col, identity, Some(version))
+          .map { groups =>
+            val schema = StructType(
+              StructField(col, fld.get.dataType, nullable = false) +:
+                agg.aggregateExpressions().toSeq.map(_ =>
+                  StructField("count(*)", LongType, nullable = false)))
+            val rows = groups.sortBy(_._1).map { case (v, n) =>
+              val gv: Any = if (fld.get.dataType == IntegerType) v.toInt else v
+              gv +: Seq.fill(agg.aggregateExpressions().length)(n: Any)
+            }
+            (schema, rows)
+          }
+      case _ => None
+    }
+  }
+
   private def metadataAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Option[(StructType, Seq[Any])] = {
@@ -1811,12 +1854,14 @@ class SnapshotSqlScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Boolean = metadataAnswer(agg).isDefined
+  ): Boolean =
+    metadataAnswer(agg).isDefined || groupedMetadataAnswer(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Boolean =
-    metadataAnswer(agg) match {
+    metadataAnswer(agg).map { case (s, row) => (s, Seq(row)) }
+      .orElse(groupedMetadataAnswer(agg)) match {
       case Some(a) => aggPush = Some(a); true
       case None    => false // partial pushdown would still scan; decline
     }
@@ -1884,33 +1929,34 @@ class SnapshotSqlScanBuilder(
   }
 }
 
-/** Scan serving a COMPLETELY pushed-down aggregation as one
-  * pre-computed row — the values were folded from the manifest riders
-  * at planning time, so execution opens zero data files at any table
-  * size. */
+/** Scan serving a COMPLETELY pushed-down aggregation as pre-computed
+  * rows — one for a global aggregate, one per group for a partition
+  * GROUP BY — folded from the manifest riders at planning time, so
+  * execution opens zero data files at any table size. */
 class SnapshotMetadataAggScan(
     path: String,
     version: Int,
     schema: StructType,
-    values: Seq[Any]
+    rows: Seq[Seq[Any]]
 ) extends Scan
     with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-snapshot $path v$version metadata-only, " +
-      s"PushedAggregation: ${schema.fieldNames.mkString("[", ", ", "]")}"
+      s"PushedAggregation: ${schema.fieldNames.mkString("[", ", ", "]")}, " +
+      s"rows=${rows.length}"
   override def planInputPartitions(): Array[InputPartition] =
     Array(SnapshotAggPartition(
-      values.map { case i: Int => i.toLong; case l: Long => l },
+      rows.map(_.map { case i: Int => i.toLong; case l: Long => l }),
       schema.fields.map(_.dataType == IntegerType).toSeq))
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotAggReaderFactory
 }
 
-/** The single pre-computed aggregate row, longs + re-narrow flags (Seq
-  * of primitives serializes cleanly to executors). */
-case class SnapshotAggPartition(longs: Seq[Long], isInt: Seq[Boolean])
+/** The pre-computed aggregate rows, longs + re-narrow flags (Seqs of
+  * primitives serialize cleanly to executors). */
+case class SnapshotAggPartition(rows: Seq[Seq[Long]], isInt: Seq[Boolean])
     extends InputPartition
 
 object SnapshotAggReaderFactory extends PartitionReaderFactory {
@@ -1919,11 +1965,13 @@ object SnapshotAggReaderFactory extends PartitionReaderFactory {
   ): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private val part = p.asInstanceOf[SnapshotAggPartition]
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
+      private val it = part.rows.iterator
+      private var current: Seq[Long] = _
+      override def next(): Boolean =
+        if (!it.hasNext) false else { current = it.next(); true }
       override def get(): InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          part.longs
+          current
             .zip(part.isInt)
             .map { case (v, i) => if (i) v.toInt: Any else v: Any }
             .toArray)

@@ -1661,6 +1661,43 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $mv") // absent: no-op
   }
 
+  test("GROUP BY a pure partition column pushes the whole count down: " +
+    "zero data files opened, exact through MoR deletes") {
+    val t = freshName()
+    val short = t.stripPrefix("cattest.")
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, region BIGINT)
+         |PARTITIONED BY (region)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $t SELECT id, id % 5 FROM range(0, 1000)")
+    spark.sql(
+      s"INSERT INTO $t SELECT id, id % 5 FROM range(1000, 1500)")
+    val q = spark.sql(s"SELECT region, count(*) AS n FROM $t GROUP BY region")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-only"),
+      s"GROUP BY count must serve from the manifest:\n$plan")
+    assert(
+      q.orderBy("region").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        (0L to 4L).map(v => (v, 300L)))
+    // a MoR delete subtracts per file — the metadata count stays exact
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")
+    val q2 = spark.sql(s"SELECT region, count(*) AS n FROM $t GROUP BY region")
+    assert(q2.queryExecution.executedPlan.toString.contains("metadata-only"))
+    val expect = spark.sql(
+      s"SELECT region, count(*) FROM $t GROUP BY region ORDER BY region")
+    assert(
+      q2.orderBy("region").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((0L, 300L), (1L, 300L), (2L, 300L), (3L, 150L), (4L, 300L)))
+    // a filter disqualifies (residual rows would make the count a
+    // guess): the ordinary distributed aggregate answers instead
+    val q3 = spark.sql(
+      s"SELECT region, count(*) AS n FROM $t WHERE id > 10 GROUP BY region")
+    assert(!q3.queryExecution.executedPlan.toString.contains("metadata-only"))
+    // 1350 live rows minus the 10 surviving ids in [0,10] (id=3 is DV-dead)
+    assert(q3.collect().map(_.getLong(1)).sum == 1340L)
+  }
+
   test("CALL vacuum dry_run previews the reclamation without touching a file") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
