@@ -2360,8 +2360,11 @@ object Scans {
     o.createOrReplaceTempView("graft_gbp_src")
     val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
     val half = maxK / 2
+    // NOT NULL is load-bearing: the pushdown only fires where the
+    // declaration proves no file can hide a NULL inside pure stats
     spark.sql(
-      s"""CREATE TABLE $t (o_orderkey BIGINT, region BIGINT, cents BIGINT)
+      s"""CREATE TABLE $t
+         |(o_orderkey BIGINT, region BIGINT NOT NULL, cents BIGINT)
          |PARTITIONED BY (region)
          |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
     spark.sql(

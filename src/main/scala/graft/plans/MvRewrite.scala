@@ -208,6 +208,14 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case org.apache.spark.sql.catalyst.expressions.aggregate
                   .Average(x: AttributeReference, _)
                 if mv.avgExact.contains(x.name) &&
+                  // the rewrite produces DoubleType; only measure types
+                  // whose Average is ALSO DoubleType may fire (a decimal
+                  // measure's avg is DecimalType — a declared one bails
+                  // rather than silently changing the schema)
+                  (x.dataType == org.apache.spark.sql.types.LongType ||
+                    x.dataType == org.apache.spark.sql.types.IntegerType ||
+                    x.dataType == org.apache.spark.sql.types.DoubleType ||
+                    x.dataType == org.apache.spark.sql.types.FloatType) &&
                   mvAttr.contains(s"sum_${x.name}") &&
                   mvAttr.contains(s"cntnn_${x.name}") =>
               import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}

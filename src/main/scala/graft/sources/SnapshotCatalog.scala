@@ -700,10 +700,20 @@ class SnapshotCatalog
             case None => Some(SnapshotLog.read(spark, path))
           }
         unvalidated.foreach { df =>
-          val bad = df
+          var bad = df
             .filter(not(coalesce(expr(c.predicateSql()), lit(true))))
             .limit(1)
             .collect()
+          if (bad.nonEmpty && (df ne null) && df.columns.contains("change_type")) {
+            // the delta feed is per-version, not net: an insert that a
+            // LATER version deleted still appears and must not refuse a
+            // constraint the current table satisfies — confirm against
+            // live rows before failing (only paid on the refusal path)
+            bad = SnapshotLog.read(spark, path)
+              .filter(not(coalesce(expr(c.predicateSql()), lit(true))))
+              .limit(1)
+              .collect()
+          }
           require(
             bad.isEmpty,
             s"snapshot catalog: existing row violates CHECK ${c.name()} " +
@@ -1781,8 +1791,16 @@ class SnapshotSqlScanBuilder(
     agg.groupByExpressions() match {
       case Array(g: NamedReference) if g.fieldNames().length == 1 =>
         val col = g.fieldNames()(0)
+        // the column must be DECLARED non-nullable: footer stats skip
+        // nulls, so a file holding [5, 5, NULL] looks "pure in 5" while
+        // its row-count rider counts the NULL — the fold would put the
+        // NULL row in group 5 and lose the NULL group. (Partition
+        // routing segregates nulls into a stats-blind __null__ file,
+        // which refuses — but an unrouted or pre-evolution file can
+        // mix, and only the declaration proves it cannot.)
         val fld = dataSchema.fields.find(_.name == col).filter(f =>
-          f.dataType == LongType || f.dataType == IntegerType)
+          (f.dataType == LongType || f.dataType == IntegerType) &&
+            !f.nullable)
         if (fld.isEmpty) return None
         if (agg.aggregateExpressions().isEmpty ||
           !agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
@@ -1852,16 +1870,31 @@ class SnapshotSqlScanBuilder(
     }
   }
 
+  // Spark calls supportCompletePushDown then pushAggregation on the
+  // same builder and aggregation — cache the (O(files) manifest-fold)
+  // answer so plan time pays it once, not twice
+  private var aggAnswerFor: AnyRef = null
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
+
+  private def answerFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Option[(StructType, Seq[Seq[Any]])] = {
+    if (!(aggAnswerFor eq agg)) {
+      aggAnswer = metadataAnswer(agg).map { case (s, row) => (s, Seq(row)) }
+        .orElse(groupedMetadataAnswer(agg))
+      aggAnswerFor = agg
+    }
+    aggAnswer
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Boolean =
-    metadataAnswer(agg).isDefined || groupedMetadataAnswer(agg).isDefined
+  ): Boolean = answerFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Boolean =
-    metadataAnswer(agg).map { case (s, row) => (s, Seq(row)) }
-      .orElse(groupedMetadataAnswer(agg)) match {
+    answerFor(agg) match {
       case Some(a) => aggPush = Some(a); true
       case None    => false // partial pushdown would still scan; decline
     }

@@ -3813,13 +3813,15 @@ object SnapshotLog {
       if (!dryRun) dvOrphans.foreach(f.delete(_, false))
       // claim locks whose commit already landed (winner crashed between
       // rename and lock delete) serve no purpose — sweep them; locks
-      // WITHOUT a commit are live or grace-protected claims and stay
+      // WITHOUT a commit are live or grace-protected claims and stay.
+      // One listing serves both the lock and the tombstone sweep.
       val logRoot = new Path(s"$table/$LogDir")
-      val lockOrphans = (if (f.exists(logRoot)) f.listStatus(logRoot)
-                         else Array.empty[org.apache.hadoop.fs.FileStatus])
+      val logFiles = (if (f.exists(logRoot)) f.listStatus(logRoot)
+                      else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st => st.isFile && st.getModificationTime <= cutoff)
+      val lockOrphans = logFiles
         .filter(st =>
-          st.isFile && st.getPath.getName.endsWith(".lock") &&
-            st.getModificationTime <= cutoff &&
+          st.getPath.getName.endsWith(".lock") &&
             f.exists(new Path(
               s"$table/$LogDir/${st.getPath.getName.stripSuffix(".lock")}$CommitSuffix")))
         .map(_.getPath)
@@ -3827,15 +3829,16 @@ object SnapshotLog {
       // stale-lock tombstones a breaker died holding (claimLocal
       // renames a stale lock to `<lock>.stale-<uuid>` before deleting
       // it) — dead by construction once past the grace window
-      val tombOrphans = (if (f.exists(logRoot)) f.listStatus(logRoot)
-                         else Array.empty[org.apache.hadoop.fs.FileStatus])
-        .filter(st =>
-          st.isFile && st.getPath.getName.contains(".lock.stale-") &&
-            st.getModificationTime <= cutoff)
+      val tombOrphans = logFiles
+        .filter(_.getPath.getName.contains(".lock.stale-"))
         .map(_.getPath)
       if (!dryRun) tombOrphans.foreach(f.delete(_, false))
+      // the returned list IS the dry-run preview and the proc's removed
+      // count — it must name EVERYTHING a real pass reclaims, log
+      // debris included
       (orphans.map(_.getName) ++ staged.map(p => s"_staging/${p.getName}") ++
-        dvOrphans.map(p => s"_dv/${p.getName}")).toSeq
+        dvOrphans.map(p => s"_dv/${p.getName}") ++
+        (lockOrphans ++ tombOrphans).map(p => s"$LogDir/${p.getName}")).toSeq
     }
   }
 }

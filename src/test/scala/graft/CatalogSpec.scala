@@ -1608,6 +1608,16 @@ class CatalogSpec extends SparkTestBase {
     assert(e2.getMessage.toLowerCase.contains("check"))
     spark.sql(s"INSERT INTO $t VALUES (3, -50)") // within the loose bound
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3L)
+    // the change feed is per-version, not net: a violating insert that
+    // a LATER version deleted must NOT refuse a constraint the current
+    // table satisfies (the delta hit confirms against live rows)
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT loose")
+    spark.sql(s"INSERT INTO $t VALUES (9, -999)") // violates the coming check
+    spark.sql(s"DELETE FROM $t WHERE id = 9") // ...but is gone again
+    cat.alterTable(ident, TableChange.addConstraint(
+      Constraint.check("net").predicateSql("v > -100").build(), "2"))
+    val e3 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (10, -500)"))
+    assert(e3.getMessage.toLowerCase.contains("check"))
   }
 
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the SQL spelling of the " +
@@ -1666,7 +1676,7 @@ class CatalogSpec extends SparkTestBase {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
     spark.sql(
-      s"""CREATE TABLE $t (id BIGINT, region BIGINT)
+      s"""CREATE TABLE $t (id BIGINT, region BIGINT NOT NULL)
          |PARTITIONED BY (region)
          |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
     spark.sql(
@@ -1696,6 +1706,18 @@ class CatalogSpec extends SparkTestBase {
     assert(!q3.queryExecution.executedPlan.toString.contains("metadata-only"))
     // 1350 live rows minus the 10 surviving ids in [0,10] (id=3 is DV-dead)
     assert(q3.collect().map(_.getLong(1)).sum == 1340L)
+    // a NULLABLE grouping column refuses: footer stats skip nulls, so a
+    // file holding [5, 5, NULL] looks pure while its row count hides
+    // the NULL group — only the declaration proves that cannot happen
+    val tn = freshName()
+    spark.sql(s"CREATE TABLE $tn (id BIGINT, region BIGINT)")
+    spark.sql(s"INSERT INTO $tn VALUES (1, 5), (2, 5), (3, NULL)")
+    val qn = spark.sql(s"SELECT region, count(*) AS n FROM $tn GROUP BY region")
+    assert(!qn.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(
+      qn.collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap ==
+        Map(5L -> 2L, -1L -> 1L))
   }
 
   test("CALL vacuum dry_run previews the reclamation without touching a file") {
