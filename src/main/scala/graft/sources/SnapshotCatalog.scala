@@ -4091,18 +4091,25 @@ private[sources] object SnapshotProcedures {
           }
         )
       case "expire" =>
+        // dry_run => true previews the reclamation AND leaves the
+        // retention horizon untouched (a preview must not expire
+        // anyone's time travel)
         proc(
           "expire",
           Seq(
             ProcedureParameter.in("table", StringType).build(),
-            ProcedureParameter.in("keep_last", IntegerType).build()
+            ProcedureParameter.in("keep_last", IntegerType).build(),
+            ProcedureParameter.in("dry_run", BooleanType)
+              .defaultValue("false").build()
           ),
           StructType(Seq(
             StructField("removed", IntegerType),
             StructField("horizon", IntegerType))),
           in => {
             val table = resolve(in.getUTF8String(0).toString)
-            val removed = SnapshotLog.expire(spark, table, in.getInt(1))
+            val dry = !in.isNullAt(2) && in.getBoolean(2)
+            val removed =
+              SnapshotLog.expire(spark, table, in.getInt(1), dryRun = dry)
             Seq(new GenericInternalRow(
               Array[Any](removed.size, SnapshotLog.readHorizon(spark, table))))
           }

@@ -1892,10 +1892,15 @@ object SnapshotLog {
     * writers); expire reclaims history. At 100 TB an un-expired
     * copy-on-write table retains every rewritten generation forever.
     * Returns the deleted file names. */
+  /** `dryRun = true` reports what expire WOULD reclaim — horizon math,
+    * tag clamping, and reference resolution all run for real, but no
+    * file is deleted and the retention horizon does NOT advance (a
+    * preview must not expire anyone's time travel). */
   def expire(
       spark: SparkSession,
       table: String,
-      keepLast: Int
+      keepLast: Int,
+      dryRun: Boolean = false
   ): Seq[String] = {
     require(keepLast >= 1, s"expire: keepLast must be >= 1, got $keepLast")
     val f = fs(spark, table)
@@ -1928,6 +1933,8 @@ object SnapshotLog {
         .toSet -- liveDv)
         .filterNot(isExternal) // cloned sidecars belong to the source
         .filter(n => f.exists(new Path(s"$table/_dv/$n")))
+      if (dryRun)
+        return dead.toSeq.sorted ++ deadDv.toSeq.sorted.map(n => s"_dv/$n")
       val out = f.create(horizonPath(table), true)
       try out.write(
         horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1741,6 +1741,24 @@ class CatalogSpec extends SparkTestBase {
       s"CALL cattest.system.vacuum(table => '$short', older_than_ms => 0L)").head
     assert(real.getInt(0) == 1 && !real.getBoolean(1))
     assert(!orphan.exists(), "real vacuum must reclaim the straggler")
+    // expire dry_run: counts what WOULD go, leaves files AND the
+    // retention horizon untouched (a preview must not expire time travel)
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(10, 20)")
+    spark.sql(s"INSERT OVERWRITE $t SELECT id FROM range(0, 5)")
+    val dryE = spark.sql(
+      s"""CALL cattest.system.expire(table => '$short', keep_last => 1,
+         |  dry_run => true)""".stripMargin).head
+    assert(dryE.getInt(0) > 0, "preview should name the dead files")
+    val horizonBefore = dryE.getInt(1)
+    // every version still time-travels after the preview
+    assert(SnapshotLog.versions(spark, pathOf(t)).size >= 3)
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head.getLong(0) == 10L)
+    val realE = spark.sql(
+      s"CALL cattest.system.expire(table => '$short', keep_last => 1)").head
+    assert(realE.getInt(0) == dryE.getInt(0),
+      "real expire must reclaim exactly what the preview counted")
+    assert(realE.getInt(1) > horizonBefore, "the horizon advances only for real")
   }
 
   test("SHOW CREATE TABLE round-trips schema, layout, and properties") {
