@@ -2143,9 +2143,13 @@ object Scans {
     Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "value")
       .createOrReplaceTempView("graft_cntday_src")
+    // ts NOT NULL is load-bearing: footer stats skip NULLs, so only
+    // the declaration proves a day-pure file cannot hide a NULL row
+    // inside its _rc rider (count_by refuses on a nullable column)
     spark.sql(
       s"""CREATE TABLE $cat.main.events_cntday
-         |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+         |(event_id BIGINT, ts TIMESTAMP NOT NULL, user_id BIGINT,
+         | value DOUBLE)
          |PARTITIONED BY (days(ts))""".stripMargin)
     spark.sql(
       s"INSERT INTO $cat.main.events_cntday SELECT * FROM graft_cntday_src")
@@ -2501,11 +2505,15 @@ object Scans {
          |SELECT o_orderkey + ${4L * maxC}, o_custkey + $maxCust, cents
          |FROM graft_dppf_src""".stripMargin)
     SnapshotSqlScan.lastRuntimePrune.set((0, 0))
+    // cached so the inline prune pin and the caller's materialization
+    // share ONE join execution — the count() below populates the
+    // cache (carrying the runtime filters) and the returned frame
+    // replays it instead of re-running the join
     val joined = spark.sql(
       s"""SELECT f.o_orderkey, f.o_custkey, f.cents, d.c_name
          |FROM $t f JOIN graft_dppf_dim d ON f.o_custkey = d.c_custkey
          |WHERE d.c_custkey % 293 = 1
-         |ORDER BY f.o_orderkey""".stripMargin)
+         |ORDER BY f.o_orderkey""".stripMargin).cache()
     val n = joined.count() // force an execution carrying runtime filters
     require(n > 0, "dpp join must produce rows")
     val (after, before) = SnapshotSqlScan.lastRuntimePrune.get()

@@ -98,6 +98,24 @@ object MvRewrite {
   def lookup(sourcePath: String): Option[MvDef] =
     Option(registry.get(norm(sourcePath)))
 
+  /** True iff the plan scans files under `tablePath` — the fired/
+    * bailed probe for the MANAGED-MV serve path (the snapshot read
+    * plans the MV's manifest files as a parquet relation, so the MV
+    * table's directory prefixes every root path). */
+  def readsPath(plan: LogicalPlan, tablePath: String): Boolean = {
+    val p = norm(tablePath)
+    plan.collectFirst {
+      case rel: LogicalRelation
+          if rel.relation.isInstanceOf[HadoopFsRelation] &&
+            rel.relation.asInstanceOf[HadoopFsRelation]
+              .location.rootPaths.exists { rp =>
+                val n = norm(rp.toString)
+                n == p || n.startsWith(p + "/")
+              } =>
+        rel
+    }.isDefined
+  }
+
   /** True iff the plan scans a registered MV path — the fired/bailed
     * probe the eager key and the plan pins assert on. */
   def readsMv(plan: LogicalPlan): Boolean = {

@@ -415,6 +415,22 @@ class SnapshotCatalog
     loadTable(ident)
   }
 
+  /** EXISTS_DEFAULT text frozen to the DDL-time constant: the
+    * analyzer already folded the default into `getValue` (a connector
+    * Literal holding the catalyst-internal value), so re-rendering
+    * THAT as SQL pins e.g. `current_date()` to the date the column
+    * was added, exactly once, forever. */
+  private def frozenExistsDefault(
+      d: org.apache.spark.sql.connector.catalog.ColumnDefaultValue
+  ): String = {
+    val v = d.getValue
+    require(
+      v != null,
+      s"snapshot catalog: default '${d.getSql}' has no folded value — " +
+        "only constant-foldable defaults are supported")
+    org.apache.spark.sql.catalyst.expressions.Literal(v.value, v.dataType).sql
+  }
+
   override def createTable(
       ident: Identifier,
       columns: Array[Column],
@@ -435,13 +451,19 @@ class SnapshotCatalog
     // EXISTS_DEFAULT — the keys Spark's analyzer and the parquet
     // readers' existence-default fill consult) — the committed
     // schema.json round-trips it and appends preserve it through
-    // mergeSchemas, so a default costs zero storage and zero rewrite
+    // mergeSchemas, so a default costs zero storage and zero rewrite.
+    // EXISTS_DEFAULT is FROZEN to the literal evaluated at DDL time:
+    // for a foldable-but-non-constant default like current_date(),
+    // storing the raw SQL would re-evaluate it at every read and the
+    // pre-existing rows' values would drift over time (Spark/Delta
+    // freeze it the same way). CURRENT_DEFAULT keeps the SQL text —
+    // future INSERTs are SUPPOSED to re-evaluate it per statement.
     val fields = columns.map { c =>
       val mb = new MetadataBuilder()
       Option(c.comment()).foreach(mb.putString("comment", _))
       Option(c.defaultValue()).foreach { d =>
         mb.putString("CURRENT_DEFAULT", d.getSql)
-        mb.putString("EXISTS_DEFAULT", d.getSql)
+        mb.putString("EXISTS_DEFAULT", frozenExistsDefault(d))
       }
       StructField(c.name(), c.dataType(), c.nullable(), mb.build())
     }
@@ -579,7 +601,8 @@ class SnapshotCatalog
               "must carry its SQL text")
           new MetadataBuilder()
             .putString("CURRENT_DEFAULT", d.getSql)
-            .putString("EXISTS_DEFAULT", d.getSql)
+            // frozen at DDL time — see createTable's rationale
+            .putString("EXISTS_DEFAULT", frozenExistsDefault(d))
             .build()
         }.getOrElse(Metadata.empty)
         added += StructField(a.fieldNames()(0), a.dataType(), a.isNullable,
@@ -719,9 +742,41 @@ class SnapshotCatalog
             s"snapshot catalog: existing row violates CHECK ${c.name()} " +
               s"(${c.predicateSql()}): ${bad.headOption.getOrElse("")}")
         }
+        SnapshotCatalog.onConstraintValidated.get()()
         SnapshotLog.setTableProps(
           spark, path,
           cur + (s"ck_${c.name()}" -> c.predicateSql()) + ("check" -> effective))
+        // an INSERT committing between the delta re-check above and
+        // the props write is neither validated nor enforced (writers
+        // read props at plan time) — re-check the delta since tipNow
+        // now that the constraint is visible, and ROLL THE PROP BACK
+        // on a violation rather than leave a declared-but-violated
+        // constraint standing (the unique-key preCommit idiom,
+        // adapted to a props write that is not a log commit)
+        val tipAfter = SnapshotLog.versions(spark, path).last
+        if (tipAfter > tipNow) {
+          val lateBad = scala.util.Try(
+            SnapshotLog.readChanges(spark, path, tipNow, tipAfter)
+              .filter(col("change_type") === "insert"))
+            .getOrElse(SnapshotLog.read(spark, path))
+            .filter(not(coalesce(expr(c.predicateSql()), lit(true))))
+            .limit(1)
+            .collect()
+          if (lateBad.nonEmpty) {
+            // per-version feed, not net — confirm against live rows
+            val liveBad = SnapshotLog.read(spark, path)
+              .filter(not(coalesce(expr(c.predicateSql()), lit(true))))
+              .limit(1)
+              .collect()
+            if (liveBad.nonEmpty) {
+              SnapshotLog.setTableProps(spark, path, cur)
+              throw new IllegalStateException(
+                s"snapshot catalog: a concurrent write violated CHECK " +
+                  s"${c.name()} (${c.predicateSql()}) while it was being " +
+                  s"added — constraint rolled back: ${liveBad.head}")
+            }
+          }
+        }
       case d: TableChange.DropConstraint =>
         if (!cur.contains(s"ck_${d.name()}")) {
           if (d.ifExists()) return loadTable(ident)
@@ -854,7 +909,15 @@ class SnapshotCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && wfs.delete(new Path(tablePath(ident)), true)
+    tableExists(ident) && {
+      // dropping a managed MV clears its source's reverse pointer
+      // (best-effort — the serve rule re-verifies refs anyway)
+      val path = tablePath(ident)
+      try SnapshotLog.tableProps(spark, path).get("mv_source")
+        .foreach(src => SnapshotLog.removeMvRef(spark, src, path))
+      catch { case _: Exception => () }
+      wfs.delete(new Path(path), true)
+    }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
@@ -4239,10 +4302,13 @@ private[sources] object SnapshotProcedures {
                 }
               case None =>
                 throw new IllegalStateException(
-                  s"count_by: $table has a file that is blind or not " +
+                  s"count_by: ${f.col} is not declared NOT NULL, or " +
+                    s"$table has a file that is blind or not " +
                     s"partition-pure under ${f.spec} — the metadata-only " +
-                    "count would be a guess; run the distributed GROUP BY " +
-                    "(or OPTIMIZE to restore purity) instead")
+                    "count would be a guess (footer stats skip NULLs, so " +
+                    "only the declaration proves no file hides a NULL " +
+                    "row inside pure stats); run the distributed GROUP " +
+                    "BY (or declare NOT NULL / OPTIMIZE) instead")
             }
           }
         )
@@ -4458,4 +4524,15 @@ private[sources] object SnapshotProcedures {
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
           Identifier.of(Array("system"), other))
     }
+}
+
+object SnapshotCatalog {
+  /** Test-only interleave point for the ADD CONSTRAINT race pin:
+    * invoked after existing-data validation succeeds, immediately
+    * before the constraint props write — a deterministic stand-in
+    * for a concurrent INSERT landing in the window where it is
+    * neither validated (the delta re-check already ran) nor enforced
+    * (the props are not visible yet). Reset to a no-op by the spec. */
+  private[graft] val onConstraintValidated =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 }

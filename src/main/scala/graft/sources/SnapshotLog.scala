@@ -156,13 +156,29 @@ object SnapshotLog {
     * source fails, so of N contenders exactly one "wins" the break.
     * The winner re-checks the tombstone's mtime (rename preserves it):
     * stale → delete; fresh (it raced a brand-new claimant between its
-    * check and its rename) → rename straight back, restoring the live
-    * claimant's lock. The residual window is two back-to-back local
-    * metadata ops, the same grace posture vacuum takes. */
+    * check and its rename) → restore the live claimant's lock — but
+    * EXCLUSIVELY, via a hard link that fails if a newer contender
+    * already re-claimed the name (a rename-back would clobber that
+    * contender's live lock and mint two owners). The displaced side
+    * of that race is covered by a claim TOKEN: every winner stamps a
+    * UUID into its lock and re-reads it before trusting the claim, so
+    * a claimant whose fresh lock was stolen-and-not-restored observes
+    * the foreign token (or the missing file) and backs off instead of
+    * believing createNewFile alone. The residual window is two
+    * back-to-back local metadata ops, the same grace posture vacuum
+    * takes. */
   private def claimLocal(f: FileSystem, table: String, v: Int): Boolean = {
     val lk = lockFile(table, v)
-    if (lk.createNewFile()) true
-    else {
+    if (lk.createNewFile()) {
+      val token = java.util.UUID.randomUUID().toString
+      try {
+        java.nio.file.Files.write(
+          lk.toPath, token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        new String(
+          java.nio.file.Files.readAllBytes(lk.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == token
+      } catch { case _: Exception => false }
+    } else {
       if (!f.exists(commitPath(table, v)) &&
         lk.exists() &&
         System.currentTimeMillis() - lk.lastModified() > LockGraceMs) {
@@ -171,13 +187,29 @@ object SnapshotLog {
         if (lk.renameTo(tomb)) {
           if (System.currentTimeMillis() - tomb.lastModified() > LockGraceMs)
             tomb.delete() // confirmed abandoned; next attempt may claim
-          else {
-            val _ = tomb.renameTo(lk) // broke a live lock — restore it
-          }
+          else restoreLockExclusive(lk, tomb) // broke a live lock
         }
       }
       false
     }
+  }
+
+  /** Put a live lock the breaker displaced back at `lk` — EXCLUSIVELY:
+    * the hard link refuses an existing destination, so a contender
+    * that re-claimed the name in the window keeps its lock untouched
+    * (a rename-back would clobber it and mint two owners). Either way
+    * the tombstone name goes away; on a successful restore the inode
+    * — content, token, mtime — survives under `lk`. The displaced
+    * claimant's side is covered by its token-verify: when the restore
+    * could not land, it reads the contender's token (or nothing) and
+    * backs off. Package-visible for the SnapshotSpec pin. */
+  private[graft] def restoreLockExclusive(
+      lk: java.io.File,
+      tomb: java.io.File
+  ): Unit = {
+    try java.nio.file.Files.createLink(lk.toPath, tomb.toPath)
+    catch { case _: Exception => () }
+    tomb.delete(): Unit
   }
 
   private def tipPath(table: String): Path =
@@ -829,11 +861,34 @@ object SnapshotLog {
       if (overwrite) None
       else versions(spark, table).lastOption.flatMap(tableSchema(spark, table, _))
     tipSchema.foreach(mergeSchemas(_, df.schema))
-    val (stagedDf, batchSchema) = mapForStage(tipSchema, df)
+    val (stagedDf, batchSchema0) = mapForStage(tipSchema, df)
+    // dataChange=false is the "no row changed" claim: every row being
+    // written already lives in the table under the declared contract,
+    // but the parquet read that fed the rewrite spells every column
+    // nullable — a compaction/z-order commit must not dissolve a
+    // declared NOT NULL (count_by and top-N pruning stand on it)
+    val batchSchema =
+      if (dataChange) batchSchema0
+      else alignDeclaredNullability(tipSchema, batchSchema0)
     val landed = stageOnly(spark, table, stagedDf)
     commitLandedInternal(
       spark, table, landed, batchSchema, overwrite, txnId, replaceRemoved,
       dataChange, extraHeader)
+  }
+
+  /** `batch` with the declared (tip-schema) nullability restored on
+    * every column the declaration marks NOT NULL — only valid for
+    * writes whose rows provably come FROM the table (dataChange=false
+    * layout rewrites). */
+  private def alignDeclaredNullability(
+      declared: Option[StructType],
+      batch: StructType
+  ): StructType = declared match {
+    case None => batch
+    case Some(d) =>
+      val nn = d.fields.collect { case f if !f.nullable => f.name }.toSet
+      StructType(batch.fields.map(f =>
+        if (nn(f.name)) f.copy(nullable = false) else f))
   }
 
   /** Commits files a writer has ALREADY landed in the table root under
@@ -2129,7 +2184,13 @@ object SnapshotLog {
     * same partition. None when any live file is blind (no stats / no
     * row count), spans two mapped values (pre-layout generations), or
     * carries a DV without its count rider — the caller falls back to
-    * the distributed scan rather than guess. */
+    * the distributed scan rather than guess. Also None unless the
+    * column is DECLARED non-nullable: footer stats skip NULLs, so a
+    * file holding [5, 5, NULL] looks partition-pure in 5 while its
+    * `_rc` rider counts the NULL — the fold would silently count the
+    * NULL row into group 5 and lose the NULL group. Only the schema
+    * declaration proves a mixed file cannot exist (the same guard the
+    * planner path, groupedMetadataAnswer, performs). */
   def metadataCountBy(
       spark: SparkSession,
       table: String,
@@ -2140,6 +2201,9 @@ object SnapshotLog {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot count_by: no commits in $table")
     val v = version.getOrElse(vs.last)
+    if (tableSchema(spark, table, v)
+        .flatMap(_.fields.find(_.name == column)).forall(_.nullable))
+      return None
     val entries = manifestEntries(spark, table, v)
     val pc = physColumn(spark, table, v, column)
     val per: Seq[Option[(Long, Long)]] = entries.map { e =>
@@ -2584,7 +2648,11 @@ object SnapshotLog {
     }
     val picked = groups.values.flatten.map(_._1).toSeq
     val version = commitLandedInternal(
-      spark, table, landed, batchSchema, overwrite = false, txnId = None,
+      spark, table, landed,
+      // same dataChange=false posture as commitInternal: the rewrite
+      // reads the table's own rows, so declared NOT NULL survives
+      alignDeclaredNullability(schema, batchSchema),
+      overwrite = false, txnId = None,
       replaceRemoved = Some(picked), dataChange = false)
     (version, picked, entries.map(entryName).filterNot(picked.toSet))
   }
@@ -2975,8 +3043,47 @@ object SnapshotLog {
         "mv_agg" -> aggCol,
         "mv_kind" -> kind,
         "mv_version" -> tip.toString))
+    // reverse pointer on the SOURCE (`mv_refs`, comma-joined MV paths):
+    // the optimizer's aggregate-navigation rule discovers "which MVs
+    // maintain this table?" from the table it is already scanning —
+    // one props read, no catalog walk. Advisory: the rule re-verifies
+    // mv_source and the mvv watermark on the MV itself before serving,
+    // so a dangling ref is skipped, never trusted.
+    addMvRef(spark, source, mv)
     tip
   }
+
+  /** Append `mv` to `source`'s `mv_refs` prop (idempotent). */
+  private[graft] def addMvRef(
+      spark: SparkSession,
+      source: String,
+      mv: String
+  ): Unit = {
+    val sp = tableProps(spark, source)
+    val refs = sp.get("mv_refs")
+      .map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (!refs.contains(mv))
+      setTableProps(spark, source, sp + ("mv_refs" -> (refs :+ mv).mkString(",")))
+  }
+
+  /** Remove `mv` from `source`'s `mv_refs` prop; best-effort (the MV's
+    * own props are the authority — a stale ref is re-verified and
+    * skipped by every reader). */
+  private[graft] def removeMvRef(
+      spark: SparkSession,
+      source: String,
+      mv: String
+  ): Unit =
+    try {
+      val sp = tableProps(spark, source)
+      sp.get("mv_refs").foreach { r =>
+        val left = r.split(',').filter(x => x.nonEmpty && x != mv)
+        setTableProps(
+          spark, source,
+          if (left.isEmpty) sp - "mv_refs"
+          else sp + ("mv_refs" -> left.mkString(",")))
+      }
+    } catch { case _: Exception => () }
 
   /** The MV's committed high-water mark: the `mvv=` token of the most
     * recent commit that carries one. Authoritative over the props copy
@@ -3026,8 +3133,8 @@ object SnapshotLog {
     * `sum` MVs apply inserts as +, deletes as − (a pure invertible
     * fold). `minmax` MVs fold INSERTS exactly (least/greatest/count)
     * but min/max cannot invert a delete — so the refresh recomputes
-    * ONLY the groups the delta deletes touch, from the source's
-    * current state (group-scoped: a left-semi join on the affected
+    * ONLY the groups the delta deletes touch, from the source AT THE
+    * WATERMARK `to` (group-scoped: a left-semi join on the affected
     * keys; stats skipping admits only files whose range covers them),
     * and every untouched group keeps the pure fold. The MV itself is
     * O(distinct keys), so the rewrite is the small side by
@@ -3037,7 +3144,15 @@ object SnapshotLog {
     * expired-read contract); re-materialize with [[createMv]] then.
     * No-op (same version returned twice) when the source has not
     * moved. */
-  def refreshMv(spark: SparkSession, mv: String): (Int, Int) = {
+  def refreshMv(
+      spark: SparkSession,
+      mv: String,
+      // test-only interleave point, invoked after the watermark `to`
+      // is pinned and the delta read — a deterministic stand-in for a
+      // concurrent source commit landing mid-refresh (the race the
+      // version-pinned recompute exists to survive)
+      onWatermarkPinned: () => Unit = () => ()
+  ): (Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, greatest, least, lit, max, min, sum, when}
     val props = tableProps(spark, mv)
     val source = props.getOrElse(
@@ -3053,6 +3168,7 @@ object SnapshotLog {
     val to = versions(spark, source).last
     if (to == from) return (from, to)
     val changes = readChanges(spark, source, from, to)
+    onWatermarkPinned()
     val next = if (kind == "sum") {
       val sign =
         when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
@@ -3112,7 +3228,12 @@ object SnapshotLog {
           greatest(col("mv_max"), col("d_max")).as("mv_max"),
           (coalesce(col("mv_n"), lit(0L)) +
             coalesce(col("d_n"), lit(0L))).as("mv_n"))
-      val recomputed = read(spark, source)
+      // recompute AT THE WATERMARK `to`, never the current tip: a
+      // source commit landing mid-refresh would otherwise leak
+      // post-`to` rows into the recomputed groups, and the next
+      // refresh re-folds that same (to, tip] delta for those keys —
+      // double-counted mv_n / wrong extrema
+      val recomputed = read(spark, source, Some(to))
         .join(delKeys, Seq(key), "left_semi")
         .groupBy(col(key))
         .agg(

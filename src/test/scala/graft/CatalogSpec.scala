@@ -1460,7 +1460,7 @@ class CatalogSpec extends SparkTestBase {
     "an impure layout refuses loudly") {
     val t = freshName()
     spark.sql(
-      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP)
+      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP NOT NULL)
          |PARTITIONED BY (days(ts))
          |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
     spark.sql(
@@ -1497,6 +1497,22 @@ class CatalogSpec extends SparkTestBase {
       s"CALL cattest.system.count_by(table => 'main.${u.split('.').last}', " +
         "field => 'days(ts)')").collect())
     assert(e.getMessage.contains("partition-pure"))
+    // a NULLABLE column refuses even when every file is day-pure:
+    // footer stats skip NULLs, so a routed file holding a NULL row
+    // would count it into its day and lose the NULL group — only the
+    // NOT NULL declaration proves that file cannot exist
+    val nn = freshName()
+    spark.sql(
+      s"""CREATE TABLE $nn (id BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $nn
+         |SELECT id, timestamp'2024-05-01 00:00:00' FROM range(0, 50)""".stripMargin)
+    val en = intercept[Exception](spark.sql(
+      s"CALL cattest.system.count_by(table => 'main.${nn.split('.').last}', " +
+        "field => 'days(ts)')").collect())
+    assert(en.getMessage.contains("NOT NULL"),
+      s"nullable group column must refuse by name: ${en.getMessage}")
   }
 
   test("column DEFAULTs: CREATE-time defaults fill missing INSERT columns; " +
@@ -1539,6 +1555,34 @@ class CatalogSpec extends SparkTestBase {
       spark.sql(s"SELECT status, score, tier FROM $t WHERE id = 10")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
         .head == (("new", 7L, "bronze")))
+  }
+
+  test("EXISTS_DEFAULT freezes to the DDL-time constant: current_date() " +
+    "cannot drift for pre-existing rows") {
+    val t = freshName()
+    spark.sql(
+      s"CREATE TABLE $t (id BIGINT, d DATE DEFAULT current_date())")
+    spark.sql(s"INSERT INTO $t (id) VALUES (1)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN d2 DATE DEFAULT current_date()")
+    val path = pathOf(t)
+    val schema = SnapshotLog
+      .tableSchema(spark, path, SnapshotLog.versions(spark, path).last).get
+    Seq("d", "d2").foreach { c =>
+      val m = schema.fields.find(_.name == c).get.metadata
+      // CURRENT_DEFAULT keeps the SQL text — future INSERTs are
+      // supposed to re-evaluate it per statement
+      assert(m.getString("CURRENT_DEFAULT").toLowerCase.contains("current_date"))
+      // EXISTS_DEFAULT is the folded literal: a raw current_date()
+      // here would re-evaluate at every read and old rows would
+      // drift across midnight
+      val ed = m.getString("EXISTS_DEFAULT")
+      assert(ed.startsWith("DATE '"),
+        s"$c EXISTS_DEFAULT must be a frozen DATE literal, got: $ed")
+    }
+    // the pre-d2 row serves the frozen date (today, at test time)
+    assert(
+      spark.sql(s"SELECT count(*) FROM $t WHERE d2 = current_date()")
+        .head.getLong(0) == 1L)
   }
 
   test("named CHECK constraints: ADD enforces, stacking conjoins, DROP releases; " +
@@ -1618,6 +1662,41 @@ class CatalogSpec extends SparkTestBase {
       Constraint.check("net").predicateSql("v > -100").build(), "2"))
     val e3 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (10, -500)"))
     assert(e3.getMessage.toLowerCase.contains("check"))
+  }
+
+  test("ADD CONSTRAINT vs a racing INSERT: a violating write landing between " +
+    "validation and the props write rolls the constraint back") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10)")
+    // the racing INSERT lands after validation, before the props
+    // write: it is neither validated nor enforced (plan-time props
+    // predate the constraint) — the old design left a declared
+    // constraint standing over a violating row
+    graft.sources.SnapshotCatalog.onConstraintValidated.set(() => {
+      spark.sql(s"INSERT INTO $t VALUES (2, -7)"): Unit
+    })
+    try {
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pos CHECK (v > 0)"))
+      assert(e.getMessage.contains("rolled back"), e.getMessage)
+    } finally graft.sources.SnapshotCatalog.onConstraintValidated.set(() => ())
+    // the constraint is GONE — a violating insert sails through — and
+    // the racing row survived (refusing it retroactively would lose a
+    // committed write)
+    spark.sql(s"INSERT INTO $t VALUES (3, -1)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 3L)
+    // a racing insert that SATISFIES the predicate keeps the ADD
+    val t2 = freshName()
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 10)")
+    graft.sources.SnapshotCatalog.onConstraintValidated.set(() => {
+      spark.sql(s"INSERT INTO $t2 VALUES (2, 20)"): Unit
+    })
+    try spark.sql(s"ALTER TABLE $t2 ADD CONSTRAINT pos CHECK (v > 0)")
+    finally graft.sources.SnapshotCatalog.onConstraintValidated.set(() => ())
+    val e2 = intercept[Exception](spark.sql(s"INSERT INTO $t2 VALUES (3, -5)"))
+    assert(e2.getMessage.toLowerCase.contains("check"))
   }
 
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the SQL spelling of the " +
@@ -1782,7 +1861,7 @@ class CatalogSpec extends SparkTestBase {
     "purity (and the metadata-only count) survives") {
     val t = freshName()
     spark.sql(
-      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP)
+      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP NOT NULL)
          |PARTITIONED BY (days(ts))""".stripMargin)
     // three small inserts: each lands one file per day → 3 files/day
     (0 until 3).foreach(i =>
@@ -1803,7 +1882,14 @@ class CatalogSpec extends SparkTestBase {
       .manifest(spark, path, SnapshotLog.versions(spark, path).last).size
     assert(filesAfter == 4,
       s"per-day compaction must land one file per day: $filesAfter")
-    // purity survived: the metadata-only count still answers, exactly
+    // purity survived — and so did the declared NOT NULL: the
+    // dataChange=false rewrite must not relax the contract the
+    // metadata-only count stands on (parquet reads spell everything
+    // nullable; the commit realigns to the declaration)
+    assert(!SnapshotLog
+      .tableSchema(spark, path, SnapshotLog.versions(spark, path).last)
+      .get.fields.find(_.name == "ts").get.nullable,
+      "compaction dissolved the declared NOT NULL")
     val counts = spark.sql(
       s"CALL cattest.system.count_by(table => '$ref', field => 'days(ts)')")
       .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap

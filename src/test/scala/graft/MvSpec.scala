@@ -199,6 +199,41 @@ class MvSpec extends SparkTestBase {
     assert(math.abs(m.getDouble(1) - exact.getDouble(1)) < 1e-9)
   }
 
+  test("minmax recompute pins at the watermark: a source commit landing " +
+    "mid-refresh neither leaks into the recompute nor double-folds") {
+    val src = fresh("src")
+    val mv = fresh("mv")
+    SnapshotLog.commit(spark, src, kv(Seq(1L -> 10L, 1L -> 30L, 2L -> 5L)))
+    SnapshotLog.createMv(spark, src, mv, "k", "v", kind = "minmax")
+    // a delete of group 1's minimum forces the group-scoped RECOMPUTE
+    // branch — the only branch that reads the source directly
+    SnapshotLog.mergeCoW(
+      spark, src, "k", kv(Seq(1L -> 0L)).select("k"),
+      df => df.filter(!(col("k") === 1L && col("v") === 10L)))
+    val tipAtRefresh = SnapshotLog.versions(spark, src).last
+    // the racing commit lands AFTER the watermark is pinned: a new
+    // global minimum for group 1 plus a brand-new group
+    SnapshotLog.refreshMv(spark, mv, onWatermarkPinned = () => {
+      SnapshotLog.commit(spark, src, kv(Seq(1L -> 1L, 4L -> 9L))): Unit
+    })
+    // the refresh must reflect EXACTLY version tipAtRefresh — a
+    // tip-reading recompute would pull 1 -> 1 into group 1 here
+    val atTo = SnapshotLog.read(spark, src, Some(tipAtRefresh))
+      .groupBy(col("k"))
+      .agg(min(col("v")).as("mv_min"), max(col("v")).as("mv_max"),
+        count(lit(1)).as("mv_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(mvMinmaxRows(mv) == atTo,
+      s"refresh must land on the watermark state: ${mvMinmaxRows(mv)} vs $atTo")
+    // and the NEXT refresh folds the racing commit exactly once: the
+    // tip-reading design double-counted mv_n for the recomputed group
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvMinmaxRows(mv) == recomputeMinmax(src))
+    assert(mvMinmaxRows(mv).contains((1L, 1L, 30L, 2L)))
+  }
+
   test("a crash between refresh commit and props rewrite cannot double-count " +
     "(high-water mark rides the commit header)") {
     val src = fresh("src")

@@ -104,6 +104,35 @@ class SnapshotSpec extends SparkTestBase {
     assert(freshTomb.exists(), "a fresh tombstone (break in flight) survives vacuum")
   }
 
+  test("breaking a live lock restores it exclusively: a contender that " +
+    "re-claimed the name in the window is never clobbered") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = java.nio.file.Files.createTempDirectory("graft_lockrestore").toFile
+    // case 1 — no contender: the displaced live lock comes back under
+    // its name with content (the claimant's token) intact
+    val lk1 = new java.io.File(dir, "v00000002.lock")
+    val tomb1 = new java.io.File(dir, "v00000002.lock.stale-a")
+    java.nio.file.Files.write(tomb1.toPath, "displaced-token".getBytes(UTF_8))
+    SnapshotLog.restoreLockExclusive(lk1, tomb1)
+    assert(lk1.exists() && !tomb1.exists())
+    assert(new String(
+      java.nio.file.Files.readAllBytes(lk1.toPath), UTF_8) == "displaced-token")
+    // case 2 — a new contender won createNewFile in the window: its
+    // live lock must survive the restore BYTE-IDENTICAL (the old
+    // rename-back overwrote it here, minting two owners), and the
+    // displaced claimant's token is gone — its token-verify reports
+    // the loss
+    val lk2 = new java.io.File(dir, "v00000003.lock")
+    val tomb2 = new java.io.File(dir, "v00000003.lock.stale-b")
+    java.nio.file.Files.write(lk2.toPath, "contender-token".getBytes(UTF_8))
+    java.nio.file.Files.write(tomb2.toPath, "displaced-token".getBytes(UTF_8))
+    SnapshotLog.restoreLockExclusive(lk2, tomb2)
+    assert(lk2.exists() && !tomb2.exists())
+    assert(new String(
+      java.nio.file.Files.readAllBytes(lk2.toPath), UTF_8) == "contender-token",
+      "the contender's live lock must never be clobbered by the restore")
+  }
+
   test("manifest stats skip disjoint files; pruned read equals full read+filter") {
     import spark.implicits._
     val t = freshTable()
