@@ -2445,6 +2445,90 @@ object Scans {
          |FROM $cat.main.orders_ddlmv ORDER BY o_custkey""".stripMargin)
   }
 
+  /** MANAGED MVs SERVE SOURCE AGGREGATES (round 14, the composition
+    * the two halves of the warehouse story were built for): the user
+    * queries the SOURCE — `SELECT o_custkey, sum(cents), count(*)
+    * FROM src WHERE o_custkey % 2 = 0 GROUP BY o_custkey` — and the
+    * optimizer serves it from the refresh-maintained MV instead: a
+    * pure O(distinct keys) MV scan with NO aggregate node at all (the
+    * rollup is already at key grain), the key-only predicate
+    * transplanted onto the MV read. On a 100 TB fact this replaces a
+    * full scan + shuffle with a scan of a table |keys| rows long that
+    * REFRESH already paid for incrementally. Freshness is the gate:
+    * the MV's committed `mvv` watermark must equal the exact snapshot
+    * version the query pinned — the inline pins assert the rewritten
+    * plan reads the MV's files, aggregates nothing, and never touches
+    * the source scan; PlanShapeSpec pins the stale-MV bail (watermark
+    * behind tip ⇒ source plan, correctness before speed). The oracle
+    * recomputes the whole answer from SOURCE rows, so the hash match
+    * proves the served rollup exact through the append + CoW UPDATE
+    * behind the MV's back. */
+  val aggMvServe: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_srvsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_srvmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_srv_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_srvsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_srvsrc
+         |SELECT * FROM graft_srv_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_srvmv AS
+         |SELECT o_custkey, sum(cents) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.orders_srvsrc GROUP BY o_custkey""".stripMargin)
+    // the source moves on (append + CoW update), then one REFRESH
+    // brings the watermark back to the tip — serving requires EXACT
+    // freshness, and the refresh is what buys it
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_srvsrc
+         |SELECT * FROM graft_srv_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_srvsrc SET cents = cents + 3
+         |WHERE o_orderkey % 11 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_srvmv")
+    val brute = spark.sql(
+      s"""SELECT o_custkey, sum(cents) AS sum_cents, count(*) AS n_orders
+         |FROM $cat.main.orders_srvsrc
+         |WHERE o_custkey % 2 = 0
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_srvmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "managed-MV serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "served plan must carry NO aggregate — the MV is already at key grain")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
     * `SupportsRuntimeV2Filtering` over its declared layout columns
     * (sorted_by / identity partitions / bucket key / bloom-indexed),
@@ -4046,6 +4130,7 @@ object Scans {
     "sql_mv_minmax" -> sqlMvMinmax,
     "sql_mv_stats" -> sqlMvStats,
     "sql_mv_ddl" -> sqlMvDdl,
+    "agg_mv_serve" -> aggMvServe,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "sql_dml_mor" -> sqlDmlMor,
@@ -4289,6 +4374,18 @@ object Scans {
         |   AS mv_sum,
         | CAST(count(*) AS BIGINT) AS mv_n
         |FROM orders, b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the aggregate served from the refresh-maintained MV must equal
+    // the full recompute from source rows (append + CoW update folded)
+    "agg_mv_serve" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders),
+        |fin AS (SELECT o_custkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN cents0 + 3 ELSE cents0 END
+        |    AS cents FROM src)
+        |SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM fin WHERE o_custkey % 2 = 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // runtime file pruning can only EXCLUDE provably keyless files —
     // the join's rows must be exactly the plain recompute's
     "join_dpp" ->

@@ -93,6 +93,9 @@ object MvRewrite {
   private def norm(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
+  private[plans] def samePath(a: String, b: String): Boolean =
+    norm(a) == norm(b)
+
   def register(mv: MvDef): Unit = registry.put(norm(mv.sourcePath), mv)
 
   def lookup(sourcePath: String): Option[MvDef] =
@@ -179,7 +182,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown { case agg @ Aggregate(_, _, _, _) =>
-      rewrite(agg).getOrElse(agg)
+      rewrite(agg).orElse(rewriteManaged(agg)).getOrElse(agg)
     }
   }
 
@@ -264,4 +267,145 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def seqOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  // ------------------------------------------------------------------
+  // MANAGED-MV serving (round 14): aggregate navigation over the
+  // snapshot catalog's refresh-maintained MVs (sql_mv_* family). The
+  // two halves of the warehouse story compose here: refreshMv keeps
+  // the rollup exact at a committed watermark, and this match serves
+  // `SELECT k, sum(m) FROM src GROUP BY k` from it — a pure O(keys)
+  // MV scan with NO aggregate at all (the MV is already at key grain),
+  // instead of a 100 TB source scan + shuffle. Freshness is the gate:
+  // the MV's committed `mvv` watermark must equal the EXACT snapshot
+  // version the scanned relation pinned at analysis (tip reads and
+  // VERSION AS OF alike) — a stale or ahead MV bails to the source
+  // plan, correctness before speed. Discovery is the source table's
+  // `mv_refs` reverse pointer (one props read), each ref re-verified
+  // against the MV's own props before it may serve.
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.execution.datasources.v2.{
+    DataSourceV2Relation,
+    DataSourceV2ScanRelation
+  }
+
+  /** Strips attribute-only Projects and at most one Filter above a
+    * DSv2 scan of a snapshot-catalog table, returning (residual
+    * condition, table path, pinned snapshot version). Both the
+    * pre-pushdown relation and the post-pushdown ScanRelation match —
+    * extraOptimizations run after V2ScanRelationPushDown, and our
+    * builder keeps every pushed filter residual in the plan, so no
+    * predicate can hide inside the scan. */
+  private def managedSourceOf(
+      plan: LogicalPlan
+  ): Option[(Option[Expression], String, Int)] = plan match {
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      managedSourceOf(child)
+    case Filter(cond, child) =>
+      managedSourceOf(child).collect { case (None, p, v) => (Some(cond), p, v) }
+    case r: DataSourceV2Relation     => snapshotTableOf(r.table)
+    case s: DataSourceV2ScanRelation => snapshotTableOf(s.relation.table)
+    case _                           => None
+  }
+
+  private def snapshotTableOf(
+      t: org.apache.spark.sql.connector.catalog.Table
+  ): Option[(Option[Expression], String, Int)] = t match {
+    case st: graft.sources.SnapshotSqlTable =>
+      scala.util.Try(st.version().toInt).toOption.map(v => (None, st.path, v))
+    case _ => None
+  }
+
+  private def rewriteManaged(agg: Aggregate): Option[LogicalPlan] =
+    for {
+      (condOpt, srcPath, srcVersion) <- managedSourceOf(agg.child)
+      refs = scala.util
+        .Try(graft.sources.SnapshotLog.tableProps(spark, srcPath))
+        .toOption.flatMap(_.get("mv_refs")).toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty)
+      plan <- refs.view.flatMap { mvPath =>
+        scala.util
+          .Try(serveManaged(agg, condOpt, srcPath, srcVersion, mvPath))
+          .toOption.flatten
+      }.headOption
+    } yield plan
+
+  /** One candidate MV: verify provenance + freshness, then map the
+    * aggregate's output 1:1 onto the MV's stored columns. Any shape
+    * the stored grain cannot answer EXACTLY returns None (bail to the
+    * source plan). */
+  private def serveManaged(
+      agg: Aggregate,
+      condOpt: Option[Expression],
+      srcPath: String,
+      srcVersion: Int,
+      mvPath: String
+  ): Option[LogicalPlan] = {
+    import graft.sources.SnapshotLog
+    import org.apache.spark.sql.catalyst.expressions.{KnownNotNull, Multiply}
+    val props = SnapshotLog.tableProps(spark, mvPath)
+    if (!props.get("mv_source").exists(s => MvRewrite.samePath(s, srcPath)))
+      return None
+    val key = props.getOrElse("mv_key", return None)
+    val measure = props.getOrElse("mv_agg", return None)
+    val kind = props.getOrElse("mv_kind", "sum")
+    // the committed mvv watermark is authoritative; the props copy
+    // backs pre-header MVs. Serving requires EXACT equality with the
+    // relation's pinned snapshot: MV@v ≡ aggregate(source@v).
+    val wm = SnapshotLog.committedWatermark(spark, mvPath, "mvv")
+      .orElse(props.get("mv_version").flatMap(s =>
+        scala.util.Try(s.toInt).toOption))
+    if (!wm.contains(srcVersion)) return None
+    agg.groupingExpressions match {
+      case Seq(a: AttributeReference) if a.name == key => ()
+      case _                                           => return None
+    }
+    if (!condOpt.forall(_.references.forall(_.name == key))) return None
+    val mvPlan = SnapshotLog.read(spark, mvPath).queryExecution.analyzed
+    val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+    if (!mvAttr.contains(key)) return None
+    // type must match EXACTLY and declared non-nullability is
+    // re-asserted (MV parquet columns read nullable, but a group key
+    // exists by construction and counts are never null)
+    def fit(child: Expression, want: NamedExpression): Option[Expression] =
+      if (child.dataType != want.dataType) None
+      else if (!want.nullable && child.nullable) Some(KnownNotNull(child))
+      else Some(child)
+    val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference if a.name == key =>
+        fit(mvAttr(key), a).map(e => Alias(e, a.name)(exprId = a.exprId))
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        val served: Option[Expression] = fn match {
+          case c: Count if c.children == Seq(Literal(1)) =>
+            mvAttr.get("mv_n")
+          case Sum(x: AttributeReference, _)
+              if x.name == measure && (kind == "sum" || kind == "stats") =>
+            mvAttr.get("mv_sum")
+          case Min(x: AttributeReference)
+              if x.name == measure && kind == "minmax" =>
+            mvAttr.get("mv_min")
+          case Max(x: AttributeReference)
+              if x.name == measure && kind == "minmax" =>
+            mvAttr.get("mv_max")
+          case Sum(Multiply(x: AttributeReference, y: AttributeReference, _), _)
+              if x.name == measure && y.name == measure && kind == "stats" =>
+            mvAttr.get("mv_sumsq")
+          case _ => None
+        }
+        served.flatMap(fit(_, al)).map(e => Alias(e, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (outs.exists(_.isEmpty)) return None
+    val base = condOpt match {
+      case Some(cond) =>
+        Filter(
+          cond.transform {
+            case a: AttributeReference if a.name == key => mvAttr(key)
+          },
+          mvPlan)
+      case None => mvPlan
+    }
+    Some(Project(outs.map(_.get), base))
+  }
 }

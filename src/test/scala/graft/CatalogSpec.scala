@@ -1699,6 +1699,109 @@ class CatalogSpec extends SparkTestBase {
     assert(e2.getMessage.toLowerCase.contains("check"))
   }
 
+  test("managed-MV serve: a FRESH MV answers the source aggregate with no " +
+    "aggregate node; a stale one bails to the source plan; refresh restores " +
+    "serving; off-shape queries bail") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (1, 20), (2, 5)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_mv AS
+         |SELECT k, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_mv"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val q = s"SELECT k, sum(v) AS s, count(*) AS n FROM $t GROUP BY k"
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath), "fresh MV must serve")
+      assert(!served.exists(_.isInstanceOf[Aggregate]),
+        "the MV is already at key grain — no aggregate node")
+      val rows = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 30L, 2L), (2L, 5L, 1L)))
+      // the source moves behind the MV's back: STALE must bail —
+      // correctness before speed
+      spark.sql(s"INSERT INTO $t VALUES (3, 7)")
+      val stale = plan(q)
+      assert(!MvRewrite.readsPath(stale, mvPath), "stale MV must not serve")
+      assert(stale.exists(_.isInstanceOf[Aggregate]))
+      // refresh restores the watermark — serving resumes
+      spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_mv")
+      assert(MvRewrite.readsPath(plan(q), mvPath), "refresh must restore serving")
+      // a key-only predicate transplants onto the MV read
+      assert(MvRewrite.readsPath(
+        plan(s"SELECT k, sum(v) AS s FROM $t WHERE k = 1 GROUP BY k"), mvPath))
+      // filter on the MEASURE bails (row-level values are gone)
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, sum(v) AS s FROM $t WHERE v > 0 GROUP BY k"), mvPath))
+      // count(v) skips NULLs — only count(*) may serve from mv_n
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, count(v) AS c FROM $t GROUP BY k"), mvPath))
+      // avg is not stored by a sum MV — bail
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, avg(v) AS a FROM $t GROUP BY k"), mvPath))
+      // grouping on a non-key column bails
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT v, count(*) AS c FROM $t GROUP BY v"), mvPath))
+      // DROP clears the source's reverse pointer — no dangling serve
+      spark.sql(s"DROP MATERIALIZED VIEW cattest.main.${tn}_mv")
+      assert(!SnapshotLog.tableProps(spark, pathOf(t)).contains("mv_refs"))
+      assert(plan(q).exists(_.isInstanceOf[Aggregate]))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("managed-MV serve covers minmax and stats kinds: min/max and " +
+    "sum-of-squares map onto the stored columns of the right MV") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (1, 30), (2, 5)")
+    spark.sql(
+      s"""CALL cattest.system.create_mv(source => 'main.$tn',
+         |mv => 'main.${tn}_mm', key => 'k', agg => 'v',
+         |kind => 'minmax')""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_st AS
+         |SELECT k, sum(v) AS mv_sum, sum(v*v) AS mv_sumsq, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mmPath = s"$warehouse/main/${tn}_mm"
+    val stPath = s"$warehouse/main/${tn}_st"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val mm = plan(
+        s"SELECT k, min(v) AS mn, max(v) AS mx, count(*) AS n FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(mm, mmPath), "min/max must serve the minmax MV")
+      assert(!mm.exists(_.isInstanceOf[Aggregate]))
+      val mmRows = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, mm)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(mmRows == Set((1L, 10L, 30L, 2L), (2L, 5L, 5L, 1L)))
+      val st = plan(
+        s"SELECT k, sum(v) AS s, sum(v*v) AS sq FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(st, stPath),
+        "sum + sum-of-squares must serve the stats MV")
+      val stRows = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, st)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stRows == Set((1L, 40L, 1000L), (2L, 5L, 25L)))
+      // min/max against the STATS MV alone cannot serve (wrong kind):
+      // with the minmax MV dropped, the shape bails to the source
+      spark.sql(s"DROP MATERIALIZED VIEW cattest.main.${tn}_mm")
+      val bail = plan(s"SELECT k, min(v) AS mn FROM $t GROUP BY k")
+      assert(!MvRewrite.readsPath(bail, stPath) && bail.exists(_.isInstanceOf[Aggregate]))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the SQL spelling of the " +
     "managed MV, with loud refusals off the maintainable shapes") {
     val t = freshName()
