@@ -260,6 +260,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // conf-gated IVF rewrite of cosine top-k (graft.plans.AnnIvfRewrite;
     // runtime twin: AnnIvfRewrite.install)
     ext.injectOptimizerRule(sp => graft.plans.AnnIvfRewriteRule(sp))
+    // conf-gated MV aggregate navigation — Stage-registered rollups AND
+    // managed snapshot-catalog MVs serve matching source aggregates
+    // transparently (runtime twin: MvRewrite.install)
+    ext.injectOptimizerRule(sp => graft.plans.MvRollupRewriteRule(sp))
     // custom whole-operator layer: TopKPerGroup logical node → partial/
     // final bounded-heap SparkPlans (runtime twin: TopKPerGroup.install)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

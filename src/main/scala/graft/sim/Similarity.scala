@@ -912,12 +912,18 @@ object Similarity {
     * a corpus re-encode. The folded-through version rides the code
     * commit's header ([[graft.sources.SnapshotLog.commitWatermarked]]
     * — the same crash-safe watermark the MV and text-index refreshes
-    * use), and delete deltas refuse loudly (codes are append-only;
-    * removal means rebuild or DVs). Same cell-grain report and oracle
-    * as sim_index_build, so the incrementally-assembled codes must be
-    * bit-identical to a from-scratch encode of the full corpus —
-    * codebook drift, a missed vector, or a double-applied delta all
-    * break the hash. */
+    * use). A DELETE-bearing delta no longer refuses (round 14): dead
+    * code rows are keyed by the deleted vec_ids, so the refresh
+    * rewrites ONLY the code files whose vec_id stats admit a dead id
+    * — the sql_mv_minmax group-scoped pattern through
+    * [[graft.sources.SnapshotLog.mergeCoW]], the freshly-encoded
+    * inserts unioned into the SAME atomic commit as the removals and
+    * the watermark (no replay window); code files holding no dead id
+    * carry by reference, byte-identical. Same cell-grain report as
+    * sim_index_build over the SURVIVING corpus, so the incrementally-
+    * assembled codes must be bit-identical to a from-scratch encode —
+    * codebook drift, a missed vector, a double-applied delta, or a
+    * leftover dead code all break the hash. */
   val simIndexRefresh: Q = (spark, dir) => {
     import graft.sources.SnapshotLog
     val src = s"${sys.props("java.io.tmpdir")}/graft_io/emb_idxinc_src"
@@ -930,40 +936,63 @@ object Similarity {
     val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
     val half = maxId / 2
     // the codebook freezes at build time (first 16 vectors — always in
-    // the first half); refresh deltas encode against it unchanged
+    // the first half); refresh deltas encode against it unchanged, and
+    // it survives corpus deletes (a centroid is an artifact, not a row)
     val cb = emb
       .filter(col("vec_id") < 16)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+    def refresh(): Unit = {
+      val from = SnapshotLog.committedWatermark(spark, idx, "idxv").getOrElse(
+        throw new IllegalStateException("code table has no idxv watermark"))
+      val to = SnapshotLog.versions(spark, src).last
+      if (to == from) return
+      val changes = SnapshotLog.readChanges(spark, src, from, to)
+      val ins = changes.filter(col("change_type") === "insert")
+        .select("vec_id", "embedding")
+      val deadIds = changes.filter(col("change_type") === "delete")
+        .select("vec_id").distinct()
+      if (deadIds.isEmpty) {
+        SnapshotLog.commitWatermarked(spark, idx, pqEncode(ins, cb), "idxv", to)
+      } else {
+        // a CoW-rewritten survivor appears on both sides of the feed:
+        // its old codes remove (vec_id-keyed), its re-encode re-adds —
+        // net identical; genuinely-dead ids just vanish
+        val (_, touched, untouched) = SnapshotLog.mergeCoW(
+          spark, idx, "vec_id", deadIds,
+          base =>
+            base.join(deadIds, Seq("vec_id"), "left_anti")
+              .unionByName(pqEncode(ins, cb)),
+          extraHeader = s"idxv=$to")
+        require(touched.nonEmpty, "a delete delta must rewrite its code files")
+        val live = SnapshotLog
+          .manifest(spark, idx, SnapshotLog.versions(spark, idx).last).toSet
+        require(
+          untouched.forall(live),
+          "untouched code files must survive into the new manifest by reference")
+      }
+    }
     SnapshotLog.commit(spark, src, emb.filter(col("vec_id") <= half))
     val v1 = SnapshotLog.versions(spark, src).last
     SnapshotLog.commitWatermarked(
       spark, idx,
       pqEncode(SnapshotLog.read(spark, src), cb), "idxv", v1)
-    // the corpus grows behind the index's back
+    // the corpus grows behind the index's back → pure insert fold
     SnapshotLog.commit(spark, src, emb.filter(col("vec_id") > half))
-    val from = SnapshotLog.committedWatermark(spark, idx, "idxv").getOrElse(
-      throw new IllegalStateException("code table has no idxv watermark"))
+    refresh()
+    // a CoW DELETE of every vec_id % 9 == 4 → scoped code rebuild
+    SnapshotLog.mergeCoW(
+      spark, src, "vec_id",
+      emb.filter(col("vec_id") % 9 === 4).select("vec_id"),
+      base => base.filter(col("vec_id") % 9 =!= 4))
+    refresh()
     val to = SnapshotLog.versions(spark, src).last
-    if (to != from) {
-      val changes = SnapshotLog.readChanges(spark, src, from, to)
-      require(
-        changes.filter(col("change_type") === "delete").isEmpty,
-        "incremental ANN refresh: the delta contains deletes — codes " +
-          "are append-only; rebuild the index instead")
-      SnapshotLog.commitWatermarked(
-        spark, idx,
-        pqEncode(
-          changes.filter(col("change_type") === "insert")
-            .select("vec_id", "embedding"),
-          cb),
-        "idxv", to)
-    }
     require(
       SnapshotLog.committedWatermark(spark, idx, "idxv").contains(to) &&
-        SnapshotLog.versions(spark, idx).last == 2,
+        SnapshotLog.versions(spark, idx).last == 3,
       "refresh bookkeeping wrong")
     // cell-grain report over the incrementally-assembled codes — the
-    // sim_index_build contract served from the refreshed table
+    // sim_index_build contract served from the refreshed table; dead
+    // vectors must contribute nothing
     SnapshotLog.read(spark, idx)
       .groupBy("vec_id")
       .agg(round(sum("dist"), 6).as("err"))
@@ -1272,7 +1301,27 @@ object Similarity {
     "sim_index_build" -> simIndexBuildSql,
     // identical to sim_index_build's oracle: the incrementally
     // refreshed codes must be bit-identical to a full-corpus encode
-    "sim_index_refresh" -> simIndexBuildSql,
+    // from-scratch encode of the SURVIVING corpus (vec_id % 9 == 4
+    // was CoW-deleted; the codebook stays the frozen first 16)
+    "sim_index_refresh" ->
+      """WITH cb AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+        |            FROM embeddings WHERE vec_id < 16),
+        |live AS (SELECT * FROM embeddings WHERE vec_id % 9 <> 4),
+        |d AS (
+        |  SELECT e.vec_id, s.s, cb.cid,
+        |    round((SELECT sum(pow(CAST(e.embedding[s.s*8 + dd.d + 1] AS DOUBLE)
+        |                          - CAST(cb.ce[s.s*8 + dd.d + 1] AS DOUBLE), 2))
+        |           FROM range(8) dd(d)), 6) AS dist
+        |  FROM live e, range(8) s(s), cb),
+        |enc AS (SELECT vec_id, s, cid, dist FROM (
+        |  SELECT vec_id, s, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+        |  FROM d) t WHERE rn = 1),
+        |ve AS (SELECT vec_id, round(sum(dist), 6) AS err FROM enc GROUP BY 1)
+        |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(sum(ve.err), 6) AS recon_err
+        |FROM ve JOIN live e USING (vec_id)
+        |GROUP BY e.label ORDER BY e.label""".stripMargin,
     "sim_index_serve" -> pqAdcSqlFor(1),
     "sim_adc_batch" -> simAdcBatchSql,
     "sim_l2_ivf_topk" -> simL2IvfTopkSql,

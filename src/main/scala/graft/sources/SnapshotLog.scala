@@ -67,6 +67,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
   * IO is untouched parquet at any size, with per-file INT64 / INT32 /
   * DOUBLE / short-STRING footer min/max riding the manifest for
   * file-level skipping before Spark ever lists a path.
+  *
+  * **Object-store posture (round 14):** the commit claim stands on one
+  * of two primitives — the local O_CREAT|O_EXCL lock, or a rename that
+  * atomically REFUSES an existing destination (HDFS-class). S3A-class
+  * object stores have neither: their "rename" is copy+delete and
+  * happily replaces, so two writers could both publish the same
+  * version and one commit would silently vanish. Rather than run the
+  * HDFS-shaped protocol silently wrong, [[requireCommitSafeFs]]
+  * REFUSES every write on a scheme outside the proven set, naming the
+  * primitive such a store needs (a conditional-put / if-none-match
+  * manifest write, or an external lock table — the S3A commit-
+  * coordinator posture). Reads are unaffected — snapshot reads only
+  * resolve immutable named files.
   */
 object SnapshotLog {
 
@@ -86,6 +99,30 @@ object SnapshotLog {
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Schemes whose claim primitive the commit protocol has actually
+    * proven: `file` (the O_EXCL lock + token verify), and HDFS-class
+    * filesystems whose rename atomically refuses an existing
+    * destination. Everything else — S3A-class stores above all, whose
+    * "rename" is copy+delete and replaces silently — must refuse. */
+  private val CommitSafeSchemes = Set("file", "hdfs", "viewfs")
+
+  /** Refuse to WRITE on a filesystem whose rename neither refuses an
+    * existing destination nor is covered by the local O_EXCL claim —
+    * see the header's object-store posture. Checked before any byte
+    * stages, so a refused commit leaves no orphans. */
+  private def requireCommitSafeFs(f: FileSystem, table: String): Unit = {
+    val s = Option(f.getScheme).getOrElse("")
+    if (!CommitSafeSchemes(s))
+      throw new UnsupportedOperationException(
+        s"snapshot commit: filesystem scheme '$s' ($table) offers no " +
+          "atomic rename-refuses-existing and is not covered by the " +
+          "local O_EXCL claim — two writers could both publish the same " +
+          "version and one commit would silently vanish. Committing on " +
+          "this store needs a conditional-put (if-none-match) manifest " +
+          "write or an external lock table; refusing loudly instead of " +
+          "running the HDFS-shaped protocol silently wrong.")
+  }
 
   /** True when a manifest entry name is an EXTERNAL reference — an
     * absolute path or full URI into ANOTHER table's directory, the
@@ -838,9 +875,12 @@ object SnapshotLog {
       removed: Seq[String],
       df: DataFrame,
       txnId: Option[String] = None,
-      dataChange: Boolean = true
+      dataChange: Boolean = true,
+      extraHeader: String = ""
   ): Int =
-    commitInternal(spark, table, df, overwrite = false, txnId, Some(removed), dataChange)
+    commitInternal(
+      spark, table, df, overwrite = false, txnId, Some(removed), dataChange,
+      extraHeader)
 
   private def commitInternal(
       spark: SparkSession,
@@ -853,6 +893,7 @@ object SnapshotLog {
       extraHeader: String = ""
   ): Int = {
     val f = fs(spark, table)
+    requireCommitSafeFs(f, table) // before staging — no orphans on refusal
     f.mkdirs(new Path(s"$table/$LogDir"))
     // fail an incompatible evolution BEFORE staging any data (the
     // authoritative merge recomputes under the claim lock; this check
@@ -1006,6 +1047,9 @@ object SnapshotLog {
       preCommit: Option[Int] => Unit = _ => ()
   ): Int = {
     val f = fs(spark, table)
+    // the authoritative gate — every commit path funnels here
+    // (staging callers also check before any byte lands)
+    requireCommitSafeFs(f, table)
     f.mkdirs(new Path(s"$table/$LogDir"))
     val lock = claimLocks.computeIfAbsent(table, _ => new Object)
     var attempts = 0
@@ -1502,13 +1546,18 @@ object SnapshotLog {
   }
 
   /** Splits the live files at `version` into (touched, untouched) by
-    * whether their manifest stats ADMIT any key in `changeKeys` (single
-    * LONG column). Files without stats for `column` are always touched
-    * (selection must never miss a matchable file). The stats table is
-    * O(live files) DRIVER-SIDE METADATA — the manifest we already
-    * resolved — so it broadcasts to the (arbitrarily large) change set
-    * rather than ever collecting change keys to the driver; only the
-    * O(files) distinct touched names come back. */
+    * whether their manifest stats ADMIT any key in `changeKeys` —
+    * single LONG/INT column via the `l:`/`i:` range stats, or a
+    * STRING column via the `s:` UTF8 ranges (unsigned byte order, the
+    * parquet sort order — Spark's string comparison is byte-wise
+    * unsigned over UTF8, so the SQL-side range join below compares in
+    * exactly that space; the term-sharded index rebuild scopes
+    * through this arm). Files without stats for `column` are always
+    * touched (selection must never miss a matchable file). The stats
+    * table is O(live files) DRIVER-SIDE METADATA — the manifest we
+    * already resolved — so it broadcasts to the (arbitrarily large)
+    * change set rather than ever collecting change keys to the
+    * driver; only the O(files) distinct touched names come back. */
   def touchedFiles(
       spark: SparkSession,
       table: String,
@@ -1522,26 +1571,43 @@ object SnapshotLog {
     val v = version.getOrElse(vs.last)
     val pc = physColumn(spark, table, v, column)
     val entries = manifestEntries(spark, table, v)
+    val dec = java.util.Base64.getUrlDecoder
     val parsed = entries.map { e =>
-      val rng = entryStat(e, pc).flatMap(_.split(':') match {
+      val st = entryStat(e, pc)
+      val rngL = st.flatMap(_.split(':') match {
         case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
         case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
         case _                  => None
       })
-      (entryName(e), rng)
+      val rngS = st.flatMap(_.split(':') match {
+        case Array("s", mn, mx) =>
+          Some((
+            new String(dec.decode(mn), java.nio.charset.StandardCharsets.UTF_8),
+            new String(dec.decode(mx), java.nio.charset.StandardCharsets.UTF_8)))
+        case _ => None
+      })
+      (entryName(e), rngL, rngS)
     }
-    val blind = parsed.collect { case (n, None) => n }
-    val ranged = parsed.collect { case (n, Some((mn, mx))) => (n, mn, mx) }
-    val touchedRanged: Set[String] =
-      if (ranged.isEmpty) Set.empty
+    val blind = parsed.collect { case (n, None, None) => n }
+    val keyCol = changeKeys.columns.head
+    def admitted(
+        ranges: Seq[(String, Any, Any)],
+        castTo: String
+    ): Set[String] =
+      if (ranges.isEmpty) Set.empty
       else {
         import spark.implicits._
-        val keyCol = changeKeys.columns.head
-        val ranges = ranged.toDF("_file", "_mn", "_mx")
+        val rangesDf = ranges
+          .map { case (n, mn, mx) => (n, mn.toString, mx.toString) }
+          .toDF("_file", "_mn", "_mx")
+          .select(
+            col("_file"),
+            col("_mn").cast(castTo).as("_mn"),
+            col("_mx").cast(castTo).as("_mx"))
         changeKeys
-          .select(col(keyCol).cast("long").as("_k"))
+          .select(col(keyCol).cast(castTo).as("_k"))
           .join(
-            broadcast(ranges),
+            broadcast(rangesDf),
             col("_k") >= col("_mn") && col("_k") <= col("_mx")
           )
           .select("_file")
@@ -1550,6 +1616,9 @@ object SnapshotLog {
           .map(_.getString(0))
           .toSet
       }
+    val touchedRanged =
+      admitted(parsed.collect { case (n, Some((mn, mx)), _) => (n, mn, mx) }, "long") ++
+        admitted(parsed.collect { case (n, None, Some((mn, mx))) => (n, mn, mx) }, "string")
     val names = parsed.map(_._1)
     val touched = names.filter(n => blind.contains(n) || touchedRanged(n))
     val untouched = names.filterNot(touched.toSet)
@@ -1574,7 +1643,11 @@ object SnapshotLog {
       column: String,
       changeKeys: DataFrame,
       merge: DataFrame => DataFrame,
-      txnId: Option[String] = None
+      txnId: Option[String] = None,
+      // rides the replace commit itself — an incremental consumer's
+      // high-water mark (idxv=/mvv=) lands ATOMICALLY with a scoped
+      // rebuild, the commitWatermarked contract through the CoW path
+      extraHeader: String = ""
   ): (Int, Seq[String], Seq[String]) = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot merge: no commits in $table")
@@ -1593,7 +1666,8 @@ object SnapshotLog {
           s"got ${merged.schema.fieldNames.mkString(",")}"
       )
     }
-    val version = commitReplace(spark, table, touched, merged, txnId)
+    val version = commitReplace(
+      spark, table, touched, merged, txnId, extraHeader = extraHeader)
     (version, touched, untouched)
   }
 

@@ -702,23 +702,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Incremental inverted-index REFRESH (round 13): the index is a
-    * SNAPSHOT TABLE of (term, doc_id) postings over a snapshot-table
-    * corpus, and a refresh tokenizes ONLY `readChanges(from, to)` of
-    * the corpus — on a 100 TB append-mostly training corpus, indexing
-    * a 10 GB drop costs 10 GB of tokenization plus an append, never a
-    * rebuild. The folded-through version rides the index commit's own
-    * HEADER ([[graft.sources.SnapshotLog.commitWatermarked]]), so a
-    * crash between commit and any bookkeeping cannot re-append the
-    * same delta's postings (duplicate (term,doc) pairs would break
-    * conjunctive counting). Deletes refuse loudly — posting removal
-    * scatters across every term shard, so the honest answer is
-    * rebuild (or DV-based removal), not a silent wrong index. The
-    * graded flow: index half the corpus, grow the corpus, refresh,
-    * run the same deterministic 3-term conjunctive search as
-    * text_index_search; the oracle recomputes term choice AND matches
-    * from the FULL corpus text, so a stale or double-applied index
-    * breaks the hash. */
+  /** Incremental inverted-index REFRESH (round 13; round 14 adds the
+    * DELETE path): the index is a SNAPSHOT TABLE of (term, doc_id)
+    * postings over a snapshot-table corpus, and a refresh tokenizes
+    * ONLY `readChanges(from, to)` of the corpus — on a 100 TB
+    * append-mostly training corpus, indexing a 10 GB drop costs 10 GB
+    * of tokenization plus an append, never a rebuild. The
+    * folded-through version rides the index commit's own HEADER
+    * ([[graft.sources.SnapshotLog.commitWatermarked]]), so a crash
+    * between commit and any bookkeeping cannot re-append the same
+    * delta's postings (duplicate (term,doc) pairs would break
+    * conjunctive counting). A DELETE-bearing delta no longer refuses:
+    * the change feed carries the deleted rows' OLD TEXT, so the dead
+    * (term, doc) pairs are derivable, and the refresh rewrites ONLY
+    * the term shards whose stats admit a dead term — the
+    * sql_mv_minmax group-scoped pattern through [[graft.sources
+    * .SnapshotLog.mergeCoW]], with the fresh postings unioned into
+    * the SAME atomic commit so the watermark, the removals, and the
+    * additions land together (no replay window). Untouched shards
+    * carry by reference, byte-identical. The graded flow: index half
+    * the corpus, append the rest, refresh (pure fold), CoW-DELETE
+    * every doc_id % 7 == 3, refresh again (scoped rebuild, pinned
+    * inline to carry untouched shards), then the deterministic 3-term
+    * conjunctive search; the oracle recomputes term choice AND
+    * matches from the SURVIVING corpus text, so a stale index, a
+    * double-applied delta, or a leftover dead posting all break the
+    * hash. */
   val textIndexRefresh: Q = (spark, dir) => {
     import graft.sources.SnapshotLog
     val src = s"${sys.props("java.io.tmpdir")}/graft_io/docs_idxinc_src"
@@ -737,37 +746,71 @@ object TextOps {
         .distinct()
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id")
+    // one refresh cycle: fold inserts; delete-bearing deltas rebuild
+    // ONLY the affected term shards (one atomic commit either way)
+    def refresh(): Unit = {
+      val from = SnapshotLog.committedWatermark(spark, idx, "idxv").getOrElse(
+        throw new IllegalStateException("index has no idxv watermark"))
+      val to = SnapshotLog.versions(spark, src).last
+      if (to == from) return
+      val changes = SnapshotLog.readChanges(spark, src, from, to)
+      val ins = changes.filter(col("change_type") === "insert")
+        .select("doc_id", "text")
+      val dels = changes.filter(col("change_type") === "delete")
+        .select("doc_id", "text")
+      if (dels.isEmpty) {
+        SnapshotLog.commitWatermarked(spark, idx, postings(ins), "idxv", to)
+      } else {
+        // dead pairs from the delta's OLD rows: every posting of a
+        // delete-side doc lives in a shard whose term range admits one
+        // of its terms, so the scope below provably covers them all
+        // (a CoW-rewritten survivor appears on both sides — its old
+        // pairs remove, its re-inserted pairs re-add, net identical)
+        val dead = postings(dels)
+        val (_, touched, untouched) = SnapshotLog.mergeCoW(
+          spark, idx, "term",
+          dead.select("term").distinct(),
+          base =>
+            base.join(dead, Seq("doc_id", "term"), "left_anti")
+              .unionByName(postings(ins))
+              .repartitionByRange(col("term"))
+              .sortWithinPartitions("term", "doc_id"),
+          extraHeader = s"idxv=$to")
+        // natural-language docs share vocabulary, so dead terms may
+        // admit most shards here — the SCOPING guarantee (shards no
+        // dead term admits carry by reference, byte-identical) is
+        // pinned in SnapshotSpec with disjoint vocabularies; inline we
+        // pin that whatever WAS untouched carried by name
+        val live = SnapshotLog
+          .manifest(spark, idx, SnapshotLog.versions(spark, idx).last).toSet
+        require(
+          untouched.forall(live),
+          "untouched shards must survive into the new manifest by reference")
+        require(touched.nonEmpty, "a delete delta must rewrite its shards")
+      }
+    }
     SnapshotLog.commit(spark, src, docs.filter(col("doc_id") <= half))
     val v1 = SnapshotLog.versions(spark, src).last
     SnapshotLog.commitWatermarked(
       spark, idx, postings(SnapshotLog.read(spark, src)), "idxv", v1)
-    // the corpus grows behind the index's back
+    // the corpus grows behind the index's back → pure insert fold
     SnapshotLog.commit(spark, src, docs.filter(col("doc_id") > half))
-    // refresh: tokenize ONLY the delta
-    val from = SnapshotLog.committedWatermark(spark, idx, "idxv").getOrElse(
-      throw new IllegalStateException("index has no idxv watermark"))
+    refresh()
+    // a CoW DELETE scatters dead postings across term shards → the
+    // refresh rewrites only the shards the dead terms admit
+    SnapshotLog.mergeCoW(
+      spark, src, "doc_id",
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+      base => base.filter(col("doc_id") % 7 =!= 3))
+    refresh()
     val to = SnapshotLog.versions(spark, src).last
-    if (to != from) {
-      val changes = SnapshotLog.readChanges(spark, src, from, to)
-      require(
-        changes.filter(col("change_type") === "delete").isEmpty,
-        "incremental index refresh: the delta contains deletes — " +
-          "posting removal scatters across every term shard; rebuild " +
-          "the index instead")
-      SnapshotLog.commitWatermarked(
-        spark, idx,
-        postings(changes.filter(col("change_type") === "insert")
-          .select("doc_id", "text")),
-        "idxv", to)
-    }
-    // an idle second refresh must burn no version
     val vAfter = SnapshotLog.versions(spark, idx).last
     require(
       SnapshotLog.committedWatermark(spark, idx, "idxv").contains(to) &&
-        vAfter == 2,
+        vAfter == 3,
       s"refresh bookkeeping wrong: wm=${SnapshotLog.committedWatermark(spark, idx, "idxv")} v=$vAfter")
     // the same deterministic conjunctive search as text_index_search,
-    // served from the REFRESHED index
+    // served from the REFRESHED index — dead docs must be gone
     val post = SnapshotLog.read(spark, idx)
     val top = post
       .groupBy("term")
@@ -839,15 +882,16 @@ object TextOps {
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    // identical to text_index_search's oracle: the refreshed index
-    // must answer exactly as a full-corpus index would — a stale index
-    // (missing the post-refresh docs) or a double-applied delta
-    // (duplicate postings inflating the conjunctive count) both break
+    // the refreshed index must answer exactly as a from-scratch index
+    // of the SURVIVING corpus (doc_id % 7 == 3 was CoW-deleted) — a
+    // stale index, a double-applied delta (duplicate postings inflate
+    // the conjunctive count), or a leftover dead posting all break
     "text_index_refresh" ->
-      """WITH post AS (
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |post AS (
         |  SELECT DISTINCT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |    FROM documents)),
+        |    FROM live)),
         |tf AS (SELECT term, count(*) AS df FROM post GROUP BY term),
         |ranked AS (
         |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
@@ -857,7 +901,7 @@ object TextOps {
         |  SELECT p.doc_id FROM post p JOIN q USING (term)
         |  GROUP BY p.doc_id HAVING count(*) = 3)
         |SELECT d.doc_id, d.lang, d.n_chars
-        |FROM documents d JOIN hits USING (doc_id)
+        |FROM live d JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "etl_corpus_filter" -> etlCorpusFilterSql,
     "text_repetition" -> textRepetitionSql,

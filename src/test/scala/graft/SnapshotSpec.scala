@@ -104,6 +104,73 @@ class SnapshotSpec extends SparkTestBase {
     assert(freshTomb.exists(), "a fresh tombstone (break in flight) survives vacuum")
   }
 
+  test("scoped index rebuild: a delete delta rewrites only the shards a " +
+    "dead key admits — disjoint-vocabulary shards carry byte-identical, " +
+    "and the watermark rides the replace commit") {
+    import spark.implicits._
+    val idx = freshTable()
+    // two vocabularies, committed separately so each lands its own
+    // range-clustered files: a-shard (docs 1-50) and z-shard (51-100)
+    SnapshotLog.commit(
+      spark, idx,
+      (1L to 50L).map(d => (d, s"aaa_${d % 10}")).toDF("doc_id", "term")
+        .repartition(1))
+    SnapshotLog.commit(
+      spark, idx,
+      (51L to 100L).map(d => (d, s"zzz_${d % 10}")).toDF("doc_id", "term")
+        .repartition(1))
+    val v0 = SnapshotLog.versions(spark, idx).last
+    val zFilesBefore = SnapshotLog.manifest(spark, idx, v0)
+      .filter { f =>
+        // which committed file holds the z vocabulary? read it
+        spark.read.parquet(s"$idx/$f").head.getString(1).startsWith("zzz")
+      }.toSet
+    assert(zFilesBefore.nonEmpty)
+    // doc 5's postings die: its terms are all a-vocabulary, so the
+    // z shards must not be admitted, let alone rewritten
+    val dead = Seq((5L, "aaa_5")).toDF("doc_id", "term")
+    val (_, touched, untouched) = SnapshotLog.mergeCoW(
+      spark, idx, "term", dead.select("term").distinct(),
+      base => base.join(dead, Seq("doc_id", "term"), "left_anti"),
+      extraHeader = "idxv=7")
+    assert(touched.nonEmpty, "the a-shard holding the dead term must rewrite")
+    assert(
+      zFilesBefore.subsetOf(untouched.toSet),
+      s"z shards must not be admitted by a-vocabulary dead terms: $untouched")
+    val after = SnapshotLog
+      .manifest(spark, idx, SnapshotLog.versions(spark, idx).last).toSet
+    assert(
+      zFilesBefore.subsetOf(after),
+      "untouched shards must carry into the new manifest by name (zero rewrite)")
+    // the dead posting is gone, everything else intact
+    val left = SnapshotLog.read(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!left.contains((5L, "aaa_5")) && left.size == 99)
+    // the watermark landed ATOMICALLY with the scoped rebuild
+    assert(SnapshotLog.committedWatermark(spark, idx, "idxv").contains(7))
+  }
+
+  test("commits refuse loudly on an object-store-shaped filesystem whose " +
+    "rename does not refuse an existing destination") {
+    import spark.implicits._
+    // a mock S3-class scheme: rename is copy+delete semantics as far
+    // as the protocol can prove (the scheme is not in the safe set)
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.fakes3.impl", classOf[FakeObjectStoreFs].getName)
+    val t = "fakes3:" + freshTable()
+    val e = intercept[UnsupportedOperationException] {
+      SnapshotLog.commit(spark, t, Seq(1L).toDF("id"))
+    }
+    assert(e.getMessage.contains("conditional-put") &&
+      e.getMessage.contains("fakes3"),
+      s"refusal must name the scheme and the required primitive: ${e.getMessage}")
+    // nothing staged, nothing committed — the refusal is pre-IO
+    val dir = new java.io.File(t.stripPrefix("fakes3:")).getParentFile
+    assert(
+      dir == null || Option(dir.list()).forall(_.isEmpty),
+      "a refused commit must leave no orphans")
+  }
+
   test("breaking a live lock restores it exclusively: a contender that " +
     "re-claimed the name in the window is never clobbered") {
     import java.nio.charset.StandardCharsets.UTF_8
@@ -1115,4 +1182,11 @@ class SnapshotSpec extends SparkTestBase {
       SnapshotLog.ingest(spark, freshTable(), landing))
     assert(e2.getMessage.contains("no commits"))
   }
+}
+
+/** Mock object-store filesystem for the commit-posture pin: local IO,
+  * foreign scheme — exactly what the protocol cannot prove safe. */
+class FakeObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "fakes3"
+  override def getUri: java.net.URI = java.net.URI.create("fakes3:///")
 }
