@@ -2159,6 +2159,44 @@ object Scans {
       .orderBy("part")
   }
 
+  /** METADATA-ONLY RANGE BY PARTITION (round 14): `CALL
+    * system.range_by(table, 'days(ts)', 'v')` answers `min(v), max(v)
+    * GROUP BY day` from manifest riders alone — each transform-routed
+    * file is day-pure AND carries footer min/max for the measure, so
+    * the per-day extrema fold driver-side in O(live files) metadata
+    * with ZERO data IO (on 100 TB: the ops dashboard's "daily
+    * high/low" at listing speed). The min/max sibling of
+    * agg_count_by_day; NULL measures are exact for free (parquet
+    * stats and SQL min/max both skip them). Refuses loudly on a
+    * nullable group column, a measure-blind file, an impure file, or
+    * any deletion vector (the extremum may be dead) — exactness or
+    * nothing. Two insert waves prove the fold crosses commits; the
+    * oracle recomputes per-day extrema from source rows. */
+  val aggRangeByDay: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_rngday")
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+      .createOrReplaceTempView("graft_rngday_src")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_rngday
+         |(event_id BIGINT, ts TIMESTAMP NOT NULL, v BIGINT)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_rngday
+         |SELECT * FROM graft_rngday_src WHERE event_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_rngday
+         |SELECT * FROM graft_rngday_src WHERE event_id % 2 = 1""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.range_by(
+         |  table => 'main.events_rngday', field => 'days(ts)',
+         |  agg => 'v')""".stripMargin)
+      .orderBy("part")
+  }
+
   /** PARTITION EVOLUTION (round 12): `ALTER TABLE ... SET
     * TBLPROPERTIES ('partition_by'='col')` re-declares the layout of
     * a LIVE table with zero rewrite — possible exactly because the
@@ -2515,6 +2553,77 @@ object Scans {
         !rewritten.exists(_.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
         "served plan must carry NO aggregate — the MV is already at key grain")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** GLOBAL grain served from a managed MV (round 14, the second
+    * grain of agg_mv_serve): `SELECT sum(m), count(*) FROM src`
+    * re-aggregates the per-key rollup — sum over per-key sums,
+    * count(*) as the sum of per-key counts (reassociation-safe, so
+    * the answer is exact by construction) — turning a full-table scan
+    * into an O(distinct keys) MV scan. sum is deliberately in the
+    * query: the metadata-only aggregate pushdown answers global
+    * count/min/max from manifest riders already, and a sum is exactly
+    * the global aggregate only the MV can shortcut. Same freshness
+    * gate as the key grain: the committed `mvv` watermark must equal
+    * the query's pinned snapshot version. The oracle recomputes both
+    * aggregates from source rows through the same append + CoW DELETE
+    * the MV folded incrementally (the stats kind's invertible fold). */
+  val aggMvServeGlobal: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_gsvsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_gsvmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_gsv_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_gsvsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_gsvsrc
+         |SELECT * FROM graft_gsv_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_gsvmv AS
+         |SELECT o_custkey, sum(cents) AS mv_sum,
+         |sum(cents*cents) AS mv_sumsq, count(*) AS mv_n
+         |FROM $cat.main.orders_gsvsrc GROUP BY o_custkey""".stripMargin)
+    // append + a CoW DELETE (the stats refresh folds the delete
+    // exactly — x and x² both subtract), then one REFRESH to the tip
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_gsvsrc
+         |SELECT * FROM graft_gsv_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.main.orders_gsvsrc WHERE o_orderkey % 13 = 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_gsvmv")
+    val brute = spark.sql(
+      s"""SELECT sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.orders_gsvsrc""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_gsvmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "global managed-MV serve did not fire: the plan does not read the MV")
       require(
         !rewritten.exists(p =>
           p.isInstanceOf[org.apache.spark.sql.execution.datasources
@@ -4118,6 +4227,7 @@ object Scans {
     "sql_partition_multi" -> sqlPartitionMulti,
     "sql_partition_days" -> sqlPartitionDays,
     "agg_count_by_day" -> aggCountByDay,
+    "agg_range_by_day" -> aggRangeByDay,
     "sql_default_col" -> sqlDefaultCol,
     "sql_check_named" -> sqlCheckNamed,
     "sql_clone_read" -> sqlCloneRead,
@@ -4131,6 +4241,7 @@ object Scans {
     "sql_mv_stats" -> sqlMvStats,
     "sql_mv_ddl" -> sqlMvDdl,
     "agg_mv_serve" -> aggMvServe,
+    "agg_mv_serve_global" -> aggMvServeGlobal,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "sql_dml_mor" -> sqlDmlMor,
@@ -4386,6 +4497,13 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM fin WHERE o_custkey % 2 = 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the GLOBAL aggregate served by re-aggregating the managed MV
+    // must equal the recompute from source rows (append + CoW DELETE)
+    "agg_mv_serve_global" ->
+      """SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |  AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     // runtime file pruning can only EXCLUDE provably keyless files —
     // the join's rows must be exactly the plain recompute's
     "join_dpp" ->
@@ -4505,6 +4623,12 @@ object Scans {
     "agg_count_by_day" ->
       """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS part,
         |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the manifest-folded per-day extrema must equal the recount
+    "agg_range_by_day" ->
+      """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS part,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mn,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the busiest-day slice recomputed from the source: day-routed
     // files must serve exactly that day's rows

@@ -357,9 +357,16 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .orElse(props.get("mv_version").flatMap(s =>
         scala.util.Try(s.toInt).toOption))
     if (!wm.contains(srcVersion)) return None
-    agg.groupingExpressions match {
-      case Seq(a: AttributeReference) if a.name == key => ()
-      case _                                           => return None
+    // two grains serve: the MV's own key grain (1:1 column mapping, no
+    // aggregate at all) and the GLOBAL grain (GROUP BY () — the rollup
+    // re-aggregates: sum over per-key sums, min over per-key mins,
+    // count(*) = sum of per-key counts; all reassociation-safe)
+    val global = agg.groupingExpressions.isEmpty
+    if (!global) {
+      agg.groupingExpressions match {
+        case Seq(a: AttributeReference) if a.name == key => ()
+        case _                                           => return None
+      }
     }
     if (!condOpt.forall(_.references.forall(_.name == key))) return None
     val mvPlan = SnapshotLog.read(spark, mvPath).queryExecution.analyzed
@@ -373,27 +380,43 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else if (!want.nullable && child.nullable) Some(KnownNotNull(child))
       else Some(child)
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-      case a: AttributeReference if a.name == key =>
+      case a: AttributeReference if !global && a.name == key =>
         fit(mvAttr(key), a).map(e => Alias(e, a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        val served: Option[Expression] = fn match {
+        // (stored MV column, how the GLOBAL grain re-aggregates it)
+        val served: Option[(Attribute, String)] = fn match {
           case c: Count if c.children == Seq(Literal(1)) =>
-            mvAttr.get("mv_n")
+            mvAttr.get("mv_n").map((_, "count"))
           case Sum(x: AttributeReference, _)
               if x.name == measure && (kind == "sum" || kind == "stats") =>
-            mvAttr.get("mv_sum")
+            mvAttr.get("mv_sum").map((_, "sum"))
           case Min(x: AttributeReference)
               if x.name == measure && kind == "minmax" =>
-            mvAttr.get("mv_min")
+            mvAttr.get("mv_min").map((_, "min"))
           case Max(x: AttributeReference)
               if x.name == measure && kind == "minmax" =>
-            mvAttr.get("mv_max")
+            mvAttr.get("mv_max").map((_, "max"))
           case Sum(Multiply(x: AttributeReference, y: AttributeReference, _), _)
               if x.name == measure && y.name == measure && kind == "stats" =>
-            mvAttr.get("mv_sumsq")
+            mvAttr.get("mv_sumsq").map((_, "sum"))
           case _ => None
         }
-        served.flatMap(fit(_, al)).map(e => Alias(e, name)(exprId = al.exprId))
+        served.flatMap { case (c, reagg) =>
+          val e: Expression =
+            if (!global) c
+            else reagg match {
+              // count over empty is 0, sum over empty is NULL — the
+              // coalesce keeps the empty-source answer exact
+              case "count" =>
+                org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+                  Sum(c).toAggregateExpression(),
+                  Literal(0L)))
+              case "sum" => Sum(c).toAggregateExpression()
+              case "min" => Min(c).toAggregateExpression()
+              case "max" => Max(c).toAggregateExpression()
+            }
+          fit(e, al).map(x => Alias(x, name)(exprId = al.exprId))
+        }
       case _ => None
     }
     if (outs.exists(_.isEmpty)) return None
@@ -406,6 +429,8 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           mvPlan)
       case None => mvPlan
     }
-    Some(Project(outs.map(_.get), base))
+    Some(
+      if (global) Aggregate(Nil, outs.map(_.get), base)
+      else Project(outs.map(_.get), base))
   }
 }

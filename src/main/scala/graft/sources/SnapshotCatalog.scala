@@ -4015,7 +4015,7 @@ private[sources] object SnapshotProcedures {
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
       "detail", "clone", "build_bloom", "create_mv", "refresh_mv",
-      "ingest", "count_by")
+      "ingest", "count_by", "range_by")
 
   private def spark = SparkSession.active
 
@@ -4309,6 +4309,64 @@ private[sources] object SnapshotProcedures {
                     "only the declaration proves no file hides a NULL " +
                     "row inside pure stats); run the distributed GROUP " +
                     "BY (or declare NOT NULL / OPTIMIZE) instead")
+            }
+          }
+        )
+      case "range_by" =>
+        // metadata-only GROUP-BY-PARTITION MIN/MAX: CALL
+        // system.range_by(table, field, agg) — per partition value,
+        // the [min,max] of an int/long measure folded from manifest
+        // riders alone when every live file is partition-pure,
+        // stats-covered in the measure, and DV-free. O(files) driver
+        // metadata, zero data IO; refuses loudly when the answer
+        // would be a guess.
+        proc(
+          "range_by",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("field", StringType).build(),
+            ProcedureParameter.in("agg", StringType).build()
+          ),
+          StructType(Seq(
+            StructField("part", LongType),
+            StructField("mn", LongType),
+            StructField("mx", LongType))),
+          in => {
+            val table = resolve(in.getUTF8String(0).toString)
+            val f = PartSpec.parseOne(in.getUTF8String(1).toString)
+            val aggCol = in.getUTF8String(2).toString
+            val vs = SnapshotLog.versions(spark, table)
+            require(vs.nonEmpty, s"range_by: no commits in $table")
+            val schema = SnapshotLog.tableSchema(spark, table, vs.last)
+              .getOrElse(throw new IllegalStateException(
+                s"range_by: $table has no recorded schema"))
+            val dt = schema.fields.find(_.name == f.col).getOrElse(
+              throw new IllegalArgumentException(
+                s"range_by: column '${f.col}' is not in the schema")).dataType
+            val at = schema.fields.find(_.name == aggCol).getOrElse(
+              throw new IllegalArgumentException(
+                s"range_by: column '$aggCol' is not in the schema")).dataType
+            require(
+              at == LongType || at == IntegerType,
+              s"range_by: '$aggCol' must be INT/BIGINT (footer-stat " +
+                s"LONG space), got ${at.simpleString}")
+            val mapv: Long => Long = PartSpec.statMapper(f, dt).getOrElse(
+              throw new IllegalArgumentException(
+                s"range_by: ${f.spec} over ${dt.simpleString} has no " +
+                  "LONG-space stats mapping"))
+            SnapshotLog.metadataRangeBy(spark, table, f.col, mapv, aggCol) match {
+              case Some(groups) =>
+                groups.map { case (g, mn, mx) =>
+                  new GenericInternalRow(Array[Any](g, mn, mx))
+                }
+              case None =>
+                throw new IllegalStateException(
+                  s"range_by: ${f.col} is not declared NOT NULL, or " +
+                    s"$table has a file that is blind in '$aggCol', not " +
+                    s"partition-pure under ${f.spec}, or deletion-" +
+                    "vectored — the metadata-only range would be a " +
+                    "guess; run the distributed GROUP BY (or declare " +
+                    "NOT NULL / OPTIMIZE) instead")
             }
           }
         )

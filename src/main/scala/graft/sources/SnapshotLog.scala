@@ -2304,6 +2304,61 @@ object SnapshotLog {
           .sortBy(_._1))
   }
 
+  /** Metadata-only GROUP-BY-PARTITION MIN/MAX of `aggColumn`: when
+    * every live file is partition-PURE under `map` (stats lo/hi of
+    * `column` land on one mapped value), DECLARED non-nullable in the
+    * group column (footer stats skip NULLs — a pure-looking file
+    * could otherwise hide a NULL-group row whose agg value leaks into
+    * the neighbor's extremum), carries INT64/INT32 stats for
+    * `aggColumn` in every file, and no live deletion vector exists
+    * (the extremum may be dead), the per-group [min,max] folds from
+    * manifest riders alone — O(live files) driver metadata, ZERO data
+    * IO. NULL agg values are exact for free: parquet stats and SQL
+    * min/max both skip them; an all-NULL file simply has no stats and
+    * refuses. The group-by twin of [[metadataRange]], the min/max
+    * sibling of [[metadataCountBy]]. None on any violated condition —
+    * the caller falls back to the distributed aggregate. */
+  def metadataRangeBy(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      map: Long => Long,
+      aggColumn: String,
+      version: Option[Int] = None
+  ): Option[Seq[(Long, Long, Long)]] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"snapshot range_by: no commits in $table")
+    val v = version.getOrElse(vs.last)
+    if (tableSchema(spark, table, v)
+        .flatMap(_.fields.find(_.name == column)).forall(_.nullable))
+      return None
+    val entries = manifestEntries(spark, table, v)
+    if (entries.exists(e => entryDv(e).isDefined)) return None
+    val pc = physColumn(spark, table, v, column)
+    val pa = physColumn(spark, table, v, aggColumn)
+    def longRange(e: String, c: String): Option[(Long, Long)] =
+      entryStat(e, c).flatMap(_.split(':') match {
+        case Array("l", mn, mx) => Some((mn.toLong, mx.toLong))
+        case Array("i", mn, mx) => Some((mn.toLong, mx.toLong))
+        case _                  => None
+      })
+    val per: Seq[Option[(Long, Long, Long)]] = entries.map { e =>
+      (longRange(e, pc), longRange(e, pa)) match {
+        case (Some((glo, ghi)), Some((alo, ahi))) if map(glo) == map(ghi) =>
+          Some((map(glo), alo, ahi))
+        case _ => None
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else
+      Some(
+        per.flatten
+          .groupBy(_._1)
+          .map { case (g, xs) => (g, xs.map(_._2).min, xs.map(_._3).max) }
+          .toSeq
+          .sortBy(_._1))
+  }
+
   private def requireUnexpired(spark: SparkSession, table: String, v: Int): Unit = {
     val h = readHorizon(spark, table)
     if (v < h)

@@ -1515,6 +1515,49 @@ class CatalogSpec extends SparkTestBase {
       s"nullable group column must refuse by name: ${en.getMessage}")
   }
 
+  // (the nullable-group refusal is the SAME declared-NOT-NULL guard
+  // count_by pins above — metadataRangeBy shares it verbatim)
+  test("range_by: metadata-only per-day extrema; a deletion vector and a " +
+    "non-integral measure refuse; OPTIMIZE restores exactness") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, ts TIMESTAMP NOT NULL, v BIGINT,
+         |d DOUBLE)
+         |PARTITIONED BY (days(ts))
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT id, timestamp'2024-05-01 00:00:00'
+         |  + make_interval(0, 0, 0, CAST(id % 4 AS INT), 0, 0, id),
+         |  id * 3 - 100, CAST(id AS DOUBLE)
+         |FROM range(0, 400)""".stripMargin)
+    val ref = s"main.${t.split('.').last}"
+    def ranges(): Map[Long, (Long, Long)] =
+      spark.sql(
+        s"CALL cattest.system.range_by(table => '$ref', " +
+          "field => 'days(ts)', agg => 'v')")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def real(): Map[Long, (Long, Long)] =
+      spark.sql(
+        s"""SELECT CAST(CAST(ts AS DATE) - DATE'1970-01-01' AS BIGINT),
+           |  min(v), max(v) FROM $t GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ranges() == real() && ranges().size == 4)
+    // a DOUBLE measure refuses by type (footer-stat LONG space only)
+    val e1 = intercept[Exception](spark.sql(
+      s"CALL cattest.system.range_by(table => '$ref', " +
+        "field => 'days(ts)', agg => 'd')").collect())
+    assert(e1.getMessage.contains("INT/BIGINT"))
+    // a MoR DELETE leaves deletion vectors: the extremum may be dead
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0")
+    val e2 = intercept[Exception](ranges())
+    assert(e2.getMessage.contains("guess"))
+    // OPTIMIZE materializes the DVs away — exact again, through the
+    // delete
+    spark.sql(s"CALL cattest.system.optimize(table => '$ref')")
+    assert(ranges() == real())
+  }
+
   test("column DEFAULTs: CREATE-time defaults fill missing INSERT columns; " +
     "ADD COLUMN DEFAULT serves old rows without rewrite") {
     val t = freshName()
@@ -1794,6 +1837,27 @@ class CatalogSpec extends SparkTestBase {
       val stRows = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, st)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(stRows == Set((1L, 40L, 1000L), (2L, 5L, 25L)))
+      // the GLOBAL grain re-aggregates the rollup: sum over per-key
+      // sums, count(*) as the sum of per-key counts — and a key-only
+      // filter composes with it
+      val g = plan(s"SELECT sum(v) AS s, count(*) AS n FROM $t")
+      assert(MvRewrite.readsPath(g, stPath), "global sum must serve the stats MV")
+      val gRow = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, g).head
+      assert((gRow.getLong(0), gRow.getLong(1)) == ((45L, 3L)))
+      // count(*) is servable by EITHER kind (both store mv_n) — the
+      // first-registered fresh MV wins, here the minmax one
+      val gf = plan(s"SELECT count(*) AS n FROM $t WHERE k = 1")
+      assert(MvRewrite.readsPath(gf, mmPath) || MvRewrite.readsPath(gf, stPath))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, gf)
+        .head.getLong(0) == 2L)
+      // global min from the MINMAX MV re-aggregates its per-key mins
+      // (a key filter rides along — it also keeps this off the
+      // manifest metadata-pushdown path, which answers the bare
+      // global min/max already)
+      val gm = plan(s"SELECT min(v) AS mn, max(v) AS mx FROM $t WHERE k >= 1")
+      assert(MvRewrite.readsPath(gm, mmPath))
+      val gmRow = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, gm).head
+      assert((gmRow.getLong(0), gmRow.getLong(1)) == ((5L, 30L)))
       // min/max against the STATS MV alone cannot serve (wrong kind):
       // with the minmax MV dropped, the shape bails to the source
       spark.sql(s"DROP MATERIALIZED VIEW cattest.main.${tn}_mm")
