@@ -1556,6 +1556,74 @@ object Scans {
     SnapshotLog.read(spark, dst).orderBy("o_orderkey")
   }
 
+  /** STREAMING MV MAINTENANCE (round 14): the lakehouse loop that
+    * keeps a dashboard rollup CONTINUOUSLY fresh — a micro-batch
+    * stream lands each trigger's rows in the source snapshot table
+    * (idempotent txn per batch), and the SAME foreachBatch then runs
+    * [[graft.sources.SnapshotLog.refreshMv]], which folds ONLY the
+    * change feed since the MV's committed watermark. Per trigger the
+    * whole loop is O(new files): the append costs its batch, the
+    * refresh reads exactly that batch back through the CDF, and the
+    * mvv header makes a crash-replayed trigger re-fold nothing. At
+    * 100 TB this is the difference between "the rollup is a nightly
+    * job over the fact table" and "the rollup is seconds behind the
+    * stream at batch-sized cost". Inline pins: >1 refresh cycle
+    * actually ran (maxFilesPerTrigger forces several triggers) and an
+    * idle final refresh no-ops. The oracle recomputes the rollup from
+    * ALL source rows, so a missed batch, a double-fold, or a stale
+    * watermark breaks the hash. */
+  val streamMvMaintain: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val up = tmp("orders_mvmaint_up")
+    val src = tmp("orders_mvmaint_src")
+    val mv = tmp("orders_mvmaint_mv")
+    val fsys = new org.apache.hadoop.fs.Path(up)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(up, src, mv).foreach(p =>
+      fsys.delete(new org.apache.hadoop.fs.Path(p), true))
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    // the base load + materialization happen before the stream starts
+    SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") <= half))
+    SnapshotLog.createMv(spark, src, mv, "k", "v")
+    // the upstream carries the rest as THREE separate commits: stream
+    // offsets are version-granular, so three versions force three
+    // micro-batches — three full maintenance cycles
+    val step = (maxK - half) / 3 + 1
+    (0 until 3).foreach { i =>
+      SnapshotLog.commit(
+        spark, up,
+        o.filter(
+          col("o_orderkey") > half + i * step &&
+            col("o_orderkey") <= (half + (i + 1) * step)))
+    }
+    val q = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("maxFilesPerTrigger", "1")
+      .load(up)
+      .writeStream
+      .option("checkpointLocation", s"$src/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        SnapshotLog.commitIdempotent(spark, src, batch, s"mvmaint-$batchId")
+        SnapshotLog.refreshMv(spark, mv)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val cycles = SnapshotLog.versions(spark, mv).size
+    require(cycles > 2, s"expected several maintenance cycles, got $cycles")
+    val (f, t) = SnapshotLog.refreshMv(spark, mv)
+    require(f == t, "an idle refresh after the stream drains must no-op")
+    SnapshotLog.read(spark, mv).orderBy("k")
+  }
+
   /** DESCRIBE HISTORY (round 11): the commit ledger as data — action,
     * data-change flag, txn id, and the live ROW total per version,
     * summed from the manifest's `_rc` row-count riders (written from
@@ -2421,6 +2489,52 @@ object Scans {
     require(
       q.queryExecution.executedPlan.toString.contains("metadata-only"),
       "GROUP BY count must serve from the manifest, not a data scan")
+    q
+  }
+
+  /** GROUP-BY MIN/MAX/COUNT pushdown (round 14, widening the
+    * count-only agg_groupby_pushdown): `SELECT region, min(cents),
+    * max(cents), count(*) FROM t GROUP BY region` on an identity-
+    * partitioned table answers COMPLETELY from manifest riders — the
+    * per-group counts fold from `_rc` riders and the per-group
+    * extrema from the measure's footer min/max, because every
+    * value-routed file is partition-pure (its stats belong wholly to
+    * one group). Zero data files opened. Conditions, each refusing
+    * back to the distributed aggregate: NOT NULL int/long group
+    * column, every file pure + measure-stat-covered, no deletion
+    * vector under a MIN/MAX (the extremum may be dead), no pushed
+    * filter, aggregates only COUNT(*)/MIN/MAX of int/long columns.
+    * The planner-integrated twin of CALL range_by. */
+  val aggRangebyPushdown: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    val t = s"$cat.main.orders_rbp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 5).as("region"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_rbp_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $t
+         |(o_orderkey BIGINT, region BIGINT NOT NULL, cents BIGINT)
+         |PARTITIONED BY (region)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $t SELECT * FROM graft_rbp_src
+         |WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $t SELECT * FROM graft_rbp_src
+         |WHERE o_orderkey > $half""".stripMargin)
+    val q = spark.sql(
+      s"""SELECT region, min(cents) AS mn, max(cents) AS mx,
+         |count(*) AS n
+         |FROM $t GROUP BY region ORDER BY region""".stripMargin)
+    require(
+      q.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "GROUP BY min/max/count must serve from the manifest, not a data scan")
     q
   }
 
@@ -4196,6 +4310,7 @@ object Scans {
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_changes_feed" -> streamChangesFeed,
     "stream_cdf_apply" -> streamCdfApply,
+    "stream_mv_maintain" -> streamMvMaintain,
     "etl_snapshot_replicate" -> etlSnapshotReplicate,
     "etl_snapshot_history" -> etlSnapshotHistory,
     "source_avro" -> sourceAvro,
@@ -4244,6 +4359,7 @@ object Scans {
     "agg_mv_serve_global" -> aggMvServeGlobal,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
+    "agg_rangeby_pushdown" -> aggRangebyPushdown,
     "sql_dml_mor" -> sqlDmlMor,
     "sql_topn_pushdown" -> sqlTopnPushdown,
     "sql_ingest" -> sqlIngest,
@@ -4474,6 +4590,16 @@ object Scans {
       """SELECT o_custkey % 5 AS region, count(*) AS n
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-group extrema + counts folded from manifest riders must
+    // equal the recount from source rows
+    "agg_rangeby_pushdown" ->
+      """SELECT o_custkey % 5 AS region,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS mn,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS mx,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the DDL-driven MV (CREATE/REFRESH MATERIALIZED VIEW) must land
     // bit-exactly on the full recompute — same algebra as
     // sql_mv_refresh, here through the standard-SQL spelling
@@ -4497,6 +4623,14 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM fin WHERE o_custkey % 2 = 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the continuously-maintained rollup must equal the full recompute
+    // over every row the stream delivered
+    "stream_mv_maintain" ->
+      """SELECT o_custkey AS k,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS mv_sum,
+        |  CAST(count(*) AS BIGINT) AS mv_n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the GLOBAL aggregate served by re-aggregating the managed MV
     // must equal the recompute from source rows (append + CoW DELETE)
     "agg_mv_serve_global" ->

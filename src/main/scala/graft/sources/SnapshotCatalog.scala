@@ -1865,22 +1865,87 @@ class SnapshotSqlScanBuilder(
           (f.dataType == LongType || f.dataType == IntegerType) &&
             !f.nullable)
         if (fld.isEmpty) return None
-        if (agg.aggregateExpressions().isEmpty ||
-          !agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
-          return None
-        SnapshotLog
+        if (agg.aggregateExpressions().isEmpty) return None
+        // each aggregate must be COUNT(*) (per-group row-count riders,
+        // DV-exact) or MIN/MAX of an int/long column (per-group stat
+        // fold — refuses under any DV, the extremum may be dead);
+        // anything else keeps the distributed aggregate
+        import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+        def intishCol(
+            e: org.apache.spark.sql.connector.expressions.Expression
+        ): Option[StructField] = e match {
+          case f: org.apache.spark.sql.connector.expressions.NamedReference
+              if f.fieldNames().length == 1 =>
+            dataSchema.fields
+              .find(_.name == f.fieldNames()(0))
+              .filter(fl =>
+                fl.dataType == LongType || fl.dataType == IntegerType)
+          case _ => None
+        }
+        // lazily-resolved per-group sources, computed at most once
+        lazy val counts: Option[Map[Long, Long]] = SnapshotLog
           .metadataCountBy(spark, path, col, identity, Some(version))
-          .map { groups =>
-            val schema = StructType(
-              StructField(col, fld.get.dataType, nullable = false) +:
-                agg.aggregateExpressions().toSeq.map(_ =>
-                  StructField("count(*)", LongType, nullable = false)))
-            val rows = groups.sortBy(_._1).map { case (v, n) =>
-              val gv: Any = if (fld.get.dataType == IntegerType) v.toInt else v
-              gv +: Seq.fill(agg.aggregateExpressions().length)(n: Any)
-            }
-            (schema, rows)
+          .map(_.toMap)
+        val rangeCache =
+          scala.collection.mutable.Map.empty[String, Option[Map[Long, (Long, Long)]]]
+        def ranges(c: String): Option[Map[Long, (Long, Long)]] =
+          rangeCache.getOrElseUpdate(
+            c,
+            SnapshotLog
+              .metadataRangeBy(spark, path, col, identity, c, Some(version))
+              .map(_.map(x => x._1 -> ((x._2, x._3))).toMap))
+        def narrow(v: Long, dt: DataType): Any =
+          if (dt == IntegerType) v.toInt else v
+        // (field, per-group value) for every aggregate, or bail
+        val answered: Seq[Option[(StructField, Long => Option[Any])]] =
+          agg.aggregateExpressions().toSeq.map {
+            case _: CountStar =>
+              counts.map(m =>
+                (StructField("count(*)", LongType, nullable = false),
+                  (g: Long) => m.get(g).map(identity[Any])))
+            case m: Min =>
+              intishCol(m.column).flatMap { fl =>
+                ranges(fl.name).map(r =>
+                  (StructField(s"min(${fl.name})", fl.dataType),
+                    (g: Long) => r.get(g).map(x => narrow(x._1, fl.dataType))))
+              }
+            case m: Max =>
+              intishCol(m.column).flatMap { fl =>
+                ranges(fl.name).map(r =>
+                  (StructField(s"max(${fl.name})", fl.dataType),
+                    (g: Long) => r.get(g).map(x => narrow(x._2, fl.dataType))))
+              }
+            case _ => None
           }
+        if (answered.exists(_.isEmpty)) return None
+        val flat = answered.flatten
+        // the group set: union of all sources — and every source must
+        // cover every group (counts and ranges derive from the same
+        // pure live files, so a mismatch means a source refused a
+        // group; all-or-nothing keeps the answer provable)
+        val groupSets: Seq[Set[Long]] = {
+          val fromCounts =
+            if (agg.aggregateExpressions().exists(_.isInstanceOf[CountStar]))
+              counts.map(_.keySet).toSeq
+            else Seq.empty
+          val fromRanges = rangeCache.values.flatten.map(_.keySet).toSeq
+          fromCounts ++ fromRanges
+        }
+        if (groupSets.isEmpty) return None
+        val groups = groupSets.reduce(_ union _).toSeq.sorted
+        val rows: Seq[Option[Seq[Any]]] = groups.map { g =>
+          val vals = flat.map(_._2(g))
+          if (vals.exists(_.isEmpty)) None
+          else
+            Some(
+              narrow(g, fld.get.dataType) +: vals.map(_.get))
+        }
+        if (rows.exists(_.isEmpty)) return None
+        Some((
+          StructType(
+            StructField(col, fld.get.dataType, nullable = false) +:
+              flat.map(_._1)),
+          rows.map(_.get)))
       case _ => None
     }
   }

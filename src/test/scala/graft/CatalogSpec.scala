@@ -1966,6 +1966,40 @@ class CatalogSpec extends SparkTestBase {
         Map(5L -> 2L, -1L -> 1L))
   }
 
+  test("GROUP BY min/max pushdown bails under a deletion vector while the " +
+    "count-only form stays metadata-only; both stay correct") {
+    val t = freshName()
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, region BIGINT NOT NULL, v BIGINT)
+         |PARTITIONED BY (region)
+         |TBLPROPERTIES ('write_mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $t SELECT id, id % 4, id * 7 - 50 FROM range(0, 400)")
+    def run(q: String): (Boolean, Seq[Seq[Long]]) = {
+      val df = spark.sql(q)
+      (df.queryExecution.executedPlan.toString.contains("metadata-only"),
+        df.collect().toSeq.map(r => r.toSeq.map(_.asInstanceOf[Long])))
+    }
+    val qr = s"SELECT region, min(v), max(v), count(*) FROM $t " +
+      "GROUP BY region ORDER BY region"
+    val qc = s"SELECT region, count(*) FROM $t GROUP BY region ORDER BY region"
+    val (m1, r1) = run(qr)
+    assert(m1, "pure insert-only layout must answer min/max/count from riders")
+    // a MoR DELETE leaves DVs: the dead row may BE the extremum, so
+    // the min/max form must fall back to the scan — and still be right
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0")
+    val (m2, r2) = run(qr)
+    assert(!m2, "min/max under a DV must not serve from riders")
+    assert(r2.map(_.head).toSet == r1.map(_.head).toSet,
+      "the fallback scan must still serve every group")
+    assert(r2.map(_.last).sum == 320L, "the fallback counts see the deletes")
+    // the count-only form keeps the metadata path: `_rc − _dvc`
+    // riders stay exact through DVs
+    val (m3, r3) = run(qc)
+    assert(m3, "count-only must stay metadata-only through a MoR delete")
+    assert(r3.map(_.last).sum == 400L - 80L)
+  }
+
   test("CALL vacuum dry_run previews the reclamation without touching a file") {
     val t = freshName()
     val short = t.stripPrefix("cattest.")
