@@ -2006,6 +2006,70 @@ object Scans {
     SnapshotLog.readPoint(spark, table, "o_orderkey", k).orderBy("o_orderkey")
   }
 
+  /** INCREMENTAL BLOOM REFRESH (round 14): `buildBloomIndex(...,
+    * onlyMissing = true)` — surfaced as `CALL system.build_bloom(...,
+    * incremental => true)` — blooms ONLY the live files with no rider
+    * for the column yet (post-build appends, CoW rewrites), reading
+    * O(new files) instead of the table: the steady-state maintenance
+    * call that keeps point-lookup pruning alive on a growing 100 TB
+    * fact without ever re-reading the indexed history. Deletes need
+    * no handling at all — a removed file's rider vanished with its
+    * manifest entry, and a rewrite's fresh files are exactly the
+    * rider-less ones the refresh picks up. Inline pins: the
+    * already-bloomed entries carry into the refreshed manifest with
+    * BYTE-IDENTICAL rider spellings (nothing old was re-read or
+    * re-spelled), every live file carries a rider afterwards, a
+    * second incremental call no-ops without burning a version, and
+    * the point probe prunes across BOTH generations. Oracle: the
+    * plain point query from source. */
+  val scanBloomRefresh: Q = (spark, dir) => {
+    import graft.sources.SnapshotLog
+    val table = tmp("orders_snapshot_bloomrf")
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    // generation 1: round-robin arrival (stats useless), full build
+    (0 to 1).foreach(i =>
+      SnapshotLog.commit(
+        spark, table, o.filter(col("o_orderkey") % 4 === i).repartition(2)))
+    SnapshotLog.buildBloomIndex(spark, table, "o_orderkey")
+    val gen1 = SnapshotLog
+      .manifestEntries(spark, table, SnapshotLog.versions(spark, table).last)
+      .toSet
+    // generation 2: appends the build never saw — blind files
+    (2 to 3).foreach(i =>
+      SnapshotLog.commit(
+        spark, table, o.filter(col("o_orderkey") % 4 === i).repartition(2)))
+    SnapshotLog.buildBloomIndex(spark, table, "o_orderkey", onlyMissing = true)
+    val vAfter = SnapshotLog.versions(spark, table).last
+    val entriesAfter = SnapshotLog.manifestEntries(spark, table, vAfter)
+    require(
+      gen1.subsetOf(entriesAfter.toSet),
+      "refresh must carry the already-bloomed entries byte-identical")
+    require(
+      entriesAfter.forall(_.contains("_bm")),
+      "every live file must carry a bloom rider after the refresh")
+    // idle refresh: nothing rider-less left → no version burned
+    require(
+      SnapshotLog.buildBloomIndex(
+        spark, table, "o_orderkey", onlyMissing = true) == vAfter &&
+        SnapshotLog.versions(spark, table).last == vAfter,
+      "an idle incremental refresh must no-op")
+    val k = o.filter(col("o_orderkey") >= maxK / 2)
+      .agg(min("o_orderkey")).collect()(0).getLong(0)
+    val (bloomKept, totalB) =
+      SnapshotLog.prunedFilesBloom(spark, table, "o_orderkey", k)
+    require(
+      bloomKept.size < totalB,
+      s"the refreshed index must prune across both generations: " +
+        s"${bloomKept.size}/$totalB")
+    SnapshotLog.readPoint(spark, table, "o_orderkey", k).orderBy("o_orderkey")
+  }
+
   /** ZERO-COPY CLONE through SQL (round 12): `CALL system.clone`
     * creates a table whose v1 references the source's files BY
     * ABSOLUTE PATH — O(manifest) metadata at any table size (pinned
@@ -4307,6 +4371,7 @@ object Scans {
     "scan_zorder_pruned" -> scanZorderPruned,
     "scan_zorder_string" -> scanZorderString,
     "scan_bloom_pruned" -> scanBloomPruned,
+    "scan_bloom_refresh" -> scanBloomRefresh,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_changes_feed" -> streamChangesFeed,
     "stream_cdf_apply" -> streamCdfApply,
@@ -4717,6 +4782,13 @@ object Scans {
     // the bloom point lookup equals the plain point query — the index
     // can only skip disjoint files, never lose rows
     "scan_bloom_pruned" ->
+      """WITH k AS (SELECT min(o_orderkey) AS k FROM orders
+        |           WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders))
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, k
+        |WHERE o_orderkey = k.k ORDER BY o_orderkey""".stripMargin,
+    // the incrementally-refreshed index must serve the same point
+    // query across both generations
+    "scan_bloom_refresh" ->
       """WITH k AS (SELECT min(o_orderkey) AS k FROM orders
         |           WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders))
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, k

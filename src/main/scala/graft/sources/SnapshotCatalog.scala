@@ -4261,11 +4261,16 @@ private[sources] object SnapshotProcedures {
           }
         )
       case "build_bloom" =>
+        // incremental => true blooms ONLY the live files missing a
+        // rider for the column (post-build appends, CoW rewrites) —
+        // O(new files); the steady-state maintenance call
         proc(
           "build_bloom",
           Seq(
             ProcedureParameter.in("table", StringType).build(),
-            ProcedureParameter.in("column", StringType).build()
+            ProcedureParameter.in("column", StringType).build(),
+            ProcedureParameter.in("incremental", BooleanType)
+              .defaultValue("false").build()
           ),
           StructType(Seq(StructField("version", IntegerType))),
           in =>
@@ -4273,7 +4278,8 @@ private[sources] object SnapshotProcedures {
               SnapshotLog.buildBloomIndex(
                 spark,
                 resolve(in.getUTF8String(0).toString),
-                in.getUTF8String(1).toString))))
+                in.getUTF8String(1).toString,
+                onlyMissing = !in.isNullAt(2) && in.getBoolean(2)))))
         )
       case "ingest" =>
         // incremental exactly-once file ingestion from a landing dir —

@@ -1347,14 +1347,29 @@ object SnapshotLog {
   def buildBloomIndex(
       spark: SparkSession,
       table: String,
-      column: String
+      column: String,
+      // true = INCREMENTAL refresh: read and bloom ONLY the live files
+      // with no bloom rider for `column` yet (post-build appends, CoW
+      // rewrites) — O(new files) instead of O(table). Deletes need no
+      // handling at all: a removed file's rider vanished with its
+      // manifest entry, and a rewrite's fresh files are exactly the
+      // rider-less ones this pass picks up. No-op (tip returned, no
+      // version burned) when every live file already carries one.
+      onlyMissing: Boolean = false
   ): Int = {
     import org.apache.spark.sql.functions.{col, element_at, split => splitCol}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot bloom: no commits in $table")
     val v = vs.last
-    val entries = manifestEntries(spark, table, v)
-    require(entries.nonEmpty, s"snapshot bloom: empty table $table")
+    val allEntries = manifestEntries(spark, table, v)
+    require(allEntries.nonEmpty, s"snapshot bloom: empty table $table")
+    val pcEarly = physColumn(spark, table, v, column)
+    val entries =
+      if (!onlyMissing) allEntries
+      else allEntries.filterNot(e =>
+        e.split('\t').lift(1).exists(
+          _.split(';').exists(_.startsWith(s"_bm${bloomKey(pcEarly)}="))))
+    if (entries.isEmpty) return v
     requireUniqueBases(entries.map(entryName), "snapshot bloom build")
     val schema = tableSchema(spark, table, v)
     val pc = physColumn(spark, table, v, column)

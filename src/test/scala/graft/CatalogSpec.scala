@@ -789,6 +789,29 @@ class CatalogSpec extends SparkTestBase {
     val (inK, inT) = keptOf(inq)
     assert(inK < inT, s"IN-list must skip at planning: $inK/$inT")
     assert(inq.collect().map(_.getLong(0)).toSet == Set(7L * 7, 123L * 7))
+    // incremental refresh: an append lands BLIND files; build_bloom
+    // with incremental => true blooms only those (the already-bloomed
+    // entries carry byte-identical), and the point probe prunes
+    // across both generations again
+    spark.sql(
+      s"INSERT INTO $t SELECT id, id * 7 FROM range(400, 800) DISTRIBUTE BY id % 2")
+    val path = pathOf(t)
+    val bloomedBefore = SnapshotLog
+      .manifestEntries(spark, path, SnapshotLog.versions(spark, path).last)
+      .filter(_.contains("_bm")).toSet
+    spark.sql(
+      s"CALL cattest.system.build_bloom(table => '$short', column => 'id', " +
+        "incremental => true)")
+    val after = SnapshotLog
+      .manifestEntries(spark, path, SnapshotLog.versions(spark, path).last)
+    assert(bloomedBefore.subsetOf(after.toSet),
+      "incremental build must not re-spell already-bloomed entries")
+    assert(after.forall(_.contains("_bm")),
+      "every live file must carry a rider after the incremental build")
+    val q2 = spark.sql(s"SELECT v FROM $t WHERE id = 555")
+    val (k2, t2) = keptOf(q2)
+    assert(k2 < t2, s"refreshed bloom must skip across generations: $k2/$t2")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(555L * 7))
   }
 
   test("CALL clone: zero-copy shallow clone through SQL, version-pinnable") {
