@@ -266,6 +266,33 @@ object Etl {
       .orderBy("o_orderkey")
   }
 
+  /** FIXED-COUNT stratified sampling (round 14): exactly K documents
+    * per language, chosen by a deterministic multiplicative hash rank
+    * — the balanced per-stratum carve a training-data mixture needs
+    * when rates (etl_sample_hash) would over/under-fill small strata.
+    * Determinism is the contract: the same corpus yields the same
+    * sample on any cluster size, any run (rand() is none of that).
+    * The top-K-per-stratum runs on the bounded-heap [[graft.plans
+    * .TopKPerGroup]] operator — partial per-partition heaps cap the
+    * shuffle at K·partitions rows per stratum, so a 100 TB corpus
+    * never sorts or windows globally. The oracle recomputes the hash
+    * rank with a window function — same rows, proving the heap
+    * operator against the textbook plan. */
+  val etlSampleStratified: Q = (spark, dir) => {
+    val k = 20
+    val docs = Tables
+      .documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+      // Knuth multiplicative hash in exact LONG space (doc_id stays
+      // far below the overflow bound), reproducible in any engine
+      .withColumn(
+        "h", (col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+    graft.plans.TopKPerGroup
+      .topKPerGroup(docs, Seq("lang"), Seq(("h", true), ("doc_id", true)), k)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Contiguous global id assignment WITHOUT the single-partition
     * window anti-pattern (`row_number() OVER (ORDER BY …)` serializes
     * the corpus through one task): range-partition + sort within
@@ -1209,6 +1236,7 @@ object Etl {
     "etl_schema_drift" -> etlSchemaDrift,
     "etl_scd2" -> etlScd2,
     "etl_sample_hash" -> etlSampleHash,
+    "etl_sample_stratified" -> etlSampleStratified,
     "etl_merge" -> etlMerge,
     "sql_subquery" -> sqlSubquery,
     "sql_recursive_cte" -> sqlRecursiveCte
@@ -1293,6 +1321,16 @@ object Etl {
         |    THEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
         |  ELSE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0' END
         |ORDER BY o_orderkey""".stripMargin,
+    // the bounded-heap top-K-per-stratum must equal the textbook
+    // window-rank plan row for row
+    "etl_sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM ranked
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "etl_upsert_scd1" ->
       """WITH updates AS (
         |  SELECT c_custkey AS u_custkey, c_name || '_v2' AS u_name,

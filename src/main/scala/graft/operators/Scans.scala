@@ -2661,6 +2661,60 @@ object Scans {
          |FROM $cat.main.orders_ddlmv ORDER BY o_custkey""".stripMargin)
   }
 
+  /** DAILY-GRAIN managed MV (round 14): `CREATE MATERIALIZED VIEW mv
+    * AS SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+    * FROM src GROUP BY to_date(ts)` — the time-grain rollup every
+    * dashboard actually maintains, as a DERIVED-KEY managed MV: the
+    * `to_date(ts)` expression is recorded in the MV's props and the
+    * refresh re-derives it over every change-feed delta, so the daily
+    * sums stay exact through appends AND CoW updates at O(changed
+    * files) per refresh forever. The graded flow: two inserts, the
+    * DDL create, an append + a CoW UPDATE behind the MV's back (both
+    * x and its day must re-derive in the delta), one REFRESH, read —
+    * bit-exact against the oracle's per-day recompute of the final
+    * state. A derived key whose name collides with a source column
+    * refuses at create (CatalogSpec). */
+  val sqlMvDaily: Q = (spark, dir) => {
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_dlysrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_dlymv")
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    e.createOrReplaceTempView("graft_dly_src")
+    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_dlysrc
+         |(event_id BIGINT, ts TIMESTAMP, v BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_dlysrc
+         |SELECT * FROM graft_dly_src WHERE event_id <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_dlymv AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.events_dlysrc GROUP BY to_date(ts)""".stripMargin)
+    // the source moves on: an append AND a CoW UPDATE (the fold must
+    // subtract the old v and add the new one under the re-derived day)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_dlysrc
+         |SELECT * FROM graft_dly_src WHERE event_id > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.events_dlysrc SET v = v + 11
+         |WHERE event_id % 9 = 0""".stripMargin)
+    val r = spark
+      .sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_dlymv").head
+    require(
+      r.getInt(1) > r.getInt(0),
+      s"refresh must advance the as-of version, got $r")
+    spark.sql(
+      s"""SELECT day, mv_sum, mv_n
+         |FROM $cat.main.events_dlymv ORDER BY day""".stripMargin)
+  }
+
   /** MANAGED MVs SERVE SOURCE AGGREGATES (round 14, the composition
     * the two halves of the warehouse story were built for): the user
     * queries the SOURCE — `SELECT o_custkey, sum(cents), count(*)
@@ -4420,6 +4474,7 @@ object Scans {
     "sql_mv_minmax" -> sqlMvMinmax,
     "sql_mv_stats" -> sqlMvStats,
     "sql_mv_ddl" -> sqlMvDdl,
+    "sql_mv_daily" -> sqlMvDaily,
     "agg_mv_serve" -> aggMvServe,
     "agg_mv_serve_global" -> aggMvServeGlobal,
     "join_dpp" -> joinDpp,
@@ -4688,6 +4743,18 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM fin WHERE o_custkey % 2 = 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the derived-key (daily) rollup must equal the per-day recompute
+    // of the final source state (append + CoW update folded)
+    "sql_mv_daily" ->
+      """WITH b AS (SELECT max(event_id) // 2 AS h FROM events),
+        |src AS (SELECT event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 9 = 0 THEN 11 ELSE 0 END AS v
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(v) AS BIGINT) AS mv_sum,
+        |  CAST(count(*) AS BIGINT) AS mv_n
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
     // the continuously-maintained rollup must equal the full recompute
     // over every row the stream delivered
     "stream_mv_maintain" ->

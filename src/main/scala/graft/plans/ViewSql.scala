@@ -217,13 +217,13 @@ object ViewSql {
       case cmv: CreateMaterializedViewAsSelect =>
         nameParts(cmv.name).flatMap(our) match {
           case Some((cat, sc, ident)) =>
-            val (srcParts, key, agg, kind) = mvShape(cmv.query)
+            val (srcParts, key, agg, kind, keyExpr) = mvShape(cmv.query)
             val (_, srcSc, srcIdent) =
               inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
                 .getOrElse(throw new IllegalArgumentException(
                   "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
                     s"catalog table, got '${srcParts.mkString(".")}'"))
-            GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind)
+            GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr)
           case None => cmv
         }
       case r: UnresolvedRelation if !r.isStreaming && depth < MaxDepth =>
@@ -269,13 +269,13 @@ object ViewSql {
         throw new IllegalArgumentException(
           "CREATE MATERIALIZED VIEW targets a snapshot catalog " +
             s"(qualify the name), got '$identText'"))
-      val (srcParts, key, agg, kind) = mvShape(parser.parseQuery(query))
+      val (srcParts, key, agg, kind, keyExpr) = mvShape(parser.parseQuery(query))
       val (_, srcSc, srcIdent) =
         inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
           .getOrElse(throw new IllegalArgumentException(
             "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
               s"catalog table, got '${srcParts.mkString(".")}'"))
-      Some(GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind))
+      Some(GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr))
     case DropMvRe(ifExists, identText) =>
       val parts = parser.parseMultipartIdentifier(identText)
       inSnapshotCatalog(session, parts, None) match {
@@ -299,8 +299,13 @@ object ViewSql {
   }
 
   /** Match the unanalyzed rollup query against the three maintainable
-    * shapes; anything else refuses naming them. */
-  private def mvShape(query: LogicalPlan): (Seq[String], String, String, String) = {
+    * shapes; anything else refuses naming them. The grouping may be a
+    * plain column OR the derived time grain `to_date(col) AS day` —
+    * the daily-rollup MV — whose expression text is recorded so the
+    * refresh derives the same key over every delta. */
+  private def mvShape(
+      query: LogicalPlan
+  ): (Seq[String], String, String, String, Option[String]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply}
     val shapes =
@@ -308,7 +313,7 @@ object ViewSql {
         "SELECT k, min(a) AS mv_min, max(a) AS mv_max, count(*) AS mv_n " +
         "FROM t GROUP BY k | " +
         "SELECT k, sum(a) AS mv_sum, sum(a*a) AS mv_sumsq, count(*) AS mv_n " +
-        "FROM t GROUP BY k"
+        "FROM t GROUP BY k (k may also be `to_date(col) AS day`)"
     def refuse(why: String): Nothing =
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: $why. Incrementally-maintainable " +
@@ -333,37 +338,60 @@ object ViewSql {
         }
       case _ => None
     }
+    // the one derived grain: to_date over one plain column
+    def derivedKey(e: Expression): Option[String] = e match {
+      case u: UnresolvedFunction
+          if u.nameParts.map(_.toLowerCase) == Seq("to_date") &&
+            !u.isDistinct && u.filter.isEmpty =>
+        u.arguments match {
+          case Seq(a: UnresolvedAttribute) if a.nameParts.length == 1 =>
+            Some(s"to_date(${a.nameParts.head})")
+          case _ => None
+        }
+      case _ => None
+    }
     query match {
       case a: Aggregate =>
-        val g = a.groupingExpressions match {
-          case Seq(ga: UnresolvedAttribute) if ga.nameParts.length == 1 =>
-            ga.nameParts.head
-          case _ => refuse("exactly one plain grouping column is required")
-        }
         val src = a.child match {
           case r: UnresolvedRelation => r.multipartIdentifier
           case _ => refuse("the source must be a single table (no joins, " +
             "no subqueries)")
         }
-        val rest = a.aggregateExpressions match {
-          case Seq(k: UnresolvedAttribute, more @ _*)
-              if k.nameParts == Seq(g) => more
-          case _ => refuse("the select list must lead with the grouping column")
+        val (g, keyExpr, rest) = a.groupingExpressions match {
+          case Seq(ga: UnresolvedAttribute) if ga.nameParts.length == 1 =>
+            a.aggregateExpressions match {
+              case Seq(k: UnresolvedAttribute, more @ _*)
+                  if k.nameParts == ga.nameParts =>
+                (ga.nameParts.head, None, more)
+              case _ =>
+                refuse("the select list must lead with the grouping column")
+            }
+          case Seq(fn) if derivedKey(fn).isDefined =>
+            a.aggregateExpressions match {
+              case Seq(al @ Alias(fe, _), more @ _*)
+                  if derivedKey(fe) == derivedKey(fn) =>
+                (al.name, derivedKey(fn), more)
+              case _ =>
+                refuse("the select list must lead with the aliased derived " +
+                  "key, e.g. to_date(ts) AS day")
+            }
+          case _ =>
+            refuse("the grouping must be one plain column or to_date(col)")
         }
         val parsed = rest.map(parseAgg)
         if (parsed.exists(_.isEmpty))
           refuse("unsupported aggregate expression")
         parsed.flatten.toList match {
           case List(("sum", "mv_sum", ColArg(x)), ("count", "mv_n", StarArg)) =>
-            (src, g, x, "sum")
+            (src, g, x, "sum", keyExpr)
           case List(
             ("min", "mv_min", ColArg(x)), ("max", "mv_max", ColArg(y)),
             ("count", "mv_n", StarArg)) if x == y =>
-            (src, g, x, "minmax")
+            (src, g, x, "minmax", keyExpr)
           case List(
             ("sum", "mv_sum", ColArg(x)), ("sum", "mv_sumsq", SqArg(y)),
             ("count", "mv_n", StarArg)) if x == y =>
-            (src, g, x, "stats")
+            (src, g, x, "stats", keyExpr)
           case _ => refuse("the aggregate list matches none of the shapes")
         }
       case _ => refuse("the query must be a single-table GROUP BY rollup")
@@ -521,7 +549,8 @@ case class GraftCreateMvCommand(
     srcIdent: Identifier,
     key: String,
     agg: String,
-    kind: String
+    kind: String,
+    keyExpr: Option[String] = None
 ) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     org.apache.spark.sql.catalyst.expressions.AttributeReference(
@@ -534,7 +563,7 @@ case class GraftCreateMvCommand(
         "one meaning (DROP it first)")
     val v = graft.sources.SnapshotLog.createMv(
       session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
-      key, agg, kind)
+      key, agg, kind, keyExpr)
     Seq(Row(v))
   }
 }

@@ -3151,14 +3151,32 @@ object SnapshotLog {
       mv: String,
       keyCol: String,
       aggCol: String,
-      kind: String = "sum"
+      kind: String = "sum",
+      // optional DERIVED grouping key: a SQL expression over source
+      // columns (e.g. `to_date(ts)`) whose result is stored under
+      // `keyCol` — the time-grain rollup (daily/hourly) every
+      // dashboard MV actually is. Recorded in props so refreshMv
+      // derives the same key over every delta, forever.
+      keyExpr: Option[String] = None
   ): Int = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
     require(
       kind == "sum" || kind == "minmax" || kind == "stats",
       s"createMv: kind must be 'sum', 'minmax' or 'stats', got '$kind'")
+    keyExpr.foreach(e =>
+      require(
+        !e.contains('\n') && !e.contains('='),
+        s"createMv: key expression must be props-safe: $e"))
     val tip = versions(spark, source).last
-    val src = read(spark, source, Some(tip)).groupBy(col(keyCol))
+    keyExpr.foreach(_ =>
+      require(
+        !tableSchema(spark, source, tip)
+          .exists(_.fieldNames.contains(keyCol)),
+        s"createMv: derived key name '$keyCol' collides with a source " +
+          "column — pick a fresh name (the refresh re-derives it over " +
+          "every delta)"))
+    val keyOf = keyExpr.map(e => expr(e).as(keyCol)).getOrElse(col(keyCol))
+    val src = read(spark, source, Some(tip)).groupBy(keyOf)
     val m = kind match {
       case "sum" =>
         src.agg(sum(col(aggCol)).as("mv_sum"), count(lit(1)).as("mv_n"))
@@ -3186,7 +3204,8 @@ object SnapshotLog {
         "mv_key" -> keyCol,
         "mv_agg" -> aggCol,
         "mv_kind" -> kind,
-        "mv_version" -> tip.toString))
+        "mv_version" -> tip.toString) ++
+        keyExpr.map("mv_key_expr" -> _))
     // reverse pointer on the SOURCE (`mv_refs`, comma-joined MV paths):
     // the optimizer's aggregate-navigation rule discovers "which MVs
     // maintain this table?" from the table it is already scanning —
@@ -3311,7 +3330,15 @@ object SnapshotLog {
       .getOrElse(props("mv_version").toInt)
     val to = versions(spark, source).last
     if (to == from) return (from, to)
-    val changes = readChanges(spark, source, from, to)
+    // a derived key (mv_key_expr) re-derives over the delta exactly as
+    // the materialize derived it over the full table — same text, same
+    // props, forever
+    val changes = props.get("mv_key_expr") match {
+      case Some(e) =>
+        readChanges(spark, source, from, to)
+          .withColumn(key, org.apache.spark.sql.functions.expr(e))
+      case None => readChanges(spark, source, from, to)
+    }
     onWatermarkPinned()
     val next = if (kind == "sum") {
       val sign =
@@ -3377,7 +3404,13 @@ object SnapshotLog {
       // post-`to` rows into the recomputed groups, and the next
       // refresh re-folds that same (to, tip] delta for those keys —
       // double-counted mv_n / wrong extrema
-      val recomputed = read(spark, source, Some(to))
+      val srcAtTo = props.get("mv_key_expr") match {
+        case Some(e) =>
+          read(spark, source, Some(to))
+            .withColumn(key, org.apache.spark.sql.functions.expr(e))
+        case None => read(spark, source, Some(to))
+      }
+      val recomputed = srcAtTo
         .join(delKeys, Seq(key), "left_semi")
         .groupBy(col(key))
         .agg(

@@ -234,6 +234,49 @@ class MvSpec extends SparkTestBase {
     assert(mvMinmaxRows(mv).contains((1L, 1L, 30L, 2L)))
   }
 
+  test("derived-key MV (to_date): the fold AND the delete-touched-group " +
+    "recompute both re-derive the day; a colliding key name refuses") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val src = fresh("src")
+    val mv = fresh("mv")
+    def rows(xs: (String, Long)*) =
+      xs.map { case (t, v) => (Timestamp.valueOf(t), v) }.toSeq.toDF("ts", "v")
+    SnapshotLog.commit(spark, src, rows(
+      "2024-03-01 08:00:00" -> 10L, "2024-03-01 18:00:00" -> 30L,
+      "2024-03-02 09:00:00" -> 5L))
+    SnapshotLog.createMv(
+      spark, src, mv, "day", "v", kind = "minmax",
+      keyExpr = Some("to_date(ts)"))
+    def state(): Set[(String, Long, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(state() == Set(
+      ("2024-03-01", 10L, 30L, 2L), ("2024-03-02", 5L, 5L, 1L)))
+    // pure-insert delta: the fold path re-derives the day
+    SnapshotLog.commit(spark, src, rows(
+      "2024-03-01 23:00:00" -> 7L, "2024-03-03 01:00:00" -> 50L))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state() == Set(
+      ("2024-03-01", 7L, 30L, 3L), ("2024-03-02", 5L, 5L, 1L),
+      ("2024-03-03", 50L, 50L, 1L)))
+    // CoW delete of day 1's MINIMUM: the group-scoped recompute must
+    // re-derive the day over the source at the watermark
+    SnapshotLog.mergeCoW(
+      spark, src, "v", Seq(7L).toDF("v"),
+      df => df.filter(col("v") =!= 7L))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state() == Set(
+      ("2024-03-01", 10L, 30L, 2L), ("2024-03-02", 5L, 5L, 1L),
+      ("2024-03-03", 50L, 50L, 1L)))
+    // a derived key whose name collides with a source column refuses
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.createMv(
+        spark, src, fresh("mv2"), "ts", "v", keyExpr = Some("to_date(ts)")))
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("a crash between refresh commit and props rewrite cannot double-count " +
     "(high-water mark rides the commit header)") {
     val src = fresh("src")
