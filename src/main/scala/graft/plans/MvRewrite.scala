@@ -352,8 +352,16 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val kind = props.getOrElse("mv_kind", "sum")
     // the committed mvv watermark is authoritative; the props copy
     // backs pre-header MVs. Serving requires EXACT equality with the
-    // relation's pinned snapshot: MV@v ≡ aggregate(source@v).
-    val wm = SnapshotLog.committedWatermark(spark, mvPath, "mvv")
+    // relation's pinned snapshot: MV@v ≡ aggregate(source@v). The MV
+    // VERSION is pinned FIRST and the watermark evaluated AS OF it —
+    // checking the tip's watermark and then reading an unpinned tip
+    // would let a refresh landing in between serve data newer than
+    // the query's snapshot.
+    val mvVersions = SnapshotLog.versions(spark, mvPath)
+    if (mvVersions.isEmpty) return None
+    val mvV = mvVersions.last
+    val wm = SnapshotLog
+      .committedWatermark(spark, mvPath, "mvv", upTo = Some(mvV))
       .orElse(props.get("mv_version").flatMap(s =>
         scala.util.Try(s.toInt).toOption))
     if (!wm.contains(srcVersion)) return None
@@ -369,7 +377,8 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     if (!condOpt.forall(_.references.forall(_.name == key))) return None
-    val mvPlan = SnapshotLog.read(spark, mvPath).queryExecution.analyzed
+    val mvPlan =
+      SnapshotLog.read(spark, mvPath, Some(mvV)).queryExecution.analyzed
     val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
     if (!mvAttr.contains(key)) return None
     // type must match EXACTLY and declared non-nullability is

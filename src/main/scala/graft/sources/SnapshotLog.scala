@@ -3216,7 +3216,13 @@ object SnapshotLog {
     tip
   }
 
-  /** Append `mv` to `source`'s `mv_refs` prop (idempotent). */
+  /** Append `mv` to `source`'s `mv_refs` prop (idempotent). The
+    * read-modify-write shares setTableProps' whole-file last-wins
+    * posture — a concurrent ALTER on the source can race it, exactly
+    * as any two props writers always could. Safe because mv_refs is
+    * ADVISORY: the serve rule re-verifies every ref against the MV's
+    * own props, so a lost pointer costs a missed optimization, never
+    * a wrong answer (and a stale one is skipped). */
   private[graft] def addMvRef(
       spark: SparkSession,
       source: String,
@@ -3280,13 +3286,19 @@ object SnapshotLog {
 
   /** The most recent `<token>=` header value in `table`'s log, if any
     * commit carries one — the authoritative read side of
-    * [[commitWatermarked]]. */
+    * [[commitWatermarked]]. `upTo` caps the search at a pinned table
+    * version: the watermark AS OF that version, so a reader can check
+    * freshness and read the SAME version without racing a refresh
+    * that lands in between. */
   def committedWatermark(
       spark: SparkSession,
       table: String,
-      token: String
+      token: String,
+      upTo: Option[Int] = None
   ): Option[Int] =
-    versions(spark, table).reverseIterator
+    versions(spark, table)
+      .filter(v => upTo.forall(v <= _))
+      .reverseIterator
       .map(v => headerToken(header(spark, table, v), token))
       .collectFirst { case Some(t) => t.toInt }
 

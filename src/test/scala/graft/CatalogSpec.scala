@@ -1800,6 +1800,14 @@ class CatalogSpec extends SparkTestBase {
       // refresh restores the watermark — serving resumes
       spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_mv")
       assert(MvRewrite.readsPath(plan(q), mvPath), "refresh must restore serving")
+      // a TIME-TRAVEL query pinned at an older source version must
+      // not be served by the newer MV content (the watermark is
+      // evaluated AS OF the pinned MV version, exact match only)
+      val tt = plan(
+        s"SELECT k, sum(v) AS s, count(*) AS n FROM $t VERSION AS OF 2 GROUP BY k")
+      assert(!MvRewrite.readsPath(tt, mvPath),
+        "an older pinned snapshot must not serve from the fresher MV")
+      assert(tt.exists(_.isInstanceOf[Aggregate]))
       // a key-only predicate transplants onto the MV read
       assert(MvRewrite.readsPath(
         plan(s"SELECT k, sum(v) AS s FROM $t WHERE k = 1 GROUP BY k"), mvPath))
