@@ -2870,6 +2870,82 @@ object Scans {
     }
   }
 
+  /** DAILY grain SERVED from the derived-key MV (round 14, closing
+    * the loop sql_mv_daily opened): the user writes `SELECT
+    * to_date(ts) AS day, sum(v), count(*) FROM src GROUP BY
+    * to_date(ts)` — the canonical daily-dashboard query — and the
+    * optimizer serves it from the refresh-maintained daily rollup: a
+    * pure O(days) MV scan with NO aggregate node (the optimizer
+    * spells the grouping Cast(ts AS DATE); the MV's recorded
+    * mv_key_expr names the same column, so the match is structural).
+    * On a 100 TB events table this replaces the scan + shuffle every
+    * dashboard refresh would cost with a table |days| rows long.
+    * Same freshness gate; any residual filter bails (a derived key
+    * never appears as a source column). Inline pins mirror
+    * agg_mv_serve; the oracle recomputes per-day sums from source
+    * rows through the append + CoW UPDATE the refresh folded. */
+  val aggMvServeDaily: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_dsvsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_dsvmv")
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    e.createOrReplaceTempView("graft_dsv_src")
+    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_dsvsrc
+         |(event_id BIGINT, ts TIMESTAMP, v BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_dsvsrc
+         |SELECT * FROM graft_dsv_src WHERE event_id <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_dsvmv AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.events_dsvsrc GROUP BY to_date(ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_dsvsrc
+         |SELECT * FROM graft_dsv_src WHERE event_id > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.events_dsvsrc SET v = v + 5
+         |WHERE event_id % 7 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_dsvmv")
+    val brute = spark.sql(
+      s"""SELECT to_date(ts) AS day, sum(v) AS sum_v, count(*) AS n
+         |FROM $cat.main.events_dsvsrc
+         |GROUP BY to_date(ts) ORDER BY day""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/events_dsvmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "daily serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "served plan must carry NO aggregate — the rollup is at day grain")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
     * `SupportsRuntimeV2Filtering` over its declared layout columns
     * (sorted_by / identity partitions / bucket key / bloom-indexed),
@@ -4477,6 +4553,7 @@ object Scans {
     "sql_mv_daily" -> sqlMvDaily,
     "agg_mv_serve" -> aggMvServe,
     "agg_mv_serve_global" -> aggMvServeGlobal,
+    "agg_mv_serve_daily" -> aggMvServeDaily,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "agg_rangeby_pushdown" -> aggRangebyPushdown,
@@ -4743,6 +4820,17 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM fin WHERE o_custkey % 2 = 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the daily aggregate SERVED from the derived-key MV must equal
+    // the per-day recompute of the final source state
+    "agg_mv_serve_daily" ->
+      """WITH src AS (SELECT event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 7 = 0 THEN 5 ELSE 0 END AS v
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
     // the derived-key (daily) rollup must equal the per-day recompute
     // of the final source state (append + CoW update folded)
     "sql_mv_daily" ->

@@ -96,6 +96,9 @@ object MvRewrite {
   private[plans] def samePath(a: String, b: String): Boolean =
     norm(a) == norm(b)
 
+  /** The one derived MV key grain the shape gate admits. */
+  private[plans] val ToDateRe = """to_date\((\w+)\)""".r
+
   def register(mv: MvDef): Unit = registry.put(norm(mv.sourcePath), mv)
 
   def lookup(sourcePath: String): Option[MvDef] =
@@ -317,7 +320,44 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewriteManaged(agg: Aggregate): Option[LogicalPlan] =
+  /** PullOutGroupingExpressions rewrites `GROUP BY to_date(ts)` into
+    * a Project computing `_groupingexpression = cast(ts as date)`
+    * under the Aggregate — inline such aliases back so the derived-key
+    * match sees the expression itself. Only deterministic aliases
+    * inline; anything else leaves the plan untouched (and the
+    * attribute-only stripper then bails as before). */
+  private def inlineGroupingProject(agg: Aggregate): Aggregate =
+    agg.child match {
+      case Project(pl, c)
+          if pl.exists(!_.isInstanceOf[AttributeReference]) &&
+            pl.forall {
+              case _: AttributeReference => true
+              case al: Alias             => al.child.deterministic
+              case _                     => false
+            } =>
+        val aliasMap: Map[Long, Expression] = pl.collect {
+          case al: Alias => al.exprId.id -> al.child
+        }.toMap
+        def subst(e: Expression): Expression = e.transformUp {
+          case a: AttributeReference if aliasMap.contains(a.exprId.id) =>
+            aliasMap(a.exprId.id)
+        }
+        // a pulled-out grouping attr can sit BARE in the output (the
+        // query aliased nothing) — re-wrap it so the output stays named
+        def substNamed(ne: NamedExpression): NamedExpression = ne match {
+          case a: AttributeReference if aliasMap.contains(a.exprId.id) =>
+            Alias(aliasMap(a.exprId.id), a.name)(exprId = a.exprId)
+          case other => subst(other).asInstanceOf[NamedExpression]
+        }
+        Aggregate(
+          agg.groupingExpressions.map(subst),
+          agg.aggregateExpressions.map(substNamed),
+          c)
+      case _ => agg
+    }
+
+  private def rewriteManaged(agg0: Aggregate): Option[LogicalPlan] = {
+    val agg = inlineGroupingProject(agg0)
     for {
       (condOpt, srcPath, srcVersion) <- managedSourceOf(agg.child)
       refs = scala.util
@@ -330,6 +370,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .toOption.flatten
       }.headOption
     } yield plan
+  }
 
   /** One candidate MV: verify provenance + freshness, then map the
     * aggregate's output 1:1 onto the MV's stored columns. Any shape
@@ -365,17 +406,38 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .orElse(props.get("mv_version").flatMap(s =>
         scala.util.Try(s.toInt).toOption))
     if (!wm.contains(srcVersion)) return None
-    // two grains serve: the MV's own key grain (1:1 column mapping, no
-    // aggregate at all) and the GLOBAL grain (GROUP BY () — the rollup
-    // re-aggregates: sum over per-key sums, min over per-key mins,
-    // count(*) = sum of per-key counts; all reassociation-safe)
+    // grains that serve: the MV's own key grain (1:1 column mapping,
+    // no aggregate at all) — a plain column, or the DERIVED day grain
+    // `to_date(col)` (the optimizer spells it Cast(col AS DATE); the
+    // MV's recorded mv_key_expr names the same source column) — and
+    // the GLOBAL grain (GROUP BY () — the rollup re-aggregates: sum
+    // over per-key sums, min over per-key mins, count(*) = sum of
+    // per-key counts; all reassociation-safe).
+    val keyExprCol: Option[String] = props.get("mv_key_expr").flatMap {
+      case MvRewrite.ToDateRe(c) => Some(c)
+      case _                     => None
+    }
+    if (props.contains("mv_key_expr") && keyExprCol.isEmpty) return None
+    // the query-side grouping expression that IS the MV key, if any
+    def isDerivedKey(e: Expression): Boolean = keyExprCol.exists(c =>
+      e match {
+        case org.apache.spark.sql.catalyst.expressions
+              .Cast(a: AttributeReference, org.apache.spark.sql.types
+              .DateType, _, _) => a.name == c
+        case _ => false
+      })
     val global = agg.groupingExpressions.isEmpty
     if (!global) {
       agg.groupingExpressions match {
-        case Seq(a: AttributeReference) if a.name == key => ()
-        case _                                           => return None
+        case Seq(a: AttributeReference)
+            if keyExprCol.isEmpty && a.name == key => ()
+        case Seq(e) if isDerivedKey(e)             => ()
+        case _                                     => return None
       }
     }
+    // a residual filter may reference the plain key only — a derived
+    // key never appears as a source column, so any filter bails there
+    if (keyExprCol.isDefined && condOpt.nonEmpty) return None
     if (!condOpt.forall(_.references.forall(_.name == key))) return None
     val mvPlan =
       SnapshotLog.read(spark, mvPath, Some(mvV)).queryExecution.analyzed
@@ -389,8 +451,12 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else if (!want.nullable && child.nullable) Some(KnownNotNull(child))
       else Some(child)
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-      case a: AttributeReference if !global && a.name == key =>
+      case a: AttributeReference
+          if !global && keyExprCol.isEmpty && a.name == key =>
         fit(mvAttr(key), a).map(e => Alias(e, a.name)(exprId = a.exprId))
+      // the derived day key surfaces as Alias(Cast(col AS DATE), name)
+      case al @ Alias(e, name) if !global && isDerivedKey(e) =>
+        fit(mvAttr(key), al).map(x => Alias(x, name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
         // (stored MV column, how the GLOBAL grain re-aggregates it)
         val served: Option[(Attribute, String)] = fn match {

@@ -1897,6 +1897,54 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("derived-key (daily) MV serves GROUP BY to_date(ts): no aggregate " +
+    "node; stale bails; refresh restores; any residual filter bails") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(timestamp'2024-06-01 08:00:00', 10),
+         |(timestamp'2024-06-01 20:00:00', 30),
+         |(timestamp'2024-06-02 09:00:00', 5)""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_dmv AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY to_date(ts)""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_dmv"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val q = s"SELECT to_date(ts) AS day, sum(v) AS s, count(*) AS n " +
+        s"FROM $t GROUP BY to_date(ts)"
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath), "daily grain must serve")
+      assert(!served.exists(_.isInstanceOf[Aggregate]))
+      val rows = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("2024-06-01", 40L, 2L), ("2024-06-02", 5L, 1L)))
+      // any residual filter bails: a derived key never appears as a
+      // source column, so no predicate can transplant
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT to_date(ts) AS day, sum(v) AS s FROM $t " +
+          "WHERE v > 0 GROUP BY to_date(ts)"), mvPath))
+      // stale → bail; refresh → serve again
+      spark.sql(s"INSERT INTO $t VALUES (timestamp'2024-06-03 01:00:00', 7)")
+      assert(!MvRewrite.readsPath(plan(q), mvPath), "stale daily MV must bail")
+      spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_dmv")
+      assert(MvRewrite.readsPath(plan(q), mvPath))
+      // the GLOBAL grain over a derived-key MV re-aggregates too
+      val g = plan(s"SELECT sum(v) AS s, count(*) AS n FROM $t")
+      assert(MvRewrite.readsPath(g, mvPath))
+      val gRow = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, g).head
+      assert((gRow.getLong(0), gRow.getLong(1)) == ((52L, 4L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the SQL spelling of the " +
     "managed MV, with loud refusals off the maintainable shapes") {
     val t = freshName()
