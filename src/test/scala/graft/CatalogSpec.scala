@@ -1823,6 +1823,15 @@ class CatalogSpec extends SparkTestBase {
       // grouping on a non-key column bails
       assert(!MvRewrite.readsPath(
         plan(s"SELECT v, count(*) AS c FROM $t GROUP BY v"), mvPath))
+      // the serve composes with SQL VIEWS: a view expands to its text
+      // at parse time, so an aggregate over the view is an aggregate
+      // over the source scan — and serves identically
+      spark.sql(s"CREATE VIEW cattest.main.${tn}_vw AS SELECT k, v FROM $t")
+      assert(MvRewrite.readsPath(
+        plan(s"SELECT k, sum(v) AS s, count(*) AS n " +
+          s"FROM cattest.main.${tn}_vw GROUP BY k"), mvPath),
+        "an aggregate over a view of the source must serve from the MV")
+      spark.sql(s"DROP VIEW cattest.main.${tn}_vw")
       // DROP clears the source's reverse pointer — no dangling serve
       spark.sql(s"DROP MATERIALIZED VIEW cattest.main.${tn}_mv")
       assert(!SnapshotLog.tableProps(spark, pathOf(t)).contains("mv_refs"))
