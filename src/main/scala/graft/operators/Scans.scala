@@ -2946,6 +2946,310 @@ object Scans {
     }
   }
 
+  /** MONTHLY grain served from the DAILY MV by re-aggregation (round
+    * 15, the coarse-grain rung of the serve ladder): the user writes
+    * `SELECT trunc(to_date(ts), 'month'), sum(v), count(*) ... GROUP
+    * BY trunc(to_date(ts), 'month')` — the monthly dashboard — and
+    * the optimizer rewrites it to an aggregate OVER THE DAILY MV
+    * (sum of per-day sums, count as sum of per-day counts): the
+    * query's months are unions of whole MV days, so the re-aggregation
+    * is exact by reassociation. On a 100 TB events table the monthly
+    * rollup costs an O(days)-row scan instead of the source scan +
+    * shuffle — and no monthly MV needs to exist or be maintained.
+    * Inline pins: the plan reads the MV and never the source scan
+    * (an Aggregate node IS expected here, unlike the identity grain).
+    * The oracle recomputes the months from source rows through the
+    * same append + CoW UPDATE the daily refresh folded. */
+  val aggMvServeMonth: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_msvsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_msvmv")
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    e.createOrReplaceTempView("graft_msv_src")
+    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_msvsrc
+         |(event_id BIGINT, ts TIMESTAMP, v BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_msvsrc
+         |SELECT * FROM graft_msv_src WHERE event_id <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_msvmv AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.events_msvsrc GROUP BY to_date(ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_msvsrc
+         |SELECT * FROM graft_msv_src WHERE event_id > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.events_msvsrc SET v = v + 9
+         |WHERE event_id % 5 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_msvmv")
+    val brute = spark.sql(
+      s"""SELECT trunc(to_date(ts), 'month') AS mon,
+         |sum(v) AS sum_v, count(*) AS n
+         |FROM $cat.main.events_msvsrc
+         |GROUP BY trunc(to_date(ts), 'month') ORDER BY mon""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/events_msvmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "monthly coarse-grain serve did not fire: the plan does not read " +
+          "the daily MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** DATE-RANGE dashboard probe served from the daily MV (round 15,
+    * closing the round-14 unconditional derived-key filter bail): the
+    * single most common dashboard query — `... WHERE to_date(ts) >= X
+    * GROUP BY to_date(ts)` — TRANSPLANTS its predicate onto the MV's
+    * key column (the filter's only source reference sits inside the
+    * key expression, so probing the stored key is exact) instead of
+    * falling back to a full source scan. The served plan is a Filter
+    * + Project over the O(days) MV — still NO aggregate node — and
+    * the transplanted range prunes MV files through the ordinary
+    * stats pushdown. The cutoff is computed from the data (min day +
+    * 2) and spelled as a literal in both the query and the oracle's
+    * subquery form. */
+  val aggMvServeFiltered: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_fsvsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_fsvmv")
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    e.createOrReplaceTempView("graft_fsv_src")
+    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    val cut = e
+      .selectExpr("date_add(cast(min(ts) as date), 2)")
+      .collect()(0).getDate(0).toString
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_fsvsrc
+         |(event_id BIGINT, ts TIMESTAMP, v BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_fsvsrc
+         |SELECT * FROM graft_fsv_src WHERE event_id <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_fsvmv AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.events_fsvsrc GROUP BY to_date(ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_fsvsrc
+         |SELECT * FROM graft_fsv_src WHERE event_id > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.events_fsvsrc SET v = v + 4
+         |WHERE event_id % 6 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_fsvmv")
+    val brute = spark.sql(
+      s"""SELECT to_date(ts) AS day, sum(v) AS sum_v, count(*) AS n
+         |FROM $cat.main.events_fsvsrc
+         |WHERE to_date(ts) >= DATE'$cut'
+         |GROUP BY to_date(ts) ORDER BY day""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/events_fsvmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "filtered daily serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "served plan must carry NO aggregate — the rollup is at day grain")
+      require(
+        rewritten.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Filter]),
+        "the date-range predicate must TRANSPLANT onto the MV scan, " +
+          "not disappear")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** avg SERVED from a declared stats MV (round 15): the DDL's
+    * trailing `count(cents) AS mv_nn` IS the registrant's declaration
+    * that the measure is integral-valued — its partial sums
+    * reassociate exactly below 2^53, so `avg(cents)` rewrites to
+    * mv_sum / mv_nn (the NON-NULL count; count(*) is the wrong
+    * denominator under NULLs) with no aggregate node at the key
+    * grain. An undeclared stats MV keeps the round-14 bail: avg over
+    * genuinely fractional doubles is order-sensitive and the rewrite
+    * fires only where the answer is provably exact (CatalogSpec pins
+    * the bail). The oracle recomputes avg + sum from source rows
+    * through the append + CoW DELETE the stats fold inverted. */
+  val aggMvServeAvg: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_avsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_avmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_av_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_avsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_avsrc
+         |SELECT * FROM graft_av_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_avmv AS
+         |SELECT o_custkey, sum(cents) AS mv_sum,
+         |sum(cents*cents) AS mv_sumsq, count(*) AS mv_n,
+         |count(cents) AS mv_nn
+         |FROM $cat.main.orders_avsrc GROUP BY o_custkey""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_avsrc
+         |SELECT * FROM graft_av_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.main.orders_avsrc WHERE o_orderkey % 17 = 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_avmv")
+    val brute = spark.sql(
+      s"""SELECT o_custkey, avg(cents) AS avg_cents, sum(cents) AS sum_cents
+         |FROM $cat.main.orders_avsrc
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_avmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "declared-avg serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "served plan must carry NO aggregate — avg is mv_sum / mv_nn at " +
+          "key grain")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** KEY-SUBSET grain served from a COMPOSITE-key MV (round 15): the
+    * MV stores `GROUP BY o_custkey, status` partials; the query asks
+    * `GROUP BY o_custkey` only — a projection of the stored grain, so
+    * its groups are unions of whole MV groups and the re-aggregation
+    * (sum of sums, count as sum of counts) is exact. One
+    * (customer × status)-grain rollup thus answers every dashboard
+    * grain at or above it — per-customer, per-status, and global —
+    * without maintaining an MV per grain; at 100 TB that is one
+    * refresh fold instead of four. Inline pins: the plan reads the MV
+    * and never the source scan. Oracle: the per-customer recompute of
+    * the final source state (append + CoW UPDATE folded). */
+  val aggMvServeSubset: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_cssrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_csmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_cs_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_cssrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, status STRING,
+         |cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_cssrc
+         |SELECT * FROM graft_cs_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_csmv AS
+         |SELECT o_custkey, status, sum(cents) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.orders_cssrc
+         |GROUP BY o_custkey, status""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_cssrc
+         |SELECT * FROM graft_cs_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_cssrc SET cents = cents + 7
+         |WHERE o_orderkey % 19 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_csmv")
+    val brute = spark.sql(
+      s"""SELECT o_custkey, sum(cents) AS sum_cents, count(*) AS n
+         |FROM $cat.main.orders_cssrc
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_csmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "key-subset serve did not fire: the plan does not read the " +
+          "composite MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
     * `SupportsRuntimeV2Filtering` over its declared layout columns
     * (sorted_by / identity partitions / bucket key / bloom-indexed),
@@ -4554,6 +4858,10 @@ object Scans {
     "agg_mv_serve" -> aggMvServe,
     "agg_mv_serve_global" -> aggMvServeGlobal,
     "agg_mv_serve_daily" -> aggMvServeDaily,
+    "agg_mv_serve_month" -> aggMvServeMonth,
+    "agg_mv_serve_filtered" -> aggMvServeFiltered,
+    "agg_mv_serve_avg" -> aggMvServeAvg,
+    "agg_mv_serve_subset" -> aggMvServeSubset,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "agg_rangeby_pushdown" -> aggRangebyPushdown,
@@ -4831,6 +5139,51 @@ object Scans {
         |  CAST(sum(v) AS BIGINT) AS sum_v,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the monthly re-aggregation of the daily MV must equal the
+    // per-month recompute of the final source state
+    "agg_mv_serve_month" ->
+      """WITH src AS (SELECT event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 5 = 0 THEN 9 ELSE 0 END AS v
+        |  FROM events)
+        |SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mon,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the date-range probe transplanted onto the daily MV must equal
+    // the filtered per-day recompute of the final source state
+    "agg_mv_serve_filtered" ->
+      """WITH src AS (SELECT event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 6 = 0 THEN 4 ELSE 0 END AS v
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src
+        |WHERE CAST(ts AS DATE) >=
+        |  (SELECT CAST(min(ts) AS DATE) + 2 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // avg served as mv_sum / mv_nn from the declared stats MV must
+    // equal the recompute (append + CoW DELETE folded); cents are
+    // integral so the sums reassociate exactly
+    "agg_mv_serve_avg" ->
+      """WITH src AS (SELECT o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_custkey, avg(cents) AS avg_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the per-customer re-aggregation of the (customer, status)
+    // composite MV must equal the per-customer recompute
+    "agg_mv_serve_subset" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 19 = 0 THEN 7 ELSE 0 END AS cents
+        |  FROM orders)
+        |SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // the derived-key (daily) rollup must equal the per-day recompute
     // of the final source state (append + CoW update folded)
     "sql_mv_daily" ->

@@ -96,8 +96,29 @@ object MvRewrite {
   private[plans] def samePath(a: String, b: String): Boolean =
     norm(a) == norm(b)
 
-  /** The one derived MV key grain the shape gate admits. */
+  /** Derived MV key grains the shape gate admits (round 15 extends the
+    * round-14 day grain to the partition-transform surface): `to_date
+    * (col)` (day), `trunc(to_date(col), 'month'|'year')` (month/year)
+    * and `date_trunc('hour', col)` (hour). Each is recorded verbatim
+    * in `mv_key_expr`; the serve rule matches the analyzer's catalyst
+    * spelling of the SAME text, so the structural match can never
+    * admit a different expression. */
   private[plans] val ToDateRe = """to_date\((\w+)\)""".r
+  private[plans] val TruncDayRe =
+    """trunc\(to_date\((\w+)\), '(\w+)'\)""".r
+  private[plans] val DateTruncRe =
+    """date_trunc\('(\w+)', (\w+)\)""".r
+
+  /** Normalize a trunc/date_trunc level token to its grain — Spark
+    * accepts synonyms (`MM`/`MON`/`MONTH`), and the query side may
+    * spell a different synonym than the DDL recorded. */
+  private[plans] def normLevel(s: String): Option[String] =
+    s.toLowerCase match {
+      case "year" | "yyyy" | "yy"  => Some("year")
+      case "month" | "mon" | "mm"  => Some("month")
+      case "hour"                  => Some("hour")
+      case _                       => None
+    }
 
   def register(mv: MvDef): Unit = registry.put(norm(mv.sourcePath), mv)
 
@@ -199,8 +220,16 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _                                         => None
       })
       // residual predicate touches dims only — measures' row-level
-      // values no longer exist in the rollup
-      if condOpt.forall(_.references.forall(a => dimNames(a.name)))
+      // values no longer exist in the rollup. It must also be
+      // DETERMINISTIC and subquery-free: a `rand() < 0.5` predicate has
+      // an EMPTY reference set (the dims-only check alone passes it!)
+      // yet evaluates once per MV GROUP row instead of once per source
+      // row — wrong results, not just a bad plan (advisor, round 14)
+      if condOpt.forall(c =>
+        c.deterministic &&
+          !c.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) &&
+          c.references.forall(a => dimNames(a.name)))
       mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
       mvAttr = mvPlan.output.map(a => a.name -> a).toMap
       // all MV columns the mapping can target must exist
@@ -373,8 +402,28 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** One candidate MV: verify provenance + freshness, then map the
-    * aggregate's output 1:1 onto the MV's stored columns. Any shape
-    * the stored grain cannot answer EXACTLY returns None (bail to the
+    * aggregate's output onto the MV's stored columns. Grains that
+    * serve (round 15 widens round 14's three):
+    *
+    *   - IDENTITY — the MV's own key grain (plain column or a derived
+    *     time grain): a 1:1 column mapping, NO aggregate node at all.
+    *   - COARSE — every grouping expression is a pure function of the
+    *     MV key (`trunc(to_date(ts),'month')` over the daily MV, `year
+    *     (...)`, a substring over a plain key): the query's groups are
+    *     unions of whole MV groups, so re-aggregating the partials
+    *     (sum of sums, min of mins, count as sum of counts) is exact
+    *     by reassociation — a monthly dashboard serves from the daily
+    *     rollup instead of the 100 TB source.
+    *   - GLOBAL — GROUP BY (): the same re-aggregation with no keys.
+    *
+    * A residual filter TRANSPLANTS onto the MV iff every source
+    * reference sits inside a key-shaped subtree (`WHERE to_date(ts) >=
+    * X` probes the daily MV's key column directly — round 15, closing
+    * the round-14 unconditional derived-key bail) and the predicate is
+    * deterministic and subquery-free (a `rand() < 0.5` has an EMPTY
+    * reference set and would evaluate once per GROUP instead of once
+    * per source row — the advisor's round-14 finding). Any shape the
+    * stored grain cannot answer EXACTLY returns None (bail to the
     * source plan). */
   private def serveManaged(
       agg: Aggregate,
@@ -384,65 +433,193 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       mvPath: String
   ): Option[LogicalPlan] = {
     import graft.sources.SnapshotLog
-    import org.apache.spark.sql.catalyst.expressions.{KnownNotNull, Multiply}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Cast,
+      Coalesce,
+      Divide,
+      EqualTo,
+      If,
+      KnownNotNull,
+      Multiply,
+      PlanExpression,
+      TruncDate,
+      TruncTimestamp
+    }
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateFunction,
+      Average
+    }
+    import org.apache.spark.sql.types.{
+      DateType,
+      DoubleType,
+      FloatType,
+      IntegerType,
+      LongType,
+      StringType
+    }
     val props = SnapshotLog.tableProps(spark, mvPath)
     if (!props.get("mv_source").exists(s => MvRewrite.samePath(s, srcPath)))
       return None
     val key = props.getOrElse("mv_key", return None)
+    // composite plain keys: mv_key is a comma-joined column list; the
+    // full grain serves 1:1, any key SUBSET serves by re-aggregation
+    // (the coarse path below — a subset grouping is a projection of
+    // the stored grain, so groups are unions of whole MV groups)
+    val keys: Seq[String] = key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (keys.isEmpty) return None
     val measure = props.getOrElse("mv_agg", return None)
     val kind = props.getOrElse("mv_kind", "sum")
-    // the committed mvv watermark is authoritative; the props copy
-    // backs pre-header MVs. Serving requires EXACT equality with the
-    // relation's pinned snapshot: MV@v ≡ aggregate(source@v). The MV
-    // VERSION is pinned FIRST and the watermark evaluated AS OF it —
-    // checking the tip's watermark and then reading an unpinned tip
-    // would let a refresh landing in between serve data newer than
-    // the query's snapshot.
-    val mvVersions = SnapshotLog.versions(spark, mvPath)
-    if (mvVersions.isEmpty) return None
-    val mvV = mvVersions.last
-    val wm = SnapshotLog
-      .committedWatermark(spark, mvPath, "mvv", upTo = Some(mvV))
-      .orElse(props.get("mv_version").flatMap(s =>
-        scala.util.Try(s.toInt).toOption))
-    if (!wm.contains(srcVersion)) return None
-    // grains that serve: the MV's own key grain (1:1 column mapping,
-    // no aggregate at all) — a plain column, or the DERIVED day grain
-    // `to_date(col)` (the optimizer spells it Cast(col AS DATE); the
-    // MV's recorded mv_key_expr names the same source column) — and
-    // the GLOBAL grain (GROUP BY () — the rollup re-aggregates: sum
-    // over per-key sums, min over per-key mins, count(*) = sum of
-    // per-key counts; all reassociation-safe).
-    val keyExprCol: Option[String] = props.get("mv_key_expr").flatMap {
-      case MvRewrite.ToDateRe(c) => Some(c)
-      case _                     => None
-    }
-    if (props.contains("mv_key_expr") && keyExprCol.isEmpty) return None
-    // the query-side grouping expression that IS the MV key, if any
-    def isDerivedKey(e: Expression): Boolean = keyExprCol.exists(c =>
-      e match {
-        case org.apache.spark.sql.catalyst.expressions
-              .Cast(a: AttributeReference, org.apache.spark.sql.types
-              .DateType, _, _) => a.name == c
-        case _ => false
-      })
-    val global = agg.groupingExpressions.isEmpty
-    if (!global) {
-      agg.groupingExpressions match {
-        case Seq(a: AttributeReference)
-            if keyExprCol.isEmpty && a.name == key => ()
-        case Seq(e) if isDerivedKey(e)             => ()
-        case _                                     => return None
+    // Freshness: serve from the MV VERSION whose effective committed
+    // `mvv` watermark equals the query's pinned source version —
+    // MV@v ≡ aggregate(source@v). For a tip read that is the MV tip;
+    // for `VERSION AS OF` at an older source version it is the OLDER
+    // MV version whose mvv matched (historical serve, round 15 — the
+    // ledger is immutable per committed version, so pinning the pair
+    // cannot race a concurrent refresh: a refresh only APPENDS new
+    // versions). The props copy backs pre-header MVs (tip only).
+    val mvV: Int = SnapshotLog
+      .versionAtWatermark(spark, mvPath, "mvv", srcVersion)
+      .orElse {
+        if (SnapshotLog.committedWatermark(spark, mvPath, "mvv").isEmpty &&
+          props.get("mv_version")
+            .flatMap(s => scala.util.Try(s.toInt).toOption)
+            .contains(srcVersion))
+          SnapshotLog.versions(spark, mvPath).lastOption
+        else None
       }
-    }
-    // a residual filter may reference the plain key only — a derived
-    // key never appears as a source column, so any filter bails there
-    if (keyExprCol.isDefined && condOpt.nonEmpty) return None
-    if (!condOpt.forall(_.references.forall(_.name == key))) return None
+      .getOrElse(return None)
+    // the key-shape grammar: which query-side expression IS the MV key
+    val keyShapedOpt: Option[Expression => Boolean] =
+      props.get("mv_key_expr") match {
+        case None =>
+          Some({
+            case a: AttributeReference => keys.contains(a.name)
+            case _                     => false
+          })
+        // the optimizer spells to_date(c) as Cast(c AS DATE)
+        case Some(MvRewrite.ToDateRe(c)) =>
+          Some({
+            case Cast(a: AttributeReference, DateType, _, _) => a.name == c
+            case _                                           => false
+          })
+        // trunc(to_date(c), 'month'|'year') — level synonyms normalize
+        case Some(MvRewrite.TruncDayRe(c, lvl)) =>
+          MvRewrite.normLevel(lvl).filter(l => l == "month" || l == "year")
+            .map(l =>
+              (e: Expression) =>
+                e match {
+                  case TruncDate(
+                        Cast(a: AttributeReference, DateType, _, _),
+                        Literal(fmt, StringType)) =>
+                    a.name == c && fmt != null &&
+                      MvRewrite.normLevel(fmt.toString).contains(l)
+                  case _ => false
+                })
+        // date_trunc('hour', c) — TruncTimestamp(format, ts)
+        case Some(MvRewrite.DateTruncRe(lvl, c)) =>
+          MvRewrite.normLevel(lvl).filter(_ == "hour").map(_ =>
+            (e: Expression) =>
+              e match {
+                case TruncTimestamp(
+                      Literal(fmt, StringType), a: AttributeReference, _) =>
+                  a.name == c && fmt != null &&
+                    MvRewrite.normLevel(fmt.toString).contains("hour")
+                case _ => false
+              })
+        case Some(_) => None // unknown recorded grain: never guess
+      }
+    val keyShaped = keyShapedOpt.getOrElse(return None)
     val mvPlan =
       SnapshotLog.read(spark, mvPath, Some(mvV)).queryExecution.analyzed
     val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
-    if (!mvAttr.contains(key)) return None
+    if (!keys.forall(mvAttr.contains)) return None
+    // the single stored key column (derived grains and single plain
+    // keys); composite members resolve per-name through mvKeyFor
+    val mvKey = mvAttr(keys.head)
+    val mvKeyIds: Set[Long] = keys.map(k => mvAttr(k).exprId.id).toSet
+    def mvKeyFor(x: Expression): Attribute = x match {
+      case a: AttributeReference if mvAttr.contains(a.name) => mvAttr(a.name)
+      case _                                                => mvKey
+    }
+    // The optimizer UNWRAPS day-key comparisons before this rule runs:
+    // `to_date(ts) >= DATE'd'` reaches us as `ts >= TIMESTAMP'd
+    // 00:00:00' AND isnotnull(ts)`. A timestamp bound that sits
+    // EXACTLY on a (session-zone) midnight is the same predicate as
+    // the date comparison it came from — `to_date(ts) >= d ⟺ ts >=
+    // d-midnight`, `to_date(ts) < d ⟺ ts < d-midnight` (truncation is
+    // monotone within one zone) — so those atoms transplant onto the
+    // MV's day column; a bound OFF midnight would split a day's group
+    // and must bail. isnotnull(ts) maps to isnotnull(day): the NULL
+    // day group aggregates exactly the NULL-ts rows.
+    val dayCol: Option[String] =
+      props.get("mv_key_expr").collect { case MvRewrite.ToDateRe(c) => c }
+    def isDayCol(a: AttributeReference): Boolean = dayCol.contains(a.name)
+    def midnightDate(l: Literal): Option[Literal] = l.value match {
+      case micros: java.lang.Long =>
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val zdt = java.time.Instant
+          .ofEpochSecond(
+            Math.floorDiv(micros.longValue, 1000000L),
+            Math.floorMod(micros.longValue, 1000000L) * 1000L)
+          .atZone(zone)
+        if (zdt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          Some(Literal(zdt.toLocalDate.toEpochDay.toInt, DateType))
+        else None
+      case _ => None
+    }
+    // substitute every key-shaped subtree (and, for the day grain,
+    // every unwrapped midnight-aligned timestamp atom) with its MV
+    // key form; the result is exact iff no OTHER source reference
+    // survives and the expression is deterministic and subquery-free
+    def transplant(e: Expression): Option[Expression] = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan
+      }
+      if (!e.deterministic || e.exists(_.isInstanceOf[PlanExpression[_]]))
+        return None
+      val t = e.transformDown {
+        case x if keyShaped(x) => mvKeyFor(x)
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+            if isDayCol(a) && l.dataType == org.apache.spark.sql.types
+              .TimestampType && midnightDate(l).isDefined =>
+          GreaterThanOrEqual(mvKey, midnightDate(l).get)
+        case LessThan(a: AttributeReference, l: Literal)
+            if isDayCol(a) && l.dataType == org.apache.spark.sql.types
+              .TimestampType && midnightDate(l).isDefined =>
+          LessThan(mvKey, midnightDate(l).get)
+        case IsNotNull(a: AttributeReference) if isDayCol(a) =>
+          IsNotNull(mvKey)
+      }
+      if (t.references.forall(r => mvKeyIds.contains(r.exprId.id))) Some(t)
+      else None
+    }
+    val global = agg.groupingExpressions.isEmpty
+    // identity = the query grain IS the stored grain: the one derived/
+    // plain key, or (composite) the exact key SET in any order
+    val identity = !global && {
+      val gs = agg.groupingExpressions
+      gs.forall(keyShaped) && (
+        if (keys.size == 1) gs.size == 1
+        else gs.collect { case a: AttributeReference => a.name }
+          .toSet == keys.toSet && gs.size == keys.size)
+    }
+    val coarseGroups: Option[Seq[Expression]] =
+      if (global || identity) None
+      else seqOpt(agg.groupingExpressions.map(transplant))
+    if (!global && !identity && coarseGroups.isEmpty) return None
+    val reagg = global || coarseGroups.isDefined
+    // residual predicate: transplant or bail (see Scaladoc)
+    val condMv: Option[Expression] = condOpt match {
+      case None => None
+      case Some(c) =>
+        transplant(c) match {
+          case Some(t) => Some(t)
+          case None    => return None
+        }
+    }
     // type must match EXACTLY and declared non-nullability is
     // re-asserted (MV parquet columns read nullable, but a group key
     // exists by construction and counts are never null)
@@ -450,62 +627,99 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (child.dataType != want.dataType) None
       else if (!want.nullable && child.nullable) Some(KnownNotNull(child))
       else Some(child)
+    // one stored-measure mapping for all three grains: identity reads
+    // the stored column, coarse/global re-aggregate it
+    def servedAgg(fn: AggregateFunction): Option[Expression] = fn match {
+      case c: Count if c.children == Seq(Literal(1)) =>
+        mvAttr.get("mv_n").map { n =>
+          if (!reagg) n: Expression
+          else if (global)
+            // count over an empty source is 0, sum over empty is NULL
+            Coalesce(Seq(Sum(n).toAggregateExpression(), Literal(0L)))
+          else Sum(n).toAggregateExpression()
+        }
+      // count(measure) — the NON-NULL count — serves from mv_nn when
+      // the MV stores it (stats + avgExact). No declaration gate:
+      // counts are integers, exact under any re-association.
+      case Count(Seq(x: AttributeReference))
+          if x.name == measure && mvAttr.contains("mv_nn") =>
+        mvAttr.get("mv_nn").map { nn =>
+          if (!reagg) nn: Expression
+          else if (global)
+            Coalesce(Seq(Sum(nn).toAggregateExpression(), Literal(0L)))
+          else Sum(nn).toAggregateExpression()
+        }
+      case Sum(x: AttributeReference, _)
+          if x.name == measure && (kind == "sum" || kind == "stats") =>
+        mvAttr.get("mv_sum").map(s =>
+          if (!reagg) s: Expression else Sum(s).toAggregateExpression())
+      case Min(x: AttributeReference)
+          if x.name == measure && kind == "minmax" =>
+        mvAttr.get("mv_min").map(m =>
+          if (!reagg) m: Expression else Min(m).toAggregateExpression())
+      case Max(x: AttributeReference)
+          if x.name == measure && kind == "minmax" =>
+        mvAttr.get("mv_max").map(m =>
+          if (!reagg) m: Expression else Max(m).toAggregateExpression())
+      case Sum(Multiply(x: AttributeReference, y: AttributeReference, _), _)
+          if x.name == measure && y.name == measure && kind == "stats" =>
+        mvAttr.get("mv_sumsq").map(s =>
+          if (!reagg) s: Expression else Sum(s).toAggregateExpression())
+      // avg serves ONLY from a stats MV whose registrant DECLARED the
+      // measure integral-valued (`mv_avg_exact`, the Stage-path
+      // avgExact precedent): sum(mv_sum)/sum(mv_nn) is then the same
+      // double any evaluation order produces below 2^53. mv_nn (the
+      // NON-NULL measure count), never mv_n — avg ignores NULLs. The
+      // If guards the nn == 0 group (all-NULL measures): avg is NULL
+      // there, and ANSI division would error instead.
+      case Average(x: AttributeReference, _)
+          if x.name == measure && kind == "stats" &&
+            props.get("mv_avg_exact").contains("true") &&
+            mvAttr.contains("mv_nn") &&
+            (x.dataType == LongType || x.dataType == IntegerType ||
+              x.dataType == DoubleType || x.dataType == FloatType) =>
+        val (s, nn) = (mvAttr("mv_sum"), mvAttr("mv_nn"))
+        val (se, nne): (Expression, Expression) =
+          if (!reagg) (s, nn)
+          else
+            (Sum(s).toAggregateExpression(), Sum(nn).toAggregateExpression())
+        Some(If(
+          EqualTo(nne, Literal(0L)),
+          Literal(null, DoubleType),
+          Divide(Cast(se, DoubleType), Cast(nne, DoubleType))))
+      case _ => None
+    }
     val outs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-      case a: AttributeReference
-          if !global && keyExprCol.isEmpty && a.name == key =>
-        fit(mvAttr(key), a).map(e => Alias(e, a.name)(exprId = a.exprId))
-      // the derived day key surfaces as Alias(Cast(col AS DATE), name)
-      case al @ Alias(e, name) if !global && isDerivedKey(e) =>
-        fit(mvAttr(key), al).map(x => Alias(x, name)(exprId = al.exprId))
+      // identity grain: the key columns serve 1:1 (bare plain-key
+      // attrs or the aliased derived-key expression)
+      case a: AttributeReference if identity && keyShaped(a) =>
+        fit(mvKeyFor(a), a).map(e => Alias(e, a.name)(exprId = a.exprId))
+      case al @ Alias(e, name) if identity && keyShaped(e) =>
+        fit(mvKeyFor(e), al).map(x => Alias(x, name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        // (stored MV column, how the GLOBAL grain re-aggregates it)
-        val served: Option[(Attribute, String)] = fn match {
-          case c: Count if c.children == Seq(Literal(1)) =>
-            mvAttr.get("mv_n").map((_, "count"))
-          case Sum(x: AttributeReference, _)
-              if x.name == measure && (kind == "sum" || kind == "stats") =>
-            mvAttr.get("mv_sum").map((_, "sum"))
-          case Min(x: AttributeReference)
-              if x.name == measure && kind == "minmax" =>
-            mvAttr.get("mv_min").map((_, "min"))
-          case Max(x: AttributeReference)
-              if x.name == measure && kind == "minmax" =>
-            mvAttr.get("mv_max").map((_, "max"))
-          case Sum(Multiply(x: AttributeReference, y: AttributeReference, _), _)
-              if x.name == measure && y.name == measure && kind == "stats" =>
-            mvAttr.get("mv_sumsq").map((_, "sum"))
-          case _ => None
-        }
-        served.flatMap { case (c, reagg) =>
-          val e: Expression =
-            if (!global) c
-            else reagg match {
-              // count over empty is 0, sum over empty is NULL — the
-              // coalesce keeps the empty-source answer exact
-              case "count" =>
-                org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
-                  Sum(c).toAggregateExpression(),
-                  Literal(0L)))
-              case "sum" => Sum(c).toAggregateExpression()
-              case "min" => Min(c).toAggregateExpression()
-              case "max" => Max(c).toAggregateExpression()
-            }
-          fit(e, al).map(x => Alias(x, name)(exprId = al.exprId))
-        }
+        servedAgg(fn).flatMap(e =>
+          fit(e, al).map(x => Alias(x, name)(exprId = al.exprId)))
+      // coarse grain: non-aggregate outputs are the grouping functions
+      // of the key(s) — transplant them exactly like the groupings
+      // (a bare key attr is the composite-subset case: GROUP BY k1
+      // over a (k1,k2) MV surfaces k1 unaliased)
+      case a: AttributeReference if coarseGroups.isDefined && keyShaped(a) =>
+        fit(mvKeyFor(a), a).map(e => Alias(e, a.name)(exprId = a.exprId))
+      case al @ Alias(e, name)
+          if coarseGroups.isDefined &&
+            !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        transplant(e).flatMap(t =>
+          fit(t, al).map(x => Alias(x, name)(exprId = al.exprId)))
       case _ => None
     }
     if (outs.exists(_.isEmpty)) return None
-    val base = condOpt match {
-      case Some(cond) =>
-        Filter(
-          cond.transform {
-            case a: AttributeReference if a.name == key => mvAttr(key)
-          },
-          mvPlan)
-      case None => mvPlan
+    val base = condMv match {
+      case Some(cond) => Filter(cond, mvPlan)
+      case None       => mvPlan
     }
     Some(
       if (global) Aggregate(Nil, outs.map(_.get), base)
-      else Project(outs.map(_.get), base))
+      else if (identity) Project(outs.map(_.get), base)
+      else Aggregate(coarseGroups.get, outs.map(_.get), base))
   }
 }

@@ -217,13 +217,15 @@ object ViewSql {
       case cmv: CreateMaterializedViewAsSelect =>
         nameParts(cmv.name).flatMap(our) match {
           case Some((cat, sc, ident)) =>
-            val (srcParts, key, agg, kind, keyExpr) = mvShape(cmv.query)
+            val (srcParts, key, agg, kind, keyExpr, avgExact) =
+              mvShape(cmv.query)
             val (_, srcSc, srcIdent) =
               inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
                 .getOrElse(throw new IllegalArgumentException(
                   "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
                     s"catalog table, got '${srcParts.mkString(".")}'"))
-            GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr)
+            GraftCreateMvCommand(
+              sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact)
           case None => cmv
         }
       case r: UnresolvedRelation if !r.isStreaming && depth < MaxDepth =>
@@ -269,13 +271,15 @@ object ViewSql {
         throw new IllegalArgumentException(
           "CREATE MATERIALIZED VIEW targets a snapshot catalog " +
             s"(qualify the name), got '$identText'"))
-      val (srcParts, key, agg, kind, keyExpr) = mvShape(parser.parseQuery(query))
+      val (srcParts, key, agg, kind, keyExpr, avgExact) =
+        mvShape(parser.parseQuery(query))
       val (_, srcSc, srcIdent) =
         inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
           .getOrElse(throw new IllegalArgumentException(
             "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
               s"catalog table, got '${srcParts.mkString(".")}'"))
-      Some(GraftCreateMvCommand(sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr))
+      Some(GraftCreateMvCommand(
+        sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact))
     case DropMvRe(ifExists, identText) =>
       val parts = parser.parseMultipartIdentifier(identText)
       inSnapshotCatalog(session, parts, None) match {
@@ -298,14 +302,19 @@ object ViewSql {
     case _ => None
   }
 
-  /** Match the unanalyzed rollup query against the three maintainable
+  /** Match the unanalyzed rollup query against the maintainable
     * shapes; anything else refuses naming them. The grouping may be a
-    * plain column OR the derived time grain `to_date(col) AS day` —
-    * the daily-rollup MV — whose expression text is recorded so the
-    * refresh derives the same key over every delta. */
+    * plain column OR a derived time grain — `to_date(col)` (day),
+    * `trunc(to_date(col), 'month'|'year')`, `date_trunc('hour', col)`,
+    * matching the partition-transform surface — whose expression text
+    * is recorded so the refresh derives the same key over every delta.
+    * The stats shape may append `count(a) AS mv_nn` (the non-null
+    * measure count): that IS the registrant's declaration that `a` is
+    * integral-valued and `avg(a)` may serve from the rollup
+    * ([[graft.sources.SnapshotLog.createMv]]'s avgExact). */
   private def mvShape(
       query: LogicalPlan
-  ): (Seq[String], String, String, String, Option[String]) = {
+  ): (Seq[String], String, String, String, Option[String], Boolean) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply}
     val shapes =
@@ -313,7 +322,9 @@ object ViewSql {
         "SELECT k, min(a) AS mv_min, max(a) AS mv_max, count(*) AS mv_n " +
         "FROM t GROUP BY k | " +
         "SELECT k, sum(a) AS mv_sum, sum(a*a) AS mv_sumsq, count(*) AS mv_n " +
-        "FROM t GROUP BY k (k may also be `to_date(col) AS day`)"
+        "[, count(a) AS mv_nn] FROM t GROUP BY k (k may also be " +
+        "`to_date(col) AS day`, `trunc(to_date(col), 'month'|'year') " +
+        "AS m`, or `date_trunc('hour', col) AS h`)"
     def refuse(why: String): Nothing =
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: $why. Incrementally-maintainable " +
@@ -338,14 +349,51 @@ object ViewSql {
         }
       case _ => None
     }
-    // the one derived grain: to_date over one plain column
-    def derivedKey(e: Expression): Option[String] = e match {
+    // the derived grains (round 15 widens round 14's day grain to the
+    // partition-transform surface): to_date(col) — day;
+    // trunc(to_date(col), 'month'|'year'); date_trunc('hour', col).
+    // Each normalizes its level synonym so the recorded text is
+    // canonical (the serve rule matches it structurally).
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        Some(s.toString)
+      case _ => None
+    }
+    def fnName(u: UnresolvedFunction): String =
+      u.nameParts.map(_.toLowerCase).mkString(".")
+    def plainFn(u: UnresolvedFunction): Boolean =
+      !u.isDistinct && u.filter.isEmpty
+    def toDateArg(e: Expression): Option[String] = e match {
       case u: UnresolvedFunction
-          if u.nameParts.map(_.toLowerCase) == Seq("to_date") &&
-            !u.isDistinct && u.filter.isEmpty =>
+          if fnName(u) == "to_date" && plainFn(u) =>
         u.arguments match {
           case Seq(a: UnresolvedAttribute) if a.nameParts.length == 1 =>
-            Some(s"to_date(${a.nameParts.head})")
+            Some(a.nameParts.head)
+          case _ => None
+        }
+      case _ => None
+    }
+    def derivedKey(e: Expression): Option[String] = e match {
+      case u: UnresolvedFunction if fnName(u) == "to_date" =>
+        toDateArg(e).map(c => s"to_date($c)")
+      case u: UnresolvedFunction
+          if fnName(u) == "trunc" && plainFn(u) =>
+        u.arguments match {
+          case Seq(inner, lvl) =>
+            for {
+              c <- toDateArg(inner)
+              l <- strLit(lvl).flatMap(graft.plans.MvRewrite.normLevel)
+              if l == "month" || l == "year"
+            } yield s"trunc(to_date($c), '$l')"
+          case _ => None
+        }
+      case u: UnresolvedFunction
+          if fnName(u) == "date_trunc" && plainFn(u) =>
+        u.arguments match {
+          case Seq(lvl, a: UnresolvedAttribute) if a.nameParts.length == 1 =>
+            strLit(lvl).flatMap(graft.plans.MvRewrite.normLevel)
+              .filter(_ == "hour")
+              .map(l => s"date_trunc('$l', ${a.nameParts.head})")
           case _ => None
         }
       case _ => None
@@ -375,23 +423,49 @@ object ViewSql {
                 refuse("the select list must lead with the aliased derived " +
                   "key, e.g. to_date(ts) AS day")
             }
+          // COMPOSITE plain keys (round 15): GROUP BY k1, k2[, ...] with
+          // the select list leading with the same columns in the same
+          // order — recorded comma-joined; the serve rule answers the
+          // full grain 1:1 and any subset by re-aggregation
+          case gs
+              if gs.size > 1 && gs.forall {
+                case ga: UnresolvedAttribute => ga.nameParts.length == 1
+                case _                       => false
+              } =>
+            val names = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.head)
+            val lead = a.aggregateExpressions.take(gs.size)
+            val leadNames = lead.collect {
+              case k: UnresolvedAttribute if k.nameParts.length == 1 =>
+                k.nameParts.head
+            }
+            if (leadNames != names)
+              refuse("the select list must lead with the grouping columns " +
+                "in GROUP BY order")
+            (names.mkString(","), None, a.aggregateExpressions.drop(gs.size))
           case _ =>
-            refuse("the grouping must be one plain column or to_date(col)")
+            refuse("the grouping must be plain column(s), to_date(col), " +
+              "trunc(to_date(col), 'month'|'year'), or date_trunc('hour', col)")
         }
         val parsed = rest.map(parseAgg)
         if (parsed.exists(_.isEmpty))
           refuse("unsupported aggregate expression")
         parsed.flatten.toList match {
           case List(("sum", "mv_sum", ColArg(x)), ("count", "mv_n", StarArg)) =>
-            (src, g, x, "sum", keyExpr)
+            (src, g, x, "sum", keyExpr, false)
           case List(
             ("min", "mv_min", ColArg(x)), ("max", "mv_max", ColArg(y)),
             ("count", "mv_n", StarArg)) if x == y =>
-            (src, g, x, "minmax", keyExpr)
+            (src, g, x, "minmax", keyExpr, false)
           case List(
             ("sum", "mv_sum", ColArg(x)), ("sum", "mv_sumsq", SqArg(y)),
             ("count", "mv_n", StarArg)) if x == y =>
-            (src, g, x, "stats", keyExpr)
+            (src, g, x, "stats", keyExpr, false)
+          // the trailing non-null count IS the avg-serve declaration
+          case List(
+            ("sum", "mv_sum", ColArg(x)), ("sum", "mv_sumsq", SqArg(y)),
+            ("count", "mv_n", StarArg), ("count", "mv_nn", ColArg(z)))
+              if x == y && x == z =>
+            (src, g, x, "stats", keyExpr, true)
           case _ => refuse("the aggregate list matches none of the shapes")
         }
       case _ => refuse("the query must be a single-table GROUP BY rollup")
@@ -550,7 +624,8 @@ case class GraftCreateMvCommand(
     key: String,
     agg: String,
     kind: String,
-    keyExpr: Option[String] = None
+    keyExpr: Option[String] = None,
+    avgExact: Boolean = false
 ) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     org.apache.spark.sql.catalyst.expressions.AttributeReference(
@@ -563,7 +638,7 @@ case class GraftCreateMvCommand(
         "one meaning (DROP it first)")
     val v = graft.sources.SnapshotLog.createMv(
       session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
-      key, agg, kind, keyExpr)
+      key, agg, kind, keyExpr, avgExact)
     Seq(Row(v))
   }
 }

@@ -100,28 +100,86 @@ object SnapshotLog {
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Schemes whose claim primitive the commit protocol has actually
-    * proven: `file` (the O_EXCL lock + token verify), and HDFS-class
-    * filesystems whose rename atomically refuses an existing
-    * destination. Everything else — S3A-class stores above all, whose
-    * "rename" is copy+delete and replaces silently — must refuse. */
-  private val CommitSafeSchemes = Set("file", "hdfs", "viewfs")
+  /** The ONE primitive a commit publish needs (round 15, making the
+    * S3-class path code-real behind the refusal): atomically publish
+    * the staged manifest at `tmp` as `target`, returning false — and
+    * leaving `target` untouched — when `target` already exists. On an
+    * object store this is a conditional put (`If-None-Match: *`) of
+    * the manifest bytes; on a local filesystem it is the O_EXCL lock
+    * claim + rename; on HDFS the rename itself refuses an existing
+    * destination. Exactly one of N concurrent callers for the same
+    * `target` may return true; a false return means the version was
+    * lost to a contender and the caller recomputes against the new
+    * tip. Implementations may throw — the committer treats any
+    * exception as a lost race (the manifest is re-staged, never
+    * half-published). */
+  trait CommitBackend {
+    def putIfAbsent(
+        f: FileSystem,
+        table: String,
+        v: Int,
+        tmp: Path,
+        target: Path): Boolean
+  }
 
-  /** Refuse to WRITE on a filesystem whose rename neither refuses an
-    * existing destination nor is covered by the local O_EXCL claim —
-    * see the header's object-store posture. Checked before any byte
+  /** `file://`: the proven O_EXCL lock-file claim ([[claimLocal]]) —
+    * POSIX rename OVERWRITES, so only the claim winner may rename. */
+  private object LocalFsCommitBackend extends CommitBackend {
+    def putIfAbsent(
+        f: FileSystem, table: String, v: Int, tmp: Path, target: Path
+    ): Boolean =
+      if (!claimLocal(f, table, v)) false
+      else
+        try !f.exists(target) && f.rename(tmp, target)
+        finally lockFile(table, v).delete(): Unit
+  }
+
+  /** HDFS-class: rename atomically refuses an existing destination,
+    * so exists-check + rename is already cross-JVM safe. */
+  private object RenameRefusesExistingBackend extends CommitBackend {
+    def putIfAbsent(
+        f: FileSystem, table: String, v: Int, tmp: Path, target: Path
+    ): Boolean = !f.exists(target) && f.rename(tmp, target)
+  }
+
+  /** Registered backends for schemes the built-ins do not cover — an
+    * S3-class deployment registers its conditional-put implementation
+    * here; the test suite registers an in-memory if-none-match store
+    * and runs the full commit race suite against it. Unregistered
+    * non-{file,hdfs,viewfs} schemes still REFUSE loudly (the round-14
+    * posture): a silent HDFS-shaped publish on a store whose rename
+    * replaces would let two writers both "win" one version. */
+  private val commitBackends =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitBackend]()
+
+  def registerCommitBackend(scheme: String, b: CommitBackend): Unit =
+    commitBackends.put(scheme, b): Unit
+
+  def unregisterCommitBackend(scheme: String): Unit =
+    commitBackends.remove(scheme): Unit
+
+  private def commitBackendFor(f: FileSystem): Option[CommitBackend] =
+    Option(f.getScheme).getOrElse("") match {
+      case "file"            => Some(LocalFsCommitBackend)
+      case "hdfs" | "viewfs" => Some(RenameRefusesExistingBackend)
+      case s                 => Option(commitBackends.get(s))
+    }
+
+  /** Refuse to WRITE on a filesystem no commit backend covers — see
+    * the header's object-store posture. Checked before any byte
     * stages, so a refused commit leaves no orphans. */
   private def requireCommitSafeFs(f: FileSystem, table: String): Unit = {
     val s = Option(f.getScheme).getOrElse("")
-    if (!CommitSafeSchemes(s))
+    if (commitBackendFor(f).isEmpty)
       throw new UnsupportedOperationException(
         s"snapshot commit: filesystem scheme '$s' ($table) offers no " +
           "atomic rename-refuses-existing and is not covered by the " +
           "local O_EXCL claim — two writers could both publish the same " +
           "version and one commit would silently vanish. Committing on " +
           "this store needs a conditional-put (if-none-match) manifest " +
-          "write or an external lock table; refusing loudly instead of " +
-          "running the HDFS-shaped protocol silently wrong.")
+          "write (registerCommitBackend) or an external lock table; " +
+          "refusing loudly instead of running the HDFS-shaped protocol " +
+          "silently wrong.")
   }
 
   /** True when a manifest entry name is an EXTERNAL reference — an
@@ -177,8 +235,6 @@ object SnapshotLog {
     * (versions() filters on the `.commit` suffix). */
   private val LockGraceMs = 60000L
 
-  private def isLocalFs(f: FileSystem): Boolean = f.getScheme == "file"
-
   private def lockFile(table: String, v: Int): java.io.File =
     new java.io.File(
       new Path(s"$table/$LogDir/v${"%08d".format(v)}.lock").toUri.getPath)
@@ -214,7 +270,18 @@ object SnapshotLog {
         new String(
           java.nio.file.Files.readAllBytes(lk.toPath),
           java.nio.charset.StandardCharsets.UTF_8) == token
-      } catch { case _: Exception => false }
+      } catch {
+        case _: Exception =>
+          // a failed token write/read-back must not leave the orphaned
+          // lock stalling every claimant until the grace breaker —
+          // delete our own just-created file (it CANNOT have been
+          // legally stolen: the breaker only touches locks older than
+          // LockGraceMs, and this one is milliseconds old), then back
+          // off (advisor, round 14)
+          try lk.delete()
+          catch { case _: Exception => () }
+          false
+      }
     } else {
       if (!f.exists(commitPath(table, v)) &&
         lk.exists() &&
@@ -1134,21 +1201,20 @@ object SnapshotLog {
           )
           finally out.close()
           val target = commitPath(table, next)
-          // HDFS: exists-check + rename (rename refuses an existing
-          // destination atomically — cross-JVM safe as-is). Local FS:
-          // POSIX rename overwrites, so the version is first claimed
-          // with an O_CREAT|O_EXCL lock file ([[claimLocal]]) — only
-          // the claim winner renames, making the claim cross-PROCESS
-          // safe too (same-JVM writers stay serialized by the lock).
-          val claimed =
-            if (isLocalFs(f)) claimLocal(f, table, next)
-            else !f.exists(target)
-          if (claimed && !f.exists(target) && f.rename(tmp, target)) {
-            if (isLocalFs(f)) lockFile(table, next).delete()
+          // the publish is ONE backend primitive ([[CommitBackend]]):
+          // local FS claims the version with the O_EXCL lock first
+          // (POSIX rename overwrites), HDFS-class renames directly
+          // (rename refuses an existing destination atomically), a
+          // registered object-store backend conditional-puts. An
+          // exception from the backend is a lost race, never a
+          // half-publish.
+          val published = commitBackendFor(f).exists(b =>
+            try b.putIfAbsent(f, table, next, tmp, target)
+            catch { case _: Exception => false })
+          if (published) {
             writeTip(f, table, next)
             Some(next)
           } else {
-            if (claimed && isLocalFs(f)) lockFile(table, next).delete()
             f.delete(tmp, false)
             None
           }
@@ -1416,9 +1482,18 @@ object SnapshotLog {
     // resurrected to its pre-drift spelling. Same posture as
     // compact()'s replace — the blind tip overwrite this used to do
     // dropped any commit that landed during the build.
-    val touched = entries.filter(e => merged.contains(baseName(entryName(e))))
+    // EVERY selected file gains a rider — including one whose column is
+    // entirely NULL (no partial produced bits): its rider is the
+    // all-zero bloom, which is EXACT for equality probes (`col = v` is
+    // never true on a NULL row, so pruning the file can lose nothing)
+    // and removes the file from the missing set — without it an
+    // onlyMissing refresh re-reads the file forever and, when no
+    // selected file produced bits, committed an EMPTY replace delta,
+    // burning a version per call (advisor, round 14)
+    val touched = entries
     val amendedTouched = touched.map { e =>
-      val bits = merged(baseName(entryName(e)))
+      val bits =
+        merged.getOrElse(baseName(entryName(e)), new Array[Long](words))
       val bb = java.nio.ByteBuffer.allocate(words * 8)
       bits.foreach(bb.putLong)
       val tok = s"_bm$key=b:${enc.encodeToString(bb.array())}"
@@ -3153,20 +3228,48 @@ object SnapshotLog {
       aggCol: String,
       kind: String = "sum",
       // optional DERIVED grouping key: a SQL expression over source
-      // columns (e.g. `to_date(ts)`) whose result is stored under
-      // `keyCol` — the time-grain rollup (daily/hourly) every
-      // dashboard MV actually is. Recorded in props so refreshMv
-      // derives the same key over every delta, forever.
-      keyExpr: Option[String] = None
+      // columns (`to_date(ts)`, `trunc(to_date(ts), 'month')`,
+      // `date_trunc('hour', ts)` — the day/month/year/hour grains the
+      // partition-transform surface routes) whose result is stored
+      // under `keyCol` — the time-grain rollup every dashboard MV
+      // actually is. Recorded in props so refreshMv derives the same
+      // key over every delta, forever.
+      keyExpr: Option[String] = None,
+      // the REGISTRANT's declaration that `aggCol` is integral-valued
+      // (quantities, counts, cents — possibly stored as double): its
+      // partial sums reassociate exactly below 2^53, so `avg(aggCol)`
+      // may serve from the MV as sum(mv_sum)/sum(mv_nn). Requires
+      // kind='stats'; adds the NON-NULL count mv_nn (count(*) is the
+      // wrong avg denominator under NULLs) and the `mv_avg_exact`
+      // prop the serve rule gates on. The declaration carries the
+      // responsibility, exactly like the Stage path's MvDef.avgExact.
+      avgExact: Boolean = false
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
     require(
       kind == "sum" || kind == "minmax" || kind == "stats",
       s"createMv: kind must be 'sum', 'minmax' or 'stats', got '$kind'")
+    require(
+      !avgExact || kind == "stats",
+      "createMv: avgExact declares avg servable from the stats rollup — " +
+        s"it requires kind='stats', got '$kind'")
     keyExpr.foreach(e =>
       require(
         !e.contains('\n') && !e.contains('='),
         s"createMv: key expression must be props-safe: $e"))
+    // COMPOSITE keys (round 15): `keyCol` may be a comma-joined list
+    // ("region,status") — the rollup groups by all of them, the props
+    // record the list verbatim, and the serve rule answers the full
+    // grain 1:1 and any key SUBSET by re-aggregation (sum of sums —
+    // the dims-subset algebra the Stage-path rewrite already proves).
+    // A derived key stays single-column: its expression defines the
+    // one stored grain.
+    val keyCols = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(keyCols.nonEmpty, s"createMv: empty key list '$keyCol'")
+    require(
+      keyCols.size == 1 || keyExpr.isEmpty,
+      "createMv: a derived key expression cannot combine with a " +
+        "composite key list — one stored grain per MV")
     val tip = versions(spark, source).last
     keyExpr.foreach(_ =>
       require(
@@ -3175,11 +3278,19 @@ object SnapshotLog {
         s"createMv: derived key name '$keyCol' collides with a source " +
           "column — pick a fresh name (the refresh re-derives it over " +
           "every delta)"))
-    val keyOf = keyExpr.map(e => expr(e).as(keyCol)).getOrElse(col(keyCol))
-    val src = read(spark, source, Some(tip)).groupBy(keyOf)
+    val keyOf = keyExpr.map(e => expr(e).as(keyCol)).getOrElse(col(keyCols.head))
+    val src =
+      if (keyCols.size == 1) read(spark, source, Some(tip)).groupBy(keyOf)
+      else read(spark, source, Some(tip)).groupBy(keyCols.map(col): _*)
     val m = kind match {
       case "sum" =>
         src.agg(sum(col(aggCol)).as("mv_sum"), count(lit(1)).as("mv_n"))
+      case "stats" if avgExact =>
+        src.agg(
+          sum(col(aggCol)).as("mv_sum"),
+          sum(col(aggCol) * col(aggCol)).as("mv_sumsq"),
+          count(lit(1)).as("mv_n"),
+          count(col(aggCol)).as("mv_nn"))
       case "stats" =>
         src.agg(
           sum(col(aggCol)).as("mv_sum"),
@@ -3205,7 +3316,8 @@ object SnapshotLog {
         "mv_agg" -> aggCol,
         "mv_kind" -> kind,
         "mv_version" -> tip.toString) ++
-        keyExpr.map("mv_key_expr" -> _))
+        keyExpr.map("mv_key_expr" -> _) ++
+        (if (avgExact) Some("mv_avg_exact" -> "true") else None))
     // reverse pointer on the SOURCE (`mv_refs`, comma-joined MV paths):
     // the optimizer's aggregate-navigation rule discovers "which MVs
     // maintain this table?" from the table it is already scanning —
@@ -3302,6 +3414,44 @@ object SnapshotLog {
       .map(v => headerToken(header(spark, table, v), token))
       .collectFirst { case Some(t) => t.toInt }
 
+  /** The NEWEST version of `table` whose EFFECTIVE `<token>=`
+    * watermark (the most recent header value at or below it) equals
+    * `value` — the historical-serve dual of [[committedWatermark]]: a
+    * reader pinned at source version `value` may read exactly THIS
+    * version of the derived table (MV, incremental index), even when
+    * later refreshes have moved the tip past it. None when no version
+    * ever carried the value — including tables with no `<token>=`
+    * header at all (pre-header consumers: callers fall back to their
+    * props copy). The (version, watermark) ledger is immutable once
+    * committed, so the lookup cannot race a concurrent refresh — a
+    * refresh only appends NEW versions. */
+  def versionAtWatermark(
+      spark: SparkSession,
+      table: String,
+      token: String,
+      value: Int
+  ): Option[Int] = {
+    // BACKWARD scan with early exit: a header at version h is
+    // effective for every version in [h, nextHeaderAbove) — walking
+    // down from the tip, the FIRST matching header closes the newest
+    // such span, whose top is the answer. The common case (a fresh
+    // consumer serving the tip) reads ONE header, not O(versions).
+    val vs = versions(spark, table).toIndexedSeq
+    var i = vs.length - 1
+    var nextAbove: Option[Int] = None
+    var ans: Option[Int] = None
+    while (i >= 0 && ans.isEmpty) {
+      val v = vs(i)
+      headerToken(header(spark, table, v), token).foreach { t =>
+        if (t.toInt == value)
+          ans = Some(nextAbove.map(_ - 1).getOrElse(vs.last))
+        else nextAbove = Some(v)
+      }
+      i -= 1
+    }
+    ans
+  }
+
   /** Incremental MV refresh: reads ONLY `readChanges(asOf, tip)` of
     * the source — O(changed files), the point of a change feed on a
     * 100 TB table — and commits the folded rollup as one overwrite.
@@ -3335,6 +3485,9 @@ object SnapshotLog {
       throw new IllegalArgumentException(
         s"refreshMv: $mv is not a materialized view (no mv_source prop)"))
     val (key, agg) = (props("mv_key"), props("mv_agg"))
+    // composite keys fold/join/recompute over the full column list
+    val keys = key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val keyCols = keys.map(col)
     val kind = props.getOrElse("mv_kind", "sum")
     // committed header token first (atomic with the data); props are
     // the pre-header fallback for MVs materialized by older builds
@@ -3344,7 +3497,22 @@ object SnapshotLog {
     if (to == from) return (from, to)
     // a derived key (mv_key_expr) re-derives over the delta exactly as
     // the materialize derived it over the full table — same text, same
-    // props, forever
+    // props, forever. The createMv-time name-collision guard re-checks
+    // HERE too (advisor, round 14): schema evolution may have ADDED a
+    // source column with the derived key's name since the materialize,
+    // and withColumn would silently shadow it — the fold would keep
+    // working on derived values while readers of the source see
+    // different data. Refuse loudly instead.
+    props.get("mv_key_expr").foreach { _ =>
+      require(
+        !tableSchema(spark, source, to)
+          .exists(_.fieldNames.contains(key)),
+        s"refreshMv: the source schema at v$to now contains a column " +
+          s"named '$key' — the MV's derived key would shadow it. Rename " +
+          "the source column or re-materialize the MV under a fresh key " +
+          "name (createMv refuses this collision at declaration time; " +
+          "schema evolution reintroduced it).")
+    }
     val changes = props.get("mv_key_expr") match {
       case Some(e) =>
         readChanges(spark, source, from, to)
@@ -3356,81 +3524,117 @@ object SnapshotLog {
       val sign =
         when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
       val delta = changes
-        .groupBy(col(key))
+        .groupBy(keyCols: _*)
         .agg(sum(col(agg) * sign).as("d_sum"), sum(sign).as("d_n"))
       read(spark, mv)
-        .join(delta, Seq(key), "full_outer")
+        .join(delta, keys, "full_outer")
         .select(
-          col(key),
-          (coalesce(col("mv_sum"), lit(0L)) +
-            coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
-          (coalesce(col("mv_n"), lit(0L)) +
-            coalesce(col("d_n"), lit(0L))).as("mv_n"))
+          keyCols ++ Seq(
+            (coalesce(col("mv_sum"), lit(0L)) +
+              coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
+            (coalesce(col("mv_n"), lit(0L)) +
+              coalesce(col("d_n"), lit(0L))).as("mv_n")): _*)
         .filter(col("mv_n") > 0)
     } else if (kind == "stats") {
       // sum-of-squares inverts a delete exactly like sum does (the
       // deleted row's x and x² both subtract) — the whole refresh
-      // stays a pure fold, no recompute branch at any delete pattern
+      // stays a pure fold, no recompute branch at any delete pattern.
+      // An avg-declared MV (createMv avgExact) also carries mv_nn, the
+      // NON-NULL measure count; it folds with a null-masked sign.
       val sign =
         when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+      val hasNn = read(spark, mv).columns.contains("mv_nn")
+      val deltaAggs = Seq(
+        sum(col(agg) * sign).as("d_sum"),
+        sum(col(agg) * col(agg) * sign).as("d_sumsq"),
+        sum(sign).as("d_n")) ++
+        (if (hasNn)
+           Seq(sum(when(col(agg).isNotNull, sign).otherwise(lit(0L)))
+             .as("d_nn"))
+         else Nil)
       val delta = changes
-        .groupBy(col(key))
-        .agg(
-          sum(col(agg) * sign).as("d_sum"),
-          sum(col(agg) * col(agg) * sign).as("d_sumsq"),
-          sum(sign).as("d_n"))
+        .groupBy(keyCols: _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
+      val foldCols = keyCols ++ Seq(
+        (coalesce(col("mv_sum"), lit(0L)) +
+          coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
+        (coalesce(col("mv_sumsq"), lit(0L)) +
+          coalesce(col("d_sumsq"), lit(0L))).as("mv_sumsq"),
+        (coalesce(col("mv_n"), lit(0L)) +
+          coalesce(col("d_n"), lit(0L))).as("mv_n")) ++
+        (if (hasNn)
+           Seq((coalesce(col("mv_nn"), lit(0L)) +
+             coalesce(col("d_nn"), lit(0L))).as("mv_nn"))
+         else Nil)
       read(spark, mv)
-        .join(delta, Seq(key), "full_outer")
-        .select(
-          col(key),
-          (coalesce(col("mv_sum"), lit(0L)) +
-            coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
-          (coalesce(col("mv_sumsq"), lit(0L)) +
-            coalesce(col("d_sumsq"), lit(0L))).as("mv_sumsq"),
-          (coalesce(col("mv_n"), lit(0L)) +
-            coalesce(col("d_n"), lit(0L))).as("mv_n"))
+        .join(delta, keys, "full_outer")
+        .select(foldCols: _*)
         .filter(col("mv_n") > 0)
     } else {
       // groups with a delete in the delta: fold is impossible (the
       // removed row may BE the extremum) — recompute exactly these
+      // checkpointed: delKeys drives the file-admission collect, the
+      // semi-join AND the anti-join — without it the change feed would
+      // be re-read three times per refresh
       val delKeys = changes
         .filter(col("change_type") === "delete")
-        .select(col(key)).distinct()
+        .select(keyCols: _*).distinct().localCheckpoint()
       val insDelta = changes
         .filter(col("change_type") === "insert")
-        .groupBy(col(key))
+        .groupBy(keyCols: _*)
         .agg(
           min(col(agg)).as("d_min"), max(col(agg)).as("d_max"),
           count(lit(1)).as("d_n"))
       // least/greatest skip nulls, so a one-sided key folds correctly
       val folded = read(spark, mv)
-        .join(insDelta, Seq(key), "full_outer")
+        .join(insDelta, keys, "full_outer")
         .select(
-          col(key),
-          least(col("mv_min"), col("d_min")).as("mv_min"),
-          greatest(col("mv_max"), col("d_max")).as("mv_max"),
-          (coalesce(col("mv_n"), lit(0L)) +
-            coalesce(col("d_n"), lit(0L))).as("mv_n"))
+          keyCols ++ Seq(
+            least(col("mv_min"), col("d_min")).as("mv_min"),
+            greatest(col("mv_max"), col("d_max")).as("mv_max"),
+            (coalesce(col("mv_n"), lit(0L)) +
+              coalesce(col("d_n"), lit(0L))).as("mv_n")): _*)
       // recompute AT THE WATERMARK `to`, never the current tip: a
       // source commit landing mid-refresh would otherwise leak
       // post-`to` rows into the recomputed groups, and the next
       // refresh re-folds that same (to, tip] delta for those keys —
-      // double-counted mv_n / wrong extrema
+      // double-counted mv_n / wrong extrema.
+      //
+      // SCOPED by manifest stats (round 15, closing the one remaining
+      // full-scan-on-delete in the MV family): a plain group key
+      // admits source files through [[touchedFiles]]' long/string
+      // stat arms — a file whose key range excludes every
+      // delete-touched key provably holds none of their rows, so the
+      // recompute opens only the admitted subset (blind files always
+      // admit; the semi-join below still prunes rows exactly). On a
+      // 100 TB fact a delete touching one shard's groups reads that
+      // shard, not the table. A DERIVED key keeps the full
+      // at-watermark read: its values are not a source column, so no
+      // file stat can bound them.
       val srcAtTo = props.get("mv_key_expr") match {
         case Some(e) =>
           read(spark, source, Some(to))
             .withColumn(key, org.apache.spark.sql.functions.expr(e))
-        case None => read(spark, source, Some(to))
+        case None =>
+          // composite keys scope on the LEADING key column only — a
+          // sound superset (every file holding a touched row admits)
+          val (admit, _) = touchedFiles(
+            spark, source, keys.head,
+            delKeys.select(col(keys.head)).distinct(), Some(to))
+          readEntries(
+            spark, source,
+            entriesFor(manifestEntries(spark, source, to), admit),
+            tableSchema(spark, source, to))
       }
       val recomputed = srcAtTo
-        .join(delKeys, Seq(key), "left_semi")
-        .groupBy(col(key))
+        .join(delKeys, keys, "left_semi")
+        .groupBy(keyCols: _*)
         .agg(
           min(col(agg)).as("mv_min"), max(col(agg)).as("mv_max"),
           count(lit(1)).as("mv_n"))
       // a fully-deleted group appears in delKeys but not in the
       // recompute — it vanishes, as it must
-      folded.join(delKeys, Seq(key), "left_anti").unionByName(recomputed)
+      folded.join(delKeys, keys, "left_anti").unionByName(recomputed)
     }
     // fold result + new high-water mark in ONE commit: a crash after
     // this line leaves props stale but the header authoritative, so a

@@ -1801,13 +1801,19 @@ class CatalogSpec extends SparkTestBase {
       spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_mv")
       assert(MvRewrite.readsPath(plan(q), mvPath), "refresh must restore serving")
       // a TIME-TRAVEL query pinned at an older source version must
-      // not be served by the newer MV content (the watermark is
-      // evaluated AS OF the pinned MV version, exact match only)
+      // never see the newer MV content. Round 14 bailed here; round
+      // 15 serves it from the OLDER MV VERSION whose committed mvv
+      // matches the pin (the ledger is immutable per version) — the
+      // invariant is the same: served rows ≡ aggregate(source@pin)
       val tt = plan(
         s"SELECT k, sum(v) AS s, count(*) AS n FROM $t VERSION AS OF 2 GROUP BY k")
-      assert(!MvRewrite.readsPath(tt, mvPath),
-        "an older pinned snapshot must not serve from the fresher MV")
-      assert(tt.exists(_.isInstanceOf[Aggregate]))
+      assert(MvRewrite.readsPath(tt, mvPath),
+        "the older pinned snapshot must serve from the MATCHING MV version")
+      assert(
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, tt)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet == Set((1L, 30L, 2L), (2L, 5L, 1L)),
+        "served rows must be the PINNED version's aggregate, not the tip's")
       // a key-only predicate transplants onto the MV read
       assert(MvRewrite.readsPath(
         plan(s"SELECT k, sum(v) AS s FROM $t WHERE k = 1 GROUP BY k"), mvPath))
@@ -1951,6 +1957,345 @@ class CatalogSpec extends SparkTestBase {
       assert(MvRewrite.readsPath(g, mvPath))
       val gRow = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, g).head
       assert((gRow.getLong(0), gRow.getLong(1)) == ((52L, 4L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("derived-key MV: a date-range predicate TRANSPLANTS onto the day " +
+    "column (round 15); non-key and nondeterministic predicates bail") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(timestamp'2024-06-01 08:00:00', 10),
+         |(timestamp'2024-06-02 20:00:00', 30),
+         |(timestamp'2024-06-03 09:00:00', 5),
+         |(timestamp'2024-06-04 01:00:00', 2)""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_fmv AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY to_date(ts)""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_fmv"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      // >= and < day bounds (the optimizer unwraps both to midnight
+      // timestamp atoms) both transplant; result stays exact
+      val served = plan(
+        s"SELECT to_date(ts) AS day, sum(v) AS s FROM $t " +
+          "WHERE to_date(ts) >= DATE'2024-06-02' AND " +
+          "to_date(ts) < DATE'2024-06-04' GROUP BY to_date(ts)")
+      assert(MvRewrite.readsPath(served, mvPath),
+        "day-range predicate must serve from the MV")
+      assert(!served.exists(_.isInstanceOf[Aggregate]))
+      val rows = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      assert(rows == Set(("2024-06-02", 30L), ("2024-06-03", 5L)))
+      // a measure predicate cannot transplant: the rollup no longer
+      // holds row-level v
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT to_date(ts) AS day, sum(v) AS s FROM $t " +
+          "WHERE v > 0 GROUP BY to_date(ts)"), mvPath))
+      // a NONDETERMINISTIC predicate has an empty reference set — it
+      // must bail on determinism, not sneak through the reference
+      // check (it would evaluate once per MV group, not per row).
+      // 0.5, not a tautology bound: the optimizer FOLDS `rand() < 2`
+      // away entirely (rand ∈ [0,1)), which serves legitimately
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT to_date(ts) AS day, sum(v) AS s FROM $t " +
+          "WHERE rand() < 0.5 GROUP BY to_date(ts)"), mvPath))
+      // an OFF-midnight bound splits a day's group — must bail
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT to_date(ts) AS day, sum(v) AS s FROM $t " +
+          "WHERE ts >= timestamp'2024-06-02 05:00:00' " +
+          "GROUP BY to_date(ts)"), mvPath))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("coarse-grain serve: monthly and yearly queries re-aggregate the " +
+    "daily MV; month and hour grains create and serve; finer-than-stored " +
+    "bails") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(timestamp'2024-05-31 23:00:00', 1),
+         |(timestamp'2024-06-01 08:30:00', 10),
+         |(timestamp'2024-06-01 08:45:00', 20),
+         |(timestamp'2024-06-15 20:00:00', 30),
+         |(timestamp'2025-01-02 09:00:00', 5)""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_dmv AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY to_date(ts)""".stripMargin)
+    val dayPath = s"$warehouse/main/${tn}_dmv"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // monthly over the daily MV: an Aggregate over the MV scan
+      val mon = plan(
+        s"SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS s, " +
+          s"count(*) AS n FROM $t GROUP BY trunc(to_date(ts), 'month')")
+      assert(MvRewrite.readsPath(mon, dayPath), "month must serve from daily")
+      assert(mon.exists(_.isInstanceOf[Aggregate]),
+        "coarse grain re-aggregates — an Aggregate node is expected")
+      assert(
+        run(mon).collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+          .toSet ==
+          Set(("2024-05-01", 1L, 1L), ("2024-06-01", 60L, 3L),
+            ("2025-01-01", 5L, 1L)))
+      // yearly composes through the same transplant
+      val yr = plan(
+        s"SELECT trunc(to_date(ts), 'year') AS y, sum(v) AS s FROM $t " +
+          s"GROUP BY trunc(to_date(ts), 'year')")
+      assert(MvRewrite.readsPath(yr, dayPath), "year must serve from daily")
+      assert(
+        run(yr).collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+          .toSet == Set(("2024-01-01", 61L), ("2025-01-01", 5L)))
+      // a MONTH-grain MV creates via DDL and serves the month query at
+      // identity grain (no aggregate at all)...
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_mmv AS
+           |SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS mv_sum,
+           |count(*) AS mv_n
+           |FROM $t GROUP BY trunc(to_date(ts), 'month')""".stripMargin)
+      val monPath = s"$warehouse/main/${tn}_mmv"
+      val monId = plan(
+        s"SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS s FROM $t " +
+          s"GROUP BY trunc(to_date(ts), 'month')")
+      assert(MvRewrite.readsPath(monId, monPath) ||
+        MvRewrite.readsPath(monId, dayPath),
+        "month query must serve from a maintained MV")
+      // ...but a DAILY query can NEVER serve from the month MV: days
+      // are not functions of months. (With both MVs registered the
+      // daily MV answers it; the month MV alone must bail — checked
+      // via the serve plan still reading the DAY path.)
+      val dayQ = plan(
+        s"SELECT to_date(ts) AS day, sum(v) AS s FROM $t " +
+          s"GROUP BY to_date(ts)")
+      assert(MvRewrite.readsPath(dayQ, dayPath) &&
+        !MvRewrite.readsPath(dayQ, monPath),
+        "finer-than-stored must not serve from the coarser MV")
+      // HOUR grain: DDL creates, identity serve fires
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_hmv AS
+           |SELECT date_trunc('hour', ts) AS h, sum(v) AS mv_sum,
+           |count(*) AS mv_n
+           |FROM $t GROUP BY date_trunc('hour', ts)""".stripMargin)
+      val hPath = s"$warehouse/main/${tn}_hmv"
+      val hr = plan(
+        s"SELECT date_trunc('hour', ts) AS h, sum(v) AS s, count(*) AS n " +
+          s"FROM $t GROUP BY date_trunc('hour', ts)")
+      assert(MvRewrite.readsPath(hr, hPath), "hour grain must serve")
+      assert(!hr.exists(_.isInstanceOf[Aggregate]))
+      assert(
+        run(hr).collect()
+          .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+          .toSet.contains(("2024-06-01 08:00:00.0", 30L, 2L)))
+      // refresh keeps all three grains serving after the source moves
+      spark.sql(s"INSERT INTO $t VALUES (timestamp'2024-06-20 11:00:00', 7)")
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS s FROM $t " +
+          s"GROUP BY trunc(to_date(ts), 'month')"), dayPath),
+        "stale daily MV must not serve the month query")
+      spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_dmv")
+      val mon2 = plan(
+        s"SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS s FROM $t " +
+          s"GROUP BY trunc(to_date(ts), 'month')")
+      assert(MvRewrite.readsPath(mon2, dayPath))
+      assert(
+        run(mon2).collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+          .toSet == Set(("2024-05-01", 1L), ("2024-06-01", 67L),
+            ("2025-01-01", 5L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("avg serves from a DECLARED stats MV (trailing count(a) AS mv_nn); " +
+    "an undeclared stats MV bails avg but keeps serving sum") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 10), (1, 20), (2, 5), (2, NULL), (3, NULL)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_avmv AS
+         |SELECT k, sum(v) AS mv_sum, sum(v*v) AS mv_sumsq,
+         |count(*) AS mv_n, count(v) AS mv_nn
+         |FROM $t GROUP BY k""".stripMargin)
+    val avPath = s"$warehouse/main/${tn}_avmv"
+    assert(
+      SnapshotLog.tableProps(spark, pathOf(s"x.y.${tn}_avmv"))
+        .get("mv_avg_exact").contains("true"),
+      "the trailing mv_nn IS the declaration")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val served = plan(
+        s"SELECT k, avg(v) AS a, sum(v) AS s FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(served, avPath), "declared avg must serve")
+      assert(!served.exists(_.isInstanceOf[Aggregate]))
+      val rows = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      // group 2 averages over the single non-null 5; group 3 is
+      // all-NULL — avg NULL (mv_nn = 0 guarded, no ANSI divide error)
+      assert(rows == Set((1L, 15.0, 30L), (2L, 5.0, 5L), (3L, null, null)))
+      // the GLOBAL avg re-aggregates sum(mv_sum)/sum(mv_nn)
+      val g = plan(s"SELECT avg(v) AS a FROM $t")
+      assert(MvRewrite.readsPath(g, avPath))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, g)
+        .head.getDouble(0) == 35.0 / 3)
+      // count(v) — the NON-NULL count — serves from mv_nn too (exact
+      // under any re-association, no declaration needed)
+      val cv = plan(s"SELECT k, count(v) AS nn FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(cv, avPath), "count(measure) must serve")
+      assert(!cv.exists(_.isInstanceOf[Aggregate]))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, cv)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (2L, 1L), (3L, 0L)))
+      // an UNDECLARED stats MV must bail avg (fractional doubles are
+      // order-sensitive; only the declaration buys exactness) while
+      // sum keeps serving
+      val u = freshName()
+      val un = u.split('.').last
+      spark.sql(s"CREATE TABLE $u (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $u VALUES (1, 10), (1, 20)")
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW cattest.main.${un}_stmv AS
+           |SELECT k, sum(v) AS mv_sum, sum(v*v) AS mv_sumsq,
+           |count(*) AS mv_n
+           |FROM $u GROUP BY k""".stripMargin)
+      val stPath = s"$warehouse/main/${un}_stmv"
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, avg(v) AS a FROM $u GROUP BY k"), stPath),
+        "undeclared avg must bail")
+      assert(MvRewrite.readsPath(
+        plan(s"SELECT k, sum(v) AS s FROM $u GROUP BY k"), stPath))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("VERSION AS OF serves from the MV version whose committed watermark " +
+    "matches the pinned source version — not just the tip") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)") // v1
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 5)") // v2
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_hsv AS
+         |SELECT k, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin) // MV v1, mvv=2
+    spark.sql(s"INSERT INTO $t VALUES (1, 100), (3, 7)") // v3
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_hsv")
+    // MV v2, mvv=3
+    val mvPath = s"$warehouse/main/${tn}_hsv"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      // the tip query serves from MV v2 (tip behavior unchanged)
+      val tip = plan(s"SELECT k, sum(v) AS s FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(tip, mvPath))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, tip)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 110L), (2L, 5L), (3L, 7L)))
+      // the HISTORICAL query pins source v2 → serves from MV VERSION 1
+      // (its committed mvv=2), even though the MV tip is at mvv=3
+      val hist = plan(
+        s"SELECT k, sum(v) AS s FROM $t VERSION AS OF 2 GROUP BY k")
+      assert(MvRewrite.readsPath(hist, mvPath),
+        "a past source version with a matching MV watermark must serve")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, hist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 10L), (2L, 5L)),
+        "the served rows must be the OLD MV version's content")
+      // a source version NO MV version ever folded (the schema-only
+      // v1) still bails
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, sum(v) AS s FROM $t VERSION AS OF 1 GROUP BY k"),
+        mvPath))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("composite-key MV: the full grain serves 1:1 in any key order, a " +
+    "key SUBSET re-aggregates, a one-key filter transplants, and non-key " +
+    "groupings bail") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(1, 'a', 10), (1, 'b', 20), (2, 'a', 5), (2, 'a', 3)""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_cmv AS
+         |SELECT k, s, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY k, s""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_cmv"
+    assert(
+      SnapshotLog.tableProps(spark, pathOf(s"x.y.${tn}_cmv"))("mv_key")
+        == "k,s")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // full grain, REVERSED key order: identity, no aggregate node
+      val full = plan(
+        s"SELECT s, k, sum(v) AS sv, count(*) AS n FROM $t GROUP BY s, k")
+      assert(MvRewrite.readsPath(full, mvPath), "full grain must serve")
+      assert(!full.exists(_.isInstanceOf[Aggregate]))
+      assert(run(full).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet ==
+        Set(("a", 1L, 10L, 1L), ("b", 1L, 20L, 1L), ("a", 2L, 8L, 2L)))
+      // key SUBSET: re-aggregates (sum of sums) over the MV
+      val sub = plan(s"SELECT k, sum(v) AS sv FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(sub, mvPath), "subset grain must serve")
+      assert(sub.exists(_.isInstanceOf[Aggregate]))
+      assert(run(sub).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((1L, 30L), (2L, 8L)))
+      // the other subset too, with a filter on the FIRST key
+      val sub2 = plan(
+        s"SELECT s, count(*) AS n FROM $t WHERE k = 1 GROUP BY s")
+      assert(MvRewrite.readsPath(sub2, mvPath))
+      assert(run(sub2).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("a", 1L), ("b", 1L)))
+      // GLOBAL over the composite MV
+      val g = plan(s"SELECT sum(v) AS sv, count(*) AS n FROM $t")
+      assert(MvRewrite.readsPath(g, mvPath))
+      assert(run(g).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((38L, 4L)))
+      // a grouping OUTSIDE the key set bails
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT v, count(*) AS n FROM $t GROUP BY v"), mvPath))
+      // refresh keeps the composite fold exact through an append
+      spark.sql(s"INSERT INTO $t VALUES (1, 'a', 100), (3, 'c', 9)")
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, sum(v) AS sv FROM $t GROUP BY k"), mvPath),
+        "stale composite MV must bail")
+      spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_cmv")
+      val sub3 = plan(s"SELECT k, sum(v) AS sv FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(sub3, mvPath))
+      assert(run(sub3).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((1L, 130L), (2L, 8L), (3L, 9L)))
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 

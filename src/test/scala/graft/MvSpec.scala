@@ -234,6 +234,102 @@ class MvSpec extends SparkTestBase {
     assert(mvMinmaxRows(mv).contains((1L, 1L, 30L, 2L)))
   }
 
+  test("minmax delete-recompute is SCOPED by manifest stats: files whose " +
+    "key range excludes every delete-touched key are never opened") {
+    val src = fresh("src")
+    val mv = fresh("mv")
+    // two key shards in two separate commits — per-file stats are
+    // tight and disjoint by construction
+    SnapshotLog.commit(
+      spark, src, kv(Seq(1L -> 10L, 2L -> 30L, 3L -> 5L)).coalesce(1))
+    SnapshotLog.commit(
+      spark, src,
+      kv(Seq(1000L -> 7L, 1001L -> 50L, 1002L -> 9L)).coalesce(1))
+    val outerFiles = SnapshotLog.read(spark, src)
+      .select(org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .where(col("f").isNotNull)
+      .distinct().collect().map(_.getString(0))
+      .filter { f =>
+        spark.read.parquet(f).agg(min(col("k"))).head.getLong(0) >= 1000L
+      }
+    assert(outerFiles.nonEmpty, "layout precondition: an outer-shard file")
+    SnapshotLog.createMv(spark, src, mv, "k", "v", kind = "minmax")
+    // CoW-delete the INNER shard's minimum — the recompute branch fires
+    // for inner keys only
+    SnapshotLog.mergeCoW(
+      spark, src, "k", kv(Seq(1L -> 0L)).select("k"),
+      df => df.filter(!(col("k") === 1L && col("v") === 10L)))
+    // corrupt every outer-shard file on disk: if the recompute opened
+    // ANY of them the refresh would crash — stats admission must have
+    // excluded them (the delete-touched keys all sit in the inner
+    // shard's range)
+    val saved = outerFiles.map { f =>
+      val p = java.nio.file.Paths.get(new java.net.URI(f))
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      java.nio.file.Files.write(p, Array[Byte](0, 1, 2, 3))
+      (p, bytes)
+    }
+    try {
+      SnapshotLog.refreshMv(spark, mv)
+    } finally saved.foreach { case (p, bytes) =>
+      java.nio.file.Files.write(p, bytes)
+    }
+    // exact: recomputed inner groups + folded (untouched) outer groups
+    assert(mvMinmaxRows(mv) == recomputeMinmax(src))
+    assert(mvMinmaxRows(mv).contains((1L, 10L, 10L, 1L)) === false)
+    assert(mvMinmaxRows(mv).exists(_._1 == 1000L))
+  }
+
+  test("composite-key MV: the incremental fold AND the minmax " +
+    "delete-recompute both group by the full key list; a derived " +
+    "composite refuses") {
+    import spark.implicits._
+    def ksv(rows: Seq[(Long, String, Long)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("k", "s", "v")
+    def recomputeC(src: String): Set[(Long, String, Long, Long, Long)] =
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"), col("s"))
+        .agg(min(col("v")).as("mv_min"), max(col("v")).as("mv_max"),
+          count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+    def mvC(mv: String): Set[(Long, String, Long, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+    val src = fresh("src")
+    val mv = fresh("mv")
+    SnapshotLog.commit(
+      spark, src, ksv(Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 5L))))
+    SnapshotLog.createMv(spark, src, mv, "k,s", "v", kind = "minmax")
+    assert(mvC(mv) == recomputeC(src))
+    // pure-insert delta folds per (k, s) — (1,'a') gains a new min,
+    // (1,'b') must NOT see it
+    SnapshotLog.commit(spark, src, ksv(Seq((1L, "a", 7L), (3L, "c", 50L))))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvC(mv) == recomputeC(src))
+    assert(mvC(mv).contains((1L, "a", 7L, 10L, 2L)))
+    assert(mvC(mv).contains((1L, "b", 20L, 20L, 1L)))
+    // delete (1,'a')'s minimum: ONLY that composite group recomputes
+    SnapshotLog.mergeCoW(
+      spark, src, "k", Seq(1L).toDF("k"),
+      df => df.filter(!(col("k") === 1L && col("s") === "a" && col("v") === 7L)))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvC(mv) == recomputeC(src))
+    assert(mvC(mv).contains((1L, "a", 10L, 10L, 1L)))
+    // a derived expression cannot combine with a composite list
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.createMv(
+        spark, src, fresh("mv2"), "day,k", "v",
+        keyExpr = Some("to_date(ts)"))
+    }
+    assert(e.getMessage.contains("composite"))
+  }
+
   test("derived-key MV (to_date): the fold AND the delete-touched-group " +
     "recompute both re-derive the day; a colliding key name refuses") {
     import java.sql.Timestamp

@@ -171,6 +171,71 @@ class SnapshotSpec extends SparkTestBase {
       "a refused commit must leave no orphans")
   }
 
+  test("a registered conditional-put backend makes an object-store scheme " +
+    "commit-safe: the full race suite holds and the refusal returns when " +
+    "unregistered") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.fakes3.impl", classOf[FakeObjectStoreFs].getName)
+    // in-memory if-none-match store: putIfAbsent on the target key IS
+    // the arbitration (exactly what S3-class conditional put gives);
+    // the winner writes the staged bytes through
+    SnapshotLog.registerCommitBackend("fakes3", new InMemoryCondPutBackend)
+    try {
+      val t = "fakes3:" + freshTable()
+      SnapshotLog.commit(spark, t, Seq(0L).toDF("id"))
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          SnapshotLog.commit(
+            spark, t, Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("id"))
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      // exactly one winner per version, no commit lost, reads and
+      // time travel flow through the backend-published log
+      assert(SnapshotLog.versions(spark, t) == (1 to 9))
+      assert(rows(t) ==
+        (Set(0L) ++ (1 to 8).flatMap(i => Seq(i.toLong * 10, i.toLong * 10 + 1))))
+      assert(rows(t, Some(1)) == Set(0L))
+    } finally SnapshotLog.unregisterCommitBackend("fakes3")
+    // unregistered again: the loud refusal is back — the backend is a
+    // capability, never a default
+    val e = intercept[UnsupportedOperationException] {
+      SnapshotLog.commit(spark, "fakes3:" + freshTable(), Seq(1L).toDF("id"))
+    }
+    assert(e.getMessage.contains("conditional-put"))
+  }
+
+  test("bloom refresh converges on an all-NULL file: the zero-bits rider " +
+    "lands once, the next incremental pass no-ops, and the probe prunes " +
+    "the file exactly") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(
+      spark, t, Seq((1L, "x1"), (2L, "x2")).toDF("id", "s").coalesce(1))
+    val v1 = SnapshotLog.buildBloomIndex(spark, t, "s")
+    // an all-NULL append lands AFTER the build — the advisor's round-14
+    // non-convergence scenario
+    SnapshotLog.commit(
+      spark, t,
+      Seq(3L, 4L).toDF("id")
+        .withColumn("s", lit(null).cast("string")).coalesce(1))
+    val v2 = SnapshotLog.buildBloomIndex(spark, t, "s", onlyMissing = true)
+    assert(v2 > v1, "the all-NULL file must gain its (zero) rider")
+    // CONVERGED: every live file carries a rider — no version burned
+    val v3 = SnapshotLog.buildBloomIndex(spark, t, "s", onlyMissing = true)
+    assert(v3 == v2, "a fully-ridered table must no-op, not burn a version")
+    // the zero bloom is EXACT for equality: col = v is never true on a
+    // NULL row, so pruning the all-NULL file loses nothing
+    val (kept, total) = SnapshotLog.prunedFilesBloom(spark, t, "s", "x1")
+    assert(total == 2 && kept.size == 1,
+      s"the all-NULL file must prune on a point probe: kept $kept of $total")
+    assert(
+      SnapshotLog.readPoint(spark, t, "s", "x1").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("breaking a live lock restores it exclusively: a contender that " +
     "re-claimed the name in the window is never clobbered") {
     import java.nio.charset.StandardCharsets.UTF_8
@@ -1189,4 +1254,24 @@ class SnapshotSpec extends SparkTestBase {
 class FakeObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "fakes3"
   override def getUri: java.net.URI = java.net.URI.create("fakes3:///")
+}
+
+/** In-memory if-none-match store: the S3-class conditional-put
+  * primitive, shaped exactly as a real backend would be — putIfAbsent
+  * on the target key arbitrates (ConcurrentHashMap.add is the
+  * compare-and-set a real store does server-side), the winner then
+  * writes the staged manifest through. The race suite runs verbatim
+  * against it, so the protocol's object-store path is code-real even
+  * though no object store exists in this sandbox. */
+class InMemoryCondPutBackend extends graft.sources.SnapshotLog.CommitBackend {
+  private val published =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  override def putIfAbsent(
+      f: org.apache.hadoop.fs.FileSystem,
+      table: String,
+      v: Int,
+      tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path
+  ): Boolean =
+    published.add(target.toString) && f.rename(tmp, target)
 }
