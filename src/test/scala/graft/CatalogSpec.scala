@@ -2102,6 +2102,26 @@ class CatalogSpec extends SparkTestBase {
         run(hr).collect()
           .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
           .toSet.contains(("2024-06-01 08:00:00.0", 30L, 2L)))
+      // COMPOSITION: a day-range filter under a month grouping — the
+      // predicate transplants AND the grain re-aggregates, in one plan
+      val fm = plan(
+        s"SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS s FROM $t " +
+          "WHERE to_date(ts) >= DATE'2024-06-01' " +
+          "GROUP BY trunc(to_date(ts), 'month')")
+      assert(MvRewrite.readsPath(fm, dayPath),
+        "filter + coarse grain must compose")
+      assert(
+        run(fm).collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+          .toSet == Set(("2024-06-01", 60L), ("2025-01-01", 5L)))
+      // HAVING sits ABOVE the aggregate — the serve rewrites the
+      // aggregate underneath it untouched
+      val hv = plan(
+        s"SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS s FROM $t " +
+          "GROUP BY trunc(to_date(ts), 'month') HAVING sum(v) > 10")
+      assert(MvRewrite.readsPath(hv, dayPath), "HAVING must not block serve")
+      assert(
+        run(hv).collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+          .toSet == Set(("2024-06-01", 60L)))
       // refresh keeps all three grains serving after the source moves
       spark.sql(s"INSERT INTO $t VALUES (timestamp'2024-06-20 11:00:00', 7)")
       assert(!MvRewrite.readsPath(plan(
