@@ -3432,20 +3432,31 @@ object SnapshotLog {
       value: Int
   ): Option[Int] = {
     // BACKWARD scan with early exit: a header at version h is
-    // effective for every version in [h, nextHeaderAbove) — walking
-    // down from the tip, the FIRST matching header closes the newest
-    // such span, whose top is the answer. The common case (a fresh
-    // consumer serving the tip) reads ONE header, not O(versions).
+    // effective for every version in [h, spanTop] — walking down from
+    // the tip, the FIRST matching header closes the newest such span,
+    // whose TOP is the answer. The common case (a fresh consumer
+    // serving the tip) reads ONE header, not O(versions). Two events
+    // truncate a span from above: a newer `<token>=` header (the next
+    // fold), and — the hardening — a DATA-CHANGING commit that carries
+    // no header at all (a direct INSERT INTO the derived table):
+    // versions at or above such a commit no longer equal the folded
+    // state the header below promised, so they must not serve.
+    // datachange=false commits (compaction, clustering, index riders)
+    // preserve rows and extend the span.
     val vs = versions(spark, table).toIndexedSeq
+    if (vs.isEmpty) return None
     var i = vs.length - 1
-    var nextAbove: Option[Int] = None
+    var spanTop: Int = vs.last
     var ans: Option[Int] = None
     while (i >= 0 && ans.isEmpty) {
       val v = vs(i)
-      headerToken(header(spark, table, v), token).foreach { t =>
-        if (t.toInt == value)
-          ans = Some(nextAbove.map(_ - 1).getOrElse(vs.last))
-        else nextAbove = Some(v)
+      val h = header(spark, table, v)
+      headerToken(h, token) match {
+        case Some(t) =>
+          if (t.toInt == value) ans = Some(spanTop)
+          else spanTop = v - 1
+        case None =>
+          if (!headerToken(h, "datachange").contains("false")) spanTop = v - 1
       }
       i -= 1
     }

@@ -2249,6 +2249,19 @@ class CatalogSpec extends SparkTestBase {
       assert(!MvRewrite.readsPath(
         plan(s"SELECT k, sum(v) AS s FROM $t VERSION AS OF 1 GROUP BY k"),
         mvPath))
+      // HARDENING: a direct INSERT INTO the MV is a data-changing
+      // commit with NO mvv header — it truncates the serve span, so
+      // the polluted version can never serve; the version BELOW it is
+      // still exactly the fold and keeps serving
+      spark.sql(s"INSERT INTO cattest.main.${tn}_hsv VALUES (9, 999, 1)")
+      val afterForeign = plan(s"SELECT k, sum(v) AS s FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(afterForeign, mvPath),
+        "the pre-pollution MV version must keep serving the tip")
+      assert(
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, afterForeign)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+          Set((1L, 110L), (2L, 5L), (3L, 7L)),
+        "the foreign row must NEVER surface in a served answer")
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
