@@ -3250,6 +3250,82 @@ object Scans {
     }
   }
 
+  /** MULTI-MEASURE MV serve (round 15): ONE rollup (one refresh fold)
+    * maintains several measures — `sum(cents)` and `sum(clen)` here —
+    * and a query asking for both (plus count(*)) serves 1:1 from it
+    * with no aggregate node. Without multi-measure support a two-sum
+    * dashboard needs two MVs and two refresh folds over the same
+    * change feed; at 100 TB the fold IS the cost, so halving the MV
+    * count halves maintenance IO. Columns suffix per measure
+    * (mv_sum_cents, mv_sum_clen); mv_n is shared. Inline pins mirror
+    * the serve family; the oracle recomputes both sums per customer
+    * from the final source state (append + CoW UPDATE folded). */
+  val aggMvServeMulti: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mmsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_mmmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 100).cast("long").as("clen"))
+    o.createOrReplaceTempView("graft_mm_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_mmsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+         |clen BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mmsrc
+         |SELECT * FROM graft_mm_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_mmmv AS
+         |SELECT o_custkey, sum(cents) AS mv_sum_cents,
+         |sum(clen) AS mv_sum_clen, count(*) AS mv_n
+         |FROM $cat.main.orders_mmsrc GROUP BY o_custkey""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mmsrc
+         |SELECT * FROM graft_mm_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_mmsrc SET cents = cents + 2
+         |WHERE o_orderkey % 23 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_mmmv")
+    val brute = spark.sql(
+      s"""SELECT o_custkey, sum(cents) AS sum_cents, sum(clen) AS sum_clen,
+         |count(*) AS n
+         |FROM $cat.main.orders_mmsrc
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_mmmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "multi-measure serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "served plan must carry NO aggregate — both sums are stored columns")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
     * `SupportsRuntimeV2Filtering` over its declared layout columns
     * (sorted_by / identity partitions / bucket key / bloom-indexed),
@@ -4862,6 +4938,7 @@ object Scans {
     "agg_mv_serve_filtered" -> aggMvServeFiltered,
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
+    "agg_mv_serve_multi" -> aggMvServeMulti,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "agg_rangeby_pushdown" -> aggRangebyPushdown,
@@ -5173,6 +5250,18 @@ object Scans {
         |  FROM orders WHERE o_orderkey % 17 <> 0)
         |SELECT o_custkey, avg(cents) AS avg_cents,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // both sums served from ONE multi-measure MV must equal the
+    // two-sum recompute of the final source state
+    "agg_mv_serve_multi" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 23 = 0 THEN 2 ELSE 0 END AS cents,
+        |  CAST(o_orderkey % 100 AS BIGINT) AS clen
+        |  FROM orders)
+        |SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(clen) AS BIGINT) AS sum_clen,
+        |  CAST(count(*) AS BIGINT) AS n
         |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // the per-customer re-aggregation of the (customer, status)
     // composite MV must equal the per-customer recompute

@@ -468,6 +468,13 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val keys: Seq[String] = key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     if (keys.isEmpty) return None
     val measure = props.getOrElse("mv_agg", return None)
+    // multi-measure MVs: mv_agg is a comma-joined list; stored columns
+    // are bare (mv_sum) for one measure, suffixed (mv_sum_<m>) otherwise
+    val measures: Seq[String] =
+      measure.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (measures.isEmpty) return None
+    def mcol(base: String, m: String): String =
+      if (measures.size == 1) base else s"${base}_$m"
     val kind = props.getOrElse("mv_kind", "sum")
     // Freshness: serve from the MV VERSION whose effective committed
     // `mvv` watermark equals the query's pinned source version —
@@ -642,28 +649,29 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the MV stores it (stats + avgExact). No declaration gate:
       // counts are integers, exact under any re-association.
       case Count(Seq(x: AttributeReference))
-          if x.name == measure && mvAttr.contains("mv_nn") =>
-        mvAttr.get("mv_nn").map { nn =>
+          if measures.contains(x.name) &&
+            mvAttr.contains(mcol("mv_nn", x.name)) =>
+        mvAttr.get(mcol("mv_nn", x.name)).map { nn =>
           if (!reagg) nn: Expression
           else if (global)
             Coalesce(Seq(Sum(nn).toAggregateExpression(), Literal(0L)))
           else Sum(nn).toAggregateExpression()
         }
       case Sum(x: AttributeReference, _)
-          if x.name == measure && (kind == "sum" || kind == "stats") =>
-        mvAttr.get("mv_sum").map(s =>
+          if measures.contains(x.name) && (kind == "sum" || kind == "stats") =>
+        mvAttr.get(mcol("mv_sum", x.name)).map(s =>
           if (!reagg) s: Expression else Sum(s).toAggregateExpression())
       case Min(x: AttributeReference)
-          if x.name == measure && kind == "minmax" =>
-        mvAttr.get("mv_min").map(m =>
+          if measures.contains(x.name) && kind == "minmax" =>
+        mvAttr.get(mcol("mv_min", x.name)).map(m =>
           if (!reagg) m: Expression else Min(m).toAggregateExpression())
       case Max(x: AttributeReference)
-          if x.name == measure && kind == "minmax" =>
-        mvAttr.get("mv_max").map(m =>
+          if measures.contains(x.name) && kind == "minmax" =>
+        mvAttr.get(mcol("mv_max", x.name)).map(m =>
           if (!reagg) m: Expression else Max(m).toAggregateExpression())
       case Sum(Multiply(x: AttributeReference, y: AttributeReference, _), _)
-          if x.name == measure && y.name == measure && kind == "stats" =>
-        mvAttr.get("mv_sumsq").map(s =>
+          if x.name == y.name && measures.contains(x.name) && kind == "stats" =>
+        mvAttr.get(mcol("mv_sumsq", x.name)).map(s =>
           if (!reagg) s: Expression else Sum(s).toAggregateExpression())
       // avg serves ONLY from a stats MV whose registrant DECLARED the
       // measure integral-valued (`mv_avg_exact`, the Stage-path
@@ -673,12 +681,13 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // If guards the nn == 0 group (all-NULL measures): avg is NULL
       // there, and ANSI division would error instead.
       case Average(x: AttributeReference, _)
-          if x.name == measure && kind == "stats" &&
+          if measures.contains(x.name) && kind == "stats" &&
             props.get("mv_avg_exact").contains("true") &&
-            mvAttr.contains("mv_nn") &&
+            mvAttr.contains(mcol("mv_nn", x.name)) &&
             (x.dataType == LongType || x.dataType == IntegerType ||
               x.dataType == DoubleType || x.dataType == FloatType) =>
-        val (s, nn) = (mvAttr("mv_sum"), mvAttr("mv_nn"))
+        val (s, nn) =
+          (mvAttr(mcol("mv_sum", x.name)), mvAttr(mcol("mv_nn", x.name)))
         val (se, nne): (Expression, Expression) =
           if (!reagg) (s, nn)
           else

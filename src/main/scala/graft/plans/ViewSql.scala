@@ -449,24 +449,89 @@ object ViewSql {
         val parsed = rest.map(parseAgg)
         if (parsed.exists(_.isEmpty))
           refuse("unsupported aggregate expression")
-        parsed.flatten.toList match {
-          case List(("sum", "mv_sum", ColArg(x)), ("count", "mv_n", StarArg)) =>
-            (src, g, x, "sum", keyExpr, false)
-          case List(
-            ("min", "mv_min", ColArg(x)), ("max", "mv_max", ColArg(y)),
-            ("count", "mv_n", StarArg)) if x == y =>
-            (src, g, x, "minmax", keyExpr, false)
-          case List(
-            ("sum", "mv_sum", ColArg(x)), ("sum", "mv_sumsq", SqArg(y)),
-            ("count", "mv_n", StarArg)) if x == y =>
-            (src, g, x, "stats", keyExpr, false)
-          // the trailing non-null count IS the avg-serve declaration
-          case List(
-            ("sum", "mv_sum", ColArg(x)), ("sum", "mv_sumsq", SqArg(y)),
-            ("count", "mv_n", StarArg), ("count", "mv_nn", ColArg(z)))
-              if x == y && x == z =>
-            (src, g, x, "stats", keyExpr, true)
-          case _ => refuse("the aggregate list matches none of the shapes")
+        // MULTI-MEASURE classification (round 15): each kind repeats
+        // its per-measure block with EXACT aliases — bare names for one
+        // measure (mv_sum), suffixed per measure otherwise (mv_sum_<m>)
+        // — matching the createMv naming the refresh fold and the serve
+        // rule resolve. Exactly one count(*) AS mv_n is always required;
+        // stats may append count(m) AS mv_nn[_<m>] for EVERY measure —
+        // the avg-serve declaration.
+        val items = parsed.flatten.toList
+        if (items.count {
+              case ("count", "mv_n", StarArg) => true
+              case _                          => false
+            } != 1)
+          refuse("exactly one count(*) AS mv_n is required")
+        val nonCount = items.filterNot {
+          case ("count", "mv_n", StarArg) => true
+          case _                          => false
+        }
+        val (core, nnPart) = nonCount.partition {
+          case ("count", _, ColArg(_)) => false
+          case _                       => true
+        }
+        def an(base: String, m: String, multi: Boolean): String =
+          if (multi) s"${base}_$m" else base
+        def nnMatches(xs: Seq[String], multi: Boolean): Boolean =
+          nnPart.collect { case ("count", a, ColArg(x)) => (a, x) } ==
+            xs.map(x => (an("mv_nn", x, multi), x)).toList
+        val classified: Option[(String, Seq[String], Boolean)] = {
+          val sums = core.collect { case ("sum", a, ColArg(x)) => (a, x) }
+          if (core.nonEmpty && sums.size == core.size) {
+            val multi = sums.size > 1
+            val xs = sums.map(_._2)
+            if (sums.forall { case (a, x) => a == an("mv_sum", x, multi) } &&
+              xs.distinct.size == xs.size && nnPart.isEmpty)
+              Some(("sum", xs, false))
+            else None
+          } else None
+        }.orElse {
+          if (core.size >= 2 && core.size % 2 == 0) {
+            val ps = core.grouped(2).toList.map {
+              case List(("sum", a1, ColArg(x)), ("sum", a2, SqArg(y)))
+                  if x == y =>
+                Some((a1, a2, x))
+              case _ => None
+            }
+            if (ps.forall(_.isDefined)) {
+              val got = ps.map(_.get)
+              val multi = got.size > 1
+              val xs = got.map(_._3)
+              if (got.forall { case (a1, a2, x) =>
+                  a1 == an("mv_sum", x, multi) &&
+                    a2 == an("mv_sumsq", x, multi)
+                } && xs.distinct.size == xs.size &&
+                (nnPart.isEmpty || nnMatches(xs, multi)))
+                Some(("stats", xs, nnPart.nonEmpty))
+              else None
+            } else None
+          } else None
+        }.orElse {
+          if (core.size >= 2 && core.size % 2 == 0 && nnPart.isEmpty) {
+            val ps = core.grouped(2).toList.map {
+              case List(("min", a1, ColArg(x)), ("max", a2, ColArg(y)))
+                  if x == y =>
+                Some((a1, a2, x))
+              case _ => None
+            }
+            if (ps.forall(_.isDefined)) {
+              val got = ps.map(_.get)
+              val multi = got.size > 1
+              val xs = got.map(_._3)
+              if (got.forall { case (a1, a2, x) =>
+                  a1 == an("mv_min", x, multi) &&
+                    a2 == an("mv_max", x, multi)
+                } && xs.distinct.size == xs.size)
+                Some(("minmax", xs, false))
+              else None
+            } else None
+          } else None
+        }
+        classified match {
+          case Some((k, xs, avgE)) =>
+            (src, g, xs.mkString(","), k, keyExpr, avgE)
+          case None =>
+            refuse("the aggregate list matches none of the shapes")
         }
       case _ => refuse("the query must be a single-table GROUP BY rollup")
     }

@@ -3282,25 +3282,35 @@ object SnapshotLog {
     val src =
       if (keyCols.size == 1) read(spark, source, Some(tip)).groupBy(keyOf)
       else read(spark, source, Some(tip)).groupBy(keyCols.map(col): _*)
-    val m = kind match {
+    // MULTI-MEASURE rollups (round 15): `aggCol` may be a comma-joined
+    // list — one MV (one refresh fold) maintains every measure. Column
+    // names stay legacy for a single measure (mv_sum, mv_sumsq, mv_nn,
+    // mv_min, mv_max) and suffix per measure otherwise (mv_sum_<m>, …);
+    // mv_n (count(*)) is shared. The serve rule resolves the same
+    // naming, so `SELECT k, sum(a), sum(b)` answers from ONE rollup.
+    val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(measures.nonEmpty, s"createMv: empty measure list '$aggCol'")
+    def mn(base: String, m: String): String =
+      if (measures.size == 1) base else s"${base}_$m"
+    val aggExprs: Seq[org.apache.spark.sql.Column] = kind match {
       case "sum" =>
-        src.agg(sum(col(aggCol)).as("mv_sum"), count(lit(1)).as("mv_n"))
-      case "stats" if avgExact =>
-        src.agg(
-          sum(col(aggCol)).as("mv_sum"),
-          sum(col(aggCol) * col(aggCol)).as("mv_sumsq"),
-          count(lit(1)).as("mv_n"),
-          count(col(aggCol)).as("mv_nn"))
+        measures.map(m => sum(col(m)).as(mn("mv_sum", m))) :+
+          count(lit(1)).as("mv_n")
       case "stats" =>
-        src.agg(
-          sum(col(aggCol)).as("mv_sum"),
-          sum(col(aggCol) * col(aggCol)).as("mv_sumsq"),
-          count(lit(1)).as("mv_n"))
+        measures.flatMap(m => Seq(
+          sum(col(m)).as(mn("mv_sum", m)),
+          sum(col(m) * col(m)).as(mn("mv_sumsq", m)))) ++
+          Seq(count(lit(1)).as("mv_n")) ++
+          (if (avgExact)
+             measures.map(m => count(col(m)).as(mn("mv_nn", m)))
+           else Nil)
       case _ =>
-        src.agg(
-          min(col(aggCol)).as("mv_min"), max(col(aggCol)).as("mv_max"),
-          count(lit(1)).as("mv_n"))
+        measures.flatMap(m => Seq(
+          min(col(m)).as(mn("mv_min", m)),
+          max(col(m)).as(mn("mv_max", m)))) :+
+          count(lit(1)).as("mv_n")
     }
+    val m = src.agg(aggExprs.head, aggExprs.tail: _*)
     // the as-of version rides the materialize commit's own header
     // (`mvv=`): data and high-water mark land in ONE atomic write, the
     // same ledger-rides-the-commit design as ingest. The props copy is
@@ -3531,52 +3541,57 @@ object SnapshotLog {
       case None => readChanges(spark, source, from, to)
     }
     onWatermarkPinned()
+    // MULTI-MEASURE folds (round 15): mv_agg may be a comma-joined
+    // list; every branch folds each measure under the createMv naming
+    // (legacy bare names for a single measure, mv_*_<m> otherwise).
+    val measures = agg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    def mn(base: String, m: String): String =
+      if (measures.size == 1) base else s"${base}_$m"
+    def foldSum(mvName: String, dName: String) =
+      (coalesce(col(mvName), lit(0L)) + coalesce(col(dName), lit(0L)))
+        .as(mvName)
     val next = if (kind == "sum") {
       val sign =
         when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+      val deltaAggs =
+        measures.map(m => sum(col(m) * sign).as(mn("d_sum", m))) :+
+          sum(sign).as("d_n")
       val delta = changes
         .groupBy(keyCols: _*)
-        .agg(sum(col(agg) * sign).as("d_sum"), sum(sign).as("d_n"))
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
       read(spark, mv)
         .join(delta, keys, "full_outer")
         .select(
-          keyCols ++ Seq(
-            (coalesce(col("mv_sum"), lit(0L)) +
-              coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
-            (coalesce(col("mv_n"), lit(0L)) +
-              coalesce(col("d_n"), lit(0L))).as("mv_n")): _*)
+          keyCols ++
+            measures.map(m => foldSum(mn("mv_sum", m), mn("d_sum", m))) ++
+            Seq(foldSum("mv_n", "d_n")): _*)
         .filter(col("mv_n") > 0)
     } else if (kind == "stats") {
       // sum-of-squares inverts a delete exactly like sum does (the
       // deleted row's x and x² both subtract) — the whole refresh
       // stays a pure fold, no recompute branch at any delete pattern.
-      // An avg-declared MV (createMv avgExact) also carries mv_nn, the
-      // NON-NULL measure count; it folds with a null-masked sign.
+      // An avg-declared MV (createMv avgExact) also carries mv_nn per
+      // measure, the NON-NULL count; it folds with a null-masked sign.
       val sign =
         when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-      val hasNn = read(spark, mv).columns.contains("mv_nn")
-      val deltaAggs = Seq(
-        sum(col(agg) * sign).as("d_sum"),
-        sum(col(agg) * col(agg) * sign).as("d_sumsq"),
-        sum(sign).as("d_n")) ++
-        (if (hasNn)
-           Seq(sum(when(col(agg).isNotNull, sign).otherwise(lit(0L)))
-             .as("d_nn"))
-         else Nil)
+      val mvCols = read(spark, mv).columns.toSet
+      val withNn = measures.filter(m => mvCols.contains(mn("mv_nn", m)))
+      val deltaAggs = measures.flatMap(m => Seq(
+          sum(col(m) * sign).as(mn("d_sum", m)),
+          sum(col(m) * col(m) * sign).as(mn("d_sumsq", m)))) ++
+        Seq(sum(sign).as("d_n")) ++
+        withNn.map(m =>
+          sum(when(col(m).isNotNull, sign).otherwise(lit(0L)))
+            .as(mn("d_nn", m)))
       val delta = changes
         .groupBy(keyCols: _*)
         .agg(deltaAggs.head, deltaAggs.tail: _*)
-      val foldCols = keyCols ++ Seq(
-        (coalesce(col("mv_sum"), lit(0L)) +
-          coalesce(col("d_sum"), lit(0L))).as("mv_sum"),
-        (coalesce(col("mv_sumsq"), lit(0L)) +
-          coalesce(col("d_sumsq"), lit(0L))).as("mv_sumsq"),
-        (coalesce(col("mv_n"), lit(0L)) +
-          coalesce(col("d_n"), lit(0L))).as("mv_n")) ++
-        (if (hasNn)
-           Seq((coalesce(col("mv_nn"), lit(0L)) +
-             coalesce(col("d_nn"), lit(0L))).as("mv_nn"))
-         else Nil)
+      val foldCols = keyCols ++
+        measures.flatMap(m => Seq(
+          foldSum(mn("mv_sum", m), mn("d_sum", m)),
+          foldSum(mn("mv_sumsq", m), mn("d_sumsq", m)))) ++
+        Seq(foldSum("mv_n", "d_n")) ++
+        withNn.map(m => foldSum(mn("mv_nn", m), mn("d_nn", m)))
       read(spark, mv)
         .join(delta, keys, "full_outer")
         .select(foldCols: _*)
@@ -3590,21 +3605,25 @@ object SnapshotLog {
       val delKeys = changes
         .filter(col("change_type") === "delete")
         .select(keyCols: _*).distinct().localCheckpoint()
+      val insAggs = measures.flatMap(m => Seq(
+          min(col(m)).as(mn("d_min", m)),
+          max(col(m)).as(mn("d_max", m)))) :+
+        count(lit(1)).as("d_n")
       val insDelta = changes
         .filter(col("change_type") === "insert")
         .groupBy(keyCols: _*)
-        .agg(
-          min(col(agg)).as("d_min"), max(col(agg)).as("d_max"),
-          count(lit(1)).as("d_n"))
+        .agg(insAggs.head, insAggs.tail: _*)
       // least/greatest skip nulls, so a one-sided key folds correctly
       val folded = read(spark, mv)
         .join(insDelta, keys, "full_outer")
         .select(
-          keyCols ++ Seq(
-            least(col("mv_min"), col("d_min")).as("mv_min"),
-            greatest(col("mv_max"), col("d_max")).as("mv_max"),
-            (coalesce(col("mv_n"), lit(0L)) +
-              coalesce(col("d_n"), lit(0L))).as("mv_n")): _*)
+          keyCols ++
+            measures.flatMap(m => Seq(
+              least(col(mn("mv_min", m)), col(mn("d_min", m)))
+                .as(mn("mv_min", m)),
+              greatest(col(mn("mv_max", m)), col(mn("d_max", m)))
+                .as(mn("mv_max", m)))) ++
+            Seq(foldSum("mv_n", "d_n")): _*)
       // recompute AT THE WATERMARK `to`, never the current tip: a
       // source commit landing mid-refresh would otherwise leak
       // post-`to` rows into the recomputed groups, and the next
@@ -3637,12 +3656,14 @@ object SnapshotLog {
             entriesFor(manifestEntries(spark, source, to), admit),
             tableSchema(spark, source, to))
       }
+      val recompAggs = measures.flatMap(m => Seq(
+          min(col(m)).as(mn("mv_min", m)),
+          max(col(m)).as(mn("mv_max", m)))) :+
+        count(lit(1)).as("mv_n")
       val recomputed = srcAtTo
         .join(delKeys, keys, "left_semi")
         .groupBy(keyCols: _*)
-        .agg(
-          min(col(agg)).as("mv_min"), max(col(agg)).as("mv_max"),
-          count(lit(1)).as("mv_n"))
+        .agg(recompAggs.head, recompAggs.tail: _*)
       // a fully-deleted group appears in delKeys but not in the
       // recompute — it vanishes, as it must
       folded.join(delKeys, keys, "left_anti").unionByName(recomputed)

@@ -2332,6 +2332,84 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("multi-measure MV: one rollup maintains several measures; a query " +
+    "asking for all of them serves 1:1; refresh folds every measure; " +
+    "off-list measures bail") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, a BIGINT, b BIGINT, c BIGINT)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 10, 1, 7), (1, 20, 2, 7), (2, 5, 3, 7)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_mm AS
+         |SELECT k, sum(a) AS mv_sum_a, sum(b) AS mv_sum_b,
+         |count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_mm"
+    assert(
+      SnapshotLog.tableProps(spark, pathOf(s"x.y.${tn}_mm"))("mv_agg")
+        == "a,b")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      val served = plan(
+        s"SELECT k, sum(a) AS sa, sum(b) AS sb, count(*) AS n " +
+          s"FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(served, mvPath), "both sums must serve")
+      assert(!served.exists(_.isInstanceOf[Aggregate]))
+      assert(run(served).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet == Set((1L, 30L, 3L, 2L), (2L, 5L, 3L, 1L)))
+      // one of the two also serves alone, and GLOBAL re-aggregates both
+      assert(MvRewrite.readsPath(
+        plan(s"SELECT k, sum(b) AS sb FROM $t GROUP BY k"), mvPath))
+      val g = plan(s"SELECT sum(a) AS sa, sum(b) AS sb FROM $t")
+      assert(MvRewrite.readsPath(g, mvPath))
+      assert(run(g).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((35L, 6L)))
+      // a measure the MV does not store bails
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, sum(c) AS sc FROM $t GROUP BY k"), mvPath))
+      // the refresh folds EVERY measure
+      spark.sql(s"INSERT INTO $t VALUES (2, 100, 50, 7), (3, 1, 2, 7)")
+      spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_mm")
+      val after = plan(
+        s"SELECT k, sum(a) AS sa, sum(b) AS sb FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(after, mvPath))
+      assert(run(after).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 30L, 3L), (2L, 105L, 53L), (3L, 1L, 2L)))
+      // multi-measure MINMAX via DDL: per-measure min/max pairs
+      val u = freshName()
+      val un = u.split('.').last
+      spark.sql(s"CREATE TABLE $u (k BIGINT, a BIGINT, b BIGINT)")
+      spark.sql(s"INSERT INTO $u VALUES (1, 10, 9), (1, 3, 20), (2, 5, 1)")
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW cattest.main.${un}_mmx AS
+           |SELECT k, min(a) AS mv_min_a, max(a) AS mv_max_a,
+           |min(b) AS mv_min_b, max(b) AS mv_max_b, count(*) AS mv_n
+           |FROM $u GROUP BY k""".stripMargin)
+      val mmxPath = s"$warehouse/main/${un}_mmx"
+      val mm = plan(
+        s"SELECT k, min(a) AS mna, max(b) AS mxb FROM $u GROUP BY k")
+      assert(MvRewrite.readsPath(mm, mmxPath))
+      assert(run(mm).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 3L, 20L), (2L, 5L, 1L)))
+      // wrong aliases refuse loudly at CREATE
+      val e = intercept[Exception](spark.sql(
+        s"""CREATE MATERIALIZED VIEW cattest.main.${un}_bad AS
+           |SELECT k, sum(a) AS mv_sum, sum(b) AS mv_sum_b,
+           |count(*) AS mv_n FROM $u GROUP BY k""".stripMargin))
+      assert(e.getMessage.contains("shapes"))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the SQL spelling of the " +
     "managed MV, with loud refusals off the maintainable shapes") {
     val t = freshName()

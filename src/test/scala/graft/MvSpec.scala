@@ -330,6 +330,48 @@ class MvSpec extends SparkTestBase {
     assert(e.getMessage.contains("composite"))
   }
 
+  test("multi-measure minmax MV: the insert fold and the delete-recompute " +
+    "cover every measure; a deleted extremum of ONE measure recomputes " +
+    "both exactly") {
+    import spark.implicits._
+    def kab(rows: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("k", "a", "b")
+    def recomputeM(src: String): Set[(Long, Long, Long, Long, Long, Long)] =
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"))
+        .agg(
+          min(col("a")).as("mv_min_a"), max(col("a")).as("mv_max_a"),
+          min(col("b")).as("mv_min_b"), max(col("b")).as("mv_max_b"),
+          count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSet
+    def mvM(mv: String): Set[(Long, Long, Long, Long, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSet
+    val src = fresh("src")
+    val mv = fresh("mv")
+    SnapshotLog.commit(
+      spark, src, kab(Seq((1L, 10L, 100L), (1L, 30L, 50L), (2L, 5L, 7L))))
+    SnapshotLog.createMv(spark, src, mv, "k", "a,b", kind = "minmax")
+    assert(mvM(mv) == recomputeM(src))
+    SnapshotLog.commit(spark, src, kab(Seq((1L, 7L, 200L), (3L, 1L, 2L))))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvM(mv) == recomputeM(src))
+    assert(mvM(mv).contains((1L, 7L, 30L, 50L, 200L, 3L)))
+    // delete the row holding group 1's minimum of `a` AND maximum of
+    // `b` — the recompute must land both extrema exactly
+    SnapshotLog.mergeCoW(
+      spark, src, "k", Seq(1L).toDF("k"),
+      df => df.filter(!(col("k") === 1L && col("a") === 7L)))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvM(mv) == recomputeM(src))
+    assert(mvM(mv).contains((1L, 10L, 30L, 50L, 100L, 2L)))
+  }
+
   test("derived-key MV (to_date): the fold AND the delete-touched-group " +
     "recompute both re-derive the day; a colliding key name refuses") {
     import java.sql.Timestamp
