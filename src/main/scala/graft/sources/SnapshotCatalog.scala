@@ -4312,6 +4312,12 @@ private[sources] object SnapshotProcedures {
         // count — delete-touched groups recompute on refresh), or
         // 'stats' (sum/sum-of-squares/count — invertible fold;
         // avg/var/stddev derive from the moments)
+        // `key` and `agg` accept comma-joined lists (composite keys /
+        // multi-measure rollups); `key_expr` records a derived time
+        // grain (to_date(c), trunc(to_date(c),'month'|'year'),
+        // date_trunc('hour',c)); `avg_exact => true` declares the
+        // measures integral-valued (adds the non-null counts so avg
+        // may serve) — the CALL surface mirrors the DDL exactly.
         proc(
           "create_mv",
           Seq(
@@ -4320,7 +4326,12 @@ private[sources] object SnapshotProcedures {
             ProcedureParameter.in("key", StringType).build(),
             ProcedureParameter.in("agg", StringType).build(),
             ProcedureParameter.in("kind", StringType)
-              .defaultValue("'sum'").build()
+              .defaultValue("'sum'").build(),
+            ProcedureParameter.in("key_expr", StringType)
+              .defaultValue("''").build(),
+            ProcedureParameter
+              .in("avg_exact", org.apache.spark.sql.types.BooleanType)
+              .defaultValue("false").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
           in =>
@@ -4331,7 +4342,11 @@ private[sources] object SnapshotProcedures {
                 resolve(in.getUTF8String(1).toString),
                 in.getUTF8String(2).toString,
                 in.getUTF8String(3).toString,
-                if (in.isNullAt(4)) "sum" else in.getUTF8String(4).toString))))
+                if (in.isNullAt(4)) "sum" else in.getUTF8String(4).toString,
+                Option(
+                  if (in.isNullAt(5)) "" else in.getUTF8String(5).toString)
+                  .filter(_.nonEmpty),
+                !in.isNullAt(6) && in.getBoolean(6)))))
         )
       case "count_by" =>
         // metadata-only GROUP-BY-PARTITION count: CALL

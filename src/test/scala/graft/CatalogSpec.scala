@@ -2407,6 +2407,32 @@ class CatalogSpec extends SparkTestBase {
            |SELECT k, sum(a) AS mv_sum, sum(b) AS mv_sum_b,
            |count(*) AS mv_n FROM $u GROUP BY k""".stripMargin))
       assert(e.getMessage.contains("shapes"))
+      // the CALL surface mirrors the DDL: key_expr + avg_exact flow
+      // through to the same createMv (a daily declared-avg stats MV)
+      val w = freshName()
+      val wn = w.split('.').last
+      spark.sql(s"CREATE TABLE $w (ts TIMESTAMP, v BIGINT)")
+      spark.sql(
+        s"""INSERT INTO $w VALUES
+           |(timestamp'2024-06-01 08:00:00', 10),
+           |(timestamp'2024-06-01 20:00:00', 30)""".stripMargin)
+      spark.sql(
+        s"""CALL cattest.system.create_mv(source => 'main.$wn',
+           |mv => 'main.${wn}_dav', key => 'day', agg => 'v',
+           |kind => 'stats', key_expr => 'to_date(ts)',
+           |avg_exact => true)""".stripMargin)
+      val props =
+        SnapshotLog.tableProps(spark, pathOf(s"x.y.${wn}_dav"))
+      assert(props.get("mv_key_expr").contains("to_date(ts)") &&
+        props.get("mv_avg_exact").contains("true"))
+      val dav = plan(
+        s"SELECT to_date(ts) AS day, avg(v) AS a FROM $w " +
+          s"GROUP BY to_date(ts)")
+      assert(MvRewrite.readsPath(dav, s"$warehouse/main/${wn}_dav"),
+        "avg over the CALL-created daily declared MV must serve")
+      assert(run(dav).collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1))).toSet ==
+        Set(("2024-06-01", 20.0)))
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
