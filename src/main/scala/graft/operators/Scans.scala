@@ -3326,6 +3326,242 @@ object Scans {
     }
   }
 
+  /** COUNT(DISTINCT) served from a kind='distinct' managed MV (round
+    * 15): the MV stores one Spark-native BITMAP per (key,
+    * 32768-value bucket) — an exact, mergeable set partial — so the
+    * most expensive dashboard aggregate at 100 TB (distinct counting
+    * forces an expand + re-shuffle of every (group, value) pair when
+    * computed from the source) becomes a scan of the rollup's stored
+    * per-bucket cardinalities. The lifecycle exercises every
+    * maintenance branch: create at half the data (DDL `count(DISTINCT
+    * item) AS mv_dc`), append the rest (the bitmap-OR insert fold),
+    * DELETE a value band (distinct partials are NOT invertible — the
+    * delete-touched groups recompute, scoped by manifest stats), one
+    * REFRESH, then the serve: `SELECT grp, count(DISTINCT item),
+    * count(*) GROUP BY grp` rewrites to ONE aggregate over the MV
+    * (per-key buckets are disjoint, so stored cardinalities SUM) with
+    * the source scan gone from the plan. `item` straddles zero so
+    * negative bit positions are exercised at the graded scale. The
+    * oracle recomputes from source rows through the same
+    * append + DELETE. */
+  val aggMvServeDistinct: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_dcsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_dcmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 50).cast("long").as("grp"),
+        (col("o_orderkey") % 97 - 48).cast("long").as("item"))
+    o.createOrReplaceTempView("graft_dc_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_dcsrc
+         |(o_orderkey BIGINT, grp BIGINT, item BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_dcsrc
+         |SELECT * FROM graft_dc_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_dcmv AS
+         |SELECT grp, count(DISTINCT item) AS mv_dc, count(*) AS mv_n
+         |FROM $cat.main.orders_dcsrc GROUP BY grp""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_dcsrc
+         |SELECT * FROM graft_dc_src WHERE o_orderkey > $half""".stripMargin)
+    // a DELETE that removes a whole item band: some groups lose
+    // values outright, others keep them through surviving duplicates
+    // — exactly the case the non-invertible recompute branch exists for
+    spark.sql(
+      s"DELETE FROM $cat.main.orders_dcsrc WHERE item BETWEEN -5 AND -1")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_dcmv")
+    val brute = spark.sql(
+      s"""SELECT grp, count(DISTINCT item) AS d_items, count(*) AS n
+         |FROM $cat.main.orders_dcsrc
+         |GROUP BY grp ORDER BY grp""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_dcmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "distinct serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** MONTHLY COUNT(DISTINCT) served from a DAILY distinct MV (round
+    * 15) — the query no count rollup can answer: a user active on
+    * many June days is ONE June user, so per-day distinct counts do
+    * not sum; the MV's bitmap partials OR across the days of each
+    * month (an inner aggregate at (month, bucket) grain unions the
+    * bitmaps, an outer sums the per-bucket cardinalities), which is
+    * exact because a bitmap IS the set. This is the MAU-from-DAU
+    * dashboard at 100 TB: the monthly distinct serves from an
+    * O(days × buckets) rollup with the source scan gone. The daily
+    * key is DERIVED (`to_date(ts)`) and refreshed mid-lifecycle, so
+    * the derived-key fold and the freshness gate both sit in the
+    * graded path. */
+  val aggMvServeDistinctMonth: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_dcmsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_dcmmv")
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        (col("event_id") % 211).cast("long").as("uid"))
+    e.createOrReplaceTempView("graft_dcm_src")
+    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_dcmsrc
+         |(event_id BIGINT, ts TIMESTAMP, uid BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_dcmsrc
+         |SELECT * FROM graft_dcm_src WHERE event_id <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_dcmmv AS
+         |SELECT to_date(ts) AS day, count(DISTINCT uid) AS mv_dc,
+         |count(*) AS mv_n
+         |FROM $cat.main.events_dcmsrc GROUP BY to_date(ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_dcmsrc
+         |SELECT * FROM graft_dcm_src WHERE event_id > $half""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_dcmmv")
+    val brute = spark.sql(
+      s"""SELECT trunc(to_date(ts), 'month') AS mon,
+         |count(DISTINCT uid) AS mau, count(*) AS n
+         |FROM $cat.main.events_dcmsrc
+         |GROUP BY trunc(to_date(ts), 'month') ORDER BY mon""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/events_dcmmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "monthly distinct serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** STAR-SCHEMA aggregate served from a JOIN MV (round 15): `SELECT
+    * seg, sum(cents), count(*) FROM orders ⋈ customer GROUP BY seg` —
+    * the canonical fact-⋈-dim dashboard — serves from a
+    * `create_join_mv` rollup with BOTH scans gone from the plan. The
+    * MV pins the dim at materialize time and every refresh folds the
+    * FACT change feed enriched against that pinned dim, so the rollup
+    * is always exactly `aggregate(fact@watermark ⋈ dim@pinned)`; the
+    * serve rule verifies dim path, fk=pk pair, pinned dim version AND
+    * the fact watermark before firing, and a fact-only query can
+    * never serve from it (the inner join dropped unmatched fact
+    * rows). The dim here is a FILTERED customer subset, so exclusion
+    * semantics are live in the hash: orders of the dropped customers
+    * must be absent from every group. At 100 TB this turns the
+    * per-query fact-dim shuffle join + aggregate into an O(segments)
+    * MV scan. The oracle recomputes the join from source rows through
+    * the same append + CoW UPDATE the refresh folded. */
+  val aggMvServeJoin: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_jsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_jdim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_jmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_j_src")
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("graft_j_dim")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.cust_jdim (c_custkey BIGINT, seg STRING)""")
+    spark.sql(
+      s"INSERT INTO $cat.main.cust_jdim SELECT * FROM graft_j_dim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_jsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_jsrc
+         |SELECT * FROM graft_j_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.orders_jsrc',
+         |dim => 'main.cust_jdim', fk => 'o_custkey', pk => 'c_custkey',
+         |mv => 'main.orders_jmv', key => 'seg', agg => 'cents')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_jsrc
+         |SELECT * FROM graft_j_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_jsrc SET cents = cents + 4
+         |WHERE o_orderkey % 31 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_jmv")
+    val brute = spark.sql(
+      s"""SELECT seg, sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.orders_jsrc JOIN $cat.main.cust_jdim
+         |ON o_custkey = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_jmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "join serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NEITHER the fact nor the dim scan")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
     * `SupportsRuntimeV2Filtering` over its declared layout columns
     * (sorted_by / identity partitions / bucket key / bloom-indexed),
@@ -4939,6 +5175,9 @@ object Scans {
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
     "agg_mv_serve_multi" -> aggMvServeMulti,
+    "agg_mv_serve_distinct" -> aggMvServeDistinct,
+    "agg_mv_serve_distinct_month" -> aggMvServeDistinctMonth,
+    "agg_mv_serve_join" -> aggMvServeJoin,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "agg_rangeby_pushdown" -> aggRangebyPushdown,
@@ -5263,6 +5502,41 @@ object Scans {
         |  CAST(sum(clen) AS BIGINT) AS sum_clen,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the distinct count served from the bitmap MV must equal the
+    // recompute from source rows through the same append + DELETE
+    "agg_mv_serve_distinct" ->
+      """WITH src AS (SELECT o_orderkey,
+        |  CAST(o_custkey % 50 AS BIGINT) AS grp,
+        |  CAST(o_orderkey % 97 - 48 AS BIGINT) AS item FROM orders),
+        |fin AS (SELECT * FROM src WHERE item NOT BETWEEN -5 AND -1)
+        |SELECT grp, CAST(count(DISTINCT item) AS BIGINT) AS d_items,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM fin GROUP BY grp ORDER BY grp""".stripMargin,
+    // the star rollup served from the join MV must equal the join
+    // recomputed from source rows (filtered dim: dropped customers'
+    // orders are absent from every group — inner-join exclusion is
+    // live in the hash)
+    "agg_mv_serve_join" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |  WHERE c_custkey % 3 <> 0),
+        |src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 31 = 0 THEN 4 ELSE 0 END AS cents
+        |  FROM orders)
+        |SELECT seg, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src JOIN dim ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    // the monthly distinct served from the DAILY bitmap MV must equal
+    // the per-month recompute — a user active on many days of a month
+    // counts once (per-day distincts do not sum; the bitmaps OR)
+    "agg_mv_serve_distinct_month" ->
+      """WITH src AS (SELECT CAST(event_id % 211 AS BIGINT) AS uid,
+        |  CAST(ts AS DATE) AS day FROM events)
+        |SELECT date_trunc('month', day) AS mon,
+        |  CAST(count(DISTINCT uid) AS BIGINT) AS mau,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src GROUP BY date_trunc('month', day) ORDER BY mon""".stripMargin,
     // the per-customer re-aggregation of the (customer, status)
     // composite MV must equal the per-customer recompute
     "agg_mv_serve_subset" ->

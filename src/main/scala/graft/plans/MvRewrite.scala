@@ -385,21 +385,142 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => agg
     }
 
+  /** The query-side join context the serve rule verified against a
+    * candidate MV's recorded join: dim table path + the exact version
+    * the query pinned, and the fk/pk column names of the equi-join. */
+  private case class JoinProbe(
+      dimPath: String,
+      dimV: Int,
+      fkName: String,
+      pkName: String
+  )
+
+  private def mvRefsOf(srcPath: String): Seq[String] =
+    scala.util
+      .Try(graft.sources.SnapshotLog.tableProps(spark, srcPath))
+      .toOption.flatMap(_.get("mv_refs")).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+
   private def rewriteManaged(agg0: Aggregate): Option[LogicalPlan] = {
     val agg = inlineGroupingProject(agg0)
-    for {
+    val plain = for {
       (condOpt, srcPath, srcVersion) <- managedSourceOf(agg.child)
-      refs = scala.util
-        .Try(graft.sources.SnapshotLog.tableProps(spark, srcPath))
-        .toOption.flatMap(_.get("mv_refs")).toSeq
-        .flatMap(_.split(',')).filter(_.nonEmpty)
-      plan <- refs.view.flatMap { mvPath =>
+      plan <- mvRefsOf(srcPath).view.flatMap { mvPath =>
         scala.util
-          .Try(serveManaged(agg, condOpt, srcPath, srcVersion, mvPath))
+          .Try(serveManaged(agg, condOpt, srcPath, srcVersion, mvPath, None))
           .toOption.flatten
       }.headOption
     } yield plan
+    plain.orElse(rewriteManagedJoin(agg))
   }
+
+  // ------------------------------------------------------------------
+  // JOIN-MV serving (round 15): `SELECT d.attr, agg(f.m) FROM fact f
+  // JOIN dim d ON f.fk = d.pk GROUP BY d.attr` — the star-schema
+  // dashboard — serves from a createJoinMv rollup. The match is
+  // deliberately narrow and every piece verifies against the MV's
+  // recorded join: one INNER equi-join on a single column pair, fact
+  // and dim both snapshot scans, the dim pinned at EXACTLY the MV's
+  // recorded mv_dim_version and the fact at the MV's fold watermark.
+  // The inner join implies isnotnull on both join keys, so those
+  // optimizer-inferred atoms are discarded; any OTHER fact-side
+  // residual bails (measure-level predicates are unanswerable from a
+  // rollup), and dim-side residuals transplant through the same
+  // key-shaped/deterministic gate as every other serve.
+  // ------------------------------------------------------------------
+
+  private case class JoinMatch(
+      topCond: Option[Expression],
+      leftCond: Option[Expression],
+      leftPath: String,
+      leftV: Int,
+      leftKey: AttributeReference,
+      rightCond: Option[Expression],
+      rightPath: String,
+      rightV: Int,
+      rightKey: AttributeReference
+  )
+
+  private def managedJoinOf(plan: LogicalPlan): Option[JoinMatch] = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    plan match {
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        managedJoinOf(child)
+      case Filter(cond, child) =>
+        managedJoinOf(child).collect {
+          case jm if jm.topCond.isEmpty => jm.copy(topCond = Some(cond))
+        }
+      case Join(l, r, Inner,
+            Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+        for {
+          (lc, lp, lv) <- managedSourceOf(l)
+          (rc, rp, rv) <- managedSourceOf(r)
+          keys <-
+            if (l.outputSet.contains(a) && r.outputSet.contains(b))
+              Some((a, b))
+            else if (l.outputSet.contains(b) && r.outputSet.contains(a))
+              Some((b, a))
+            else None
+        } yield JoinMatch(None, lc, lp, lv, keys._1, rc, rp, rv, keys._2)
+      case _ => None
+    }
+  }
+
+  /** Drop `isnotnull(<joinKey>)` conjuncts (implied by the inner
+    * join — the MV's rollup never contained a NULL-key row) and
+    * return whatever remains, None when nothing does. */
+  private def stripJoinNotNull(
+      cond: Option[Expression],
+      joinKey: AttributeReference
+  ): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+    def atoms(e: Expression): Seq[Expression] = e match {
+      case And(x, y) => atoms(x) ++ atoms(y)
+      case x         => Seq(x)
+    }
+    cond
+      .map(atoms(_).filterNot {
+        case IsNotNull(x: AttributeReference) => x.exprId == joinKey.exprId
+        case _                                => false
+      })
+      .filter(_.nonEmpty)
+      .map(_.reduce(And(_, _)))
+  }
+
+  private def rewriteManagedJoin(agg: Aggregate): Option[LogicalPlan] =
+    managedJoinOf(agg.child).flatMap { jm =>
+      import org.apache.spark.sql.catalyst.expressions.And
+      // try both orientations — the user may write fact JOIN dim or
+      // dim JOIN fact; the MV's recorded (source, dim, fk, pk) decides
+      val orientations = Seq(
+        (jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey,
+          jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey),
+        (jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey,
+          jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey))
+      orientations.view.flatMap {
+        case (fp, fv, fc, fkA, dp, dv, dc, pkA) =>
+          // fact side: the ONLY tolerable residual is the inferred
+          // isnotnull(fk); anything else references measure-level
+          // values the rollup no longer has
+          if (stripJoinNotNull(fc, fkA).nonEmpty) Nil
+          else {
+            val dimCond = (stripJoinNotNull(dc, pkA), jm.topCond) match {
+              case (Some(x), Some(y)) => Some(And(x, y))
+              case (x, y)             => x.orElse(y)
+            }
+            mvRefsOf(fp).flatMap { mvPath =>
+              scala.util
+                .Try(serveManaged(
+                  agg, dimCond, fp, fv, mvPath,
+                  Some(JoinProbe(dp, dv, fkA.name, pkA.name))))
+                .toOption.flatten
+            }
+          }
+      }.headOption
+    }
 
   /** One candidate MV: verify provenance + freshness, then map the
     * aggregate's output onto the MV's stored columns. Grains that
@@ -430,7 +551,8 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       condOpt: Option[Expression],
       srcPath: String,
       srcVersion: Int,
-      mvPath: String
+      mvPath: String,
+      joinProbe: Option[JoinProbe]
   ): Option[LogicalPlan] = {
     import graft.sources.SnapshotLog
     import org.apache.spark.sql.catalyst.expressions.{
@@ -460,6 +582,23 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val props = SnapshotLog.tableProps(spark, mvPath)
     if (!props.get("mv_source").exists(s => MvRewrite.samePath(s, srcPath)))
       return None
+    // join MVs serve ONLY through a verified join context, and plain
+    // MVs never through one. Without this gate a join MV would serve
+    // a fact-only query — WRONG: the inner join dropped unmatched
+    // fact rows from mv_n and every measure partial. With it, the
+    // query's dim must be the recorded dim AT the recorded pinned
+    // version, joined on exactly the recorded fk = pk.
+    (props.get("mv_join_dim"), joinProbe) match {
+      case (None, None) => ()
+      case (Some(dp), Some(jp)) =>
+        if (!MvRewrite.samePath(dp, jp.dimPath)) return None
+        if (!props.get("mv_join_fk").contains(jp.fkName)) return None
+        if (!props.get("mv_join_pk").contains(jp.pkName)) return None
+        if (!props.get("mv_dim_version")
+            .flatMap(s => scala.util.Try(s.toInt).toOption)
+            .contains(jp.dimV)) return None
+      case _ => return None
+    }
     val key = props.getOrElse("mv_key", return None)
     // composite plain keys: mv_key is a comma-joined column list; the
     // full grain serves 1:1, any key SUBSET serves by re-aggregation
@@ -634,6 +773,139 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (child.dataType != want.dataType) None
       else if (!want.nullable && child.nullable) Some(KnownNotNull(child))
       else Some(child)
+    // ---- kind='distinct' owns its whole serve path (round 15) ----
+    // The stored grain is (keys..., mv_bno) — one bitmap per
+    // 32768-value bucket — NOT one row per key, so the generic 1:1 /
+    // re-agg mapping below would be WRONG for this kind (count(*)
+    // from a per-bucket mv_n would multiply by the bucket count).
+    // Return from inside this block for every distinct-kind MV.
+    //
+    //   - IDENTITY: one Aggregate at the stored key grain — buckets
+    //     within a group partition its value set, so the stored
+    //     per-bucket cardinalities SUM: count(DISTINCT m) =
+    //     sum(mv_dc), count(*) = sum(mv_n). O(MV), no expand, no
+    //     source scan.
+    //   - COARSE/GLOBAL: the same value can appear under MANY fine
+    //     keys mapping to one coarse group, so cardinalities do NOT
+    //     sum — the bitmaps OR: an inner Aggregate at (coarse grain,
+    //     mv_bno) unions the bucket bitmaps (bitmap_or_agg) and
+    //     counts bits, an outer Aggregate sums the per-bucket counts.
+    //     This is exactly the query a naive rollup CANNOT answer
+    //     (sum of daily distincts ≠ monthly distinct) and the reason
+    //     the kind stores sets, not counts.
+    if (kind == "distinct") {
+      import org.apache.spark.sql.catalyst.expressions.{
+        BitmapCount,
+        BitmapOrAgg
+      }
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+      if (measures.size != 1) return None
+      val meas = measures.head
+      if (!Seq("mv_bno", "mv_bm", "mv_dc", "mv_n").forall(mvAttr.contains))
+        return None
+      val base = condMv match {
+        case Some(cond) => Filter(cond, mvPlan)
+        case None       => mvPlan
+      }
+      // the two servable aggregates, by distinct-ness
+      object CountDistinctMeas {
+        def unapply(e: Expression): Boolean = e match {
+          case AggregateExpression(
+                Count(Seq(x: AttributeReference)), Complete, true, None, _) =>
+            x.name == meas
+          case _ => false
+        }
+      }
+      object CountStar {
+        def unapply(e: Expression): Boolean = e match {
+          case AggregateExpression(c: Count, Complete, false, None, _) =>
+            c.children == Seq(Literal(1))
+          case _ => false
+        }
+      }
+      if (identity) {
+        val groupings: Seq[Expression] = keys.map(k => mvAttr(k))
+        val outs: Seq[Option[NamedExpression]] =
+          agg.aggregateExpressions.map {
+            case a: AttributeReference if keyShaped(a) =>
+              fit(mvKeyFor(a), a)
+                .map(e => Alias(e, a.name)(exprId = a.exprId))
+            case al @ Alias(e, name) if keyShaped(e) =>
+              fit(mvKeyFor(e), al)
+                .map(x => Alias(x, name)(exprId = al.exprId))
+            case al @ Alias(e @ CountDistinctMeas(), name) =>
+              fit(
+                KnownNotNull(Sum(mvAttr("mv_dc")).toAggregateExpression()),
+                al).map(x => Alias(x, name)(exprId = al.exprId))
+            case al @ Alias(e @ CountStar(), name) =>
+              fit(
+                KnownNotNull(Sum(mvAttr("mv_n")).toAggregateExpression()),
+                al).map(x => Alias(x, name)(exprId = al.exprId))
+            case _ => None
+          }
+        if (outs.exists(_.isEmpty)) return None
+        return Some(Aggregate(groupings, outs.map(_.get), base))
+      }
+      if (!global && coarseGroups.isEmpty) return None
+      val tcg: Seq[Expression] = if (global) Nil else coarseGroups.get
+      val (bno, bm, n) = (mvAttr("mv_bno"), mvAttr("mv_bm"), mvAttr("mv_n"))
+      val cgAliases: Seq[Alias] =
+        tcg.zipWithIndex.map { case (e, i) => Alias(e, s"__graft_cg$i")() }
+      // BitmapCount is RuntimeReplaceable and ReplaceExpressions ran
+      // long before this rule — inject its replacement directly
+      val bcAlias = Alias(
+        BitmapCount(BitmapOrAgg(bm).toAggregateExpression()).replacement,
+        "__graft_bc")()
+      val nAlias = Alias(Sum(n).toAggregateExpression(), "__graft_n")()
+      val inner = Aggregate(
+        tcg :+ bno,
+        (cgAliases :+ bcAlias :+ nAlias).map(_.asInstanceOf[NamedExpression]),
+        base)
+      val cgAttrIds: Set[Long] = cgAliases.map(_.exprId.id).toSet
+      // outer-level form of a transplanted key expression: substitute
+      // each subtree that IS one of the inner groupings with that
+      // grouping's alias attribute (an output may also be a pure
+      // function OF a grouping — `year(day)` over `GROUP BY
+      // month(day)` never parses, but `month(day)` spelled with a
+      // different synonym canonicalizes equal, and composite subsets
+      // surface bare key members)
+      def toOuter(t: Expression): Option[Expression] = {
+        val sub = t.transformDown {
+          case x if tcg.exists(_.semanticEquals(x)) =>
+            cgAliases(tcg.indexWhere(_.semanticEquals(x))).toAttribute
+        }
+        if (sub.references.forall(r => cgAttrIds.contains(r.exprId.id)))
+          Some(sub)
+        else None
+      }
+      def summed(a: Attribute): Expression =
+        if (global)
+          // a global aggregate returns one row even over an empty MV:
+          // count over empty is 0, sum over empty is NULL
+          Coalesce(Seq(Sum(a).toAggregateExpression(), Literal(0L)))
+        else Sum(a).toAggregateExpression()
+      val outs: Seq[Option[NamedExpression]] =
+        agg.aggregateExpressions.map {
+          case a: AttributeReference if keyShaped(a) =>
+            transplant(a).flatMap(toOuter).flatMap(t =>
+              fit(t, a).map(e => Alias(e, a.name)(exprId = a.exprId)))
+          case al @ Alias(e @ CountDistinctMeas(), name) =>
+            fit(KnownNotNull(summed(bcAlias.toAttribute)), al)
+              .map(x => Alias(x, name)(exprId = al.exprId))
+          case al @ Alias(e @ CountStar(), name) =>
+            fit(KnownNotNull(summed(nAlias.toAttribute)), al)
+              .map(x => Alias(x, name)(exprId = al.exprId))
+          case al @ Alias(e, name)
+              if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+            transplant(e).flatMap(toOuter).flatMap(t =>
+              fit(t, al).map(x => Alias(x, name)(exprId = al.exprId)))
+          case _ => None
+        }
+      if (outs.exists(_.isEmpty)) return None
+      return Some(
+        Aggregate(cgAliases.map(_.toAttribute), outs.map(_.get), inner))
+    }
+    // ---- end kind='distinct' ----
     // one stored-measure mapping for all three grains: identity reads
     // the stored column, coarse/global re-aggregate it
     def servedAgg(fn: AggregateFunction): Option[Expression] = fn match {

@@ -217,7 +217,7 @@ object ViewSql {
       case cmv: CreateMaterializedViewAsSelect =>
         nameParts(cmv.name).flatMap(our) match {
           case Some((cat, sc, ident)) =>
-            val (srcParts, key, agg, kind, keyExpr, avgExact) =
+            val (srcParts, key, agg, kind, keyExpr, avgExact, joinSpec) =
               mvShape(cmv.query)
             val (_, srcSc, srcIdent) =
               inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
@@ -225,7 +225,15 @@ object ViewSql {
                   "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
                     s"catalog table, got '${srcParts.mkString(".")}'"))
             GraftCreateMvCommand(
-              sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact)
+              sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact,
+              joinSpec.map { case (dimParts, fk, pk) =>
+                val (_, dimSc, dimIdent) = inSnapshotCatalog(
+                  session, dimParts, Some((cat, ident.namespace)))
+                  .getOrElse(throw new IllegalArgumentException(
+                    "CREATE MATERIALIZED VIEW: the join dim must be a " +
+                      s"snapshot-catalog table, got '${dimParts.mkString(".")}'"))
+                (dimSc, dimIdent, fk, pk)
+              })
           case None => cmv
         }
       case r: UnresolvedRelation if !r.isStreaming && depth < MaxDepth =>
@@ -271,7 +279,7 @@ object ViewSql {
         throw new IllegalArgumentException(
           "CREATE MATERIALIZED VIEW targets a snapshot catalog " +
             s"(qualify the name), got '$identText'"))
-      val (srcParts, key, agg, kind, keyExpr, avgExact) =
+      val (srcParts, key, agg, kind, keyExpr, avgExact, joinSpec) =
         mvShape(parser.parseQuery(query))
       val (_, srcSc, srcIdent) =
         inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
@@ -279,7 +287,15 @@ object ViewSql {
             "CREATE MATERIALIZED VIEW: the source must be a snapshot-" +
               s"catalog table, got '${srcParts.mkString(".")}'"))
       Some(GraftCreateMvCommand(
-        sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact))
+        sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact,
+        joinSpec.map { case (dimParts, fk, pk) =>
+          val (_, dimSc, dimIdent) = inSnapshotCatalog(
+            session, dimParts, Some((cat, ident.namespace)))
+            .getOrElse(throw new IllegalArgumentException(
+              "CREATE MATERIALIZED VIEW: the join dim must be a " +
+                s"snapshot-catalog table, got '${dimParts.mkString(".")}'"))
+          (dimSc, dimIdent, fk, pk)
+        }))
     case DropMvRe(ifExists, identText) =>
       val parts = parser.parseMultipartIdentifier(identText)
       inSnapshotCatalog(session, parts, None) match {
@@ -314,17 +330,23 @@ object ViewSql {
     * ([[graft.sources.SnapshotLog.createMv]]'s avgExact). */
   private def mvShape(
       query: LogicalPlan
-  ): (Seq[String], String, String, String, Option[String], Boolean) = {
+  ): (Seq[String], String, String, String, Option[String], Boolean,
+      Option[(Seq[String], String, String)]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Multiply}
     val shapes =
       "SELECT k, sum(a) AS mv_sum, count(*) AS mv_n FROM t GROUP BY k | " +
         "SELECT k, min(a) AS mv_min, max(a) AS mv_max, count(*) AS mv_n " +
         "FROM t GROUP BY k | " +
         "SELECT k, sum(a) AS mv_sum, sum(a*a) AS mv_sumsq, count(*) AS mv_n " +
-        "[, count(a) AS mv_nn] FROM t GROUP BY k (k may also be " +
+        "[, count(a) AS mv_nn] FROM t GROUP BY k | " +
+        "SELECT k, count(DISTINCT a) AS mv_dc, count(*) AS mv_n " +
+        "FROM t GROUP BY k (k may also be " +
         "`to_date(col) AS day`, `trunc(to_date(col), 'month'|'year') " +
-        "AS m`, or `date_trunc('hour', col) AS h`)"
+        "AS m`, or `date_trunc('hour', col) AS h`) | " +
+        "any of the above over ONE inner join — SELECT d.k, ... FROM f " +
+        "[AS f] JOIN d [AS d] ON f.fk = d.pk GROUP BY d.k, every column " +
+        "qualified, keys from the dim, measures from the fact"
     def refuse(why: String): Nothing =
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: $why. Incrementally-maintainable " +
@@ -333,22 +355,40 @@ object ViewSql {
     case class ColArg(n: String) extends Arg
     case class SqArg(n: String) extends Arg
     case object StarArg extends Arg
-    def parseAgg(e: Expression): Option[(String, String, Arg)] = e match {
+    // `res` resolves an aggregate-argument attribute to its bare
+    // column name: single-part names in the single-table form,
+    // fact-qualified two-part names in the join form
+    def parseAggWith(res: UnresolvedAttribute => Option[String])(
+        e: Expression): Option[(String, String, Arg)] = e match {
       case al @ Alias(u: UnresolvedFunction, _)
           if !u.isDistinct && u.filter.isEmpty =>
         val fn = u.nameParts.map(_.toLowerCase).mkString(".")
         u.arguments match {
-          case Seq(a: UnresolvedAttribute) if a.nameParts.length == 1 =>
-            Some((fn, al.name, ColArg(a.nameParts.head)))
+          case Seq(a: UnresolvedAttribute) =>
+            res(a).map(n => (fn, al.name, ColArg(n)))
           case Seq(Multiply(a: UnresolvedAttribute, b: UnresolvedAttribute, _))
-              if a.nameParts == b.nameParts && a.nameParts.length == 1 =>
-            Some((fn, al.name, SqArg(a.nameParts.head)))
+              if a.nameParts == b.nameParts =>
+            res(a).map(n => (fn, al.name, SqArg(n)))
           case Seq(_: UnresolvedStar) => Some((fn, al.name, StarArg))
           case Seq(Literal(1, _))     => Some((fn, al.name, StarArg))
           case _                      => None
         }
+      // count(DISTINCT a) — the ONE distinct aggregate with an exact
+      // incrementally-maintainable partial (the bitmap kind); tagged
+      // with its own fn name so it can never classify as a plain count
+      case al @ Alias(u: UnresolvedFunction, _)
+          if u.isDistinct && u.filter.isEmpty &&
+            u.nameParts.map(_.toLowerCase).mkString(".") == "count" =>
+        u.arguments match {
+          case Seq(a: UnresolvedAttribute) =>
+            res(a).map(n => ("count_distinct", al.name, ColArg(n)))
+          case _ => None
+        }
       case _ => None
     }
+    val parseAgg: Expression => Option[(String, String, Arg)] =
+      parseAggWith(a =>
+        if (a.nameParts.length == 1) Some(a.nameParts.head) else None)
     // the derived grains (round 15 widens round 14's day grain to the
     // partition-transform surface): to_date(col) — day;
     // trunc(to_date(col), 'month'|'year'); date_trunc('hour', col).
@@ -398,142 +438,230 @@ object ViewSql {
         }
       case _ => None
     }
-    query match {
-      case a: Aggregate =>
-        val src = a.child match {
-          case r: UnresolvedRelation => r.multipartIdentifier
-          case _ => refuse("the source must be a single table (no joins, " +
-            "no subqueries)")
-        }
-        val (g, keyExpr, rest) = a.groupingExpressions match {
-          case Seq(ga: UnresolvedAttribute) if ga.nameParts.length == 1 =>
-            a.aggregateExpressions match {
-              case Seq(k: UnresolvedAttribute, more @ _*)
-                  if k.nameParts == ga.nameParts =>
-                (ga.nameParts.head, None, more)
-              case _ =>
-                refuse("the select list must lead with the grouping column")
-            }
-          case Seq(fn) if derivedKey(fn).isDefined =>
-            a.aggregateExpressions match {
-              case Seq(al @ Alias(fe, _), more @ _*)
-                  if derivedKey(fe) == derivedKey(fn) =>
-                (al.name, derivedKey(fn), more)
-              case _ =>
-                refuse("the select list must lead with the aliased derived " +
-                  "key, e.g. to_date(ts) AS day")
-            }
-          // COMPOSITE plain keys (round 15): GROUP BY k1, k2[, ...] with
-          // the select list leading with the same columns in the same
-          // order — recorded comma-joined; the serve rule answers the
-          // full grain 1:1 and any subset by re-aggregation
-          case gs
-              if gs.size > 1 && gs.forall {
-                case ga: UnresolvedAttribute => ga.nameParts.length == 1
-                case _                       => false
-              } =>
-            val names = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.head)
-            val lead = a.aggregateExpressions.take(gs.size)
-            val leadNames = lead.collect {
-              case k: UnresolvedAttribute if k.nameParts.length == 1 =>
-                k.nameParts.head
-            }
-            if (leadNames != names)
-              refuse("the select list must lead with the grouping columns " +
-                "in GROUP BY order")
-            (names.mkString(","), None, a.aggregateExpressions.drop(gs.size))
-          case _ =>
-            refuse("the grouping must be plain column(s), to_date(col), " +
-              "trunc(to_date(col), 'month'|'year'), or date_trunc('hour', col)")
-        }
-        val parsed = rest.map(parseAgg)
-        if (parsed.exists(_.isEmpty))
-          refuse("unsupported aggregate expression")
-        // MULTI-MEASURE classification (round 15): each kind repeats
-        // its per-measure block with EXACT aliases — bare names for one
-        // measure (mv_sum), suffixed per measure otherwise (mv_sum_<m>)
-        // — matching the createMv naming the refresh fold and the serve
-        // rule resolve. Exactly one count(*) AS mv_n is always required;
-        // stats may append count(m) AS mv_nn[_<m>] for EVERY measure —
-        // the avg-serve declaration.
-        val items = parsed.flatten.toList
-        if (items.count {
-              case ("count", "mv_n", StarArg) => true
-              case _                          => false
-            } != 1)
-          refuse("exactly one count(*) AS mv_n is required")
-        val nonCount = items.filterNot {
-          case ("count", "mv_n", StarArg) => true
-          case _                          => false
-        }
-        val (core, nnPart) = nonCount.partition {
-          case ("count", _, ColArg(_)) => false
-          case _                       => true
-        }
-        def an(base: String, m: String, multi: Boolean): String =
-          if (multi) s"${base}_$m" else base
-        def nnMatches(xs: Seq[String], multi: Boolean): Boolean =
-          nnPart.collect { case ("count", a, ColArg(x)) => (a, x) } ==
-            xs.map(x => (an("mv_nn", x, multi), x)).toList
-        val classified: Option[(String, Seq[String], Boolean)] = {
-          val sums = core.collect { case ("sum", a, ColArg(x)) => (a, x) }
-          if (core.nonEmpty && sums.size == core.size) {
-            val multi = sums.size > 1
-            val xs = sums.map(_._2)
-            if (sums.forall { case (a, x) => a == an("mv_sum", x, multi) } &&
-              xs.distinct.size == xs.size && nnPart.isEmpty)
-              Some(("sum", xs, false))
+    // kind classification over parsed aggregate items — shared by the
+    // single-table and join forms (same kinds, same exact aliases).
+    // MULTI-MEASURE (round 15): each kind repeats its per-measure
+    // block with EXACT aliases — bare names for one measure (mv_sum),
+    // suffixed per measure otherwise (mv_sum_<m>) — matching the
+    // createMv naming the refresh fold and the serve rule resolve.
+    // Exactly one count(*) AS mv_n is always required; stats may
+    // append count(m) AS mv_nn[_<m>] for EVERY measure — the
+    // avg-serve declaration.
+    def classify(
+        rest: Seq[Expression],
+        pa: Expression => Option[(String, String, Arg)]
+    ): (String, Seq[String], Boolean) = {
+      val parsed = rest.map(pa)
+      if (parsed.exists(_.isEmpty))
+        refuse("unsupported aggregate expression")
+      val items = parsed.flatten.toList
+      if (items.count {
+            case ("count", "mv_n", StarArg) => true
+            case _                          => false
+          } != 1)
+        refuse("exactly one count(*) AS mv_n is required")
+      val nonCount = items.filterNot {
+        case ("count", "mv_n", StarArg) => true
+        case _                          => false
+      }
+      val (core, nnPart) = nonCount.partition {
+        case ("count", _, ColArg(_)) => false
+        case _                       => true
+      }
+      def an(base: String, m: String, multi: Boolean): String =
+        if (multi) s"${base}_$m" else base
+      def nnMatches(xs: Seq[String], multi: Boolean): Boolean =
+        nnPart.collect { case ("count", a, ColArg(x)) => (a, x) } ==
+          xs.map(x => (an("mv_nn", x, multi), x)).toList
+      val classified: Option[(String, Seq[String], Boolean)] = {
+        val sums = core.collect { case ("sum", a, ColArg(x)) => (a, x) }
+        if (core.nonEmpty && sums.size == core.size) {
+          val multi = sums.size > 1
+          val xs = sums.map(_._2)
+          if (sums.forall { case (a, x) => a == an("mv_sum", x, multi) } &&
+            xs.distinct.size == xs.size && nnPart.isEmpty)
+            Some(("sum", xs, false))
+          else None
+        } else None
+      }.orElse {
+        if (core.size >= 2 && core.size % 2 == 0) {
+          val ps = core.grouped(2).toList.map {
+            case List(("sum", a1, ColArg(x)), ("sum", a2, SqArg(y)))
+                if x == y =>
+              Some((a1, a2, x))
+            case _ => None
+          }
+          if (ps.forall(_.isDefined)) {
+            val got = ps.map(_.get)
+            val multi = got.size > 1
+            val xs = got.map(_._3)
+            if (got.forall { case (a1, a2, x) =>
+                a1 == an("mv_sum", x, multi) &&
+                  a2 == an("mv_sumsq", x, multi)
+              } && xs.distinct.size == xs.size &&
+              (nnPart.isEmpty || nnMatches(xs, multi)))
+              Some(("stats", xs, nnPart.nonEmpty))
             else None
           } else None
-        }.orElse {
-          if (core.size >= 2 && core.size % 2 == 0) {
-            val ps = core.grouped(2).toList.map {
-              case List(("sum", a1, ColArg(x)), ("sum", a2, SqArg(y)))
-                  if x == y =>
-                Some((a1, a2, x))
-              case _ => None
-            }
-            if (ps.forall(_.isDefined)) {
-              val got = ps.map(_.get)
-              val multi = got.size > 1
-              val xs = got.map(_._3)
-              if (got.forall { case (a1, a2, x) =>
-                  a1 == an("mv_sum", x, multi) &&
-                    a2 == an("mv_sumsq", x, multi)
-                } && xs.distinct.size == xs.size &&
-                (nnPart.isEmpty || nnMatches(xs, multi)))
-                Some(("stats", xs, nnPart.nonEmpty))
-              else None
-            } else None
+        } else None
+      }.orElse {
+        if (core.size >= 2 && core.size % 2 == 0 && nnPart.isEmpty) {
+          val ps = core.grouped(2).toList.map {
+            case List(("min", a1, ColArg(x)), ("max", a2, ColArg(y)))
+                if x == y =>
+              Some((a1, a2, x))
+            case _ => None
+          }
+          if (ps.forall(_.isDefined)) {
+            val got = ps.map(_.get)
+            val multi = got.size > 1
+            val xs = got.map(_._3)
+            if (got.forall { case (a1, a2, x) =>
+                a1 == an("mv_min", x, multi) &&
+                  a2 == an("mv_max", x, multi)
+              } && xs.distinct.size == xs.size)
+              Some(("minmax", xs, false))
+            else None
           } else None
-        }.orElse {
-          if (core.size >= 2 && core.size % 2 == 0 && nnPart.isEmpty) {
-            val ps = core.grouped(2).toList.map {
-              case List(("min", a1, ColArg(x)), ("max", a2, ColArg(y)))
-                  if x == y =>
-                Some((a1, a2, x))
-              case _ => None
+        } else None
+      }.orElse {
+        // ONE count(DISTINCT a) AS mv_dc → the bitmap kind (a second
+        // distinct-counted column has its own bucket space — one MV
+        // per column, enforced by createMv too)
+        core match {
+          case List(("count_distinct", a, ColArg(x)))
+              if a == "mv_dc" && nnPart.isEmpty =>
+            Some(("distinct", Seq(x), false))
+          case _ => None
+        }
+      }
+      classified.getOrElse(
+        refuse("the aggregate list matches none of the shapes"))
+    }
+    // the JOIN form (round 15): ONE inner equi-join, every column
+    // qualified by table name or alias, grouping keys all from the
+    // DIM side, measures all from the FACT side — classified into the
+    // same kinds and handed to createJoinMv (dim version pinned
+    // there). A derived time grain does not combine with a join.
+    def joinShape(
+        a: Aggregate,
+        j: Join
+    ): (Seq[String], String, String, String, Option[String], Boolean,
+        Option[(Seq[String], String, String)]) = {
+      import org.apache.spark.sql.catalyst.plans.Inner
+      def relOf(p: LogicalPlan): Option[(Seq[String], String)] = p match {
+        case r: UnresolvedRelation =>
+          Some((r.multipartIdentifier, r.multipartIdentifier.last))
+        case SubqueryAlias(id, r: UnresolvedRelation) =>
+          Some((r.multipartIdentifier, id.name))
+        case _ => None
+      }
+      if (j.joinType != Inner)
+        refuse("only an INNER join rollup is incrementally maintainable")
+      val (lParts, lAl) = relOf(j.left)
+        .getOrElse(refuse("each join side must be a single table"))
+      val (rParts, rAl) = relOf(j.right)
+        .getOrElse(refuse("each join side must be a single table"))
+      def sideOf(x: UnresolvedAttribute): Option[Boolean] = x.nameParts match {
+        case Seq(q, _) if q.equalsIgnoreCase(lAl) => Some(true)
+        case Seq(q, _) if q.equalsIgnoreCase(rAl) => Some(false)
+        case _                                    => None
+      }
+      val (lk, rk) = j.condition match {
+        case Some(EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute)) =>
+          (sideOf(x), sideOf(y)) match {
+            case (Some(true), Some(false)) => (x, y)
+            case (Some(false), Some(true)) => (y, x)
+            case _ =>
+              refuse("the ON condition must equate one qualified column " +
+                "per side (f.fk = d.pk)")
+          }
+        case _ =>
+          refuse("the ON condition must be a single equi-join (f.fk = d.pk)")
+      }
+      val gsides = a.groupingExpressions.map {
+        case ga: UnresolvedAttribute =>
+          sideOf(ga).getOrElse(
+            refuse("qualify every grouping column with its table or alias"))
+        case _ =>
+          refuse("join-form groupings must be plain qualified dim columns")
+      }
+      if (gsides.isEmpty || gsides.distinct.size != 1)
+        refuse("all grouping columns must come from ONE side (the dim)")
+      val dimLeft = gsides.head
+      val names = a.groupingExpressions
+        .map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
+      val lead = a.aggregateExpressions.take(names.size)
+      val leadNames = lead.collect {
+        case k: UnresolvedAttribute if sideOf(k).contains(dimLeft) =>
+          k.nameParts.last
+      }
+      if (leadNames != names)
+        refuse("the select list must lead with the grouping columns in " +
+          "GROUP BY order")
+      val factRes: UnresolvedAttribute => Option[String] = x =>
+        sideOf(x).filter(_ != dimLeft).map(_ => x.nameParts.last)
+      val (k, xs, avgE) =
+        classify(a.aggregateExpressions.drop(names.size), parseAggWith(factRes))
+      val (factParts, dimParts) = if (dimLeft) (rParts, lParts) else (lParts, rParts)
+      val (fkA, pkA) = if (dimLeft) (rk, lk) else (lk, rk)
+      (factParts, names.mkString(","), xs.mkString(","), k, None, avgE,
+        Some((dimParts, fkA.nameParts.last, pkA.nameParts.last)))
+    }
+    query match {
+      case a: Aggregate =>
+        a.child match {
+          case r: UnresolvedRelation =>
+            val (g, keyExpr, rest) = a.groupingExpressions match {
+              case Seq(ga: UnresolvedAttribute) if ga.nameParts.length == 1 =>
+                a.aggregateExpressions match {
+                  case Seq(k: UnresolvedAttribute, more @ _*)
+                      if k.nameParts == ga.nameParts =>
+                    (ga.nameParts.head, None, more)
+                  case _ =>
+                    refuse("the select list must lead with the grouping column")
+                }
+              case Seq(fn) if derivedKey(fn).isDefined =>
+                a.aggregateExpressions match {
+                  case Seq(al @ Alias(fe, _), more @ _*)
+                      if derivedKey(fe) == derivedKey(fn) =>
+                    (al.name, derivedKey(fn), more)
+                  case _ =>
+                    refuse("the select list must lead with the aliased derived " +
+                      "key, e.g. to_date(ts) AS day")
+                }
+              // COMPOSITE plain keys (round 15): GROUP BY k1, k2[, ...] with
+              // the select list leading with the same columns in the same
+              // order — recorded comma-joined; the serve rule answers the
+              // full grain 1:1 and any subset by re-aggregation
+              case gs
+                  if gs.size > 1 && gs.forall {
+                    case ga: UnresolvedAttribute => ga.nameParts.length == 1
+                    case _                       => false
+                  } =>
+                val names =
+                  gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.head)
+                val lead = a.aggregateExpressions.take(gs.size)
+                val leadNames = lead.collect {
+                  case k: UnresolvedAttribute if k.nameParts.length == 1 =>
+                    k.nameParts.head
+                }
+                if (leadNames != names)
+                  refuse("the select list must lead with the grouping columns " +
+                    "in GROUP BY order")
+                (names.mkString(","), None, a.aggregateExpressions.drop(gs.size))
+              case _ =>
+                refuse("the grouping must be plain column(s), to_date(col), " +
+                  "trunc(to_date(col), 'month'|'year'), or date_trunc('hour', col)")
             }
-            if (ps.forall(_.isDefined)) {
-              val got = ps.map(_.get)
-              val multi = got.size > 1
-              val xs = got.map(_._3)
-              if (got.forall { case (a1, a2, x) =>
-                  a1 == an("mv_min", x, multi) &&
-                    a2 == an("mv_max", x, multi)
-                } && xs.distinct.size == xs.size)
-                Some(("minmax", xs, false))
-              else None
-            } else None
-          } else None
+            val (k, xs, avgE) = classify(rest, parseAgg)
+            (r.multipartIdentifier, g, xs.mkString(","), k, keyExpr, avgE, None)
+          case jn: Join => joinShape(a, jn)
+          case _ =>
+            refuse("the source must be a single table or ONE inner join " +
+              "(no subqueries)")
         }
-        classified match {
-          case Some((k, xs, avgE)) =>
-            (src, g, xs.mkString(","), k, keyExpr, avgE)
-          case None =>
-            refuse("the aggregate list matches none of the shapes")
-        }
-      case _ => refuse("the query must be a single-table GROUP BY rollup")
+      case _ => refuse("the query must be a GROUP BY rollup")
     }
   }
 
@@ -690,7 +818,11 @@ case class GraftCreateMvCommand(
     agg: String,
     kind: String,
     keyExpr: Option[String] = None,
-    avgExact: Boolean = false
+    avgExact: Boolean = false,
+    // the JOIN form: (dim catalog, dim ident, fk, pk) — the rollup is
+    // `src ⋈ dim ON fk = pk` grouped by dim attrs, dim version pinned
+    // at create (SnapshotLog.createJoinMv)
+    joinSpec: Option[(SnapshotCatalog, Identifier, String, String)] = None
 ) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     org.apache.spark.sql.catalyst.expressions.AttributeReference(
@@ -701,9 +833,16 @@ case class GraftCreateMvCommand(
       !catalog.tableExists(ident) && !catalog.viewExists(ident),
       s"snapshot catalog: '${ident.name}' already exists — one name, " +
         "one meaning (DROP it first)")
-    val v = graft.sources.SnapshotLog.createMv(
-      session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
-      key, agg, kind, keyExpr, avgExact)
+    val v = joinSpec match {
+      case Some((dimSc, dimIdent, fk, pk)) =>
+        graft.sources.SnapshotLog.createJoinMv(
+          session, srcCatalog.pathOf(srcIdent), dimSc.pathOf(dimIdent),
+          fk, pk, catalog.pathOf(ident), key, agg, kind, avgExact)
+      case None =>
+        graft.sources.SnapshotLog.createMv(
+          session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
+          key, agg, kind, keyExpr, avgExact)
+    }
     Seq(Row(v))
   }
 }

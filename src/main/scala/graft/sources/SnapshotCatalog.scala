@@ -4079,8 +4079,8 @@ private[sources] object SnapshotProcedures {
     Array(
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
-      "detail", "clone", "build_bloom", "create_mv", "refresh_mv",
-      "ingest", "count_by", "range_by")
+      "detail", "clone", "build_bloom", "create_mv", "create_join_mv",
+      "refresh_mv", "ingest", "count_by", "range_by")
 
   private def spark = SparkSession.active
 
@@ -4309,9 +4309,12 @@ private[sources] object SnapshotProcedures {
         // materialize a per-key rollup as a catalog table; the MV
         // records its source + as-of version for refresh_mv. kind:
         // 'sum' (sum/count, invertible fold), 'minmax' (min/max/
-        // count — delete-touched groups recompute on refresh), or
+        // count — delete-touched groups recompute on refresh),
         // 'stats' (sum/sum-of-squares/count — invertible fold;
-        // avg/var/stddev derive from the moments)
+        // avg/var/stddev derive from the moments), or 'distinct'
+        // (exact COUNT(DISTINCT m) bitmap partials at (key, bucket)
+        // grain — inserts fold by bitmap OR, delete-touched groups
+        // recompute; one measure per MV)
         // `key` and `agg` accept comma-joined lists (composite keys /
         // multi-measure rollups); `key_expr` records a derived time
         // grain (to_date(c), trunc(to_date(c),'month'|'year'),
@@ -4347,6 +4350,41 @@ private[sources] object SnapshotProcedures {
                   if (in.isNullAt(5)) "" else in.getUTF8String(5).toString)
                   .filter(_.nonEmpty),
                 !in.isNullAt(6) && in.getBoolean(6)))))
+        )
+      case "create_join_mv" =>
+        // star-schema rollup: CALL system.create_join_mv(fact, dim,
+        // fk, pk, mv, key, agg[, kind]) — materialize
+        // `fact ⋈ dim ON fk = pk` grouped by DIM attribute(s), dim
+        // version PINNED at create (see SnapshotLog.createJoinMv);
+        // refresh_mv folds the fact change feed enriched against the
+        // pinned dim. Same kinds and naming as create_mv.
+        proc(
+          "create_join_mv",
+          Seq(
+            ProcedureParameter.in("fact", StringType).build(),
+            ProcedureParameter.in("dim", StringType).build(),
+            ProcedureParameter.in("fk", StringType).build(),
+            ProcedureParameter.in("pk", StringType).build(),
+            ProcedureParameter.in("mv", StringType).build(),
+            ProcedureParameter.in("key", StringType).build(),
+            ProcedureParameter.in("agg", StringType).build(),
+            ProcedureParameter.in("kind", StringType)
+              .defaultValue("'sum'").build()
+          ),
+          StructType(Seq(StructField("as_of_version", IntegerType))),
+          in =>
+            Seq(new GenericInternalRow(Array[Any](
+              SnapshotLog.createJoinMv(
+                spark,
+                resolve(in.getUTF8String(0).toString),
+                resolve(in.getUTF8String(1).toString),
+                in.getUTF8String(2).toString,
+                in.getUTF8String(3).toString,
+                resolve(in.getUTF8String(4).toString),
+                in.getUTF8String(5).toString,
+                in.getUTF8String(6).toString,
+                if (in.isNullAt(7)) "sum"
+                else in.getUTF8String(7).toString))))
         )
       case "count_by" =>
         // metadata-only GROUP-BY-PARTITION count: CALL

@@ -3210,16 +3210,84 @@ object SnapshotLog {
           "already exists in the table")
   }
 
+  /** The kind='distinct' rollup of `df` at grain (keys..., mv_bno):
+    * one Spark-native bitmap (`bitmap_construct_agg` of
+    * `bitmap_bit_position`) per 32768-value bucket of the measure,
+    * plus the bucket's exact cardinality `mv_dc` (= bitmap_count,
+    * stored so the identity-grain serve scans a long column instead
+    * of 4 KB bitmaps) and the bucket's row count `mv_n` (so count(*)
+    * also serves). A NULL measure maps to the NULL bucket whose
+    * bitmap stays all-zero (`mv_dc` 0) — the row still counts in
+    * `mv_n` and, crucially, keeps an all-NULL group ALIVE so the
+    * serve returns (key, 0) exactly as COUNT(DISTINCT) over the
+    * source would. Codegen'd end to end: the bitmap functions are
+    * Spark-native expressions, and the rollup is one hash aggregate
+    * at (keys, bucket) grain — never an expand + re-shuffle of every
+    * (group, value) pair. */
+  private def distinctRollup(
+      df: DataFrame,
+      keys: Seq[String],
+      measure: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    df.select(
+        keys.map(col) ++ Seq(
+          expr(s"bitmap_bucket_number(`$measure`)").as("mv_bno"),
+          expr(s"bitmap_bit_position(`$measure`)").as("__graft_bpos")): _*)
+      .groupBy(keys.map(col) :+ col("mv_bno"): _*)
+      .agg(
+        expr("bitmap_construct_agg(__graft_bpos)").as("mv_bm"),
+        count(lit(1)).as("mv_n"))
+      .withColumn(
+        "mv_dc", expr("bitmap_count(mv_bm)"))
+  }
+
+  /** The per-kind rollup aggregate columns under the createMv naming
+    * — legacy bare names for a single measure (mv_sum, mv_sumsq,
+    * mv_nn, mv_min, mv_max), suffixed per measure otherwise, mv_n
+    * (count(*)) always shared. One builder so single-table and join
+    * MVs can never drift apart on the stored shape. */
+  private def mvAggExprs(
+      measures: Seq[String],
+      kind: String,
+      avgExact: Boolean
+  ): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    def mn(base: String, m: String): String =
+      if (measures.size == 1) base else s"${base}_$m"
+    kind match {
+      case "sum" =>
+        measures.map(m => sum(col(m)).as(mn("mv_sum", m))) :+
+          count(lit(1)).as("mv_n")
+      case "stats" =>
+        measures.flatMap(m => Seq(
+          sum(col(m)).as(mn("mv_sum", m)),
+          sum(col(m) * col(m)).as(mn("mv_sumsq", m)))) ++
+          Seq(count(lit(1)).as("mv_n")) ++
+          (if (avgExact)
+             measures.map(m => count(col(m)).as(mn("mv_nn", m)))
+           else Nil)
+      case _ =>
+        measures.flatMap(m => Seq(
+          min(col(m)).as(mn("mv_min", m)),
+          max(col(m)).as(mn("mv_max", m)))) :+
+          count(lit(1)).as("mv_n")
+    }
+  }
+
   /** Materialize a per-key rollup of `source` as the snapshot table
     * `mv`, recording (source, key, agg, kind, high-water version) in
     * the MV's props so [[refreshMv]] can maintain it from the change
     * feed. `kind`: `sum` (default — sum/count, refresh is a pure
     * invertible fold), `minmax` (min/max/count — inserts fold,
-    * delete-touched GROUPS recompute, see refreshMv), or `stats`
+    * delete-touched GROUPS recompute, see refreshMv), `stats`
     * (sum/sum-of-squares/count — like `sum` a pure invertible fold,
     * and avg/variance/stddev derive from the three moments without
-    * ever re-reading the source). Returns the source version the MV
-    * is as-of. */
+    * ever re-reading the source), or `distinct` (exact
+    * COUNT(DISTINCT m) bitmap partials at (key, bucket) grain —
+    * inserts fold by bitmap OR, delete-touched groups recompute; see
+    * [[distinctRollup]]). Returns the source version the MV is
+    * as-of. */
   def createMv(
       spark: SparkSession,
       source: String,
@@ -3247,8 +3315,10 @@ object SnapshotLog {
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
     require(
-      kind == "sum" || kind == "minmax" || kind == "stats",
-      s"createMv: kind must be 'sum', 'minmax' or 'stats', got '$kind'")
+      kind == "sum" || kind == "minmax" || kind == "stats" ||
+        kind == "distinct",
+      s"createMv: kind must be 'sum', 'minmax', 'stats' or 'distinct', " +
+        s"got '$kind'")
     require(
       !avgExact || kind == "stats",
       "createMv: avgExact declares avg servable from the stats rollup — " +
@@ -3290,26 +3360,55 @@ object SnapshotLog {
     // naming, so `SELECT k, sum(a), sum(b)` answers from ONE rollup.
     val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(measures.nonEmpty, s"createMv: empty measure list '$aggCol'")
-    def mn(base: String, m: String): String =
-      if (measures.size == 1) base else s"${base}_$m"
-    val aggExprs: Seq[org.apache.spark.sql.Column] = kind match {
-      case "sum" =>
-        measures.map(m => sum(col(m)).as(mn("mv_sum", m))) :+
-          count(lit(1)).as("mv_n")
-      case "stats" =>
-        measures.flatMap(m => Seq(
-          sum(col(m)).as(mn("mv_sum", m)),
-          sum(col(m) * col(m)).as(mn("mv_sumsq", m)))) ++
-          Seq(count(lit(1)).as("mv_n")) ++
-          (if (avgExact)
-             measures.map(m => count(col(m)).as(mn("mv_nn", m)))
-           else Nil)
-      case _ =>
-        measures.flatMap(m => Seq(
-          min(col(m)).as(mn("mv_min", m)),
-          max(col(m)).as(mn("mv_max", m)))) :+
-          count(lit(1)).as("mv_n")
+    // kind='distinct' (round 15): exact COUNT(DISTINCT m) partials.
+    // The stored grain is (keys..., mv_bno) — one Spark-native bitmap
+    // (bitmap_construct_agg) per 32768-value bucket of the measure —
+    // so the shape is structurally different from the one-row-per-key
+    // kinds: one measure per MV (a second distinct column has its own
+    // bucket space; create a second MV), integral-valued (bit
+    // positions are defined over integers), no avg declaration.
+    if (kind == "distinct") {
+      require(
+        measures.size == 1,
+        "createMv: kind='distinct' maintains exact COUNT(DISTINCT m) " +
+          "bitmap partials for ONE measure — a second distinct-counted " +
+          "column has its own bucket space; create one MV per column")
+      val mt = tableSchema(spark, source, tip)
+        .flatMap(s => s.fields.find(_.name == measures.head))
+        .map(_.dataType)
+      require(
+        mt.exists(t =>
+          t == org.apache.spark.sql.types.LongType ||
+            t == org.apache.spark.sql.types.IntegerType ||
+            t == org.apache.spark.sql.types.ShortType ||
+            t == org.apache.spark.sql.types.ByteType),
+        s"createMv: kind='distinct' needs an integral measure (bitmap " +
+          s"bit positions are defined over integers); '${measures.head}' " +
+          s"is ${mt.map(_.simpleString).getOrElse("not in the schema")}")
     }
+    if (kind == "distinct") {
+      val base0 = read(spark, source, Some(tip))
+      val based = keyExpr match {
+        case Some(e) => base0.withColumn(keyCol, expr(e))
+        case None    => base0
+      }
+      val m = distinctRollup(based, keyCols, measures.head)
+      commitInternal(
+        spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
+        dataChange = true, extraHeader = s"mvv=$tip")
+      setTableProps(
+        spark, mv,
+        Map(
+          "mv_source" -> source,
+          "mv_key" -> keyCol,
+          "mv_agg" -> aggCol,
+          "mv_kind" -> kind,
+          "mv_version" -> tip.toString) ++
+          keyExpr.map("mv_key_expr" -> _))
+      addMvRef(spark, source, mv)
+      return tip
+    }
+    val aggExprs = mvAggExprs(measures, kind, avgExact)
     val m = src.agg(aggExprs.head, aggExprs.tail: _*)
     // the as-of version rides the materialize commit's own header
     // (`mvv=`): data and high-water mark land in ONE atomic write, the
@@ -3336,6 +3435,135 @@ object SnapshotLog {
     // so a dangling ref is skipped, never trusted.
     addMvRef(spark, source, mv)
     tip
+  }
+
+  /** Materialize a per-key rollup of the INNER JOIN `fact ⋈ dim ON
+    * fk = pk`, grouped by DIM attribute(s) — the star-schema
+    * dashboard rollup ("revenue by market segment") that otherwise
+    * joins the 100 TB fact against the dimension on every query. The
+    * DIM VERSION IS PINNED at materialize time (`mv_dim_version`):
+    * every refresh folds the fact change feed joined against dim AT
+    * THAT VERSION, so the MV is always exactly
+    * `aggregate(fact@watermark ⋈ dim@pinned)` — a later dim commit
+    * cannot corrupt the fold; it (correctly) stops the MV from
+    * serving queries that see the newer dim until a re-materialize
+    * (the serve rule requires the query's pinned dim version to
+    * equal the MV's). `pk` must be UNIQUE in dim@pinned — audited
+    * here, O(dim), because a duplicate would silently multiply fact
+    * rows in every group forever. NULL fk rows never join (the
+    * standard inner-join contract), so they are absent from mv_n by
+    * construction. Keys come from the dim, measures from the fact;
+    * all kinds fold/recompute through the same refreshMv branches as
+    * single-table MVs via change-feed ENRICHMENT (the delta row
+    * gains its dim attributes, then it is just a keyed row). */
+  def createJoinMv(
+      spark: SparkSession,
+      fact: String,
+      dim: String,
+      fk: String,
+      pk: String,
+      mv: String,
+      keyCol: String,
+      aggCol: String,
+      kind: String = "sum",
+      avgExact: Boolean = false
+  ): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(
+      kind == "sum" || kind == "minmax" || kind == "stats" ||
+        kind == "distinct",
+      s"createJoinMv: kind must be 'sum', 'minmax', 'stats' or " +
+        s"'distinct', got '$kind'")
+    require(
+      !avgExact || kind == "stats",
+      "createJoinMv: avgExact requires kind='stats'")
+    val keyCols = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(keyCols.nonEmpty && measures.nonEmpty,
+      s"createJoinMv: empty key or measure list ('$keyCol' / '$aggCol')")
+    require(
+      kind != "distinct" || measures.size == 1,
+      "createJoinMv: kind='distinct' maintains ONE measure per MV")
+    require(
+      !keyCols.contains(pk) && !keyCols.contains(fk),
+      "createJoinMv: group by a DIM attribute — grouping by the join " +
+        "key itself needs no join (create a plain MV on the fact)")
+    require(
+      !keyCols.exists(measures.contains),
+      "createJoinMv: key and measure lists overlap")
+    val factTip = versions(spark, fact).last
+    val dimTip = versions(spark, dim).last
+    tableSchema(spark, fact, factTip).foreach { s =>
+      (measures :+ fk).foreach(c =>
+        require(
+          s.fieldNames.contains(c),
+          s"createJoinMv: fact column '$c' is not in the fact schema"))
+      // a fact column sharing a dim key's name would make the enriched
+      // change feed ambiguous — refuse here AND at refresh time (schema
+      // evolution can reintroduce it, the derived-key precedent)
+      keyCols.foreach(k =>
+        require(
+          !s.fieldNames.contains(k),
+          s"createJoinMv: key '$k' collides with a fact column — the " +
+            "enriched change feed would be ambiguous; rename one side"))
+      if (kind == "distinct") {
+        val mt = s.fields.find(_.name == measures.head).map(_.dataType)
+        require(
+          mt.exists(t =>
+            t == org.apache.spark.sql.types.LongType ||
+              t == org.apache.spark.sql.types.IntegerType ||
+              t == org.apache.spark.sql.types.ShortType ||
+              t == org.apache.spark.sql.types.ByteType),
+          s"createJoinMv: kind='distinct' needs an integral measure; " +
+            s"'${measures.head}' is " +
+            mt.map(_.simpleString).getOrElse("not in the schema"))
+      }
+    }
+    tableSchema(spark, dim, dimTip).foreach { s =>
+      (keyCols :+ pk).foreach(c =>
+        require(
+          s.fieldNames.contains(c),
+          s"createJoinMv: dim column '$c' is not in the dim schema"))
+    }
+    val d0 = read(spark, dim, Some(dimTip))
+      .select((keyCols :+ pk).distinct.map(col): _*)
+    val dup = d0
+      .filter(col(pk).isNotNull)
+      .groupBy(col(pk)).agg(count(lit(1)).as("__graft_c"))
+      .filter(col("__graft_c") > 1)
+      .limit(1).collect()
+    require(
+      dup.isEmpty,
+      s"createJoinMv: '$pk' = ${dup.headOption.map(_.get(0)).orNull} is " +
+        s"not unique in $dim@v$dimTip — a duplicate dim key would " +
+        "silently multiply fact rows in every group")
+    val f0 = read(spark, fact, Some(factTip))
+      .select((measures :+ fk).distinct.map(col): _*)
+    val joined = f0.join(d0, f0(fk) === d0(pk), "inner").drop(d0(pk))
+    val m =
+      if (kind == "distinct") distinctRollup(joined, keyCols, measures.head)
+      else {
+        val aggs = mvAggExprs(measures, kind, avgExact)
+        joined.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    commitInternal(
+      spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
+      dataChange = true, extraHeader = s"mvv=$factTip")
+    setTableProps(
+      spark, mv,
+      Map(
+        "mv_source" -> fact,
+        "mv_key" -> keyCol,
+        "mv_agg" -> aggCol,
+        "mv_kind" -> kind,
+        "mv_version" -> factTip.toString,
+        "mv_join_dim" -> dim,
+        "mv_join_fk" -> fk,
+        "mv_join_pk" -> pk,
+        "mv_dim_version" -> dimTip.toString) ++
+        (if (avgExact) Some("mv_avg_exact" -> "true") else None))
+    addMvRef(spark, fact, mv)
+    factTip
   }
 
   /** Append `mv` to `source`'s `mv_refs` prop (idempotent). The
@@ -3534,12 +3762,47 @@ object SnapshotLog {
           "name (createMv refuses this collision at declaration time; " +
           "schema evolution reintroduced it).")
     }
-    val changes = props.get("mv_key_expr") match {
+    // JOIN MVs (round 15): the change feed ENRICHES against the
+    // PINNED dim version — every delta row gains its dim attributes,
+    // after which every fold/recompute branch below works unchanged
+    // (the keys are just columns). Inner-join semantics compose: a
+    // delta row with no dim match never entered the rollup and never
+    // will; its delete finds no group to touch — consistent by
+    // construction. The pin is what keeps the fold exact forever: a
+    // later dim commit changes NOTHING here (the serve rule, not the
+    // refresh, is where dim staleness bites).
+    val joinDim: Option[(String, Int, String, String)] =
+      props.get("mv_join_dim").map { dp =>
+        (dp, props("mv_dim_version").toInt,
+          props("mv_join_fk"), props("mv_join_pk"))
+      }
+    // the createJoinMv-time key/fact-column collision re-checks here:
+    // schema evolution may have ADDED a fact column with a dim key's
+    // name since the materialize, and the enrichment join would turn
+    // ambiguous (or silently resolve wrong) — refuse loudly instead
+    joinDim.foreach { _ =>
+      val clash = tableSchema(spark, source, to)
+        .map(s => keys.filter(s.fieldNames.contains)).getOrElse(Nil)
+      require(
+        clash.isEmpty,
+        s"refreshMv: the fact schema at v$to now contains column(s) " +
+          s"${clash.mkString(", ")} sharing the MV's dim key name(s) — " +
+          "the enrichment join would be ambiguous. Rename the fact " +
+          "column or re-materialize the MV under fresh key names.")
+    }
+    def enrich(df: DataFrame): DataFrame = joinDim match {
+      case Some((dp, w, fkc, pkc)) =>
+        val d = read(spark, dp, Some(w))
+          .select((keys :+ pkc).distinct.map(col): _*)
+        df.join(d, df(fkc) === d(pkc), "inner").drop(d(pkc))
+      case None => df
+    }
+    val changes = enrich(props.get("mv_key_expr") match {
       case Some(e) =>
         readChanges(spark, source, from, to)
           .withColumn(key, org.apache.spark.sql.functions.expr(e))
       case None => readChanges(spark, source, from, to)
-    }
+    })
     onWatermarkPinned()
     // MULTI-MEASURE folds (round 15): mv_agg may be a comma-joined
     // list; every branch folds each measure under the createMv naming
@@ -3547,6 +3810,48 @@ object SnapshotLog {
     val measures = agg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     def mn(base: String, m: String): String =
       if (measures.size == 1) base else s"${base}_$m"
+    // the delete-recompute's at-watermark source read, shared by the
+    // minmax and distinct branches (both recompute delete-touched
+    // groups — their partials are not invertible). SCOPED by manifest
+    // stats for a plain key: touchedFiles' long/string stat arms admit
+    // only files whose key range can hold a delete-touched key (blind
+    // files always admit; the semi-join still prunes rows exactly), so
+    // a delete touching one shard's groups reads that shard, not the
+    // 100 TB table. Composite keys scope on the LEADING key column —
+    // a sound superset. A DERIVED key keeps the full at-watermark
+    // read: its values are not a source column, so no file stat can
+    // bound them.
+    def scopedSourceAtTo(delKeys: DataFrame): DataFrame = joinDim match {
+      case Some((dp, w, fkc, pkc)) =>
+        // join MVs scope THROUGH the dim: the delete-touched dim-attr
+        // keys map (via dim@pinned) to the foreign keys that can hold
+        // them, and touchedFiles admits fact files by fk range — the
+        // dim is small, the fact is the 100 TB side
+        val d = read(spark, dp, Some(w))
+          .select((keys :+ pkc).distinct.map(col): _*)
+        val pks = d.join(delKeys, keys, "left_semi")
+          .select(col(pkc)).distinct()
+        val (admit, _) = touchedFiles(spark, source, fkc, pks, Some(to))
+        val f = readEntries(
+          spark, source,
+          entriesFor(manifestEntries(spark, source, to), admit),
+          tableSchema(spark, source, to))
+        f.join(d, f(fkc) === d(pkc), "inner").drop(d(pkc))
+      case None =>
+        props.get("mv_key_expr") match {
+          case Some(e) =>
+            read(spark, source, Some(to))
+              .withColumn(key, org.apache.spark.sql.functions.expr(e))
+          case None =>
+            val (admit, _) = touchedFiles(
+              spark, source, keys.head,
+              delKeys.select(col(keys.head)).distinct(), Some(to))
+            readEntries(
+              spark, source,
+              entriesFor(manifestEntries(spark, source, to), admit),
+              tableSchema(spark, source, to))
+        }
+    }
     def foldSum(mvName: String, dName: String) =
       (coalesce(col(mvName), lit(0L)) + coalesce(col(dName), lit(0L)))
         .as(mvName)
@@ -3596,6 +3901,40 @@ object SnapshotLog {
         .join(delta, keys, "full_outer")
         .select(foldCols: _*)
         .filter(col("mv_n") > 0)
+    } else if (kind == "distinct") {
+      // bitmap partials are MONOTONE under inserts (a new row just ORs
+      // its bit into the bucket) but not invertible under deletes
+      // (another surviving row may carry the same value) — so inserts
+      // fold and delete-touched GROUPS recompute, the minmax
+      // discipline. The insert fold is a grain-preserving regroup:
+      // MV rows ∪ the delta's fresh (keys, bucket) rollup, re-OR'd per
+      // (keys, mv_bno) with bitmap_or_agg — O(MV + delta), exactly the
+      // cost class of the sum fold's full-outer join.
+      import org.apache.spark.sql.functions.expr
+      val meas = measures.head
+      val delKeys = changes
+        .filter(col("change_type") === "delete")
+        .select(keyCols: _*).distinct().localCheckpoint()
+      val insDelta = distinctRollup(
+        changes.filter(col("change_type") === "insert"), keys, meas)
+      val shape =
+        keyCols ++ Seq(col("mv_bno"), col("mv_bm"), col("mv_n"))
+      val folded = read(spark, mv)
+        .select(shape: _*)
+        .unionByName(insDelta.select(shape: _*))
+        .groupBy(keyCols :+ col("mv_bno"): _*)
+        .agg(
+          expr("bitmap_or_agg(mv_bm)").as("mv_bm"),
+          sum(col("mv_n")).as("mv_n"))
+        .withColumn("mv_dc", expr("bitmap_count(mv_bm)"))
+      val recomputed = distinctRollup(
+        scopedSourceAtTo(delKeys).join(delKeys, keys, "left_semi"),
+        keys, meas)
+      // a fully-deleted group appears in delKeys but not in the
+      // recompute — it vanishes; a stale BUCKET of a surviving group
+      // vanishes too, because the anti-join removes the group's every
+      // folded row and the recompute regenerates only live buckets
+      folded.join(delKeys, keys, "left_anti").unionByName(recomputed)
     } else {
       // groups with a delete in the delta: fold is impossible (the
       // removed row may BE the extremum) — recompute exactly these
@@ -3628,34 +3967,9 @@ object SnapshotLog {
       // source commit landing mid-refresh would otherwise leak
       // post-`to` rows into the recomputed groups, and the next
       // refresh re-folds that same (to, tip] delta for those keys —
-      // double-counted mv_n / wrong extrema.
-      //
-      // SCOPED by manifest stats (round 15, closing the one remaining
-      // full-scan-on-delete in the MV family): a plain group key
-      // admits source files through [[touchedFiles]]' long/string
-      // stat arms — a file whose key range excludes every
-      // delete-touched key provably holds none of their rows, so the
-      // recompute opens only the admitted subset (blind files always
-      // admit; the semi-join below still prunes rows exactly). On a
-      // 100 TB fact a delete touching one shard's groups reads that
-      // shard, not the table. A DERIVED key keeps the full
-      // at-watermark read: its values are not a source column, so no
-      // file stat can bound them.
-      val srcAtTo = props.get("mv_key_expr") match {
-        case Some(e) =>
-          read(spark, source, Some(to))
-            .withColumn(key, org.apache.spark.sql.functions.expr(e))
-        case None =>
-          // composite keys scope on the LEADING key column only — a
-          // sound superset (every file holding a touched row admits)
-          val (admit, _) = touchedFiles(
-            spark, source, keys.head,
-            delKeys.select(col(keys.head)).distinct(), Some(to))
-          readEntries(
-            spark, source,
-            entriesFor(manifestEntries(spark, source, to), admit),
-            tableSchema(spark, source, to))
-      }
+      // double-counted mv_n / wrong extrema. Scoped by manifest stats
+      // (see [[scopedSourceAtTo]]).
+      val srcAtTo = scopedSourceAtTo(delKeys)
       val recompAggs = measures.flatMap(m => Seq(
           min(col(m)).as(mn("mv_min", m)),
           max(col(m)).as(mn("mv_max", m)))) :+

@@ -2930,4 +2930,328 @@ class CatalogSpec extends SparkTestBase {
     assert(b2 > 0, "bloom-indexed column must be advertised for runtime filtering")
     assert(a2 <= b2)
   }
+
+  test("COUNT(DISTINCT) serves from a kind='distinct' MV at identity, " +
+    "coarse and global grains (bitmap OR across fine keys — sums of per-key " +
+    "distincts would overcount); non-distinct aggregates and other kinds " +
+    "never cross-serve") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    // v=7 appears under k=1 AND k=11 (both in coarse group k%10=1):
+    // the coarse distinct is 1 for that value, not 2 — the bitmap OR
+    // is what makes the MV able to answer it. k=3 is all-NULL.
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(1, 7), (1, 7), (1, -2), (11, 7), (11, 40000),
+         |(2, 8), (3, NULL)""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_dcv AS
+         |SELECT k, count(DISTINCT v) AS mv_dc, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_dcv"
+    assert(SnapshotLog.tableProps(spark, mvPath)
+      .get("mv_kind").contains("distinct"))
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      def noSource(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        !p.exists(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation])
+      // IDENTITY: one aggregate over the MV (buckets within a key sum)
+      val id = plan(
+        s"SELECT k, count(DISTINCT v) AS dc, count(*) AS n FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(id, mvPath) && noSource(id),
+        "identity distinct must serve from the MV")
+      assert(run(id).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 2L, 3L), (11L, 2L, 2L), (2L, 1L, 1L), (3L, 0L, 1L)))
+      // COARSE: k%10 folds k=1 and k=11 together — their shared v=7
+      // must count ONCE (the OR), while count(*) still sums
+      val co = plan(
+        s"SELECT k % 10 AS g, count(DISTINCT v) AS dc, count(*) AS n " +
+          s"FROM $t GROUP BY k % 10")
+      assert(MvRewrite.readsPath(co, mvPath) && noSource(co),
+        "coarse distinct must serve from the MV")
+      assert(run(co).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 3L, 5L), (2L, 1L, 1L), (3L, 0L, 1L)))
+      // GLOBAL: v=7 counted once across all keys
+      val gl = plan(s"SELECT count(DISTINCT v) AS dc, count(*) AS n FROM $t")
+      assert(MvRewrite.readsPath(gl, mvPath) && noSource(gl))
+      assert(run(gl).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((4L, 7L)))
+      // FILTER transplants onto the stored key
+      val fl = plan(
+        s"SELECT k, count(DISTINCT v) AS dc FROM $t WHERE k >= 2 GROUP BY k")
+      assert(MvRewrite.readsPath(fl, mvPath) && noSource(fl))
+      assert(run(fl).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((11L, 2L), (2L, 1L), (3L, 0L)))
+      // BAILS: a sum over the distinct MV must fall back to the source
+      // (the bucketed grain holds no sums); count(DISTINCT other-col)
+      // is not the stored measure; both still answer correctly
+      val sm = plan(s"SELECT k, sum(v) AS s FROM $t GROUP BY k")
+      assert(!MvRewrite.readsPath(sm, mvPath),
+        "sum must NOT serve from a distinct-kind MV")
+      val oth = plan(s"SELECT v, count(DISTINCT k) AS dk FROM $t GROUP BY v")
+      assert(!MvRewrite.readsPath(oth, mvPath),
+        "count(DISTINCT non-measure) must bail")
+      // ...and count(DISTINCT) never serves from a SUM-kind MV
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_smv AS
+           |SELECT k, sum(v) AS mv_sum, count(*) AS mv_n
+           |FROM $t GROUP BY k""".stripMargin)
+      val viaSum = plan(
+        s"SELECT k, count(DISTINCT v) AS dc FROM $t GROUP BY k")
+      assert(!MvRewrite.readsPath(viaSum, s"$warehouse/main/${tn}_smv"),
+        "count(DISTINCT) must never serve from a sum-kind MV")
+      // STALENESS: the source moves on — no serve; REFRESH restores it.
+      // The new rows add v=8 under k=1 (already distinct-counted under
+      // k=2: the coarse OR keeps it at one for g=2... but k=1 is g=1).
+      spark.sql(s"INSERT INTO $t VALUES (1, 8), (21, 7)")
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, count(DISTINCT v) AS dc FROM $t GROUP BY k"), mvPath),
+        "a stale distinct MV must not serve")
+      spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_dcv")
+      val id2 = plan(
+        s"SELECT k % 10 AS g, count(DISTINCT v) AS dc FROM $t GROUP BY k % 10")
+      assert(MvRewrite.readsPath(id2, mvPath) && noSource(id2))
+      assert(run(id2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 4L), (2L, 1L), (3L, 0L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("monthly distinct users serve from a DAILY distinct MV (a user " +
+    "active on many days counts once per month — the query a count rollup " +
+    "can never answer); created through the CALL surface") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP, uid BIGINT)")
+    // user 100 is active on THREE June days (one monthly user, three
+    // daily actives); user 200 spans June and July (counts in both)
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(timestamp'2024-06-01 08:00:00', 100),
+         |(timestamp'2024-06-02 09:00:00', 100),
+         |(timestamp'2024-06-20 10:00:00', 100),
+         |(timestamp'2024-06-02 11:00:00', 200),
+         |(timestamp'2024-07-03 12:00:00', 200),
+         |(timestamp'2024-07-04 13:00:00', 300)""".stripMargin)
+    spark.sql(
+      s"""CALL cattest.system.create_mv(source => 'main.$tn',
+         |mv => 'main.${tn}_dau', key => 'day', agg => 'uid',
+         |kind => 'distinct', key_expr => 'to_date(ts)')""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_dau"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // DAU at identity grain
+      val dau = plan(
+        s"SELECT to_date(ts) AS day, count(DISTINCT uid) AS dau FROM $t " +
+          s"GROUP BY to_date(ts)")
+      assert(MvRewrite.readsPath(dau, mvPath), "daily distinct must serve")
+      assert(run(dau).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSet ==
+        Set(("2024-06-01", 1L), ("2024-06-02", 2L), ("2024-06-20", 1L),
+          ("2024-07-03", 1L), ("2024-07-04", 1L)))
+      // MAU from the daily MV: June = {100,200} (100's three active
+      // days OR to one), July = {200,300}
+      val mau = plan(
+        s"SELECT trunc(to_date(ts), 'month') AS mon, " +
+          s"count(DISTINCT uid) AS mau FROM $t " +
+          s"GROUP BY trunc(to_date(ts), 'month')")
+      assert(MvRewrite.readsPath(mau, mvPath),
+        "monthly distinct must serve from the daily MV")
+      assert(run(mau).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSet ==
+        Set(("2024-06-01", 2L), ("2024-07-01", 2L)))
+      // and a day-range probe composes with the serve
+      val rng = plan(
+        s"SELECT count(DISTINCT uid) AS dc FROM $t " +
+          s"WHERE to_date(ts) >= DATE'2024-07-01'")
+      assert(MvRewrite.readsPath(rng, mvPath))
+      assert(run(rng).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("star-schema aggregates serve from a JOIN MV: fact ⋈ dim rollup " +
+    "answers GROUP BY dim-attr with both scans gone; fact-only queries and " +
+    "drifted dims never serve") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val (fn, dn) = (f.split('.').last, d.split('.').last)
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(
+      s"INSERT INTO $f VALUES (1, 10), (1, 5), (2, 20), (3, 1), (99, 400)")
+    spark.sql(
+      s"INSERT INTO $d VALUES (1, 'auto'), (2, 'auto'), (3, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_jmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      def noSource(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        !p.exists(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation])
+      val q =
+        s"SELECT seg, sum(m) AS s, count(*) AS n " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY seg"
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath) && noSource(served),
+        "the star rollup must serve with BOTH scans gone")
+      assert(run(served).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("auto", 35L, 3L), ("mach", 1L, 1L)))
+      // the reversed join spelling serves too
+      val rev = plan(
+        s"SELECT seg, sum(m) AS s FROM $d JOIN $f ON pk = fk GROUP BY seg")
+      assert(MvRewrite.readsPath(rev, mvPath) && noSource(rev))
+      // global over the JOIN re-aggregates (fk=99 stays excluded,
+      // exactly as the join query itself excludes it)
+      val gl = plan(
+        s"SELECT sum(m) AS s, count(*) AS n FROM $f JOIN $d ON fk = pk")
+      assert(MvRewrite.readsPath(gl, mvPath) && noSource(gl))
+      assert(run(gl).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((36L, 4L)))
+      // a dim-attr filter transplants onto the MV key
+      val fl = plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk " +
+          s"WHERE seg = 'auto' GROUP BY seg")
+      assert(MvRewrite.readsPath(fl, mvPath) && noSource(fl))
+      assert(run(fl).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("auto", 35L)))
+      // a measure-level filter is unanswerable from the rollup
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk " +
+          s"WHERE m > 5 GROUP BY seg"), mvPath),
+        "a fact-side residual must bail")
+      // a FACT-ONLY aggregate must NEVER serve from the join MV: the
+      // inner join dropped fk=99 (400!) from every partial
+      val factOnly = plan(s"SELECT sum(m) AS s FROM $f")
+      assert(!MvRewrite.readsPath(factOnly, mvPath),
+        "a join MV must not serve a fact-only query")
+      assert(run(factOnly).collect()(0).getLong(0) == 436L)
+      // a different join condition must bail
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON m = pk GROUP BY seg"),
+        mvPath), "a different equi-join must bail")
+      // dim drift: a dim commit makes the query see a NEWER dim than
+      // the MV's pin — no serve, and a fact refresh cannot fix it
+      // (re-materialize is the only remedy, by design)
+      spark.sql(s"INSERT INTO $d VALUES (99, 'new')")
+      assert(!MvRewrite.readsPath(plan(q), mvPath),
+        "a drifted dim must stop the serve")
+      // fact drift alone: stale until refresh, then serves again with
+      // the dim STILL at the original pin? No — the dim moved above,
+      // so the serve stays off; re-materialize restores it
+      spark.sql(s"INSERT INTO $f VALUES (2, 7)")
+      graft.sources.SnapshotLog.refreshMv(spark, mvPath)
+      assert(!MvRewrite.readsPath(plan(q), mvPath),
+        "refresh cannot resurrect a dim-drifted MV")
+      val mv2 = s"$warehouse/main/${fn}_jmv2"
+      SnapshotLog.createJoinMv(
+        spark, pathOf(f), pathOf(d), "fk", "pk", mv2, "seg", "m")
+      val served2 = plan(q)
+      assert(MvRewrite.readsPath(served2, mv2) && noSource(served2))
+      assert(run(served2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("auto", 42L, 4L), ("mach", 1L, 1L), ("new", 400L, 1L)))
+      // the kinds COMPOSE with the join: a kind='distinct' join MV
+      // serves per-segment COUNT(DISTINCT) over the same star
+      val mv3 = s"$warehouse/main/${fn}_jmv3"
+      SnapshotLog.createJoinMv(
+        spark, pathOf(f), pathOf(d), "fk", "pk", mv3, "seg", "m",
+        kind = "distinct")
+      val dq = plan(
+        s"SELECT seg, count(DISTINCT m) AS dm FROM $f JOIN $d " +
+          s"ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(dq, mv3) && noSource(dq),
+        "distinct must serve through the join MV")
+      assert(run(dq).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("auto", 4L), ("mach", 1L), ("new", 1L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("CREATE MATERIALIZED VIEW over ONE inner join (DDL join form): " +
+    "qualified columns classify into (dim keys, fact measures), refresh " +
+    "folds, the serve fires; off-shape joins refuse loudly") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 10), (2, 20), (7, 300)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'x'), (2, 'y')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_djmv AS
+         |SELECT d.seg, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f f JOIN $d d ON f.fk = d.pk GROUP BY d.seg""".stripMargin)
+    val mvPath = s"$warehouse/main/${fn}_djmv"
+    val props = SnapshotLog.tableProps(spark, mvPath)
+    assert(props.get("mv_kind").contains("sum") &&
+      props.get("mv_join_fk").contains("fk") &&
+      props.get("mv_join_pk").contains("pk") &&
+      props.get("mv_join_dim").exists(_.endsWith(d.split('.').last)))
+    // the fact moves on; REFRESH folds the enriched delta
+    spark.sql(s"INSERT INTO $f VALUES (1, 5)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${fn}_djmv")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val q = s"SELECT seg, sum(m) AS s, count(*) AS n " +
+        s"FROM $f JOIN $d ON fk = pk GROUP BY seg"
+      val served = rule(spark.sql(q).queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(served, mvPath),
+        "the DDL-created join MV must serve")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set(("x", 15L, 2L), ("y", 20L, 1L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+    // refusals: unqualified grouping; keys from both sides; an outer
+    // join; a dim-side measure
+    val e1 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW ${freshName()} AS
+         |SELECT seg, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f f JOIN $d d ON f.fk = d.pk GROUP BY seg""".stripMargin))
+    assert(e1.getMessage.contains("qualify"))
+    val e2 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW ${freshName()} AS
+         |SELECT d.seg, f.fk, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f f JOIN $d d ON f.fk = d.pk
+         |GROUP BY d.seg, f.fk""".stripMargin))
+    assert(e2.getMessage.contains("ONE side"))
+    val e3 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW ${freshName()} AS
+         |SELECT d.seg, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f f LEFT JOIN $d d ON f.fk = d.pk GROUP BY d.seg""".stripMargin))
+    assert(e3.getMessage.contains("INNER"))
+    val e4 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW ${freshName()} AS
+         |SELECT d.seg, sum(d.pk) AS mv_sum, count(*) AS mv_n
+         |FROM $f f JOIN $d d ON f.fk = d.pk GROUP BY d.seg""".stripMargin))
+    assert(e4.getMessage.contains("unsupported aggregate") ||
+      e4.getMessage.contains("shapes"))
+  }
 }

@@ -438,4 +438,176 @@ class MvSpec extends SparkTestBase {
     assert(f2 == to && t2 == to, s"replay must no-op from the header: $f2 -> $t2")
     assert(mvRows(mv) == good)
   }
+
+  /** kind='distinct' (round 15): exact COUNT(DISTINCT v) partials at
+    * (key, 32768-value-bucket) grain — one Spark-native bitmap per
+    * bucket. Inserts fold by bitmap OR; delete-touched groups
+    * recompute (a surviving row may carry the deleted value, so the
+    * partial is not invertible). The per-key truth is
+    * sum-over-buckets of the stored cardinalities. */
+  private def recomputeDistinct(src: String): Set[(Long, Long, Long)] =
+    SnapshotLog.read(spark, src)
+      .groupBy(col("k"))
+      .agg(countDistinct(col("v")).as("dc"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  private def mvDistinctRows(mv: String): Set[(Long, Long, Long)] =
+    SnapshotLog.read(spark, mv)
+      .groupBy(col("k"))
+      .agg(sum(col("mv_dc")).as("dc"), sum(col("mv_n")).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("distinct MV: inserts (duplicates, negatives, a fresh bucket) fold " +
+    "by bitmap OR; deletes recompute — dropping a value only when its last " +
+    "copy goes; an all-NULL group survives as zero") {
+    import spark.implicits._
+    val src = fresh("src")
+    val mv = fresh("mv")
+    def rows(xs: (Long, Option[Long])*) = xs.toDF("k", "v")
+    // k=1 spans three buckets (negative, small, 70000) with a repeated
+    // 5; k=2 is all-NULL (count(distinct)=0 but the GROUP must exist)
+    SnapshotLog.commit(spark, src, rows(
+      1L -> Some(5L), 1L -> Some(5L), 1L -> Some(-3L), 1L -> Some(70000L),
+      2L -> None, 3L -> Some(8L)))
+    val asOf = SnapshotLog.createMv(spark, src, mv, "k", "v", kind = "distinct")
+    assert(asOf == 1)
+    assert(mvDistinctRows(mv) == recomputeDistinct(src))
+    assert(mvDistinctRows(mv) == Set((1L, 3L, 4L), (2L, 0L, 1L), (3L, 1L, 1L)))
+    // the stored grain really is (key, bucket): k=1 holds 3 value
+    // buckets plus none for NULL — 5 and -3 share bucket 0? no: -3 is
+    // bucket 0, 5 is bucket 1, 70000 bucket 3 (pinning the grain, not
+    // the bucket arithmetic)
+    assert(SnapshotLog.read(spark, mv).filter(col("k") === 1L).count() == 3)
+    // pure-insert delta: a DUPLICATE of an existing value (no count
+    // change), a first value for the all-NULL group, a new group with
+    // a negative value — all fold, no recompute
+    SnapshotLog.commit(spark, src, rows(
+      1L -> Some(5L), 2L -> Some(100000L), 4L -> Some(-1L)))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvDistinctRows(mv) == recomputeDistinct(src))
+    assert(mvDistinctRows(mv) == Set(
+      (1L, 3L, 5L), (2L, 1L, 2L), (3L, 1L, 1L), (4L, 1L, 1L)))
+    // CoW delete of v=5 removes all THREE copies under k=1: the
+    // recompute drops the value; the untouched groups keep their fold
+    SnapshotLog.deleteWhere(spark, src, "v", 5L, 5L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvDistinctRows(mv) == recomputeDistinct(src))
+    assert(mvDistinctRows(mv).contains((1L, 2L, 2L)))
+    // delete k=4 entirely: the group vanishes from the MV
+    SnapshotLog.mergeCoW(
+      spark, src, "k", Seq(4L).toDF("k"),
+      df => df.filter(col("k") =!= 4L))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvDistinctRows(mv) == recomputeDistinct(src))
+    assert(!mvDistinctRows(mv).exists(_._1 == 4L))
+    // guard rails: multi-measure and non-integral measures refuse
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotLog.createMv(spark, src, fresh("m2"), "k", "v,k",
+        kind = "distinct"))
+    assert(e1.getMessage.contains("ONE measure"))
+    val src2 = fresh("src2")
+    SnapshotLog.commit(
+      spark, src2, Seq((1L, "a")).toDF("k", "s"))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotLog.createMv(spark, src2, fresh("m3"), "k", "s",
+        kind = "distinct"))
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  /** Join MVs (round 15): a per-dim-attribute rollup of
+    * `fact ⋈ dim ON fk = pk`, maintained from the FACT change feed
+    * enriched against the dim at its PINNED version. The truth the
+    * fold must land on, after any mix of fact appends and CoW
+    * deletes, is the full recompute of the join at (fact tip,
+    * dim@pinned). */
+  private def recomputeJoin(
+      fact: String, dim: String, dimV: Int): Set[(String, Long, Long)] =
+    SnapshotLog.read(spark, fact)
+      .join(SnapshotLog.read(spark, dim, Some(dimV)),
+        col("fk") === col("pk"), "inner")
+      .groupBy(col("attr"))
+      .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("join MV: the fact change feed folds ENRICHED against the pinned " +
+    "dim version — appends, an invertible delete, an unmatched fk, and a " +
+    "post-create dim commit that must change nothing") {
+    import spark.implicits._
+    val fact = fresh("fact")
+    val dim = fresh("dim")
+    val mv = fresh("jmv")
+    SnapshotLog.commit(
+      spark, dim, Seq(1L -> "a", 2L -> "b", 3L -> "a").toDF("pk", "attr"))
+    val dimV = SnapshotLog.versions(spark, dim).last
+    // fk=99 has no dim row: inner-join semantics exclude it everywhere
+    SnapshotLog.commit(
+      spark, fact,
+      Seq(1L -> 10L, 2L -> 20L, 3L -> 5L, 99L -> 7L).toDF("fk", "v"))
+    val asOf = SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mv, "attr", "v")
+    assert(asOf == SnapshotLog.versions(spark, fact).last)
+    def mvState(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mvState() == Set(("a", 15L, 2L), ("b", 20L, 1L)))
+    // appends fold (one matched per group, one still-unmatched)
+    SnapshotLog.commit(
+      spark, fact, Seq(1L -> 1L, 99L -> 9L, 2L -> 2L).toDF("fk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recomputeJoin(fact, dim, dimV))
+    assert(mvState() == Set(("a", 16L, 3L), ("b", 22L, 2L)))
+    // a dim commit AFTER the create must not disturb the fold: the MV
+    // is defined against dim@pinned, so a fact row matching only the
+    // NEW dim row stays excluded — exactly the recompute at dimV
+    SnapshotLog.commit(spark, dim, Seq(99L -> "c").toDF("pk", "attr"))
+    SnapshotLog.commit(spark, fact, Seq(99L -> 3L).toDF("fk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recomputeJoin(fact, dim, dimV))
+    assert(!mvState().exists(_._1 == "c"))
+    // a CoW delete inverts through the sum fold (enriched delete rows)
+    SnapshotLog.deleteWhere(spark, fact, "v", 20L, 20L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recomputeJoin(fact, dim, dimV))
+    assert(mvState().contains(("b", 2L, 1L)))
+    // a minmax join MV recomputes delete-touched groups through the
+    // enriched at-watermark read (scoped through the dim's pks). This
+    // one pins the dim at ITS create time — the newer version where
+    // pk=99 resolves to 'c' — so the same fact serves a third group:
+    // two MVs over one fact, each exact against its own dim pin.
+    val mv2 = fresh("jmv2")
+    SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mv2, "attr", "v", kind = "minmax")
+    SnapshotLog.deleteWhere(spark, fact, "v", 1L, 1L) // group a's minimum
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(m2 == Set(
+      ("a", 5L, 10L, 2L), ("b", 2L, 2L, 1L), ("c", 3L, 9L, 3L)))
+    // guard rails: a duplicate pk refuses loudly (it would multiply
+    // fact rows); grouping by the join key refuses; a dim key name
+    // colliding with a fact column refuses
+    val dupDim = fresh("dupdim")
+    SnapshotLog.commit(
+      spark, dupDim, Seq(1L -> "x", 1L -> "y").toDF("pk", "attr"))
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, fact, dupDim, "fk", "pk", fresh("m"), "attr", "v"))
+    assert(e1.getMessage.contains("not unique"))
+    val e2 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", fresh("m"), "pk", "v"))
+    assert(e2.getMessage.contains("plain MV"))
+    val clashDim = fresh("clashdim")
+    SnapshotLog.commit(
+      spark, clashDim, Seq(1L -> "z").toDF("pk", "v"))
+    val e3 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, fact, clashDim, "fk", "pk", fresh("m"), "v", "v"))
+    assert(e3.getMessage.contains("overlap") ||
+      e3.getMessage.contains("collides"))
+  }
 }
