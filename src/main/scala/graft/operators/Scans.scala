@@ -3562,6 +3562,64 @@ object Scans {
     }
   }
 
+  /** SERVE-MISS DIAGNOSTICS (round 15): `CALL system.explain_mv_serve
+    * (query)` answers the first question every MV user asks — "why
+    * didn't my MV serve?" — by running the rewrite with a diagnostic
+    * sink armed and returning one line per candidate-MV decision:
+    * SERVED with grain and matched versions, or the bail reason with
+    * its remedy (REFRESH for staleness, re-materialize for dim drift,
+    * the named unservable output for shape misses). The graded
+    * contract is the diagnosis LIFECYCLE, projected to a
+    * deterministic shape: fresh MV → served; source moves → not
+    * served AND the advice names REFRESH MATERIALIZED VIEW; after the
+    * refresh → served again. The oracle is the literal truth table —
+    * the diagnostics' behavior, hash-matched. */
+  val sqlMvExplain: Q = (spark, dir) => {
+    import spark.implicits._
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_xplsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_xplmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_xpl_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_xplsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_xplsrc
+         |SELECT * FROM graft_xpl_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_xplmv AS
+         |SELECT o_custkey, sum(cents) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.orders_xplsrc GROUP BY o_custkey""".stripMargin)
+    val q = s"SELECT o_custkey, sum(cents) AS s " +
+      s"FROM $cat.main.orders_xplsrc GROUP BY o_custkey"
+    def diag(step: String): (String, Boolean, Boolean) = {
+      val lines = spark
+        .sql(s"CALL $cat.system.explain_mv_serve(query => '$q')")
+        .collect().map(_.getString(0))
+      (step,
+        lines.exists(_.startsWith("SERVED from")),
+        lines.exists(_.contains("REFRESH MATERIALIZED VIEW")))
+    }
+    val fresh = diag("a_fresh")
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_xplsrc
+         |SELECT * FROM graft_xpl_src WHERE o_orderkey > $half""".stripMargin)
+    val stale = diag("b_stale")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_xplmv")
+    val refreshed = diag("c_refreshed")
+    Seq(fresh, stale, refreshed)
+      .toDF("step", "served", "mentions_refresh")
+      .orderBy("step")
+  }
+
   /** RUNTIME FILE PRUNING (round 13): the snapshot scan implements
     * `SupportsRuntimeV2Filtering` over its declared layout columns
     * (sorted_by / identity partitions / bucket key / bloom-indexed),
@@ -5178,6 +5236,7 @@ object Scans {
     "agg_mv_serve_distinct" -> aggMvServeDistinct,
     "agg_mv_serve_distinct_month" -> aggMvServeDistinctMonth,
     "agg_mv_serve_join" -> aggMvServeJoin,
+    "sql_mv_explain" -> sqlMvExplain,
     "join_dpp" -> joinDpp,
     "agg_groupby_pushdown" -> aggGroupbyPushdown,
     "agg_rangeby_pushdown" -> aggRangebyPushdown,
@@ -5512,6 +5571,15 @@ object Scans {
         |SELECT grp, CAST(count(DISTINCT item) AS BIGINT) AS d_items,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM fin GROUP BY grp ORDER BY grp""".stripMargin,
+    // the diagnosis lifecycle is its own truth table: fresh serves,
+    // a moved source stops serving AND the advice names the refresh,
+    // the refresh restores the serve
+    "sql_mv_explain" ->
+      """SELECT * FROM (VALUES
+        |  ('a_fresh', true, false),
+        |  ('b_stale', false, true),
+        |  ('c_refreshed', true, false))
+        |AS t(step, served, mentions_refresh) ORDER BY step""".stripMargin,
     // the star rollup served from the join MV must equal the join
     // recomputed from source rows (filtered dim: dropped customers'
     // orders are absent from every group — inner-join exclusion is

@@ -120,6 +120,48 @@ object MvRewrite {
       case _                       => None
     }
 
+  // ------------------------------------------------------------------
+  // Serve-miss diagnostics (round 15): "why didn't my MV serve?" is
+  // the first question every MV user asks, and the answer is buried
+  // in a dozen silent bails. Every bail site reports through
+  // [[diag]] — a ThreadLocal sink that costs NOTHING when no one is
+  // listening (the message is by-name and never built during normal
+  // optimization) — and [[explainServe]] runs the rewrite with the
+  // sink armed and returns the per-candidate reasons, including the
+  // remedy where one exists (REFRESH for staleness, re-materialize
+  // for dim drift). Surfaced as CALL system.explain_mv_serve(query).
+  // ------------------------------------------------------------------
+  private val diagSink = new ThreadLocal[StringBuilder]
+
+  /** Report a bail reason to the armed sink, if any. `msg` is by-name:
+    * during normal optimization (sink unset) it is never evaluated,
+    * so bail sites may freely interpolate watermark lookups etc. */
+  private[plans] def diag(msg: => String): Unit = {
+    val sb = diagSink.get()
+    if (sb != null) sb.append(msg).append('\n')
+  }
+
+  /** Run the managed-MV rewrite over `df`'s optimized plan with the
+    * diagnostic sink armed (conf gate bypassed — explain always
+    * explains) and return one line per candidate-MV decision: a
+    * `SERVED from <path>` line when a rewrite fired, otherwise each
+    * candidate's bail reason with its remedy. */
+  def explainServe(
+      spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame
+  ): Seq[String] = {
+    val sb = new StringBuilder
+    diagSink.set(sb)
+    try {
+      MvRollupRewriteRule(spark).applyAlways(df.queryExecution.optimizedPlan)
+      val lines = sb.toString.split('\n').filter(_.nonEmpty).toSeq
+      if (lines.isEmpty)
+        Seq("no aggregate over a snapshot scan with candidate MVs " +
+          "(mv_refs) in this plan — nothing a materialized view could serve")
+      else lines
+    } finally diagSink.remove()
+  }
+
   def register(mv: MvDef): Unit = registry.put(norm(mv.sourcePath), mv)
 
   def lookup(sourcePath: String): Option[MvDef] =
@@ -205,10 +247,15 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    applyAlways(plan)
+  }
+
+  /** The rewrite without the conf gate — [[MvRewrite.explainServe]]
+    * uses it so an explain always explains. */
+  private[plans] def applyAlways(plan: LogicalPlan): LogicalPlan =
     plan.transformDown { case agg @ Aggregate(_, _, _, _) =>
       rewrite(agg).orElse(rewriteManaged(agg)).getOrElse(agg)
     }
-  }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
@@ -580,8 +627,12 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       StringType
     }
     val props = SnapshotLog.tableProps(spark, mvPath)
-    if (!props.get("mv_source").exists(s => MvRewrite.samePath(s, srcPath)))
+    if (!props.get("mv_source").exists(s => MvRewrite.samePath(s, srcPath))) {
+      MvRewrite.diag(s"$mvPath: dangling mv_refs pointer — its mv_source " +
+        s"is ${props.getOrElse("mv_source", "<unset>")}, not the scanned " +
+        "table; skipped")
       return None
+    }
     // join MVs serve ONLY through a verified join context, and plain
     // MVs never through one. Without this gate a join MV would serve
     // a fact-only query — WRONG: the inner join dropped unmatched
@@ -591,13 +642,37 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     (props.get("mv_join_dim"), joinProbe) match {
       case (None, None) => ()
       case (Some(dp), Some(jp)) =>
-        if (!MvRewrite.samePath(dp, jp.dimPath)) return None
-        if (!props.get("mv_join_fk").contains(jp.fkName)) return None
-        if (!props.get("mv_join_pk").contains(jp.pkName)) return None
+        if (!MvRewrite.samePath(dp, jp.dimPath)) {
+          MvRewrite.diag(s"$mvPath: joins a different dim ($dp, query " +
+            s"joins ${jp.dimPath}); skipped")
+          return None
+        }
+        if (!props.get("mv_join_fk").contains(jp.fkName) ||
+          !props.get("mv_join_pk").contains(jp.pkName)) {
+          MvRewrite.diag(s"$mvPath: joins on " +
+            s"${props.getOrElse("mv_join_fk", "?")} = " +
+            s"${props.getOrElse("mv_join_pk", "?")}, the query on " +
+            s"${jp.fkName} = ${jp.pkName}; skipped")
+          return None
+        }
         if (!props.get("mv_dim_version")
             .flatMap(s => scala.util.Try(s.toInt).toOption)
-            .contains(jp.dimV)) return None
-      case _ => return None
+            .contains(jp.dimV)) {
+          MvRewrite.diag(s"$mvPath: DIM DRIFT — materialized against dim " +
+            s"v${props.getOrElse("mv_dim_version", "?")} but the query " +
+            s"reads dim v${jp.dimV}; a refresh cannot fix this (the fold " +
+            "is defined against the pinned dim) — re-materialize the MV")
+          return None
+        }
+      case (Some(_), None) =>
+        MvRewrite.diag(s"$mvPath: is a JOIN rollup — it cannot serve a " +
+          "fact-only aggregate (the inner join dropped unmatched fact " +
+          "rows); query the join, or create a plain MV on the fact")
+        return None
+      case (None, Some(_)) =>
+        MvRewrite.diag(s"$mvPath: is a single-table rollup — it cannot " +
+          "serve a join aggregate; create_join_mv covers that shape")
+        return None
     }
     val key = props.getOrElse("mv_key", return None)
     // composite plain keys: mv_key is a comma-joined column list; the
@@ -633,7 +708,15 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           SnapshotLog.versions(spark, mvPath).lastOption
         else None
       }
-      .getOrElse(return None)
+      .getOrElse {
+        MvRewrite.diag(s"$mvPath: STALE — no committed MV version folds " +
+          s"exactly source@v$srcVersion" +
+          SnapshotLog.committedWatermark(spark, mvPath, "mvv")
+            .map(w => s" (the MV's tip watermark is v$w)").getOrElse("") +
+          "; run REFRESH MATERIALIZED VIEW (or query the version the MV " +
+          "is fresh at)")
+        return None
+      }
     // the key-shape grammar: which query-side expression IS the MV key
     val keyShapedOpt: Option[Expression => Boolean] =
       props.get("mv_key_expr") match {
@@ -674,7 +757,12 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               })
         case Some(_) => None // unknown recorded grain: never guess
       }
-    val keyShaped = keyShapedOpt.getOrElse(return None)
+    val keyShaped = keyShapedOpt.getOrElse {
+      MvRewrite.diag(s"$mvPath: recorded key grain " +
+        s"'${props.getOrElse("mv_key_expr", "?")}' is not one this build " +
+        "recognizes; skipped")
+      return None
+    }
     val mvPlan =
       SnapshotLog.read(spark, mvPath, Some(mvV)).queryExecution.analyzed
     val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
@@ -755,7 +843,13 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val coarseGroups: Option[Seq[Expression]] =
       if (global || identity) None
       else seqOpt(agg.groupingExpressions.map(transplant))
-    if (!global && !identity && coarseGroups.isEmpty) return None
+    if (!global && !identity && coarseGroups.isEmpty) {
+      MvRewrite.diag(s"$mvPath: the grouping " +
+        agg.groupingExpressions.map(_.sql).mkString("(", ", ", ")") +
+        s" is neither the stored grain ($key) nor a pure function of " +
+        "it — a FINER grain can never be recovered from a coarser rollup")
+      return None
+    }
     val reagg = global || coarseGroups.isDefined
     // residual predicate: transplant or bail (see Scaladoc)
     val condMv: Option[Expression] = condOpt match {
@@ -763,7 +857,12 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(c) =>
         transplant(c) match {
           case Some(t) => Some(t)
-          case None    => return None
+          case None =>
+            MvRewrite.diag(s"$mvPath: the predicate ${c.sql} does not " +
+              "transplant onto the stored key (it references non-key " +
+              "columns, is nondeterministic, or carries a subquery) — " +
+              "row-level values no longer exist in the rollup")
+            return None
         }
     }
     // type must match EXACTLY and declared non-nullability is
@@ -773,6 +872,18 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (child.dataType != want.dataType) None
       else if (!want.nullable && child.nullable) Some(KnownNotNull(child))
       else Some(child)
+    // name the FIRST unservable output — the one thing the user must
+    // change (or the MV must grow) for the rewrite to fire
+    def diagOuts(outs: Seq[Option[NamedExpression]]): Unit = {
+      val i = outs.indexWhere(_.isEmpty)
+      if (i >= 0)
+        MvRewrite.diag(s"$mvPath: output " +
+          s"${agg.aggregateExpressions(i).sql} does not map onto the " +
+          s"stored partials (kind=$kind, measures=${measures.mkString(",")})")
+    }
+    def diagServed(grain: String): Unit =
+      MvRewrite.diag(s"SERVED from $mvPath (MV v$mvV ≡ source@v$srcVersion" +
+        s", $grain grain, kind=$kind)")
     // ---- kind='distinct' owns its whole serve path (round 15) ----
     // The stored grain is (keys..., mv_bno) — one bitmap per
     // 32768-value bucket — NOT one row per key, so the generic 1:1 /
@@ -801,8 +912,11 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       import org.apache.spark.sql.catalyst.expressions.aggregate.Count
       if (measures.size != 1) return None
       val meas = measures.head
-      if (!Seq("mv_bno", "mv_bm", "mv_dc", "mv_n").forall(mvAttr.contains))
+      if (!Seq("mv_bno", "mv_bm", "mv_dc", "mv_n").forall(mvAttr.contains)) {
+        MvRewrite.diag(s"$mvPath: kind=distinct but the bucket columns " +
+          "are missing — not a rollup this build can serve")
         return None
+      }
       val base = condMv match {
         case Some(cond) => Filter(cond, mvPlan)
         case None       => mvPlan
@@ -843,7 +957,8 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 al).map(x => Alias(x, name)(exprId = al.exprId))
             case _ => None
           }
-        if (outs.exists(_.isEmpty)) return None
+        if (outs.exists(_.isEmpty)) { diagOuts(outs); return None }
+        diagServed("identity")
         return Some(Aggregate(groupings, outs.map(_.get), base))
       }
       if (!global && coarseGroups.isEmpty) return None
@@ -901,7 +1016,8 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               fit(t, al).map(x => Alias(x, name)(exprId = al.exprId)))
           case _ => None
         }
-      if (outs.exists(_.isEmpty)) return None
+      if (outs.exists(_.isEmpty)) { diagOuts(outs); return None }
+      diagServed(if (global) "global" else "coarse")
       return Some(
         Aggregate(cgAliases.map(_.toAttribute), outs.map(_.get), inner))
     }
@@ -993,11 +1109,13 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           fit(t, al).map(x => Alias(x, name)(exprId = al.exprId)))
       case _ => None
     }
-    if (outs.exists(_.isEmpty)) return None
+    if (outs.exists(_.isEmpty)) { diagOuts(outs); return None }
     val base = condMv match {
       case Some(cond) => Filter(cond, mvPlan)
       case None       => mvPlan
     }
+    diagServed(
+      if (global) "global" else if (identity) "identity" else "coarse")
     Some(
       if (global) Aggregate(Nil, outs.map(_.get), base)
       else if (identity) Project(outs.map(_.get), base)

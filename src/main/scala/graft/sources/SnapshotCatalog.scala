@@ -4080,7 +4080,7 @@ private[sources] object SnapshotProcedures {
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
       "detail", "clone", "build_bloom", "create_mv", "create_join_mv",
-      "refresh_mv", "ingest", "count_by", "range_by")
+      "refresh_mv", "explain_mv_serve", "ingest", "count_by", "range_by")
 
   private def spark = SparkSession.active
 
@@ -4385,6 +4385,28 @@ private[sources] object SnapshotProcedures {
                 in.getUTF8String(6).toString,
                 if (in.isNullAt(7)) "sum"
                 else in.getUTF8String(7).toString))))
+        )
+      case "explain_mv_serve" =>
+        // serve-miss diagnostics: CALL system.explain_mv_serve(
+        // query => '<sql>') — run the managed-MV rewrite over the
+        // query's optimized plan with the diagnostic sink armed
+        // (conf gate bypassed) and return one line per candidate-MV
+        // decision: SERVED with grain and matched versions, or the
+        // bail reason with its remedy (REFRESH for staleness,
+        // re-materialize for dim drift, the named unservable output
+        // for shape misses). The answer to the first question every
+        // MV user asks.
+        proc(
+          "explain_mv_serve",
+          Seq(ProcedureParameter.in("query", StringType).build()),
+          StructType(Seq(StructField("line", StringType))),
+          in => {
+            val q = in.getUTF8String(0).toString
+            graft.plans.MvRewrite
+              .explainServe(spark, spark.sql(q))
+              .map(l => new GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(l))))
+          }
         )
       case "count_by" =>
         // metadata-only GROUP-BY-PARTITION count: CALL

@@ -2984,6 +2984,18 @@ class CatalogSpec extends SparkTestBase {
       assert(run(co).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
         Set((1L, 3L, 5L), (2L, 1L, 1L), (3L, 0L, 1L)))
+      // AT-SCALE plan shape: the identity serve reads the LONG
+      // cardinality column and never the 4 KB bitmaps (physical
+      // planning prunes the parquet ReadSchema from the plan's
+      // references), while the coarse serve reads the bitmaps it ORs
+      // and never the stored cardinalities — each grain touches only
+      // the bytes its algebra needs
+      val idPlan = run(id).queryExecution.executedPlan.toString
+      assert(idPlan.contains("mv_dc") && !idPlan.contains("mv_bm"),
+        s"identity distinct serve must not read bitmaps:\n$idPlan")
+      val coPlan = run(co).queryExecution.executedPlan.toString
+      assert(coPlan.contains("mv_bm") && !coPlan.contains("mv_dc"),
+        s"coarse distinct serve must not read stored cardinalities:\n$coPlan")
       // GLOBAL: v=7 counted once across all keys
       val gl = plan(s"SELECT count(DISTINCT v) AS dc, count(*) AS n FROM $t")
       assert(MvRewrite.readsPath(gl, mvPath) && noSource(gl))
@@ -3253,5 +3265,51 @@ class CatalogSpec extends SparkTestBase {
          |FROM $f f JOIN $d d ON f.fk = d.pk GROUP BY d.seg""".stripMargin))
     assert(e4.getMessage.contains("unsupported aggregate") ||
       e4.getMessage.contains("shapes"))
+  }
+
+  test("explain_mv_serve answers 'why didn't my MV serve?': SERVED with " +
+    "grain and versions, STALE with the REFRESH remedy, unservable output " +
+    "named, untransplantable predicate named") {
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_xmv AS
+         |SELECT k, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    def explain(q: String): Seq[String] =
+      spark.sql(
+        s"CALL cattest.system.explain_mv_serve(query => '${q.replace("'", "''")}')")
+        .collect().map(_.getString(0)).toSeq
+    val good = s"SELECT k, sum(v) AS s FROM $t GROUP BY k"
+    // fresh MV, servable shape — the explain names the MV, grain, and
+    // matched versions (and works with the rewrite conf OFF: an
+    // explain always explains)
+    val l1 = explain(good)
+    assert(l1.exists(l => l.startsWith("SERVED from") &&
+      l.contains(s"${tn}_xmv") && l.contains("identity")), l1.toString)
+    // stale: the source moved — remedy is REFRESH
+    spark.sql(s"INSERT INTO $t VALUES (3, 30)")
+    val l2 = explain(good)
+    assert(l2.exists(l => l.contains("STALE") &&
+      l.contains("REFRESH MATERIALIZED VIEW")), l2.toString)
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_xmv")
+    assert(explain(good).exists(_.startsWith("SERVED from")))
+    // an aggregate the sum rollup cannot answer is NAMED
+    val l3 = explain(s"SELECT k, avg(v) AS a FROM $t GROUP BY k")
+    assert(l3.exists(l => l.contains("does not map onto the stored " +
+      "partials") && l.contains("avg(")), l3.toString)
+    // a measure-level predicate is NAMED as untransplantable
+    val l4 = explain(
+      s"SELECT k, sum(v) AS s FROM $t WHERE v > 5 GROUP BY k")
+    assert(l4.exists(_.contains("does not transplant")), l4.toString)
+    // a table with no MVs explains that there is nothing to serve
+    val bare = freshName()
+    spark.sql(s"CREATE TABLE $bare (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $bare VALUES (1, 1)")
+    val l5 = explain(s"SELECT k, sum(v) AS s FROM $bare GROUP BY k")
+    assert(l5.exists(_.contains("nothing a materialized view could serve")),
+      l5.toString)
   }
 }
