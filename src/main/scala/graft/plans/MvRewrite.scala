@@ -67,6 +67,12 @@ import org.apache.spark.sql.SparkSession
 object MvRewrite {
   val ConfKey = "spark.graft.mv.rewrite"
 
+  /** When true, plain `EXPLAIN <query>` appends the MV-serve section
+    * (see GraftViewParser's ExplainCommand hook) — the diagnosis
+    * surfaces where users actually look, not only behind
+    * CALL system.explain_mv_serve. */
+  val ExplainConfKey = "spark.graft.mv.explain"
+
   /** A registered rollup MV for `sourcePath`: parquet at `mvPath` with
     * columns `dims ++ (cnt +: measures.flatMap(m => sum_m/min_m/max_m))`.
     *
@@ -103,10 +109,10 @@ object MvRewrite {
     * in `mv_key_expr`; the serve rule matches the analyzer's catalyst
     * spelling of the SAME text, so the structural match can never
     * admit a different expression. */
-  private[plans] val ToDateRe = """to_date\((\w+)\)""".r
-  private[plans] val TruncDayRe =
+  private[graft] val ToDateRe = """to_date\((\w+)\)""".r
+  private[graft] val TruncDayRe =
     """trunc\(to_date\((\w+)\), '(\w+)'\)""".r
-  private[plans] val DateTruncRe =
+  private[graft] val DateTruncRe =
     """date_trunc\('(\w+)', (\w+)\)""".r
 
   /** Normalize a trunc/date_trunc level token to its grain — Spark
@@ -150,10 +156,23 @@ object MvRewrite {
       spark: SparkSession,
       df: org.apache.spark.sql.DataFrame
   ): Seq[String] = {
+    // force optimization BEFORE arming the sink, with the conf gate
+    // held OFF: when the rewrite conf is on, the rule would otherwise
+    // run inside this optimization too — emitting every bail twice
+    // (advisor, round 15) and, worse, leaving an already-SERVED plan
+    // in which applyAlways finds no source aggregate to explain.
+    val prevConf = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, "false")
+    val optimized =
+      try df.queryExecution.optimizedPlan
+      finally prevConf match {
+        case Some(v) => spark.conf.set(ConfKey, v)
+        case None    => spark.conf.unset(ConfKey)
+      }
     val sb = new StringBuilder
     diagSink.set(sb)
     try {
-      MvRollupRewriteRule(spark).applyAlways(df.queryExecution.optimizedPlan)
+      MvRollupRewriteRule(spark).applyAlways(optimized)
       val lines = sb.toString.split('\n').filter(_.nonEmpty).toSeq
       if (lines.isEmpty)
         Seq("no aggregate over a snapshot scan with candidate MVs " +
@@ -434,12 +453,20 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The query-side join context the serve rule verified against a
     * candidate MV's recorded join: dim table path + the exact version
-    * the query pinned, and the fk/pk column names of the equi-join. */
+    * the query pinned, the fk/pk column names of the equi-join, and
+    * the FACT side's output exprIds — the measure match must resolve
+    * against these (advisor, round 15: a dim column sharing a fact
+    * measure's NAME would otherwise pass the name-only gate and be
+    * silently served the fact partial — wrong results; createJoinMv
+    * now also refuses the collision at declaration time, but the
+    * exprId check covers MVs created before that guard). */
   private case class JoinProbe(
       dimPath: String,
       dimV: Int,
       fkName: String,
-      pkName: String
+      pkName: String,
+      factOut: Set[Long],
+      joinType: String // "inner" | "left"
   )
 
   private def mvRefsOf(srcPath: String): Seq[String] =
@@ -482,15 +509,18 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       leftPath: String,
       leftV: Int,
       leftKey: AttributeReference,
+      leftOut: Set[Long],
       rightCond: Option[Expression],
       rightPath: String,
       rightV: Int,
-      rightKey: AttributeReference
+      rightKey: AttributeReference,
+      rightOut: Set[Long],
+      joinType: String // "inner" | "left" (fact = LEFT side for left)
   )
 
   private def managedJoinOf(plan: LogicalPlan): Option[JoinMatch] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
-    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     plan match {
       case Project(projList, child)
@@ -500,8 +530,9 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         managedJoinOf(child).collect {
           case jm if jm.topCond.isEmpty => jm.copy(topCond = Some(cond))
         }
-      case Join(l, r, Inner,
-            Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+      case Join(l, r, jt,
+            Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
+          if jt == Inner || jt == LeftOuter =>
         for {
           (lc, lp, lv) <- managedSourceOf(l)
           (rc, rp, rv) <- managedSourceOf(r)
@@ -511,7 +542,10 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             else if (l.outputSet.contains(b) && r.outputSet.contains(a))
               Some((b, a))
             else None
-        } yield JoinMatch(None, lc, lp, lv, keys._1, rc, rp, rv, keys._2)
+        } yield JoinMatch(
+          None, lc, lp, lv, keys._1, l.outputSet.map(_.exprId.id).toSet,
+          rc, rp, rv, keys._2, r.outputSet.map(_.exprId.id).toSet,
+          if (jt == LeftOuter) "left" else "inner")
       case _ => None
     }
   }
@@ -541,18 +575,30 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     managedJoinOf(agg.child).flatMap { jm =>
       import org.apache.spark.sql.catalyst.expressions.And
       // try both orientations — the user may write fact JOIN dim or
-      // dim JOIN fact; the MV's recorded (source, dim, fk, pk) decides
-      val orientations = Seq(
-        (jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey,
-          jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey),
-        (jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey,
-          jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey))
+      // dim JOIN fact; the MV's recorded (source, dim, fk, pk) decides.
+      // A LEFT OUTER join is direction-SENSITIVE: the preserved side
+      // is the fact, so only the fact-on-the-left orientation exists.
+      val orientations =
+        if (jm.joinType == "left")
+          Seq(
+            (jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey, jm.leftOut,
+              jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey))
+        else Seq(
+          (jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey, jm.leftOut,
+            jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey),
+          (jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey, jm.rightOut,
+            jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey))
       orientations.view.flatMap {
-        case (fp, fv, fc, fkA, dp, dv, dc, pkA) =>
-          // fact side: the ONLY tolerable residual is the inferred
-          // isnotnull(fk); anything else references measure-level
-          // values the rollup no longer has
-          if (stripJoinNotNull(fc, fkA).nonEmpty) Nil
+        case (fp, fv, fc, fkA, fOut, dp, dv, dc, pkA) =>
+          // fact side: for an INNER probe the ONLY tolerable residual
+          // is the inferred isnotnull(fk) — implied by the join, so
+          // stripping it is sound. For a LEFT probe NOTHING strips:
+          // isnotnull(fk) is NOT implied there (NULL-fk rows live in
+          // the NULL bucket), so a user-written one is a real
+          // predicate the rollup cannot answer. Anything else
+          // references measure-level values the rollup no longer has.
+          if (jm.joinType == "left" && fc.nonEmpty) Nil
+          else if (stripJoinNotNull(fc, fkA).nonEmpty) Nil
           else {
             val dimCond = (stripJoinNotNull(dc, pkA), jm.topCond) match {
               case (Some(x), Some(y)) => Some(And(x, y))
@@ -562,12 +608,40 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               scala.util
                 .Try(serveManaged(
                   agg, dimCond, fp, fv, mvPath,
-                  Some(JoinProbe(dp, dv, fkA.name, pkA.name))))
+                  Some(JoinProbe(dp, dv, fkA.name, pkA.name, fOut,
+                    jm.joinType))))
                 .toOption.flatten
             }
           }
       }.headOption
     }
+
+  /** Resolve a recorded measure-expression TEXT (`mv_agg_expr`)
+    * against the query's own source plan and return the catalyst
+    * expression a query-side aggregate child must semantically equal
+    * for the serve to fire. The text is parsed, name-resolved against
+    * `child`'s output (the analyzer — so the attribute exprIds are
+    * the QUERY's), type-coerced, and constant-folded (the optimizer
+    * folds the literal casts coercion inserts, so the query side and
+    * this side canonicalize identically: `100 - d` spells
+    * `Literal(100L) - d` on both). Any failure returns None — a
+    * mismatch can only cost the optimization, never correctness. */
+  private def resolveMeasureExpr(
+      text: String,
+      child: LogicalPlan
+  ): Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(text)
+      val proj = Project(Seq(Alias(parsed, "__graft_measure")()), child)
+      val analyzed = spark.sessionState.analyzer.execute(proj)
+      val folded =
+        org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed)
+      folded match {
+        case Project(Seq(al: Alias), _) if al.name == "__graft_measure" =>
+          Some(al.child)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** One candidate MV: verify provenance + freshness, then map the
     * aggregate's output onto the MV's stored columns. Grains that
@@ -647,6 +721,17 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"joins ${jp.dimPath}); skipped")
           return None
         }
+        // the join TYPE is part of the recorded shape: an inner MV
+        // lacks the NULL bucket a LEFT query needs, and a left MV's
+        // NULL bucket mixes unmatched rows with matched-NULL-attr rows
+        // an inner query never sees — either direction is wrong
+        if (props.getOrElse("mv_join_type", "inner") != jp.joinType) {
+          MvRewrite.diag(s"$mvPath: is a " +
+            s"${props.getOrElse("mv_join_type", "inner")}-join rollup; " +
+            s"the query joins ${jp.joinType} — the NULL-bucket semantics " +
+            "differ, skipped")
+          return None
+        }
         if (!props.get("mv_join_fk").contains(jp.fkName) ||
           !props.get("mv_join_pk").contains(jp.pkName)) {
           MvRewrite.diag(s"$mvPath: joins on " +
@@ -665,15 +750,31 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           return None
         }
       case (Some(_), None) =>
-        MvRewrite.diag(s"$mvPath: is a JOIN rollup — it cannot serve a " +
-          "fact-only aggregate (the inner join dropped unmatched fact " +
-          "rows); query the join, or create a plain MV on the fact")
-        return None
+        // a LEFT-join MV keeps EVERY fact row in exactly one group
+        // (left join; pk unique at the pinned dim), so a FACT-ONLY
+        // aggregate re-aggregates over all groups — NULL bucket
+        // included. Fall through: groupings and filters must then
+        // transplant onto the derived FACT member through the
+        // standard gate (a dim attribute cannot occur in a fact-only
+        // query — its name is guarded out of the fact schema). The
+        // INNER kind keeps the hard bail: it dropped unmatched rows
+        // from every partial.
+        if (!props.get("mv_join_type").contains("left")) {
+          MvRewrite.diag(s"$mvPath: is a JOIN rollup — it cannot serve " +
+            "a fact-only aggregate (the inner join dropped unmatched " +
+            "fact rows); query the join, or create a plain MV on the fact")
+          return None
+        }
       case (None, Some(_)) =>
         MvRewrite.diag(s"$mvPath: is a single-table rollup — it cannot " +
           "serve a join aggregate; create_join_mv covers that shape")
         return None
     }
+    // a measure attribute must resolve on the FACT side of a join
+    // probe (see [[JoinProbe.factOut]]); plain serves have no probe
+    // and every attribute is source-side by construction
+    def factSide(a: AttributeReference): Boolean =
+      joinProbe.forall(_.factOut.contains(a.exprId.id))
     val key = props.getOrElse("mv_key", return None)
     // composite plain keys: mv_key is a comma-joined column list; the
     // full grain serves 1:1, any key SUBSET serves by re-aggregation
@@ -690,6 +791,28 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def mcol(base: String, m: String): String =
       if (measures.size == 1) base else s"${base}_$m"
     val kind = props.getOrElse("mv_kind", "sum")
+    // EXPRESSION measure (round 16): the MV's measure is a declared
+    // expression over source columns, not a column — resolve the
+    // recorded text against THIS query's scan so the aggregate-child
+    // match below is by semantic equality of catalyst trees, never by
+    // name. Declared at createMv (single-table MVs only).
+    val measExpr: Option[Expression] = props.get("mv_agg_expr") match {
+      case None => None
+      case Some(text) =>
+        if (joinProbe.isDefined) {
+          MvRewrite.diag(s"$mvPath: carries a measure expression — not " +
+            "servable through a join probe")
+          return None
+        }
+        resolveMeasureExpr(text, agg.child) match {
+          case some @ Some(_) => some
+          case None =>
+            MvRewrite.diag(s"$mvPath: the recorded measure expression " +
+              s"'$text' does not resolve against this query's source; " +
+              "skipped")
+            return None
+        }
+    }
     // Freshness: serve from the MV VERSION whose effective committed
     // `mvv` watermark equals the query's pinned source version —
     // MV@v ≡ aggregate(source@v). For a tip read that is the MV tip;
@@ -717,14 +840,23 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "is fresh at)")
         return None
       }
-    // the key-shape grammar: which query-side expression IS the MV key
-    val keyShapedOpt: Option[Expression => Boolean] =
+    // the key-shape grammar: which query-side expression IS the MV
+    // key. Round 16 splits it in two: `plainKeys` match as bare
+    // attributes (composite members, dim attrs of a mixed-grain join
+    // MV), and the recorded `mv_key_expr` grain matches structurally
+    // for its ONE member — the whole key of a plain derived MV
+    // (mv_fact_key absent ⇒ keys.head) or the recorded mv_fact_key
+    // member of a mixed-grain join MV.
+    val derivedName: Option[String] =
+      props.get("mv_key_expr").map(_ =>
+        props.getOrElse("mv_fact_key", keys.head))
+    val plainKeys: Set[String] = derivedName match {
+      case Some(d) => keys.filterNot(_ == d).toSet
+      case None    => keys.toSet
+    }
+    val derivedShapedOpt: Option[Expression => Boolean] =
       props.get("mv_key_expr") match {
-        case None =>
-          Some({
-            case a: AttributeReference => keys.contains(a.name)
-            case _                     => false
-          })
+        case None => Some(_ => false)
         // the optimizer spells to_date(c) as Cast(c AS DATE)
         case Some(MvRewrite.ToDateRe(c)) =>
           Some({
@@ -757,19 +889,23 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               })
         case Some(_) => None // unknown recorded grain: never guess
       }
-    val keyShaped = keyShapedOpt.getOrElse {
+    val derivedShaped = derivedShapedOpt.getOrElse {
       MvRewrite.diag(s"$mvPath: recorded key grain " +
         s"'${props.getOrElse("mv_key_expr", "?")}' is not one this build " +
         "recognizes; skipped")
       return None
     }
+    val keyShaped: Expression => Boolean = {
+      case a: AttributeReference => plainKeys(a.name)
+      case x                     => derivedShaped(x)
+    }
     val mvPlan =
       SnapshotLog.read(spark, mvPath, Some(mvV)).queryExecution.analyzed
     val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
     if (!keys.forall(mvAttr.contains)) return None
-    // the single stored key column (derived grains and single plain
-    // keys); composite members resolve per-name through mvKeyFor
-    val mvKey = mvAttr(keys.head)
+    // the stored column of the derived key member (or of the single
+    // plain key); composite members resolve per-name through mvKeyFor
+    val mvKey = mvAttr(derivedName.getOrElse(keys.head))
     val mvKeyIds: Set[Long] = keys.map(k => mvAttr(k).exprId.id).toSet
     def mvKeyFor(x: Expression): Attribute = x match {
       case a: AttributeReference if mvAttr.contains(a.name) => mvAttr(a.name)
@@ -831,14 +967,18 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else None
     }
     val global = agg.groupingExpressions.isEmpty
-    // identity = the query grain IS the stored grain: the one derived/
-    // plain key, or (composite) the exact key SET in any order
+    // identity = the query grain IS the stored grain: every grouping
+    // maps onto a DISTINCT stored key member (plain members by name,
+    // the derived member by its grain shape), covering the whole set
     val identity = !global && {
       val gs = agg.groupingExpressions
-      gs.forall(keyShaped) && (
-        if (keys.size == 1) gs.size == 1
-        else gs.collect { case a: AttributeReference => a.name }
-          .toSet == keys.toSet && gs.size == keys.size)
+      gs.forall(keyShaped) && gs.size == keys.size && {
+        val mapped = gs.map {
+          case a: AttributeReference => a.name
+          case _                     => derivedName.getOrElse(keys.head)
+        }
+        mapped.toSet == keys.toSet
+      }
     }
     val coarseGroups: Option[Seq[Expression]] =
       if (global || identity) None
@@ -926,7 +1066,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         def unapply(e: Expression): Boolean = e match {
           case AggregateExpression(
                 Count(Seq(x: AttributeReference)), Complete, true, None, _) =>
-            x.name == meas
+            x.name == meas && factSide(x)
           case _ => false
         }
       }
@@ -1037,7 +1177,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the MV stores it (stats + avgExact). No declaration gate:
       // counts are integers, exact under any re-association.
       case Count(Seq(x: AttributeReference))
-          if measures.contains(x.name) &&
+          if measures.contains(x.name) && factSide(x) &&
             mvAttr.contains(mcol("mv_nn", x.name)) =>
         mvAttr.get(mcol("mv_nn", x.name)).map { nn =>
           if (!reagg) nn: Expression
@@ -1046,19 +1186,21 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           else Sum(nn).toAggregateExpression()
         }
       case Sum(x: AttributeReference, _)
-          if measures.contains(x.name) && (kind == "sum" || kind == "stats") =>
+          if measures.contains(x.name) && factSide(x) &&
+            (kind == "sum" || kind == "stats") =>
         mvAttr.get(mcol("mv_sum", x.name)).map(s =>
           if (!reagg) s: Expression else Sum(s).toAggregateExpression())
       case Min(x: AttributeReference)
-          if measures.contains(x.name) && kind == "minmax" =>
+          if measures.contains(x.name) && factSide(x) && kind == "minmax" =>
         mvAttr.get(mcol("mv_min", x.name)).map(m =>
           if (!reagg) m: Expression else Min(m).toAggregateExpression())
       case Max(x: AttributeReference)
-          if measures.contains(x.name) && kind == "minmax" =>
+          if measures.contains(x.name) && factSide(x) && kind == "minmax" =>
         mvAttr.get(mcol("mv_max", x.name)).map(m =>
           if (!reagg) m: Expression else Max(m).toAggregateExpression())
       case Sum(Multiply(x: AttributeReference, y: AttributeReference, _), _)
-          if x.name == y.name && measures.contains(x.name) && kind == "stats" =>
+          if x.name == y.name && measures.contains(x.name) && factSide(x) &&
+            kind == "stats" =>
         mvAttr.get(mcol("mv_sumsq", x.name)).map(s =>
           if (!reagg) s: Expression else Sum(s).toAggregateExpression())
       // avg serves ONLY from a stats MV whose registrant DECLARED the
@@ -1069,13 +1211,56 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // If guards the nn == 0 group (all-NULL measures): avg is NULL
       // there, and ANSI division would error instead.
       case Average(x: AttributeReference, _)
-          if measures.contains(x.name) && kind == "stats" &&
+          if measures.contains(x.name) && factSide(x) && kind == "stats" &&
             props.get("mv_avg_exact").contains("true") &&
             mvAttr.contains(mcol("mv_nn", x.name)) &&
             (x.dataType == LongType || x.dataType == IntegerType ||
               x.dataType == DoubleType || x.dataType == FloatType) =>
         val (s, nn) =
           (mvAttr(mcol("mv_sum", x.name)), mvAttr(mcol("mv_nn", x.name)))
+        val (se, nne): (Expression, Expression) =
+          if (!reagg) (s, nn)
+          else
+            (Sum(s).toAggregateExpression(), Sum(nn).toAggregateExpression())
+        Some(If(
+          EqualTo(nne, Literal(0L)),
+          Literal(null, DoubleType),
+          Divide(Cast(se, DoubleType), Cast(nne, DoubleType))))
+      // ---- EXPRESSION-measure matches (round 16): the aggregate's
+      // child must SEMANTICALLY equal the resolved mv_agg_expr — the
+      // revenue shape `sum(cents * (100 - d))` answers from the
+      // rollup. measures.head is the DECLARED name (never a source
+      // column, guarded at create + refresh), so these cases can
+      // never race the name-based ones above.
+      case Sum(e, _)
+          if measExpr.exists(_.semanticEquals(e)) &&
+            (kind == "sum" || kind == "stats") =>
+        mvAttr.get(mcol("mv_sum", measures.head)).map(s =>
+          if (!reagg) s: Expression else Sum(s).toAggregateExpression())
+      case Min(e) if measExpr.exists(_.semanticEquals(e)) && kind == "minmax" =>
+        mvAttr.get(mcol("mv_min", measures.head)).map(m =>
+          if (!reagg) m: Expression else Min(m).toAggregateExpression())
+      case Max(e) if measExpr.exists(_.semanticEquals(e)) && kind == "minmax" =>
+        mvAttr.get(mcol("mv_max", measures.head)).map(m =>
+          if (!reagg) m: Expression else Max(m).toAggregateExpression())
+      case Count(Seq(e))
+          if measExpr.exists(_.semanticEquals(e)) &&
+            mvAttr.contains(mcol("mv_nn", measures.head)) =>
+        mvAttr.get(mcol("mv_nn", measures.head)).map { nn =>
+          if (!reagg) nn: Expression
+          else if (global)
+            Coalesce(Seq(Sum(nn).toAggregateExpression(), Literal(0L)))
+          else Sum(nn).toAggregateExpression()
+        }
+      case Average(e, _)
+          if measExpr.exists(_.semanticEquals(e)) && kind == "stats" &&
+            props.get("mv_avg_exact").contains("true") &&
+            mvAttr.contains(mcol("mv_nn", measures.head)) &&
+            (e.dataType == LongType || e.dataType == IntegerType ||
+              e.dataType == DoubleType || e.dataType == FloatType) =>
+        val (s, nn) = (
+          mvAttr(mcol("mv_sum", measures.head)),
+          mvAttr(mcol("mv_nn", measures.head)))
         val (se, nne): (Expression, Expression) =
           if (!reagg) (s, nn)
           else

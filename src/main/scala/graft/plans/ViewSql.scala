@@ -52,14 +52,31 @@ import graft.sources.SnapshotCatalog
 class GraftViewParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    try ViewSql.rewrite(session, delegate, delegate.parsePlan(sqlText), None, 0)
-    catch {
-      // CREATE/DROP MATERIALIZED VIEW are not in Spark's grammar at
-      // all — own them here; anything else re-raises the original
-      case pe: org.apache.spark.sql.catalyst.parser.ParseException =>
-        ViewSql.parseMaterialized(session, delegate, sqlText).getOrElse(throw pe)
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val planned =
+      try ViewSql.rewrite(session, delegate, delegate.parsePlan(sqlText), None, 0)
+      catch {
+        // CREATE/DROP MATERIALIZED VIEW are not in Spark's grammar at
+        // all — own them here; anything else re-raises the original
+        case pe: org.apache.spark.sql.catalyst.parser.ParseException =>
+          ViewSql.parseMaterialized(session, delegate, sqlText).getOrElse(throw pe)
+      }
+    planned match {
+      // MV-serve explain surfacing (round 16): with
+      // spark.graft.mv.explain=true, plain `EXPLAIN <query>` appends a
+      // "== Materialized View Serving ==" section — the SERVED line or
+      // each candidate's bail reason — so the diagnosis lives where
+      // users actually look, not only behind CALL explain_mv_serve.
+      // ExplainCommand keeps its query as an INNER child the tree
+      // rewrite above never descends into, so view expansion is
+      // applied to it here explicitly.
+      case ec: org.apache.spark.sql.execution.command.ExplainCommand
+          if session.conf.get(MvRewrite.ExplainConfKey, "false") == "true" =>
+        GraftExplainMvCommand(ec.copy(logicalPlan =
+          ViewSql.rewrite(session, delegate, ec.logicalPlan, None, 0)))
+      case p => p
     }
+  }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     ViewSql.rewrite(session, delegate, delegate.parseQuery(sqlText), None, 0)
@@ -217,8 +234,8 @@ object ViewSql {
       case cmv: CreateMaterializedViewAsSelect =>
         nameParts(cmv.name).flatMap(our) match {
           case Some((cat, sc, ident)) =>
-            val (srcParts, key, agg, kind, keyExpr, avgExact, joinSpec) =
-              mvShape(cmv.query)
+            val (srcParts, key, agg, kind, keyExpr, avgExact, aggExpr,
+              joinType, joinSpec) = mvShape(cmv.query)
             val (_, srcSc, srcIdent) =
               inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
                 .getOrElse(throw new IllegalArgumentException(
@@ -226,6 +243,7 @@ object ViewSql {
                     s"catalog table, got '${srcParts.mkString(".")}'"))
             GraftCreateMvCommand(
               sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact,
+              aggExpr, joinType,
               joinSpec.map { case (dimParts, fk, pk) =>
                 val (_, dimSc, dimIdent) = inSnapshotCatalog(
                   session, dimParts, Some((cat, ident.namespace)))
@@ -279,8 +297,8 @@ object ViewSql {
         throw new IllegalArgumentException(
           "CREATE MATERIALIZED VIEW targets a snapshot catalog " +
             s"(qualify the name), got '$identText'"))
-      val (srcParts, key, agg, kind, keyExpr, avgExact, joinSpec) =
-        mvShape(parser.parseQuery(query))
+      val (srcParts, key, agg, kind, keyExpr, avgExact, aggExpr, joinType,
+        joinSpec) = mvShape(parser.parseQuery(query))
       val (_, srcSc, srcIdent) =
         inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
           .getOrElse(throw new IllegalArgumentException(
@@ -288,6 +306,7 @@ object ViewSql {
               s"catalog table, got '${srcParts.mkString(".")}'"))
       Some(GraftCreateMvCommand(
         sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact,
+        aggExpr, joinType,
         joinSpec.map { case (dimParts, fk, pk) =>
           val (_, dimSc, dimIdent) = inSnapshotCatalog(
             session, dimParts, Some((cat, ident.namespace)))
@@ -331,6 +350,7 @@ object ViewSql {
   private def mvShape(
       query: LogicalPlan
   ): (Seq[String], String, String, String, Option[String], Boolean,
+      Option[String], String,
       Option[(Seq[String], String, String)]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Multiply}
@@ -344,9 +364,14 @@ object ViewSql {
         "FROM t GROUP BY k (k may also be " +
         "`to_date(col) AS day`, `trunc(to_date(col), 'month'|'year') " +
         "AS m`, or `date_trunc('hour', col) AS h`) | " +
-        "any of the above over ONE inner join — SELECT d.k, ... FROM f " +
-        "[AS f] JOIN d [AS d] ON f.fk = d.pk GROUP BY d.k, every column " +
-        "qualified, keys from the dim, measures from the fact"
+        "SELECT k, sum(<expr>) AS mv_sum, count(*) AS mv_n FROM t " +
+        "GROUP BY k — a deterministic EXPRESSION measure, e.g. " +
+        "sum(price * (100 - disc)) | " +
+        "any of the above over ONE inner or LEFT [OUTER] join — SELECT " +
+        "d.k, ... FROM f [AS f] [LEFT] JOIN d [AS d] ON f.fk = d.pk " +
+        "GROUP BY d.k, every column qualified, keys from the dim, " +
+        "measures from the fact, fact on the LEFT for a left join " +
+        "(expression measures: single-table form only)"
     def refuse(why: String): Nothing =
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: $why. Incrementally-maintainable " +
@@ -355,10 +380,17 @@ object ViewSql {
     case class ColArg(n: String) extends Arg
     case class SqArg(n: String) extends Arg
     case object StarArg extends Arg
+    // an EXPRESSION measure (round 16): sum(<arbitrary expr>) in the
+    // single-table form — the parse-tree SQL text is recorded verbatim
+    // (mv_agg_expr) so the refresh re-derives and the serve rule
+    // matches the same expression forever
+    case class XArg(text: String) extends Arg
     // `res` resolves an aggregate-argument attribute to its bare
     // column name: single-part names in the single-table form,
     // fact-qualified two-part names in the join form
-    def parseAggWith(res: UnresolvedAttribute => Option[String])(
+    def parseAggWith(
+        res: UnresolvedAttribute => Option[String],
+        allowExpr: Boolean = false)(
         e: Expression): Option[(String, String, Arg)] = e match {
       case al @ Alias(u: UnresolvedFunction, _)
           if !u.isDistinct && u.filter.isEmpty =>
@@ -371,6 +403,11 @@ object ViewSql {
             res(a).map(n => (fn, al.name, SqArg(n)))
           case Seq(_: UnresolvedStar) => Some((fn, al.name, StarArg))
           case Seq(Literal(1, _))     => Some((fn, al.name, StarArg))
+          // any OTHER single sum argument is an expression measure —
+          // its SQL text is the declaration (single-table form only;
+          // props-safety and determinism are checked in createMv)
+          case Seq(other) if allowExpr && fn == "sum" =>
+            Some((fn, al.name, XArg(other.sql)))
           case _                      => None
         }
       // count(DISTINCT a) — the ONE distinct aggregate with an exact
@@ -387,8 +424,9 @@ object ViewSql {
       case _ => None
     }
     val parseAgg: Expression => Option[(String, String, Arg)] =
-      parseAggWith(a =>
-        if (a.nameParts.length == 1) Some(a.nameParts.head) else None)
+      parseAggWith(
+        a => if (a.nameParts.length == 1) Some(a.nameParts.head) else None,
+        allowExpr = true)
     // the derived grains (round 15 widens round 14's day grain to the
     // partition-transform surface): to_date(col) — day;
     // trunc(to_date(col), 'month'|'year'); date_trunc('hour', col).
@@ -450,7 +488,7 @@ object ViewSql {
     def classify(
         rest: Seq[Expression],
         pa: Expression => Option[(String, String, Arg)]
-    ): (String, Seq[String], Boolean) = {
+    ): (String, Seq[String], Boolean, Option[String]) = {
       val parsed = rest.map(pa)
       if (parsed.exists(_.isEmpty))
         refuse("unsupported aggregate expression")
@@ -473,16 +511,26 @@ object ViewSql {
       def nnMatches(xs: Seq[String], multi: Boolean): Boolean =
         nnPart.collect { case ("count", a, ColArg(x)) => (a, x) } ==
           xs.map(x => (an("mv_nn", x, multi), x)).toList
-      val classified: Option[(String, Seq[String], Boolean)] = {
+      val classified: Option[(String, Seq[String], Boolean, Option[String])] = {
         val sums = core.collect { case ("sum", a, ColArg(x)) => (a, x) }
         if (core.nonEmpty && sums.size == core.size) {
           val multi = sums.size > 1
           val xs = sums.map(_._2)
           if (sums.forall { case (a, x) => a == an("mv_sum", x, multi) } &&
             xs.distinct.size == xs.size && nnPart.isEmpty)
-            Some(("sum", xs, false))
+            Some(("sum", xs, false, None))
           else None
         } else None
+      }.orElse {
+        // ONE sum(<expr>) AS mv_sum — the expression-measure form
+        // (round 16): the expression text is the declaration; the
+        // stored measure name is the fixed 'mv_val' (createMv refuses
+        // it if the source already has a column of that name)
+        core match {
+          case List(("sum", "mv_sum", XArg(text))) if nnPart.isEmpty =>
+            Some(("sum", Seq("mv_val"), false, Some(text)))
+          case _ => None
+        }
       }.orElse {
         if (core.size >= 2 && core.size % 2 == 0) {
           val ps = core.grouped(2).toList.map {
@@ -500,7 +548,7 @@ object ViewSql {
                   a2 == an("mv_sumsq", x, multi)
               } && xs.distinct.size == xs.size &&
               (nnPart.isEmpty || nnMatches(xs, multi)))
-              Some(("stats", xs, nnPart.nonEmpty))
+              Some(("stats", xs, nnPart.nonEmpty, None))
             else None
           } else None
         } else None
@@ -520,7 +568,7 @@ object ViewSql {
                 a1 == an("mv_min", x, multi) &&
                   a2 == an("mv_max", x, multi)
               } && xs.distinct.size == xs.size)
-              Some(("minmax", xs, false))
+              Some(("minmax", xs, false, None))
             else None
           } else None
         } else None
@@ -531,7 +579,7 @@ object ViewSql {
         core match {
           case List(("count_distinct", a, ColArg(x)))
               if a == "mv_dc" && nnPart.isEmpty =>
-            Some(("distinct", Seq(x), false))
+            Some(("distinct", Seq(x), false, None))
           case _ => None
         }
       }
@@ -547,8 +595,9 @@ object ViewSql {
         a: Aggregate,
         j: Join
     ): (Seq[String], String, String, String, Option[String], Boolean,
+        Option[String], String,
         Option[(Seq[String], String, String)]) = {
-      import org.apache.spark.sql.catalyst.plans.Inner
+      import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
       def relOf(p: LogicalPlan): Option[(Seq[String], String)] = p match {
         case r: UnresolvedRelation =>
           Some((r.multipartIdentifier, r.multipartIdentifier.last))
@@ -556,8 +605,9 @@ object ViewSql {
           Some((r.multipartIdentifier, id.name))
         case _ => None
       }
-      if (j.joinType != Inner)
-        refuse("only an INNER join rollup is incrementally maintainable")
+      if (j.joinType != Inner && j.joinType != LeftOuter)
+        refuse("only an INNER or LEFT [OUTER] join rollup is " +
+          "incrementally maintainable")
       val (lParts, lAl) = relOf(j.left)
         .getOrElse(refuse("each join side must be a single table"))
       val (rParts, rAl) = relOf(j.right)
@@ -589,6 +639,12 @@ object ViewSql {
       if (gsides.isEmpty || gsides.distinct.size != 1)
         refuse("all grouping columns must come from ONE side (the dim)")
       val dimLeft = gsides.head
+      // a LEFT OUTER rollup preserves the FACT side — it must be the
+      // LEFT operand (dim on the right), matching the serve rule's
+      // direction-sensitive match
+      if (j.joinType == LeftOuter && dimLeft)
+        refuse("a LEFT join rollup preserves the FACT side — write " +
+          "FROM fact LEFT JOIN dim, grouping by dim columns")
       val names = a.groupingExpressions
         .map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
       val lead = a.aggregateExpressions.take(names.size)
@@ -601,11 +657,14 @@ object ViewSql {
           "GROUP BY order")
       val factRes: UnresolvedAttribute => Option[String] = x =>
         sideOf(x).filter(_ != dimLeft).map(_ => x.nameParts.last)
-      val (k, xs, avgE) =
+      val (k, xs, avgE, xe) =
         classify(a.aggregateExpressions.drop(names.size), parseAggWith(factRes))
+      if (xe.isDefined)
+        refuse("expression measures are single-table form only")
       val (factParts, dimParts) = if (dimLeft) (rParts, lParts) else (lParts, rParts)
       val (fkA, pkA) = if (dimLeft) (rk, lk) else (lk, rk)
-      (factParts, names.mkString(","), xs.mkString(","), k, None, avgE,
+      (factParts, names.mkString(","), xs.mkString(","), k, None, avgE, None,
+        if (j.joinType == LeftOuter) "left" else "inner",
         Some((dimParts, fkA.nameParts.last, pkA.nameParts.last)))
     }
     query match {
@@ -654,8 +713,9 @@ object ViewSql {
                 refuse("the grouping must be plain column(s), to_date(col), " +
                   "trunc(to_date(col), 'month'|'year'), or date_trunc('hour', col)")
             }
-            val (k, xs, avgE) = classify(rest, parseAgg)
-            (r.multipartIdentifier, g, xs.mkString(","), k, keyExpr, avgE, None)
+            val (k, xs, avgE, xe) = classify(rest, parseAgg)
+            (r.multipartIdentifier, g, xs.mkString(","), k, keyExpr, avgE, xe,
+              "inner", None)
           case jn: Join => joinShape(a, jn)
           case _ =>
             refuse("the source must be a single table or ONE inner join " +
@@ -819,6 +879,13 @@ case class GraftCreateMvCommand(
     kind: String,
     keyExpr: Option[String] = None,
     avgExact: Boolean = false,
+    // an EXPRESSION measure's SQL text (round 16) — materialized as a
+    // fold column named by `agg`, re-derived on every refresh, matched
+    // canonically at serve (SnapshotLog.createMv aggExpr)
+    aggExpr: Option[String] = None,
+    // 'inner' | 'left' — the join form's type (round 16); ignored for
+    // single-table MVs
+    joinType: String = "inner",
     // the JOIN form: (dim catalog, dim ident, fk, pk) — the rollup is
     // `src ⋈ dim ON fk = pk` grouped by dim attrs, dim version pinned
     // at create (SnapshotLog.createJoinMv)
@@ -837,11 +904,12 @@ case class GraftCreateMvCommand(
       case Some((dimSc, dimIdent, fk, pk)) =>
         graft.sources.SnapshotLog.createJoinMv(
           session, srcCatalog.pathOf(srcIdent), dimSc.pathOf(dimIdent),
-          fk, pk, catalog.pathOf(ident), key, agg, kind, avgExact)
+          fk, pk, catalog.pathOf(ident), key, agg, kind, avgExact,
+          joinType = joinType)
       case None =>
         graft.sources.SnapshotLog.createMv(
           session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
-          key, agg, kind, keyExpr, avgExact)
+          key, agg, kind, keyExpr, avgExact, aggExpr)
     }
     Seq(Row(v))
   }
@@ -889,6 +957,31 @@ case class GraftDropMvCommand(
         "materialized view — use DROP TABLE")
     catalog.dropTable(ident)
     Nil
+  }
+}
+
+/** `EXPLAIN <query>` with the MV-serve section appended (conf-gated,
+  * see the parser hook). The base text is exactly what ExplainCommand
+  * prints; the extra section reuses [[graft.plans.MvRewrite
+  * .explainServe]] — one line per candidate-MV decision. Diagnostics
+  * failures degrade to a note, never break EXPLAIN itself. */
+case class GraftExplainMvCommand(
+    inner: org.apache.spark.sql.execution.command.ExplainCommand
+) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = inner.output
+  override def run(session: SparkSession): Seq[Row] = {
+    val base = inner.run(session)
+    val lines =
+      try graft.plans.MvRewrite.explainServe(
+        session,
+        org.apache.spark.sql.GraftPlanBridge.ofRows(session, inner.logicalPlan))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(s"(mv-serve diagnosis unavailable: ${e.getMessage})")
+      }
+    val text = base.headOption.map(_.getString(0)).getOrElse("") +
+      "\n== Materialized View Serving ==\n" + lines.mkString("\n") + "\n"
+    Seq(Row(text))
   }
 }
 

@@ -4334,6 +4334,18 @@ private[sources] object SnapshotProcedures {
               .defaultValue("''").build(),
             ProcedureParameter
               .in("avg_exact", org.apache.spark.sql.types.BooleanType)
+              .defaultValue("false").build(),
+            // an EXPRESSION measure (round 16): `agg` names the stored
+            // measure, `agg_expr` is the SQL expression it derives from
+            // (the revenue shape sum(price * (100 - disc))); mirrors
+            // the DDL's sum(<expr>) AS mv_sum form
+            ProcedureParameter.in("agg_expr", StringType)
+              .defaultValue("''").build(),
+            // hashed bit positions for a NON-INTEGRAL distinct measure
+            // (round 16): exact up to 64-bit hash collisions — the
+            // declaration carries the caveat, like avg_exact
+            ProcedureParameter
+              .in("hash_distinct", org.apache.spark.sql.types.BooleanType)
               .defaultValue("false").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
@@ -4349,7 +4361,11 @@ private[sources] object SnapshotProcedures {
                 Option(
                   if (in.isNullAt(5)) "" else in.getUTF8String(5).toString)
                   .filter(_.nonEmpty),
-                !in.isNullAt(6) && in.getBoolean(6)))))
+                !in.isNullAt(6) && in.getBoolean(6),
+                Option(
+                  if (in.isNullAt(7)) "" else in.getUTF8String(7).toString)
+                  .filter(_.nonEmpty),
+                !in.isNullAt(8) && in.getBoolean(8)))))
         )
       case "create_join_mv" =>
         // star-schema rollup: CALL system.create_join_mv(fact, dim,
@@ -4369,7 +4385,24 @@ private[sources] object SnapshotProcedures {
             ProcedureParameter.in("key", StringType).build(),
             ProcedureParameter.in("agg", StringType).build(),
             ProcedureParameter.in("kind", StringType)
-              .defaultValue("'sum'").build()
+              .defaultValue("'sum'").build(),
+            // mirrors create_mv (advisor, round 15): declares the
+            // measures integral-valued so avg may serve (kind='stats'
+            // only; adds the non-null counts to the rollup)
+            ProcedureParameter
+              .in("avg_exact", org.apache.spark.sql.types.BooleanType)
+              .defaultValue("false").build(),
+            // MIXED-GRAIN star rollups (round 16): when set, the LAST
+            // `key` member is a derived FACT time grain (to_date(c) /
+            // trunc(to_date(c),'month'|'year') / date_trunc('hour',c))
+            // — "revenue by segment AND month" from one MV
+            ProcedureParameter.in("key_expr", StringType)
+              .defaultValue("''").build(),
+            // LEFT-OUTER join MVs (round 16): join_type => 'left'
+            // keeps every fact row (unmatched rows in the NULL
+            // dim-attr bucket); fact-only aggregates then serve
+            ProcedureParameter.in("join_type", StringType)
+              .defaultValue("'inner'").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
           in =>
@@ -4384,7 +4417,13 @@ private[sources] object SnapshotProcedures {
                 in.getUTF8String(5).toString,
                 in.getUTF8String(6).toString,
                 if (in.isNullAt(7)) "sum"
-                else in.getUTF8String(7).toString))))
+                else in.getUTF8String(7).toString,
+                !in.isNullAt(8) && in.getBoolean(8),
+                Option(
+                  if (in.isNullAt(9)) "" else in.getUTF8String(9).toString)
+                  .filter(_.nonEmpty),
+                if (in.isNullAt(10)) "inner"
+                else in.getUTF8String(10).toString))))
         )
       case "explain_mv_serve" =>
         // serve-miss diagnostics: CALL system.explain_mv_serve(

@@ -3227,13 +3227,29 @@ object SnapshotLog {
   private def distinctRollup(
       df: DataFrame,
       keys: Seq[String],
-      measure: String
+      measure: String,
+      // round 16: bit positions over xxhash64(measure) instead of the
+      // value itself — the DECLARED route for non-integral measures
+      // (strings, decimals). count(DISTINCT m) then serves as the
+      // number of distinct 64-bit hashes: exact up to hash collisions
+      // (~n²/2⁶⁴ — negligible below billions of distinct values, and
+      // the declaration carries the caveat, like avgExact).
+      hashed: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, expr, lit}
+    // null-preserving hash: xxhash64(NULL) is the SEED (42), not NULL
+    // — unguarded it would count NULL as a distinct value, where
+    // count(DISTINCT m) ignores NULLs and an all-NULL group must keep
+    // mv_dc = 0 (the NULL-bucket contract below)
+    val mexpr =
+      if (hashed)
+        s"CASE WHEN `$measure` IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"ELSE xxhash64(`$measure`) END"
+      else s"`$measure`"
     df.select(
         keys.map(col) ++ Seq(
-          expr(s"bitmap_bucket_number(`$measure`)").as("mv_bno"),
-          expr(s"bitmap_bit_position(`$measure`)").as("__graft_bpos")): _*)
+          expr(s"bitmap_bucket_number($mexpr)").as("mv_bno"),
+          expr(s"bitmap_bit_position($mexpr)").as("__graft_bpos")): _*)
       .groupBy(keys.map(col) :+ col("mv_bno"): _*)
       .agg(
         expr("bitmap_construct_agg(__graft_bpos)").as("mv_bm"),
@@ -3275,6 +3291,39 @@ object SnapshotLog {
     }
   }
 
+  /** Order-independent content fingerprint of a rollup state:
+    * (row count, XOR of per-row xxhash64 over the lexicographically
+    * sorted columns). Written as the `mvfp=` header rider with every
+    * fold, verified before the next fold — a foreign write into a
+    * managed MV (INSERT INTO, out-of-band DELETE) otherwise survives
+    * the serve-path span truncation only until the next REFRESH
+    * re-headers the polluted state (the round-15 documented
+    * residual). XOR is commutative, so the check costs ONE pass over
+    * the O(keys) rollup in any row order; the count catches the
+    * even-multiplicity blind spot of pure XOR. Tamper-evidence, not
+    * cryptography — the adversary here is an accident, not an
+    * attacker. */
+  private def contentFingerprint(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, xxhash64}
+    val r = df
+      .select(xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      .collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The most recent committed `mvfp=` rider, parsed. */
+  private def lastFingerprint(
+      spark: SparkSession,
+      mv: String
+  ): Option[(Long, Long)] =
+    versions(spark, mv).reverseIterator
+      .map(v => headerToken(header(spark, mv, v), "mvfp"))
+      .collectFirst { case Some(t) =>
+        val parts = t.split(':')
+        (parts(0).toLong, parts(1).toLong)
+      }
+
   /** Materialize a per-key rollup of `source` as the snapshot table
     * `mv`, recording (source, key, agg, kind, high-water version) in
     * the MV's props so [[refreshMv]] can maintain it from the change
@@ -3311,7 +3360,29 @@ object SnapshotLog {
       // wrong avg denominator under NULLs) and the `mv_avg_exact`
       // prop the serve rule gates on. The declaration carries the
       // responsibility, exactly like the Stage path's MvDef.avgExact.
-      avgExact: Boolean = false
+      avgExact: Boolean = false,
+      // optional EXPRESSION measure (round 16): a SQL expression over
+      // source columns — `cents * (100 - disc_pct)`, the revenue
+      // shape of every dashboard — materialized as the measure column
+      // named `aggCol` at create and re-derived over every refresh
+      // delta (the derived-KEY machinery, applied to the measure
+      // side). Recorded in `mv_agg_expr`; the serve rule matches a
+      // query's `sum(<expr>)` against the CANONICALIZED catalyst form
+      // of the same text, so `sum(cents * (100 - disc_pct))` answers
+      // from the rollup with no source scan. The expression must be
+      // deterministic and subquery-free (checked here), and `aggCol`
+      // must not collide with a source column (re-checked at every
+      // refresh, exactly like the derived key).
+      aggExpr: Option[String] = None,
+      // kind='distinct' over a NON-INTEGRAL measure (round 16): the
+      // registrant DECLARES hashing — bit positions derive from
+      // xxhash64(measure), so count(DISTINCT m) serves as the number
+      // of distinct 64-bit hashes: exact up to hash collisions
+      // (probability ~n²/2⁶⁴; negligible below billions of distinct
+      // values per group — document the caveat, the declaration
+      // carries it, exactly like avgExact). Recorded as
+      // mv_distinct_hash so every refresh hashes identically.
+      hashDistinct: Boolean = false
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
     require(
@@ -3323,10 +3394,23 @@ object SnapshotLog {
       !avgExact || kind == "stats",
       "createMv: avgExact declares avg servable from the stats rollup — " +
         s"it requires kind='stats', got '$kind'")
+    require(
+      !hashDistinct || kind == "distinct",
+      "createMv: hashDistinct declares hashed bit positions for the " +
+        s"distinct rollup — it requires kind='distinct', got '$kind'")
     keyExpr.foreach(e =>
       require(
         !e.contains('\n') && !e.contains('='),
         s"createMv: key expression must be props-safe: $e"))
+    aggExpr.foreach(e =>
+      require(
+        !e.contains('\n') && !e.contains('='),
+        s"createMv: measure expression must be props-safe: $e"))
+    require(
+      aggExpr.isEmpty || kind != "distinct",
+      "createMv: an expression measure does not combine with " +
+        "kind='distinct' (bit positions need a declared integral source " +
+        "column); materialize the expression as a real column first")
     // COMPOSITE keys (round 15): `keyCol` may be a comma-joined list
     // ("region,status") — the rollup groups by all of them, the props
     // record the list verbatim, and the serve rule answers the full
@@ -3349,9 +3433,6 @@ object SnapshotLog {
           "column — pick a fresh name (the refresh re-derives it over " +
           "every delta)"))
     val keyOf = keyExpr.map(e => expr(e).as(keyCol)).getOrElse(col(keyCols.head))
-    val src =
-      if (keyCols.size == 1) read(spark, source, Some(tip)).groupBy(keyOf)
-      else read(spark, source, Some(tip)).groupBy(keyCols.map(col): _*)
     // MULTI-MEASURE rollups (round 15): `aggCol` may be a comma-joined
     // list — one MV (one refresh fold) maintains every measure. Column
     // names stay legacy for a single measure (mv_sum, mv_sumsq, mv_nn,
@@ -3360,6 +3441,46 @@ object SnapshotLog {
     // naming, so `SELECT k, sum(a), sum(b)` answers from ONE rollup.
     val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(measures.nonEmpty, s"createMv: empty measure list '$aggCol'")
+    require(
+      aggExpr.isEmpty || measures.size == 1,
+      "createMv: an expression measure is declared under ONE stored " +
+        "name — one expression per mv_agg_expr")
+    aggExpr.foreach(_ =>
+      require(
+        !tableSchema(spark, source, tip)
+          .exists(_.fieldNames.contains(measures.head)),
+        s"createMv: derived measure name '${measures.head}' collides " +
+          "with a source column — pick a fresh name (the refresh " +
+          "re-derives it over every delta)"))
+    // the measure column the rollup aggregates: a real source column,
+    // or the declared expression materialized under the declared name
+    def withMeasure(df: DataFrame): DataFrame = aggExpr match {
+      case Some(e) => df.withColumn(measures.head, expr(e))
+      case None    => df
+    }
+    val base = withMeasure(read(spark, source, Some(tip)))
+    aggExpr.foreach { e =>
+      // resolve once against the real schema and refuse what a rollup
+      // can never re-derive faithfully: nondeterminism or a subquery
+      val resolved = base.queryExecution.analyzed.output // force analysis
+      val alias = base.queryExecution.analyzed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collectFirst {
+            case al: org.apache.spark.sql.catalyst.expressions.Alias
+                if al.name == measures.head => al.child
+          }
+      }.flatten
+      require(resolved.nonEmpty, "unreachable")
+      alias.foreach(x =>
+        require(
+          x.deterministic && !x.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+          s"createMv: measure expression must be deterministic and " +
+            s"subquery-free: $e"))
+    }
+    val src =
+      if (keyCols.size == 1) base.groupBy(keyOf)
+      else base.groupBy(keyCols.map(col): _*)
     // kind='distinct' (round 15): exact COUNT(DISTINCT m) partials.
     // The stored grain is (keys..., mv_bno) — one Spark-native bitmap
     // (bitmap_construct_agg) per 32768-value bucket of the measure —
@@ -3377,14 +3498,16 @@ object SnapshotLog {
         .flatMap(s => s.fields.find(_.name == measures.head))
         .map(_.dataType)
       require(
-        mt.exists(t =>
+        hashDistinct || mt.exists(t =>
           t == org.apache.spark.sql.types.LongType ||
             t == org.apache.spark.sql.types.IntegerType ||
             t == org.apache.spark.sql.types.ShortType ||
             t == org.apache.spark.sql.types.ByteType),
         s"createMv: kind='distinct' needs an integral measure (bitmap " +
           s"bit positions are defined over integers); '${measures.head}' " +
-          s"is ${mt.map(_.simpleString).getOrElse("not in the schema")}")
+          s"is ${mt.map(_.simpleString).getOrElse("not in the schema")}. " +
+          "For strings and other non-integral types declare " +
+          "hashDistinct = true (exact up to 64-bit hash collisions)")
     }
     if (kind == "distinct") {
       val base0 = read(spark, source, Some(tip))
@@ -3392,10 +3515,12 @@ object SnapshotLog {
         case Some(e) => base0.withColumn(keyCol, expr(e))
         case None    => base0
       }
-      val m = distinctRollup(based, keyCols, measures.head)
+      val m = distinctRollup(based, keyCols, measures.head, hashDistinct)
+        .localCheckpoint()
+      val (fpN, fpX) = contentFingerprint(m)
       commitInternal(
         spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
-        dataChange = true, extraHeader = s"mvv=$tip")
+        dataChange = true, extraHeader = s"mvv=$tip mvfp=$fpN:$fpX")
       setTableProps(
         spark, mv,
         Map(
@@ -3404,19 +3529,22 @@ object SnapshotLog {
           "mv_agg" -> aggCol,
           "mv_kind" -> kind,
           "mv_version" -> tip.toString) ++
-          keyExpr.map("mv_key_expr" -> _))
+          keyExpr.map("mv_key_expr" -> _) ++
+          (if (hashDistinct) Some("mv_distinct_hash" -> "true") else None))
       addMvRef(spark, source, mv)
       return tip
     }
     val aggExprs = mvAggExprs(measures, kind, avgExact)
-    val m = src.agg(aggExprs.head, aggExprs.tail: _*)
+    val m = src.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
+    val (fpN, fpX) = contentFingerprint(m)
     // the as-of version rides the materialize commit's own header
     // (`mvv=`): data and high-water mark land in ONE atomic write, the
     // same ledger-rides-the-commit design as ingest. The props copy is
-    // discoverability metadata only — refreshMv reads the header.
+    // discoverability metadata only — refreshMv reads the header. The
+    // `mvfp=` rider is the fold fingerprint (see contentFingerprint).
     commitInternal(
       spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
-      dataChange = true, extraHeader = s"mvv=$tip")
+      dataChange = true, extraHeader = s"mvv=$tip mvfp=$fpN:$fpX")
     setTableProps(
       spark, mv,
       Map(
@@ -3426,6 +3554,7 @@ object SnapshotLog {
         "mv_kind" -> kind,
         "mv_version" -> tip.toString) ++
         keyExpr.map("mv_key_expr" -> _) ++
+        aggExpr.map("mv_agg_expr" -> _) ++
         (if (avgExact) Some("mv_avg_exact" -> "true") else None))
     // reverse pointer on the SOURCE (`mv_refs`, comma-joined MV paths):
     // the optimizer's aggregate-navigation rule discovers "which MVs
@@ -3466,9 +3595,33 @@ object SnapshotLog {
       keyCol: String,
       aggCol: String,
       kind: String = "sum",
-      avgExact: Boolean = false
+      avgExact: Boolean = false,
+      // MIXED-GRAIN star rollups (round 16): when set, the LAST member
+      // of `keyCol` is a DERIVED FACT key — a time grain over a fact
+      // column (`to_date(o_ts)`, the day/month/year/hour grammar of
+      // createMv's keyExpr) — and the rest are dim attributes. The MV
+      // then answers "revenue by segment AND month", the canonical
+      // dashboard cross of a dim attribute × a fact-time grain, which
+      // neither a plain derived-key MV (no dim) nor a dim-only join MV
+      // (no fact grain) can serve. The expression re-derives over
+      // every refresh delta BEFORE the dim enrichment; props record
+      // both the expression (mv_key_expr) and which member it stores
+      // (mv_fact_key).
+      keyExpr: Option[String] = None,
+      // LEFT-OUTER join MVs (round 16): joinType='left' keeps every
+      // fact row — unmatched rows (no dim match, or a NULL fk) land in
+      // the NULL dim-attr group, exactly as the LEFT JOIN query itself
+      // groups them. Two consequences the inner kind cannot offer:
+      // the NULL bucket is first-class (servable), and because every
+      // fact row appears in EXACTLY ONE group (pk unique at the pinned
+      // dim), a FACT-ONLY global aggregate re-aggregates from this MV
+      // — the shape the inner join MV must refuse.
+      joinType: String = "inner",
+      // hashed bit positions for a non-integral distinct measure —
+      // see createMv.hashDistinct (same declaration, same caveat)
+      hashDistinct: Boolean = false
   ): Int = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
     require(
       kind == "sum" || kind == "minmax" || kind == "stats" ||
         kind == "distinct",
@@ -3477,6 +3630,12 @@ object SnapshotLog {
     require(
       !avgExact || kind == "stats",
       "createJoinMv: avgExact requires kind='stats'")
+    require(
+      joinType == "inner" || joinType == "left",
+      s"createJoinMv: joinType must be 'inner' or 'left', got '$joinType'")
+    require(
+      !hashDistinct || kind == "distinct",
+      "createJoinMv: hashDistinct requires kind='distinct'")
     val keyCols = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(keyCols.nonEmpty && measures.nonEmpty,
@@ -3491,10 +3650,42 @@ object SnapshotLog {
     require(
       !keyCols.exists(measures.contains),
       "createJoinMv: key and measure lists overlap")
+    keyExpr.foreach(e =>
+      require(
+        !e.contains('\n') && !e.contains('='),
+        s"createJoinMv: key expression must be props-safe: $e"))
+    // the derived fact key (mixed grain): name = last keyCol member;
+    // the expression must be one of the recognized time grains so the
+    // serve rule can match it structurally, and its SOURCE column must
+    // exist fact-side and not dim-side (a dim column of the same name
+    // would let the query-side expression bind against the dim)
+    val factKey: Option[String] = keyExpr.map(_ => keyCols.last)
+    val keyExprCol: Option[String] = keyExpr.map { e =>
+      val c = e match {
+        case graft.plans.MvRewrite.ToDateRe(c0)       => Some(c0)
+        case graft.plans.MvRewrite.TruncDayRe(c0, _)  => Some(c0)
+        case graft.plans.MvRewrite.DateTruncRe(_, c0) => Some(c0)
+        case _                                        => None
+      }
+      require(
+        c.isDefined,
+        s"createJoinMv: the derived fact key must be a recognized time " +
+          s"grain (to_date(c), trunc(to_date(c),'month'|'year'), " +
+          s"date_trunc('hour',c)); got '$e'")
+      c.get
+    }
+    val dimKeys: Seq[String] = factKey match {
+      case Some(fkn) => keyCols.filterNot(_ == fkn)
+      case None      => keyCols
+    }
+    require(
+      factKey.forall(k => dimKeys.size == keyCols.size - 1),
+      s"createJoinMv: the derived fact key name '${factKey.orNull}' may " +
+        "appear exactly once, as the LAST member of the key list")
     val factTip = versions(spark, fact).last
     val dimTip = versions(spark, dim).last
     tableSchema(spark, fact, factTip).foreach { s =>
-      (measures :+ fk).foreach(c =>
+      (measures ++ Seq(fk) ++ keyExprCol).foreach(c =>
         require(
           s.fieldNames.contains(c),
           s"createJoinMv: fact column '$c' is not in the fact schema"))
@@ -3509,24 +3700,48 @@ object SnapshotLog {
       if (kind == "distinct") {
         val mt = s.fields.find(_.name == measures.head).map(_.dataType)
         require(
-          mt.exists(t =>
+          hashDistinct || mt.exists(t =>
             t == org.apache.spark.sql.types.LongType ||
               t == org.apache.spark.sql.types.IntegerType ||
               t == org.apache.spark.sql.types.ShortType ||
               t == org.apache.spark.sql.types.ByteType),
           s"createJoinMv: kind='distinct' needs an integral measure; " +
             s"'${measures.head}' is " +
-            mt.map(_.simpleString).getOrElse("not in the schema"))
+            mt.map(_.simpleString).getOrElse("not in the schema") +
+            ". For non-integral types declare hashDistinct = true")
       }
     }
     tableSchema(spark, dim, dimTip).foreach { s =>
-      (keyCols :+ pk).foreach(c =>
+      (dimKeys :+ pk).foreach(c =>
         require(
           s.fieldNames.contains(c),
           s"createJoinMv: dim column '$c' is not in the dim schema"))
+      // the derived fact key and its SOURCE column must be absent from
+      // the dim: a dim column of either name would make the enriched
+      // feed ambiguous, or let the query-side grain expression bind a
+      // dim attribute while the MV stored the fact's
+      (factKey.toSeq ++ keyExprCol).foreach(c =>
+        require(
+          !s.fieldNames.contains(c),
+          s"createJoinMv: '$c' (the derived fact key or its source " +
+            "column) collides with a dim column; rename one side"))
+      // a DIM column sharing a measure's name would let the serve rule
+      // match `sum(d.m)` by name and silently answer it with the FACT
+      // partial — wrong results (advisor, round 15). The dim version
+      // is pinned (mv_dim_version), so this declaration-time check
+      // binds for the MV's whole life: the serve rule only ever admits
+      // queries reading dim@pinned, whose schema is exactly this one.
+      // The serve rule additionally verifies measure exprIds resolve
+      // fact-side (JoinProbe.factOut) — belt and suspenders.
+      measures.foreach(m =>
+        require(
+          !s.fieldNames.contains(m),
+          s"createJoinMv: measure '$m' collides with a dim column — a " +
+            "query aggregating the DIM's column would be silently served " +
+            "the FACT partial; rename one side"))
     }
     val d0 = read(spark, dim, Some(dimTip))
-      .select((keyCols :+ pk).distinct.map(col): _*)
+      .select((dimKeys :+ pk).distinct.map(col): _*)
     val dup = d0
       .filter(col(pk).isNotNull)
       .groupBy(col(pk)).agg(count(lit(1)).as("__graft_c"))
@@ -3537,18 +3752,25 @@ object SnapshotLog {
       s"createJoinMv: '$pk' = ${dup.headOption.map(_.get(0)).orNull} is " +
         s"not unique in $dim@v$dimTip — a duplicate dim key would " +
         "silently multiply fact rows in every group")
-    val f0 = read(spark, fact, Some(factTip))
-      .select((measures :+ fk).distinct.map(col): _*)
-    val joined = f0.join(d0, f0(fk) === d0(pk), "inner").drop(d0(pk))
+    val f1 = keyExpr match {
+      case Some(e) =>
+        read(spark, fact, Some(factTip)).withColumn(factKey.get, expr(e))
+      case None => read(spark, fact, Some(factTip))
+    }
+    val f0 = f1.select((measures ++ Seq(fk) ++ factKey).distinct.map(col): _*)
+    val how = if (joinType == "left") "left_outer" else "inner"
+    val joined = f0.join(d0, f0(fk) === d0(pk), how).drop(d0(pk))
     val m =
-      if (kind == "distinct") distinctRollup(joined, keyCols, measures.head)
-      else {
-        val aggs = mvAggExprs(measures, kind, avgExact)
-        joined.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      }
+      (if (kind == "distinct")
+         distinctRollup(joined, keyCols, measures.head, hashDistinct)
+       else {
+         val aggs = mvAggExprs(measures, kind, avgExact)
+         joined.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+       }).localCheckpoint()
+    val (fpN, fpX) = contentFingerprint(m)
     commitInternal(
       spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
-      dataChange = true, extraHeader = s"mvv=$factTip")
+      dataChange = true, extraHeader = s"mvv=$factTip mvfp=$fpN:$fpX")
     setTableProps(
       spark, mv,
       Map(
@@ -3561,6 +3783,10 @@ object SnapshotLog {
         "mv_join_fk" -> fk,
         "mv_join_pk" -> pk,
         "mv_dim_version" -> dimTip.toString) ++
+        keyExpr.map("mv_key_expr" -> _) ++
+        factKey.map("mv_fact_key" -> _) ++
+        (if (joinType == "left") Some("mv_join_type" -> "left") else None) ++
+        (if (hashDistinct) Some("mv_distinct_hash" -> "true") else None) ++
         (if (avgExact) Some("mv_avg_exact" -> "true") else None))
     addMvRef(spark, fact, mv)
     factTip
@@ -3744,6 +3970,25 @@ object SnapshotLog {
       .getOrElse(props("mv_version").toInt)
     val to = versions(spark, source).last
     if (to == from) return (from, to)
+    // FOLD FINGERPRINT (round 16): before folding a delta onto the
+    // current state, prove the state IS the last fold's output. The
+    // serve path already refuses to serve past a headerless
+    // data-changing commit (span truncation, round 15); this closes
+    // the other half — a REFRESH after a foreign write would fold the
+    // delta onto polluted state and RE-HEADER it as clean. Compaction
+    // and clustering (datachange=false) preserve rows, so the
+    // fingerprint survives them. Pre-fingerprint MVs (no mvfp rider
+    // anywhere) skip the check.
+    lastFingerprint(spark, mv).foreach { case (n0, x0) =>
+      val (n1, x1) = contentFingerprint(read(spark, mv))
+      if (n0 != n1 || x0 != x1)
+        throw new IllegalStateException(
+          s"refreshMv: $mv does not match its last fold's fingerprint " +
+            s"(recorded $n0 rows/xor $x0; found $n1/$x1) — the MV was " +
+            "written outside REFRESH (foreign INSERT/DELETE/UPDATE). " +
+            "Refusing to fold onto polluted state; re-materialize the " +
+            "MV (DROP MATERIALIZED VIEW + CREATE).")
+    }
     // a derived key (mv_key_expr) re-derives over the delta exactly as
     // the materialize derived it over the full table — same text, same
     // props, forever. The createMv-time name-collision guard re-checks
@@ -3752,15 +3997,40 @@ object SnapshotLog {
     // and withColumn would silently shadow it — the fold would keep
     // working on derived values while readers of the source see
     // different data. Refuse loudly instead.
+    // the derived-key column name: the whole mv_key for a plain
+    // derived MV, the recorded mv_fact_key member for a mixed-grain
+    // join MV (round 16)
+    val derivedKeyName = props.getOrElse("mv_fact_key", key)
     props.get("mv_key_expr").foreach { _ =>
       require(
         !tableSchema(spark, source, to)
-          .exists(_.fieldNames.contains(key)),
+          .exists(_.fieldNames.contains(derivedKeyName)),
         s"refreshMv: the source schema at v$to now contains a column " +
-          s"named '$key' — the MV's derived key would shadow it. Rename " +
+          s"named '$derivedKeyName' — the MV's derived key would shadow it. Rename " +
           "the source column or re-materialize the MV under a fresh key " +
           "name (createMv refuses this collision at declaration time; " +
           "schema evolution reintroduced it).")
+    }
+    // an EXPRESSION measure (mv_agg_expr, round 16) re-derives over
+    // the delta exactly as the materialize derived it — same text,
+    // same props, forever — with the same schema-evolution guard as
+    // the derived key: a source column later ADDED under the declared
+    // measure name would be silently shadowed by withColumn.
+    val aggExprProp = props.get("mv_agg_expr")
+    val measureName0 = agg.split(',').map(_.trim).filter(_.nonEmpty).head
+    aggExprProp.foreach { _ =>
+      require(
+        !tableSchema(spark, source, to)
+          .exists(_.fieldNames.contains(measureName0)),
+        s"refreshMv: the source schema at v$to now contains a column " +
+          s"named '$measureName0' — the MV's derived measure would shadow " +
+          "it. Rename the source column or re-materialize the MV under a " +
+          "fresh measure name.")
+    }
+    def withMeasure(df: DataFrame): DataFrame = aggExprProp match {
+      case Some(e) =>
+        df.withColumn(measureName0, org.apache.spark.sql.functions.expr(e))
+      case None => df
     }
     // JOIN MVs (round 15): the change feed ENRICHES against the
     // PINNED dim version — every delta row gains its dim attributes,
@@ -3782,7 +4052,9 @@ object SnapshotLog {
     // ambiguous (or silently resolve wrong) — refuse loudly instead
     joinDim.foreach { _ =>
       val clash = tableSchema(spark, source, to)
-        .map(s => keys.filter(s.fieldNames.contains)).getOrElse(Nil)
+        .map(s => keys.filterNot(k =>
+          props.get("mv_fact_key").contains(k))
+          .filter(s.fieldNames.contains)).getOrElse(Nil)
       require(
         clash.isEmpty,
         s"refreshMv: the fact schema at v$to now contains column(s) " +
@@ -3790,19 +4062,27 @@ object SnapshotLog {
           "the enrichment join would be ambiguous. Rename the fact " +
           "column or re-materialize the MV under fresh key names.")
     }
+    // a mixed-grain join MV's derived fact key is NOT a dim column —
+    // the dim enrichment carries only the dim-side key members
+    val dimKeys: Seq[String] =
+      if (props.contains("mv_fact_key")) keys.filterNot(_ == derivedKeyName)
+      else keys
+    val joinHow =
+      if (props.get("mv_join_type").contains("left")) "left_outer"
+      else "inner"
     def enrich(df: DataFrame): DataFrame = joinDim match {
       case Some((dp, w, fkc, pkc)) =>
         val d = read(spark, dp, Some(w))
-          .select((keys :+ pkc).distinct.map(col): _*)
-        df.join(d, df(fkc) === d(pkc), "inner").drop(d(pkc))
+          .select((dimKeys :+ pkc).distinct.map(col): _*)
+        df.join(d, df(fkc) === d(pkc), joinHow).drop(d(pkc))
       case None => df
     }
-    val changes = enrich(props.get("mv_key_expr") match {
+    val changes = enrich(withMeasure(props.get("mv_key_expr") match {
       case Some(e) =>
         readChanges(spark, source, from, to)
-          .withColumn(key, org.apache.spark.sql.functions.expr(e))
+          .withColumn(derivedKeyName, org.apache.spark.sql.functions.expr(e))
       case None => readChanges(spark, source, from, to)
-    })
+    }))
     onWatermarkPinned()
     // MULTI-MEASURE folds (round 15): mv_agg may be a comma-joined
     // list; every branch folds each measure under the createMv naming
@@ -3826,19 +4106,47 @@ object SnapshotLog {
         // join MVs scope THROUGH the dim: the delete-touched dim-attr
         // keys map (via dim@pinned) to the foreign keys that can hold
         // them, and touchedFiles admits fact files by fk range — the
-        // dim is small, the fact is the 100 TB side
+        // dim is small, the fact is the 100 TB side. A mixed-grain
+        // MV scopes on the DIM members only (sound superset: the
+        // derived fact grain cannot narrow the dim→fk mapping) and
+        // re-derives the fact key over the admitted rows.
         val d = read(spark, dp, Some(w))
-          .select((keys :+ pkc).distinct.map(col): _*)
-        val pks = d.join(delKeys, keys, "left_semi")
-          .select(col(pkc)).distinct()
-        val (admit, _) = touchedFiles(spark, source, fkc, pks, Some(to))
-        val f = readEntries(
-          spark, source,
-          entriesFor(manifestEntries(spark, source, to), admit),
-          tableSchema(spark, source, to))
-        f.join(d, f(fkc) === d(pkc), "inner").drop(d(pkc))
+          .select((dimKeys :+ pkc).distinct.map(col): _*)
+        // a LEFT MV's NULL bucket holds the fact rows with NO dim
+        // match — no pk list can bound where they live, so a delete
+        // touching it reads the fact at the watermark unscoped (the
+        // sound fallback); dim-boundable deletes keep the scoped path.
+        // Null-safe semi (dim attrs may themselves be NULL).
+        val delDk = delKeys.select(dimKeys.map(col): _*).distinct()
+        val dimCond = dimKeys
+          .map(k => d(k) <=> delDk(k))
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val scoped =
+          if (joinHow == "left_outer") {
+            val nullBucketTouched = delKeys
+              .filter(dimKeys.map(k => col(k).isNull).reduce(_ && _))
+              .limit(1).count() > 0
+            !nullBucketTouched
+          } else true
+        val f0 =
+          if (scoped) {
+            val pks = d.join(delDk, dimCond, "left_semi")
+              .select(col(pkc)).distinct()
+            val (admit, _) = touchedFiles(spark, source, fkc, pks, Some(to))
+            readEntries(
+              spark, source,
+              entriesFor(manifestEntries(spark, source, to), admit),
+              tableSchema(spark, source, to))
+          } else read(spark, source, Some(to))
+        val f = (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
+          case (Some(e), Some(fkn)) =>
+            f0.withColumn(fkn, org.apache.spark.sql.functions.expr(e))
+          case _ => f0
+        }
+        f.join(d, f(fkc) === d(pkc), joinHow).drop(d(pkc))
       case None =>
-        props.get("mv_key_expr") match {
+        withMeasure(props.get("mv_key_expr") match {
           case Some(e) =>
             read(spark, source, Some(to))
               .withColumn(key, org.apache.spark.sql.functions.expr(e))
@@ -3850,8 +4158,35 @@ object SnapshotLog {
               spark, source,
               entriesFor(manifestEntries(spark, source, to), admit),
               tableSchema(spark, source, to))
-        }
+        })
     }
+    // ------------------------------------------------------------------
+    // NULL-SAFE key joins (round 16). A NULL grouping key is ONE group
+    // — a source row with a NULL key, or a LEFT-join MV's unmatched
+    // bucket — but every join below matched keys with plain equality,
+    // under which NULL ≠ NULL: the fold's full-outer join would split
+    // the NULL group into TWO MV rows (the old partial and the delta,
+    // never merged), and the delete-recompute's anti-join would let a
+    // stale NULL-group row survive its own recompute. Found while
+    // building left-outer join MVs (whose NULL bucket is the feature),
+    // latent for any source with NULL keys since round 12. Every
+    // key-matched join in the refresh now goes through these.
+    // ------------------------------------------------------------------
+    def keyCond(l: DataFrame, r: DataFrame): org.apache.spark.sql.Column =
+      keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    /** Null-safe full-outer join on the keys, output flattened to the
+      * plain column names (keys coalesced across sides) — a drop-in
+      * for `join(delta, keys, "full_outer")`. */
+    def foldJoin(mvDf: DataFrame, delta: DataFrame): DataFrame = {
+      val joined = mvDf.join(delta, keyCond(mvDf, delta), "full_outer")
+      val keyed = keys.map(k => coalesce(mvDf(k), delta(k)).as(k))
+      val restL = mvDf.columns.filterNot(keys.contains).map(c => mvDf(c))
+      val restR = delta.columns.filterNot(keys.contains).map(c => delta(c))
+      joined.select(keyed ++ restL ++ restR: _*)
+    }
+    /** Null-safe left-semi/left-anti join on the keys. */
+    def keySemi(l: DataFrame, r: DataFrame, how: String): DataFrame =
+      l.join(r, keyCond(l, r), how)
     def foldSum(mvName: String, dName: String) =
       (coalesce(col(mvName), lit(0L)) + coalesce(col(dName), lit(0L)))
         .as(mvName)
@@ -3864,8 +4199,7 @@ object SnapshotLog {
       val delta = changes
         .groupBy(keyCols: _*)
         .agg(deltaAggs.head, deltaAggs.tail: _*)
-      read(spark, mv)
-        .join(delta, keys, "full_outer")
+      foldJoin(read(spark, mv), delta)
         .select(
           keyCols ++
             measures.map(m => foldSum(mn("mv_sum", m), mn("d_sum", m))) ++
@@ -3897,8 +4231,7 @@ object SnapshotLog {
           foldSum(mn("mv_sumsq", m), mn("d_sumsq", m)))) ++
         Seq(foldSum("mv_n", "d_n")) ++
         withNn.map(m => foldSum(mn("mv_nn", m), mn("d_nn", m)))
-      read(spark, mv)
-        .join(delta, keys, "full_outer")
+      foldJoin(read(spark, mv), delta)
         .select(foldCols: _*)
         .filter(col("mv_n") > 0)
     } else if (kind == "distinct") {
@@ -3912,11 +4245,12 @@ object SnapshotLog {
       // cost class of the sum fold's full-outer join.
       import org.apache.spark.sql.functions.expr
       val meas = measures.head
+      val hashed = props.get("mv_distinct_hash").contains("true")
       val delKeys = changes
         .filter(col("change_type") === "delete")
         .select(keyCols: _*).distinct().localCheckpoint()
       val insDelta = distinctRollup(
-        changes.filter(col("change_type") === "insert"), keys, meas)
+        changes.filter(col("change_type") === "insert"), keys, meas, hashed)
       val shape =
         keyCols ++ Seq(col("mv_bno"), col("mv_bm"), col("mv_n"))
       val folded = read(spark, mv)
@@ -3928,13 +4262,13 @@ object SnapshotLog {
           sum(col("mv_n")).as("mv_n"))
         .withColumn("mv_dc", expr("bitmap_count(mv_bm)"))
       val recomputed = distinctRollup(
-        scopedSourceAtTo(delKeys).join(delKeys, keys, "left_semi"),
-        keys, meas)
+        keySemi(scopedSourceAtTo(delKeys), delKeys, "left_semi"),
+        keys, meas, hashed)
       // a fully-deleted group appears in delKeys but not in the
       // recompute — it vanishes; a stale BUCKET of a surviving group
       // vanishes too, because the anti-join removes the group's every
       // folded row and the recompute regenerates only live buckets
-      folded.join(delKeys, keys, "left_anti").unionByName(recomputed)
+      keySemi(folded, delKeys, "left_anti").unionByName(recomputed)
     } else {
       // groups with a delete in the delta: fold is impossible (the
       // removed row may BE the extremum) — recompute exactly these
@@ -3953,8 +4287,7 @@ object SnapshotLog {
         .groupBy(keyCols: _*)
         .agg(insAggs.head, insAggs.tail: _*)
       // least/greatest skip nulls, so a one-sided key folds correctly
-      val folded = read(spark, mv)
-        .join(insDelta, keys, "full_outer")
+      val folded = foldJoin(read(spark, mv), insDelta)
         .select(
           keyCols ++
             measures.flatMap(m => Seq(
@@ -3974,20 +4307,22 @@ object SnapshotLog {
           min(col(m)).as(mn("mv_min", m)),
           max(col(m)).as(mn("mv_max", m)))) :+
         count(lit(1)).as("mv_n")
-      val recomputed = srcAtTo
-        .join(delKeys, keys, "left_semi")
+      val recomputed = keySemi(srcAtTo, delKeys, "left_semi")
         .groupBy(keyCols: _*)
         .agg(recompAggs.head, recompAggs.tail: _*)
       // a fully-deleted group appears in delKeys but not in the
       // recompute — it vanishes, as it must
-      folded.join(delKeys, keys, "left_anti").unionByName(recomputed)
+      keySemi(folded, delKeys, "left_anti").unionByName(recomputed)
     }
-    // fold result + new high-water mark in ONE commit: a crash after
-    // this line leaves props stale but the header authoritative, so a
-    // replayed refresh folds from `to`, not `from` — no double-count
+    // fold result + new high-water mark + fold fingerprint in ONE
+    // commit: a crash after this line leaves props stale but the
+    // header authoritative, so a replayed refresh folds from `to`,
+    // not `from` — no double-count
+    val nextC = next.localCheckpoint()
+    val (fpN, fpX) = contentFingerprint(nextC)
     commitInternal(
-      spark, mv, next, overwrite = true, txnId = None, replaceRemoved = None,
-      dataChange = true, extraHeader = s"mvv=$to")
+      spark, mv, nextC, overwrite = true, txnId = None, replaceRemoved = None,
+      dataChange = true, extraHeader = s"mvv=$to mvfp=$fpN:$fpX")
     setTableProps(spark, mv, props + ("mv_version" -> to.toString))
     (from, to)
   }

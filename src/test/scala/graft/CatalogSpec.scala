@@ -3205,6 +3205,293 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("join-MV measures resolve by FACT-side exprId, never by name: a " +
+    "dim column named like the measure is refused at create, and an MV " +
+    "predating the guard bails rather than serving the fact partial") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 10), (1, 5), (2, 20)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_xjmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m")
+    // simulate an MV created BEFORE the declaration-time guard (or an
+    // out-of-band dim-dir swap): rebuild the dim at the SAME path with
+    // the same commit count and (pk, seg) content, plus a column named
+    // exactly like the fact measure. Path and pinned version both
+    // match, so only the exprId gate stands between `sum(dd.m)` and a
+    // silently-served fact partial.
+    spark.sql(s"DROP TABLE $d")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING, m BIGINT)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto', 1000), (2, 'mach', 2000)")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // positive control: the FACT measure still serves (path + pin OK)
+      val facts = plan(
+        s"SELECT seg, sum(ff.m) AS s FROM $f ff JOIN $d dd " +
+          s"ON ff.fk = dd.pk GROUP BY seg")
+      assert(MvRewrite.readsPath(facts, mvPath),
+        "the fact-side measure must still serve after the dim rebuild")
+      // the DIM's same-named column must NOT be served the fact
+      // partial: its exprId is dim-side, the name match alone would
+      // have fired (the advisor's round-15 finding)
+      val dims = plan(
+        s"SELECT seg, sum(dd.m) AS s FROM $f ff JOIN $d dd " +
+          s"ON ff.fk = dd.pk GROUP BY seg")
+      assert(!MvRewrite.readsPath(dims, mvPath),
+        "a dim-side measure attribute must bail, not serve the fact sum")
+      assert(run(dims).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("auto", 2000L), ("mach", 2000L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("left-join MV: the NULL bucket serves, fact-only aggregates " +
+    "re-aggregate from it, and inner/left shapes never cross-serve") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(
+      s"INSERT INTO $f VALUES (1, 10), (1, 5), (2, 20), (99, 400), " +
+        "(NULL, 3)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_ljmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m",
+      joinType = "left")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      def noScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        !p.exists(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation])
+      // the LEFT JOIN query serves, NULL bucket included (unmatched
+      // fk=99 and the NULL fk both live there)
+      val lq = plan(
+        s"SELECT seg, sum(m) AS s, count(*) AS n " +
+          s"FROM $f LEFT JOIN $d ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(lq, mvPath) && noScan(lq),
+        "the left-join rollup must serve")
+      assert(run(lq).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSet ==
+        Set((Some("auto"), 15L, 2L), (Some("mach"), 20L, 1L),
+          (None, 403L, 2L)))
+      // FACT-ONLY aggregates serve from the left MV — every fact row
+      // is in exactly one group, so the global re-aggregation is the
+      // fact total (the shape the INNER join MV must refuse)
+      val fo = plan(s"SELECT sum(m) AS s, count(*) AS n FROM $f")
+      assert(MvRewrite.readsPath(fo, mvPath) && noScan(fo),
+        "fact-only global must serve from the left-join MV")
+      assert(run(fo).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((438L, 5L)))
+      // an INNER query must not serve from the left MV (its NULL
+      // bucket holds rows the inner query excludes)
+      val iq = plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk GROUP BY seg")
+      assert(!MvRewrite.readsPath(iq, mvPath),
+        "an inner query must bail from a left-join MV")
+      assert(run(iq).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("auto", 15L), ("mach", 20L)))
+      // and a LEFT query must not serve from an INNER MV
+      val mvInner = s"$warehouse/main/${fn}_ijmv"
+      SnapshotLog.createJoinMv(
+        spark, pathOf(f), pathOf(d), "fk", "pk", mvInner, "seg", "m")
+      val lq2 = plan(
+        s"SELECT seg, sum(m) AS s FROM $f LEFT JOIN $d ON fk = pk " +
+          s"GROUP BY seg")
+      assert(MvRewrite.readsPath(lq2, mvPath) &&
+        !MvRewrite.readsPath(lq2, mvInner),
+        "a left query must serve from the LEFT MV, never the inner one")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("mixed-grain join MV serves segment x day (identity), segment x " +
+    "month (coarse), and single-member subsets; fact-only and alien " +
+    "grains bail") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT, ts TIMESTAMP)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(
+      s"""INSERT INTO $f VALUES
+         |(1, 10, timestamp'2024-01-05 09:00:00'),
+         |(1, 5,  timestamp'2024-01-05 17:00:00'),
+         |(1, 3,  timestamp'2024-02-01 09:00:00'),
+         |(2, 20, timestamp'2024-01-09 10:00:00'),
+         |(99, 400, timestamp'2024-01-05 10:00:00')""".stripMargin)
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_mgmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg,day", "m",
+      keyExpr = Some("to_date(ts)"))
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      def noScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        !p.exists(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation] ||
+            n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])
+      // identity: seg x day, both scans and the join gone
+      val idq = plan(
+        s"SELECT seg, to_date(ts) AS day, sum(m) AS s, count(*) AS n " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY seg, to_date(ts)")
+      assert(MvRewrite.readsPath(idq, mvPath) && noScan(idq),
+        "seg x day identity must serve")
+      assert(run(idq).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getLong(3))).toSet ==
+        Set(("auto", "2024-01-05", 15L, 2L), ("auto", "2024-02-01", 3L, 1L),
+          ("mach", "2024-01-09", 20L, 1L)))
+      // coarse: seg x month re-aggregates the daily join rollup
+      val moq = plan(
+        s"SELECT seg, trunc(to_date(ts), 'month') AS mon, sum(m) AS s " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY seg, trunc(to_date(ts), 'month')")
+      assert(MvRewrite.readsPath(moq, mvPath) && noScan(moq),
+        "seg x month must serve coarse from the daily join MV")
+      assert(run(moq).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+        .toSet ==
+        Set(("auto", "2024-01-01", 15L), ("auto", "2024-02-01", 3L),
+          ("mach", "2024-01-01", 20L)))
+      // subsets of the mixed grain re-aggregate too: seg alone,
+      // and the derived day alone
+      val segq = plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(segq, mvPath) && noScan(segq))
+      assert(run(segq).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("auto", 18L), ("mach", 20L)))
+      val dayq = plan(
+        s"SELECT to_date(ts) AS day, count(*) AS n " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY to_date(ts)")
+      assert(MvRewrite.readsPath(dayq, mvPath) && noScan(dayq))
+      assert(run(dayq).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSet ==
+        Set(("2024-01-05", 2L), ("2024-01-09", 1L), ("2024-02-01", 1L)))
+      // a WEEK grain serves too — weekofyear(ts) analyzes to
+      // WeekOfYear(Cast(ts AS DATE)), and a week is a union of whole
+      // days, so the day-keyed rollup answers it exactly (the coarse
+      // transplant substitutes the inner Cast with the stored day)
+      val wkq = plan(
+        s"SELECT seg, weekofyear(ts) AS wk, sum(m) AS s " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY seg, weekofyear(ts)")
+      assert(MvRewrite.readsPath(wkq, mvPath) && noScan(wkq))
+      assert(run(wkq).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet ==
+        Set(("auto", 1, 15L), ("auto", 5, 3L), ("mach", 2, 20L)))
+      // a FINER grain (hour) can never be recovered from a day rollup
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT seg, date_trunc('hour', ts) AS h, sum(m) AS s " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY seg, date_trunc('hour', ts)"),
+        mvPath), "an hour grain must bail from a day rollup")
+      // fact-only stays fenced: the inner join dropped fk=99
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT to_date(ts) AS day, sum(m) AS s FROM $f GROUP BY " +
+          s"to_date(ts)"), mvPath),
+        "a fact-only aggregate must never serve from the join MV")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("expression measures: CREATE MATERIALIZED VIEW ... sum(expr) AS " +
+    "mv_sum declares a derived measure; the serve rule matches the " +
+    "canonicalized expression at every grain and bails on any other " +
+    "expression") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT, disc BIGINT)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 100, 10), (1, 50, 0), (2, 30, 50)")
+    // the revenue shape, straight from the DDL
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_xemv AS
+         |SELECT k, sum(cents * (100 - disc)) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_xemv"
+    val props = SnapshotLog.tableProps(spark, mvPath)
+    assert(props.get("mv_agg_expr").exists(_.contains("100 - disc")), props)
+    // the fold maintains the DERIVED values through refresh
+    spark.sql(s"INSERT INTO $t VALUES (2, 1, 0), (3, 7, 100)")
+    spark.sql(s"DELETE FROM $t WHERE cents = 50")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_xemv")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // identity grain: pure MV scan, no aggregate at all
+      val q = s"SELECT k, sum(cents * (100 - disc)) AS rev, " +
+        s"count(*) AS n FROM $t GROUP BY k"
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath),
+        "the expression measure must serve at identity grain")
+      assert(!served.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+      assert(run(served).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 9000L, 1L), (2L, 1600L, 2L), (3L, 0L, 1L)))
+      // a semantically-equal different spelling serves too (the match
+      // is canonical, not textual)
+      assert(MvRewrite.readsPath(plan(
+        s"SELECT k, sum((100 - disc) * cents) AS rev FROM $t GROUP BY k"),
+        mvPath), "a commuted spelling must still match canonically")
+      // global grain re-aggregates
+      val gl = plan(s"SELECT sum(cents * (100 - disc)) AS rev FROM $t")
+      assert(MvRewrite.readsPath(gl, mvPath))
+      assert(run(gl).collect()(0).getLong(0) == 10600L)
+      // a key filter transplants alongside the expression measure
+      val fl = plan(
+        s"SELECT k, sum(cents * (100 - disc)) AS rev FROM $t " +
+          s"WHERE k >= 2 GROUP BY k")
+      assert(MvRewrite.readsPath(fl, mvPath))
+      assert(run(fl).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((2L, 1600L), (3L, 0L)))
+      // ANY other expression bails — never a near-miss serve
+      val other = plan(
+        s"SELECT k, sum(cents * (99 - disc)) AS rev FROM $t GROUP BY k")
+      assert(!MvRewrite.readsPath(other, mvPath),
+        "a different expression must bail to the source plan")
+      assert(run(other).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((1L, 8900L), (2L, 1569L), (3L, -7L)))
+      // sum over the bare column is NOT the declared expression
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, sum(cents) AS s FROM $t GROUP BY k"), mvPath))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+    // the CALL surface mirrors the DDL (agg_expr parameter)
+    spark.sql(
+      s"""CALL cattest.system.create_mv(source => 'main.$tn',
+         |mv => 'main.${tn}_xemv2', key => 'k', agg => 'rev2',
+         |agg_expr => 'cents * disc')""".stripMargin)
+    val p2 = SnapshotLog.tableProps(spark, s"$warehouse/main/${tn}_xemv2")
+    assert(p2.get("mv_agg_expr").contains("cents * disc"), p2)
+  }
+
   test("CREATE MATERIALIZED VIEW over ONE inner join (DDL join form): " +
     "qualified columns classify into (dim keys, fact measures), refresh " +
     "folds, the serve fires; off-shape joins refuse loudly") {
@@ -3254,11 +3541,19 @@ class CatalogSpec extends SparkTestBase {
          |FROM $f f JOIN $d d ON f.fk = d.pk
          |GROUP BY d.seg, f.fk""".stripMargin))
     assert(e2.getMessage.contains("ONE side"))
+    // round 16: LEFT JOIN (fact on the left) is now a VALID form — the
+    // refusals that remain are a RIGHT join and a left join whose
+    // preserved side is the dim
     val e3 = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW ${freshName()} AS
          |SELECT d.seg, sum(f.m) AS mv_sum, count(*) AS mv_n
-         |FROM $f f LEFT JOIN $d d ON f.fk = d.pk GROUP BY d.seg""".stripMargin))
-    assert(e3.getMessage.contains("INNER"))
+         |FROM $f f RIGHT JOIN $d d ON f.fk = d.pk GROUP BY d.seg""".stripMargin))
+    assert(e3.getMessage.contains("INNER or LEFT"))
+    val e3b = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW ${freshName()} AS
+         |SELECT d.seg, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $d d LEFT JOIN $f f ON f.fk = d.pk GROUP BY d.seg""".stripMargin))
+    assert(e3b.getMessage.contains("preserves the FACT side"))
     val e4 = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW ${freshName()} AS
          |SELECT d.seg, sum(d.pk) AS mv_sum, count(*) AS mv_n
@@ -3311,5 +3606,14 @@ class CatalogSpec extends SparkTestBase {
     val l5 = explain(s"SELECT k, sum(v) AS s FROM $bare GROUP BY k")
     assert(l5.exists(_.contains("nothing a materialized view could serve")),
       l5.toString)
+    // with the rewrite conf ON the rule also runs inside the query's
+    // own optimization — the explain must neither double-report each
+    // decision nor lose the SERVED line to an already-rewritten plan
+    // (advisor, round 15)
+    spark.conf.set(graft.plans.MvRewrite.ConfKey, "true")
+    try {
+      val l6 = explain(good)
+      assert(l6.count(_.startsWith("SERVED from")) == 1, l6.toString)
+    } finally spark.conf.unset(graft.plans.MvRewrite.ConfKey)
   }
 }

@@ -609,5 +609,361 @@ class MvSpec extends SparkTestBase {
       spark, fact, clashDim, "fk", "pk", fresh("m"), "v", "v"))
     assert(e3.getMessage.contains("overlap") ||
       e3.getMessage.contains("collides"))
+    // a DIM column sharing the MEASURE's name refuses too (advisor,
+    // round 15): the serve rule's name match would otherwise answer
+    // `sum(d.v)` with the FACT partial — silently wrong results
+    val measDim = fresh("measdim")
+    SnapshotLog.commit(
+      spark, measDim,
+      Seq((1L, "x", 7L)).toDF("pk", "attr", "v"))
+    val e4 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, fact, measDim, "fk", "pk", fresh("m"), "attr", "v"))
+    assert(e4.getMessage.contains("measure 'v' collides with a dim column"))
+  }
+
+  /** NULL grouping keys (round 16, found building left-join MVs): a
+    * NULL key is ONE group, but every fold join matched keys with
+    * plain equality (NULL ≠ NULL) — the full-outer fold would split
+    * the NULL group into two MV rows, and the delete-recompute's
+    * anti-join would let a stale NULL row survive. Latent for any
+    * NULL-keyed source since round 12; now null-safe end to end. */
+  test("a NULL grouping key stays ONE group through the sum fold and " +
+    "the minmax delete-recompute") {
+    import spark.implicits._
+    val src = fresh("nksrc")
+    val mv = fresh("nkmv")
+    def rows(xs: Seq[(Option[Long], Long)]): DataFrame = xs.toDF("k", "v")
+    SnapshotLog.commit(
+      spark, src, rows(Seq(Some(1L) -> 10L, None -> 5L, None -> 3L)))
+    SnapshotLog.createMv(spark, src, mv, "k", "v")
+    def state(): Seq[(Option[Long], Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getLong(2))).toSeq
+    assert(state().toSet == Set((Some(1L), 10L, 1L), (None, 8L, 2L)))
+    // the delta carries MORE null-key rows: the fold must merge them
+    // into the existing NULL group, not mint a second NULL row
+    SnapshotLog.commit(spark, src, rows(Seq(None -> 2L, Some(1L) -> 1L)))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state().count(_._1.isEmpty) == 1,
+      s"the NULL group must stay ONE row, got ${state()}")
+    assert(state().toSet == Set((Some(1L), 11L, 2L), (None, 10L, 3L)))
+    // a delete INSIDE the NULL group: the minmax recompute's
+    // semi/anti joins must hit the NULL group too
+    val mv2 = fresh("nkmv2")
+    SnapshotLog.createMv(spark, src, mv2, "k", "v", kind = "minmax")
+    SnapshotLog.deleteWhere(spark, src, "v", 2L, 3L) // kills two NULL rows
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(m2 == Set((Some(1L), 1L, 10L, 2L), (None, 5L, 5L, 1L)), m2)
+  }
+
+  /** Left-outer join MVs (round 16): every fact row lives in exactly
+    * one group; unmatched rows (no dim match, NULL fk) land in the
+    * NULL dim-attr bucket — the first-class group the inner kind
+    * drops. The fold must land on the LEFT-join recompute at
+    * (fact tip, dim@pinned) through appends and deletes, NULL bucket
+    * included. */
+  test("left-join MV: the NULL bucket folds and recomputes exactly; " +
+    "every fact row counts once") {
+    import spark.implicits._
+    val fact = fresh("ljfact")
+    val dim = fresh("ljdim")
+    val mv = fresh("ljmv")
+    SnapshotLog.commit(
+      spark, dim, Seq(1L -> "a", 2L -> "b").toDF("pk", "attr"))
+    val dimV = SnapshotLog.versions(spark, dim).last
+    SnapshotLog.commit(
+      spark, fact,
+      Seq(Some(1L) -> 10L, Some(2L) -> 20L, Some(99L) -> 7L, None -> 5L)
+        .toDF("fk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mv, "attr", "v", joinType = "left")
+    def recomputeLeft(): Set[(Option[String], Long, Long)] =
+      SnapshotLog.read(spark, fact)
+        .join(SnapshotLog.read(spark, dim, Some(dimV)),
+          col("fk") === col("pk"), "left_outer")
+        .groupBy(col("attr"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+    def state(): Set[(Option[String], Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(state() == recomputeLeft())
+    assert(state() == Set(
+      (Some("a"), 10L, 1L), (Some("b"), 20L, 1L), (None, 12L, 2L)))
+    // append into matched AND unmatched buckets, then an invertible
+    // delete inside the NULL bucket — the fold must keep ONE NULL row
+    SnapshotLog.commit(
+      spark, fact,
+      Seq(Some(1L) -> 1L, Some(98L) -> 9L, None -> 4L).toDF("fk", "v"))
+    SnapshotLog.deleteWhere(spark, fact, "v", 5L, 5L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state() == recomputeLeft())
+    assert(state() == Set(
+      (Some("a"), 11L, 2L), (Some("b"), 20L, 1L), (None, 20L, 3L)))
+    assert(state().count(_._1.isEmpty) == 1)
+    // minmax kind: a delete touching the NULL bucket takes the
+    // unscoped at-watermark fallback (no pk list can bound unmatched
+    // rows) and still recomputes exactly
+    val mv2 = fresh("ljmv2")
+    SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mv2, "attr", "v",
+      kind = "minmax", joinType = "left")
+    SnapshotLog.deleteWhere(spark, fact, "v", 9L, 9L) // a NULL-bucket row
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(m2 == Set(
+      (Some("a"), 1L, 10L, 2L), (Some("b"), 20L, 20L, 1L),
+      (None, 4L, 7L, 2L)), m2)
+  }
+
+  /** Hashed distinct MVs (round 16): a DECLARED non-integral distinct
+    * rollup derives bit positions from xxhash64(measure). The fold
+    * and the delete-recompute must land on the true count(DISTINCT s)
+    * (collision-free at any tested scale), NULLs ignored exactly as
+    * count(DISTINCT) ignores them, the all-NULL group alive at 0. */
+  test("hashDistinct: string distinct counts fold and recompute " +
+    "exactly; NULL measures don't count; undeclared non-integral " +
+    "refuses") {
+    import spark.implicits._
+    val src = fresh("hdsrc")
+    val mv = fresh("hdmv")
+    def rows(xs: Seq[(Long, Long, Option[String])]): DataFrame =
+      xs.toDF("k", "rid", "s")
+    SnapshotLog.commit(
+      spark, src,
+      rows(Seq(
+        (1L, 10L, Some("a")), (1L, 20L, Some("b")), (1L, 30L, Some("a")),
+        (1L, 40L, None), (2L, 50L, None), (2L, 60L, None))))
+    // undeclared refuses, naming the declaration
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.createMv(spark, src, fresh("m"), "k", "s",
+        kind = "distinct"))
+    assert(e.getMessage.contains("hashDistinct"))
+    SnapshotLog.createMv(
+      spark, src, mv, "k", "s", kind = "distinct", hashDistinct = true)
+    def served(): Set[(Long, Long, Long)] =
+      SnapshotLog.read(spark, mv)
+        .groupBy(col("k"))
+        .agg(sum(col("mv_dc")).as("dc"), sum(col("mv_n")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def recomputeDc(): Set[(Long, Long, Long)] =
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"))
+        .agg(countDistinct(col("s")).as("dc"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(served() == recomputeDc())
+    assert(served() == Set((1L, 2L, 4L), (2L, 0L, 2L)),
+      "the all-NULL group must stay alive at dc=0")
+    // append a new value + re-hash fold, then a delete that removes
+    // one value entirely from group 1 (non-invertible → recompute)
+    SnapshotLog.commit(
+      spark, src, rows(Seq((1L, 70L, Some("c")), (2L, 80L, Some("x")))))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(served() == recomputeDc())
+    SnapshotLog.deleteWhere(spark, src, "rid", 20L, 20L) // the one 'b'
+    SnapshotLog.refreshMv(spark, mv)
+    assert(served() == recomputeDc())
+    assert(served() == Set((1L, 2L, 4L), (2L, 1L, 3L)))
+  }
+
+  /** Fold fingerprint (round 16): every fold commit rides an
+    * order-independent content fingerprint; REFRESH verifies the
+    * current state against it before folding — a foreign write into
+    * the MV turns the next refresh into a loud refusal instead of a
+    * silently re-headered pollution. */
+  test("REFRESH refuses to fold onto a foreign-written MV; compaction " +
+    "(datachange=false) preserves the fingerprint") {
+    import spark.implicits._
+    val src = fresh("fpsrc")
+    val mv = fresh("fpmv")
+    SnapshotLog.commit(
+      spark, src, Seq(1L -> 10L, 2L -> 20L).toDF("k", "v"))
+    SnapshotLog.createMv(spark, src, mv, "k", "v")
+    // a data-preserving compaction must NOT trip the check
+    SnapshotLog.compact(spark, mv)
+    SnapshotLog.commit(spark, src, Seq(1L -> 1L).toDF("k", "v"))
+    val (f1, t1) = SnapshotLog.refreshMv(spark, mv)
+    assert(t1 > f1)
+    // a FOREIGN append into the managed MV: the next refresh must
+    // refuse loudly and name the remedy
+    SnapshotLog.commit(
+      spark, mv, Seq((7L, 777L, 1L)).toDF("k", "mv_sum", "mv_n"))
+    SnapshotLog.commit(spark, src, Seq(2L -> 2L).toDF("k", "v"))
+    val e = intercept[IllegalStateException](SnapshotLog.refreshMv(spark, mv))
+    assert(e.getMessage.contains("fingerprint") &&
+      e.getMessage.contains("re-materialize"), e.getMessage)
+  }
+
+  /** Mixed-grain join MVs (round 16): the key list mixes dim
+    * attributes with ONE derived fact time grain. The fold must
+    * re-derive the fact grain over every delta BEFORE the dim
+    * enrichment and land on the recompute of
+    * `fact ⋈ dim@pinned GROUP BY (attr, to_date(ts))`. */
+  test("mixed-grain join MV: the derived fact day composes with dim " +
+    "attrs through the sum fold and the minmax delete-recompute") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val fact = fresh("mgfact")
+    val dim = fresh("mgdim")
+    val mv = fresh("mgmv")
+    def t(s: String) = Timestamp.valueOf(s)
+    SnapshotLog.commit(
+      spark, dim, Seq(1L -> "a", 2L -> "b").toDF("pk", "attr"))
+    val dimV = SnapshotLog.versions(spark, dim).last
+    SnapshotLog.commit(
+      spark, fact,
+      Seq(
+        (1L, 10L, t("2024-01-01 09:00:00")),
+        (1L, 5L, t("2024-01-01 17:00:00")),
+        (1L, 3L, t("2024-02-02 09:00:00")),
+        (2L, 20L, t("2024-01-01 09:30:00")),
+        (99L, 7L, t("2024-01-01 10:00:00"))).toDF("fk", "v", "ts"))
+    SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mv, "attr,day", "v",
+      keyExpr = Some("to_date(ts)"))
+    def recomputeMg(): Set[(String, String, Long, Long)] =
+      SnapshotLog.read(spark, fact)
+        .withColumn("day", expr("to_date(ts)"))
+        .join(SnapshotLog.read(spark, dim, Some(dimV)),
+          col("fk") === col("pk"), "inner")
+        .groupBy(col("attr"), col("day"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString,
+          r.getLong(2), r.getLong(3)))
+        .toSet
+    def state(): Set[(String, String, Long, Long)] =
+      SnapshotLog.read(spark, mv).select("attr", "day", "mv_sum", "mv_n")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString,
+          r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(state() == recomputeMg())
+    assert(state() == Set(
+      ("a", "2024-01-01", 15L, 2L),
+      ("a", "2024-02-02", 3L, 1L),
+      ("b", "2024-01-01", 20L, 1L)))
+    // append (a new day + an existing day) and a CoW delete — the
+    // delta re-derives the day, then folds through the enrichment
+    SnapshotLog.commit(
+      spark, fact,
+      Seq(
+        (2L, 2L, t("2024-01-03 08:00:00")),
+        (1L, 1L, t("2024-01-01 23:59:59"))).toDF("fk", "v", "ts"))
+    SnapshotLog.deleteWhere(spark, fact, "v", 20L, 20L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state() == recomputeMg())
+    assert(state() == Set(
+      ("a", "2024-01-01", 16L, 3L),
+      ("a", "2024-02-02", 3L, 1L),
+      ("b", "2024-01-03", 2L, 1L)))
+    // minmax kind: the delete-touched (attr, day) groups recompute
+    // through the dim-scoped at-watermark read with the day re-derived
+    val mv2 = fresh("mgmv2")
+    SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mv2, "attr,day", "v",
+      kind = "minmax", keyExpr = Some("to_date(ts)"))
+    SnapshotLog.deleteWhere(spark, fact, "v", 1L, 1L)
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2)
+      .select("attr", "day", "mv_min", "mv_max", "mv_n")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(m2 == Set(
+      ("a", "2024-01-01", 5L, 10L, 2L),
+      ("a", "2024-02-02", 3L, 3L, 1L),
+      ("b", "2024-01-03", 2L, 2L, 1L)))
+    // guards: an unrecognized grain refuses; a dim column named like
+    // the derived key (or its source column) refuses
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", fresh("m"), "attr,wk", "v",
+      keyExpr = Some("weekofyear(ts)")))
+    assert(e1.getMessage.contains("recognized time grain"))
+    val tsDim = fresh("tsdim")
+    SnapshotLog.commit(
+      spark, tsDim,
+      Seq((1L, "x", t("2024-01-01 00:00:00"))).toDF("pk", "attr", "ts"))
+    val e2 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, fact, tsDim, "fk", "pk", fresh("m"), "attr,day", "v",
+      keyExpr = Some("to_date(ts)")))
+    assert(e2.getMessage.contains("collides with a dim column"))
+  }
+
+  /** Expression measures (round 16): the measure is a DECLARED SQL
+    * expression over source columns (`v * (100 - d)`, the revenue
+    * shape), materialized as the fold column at create and re-derived
+    * over every refresh delta. The fold must land on the recompute of
+    * the expression at the source tip through appends and deletes. */
+  test("an expression measure folds through refresh exactly like a " +
+    "column: appends, a CoW delete, and the minmax recompute all " +
+    "re-derive the declared expression") {
+    import spark.implicits._
+    val src = fresh("xsrc")
+    val mv = fresh("xmv")
+    def rows(xs: Seq[(Long, Long, Long)]): DataFrame =
+      xs.toDF("k", "v", "d")
+    SnapshotLog.commit(
+      spark, src, rows(Seq((1L, 10L, 5L), (2L, 20L, 0L), (1L, 3L, 50L))))
+    SnapshotLog.createMv(
+      spark, src, mv, "k", "rev", aggExpr = Some("v * (100 - d)"))
+    def recomputeRev(): Set[(Long, Long, Long)] =
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"))
+        .agg(
+          sum(expr("v * (100 - d)")).as("mv_sum"),
+          count(lit(1)).as("mv_n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def state(): Set[(Long, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state() == recomputeRev())
+    assert(state() == Set((1L, 1100L, 2L), (2L, 2000L, 1L)))
+    // append + CoW delete: the sum fold subtracts the deleted rows'
+    // DERIVED values (the delta re-derives the expression)
+    SnapshotLog.commit(spark, src, rows(Seq((2L, 1L, 10L), (3L, 7L, 0L))))
+    SnapshotLog.deleteWhere(spark, src, "v", 10L, 10L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state() == recomputeRev())
+    assert(state() == Set((1L, 150L, 1L), (2L, 2090L, 2L), (3L, 700L, 1L)))
+    // the minmax kind recomputes delete-touched groups through the
+    // derived measure (scopedSourceAtTo must re-derive it too)
+    val mv2 = fresh("xmv2")
+    SnapshotLog.createMv(
+      spark, src, mv2, "k", "rev", kind = "minmax",
+      aggExpr = Some("v * (100 - d)"))
+    SnapshotLog.deleteWhere(spark, src, "v", 7L, 7L) // kills group 3
+    SnapshotLog.commit(spark, src, rows(Seq((2L, 2L, 99L))))
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(m2 == Set((1L, 150L, 150L, 1L), (2L, 2L, 2000L, 3L)))
+    // guards: a declared name colliding with a source column refuses;
+    // a nondeterministic expression refuses; refresh refuses when
+    // schema evolution later adds a column under the declared name
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "v", aggExpr = Some("v * 2")))
+    assert(e1.getMessage.contains("collides"))
+    val e2 = intercept[Exception](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "rnd", aggExpr = Some("rand()")))
+    assert(e2.getMessage.contains("deterministic"))
+    SnapshotLog.commit(
+      spark, src,
+      Seq((9L, 9L, 9L, 9L)).toDF("k", "v", "d", "rev"))
+    val e3 = intercept[Exception](SnapshotLog.refreshMv(spark, mv))
+    assert(e3.getMessage.contains("'rev'"))
   }
 }
