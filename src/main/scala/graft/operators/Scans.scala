@@ -3761,6 +3761,218 @@ object Scans {
     }
   }
 
+  /** MULTI-DIM STAR MV (round 16): one MV materializes the rollup of
+    * `fact ⋈ part ⋈ supplier` grouped by attributes of BOTH dims —
+    * "revenue by brand and supplier nation", the two-dimension
+    * dashboard cross that round 15's single-dim join MV had to
+    * refuse. dim/fk/pk are aligned lists on the CALL; every dim is
+    * version-pinned at create; the refresh enriches the fact change
+    * feed through the whole chain (each delta row gains all its dim
+    * attributes, then it is just a keyed row). The serve matcher is
+    * join-TREE-agnostic: it aligns the query's leaf set and equi-edge
+    * set against the recorded lists, so optimizer join reordering
+    * cannot break the match. At 100 TB the served dashboard reads an
+    * O(|brands|×|nations|) MV scan instead of joining the fact twice.
+    * Inline pins: the 2-join query serves with both dims' scans and
+    * both joins GONE; a 1-join query does NOT serve from the 2-dim MV
+    * (partial-star semantics differ — part exclusions are folded in).
+    * Oracle: DuckDB recomputes the star from source rows through the
+    * append + CoW UPDATE the refresh folded. */
+  val aggMvServeStar: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.li_ssrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.part_sdim")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.supp_sdim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.li_smv")
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_partkey"),
+        col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    li.createOrReplaceTempView("graft_star_src")
+    Tables
+      .part(spark, dir)
+      .filter(col("p_partkey") % 5 =!= 0)
+      .select(col("p_partkey"), col("p_brand"))
+      .createOrReplaceTempView("graft_star_pdim")
+    Tables
+      .supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .createOrReplaceTempView("graft_star_sdim")
+    val maxK = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"CREATE TABLE $cat.main.part_sdim (p_partkey BIGINT, p_brand STRING)")
+    spark.sql(s"INSERT INTO $cat.main.part_sdim SELECT * FROM graft_star_pdim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.supp_sdim
+         |(s_suppkey BIGINT, s_nationkey BIGINT)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.main.supp_sdim SELECT * FROM graft_star_sdim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.li_ssrc (l_orderkey BIGINT,
+         |l_partkey BIGINT, l_suppkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.li_ssrc
+         |SELECT * FROM graft_star_src WHERE l_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.li_ssrc',
+         |dim => 'main.part_sdim,main.supp_sdim',
+         |fk => 'l_partkey,l_suppkey', pk => 'p_partkey,s_suppkey',
+         |mv => 'main.li_smv', key => 'p_brand,s_nationkey',
+         |agg => 'cents')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.li_ssrc
+         |SELECT * FROM graft_star_src WHERE l_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.li_ssrc SET cents = cents + 3
+         |WHERE l_orderkey % 23 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.li_smv")
+    val brute = spark.sql(
+      s"""SELECT p_brand, s_nationkey, sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.li_ssrc
+         |JOIN $cat.main.part_sdim ON l_partkey = p_partkey
+         |JOIN $cat.main.supp_sdim ON l_suppkey = s_suppkey
+         |GROUP BY p_brand, s_nationkey
+         |ORDER BY p_brand, s_nationkey""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/li_smv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "star serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NONE of the fact and dim scans")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      // a PARTIAL star (fact ⋈ part only) must NOT serve from the
+      // 2-dim MV: its groups fold supplier exclusions and its rows
+      // joined the second dim — the leaf-count gate refuses
+      val partial = spark.sql(
+        s"""SELECT p_brand, sum(cents) AS s FROM $cat.main.li_ssrc
+           |JOIN $cat.main.part_sdim ON l_partkey = p_partkey
+           |GROUP BY p_brand""".stripMargin)
+      require(
+        !MvRewrite.readsPath(
+          rule(partial.queryExecution.optimizedPlan), mvPath),
+        "a 1-join query must not serve from the 2-dim star MV")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** SNOWFLAKE MV (round 16): the chain `orders ⋈ customer ⋈ nation`
+    * — the second join's fk (c_nationkey) lives on the FIRST DIM, not
+    * the fact — rolls up to "revenue by nation" in one MV. Same
+    * aligned-list declaration as the star: fk ownership is resolved
+    * by name at create (fact first, then earlier dims), so a chain
+    * and a star are the same mechanism; the refresh enrichment joins
+    * left-to-right and each dim carries the later fks it owns
+    * (customer contributes c_nationkey to the chain even though no
+    * key member lives on it). Serve-side the edge (c_nationkey =
+    * n_nationkey) has its fk attribute on the customer LEAF — the
+    * tree-agnostic matcher accepts it where a fact-only fk rule
+    * would refuse. Oracle: DuckDB recomputes the chain from source
+    * rows through the append + CoW UPDATE the refresh folded. */
+  val aggMvServeSnowflake: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_sfsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_sfdim")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.nat_sfdim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_sfmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_sf_src")
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") % 4 =!= 0)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .createOrReplaceTempView("graft_sf_cdim")
+    Tables
+      .nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+      .createOrReplaceTempView("graft_sf_ndim")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.cust_sfdim
+         |(c_custkey BIGINT, c_nationkey BIGINT)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.main.cust_sfdim SELECT * FROM graft_sf_cdim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.nat_sfdim
+         |(n_nationkey BIGINT, n_name STRING)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.main.nat_sfdim SELECT * FROM graft_sf_ndim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_sfsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_sfsrc
+         |SELECT * FROM graft_sf_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.orders_sfsrc',
+         |dim => 'main.cust_sfdim,main.nat_sfdim',
+         |fk => 'o_custkey,c_nationkey', pk => 'c_custkey,n_nationkey',
+         |mv => 'main.orders_sfmv', key => 'n_name',
+         |agg => 'cents')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_sfsrc
+         |SELECT * FROM graft_sf_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_sfsrc SET cents = cents + 5
+         |WHERE o_orderkey % 29 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_sfmv")
+    val brute = spark.sql(
+      s"""SELECT n_name, sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.orders_sfsrc
+         |JOIN $cat.main.cust_sfdim ON o_custkey = c_custkey
+         |JOIN $cat.main.nat_sfdim ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_sfmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "snowflake serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NONE of the fact and dim scans")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** FOLD FINGERPRINT (round 16): every fold commit rides an
     * order-independent content fingerprint (`mvfp=` — row count + XOR
     * of per-row xxhash64); REFRESH verifies the current MV state
@@ -5758,6 +5970,8 @@ object Scans {
     "agg_mv_serve_distinct_month" -> aggMvServeDistinctMonth,
     "agg_mv_serve_join" -> aggMvServeJoin,
     "agg_mv_serve_join_month" -> aggMvServeJoinMonth,
+    "agg_mv_serve_star" -> aggMvServeStar,
+    "agg_mv_serve_snowflake" -> aggMvServeSnowflake,
     "agg_mv_serve_left" -> aggMvServeLeft,
     "agg_mv_serve_distinct_str" -> aggMvServeDistinctStr,
     "sql_mv_fingerprint" -> sqlMvFingerprint,
@@ -6135,6 +6349,39 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM src JOIN dim ON o_custkey = c_custkey
         |GROUP BY seg ORDER BY seg""".stripMargin,
+    // the 2-dim star rollup served from the MV must equal the star
+    // recomputed from source rows (part exclusion live, both dims'
+    // attributes in the grain)
+    "agg_mv_serve_star" ->
+      """WITH pd AS (SELECT p_partkey, p_brand FROM part
+        |  WHERE p_partkey % 5 <> 0),
+        |sd AS (SELECT s_suppkey, s_nationkey FROM supplier),
+        |src AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    + CASE WHEN l_orderkey % 23 = 0 THEN 3 ELSE 0 END AS cents
+        |  FROM lineitem)
+        |SELECT p_brand, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src JOIN pd ON l_partkey = p_partkey
+        |JOIN sd ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the snowflake rollup (orders→customer→nation) served from the
+    // MV must equal the chain recomputed from source rows (customer
+    // exclusion live; the second fk lives on the first dim)
+    "agg_mv_serve_snowflake" ->
+      """WITH cd AS (SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_custkey % 4 <> 0),
+        |nd AS (SELECT n_nationkey, n_name FROM nation),
+        |src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 29 = 0 THEN 5 ELSE 0 END AS cents
+        |  FROM orders)
+        |SELECT n_name, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src JOIN cd ON o_custkey = c_custkey
+        |JOIN nd ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // the left-join rollup served from the MV must equal the LEFT
     // join recomputed from source rows — the NULL bucket (customers
     // dropped from the dim + any NULL custkey) is in the hash

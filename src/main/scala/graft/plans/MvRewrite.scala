@@ -451,20 +451,28 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => agg
     }
 
-  /** The query-side join context the serve rule verified against a
-    * candidate MV's recorded join: dim table path + the exact version
-    * the query pinned, the fk/pk column names of the equi-join, and
-    * the FACT side's output exprIds — the measure match must resolve
-    * against these (advisor, round 15: a dim column sharing a fact
-    * measure's NAME would otherwise pass the name-only gate and be
-    * silently served the fact partial — wrong results; createJoinMv
-    * now also refuses the collision at declaration time, but the
-    * exprId check covers MVs created before that guard). */
-  private case class JoinProbe(
+  /** One dim of the query-side join context: dim table path + the
+    * exact version the query pinned, and the fk/pk column names of
+    * its equi-join edge. */
+  private case class DimLink(
       dimPath: String,
       dimV: Int,
       fkName: String,
-      pkName: String,
+      pkName: String
+  )
+
+  /** The query-side join context the serve rule verified against a
+    * candidate MV's recorded join(s): one [[DimLink]] per join edge
+    * (round 16 generalizes the single dim to a star/snowflake LIST,
+    * recorded order), and the FACT side's output exprIds — the
+    * measure match must resolve against these (advisor, round 15: a
+    * dim column sharing a fact measure's NAME would otherwise pass
+    * the name-only gate and be silently served the fact partial —
+    * wrong results; createJoinMv now also refuses the collision at
+    * declaration time, but the exprId check covers MVs created
+    * before that guard). */
+  private case class JoinProbe(
+      dims: Seq[DimLink],
       factOut: Set[Long],
       joinType: String // "inner" | "left"
   )
@@ -485,7 +493,9 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .toOption.flatten
       }.headOption
     } yield plan
-    plain.orElse(rewriteManagedJoin(agg))
+    plain
+      .orElse(rewriteManagedJoin(agg))
+      .orElse(rewriteManagedStar(agg))
   }
 
   // ------------------------------------------------------------------
@@ -608,13 +618,189 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               scala.util
                 .Try(serveManaged(
                   agg, dimCond, fp, fv, mvPath,
-                  Some(JoinProbe(dp, dv, fkA.name, pkA.name, fOut,
+                  Some(JoinProbe(
+                    Seq(DimLink(dp, dv, fkA.name, pkA.name)), fOut,
                     jm.joinType))))
                 .toOption.flatten
             }
           }
       }.headOption
     }
+
+  // ------------------------------------------------------------------
+  // STAR / SNOWFLAKE MV serving (round 16): `SELECT d2.attr, agg(f.m)
+  // FROM f JOIN d1 ON f.fk1 = d1.pk1 JOIN d2 ON <fk2> = d2.pk2 GROUP
+  // BY ...` — two or more INNER equi-joins, every leaf a snapshot
+  // scan — serves from a multi-dim createJoinMv rollup. fk2 may live
+  // on the fact (star) or on d1 (snowflake: orders→customer→nation);
+  // the matcher is tree-shape-agnostic (ReorderJoin may rebalance the
+  // join order), matching the LEAF SET and the EDGE SET against the
+  // MV's recorded lists instead of the tree. Inner-only by
+  // construction (multi-dim left MVs are refused at create).
+  // ------------------------------------------------------------------
+
+  private case class StarLeaf(
+      cond: Option[Expression],
+      path: String,
+      v: Int,
+      out: org.apache.spark.sql.catalyst.expressions.AttributeSet
+  )
+
+  private case class StarMatch(
+      conds: Seq[Expression], // Filters above joins (cross-leaf residuals)
+      leaves: Seq[StarLeaf],
+      edges: Seq[(AttributeReference, AttributeReference)]
+  )
+
+  /** Collect a tree of INNER single-column equi-joins whose leaves
+    * are all managed snapshot scans. None for any other shape — the
+    * matcher only claims what the recorded-list alignment below can
+    * verify exactly. */
+  private def managedStarOf(plan: LogicalPlan): Option[StarMatch] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def atoms(e: Expression): Seq[Expression] = e match {
+      case And(x, y) => atoms(x) ++ atoms(y)
+      case x         => Seq(x)
+    }
+    plan match {
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        managedStarOf(child)
+      case Filter(cond, child) =>
+        managedStarOf(child).map(sm => sm.copy(conds = cond +: sm.conds))
+      case j @ Join(l, r, Inner, Some(cond), _) =>
+        for {
+          lm <- managedStarOf(l)
+          rm <- managedStarOf(r)
+          es <- {
+            val parts = atoms(cond).map {
+              case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                Some((a, b))
+              case _ => None
+            }
+            if (parts.forall(_.isDefined)) Some(parts.flatten) else None
+          }
+        } yield StarMatch(
+          lm.conds ++ rm.conds,
+          lm.leaves ++ rm.leaves,
+          lm.edges ++ rm.edges ++ es)
+      case other =>
+        managedSourceOf(other).map { case (c, p, v) =>
+          StarMatch(Nil, Seq(StarLeaf(c, p, v, other.outputSet)), Nil)
+        }
+    }
+  }
+
+  private def rewriteManagedStar(agg: Aggregate): Option[LogicalPlan] =
+    managedStarOf(agg.child)
+      .filter(sm => sm.leaves.size >= 3 && // ≥2 joins; 1 join = legacy path
+        sm.edges.size == sm.leaves.size - 1)
+      .flatMap { sm =>
+        sm.leaves.view.flatMap { factLeaf =>
+          mvRefsOf(factLeaf.path).view.flatMap { mvPath =>
+            scala.util
+              .Try(alignStar(agg, sm, factLeaf, mvPath))
+              .toOption.flatten
+          }
+        }.headOption
+      }
+
+  /** Align the query's leaf/edge sets with `mvPath`'s recorded join
+    * lists: each recorded (dim_i, fk_i, pk_i) must claim exactly one
+    * unused leaf (by path) and exactly one unused edge (pk-side
+    * attribute in that leaf, fk-side attribute anywhere else), and
+    * every leaf residual must strip to nothing (fact) or transplant
+    * (dims — via serveManaged's standard gate). On success the probe
+    * carries the dims in RECORDED order with the QUERY's pinned
+    * versions; serveManaged re-verifies versions (DIM DRIFT) and
+    * everything downstream (grain, measures, freshness). */
+  private def alignStar(
+      agg: Aggregate,
+      sm: StarMatch,
+      factLeaf: StarLeaf,
+      mvPath: String
+  ): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    val props = graft.sources.SnapshotLog.tableProps(spark, mvPath)
+    val rDims = props.getOrElse("mv_join_dim", return None)
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val rFks = props.getOrElse("mv_join_fk", "").split(',').map(_.trim).toSeq
+    val rPks = props.getOrElse("mv_join_pk", "").split(',').map(_.trim).toSeq
+    val dimLeavesAll = sm.leaves.filterNot(_ eq factLeaf)
+    if (rDims.size != dimLeavesAll.size || rFks.size != rDims.size ||
+      rPks.size != rDims.size) {
+      MvRewrite.diag(s"$mvPath: joins ${rDims.size} dim(s), the query " +
+        s"${dimLeavesAll.size}; skipped")
+      return None
+    }
+    // claim one leaf per recorded dim (paths are distinct at create,
+    // so first-match is unambiguous)
+    val usedLeaf = scala.collection.mutable.Set[Int]()
+    val dimLeaves: Seq[StarLeaf] = rDims.map { dp =>
+      val i = dimLeavesAll.indexWhere(
+        l => MvRewrite.samePath(l.path, dp)) match {
+        case idx if idx >= 0 && !usedLeaf(idx) => idx
+        case _ =>
+          MvRewrite.diag(s"$mvPath: recorded dim $dp is not among the " +
+            "query's join inputs; skipped")
+          return None
+      }
+      usedLeaf += i
+      dimLeavesAll(i)
+    }
+    // claim one edge per recorded (fk, pk): pk-side attr must be OUT
+    // of that dim's leaf, fk-side anywhere else (fact or another dim —
+    // the snowflake case); name-unique ownership was enforced at create
+    val usedEdge = scala.collection.mutable.Set[Int]()
+    rDims.indices.foreach { i =>
+      val dimOut = dimLeaves(i).out
+      val e = sm.edges.indexWhere { case (a, b) =>
+        val pkSide =
+          if (dimOut.contains(a)) Some((a, b))
+          else if (dimOut.contains(b)) Some((b, a))
+          else None
+        pkSide.exists { case (pkA, fkA) =>
+          pkA.name == rPks(i) && fkA.name == rFks(i) &&
+            !dimOut.contains(fkA)
+        }
+      }
+      if (e < 0 || usedEdge(e)) {
+        MvRewrite.diag(s"$mvPath: the query has no join edge " +
+          s"${rFks(i)} = ${rPks(i)} onto ${rDims(i)}; skipped")
+        return None
+      }
+      usedEdge += e
+    }
+    if (usedEdge.size != sm.edges.size) {
+      MvRewrite.diag(s"$mvPath: the query carries extra join " +
+        "condition(s) beyond the recorded star; skipped")
+      return None
+    }
+    // every join-key attribute is non-null under the all-inner tree,
+    // so inferred isnotnull atoms strip from every leaf
+    val edgeAttrs: Seq[AttributeReference] =
+      sm.edges.flatMap { case (a, b) => Seq(a, b) }
+    def stripAll(cond: Option[Expression]): Option[Expression] =
+      edgeAttrs.foldLeft(cond)((c, k) => stripJoinNotNull(c, k))
+    if (stripAll(factLeaf.cond).nonEmpty) {
+      MvRewrite.diag(s"$mvPath: a fact-side residual predicate " +
+        "references measure-level values the rollup no longer has; " +
+        "skipped")
+      return None
+    }
+    val dimCond: Option[Expression] =
+      (dimLeaves.flatMap(l => stripAll(l.cond)) ++ sm.conds)
+        .reduceOption(And(_, _))
+    val probe = JoinProbe(
+      rDims.indices.map(i =>
+        DimLink(dimLeaves(i).path, dimLeaves(i).v, rFks(i), rPks(i))),
+      factLeaf.out.map(_.exprId.id).toSet,
+      "inner")
+    serveManaged(agg, dimCond, factLeaf.path, factLeaf.v, mvPath,
+      Some(probe))
+  }
 
   /** Resolve a recorded measure-expression TEXT (`mv_agg_expr`)
     * against the query's own source plan and return the catalyst
@@ -716,9 +902,18 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     (props.get("mv_join_dim"), joinProbe) match {
       case (None, None) => ()
       case (Some(dp), Some(jp)) =>
-        if (!MvRewrite.samePath(dp, jp.dimPath)) {
-          MvRewrite.diag(s"$mvPath: joins a different dim ($dp, query " +
-            s"joins ${jp.dimPath}); skipped")
+        // round 16: the recorded join is a LIST (star/snowflake) —
+        // every field is an aligned comma-joined list; the probe's
+        // dims arrive in the SAME recorded order (the star matcher
+        // aligns them; the legacy 2-leaf path is the singleton case)
+        val rDims = dp.split(',').toSeq
+        val rFks = props.getOrElse("mv_join_fk", "").split(',').toSeq
+        val rPks = props.getOrElse("mv_join_pk", "").split(',').toSeq
+        val rVs = props.getOrElse("mv_dim_version", "")
+          .split(',').toSeq.map(s => scala.util.Try(s.trim.toInt).toOption)
+        if (rDims.size != jp.dims.size) {
+          MvRewrite.diag(s"$mvPath: joins ${rDims.size} dim(s), the " +
+            s"query ${jp.dims.size}; skipped")
           return None
         }
         // the join TYPE is part of the recorded shape: an inner MV
@@ -732,22 +927,29 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "differ, skipped")
           return None
         }
-        if (!props.get("mv_join_fk").contains(jp.fkName) ||
-          !props.get("mv_join_pk").contains(jp.pkName)) {
-          MvRewrite.diag(s"$mvPath: joins on " +
-            s"${props.getOrElse("mv_join_fk", "?")} = " +
-            s"${props.getOrElse("mv_join_pk", "?")}, the query on " +
-            s"${jp.fkName} = ${jp.pkName}; skipped")
-          return None
-        }
-        if (!props.get("mv_dim_version")
-            .flatMap(s => scala.util.Try(s.toInt).toOption)
-            .contains(jp.dimV)) {
-          MvRewrite.diag(s"$mvPath: DIM DRIFT — materialized against dim " +
-            s"v${props.getOrElse("mv_dim_version", "?")} but the query " +
-            s"reads dim v${jp.dimV}; a refresh cannot fix this (the fold " +
-            "is defined against the pinned dim) — re-materialize the MV")
-          return None
+        jp.dims.zipWithIndex.foreach { case (dl, i) =>
+          if (rFks.size <= i || rPks.size <= i ||
+            !MvRewrite.samePath(rDims(i), dl.dimPath)) {
+            MvRewrite.diag(s"$mvPath: joins a different dim " +
+              s"(${rDims.lift(i).getOrElse("?")}, query joins " +
+              s"${dl.dimPath}); skipped")
+            return None
+          }
+          if (rFks(i) != dl.fkName || rPks(i) != dl.pkName) {
+            MvRewrite.diag(s"$mvPath: joins on " +
+              s"${rFks.lift(i).getOrElse("?")} = " +
+              s"${rPks.lift(i).getOrElse("?")}, the query on " +
+              s"${dl.fkName} = ${dl.pkName}; skipped")
+            return None
+          }
+          if (!rVs.lift(i).flatten.contains(dl.dimV)) {
+            MvRewrite.diag(s"$mvPath: DIM DRIFT — materialized against " +
+              s"${rDims(i)} v${rVs.lift(i).flatten.map(_.toString)
+                .getOrElse("?")} but the query reads dim v${dl.dimV}; a " +
+              "refresh cannot fix this (the fold is defined against the " +
+              "pinned dim) — re-materialize the MV")
+            return None
+          }
         }
       case (Some(_), None) =>
         // a LEFT-join MV keeps EVERY fact row in exactly one group

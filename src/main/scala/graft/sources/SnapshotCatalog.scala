@@ -4402,7 +4402,12 @@ private[sources] object SnapshotProcedures {
             // keeps every fact row (unmatched rows in the NULL
             // dim-attr bucket); fact-only aggregates then serve
             ProcedureParameter.in("join_type", StringType)
-              .defaultValue("'inner'").build()
+              .defaultValue("'inner'").build(),
+            // mirrors create_mv: hashed bit positions for a
+            // non-integral distinct measure (kind='distinct' only)
+            ProcedureParameter
+              .in("hash_distinct", org.apache.spark.sql.types.BooleanType)
+              .defaultValue("false").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
           in =>
@@ -4410,7 +4415,11 @@ private[sources] object SnapshotProcedures {
               SnapshotLog.createJoinMv(
                 spark,
                 resolve(in.getUTF8String(0).toString),
-                resolve(in.getUTF8String(1).toString),
+                // MULTI-DIM star/snowflake MVs (round 16): dim/fk/pk
+                // are aligned comma lists; each dim name resolves
+                // independently
+                in.getUTF8String(1).toString.split(',')
+                  .map(d => resolve(d.trim)).mkString(","),
                 in.getUTF8String(2).toString,
                 in.getUTF8String(3).toString,
                 resolve(in.getUTF8String(4).toString),
@@ -4423,7 +4432,8 @@ private[sources] object SnapshotProcedures {
                   if (in.isNullAt(9)) "" else in.getUTF8String(9).toString)
                   .filter(_.nonEmpty),
                 if (in.isNullAt(10)) "inner"
-                else in.getUTF8String(10).toString))))
+                else in.getUTF8String(10).toString,
+                !in.isNullAt(11) && in.getBoolean(11)))))
         )
       case "explain_mv_serve" =>
         // serve-miss diagnostics: CALL system.explain_mv_serve(

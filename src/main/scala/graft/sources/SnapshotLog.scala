@@ -3636,6 +3636,29 @@ object SnapshotLog {
     require(
       !hashDistinct || kind == "distinct",
       "createJoinMv: hashDistinct requires kind='distinct'")
+    // MULTI-DIM star / snowflake MVs (round 16): `dim`, `fk`, `pk` are
+    // aligned comma-joined lists — one (dim_i, fk_i, pk_i) triple per
+    // join, applied LEFT TO RIGHT. fk_i resolves against the columns
+    // accumulated so far (the fact, or any EARLIER dim: a snowflake
+    // chain like orders→customer→nation is the same mechanism as a
+    // star whose fks are all fact-side). A single-dim call is the N=1
+    // case — the props serialize to the identical strings, so nothing
+    // existing changes shape.
+    val dimsL = dim.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val fksL = fk.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val pksL = pk.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(
+      dimsL.nonEmpty && dimsL.size == fksL.size && dimsL.size == pksL.size,
+      s"createJoinMv: dim/fk/pk must be aligned non-empty lists, got " +
+        s"${dimsL.size}/${fksL.size}/${pksL.size} entries")
+    require(
+      dimsL.distinct.size == dimsL.size,
+      "createJoinMv: dim paths must be distinct — joining the same dim " +
+        "twice would make the serve-side name match ambiguous")
+    require(
+      dimsL.size == 1 || joinType == "inner",
+      "createJoinMv: multi-dim MVs are inner-join only (left-outer " +
+        "NULL-bucket semantics do not compose across dims)")
     val keyCols = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(keyCols.nonEmpty && measures.nonEmpty,
@@ -3644,8 +3667,8 @@ object SnapshotLog {
       kind != "distinct" || measures.size == 1,
       "createJoinMv: kind='distinct' maintains ONE measure per MV")
     require(
-      !keyCols.contains(pk) && !keyCols.contains(fk),
-      "createJoinMv: group by a DIM attribute — grouping by the join " +
+      !keyCols.exists(k => pksL.contains(k) || fksL.contains(k)),
+      "createJoinMv: group by a DIM attribute — grouping by a join " +
         "key itself needs no join (create a plain MV on the fact)")
     require(
       !keyCols.exists(measures.contains),
@@ -3683,9 +3706,39 @@ object SnapshotLog {
       s"createJoinMv: the derived fact key name '${factKey.orNull}' may " +
         "appear exactly once, as the LAST member of the key list")
     val factTip = versions(spark, fact).last
-    val dimTip = versions(spark, dim).last
-    tableSchema(spark, fact, factTip).foreach { s =>
-      (measures ++ Seq(fk) ++ keyExprCol).foreach(c =>
+    val dimTips: Seq[Int] = dimsL.map(d => versions(spark, d).last)
+    val factSchema = tableSchema(spark, fact, factTip)
+    val dimSchemas: Seq[Option[org.apache.spark.sql.types.StructType]] =
+      dimsL.zip(dimTips).map { case (d, t) => tableSchema(spark, d, t) }
+    require(
+      dimsL.size == 1 || (factSchema.isDefined && dimSchemas.forall(_.isDefined)),
+      "createJoinMv: multi-dim MVs need readable fact and dim schemas " +
+        "(fk/key ownership is resolved by name at declaration time)")
+    // fk OWNERSHIP: each fk_i must resolve in exactly ONE of the fact
+    // and the OTHER dims' schemas, and that owner must join BEFORE
+    // join i (the fact always does; a later dim cannot feed an
+    // earlier join). Name-unique ownership is what lets the serve
+    // rule match join edges by column name, and what keeps the
+    // enrichment chain's cur(fk_i) unambiguous.
+    val fkOwner: Seq[Int] = fksL.zipWithIndex.map { case (f, i) =>
+      val owners =
+        (if (factSchema.forall(_.fieldNames.contains(f))) Seq(-1) else Nil) ++
+          dimSchemas.zipWithIndex.collect {
+            case (Some(s), j) if j != i && s.fieldNames.contains(f) => j
+          }
+      require(
+        owners.size == 1,
+        s"createJoinMv: fk '$f' must be a column of exactly one of the " +
+          s"fact and the other dims; found ${owners.size} owners")
+      require(
+        owners.head < i,
+        s"createJoinMv: fk '$f' is owned by dim '${dimsL(owners.head)}', " +
+          s"which joins AFTER join ${i + 1} — reorder the join list so " +
+          "every fk's owner joins first")
+      owners.head
+    }
+    factSchema.foreach { s =>
+      (measures ++ keyExprCol).foreach(c =>
         require(
           s.fieldNames.contains(c),
           s"createJoinMv: fact column '$c' is not in the fact schema"))
@@ -3711,55 +3764,96 @@ object SnapshotLog {
             ". For non-integral types declare hashDistinct = true")
       }
     }
-    tableSchema(spark, dim, dimTip).foreach { s =>
-      (dimKeys :+ pk).foreach(c =>
+    dimSchemas.zipWithIndex.foreach { case (so, i) =>
+      so.foreach { s =>
         require(
-          s.fieldNames.contains(c),
-          s"createJoinMv: dim column '$c' is not in the dim schema"))
-      // the derived fact key and its SOURCE column must be absent from
-      // the dim: a dim column of either name would make the enriched
-      // feed ambiguous, or let the query-side grain expression bind a
-      // dim attribute while the MV stored the fact's
-      (factKey.toSeq ++ keyExprCol).foreach(c =>
-        require(
-          !s.fieldNames.contains(c),
-          s"createJoinMv: '$c' (the derived fact key or its source " +
-            "column) collides with a dim column; rename one side"))
-      // a DIM column sharing a measure's name would let the serve rule
-      // match `sum(d.m)` by name and silently answer it with the FACT
-      // partial — wrong results (advisor, round 15). The dim version
-      // is pinned (mv_dim_version), so this declaration-time check
-      // binds for the MV's whole life: the serve rule only ever admits
-      // queries reading dim@pinned, whose schema is exactly this one.
-      // The serve rule additionally verifies measure exprIds resolve
-      // fact-side (JoinProbe.factOut) — belt and suspenders.
-      measures.foreach(m =>
-        require(
-          !s.fieldNames.contains(m),
-          s"createJoinMv: measure '$m' collides with a dim column — a " +
-            "query aggregating the DIM's column would be silently served " +
-            "the FACT partial; rename one side"))
+          s.fieldNames.contains(pksL(i)),
+          s"createJoinMv: dim column '${pksL(i)}' is not in the dim schema")
+        // the derived fact key and its SOURCE column must be absent
+        // from every dim: a dim column of either name would make the
+        // enriched feed ambiguous, or let the query-side grain
+        // expression bind a dim attribute while the MV stored the
+        // fact's
+        (factKey.toSeq ++ keyExprCol).foreach(c =>
+          require(
+            !s.fieldNames.contains(c),
+            s"createJoinMv: '$c' (the derived fact key or its source " +
+              "column) collides with a dim column; rename one side"))
+        // a DIM column sharing a measure's name would let the serve
+        // rule match `sum(d.m)` by name and silently answer it with
+        // the FACT partial — wrong results (advisor, round 15). The
+        // dim versions are pinned (mv_dim_version), so this
+        // declaration-time check binds for the MV's whole life: the
+        // serve rule only ever admits queries reading dim@pinned,
+        // whose schema is exactly this one. The serve rule
+        // additionally verifies measure exprIds resolve fact-side
+        // (JoinProbe.factOut) — belt and suspenders.
+        measures.foreach(m =>
+          require(
+            !s.fieldNames.contains(m),
+            s"createJoinMv: measure '$m' collides with a dim column — a " +
+              "query aggregating the DIM's column would be silently " +
+              "served the FACT partial; rename one side"))
+      }
     }
-    val d0 = read(spark, dim, Some(dimTip))
-      .select((dimKeys :+ pk).distinct.map(col): _*)
-    val dup = d0
-      .filter(col(pk).isNotNull)
-      .groupBy(col(pk)).agg(count(lit(1)).as("__graft_c"))
-      .filter(col("__graft_c") > 1)
-      .limit(1).collect()
-    require(
-      dup.isEmpty,
-      s"createJoinMv: '$pk' = ${dup.headOption.map(_.get(0)).orNull} is " +
-        s"not unique in $dim@v$dimTip — a duplicate dim key would " +
-        "silently multiply fact rows in every group")
+    // each dim-side key member must live in exactly ONE dim (name-
+    // unique ownership is the serve rule's matching contract; the
+    // fact-collision guard above already excludes the fact side).
+    // The single-dim case keeps the legacy lenient membership check.
+    val keyOwner: Map[String, Int] =
+      if (dimsL.size == 1) {
+        dimSchemas.head.foreach(s =>
+          dimKeys.foreach(k =>
+            require(
+              s.fieldNames.contains(k),
+              s"createJoinMv: dim column '$k' is not in the dim schema")))
+        dimKeys.map(_ -> 0).toMap
+      } else
+        dimKeys.map { k =>
+          val owners = dimSchemas.zipWithIndex.collect {
+            case (Some(s), j) if s.fieldNames.contains(k) => j
+          }
+          require(
+            owners.size == 1,
+            s"createJoinMv: key '$k' must be a column of exactly one " +
+              s"dim; found ${owners.size}")
+          k -> owners.head
+        }.toMap
+    // per-dim enrichment frames: a dim carries its OWN key members,
+    // its pk, and any LATER fk it owns (the snowflake chain column)
+    val dimDfs: Seq[DataFrame] = dimsL.indices.map { i =>
+      val ownKeys = dimKeys.filter(k => keyOwner(k) == i)
+      val laterFks =
+        fksL.zipWithIndex.collect { case (f, j) if fkOwner(j) == i => f }
+      read(spark, dimsL(i), Some(dimTips(i)))
+        .select((ownKeys ++ Seq(pksL(i)) ++ laterFks).distinct.map(col): _*)
+    }
+    dimsL.indices.foreach { i =>
+      val dup = dimDfs(i)
+        .filter(col(pksL(i)).isNotNull)
+        .groupBy(col(pksL(i))).agg(count(lit(1)).as("__graft_c"))
+        .filter(col("__graft_c") > 1)
+        .limit(1).collect()
+      require(
+        dup.isEmpty,
+        s"createJoinMv: '${pksL(i)}' = " +
+          s"${dup.headOption.map(_.get(0)).orNull} is " +
+          s"not unique in ${dimsL(i)}@v${dimTips(i)} — a duplicate dim " +
+          "key would silently multiply fact rows in every group")
+    }
     val f1 = keyExpr match {
       case Some(e) =>
         read(spark, fact, Some(factTip)).withColumn(factKey.get, expr(e))
       case None => read(spark, fact, Some(factTip))
     }
-    val f0 = f1.select((measures ++ Seq(fk) ++ factKey).distinct.map(col): _*)
+    val factFks =
+      fksL.zipWithIndex.collect { case (f, j) if fkOwner(j) == -1 => f }
+    val f0 = f1.select((measures ++ factFks ++ factKey).distinct.map(col): _*)
     val how = if (joinType == "left") "left_outer" else "inner"
-    val joined = f0.join(d0, f0(fk) === d0(pk), how).drop(d0(pk))
+    val joined = dimsL.indices.foldLeft(f0) { (cur, i) =>
+      cur.join(dimDfs(i), cur(fksL(i)) === dimDfs(i)(pksL(i)), how)
+        .drop(dimDfs(i)(pksL(i)))
+    }
     val m =
       (if (kind == "distinct")
          distinctRollup(joined, keyCols, measures.head, hashDistinct)
@@ -3779,10 +3873,10 @@ object SnapshotLog {
         "mv_agg" -> aggCol,
         "mv_kind" -> kind,
         "mv_version" -> factTip.toString,
-        "mv_join_dim" -> dim,
-        "mv_join_fk" -> fk,
-        "mv_join_pk" -> pk,
-        "mv_dim_version" -> dimTip.toString) ++
+        "mv_join_dim" -> dimsL.mkString(","),
+        "mv_join_fk" -> fksL.mkString(","),
+        "mv_join_pk" -> pksL.mkString(","),
+        "mv_dim_version" -> dimTips.mkString(",")) ++
         keyExpr.map("mv_key_expr" -> _) ++
         factKey.map("mv_fact_key" -> _) ++
         (if (joinType == "left") Some("mv_join_type" -> "left") else None) ++
@@ -4041,16 +4135,26 @@ object SnapshotLog {
     // construction. The pin is what keeps the fold exact forever: a
     // later dim commit changes NOTHING here (the serve rule, not the
     // refresh, is where dim staleness bites).
-    val joinDim: Option[(String, Int, String, String)] =
+    // round 16: every join prop is an aligned comma list — one
+    // (dim, pinnedVersion, fk, pk) per join, applied left to right
+    // (star and snowflake chains share the mechanism; single-dim MVs
+    // are the one-element case and parse identically)
+    val joinDims: Seq[(String, Int, String, String)] =
       props.get("mv_join_dim").map { dp =>
-        (dp, props("mv_dim_version").toInt,
-          props("mv_join_fk"), props("mv_join_pk"))
-      }
+        val ds = dp.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val ws = props("mv_dim_version").split(',').map(_.trim.toInt).toSeq
+        val fs = props("mv_join_fk").split(',').map(_.trim).toSeq
+        val ps = props("mv_join_pk").split(',').map(_.trim).toSeq
+        require(
+          ds.size == ws.size && ds.size == fs.size && ds.size == ps.size,
+          s"refreshMv: $mv carries misaligned join props")
+        ds.indices.map(i => (ds(i), ws(i), fs(i), ps(i)))
+      }.getOrElse(Nil)
     // the createJoinMv-time key/fact-column collision re-checks here:
     // schema evolution may have ADDED a fact column with a dim key's
     // name since the materialize, and the enrichment join would turn
     // ambiguous (or silently resolve wrong) — refuse loudly instead
-    joinDim.foreach { _ =>
+    if (joinDims.nonEmpty) {
       val clash = tableSchema(spark, source, to)
         .map(s => keys.filterNot(k =>
           props.get("mv_fact_key").contains(k))
@@ -4070,13 +4174,30 @@ object SnapshotLog {
     val joinHow =
       if (props.get("mv_join_type").contains("left")) "left_outer"
       else "inner"
-    def enrich(df: DataFrame): DataFrame = joinDim match {
-      case Some((dp, w, fkc, pkc)) =>
-        val d = read(spark, dp, Some(w))
-          .select((dimKeys :+ pkc).distinct.map(col): _*)
-        df.join(d, df(fkc) === d(pkc), joinHow).drop(d(pkc))
-      case None => df
-    }
+    // per-dim enrichment selection, recomputed from the PINNED dim
+    // schemas (immutable per version, so this is the same split
+    // createJoinMv made): the dim's own key members + its pk + any
+    // later fk it owns (the snowflake chain column). Single-dim MVs
+    // keep the legacy all-keys selection.
+    val dimSels: Seq[(Seq[String], Seq[String])] = joinDims.zipWithIndex
+      .map { case ((dp, w, _, pkc), i) =>
+        val s = tableSchema(spark, dp, w)
+        val ownKeys =
+          if (joinDims.size == 1) dimKeys
+          else dimKeys.filter(k => s.exists(_.fieldNames.contains(k)))
+        val laterFks = joinDims.zipWithIndex.collect {
+          case ((_, _, f, _), j)
+              if j > i && s.exists(_.fieldNames.contains(f)) =>
+            f
+        }
+        (ownKeys, (ownKeys ++ Seq(pkc) ++ laterFks).distinct)
+      }
+    def enrich(df: DataFrame): DataFrame =
+      joinDims.zipWithIndex.foldLeft(df) {
+        case (cur, ((dp, w, fkc, pkc), i)) =>
+          val d = read(spark, dp, Some(w)).select(dimSels(i)._2.map(col): _*)
+          cur.join(d, cur(fkc) === d(pkc), joinHow).drop(d(pkc))
+      }
     val changes = enrich(withMeasure(props.get("mv_key_expr") match {
       case Some(e) =>
         readChanges(spark, source, from, to)
@@ -4101,36 +4222,44 @@ object SnapshotLog {
     // a sound superset. A DERIVED key keeps the full at-watermark
     // read: its values are not a source column, so no file stat can
     // bound them.
-    def scopedSourceAtTo(delKeys: DataFrame): DataFrame = joinDim match {
-      case Some((dp, w, fkc, pkc)) =>
-        // join MVs scope THROUGH the dim: the delete-touched dim-attr
+    def scopedSourceAtTo(delKeys: DataFrame): DataFrame = joinDims match {
+      case jds if jds.nonEmpty =>
+        // join MVs scope THROUGH a dim: the delete-touched dim-attr
         // keys map (via dim@pinned) to the foreign keys that can hold
         // them, and touchedFiles admits fact files by fk range — the
         // dim is small, the fact is the 100 TB side. A mixed-grain
         // MV scopes on the DIM members only (sound superset: the
         // derived fact grain cannot narrow the dim→fk mapping) and
-        // re-derives the fact key over the admitted rows.
-        val d = read(spark, dp, Some(w))
-          .select((dimKeys :+ pkc).distinct.map(col): _*)
+        // re-derives the fact key over the admitted rows. A MULTI-dim
+        // MV scopes via the FIRST fact-joined dim that carries a key
+        // member (one fk bound is a sound superset; the other dims'
+        // members cannot narrow a different dim's pks without joining
+        // them, which would read more than it saves).
         // a LEFT MV's NULL bucket holds the fact rows with NO dim
         // match — no pk list can bound where they live, so a delete
         // touching it reads the fact at the watermark unscoped (the
         // sound fallback); dim-boundable deletes keep the scoped path.
         // Null-safe semi (dim attrs may themselves be NULL).
-        val delDk = delKeys.select(dimKeys.map(col): _*).distinct()
-        val dimCond = dimKeys
-          .map(k => d(k) <=> delDk(k))
-          .reduceOption(_ && _)
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
-        val scoped =
-          if (joinHow == "left_outer") {
-            val nullBucketTouched = delKeys
-              .filter(dimKeys.map(k => col(k).isNull).reduce(_ && _))
-              .limit(1).count() > 0
-            !nullBucketTouched
-          } else true
-        val f0 =
-          if (scoped) {
+        val nullBucketTouched = joinHow == "left_outer" && {
+          delKeys
+            .filter(dimKeys.map(k => col(k).isNull).reduce(_ && _))
+            .limit(1).count() > 0
+        }
+        val factSch = tableSchema(spark, source, to)
+        val scopeIdx: Option[Int] =
+          if (nullBucketTouched) None
+          else jds.indices.find { i =>
+            factSch.exists(_.fieldNames.contains(jds(i)._3)) &&
+              dimSels(i)._1.nonEmpty
+          }
+        val f0 = scopeIdx match {
+          case Some(i) =>
+            val (dp, w, fkc, pkc) = jds(i)
+            val ks = dimSels(i)._1
+            val d = read(spark, dp, Some(w))
+              .select((ks :+ pkc).distinct.map(col): _*)
+            val delDk = delKeys.select(ks.map(col): _*).distinct()
+            val dimCond = ks.map(k => d(k) <=> delDk(k)).reduce(_ && _)
             val pks = d.join(delDk, dimCond, "left_semi")
               .select(col(pkc)).distinct()
             val (admit, _) = touchedFiles(spark, source, fkc, pks, Some(to))
@@ -4138,14 +4267,15 @@ object SnapshotLog {
               spark, source,
               entriesFor(manifestEntries(spark, source, to), admit),
               tableSchema(spark, source, to))
-          } else read(spark, source, Some(to))
+          case None => read(spark, source, Some(to))
+        }
         val f = (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
           case (Some(e), Some(fkn)) =>
             f0.withColumn(fkn, org.apache.spark.sql.functions.expr(e))
           case _ => f0
         }
-        f.join(d, f(fkc) === d(pkc), joinHow).drop(d(pkc))
-      case None =>
+        enrich(f)
+      case _ =>
         withMeasure(props.get("mv_key_expr") match {
           case Some(e) =>
             read(spark, source, Some(to))

@@ -3205,6 +3205,123 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("multi-dim star + snowflake MVs serve: both joins gone, subset " +
+    "and global grains re-aggregate, dim filters transplant, and " +
+    "partial-star / drifted-dim / extra-predicate shapes bail") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d1 = freshName()
+    val d2 = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk1 BIGINT, fk2 BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d1 (pk1 BIGINT, a1 STRING)")
+    spark.sql(s"CREATE TABLE $d2 (pk2 BIGINT, a2 STRING)")
+    spark.sql(
+      s"INSERT INTO $f VALUES (1, 7, 10), (1, 8, 20), (2, 7, 30), " +
+        "(1, 7, 40), (99, 7, 500)")
+    spark.sql(s"INSERT INTO $d1 VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"INSERT INTO $d2 VALUES (7, 'p'), (8, 'q')")
+    val mvPath = s"$warehouse/main/${fn}_starmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), s"${pathOf(d1)},${pathOf(d2)}", "fk1,fk2",
+      "pk1,pk2", mvPath, "a1,a2", "m")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      def noSource(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        !p.exists(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation])
+      val q =
+        s"SELECT a1, a2, sum(m) AS s, count(*) AS n FROM $f " +
+          s"JOIN $d1 ON fk1 = pk1 JOIN $d2 ON fk2 = pk2 GROUP BY a1, a2"
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath) && noSource(served),
+        "the 2-dim star must serve with ALL THREE scans gone")
+      assert(!served.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
+      assert(run(served).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet ==
+        Set(("x", "p", 50L, 2L), ("x", "q", 20L, 1L), ("y", "p", 30L, 1L)))
+      // a KEY SUBSET re-aggregates (groups are unions of MV groups)
+      val sub = plan(
+        s"SELECT a1, sum(m) AS s FROM $f JOIN $d1 ON fk1 = pk1 " +
+          s"JOIN $d2 ON fk2 = pk2 GROUP BY a1")
+      assert(MvRewrite.readsPath(sub, mvPath) && noSource(sub))
+      assert(run(sub).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("x", 70L), ("y", 30L)))
+      // GLOBAL over the star re-aggregates (fk1=99 stays excluded)
+      val gl = plan(
+        s"SELECT sum(m) AS s, count(*) AS n FROM $f " +
+          s"JOIN $d1 ON fk1 = pk1 JOIN $d2 ON fk2 = pk2")
+      assert(MvRewrite.readsPath(gl, mvPath) && noSource(gl))
+      assert(run(gl).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == Set((100L, 4L)))
+      // a dim-attr filter transplants onto the MV key
+      val fl = plan(
+        s"SELECT a1, sum(m) AS s FROM $f JOIN $d1 ON fk1 = pk1 " +
+          s"JOIN $d2 ON fk2 = pk2 WHERE a2 = 'p' GROUP BY a1")
+      assert(MvRewrite.readsPath(fl, mvPath) && noSource(fl))
+      assert(run(fl).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("x", 50L), ("y", 30L)))
+      // a PARTIAL star must bail (its rows never joined d2 and the
+      // MV folded d2's exclusions)
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT a1, sum(m) AS s FROM $f JOIN $d1 ON fk1 = pk1 " +
+          "GROUP BY a1"), mvPath),
+        "a 1-join query must not serve from the 2-dim MV")
+      // a measure-level residual must bail
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT a1, sum(m) AS s FROM $f JOIN $d1 ON fk1 = pk1 " +
+          s"JOIN $d2 ON fk2 = pk2 WHERE m > 15 GROUP BY a1"), mvPath))
+      // SNOWFLAKE: chain fact→c→n, second fk on the FIRST dim; the
+      // flipped join spelling (dims first) must serve too — the
+      // matcher aligns leaf/edge SETS, not the tree
+      val fc = freshName()
+      val cc = freshName()
+      val nn = freshName()
+      val fcn = fc.split('.').last
+      spark.sql(s"CREATE TABLE $fc (fk BIGINT, m BIGINT)")
+      spark.sql(s"CREATE TABLE $cc (cpk BIGINT, natfk BIGINT)")
+      spark.sql(s"CREATE TABLE $nn (npk BIGINT, nname STRING)")
+      spark.sql(s"INSERT INTO $fc VALUES (1, 5), (2, 7), (3, 11), (99, 13)")
+      spark.sql(s"INSERT INTO $cc VALUES (1, 10), (2, 20), (3, 10)")
+      spark.sql(s"INSERT INTO $nn VALUES (10, 'US'), (20, 'FR')")
+      val sfPath = s"$warehouse/main/${fcn}_sfmv"
+      SnapshotLog.createJoinMv(
+        spark, pathOf(fc), s"${pathOf(cc)},${pathOf(nn)}", "fk,natfk",
+        "cpk,npk", sfPath, "nname", "m")
+      val sfq = plan(
+        s"SELECT nname, sum(m) AS s FROM $fc JOIN $cc ON fk = cpk " +
+          s"JOIN $nn ON natfk = npk GROUP BY nname")
+      assert(MvRewrite.readsPath(sfq, sfPath) && noSource(sfq),
+        "the snowflake chain must serve")
+      assert(run(sfq).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("US", 16L), ("FR", 7L)))
+      val sfRev = plan(
+        s"SELECT nname, sum(m) AS s FROM $nn JOIN $cc ON natfk = npk " +
+          s"JOIN $fc ON fk = cpk GROUP BY nname")
+      assert(MvRewrite.readsPath(sfRev, sfPath) && noSource(sfRev),
+        "the reversed snowflake spelling must serve (tree-agnostic)")
+      // DIM DRIFT on the second dim stops the serve; refresh cannot
+      // fix it (the fold is defined against nat@pinned)
+      spark.sql(s"INSERT INTO $nn VALUES (30, 'DE')")
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT nname, sum(m) AS s FROM $fc JOIN $cc ON fk = cpk " +
+          s"JOIN $nn ON natfk = npk GROUP BY nname"), sfPath),
+        "a drifted chain dim must stop the serve")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("join-MV measures resolve by FACT-side exprId, never by name: a " +
     "dim column named like the measure is refused at create, and an MV " +
     "predating the guard bails rather than serving the fact partial") {

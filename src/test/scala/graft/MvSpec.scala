@@ -621,6 +621,112 @@ class MvSpec extends SparkTestBase {
     assert(e4.getMessage.contains("measure 'v' collides with a dim column"))
   }
 
+  /** MULTI-DIM join MVs (round 16): dim/fk/pk are aligned comma
+    * lists. A SNOWFLAKE chain (the second fk lives on the FIRST dim)
+    * and a STAR (both fks fact-side) fold through the same
+    * enrichment loop; every dim is version-pinned independently. */
+  test("snowflake + star MVs: the chain enrichment folds appends and " +
+    "deletes exactly against every pinned dim; declaration guards refuse " +
+    "ambiguous fks, cross-dim keys, left joins and duplicate dims") {
+    import spark.implicits._
+    val fact = fresh("sfact")
+    val cust = fresh("scust")
+    val nat = fresh("snat")
+    val mv = fresh("sfmv")
+    SnapshotLog.commit(
+      spark, cust,
+      Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("cpk", "natfk"))
+    SnapshotLog.commit(
+      spark, nat, Seq(10L -> "US", 20L -> "FR").toDF("npk", "nname"))
+    val natV = SnapshotLog.versions(spark, nat).last
+    SnapshotLog.commit(
+      spark, fact,
+      Seq((1L, 5L), (2L, 7L), (3L, 11L), (99L, 13L)).toDF("fk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$cust,$nat", "fk,natfk", "cpk,npk", mv, "nname", "v")
+    def mvState(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def recompute(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, fact)
+        .join(SnapshotLog.read(spark, cust), col("fk") === col("cpk"))
+        .join(SnapshotLog.read(spark, nat, Some(natV)),
+          col("natfk") === col("npk"))
+        .groupBy(col("nname"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mvState() == Set(("US", 16L, 2L), ("FR", 7L, 1L)))
+    // appends fold through the chain (fk=99 matches no customer and
+    // stays excluded everywhere)
+    SnapshotLog.commit(
+      spark, fact, Seq(1L -> 1L, 2L -> 2L, 99L -> 9L).toDF("fk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recompute())
+    assert(mvState() == Set(("US", 17L, 3L), ("FR", 9L, 2L)))
+    // a CoW delete inverts through the chain-enriched feed
+    SnapshotLog.deleteWhere(spark, fact, "v", 11L, 11L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recompute())
+    assert(mvState() == Set(("US", 6L, 2L), ("FR", 9L, 2L)))
+    // a NATION commit after create changes nothing at refresh (the
+    // pin is per-dim); the fold stays exact against nat@pinned
+    SnapshotLog.commit(spark, nat, Seq(30L -> "DE").toDF("npk", "nname"))
+    SnapshotLog.commit(spark, fact, Seq(3L -> 4L).toDF("fk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recompute())
+    // STAR: two fact-side fks, keys from both dims, minmax kind —
+    // the delete-recompute reads the chain at the watermark
+    val f2 = fresh("star")
+    val dA = fresh("dima")
+    val dB = fresh("dimb")
+    val mv2 = fresh("starmv")
+    SnapshotLog.commit(
+      spark, dA, Seq(1L -> "x", 2L -> "y").toDF("apk", "aat"))
+    SnapshotLog.commit(
+      spark, dB, Seq(7L -> "p", 8L -> "q").toDF("bpk", "bat"))
+    SnapshotLog.commit(
+      spark, f2,
+      Seq((1L, 7L, 10L), (1L, 8L, 20L), (2L, 7L, 30L), (1L, 7L, 40L))
+        .toDF("afk", "bfk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, f2, s"$dA,$dB", "afk,bfk", "apk,bpk", mv2, "aat,bat", "v",
+      kind = "minmax")
+    SnapshotLog.deleteWhere(spark, f2, "v", 10L, 10L)
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(m2 == Set(
+      ("x", "p", 40L, 40L, 1L), ("x", "q", 20L, 20L, 1L),
+      ("y", "p", 30L, 30L, 1L)))
+    // guards: a key living in BOTH dims refuses; an fk resolving in
+    // fact AND a dim refuses; multi-dim left refuses; dup dim refuses
+    val dDup = fresh("dimdup")
+    SnapshotLog.commit(spark, dDup, Seq(7L -> "z").toDF("bpk", "aat"))
+    val g1 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, f2, s"$dA,$dDup", "afk,bfk", "apk,bpk", fresh("m"),
+      "aat", "v"))
+    assert(g1.getMessage.contains("exactly one"))
+    // an fk owned by BOTH the fact and another dim: star and
+    // snowflake readings diverge — refuse rather than guess
+    val dAmb = fresh("dimamb")
+    SnapshotLog.commit(
+      spark, dAmb, Seq((1L, "r", 7L)).toDF("cpk2", "cat", "bfk"))
+    val g2 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, f2, s"$dAmb,$dB", "afk,bfk", "cpk2,bpk", fresh("m"),
+      "bat", "v"))
+    assert(g2.getMessage.contains("exactly one"))
+    val g3 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, f2, s"$dA,$dB", "afk,bfk", "apk,bpk", fresh("m"),
+      "aat,bat", "v", joinType = "left"))
+    assert(g3.getMessage.contains("inner-join only"))
+    val g4 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, f2, s"$dA,$dA", "afk,afk", "apk,apk", fresh("m"),
+      "aat", "v"))
+    assert(g4.getMessage.contains("distinct"))
+  }
+
   /** NULL grouping keys (round 16, found building left-join MVs): a
     * NULL key is ONE group, but every fold join matched keys with
     * plain equality (NULL ≠ NULL) — the full-outer fold would split
