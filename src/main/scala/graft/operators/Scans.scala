@@ -3973,6 +3973,118 @@ object Scans {
     }
   }
 
+  /** INCREMENTAL DIM REFRESH (round 16): dims are the tables that DO
+    * change (SCD updates, corrections, late rows), and until now any
+    * dim commit permanently stopped a join MV from serving current
+    * queries — "re-materialize" was the only remedy. `CALL system.
+    * refresh_mv_dim(mv, dim)` folds the dim's change feed in: only
+    * groups whose key members the changed pks can reach (old chain ∪
+    * new chain) are recomputed, from the fact AT THE MV'S OWN
+    * WATERMARK through the new chain, with the fact read FILE-SCOPED
+    * by back-propagating the touched keys to fact-side fk values —
+    * at 100 TB a segment rename reads the files holding that
+    * segment's customers' orders, not the table. The new pin rides
+    * the commit header (`mvdv=`) atomically with the recompute;
+    * props keep the CREATE pins so the serve rule overlays
+    * per-version ([[graft.sources.SnapshotLog.effectiveDimVersions]]).
+    * The lifecycle here drives dim churn a real warehouse sees —
+    * segment UPDATE (rows move between groups), pk DELETE (rows
+    * leave), pk INSERT (previously-unmatched facts join in) — then
+    * the CALL, then the served query; inline pins prove the drifted
+    * query did NOT serve before the CALL and DOES after, with both
+    * scans and the join gone. Oracle: DuckDB recomputes the join
+    * against the FINAL dim state. */
+  val sqlMvDimRefresh: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_drsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_drdim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_drmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_dr_src")
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("graft_dr_dim")
+    Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"))
+      .createOrReplaceTempView("graft_dr_dim_all")
+    spark.sql(
+      s"CREATE TABLE $cat.main.cust_drdim (c_custkey BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $cat.main.cust_drdim SELECT * FROM graft_dr_dim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_drsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.main.orders_drsrc SELECT * FROM graft_dr_src")
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.orders_drsrc',
+         |dim => 'main.cust_drdim', fk => 'o_custkey', pk => 'c_custkey',
+         |mv => 'main.orders_drmv', key => 'seg', agg => 'cents')""".stripMargin)
+    // fact churn first (the ordinary fold), then DIM churn: a segment
+    // rename, hard deletes, and late customers joining in
+    spark.sql(
+      s"""UPDATE $cat.main.orders_drsrc SET cents = cents + 9
+         |WHERE o_orderkey % 13 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_drmv")
+    spark.sql(
+      s"""UPDATE $cat.main.cust_drdim SET seg = 'PIVOT'
+         |WHERE c_custkey % 5 = 0""".stripMargin)
+    spark.sql(
+      s"DELETE FROM $cat.main.cust_drdim WHERE c_custkey % 7 = 0")
+    spark.sql(
+      s"""INSERT INTO $cat.main.cust_drdim
+         |SELECT c_custkey, 'FRESH' FROM graft_dr_dim_all
+         |WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0""".stripMargin)
+    val brute = spark.sql(
+      s"""SELECT seg, sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.orders_drsrc JOIN $cat.main.cust_drdim
+         |ON o_custkey = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_drmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      require(
+        !MvRewrite.readsPath(
+          rule(brute.queryExecution.optimizedPlan), mvPath),
+        "the drifted dim must stop the serve before refresh_mv_dim")
+      val pins = spark.sql(
+        s"""CALL $cat.system.refresh_mv_dim(mv => 'main.orders_drmv',
+           |dim => 'main.cust_drdim')""".stripMargin).collect()(0)
+      require(
+        pins.getInt(1) > pins.getInt(0),
+        "refresh_mv_dim must advance the dim pin")
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "after refresh_mv_dim the dashboard query must serve from the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NEITHER the fact nor the dim scan")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** FOLD FINGERPRINT (round 16): every fold commit rides an
     * order-independent content fingerprint (`mvfp=` — row count + XOR
     * of per-row xxhash64); REFRESH verifies the current MV state
@@ -5972,6 +6084,7 @@ object Scans {
     "agg_mv_serve_join_month" -> aggMvServeJoinMonth,
     "agg_mv_serve_star" -> aggMvServeStar,
     "agg_mv_serve_snowflake" -> aggMvServeSnowflake,
+    "sql_mv_dim_refresh" -> sqlMvDimRefresh,
     "agg_mv_serve_left" -> aggMvServeLeft,
     "agg_mv_serve_distinct_str" -> aggMvServeDistinctStr,
     "sql_mv_fingerprint" -> sqlMvFingerprint,
@@ -6382,6 +6495,28 @@ object Scans {
         |FROM src JOIN cd ON o_custkey = c_custkey
         |JOIN nd ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the dim-refreshed rollup served from the MV must equal the join
+    // recomputed against the FINAL dim state: the segment rename
+    // (c%5→PIVOT on the surviving dim rows), the deletes (c%7, before
+    // the insert), and the late FRESH customers (c%3=0 ∧ c%2=0,
+    // inserted after the delete so no %7 filter applies to them)
+    "sql_mv_dim_refresh" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 13 = 0 THEN 9 ELSE 0 END AS cents
+        |  FROM orders),
+        |dimf AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'PIVOT' ELSE c_mktsegment
+        |    END AS seg
+        |  FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'FRESH' AS seg FROM customer
+        |  WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0)
+        |SELECT seg, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src JOIN dimf ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
     // the left-join rollup served from the MV must equal the LEFT
     // join recomputed from source rows — the NULL bucket (customers
     // dropped from the dim + any NULL custkey) is in the hash

@@ -942,14 +942,15 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               s"${dl.fkName} = ${dl.pkName}; skipped")
             return None
           }
-          if (!rVs.lift(i).flatten.contains(dl.dimV)) {
-            MvRewrite.diag(s"$mvPath: DIM DRIFT — materialized against " +
-              s"${rDims(i)} v${rVs.lift(i).flatten.map(_.toString)
-                .getOrElse("?")} but the query reads dim v${dl.dimV}; a " +
-              "refresh cannot fix this (the fold is defined against the " +
-              "pinned dim) — re-materialize the MV")
-            return None
-          }
+        }
+        // the dim VERSION check happens after freshness below — the
+        // effective pins vary by MV version once a dim refresh has
+        // bumped them (mvdv= riders), so the right pins to compare
+        // are the ones at the SERVED MV version
+        if (rVs.size != jp.dims.size || rVs.exists(_.isEmpty)) {
+          MvRewrite.diag(s"$mvPath: carries malformed mv_dim_version " +
+            "props; skipped")
+          return None
         }
       case (Some(_), None) =>
         // a LEFT-join MV keeps EVERY fact row in exactly one group
@@ -1042,6 +1043,26 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "is fresh at)")
         return None
       }
+    // dim freshness (join probes): the query's pinned dim versions
+    // must equal the MV's EFFECTIVE pins AT the served MV version —
+    // create-time props overlaid with every dim refresh's mvdv= rider
+    // up to mvV (round 16: a dim-refreshed MV serves current-dim
+    // queries from its tip and old-dim queries from its pre-refresh
+    // versions; both reads are exact against their own pins)
+    joinProbe.foreach { jp =>
+      val eff = SnapshotLog
+        .effectiveDimVersions(spark, mvPath, Some(mvV)).getOrElse(Nil)
+      jp.dims.zipWithIndex.foreach { case (dl, i) =>
+        if (!eff.lift(i).contains(dl.dimV)) {
+          MvRewrite.diag(s"$mvPath: DIM DRIFT — MV@v$mvV is pinned at " +
+            s"${dl.dimPath} v${eff.lift(i).map(_.toString).getOrElse("?")} " +
+            s"but the query reads dim v${dl.dimV}; a fact REFRESH cannot " +
+            "fix this — run CALL system.refresh_mv_dim(mv, dim) to fold " +
+            "the dim change in (or re-materialize)")
+          return None
+        }
+      }
+    }
     // the key-shape grammar: which query-side expression IS the MV
     // key. Round 16 splits it in two: `plainKeys` match as bare
     // attributes (composite members, dim attrs of a mixed-grain join

@@ -4080,7 +4080,8 @@ private[sources] object SnapshotProcedures {
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
       "detail", "clone", "build_bloom", "create_mv", "create_join_mv",
-      "refresh_mv", "explain_mv_serve", "ingest", "count_by", "range_by")
+      "refresh_mv", "refresh_mv_dim", "explain_mv_serve", "ingest",
+      "count_by", "range_by")
 
   private def spark = SparkSession.active
 
@@ -4578,6 +4579,29 @@ private[sources] object SnapshotProcedures {
             val (f, t) = SnapshotLog.refreshMv(
               spark, resolve(in.getUTF8String(0).toString))
             Seq(new GenericInternalRow(Array[Any](f, t)))
+          }
+        )
+      case "refresh_mv_dim" =>
+        // incremental DIM refresh for join MVs (round 16): fold a
+        // changed dim into the rollup without re-materializing —
+        // only groups whose downstream key members the changed pks
+        // can reach are recomputed (file-scoped through the chain),
+        // and the new dim pin rides the commit header atomically
+        // (mvdv=). Inner joins only; returns (old_pin, new_pin).
+        proc(
+          "refresh_mv_dim",
+          Seq(
+            ProcedureParameter.in("mv", StringType).build(),
+            ProcedureParameter.in("dim", StringType).build()),
+          StructType(Seq(
+            StructField("old_pin", IntegerType),
+            StructField("new_pin", IntegerType))),
+          in => {
+            val (o, n) = SnapshotLog.refreshMvDim(
+              spark,
+              resolve(in.getUTF8String(0).toString),
+              resolve(in.getUTF8String(1).toString))
+            Seq(new GenericInternalRow(Array[Any](o, n)))
           }
         )
       case "clone" =>

@@ -3931,6 +3931,37 @@ object SnapshotLog {
   private def mvCommittedVersion(spark: SparkSession, mv: String): Option[Int] =
     committedWatermark(spark, mv, "mvv")
 
+  /** The EFFECTIVE per-dim pins of a join MV at (up to) MV version
+    * `upTo`: the create-time props list overlaid with every
+    * `mvdv=<dimIndex>:<newPin>` header rider at or below `upTo`,
+    * latest wins per index — the dim refresh's pin-bump ledger
+    * ([[refreshMvDim]]), atomic with the recompute it pins. The props
+    * copy stays the CREATE pins forever, so a historical reader
+    * overlays correctly (the same props-stay-put posture as `mvv=` vs
+    * `mv_version`). None for MVs with no join. */
+  def effectiveDimVersions(
+      spark: SparkSession,
+      mv: String,
+      upTo: Option[Int] = None
+  ): Option[Seq[Int]] =
+    tableProps(spark, mv).get("mv_dim_version").map { dv =>
+      val base = dv.split(',').map(_.trim.toInt)
+      versions(spark, mv)
+        .filter(v => upTo.forall(v <= _))
+        .foreach { v =>
+          headerToken(header(spark, mv, v), "mvdv").foreach { t =>
+            t.split(':') match {
+              case Array(i, nv) =>
+                val idx = scala.util.Try(i.toInt).getOrElse(-1)
+                if (idx >= 0 && idx < base.length)
+                  scala.util.Try(nv.toInt).foreach(base(idx) = _)
+              case _ => ()
+            }
+          }
+        }
+      base.toSeq
+    }
+
   /** Commit `df` with an incremental consumer's high-water mark riding
     * the commit HEADER (`<token>=<value>`): derived-table maintenance
     * (MVs, incremental indexes) folds a source's change feed and must
@@ -4142,7 +4173,11 @@ object SnapshotLog {
     val joinDims: Seq[(String, Int, String, String)] =
       props.get("mv_join_dim").map { dp =>
         val ds = dp.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val ws = props("mv_dim_version").split(',').map(_.trim.toInt).toSeq
+        // EFFECTIVE pins: create-time props overlaid with the dim
+        // refresh's mvdv= header riders — a dim-refreshed MV must
+        // fold every later fact delta against its NEW pins
+        val ws = effectiveDimVersions(spark, mv, None).getOrElse(
+          props("mv_dim_version").split(',').map(_.trim.toInt).toSeq)
         val fs = props("mv_join_fk").split(',').map(_.trim).toSeq
         val ps = props("mv_join_pk").split(',').map(_.trim).toSeq
         require(
@@ -4455,6 +4490,258 @@ object SnapshotLog {
       dataChange = true, extraHeader = s"mvv=$to mvfp=$fpN:$fpX")
     setTableProps(spark, mv, props + ("mv_version" -> to.toString))
     (from, to)
+  }
+
+  /** INCREMENTAL DIM REFRESH for join MVs (round 16): fold a changed
+    * DIMENSION into the rollup without re-materializing. Until now
+    * any dim commit permanently stopped the MV from serving current
+    * queries ("re-materialize" was the only remedy) — yet dims are
+    * exactly the tables that DO change (SCD updates, late rows,
+    * corrections). This recomputes ONLY the touched groups and bumps
+    * the dim pin ATOMICALLY with the data (`mvdv=<idx>:<newPin>`
+    * rides the commit header beside `mvv=`/`mvfp=`; the props keep
+    * the CREATE pins so historical overlays stay correct —
+    * [[effectiveDimVersions]]).
+    *
+    * Exactness: after the commit the MV equals
+    * `aggregate(fact@mvv ⋈ dims@newPins)` —
+    *   - touched groups = every group whose key members DOWNSTREAM of
+    *     the changed dim (its own members plus those of dims its
+    *     chain feeds) can have changed: the old-chain and new-chain
+    *     member tuples of the changed pks. Groups outside that set
+    *     have identical membership and identical partials under both
+    *     pins (their rows' fk-paths touch no changed pk).
+    *   - touched groups are recomputed FROM THE FACT at the MV's own
+    *     `mvv` watermark (not the fact tip — unfolded fact commits
+    *     stay unfolded) through the NEW chain, with every kind's
+    *     create-time aggregate shapes — so attribute moves, pk
+    *     deletes (rows leave), and pk inserts (previously-unmatched
+    *     rows join in) all land exactly.
+    *   - the fact read is FILE-SCOPED: the touched member tuples map
+    *     back through the chain (dim-by-dim pk back-propagation) to
+    *     the fact-side fk values that can reach them, and
+    *     touchedFiles admits fact files by fk range — at 100 TB a
+    *     segment rename reads the files holding that segment's
+    *     customers' orders, not the table.
+    * INNER joins only: a left MV's NULL bucket changes membership
+    * with ANY pk insert/delete and no pk list can bound where
+    * unmatched rows live — re-materialize remains its remedy.
+    * Returns (oldPin, newPin); no-op when already at the dim tip. */
+  def refreshMvDim(
+      spark: SparkSession,
+      mv: String,
+      dim: String
+  ): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val props = tableProps(spark, mv)
+    val source = props.getOrElse("mv_source",
+      throw new IllegalArgumentException(
+        s"refreshMvDim: $mv is not a materialized view (no mv_source prop)"))
+    val dimsL = props.getOrElse("mv_join_dim",
+      throw new IllegalArgumentException(
+        s"refreshMvDim: $mv is not a JOIN MV (no mv_join_dim prop)"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(
+      !props.get("mv_join_type").contains("left"),
+      s"refreshMvDim: $mv is a LEFT-join MV — its NULL bucket changes " +
+        "membership with any pk insert/delete and cannot be scoped; " +
+        "re-materialize instead")
+    val idx = dimsL.indexWhere(d =>
+      d.stripPrefix("file:").replaceAll("/+$", "") ==
+        dim.stripPrefix("file:").replaceAll("/+$", ""))
+    require(
+      idx >= 0,
+      s"refreshMvDim: $dim is not a dim of $mv (dims: ${dimsL.mkString(", ")})")
+    val fksL = props("mv_join_fk").split(',').map(_.trim).toSeq
+    val pksL = props("mv_join_pk").split(',').map(_.trim).toSeq
+    val pins = effectiveDimVersions(spark, mv, None).get
+    val oldPin = pins(idx)
+    val newPin = versions(spark, dim).last
+    if (newPin == oldPin) return (oldPin, oldPin)
+    // same tamper gate as the fact fold: never recompute around a
+    // foreign-written state and re-header it as clean
+    lastFingerprint(spark, mv).foreach { case (n0, x0) =>
+      val (n1, x1) = contentFingerprint(read(spark, mv))
+      if (n0 != n1 || x0 != x1)
+        throw new IllegalStateException(
+          s"refreshMvDim: $mv does not match its last fold's fingerprint " +
+            s"(recorded $n0 rows/xor $x0; found $n1/$x1) — the MV was " +
+            "written outside REFRESH. Re-materialize it.")
+    }
+    val keys = props("mv_key").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val derivedKeyName = props.getOrElse("mv_fact_key", props("mv_key"))
+    val dimKeys: Seq[String] =
+      if (props.contains("mv_fact_key")) keys.filterNot(_ == derivedKeyName)
+      else keys
+    val kind = props.getOrElse("mv_kind", "sum")
+    val measures =
+      props("mv_agg").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val watermark = mvCommittedVersion(spark, mv)
+      .getOrElse(props("mv_version").toInt)
+    val oldPins = pins
+    val newPins = pins.updated(idx, newPin)
+    val factSchema = tableSchema(spark, source, watermark)
+    val dimSchemaAt = (i: Int, ps: Seq[Int]) => tableSchema(spark, dimsL(i), ps(i))
+    // per-dim own key members and fk ownership (create-time name
+    // uniqueness makes schema membership the whole answer; pinned
+    // schemas are immutable, so old/new agree except for the changed
+    // dim, whose member OWNERSHIP may not change — schema evolution
+    // of a pinned read is impossible)
+    def ownKeysOf(i: Int, ps: Seq[Int]): Seq[String] =
+      if (dimsL.size == 1) dimKeys
+      else dimKeys.filter(k => dimSchemaAt(i, ps).exists(_.fieldNames.contains(k)))
+    def fkOwnerOf(j: Int, ps: Seq[Int]): Int =
+      if (factSchema.exists(_.fieldNames.contains(fksL(j)))) -1
+      else dimsL.indices.find(i =>
+        i != j && dimSchemaAt(i, ps).exists(_.fieldNames.contains(fksL(j))))
+        .getOrElse(-1)
+    // dims DOWNSTREAM of idx: reachable via fk-ownership edges
+    val reachable = scala.collection.mutable.Set(idx)
+    var grew = true
+    while (grew) {
+      grew = false
+      dimsL.indices.foreach { j =>
+        if (!reachable(j) && reachable(fkOwnerOf(j, newPins)) &&
+          fkOwnerOf(j, newPins) >= 0) { reachable += j; grew = true }
+      }
+    }
+    val affKeys: Seq[String] =
+      dimsL.indices.filter(reachable).flatMap(i => ownKeysOf(i, newPins))
+    // the full enrichment chain at the given pins (same shape as
+    // refreshMv's enrich; inner-only here)
+    def enrichAll(df: DataFrame, ps: Seq[Int]): DataFrame =
+      dimsL.indices.foldLeft(df) { (cur, i) =>
+        val laterFks = fksL.zipWithIndex.collect {
+          case (f, j) if j > i &&
+            dimSchemaAt(i, ps).exists(_.fieldNames.contains(f)) => f
+        }
+        val sel = (ownKeysOf(i, ps) ++ Seq(pksL(i)) ++ laterFks).distinct
+        val d = read(spark, dimsL(i), Some(ps(i))).select(sel.map(col): _*)
+        cur.join(d, cur(fksL(i)) === d(pksL(i)), "inner").drop(d(pksL(i)))
+      }
+    // the DOWNSTREAM chain from idx at the given pins, seeded by a pk
+    // set — yields the affected member tuples those pks reach
+    def downstreamMembers(pks: DataFrame, ps: Seq[Int]): DataFrame = {
+      val d0 = read(spark, dimsL(idx), Some(ps(idx)))
+      val seed = d0.join(pks, d0(pksL(idx)) === pks("__graft_pk"), "left_semi")
+      val chained = dimsL.indices.filter(j => j > idx && reachable(j))
+        .foldLeft(seed) { (cur, j) =>
+          val selJ = (ownKeysOf(j, ps) ++ Seq(pksL(j)) ++
+            fksL.zipWithIndex.collect {
+              case (f, k) if k > j &&
+                dimSchemaAt(j, ps).exists(_.fieldNames.contains(f)) => f
+            }).distinct
+          val dj = read(spark, dimsL(j), Some(ps(j))).select(selJ.map(col): _*)
+          cur.join(dj, cur(fksL(j)) === dj(pksL(j)), "inner").drop(dj(pksL(j)))
+        }
+      chained.select(affKeys.map(col): _*)
+    }
+    val changedPks = readChanges(spark, dim, oldPin, newPin)
+      .select(col(pksL(idx)).as("__graft_pk")).distinct().localCheckpoint()
+    val factAtW0 = read(spark, source, Some(watermark))
+    val factW = (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
+      case (Some(e), Some(fkn)) => factAtW0.withColumn(fkn, expr(e))
+      case _                    => factAtW0
+    }
+    val mvOld = read(spark, mv)
+    val next: DataFrame =
+      if (affKeys.isEmpty) {
+        // the changed dim (and everything it feeds) owns NO key
+        // member — it is a pure match-filter, so ANY pk change can
+        // move rows in or out of EVERY group: full recompute at the
+        // watermark (still cheaper than re-materialize: pins, refs
+        // and history survive)
+        val joined = enrichAll(factW, newPins)
+        if (kind == "distinct")
+          distinctRollup(joined, keys, measures.head,
+            props.get("mv_distinct_hash").contains("true"))
+        else {
+          val aggs = mvAggExprs(
+            measures, kind, props.get("mv_avg_exact").contains("true"))
+          joined.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        }
+      } else {
+        val touched = downstreamMembers(changedPks, oldPins)
+          .unionByName(downstreamMembers(changedPks, newPins))
+          .distinct().localCheckpoint()
+        // FILE SCOPE: back-propagate the touched tuples to fact-side
+        // fk values — dim_idx pks reaching a touched tuple, then pk
+        // sets dim-by-dim up the chain until the fk lives on the fact
+        def pksReachingTouched(ps: Seq[Int]): DataFrame = {
+          val d0 = read(spark, dimsL(idx), Some(ps(idx)))
+          val chained = dimsL.indices.filter(j => j > idx && reachable(j))
+            .foldLeft(d0) { (cur, j) =>
+              val selJ = (ownKeysOf(j, ps) ++ Seq(pksL(j)) ++
+                fksL.zipWithIndex.collect {
+                  case (f, k) if k > j &&
+                    dimSchemaAt(j, ps).exists(_.fieldNames.contains(f)) => f
+                }).distinct
+              val dj = read(spark, dimsL(j), Some(ps(j)))
+                .select(selJ.map(col): _*)
+              cur.join(dj, cur(fksL(j)) === dj(pksL(j)), "inner")
+                .drop(dj(pksL(j)))
+            }
+          val cond = affKeys.map(k => chained(k) <=> touched(k))
+            .reduce(_ && _)
+          chained.join(touched, cond, "left_semi").select(col(pksL(idx)))
+        }
+        var scopePks = pksReachingTouched(newPins)
+          .unionByName(pksReachingTouched(oldPins)).distinct()
+        var scopeFkIdx = idx
+        var owner = fkOwnerOf(scopeFkIdx, newPins)
+        while (owner >= 0) {
+          val dOwn = read(spark, dimsL(owner), Some(newPins(owner)))
+          scopePks = dOwn
+            .join(scopePks,
+              dOwn(fksL(scopeFkIdx)) === scopePks(pksL(scopeFkIdx)),
+              "left_semi")
+            .select(col(pksL(owner))).distinct()
+          scopeFkIdx = owner
+          owner = fkOwnerOf(scopeFkIdx, newPins)
+        }
+        val (admit, _) = touchedFiles(
+          spark, source, fksL(scopeFkIdx), scopePks, Some(watermark))
+        val factScoped0 = readEntries(
+          spark, source,
+          entriesFor(manifestEntries(spark, source, watermark), admit),
+          tableSchema(spark, source, watermark))
+        val factScoped =
+          (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
+            case (Some(e), Some(fkn)) => factScoped0.withColumn(fkn, expr(e))
+            case _                    => factScoped0
+          }
+        val joined = enrichAll(factScoped, newPins)
+        val touchedRows = joined.join(
+          touched,
+          affKeys.map(k => joined(k) <=> touched(k)).reduce(_ && _),
+          "left_semi")
+        val recomputed =
+          if (kind == "distinct")
+            distinctRollup(touchedRows, keys, measures.head,
+              props.get("mv_distinct_hash").contains("true"))
+          else {
+            val aggs = mvAggExprs(
+              measures, kind, props.get("mv_avg_exact").contains("true"))
+            touchedRows.groupBy(keys.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          }
+        // untouched groups keep their rows verbatim; touched ones are
+        // replaced by the recompute (a group whose rows all left
+        // simply vanishes). Null-safe on the members (dim attrs may
+        // be NULL).
+        val kept = mvOld.join(
+          touched,
+          affKeys.map(k => mvOld(k) <=> touched(k)).reduce(_ && _),
+          "left_anti")
+        kept.unionByName(recomputed)
+      }
+    val nextC = next.localCheckpoint()
+    val (fpN, fpX) = contentFingerprint(nextC)
+    commitInternal(
+      spark, mv, nextC, overwrite = true, txnId = None,
+      replaceRemoved = None, dataChange = true,
+      extraHeader = s"mvv=$watermark mvfp=$fpN:$fpX mvdv=$idx:$newPin")
+    (oldPin, newPin)
   }
 
   /** All given entries read with their in-file position columns

@@ -3322,6 +3322,62 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("dim refresh restores serving: a drifted dim bails with the " +
+    "refresh_mv_dim remedy, the CALL folds the change, the query serves " +
+    "the NEW dim state, and later fact folds compose") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(
+      s"INSERT INTO $f VALUES (1, 10), (1, 5), (2, 20), (3, 1), (99, 400)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'auto'), (3, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_drmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      val q =
+        s"SELECT seg, sum(m) AS s, count(*) AS n " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY seg"
+      assert(MvRewrite.readsPath(plan(q), mvPath))
+      // dim churn: move pk=2 auto→mach, add pk=99 (its 400 joins in)
+      spark.sql(s"UPDATE $d SET seg = 'mach' WHERE pk = 2")
+      spark.sql(s"INSERT INTO $d VALUES (99, 'fresh')")
+      assert(!MvRewrite.readsPath(plan(q), mvPath),
+        "a drifted dim must stop the serve until the dim refresh")
+      // the remedy is named in the diagnostics
+      val lines = MvRewrite.explainServe(spark, spark.sql(q))
+      assert(lines.exists(l => l.contains("DIM DRIFT") &&
+        l.contains("refresh_mv_dim")), lines.toString)
+      val pins = spark.sql(
+        s"CALL cattest.system.refresh_mv_dim(mv => 'main.${fn}_drmv', " +
+          s"dim => '${d.split('.').drop(1).mkString(".")}')").collect()(0)
+      assert(pins.getInt(1) > pins.getInt(0))
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath),
+        "after refresh_mv_dim the query must serve again")
+      assert(run(served).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("auto", 15L, 2L), ("mach", 21L, 2L), ("fresh", 400L, 1L)))
+      // a fact append + fact refresh after the dim refresh folds
+      // against the NEW pin (fk=2 is 'mach' now)
+      spark.sql(s"INSERT INTO $f VALUES (2, 7)")
+      SnapshotLog.refreshMv(spark, mvPath)
+      val served2 = plan(q)
+      assert(MvRewrite.readsPath(served2, mvPath))
+      assert(run(served2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("auto", 15L, 2L), ("mach", 28L, 3L), ("fresh", 400L, 1L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("join-MV measures resolve by FACT-side exprId, never by name: a " +
     "dim column named like the measure is refused at create, and an MV " +
     "predating the guard bails rather than serving the fact partial") {

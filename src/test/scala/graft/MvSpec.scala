@@ -727,6 +727,113 @@ class MvSpec extends SparkTestBase {
     assert(g4.getMessage.contains("distinct"))
   }
 
+  /** INCREMENTAL DIM REFRESH (round 16): a changed dim folds into the
+    * join MV without re-materializing — only groups whose downstream
+    * members the changed pks can reach are recomputed, the new pin
+    * rides the commit header (mvdv=), and subsequent FACT folds use
+    * the new pins. */
+  test("refreshMvDim: attribute moves, pk deletes and pk inserts land " +
+    "on the exact recompute; later fact folds use the NEW pin; a " +
+    "changed middle dim re-groups the chain; left MVs refuse") {
+    import spark.implicits._
+    val fact = fresh("drfact")
+    val dim = fresh("drdim")
+    val mv = fresh("drmv")
+    SnapshotLog.commit(
+      spark, dim, Seq(1L -> "a", 2L -> "b", 3L -> "a").toDF("pk", "attr"))
+    SnapshotLog.commit(
+      spark, fact,
+      Seq(1L -> 10L, 2L -> 20L, 3L -> 5L, 99L -> 7L).toDF("fk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mv, "attr", "v")
+    def mvState(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def recompute(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, fact)
+        .join(SnapshotLog.read(spark, dim), col("fk") === col("pk"))
+        .groupBy(col("attr"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mvState() == Set(("a", 15L, 2L), ("b", 20L, 1L)))
+    // dim churn: an attribute MOVE (pk=3: a→b), a pk DELETE (2) and a
+    // pk INSERT (99 — its fact rows were unmatched until now)
+    SnapshotLog.deleteWhere(spark, dim, "pk", 3L, 3L)
+    SnapshotLog.commit(spark, dim, Seq(3L -> "b").toDF("pk", "attr"))
+    SnapshotLog.deleteWhere(spark, dim, "pk", 2L, 2L)
+    SnapshotLog.commit(spark, dim, Seq(99L -> "c").toDF("pk", "attr"))
+    val (o1, n1) = SnapshotLog.refreshMvDim(spark, mv, dim)
+    assert(n1 > o1)
+    assert(mvState() == recompute())
+    assert(mvState() == Set(("a", 10L, 1L), ("b", 5L, 1L), ("c", 7L, 1L)))
+    // idempotent: already at the dim tip → no-op, no commit burned
+    val vs = SnapshotLog.versions(spark, mv).size
+    val (o2, n2) = SnapshotLog.refreshMvDim(spark, mv, dim)
+    assert(o2 == n2 && SnapshotLog.versions(spark, mv).size == vs)
+    // a LATER FACT fold must enrich against the NEW pin: fk=3 now
+    // lands in 'b', fk=2 is unmatched, fk=99 lands in 'c'
+    SnapshotLog.commit(
+      spark, fact, Seq(3L -> 100L, 2L -> 1000L, 99L -> 2L).toDF("fk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recompute())
+    assert(mvState() == Set(
+      ("a", 10L, 1L), ("b", 105L, 2L), ("c", 9L, 2L)))
+    // and the fingerprint gate still guards: a foreign write refuses
+    SnapshotLog.commit(spark, dim, Seq(50L -> "d").toDF("pk", "attr"))
+    SnapshotLog.commit(
+      spark, mv, Seq(("zz", 1L, 1L)).toDF("attr", "mv_sum", "mv_n"))
+    val eFp = intercept[IllegalStateException](
+      SnapshotLog.refreshMvDim(spark, mv, dim))
+    assert(eFp.getMessage.contains("fingerprint"))
+    // SNOWFLAKE middle dim: repointing a customer to another nation
+    // moves its orders between nation groups
+    val f3 = fresh("sffact")
+    val c3 = fresh("sfcust")
+    val n3 = fresh("sfnat")
+    val mv3 = fresh("sfdrmv")
+    SnapshotLog.commit(
+      spark, c3, Seq((1L, 10L), (2L, 20L)).toDF("cpk", "natfk"))
+    SnapshotLog.commit(
+      spark, n3, Seq(10L -> "US", 20L -> "FR").toDF("npk", "nname"))
+    SnapshotLog.commit(
+      spark, f3, Seq(1L -> 5L, 2L -> 7L, 1L -> 3L).toDF("fk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, f3, s"$c3,$n3", "fk,natfk", "cpk,npk", mv3, "nname", "v")
+    SnapshotLog.deleteWhere(spark, c3, "cpk", 1L, 1L)
+    SnapshotLog.commit(spark, c3, Seq((1L, 20L)).toDF("cpk", "natfk"))
+    SnapshotLog.refreshMvDim(spark, mv3, c3)
+    val m3 = SnapshotLog.read(spark, mv3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // US lost its only customer — the group vanishes entirely
+    assert(m3 == Set(("FR", 15L, 3L)))
+    // minmax kind through the same dim churn: the moved rows'
+    // extrema recompute exactly in both the source and target group
+    val mv4 = fresh("mmdrmv")
+    SnapshotLog.createJoinMv(
+      spark, f3, s"$c3,$n3", "fk,natfk", "cpk,npk", mv4, "nname", "v",
+      kind = "minmax")
+    SnapshotLog.deleteWhere(spark, c3, "cpk", 1L, 1L)
+    SnapshotLog.commit(spark, c3, Seq((1L, 10L)).toDF("cpk", "natfk"))
+    SnapshotLog.refreshMvDim(spark, mv4, c3)
+    val m4 = SnapshotLog.read(spark, mv4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(m4 == Set(("US", 3L, 5L, 2L), ("FR", 7L, 7L, 1L)))
+    // guards: a LEFT MV refuses (its NULL bucket cannot be scoped);
+    // a table that is not a dim of the MV refuses
+    val mvL = fresh("ldrmv")
+    SnapshotLog.createJoinMv(
+      spark, fact, dim, "fk", "pk", mvL, "attr", "v", joinType = "left")
+    SnapshotLog.commit(spark, dim, Seq(60L -> "e").toDF("pk", "attr"))
+    val eL = intercept[IllegalArgumentException](
+      SnapshotLog.refreshMvDim(spark, mvL, dim))
+    assert(eL.getMessage.contains("LEFT"))
+    val eD = intercept[IllegalArgumentException](
+      SnapshotLog.refreshMvDim(spark, mv3, fact))
+    assert(eD.getMessage.contains("not a dim"))
+  }
+
   /** NULL grouping keys (round 16, found building left-join MVs): a
     * NULL key is ONE group, but every fold join matched keys with
     * plain equality (NULL ≠ NULL) — the full-outer fold would split
