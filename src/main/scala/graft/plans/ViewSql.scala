@@ -351,7 +351,7 @@ object ViewSql {
       query: LogicalPlan
   ): (Seq[String], String, String, String, Option[String], Boolean,
       Option[String], String,
-      Option[(Seq[String], String, String)]) = {
+      Seq[(Seq[String], String, String)]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Multiply}
     val shapes =
@@ -371,7 +371,11 @@ object ViewSql {
         "d.k, ... FROM f [AS f] [LEFT] JOIN d [AS d] ON f.fk = d.pk " +
         "GROUP BY d.k, every column qualified, keys from the dim, " +
         "measures from the fact, fact on the LEFT for a left join " +
-        "(expression measures: single-table form only)"
+        "(expression measures: single-table form only) | " +
+        "the same over a STAR or SNOWFLAKE chain of INNER joins — " +
+        "FROM f JOIN d1 ON f.fk1 = d1.pk1 JOIN d2 ON <fk2> = d2.pk2 " +
+        "..., the fact FIRST, each ON binding the newly joined dim's " +
+        "pk to a column of the fact or an earlier dim"
     def refuse(why: String): Nothing =
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: $why. Incrementally-maintainable " +
@@ -596,7 +600,7 @@ object ViewSql {
         j: Join
     ): (Seq[String], String, String, String, Option[String], Boolean,
         Option[String], String,
-        Option[(Seq[String], String, String)]) = {
+        Seq[(Seq[String], String, String)]) = {
       import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
       def relOf(p: LogicalPlan): Option[(Seq[String], String)] = p match {
         case r: UnresolvedRelation =>
@@ -605,6 +609,11 @@ object ViewSql {
           Some((r.multipartIdentifier, id.name))
         case _ => None
       }
+      // MULTI-JOIN form (round 16): FROM f JOIN d1 ON … JOIN d2 ON …
+      // parses as a left-deep Join chain — hand it to starShape (the
+      // single-join form below keeps its two orientations and the
+      // LEFT variant)
+      if (j.left.isInstanceOf[Join]) return starShape(a, j, relOf)
       if (j.joinType != Inner && j.joinType != LeftOuter)
         refuse("only an INNER or LEFT [OUTER] join rollup is " +
           "incrementally maintainable")
@@ -665,7 +674,95 @@ object ViewSql {
       val (fkA, pkA) = if (dimLeft) (rk, lk) else (lk, rk)
       (factParts, names.mkString(","), xs.mkString(","), k, None, avgE, None,
         if (j.joinType == LeftOuter) "left" else "inner",
-        Some((dimParts, fkA.nameParts.last, pkA.nameParts.last)))
+        Seq((dimParts, fkA.nameParts.last, pkA.nameParts.last)))
+    }
+    // the STAR / SNOWFLAKE form (round 16): two or more INNER
+    // equi-joins, FROM-clause order, the FACT first. Each ON equates
+    // the newly joined dim's pk with a column of the fact or an
+    // EARLIER dim (the snowflake chain); grouping keys come from the
+    // dims, measures from the fact. Handed to createJoinMv as aligned
+    // lists — its declaration guards (fk ownership, key ownership,
+    // measure collisions, pk uniqueness) are the authority.
+    def starShape(
+        a: Aggregate,
+        j: Join,
+        relOf: LogicalPlan => Option[(Seq[String], String)]
+    ): (Seq[String], String, String, String, Option[String], Boolean,
+        Option[String], String,
+        Seq[(Seq[String], String, String)]) = {
+      import org.apache.spark.sql.catalyst.plans.Inner
+      def flatten(
+          p: LogicalPlan
+      ): Option[(Seq[(Seq[String], String)], Seq[Expression])] = p match {
+        case jj: Join if jj.joinType == Inner =>
+          for {
+            (ls, lcs) <- flatten(jj.left)
+            r <- relOf(jj.right)
+            c <- jj.condition
+          } yield (ls :+ r, lcs :+ c)
+        case jj: Join =>
+          refuse("a multi-join rollup must be all INNER joins")
+        case other => relOf(other).map(r => (Seq(r), Seq.empty[Expression]))
+      }
+      val (rels, conds) = flatten(j).getOrElse(
+        refuse("each join input must be a single table — write the star " +
+          "as FROM fact JOIN dim1 ON … JOIN dim2 ON …"))
+      def sideIdx(x: UnresolvedAttribute): Option[Int] = x.nameParts match {
+        case Seq(q, _) =>
+          rels.zipWithIndex.collectFirst {
+            case ((_, al), i) if q.equalsIgnoreCase(al) => i
+          }
+        case _ => None
+      }
+      // condition i binds rels(i+1): its pk on the new dim, its fk on
+      // the fact or an earlier dim
+      val fkpk: Seq[(String, String)] = conds.zipWithIndex.map {
+        case (EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute), i) =>
+          (sideIdx(x), sideIdx(y)) match {
+            case (Some(ix), Some(iy)) if ix == i + 1 && iy <= i =>
+              (y.nameParts.last, x.nameParts.last)
+            case (Some(ix), Some(iy)) if iy == i + 1 && ix <= i =>
+              (x.nameParts.last, y.nameParts.last)
+            case _ =>
+              refuse("each ON must equate the newly joined dim's pk with " +
+                "a qualified column of the fact or an earlier dim")
+          }
+        case _ =>
+          refuse("each ON condition must be a single equi-join (fk = pk)")
+      }
+      val names = a.groupingExpressions.map {
+        case ga: UnresolvedAttribute =>
+          sideIdx(ga) match {
+            case Some(i) if i >= 1 => ga.nameParts.last
+            case Some(_) =>
+              refuse("multi-join grouping keys come from the dims, not " +
+                "the fact")
+            case None =>
+              refuse("qualify every grouping column with its table or alias")
+          }
+        case _ =>
+          refuse("multi-join groupings must be plain qualified dim columns")
+      }
+      if (names.isEmpty) refuse("a multi-join rollup needs grouping keys")
+      val lead = a.aggregateExpressions.take(names.size)
+      val leadNames = lead.collect {
+        case k: UnresolvedAttribute if sideIdx(k).exists(_ >= 1) =>
+          k.nameParts.last
+      }
+      if (leadNames != names)
+        refuse("the select list must lead with the grouping columns in " +
+          "GROUP BY order")
+      val factRes: UnresolvedAttribute => Option[String] = x =>
+        sideIdx(x).filter(_ == 0).map(_ => x.nameParts.last)
+      val (k, xs, avgE, xe) =
+        classify(a.aggregateExpressions.drop(names.size), parseAggWith(factRes))
+      if (xe.isDefined)
+        refuse("expression measures are single-table form only")
+      (rels.head._1, names.mkString(","), xs.mkString(","), k, None, avgE,
+        None, "inner",
+        rels.tail.zip(fkpk).map { case ((dimParts, _), (fk, pk)) =>
+          (dimParts, fk, pk)
+        })
     }
     query match {
       case a: Aggregate =>
@@ -715,7 +812,7 @@ object ViewSql {
             }
             val (k, xs, avgE, xe) = classify(rest, parseAgg)
             (r.multipartIdentifier, g, xs.mkString(","), k, keyExpr, avgE, xe,
-              "inner", None)
+              "inner", Nil)
           case jn: Join => joinShape(a, jn)
           case _ =>
             refuse("the source must be a single table or ONE inner join " +
@@ -886,10 +983,12 @@ case class GraftCreateMvCommand(
     // 'inner' | 'left' — the join form's type (round 16); ignored for
     // single-table MVs
     joinType: String = "inner",
-    // the JOIN form: (dim catalog, dim ident, fk, pk) — the rollup is
-    // `src ⋈ dim ON fk = pk` grouped by dim attrs, dim version pinned
-    // at create (SnapshotLog.createJoinMv)
-    joinSpec: Option[(SnapshotCatalog, Identifier, String, String)] = None
+    // the JOIN form: one (dim catalog, dim ident, fk, pk) per join,
+    // in FROM-clause order — the rollup is `src ⋈ dim_1 ⋈ … ⋈ dim_n`
+    // grouped by dim attrs, every dim version pinned at create
+    // (SnapshotLog.createJoinMv; round 16 allows a star or snowflake
+    // CHAIN — a later fk may live on an earlier dim)
+    joinSpec: Seq[(SnapshotCatalog, Identifier, String, String)] = Nil
 ) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     org.apache.spark.sql.catalyst.expressions.AttributeReference(
@@ -900,17 +999,19 @@ case class GraftCreateMvCommand(
       !catalog.tableExists(ident) && !catalog.viewExists(ident),
       s"snapshot catalog: '${ident.name}' already exists — one name, " +
         "one meaning (DROP it first)")
-    val v = joinSpec match {
-      case Some((dimSc, dimIdent, fk, pk)) =>
+    val v =
+      if (joinSpec.nonEmpty)
         graft.sources.SnapshotLog.createJoinMv(
-          session, srcCatalog.pathOf(srcIdent), dimSc.pathOf(dimIdent),
-          fk, pk, catalog.pathOf(ident), key, agg, kind, avgExact,
+          session, srcCatalog.pathOf(srcIdent),
+          joinSpec.map { case (sc, id, _, _) => sc.pathOf(id) }.mkString(","),
+          joinSpec.map(_._3).mkString(","),
+          joinSpec.map(_._4).mkString(","),
+          catalog.pathOf(ident), key, agg, kind, avgExact,
           joinType = joinType)
-      case None =>
+      else
         graft.sources.SnapshotLog.createMv(
           session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
           key, agg, kind, keyExpr, avgExact, aggExpr)
-    }
     Seq(Row(v))
   }
 }

@@ -3322,6 +3322,57 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("the DDL's star form: CREATE MATERIALIZED VIEW over a JOIN chain " +
+    "declares a multi-dim MV that serves; a LEFT multi-join refuses") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val c = freshName()
+    val n = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $c (cpk BIGINT, natfk BIGINT)")
+    spark.sql(s"CREATE TABLE $n (npk BIGINT, nname STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 5), (2, 7), (1, 3), (9, 100)")
+    spark.sql(s"INSERT INTO $c VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $n VALUES (10, 'US'), (20, 'FR')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_ddlsf AS
+         |SELECT n.nname, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f f JOIN $c c ON f.fk = c.cpk
+         |JOIN $n n ON c.natfk = n.npk
+         |GROUP BY n.nname""".stripMargin)
+    val mvPath = s"$warehouse/main/${fn}_ddlsf"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val q =
+        s"SELECT nname, sum(m) AS s FROM $f JOIN $c ON fk = cpk " +
+          s"JOIN $n ON natfk = npk GROUP BY nname"
+      val served = rule(spark.sql(q).queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(served, mvPath),
+        "the DDL-declared snowflake MV must serve")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("US", 8L), ("FR", 7L)))
+      // a fact append folds through REFRESH and still serves
+      spark.sql(s"INSERT INTO $f VALUES (2, 11)")
+      spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${fn}_ddlsf")
+      val served2 = rule(spark.sql(q).queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(served2, mvPath))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("US", 8L), ("FR", 18L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+    // LEFT multi-join: not a maintainable shape — refused loudly
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_ddlbad AS
+         |SELECT n.nname, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f f LEFT JOIN $c c ON f.fk = c.cpk
+         |JOIN $n n ON c.natfk = n.npk
+         |GROUP BY n.nname""".stripMargin))
+    assert(e.getMessage.contains("INNER"), e.getMessage)
+  }
+
   test("dim refresh restores serving: a drifted dim bails with the " +
     "refresh_mv_dim remedy, the CALL folds the change, the query serves " +
     "the NEW dim state, and later fact folds compose") {
