@@ -1413,6 +1413,40 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             (kind == "sum" || kind == "stats") =>
         mvAttr.get(mcol("mv_sum", x.name)).map(s =>
           if (!reagg) s: Expression else Sum(s).toAggregateExpression())
+      // kind='hll' (round 16): approx_count_distinct(m) serves from
+      // the stored DataSketches sketch — identity reads the per-group
+      // estimate, coarse/global UNION the sketches first (per-day
+      // sketches OR into the month: the approximate MAU-from-DAU).
+      // The estimator SWAPS (DataSketches HLL, lgConfigK 12, ~1.6 %
+      // RSE, vs the query's own HLL++) — both are estimates of the
+      // same cardinality and the CREATE declaration carries the swap.
+      // Gate on the query's requested precision: a relativeSD tighter
+      // than the stored sketch's RSE must bail (we cannot deliver
+      // it); the default 0.05 serves. Exact count(DISTINCT m) never
+      // matches here — it keeps the exact bitmap kind.
+      case hpp: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus
+          if kind == "hll" && measures.contains(
+            hpp.child match {
+              case x: AttributeReference if factSide(x) => x.name
+              case _ => ""
+            }) =>
+        if (hpp.relativeSD < 0.016) {
+          MvRewrite.diag(s"$mvPath: the query asks relativeSD=" +
+            s"${hpp.relativeSD}, tighter than the stored sketch's " +
+            "~0.016 RSE (lgConfigK 12); not served")
+          None
+        } else
+          mvAttr.get("mv_hll").map { sk =>
+            import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
+            import org.apache.spark.sql.catalyst.expressions.aggregate.HllUnionAgg
+            val est: Expression =
+              if (!reagg) HllSketchEstimate(sk)
+              else HllSketchEstimate(
+                HllUnionAgg(sk, Literal(false)).toAggregateExpression())
+            // an all-NULL group has a NULL/empty sketch; the count is 0
+            Coalesce(Seq(est, Literal(0L)))
+          }
       case Min(x: AttributeReference)
           if measures.contains(x.name) && factSide(x) && kind == "minmax" =>
         mvAttr.get(mcol("mv_min", x.name)).map(m =>

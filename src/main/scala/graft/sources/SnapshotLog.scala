@@ -3258,6 +3258,23 @@ object SnapshotLog {
         "mv_dc", expr("bitmap_count(mv_bm)"))
   }
 
+  /** kind='hll' partials: one DataSketches HLL sketch per group
+    * (hll_sketch_agg, lgConfigK 12) plus the shared mv_n row count.
+    * Shared by createMv, createJoinMv, the refresh fold's insert
+    * delta, every delete/dim recompute — one builder so the stored
+    * shape can never drift. */
+  private def hllRollup(
+      df: DataFrame,
+      keys: Seq[String],
+      measure: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        expr(s"hll_sketch_agg(`$measure`)").as("mv_hll"),
+        count(lit(1)).as("mv_n"))
+  }
+
   /** The per-kind rollup aggregate columns under the createMv naming
     * — legacy bare names for a single measure (mv_sum, mv_sumsq,
     * mv_nn, mv_min, mv_max), suffixed per measure otherwise, mv_n
@@ -3387,9 +3404,9 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
     require(
       kind == "sum" || kind == "minmax" || kind == "stats" ||
-        kind == "distinct",
-      s"createMv: kind must be 'sum', 'minmax', 'stats' or 'distinct', " +
-        s"got '$kind'")
+        kind == "distinct" || kind == "hll",
+      s"createMv: kind must be 'sum', 'minmax', 'stats', 'distinct' or " +
+        s"'hll', got '$kind'")
     require(
       !avgExact || kind == "stats",
       "createMv: avgExact declares avg servable from the stats rollup — " +
@@ -3407,9 +3424,9 @@ object SnapshotLog {
         !e.contains('\n') && !e.contains('='),
         s"createMv: measure expression must be props-safe: $e"))
     require(
-      aggExpr.isEmpty || kind != "distinct",
+      aggExpr.isEmpty || (kind != "distinct" && kind != "hll"),
       "createMv: an expression measure does not combine with " +
-        "kind='distinct' (bit positions need a declared integral source " +
+        "kind='distinct'/'hll' (their partials need a declared source " +
         "column); materialize the expression as a real column first")
     // COMPOSITE keys (round 15): `keyCol` may be a comma-joined list
     // ("region,status") — the rollup groups by all of them, the props
@@ -3534,6 +3551,41 @@ object SnapshotLog {
       addMvRef(spark, source, mv)
       return tip
     }
+    // kind='hll' (round 16): APPROXIMATE COUNT(DISTINCT m) partials —
+    // one DataSketches HLL sketch per group (lgConfigK 12, ~1.6 % RSE)
+    // for very-high-cardinality measures where the exact bitmap
+    // kind's O(distinct values) state is the wrong trade. Sketches
+    // union losslessly (fold, coarse grains, global) and never
+    // subtract (deletes recompute their groups). The serve answers
+    // `approx_count_distinct(m)` ONLY — an approximation serves an
+    // approximation; exact count(DISTINCT) keeps the bitmap kind.
+    if (kind == "hll") {
+      require(
+        measures.size == 1,
+        "createMv: kind='hll' maintains one sketch column per MV — " +
+          "create one MV per distinct-counted measure")
+      val base0 = read(spark, source, Some(tip))
+      val based = keyExpr match {
+        case Some(e) => base0.withColumn(keyCol, expr(e))
+        case None    => base0
+      }
+      val m = hllRollup(based, keyCols, measures.head).localCheckpoint()
+      val (fpN, fpX) = contentFingerprint(m)
+      commitInternal(
+        spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
+        dataChange = true, extraHeader = s"mvv=$tip mvfp=$fpN:$fpX")
+      setTableProps(
+        spark, mv,
+        Map(
+          "mv_source" -> source,
+          "mv_key" -> keyCol,
+          "mv_agg" -> aggCol,
+          "mv_kind" -> kind,
+          "mv_version" -> tip.toString) ++
+          keyExpr.map("mv_key_expr" -> _))
+      addMvRef(spark, source, mv)
+      return tip
+    }
     val aggExprs = mvAggExprs(measures, kind, avgExact)
     val m = src.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
     val (fpN, fpX) = contentFingerprint(m)
@@ -3624,9 +3676,9 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.{col, count, expr, lit}
     require(
       kind == "sum" || kind == "minmax" || kind == "stats" ||
-        kind == "distinct",
-      s"createJoinMv: kind must be 'sum', 'minmax', 'stats' or " +
-        s"'distinct', got '$kind'")
+        kind == "distinct" || kind == "hll",
+      s"createJoinMv: kind must be 'sum', 'minmax', 'stats', 'distinct' " +
+        s"or 'hll', got '$kind'")
     require(
       !avgExact || kind == "stats",
       "createJoinMv: avgExact requires kind='stats'")
@@ -3664,8 +3716,8 @@ object SnapshotLog {
     require(keyCols.nonEmpty && measures.nonEmpty,
       s"createJoinMv: empty key or measure list ('$keyCol' / '$aggCol')")
     require(
-      kind != "distinct" || measures.size == 1,
-      "createJoinMv: kind='distinct' maintains ONE measure per MV")
+      (kind != "distinct" && kind != "hll") || measures.size == 1,
+      "createJoinMv: kind='distinct'/'hll' maintains ONE measure per MV")
     require(
       !keyCols.exists(k => pksL.contains(k) || fksL.contains(k)),
       "createJoinMv: group by a DIM attribute — grouping by a join " +
@@ -3857,6 +3909,8 @@ object SnapshotLog {
     val m =
       (if (kind == "distinct")
          distinctRollup(joined, keyCols, measures.head, hashDistinct)
+       else if (kind == "hll")
+         hllRollup(joined, keyCols, measures.head)
        else {
          val aggs = mvAggExprs(measures, kind, avgExact)
          joined.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -4399,6 +4453,31 @@ object SnapshotLog {
       foldJoin(read(spark, mv), delta)
         .select(foldCols: _*)
         .filter(col("mv_n") > 0)
+    } else if (kind == "hll") {
+      // HLL sketches are MONOTONE under inserts (union the delta's
+      // per-group sketch in) and never invertible under deletes —
+      // delete-touched GROUPS recompute at the watermark, the
+      // minmax/distinct discipline. hll_union is null-guarded by
+      // hand: a group new to either side keeps the other's sketch.
+      import org.apache.spark.sql.functions.{expr, when}
+      val meas = measures.head
+      val delKeys = changes
+        .filter(col("change_type") === "delete")
+        .select(keyCols: _*).distinct().localCheckpoint()
+      val insDelta = hllRollup(
+          changes.filter(col("change_type") === "insert"), keys, meas)
+        .withColumnRenamed("mv_hll", "d_hll")
+        .withColumnRenamed("mv_n", "d_n")
+      val folded = foldJoin(read(spark, mv), insDelta)
+        .select(
+          keyCols ++ Seq(
+            when(col("mv_hll").isNull, col("d_hll"))
+              .when(col("d_hll").isNull, col("mv_hll"))
+              .otherwise(expr("hll_union(mv_hll, d_hll)")).as("mv_hll"),
+            foldSum("mv_n", "d_n")): _*)
+      val recomputed = hllRollup(
+        keySemi(scopedSourceAtTo(delKeys), delKeys, "left_semi"), keys, meas)
+      keySemi(folded, delKeys, "left_anti").unionByName(recomputed)
     } else if (kind == "distinct") {
       // bitmap partials are MONOTONE under inserts (a new row just ORs
       // its bit into the bucket) but not invertible under deletes
@@ -4655,6 +4734,8 @@ object SnapshotLog {
         if (kind == "distinct")
           distinctRollup(joined, keys, measures.head,
             props.get("mv_distinct_hash").contains("true"))
+        else if (kind == "hll")
+          hllRollup(joined, keys, measures.head)
         else {
           val aggs = mvAggExprs(
             measures, kind, props.get("mv_avg_exact").contains("true"))
@@ -4719,6 +4800,8 @@ object SnapshotLog {
           if (kind == "distinct")
             distinctRollup(touchedRows, keys, measures.head,
               props.get("mv_distinct_hash").contains("true"))
+          else if (kind == "hll")
+            hllRollup(touchedRows, keys, measures.head)
           else {
             val aggs = mvAggExprs(
               measures, kind, props.get("mv_avg_exact").contains("true"))

