@@ -4080,8 +4080,8 @@ private[sources] object SnapshotProcedures {
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
       "detail", "clone", "build_bloom", "create_mv", "create_join_mv",
-      "refresh_mv", "refresh_mv_dim", "explain_mv_serve", "ingest",
-      "count_by", "range_by")
+      "refresh_mv", "refresh_mv_dim", "describe_mv", "explain_mv_serve",
+      "ingest", "count_by", "range_by")
 
   private def spark = SparkSession.active
 
@@ -4579,6 +4579,67 @@ private[sources] object SnapshotProcedures {
             val (f, t) = SnapshotLog.refreshMv(
               spark, resolve(in.getUTF8String(0).toString))
             Seq(new GenericInternalRow(Array[Any](f, t)))
+          }
+        )
+      case "describe_mv" =>
+        // one (prop, value) row per fact a user needs to reason about
+        // an MV's serving state: kind/keys/measures, the committed
+        // fact watermark (mvv — authoritative over the props copy),
+        // and for join MVs the per-dim EFFECTIVE pins (create-time
+        // props overlaid with every dim refresh's mvdv rider — SHOW
+        // TBLPROPERTIES alone shows the stale create pins once
+        // refresh_mv_dim has run)
+        proc(
+          "describe_mv",
+          Seq(ProcedureParameter.in("mv", StringType).build()),
+          StructType(Seq(
+            StructField("prop", StringType),
+            StructField("value", StringType))),
+          in => {
+            val mv = resolve(in.getUTF8String(0).toString)
+            val props = SnapshotLog.tableProps(spark, mv)
+            require(
+              props.contains("mv_source"),
+              s"describe_mv: $mv is not a materialized view")
+            def row(k: String, v: String) =
+              new GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(k),
+                org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+            val watermark = SnapshotLog
+              .committedWatermark(spark, mv, "mvv")
+              .orElse(props.get("mv_version").map(_.toInt))
+            val base = Seq(
+              "source" -> props("mv_source"),
+              "kind" -> props.getOrElse("mv_kind", "sum"),
+              "key" -> props.getOrElse("mv_key", ""),
+              "agg" -> props.getOrElse("mv_agg", ""),
+              "fact_watermark" -> watermark.map(_.toString).getOrElse("?")) ++
+              props.get("mv_key_expr").map("key_expr" -> _) ++
+              props.get("mv_agg_expr").map("agg_expr" -> _) ++
+              props.get("mv_join_type").map("join_type" -> _) ++
+              (if (props.contains("mv_avg_exact")) Seq("avg_exact" -> "true")
+               else Nil) ++
+              (if (props.contains("mv_distinct_hash"))
+                 Seq("hash_distinct" -> "true")
+               else Nil)
+            val dims = props.get("mv_join_dim") match {
+              case None => Nil
+              case Some(dp) =>
+                val ds = dp.split(',').toSeq
+                val created =
+                  props.getOrElse("mv_dim_version", "").split(',').toSeq
+                val eff = SnapshotLog
+                  .effectiveDimVersions(spark, mv, None).getOrElse(Nil)
+                ds.indices.flatMap { i =>
+                  Seq(
+                    s"dim[$i]" -> ds(i),
+                    s"dim[$i].created_pin" ->
+                      created.lift(i).getOrElse("?"),
+                    s"dim[$i].effective_pin" ->
+                      eff.lift(i).map(_.toString).getOrElse("?"))
+                }
+            }
+            (base ++ dims).map { case (k, v) => row(k, v) }
           }
         )
       case "refresh_mv_dim" =>

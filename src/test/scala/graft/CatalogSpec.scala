@@ -3426,6 +3426,23 @@ class CatalogSpec extends SparkTestBase {
       assert(run(served2).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
         Set(("auto", 15L, 2L), ("mach", 28L, 3L), ("fresh", 400L, 1L)))
+      // describe_mv surfaces the EFFECTIVE pin beside the stale
+      // create-time one (SHOW TBLPROPERTIES shows only the latter)
+      val desc = spark.sql(
+        s"CALL cattest.system.describe_mv(mv => 'main.${fn}_drmv')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("dim[0].created_pin") != desc("dim[0].effective_pin"),
+        desc.toString)
+      assert(desc("dim[0].effective_pin") == pins.getInt(1).toString)
+      // HAVING and ORDER BY over a served aggregate compose: the
+      // rewrite replaces the Aggregate in place, output ids intact
+      val hq = plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk " +
+          s"GROUP BY seg HAVING sum(m) > 20 ORDER BY s DESC")
+      assert(MvRewrite.readsPath(hq, mvPath),
+        "HAVING + ORDER BY must not block the serve")
+      assert(run(hq).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("fresh", 400L), ("mach", 28L)))
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
