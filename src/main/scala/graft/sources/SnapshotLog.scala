@@ -4660,6 +4660,25 @@ object SnapshotLog {
     val oldPins = pins
     val newPins = pins.updated(idx, newPin)
     val factSchema = tableSchema(spark, source, watermark)
+    // the same schema-evolution clash guards as refreshMv: a fact
+    // column ADDED under a dim key's name (or the derived key's) since
+    // the materialize would make the enrichment ambiguous or silently
+    // shadowed — refuse loudly rather than depend on the analyzer's
+    // ambiguity error reading well
+    factSchema.foreach { s =>
+      val clash = dimKeys.filter(s.fieldNames.contains)
+      require(
+        clash.isEmpty,
+        s"refreshMvDim: the fact schema at v$watermark contains " +
+          s"column(s) ${clash.mkString(", ")} sharing the MV's dim key " +
+          "name(s) — re-materialize the MV under fresh key names.")
+      props.get("mv_fact_key").foreach(fkn =>
+        require(
+          !s.fieldNames.contains(fkn),
+          s"refreshMvDim: the fact schema at v$watermark now contains a " +
+            s"column named '$fkn' — the MV's derived key would shadow " +
+            "it; re-materialize under a fresh key name."))
+    }
     val dimSchemaAt = (i: Int, ps: Seq[Int]) => tableSchema(spark, dimsL(i), ps(i))
     // per-dim own key members and fk ownership (create-time name
     // uniqueness makes schema membership the whole answer; pinned

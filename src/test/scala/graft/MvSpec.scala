@@ -866,6 +866,16 @@ class MvSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(m4 == Set(("US", 3L, 5L, 2L), ("FR", 7L, 7L, 1L)))
+    // LEAF-dim refresh in the chain: renaming a nation back-propagates
+    // pk sets through customer to the fact's fk range; only the
+    // renamed group recomputes (US → USA), FR untouched
+    SnapshotLog.deleteWhere(spark, n3, "npk", 10L, 10L)
+    SnapshotLog.commit(spark, n3, Seq(10L -> "USA").toDF("npk", "nname"))
+    SnapshotLog.refreshMvDim(spark, mv4, n3)
+    val m4b = SnapshotLog.read(spark, mv4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(m4b == Set(("USA", 3L, 5L, 2L), ("FR", 7L, 7L, 1L)))
     // guards: a LEFT MV refuses (its NULL bucket cannot be scoped);
     // a table that is not a dim of the MV refuses
     val mvL = fresh("ldrmv")
