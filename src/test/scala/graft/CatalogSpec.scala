@@ -3446,6 +3446,60 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("historical join-MV serving: a VERSION AS OF pair (old fact, old " +
+    "dim) serves from the PRE-dim-refresh MV version while the current " +
+    "query serves the new state — the mvdv ledger overlays per version") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_hjmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m")
+    val factV1 = SnapshotLog.versions(spark, pathOf(f)).last
+    val dimV1 = SnapshotLog.versions(spark, pathOf(d)).last
+    // fact moves + fold, then the dim moves + dim refresh
+    spark.sql(s"INSERT INTO $f VALUES (1, 5)")
+    SnapshotLog.refreshMv(spark, mvPath)
+    spark.sql(s"UPDATE $d SET seg = 'mach' WHERE pk = 1")
+    SnapshotLog.refreshMvDim(spark, mvPath, pathOf(d))
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // current pair serves the NEW dim state from the MV tip
+      val cur = plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(cur, mvPath))
+      assert(run(cur).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("mach", 35L)))
+      // the historical pair serves the OLD state from the OLD MV
+      // version: fact@v1 selects the MV version whose mvv folded v1,
+      // and the effective pins AT that version are the create pins
+      val hist = plan(
+        s"SELECT seg, sum(m) AS s FROM $f VERSION AS OF $factV1 " +
+          s"JOIN $d VERSION AS OF $dimV1 ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(hist, mvPath),
+        "the historical pair must serve from the pre-refresh MV version")
+      assert(run(hist).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("auto", 10L), ("mach", 20L)))
+      // a MIXED pair (old fact, NEW dim) must not serve: no MV
+      // version carries that combination
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT seg, sum(m) AS s FROM $f VERSION AS OF $factV1 " +
+          s"JOIN $d ON fk = pk GROUP BY seg"), mvPath),
+        "an (old fact, new dim) pair has no matching MV version")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("join-MV measures resolve by FACT-side exprId, never by name: a " +
     "dim column named like the measure is refused at create, and an MV " +
     "predating the guard bails rather than serving the fact partial") {
