@@ -727,6 +727,70 @@ class MvSpec extends SparkTestBase {
     assert(g4.getMessage.contains("distinct"))
   }
 
+  /** Streaming maintenance composes with JOIN MVs (the refresh is the
+    * shared fold), and the mvdv pin ledger survives compaction (a
+    * datachange=false commit carries no rider and changes no rows). */
+  test("a streamed fact maintains a JOIN MV per micro-batch; a dim " +
+    "refresh's pin survives MV compaction and later folds stay exact") {
+    import spark.implicits._
+    val up = fresh("sjup")
+    val fact = fresh("sjfact")
+    val dim = fresh("sjdim")
+    val mv = fresh("sjmv")
+    SnapshotLog.commit(
+      spark, dim, Seq(1L -> "a", 2L -> "b").toDF("pk", "attr"))
+    SnapshotLog.commit(
+      spark, fact, Seq(1L -> 10L, 2L -> 20L).toDF("fk", "v"))
+    SnapshotLog.createJoinMv(spark, fact, dim, "fk", "pk", mv, "attr", "v")
+    (0 until 3).foreach { i =>
+      SnapshotLog.commit(
+        spark, up, Seq((i + 1).toLong -> (100L + i)).toDF("fk", "v"))
+    }
+    val q = spark.readStream
+      .format("graft.sources.GraftSnapshotSource")
+      .option("maxFilesPerTrigger", "1")
+      .load(up)
+      .writeStream
+      .option("checkpointLocation", s"$fact/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        SnapshotLog.commitIdempotent(spark, fact, batch, s"sj-$batchId")
+        SnapshotLog.refreshMv(spark, mv)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def recompute(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, fact)
+        .join(SnapshotLog.read(spark, dim), col("fk") === col("pk"))
+        .groupBy(col("attr"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def mvState(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // fk=3 has no dim row yet: excluded by the inner join everywhere
+    assert(mvState() == recompute())
+    assert(mvState() == Set(("a", 110L, 2L), ("b", 121L, 2L)))
+    // dim refresh brings pk=3 in, then compaction must preserve the
+    // bumped pin (datachange=false: no rider, no row change)
+    SnapshotLog.commit(spark, dim, Seq(3L -> "c").toDF("pk", "attr"))
+    SnapshotLog.refreshMvDim(spark, mv, dim)
+    val pinsBefore = SnapshotLog.effectiveDimVersions(spark, mv, None).get
+    SnapshotLog.compact(spark, mv)
+    assert(
+      SnapshotLog.effectiveDimVersions(spark, mv, None).get == pinsBefore,
+      "compaction must not disturb the effective dim pins")
+    assert(mvState() == Set(
+      ("a", 110L, 2L), ("b", 121L, 2L), ("c", 102L, 1L)))
+    // and the next fact fold lands exactly on the compacted state
+    SnapshotLog.commit(spark, fact, Seq(3L -> 1L).toDF("fk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recompute())
+    assert(mvState().contains(("c", 103L, 2L)))
+  }
+
   /** kind='hll' (round 16): approximate COUNT(DISTINCT) partials —
     * DataSketches HLL sketches per group. Below ~hundreds of values a
     * lgConfigK-12 sketch is in exact (sparse/HIP) mode, so these
