@@ -4149,6 +4149,7 @@ object SnapshotLog {
       .getOrElse(props("mv_version").toInt)
     val to = versions(spark, source).last
     if (to == from) return (from, to)
+    val mvTipAtStart = versions(spark, mv).lastOption
     // FOLD FINGERPRINT (round 16): before folding a delta onto the
     // current state, prove the state IS the last fold's output. The
     // serve path already refuses to serve past a headerless
@@ -4564,6 +4565,20 @@ object SnapshotLog {
     // not `from` — no double-count
     val nextC = next.localCheckpoint()
     val (fpN, fpX) = contentFingerprint(nextC)
+    // CONCURRENT-REFRESH detector (round 16): this fold was computed
+    // from the MV state read at entry; if another maintainer (a
+    // second refresh, a dim refresh) committed in between, committing
+    // here would clobber its work with data derived from the stale
+    // state — refuse and name the re-run. Not a lock (the window
+    // between this check and the commit remains; maintenance is
+    // single-writer by contract, like every derived table here) but
+    // it catches the realistic overlap: a scheduled refresh crossing
+    // a manual one.
+    require(
+      versions(spark, mv).lastOption == mvTipAtStart,
+      s"refreshMv: $mv moved while this refresh computed its fold " +
+        "(a concurrent refresh or dim refresh committed) — re-run " +
+        "refreshMv; maintenance is single-writer per MV")
     commitInternal(
       spark, mv, nextC, overwrite = true, txnId = None, replaceRemoved = None,
       dataChange = true, extraHeader = s"mvv=$to mvfp=$fpN:$fpX")
@@ -4637,6 +4652,7 @@ object SnapshotLog {
     val oldPin = pins(idx)
     val newPin = versions(spark, dim).last
     if (newPin == oldPin) return (oldPin, oldPin)
+    val mvTipAtStart = versions(spark, mv).lastOption
     // same tamper gate as the fact fold: never recompute around a
     // foreign-written state and re-header it as clean
     lastFingerprint(spark, mv).foreach { case (n0, x0) =>
@@ -4839,6 +4855,15 @@ object SnapshotLog {
       }
     val nextC = next.localCheckpoint()
     val (fpN, fpX) = contentFingerprint(nextC)
+    // same concurrent-refresh detector as refreshMv: a fact fold
+    // landing mid-recompute would be clobbered by this commit while
+    // its mvv header survives in the ledger — data and ledger would
+    // diverge silently. Refuse and name the re-run instead.
+    require(
+      versions(spark, mv).lastOption == mvTipAtStart,
+      s"refreshMvDim: $mv moved while this dim refresh recomputed " +
+        "(a concurrent refresh committed) — re-run refreshMvDim; " +
+        "maintenance is single-writer per MV")
     commitInternal(
       spark, mv, nextC, overwrite = true, txnId = None,
       replaceRemoved = None, dataChange = true,

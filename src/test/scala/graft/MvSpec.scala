@@ -727,6 +727,29 @@ class MvSpec extends SparkTestBase {
     assert(g4.getMessage.contains("distinct"))
   }
 
+  /** Concurrent-refresh detector (round 16): a fold computed from a
+    * state another maintainer has since replaced must REFUSE at
+    * commit time — committing it would clobber the other's work with
+    * stale-derived data while its header riders survive in the
+    * ledger (data/ledger divergence, silently wrong serves). */
+  test("a refresh refuses to commit when the MV moved mid-fold") {
+    import spark.implicits._
+    val src = fresh("ccsrc")
+    val mv = fresh("ccmv")
+    SnapshotLog.commit(spark, src, Seq(1L -> 10L).toDF("k", "v"))
+    SnapshotLog.createMv(spark, src, mv, "k", "v")
+    SnapshotLog.commit(spark, src, Seq(1L -> 1L, 2L -> 2L).toDF("k", "v"))
+    // force the recompute branch so onWatermarkPinned fires, and land
+    // a CONCURRENT MV COMMIT inside the window
+    SnapshotLog.deleteWhere(spark, src, "v", 10L, 10L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.refreshMv(spark, mv, onWatermarkPinned = () => {
+        SnapshotLog.commit(
+          spark, mv, Seq((9L, 9L, 1L)).toDF("k", "mv_sum", "mv_n")): Unit
+      }))
+    assert(e.getMessage.contains("moved while"), e.getMessage)
+  }
+
   /** Streaming maintenance composes with JOIN MVs (the refresh is the
     * shared fold), and the mvdv pin ledger survives compaction (a
     * datachange=false commit carries no rider and changes no rows). */
