@@ -361,7 +361,10 @@ object ViewSql {
         "SELECT k, sum(a) AS mv_sum, sum(a*a) AS mv_sumsq, count(*) AS mv_n " +
         "[, count(a) AS mv_nn] FROM t GROUP BY k | " +
         "SELECT k, count(DISTINCT a) AS mv_dc, count(*) AS mv_n " +
-        "FROM t GROUP BY k (k may also be " +
+        "FROM t GROUP BY k | " +
+        "SELECT k, hll_sketch_agg(a) AS mv_hll, count(*) AS mv_n " +
+        "FROM t GROUP BY k — APPROXIMATE distinct " +
+        "(serves approx_count_distinct only) (k may also be " +
         "`to_date(col) AS day`, `trunc(to_date(col), 'month'|'year') " +
         "AS m`, or `date_trunc('hour', col) AS h`) | " +
         "SELECT k, sum(<expr>) AS mv_sum, count(*) AS mv_n FROM t " +
@@ -584,6 +587,16 @@ object ViewSql {
           case List(("count_distinct", a, ColArg(x)))
               if a == "mv_dc" && nnPart.isEmpty =>
             Some(("distinct", Seq(x), false, None))
+          case _ => None
+        }
+      }.orElse {
+        // ONE hll_sketch_agg(a) AS mv_hll → the APPROXIMATE distinct
+        // kind (round 16): the user spells the sketch aggregate
+        // itself — that IS the estimator declaration
+        core match {
+          case List(("hll_sketch_agg", a, ColArg(x)))
+              if a == "mv_hll" && nnPart.isEmpty =>
+            Some(("hll", Seq(x), false, None))
           case _ => None
         }
       }

@@ -3446,6 +3446,47 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("the DDL's hll shape: hll_sketch_agg(u) AS mv_hll declares the " +
+    "approximate-distinct MV; approx_count_distinct serves, exact " +
+    "count(DISTINCT) never does") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, u STRING)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 'u1'), (1, 'u2'), (1, 'u1'), (2, 'u3')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_hmv AS
+         |SELECT k, hll_sketch_agg(u) AS mv_hll, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_hmv"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val served = plan(
+        s"SELECT k, approx_count_distinct(u) AS au, count(*) AS n " +
+          s"FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(served, mvPath),
+        "approx_count_distinct must serve from the DDL-declared hll MV")
+      // sparse-mode sketches are exact at this size
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set((1L, 2L, 3L), (2L, 1L, 1L)))
+      // the GLOBAL estimate unions the per-group sketches (u1 counts
+      // once across groups? no — u1 only in group 1; u3 in group 2:
+      // global distinct = 3)
+      val gl = plan(s"SELECT approx_count_distinct(u) AS au FROM $t")
+      assert(MvRewrite.readsPath(gl, mvPath))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, gl)
+        .collect()(0).getLong(0) == 3L)
+      // EXACT count(DISTINCT) must never serve an approximation
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, count(DISTINCT u) AS du FROM $t GROUP BY k"), mvPath),
+        "exact count(DISTINCT) must bail to the source")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("a served STAR query EXECUTES as one MV parquet scan inside " +
     "codegen: no joins, no source scans, the dim filter pushed — via " +
     "the injected rule, no manual rewrite") {
