@@ -4635,11 +4635,15 @@ object SnapshotLog {
       throw new IllegalArgumentException(
         s"refreshMvDim: $mv is not a JOIN MV (no mv_join_dim prop)"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    require(
-      !props.get("mv_join_type").contains("left"),
-      s"refreshMvDim: $mv is a LEFT-join MV — its NULL bucket changes " +
-        "membership with any pk insert/delete and cannot be scoped; " +
-        "re-materialize instead")
+    // LEFT MVs (single-dim by construction): supported since round 16.
+    // Attribute-only dim changes keep the NULL bucket's membership
+    // (matched rows stay matched), so the scoped path below is sound;
+    // a pk INSERT/DELETE — or a changed attr tuple that IS the
+    // all-NULL tuple — moves rows in or out of the NULL bucket, whose
+    // rows no pk list can bound: those fall back to a full left
+    // recompute at the watermark (still cheaper than re-materialize:
+    // pins, refs and history survive).
+    val isLeft = props.get("mv_join_type").contains("left")
     val idx = dimsL.indexWhere(d =>
       d.stripPrefix("file:").replaceAll("/+$", "") ==
         dim.stripPrefix("file:").replaceAll("/+$", ""))
@@ -4723,7 +4727,8 @@ object SnapshotLog {
       dimsL.indices.filter(reachable).flatMap(i => ownKeysOf(i, newPins))
     // the full enrichment chain at the given pins (same shape as
     // refreshMv's enrich; inner-only here)
-    def enrichAll(df: DataFrame, ps: Seq[Int]): DataFrame =
+    def enrichAll(
+        df: DataFrame, ps: Seq[Int], how: String = "inner"): DataFrame =
       dimsL.indices.foldLeft(df) { (cur, i) =>
         val laterFks = fksL.zipWithIndex.collect {
           case (f, j) if j > i &&
@@ -4731,7 +4736,7 @@ object SnapshotLog {
         }
         val sel = (ownKeysOf(i, ps) ++ Seq(pksL(i)) ++ laterFks).distinct
         val d = read(spark, dimsL(i), Some(ps(i))).select(sel.map(col): _*)
-        cur.join(d, cur(fksL(i)) === d(pksL(i)), "inner").drop(d(pksL(i)))
+        cur.join(d, cur(fksL(i)) === d(pksL(i)), how).drop(d(pksL(i)))
       }
     // the DOWNSTREAM chain from idx at the given pins, seeded by a pk
     // set — yields the affected member tuples those pks reach
@@ -4758,14 +4763,34 @@ object SnapshotLog {
       case _                    => factAtW0
     }
     val mvOld = read(spark, mv)
+    // left MVs: does the dim change move rows across the NULL
+    // bucket? pk-set changes always can; an attr tuple of a changed
+    // pk that IS all-NULL collides with the unmatched bucket too
+    lazy val nullBucketTouched: Boolean = isLeft && {
+      val dOld = read(spark, dimsL(idx), Some(oldPin))
+        .select(col(pksL(idx)))
+      val dNew = read(spark, dimsL(idx), Some(newPin))
+        .select(col(pksL(idx)))
+      dOld.exceptAll(dNew).limit(1).count() > 0 ||
+      dNew.exceptAll(dOld).limit(1).count() > 0 || {
+        affKeys.nonEmpty && {
+          val t = downstreamMembers(changedPks, oldPins)
+            .unionByName(downstreamMembers(changedPks, newPins))
+          t.filter(affKeys.map(col(_).isNull).reduce(_ && _))
+            .limit(1).count() > 0
+        }
+      }
+    }
+    val joinHowHere = if (isLeft) "left_outer" else "inner"
     val next: DataFrame =
-      if (affKeys.isEmpty) {
+      if (affKeys.isEmpty || nullBucketTouched) {
         // the changed dim (and everything it feeds) owns NO key
-        // member — it is a pure match-filter, so ANY pk change can
-        // move rows in or out of EVERY group: full recompute at the
-        // watermark (still cheaper than re-materialize: pins, refs
-        // and history survive)
-        val joined = enrichAll(factW, newPins)
+        // member — a pure match-filter, ANY pk change can move rows
+        // in or out of EVERY group — or a left MV's NULL bucket is in
+        // play (no pk list bounds unmatched rows): full recompute at
+        // the watermark (still cheaper than re-materialize: pins,
+        // refs and history survive)
+        val joined = enrichAll(factW, newPins, joinHowHere)
         if (kind == "distinct")
           distinctRollup(joined, keys, measures.head,
             props.get("mv_distinct_hash").contains("true"))

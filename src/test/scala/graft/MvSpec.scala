@@ -963,15 +963,50 @@ class MvSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(m4b == Set(("USA", 3L, 5L, 2L), ("FR", 7L, 7L, 1L)))
-    // guards: a LEFT MV refuses (its NULL bucket cannot be scoped);
-    // a table that is not a dim of the MV refuses
+    // LEFT MVs (round 16): an attr-only dim change keeps the NULL
+    // bucket intact (scoped path); a pk INSERT moves rows OUT of it
+    // (full left recompute) — both land on the LEFT-join recompute
+    val lf = fresh("lfact")
+    val ld = fresh("ldim")
     val mvL = fresh("ldrmv")
+    SnapshotLog.commit(
+      spark, ld, Seq(1L -> "a", 2L -> "b").toDF("pk", "attr"))
+    SnapshotLog.commit(
+      spark, lf,
+      Seq(1L -> 10L, 2L -> 20L, 9L -> 70L, 8L -> 80L).toDF("fk", "v"))
     SnapshotLog.createJoinMv(
-      spark, fact, dim, "fk", "pk", mvL, "attr", "v", joinType = "left")
-    SnapshotLog.commit(spark, dim, Seq(60L -> "e").toDF("pk", "attr"))
-    val eL = intercept[IllegalArgumentException](
-      SnapshotLog.refreshMvDim(spark, mvL, dim))
-    assert(eL.getMessage.contains("LEFT"))
+      spark, lf, ld, "fk", "pk", mvL, "attr", "v", joinType = "left")
+    def lState(): Set[(Option[String], Long, Long)] =
+      SnapshotLog.read(spark, mvL).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+    def lRecompute(): Set[(Option[String], Long, Long)] =
+      SnapshotLog.read(spark, lf)
+        .join(SnapshotLog.read(spark, ld),
+          col("fk") === col("pk"), "left_outer")
+        .groupBy(col("attr"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(lState() == Set(
+      (Some("a"), 10L, 1L), (Some("b"), 20L, 1L), (None, 150L, 2L)))
+    // attr-only change (pk set intact): 1 a→z — the NULL bucket
+    // must come through UNTOUCHED via the scoped path
+    SnapshotLog.deleteWhere(spark, ld, "pk", 1L, 1L)
+    SnapshotLog.commit(spark, ld, Seq(1L -> "z").toDF("pk", "attr"))
+    SnapshotLog.refreshMvDim(spark, mvL, ld)
+    assert(lState() == lRecompute())
+    assert(lState() == Set(
+      (Some("z"), 10L, 1L), (Some("b"), 20L, 1L), (None, 150L, 2L)))
+    // a pk INSERT (9 joins 'n') pulls rows OUT of the NULL bucket —
+    // the full left recompute path
+    SnapshotLog.commit(spark, ld, Seq(9L -> "n").toDF("pk", "attr"))
+    SnapshotLog.refreshMvDim(spark, mvL, ld)
+    assert(lState() == lRecompute())
+    assert(lState() == Set(
+      (Some("z"), 10L, 1L), (Some("b"), 20L, 1L), (Some("n"), 70L, 1L),
+      (None, 80L, 1L)))
     val eD = intercept[IllegalArgumentException](
       SnapshotLog.refreshMvDim(spark, mv3, fact))
     assert(eD.getMessage.contains("not a dim"))
