@@ -4080,8 +4080,8 @@ private[sources] object SnapshotProcedures {
       "optimize", "vacuum", "expire", "describe_history", "restore",
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
       "detail", "clone", "build_bloom", "create_mv", "create_join_mv",
-      "refresh_mv", "refresh_mv_dim", "describe_mv", "explain_mv_serve",
-      "ingest", "count_by", "range_by")
+      "refresh_mv", "refresh_mv_dim", "describe_mv", "list_mvs",
+      "explain_mv_serve", "ingest", "count_by", "range_by")
 
   private def spark = SparkSession.active
 
@@ -4579,6 +4579,58 @@ private[sources] object SnapshotProcedures {
             val (f, t) = SnapshotLog.refreshMv(
               spark, resolve(in.getUTF8String(0).toString))
             Seq(new GenericInternalRow(Array[Any](f, t)))
+          }
+        )
+      case "list_mvs" =>
+        // catalog-wide MV inventory: every table in the warehouse
+        // whose props declare mv_source, with its kind, committed
+        // fact watermark, the source's current tip, and whether it
+        // would serve tip reads (fresh = watermark == tip). One
+        // O(tables) metadata walk, no data files opened — the first
+        // question after "why didn't my MV serve?" is "what MVs do I
+        // even have, and which are stale?"
+        proc(
+          "list_mvs",
+          Seq.empty,
+          StructType(Seq(
+            StructField("mv", StringType),
+            StructField("source", StringType),
+            StructField("kind", StringType),
+            StructField("fact_watermark", IntegerType),
+            StructField("source_tip", IntegerType),
+            StructField("fresh", org.apache.spark.sql.types.BooleanType))),
+          _ => {
+            val whRoot = new org.apache.hadoop.fs.Path(
+              resolve("x").stripSuffix("/x"))
+            val fs = whRoot.getFileSystem(
+              spark.sessionState.newHadoopConf())
+            def dirs(p: org.apache.hadoop.fs.Path) =
+              if (fs.exists(p))
+                fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+              else Nil
+            (for {
+              ns <- dirs(whRoot)
+              t <- dirs(ns)
+              props <- scala.util.Try(SnapshotLog.tableProps(spark, t.toString))
+                .toOption.toSeq
+              src <- props.get("mv_source").toSeq
+            } yield {
+              val wm = SnapshotLog
+                .committedWatermark(spark, t.toString, "mvv")
+                .orElse(props.get("mv_version")
+                  .flatMap(s => scala.util.Try(s.toInt).toOption))
+              val tip = scala.util.Try(
+                SnapshotLog.versions(spark, src).last).toOption
+              new GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(s"${ns.getName}.${t.getName}"),
+                org.apache.spark.unsafe.types.UTF8String.fromString(src),
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(props.getOrElse("mv_kind", "sum")),
+                wm.getOrElse(-1),
+                tip.getOrElse(-1),
+                wm.isDefined && wm == tip))
+            }).sortBy(_.getUTF8String(0).toString)
           }
         )
       case "describe_mv" =>

@@ -3446,6 +3446,33 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("list_mvs inventories every MV with kind, watermark and " +
+    "freshness; staleness flips on a source commit and back on REFRESH") {
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_lmv AS
+         |SELECT k, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    def row(): org.apache.spark.sql.Row =
+      spark.sql("CALL cattest.system.list_mvs()")
+        .filter(org.apache.spark.sql.functions.col("mv") ===
+          s"main.${tn}_lmv")
+        .collect() match {
+        case Array(r) => r
+        case other => fail(s"expected one row, got ${other.toSeq}")
+      }
+    val r0 = row()
+    assert(r0.getString(2) == "sum" && r0.getBoolean(5), r0.toString)
+    assert(r0.getInt(3) == r0.getInt(4))
+    spark.sql(s"INSERT INTO $t VALUES (3, 30)")
+    assert(!row().getBoolean(5), "a source commit must flip fresh=false")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_lmv")
+    assert(row().getBoolean(5), "REFRESH must restore fresh=true")
+  }
+
   test("the DDL's hll shape: hll_sketch_agg(u) AS mv_hll declares the " +
     "approximate-distinct MV; approx_count_distinct serves, exact " +
     "count(DISTINCT) never does") {
