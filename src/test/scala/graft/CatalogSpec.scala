@@ -3446,6 +3446,52 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("star diagnostics + CTE spelling: explain_mv_serve names the " +
+    "partial-star bail; a WITH-wrapped star query still serves (CTEs " +
+    "inline before the rule runs)") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d1 = freshName()
+    val d2 = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk1 BIGINT, fk2 BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d1 (pk1 BIGINT, a1 STRING)")
+    spark.sql(s"CREATE TABLE $d2 (pk2 BIGINT, a2 STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 7, 10), (2, 8, 20)")
+    spark.sql(s"INSERT INTO $d1 VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"INSERT INTO $d2 VALUES (7, 'p'), (8, 'q')")
+    val mvPath = s"$warehouse/main/${fn}_dgmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), s"${pathOf(d1)},${pathOf(d2)}", "fk1,fk2",
+      "pk1,pk2", mvPath, "a1,a2", "m")
+    // the partial star's bail reason surfaces through the CALL
+    val lines = spark.sql(
+      s"CALL cattest.system.explain_mv_serve(query => " +
+        s"'SELECT a1, sum(m) AS s FROM $f JOIN $d1 ON fk1 = pk1 " +
+        "GROUP BY a1')")
+      .collect().map(_.getString(0)).toSeq
+    assert(lines.exists(l => l.contains("2 dim(s)") &&
+      l.contains("the query 1")), lines.toString)
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      // a CTE spelling of the star inlines during optimization and
+      // serves exactly like the flat query
+      val cte = rule(spark.sql(
+        s"""WITH st AS (
+           |  SELECT a1, a2, m FROM $f
+           |  JOIN $d1 ON fk1 = pk1 JOIN $d2 ON fk2 = pk2)
+           |SELECT a1, sum(m) AS s, count(*) AS n
+           |FROM st GROUP BY a1""".stripMargin)
+        .queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(cte, mvPath),
+        "a CTE-wrapped star must still serve")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, cte)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("x", 10L), ("y", 20L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs inventories every MV with kind, watermark and " +
     "freshness; staleness flips on a source commit and back on REFRESH") {
     val t = freshName()
