@@ -727,6 +727,66 @@ class MvSpec extends SparkTestBase {
     assert(g4.getMessage.contains("distinct"))
   }
 
+  /** Mixed grain × multi-dim (round 16): a star MV whose key list is
+    * two dim attributes PLUS the derived fact day — the fold
+    * re-derives the grain over every delta before the chain
+    * enrichment, and the delete-recompute scopes on the dim members
+    * and re-derives the day over the admitted rows. */
+  test("a mixed-grain STAR MV (two dim attrs + derived day) folds " +
+    "appends and recomputes deletes exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val f = fresh("mgf")
+    val dA = fresh("mgda")
+    val dB = fresh("mgdb")
+    val mv = fresh("mgmv")
+    def ts(d: Int) = Timestamp.valueOf(f"2024-03-$d%02d 10:30:00")
+    SnapshotLog.commit(spark, dA, Seq(1L -> "x", 2L -> "y").toDF("apk", "aat"))
+    SnapshotLog.commit(spark, dB, Seq(7L -> "p", 8L -> "q").toDF("bpk", "bat"))
+    SnapshotLog.commit(
+      spark, f,
+      Seq((1L, 7L, ts(1), 10L), (1L, 7L, ts(1), 20L), (1L, 8L, ts(2), 30L),
+        (2L, 7L, ts(2), 40L)).toDF("afk", "bfk", "ts", "v"))
+    SnapshotLog.createJoinMv(
+      spark, f, s"$dA,$dB", "afk,bfk", "apk,bpk", mv, "aat,bat,day", "v",
+      keyExpr = Some("to_date(ts)"))
+    def mvState(): Set[(String, String, String, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString,
+          r.getLong(3), r.getLong(4))).toSet
+    def recompute(): Set[(String, String, String, Long, Long)] =
+      SnapshotLog.read(spark, f)
+        .withColumn("day", org.apache.spark.sql.functions.to_date(col("ts")))
+        .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"))
+        .join(SnapshotLog.read(spark, dB), col("bfk") === col("bpk"))
+        .groupBy(col("aat"), col("bat"), col("day"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString,
+          r.getLong(3), r.getLong(4))).toSet
+    assert(mvState() == recompute())
+    assert(mvState() == Set(
+      ("x", "p", "2024-03-01", 30L, 2L), ("x", "q", "2024-03-02", 30L, 1L),
+      ("y", "p", "2024-03-02", 40L, 1L)))
+    // an append folds (the day re-derives over the delta)
+    SnapshotLog.commit(
+      spark, f, Seq((2L, 8L, ts(3), 5L), (1L, 7L, ts(1), 1L))
+        .toDF("afk", "bfk", "ts", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recompute())
+    // a CoW delete recomputes its touched (aat, bat, day) group
+    SnapshotLog.deleteWhere(spark, f, "v", 30L, 30L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(mvState() == recompute())
+    assert(!mvState().exists(t => t._2 == "q" && t._3 == "2024-03-02"))
+    // and the dim refresh composes: y→z moves its groups wholesale
+    SnapshotLog.deleteWhere(spark, dA, "apk", 2L, 2L)
+    SnapshotLog.commit(spark, dA, Seq(2L -> "z").toDF("apk", "aat"))
+    SnapshotLog.refreshMvDim(spark, mv, dA)
+    assert(mvState() == recompute())
+    assert(mvState().exists(_._1 == "z") && !mvState().exists(_._1 == "y"))
+  }
+
   /** Concurrent-refresh detector (round 16): a fold computed from a
     * state another maintainer has since replaced must REFUSE at
     * commit time — committing it would clobber the other's work with
