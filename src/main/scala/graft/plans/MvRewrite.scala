@@ -1024,7 +1024,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // ledger is immutable per committed version, so pinning the pair
     // cannot race a concurrent refresh: a refresh only APPENDS new
     // versions). The props copy backs pre-header MVs (tip only).
-    val mvV: Int = SnapshotLog
+    val mvV0: Int = SnapshotLog
       .versionAtWatermark(spark, mvPath, "mvv", srcVersion)
       .orElse {
         if (SnapshotLog.committedWatermark(spark, mvPath, "mvv").isEmpty &&
@@ -1048,20 +1048,39 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // create-time props overlaid with every dim refresh's mvdv= rider
     // up to mvV (round 16: a dim-refreshed MV serves current-dim
     // queries from its tip and old-dim queries from its pre-refresh
-    // versions; both reads are exact against their own pins)
-    joinProbe.foreach { jp =>
-      val eff = SnapshotLog
-        .effectiveDimVersions(spark, mvPath, Some(mvV)).getOrElse(Nil)
-      jp.dims.zipWithIndex.foreach { case (dl, i) =>
-        if (!eff.lift(i).contains(dl.dimV)) {
-          MvRewrite.diag(s"$mvPath: DIM DRIFT — MV@v$mvV is pinned at " +
-            s"${dl.dimPath} v${eff.lift(i).map(_.toString).getOrElse("?")} " +
-            s"but the query reads dim v${dl.dimV}; a fact REFRESH cannot " +
-            "fix this — run CALL system.refresh_mv_dim(mv, dim) to fold " +
-            "the dim change in (or re-materialize)")
-          return None
-        }
-      }
+    // versions; both reads are exact against their own pins).
+    // Round 17 (the round-16 advisor's finding): a dim refresh
+    // re-commits with the fact watermark UNCHANGED, so the newest
+    // `mvv` span is the POST-refresh version — a query pinned at
+    // (fact@watermark, dim@oldPin) must probe the OLDER versions
+    // sharing the same `mvv` before bailing; each candidate's own
+    // effective pins decide. The common case (pins match at the
+    // newest span) stays one lookup.
+    val mvV: Int = joinProbe match {
+      case None => mvV0
+      case Some(jp) =>
+        val want: Seq[Int] = jp.dims.map(_.dimV)
+        def pinsAt(v: Int): Seq[Int] = SnapshotLog
+          .effectiveDimVersions(spark, mvPath, Some(v)).getOrElse(Nil)
+        if (pinsAt(mvV0) == want) mvV0
+        else SnapshotLog
+          .versionsAtWatermark(spark, mvPath, "mvv", srcVersion)
+          .find(v => v != mvV0 && pinsAt(v) == want)
+          .getOrElse {
+            val eff = pinsAt(mvV0)
+            val i = jp.dims.indices
+              .find(i => !eff.lift(i).contains(jp.dims(i).dimV))
+              .getOrElse(0)
+            val dl = jp.dims(i)
+            MvRewrite.diag(s"$mvPath: DIM DRIFT — no MV version folding " +
+              s"source@v$srcVersion is pinned at ${dl.dimPath} " +
+              s"v${dl.dimV} (MV@v$mvV0 pins " +
+              s"v${eff.lift(i).map(_.toString).getOrElse("?")}); a fact " +
+              "REFRESH cannot fix this — run CALL " +
+              "system.refresh_mv_dim(mv, dim) to fold the dim change in " +
+              "(or re-materialize)")
+            return None
+          }
     }
     // the key-shape grammar: which query-side expression IS the MV
     // key. Round 16 splits it in two: `plainKeys` match as bare

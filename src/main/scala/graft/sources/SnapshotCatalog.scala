@@ -4608,29 +4608,54 @@ private[sources] object SnapshotProcedures {
               if (fs.exists(p))
                 fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
               else Nil
+            // round 17 (advisor): the WHOLE per-table row computes
+            // inside Try — one table with a parseable props file but a
+            // corrupt log (or a malformed prop reaching toInt) must
+            // cost ITS row, not the catalog inventory. And `fresh`
+            // accounts for DIM DRIFT: a join MV is fresh only when its
+            // effective pins sit at every dim's tip — the fact
+            // watermark alone said fresh=true for an MV that refuses
+            // every tip read, the exact confusion this procedure
+            // exists to resolve.
             (for {
               ns <- dirs(whRoot)
               t <- dirs(ns)
-              props <- scala.util.Try(SnapshotLog.tableProps(spark, t.toString))
-                .toOption.toSeq
-              src <- props.get("mv_source").toSeq
-            } yield {
-              val wm = SnapshotLog
-                .committedWatermark(spark, t.toString, "mvv")
-                .orElse(props.get("mv_version")
-                  .flatMap(s => scala.util.Try(s.toInt).toOption))
-              val tip = scala.util.Try(
-                SnapshotLog.versions(spark, src).last).toOption
-              new GenericInternalRow(Array[Any](
-                org.apache.spark.unsafe.types.UTF8String
-                  .fromString(s"${ns.getName}.${t.getName}"),
-                org.apache.spark.unsafe.types.UTF8String.fromString(src),
-                org.apache.spark.unsafe.types.UTF8String
-                  .fromString(props.getOrElse("mv_kind", "sum")),
-                wm.getOrElse(-1),
-                tip.getOrElse(-1),
-                wm.isDefined && wm == tip))
-            }).sortBy(_.getUTF8String(0).toString)
+              row <- scala.util.Try {
+                val props = SnapshotLog.tableProps(spark, t.toString)
+                props.get("mv_source").map { src =>
+                  val wm = SnapshotLog
+                    .committedWatermark(spark, t.toString, "mvv")
+                    .orElse(props.get("mv_version")
+                      .flatMap(s => scala.util.Try(s.toInt).toOption))
+                  val tip = scala.util.Try(
+                    SnapshotLog.versions(spark, src).last).toOption
+                  val dimsFresh = props.get("mv_join_dim") match {
+                    case None => true
+                    case Some(dp) =>
+                      val ds =
+                        dp.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+                      SnapshotLog
+                        .effectiveDimVersions(spark, t.toString, None)
+                        .exists(eff => eff.size == ds.size &&
+                          ds.zip(eff).forall { case (d, p) =>
+                            scala.util.Try(
+                              SnapshotLog.versions(spark, d).last)
+                              .toOption.contains(p)
+                          })
+                  }
+                  new GenericInternalRow(Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(s"${ns.getName}.${t.getName}"),
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(src),
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(props.getOrElse("mv_kind", "sum")),
+                    wm.getOrElse(-1),
+                    tip.getOrElse(-1),
+                    wm.isDefined && wm == tip && dimsFresh))
+                }
+              }.toOption.flatten.toSeq
+            } yield row).sortBy(_.getUTF8String(0).toString)
           }
         )
       case "describe_mv" =>

@@ -4000,19 +4000,34 @@ object SnapshotLog {
   ): Option[Seq[Int]] =
     tableProps(spark, mv).get("mv_dim_version").map { dv =>
       val base = dv.split(',').map(_.trim.toInt)
-      versions(spark, mv)
+      // BACKWARD scan, latest-wins per index = first-seen per index
+      // walking down — with an early exit once every dim index has a
+      // rider (round 17, advisor: the forward walk read EVERY commit
+      // header on every call; this one stops as soon as the overlay
+      // is complete, so a freshly dim-refreshed MV reads one header,
+      // not O(versions)). An MV with no riders still walks to the
+      // floor — the walk is what proves their absence.
+      val seen = new Array[Boolean](base.length)
+      var remaining = base.length
+      val it = versions(spark, mv)
         .filter(v => upTo.forall(v <= _))
-        .foreach { v =>
-          headerToken(header(spark, mv, v), "mvdv").foreach { t =>
-            t.split(':') match {
-              case Array(i, nv) =>
-                val idx = scala.util.Try(i.toInt).getOrElse(-1)
-                if (idx >= 0 && idx < base.length)
-                  scala.util.Try(nv.toInt).foreach(base(idx) = _)
-              case _ => ()
-            }
+        .reverseIterator
+      while (remaining > 0 && it.hasNext) {
+        val v = it.next()
+        headerToken(header(spark, mv, v), "mvdv").foreach { t =>
+          t.split(':') match {
+            case Array(i, nv) =>
+              val idx = scala.util.Try(i.toInt).getOrElse(-1)
+              if (idx >= 0 && idx < base.length && !seen(idx))
+                scala.util.Try(nv.toInt).foreach { x =>
+                  base(idx) = x
+                  seen(idx) = true
+                  remaining -= 1
+                }
+            case _ => ()
           }
         }
+      }
       base.toSeq
     }
 
@@ -4104,6 +4119,47 @@ object SnapshotLog {
       i -= 1
     }
     ans
+  }
+
+  /** EVERY span top whose effective `<token>=` watermark equals
+    * `value`, newest first — the enumerating dual of
+    * [[versionAtWatermark]] for derived tables where SEVERAL spans can
+    * carry the same value: a dim refresh re-commits the rollup with
+    * the fact watermark UNCHANGED (`mvv=` repeats, only the `mvdv=`
+    * pin rider differs), so a reader pinned at (fact@value,
+    * dim@oldPin) must find the PRE-refresh span — the single-answer
+    * lookup always returns the post-refresh one (the round-16
+    * advisor's finding: the documented old-dim historical serve was
+    * dead code). Callers keep [[versionAtWatermark]] for the common
+    * one-header tip read and fall back to this walk only on a pin
+    * mismatch. Same span-truncation rules: a non-matching header or a
+    * headerless data-changing commit closes the span below it. */
+  def versionsAtWatermark(
+      spark: SparkSession,
+      table: String,
+      token: String,
+      value: Int
+  ): Seq[Int] = {
+    val vs = versions(spark, table).toIndexedSeq
+    if (vs.isEmpty) return Nil
+    var i = vs.length - 1
+    var spanTop: Int = vs.last
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    while (i >= 0) {
+      val v = vs(i)
+      val h = header(spark, table, v)
+      headerToken(h, token) match {
+        case Some(t) =>
+          // a header at v claims [v, spanTop]; the next (older) header's
+          // span tops out just below it, matching or not
+          if (t.toInt == value) out += spanTop
+          spanTop = v - 1
+        case None =>
+          if (!headerToken(h, "datachange").contains("false")) spanTop = v - 1
+      }
+      i -= 1
+    }
+    out.toSeq
   }
 
   /** Incremental MV refresh: reads ONLY `readChanges(asOf, tip)` of
@@ -4245,7 +4301,8 @@ object SnapshotLog {
     // name since the materialize, and the enrichment join would turn
     // ambiguous (or silently resolve wrong) — refuse loudly instead
     if (joinDims.nonEmpty) {
-      val clash = tableSchema(spark, source, to)
+      val factSchAtTo = tableSchema(spark, source, to)
+      val clash = factSchAtTo
         .map(s => keys.filterNot(k =>
           props.get("mv_fact_key").contains(k))
           .filter(s.fieldNames.contains)).getOrElse(Nil)
@@ -4255,6 +4312,29 @@ object SnapshotLog {
           s"${clash.mkString(", ")} sharing the MV's dim key name(s) — " +
           "the enrichment join would be ambiguous. Rename the fact " +
           "column or re-materialize the MV under fresh key names.")
+      // round 17 (advisor): also refuse a fact column added under a
+      // snowflake chain fk OWNED by a dim — enrich()'s cur(fkc) would
+      // turn ambiguous (and scopedSourceAtTo's fact-joined-dim pick,
+      // which tests factSch.contains(fk), would mis-classify the
+      // chain). Create-time ownership reads from the PINNED dim
+      // schemas, which are immutable.
+      val dimOwnedFks = joinDims.zipWithIndex.collect {
+        case ((_, _, f, _), j) if joinDims.zipWithIndex.exists {
+              case ((dp, w, _, _), i) =>
+                i != j &&
+                  tableSchema(spark, dp, w).exists(_.fieldNames.contains(f))
+            } =>
+          f
+      }
+      val fkClash = factSchAtTo
+        .map(s => dimOwnedFks.filter(s.fieldNames.contains))
+        .getOrElse(Nil)
+      require(
+        fkClash.isEmpty,
+        s"refreshMv: the fact schema at v$to now contains column(s) " +
+          s"${fkClash.mkString(", ")} sharing a dim-owned snowflake " +
+          "foreign key name — the enrichment join would be ambiguous. " +
+          "Rename the fact column or re-materialize the MV.")
     }
     // a mixed-grain join MV's derived fact key is NOT a dim column —
     // the dim enrichment carries only the dim-side key members
@@ -4700,6 +4780,30 @@ object SnapshotLog {
             "it; re-materialize under a fresh key name."))
     }
     val dimSchemaAt = (i: Int, ps: Seq[Int]) => tableSchema(spark, dimsL(i), ps(i))
+    // round 17 (advisor): the clash guard above covered dim KEY names
+    // only — a snowflake chain fk OWNED by a dim (e.g. c_nationkey on
+    // customer) that a fact column was later ADDED under flips
+    // fkOwnerOf below to "fact-owned" and makes the enrichment's
+    // cur(fkc) ambiguous — exactly the unreadable analyzer error this
+    // guard family exists to pre-empt. Create-time ownership is
+    // readable from the PINNED dim schemas (immutable), so the
+    // refusal is exact.
+    locally {
+      val dimOwnedFks = fksL.zipWithIndex.collect {
+        case (f, j) if dimsL.indices.exists(i =>
+          i != j && dimSchemaAt(i, pins).exists(_.fieldNames.contains(f))) =>
+          f
+      }
+      val fkClash = factSchema
+        .map(s => dimOwnedFks.filter(s.fieldNames.contains))
+        .getOrElse(Nil)
+      require(
+        fkClash.isEmpty,
+        s"refreshMvDim: the fact schema at v$watermark now contains " +
+          s"column(s) ${fkClash.mkString(", ")} sharing a dim-owned " +
+          "snowflake foreign key name — the enrichment join would be " +
+          "ambiguous. Rename the fact column or re-materialize the MV.")
+    }
     // per-dim own key members and fk ownership (create-time name
     // uniqueness makes schema membership the whole answer; pinned
     // schemas are immutable, so old/new agree except for the changed

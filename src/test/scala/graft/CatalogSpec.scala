@@ -4073,4 +4073,123 @@ class CatalogSpec extends SparkTestBase {
       assert(l6.count(_.startsWith("SERVED from")) == 1, l6.toString)
     } finally spark.conf.unset(graft.plans.MvRewrite.ConfKey)
   }
+
+  test("old-dim historical serving AFTER refresh_mv_dim: a query pinned " +
+    "at (fact@watermark, dim@oldPin) serves from the PRE-refresh MV " +
+    "version sharing the same mvv span — the round-16 advisor's dead " +
+    "path (versionAtWatermark returned only the newest span)") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_odmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m")
+    val dimV1 = SnapshotLog.versions(spark, pathOf(d)).last
+    // fact moves + fold: the MV's newest fact watermark becomes
+    // factV2...
+    spark.sql(s"INSERT INTO $f VALUES (1, 5)")
+    SnapshotLog.refreshMv(spark, mvPath)
+    val factV2 = SnapshotLog.versions(spark, pathOf(f)).last
+    // ...then the dim moves and refresh_mv_dim re-commits with the
+    // SAME mvv=factV2 and a bumped pin — two MV versions now share
+    // one fact-watermark span, differing only in effective dim pins
+    spark.sql(s"UPDATE $d SET seg = 'mach' WHERE pk = 1")
+    SnapshotLog.refreshMvDim(spark, mvPath, pathOf(d))
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // the current pair serves the NEW dim state (tip span, new pin)
+      val cur = plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(cur, mvPath))
+      assert(run(cur).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("mach", 35L)))
+      // the SAME fact watermark with the OLD dim pin must serve from
+      // the pre-refresh MV version — not bail with DIM DRIFT
+      val hist = plan(
+        s"SELECT seg, sum(m) AS s FROM $f VERSION AS OF $factV2 " +
+          s"JOIN $d VERSION AS OF $dimV1 ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(hist, mvPath),
+        "(fact@watermark, dim@oldPin) must serve from the pre-refresh " +
+          "MV version sharing the mvv span")
+      assert(run(hist).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("auto", 15L), ("mach", 20L)))
+      // a pin NO version ever carried still bails with the drift diag
+      spark.sql(s"UPDATE $d SET seg = 'fresh' WHERE pk = 2")
+      val newDimTip = SnapshotLog.versions(spark, pathOf(d)).last
+      val miss = spark.sql(
+        s"SELECT seg, sum(m) AS s FROM $f VERSION AS OF $factV2 " +
+          s"JOIN $d VERSION AS OF $newDimTip ON fk = pk GROUP BY seg")
+      assert(!MvRewrite.readsPath(
+        rule(miss.queryExecution.optimizedPlan), mvPath))
+      val lines = MvRewrite.explainServe(spark, miss)
+      assert(lines.exists(l => l.contains("DIM DRIFT") &&
+        l.contains("refresh_mv_dim")), lines.toString)
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
+    "with the fact watermark at tip (and refresh_mv_dim restores it); " +
+    "one corrupt table costs its row, never the inventory") {
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    val mvPath = s"$warehouse/main/${fn}_lfmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m")
+    def row(): org.apache.spark.sql.Row =
+      spark.sql("CALL cattest.system.list_mvs()")
+        .filter(org.apache.spark.sql.functions.col("mv") ===
+          s"main.${fn}_lfmv")
+        .collect() match {
+        case Array(r) => r
+        case other => fail(s"expected one row, got ${other.toSeq}")
+      }
+    assert(row().getBoolean(5), "fresh at create")
+    // the DIM moves; the fact watermark still equals the source tip,
+    // but every tip read now refuses (DIM DRIFT) — fresh must say so
+    spark.sql(s"UPDATE $d SET seg = 'mach' WHERE pk = 1")
+    assert(!row().getBoolean(5),
+      "a drifted dim must flip fresh=false — the MV refuses tip reads")
+    spark.sql(
+      s"CALL cattest.system.refresh_mv_dim(mv => 'main.${fn}_lfmv', " +
+        s"dim => '${d.split('.').drop(1).mkString(".")}')")
+    assert(row().getBoolean(5), "refresh_mv_dim must restore fresh=true")
+    // a poisoned table dir (props declare mv_source, log corrupt)
+    // must not take down the whole inventory
+    val bad = new java.io.File(s"$warehouse/main/zz_poisoned/_log")
+    bad.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(bad, "_props").toPath,
+      "mv_source=/nowhere\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(bad, "vGARBAGE.commit").toPath,
+      "not a commit\n".getBytes("UTF-8"))
+    try {
+      val rows = spark.sql("CALL cattest.system.list_mvs()").collect()
+      assert(rows.exists(_.getString(0) == s"main.${fn}_lfmv"),
+        "the healthy MV must survive a corrupt sibling")
+      assert(!rows.exists(_.getString(0) == "main.zz_poisoned"),
+        "the corrupt table costs its own row only")
+    } finally {
+      new java.io.File(bad, "_props").delete()
+      new java.io.File(bad, "vGARBAGE.commit").delete()
+      bad.delete()
+      new java.io.File(s"$warehouse/main/zz_poisoned").delete()
+    }
+  }
 }

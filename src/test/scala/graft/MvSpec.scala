@@ -1417,4 +1417,38 @@ class MvSpec extends SparkTestBase {
     val e3 = intercept[Exception](SnapshotLog.refreshMv(spark, mv))
     assert(e3.getMessage.contains("'rev'"))
   }
+
+  test("fk clash guard (round-17 advisor): a fact column later ADDED " +
+    "under a dim-owned snowflake fk name refuses the refresh loudly — " +
+    "the enrichment's cur(fk) would otherwise hit a raw analyzer " +
+    "ambiguity (or silently mis-scope the recompute)") {
+    import spark.implicits._
+    val f = fresh("fkcfact")
+    val c = fresh("fkccust")
+    val n = fresh("fkcnat")
+    val mv = fresh("fkcmv")
+    SnapshotLog.commit(
+      spark, c, Seq((1L, 10L), (2L, 20L)).toDF("cpk", "natfk"))
+    SnapshotLog.commit(
+      spark, n, Seq(10L -> "US", 20L -> "FR").toDF("npk", "nname"))
+    SnapshotLog.commit(
+      spark, f, Seq(1L -> 5L, 2L -> 7L).toDF("fk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, f, s"$c,$n", "fk,natfk", "cpk,npk", mv, "nname", "v")
+    // a benign evolution (fresh name) still folds
+    SnapshotLog.commit(
+      spark, f, Seq((1L, 3L, "x")).toDF("fk", "v", "note"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(SnapshotLog.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("US", 8L, 2L), ("FR", 7L, 1L)))
+    // the clash: "natfk" is the chain fk OWNED by customer — a fact
+    // column under that name makes the enrichment ambiguous
+    SnapshotLog.commit(
+      spark, f, Seq((2L, 9L, "y", 99L)).toDF("fk", "v", "note", "natfk"))
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.refreshMv(spark, mv))
+    assert(e.getMessage.contains("natfk") &&
+      e.getMessage.contains("foreign key"), e.getMessage)
+  }
 }
