@@ -3020,6 +3020,104 @@ object Scans {
     }
   }
 
+  /** CHEAPEST-MV candidate selection (round 17): ONE fact carries
+    * BOTH a daily and a monthly rollup, and the monthly dashboard
+    * query is admissible from EITHER — identity grain on the monthly
+    * MV, coarse re-aggregation on the daily. The serve rule used to
+    * take mv_refs registration order (the daily registered first
+    * here, deliberately); it now ranks admissible candidates by
+    * STORED LIVE ROWS from the manifest's `_rc` riders and answers
+    * from the monthly MV — at 100 TB the difference between scanning
+    * ~months rows and ~days rows, with zero extra data reads to
+    * decide (the ranking is O(manifest) driver metadata). Inline
+    * pins: the served plan reads the MONTHLY MV and neither the
+    * daily MV nor the source; explain_mv_serve names the chosen MV
+    * and the loser with both row counts. The oracle recomputes the
+    * months from source rows through the same append + CoW UPDATE
+    * both refreshes folded. */
+  val aggMvServeChoice: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_chsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_chmvd")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_chmvm")
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    e.createOrReplaceTempView("graft_chc_src")
+    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_chsrc
+         |(event_id BIGINT, ts TIMESTAMP, v BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_chsrc
+         |SELECT * FROM graft_chc_src WHERE event_id <= $half""".stripMargin)
+    // the DAILY MV registers FIRST — the old first-match rule would
+    // pick it for the monthly query below
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_chmvd AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.events_chsrc GROUP BY to_date(ts)""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_chmvm AS
+         |SELECT trunc(to_date(ts), 'month') AS mon,
+         |sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $cat.main.events_chsrc
+         |GROUP BY trunc(to_date(ts), 'month')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_chsrc
+         |SELECT * FROM graft_chc_src WHERE event_id > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.events_chsrc SET v = v + 3
+         |WHERE event_id % 9 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_chmvd")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_chmvm")
+    val qText =
+      s"""SELECT trunc(to_date(ts), 'month') AS mon,
+         |sum(v) AS sum_v, count(*) AS n
+         |FROM $cat.main.events_chsrc
+         |GROUP BY trunc(to_date(ts), 'month') ORDER BY mon""".stripMargin
+    val brute = spark.sql(qText)
+    val dailyPath = tmp("sql_warehouse") + "/main/events_chmvd"
+    val monthPath = tmp("sql_warehouse") + "/main/events_chmvm"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, monthPath),
+        "the monthly query must serve from the MONTHLY MV — the " +
+          "cheapest admissible candidate")
+      require(
+        !MvRewrite.readsPath(rewritten, dailyPath),
+        "the daily MV (registered first) must lose the ranking")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      // a FRESH DataFrame: brute's cached queryExecution was already
+      // rewritten under the conf, so the explain would see no source
+      // aggregate to narrate
+      val lines = MvRewrite.explainServe(spark, spark.sql(qText))
+      require(
+        lines.exists(l => l.contains("chose") &&
+          l.contains("events_chmvm") && l.contains("events_chmvd")),
+        s"explain must name the chosen MV and the loser: $lines")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** DATE-RANGE dashboard probe served from the daily MV (round 15,
     * closing the round-14 unconditional derived-key filter bail): the
     * single most common dashboard query — `... WHERE to_date(ts) >= X
@@ -6166,6 +6264,7 @@ object Scans {
     "agg_mv_serve_global" -> aggMvServeGlobal,
     "agg_mv_serve_daily" -> aggMvServeDaily,
     "agg_mv_serve_month" -> aggMvServeMonth,
+    "agg_mv_serve_choice" -> aggMvServeChoice,
     "agg_mv_serve_filtered" -> aggMvServeFiltered,
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
@@ -6467,6 +6566,18 @@ object Scans {
       """WITH src AS (SELECT event_id, ts,
         |  CAST(round(value * 100) AS BIGINT)
         |    + CASE WHEN event_id % 5 = 0 THEN 9 ELSE 0 END AS v
+        |  FROM events)
+        |SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mon,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the monthly query served from the MONTHLY MV (the cheapest of
+    // two admissible candidates) must equal the per-month recompute
+    // of the final source state
+    "agg_mv_serve_choice" ->
+      """WITH src AS (SELECT event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 9 = 0 THEN 3 ELSE 0 END AS v
         |  FROM events)
         |SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mon,
         |  CAST(sum(v) AS BIGINT) AS sum_v,

@@ -483,15 +483,79 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .toOption.flatMap(_.get("mv_refs")).toSeq
       .flatMap(_.split(',')).filter(_.nonEmpty)
 
+  /** serveManaged, crash-proofed: an optimizer rule must never break
+    * the query, but a Throwable out of the serve path used to vanish
+    * behind `Try(...).toOption` — a genuine serve-rule bug degraded to
+    * a silent non-serve with NOTHING in explain_mv_serve (round-16
+    * advisor). Route it into the diagnostic sink instead: the query
+    * still runs unrewritten, and the explain names the crash. */
+  private def tryServe(
+      agg: Aggregate,
+      condOpt: Option[Expression],
+      srcPath: String,
+      srcVersion: Int,
+      mvPath: String,
+      probe: Option[JoinProbe]
+  ): Option[LogicalPlan] =
+    try serveManaged(agg, condOpt, srcPath, srcVersion, mvPath, probe)
+    catch {
+      case scala.util.control.NonFatal(t) =>
+        MvRewrite.diag(s"$mvPath: serve attempt crashed: " +
+          s"${t.getClass.getSimpleName}: ${t.getMessage}")
+        None
+    }
+
+  /** Stored LIVE row count of an MV at its tip — the candidate-ranking
+    * currency (round 17): among several ADMISSIBLE MVs the smallest
+    * one wins, so a monthly dashboard with both a daily and a monthly
+    * rollup registered re-aggregates ~months rows, not ~days — at
+    * 100 TB the difference between a 12-row scan and a million-row
+    * one. Manifest `_rc`/`_dvc` riders make this O(manifest) driver
+    * metadata, zero file opens; an MV with any pre-rider file
+    * (unknown size) ranks after every known one but still serves when
+    * it is the only candidate. */
+  private def storedRows(mvPath: String): Long =
+    scala.util.Try {
+      val v = graft.sources.SnapshotLog.versions(spark, mvPath).last
+      val counts = graft.sources.SnapshotLog.liveRowCounts(spark, mvPath, v)
+      if (counts.exists(_._2.isEmpty)) Long.MaxValue
+      else counts.map(_._2.get).sum
+    }.getOrElse(Long.MaxValue)
+
+  /** Pick the cheapest admissible candidate (by stored rows, path as
+    * the deterministic tiebreak) and name the choice AND the losers in
+    * the diag sink — "which MV answered?" is the first question after
+    * "why didn't it serve?". One candidate skips the ranking walk. */
+  private def pickCheapest(
+      cands: Seq[(String, LogicalPlan)]
+  ): Option[LogicalPlan] = cands match {
+    case Seq()          => None
+    case Seq((_, only)) => Some(only)
+    case many =>
+      val ranked = many
+        .map { case (p, plan) => (p, plan, storedRows(p)) }
+        .sortBy(t => (t._3, t._1))
+      val (winner, plan, rows) = ranked.head
+      MvRewrite.diag(s"chose $winner ($rows stored rows) over " +
+        ranked.tail.map { case (p, _, r) =>
+          s"$p (${if (r == Long.MaxValue) "unknown" else r.toString} rows)"
+        }.mkString(", "))
+      Some(plan)
+  }
+
   private def rewriteManaged(agg0: Aggregate): Option[LogicalPlan] = {
     val agg = inlineGroupingProject(agg0)
+    // round 17: evaluate EVERY registered candidate and keep the
+    // cheapest admissible one — headOption took mv_refs registration
+    // order, serving a monthly query from the daily MV whenever the
+    // daily registered first. mv_refs lists are a handful of entries,
+    // so the extra verification is metadata-only per candidate.
     val plain = for {
       (condOpt, srcPath, srcVersion) <- managedSourceOf(agg.child)
-      plan <- mvRefsOf(srcPath).view.flatMap { mvPath =>
-        scala.util
-          .Try(serveManaged(agg, condOpt, srcPath, srcVersion, mvPath, None))
-          .toOption.flatten
-      }.headOption
+      plan <- pickCheapest(mvRefsOf(srcPath).flatMap { mvPath =>
+        tryServe(agg, condOpt, srcPath, srcVersion, mvPath, None)
+          .map(mvPath -> _)
+      })
     } yield plan
     plain
       .orElse(rewriteManagedJoin(agg))
@@ -598,7 +662,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey),
           (jm.rightPath, jm.rightV, jm.rightCond, jm.rightKey, jm.rightOut,
             jm.leftPath, jm.leftV, jm.leftCond, jm.leftKey))
-      orientations.view.flatMap {
+      pickCheapest(orientations.flatMap {
         case (fp, fv, fc, fkA, fOut, dp, dv, dc, pkA) =>
           // fact side: for an INNER probe the ONLY tolerable residual
           // is the inferred isnotnull(fk) — implied by the join, so
@@ -615,16 +679,15 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case (x, y)             => x.orElse(y)
             }
             mvRefsOf(fp).flatMap { mvPath =>
-              scala.util
-                .Try(serveManaged(
-                  agg, dimCond, fp, fv, mvPath,
-                  Some(JoinProbe(
-                    Seq(DimLink(dp, dv, fkA.name, pkA.name)), fOut,
-                    jm.joinType))))
-                .toOption.flatten
+              tryServe(
+                agg, dimCond, fp, fv, mvPath,
+                Some(JoinProbe(
+                  Seq(DimLink(dp, dv, fkA.name, pkA.name)), fOut,
+                  jm.joinType)))
+                .map(mvPath -> _)
             }
           }
-      }.headOption
+      })
     }
 
   // ------------------------------------------------------------------
@@ -698,13 +761,17 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .filter(sm => sm.leaves.size >= 3 && // ≥2 joins; 1 join = legacy path
         sm.edges.size == sm.leaves.size - 1)
       .flatMap { sm =>
-        sm.leaves.view.flatMap { factLeaf =>
-          mvRefsOf(factLeaf.path).view.flatMap { mvPath =>
-            scala.util
-              .Try(alignStar(agg, sm, factLeaf, mvPath))
-              .toOption.flatten
+        pickCheapest(sm.leaves.flatMap { factLeaf =>
+          mvRefsOf(factLeaf.path).flatMap { mvPath =>
+            (try alignStar(agg, sm, factLeaf, mvPath)
+             catch {
+               case scala.util.control.NonFatal(t) =>
+                 MvRewrite.diag(s"$mvPath: serve attempt crashed: " +
+                   s"${t.getClass.getSimpleName}: ${t.getMessage}")
+                 None
+             }).map(mvPath -> _)
           }
-        }.headOption
+        })
       }
 
   /** Align the query's leaf/edge sets with `mvPath`'s recorded join

@@ -2118,7 +2118,11 @@ class CatalogSpec extends SparkTestBase {
       val hv = plan(
         s"SELECT trunc(to_date(ts), 'month') AS mon, sum(v) AS s FROM $t " +
           "GROUP BY trunc(to_date(ts), 'month') HAVING sum(v) > 10")
-      assert(MvRewrite.readsPath(hv, dayPath), "HAVING must not block serve")
+      // round 17: with BOTH the daily and the month MV admissible,
+      // the cheapest-candidate ranking now answers from the MONTH MV
+      // (fewer stored rows) — the daily no longer wins on
+      // registration order
+      assert(MvRewrite.readsPath(hv, monPath), "HAVING must not block serve")
       assert(
         run(hv).collect().map(r => (r.getDate(0).toString, r.getLong(1)))
           .toSet == Set(("2024-06-01", 60L)))
@@ -4135,6 +4139,115 @@ class CatalogSpec extends SparkTestBase {
       val lines = MvRewrite.explainServe(spark, miss)
       assert(lines.exists(l => l.contains("DIM DRIFT") &&
         l.contains("refresh_mv_dim")), lines.toString)
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("a serve-path crash routes into the diagnostics instead of " +
+    "vanishing: a poisoned mvv header makes the candidate bail with " +
+    "'serve attempt crashed' while the query still runs unrewritten") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (1, 5), (2, 20)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_pmv AS
+         |SELECT k, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_pmv"
+    val rule = MvRollupRewriteRule(spark)
+    val q = s"SELECT k, sum(v) AS s FROM $t GROUP BY k"
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      assert(MvRewrite.readsPath(
+        rule(spark.sql(q).queryExecution.optimizedPlan), mvPath))
+      // poison the registry entry: the MV's newest commit header gets
+      // a non-numeric mvv — versionAtWatermark's toInt will THROW
+      // inside the serve rule, the exact shape Try(...).toOption used
+      // to swallow silently
+      val logDir = new java.io.File(s"$mvPath/_log")
+      val last = logDir.listFiles()
+        .filter(_.getName.matches("v\\d+\\.commit")).sortBy(_.getName).last
+      val bytes = new String(
+        java.nio.file.Files.readAllBytes(last.toPath), "UTF-8")
+      java.nio.file.Files.write(
+        last.toPath,
+        bytes.replaceAll("mvv=\\d+", "mvv=banana").getBytes("UTF-8"))
+      val p = rule(spark.sql(q).queryExecution.optimizedPlan)
+      assert(!MvRewrite.readsPath(p, mvPath),
+        "a crashing candidate must not serve")
+      // the query still answers, unrewritten
+      assert(spark.sql(q).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 15L), (2L, 20L)))
+      // and the crash is NAMED in the diagnostics — never silence.
+      // (On a local FS the out-of-band edit trips Hadoop's CRC first
+      // — ChecksumException rather than the header parser's
+      // NumberFormatException; either way the class and message
+      // surface instead of vanishing.)
+      val lines = MvRewrite.explainServe(spark, spark.sql(q))
+      assert(lines.exists(l => l.contains("serve attempt crashed") &&
+        l.contains("Exception")), lines.toString)
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
+  test("cheapest-MV selection: with a daily AND a monthly MV on one " +
+    "fact, the monthly query serves from the MONTHLY MV (fewer stored " +
+    "rows) and the explain names the winner and the loser; the daily " +
+    "query still serves from the daily MV (the monthly is inadmissible " +
+    "at day grain)") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES
+         |(TIMESTAMP'2024-01-03 10:00:00', 1),
+         |(TIMESTAMP'2024-01-04 11:00:00', 2),
+         |(TIMESTAMP'2024-02-05 12:00:00', 4),
+         |(TIMESTAMP'2024-02-05 13:00:00', 8),
+         |(TIMESTAMP'2024-03-09 14:00:00', 16)""".stripMargin)
+    // daily registers FIRST: the old first-match rule picked it
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_cd AS
+         |SELECT to_date(ts) AS day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY to_date(ts)""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_cm AS
+         |SELECT trunc(to_date(ts), 'month') AS mon,
+         |sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY trunc(to_date(ts), 'month')""".stripMargin)
+    val dPath = s"$warehouse/main/${tn}_cd"
+    val mPath = s"$warehouse/main/${tn}_cm"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      val qm = s"SELECT trunc(to_date(ts), 'month') AS mon, " +
+        s"sum(v) AS s, count(*) AS n FROM $t GROUP BY 1"
+      val pm = plan(qm)
+      assert(MvRewrite.readsPath(pm, mPath),
+        "the monthly query must serve from the monthly MV (3 rows, " +
+          "not the daily's 4)")
+      assert(!MvRewrite.readsPath(pm, dPath))
+      assert(run(pm).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet ==
+        Set(("2024-01-01", 3L, 2L), ("2024-02-01", 12L, 2L),
+          ("2024-03-01", 16L, 1L)))
+      val lines = MvRewrite.explainServe(spark, spark.sql(qm))
+      assert(lines.exists(l => l.contains("chose") &&
+        l.contains(s"${tn}_cm") && l.contains(s"${tn}_cd")),
+        lines.toString)
+      // the DAY-grain query cannot be answered from the monthly
+      // rollup — only the daily is admissible, and it serves
+      val qd = s"SELECT to_date(ts) AS day, sum(v) AS s FROM $t GROUP BY 1"
+      val pd = plan(qd)
+      assert(MvRewrite.readsPath(pd, dPath) &&
+        !MvRewrite.readsPath(pd, mPath))
+      assert(run(pd).collect().length == 4)
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
