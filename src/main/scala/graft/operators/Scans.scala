@@ -3118,6 +3118,165 @@ object Scans {
     }
   }
 
+  /** NULL GROUPING KEYS through the full MV lifecycle (round 17,
+    * driver-checking the round-16 addendum-#3 bug class forever): a
+    * NULL key is ONE group, but every fold join used to match keys
+    * with plain equality (NULL ≠ NULL) — the fold split the NULL
+    * group into two MV rows and the delete-recompute's anti-join let
+    * a stale NULL row survive its own recompute, silently wrong since
+    * round 12 and INVISIBLE to the oracle because no graded corpus
+    * carried NULL keys. This key's corpus does: every tenth order's
+    * group key is NULL, the kind is minmax (the delete-RECOMPUTE
+    * branch — the stale-row face of the bug), and a CoW DELETE
+    * touches the NULL group before the refresh folds. The inline pin
+    * requires exactly ONE NULL-group row in the served result; the
+    * DuckDB oracle groups NULLs natively, so the hash-match is the
+    * regression guard. */
+  val aggMvServeNullkey: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_nksrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_nkmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_custkey") % 50).cast("long").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    o.createOrReplaceTempView("graft_nk_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_nksrc
+         |(o_orderkey BIGINT, grp BIGINT, v BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_nksrc
+         |SELECT * FROM graft_nk_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_nkmv AS
+         |SELECT grp, min(v) AS mv_min, max(v) AS mv_max, count(*) AS mv_n
+         |FROM $cat.main.orders_nksrc GROUP BY grp""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_nksrc
+         |SELECT * FROM graft_nk_src WHERE o_orderkey > $half""".stripMargin)
+    // the CoW DELETE touches NULL-group rows too: their group must
+    // recompute (not survive stale, not split) through the null-safe
+    // delete-recompute joins
+    spark.sql(s"DELETE FROM $cat.main.orders_nksrc WHERE v % 13 = 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_nkmv")
+    val brute = spark.sql(
+      s"""SELECT grp, min(v) AS mn, max(v) AS mx, count(*) AS n
+         |FROM $cat.main.orders_nksrc GROUP BY grp ORDER BY grp""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_nkmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "NULL-key serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      val out = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+      require(
+        out.filter(col("grp").isNull).count() == 1L,
+        "the NULL group must be exactly ONE row in the served result " +
+          "(the fold-split bug produced two; the stale-survivor bug " +
+          "produced wrong partials)")
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
+  /** NULL DIM ATTRIBUTES through a join-MV lifecycle (round 17, the
+    * join face of the NULL-group class): the dim's attribute column —
+    * the MV's grouping key — is NULL for every seventh customer, so
+    * matched fact rows land in a NULL-attr group that every refresh
+    * fold must treat as ONE group through the null-safe key joins
+    * (distinct from a LEFT MV's unmatched bucket: these rows DID
+    * match). Append + CoW UPDATE fold through the enrichment; inline
+    * pin requires exactly one NULL-attr row served; DuckDB recomputes
+    * the join natively. */
+  val aggMvServeJoinNull: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_njsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_njdim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_njmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_nj_src")
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_mktsegment")).cast("string").as("seg"))
+      .createOrReplaceTempView("graft_nj_dim")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"CREATE TABLE $cat.main.cust_njdim (c_custkey BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $cat.main.cust_njdim SELECT * FROM graft_nj_dim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_njsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_njsrc
+         |SELECT * FROM graft_nj_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.orders_njsrc',
+         |dim => 'main.cust_njdim', fk => 'o_custkey', pk => 'c_custkey',
+         |mv => 'main.orders_njmv', key => 'seg', agg => 'cents')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_njsrc
+         |SELECT * FROM graft_nj_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_njsrc SET cents = cents + 6
+         |WHERE o_orderkey % 19 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_njmv")
+    val brute = spark.sql(
+      s"""SELECT seg, sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.orders_njsrc JOIN $cat.main.cust_njdim
+         |ON o_custkey = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_njmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "NULL-attr join serve did not fire")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      val out = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+      require(
+        out.filter(col("seg").isNull).count() == 1L,
+        "the NULL-attr group must be exactly ONE row in the served result")
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** DATE-RANGE dashboard probe served from the daily MV (round 15,
     * closing the round-14 unconditional derived-key filter bail): the
     * single most common dashboard query — `... WHERE to_date(ts) >= X
@@ -6265,6 +6424,8 @@ object Scans {
     "agg_mv_serve_daily" -> aggMvServeDaily,
     "agg_mv_serve_month" -> aggMvServeMonth,
     "agg_mv_serve_choice" -> aggMvServeChoice,
+    "agg_mv_serve_nullkey" -> aggMvServeNullkey,
+    "agg_mv_serve_join_null" -> aggMvServeJoinNull,
     "agg_mv_serve_filtered" -> aggMvServeFiltered,
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
@@ -6583,6 +6744,35 @@ object Scans {
         |  CAST(sum(v) AS BIGINT) AS sum_v,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the NULL-keyed minmax MV lifecycle (create at half, append,
+    // CoW DELETE touching the NULL group, refresh, serve) must equal
+    // the recompute of the final state — DuckDB groups NULLs natively,
+    // so a fold-split or stale NULL row breaks the hash
+    "agg_mv_serve_nullkey" ->
+      """WITH src AS (SELECT
+        |  CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |    ELSE CAST(o_custkey % 50 AS BIGINT) END AS grp,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders)
+        |SELECT grp, CAST(min(v) AS BIGINT) AS mn,
+        |  CAST(max(v) AS BIGINT) AS mx,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src WHERE v % 13 <> 0 GROUP BY grp ORDER BY grp""".stripMargin,
+    // the NULL-dim-attr join MV (matched rows whose grouping attr is
+    // NULL) must fold and serve as ONE group, equal to the join
+    // recompute of the final state
+    "agg_mv_serve_join_null" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 19 = 0 THEN 6 ELSE 0 END AS cents
+        |  FROM orders),
+        |d AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |    ELSE c_mktsegment END AS seg FROM customer)
+        |SELECT seg, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f JOIN d ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
     // the date-range probe transplanted onto the daily MV must equal
     // the filtered per-day recompute of the final source state
     "agg_mv_serve_filtered" ->
