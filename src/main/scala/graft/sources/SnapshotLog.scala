@@ -4887,13 +4887,103 @@ object SnapshotLog {
     }
     val joinHowHere = if (isLeft) "left_outer" else "inner"
     val next: DataFrame =
-      if (affKeys.isEmpty || nullBucketTouched) {
+      if (affKeys.isEmpty && !isLeft && (kind == "sum" || kind == "stats")) {
+        // PURE MATCH-FILTER DIM, invertible kind (round 17, closing
+        // the round-16 full-watermark fallback): the changed dim (and
+        // everything it feeds) owns no key member, so a pk change
+        // moves rows IN or OUT of groups keyed entirely by the fact
+        // and the OTHER dims — but the touched rows are EXACTLY those
+        // whose fk-chain passes a changed pk, and sum/stats partials
+        // subtract, so the change folds as a ±DELTA over the scoped
+        // fact files instead of re-aggregating the watermark. A group
+        // is NEVER re-read whole (its other rows may live anywhere);
+        // the delta touches only rows in files the changed-pk range
+        // admits — the keyed path's file discipline, row-exact after
+        // the semi. Cancellation makes attr-only churn free: a pk
+        // deleted and re-inserted yields identical +/− rows that
+        // cancel inside every group sum. Non-invertible kinds
+        // (minmax/distinct/hll) keep the full recompute below — a
+        // leaving row may BE the extremum/last value, and the group's
+        // remaining rows are unbounded by any pk list.
+        import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+        // back-propagate changed pks to fact-edge fk values (the
+        // ownership walk of the keyed path, seeded by the pks
+        // directly — a filter dim has no member tuples). Upstream
+        // dims' pins are unchanged (only dim idx moved), so ONE walk
+        // bounds rows affected under EITHER pin set.
+        var scopePks = changedPks.select(col("__graft_pk").as(pksL(idx)))
+        var scopeFkIdx = idx
+        var owner = fkOwnerOf(scopeFkIdx, newPins)
+        while (owner >= 0) {
+          val dOwn = read(spark, dimsL(owner), Some(newPins(owner)))
+          scopePks = dOwn
+            .join(scopePks,
+              dOwn(fksL(scopeFkIdx)) === scopePks(pksL(scopeFkIdx)),
+              "left_semi")
+            .select(col(pksL(owner))).distinct()
+          scopeFkIdx = owner
+          owner = fkOwnerOf(scopeFkIdx, newPins)
+        }
+        val scopeC = scopePks.localCheckpoint()
+        val (admit, _) = touchedFiles(
+          spark, source, fksL(scopeFkIdx), scopeC, Some(watermark))
+        val factScoped0 = readEntries(
+          spark, source,
+          entriesFor(manifestEntries(spark, source, watermark), admit),
+          tableSchema(spark, source, watermark))
+        val factScoped =
+          (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
+            case (Some(e), Some(fkn)) => factScoped0.withColumn(fkn, expr(e))
+            case _                    => factScoped0
+          }
+        // exact row bound (file admission is a stat superset)
+        val touched = factScoped.join(
+          scopeC,
+          factScoped(fksL(scopeFkIdx)) === scopeC(pksL(scopeFkIdx)),
+          "left_semi")
+        // matched rows under each pin set; identical rows cancel
+        val sgn = col("__graft_sign")
+        val signed = enrichAll(touched, newPins)
+          .withColumn("__graft_sign", lit(1L))
+          .unionByName(enrichAll(touched, oldPins)
+            .withColumn("__graft_sign", lit(-1L)))
+        val storedCols = mvOld.columns.filterNot(keys.contains).toSeq
+        def measureOf(c: String, prefix: String): String =
+          if (c == prefix) measures.head else c.stripPrefix(prefix + "_")
+        def deltaFor(c: String): org.apache.spark.sql.Column =
+          if (c == "mv_n") sum(sgn).as("d_" + c)
+          else if (c == "mv_sumsq" || c.startsWith("mv_sumsq_")) {
+            val m = measureOf(c, "mv_sumsq")
+            sum(col(m) * col(m) * sgn).as("d_" + c)
+          } else if (c == "mv_sum" || c.startsWith("mv_sum_")) {
+            val m = measureOf(c, "mv_sum")
+            sum(col(m) * sgn).as("d_" + c)
+          } else if (c == "mv_nn" || c.startsWith("mv_nn_")) {
+            val m = measureOf(c, "mv_nn")
+            sum(when(col(m).isNotNull, sgn).otherwise(lit(0L))).as("d_" + c)
+          } else
+            throw new IllegalStateException(
+              s"refreshMvDim: unexpected stored column '$c' for kind=$kind")
+        val deltaAggs = storedCols.map(deltaFor)
+        val delta = signed
+          .groupBy(keys.map(col): _*)
+          .agg(deltaAggs.head, deltaAggs.tail: _*)
+        // null-safe fold of the delta onto the live state — brand-new
+        // groups insert, emptied groups (mv_n reaches 0) vanish
+        val joined = mvOld.join(
+          delta, keys.map(k => mvOld(k) <=> delta(k)).reduce(_ && _),
+          "full_outer")
+        val keyed = keys.map(k => coalesce(mvOld(k), delta(k)).as(k))
+        val folded = storedCols.map(c =>
+          (coalesce(mvOld(c), lit(0L)) + coalesce(delta("d_" + c), lit(0L)))
+            .as(c))
+        joined.select(keyed ++ folded: _*).filter(col("mv_n") > 0)
+      } else if (affKeys.isEmpty || nullBucketTouched) {
         // the changed dim (and everything it feeds) owns NO key
-        // member — a pure match-filter, ANY pk change can move rows
-        // in or out of EVERY group — or a left MV's NULL bucket is in
-        // play (no pk list bounds unmatched rows): full recompute at
-        // the watermark (still cheaper than re-materialize: pins,
-        // refs and history survive)
+        // member and the kind's partials cannot subtract — or a left
+        // MV's NULL bucket is in play (no pk list bounds unmatched
+        // rows): full recompute at the watermark (still cheaper than
+        // re-materialize: pins, refs and history survive)
         val joined = enrichAll(factW, newPins, joinHowHere)
         if (kind == "distinct")
           distinctRollup(joined, keys, measures.head,

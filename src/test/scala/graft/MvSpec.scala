@@ -1418,6 +1418,106 @@ class MvSpec extends SparkTestBase {
     assert(e3.getMessage.contains("'rev'"))
   }
 
+  /** FILTER-DIM DELTA REFRESH (round 17): a dim that owns NO key
+    * member is a pure match-filter — round 16 recomputed the whole
+    * watermark for ANY change to it. Sum/stats partials subtract, so
+    * the change now folds as a ±delta over EXACTLY the fact rows
+    * whose fk-chain passes a changed pk, file-scoped by the manifest
+    * stats — a group is never re-read whole. */
+  test("filter-dim delta refresh: pk deletes/inserts on a keyless dim " +
+    "fold as a scoped ±delta (untouched shard's corrupted bytes never " +
+    "read), attr-only churn cancels to a no-op state, equality against " +
+    "the full recompute holds, and minmax keeps the full recompute") {
+    import spark.implicits._
+    val fact = fresh("fdfact")
+    val dA = fresh("fddima")
+    val dB = fresh("fddimb")
+    val mv = fresh("fdmv")
+    SnapshotLog.commit(
+      spark, dA, Seq(1L -> "x", 2L -> "y").toDF("apk", "aat"))
+    SnapshotLog.commit(
+      spark, dB,
+      Seq((10L, 1L), (11L, 1L), (1000L, 1L)).toDF("bpk", "bflag"))
+    // two bfk shards in two separate commits — per-file stats tight
+    // and disjoint
+    SnapshotLog.commit(
+      spark, fact,
+      Seq((1L, 10L, 5L), (2L, 10L, 7L), (1L, 11L, 11L))
+        .toDF("afk", "bfk", "v").coalesce(1))
+    SnapshotLog.commit(
+      spark, fact,
+      Seq((1L, 1000L, 70L), (2L, 1000L, 80L))
+        .toDF("afk", "bfk", "v").coalesce(1))
+    // keys come from dA; dB is a pure match-filter (owns no member)
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mv, "aat", "v")
+    def mvState(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def recompute(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, fact)
+        .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"))
+        .join(SnapshotLog.read(spark, dB), col("bfk") === col("bpk"))
+        .groupBy(col("aat"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mvState() == Set(("x", 86L, 3L), ("y", 87L, 2L)))
+    val outerFiles = SnapshotLog.read(spark, fact)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+      .filter { f =>
+        spark.read.parquet(f).agg(min(col("bfk"))).head.getLong(0) >= 1000L
+      }
+    assert(outerFiles.nonEmpty, "layout precondition: an outer-shard file")
+    // pk DELETE of 11 — row (1, 11, 11) leaves group x. The delta is
+    // bounded by bfk ∈ {11}: the outer shard (bfk=1000) must never be
+    // opened — corrupt it on disk to prove the discipline
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 11L, 11L)
+    val saved = outerFiles.map { f =>
+      val p = java.nio.file.Paths.get(new java.net.URI(f))
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      java.nio.file.Files.write(p, Array[Byte](0, 1, 2, 3))
+      (p, bytes)
+    }
+    try {
+      SnapshotLog.refreshMvDim(spark, mv, dB)
+    } finally saved.foreach { case (p, bytes) =>
+      java.nio.file.Files.write(p, bytes)
+    }
+    assert(mvState() == recompute())
+    assert(mvState() == Set(("x", 75L, 2L), ("y", 87L, 2L)))
+    // attr-only churn: pk 10 deleted and re-inserted with a changed
+    // non-key attribute — the +/− rows cancel inside every group
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 10L, 10L)
+    SnapshotLog.commit(spark, dB, Seq((10L, 2L)).toDF("bpk", "bflag"))
+    SnapshotLog.refreshMvDim(spark, mv, dB)
+    assert(mvState() == Set(("x", 75L, 2L), ("y", 87L, 2L)))
+    // a pk INSERT pulls the row back IN through the delta
+    SnapshotLog.commit(spark, dB, Seq((11L, 1L)).toDF("bpk", "bflag"))
+    SnapshotLog.refreshMvDim(spark, mv, dB)
+    assert(mvState() == recompute())
+    assert(mvState() == Set(("x", 86L, 3L), ("y", 87L, 2L)))
+    // deleting EVERY pk a group depends on empties it — the group
+    // row must vanish, not linger at zero
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 10L, 11L)
+    SnapshotLog.refreshMvDim(spark, mv, dB)
+    assert(mvState() == recompute())
+    assert(mvState() == Set(("x", 70L, 1L), ("y", 80L, 1L)))
+    // minmax through the same shape keeps the full recompute (a
+    // leaving row may BE the extremum) and stays exact
+    val mv2 = fresh("fdmv2")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mv2, "aat", "v",
+      kind = "minmax")
+    SnapshotLog.commit(spark, dB, Seq((10L, 3L)).toDF("bpk", "bflag"))
+    SnapshotLog.refreshMvDim(spark, mv2, dB)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(m2 == Set(("x", 5L, 70L, 2L), ("y", 7L, 80L, 2L)))
+  }
+
   test("fk clash guard (round-17 advisor): a fact column later ADDED " +
     "under a dim-owned snowflake fk name refuses the refresh loudly — " +
     "the enrichment's cur(fk) would otherwise hit a raw analyzer " +
