@@ -3277,6 +3277,118 @@ object Scans {
     }
   }
 
+  /** LEFT 2-dim STAR MV (round 17, lifting the r16 inner-only
+    * multi-dim guard): `fact LEFT JOIN d1 LEFT JOIN d2 GROUP BY
+    * d1.a, d2.b` — "revenue by segment × nation INCLUDING unmatched"
+    * — serves from a left star rollup whose NULL buckets are
+    * per-dim-combination first-class groups: (seg, NULL), (NULL,
+    * nname) and (NULL, NULL) all live in the hash. Customers divisible
+    * by 3 are absent from d1 and order keys ≡ 25..29 (mod 30) match no
+    * nation, so both partial buckets and the double bucket are
+    * populated at any SF. Append + CoW UPDATE fold through the left
+    * chain enrichment; inline pins: the served plan reads the MV with
+    * no join, and the INNER spelling of the same star never serves
+    * from it (cross-type bail). On 100 TB this replaces a two-join
+    * scan with an O(groups) read. */
+  val aggMvServeLeftStar: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_l2src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_l2dim")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.nat_l2dim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_l2mv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_orderkey") % 30).as("nk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_l2_src")
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("graft_l2_d1")
+    Tables
+      .nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name").as("nname"))
+      .createOrReplaceTempView("graft_l2_d2")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"CREATE TABLE $cat.main.cust_l2dim (c_custkey BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $cat.main.cust_l2dim SELECT * FROM graft_l2_d1")
+    spark.sql(
+      s"CREATE TABLE $cat.main.nat_l2dim (n_nationkey BIGINT, nname STRING)")
+    spark.sql(s"INSERT INTO $cat.main.nat_l2dim SELECT * FROM graft_l2_d2")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_l2src
+         |(o_orderkey BIGINT, o_custkey BIGINT, nk BIGINT,
+         |cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_l2src
+         |SELECT * FROM graft_l2_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.orders_l2src',
+         |dim => 'main.cust_l2dim,main.nat_l2dim',
+         |fk => 'o_custkey,nk', pk => 'c_custkey,n_nationkey',
+         |mv => 'main.orders_l2mv', key => 'seg,nname', agg => 'cents',
+         |join_type => 'left')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_l2src
+         |SELECT * FROM graft_l2_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_l2src SET cents = cents + 8
+         |WHERE o_orderkey % 21 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_l2mv")
+    val brute = spark.sql(
+      s"""SELECT seg, nname, sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.orders_l2src
+         |LEFT JOIN $cat.main.cust_l2dim ON o_custkey = c_custkey
+         |LEFT JOIN $cat.main.nat_l2dim ON nk = n_nationkey
+         |GROUP BY seg, nname ORDER BY seg, nname""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_l2mv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "left star serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      val out = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+      require(
+        out.filter(col("seg").isNull && col("nname").isNotNull)
+          .limit(1).count() == 1L &&
+          out.filter(col("seg").isNotNull && col("nname").isNull)
+            .limit(1).count() == 1L &&
+          out.filter(col("seg").isNull && col("nname").isNull)
+            .count() == 1L,
+        "all three NULL-bucket shapes must be live in the served result")
+      // cross-type bail: the INNER spelling must never serve from the
+      // left rollup (its buckets hold rows the inner join drops)
+      val inner = spark.sql(
+        s"""SELECT seg, nname, sum(cents) AS s
+           |FROM $cat.main.orders_l2src
+           |JOIN $cat.main.cust_l2dim ON o_custkey = c_custkey
+           |JOIN $cat.main.nat_l2dim ON nk = n_nationkey
+           |GROUP BY seg, nname""".stripMargin)
+      require(
+        !MvRewrite.readsPath(
+          rule(inner.queryExecution.optimizedPlan), mvPath),
+        "the inner star must not serve from the left star MV")
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** DATE-RANGE dashboard probe served from the daily MV (round 15,
     * closing the round-14 unconditional derived-key filter bail): the
     * single most common dashboard query — `... WHERE to_date(ts) >= X
@@ -6426,6 +6538,7 @@ object Scans {
     "agg_mv_serve_choice" -> aggMvServeChoice,
     "agg_mv_serve_nullkey" -> aggMvServeNullkey,
     "agg_mv_serve_join_null" -> aggMvServeJoinNull,
+    "agg_mv_serve_left_star" -> aggMvServeLeftStar,
     "agg_mv_serve_filtered" -> aggMvServeFiltered,
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
@@ -6773,6 +6886,24 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM f JOIN d ON o_custkey = c_custkey
         |GROUP BY seg ORDER BY seg""".stripMargin,
+    // the LEFT 2-dim star served from the left rollup must equal the
+    // two-left-join recompute of the final state — the per-dim NULL
+    // buckets ((seg, NULL), (NULL, nname), (NULL, NULL)) are all in
+    // the hash
+    "agg_mv_serve_left_star" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey,
+        |  o_orderkey % 30 AS nk,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 21 = 0 THEN 8 ELSE 0 END AS cents
+        |  FROM orders),
+        |d1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |  WHERE c_custkey % 3 <> 0),
+        |d2 AS (SELECT n_nationkey, n_name AS nname FROM nation)
+        |SELECT seg, nname, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f LEFT JOIN d1 ON o_custkey = c_custkey
+        |LEFT JOIN d2 ON nk = n_nationkey
+        |GROUP BY seg, nname ORDER BY seg, nname""".stripMargin,
     // the date-range probe transplanted onto the daily MV must equal
     // the filtered per-day recompute of the final source state
     "agg_mv_serve_filtered" ->

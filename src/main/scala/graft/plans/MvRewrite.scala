@@ -712,16 +712,24 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class StarMatch(
       conds: Seq[Expression], // Filters above joins (cross-leaf residuals)
       leaves: Seq[StarLeaf],
-      edges: Seq[(AttributeReference, AttributeReference)]
+      edges: Seq[(AttributeReference, AttributeReference)],
+      // None for a bare leaf; Some("inner"|"left") once a join is
+      // seen. A tree MIXING the two kinds never matches — an inner
+      // edge drops rows a left MV's buckets keep and vice versa.
+      joinType: Option[String]
   )
 
-  /** Collect a tree of INNER single-column equi-joins whose leaves
-    * are all managed snapshot scans. None for any other shape — the
-    * matcher only claims what the recorded-list alignment below can
-    * verify exactly. */
+  /** Collect a tree of single-column equi-joins whose leaves are all
+    * managed snapshot scans — every join INNER (any tree shape:
+    * ReorderJoin may rebalance), or every join LEFT OUTER in the
+    * left-deep parser shape with a single dim on each right side
+    * (left joins are not reordered, and the preserved side must stay
+    * the fact chain). None for any other shape — the matcher only
+    * claims what the recorded-list alignment below can verify
+    * exactly. */
   private def managedStarOf(plan: LogicalPlan): Option[StarMatch] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
-    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     def atoms(e: Expression): Seq[Expression] = e match {
       case And(x, y) => atoms(x) ++ atoms(y)
@@ -733,7 +741,8 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         managedStarOf(child)
       case Filter(cond, child) =>
         managedStarOf(child).map(sm => sm.copy(conds = cond +: sm.conds))
-      case j @ Join(l, r, Inner, Some(cond), _) =>
+      case j @ Join(l, r, jt, Some(cond), _)
+          if jt == Inner || jt == LeftOuter =>
         for {
           lm <- managedStarOf(l)
           rm <- managedStarOf(r)
@@ -745,13 +754,22 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             if (parts.forall(_.isDefined)) Some(parts.flatten) else None
           }
+          t <- {
+            val here = if (jt == LeftOuter) "left" else "inner"
+            val sub = Seq(lm.joinType, rm.joinType).flatten.distinct
+            if (sub.exists(_ != here)) None // mixed-type tree: bail
+            else if (here == "left" &&
+              (rm.leaves.size != 1 || rm.edges.nonEmpty)) None
+            else Some(here)
+          }
         } yield StarMatch(
           lm.conds ++ rm.conds,
           lm.leaves ++ rm.leaves,
-          lm.edges ++ rm.edges ++ es)
+          lm.edges ++ rm.edges ++ es,
+          Some(t))
       case other =>
         managedSourceOf(other).map { case (c, p, v) =>
-          StarMatch(Nil, Seq(StarLeaf(c, p, v, other.outputSet)), Nil)
+          StarMatch(Nil, Seq(StarLeaf(c, p, v, other.outputSet)), Nil, None)
         }
     }
   }
@@ -761,7 +779,13 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .filter(sm => sm.leaves.size >= 3 && // ≥2 joins; 1 join = legacy path
         sm.edges.size == sm.leaves.size - 1)
       .flatMap { sm =>
-        pickCheapest(sm.leaves.flatMap { factLeaf =>
+        // a LEFT chain preserves exactly one side — the deep-left
+        // leaf is the fact by construction; an inner star tries every
+        // leaf as the fact (the tree may have been reordered)
+        val factLeaves =
+          if (sm.joinType.contains("left")) sm.leaves.take(1)
+          else sm.leaves
+        pickCheapest(factLeaves.flatMap { factLeaf =>
           mvRefsOf(factLeaf.path).flatMap { mvPath =>
             (try alignStar(agg, sm, factLeaf, mvPath)
              catch {
@@ -845,15 +869,30 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "condition(s) beyond the recorded star; skipped")
       return None
     }
-    // every join-key attribute is non-null under the all-inner tree,
-    // so inferred isnotnull atoms strip from every leaf
+    // every join-key attribute is non-null under an all-inner tree,
+    // so inferred isnotnull atoms strip from every leaf. Under a LEFT
+    // chain NOTHING is implied (NULL-fk rows live in the buckets) —
+    // a leaf predicate there is a REAL predicate: a fact-side one
+    // references row-level values the rollup no longer has, and a
+    // dim-side one changes which rows fall into the NULL buckets (a
+    // pre-join dim filter moves its non-matches INTO the bucket,
+    // which the MV's buckets — folded against the UNFILTERED dim —
+    // do not reflect). Both refuse.
+    val starJoinType: String = sm.joinType.getOrElse("inner")
     val edgeAttrs: Seq[AttributeReference] =
       sm.edges.flatMap { case (a, b) => Seq(a, b) }
     def stripAll(cond: Option[Expression]): Option[Expression] =
-      edgeAttrs.foldLeft(cond)((c, k) => stripJoinNotNull(c, k))
+      if (starJoinType == "left") cond
+      else edgeAttrs.foldLeft(cond)((c, k) => stripJoinNotNull(c, k))
     if (stripAll(factLeaf.cond).nonEmpty) {
       MvRewrite.diag(s"$mvPath: a fact-side residual predicate " +
         "references measure-level values the rollup no longer has; " +
+        "skipped")
+      return None
+    }
+    if (starJoinType == "left" && dimLeaves.exists(_.cond.nonEmpty)) {
+      MvRewrite.diag(s"$mvPath: a dim-side predicate under a LEFT " +
+        "join changes the NULL-bucket membership the rollup folded; " +
         "skipped")
       return None
     }
@@ -864,7 +903,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rDims.indices.map(i =>
         DimLink(dimLeaves(i).path, dimLeaves(i).v, rFks(i), rPks(i))),
       factLeaf.out.map(_.exprId.id).toSet,
-      "inner")
+      starJoinType)
     serveManaged(agg, dimCond, factLeaf.path, factLeaf.v, mvPath,
       Some(probe))
   }

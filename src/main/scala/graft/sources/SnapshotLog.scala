@@ -3707,10 +3707,18 @@ object SnapshotLog {
       dimsL.distinct.size == dimsL.size,
       "createJoinMv: dim paths must be distinct — joining the same dim " +
         "twice would make the serve-side name match ambiguous")
-    require(
-      dimsL.size == 1 || joinType == "inner",
-      "createJoinMv: multi-dim MVs are inner-join only (left-outer " +
-        "NULL-bucket semantics do not compose across dims)")
+    // round 17: multi-dim LEFT MVs compose after all — each left
+    // enrichment preserves every fact row (pk unique per pinned dim),
+    // so the chain yields exactly one group per fact row with a NULL
+    // bucket PER DIM COMBINATION ((a, NULL), (NULL, b), (NULL, NULL)
+    // are four distinct first-class groups of a 2-dim left star),
+    // exactly as the LEFT JOIN query itself groups them. The r16
+    // inner-only refusal is lifted; the fold reuses the same per-dim
+    // left_outer enrichment, deletes keep the per-dim scoping
+    // soundness check (an all-NULL member tuple may be unmatched →
+    // that dim cannot scope it), and refreshMvDim falls back to the
+    // full left recompute for N>1 (no pk list bounds bucket moves
+    // across dims).
     val keyCols = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(keyCols.nonEmpty && measures.nonEmpty,
@@ -4406,21 +4414,27 @@ object SnapshotLog {
         // members cannot narrow a different dim's pks without joining
         // them, which would read more than it saves).
         // a LEFT MV's NULL bucket holds the fact rows with NO dim
-        // match — no pk list can bound where they live, so a delete
-        // touching it reads the fact at the watermark unscoped (the
-        // sound fallback); dim-boundable deletes keep the scoped path.
-        // Null-safe semi (dim attrs may themselves be NULL).
-        val nullBucketTouched = joinHow == "left_outer" && {
-          delKeys
-            .filter(dimKeys.map(k => col(k).isNull).reduce(_ && _))
-            .limit(1).count() > 0
-        }
+        // match — no pk list can bound where they live. Round 17
+        // (multi-dim left): the check is PER CANDIDATE DIM — a
+        // delete-touched tuple whose dim-i members are ALL NULL may
+        // come from rows unmatched AT dim i, so dim i cannot scope
+        // it, but a different dim whose members are non-NULL in every
+        // touched tuple still can ((a, NULL) scopes through dim 1).
+        // A partial NULL within one dim's members implies a MATCHED
+        // row (an unmatched row nulls the dim's whole member set),
+        // which the null-safe mapping below handles. The single-dim
+        // all-NULL test is the N=1 case; inner MVs skip the check.
+        // No qualifying dim → the fact at the watermark, unscoped.
         val factSch = tableSchema(spark, source, to)
         val scopeIdx: Option[Int] =
-          if (nullBucketTouched) None
-          else jds.indices.find { i =>
+          jds.indices.find { i =>
             factSch.exists(_.fieldNames.contains(jds(i)._3)) &&
-              dimSels(i)._1.nonEmpty
+              dimSels(i)._1.nonEmpty &&
+              (joinHow != "left_outer" ||
+                delKeys
+                  .filter(dimSels(i)._1.map(k => col(k).isNull)
+                    .reduce(_ && _))
+                  .limit(1).count() == 0)
           }
         val f0 = scopeIdx match {
           case Some(i) =>
@@ -4978,12 +4992,17 @@ object SnapshotLog {
           (coalesce(mvOld(c), lit(0L)) + coalesce(delta("d_" + c), lit(0L)))
             .as(c))
         joined.select(keyed ++ folded: _*).filter(col("mv_n") > 0)
-      } else if (affKeys.isEmpty || nullBucketTouched) {
+      } else if (affKeys.isEmpty || (isLeft && dimsL.size > 1) ||
+        nullBucketTouched) {
         // the changed dim (and everything it feeds) owns NO key
         // member and the kind's partials cannot subtract — or a left
         // MV's NULL bucket is in play (no pk list bounds unmatched
-        // rows): full recompute at the watermark (still cheaper than
-        // re-materialize: pins, refs and history survive)
+        // rows; for a MULTI-dim left MV any pk change can move rows
+        // across per-dim-combination buckets, so N>1 always takes
+        // this branch — checked BEFORE nullBucketTouched, whose
+        // downstream walk is inner-chained): full recompute at the
+        // watermark (still cheaper than re-materialize: pins, refs
+        // and history survive)
         val joined = enrichAll(factW, newPins, joinHowHere)
         if (kind == "distinct")
           distinctRollup(joined, keys, measures.head,

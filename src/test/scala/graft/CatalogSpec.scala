@@ -4251,6 +4251,70 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("LEFT 2-dim star serving: the NULL-bucket combinations are " +
+    "first-class served groups; an INNER query never serves from the " +
+    "left MV (and vice versa); a mixed inner/left tree never matches") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val da = freshName()
+    val db = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (afk BIGINT, bfk BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $da (apk BIGINT, aat STRING)")
+    spark.sql(s"CREATE TABLE $db (bpk BIGINT, bat STRING)")
+    spark.sql(
+      s"""INSERT INTO $f VALUES (1, 7, 10), (1, 99, 20), (99, 7, 30),
+         |(99, 99, 40), (2, 8, 50)""".stripMargin)
+    spark.sql(s"INSERT INTO $da VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"INSERT INTO $db VALUES (7, 'p'), (8, 'q')")
+    val mvPath = s"$warehouse/main/${fn}_l2mv"
+    spark.sql(
+      s"""CALL cattest.system.create_join_mv(fact => 'main.${fn}',
+         |dim => 'main.${da.split('.').last},main.${db.split('.').last}',
+         |fk => 'afk,bfk', pk => 'apk,bpk', mv => 'main.${fn}_l2mv',
+         |key => 'aat,bat', agg => 'v', join_type => 'left')""".stripMargin)
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      val lq =
+        s"SELECT aat, bat, sum(v) AS s, count(*) AS n FROM $f " +
+          s"LEFT JOIN $da ON afk = apk LEFT JOIN $db ON bfk = bpk " +
+          "GROUP BY aat, bat"
+      val served = plan(lq)
+      assert(MvRewrite.readsPath(served, mvPath),
+        "the LEFT 2-dim star must serve from the left star MV")
+      assert(!served.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
+      assert(run(served).collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3))).toSet ==
+        Set(
+          (Some("x"), Some("p"), 10L, 1L), (Some("x"), None, 20L, 1L),
+          (None, Some("p"), 30L, 1L), (None, None, 40L, 1L),
+          (Some("y"), Some("q"), 50L, 1L)),
+        "all four NULL-bucket combinations must be live in the result")
+      // cross-type: the INNER star never serves from the left MV —
+      // its buckets hold rows the inner join drops
+      val iq =
+        s"SELECT aat, bat, sum(v) AS s FROM $f " +
+          s"JOIN $da ON afk = apk JOIN $db ON bfk = bpk GROUP BY aat, bat"
+      assert(!MvRewrite.readsPath(plan(iq), mvPath),
+        "an inner star must not serve from a left star MV")
+      val lines = MvRewrite.explainServe(spark, spark.sql(iq))
+      assert(lines.exists(_.contains("left-join rollup")), lines.toString)
+      // a MIXED tree (left then inner) matches nothing
+      val mq =
+        s"SELECT aat, bat, sum(v) AS s FROM $f " +
+          s"LEFT JOIN $da ON afk = apk JOIN $db ON bfk = bpk " +
+          "GROUP BY aat, bat"
+      assert(!MvRewrite.readsPath(plan(mq), mvPath),
+        "a mixed inner/left tree must never match the star MV")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
     "with the fact watermark at tip (and refresh_mv_dim restores it); " +
     "one corrupt table costs its row, never the inventory") {

@@ -1418,6 +1418,90 @@ class MvSpec extends SparkTestBase {
     assert(e3.getMessage.contains("'rev'"))
   }
 
+  /** MULTI-DIM LEFT STAR MVs (round 17, lifting the r16 inner-only
+    * guard): each left enrichment preserves every fact row (pk unique
+    * per pinned dim), so the chain yields NULL buckets per dim
+    * COMBINATION — (x, NULL), (NULL, p), (NULL, NULL) are distinct
+    * first-class groups. */
+  test("multi-dim LEFT star: create + fold keep every NULL-bucket " +
+    "combination exact through appends, CoW deletes and a minmax " +
+    "delete scoped through the non-NULL dim; dim refresh falls back " +
+    "to the full left recompute") {
+    import spark.implicits._
+    val f = fresh("lsfact")
+    val dA = fresh("lsda")
+    val dB = fresh("lsdb")
+    val mv = fresh("lsmv")
+    SnapshotLog.commit(spark, dA, Seq(1L -> "x", 2L -> "y").toDF("apk", "aat"))
+    SnapshotLog.commit(spark, dB, Seq(7L -> "p", 8L -> "q").toDF("bpk", "bat"))
+    SnapshotLog.commit(
+      spark, f,
+      Seq((1L, 7L, 10L), (1L, 99L, 20L), (99L, 7L, 30L), (99L, 99L, 40L),
+        (2L, 8L, 50L)).toDF("afk", "bfk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, f, s"$dA,$dB", "afk,bfk", "apk,bpk", mv, "aat,bat", "v",
+      joinType = "left")
+    def st(): Set[(Option[String], Option[String], Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3))).toSet
+    def rec(): Set[(Option[String], Option[String], Long, Long)] =
+      SnapshotLog.read(spark, f)
+        .join(SnapshotLog.read(spark, dA),
+          col("afk") === col("apk"), "left_outer")
+        .join(SnapshotLog.read(spark, dB),
+          col("bfk") === col("bpk"), "left_outer")
+        .groupBy(col("aat"), col("bat"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3))).toSet
+    assert(st() == rec())
+    assert(st() == Set(
+      (Some("x"), Some("p"), 10L, 1L), (Some("x"), None, 20L, 1L),
+      (None, Some("p"), 30L, 1L), (None, None, 40L, 1L),
+      (Some("y"), Some("q"), 50L, 1L)))
+    // appends fold into the buckets like any other group
+    SnapshotLog.commit(
+      spark, f, Seq((1L, 99L, 1L), (99L, 99L, 2L)).toDF("afk", "bfk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(st() == rec())
+    assert(st().contains((None, None, 42L, 2L)))
+    // a CoW delete of a (NULL, NULL)-bucket row inverts through the
+    // sum fold
+    SnapshotLog.deleteWhere(spark, f, "v", 40L, 40L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(st() == rec())
+    assert(st().contains((None, None, 2L, 1L)))
+    // minmax: a delete touching the PARTIAL-NULL bucket (NULL, p)
+    // recomputes it scoped through dim B (its member is non-NULL in
+    // the touched tuple; dim A cannot scope an all-NULL member set)
+    val mv2 = fresh("lsmv2")
+    SnapshotLog.createJoinMv(
+      spark, f, s"$dA,$dB", "afk,bfk", "apk,bpk", mv2, "aat,bat", "v",
+      kind = "minmax", joinType = "left")
+    SnapshotLog.deleteWhere(spark, f, "v", 30L, 30L)
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(!m2.exists(t => t._1.isEmpty && t._2 == Some("p")),
+      "the (NULL, p) bucket lost its only row — it must vanish")
+    assert(m2.contains((Some("x"), Some("p"), 10L, 10L, 1L)))
+    // fold the v=30 fact delete into mv too (its watermark must reach
+    // the tip before rec(), which reads the tip, can compare)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(st() == rec())
+    // a dim refresh on a multi-dim LEFT MV takes the full left
+    // recompute (any pk change can move rows across buckets) and
+    // stays exact against the new pin
+    SnapshotLog.deleteWhere(spark, dA, "apk", 2L, 2L)
+    SnapshotLog.commit(spark, dA, Seq(2L -> "z").toDF("apk", "aat"))
+    SnapshotLog.refreshMvDim(spark, mv, dA)
+    assert(st() == rec())
+    assert(st().exists(_._1 == Some("z")))
+  }
+
   /** FILTER-DIM DELTA REFRESH (round 17): a dim that owns NO key
     * member is a pure match-filter — round 16 recomputed the whole
     * watermark for ANY change to it. Sum/stats partials subtract, so
