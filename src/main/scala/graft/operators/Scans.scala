@@ -3277,6 +3277,73 @@ object Scans {
     }
   }
 
+  /** EXPRESSION-MEASURE DISTINCT MV (round 17): `count(DISTINCT
+    * cents % 97 - 48)` — a distinct count over a DERIVED value —
+    * serves from a bitmap rollup whose measure is the declared
+    * expression, materialized at create and re-derived over every
+    * refresh delta (the round-16 expression machinery composed with
+    * the distinct kind). Integral expression ⇒ the exact bitmap
+    * route, so the DuckDB recompute hash-matches. Lifecycle: create
+    * at half, append, CoW DELETE (touched groups recompute the
+    * expression at the watermark), refresh, serve. */
+  val aggMvServeDistinctExpr: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_dxsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_dxmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 50).cast("long").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_dx_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_dxsrc
+         |(o_orderkey BIGINT, grp BIGINT, cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_dxsrc
+         |SELECT * FROM graft_dx_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_mv(source => 'main.orders_dxsrc',
+         |mv => 'main.orders_dxmv', key => 'grp', agg => 'dx',
+         |kind => 'distinct',
+         |agg_expr => 'cents % 97 - 48')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_dxsrc
+         |SELECT * FROM graft_dx_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.main.orders_dxsrc WHERE cents % 11 = 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_dxmv")
+    val brute = spark.sql(
+      s"""SELECT grp, count(DISTINCT cents % 97 - 48) AS du,
+         |count(*) AS n
+         |FROM $cat.main.orders_dxsrc GROUP BY grp ORDER BY grp""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_dxmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "distinct-expression serve did not fire: the plan does not " +
+          "read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** LEFT 2-dim STAR MV (round 17, lifting the r16 inner-only
     * multi-dim guard): `fact LEFT JOIN d1 LEFT JOIN d2 GROUP BY
     * d1.a, d2.b` — "revenue by segment × nation INCLUDING unmatched"
@@ -6539,6 +6606,7 @@ object Scans {
     "agg_mv_serve_nullkey" -> aggMvServeNullkey,
     "agg_mv_serve_join_null" -> aggMvServeJoinNull,
     "agg_mv_serve_left_star" -> aggMvServeLeftStar,
+    "agg_mv_serve_distinct_expr" -> aggMvServeDistinctExpr,
     "agg_mv_serve_filtered" -> aggMvServeFiltered,
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
@@ -6886,6 +6954,18 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM f JOIN d ON o_custkey = c_custkey
         |GROUP BY seg ORDER BY seg""".stripMargin,
+    // the distinct count over a DERIVED value served from the
+    // expression-measure bitmap MV must equal the recompute of the
+    // final state (integral expression → exact bitmaps, no hashing)
+    "agg_mv_serve_distinct_expr" ->
+      """WITH src AS (SELECT CAST(o_custkey % 50 AS BIGINT) AS grp,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT grp,
+        |  CAST(count(DISTINCT cents % 97 - 48) AS BIGINT) AS du,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src WHERE cents % 11 <> 0
+        |GROUP BY grp ORDER BY grp""".stripMargin,
     // the LEFT 2-dim star served from the left rollup must equal the
     // two-left-join recompute of the final state — the per-dim NULL
     // buckets ((seg, NULL), (NULL, nname), (NULL, NULL)) are all in

@@ -1415,6 +1415,14 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case AggregateExpression(
                 Count(Seq(x: AttributeReference)), Complete, true, None, _) =>
             x.name == meas && factSide(x)
+          // round 17: count(DISTINCT <expr>) serves when the MV's
+          // measure is the DECLARED expression — matched by semantic
+          // equality of the resolved catalyst trees, never by name
+          // (the declared name is guarded against source columns, so
+          // the two arms can never race)
+          case AggregateExpression(
+                Count(Seq(x)), Complete, true, None, _) =>
+            measExpr.exists(_.semanticEquals(x))
           case _ => false
         }
       }

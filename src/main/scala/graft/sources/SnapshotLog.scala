@@ -3423,11 +3423,19 @@ object SnapshotLog {
       require(
         !e.contains('\n') && !e.contains('='),
         s"createMv: measure expression must be props-safe: $e"))
+    // round 17: kind='distinct' composes with an expression measure —
+    // the expression materializes under the declared name BEFORE the
+    // bitmap rollup (and re-derives over every refresh delta exactly
+    // like the sum kinds), so `count(DISTINCT cents * (100 - d))`
+    // serves. The integral-or-hashDistinct gate below then judges the
+    // EXPRESSION's resolved type. hll keeps the refusal: an
+    // approximate sketch of a derived value is better served by
+    // materializing the column where its lineage is auditable.
     require(
-      aggExpr.isEmpty || (kind != "distinct" && kind != "hll"),
+      aggExpr.isEmpty || kind != "hll",
       "createMv: an expression measure does not combine with " +
-        "kind='distinct'/'hll' (their partials need a declared source " +
-        "column); materialize the expression as a real column first")
+        "kind='hll' (the sketch needs a declared source column); " +
+        "materialize the expression as a real column first")
     // COMPOSITE keys (round 15): `keyCol` may be a comma-joined list
     // ("region,status") — the rollup groups by all of them, the props
     // record the list verbatim, and the serve rule answers the full
@@ -3511,8 +3519,10 @@ object SnapshotLog {
         "createMv: kind='distinct' maintains exact COUNT(DISTINCT m) " +
           "bitmap partials for ONE measure — a second distinct-counted " +
           "column has its own bucket space; create one MV per column")
-      val mt = tableSchema(spark, source, tip)
-        .flatMap(s => s.fields.find(_.name == measures.head))
+      // the measure's type judged AFTER materialization, so an
+      // expression measure gates on the expression's RESOLVED type
+      // (round 17 — a plain column resolves identically to before)
+      val mt = base.schema.fields.find(_.name == measures.head)
         .map(_.dataType)
       require(
         hashDistinct || mt.exists(t =>
@@ -3527,10 +3537,9 @@ object SnapshotLog {
           "hashDistinct = true (exact up to 64-bit hash collisions)")
     }
     if (kind == "distinct") {
-      val base0 = read(spark, source, Some(tip))
       val based = keyExpr match {
-        case Some(e) => base0.withColumn(keyCol, expr(e))
-        case None    => base0
+        case Some(e) => base.withColumn(keyCol, expr(e))
+        case None    => base
       }
       val m = distinctRollup(based, keyCols, measures.head, hashDistinct)
         .localCheckpoint()
@@ -3547,6 +3556,7 @@ object SnapshotLog {
           "mv_kind" -> kind,
           "mv_version" -> tip.toString) ++
           keyExpr.map("mv_key_expr" -> _) ++
+          aggExpr.map("mv_agg_expr" -> _) ++
           (if (hashDistinct) Some("mv_distinct_hash" -> "true") else None))
       addMvRef(spark, source, mv)
       return tip

@@ -4315,6 +4315,50 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("count(DISTINCT <expr>) serves from the expression-measure " +
+    "distinct MV by semantic equality; a DIFFERENT expression and the " +
+    "bare stored name both bail") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT, d BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES (1, 10, 1), (1, 10, 1), (1, 20, 2),
+         |(2, 30, 1), (2, 30, 2)""".stripMargin)
+    spark.sql(
+      s"""CALL cattest.system.create_mv(source => 'main.$tn',
+         |mv => 'main.${tn}_dxmv', key => 'k', agg => 'dx',
+         |kind => 'distinct', agg_expr => 'v + 100 * d')""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_dxmv"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val q = s"SELECT k, count(DISTINCT v + 100 * d) AS du, " +
+        s"count(*) AS n FROM $t GROUP BY k"
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath),
+        "count(DISTINCT <declared expr>) must serve from the bitmap MV")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set((1L, 2L, 3L), (2L, 2L, 2L)))
+      // GLOBAL re-aggregation ORs the bucket bitmaps across keys:
+      // 110 and 230 repeat across groups? (110,220 | 130,230) → 4
+      val gl = plan(s"SELECT count(DISTINCT v + 100 * d) AS du FROM $t")
+      assert(MvRewrite.readsPath(gl, mvPath))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, gl)
+        .collect()(0).getLong(0) == 4L)
+      // a DIFFERENT expression is not the declared measure
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, count(DISTINCT v + 101 * d) AS du FROM $t GROUP BY k"),
+        mvPath), "a different expression must bail")
+      // the bare stored name is not a source column — nothing matches
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, count(DISTINCT v) AS du FROM $t GROUP BY k"), mvPath),
+        "count(DISTINCT v) is not the declared expression")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
     "with the fact watermark at tip (and refresh_mv_dim restores it); " +
     "one corrupt table costs its row, never the inventory") {

@@ -1418,6 +1418,73 @@ class MvSpec extends SparkTestBase {
     assert(e3.getMessage.contains("'rev'"))
   }
 
+  /** EXPRESSION-MEASURE DISTINCT MVs (round 17): `count(DISTINCT
+    * <expr>)` — the declared expression materializes under the stored
+    * name BEFORE the bitmap rollup and re-derives over every refresh
+    * delta, composing the round-16 expression machinery with the
+    * distinct kind's fold/recompute discipline. */
+  test("distinct + expression measure: inserts fold by bitmap OR over " +
+    "the re-derived expression, delete-touched groups recompute it at " +
+    "the watermark, the hashed route covers non-integral expressions, " +
+    "and hll + expression still refuses") {
+    import spark.implicits._
+    def rows(s: Seq[(Long, Long, Long)]) = s.toDF("k", "v", "d")
+    val src = fresh("dxsrc")
+    val mv = fresh("dxmv")
+    SnapshotLog.commit(
+      spark, src,
+      rows(Seq((1L, 10L, 1L), (1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L))))
+    SnapshotLog.createMv(
+      spark, src, mv, "k", "dx", kind = "distinct",
+      aggExpr = Some("v + 100 * d"))
+    def state(m: String): Map[Long, Long] =
+      SnapshotLog.read(spark, m)
+        .groupBy(col("k")).agg(sum(col("mv_dc")).as("du"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recompute(): Map[Long, Long] =
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"))
+        .agg(countDistinct(col("v") + lit(100L) * col("d")).as("du"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=1: {110, 110, 220} → 2 distinct; k=2: {130} → 1
+    assert(state(mv) == recompute())
+    assert(state(mv) == Map(1L -> 2L, 2L -> 1L))
+    // an insert with a NEW derived value folds by bitmap OR; one with
+    // a SEEN derived value must not inflate the count
+    SnapshotLog.commit(spark, src, rows(Seq((1L, 10L, 2L), (2L, 30L, 1L))))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state(mv) == recompute())
+    assert(state(mv) == Map(1L -> 3L, 2L -> 1L))
+    // a CoW delete recomputes the touched group, re-deriving the
+    // expression at the watermark (one 130-row survives for k=2)
+    SnapshotLog.deleteWhere(spark, src, "d", 2L, 2L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state(mv) == recompute())
+    assert(state(mv) == Map(1L -> 1L, 2L -> 1L))
+    // the HASHED route covers a non-integral (string) expression
+    val mv2 = fresh("dxmv2")
+    SnapshotLog.createMv(
+      spark, src, mv2, "k", "sx", kind = "distinct",
+      aggExpr = Some("concat('p', CAST(v AS STRING))"),
+      hashDistinct = true)
+    assert(state(mv2) ==
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"))
+        .agg(countDistinct(concat(lit("p"), col("v").cast("string")))
+          .as("du"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // a non-integral expression WITHOUT the hash declaration refuses
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "nx", kind = "distinct",
+      aggExpr = Some("CAST(v AS STRING)")))
+    assert(e1.getMessage.contains("integral"))
+    // hll + expression keeps the refusal
+    val e2 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "hx", kind = "hll",
+      aggExpr = Some("v + d")))
+    assert(e2.getMessage.contains("hll"))
+  }
+
   /** MULTI-DIM LEFT STAR MVs (round 17, lifting the r16 inner-only
     * guard): each left enrichment preserves every fact row (pk unique
     * per pinned dim), so the chain yields NULL buckets per dim
