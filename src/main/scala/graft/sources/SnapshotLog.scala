@@ -3341,6 +3341,38 @@ object SnapshotLog {
         (parts(0).toLong, parts(1).toLong)
       }
 
+  /** True iff a DATA-CHANGING commit with no `mvfp=` rider sits ABOVE
+    * the newest fold — the only way the MV's rows can differ from that
+    * fold's recorded output through the commit protocol (every
+    * maintenance write stamps mvfp; compaction and clustering are
+    * datachange=false and preserve rows). Round 17: gates the
+    * pre-fold fingerprint VERIFICATION — the common case (a clean
+    * ledger) reads one header instead of paying a full-MV distributed
+    * aggregate per refresh, and a suspicious ledger still gets the
+    * authoritative content check (which may PASS, e.g. a foreign
+    * commit that landed identical rows). Out-of-band byte edits that
+    * bypass the commit protocol entirely are outside this threat
+    * model — they were never caught at serve time either. */
+  private def foreignWriteSinceLastFold(
+      spark: SparkSession,
+      mv: String
+  ): Boolean = {
+    val vs = versions(spark, mv).toIndexedSeq
+    var i = vs.length - 1
+    while (i >= 0) {
+      val h = header(spark, mv, vs(i))
+      if (headerToken(h, "mvfp").isDefined) return false
+      if (!headerToken(h, "datachange").contains("false")) return true
+      i -= 1
+    }
+    false // no fold anywhere: lastFingerprint is None, nothing to verify
+  }
+
+  /** Test observability: number of pre-fold fingerprint VERIFICATIONS
+    * actually executed (the O(MV rows) distributed agg) — lets a spec
+    * pin that a clean-ledger refresh skips the pass entirely. */
+  private[graft] val fpVerifyCount = new java.util.concurrent.atomic.AtomicLong
+
   /** Materialize a per-key rollup of `source` as the snapshot table
     * `mv`, recording (source, key, agg, kind, high-water version) in
     * the MV's props so [[refreshMv]] can maintain it from the change
@@ -4233,15 +4265,22 @@ object SnapshotLog {
     // and clustering (datachange=false) preserve rows, so the
     // fingerprint survives them. Pre-fingerprint MVs (no mvfp rider
     // anywhere) skip the check.
+    // the expensive verification runs ONLY when the ledger shows a
+    // foreign data-changing commit since the last fold (round 17 —
+    // one header walk, shared with the serve path's span logic); a
+    // clean refresh skips the full-MV aggregate
     lastFingerprint(spark, mv).foreach { case (n0, x0) =>
-      val (n1, x1) = contentFingerprint(read(spark, mv))
-      if (n0 != n1 || x0 != x1)
-        throw new IllegalStateException(
-          s"refreshMv: $mv does not match its last fold's fingerprint " +
-            s"(recorded $n0 rows/xor $x0; found $n1/$x1) — the MV was " +
-            "written outside REFRESH (foreign INSERT/DELETE/UPDATE). " +
-            "Refusing to fold onto polluted state; re-materialize the " +
-            "MV (DROP MATERIALIZED VIEW + CREATE).")
+      if (foreignWriteSinceLastFold(spark, mv)) {
+        fpVerifyCount.incrementAndGet()
+        val (n1, x1) = contentFingerprint(read(spark, mv))
+        if (n0 != n1 || x0 != x1)
+          throw new IllegalStateException(
+            s"refreshMv: $mv does not match its last fold's fingerprint " +
+              s"(recorded $n0 rows/xor $x0; found $n1/$x1) — the MV was " +
+              "written outside REFRESH (foreign INSERT/DELETE/UPDATE). " +
+              "Refusing to fold onto polluted state; re-materialize the " +
+              "MV (DROP MATERIALIZED VIEW + CREATE).")
+      }
     }
     // a derived key (mv_key_expr) re-derives over the delta exactly as
     // the materialize derived it over the full table — same text, same
@@ -4762,14 +4801,19 @@ object SnapshotLog {
     if (newPin == oldPin) return (oldPin, oldPin)
     val mvTipAtStart = versions(spark, mv).lastOption
     // same tamper gate as the fact fold: never recompute around a
-    // foreign-written state and re-header it as clean
+    // foreign-written state and re-header it as clean — and the same
+    // round-17 ledger gate: the verification aggregate runs only when
+    // a foreign data-changing commit actually landed since the fold
     lastFingerprint(spark, mv).foreach { case (n0, x0) =>
-      val (n1, x1) = contentFingerprint(read(spark, mv))
-      if (n0 != n1 || x0 != x1)
-        throw new IllegalStateException(
-          s"refreshMvDim: $mv does not match its last fold's fingerprint " +
-            s"(recorded $n0 rows/xor $x0; found $n1/$x1) — the MV was " +
-            "written outside REFRESH. Re-materialize it.")
+      if (foreignWriteSinceLastFold(spark, mv)) {
+        fpVerifyCount.incrementAndGet()
+        val (n1, x1) = contentFingerprint(read(spark, mv))
+        if (n0 != n1 || x0 != x1)
+          throw new IllegalStateException(
+            s"refreshMvDim: $mv does not match its last fold's " +
+              s"fingerprint (recorded $n0 rows/xor $x0; found $n1/$x1) — " +
+              "the MV was written outside REFRESH. Re-materialize it.")
+      }
     }
     val keys = props("mv_key").split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val derivedKeyName = props.getOrElse("mv_fact_key", props("mv_key"))

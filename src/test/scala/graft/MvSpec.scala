@@ -717,10 +717,9 @@ class MvSpec extends SparkTestBase {
       spark, f2, s"$dAmb,$dB", "afk,bfk", "cpk2,bpk", fresh("m"),
       "bat", "v"))
     assert(g2.getMessage.contains("exactly one"))
-    val g3 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
-      spark, f2, s"$dA,$dB", "afk,bfk", "apk,bpk", fresh("m"),
-      "aat,bat", "v", joinType = "left"))
-    assert(g3.getMessage.contains("inner-join only"))
+    // round 17: multi-dim LEFT is no longer refused — it creates and
+    // folds (pinned in "multi-dim LEFT star" below); the declaration
+    // guards above still apply to it
     val g4 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
       spark, f2, s"$dA,$dA", "afk,afk", "apk,apk", fresh("m"),
       "aat", "v"))
@@ -1416,6 +1415,31 @@ class MvSpec extends SparkTestBase {
       Seq((9L, 9L, 9L, 9L)).toDF("k", "v", "d", "rev"))
     val e3 = intercept[Exception](SnapshotLog.refreshMv(spark, mv))
     assert(e3.getMessage.contains("'rev'"))
+  }
+
+  test("the pre-fold fingerprint verification is ledger-gated: a clean " +
+    "refresh skips the full-MV pass entirely; a foreign data-changing " +
+    "commit still triggers the verification and the refusal") {
+    import spark.implicits._
+    val src = fresh("fgsrc")
+    val mv = fresh("fgmv")
+    SnapshotLog.commit(
+      spark, src, Seq(1L -> 10L, 2L -> 20L).toDF("k", "v"))
+    SnapshotLog.createMv(spark, src, mv, "k", "v")
+    SnapshotLog.commit(spark, src, Seq(1L -> 5L).toDF("k", "v"))
+    val before = SnapshotLog.fpVerifyCount.get()
+    SnapshotLog.refreshMv(spark, mv)
+    assert(SnapshotLog.fpVerifyCount.get() == before,
+      "a clean ledger must skip the pre-fold verification aggregate")
+    // a foreign INSERT INTO the MV (data-changing, no mvfp rider)
+    // arms the gate: the verification runs and refuses
+    SnapshotLog.commit(
+      spark, mv, Seq((99L, 1L, 1L)).toDF("k", "mv_sum", "mv_n"))
+    SnapshotLog.commit(spark, src, Seq(2L -> 7L).toDF("k", "v"))
+    val e = intercept[IllegalStateException](SnapshotLog.refreshMv(spark, mv))
+    assert(e.getMessage.contains("fingerprint"))
+    assert(SnapshotLog.fpVerifyCount.get() == before + 1,
+      "the suspicious ledger must pay exactly one verification pass")
   }
 
   /** EXPRESSION-MEASURE DISTINCT MVs (round 17): `count(DISTINCT
