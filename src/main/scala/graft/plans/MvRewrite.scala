@@ -671,7 +671,15 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // the NULL bucket), so a user-written one is a real
           // predicate the rollup cannot answer. Anything else
           // references measure-level values the rollup no longer has.
-          if (jm.joinType == "left" && fc.nonEmpty) Nil
+          // A DIM-SIDE leaf predicate under a LEFT probe refuses too
+          // (round 17, self-review — silent wrong answers since r16):
+          // a pre-join dim filter moves its non-matches INTO the
+          // query's NULL bucket, which the MV — folded against the
+          // UNFILTERED dim — does not reflect; transplanting it onto
+          // the rollup dropped the bucket entirely. (Null-rejecting
+          // dim filters ABOVE the join never reach here: the
+          // optimizer rewrites the join to inner first.)
+          if (jm.joinType == "left" && (fc.nonEmpty || dc.nonEmpty)) Nil
           else if (stripJoinNotNull(fc, fkA).nonEmpty) Nil
           else {
             val dimCond = (stripJoinNotNull(dc, pkA), jm.topCond) match {

@@ -4359,6 +4359,50 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("a dim-side predicate under a LEFT probe never serves (round-17 " +
+    "self-review — silent wrong answers since r16): a pre-join dim " +
+    "filter moves its non-matches into the query's NULL bucket, which " +
+    "the MV folded against the UNFILTERED dim; the query must answer " +
+    "from the source") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $f VALUES (1, 10), (2, 20), (9, 70)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'x'), (2, 'y')")
+    val mvPath = s"$warehouse/main/${fn}_lcmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "m",
+      joinType = "left")
+    val q =
+      s"""SELECT seg, sum(m) AS s FROM $f
+         |LEFT JOIN (SELECT * FROM $d WHERE seg <> 'x') ON fk = pk
+         |GROUP BY seg""".stripMargin
+    // ground truth BEFORE arming the rewrite: fk=1's match is
+    // filtered out pre-join, so it joins fk=9 in the NULL bucket
+    val expected = spark.sql(q).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(expected == Set((None, 80L), (Some("y"), 20L)))
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val served = rule(spark.sql(q).queryExecution.optimizedPlan)
+      assert(!MvRewrite.readsPath(served, mvPath),
+        "the filtered-dim LEFT query must NOT serve from the left MV " +
+          "(its NULL bucket reflects the unfiltered dim)")
+      assert(spark.sql(q).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1))).toSet == expected)
+      // the UNfiltered left query still serves — the refusal is
+      // surgical, not a left-serve regression
+      val clean = s"SELECT seg, sum(m) AS s FROM $f " +
+        s"LEFT JOIN $d ON fk = pk GROUP BY seg"
+      assert(MvRewrite.readsPath(
+        rule(spark.sql(clean).queryExecution.optimizedPlan), mvPath))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
     "with the fact watermark at tip (and refresh_mv_dim restores it); " +
     "one corrupt table costs its row, never the inventory") {
