@@ -703,21 +703,33 @@ object ViewSql {
     ): (Seq[String], String, String, String, Option[String], Boolean,
         Option[String], String,
         Seq[(Seq[String], String, String)]) = {
-      import org.apache.spark.sql.catalyst.plans.Inner
+      import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+      // round 17: an all-LEFT chain declares a left star (NULL
+      // buckets per dim combination, matching createJoinMv's lifted
+      // guard); mixing inner and left in one rollup still refuses —
+      // the two kinds' bucket semantics cannot share a stored shape
       def flatten(
           p: LogicalPlan
-      ): Option[(Seq[(Seq[String], String)], Seq[Expression])] = p match {
-        case jj: Join if jj.joinType == Inner =>
+      ): Option[(Seq[(Seq[String], String)], Seq[Expression],
+          Option[String])] = p match {
+        case jj: Join if jj.joinType == Inner || jj.joinType == LeftOuter =>
+          val here = if (jj.joinType == LeftOuter) "left" else "inner"
           for {
-            (ls, lcs) <- flatten(jj.left)
+            (ls, lcs, lt) <- flatten(jj.left)
             r <- relOf(jj.right)
             c <- jj.condition
-          } yield (ls :+ r, lcs :+ c)
+          } yield {
+            if (lt.exists(_ != here))
+              refuse("a multi-join rollup must be all INNER or all " +
+                "LEFT joins — the bucket semantics differ")
+            (ls :+ r, lcs :+ c, Some(here))
+          }
         case jj: Join =>
-          refuse("a multi-join rollup must be all INNER joins")
-        case other => relOf(other).map(r => (Seq(r), Seq.empty[Expression]))
+          refuse("a multi-join rollup must be all INNER or all LEFT joins")
+        case other =>
+          relOf(other).map(r => (Seq(r), Seq.empty[Expression], None))
       }
-      val (rels, conds) = flatten(j).getOrElse(
+      val (rels, conds, starJt) = flatten(j).getOrElse(
         refuse("each join input must be a single table — write the star " +
           "as FROM fact JOIN dim1 ON … JOIN dim2 ON …"))
       def sideIdx(x: UnresolvedAttribute): Option[Int] = x.nameParts match {
@@ -772,7 +784,7 @@ object ViewSql {
       if (xe.isDefined)
         refuse("expression measures are single-table form only")
       (rels.head._1, names.mkString(","), xs.mkString(","), k, None, avgE,
-        None, "inner",
+        None, starJt.getOrElse("inner"),
         rels.tail.zip(fkpk).map { case ((dimParts, _), (fk, pk)) =>
           (dimParts, fk, pk)
         })

@@ -3327,7 +3327,8 @@ class CatalogSpec extends SparkTestBase {
   }
 
   test("the DDL's star form: CREATE MATERIALIZED VIEW over a JOIN chain " +
-    "declares a multi-dim MV that serves; a LEFT multi-join refuses") {
+    "declares a multi-dim MV that serves; a MIXED inner/left chain " +
+    "refuses; an all-LEFT chain declares a left star (round 17)") {
     import graft.plans.{MvRewrite, MvRollupRewriteRule}
     val f = freshName()
     val c = freshName()
@@ -3367,7 +3368,8 @@ class CatalogSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
         Set(("US", 8L), ("FR", 18L)))
     } finally spark.conf.unset(MvRewrite.ConfKey)
-    // LEFT multi-join: not a maintainable shape — refused loudly
+    // a MIXED inner/left chain: the bucket semantics cannot share a
+    // stored shape — refused loudly
     val e = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_ddlbad AS
          |SELECT n.nname, sum(f.m) AS mv_sum, count(*) AS mv_n
@@ -3375,6 +3377,26 @@ class CatalogSpec extends SparkTestBase {
          |JOIN $n n ON c.natfk = n.npk
          |GROUP BY n.nname""".stripMargin))
     assert(e.getMessage.contains("INNER"), e.getMessage)
+    // an ALL-LEFT chain declares a left snowflake (round 17): fk=9
+    // lives in the (NULL) bucket, and the left query serves from it
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_ddlls AS
+         |SELECT n.nname, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f f LEFT JOIN $c c ON f.fk = c.cpk
+         |LEFT JOIN $n n ON c.natfk = n.npk
+         |GROUP BY n.nname""".stripMargin)
+    val lsPath = s"$warehouse/main/${fn}_ddlls"
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val lq = s"SELECT nname, sum(m) AS s FROM $f LEFT JOIN $c " +
+        s"ON fk = cpk LEFT JOIN $n ON natfk = npk GROUP BY nname"
+      val lServed = rule(spark.sql(lq).queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(lServed, lsPath),
+        "the DDL-declared left snowflake MV must serve the left chain")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, lServed)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet ==
+        Set((Some("US"), 8L), (Some("FR"), 18L), (None, 100L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
   test("dim refresh restores serving: a drifted dim bails with the " +
