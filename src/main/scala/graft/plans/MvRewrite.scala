@@ -1558,13 +1558,16 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the stored DataSketches sketch — identity reads the per-group
       // estimate, coarse/global UNION the sketches first (per-day
       // sketches OR into the month: the approximate MAU-from-DAU).
-      // The estimator SWAPS (DataSketches HLL, lgConfigK 12, ~1.6 %
-      // RSE, vs the query's own HLL++) — both are estimates of the
-      // same cardinality and the CREATE declaration carries the swap.
+      // The estimator SWAPS (DataSketches HLL at the MV's DECLARED
+      // lgConfigK — mv_hll_lgk, default 12 ≈ 1.6 % RSE — vs the
+      // query's own HLL++) — both are estimates of the same
+      // cardinality and the CREATE declaration carries the swap.
       // Gate on the query's requested precision: a relativeSD tighter
       // than the stored sketch's RSE must bail (we cannot deliver
-      // it); the default 0.05 serves. Exact count(DISTINCT m) never
-      // matches here — it keeps the exact bitmap kind.
+      // it); the default 0.05 serves, and a higher-precision MV
+      // (round 17: hllLgK at create) answers tighter requests. Exact
+      // count(DISTINCT m) never matches here — it keeps the exact
+      // bitmap kind.
       case hpp: org.apache.spark.sql.catalyst.expressions.aggregate
             .HyperLogLogPlusPlus
           if kind == "hll" && measures.contains(
@@ -1572,10 +1575,13 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case x: AttributeReference if factSide(x) => x.name
               case _ => ""
             }) =>
-        if (hpp.relativeSD < 0.016) {
+        if (hpp.relativeSD <
+          SnapshotLog.hllRse(SnapshotLog.hllLgKOf(props))) {
           MvRewrite.diag(s"$mvPath: the query asks relativeSD=" +
             s"${hpp.relativeSD}, tighter than the stored sketch's " +
-            "~0.016 RSE (lgConfigK 12); not served")
+            f"~${SnapshotLog.hllRse(SnapshotLog.hllLgKOf(props))}%.4f " +
+            s"RSE (lgConfigK ${SnapshotLog.hllLgKOf(props)}); not " +
+            "served — re-materialize with a higher hllLgK")
           None
         } else
           mvAttr.get("mv_hll").map { sk =>

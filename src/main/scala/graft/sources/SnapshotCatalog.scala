@@ -4347,7 +4347,12 @@ private[sources] object SnapshotProcedures {
             // declaration carries the caveat, like avg_exact
             ProcedureParameter
               .in("hash_distinct", org.apache.spark.sql.types.BooleanType)
-              .defaultValue("false").build()
+              .defaultValue("false").build(),
+            // kind='hll' sketch precision (round 17): lgConfigK of the
+            // stored sketches — the declared error bound (RSE ≈
+            // 1.04/√2^lgK); tighter queries serve from a higher lgK
+            ProcedureParameter.in("hll_lgk", IntegerType)
+              .defaultValue("12").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
           in =>
@@ -4366,7 +4371,8 @@ private[sources] object SnapshotProcedures {
                 Option(
                   if (in.isNullAt(7)) "" else in.getUTF8String(7).toString)
                   .filter(_.nonEmpty),
-                !in.isNullAt(8) && in.getBoolean(8)))))
+                !in.isNullAt(8) && in.getBoolean(8),
+                if (in.isNullAt(9)) 12 else in.getInt(9)))))
         )
       case "create_join_mv" =>
         // star-schema rollup: CALL system.create_join_mv(fact, dim,
@@ -4408,7 +4414,10 @@ private[sources] object SnapshotProcedures {
             // non-integral distinct measure (kind='distinct' only)
             ProcedureParameter
               .in("hash_distinct", org.apache.spark.sql.types.BooleanType)
-              .defaultValue("false").build()
+              .defaultValue("false").build(),
+            // kind='hll' sketch precision — mirrors create_mv
+            ProcedureParameter.in("hll_lgk", IntegerType)
+              .defaultValue("12").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
           in =>
@@ -4434,7 +4443,8 @@ private[sources] object SnapshotProcedures {
                   .filter(_.nonEmpty),
                 if (in.isNullAt(10)) "inner"
                 else in.getUTF8String(10).toString,
-                !in.isNullAt(11) && in.getBoolean(11)))))
+                !in.isNullAt(11) && in.getBoolean(11),
+                if (in.isNullAt(12)) 12 else in.getInt(12)))))
         )
       case "explain_mv_serve" =>
         // serve-miss diagnostics: CALL system.explain_mv_serve(
@@ -4693,6 +4703,7 @@ private[sources] object SnapshotProcedures {
               "fact_watermark" -> watermark.map(_.toString).getOrElse("?")) ++
               props.get("mv_key_expr").map("key_expr" -> _) ++
               props.get("mv_agg_expr").map("agg_expr" -> _) ++
+              props.get("mv_hll_lgk").map("hll_lgk" -> _) ++
               props.get("mv_join_type").map("join_type" -> _) ++
               (if (props.contains("mv_avg_exact")) Seq("avg_exact" -> "true")
                else Nil) ++

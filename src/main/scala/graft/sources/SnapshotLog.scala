@@ -3259,21 +3259,37 @@ object SnapshotLog {
   }
 
   /** kind='hll' partials: one DataSketches HLL sketch per group
-    * (hll_sketch_agg, lgConfigK 12) plus the shared mv_n row count.
-    * Shared by createMv, createJoinMv, the refresh fold's insert
-    * delta, every delete/dim recompute — one builder so the stored
-    * shape can never drift. */
+    * (hll_sketch_agg at the MV's DECLARED lgConfigK — round 17 makes
+    * the precision a create-time declaration, default 12 ≈ 1.6 % RSE)
+    * plus the shared mv_n row count. Shared by createMv, createJoinMv,
+    * the refresh fold's insert delta, every delete/dim recompute —
+    * one builder so the stored shape can never drift, and one
+    * recorded `mv_hll_lgk` so every fold sketches identically. */
   private def hllRollup(
       df: DataFrame,
       keys: Seq[String],
-      measure: String
+      measure: String,
+      lgK: Int = 12
   ): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, expr, lit}
     df.groupBy(keys.map(col): _*)
       .agg(
-        expr(s"hll_sketch_agg(`$measure`)").as("mv_hll"),
+        expr(s"hll_sketch_agg(`$measure`, $lgK)").as("mv_hll"),
         count(lit(1)).as("mv_n"))
   }
+
+  /** The recorded sketch precision of an hll MV (create-time
+    * declaration; pre-round-17 MVs report the 12 they were built
+    * with). */
+  private[graft] def hllLgKOf(props: Map[String, String]): Int =
+    props.get("mv_hll_lgk").flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(12)
+
+  /** Relative standard error of a DataSketches HLL at lgConfigK —
+    * the published 1.04 / sqrt(2^lgK) bound the serve gate compares
+    * against a query's requested relativeSD. */
+  private[graft] def hllRse(lgK: Int): Double =
+    1.04 / math.sqrt(math.pow(2.0, lgK.toDouble))
 
   /** The per-kind rollup aggregate columns under the createMv naming
     * — legacy bare names for a single measure (mv_sum, mv_sumsq,
@@ -3431,7 +3447,13 @@ object SnapshotLog {
       // values per group — document the caveat, the declaration
       // carries it, exactly like avgExact). Recorded as
       // mv_distinct_hash so every refresh hashes identically.
-      hashDistinct: Boolean = false
+      hashDistinct: Boolean = false,
+      // kind='hll' sketch precision (round 17): lgConfigK of the
+      // stored DataSketches sketches — the DECLARED error bound
+      // (RSE ≈ 1.04/√2^lgK; 12 ≈ 1.6 %, 14 ≈ 0.8 %). Recorded as
+      // mv_hll_lgk so every fold sketches identically and the serve
+      // gate can answer any relativeSD the stored precision covers.
+      hllLgK: Int = 12
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
     require(
@@ -3439,6 +3461,14 @@ object SnapshotLog {
         kind == "distinct" || kind == "hll",
       s"createMv: kind must be 'sum', 'minmax', 'stats', 'distinct' or " +
         s"'hll', got '$kind'")
+    require(
+      hllLgK == 12 || kind == "hll",
+      "createMv: hllLgK declares the hll sketch precision — it " +
+        s"requires kind='hll', got '$kind'")
+    require(
+      hllLgK >= 4 && hllLgK <= 21,
+      s"createMv: hllLgK must be in [4, 21] (DataSketches bounds), " +
+        s"got $hllLgK")
     require(
       !avgExact || kind == "stats",
       "createMv: avgExact declares avg servable from the stats rollup — " +
@@ -3611,7 +3641,8 @@ object SnapshotLog {
         case Some(e) => base0.withColumn(keyCol, expr(e))
         case None    => base0
       }
-      val m = hllRollup(based, keyCols, measures.head).localCheckpoint()
+      val m = hllRollup(based, keyCols, measures.head, hllLgK)
+        .localCheckpoint()
       val (fpN, fpX) = contentFingerprint(m)
       commitInternal(
         spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
@@ -3623,6 +3654,7 @@ object SnapshotLog {
           "mv_key" -> keyCol,
           "mv_agg" -> aggCol,
           "mv_kind" -> kind,
+          "mv_hll_lgk" -> hllLgK.toString,
           "mv_version" -> tip.toString) ++
           keyExpr.map("mv_key_expr" -> _))
       addMvRef(spark, source, mv)
@@ -3713,7 +3745,9 @@ object SnapshotLog {
       joinType: String = "inner",
       // hashed bit positions for a non-integral distinct measure —
       // see createMv.hashDistinct (same declaration, same caveat)
-      hashDistinct: Boolean = false
+      hashDistinct: Boolean = false,
+      // kind='hll' sketch precision — see createMv.hllLgK (round 17)
+      hllLgK: Int = 12
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, expr, lit}
     require(
@@ -3721,6 +3755,12 @@ object SnapshotLog {
         kind == "distinct" || kind == "hll",
       s"createJoinMv: kind must be 'sum', 'minmax', 'stats', 'distinct' " +
         s"or 'hll', got '$kind'")
+    require(
+      hllLgK == 12 || kind == "hll",
+      "createJoinMv: hllLgK requires kind='hll'")
+    require(
+      hllLgK >= 4 && hllLgK <= 21,
+      s"createJoinMv: hllLgK must be in [4, 21], got $hllLgK")
     require(
       !avgExact || kind == "stats",
       "createJoinMv: avgExact requires kind='stats'")
@@ -3960,7 +4000,7 @@ object SnapshotLog {
       (if (kind == "distinct")
          distinctRollup(joined, keyCols, measures.head, hashDistinct)
        else if (kind == "hll")
-         hllRollup(joined, keyCols, measures.head)
+         hllRollup(joined, keyCols, measures.head, hllLgK)
        else {
          val aggs = mvAggExprs(measures, kind, avgExact)
          joined.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -3985,6 +4025,8 @@ object SnapshotLog {
         factKey.map("mv_fact_key" -> _) ++
         (if (joinType == "left") Some("mv_join_type" -> "left") else None) ++
         (if (hashDistinct) Some("mv_distinct_hash" -> "true") else None) ++
+        (if (kind == "hll") Some("mv_hll_lgk" -> hllLgK.toString)
+         else None) ++
         (if (avgExact) Some("mv_avg_exact" -> "true") else None))
     addMvRef(spark, fact, mv)
     factTip
@@ -4605,11 +4647,12 @@ object SnapshotLog {
       // hand: a group new to either side keeps the other's sketch.
       import org.apache.spark.sql.functions.{expr, when}
       val meas = measures.head
+      val lgK = hllLgKOf(props)
       val delKeys = changes
         .filter(col("change_type") === "delete")
         .select(keyCols: _*).distinct().localCheckpoint()
       val insDelta = hllRollup(
-          changes.filter(col("change_type") === "insert"), keys, meas)
+          changes.filter(col("change_type") === "insert"), keys, meas, lgK)
         .withColumnRenamed("mv_hll", "d_hll")
         .withColumnRenamed("mv_n", "d_n")
       val folded = foldJoin(read(spark, mv), insDelta)
@@ -4620,7 +4663,8 @@ object SnapshotLog {
               .otherwise(expr("hll_union(mv_hll, d_hll)")).as("mv_hll"),
             foldSum("mv_n", "d_n")): _*)
       val recomputed = hllRollup(
-        keySemi(scopedSourceAtTo(delKeys), delKeys, "left_semi"), keys, meas)
+        keySemi(scopedSourceAtTo(delKeys), delKeys, "left_semi"),
+        keys, meas, lgK)
       keySemi(folded, delKeys, "left_anti").unionByName(recomputed)
     } else if (kind == "distinct") {
       // bitmap partials are MONOTONE under inserts (a new row just ORs
@@ -5062,7 +5106,7 @@ object SnapshotLog {
           distinctRollup(joined, keys, measures.head,
             props.get("mv_distinct_hash").contains("true"))
         else if (kind == "hll")
-          hllRollup(joined, keys, measures.head)
+          hllRollup(joined, keys, measures.head, hllLgKOf(props))
         else {
           val aggs = mvAggExprs(
             measures, kind, props.get("mv_avg_exact").contains("true"))
@@ -5128,7 +5172,8 @@ object SnapshotLog {
             distinctRollup(touchedRows, keys, measures.head,
               props.get("mv_distinct_hash").contains("true"))
           else if (kind == "hll")
-            hllRollup(touchedRows, keys, measures.head)
+            hllRollup(touchedRows, keys, measures.head,
+              hllLgKOf(props))
           else {
             val aggs = mvAggExprs(
               measures, kind, props.get("mv_avg_exact").contains("true"))

@@ -4425,6 +4425,65 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("hll MV precision is a create-time declaration (round 17): " +
+    "hll_lgk => 14 serves a relativeSD the default sketch cannot, the " +
+    "candidate gate routes the query to the capable MV, a tighter ask " +
+    "than any stored sketch bails with the remedy, and describe_mv " +
+    "names the precision") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, u STRING)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 'a'), (1, 'b'), (1, 'a'), (2, 'c')")
+    spark.sql(
+      s"""CALL cattest.system.create_mv(source => 'main.$tn',
+         |mv => 'main.${tn}_h12', key => 'k', agg => 'u',
+         |kind => 'hll')""".stripMargin)
+    spark.sql(
+      s"""CALL cattest.system.create_mv(source => 'main.$tn',
+         |mv => 'main.${tn}_h14', key => 'k', agg => 'u',
+         |kind => 'hll', hll_lgk => 14)""".stripMargin)
+    val p12 = s"$warehouse/main/${tn}_h12"
+    val p14 = s"$warehouse/main/${tn}_h14"
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      // the default ask (0.05) is answerable by both
+      val loose = plan(s"SELECT k, approx_count_distinct(u) AS du " +
+        s"FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(loose, p12) ||
+        MvRewrite.readsPath(loose, p14))
+      // 0.01 sits between the two RSEs (0.016 vs 0.0081): only the
+      // lgK-14 sketch can deliver it — the candidate walk must land
+      // there, not bail on the first (cheaper-but-incapable) MV
+      val tight = plan(s"SELECT k, approx_count_distinct(u, 0.01) AS du " +
+        s"FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(tight, p14) &&
+        !MvRewrite.readsPath(tight, p12),
+        "the 0.01 ask must serve from the declared lgK-14 sketch")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, tight)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (2L, 1L)))
+      // tighter than ANY stored sketch: bail, naming the remedy
+      val none = spark.sql(
+        s"SELECT k, approx_count_distinct(u, 0.005) AS du " +
+          s"FROM $t GROUP BY k")
+      assert(!MvRewrite.readsPath(
+        rule(none.queryExecution.optimizedPlan), p12))
+      assert(!MvRewrite.readsPath(
+        rule(none.queryExecution.optimizedPlan), p14))
+      val lines = MvRewrite.explainServe(spark, none)
+      assert(lines.exists(_.contains("higher hllLgK")), lines.toString)
+      // describe_mv surfaces the declared precision
+      val dm = spark.sql(
+        s"CALL cattest.system.describe_mv(mv => 'main.${tn}_h14')")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(dm.get("hll_lgk").contains("14"), dm.toString)
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
     "with the fact watermark at tip (and refresh_mv_dim restores it); " +
     "one corrupt table costs its row, never the inventory") {
