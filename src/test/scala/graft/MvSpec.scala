@@ -1691,6 +1691,38 @@ class MvSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(m2 == Set(("x", 5L, 70L, 2L), ("y", 7L, 80L, 2L)))
+    // MIXED-GRAIN over a pure filter dim: the MV's ONLY key is the
+    // derived fact time grain ("daily revenue of rows matching the
+    // dim") — the delta path must re-derive the key over the scoped
+    // rows and fold per-day deltas exactly
+    val f3 = fresh("fdfact3")
+    val d3 = fresh("fddim3")
+    val mv3 = fresh("fdmv3")
+    SnapshotLog.commit(
+      spark, d3, Seq((1L, 1L), (2L, 1L)).toDF("pk", "flag"))
+    SnapshotLog.commit(
+      spark, f3,
+      Seq((1L, "2024-01-03 10:00:00", 10L), (2L, "2024-01-03 11:00:00", 20L),
+        (2L, "2024-01-04 09:00:00", 40L))
+        .toDF("fk", "tss", "v")
+        .select(col("fk"), col("tss").cast("timestamp").as("ts"), col("v")))
+    SnapshotLog.createJoinMv(
+      spark, f3, d3, "fk", "pk", mv3, "day", "v",
+      keyExpr = Some("to_date(ts)"))
+    def st3(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, mv3).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(st3() == Set(("2024-01-03", 30L, 2L), ("2024-01-04", 40L, 1L)))
+    // pk 2 leaves the match: its rows subtract from both days —
+    // through the delta path (no key member on the dim)
+    SnapshotLog.deleteWhere(spark, d3, "pk", 2L, 2L)
+    SnapshotLog.refreshMvDim(spark, mv3, d3)
+    assert(st3() == Set(("2024-01-03", 10L, 1L)),
+      "the 01-04 group (all rows left) must vanish; 01-03 keeps fk=1")
+    // and back in
+    SnapshotLog.commit(spark, d3, Seq((2L, 2L)).toDF("pk", "flag"))
+    SnapshotLog.refreshMvDim(spark, mv3, d3)
+    assert(st3() == Set(("2024-01-03", 30L, 2L), ("2024-01-04", 40L, 1L)))
   }
 
   test("fk clash guard (round-17 advisor): a fact column later ADDED " +
