@@ -3344,6 +3344,79 @@ object Scans {
     }
   }
 
+  /** MULTI-EXPRESSION MV (round 17): ONE rollup maintains TWO derived
+    * measures (`cents * (100 - disc)` and `cents % 50`) plus a plain
+    * column — per-measure `mv_agg_expr_<name>` props, each re-derived
+    * over every refresh delta, each matched at serve time to its own
+    * stored column by semantic equality. The dashboard that needs
+    * revenue AND a second derived sum no longer maintains two MVs
+    * (two folds, two scans). Integer math end to end, so the DuckDB
+    * recompute hash-matches through create-at-half + append + CoW
+    * UPDATE + refresh. */
+  val aggMvServeMultiExpr: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mxsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_mxmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 7).cast("long").as("disc"))
+    o.createOrReplaceTempView("graft_mx_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_mxsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+         |disc BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mxsrc
+         |SELECT * FROM graft_mx_src WHERE o_orderkey <= $half""".stripMargin)
+    val srcPath = tmp("sql_warehouse") + "/main/orders_mxsrc"
+    val mvPath = tmp("sql_warehouse") + "/main/orders_mxmv"
+    graft.sources.SnapshotLog.createMv(
+      spark, srcPath, mvPath, "o_custkey", "rev,half_c,cents",
+      aggExprs = Map(
+        "rev" -> "cents * (100 - disc)",
+        "half_c" -> "cents % 50"))
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mxsrc
+         |SELECT * FROM graft_mx_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_mxsrc SET cents = cents + 2
+         |WHERE o_orderkey % 13 = 0""".stripMargin)
+    graft.sources.SnapshotLog.refreshMv(spark, mvPath)
+    val brute = spark.sql(
+      s"""SELECT o_custkey, sum(cents * (100 - disc)) AS rev,
+         |sum(cents % 50) AS hc, sum(cents) AS sc, count(*) AS n
+         |FROM $cat.main.orders_mxsrc
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "multi-expression serve did not fire: the plan does not read " +
+          "the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** LEFT 2-dim STAR MV (round 17, lifting the r16 inner-only
     * multi-dim guard): `fact LEFT JOIN d1 LEFT JOIN d2 GROUP BY
     * d1.a, d2.b` — "revenue by segment × nation INCLUDING unmatched"
@@ -6607,6 +6680,7 @@ object Scans {
     "agg_mv_serve_join_null" -> aggMvServeJoinNull,
     "agg_mv_serve_left_star" -> aggMvServeLeftStar,
     "agg_mv_serve_distinct_expr" -> aggMvServeDistinctExpr,
+    "agg_mv_serve_multi_expr" -> aggMvServeMultiExpr,
     "agg_mv_serve_filtered" -> aggMvServeFiltered,
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
@@ -6954,6 +7028,20 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM f JOIN d ON o_custkey = c_custkey
         |GROUP BY seg ORDER BY seg""".stripMargin,
+    // two derived measures + a plain column served from ONE rollup
+    // must equal the three-sum recompute of the final source state
+    "agg_mv_serve_multi_expr" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 13 = 0 THEN 2 ELSE 0 END AS cents,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS disc
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  CAST(sum(cents * (100 - disc)) AS BIGINT) AS rev,
+        |  CAST(sum(cents % 50) AS BIGINT) AS hc,
+        |  CAST(sum(cents) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // the distinct count over a DERIVED value served from the
     // expression-measure bitmap MV must equal the recompute of the
     // final state (integral expression → exact bitmaps, no hashing)

@@ -1108,28 +1108,36 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def mcol(base: String, m: String): String =
       if (measures.size == 1) base else s"${base}_$m"
     val kind = props.getOrElse("mv_kind", "sum")
-    // EXPRESSION measure (round 16): the MV's measure is a declared
-    // expression over source columns, not a column — resolve the
-    // recorded text against THIS query's scan so the aggregate-child
-    // match below is by semantic equality of catalyst trees, never by
-    // name. Declared at createMv (single-table MVs only).
-    val measExpr: Option[Expression] = props.get("mv_agg_expr") match {
-      case None => None
-      case Some(text) =>
-        if (joinProbe.isDefined) {
-          MvRewrite.diag(s"$mvPath: carries a measure expression — not " +
-            "servable through a join probe")
-          return None
-        }
+    // EXPRESSION measures (round 16, generalized round 17 to a
+    // per-measure LIST): an MV measure may be a declared expression
+    // over source columns, not a column — resolve each recorded text
+    // against THIS query's scan so the aggregate-child match below is
+    // by semantic equality of catalyst trees, never by name. Declared
+    // at createMv (single-table MVs only).
+    val exprMeasures: Seq[(String, Expression)] = {
+      val declared =
+        graft.sources.SnapshotLog.declaredMeasureExprs(props, measures)
+      if (declared.nonEmpty && joinProbe.isDefined) {
+        MvRewrite.diag(s"$mvPath: carries a measure expression — not " +
+          "servable through a join probe")
+        return None
+      }
+      declared.map { case (m, text) =>
         resolveMeasureExpr(text, agg.child) match {
-          case some @ Some(_) => some
+          case Some(e) => m -> e
           case None =>
             MvRewrite.diag(s"$mvPath: the recorded measure expression " +
               s"'$text' does not resolve against this query's source; " +
               "skipped")
             return None
         }
+      }
     }
+    // which declared measure IS this aggregate child, if any — the
+    // names are guarded against source columns, so this can never
+    // race the name-based attribute matches
+    def exprMeasureOf(e: Expression): Option[String] =
+      exprMeasures.find(_._2.semanticEquals(e)).map(_._1)
     // Freshness: serve from the MV VERSION whose effective committed
     // `mvv` watermark equals the query's pinned source version —
     // MV@v ≡ aggregate(source@v). For a tip read that is the MV tip;
@@ -1430,7 +1438,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // the two arms can never race)
           case AggregateExpression(
                 Count(Seq(x)), Complete, true, None, _) =>
-            measExpr.exists(_.semanticEquals(x))
+            exprMeasureOf(x).contains(meas)
           case _ => false
         }
       }
@@ -1630,41 +1638,42 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           EqualTo(nne, Literal(0L)),
           Literal(null, DoubleType),
           Divide(Cast(se, DoubleType), Cast(nne, DoubleType))))
-      // ---- EXPRESSION-measure matches (round 16): the aggregate's
-      // child must SEMANTICALLY equal the resolved mv_agg_expr — the
-      // revenue shape `sum(cents * (100 - d))` answers from the
-      // rollup. measures.head is the DECLARED name (never a source
-      // column, guarded at create + refresh), so these cases can
-      // never race the name-based ones above.
+      // ---- EXPRESSION-measure matches (round 16; round 17 resolves
+      // PER MEASURE): the aggregate's child must SEMANTICALLY equal
+      // one of the resolved declared expressions — the revenue shape
+      // `sum(cents * (100 - d))` answers from the rollup, and a
+      // second declared expression answers under ITS stored columns.
+      // Declared names are never source columns (guarded at create +
+      // refresh), so these cases can never race the name-based ones
+      // above.
       case Sum(e, _)
-          if measExpr.exists(_.semanticEquals(e)) &&
+          if exprMeasureOf(e).isDefined &&
             (kind == "sum" || kind == "stats") =>
-        mvAttr.get(mcol("mv_sum", measures.head)).map(s =>
+        mvAttr.get(mcol("mv_sum", exprMeasureOf(e).get)).map(s =>
           if (!reagg) s: Expression else Sum(s).toAggregateExpression())
-      case Min(e) if measExpr.exists(_.semanticEquals(e)) && kind == "minmax" =>
-        mvAttr.get(mcol("mv_min", measures.head)).map(m =>
+      case Min(e) if exprMeasureOf(e).isDefined && kind == "minmax" =>
+        mvAttr.get(mcol("mv_min", exprMeasureOf(e).get)).map(m =>
           if (!reagg) m: Expression else Min(m).toAggregateExpression())
-      case Max(e) if measExpr.exists(_.semanticEquals(e)) && kind == "minmax" =>
-        mvAttr.get(mcol("mv_max", measures.head)).map(m =>
+      case Max(e) if exprMeasureOf(e).isDefined && kind == "minmax" =>
+        mvAttr.get(mcol("mv_max", exprMeasureOf(e).get)).map(m =>
           if (!reagg) m: Expression else Max(m).toAggregateExpression())
       case Count(Seq(e))
-          if measExpr.exists(_.semanticEquals(e)) &&
-            mvAttr.contains(mcol("mv_nn", measures.head)) =>
-        mvAttr.get(mcol("mv_nn", measures.head)).map { nn =>
+          if exprMeasureOf(e).isDefined &&
+            mvAttr.contains(mcol("mv_nn", exprMeasureOf(e).get)) =>
+        mvAttr.get(mcol("mv_nn", exprMeasureOf(e).get)).map { nn =>
           if (!reagg) nn: Expression
           else if (global)
             Coalesce(Seq(Sum(nn).toAggregateExpression(), Literal(0L)))
           else Sum(nn).toAggregateExpression()
         }
       case Average(e, _)
-          if measExpr.exists(_.semanticEquals(e)) && kind == "stats" &&
+          if exprMeasureOf(e).isDefined && kind == "stats" &&
             props.get("mv_avg_exact").contains("true") &&
-            mvAttr.contains(mcol("mv_nn", measures.head)) &&
+            mvAttr.contains(mcol("mv_nn", exprMeasureOf(e).get)) &&
             (e.dataType == LongType || e.dataType == IntegerType ||
               e.dataType == DoubleType || e.dataType == FloatType) =>
-        val (s, nn) = (
-          mvAttr(mcol("mv_sum", measures.head)),
-          mvAttr(mcol("mv_nn", measures.head)))
+        val m = exprMeasureOf(e).get
+        val (s, nn) = (mvAttr(mcol("mv_sum", m)), mvAttr(mcol("mv_nn", m)))
         val (se, nne): (Expression, Expression) =
           if (!reagg) (s, nn)
           else

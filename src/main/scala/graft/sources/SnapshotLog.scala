@@ -3278,6 +3278,24 @@ object SnapshotLog {
         count(lit(1)).as("mv_n"))
   }
 
+  /** The declared EXPRESSION measures of an MV, (storedName, exprText)
+    * per declared measure — round 17 generalizes the single
+    * `mv_agg_expr` to per-measure `mv_agg_expr_<name>` props so ONE MV
+    * can maintain several derived measures (`sum(a*b) AS rev,
+    * sum(c+d) AS fee` in one fold). The legacy single-prop spelling
+    * stays readable forever (it binds to the first measure, the only
+    * shape it could ever declare). Plain-column measures simply have
+    * no entry. */
+  private[graft] def declaredMeasureExprs(
+      props: Map[String, String],
+      measures: Seq[String]
+  ): Seq[(String, String)] = {
+    val perMeasure =
+      measures.flatMap(m => props.get(s"mv_agg_expr_$m").map(m -> _))
+    if (perMeasure.nonEmpty) perMeasure
+    else props.get("mv_agg_expr").map(measures.head -> _).toSeq
+  }
+
   /** The recorded sketch precision of an hll MV (create-time
     * declaration; pre-round-17 MVs report the 12 they were built
     * with). */
@@ -3453,7 +3471,16 @@ object SnapshotLog {
       // (RSE ≈ 1.04/√2^lgK; 12 ≈ 1.6 %, 14 ≈ 0.8 %). Recorded as
       // mv_hll_lgk so every fold sketches identically and the serve
       // gate can answer any relativeSD the stored precision covers.
-      hllLgK: Int = 12
+      hllLgK: Int = 12,
+      // MULTI-EXPRESSION measures (round 17): storedName -> SQL
+      // expression, one entry per derived measure — `Map("rev" ->
+      // "a * b", "fee" -> "c + d")` maintains BOTH in one MV (one
+      // fold), recorded as per-measure `mv_agg_expr_<name>` props.
+      // Every key must appear in `aggCol`'s list; names follow the
+      // same collision/determinism rules as the single `aggExpr`
+      // (which stays the one-measure spelling). Plain-column measures
+      // simply have no entry, so derived and real columns mix freely.
+      aggExprs: Map[String, String] = Map.empty
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
     require(
@@ -3494,10 +3521,18 @@ object SnapshotLog {
     // approximate sketch of a derived value is better served by
     // materializing the column where its lineage is auditable.
     require(
-      aggExpr.isEmpty || kind != "hll",
+      (aggExpr.isEmpty && aggExprs.isEmpty) || kind != "hll",
       "createMv: an expression measure does not combine with " +
         "kind='hll' (the sketch needs a declared source column); " +
         "materialize the expression as a real column first")
+    require(
+      aggExpr.isEmpty || aggExprs.isEmpty,
+      "createMv: declare expression measures through aggExpr (one) OR " +
+        "aggExprs (many), not both")
+    aggExprs.values.foreach(e =>
+      require(
+        !e.contains('\n') && !e.contains('='),
+        s"createMv: measure expression must be props-safe: $e"))
     // COMPOSITE keys (round 15): `keyCol` may be a comma-joined list
     // ("region,status") — the rollup groups by all of them, the props
     // record the list verbatim, and the serve rule answers the full
@@ -3532,31 +3567,41 @@ object SnapshotLog {
       aggExpr.isEmpty || measures.size == 1,
       "createMv: an expression measure is declared under ONE stored " +
         "name — one expression per mv_agg_expr")
-    aggExpr.foreach(_ =>
+    require(
+      aggExprs.keySet.subsetOf(measures.toSet),
+      s"createMv: aggExprs names ${aggExprs.keySet.mkString(", ")} must " +
+        s"all appear in the measure list '$aggCol'")
+    // the unified (storedName, exprText) list: the legacy single
+    // aggExpr binds to the sole measure; aggExprs bind by name, in
+    // measure-list order
+    val exprMap: Seq[(String, String)] =
+      if (aggExprs.nonEmpty) measures.flatMap(m => aggExprs.get(m).map(m -> _))
+      else aggExpr.map(measures.head -> _).toSeq
+    exprMap.foreach { case (m, _) =>
       require(
-        !tableSchema(spark, source, tip)
-          .exists(_.fieldNames.contains(measures.head)),
-        s"createMv: derived measure name '${measures.head}' collides " +
+        !tableSchema(spark, source, tip).exists(_.fieldNames.contains(m)),
+        s"createMv: derived measure name '$m' collides " +
           "with a source column — pick a fresh name (the refresh " +
-          "re-derives it over every delta)"))
-    // the measure column the rollup aggregates: a real source column,
-    // or the declared expression materialized under the declared name
-    def withMeasure(df: DataFrame): DataFrame = aggExpr match {
-      case Some(e) => df.withColumn(measures.head, expr(e))
-      case None    => df
+          "re-derives it over every delta)")
     }
+    // the measure columns the rollup aggregates: real source columns,
+    // or declared expressions materialized under their declared names
+    def withMeasure(df: DataFrame): DataFrame =
+      exprMap.foldLeft(df) { case (cur, (m, e)) =>
+        cur.withColumn(m, expr(e))
+      }
     val base = withMeasure(read(spark, source, Some(tip)))
-    aggExpr.foreach { e =>
+    exprMap.foreach { case (m, e) =>
       // resolve once against the real schema and refuse what a rollup
       // can never re-derive faithfully: nondeterminism or a subquery
       val resolved = base.queryExecution.analyzed.output // force analysis
-      val alias = base.queryExecution.analyzed.collectFirst {
+      val alias = base.queryExecution.analyzed.collect {
         case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
           p.projectList.collectFirst {
             case al: org.apache.spark.sql.catalyst.expressions.Alias
-                if al.name == measures.head => al.child
+                if al.name == m => al.child
           }
-      }.flatten
+      }.flatten.headOption
       require(resolved.nonEmpty, "unreachable")
       alias.foreach(x =>
         require(
@@ -3619,6 +3664,7 @@ object SnapshotLog {
           "mv_version" -> tip.toString) ++
           keyExpr.map("mv_key_expr" -> _) ++
           aggExpr.map("mv_agg_expr" -> _) ++
+          aggExprs.map { case (m, e) => s"mv_agg_expr_$m" -> e } ++
           (if (hashDistinct) Some("mv_distinct_hash" -> "true") else None))
       addMvRef(spark, source, mv)
       return tip
@@ -3660,8 +3706,8 @@ object SnapshotLog {
       addMvRef(spark, source, mv)
       return tip
     }
-    val aggExprs = mvAggExprs(measures, kind, avgExact)
-    val m = src.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
+    val aggCols = mvAggExprs(measures, kind, avgExact)
+    val m = src.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
     val (fpN, fpX) = contentFingerprint(m)
     // the as-of version rides the materialize commit's own header
     // (`mvv=`): data and high-water mark land in ONE atomic write, the
@@ -3681,6 +3727,7 @@ object SnapshotLog {
         "mv_version" -> tip.toString) ++
         keyExpr.map("mv_key_expr" -> _) ++
         aggExpr.map("mv_agg_expr" -> _) ++
+        aggExprs.map { case (m, e) => s"mv_agg_expr_$m" -> e } ++
         (if (avgExact) Some("mv_avg_exact" -> "true") else None))
     // reverse pointer on the SOURCE (`mv_refs`, comma-joined MV paths):
     // the optimizer's aggregate-navigation rule discovers "which MVs
@@ -4351,22 +4398,26 @@ object SnapshotLog {
     // same props, forever — with the same schema-evolution guard as
     // the derived key: a source column later ADDED under the declared
     // measure name would be silently shadowed by withColumn.
-    val aggExprProp = props.get("mv_agg_expr")
-    val measureName0 = agg.split(',').map(_.trim).filter(_.nonEmpty).head
-    aggExprProp.foreach { _ =>
+    // declared expression measures (round 17: a per-measure LIST —
+    // mv_agg_expr_<name> props; the legacy single mv_agg_expr binds
+    // to the first measure): each re-derives over the delta exactly
+    // as the materialize derived it, with the same schema-evolution
+    // shadow guard per declared name.
+    val measureExprs: Seq[(String, String)] = declaredMeasureExprs(
+      props, agg.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    measureExprs.foreach { case (m, _) =>
       require(
         !tableSchema(spark, source, to)
-          .exists(_.fieldNames.contains(measureName0)),
+          .exists(_.fieldNames.contains(m)),
         s"refreshMv: the source schema at v$to now contains a column " +
-          s"named '$measureName0' — the MV's derived measure would shadow " +
+          s"named '$m' — the MV's derived measure would shadow " +
           "it. Rename the source column or re-materialize the MV under a " +
           "fresh measure name.")
     }
-    def withMeasure(df: DataFrame): DataFrame = aggExprProp match {
-      case Some(e) =>
-        df.withColumn(measureName0, org.apache.spark.sql.functions.expr(e))
-      case None => df
-    }
+    def withMeasure(df: DataFrame): DataFrame =
+      measureExprs.foldLeft(df) { case (cur, (m, e)) =>
+        cur.withColumn(m, org.apache.spark.sql.functions.expr(e))
+      }
     // JOIN MVs (round 15): the change feed ENRICHES against the
     // PINNED dim version — every delta row gains its dim attributes,
     // after which every fold/recompute branch below works unchanged

@@ -4541,6 +4541,49 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("multi-expression MV serving: sum(a*b), sum(c+100) and the plain " +
+    "sum(v) all answer from ONE rollup, each matched to its own stored " +
+    "column by semantic equality; a swapped expression bails") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, a BIGINT, b BIGINT, " +
+      "c BIGINT, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $t VALUES (1, 2, 3, 10, 100), (1, 4, 5, 20, 200),
+         |(2, 6, 7, 30, 300)""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_mxmv"
+    SnapshotLog.createMv(
+      spark, pathOf(t), mvPath, "k", "rev,fee,v",
+      aggExprs = Map("rev" -> "a * b", "fee" -> "c + 100"))
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val q = s"SELECT k, sum(a * b) AS r, sum(c + 100) AS f, " +
+        s"sum(v) AS sv, count(*) AS n FROM $t GROUP BY k"
+      val served = plan(q)
+      assert(MvRewrite.readsPath(served, mvPath),
+        "both expressions and the plain measure must serve from one MV")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet ==
+        Set((1L, 26L, 230L, 300L, 2L), (2L, 42L, 130L, 300L, 1L)))
+      // GLOBAL re-aggregation across all three measures
+      val gl = plan(s"SELECT sum(a * b) AS r, sum(c + 100) AS f, " +
+        s"sum(v) AS sv FROM $t")
+      assert(MvRewrite.readsPath(gl, mvPath))
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, gl)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set((68L, 360L, 600L)))
+      // an expression the MV never declared bails the whole query
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, sum(a * c) AS r FROM $t GROUP BY k"), mvPath),
+        "an undeclared expression must bail to the source")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
     "with the fact watermark at tip (and refresh_mv_dim restores it); " +
     "one corrupt table costs its row, never the inventory") {

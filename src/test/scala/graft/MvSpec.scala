@@ -1417,6 +1417,63 @@ class MvSpec extends SparkTestBase {
     assert(e3.getMessage.contains("'rev'"))
   }
 
+  /** MULTI-EXPRESSION MVs (round 17): per-measure mv_agg_expr_<name>
+    * props — ONE MV (one fold) maintains several derived measures
+    * alongside plain columns. */
+  test("multi-expression MVs: two derived measures and a plain column " +
+    "fold together through append and CoW delete; the guards refuse " +
+    "unknown names, collisions and mixing the two declaration forms") {
+    import spark.implicits._
+    def rows(s: Seq[(Long, Long, Long, Long, Long)]) =
+      s.toDF("k", "a", "b", "c", "v")
+    val src = fresh("mxsrc")
+    val mv = fresh("mxmv")
+    SnapshotLog.commit(
+      spark, src,
+      rows(Seq((1L, 2L, 3L, 10L, 100L), (1L, 4L, 5L, 20L, 200L),
+        (2L, 6L, 7L, 30L, 300L))))
+    SnapshotLog.createMv(
+      spark, src, mv, "k", "rev,fee,v",
+      aggExprs = Map("rev" -> "a * b", "fee" -> "c + 100"))
+    def state(): Set[(Long, Long, Long, Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    def recompute(): Set[(Long, Long, Long, Long, Long)] =
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"))
+        .agg(
+          sum(col("a") * col("b")).as("mv_sum_rev"),
+          sum(col("c") + lit(100L)).as("mv_sum_fee"),
+          sum(col("v")).as("mv_sum_v"),
+          count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    assert(state() == recompute())
+    assert(state() == Set((1L, 26L, 230L, 300L, 2L), (2L, 42L, 130L, 300L, 1L)))
+    // append + CoW delete: every measure re-derives over the delta
+    SnapshotLog.commit(spark, src, rows(Seq((2L, 1L, 9L, 5L, 50L))))
+    SnapshotLog.deleteWhere(spark, src, "v", 100L, 100L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state() == recompute())
+    assert(state() == Set((1L, 20L, 120L, 200L, 1L), (2L, 51L, 235L, 350L, 2L)))
+    // guards
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "rev",
+      aggExprs = Map("nope" -> "a * b")))
+    assert(e1.getMessage.contains("must") &&
+      e1.getMessage.contains("measure list"))
+    val e2 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "v,fee",
+      aggExprs = Map("v" -> "a * b", "fee" -> "c + 1")))
+    assert(e2.getMessage.contains("collides"))
+    val e3 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "rev",
+      aggExpr = Some("a * b"), aggExprs = Map("rev" -> "a * b")))
+    assert(e3.getMessage.contains("not both"))
+  }
+
   test("the pre-fold fingerprint verification is ledger-gated: a clean " +
     "refresh skips the full-MV pass entirely; a foreign data-changing " +
     "commit still triggers the verification and the refusal") {
