@@ -270,10 +270,21 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The rewrite without the conf gate — [[MvRewrite.explainServe]]
-    * uses it so an explain always explains. */
+    * uses it so an explain always explains. The legacy registry path
+    * gets the same crash-to-diag posture as the managed one (round
+    * 17): a registry entry whose parquet path was dropped out of band
+    * would otherwise fail the USER's query from inside an optimizer
+    * rule. */
   private[plans] def applyAlways(plan: LogicalPlan): LogicalPlan =
     plan.transformDown { case agg @ Aggregate(_, _, _, _) =>
-      rewrite(agg).orElse(rewriteManaged(agg)).getOrElse(agg)
+      (try rewrite(agg)
+       catch {
+         case scala.util.control.NonFatal(t) =>
+           MvRewrite.diag(s"registry serve attempt crashed: " +
+             s"${t.getClass.getSimpleName}: ${t.getMessage}")
+           None
+       })
+        .orElse(rewriteManaged(agg)).getOrElse(agg)
     }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
