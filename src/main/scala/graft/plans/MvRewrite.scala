@@ -533,39 +533,54 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else counts.map(_._2.get).sum
     }.getOrElse(Long.MaxValue)
 
-  /** Pick the cheapest admissible candidate (by stored rows, path as
-    * the deterministic tiebreak) and name the choice AND the losers in
-    * the diag sink — "which MV answered?" is the first question after
-    * "why didn't it serve?". One candidate skips the ranking walk. */
+  /** Pick the cheapest ADMISSIBLE candidate: rank by stored rows
+    * FIRST (one manifest metadata read per candidate, path as the
+    * deterministic tiebreak), then evaluate cheapest-first and STOP
+    * at the first admissible plan — it is the cheapest admissible by
+    * construction, and the larger candidates are never even verified
+    * (evaluating every candidate was planning-time O(candidates)
+    * metadata work on every aggregate over the source). The diag
+    * names the choice, the cheaper candidates that failed (their own
+    * bail lines precede it), and the larger ones never tried. One
+    * candidate skips the ranking walk entirely. */
   private def pickCheapest(
-      cands: Seq[(String, LogicalPlan)]
+      cands: Seq[(String, () => Option[LogicalPlan])]
   ): Option[LogicalPlan] = cands match {
     case Seq()          => None
-    case Seq((_, only)) => Some(only)
+    case Seq((_, only)) => only()
     case many =>
       val ranked = many
-        .map { case (p, plan) => (p, plan, storedRows(p)) }
+        .map { case (p, thunk) => (p, thunk, storedRows(p)) }
         .sortBy(t => (t._3, t._1))
-      val (winner, plan, rows) = ranked.head
-      MvRewrite.diag(s"chose $winner ($rows stored rows) over " +
-        ranked.tail.map { case (p, _, r) =>
-          s"$p (${if (r == Long.MaxValue) "unknown" else r.toString} rows)"
-        }.mkString(", "))
-      Some(plan)
+      ranked.iterator.zipWithIndex
+        .map { case ((p, thunk, rows), i) =>
+          thunk().map { plan =>
+            val rowsTxt =
+              if (rows == Long.MaxValue) "unknown" else rows.toString
+            val skipped = ranked.drop(i + 1)
+            MvRewrite.diag(s"chose $p ($rowsTxt stored rows)" +
+              (if (skipped.isEmpty) ""
+               else "; larger candidates not evaluated: " +
+                 skipped.map { case (q, _, r) =>
+                   s"$q (${if (r == Long.MaxValue) "unknown" else r.toString} rows)"
+                 }.mkString(", ")))
+            plan
+          }
+        }
+        .collectFirst { case Some(plan) => plan }
   }
 
   private def rewriteManaged(agg0: Aggregate): Option[LogicalPlan] = {
     val agg = inlineGroupingProject(agg0)
-    // round 17: evaluate EVERY registered candidate and keep the
-    // cheapest admissible one — headOption took mv_refs registration
-    // order, serving a monthly query from the daily MV whenever the
-    // daily registered first. mv_refs lists are a handful of entries,
-    // so the extra verification is metadata-only per candidate.
+    // round 17: rank registered candidates by stored rows and take
+    // the cheapest ADMISSIBLE one — headOption took mv_refs
+    // registration order, serving a monthly query from the daily MV
+    // whenever the daily registered first.
     val plain = for {
       (condOpt, srcPath, srcVersion) <- managedSourceOf(agg.child)
-      plan <- pickCheapest(mvRefsOf(srcPath).flatMap { mvPath =>
-        tryServe(agg, condOpt, srcPath, srcVersion, mvPath, None)
-          .map(mvPath -> _)
+      plan <- pickCheapest(mvRefsOf(srcPath).map { mvPath =>
+        mvPath -> (() =>
+          tryServe(agg, condOpt, srcPath, srcVersion, mvPath, None))
       })
     } yield plan
     plain
@@ -697,13 +712,13 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case (Some(x), Some(y)) => Some(And(x, y))
               case (x, y)             => x.orElse(y)
             }
-            mvRefsOf(fp).flatMap { mvPath =>
-              tryServe(
-                agg, dimCond, fp, fv, mvPath,
-                Some(JoinProbe(
-                  Seq(DimLink(dp, dv, fkA.name, pkA.name)), fOut,
-                  jm.joinType)))
-                .map(mvPath -> _)
+            mvRefsOf(fp).map { mvPath =>
+              mvPath -> (() =>
+                tryServe(
+                  agg, dimCond, fp, fv, mvPath,
+                  Some(JoinProbe(
+                    Seq(DimLink(dp, dv, fkA.name, pkA.name)), fOut,
+                    jm.joinType))))
             }
           }
       })
@@ -805,14 +820,15 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (sm.joinType.contains("left")) sm.leaves.take(1)
           else sm.leaves
         pickCheapest(factLeaves.flatMap { factLeaf =>
-          mvRefsOf(factLeaf.path).flatMap { mvPath =>
-            (try alignStar(agg, sm, factLeaf, mvPath)
-             catch {
-               case scala.util.control.NonFatal(t) =>
-                 MvRewrite.diag(s"$mvPath: serve attempt crashed: " +
-                   s"${t.getClass.getSimpleName}: ${t.getMessage}")
-                 None
-             }).map(mvPath -> _)
+          mvRefsOf(factLeaf.path).map { mvPath =>
+            mvPath -> (() =>
+              try alignStar(agg, sm, factLeaf, mvPath)
+              catch {
+                case scala.util.control.NonFatal(t) =>
+                  MvRewrite.diag(s"$mvPath: serve attempt crashed: " +
+                    s"${t.getClass.getSimpleName}: ${t.getMessage}")
+                  None
+              })
           }
         })
       }
