@@ -1,6 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // DCE sink for the calibration loop (volatile so the JIT cannot
+  // prove the loop result unused and elide the work).
+  @volatile private var calibSink: Long = 0L
+
+  /** One fixed-work CPU rep: 64-bit multiplicative mix over a fixed
+    * iteration count. Deterministic, IO-free, data-free, allocation-
+    * free — the same instruction stream on every machine and every
+    * HEAD, so its wall time measures ONLY current machine speed.
+    */
+  private def calibRep(iters: Long): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      h ^= i
+      h *= 0xFF51AFD7ED558CCDL
+      h ^= (h >>> 33)
+      i += 1L
+    }
+    calibSink = h
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Machine-calibration anchor (round-18, VERDICT r17 #1): emitted
+    * with every bench run so any two readings — driver or builder,
+    * any session — are machine-normalizable by their calib ratio.
+    * Returns (single-thread median-of-3, parallel wall median-of-3).
+    * The parallel rep runs `par` concurrent copies of the same loop,
+    * matching how a contended shared machine slows the 32-thread
+    * Spark run; the single-thread rep isolates per-core speed.
+    */
+  private def calibrate(par: Int): (Double, Double) = {
+    val iters = 400000000L // ~1 s/rep on an uncontended modern core
+    calibRep(iters / 8) // JIT warm, discarded
+    val st = Seq.fill(3)(calibRep(iters)).sorted.apply(1)
+    def parRep(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until par).map { _ =>
+        val t = new Thread(() => { calibRep(iters); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pw = Seq.fill(3)(parRep()).sorted.apply(1)
+    (st, pw)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +64,11 @@ object Bench {
     // measured query isn't charged ~4s of JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // Calibration anchor BEFORE the measured queries (machine state
+    // at run start) and again after (calib_end_* below) so mid-run
+    // degradation on a shared machine is visible in the artifact.
+    val calibPar = math.max(1, cpus.toInt)
+    val (calibSt0, calibPw0) = calibrate(calibPar)
     // Optional comma-separated key subset (SPARK_GRAFT_BENCH_KEYS) for
     // fresh-JVM per-key medians — the driver sets no subset and always
     // measures the full inventory.
@@ -29,6 +82,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (calibSt1, calibPw1) = calibrate(calibPar)
     // The driver tail-captures only the LAST 2000 chars of stdout, and
     // sbt's trailing "[success] ..." line costs ~75 of them — a full
     // 105-query map (~3.4 KB) gets its head clipped and parses as null
@@ -38,8 +92,14 @@ object Bench {
     // written to bench_out.json.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // calib_sec is the PARALLEL anchor (32 concurrent fixed loops —
+    // the contention profile a local[32] Spark run actually feels),
+    // median of the start/end readings; the per-phase and single-
+    // thread values go to bench_out.json for diagnosis. Normalize
+    // two runs by dividing each key by its run's calib_sec.
+    val calibSec = (calibPw0 + calibPw1) / 2.0
     def mkLine(qs: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib_sec":${r3(calibSec)},"queries":$qs,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // per-area rollup (key prefix before the first '_') — budget
@@ -53,9 +113,11 @@ object Bench {
         "\"" + a + "\":{\"sec\":" + r3(vs.map(_._2).sum) + ",\"n\":" + vs.size + "}"
       }
       .mkString("{", ",", "}")
+    val calibDetail =
+      s""""calib":{"par":$calibPar,"start_par_sec":${r3(calibPw0)},"end_par_sec":${r3(calibPw1)},"start_st_sec":${r3(calibSt0)},"end_st_sec":${r3(calibSt1)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"),
-      mkLine(fullQs).dropRight(1) + s""","areas":$areas}""" + "\n")
+      mkLine(fullQs).dropRight(1) + s""","areas":$areas,$calibDetail}""" + "\n")
     val budget = 1500
     val bySlow = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val overhead = mkLine("{}").length + "\"_rest\":9999.999,".length
