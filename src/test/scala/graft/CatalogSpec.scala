@@ -2491,6 +2491,107 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $mv") // absent: no-op
   }
 
+  test("DDL multi-expression MV (round 18): sum(<expr>) AS mv_sum_<name> " +
+    "items in the CREATE select list declare several derived measures in " +
+    "one rollup; each serves alone and together; the bail matrix refuses " +
+    "adjacent spellings loudly") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, a BIGINT, b BIGINT, c BIGINT)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 10, 3, 7), (1, 20, 4, 8), (2, 5, 5, 9)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_mx AS
+         |SELECT k, sum(a * b) AS mv_sum_rev, sum(c % 5) AS mv_sum_cm,
+         |sum(a) AS mv_sum_a, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    val mvPath = s"$warehouse/main/${tn}_mx"
+    val props = SnapshotLog.tableProps(spark, pathOf(s"x.y.${tn}_mx"))
+    assert(props("mv_agg") == "rev,cm,a")
+    assert(props.get("mv_agg_expr_rev")
+      .exists(_.replace(" ", "").contains("a*b")))
+    assert(props.contains("mv_agg_expr_cm"))
+    assert(!props.contains("mv_agg_expr_a"), "plain column has no expr prop")
+    // the refresh folds all three measures (derived re-derived over
+    // the delta)
+    spark.sql(s"INSERT INTO $t VALUES (2, 2, 10, 11), (3, 1, 1, 4)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_mx")
+    val rule = MvRollupRewriteRule(spark)
+    // ground truth BEFORE arming the conf (SURVEY §5.6)
+    val expected = spark.sql(
+      s"SELECT k, sum(a * b) AS rev, sum(c % 5) AS cm, sum(a) AS sa " +
+        s"FROM $t GROUP BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      val all = plan(
+        s"SELECT k, sum(a * b) AS rev, sum(c % 5) AS cm, sum(a) AS sa " +
+          s"FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(all, mvPath), "all three must serve")
+      assert(run(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet == expected)
+      // each derived measure serves ALONE too
+      assert(MvRewrite.readsPath(
+        plan(s"SELECT k, sum(a * b) AS rev FROM $t GROUP BY k"), mvPath))
+      assert(MvRewrite.readsPath(
+        plan(s"SELECT k, sum(c % 5) AS cm FROM $t GROUP BY k"), mvPath))
+      assert(MvRewrite.readsPath(
+        plan(s"SELECT k, sum(a) AS sa FROM $t GROUP BY k"), mvPath))
+      // an expression the MV does NOT store bails
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, sum(a * c) AS x FROM $t GROUP BY k"), mvPath))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+    // --- bail matrix (SURVEY §5.6): adjacent spellings refuse at CREATE
+    // duplicate stored names
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, sum(a * b) AS mv_sum_x, sum(a + b) AS mv_sum_x, " +
+        s"count(*) AS mv_n FROM $t GROUP BY k"))
+    assert(e1.getMessage.contains("shapes"))
+    // empty alias suffix
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, sum(a * b) AS mv_sum_, count(*) AS mv_n " +
+        s"FROM $t GROUP BY k"))
+    assert(e2.getMessage.contains("shapes"))
+    // a plain column NOT in the mv_sum_<col> convention
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, sum(a) AS mv_sum, sum(a * b) AS mv_sum_rev, " +
+        s"count(*) AS mv_n FROM $t GROUP BY k"))
+    assert(e3.getMessage.contains("shapes"))
+    // a derived name colliding with a source column (createMv's guard)
+    val e4 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, sum(a * b) AS mv_sum_c, sum(a) AS mv_sum_a, " +
+        s"count(*) AS mv_n FROM $t GROUP BY k"))
+    assert(e4.getMessage.contains("collides"))
+    // expression measures stay single-table: the join form refuses
+    val d = freshName()
+    val dn = d.split('.').last
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, attr STRING)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'x'), (2, 'y')")
+    val e5 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT d.attr, sum(f.a * f.b) AS mv_sum_rev, count(*) AS mv_n " +
+        s"FROM $t AS f JOIN cattest.main.$dn AS d ON f.k = d.pk " +
+        s"GROUP BY d.attr"))
+    assert(e5.getMessage.contains("shapes") ||
+      e5.getMessage.contains("single-table"))
+    // nn declarations do not combine with the multi-expression form
+    val e6 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, sum(a * b) AS mv_sum_rev, sum(a) AS mv_sum_a, " +
+        s"count(a) AS mv_nn_a, count(*) AS mv_n FROM $t GROUP BY k"))
+    assert(e6.getMessage.contains("shapes"))
+  }
+
   test("GROUP BY a pure partition column pushes the whole count down: " +
     "zero data files opened, exact through MoR deletes") {
     val t = freshName()
