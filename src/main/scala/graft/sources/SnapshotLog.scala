@@ -3517,14 +3517,13 @@ object SnapshotLog {
     // bitmap rollup (and re-derives over every refresh delta exactly
     // like the sum kinds), so `count(DISTINCT cents * (100 - d))`
     // serves. The integral-or-hashDistinct gate below then judges the
-    // EXPRESSION's resolved type. hll keeps the refusal: an
-    // approximate sketch of a derived value is better served by
-    // materializing the column where its lineage is auditable.
-    require(
-      (aggExpr.isEmpty && aggExprs.isEmpty) || kind != "hll",
-      "createMv: an expression measure does not combine with " +
-        "kind='hll' (the sketch needs a declared source column); " +
-        "materialize the expression as a real column first")
+    // EXPRESSION's resolved type. Round 18 lifts the r16/r17 hll
+    // refusal the same way: the sketch is built over the materialized
+    // expression column at the declared lgK, every refresh re-derives
+    // it over the delta (insert fold) and the watermark scope (delete
+    // recompute), and the serve rule matches
+    // `approx_count_distinct(<expr>)` by semantic equality — the
+    // "distinct normalized user ids" shape.
     require(
       aggExpr.isEmpty || aggExprs.isEmpty,
       "createMv: declare expression measures through aggExpr (one) OR " +
@@ -3682,10 +3681,13 @@ object SnapshotLog {
         measures.size == 1,
         "createMv: kind='hll' maintains one sketch column per MV — " +
           "create one MV per distinct-counted measure")
-      val base0 = read(spark, source, Some(tip))
+      // `base` already carries any declared expression measure
+      // materialized under its stored name (withMeasure above) — the
+      // sketch is built over the materialized column, so an hll MV of
+      // `upper(uid)` or `cents % 97` folds and serves like a real one
       val based = keyExpr match {
-        case Some(e) => base0.withColumn(keyCol, expr(e))
-        case None    => base0
+        case Some(e) => base.withColumn(keyCol, expr(e))
+        case None    => base
       }
       val m = hllRollup(based, keyCols, measures.head, hllLgK)
         .localCheckpoint()
@@ -3702,7 +3704,9 @@ object SnapshotLog {
           "mv_kind" -> kind,
           "mv_hll_lgk" -> hllLgK.toString,
           "mv_version" -> tip.toString) ++
-          keyExpr.map("mv_key_expr" -> _))
+          keyExpr.map("mv_key_expr" -> _) ++
+          aggExpr.map("mv_agg_expr" -> _) ++
+          aggExprs.map { case (m, e) => s"mv_agg_expr_$m" -> e })
       addMvRef(spark, source, mv)
       return tip
     }

@@ -4642,6 +4642,58 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("hll MV over an expression measure (round 18): approx_count_" +
+    "distinct(<expr>) serves from the sketch of the materialized " +
+    "expression; the bail matrix holds (different expression, tighter " +
+    "relativeSD, exact count(DISTINCT))") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT, d BIGINT)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 10, 1), (1, 10, 1), (1, 20, 2), (2, 30, 1)")
+    spark.sql(
+      s"""CALL cattest.system.create_mv(source => 'main.$tn',
+         |mv => 'main.${tn}_hx', key => 'k', agg => 'nx',
+         |kind => 'hll', agg_expr => 'v + 100 * d',
+         |hll_lgk => 14)""".stripMargin)
+    // the refresh re-derives the expression over the delta
+    spark.sql(s"INSERT INTO $t VALUES (1, 10, 2), (2, 30, 1)")
+    spark.sql(
+      s"CALL cattest.system.refresh_mv(mv => 'main.${tn}_hx')")
+    val px = s"$warehouse/main/${tn}_hx"
+    val rule = MvRollupRewriteRule(spark)
+    // ground truth BEFORE arming the conf (SURVEY §5.6)
+    val expected = spark.sql(
+      s"SELECT k, count(DISTINCT v + 100 * d) AS du FROM $t GROUP BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      val served = plan(
+        s"SELECT k, approx_count_distinct(v + 100 * d) AS du " +
+          s"FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(served, px),
+        "the declared-expression estimate must serve from the sketch")
+      // HLL is exact at this cardinality, so the estimate equals truth
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+      // a DIFFERENT expression bails
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, approx_count_distinct(v + 101 * d) AS du " +
+          s"FROM $t GROUP BY k"), px))
+      // tighter than the declared lgK-14 RSE bails through the
+      // expression path too
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, approx_count_distinct(v + 100 * d, 0.005) AS du " +
+          s"FROM $t GROUP BY k"), px))
+      // EXACT count(DISTINCT <expr>) never serves from a sketch
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT k, count(DISTINCT v + 100 * d) AS du " +
+          s"FROM $t GROUP BY k"), px))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("multi-expression MV serving: sum(a*b), sum(c+100) and the plain " +
     "sum(v) all answer from ONE rollup, each matched to its own stored " +
     "column by semantic equality; a swapped expression bails") {

@@ -1506,8 +1506,8 @@ class MvSpec extends SparkTestBase {
     * distinct kind's fold/recompute discipline. */
   test("distinct + expression measure: inserts fold by bitmap OR over " +
     "the re-derived expression, delete-touched groups recompute it at " +
-    "the watermark, the hashed route covers non-integral expressions, " +
-    "and hll + expression still refuses") {
+    "the watermark, and the hashed route covers non-integral " +
+    "expressions") {
     import spark.implicits._
     def rows(s: Seq[(Long, Long, Long)]) = s.toDF("k", "v", "d")
     val src = fresh("dxsrc")
@@ -1559,11 +1559,69 @@ class MvSpec extends SparkTestBase {
       spark, src, fresh("m"), "k", "nx", kind = "distinct",
       aggExpr = Some("CAST(v AS STRING)")))
     assert(e1.getMessage.contains("integral"))
-    // hll + expression keeps the refusal
+  }
+
+  /** HLL + EXPRESSION measures (round 18, lifting the r16/r17
+    * refusal): the sketch is built over the materialized expression
+    * column at the declared lgK; every refresh re-derives the
+    * expression (insert fold AND delete recompute). DataSketches HLL
+    * is exact at these tiny cardinalities, so equality assertions
+    * against the true count(DISTINCT expr) are sound. */
+  test("hll + expression measure: the sketch folds over the re-derived " +
+    "expression, deletes recompute it at the watermark, and the " +
+    "refusal matrix holds (multi-measure, name collisions)") {
+    import spark.implicits._
+    def rows(s: Seq[(Long, Long, Long)]) = s.toDF("k", "v", "d")
+    val src = fresh("hxsrc")
+    val mv = fresh("hxmv")
+    SnapshotLog.commit(
+      spark, src,
+      rows(Seq((1L, 10L, 1L), (1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L))))
+    SnapshotLog.createMv(
+      spark, src, mv, "k", "hx", kind = "hll",
+      aggExpr = Some("v + 100 * d"), hllLgK = 14)
+    val props = SnapshotLog.tableProps(spark, mv)
+    assert(props.get("mv_agg_expr").exists(_.contains("v + 100 * d")))
+    assert(props.get("mv_hll_lgk").contains("14"))
+    def state(m: String): Map[Long, Long] =
+      SnapshotLog.read(spark, m)
+        .selectExpr("k", "CAST(hll_sketch_estimate(mv_hll) AS BIGINT) AS e")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recompute(): Map[Long, Long] =
+      SnapshotLog.read(spark, src)
+        .groupBy(col("k"))
+        .agg(countDistinct(col("v") + lit(100L) * col("d")).as("du"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=1: {110, 110, 220} → 2 distinct; k=2: {130} → 1
+    assert(state(mv) == recompute())
+    assert(state(mv) == Map(1L -> 2L, 2L -> 1L))
+    // an insert folds by sketch union over the RE-DERIVED expression;
+    // a seen derived value must not inflate the estimate
+    SnapshotLog.commit(spark, src, rows(Seq((1L, 10L, 2L), (2L, 30L, 1L))))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state(mv) == recompute())
+    assert(state(mv) == Map(1L -> 3L, 2L -> 1L))
+    // a CoW delete recomputes the touched group, re-deriving the
+    // expression at the watermark
+    SnapshotLog.deleteWhere(spark, src, "d", 2L, 2L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(state(mv) == recompute())
+    assert(state(mv) == Map(1L -> 1L, 2L -> 1L))
+    // refusal matrix: hll stays one-measure-per-MV even with aggExprs
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "x1,x2", kind = "hll",
+      aggExprs = Map("x1" -> "v + d", "x2" -> "v - d")))
+    assert(e1.getMessage.contains("one sketch column"))
+    // a derived name colliding with a source column refuses
     val e2 = intercept[IllegalArgumentException](SnapshotLog.createMv(
-      spark, src, fresh("m"), "k", "hx", kind = "hll",
+      spark, src, fresh("m"), "k", "v", kind = "hll",
       aggExpr = Some("v + d")))
-    assert(e2.getMessage.contains("hll"))
+    assert(e2.getMessage.contains("collides"))
+    // a nondeterministic expression refuses (generic guard, through hll)
+    val e3 = intercept[IllegalArgumentException](SnapshotLog.createMv(
+      spark, src, fresh("m"), "k", "rx", kind = "hll",
+      aggExpr = Some("v + CAST(rand() * 10 AS BIGINT)")))
+    assert(e3.getMessage.contains("deterministic"))
   }
 
   /** MULTI-DIM LEFT STAR MVs (round 17, lifting the r16 inner-only
