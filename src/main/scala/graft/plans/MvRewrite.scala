@@ -516,41 +516,52 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         None
     }
 
-  /** Stored LIVE row count of an MV at its tip — the candidate-ranking
-    * currency (round 17): among several ADMISSIBLE MVs the smallest
-    * one wins, so a monthly dashboard with both a daily and a monthly
-    * rollup registered re-aggregates ~months rows, not ~days — at
-    * 100 TB the difference between a 12-row scan and a million-row
-    * one. Manifest `_rc`/`_dvc` riders make this O(manifest) driver
-    * metadata, zero file opens; an MV with any pre-rider file
-    * (unknown size) ranks after every known one but still serves when
-    * it is the only candidate. */
-  private def storedRows(mvPath: String): Long =
+  /** Stored LIVE row count of an MV at the version a probe pinned at
+    * `srcVersion` would actually serve — the candidate-ranking
+    * currency (round 17; round 18 makes it HISTORICAL-AWARE, r17
+    * verdict #6): among several ADMISSIBLE MVs the smallest one wins,
+    * so a monthly dashboard with both a daily and a monthly rollup
+    * registered re-aggregates ~months rows, not ~days — at 100 TB
+    * the difference between a 12-row scan and a million-row one. For
+    * a `VERSION AS OF` query the ranked size is the count at the MV
+    * version whose mvv watermark folds that source version (the one
+    * serveManaged will read), falling back to the tip when no ledger
+    * entry matches (the candidate will bail STALE anyway, so its
+    * rank is moot). Manifest `_rc`/`_dvc` riders make this
+    * O(manifest) driver metadata, zero file opens; an MV with any
+    * pre-rider file (unknown size) ranks after every known one but
+    * still serves when it is the only candidate. */
+  private def storedRows(mvPath: String, srcVersion: Int): Long =
     scala.util.Try {
-      val v = graft.sources.SnapshotLog.versions(spark, mvPath).last
+      val v = graft.sources.SnapshotLog
+        .versionAtWatermark(spark, mvPath, "mvv", srcVersion)
+        .getOrElse(graft.sources.SnapshotLog.versions(spark, mvPath).last)
       val counts = graft.sources.SnapshotLog.liveRowCounts(spark, mvPath, v)
       if (counts.exists(_._2.isEmpty)) Long.MaxValue
       else counts.map(_._2.get).sum
     }.getOrElse(Long.MaxValue)
 
-  /** Pick the cheapest ADMISSIBLE candidate: rank by stored rows
-    * FIRST (one manifest metadata read per candidate, path as the
-    * deterministic tiebreak), then evaluate cheapest-first and STOP
-    * at the first admissible plan — it is the cheapest admissible by
-    * construction, and the larger candidates are never even verified
-    * (evaluating every candidate was planning-time O(candidates)
-    * metadata work on every aggregate over the source). The diag
-    * names the choice, the cheaper candidates that failed (their own
-    * bail lines precede it), and the larger ones never tried. One
-    * candidate skips the ranking walk entirely. */
+  /** Pick the cheapest ADMISSIBLE candidate: rank by stored rows at
+    * the probe's resolved version FIRST (one manifest metadata read
+    * per candidate, path as the deterministic tiebreak), then
+    * evaluate cheapest-first and STOP at the first admissible plan —
+    * it is the cheapest admissible by construction, and the larger
+    * candidates are never even verified (evaluating every candidate
+    * was planning-time O(candidates) metadata work on every
+    * aggregate over the source). The diag names the choice, the
+    * cheaper candidates that failed (their own bail lines precede
+    * it), and the larger ones never tried. One candidate skips the
+    * ranking walk entirely. Candidates carry the probe's pinned
+    * source version so time-travel queries rank by the sizes they
+    * would actually read. */
   private def pickCheapest(
-      cands: Seq[(String, () => Option[LogicalPlan])]
+      cands: Seq[(String, Int, () => Option[LogicalPlan])]
   ): Option[LogicalPlan] = cands match {
-    case Seq()          => None
-    case Seq((_, only)) => only()
+    case Seq()             => None
+    case Seq((_, _, only)) => only()
     case many =>
       val ranked = many
-        .map { case (p, thunk) => (p, thunk, storedRows(p)) }
+        .map { case (p, sv, thunk) => (p, thunk, storedRows(p, sv)) }
         .sortBy(t => (t._3, t._1))
       ranked.iterator.zipWithIndex
         .map { case ((p, thunk, rows), i) =>
@@ -579,7 +590,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val plain = for {
       (condOpt, srcPath, srcVersion) <- managedSourceOf(agg.child)
       plan <- pickCheapest(mvRefsOf(srcPath).map { mvPath =>
-        mvPath -> (() =>
+        (mvPath, srcVersion, () =>
           tryServe(agg, condOpt, srcPath, srcVersion, mvPath, None))
       })
     } yield plan
@@ -713,7 +724,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case (x, y)             => x.orElse(y)
             }
             mvRefsOf(fp).map { mvPath =>
-              mvPath -> (() =>
+              (mvPath, fv, () =>
                 tryServe(
                   agg, dimCond, fp, fv, mvPath,
                   Some(JoinProbe(
@@ -821,7 +832,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           else sm.leaves
         pickCheapest(factLeaves.flatMap { factLeaf =>
           mvRefsOf(factLeaf.path).map { mvPath =>
-            mvPath -> (() =>
+            (mvPath, factLeaf.v, () =>
               try alignStar(agg, sm, factLeaf, mvPath)
               catch {
                 case scala.util.control.NonFatal(t) =>

@@ -2213,6 +2213,68 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("historical-aware cheapest-candidate ranking (round 18): a VERSION " +
+    "AS OF query ranks candidates by their size AT THE RESOLVED MV " +
+    "version, so tip sizes and historical sizes can invert the choice") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (mon BIGINT, day BIGINT, k2 BIGINT, v BIGINT)")
+    // phase 1: 40 distinct days across 2 months, ONE k2 value —
+    // A=(mon,day) is 40 rows, B=(mon,k2) is 2 rows
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT id DIV 20, id, 0, id * 10 FROM range(1, 41)""".stripMargin)
+    val srcV1 = SnapshotLog.versions(spark, pathOf(t)).last
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_a AS
+         |SELECT mon, day, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY mon, day""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_b AS
+         |SELECT mon, k2, sum(v) AS mv_sum, count(*) AS mv_n
+         |FROM $t GROUP BY mon, k2""".stripMargin)
+    val pA = s"$warehouse/main/${tn}_a"
+    val pB = s"$warehouse/main/${tn}_b"
+    // phase 2: delete all but 2 days, then fan k2 out to ~50 values —
+    // at the TIP the sizes flip: A is 2 rows, B is ~51
+    spark.sql(s"DELETE FROM $t WHERE day > 2")
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT 0, 1, id, id FROM range(1, 51)""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_a")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_b")
+    val rule = MvRollupRewriteRule(spark)
+    // ground truths BEFORE arming the conf (SURVEY §5.6)
+    val expTip = spark.sql(
+      s"SELECT mon, sum(v) AS s FROM $t GROUP BY mon").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expOld = spark.sql(
+      s"SELECT mon, sum(v) AS s FROM $t VERSION AS OF $srcV1 GROUP BY mon")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // tip: A (2 rows) beats B (~51 rows)
+      val tip = plan(s"SELECT mon, sum(v) AS s FROM $t GROUP BY mon")
+      assert(MvRewrite.readsPath(tip, pA) && !MvRewrite.readsPath(tip, pB),
+        "at the tip the 2-row candidate must win")
+      assert(run(tip).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == expTip)
+      // VERSION AS OF phase 1: A@old is 40 rows, B@old is 2 — the
+      // ranking must use the RESOLVED versions' sizes (tip ranking
+      // would wrongly pick A)
+      val old = plan(
+        s"SELECT mon, sum(v) AS s FROM $t VERSION AS OF $srcV1 GROUP BY mon")
+      assert(MvRewrite.readsPath(old, pB) && !MvRewrite.readsPath(old, pA),
+        "the historical query must rank by the resolved versions' sizes")
+      assert(run(old).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == expOld)
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("VERSION AS OF serves from the MV version whose committed watermark " +
     "matches the pinned source version — not just the tip") {
     import graft.plans.{MvRewrite, MvRollupRewriteRule}
