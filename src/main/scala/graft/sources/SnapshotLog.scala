@@ -3407,6 +3407,14 @@ object SnapshotLog {
     * pin that a clean-ledger refresh skips the pass entirely. */
   private[graft] val fpVerifyCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test observability: groups recomputed by the last refreshMvDim's
+    * GROUP-SCOPED non-invertible branch (round 18), or -1 when the
+    * last dim refresh took another branch — lets a spec pin both that
+    * the scoped branch ran AND that untouched groups were excluded
+    * from the rewrite. */
+  private[graft] val lastDimRefreshScopedGroups =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Materialize a per-key rollup of `source` as the snapshot table
     * `mv`, recording (source, key, agg, kind, high-water version) in
     * the MV's props so [[refreshMv]] can maintain it from the change
@@ -5026,8 +5034,54 @@ object SnapshotLog {
         }
       chained.select(affKeys.map(col): _*)
     }
+    lastDimRefreshScopedGroups.set(-1L)
     val changedPks = readChanges(spark, dim, oldPin, newPin)
       .select(col(pksL(idx)).as("__graft_pk")).distinct().localCheckpoint()
+    // back-propagate changed pks to fact-edge fk values (the ownership
+    // walk of the keyed path, seeded by the pks directly — a filter
+    // dim has no member tuples). Upstream dims' pins are unchanged
+    // (only dim idx moved), so ONE walk bounds rows affected under
+    // EITHER pin set. Shared by the ±delta branch and the round-18
+    // group-scoped non-invertible branch.
+    def factEdgeScope(): (DataFrame, Int) = {
+      var scopePks = changedPks.select(col("__graft_pk").as(pksL(idx)))
+      var scopeFkIdx = idx
+      var owner = fkOwnerOf(scopeFkIdx, newPins)
+      while (owner >= 0) {
+        val dOwn = read(spark, dimsL(owner), Some(newPins(owner)))
+        scopePks = dOwn
+          .join(scopePks,
+            dOwn(fksL(scopeFkIdx)) === scopePks(pksL(scopeFkIdx)),
+            "left_semi")
+          .select(col(pksL(owner))).distinct()
+        scopeFkIdx = owner
+        owner = fkOwnerOf(scopeFkIdx, newPins)
+      }
+      (scopePks, scopeFkIdx)
+    }
+    // the fact rows (at the watermark, derived key materialized) whose
+    // fk-chain passes a changed pk — file admission by manifest stats,
+    // then the exact row bound by the semi join
+    def scopedTouchedFact(): (DataFrame, DataFrame, Int) = {
+      val (scopePks0, scopeFkIdx) = factEdgeScope()
+      val scopeC = scopePks0.localCheckpoint()
+      val (admit, _) = touchedFiles(
+        spark, source, fksL(scopeFkIdx), scopeC, Some(watermark))
+      val factScoped0 = readEntries(
+        spark, source,
+        entriesFor(manifestEntries(spark, source, watermark), admit),
+        tableSchema(spark, source, watermark))
+      val factScoped =
+        (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
+          case (Some(e), Some(fkn)) => factScoped0.withColumn(fkn, expr(e))
+          case _                    => factScoped0
+        }
+      val touched = factScoped.join(
+        scopeC,
+        factScoped(fksL(scopeFkIdx)) === scopeC(pksL(scopeFkIdx)),
+        "left_semi")
+      (touched, scopeC, scopeFkIdx)
+    }
     val factAtW0 = read(spark, source, Some(watermark))
     val factW = (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
       case (Some(e), Some(fkn)) => factAtW0.withColumn(fkn, expr(e))
@@ -5073,41 +5127,7 @@ object SnapshotLog {
         // leaving row may BE the extremum/last value, and the group's
         // remaining rows are unbounded by any pk list.
         import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
-        // back-propagate changed pks to fact-edge fk values (the
-        // ownership walk of the keyed path, seeded by the pks
-        // directly — a filter dim has no member tuples). Upstream
-        // dims' pins are unchanged (only dim idx moved), so ONE walk
-        // bounds rows affected under EITHER pin set.
-        var scopePks = changedPks.select(col("__graft_pk").as(pksL(idx)))
-        var scopeFkIdx = idx
-        var owner = fkOwnerOf(scopeFkIdx, newPins)
-        while (owner >= 0) {
-          val dOwn = read(spark, dimsL(owner), Some(newPins(owner)))
-          scopePks = dOwn
-            .join(scopePks,
-              dOwn(fksL(scopeFkIdx)) === scopePks(pksL(scopeFkIdx)),
-              "left_semi")
-            .select(col(pksL(owner))).distinct()
-          scopeFkIdx = owner
-          owner = fkOwnerOf(scopeFkIdx, newPins)
-        }
-        val scopeC = scopePks.localCheckpoint()
-        val (admit, _) = touchedFiles(
-          spark, source, fksL(scopeFkIdx), scopeC, Some(watermark))
-        val factScoped0 = readEntries(
-          spark, source,
-          entriesFor(manifestEntries(spark, source, watermark), admit),
-          tableSchema(spark, source, watermark))
-        val factScoped =
-          (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
-            case (Some(e), Some(fkn)) => factScoped0.withColumn(fkn, expr(e))
-            case _                    => factScoped0
-          }
-        // exact row bound (file admission is a stat superset)
-        val touched = factScoped.join(
-          scopeC,
-          factScoped(fksL(scopeFkIdx)) === scopeC(pksL(scopeFkIdx)),
-          "left_semi")
+        val (touched, _, _) = scopedTouchedFact()
         // matched rows under each pin set; identical rows cancel
         val sgn = col("__graft_sign")
         val signed = enrichAll(touched, newPins)
@@ -5145,6 +5165,51 @@ object SnapshotLog {
           (coalesce(mvOld(c), lit(0L)) + coalesce(delta("d_" + c), lit(0L)))
             .as(c))
         joined.select(keyed ++ folded: _*).filter(col("mv_n") > 0)
+      } else if (affKeys.isEmpty && !isLeft) {
+        // PURE MATCH-FILTER DIM, NON-invertible kind (round 18,
+        // closing r17 verdict #4): minmax/distinct/hll partials
+        // cannot subtract, so the rows that left a group cannot fold
+        // out — but the GROUPS the change can touch are exactly those
+        // reachable from the changed pks: a group's key is fact
+        // columns + OTHER dims' attrs, both identical under either
+        // pin set, so enriching the scoped touched rows under the OLD
+        // and NEW pins and projecting the keys yields every touched
+        // key tuple (a row that left appears under the old pins; one
+        // that joined in, under the new). The full fact scan is
+        // irreducible (a touched group's OTHER rows live anywhere),
+        // but the REWRITE is group-scoped: untouched groups' stored
+        // rows survive byte-identical through the anti-join — the
+        // keyed path's delete-recompute discipline. At 100 TB a
+        // filter-dim churn re-sketches the groups it reached, not
+        // every group in the warehouse.
+        val (touched, _, _) = scopedTouchedFact()
+        val touchedKeys = enrichAll(touched, oldPins)
+          .select(keys.map(col): _*)
+          .unionByName(enrichAll(touched, newPins).select(keys.map(col): _*))
+          .distinct().localCheckpoint()
+        lastDimRefreshScopedGroups.set(touchedKeys.count())
+        val joinedAll = enrichAll(factW, newPins)
+        val inTouched = joinedAll.join(
+          touchedKeys,
+          keys.map(k => joinedAll(k) <=> touchedKeys(k)).reduce(_ && _),
+          "left_semi")
+        val recomputed =
+          if (kind == "distinct")
+            distinctRollup(inTouched, keys, measures.head,
+              props.get("mv_distinct_hash").contains("true"))
+          else if (kind == "hll")
+            hllRollup(inTouched, keys, measures.head, hllLgKOf(props))
+          else {
+            val aggs = mvAggExprs(
+              measures, kind, props.get("mv_avg_exact").contains("true"))
+            inTouched.groupBy(keys.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          }
+        val kept = mvOld.join(
+          touchedKeys,
+          keys.map(k => mvOld(k) <=> touchedKeys(k)).reduce(_ && _),
+          "left_anti")
+        kept.unionByName(recomputed)
       } else if (affKeys.isEmpty || (isLeft && dimsL.size > 1) ||
         nullBucketTouched) {
         // the changed dim (and everything it feeds) owns NO key

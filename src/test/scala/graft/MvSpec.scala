@@ -1717,7 +1717,8 @@ class MvSpec extends SparkTestBase {
   test("filter-dim delta refresh: pk deletes/inserts on a keyless dim " +
     "fold as a scoped ±delta (untouched shard's corrupted bytes never " +
     "read), attr-only churn cancels to a no-op state, equality against " +
-    "the full recompute holds, and minmax keeps the full recompute") {
+    "the full recompute holds, and minmax routes to the round-18 " +
+    "group-scoped recompute") {
     import spark.implicits._
     val fact = fresh("fdfact")
     val dA = fresh("fddima")
@@ -1794,8 +1795,10 @@ class MvSpec extends SparkTestBase {
     SnapshotLog.refreshMvDim(spark, mv, dB)
     assert(mvState() == recompute())
     assert(mvState() == Set(("x", 70L, 1L), ("y", 80L, 1L)))
-    // minmax through the same shape keeps the full recompute (a
-    // leaving row may BE the extremum) and stays exact
+    // minmax through the same shape cannot subtract (a leaving row
+    // may BE the extremum) — since round 18 it routes to the
+    // GROUP-scoped recompute (see the dedicated test below) and
+    // stays exact
     val mv2 = fresh("fdmv2")
     SnapshotLog.createJoinMv(
       spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mv2, "aat", "v",
@@ -1838,6 +1841,112 @@ class MvSpec extends SparkTestBase {
     SnapshotLog.commit(spark, d3, Seq((2L, 2L)).toDF("pk", "flag"))
     SnapshotLog.refreshMvDim(spark, mv3, d3)
     assert(st3() == Set(("2024-01-03", 30L, 2L), ("2024-01-04", 40L, 1L)))
+  }
+
+  /** GROUP-SCOPED recompute for NON-invertible kinds behind a pure
+    * match-filter dim (round 18, closing r17 verdict #4): the fact
+    * scan at the watermark is irreducible (a touched group's other
+    * rows live anywhere), but the REWRITE is bounded to groups
+    * reachable from the changed pks — untouched groups' stored rows
+    * ride the anti-join untouched instead of being re-aggregated. */
+  test("filter-dim group-scoped recompute: minmax/distinct/hll behind a " +
+    "keyless dim recompute ONLY the groups the changed pks reach " +
+    "(counter-pinned), untouched groups survive, and equality against " +
+    "the full recompute holds for all three kinds") {
+    import spark.implicits._
+    val fact = fresh("gsfact")
+    val dA = fresh("gsdima")
+    val dB = fresh("gsdimb")
+    SnapshotLog.commit(
+      spark, dA, Seq(1L -> "x", 2L -> "y", 3L -> "z").toDF("apk", "aat"))
+    SnapshotLog.commit(
+      spark, dB, Seq((10L, 1L), (11L, 1L), (12L, 1L)).toDF("bpk", "bflag"))
+    // group x depends on bpk 10+11; y on 11; z ONLY on 12 — churn on
+    // 10 must touch x alone, churn on 11 touches x and y, z never
+    SnapshotLog.commit(
+      spark, fact,
+      Seq((1L, 10L, 5L), (1L, 11L, 9L), (2L, 11L, 7L), (3L, 12L, 70L),
+        (3L, 12L, 80L)).toDF("afk", "bfk", "v"))
+    val mvM = fresh("gsmvm")
+    val mvD = fresh("gsmvd")
+    val mvH = fresh("gsmvh")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvM, "aat", "v",
+      kind = "minmax")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvD, "aat", "v",
+      kind = "distinct")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvH, "aat", "v",
+      kind = "hll")
+    def joined() = SnapshotLog.read(spark, fact)
+      .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"))
+      .join(SnapshotLog.read(spark, dB), col("bfk") === col("bpk"))
+    def mm(): Set[(String, Long, Long, Long)] =
+      SnapshotLog.read(spark, mvM).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def mmRec(): Set[(String, Long, Long, Long)] =
+      joined().groupBy(col("aat"))
+        .agg(min(col("v")).as("a"), max(col("v")).as("b"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def dc(): Map[String, Long] =
+      SnapshotLog.read(spark, mvD).groupBy(col("aat"))
+        .agg(sum(col("mv_dc")).as("du")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def dcRec(): Map[String, Long] =
+      joined().groupBy(col("aat"))
+        .agg(countDistinct(col("v")).as("du")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def he(): Map[String, Long] =
+      SnapshotLog.read(spark, mvH)
+        .selectExpr("aat", "CAST(hll_sketch_estimate(mv_hll) AS BIGINT) e")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mm() == mmRec() && dc() == dcRec() && he() == dcRec())
+    // pk DELETE of 10: only group x is reachable — the scoped branch
+    // must run (counter != -1) and recompute exactly ONE group
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 10L, 10L)
+    SnapshotLog.refreshMvDim(spark, mvM, dB)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 1L,
+      "minmax churn reaching one group must recompute one group, got " +
+        SnapshotLog.lastDimRefreshScopedGroups.get())
+    SnapshotLog.refreshMvDim(spark, mvD, dB)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 1L)
+    SnapshotLog.refreshMvDim(spark, mvH, dB)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 1L)
+    assert(mm() == mmRec() && dc() == dcRec() && he() == dcRec())
+    assert(mm() == Set(("x", 9L, 9L, 1L), ("y", 7L, 7L, 1L),
+      ("z", 70L, 80L, 2L)),
+      "x recomputed without its deleted row; y and z untouched")
+    // pk INSERT of 10 back, with churn on 11 too: x and y touched, z not
+    SnapshotLog.commit(spark, dB, Seq((10L, 2L)).toDF("bpk", "bflag"))
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 11L, 11L)
+    SnapshotLog.refreshMvDim(spark, mvM, dB)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 2L,
+      "churn reaching two groups must recompute two, got " +
+        SnapshotLog.lastDimRefreshScopedGroups.get())
+    assert(mm() == mmRec())
+    assert(mm() == Set(("x", 5L, 5L, 1L), ("z", 70L, 80L, 2L)),
+      "y (all rows left) must vanish; z untouched")
+    // the invertible kind keeps the cheaper ±delta branch: counter
+    // stays -1 (no group-scoped recompute ran)
+    val mvS = fresh("gsmvs")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvS, "aat", "v")
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 12L, 12L)
+    SnapshotLog.refreshMvDim(spark, mvS, dB)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == -1L,
+      "sum kind must keep the ±delta branch, not the group-scoped one")
+    // and a KEYED dim churn keeps the keyed path: counter stays -1
+    SnapshotLog.refreshMvDim(spark, mvM, dB) // fold the 12-delete first
+    SnapshotLog.deleteWhere(spark, dA, "apk", 3L, 3L)
+    SnapshotLog.refreshMvDim(spark, mvM, dA)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == -1L,
+      "a key-owning dim must keep the keyed recompute path")
+    assert(mm() == mmRec())
   }
 
   test("fk clash guard (round-17 advisor): a fact column later ADDED " +
