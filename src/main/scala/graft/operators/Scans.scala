@@ -3608,6 +3608,128 @@ object Scans {
     }
   }
 
+  /** MIXED inner/LEFT star MV (round 18, closing r17 VERDICT
+    * "What's missing" #1): `fact INNER required-dim LEFT optional-dim
+    * GROUP BY d1.seg, d2.nname` — "revenue by segment × optional
+    * nation, keeping nation-less rows" — the everyday dashboard shape
+    * that had no MV form: a star MV recorded ONE join type for the
+    * whole chain. The MV now records a type PER EDGE
+    * (mv_join_types='inner,left'), folds each enrichment with its own
+    * type (NULL buckets only on the left edge), and the serve matcher
+    * claims each query edge against its recorded type. Customers
+    * divisible by 3 are absent from d1 (the inner edge drops their
+    * orders) and order keys ≡ 25..29 (mod 30) match no nation (live
+    * NULL buckets), at any SF. Inline pins: the served plan reads the
+    * MV with no join, (seg, NULL) buckets are live, and BOTH uniform
+    * spellings (all-inner, all-left) refuse to serve from the mixed
+    * rollup — the per-edge bail matrix. */
+  val aggMvServeMixedStar: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_mssrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_msdim")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.nat_msdim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_msmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_orderkey") % 30).as("nk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.createOrReplaceTempView("graft_ms_src")
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("graft_ms_d1")
+    Tables
+      .nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name").as("nname"))
+      .createOrReplaceTempView("graft_ms_d2")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"CREATE TABLE $cat.main.cust_msdim (c_custkey BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $cat.main.cust_msdim SELECT * FROM graft_ms_d1")
+    spark.sql(
+      s"CREATE TABLE $cat.main.nat_msdim (n_nationkey BIGINT, nname STRING)")
+    spark.sql(s"INSERT INTO $cat.main.nat_msdim SELECT * FROM graft_ms_d2")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_mssrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, nk BIGINT,
+         |cents BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mssrc
+         |SELECT * FROM graft_ms_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.orders_mssrc',
+         |dim => 'main.cust_msdim,main.nat_msdim',
+         |fk => 'o_custkey,nk', pk => 'c_custkey,n_nationkey',
+         |mv => 'main.orders_msmv', key => 'seg,nname', agg => 'cents',
+         |join_type => 'inner,left')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_mssrc
+         |SELECT * FROM graft_ms_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_mssrc SET cents = cents + 6
+         |WHERE o_orderkey % 23 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_msmv")
+    val brute = spark.sql(
+      s"""SELECT seg, nname, sum(cents) AS s, count(*) AS n
+         |FROM $cat.main.orders_mssrc
+         |JOIN $cat.main.cust_msdim ON o_custkey = c_custkey
+         |LEFT JOIN $cat.main.nat_msdim ON nk = n_nationkey
+         |GROUP BY seg, nname ORDER BY seg, nname""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_msmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "mixed star serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      val out = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+      require(
+        out.filter(col("seg").isNotNull && col("nname").isNull)
+          .limit(1).count() == 1L,
+        "the left edge's (seg, NULL) buckets must be live")
+      require(
+        out.filter(col("seg").isNull).limit(1).count() == 0L,
+        "the inner edge admits no NULL segment bucket")
+      // per-edge bail matrix: neither uniform spelling may serve
+      val allInner = spark.sql(
+        s"""SELECT seg, nname, sum(cents) AS s
+           |FROM $cat.main.orders_mssrc
+           |JOIN $cat.main.cust_msdim ON o_custkey = c_custkey
+           |JOIN $cat.main.nat_msdim ON nk = n_nationkey
+           |GROUP BY seg, nname""".stripMargin)
+      require(
+        !MvRewrite.readsPath(
+          rule(allInner.queryExecution.optimizedPlan), mvPath),
+        "the all-inner star must not serve from the mixed rollup")
+      val allLeft = spark.sql(
+        s"""SELECT seg, nname, sum(cents) AS s
+           |FROM $cat.main.orders_mssrc
+           |LEFT JOIN $cat.main.cust_msdim ON o_custkey = c_custkey
+           |LEFT JOIN $cat.main.nat_msdim ON nk = n_nationkey
+           |GROUP BY seg, nname""".stripMargin)
+      require(
+        !MvRewrite.readsPath(
+          rule(allLeft.queryExecution.optimizedPlan), mvPath),
+        "the all-left star must not serve from the mixed rollup")
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** DATE-RANGE dashboard probe served from the daily MV (round 15,
     * closing the round-14 unconditional derived-key filter bail): the
     * single most common dashboard query — `... WHERE to_date(ts) >= X
@@ -6851,6 +6973,7 @@ object Scans {
     "agg_mv_serve_nullkey" -> aggMvServeNullkey,
     "agg_mv_serve_join_null" -> aggMvServeJoinNull,
     "agg_mv_serve_left_star" -> aggMvServeLeftStar,
+    "agg_mv_serve_mixed_star" -> aggMvServeMixedStar,
     "agg_mv_serve_distinct_expr" -> aggMvServeDistinctExpr,
     "agg_mv_serve_multi_expr" -> aggMvServeMultiExpr,
     "agg_mv_serve_multi_expr_ddl" -> aggMvServeMultiExprDdl,
@@ -7243,6 +7366,23 @@ object Scans {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM src WHERE cents % 11 <> 0
         |GROUP BY grp ORDER BY grp""".stripMargin,
+    // the MIXED inner/left star served from the per-edge rollup must
+    // equal the JOIN + LEFT JOIN recompute of the final state — the
+    // (seg, NULL) buckets are in the hash, no NULL-seg rows exist
+    "agg_mv_serve_mixed_star" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey,
+        |  o_orderkey % 30 AS nk,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 23 = 0 THEN 6 ELSE 0 END AS cents
+        |  FROM orders),
+        |d1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |  WHERE c_custkey % 3 <> 0),
+        |d2 AS (SELECT n_nationkey, n_name AS nname FROM nation)
+        |SELECT seg, nname, CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f JOIN d1 ON o_custkey = c_custkey
+        |LEFT JOIN d2 ON nk = n_nationkey
+        |GROUP BY seg, nname ORDER BY seg, nname""".stripMargin,
     // the LEFT 2-dim star served from the left rollup must equal the
     // two-left-join recompute of the final state — the per-dim NULL
     // buckets ((seg, NULL), (NULL, nname), (NULL, NULL)) are all in

@@ -485,7 +485,9 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class JoinProbe(
       dims: Seq[DimLink],
       factOut: Set[Long],
-      joinType: String // "inner" | "left"
+      // one type per join edge, aligned with `dims` (round 18: mixed
+      // inner/left chains record and verify PER-EDGE types)
+      joinTypes: Seq[String] // "inner" | "left"
   )
 
   private def mvRefsOf(srcPath: String): Seq[String] =
@@ -729,7 +731,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   agg, dimCond, fp, fv, mvPath,
                   Some(JoinProbe(
                     Seq(DimLink(dp, dv, fkA.name, pkA.name)), fOut,
-                    jm.joinType))))
+                    Seq(jm.joinType)))))
             }
           }
       })
@@ -757,21 +759,25 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class StarMatch(
       conds: Seq[Expression], // Filters above joins (cross-leaf residuals)
       leaves: Seq[StarLeaf],
-      edges: Seq[(AttributeReference, AttributeReference)],
-      // None for a bare leaf; Some("inner"|"left") once a join is
-      // seen. A tree MIXING the two kinds never matches — an inner
-      // edge drops rows a left MV's buckets keep and vice versa.
-      joinType: Option[String]
+      // each edge carries its OWN join type (round 18: mixed chains
+      // match per edge against the MV's recorded per-edge types)
+      edges: Seq[(AttributeReference, AttributeReference, String)],
+      // leaf indices that are the single right side of a LEFT join —
+      // the preserved chain is on the left, so these can never be the
+      // fact leaf
+      leftDimLeaves: Set[Int]
   )
 
   /** Collect a tree of single-column equi-joins whose leaves are all
-    * managed snapshot scans — every join INNER (any tree shape:
-    * ReorderJoin may rebalance), or every join LEFT OUTER in the
+    * managed snapshot scans — INNER joins in any tree shape
+    * (ReorderJoin may rebalance), LEFT OUTER joins only in the
     * left-deep parser shape with a single dim on each right side
     * (left joins are not reordered, and the preserved side must stay
-    * the fact chain). None for any other shape — the matcher only
-    * claims what the recorded-list alignment below can verify
-    * exactly. */
+    * the fact chain). Round 18: inner and left edges MIX in one tree
+    * — each edge records its own type and the alignment below
+    * verifies it against the MV's recorded per-edge list. None for
+    * any other shape — the matcher only claims what the
+    * recorded-list alignment can verify exactly. */
   private def managedStarOf(plan: LogicalPlan): Option[StarMatch] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
     import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
@@ -785,36 +791,58 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         managedStarOf(child)
       case Filter(cond, child) =>
-        managedStarOf(child).map(sm => sm.copy(conds = cond +: sm.conds))
+        managedStarOf(child).map { sm =>
+          // a filter directly above a BARE LEAF is that leaf's OWN
+          // pre-join predicate — folding it into `conds` instead
+          // (round 16/17 did) mislabels it as a post-join residual,
+          // which transplants where a left-edge dim predicate must
+          // REFUSE (it changes NULL-bucket membership; the round-18
+          // mixed-star bail matrix caught this as live wrong answers
+          // at the injected optimizer position, where the filter has
+          // not yet been pushed into the scan node). Only a filter
+          // above a JOIN is a cross-leaf residual.
+          if (sm.leaves.size == 1 && sm.edges.isEmpty) {
+            val l = sm.leaves.head
+            val merged = l.cond
+              .map(c => org.apache.spark.sql.catalyst.expressions
+                .And(cond, c))
+              .orElse(Some(cond))
+            sm.copy(leaves = Seq(l.copy(cond = merged)))
+          } else sm.copy(conds = cond +: sm.conds)
+        }
       case j @ Join(l, r, jt, Some(cond), _)
           if jt == Inner || jt == LeftOuter =>
+        val here = if (jt == LeftOuter) "left" else "inner"
         for {
           lm <- managedStarOf(l)
           rm <- managedStarOf(r)
           es <- {
             val parts = atoms(cond).map {
               case EqualTo(a: AttributeReference, b: AttributeReference) =>
-                Some((a, b))
+                Some((a, b, here))
               case _ => None
             }
             if (parts.forall(_.isDefined)) Some(parts.flatten) else None
           }
-          t <- {
-            val here = if (jt == LeftOuter) "left" else "inner"
-            val sub = Seq(lm.joinType, rm.joinType).flatten.distinct
-            if (sub.exists(_ != here)) None // mixed-type tree: bail
-            else if (here == "left" &&
+          _ <- {
+            // a LEFT join stays in the left-deep parser shape: a
+            // single bare dim on the right (the preserved fact chain
+            // on the left)
+            if (here == "left" &&
               (rm.leaves.size != 1 || rm.edges.nonEmpty)) None
-            else Some(here)
+            else Some(())
           }
         } yield StarMatch(
           lm.conds ++ rm.conds,
           lm.leaves ++ rm.leaves,
           lm.edges ++ rm.edges ++ es,
-          Some(t))
+          lm.leftDimLeaves ++
+            rm.leftDimLeaves.map(_ + lm.leaves.size) ++
+            (if (here == "left") Set(lm.leaves.size) else Set.empty[Int]))
       case other =>
         managedSourceOf(other).map { case (c, p, v) =>
-          StarMatch(Nil, Seq(StarLeaf(c, p, v, other.outputSet)), Nil, None)
+          StarMatch(
+            Nil, Seq(StarLeaf(c, p, v, other.outputSet)), Nil, Set.empty)
         }
     }
   }
@@ -824,12 +852,12 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .filter(sm => sm.leaves.size >= 3 && // ≥2 joins; 1 join = legacy path
         sm.edges.size == sm.leaves.size - 1)
       .flatMap { sm =>
-        // a LEFT chain preserves exactly one side — the deep-left
-        // leaf is the fact by construction; an inner star tries every
-        // leaf as the fact (the tree may have been reordered)
-        val factLeaves =
-          if (sm.joinType.contains("left")) sm.leaves.take(1)
-          else sm.leaves
+        // a LEFT join's right-side dim can never be the fact (the
+        // preserved chain is on the left); every other leaf is tried
+        // — inner trees may have been reordered, and the alignment
+        // verifies whichever candidate is claimed
+        val factLeaves = sm.leaves.zipWithIndex
+          .collect { case (l, i) if !sm.leftDimLeaves(i) => l }
         pickCheapest(factLeaves.flatMap { factLeaf =>
           mvRefsOf(factLeaf.path).map { mvPath =>
             (mvPath, factLeaf.v, () =>
@@ -890,22 +918,27 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // claim one edge per recorded (fk, pk): pk-side attr must be OUT
     // of that dim's leaf, fk-side anywhere else (fact or another dim —
     // the snowflake case); name-unique ownership was enforced at create
+    // per-edge types (round 18): the recorded list when mixed, the
+    // uniform legacy props otherwise — each claimed query edge must
+    // carry the RECORDED type for its dim (an inner edge drops rows
+    // the left bucket keeps and vice versa)
+    val rTypes = graft.sources.SnapshotLog.edgeTypesOf(props, rDims.size)
     val usedEdge = scala.collection.mutable.Set[Int]()
     rDims.indices.foreach { i =>
       val dimOut = dimLeaves(i).out
-      val e = sm.edges.indexWhere { case (a, b) =>
+      val e = sm.edges.indexWhere { case (a, b, t) =>
         val pkSide =
           if (dimOut.contains(a)) Some((a, b))
           else if (dimOut.contains(b)) Some((b, a))
           else None
-        pkSide.exists { case (pkA, fkA) =>
+        t == rTypes(i) && pkSide.exists { case (pkA, fkA) =>
           pkA.name == rPks(i) && fkA.name == rFks(i) &&
             !dimOut.contains(fkA)
         }
       }
       if (e < 0 || usedEdge(e)) {
-        MvRewrite.diag(s"$mvPath: the query has no join edge " +
-          s"${rFks(i)} = ${rPks(i)} onto ${rDims(i)}; skipped")
+        MvRewrite.diag(s"$mvPath: the query has no ${rTypes(i)} join " +
+          s"edge ${rFks(i)} = ${rPks(i)} onto ${rDims(i)}; skipped")
         return None
       }
       usedEdge += e
@@ -915,41 +948,48 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "condition(s) beyond the recorded star; skipped")
       return None
     }
-    // every join-key attribute is non-null under an all-inner tree,
-    // so inferred isnotnull atoms strip from every leaf. Under a LEFT
-    // chain NOTHING is implied (NULL-fk rows live in the buckets) —
-    // a leaf predicate there is a REAL predicate: a fact-side one
-    // references row-level values the rollup no longer has, and a
-    // dim-side one changes which rows fall into the NULL buckets (a
-    // pre-join dim filter moves its non-matches INTO the bucket,
-    // which the MV's buckets — folded against the UNFILTERED dim —
-    // do not reflect). Both refuse.
-    val starJoinType: String = sm.joinType.getOrElse("inner")
-    val edgeAttrs: Seq[AttributeReference] =
-      sm.edges.flatMap { case (a, b) => Seq(a, b) }
-    def stripAll(cond: Option[Expression]): Option[Expression] =
-      if (starJoinType == "left") cond
-      else edgeAttrs.foldLeft(cond)((c, k) => stripJoinNotNull(c, k))
-    if (stripAll(factLeaf.cond).nonEmpty) {
-      MvRewrite.diag(s"$mvPath: a fact-side residual predicate " +
-        "references measure-level values the rollup no longer has; " +
-        "skipped")
-      return None
+    // an INNER edge implies isnotnull on both its key attributes, so
+    // inferred isnotnull atoms strip for those; a LEFT edge implies
+    // NOTHING (NULL-fk rows live in the buckets) — a predicate
+    // touching a left edge's attributes is REAL. Fact-side: anything
+    // surviving the inner-edge strip references row-level values the
+    // rollup no longer has. Dim-side: a pre-join predicate on a
+    // LEFT-edge dim changes which rows fall into the NULL buckets (a
+    // filter moves its non-matches INTO the bucket, which the MV —
+    // folded against the UNFILTERED dim — does not reflect): refuse;
+    // an INNER-edge dim's residual transplants through the standard
+    // gate.
+    val innerEdgeAttrs: Seq[AttributeReference] =
+      sm.edges.collect { case (a, b, "inner") => Seq(a, b) }.flatten
+    def stripInner(cond: Option[Expression]): Option[Expression] =
+      innerEdgeAttrs.foldLeft(cond)((c, k) => stripJoinNotNull(c, k))
+    rDims.indices.foreach { i =>
+      if (rTypes(i) == "left" && dimLeaves(i).cond.nonEmpty) {
+        MvRewrite.diag(s"$mvPath: a dim-side predicate under a LEFT " +
+          "join changes the NULL-bucket membership the rollup folded; " +
+          "skipped")
+        return None
+      }
     }
-    if (starJoinType == "left" && dimLeaves.exists(_.cond.nonEmpty)) {
-      MvRewrite.diag(s"$mvPath: a dim-side predicate under a LEFT " +
-        "join changes the NULL-bucket membership the rollup folded; " +
-        "skipped")
-      return None
-    }
+    // surviving fact-leaf residuals route through the standard
+    // transplant gate with everything else: a predicate on the
+    // (derived) fact KEY is identical pre- and post-join — the join
+    // never changes the fact key's value, left edges included — and
+    // anything referencing non-key fact columns (measures, fks) is
+    // refused by the gate with its own diagnosis. Above-join `conds`
+    // transplant by post-join semantics, which is exactly what a
+    // filter over the MV's stored rows applies.
     val dimCond: Option[Expression] =
-      (dimLeaves.flatMap(l => stripAll(l.cond)) ++ sm.conds)
+      (stripInner(factLeaf.cond) ++
+        rDims.indices.flatMap(i =>
+          if (rTypes(i) == "left") None
+          else stripInner(dimLeaves(i).cond)) ++ sm.conds)
         .reduceOption(And(_, _))
     val probe = JoinProbe(
       rDims.indices.map(i =>
         DimLink(dimLeaves(i).path, dimLeaves(i).v, rFks(i), rPks(i))),
       factLeaf.out.map(_.exprId.id).toSet,
-      starJoinType)
+      rTypes)
     serveManaged(agg, dimCond, factLeaf.path, factLeaf.v, mvPath,
       Some(probe))
   }
@@ -1068,15 +1108,18 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"query ${jp.dims.size}; skipped")
           return None
         }
-        // the join TYPE is part of the recorded shape: an inner MV
-        // lacks the NULL bucket a LEFT query needs, and a left MV's
-        // NULL bucket mixes unmatched rows with matched-NULL-attr rows
-        // an inner query never sees — either direction is wrong
-        if (props.getOrElse("mv_join_type", "inner") != jp.joinType) {
-          MvRewrite.diag(s"$mvPath: is a " +
-            s"${props.getOrElse("mv_join_type", "inner")}-join rollup; " +
-            s"the query joins ${jp.joinType} — the NULL-bucket semantics " +
-            "differ, skipped")
+        // the join TYPE is part of the recorded shape — PER EDGE
+        // (round 18): an inner edge lacks the NULL bucket a LEFT
+        // query needs on that dim, and a left edge's NULL bucket
+        // mixes unmatched rows with matched-NULL-attr rows an inner
+        // query never sees — any per-edge mismatch is wrong
+        val rTypes =
+          graft.sources.SnapshotLog.edgeTypesOf(props, rDims.size)
+        if (rTypes != jp.joinTypes) {
+          MvRewrite.diag(s"$mvPath: records join types " +
+            s"(${rTypes.mkString(", ")}); the query joins " +
+            s"(${jp.joinTypes.mkString(", ")}) — the NULL-bucket " +
+            "semantics differ, skipped")
           return None
         }
         jp.dims.zipWithIndex.foreach { case (dl, i) =>

@@ -740,34 +740,33 @@ object ViewSql {
         Option[String], String,
         Seq[(Seq[String], String, String)], Map[String, String]) = {
       import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-      // round 17: an all-LEFT chain declares a left star (NULL
-      // buckets per dim combination, matching createJoinMv's lifted
-      // guard); mixing inner and left in one rollup still refuses —
-      // the two kinds' bucket semantics cannot share a stored shape
+      // round 17: an all-LEFT chain declares a left star; round 18:
+      // inner and left edges MIX freely — each ON records its own
+      // type, NULL buckets live only on the left edges (createJoinMv
+      // re-validates the snowflake-through-a-left-dim refusal)
       def flatten(
           p: LogicalPlan
-      ): Option[(Seq[(Seq[String], String)], Seq[Expression],
-          Option[String])] = p match {
+      ): Option[(Seq[(Seq[String], String)],
+          Seq[(Expression, String)])] = p match {
         case jj: Join if jj.joinType == Inner || jj.joinType == LeftOuter =>
           val here = if (jj.joinType == LeftOuter) "left" else "inner"
           for {
-            (ls, lcs, lt) <- flatten(jj.left)
+            (ls, lcs) <- flatten(jj.left)
             r <- relOf(jj.right)
             c <- jj.condition
-          } yield {
-            if (lt.exists(_ != here))
-              refuse("a multi-join rollup must be all INNER or all " +
-                "LEFT joins — the bucket semantics differ")
-            (ls :+ r, lcs :+ c, Some(here))
-          }
+          } yield (ls :+ r, lcs :+ (c -> here))
         case jj: Join =>
-          refuse("a multi-join rollup must be all INNER or all LEFT joins")
+          refuse("a multi-join rollup joins with INNER or LEFT [OUTER] " +
+            "only")
         case other =>
-          relOf(other).map(r => (Seq(r), Seq.empty[Expression], None))
+          relOf(other).map(r =>
+            (Seq(r), Seq.empty[(Expression, String)]))
       }
-      val (rels, conds, starJt) = flatten(j).getOrElse(
+      val (rels, condsTyped) = flatten(j).getOrElse(
         refuse("each join input must be a single table — write the star " +
           "as FROM fact JOIN dim1 ON … JOIN dim2 ON …"))
+      val conds = condsTyped.map(_._1)
+      val starTypes = condsTyped.map(_._2)
       def sideIdx(x: UnresolvedAttribute): Option[Int] = x.nameParts match {
         case Seq(q, _) =>
           rels.zipWithIndex.collectFirst {
@@ -820,7 +819,7 @@ object ViewSql {
       if (xe.isDefined || xm.nonEmpty)
         refuse("expression measures are single-table form only")
       (rels.head._1, names.mkString(","), xs.mkString(","), k, None, avgE,
-        None, starJt.getOrElse("inner"),
+        None, starTypes.mkString(","),
         rels.tail.zip(fkpk).map { case ((dimParts, _), (fk, pk)) =>
           (dimParts, fk, pk)
         }, Map.empty)

@@ -4705,6 +4705,7 @@ private[sources] object SnapshotProcedures {
               props.get("mv_agg_expr").map("agg_expr" -> _) ++
               props.get("mv_hll_lgk").map("hll_lgk" -> _) ++
               props.get("mv_join_type").map("join_type" -> _) ++
+              props.get("mv_join_types").map("join_types" -> _) ++
               (if (props.contains("mv_avg_exact")) Seq("avg_exact" -> "true")
                else Nil) ++
               (if (props.contains("mv_distinct_hash"))

@@ -3286,6 +3286,17 @@ object SnapshotLog {
     * stays readable forever (it binds to the first measure, the only
     * shape it could ever declare). Plain-column measures simply have
     * no entry. */
+  /** Per-edge join types of a join MV: the round-18 `mv_join_types`
+    * list when present (mixed chains), else the uniform legacy props
+    * (`mv_join_type`=left, or inner when absent). */
+  private[graft] def edgeTypesOf(
+      props: Map[String, String],
+      n: Int): Seq[String] =
+    props.get("mv_join_types")
+      .map(_.split(',').map(_.trim).toSeq)
+      .getOrElse(Seq.fill(n)(
+        if (props.get("mv_join_type").contains("left")) "left" else "inner"))
+
   private[graft] def declaredMeasureExprs(
       props: Map[String, String],
       measures: Seq[String]
@@ -3801,6 +3812,12 @@ object SnapshotLog {
       // fact row appears in EXACTLY ONE group (pk unique at the pinned
       // dim), a FACT-ONLY global aggregate re-aggregates from this MV
       // — the shape the inner join MV must refuse.
+      // MIXED PER-EDGE types (round 18, r17 verdict #3): a comma-
+      // joined list aligned with `dim` — "inner,left" declares
+      // `fact JOIN required-dim LEFT JOIN optional-dim`, the everyday
+      // dashboard shape. NULL buckets exist only on the left edges;
+      // the fold applies each edge's own join type left to right.
+      // A single value still applies to the whole chain.
       joinType: String = "inner",
       // hashed bit positions for a non-integral distinct measure —
       // see createMv.hashDistinct (same declaration, same caveat)
@@ -3823,9 +3840,11 @@ object SnapshotLog {
     require(
       !avgExact || kind == "stats",
       "createJoinMv: avgExact requires kind='stats'")
+    val jtL0 = joinType.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(
-      joinType == "inner" || joinType == "left",
-      s"createJoinMv: joinType must be 'inner' or 'left', got '$joinType'")
+      jtL0.nonEmpty && jtL0.forall(t => t == "inner" || t == "left"),
+      s"createJoinMv: joinType entries must be 'inner' or 'left', got " +
+        s"'$joinType'")
     require(
       !hashDistinct || kind == "distinct",
       "createJoinMv: hashDistinct requires kind='distinct'")
@@ -3860,6 +3879,13 @@ object SnapshotLog {
     // that dim cannot scope it), and refreshMvDim falls back to the
     // full left recompute for N>1 (no pk list bounds bucket moves
     // across dims).
+    require(
+      jtL0.size == 1 || jtL0.size == dimsL.size,
+      s"createJoinMv: joinType lists one type per dim (or one for the " +
+        s"whole chain): ${jtL0.size} type(s) for ${dimsL.size} dim(s)")
+    // the per-edge type list; a single value fans out to every edge
+    val edgeTypes: Seq[String] =
+      if (jtL0.size == 1) Seq.fill(dimsL.size)(jtL0.head) else jtL0
     val keyCols = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val measures = aggCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(keyCols.nonEmpty && measures.nonEmpty,
@@ -4047,12 +4073,28 @@ object SnapshotLog {
         read(spark, fact, Some(factTip)).withColumn(factKey.get, expr(e))
       case None => read(spark, fact, Some(factTip))
     }
+    // a snowflake edge THROUGH a left dim must itself be left: if dim
+    // j's fk is owned by a left-joined dim, an unmatched row carries a
+    // NULL fk there — an INNER edge j would silently drop the whole
+    // NULL bucket the left edge just preserved, and the optimizer may
+    // legally reorder the query side of that shape, so the serve
+    // match could not be verified either. Refuse at declaration.
+    edgeTypes.indices.foreach { j =>
+      val owner = fkOwner(j)
+      require(
+        owner < 0 || edgeTypes(owner) != "left" || edgeTypes(j) == "left",
+        s"createJoinMv: join ${j + 1} is INNER but its fk '${fksL(j)}' " +
+          s"is owned by the LEFT-joined dim '${dimsL(owner)}' — an " +
+          "inner edge through a left dim drops the NULL bucket; " +
+          "declare it left too (or reorder)")
+    }
     val factFks =
       fksL.zipWithIndex.collect { case (f, j) if fkOwner(j) == -1 => f }
     val f0 = f1.select((measures ++ factFks ++ factKey).distinct.map(col): _*)
-    val how = if (joinType == "left") "left_outer" else "inner"
+    def howOf(i: Int) =
+      if (edgeTypes(i) == "left") "left_outer" else "inner"
     val joined = dimsL.indices.foldLeft(f0) { (cur, i) =>
-      cur.join(dimDfs(i), cur(fksL(i)) === dimDfs(i)(pksL(i)), how)
+      cur.join(dimDfs(i), cur(fksL(i)) === dimDfs(i)(pksL(i)), howOf(i))
         .drop(dimDfs(i)(pksL(i)))
     }
     val m =
@@ -4082,7 +4124,10 @@ object SnapshotLog {
         "mv_dim_version" -> dimTips.mkString(",")) ++
         keyExpr.map("mv_key_expr" -> _) ++
         factKey.map("mv_fact_key" -> _) ++
-        (if (joinType == "left") Some("mv_join_type" -> "left") else None) ++
+        (if (edgeTypes.forall(_ == "left"))
+           Some("mv_join_type" -> "left") else None) ++
+        (if (edgeTypes.distinct.size > 1)
+           Some("mv_join_types" -> edgeTypes.mkString(",")) else None) ++
         (if (hashDistinct) Some("mv_distinct_hash" -> "true") else None) ++
         (if (kind == "hll") Some("mv_hll_lgk" -> hllLgK.toString)
          else None) ++
@@ -4503,9 +4548,10 @@ object SnapshotLog {
     val dimKeys: Seq[String] =
       if (props.contains("mv_fact_key")) keys.filterNot(_ == derivedKeyName)
       else keys
-    val joinHow =
-      if (props.get("mv_join_type").contains("left")) "left_outer"
-      else "inner"
+    // per-edge join hows (round 18: mixed chains enrich each edge with
+    // its OWN type — NULL buckets only on the left edges)
+    val edgeHows: Seq[String] = edgeTypesOf(props, joinDims.size)
+      .map(t => if (t == "left") "left_outer" else "inner")
     // per-dim enrichment selection, recomputed from the PINNED dim
     // schemas (immutable per version, so this is the same split
     // createJoinMv made): the dim's own key members + its pk + any
@@ -4528,7 +4574,7 @@ object SnapshotLog {
       joinDims.zipWithIndex.foldLeft(df) {
         case (cur, ((dp, w, fkc, pkc), i)) =>
           val d = read(spark, dp, Some(w)).select(dimSels(i)._2.map(col): _*)
-          cur.join(d, cur(fkc) === d(pkc), joinHow).drop(d(pkc))
+          cur.join(d, cur(fkc) === d(pkc), edgeHows(i)).drop(d(pkc))
       }
     val changes = enrich(withMeasure(props.get("mv_key_expr") match {
       case Some(e) =>
@@ -4584,7 +4630,7 @@ object SnapshotLog {
           jds.indices.find { i =>
             factSch.exists(_.fieldNames.contains(jds(i)._3)) &&
               dimSels(i)._1.nonEmpty &&
-              (joinHow != "left_outer" ||
+              (edgeHows(i) != "left_outer" ||
                 delKeys
                   .filter(dimSels(i)._1.map(k => col(k).isNull)
                     .reduce(_ && _))
@@ -4894,6 +4940,12 @@ object SnapshotLog {
     // recompute at the watermark (still cheaper than re-materialize:
     // pins, refs and history survive).
     val isLeft = props.get("mv_join_type").contains("left")
+    // round 18: MIXED chains (mv_join_types) always recompute at the
+    // watermark with the per-edge hows — a changed pk can move rows
+    // across an inner edge's membership AND a left edge's NULL
+    // buckets in one commit, and no pk list bounds the bucket side.
+    val mvEdgeTypes = edgeTypesOf(props, dimsL.size)
+    val mixed = mvEdgeTypes.distinct.size > 1
     val idx = dimsL.indexWhere(d =>
       d.stripPrefix("file:").replaceAll("/+$", "") ==
         dim.stripPrefix("file:").replaceAll("/+$", ""))
@@ -5005,9 +5057,12 @@ object SnapshotLog {
     val affKeys: Seq[String] =
       dimsL.indices.filter(reachable).flatMap(i => ownKeysOf(i, newPins))
     // the full enrichment chain at the given pins (same shape as
-    // refreshMv's enrich; inner-only here)
+    // refreshMv's enrich); `hows` is one join type per edge — the
+    // scoped branches pass all-inner (they only run on uniform inner
+    // MVs), the full-recompute branch passes the MV's own edge types
     def enrichAll(
-        df: DataFrame, ps: Seq[Int], how: String = "inner"): DataFrame =
+        df: DataFrame, ps: Seq[Int],
+        hows: Seq[String] = Seq.fill(dimsL.size)("inner")): DataFrame =
       dimsL.indices.foldLeft(df) { (cur, i) =>
         val laterFks = fksL.zipWithIndex.collect {
           case (f, j) if j > i &&
@@ -5015,7 +5070,7 @@ object SnapshotLog {
         }
         val sel = (ownKeysOf(i, ps) ++ Seq(pksL(i)) ++ laterFks).distinct
         val d = read(spark, dimsL(i), Some(ps(i))).select(sel.map(col): _*)
-        cur.join(d, cur(fksL(i)) === d(pksL(i)), how).drop(d(pksL(i)))
+        cur.join(d, cur(fksL(i)) === d(pksL(i)), hows(i)).drop(d(pksL(i)))
       }
     // the DOWNSTREAM chain from idx at the given pins, seeded by a pk
     // set — yields the affected member tuples those pks reach
@@ -5106,9 +5161,11 @@ object SnapshotLog {
         }
       }
     }
-    val joinHowHere = if (isLeft) "left_outer" else "inner"
+    val mvEdgeHows =
+      mvEdgeTypes.map(t => if (t == "left") "left_outer" else "inner")
     val next: DataFrame =
-      if (affKeys.isEmpty && !isLeft && (kind == "sum" || kind == "stats")) {
+      if (affKeys.isEmpty && !isLeft && !mixed &&
+        (kind == "sum" || kind == "stats")) {
         // PURE MATCH-FILTER DIM, invertible kind (round 17, closing
         // the round-16 full-watermark fallback): the changed dim (and
         // everything it feeds) owns no key member, so a pk change
@@ -5165,7 +5222,7 @@ object SnapshotLog {
           (coalesce(mvOld(c), lit(0L)) + coalesce(delta("d_" + c), lit(0L)))
             .as(c))
         joined.select(keyed ++ folded: _*).filter(col("mv_n") > 0)
-      } else if (affKeys.isEmpty && !isLeft) {
+      } else if (affKeys.isEmpty && !isLeft && !mixed) {
         // PURE MATCH-FILTER DIM, NON-invertible kind (round 18,
         // closing r17 verdict #4): minmax/distinct/hll partials
         // cannot subtract, so the rows that left a group cannot fold
@@ -5210,7 +5267,7 @@ object SnapshotLog {
           keys.map(k => mvOld(k) <=> touchedKeys(k)).reduce(_ && _),
           "left_anti")
         kept.unionByName(recomputed)
-      } else if (affKeys.isEmpty || (isLeft && dimsL.size > 1) ||
+      } else if (mixed || affKeys.isEmpty || (isLeft && dimsL.size > 1) ||
         nullBucketTouched) {
         // the changed dim (and everything it feeds) owns NO key
         // member and the kind's partials cannot subtract — or a left
@@ -5221,7 +5278,7 @@ object SnapshotLog {
         // downstream walk is inner-chained): full recompute at the
         // watermark (still cheaper than re-materialize: pins, refs
         // and history survive)
-        val joined = enrichAll(factW, newPins, joinHowHere)
+        val joined = enrichAll(factW, newPins, mvEdgeHows)
         if (kind == "distinct")
           distinctRollup(joined, keys, measures.head,
             props.get("mv_distinct_hash").contains("true"))

@@ -3490,8 +3490,9 @@ class CatalogSpec extends SparkTestBase {
   }
 
   test("the DDL's star form: CREATE MATERIALIZED VIEW over a JOIN chain " +
-    "declares a multi-dim MV that serves; a MIXED inner/left chain " +
-    "refuses; an all-LEFT chain declares a left star (round 17)") {
+    "declares a multi-dim MV that serves; an all-LEFT chain declares a " +
+    "left star (round 17); a MIXED chain records per-edge types (round " +
+    "18) — refusing only the inner-through-a-left-dim snowflake") {
     import graft.plans.{MvRewrite, MvRollupRewriteRule}
     val f = freshName()
     val c = freshName()
@@ -3531,15 +3532,90 @@ class CatalogSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
         Set(("US", 8L), ("FR", 18L)))
     } finally spark.conf.unset(MvRewrite.ConfKey)
-    // a MIXED inner/left chain: the bucket semantics cannot share a
-    // stored shape — refused loudly
+    // a MIXED chain whose INNER edge goes THROUGH the left dim (the
+    // snowflake fk is owned by c, which is LEFT-joined): the inner
+    // edge would drop the NULL bucket the left edge preserved —
+    // refused loudly at declaration (round 18 narrows the r17
+    // all-or-nothing refusal to exactly this shape)
     val e = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_ddlbad AS
          |SELECT n.nname, sum(f.m) AS mv_sum, count(*) AS mv_n
          |FROM $f f LEFT JOIN $c c ON f.fk = c.cpk
          |JOIN $n n ON c.natfk = n.npk
          |GROUP BY n.nname""".stripMargin))
-    assert(e.getMessage.contains("INNER"), e.getMessage)
+    assert(e.getMessage.contains("NULL bucket"), e.getMessage)
+    // a MIXED STAR (both fks on the fact) declares per-edge types via
+    // DDL and serves the same mixed spelling (round 18)
+    val f2 = freshName()
+    val s2 = freshName()
+    val f2n = f2.split('.').last
+    spark.sql(s"CREATE TABLE $f2 (fk BIGINT, nk BIGINT, m BIGINT)")
+    spark.sql(
+      s"INSERT INTO $f2 VALUES (1, 10, 5), (2, 10, 7), (1, 99, 3), (9, 10, 100)")
+    spark.sql(s"CREATE TABLE $s2 (spk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $s2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${f2n}_ddlmx AS
+         |SELECT s.seg, n.nname, sum(f.m) AS mv_sum, count(*) AS mv_n
+         |FROM $f2 f JOIN $s2 s ON f.fk = s.spk
+         |LEFT JOIN $n n ON f.nk = n.npk
+         |GROUP BY s.seg, n.nname""".stripMargin)
+    assert(SnapshotLog
+      .tableProps(spark, pathOf(s"x.y.${f2n}_ddlmx"))
+      .get("mv_join_types").contains("inner,left"))
+    val mxPath = s"$warehouse/main/${f2n}_ddlmx"
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val mq = s"SELECT seg, nname, sum(m) AS sm FROM $f2 " +
+        s"JOIN $s2 ON fk = spk LEFT JOIN $n ON nk = npk " +
+        s"GROUP BY seg, nname"
+      val mServed = rule(spark.sql(mq).queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(mServed, mxPath),
+        "the DDL-declared mixed star must serve the mixed spelling")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, mServed)
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+        .toSet ==
+        Set(("a", Some("US"), 5L), ("a", None, 3L), ("b", Some("US"), 7L)),
+        "fk=9 dropped by the inner edge; nk=99 in the (a, NULL) bucket")
+      // swapped-type spelling refuses: LEFT on the inner dim, INNER
+      // on the left dim
+      val swapped = s"SELECT seg, nname, sum(m) AS sm FROM $f2 " +
+        s"LEFT JOIN $s2 ON fk = spk JOIN $n ON nk = npk " +
+        s"GROUP BY seg, nname"
+      assert(!MvRewrite.readsPath(
+        rule(spark.sql(swapped).queryExecution.optimizedPlan), mxPath),
+        "per-edge types must match the recording exactly")
+      // a dim-side predicate on the LEFT-edge dim refuses (bucket
+      // membership); on the INNER-edge dim it transplants and serves
+      val leftFiltered = s"SELECT seg, nname, sum(m) AS sm FROM $f2 " +
+        s"JOIN $s2 ON fk = spk " +
+        s"LEFT JOIN (SELECT * FROM $n WHERE nname <> 'FR') nn " +
+        s"ON nk = npk GROUP BY seg, nname"
+      // the pre-join filter on the left dim must refuse AND the live
+      // query must return the TRUE result (NULL bucket intact) — the
+      // round-18 matcher fix: a filter above a bare leaf is the
+      // LEAF's predicate, not a transplantable post-join residual
+      assert(!MvRewrite.readsPath(
+        rule(spark.sql(leftFiltered).queryExecution.optimizedPlan), mxPath),
+        "a pre-join filter on the left dim changes the NULL buckets")
+      assert(spark.sql(leftFiltered).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+        .toSet ==
+        Set(("a", Some("US"), 5L), ("a", None, 3L), ("b", Some("US"), 7L)),
+        "the live query keeps the NULL bucket the filter cannot touch")
+      val innerFiltered = s"SELECT seg, nname, sum(m) AS sm FROM $f2 " +
+        s"JOIN (SELECT * FROM $s2 WHERE seg = 'a') ss ON fk = spk " +
+        s"LEFT JOIN $n ON nk = npk GROUP BY seg, nname"
+      val ifServed =
+        rule(spark.sql(innerFiltered).queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(ifServed, mxPath),
+        "an inner-edge dim filter transplants onto the MV")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, ifServed)
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+        .toSet == Set(("a", Some("US"), 5L), ("a", None, 3L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
     // an ALL-LEFT chain declares a left snowflake (round 17): fk=9
     // lives in the (NULL) bucket, and the left query serves from it
     spark.sql(
@@ -3559,6 +3635,20 @@ class CatalogSpec extends SparkTestBase {
       assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, lServed)
         .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet ==
         Set((Some("US"), 8L), (Some("FR"), 18L), (None, 100L)))
+      // round-18 matcher fix, pinned on the ALL-LEFT star too: a
+      // pre-join filter on a left dim refuses (it moves rows into the
+      // NULL bucket the rollup never folded) and the live query
+      // returns the truth
+      val lfq = s"SELECT nname, sum(m) AS s FROM $f LEFT JOIN $c " +
+        s"ON fk = cpk LEFT JOIN (SELECT * FROM $n WHERE nname <> 'FR') x " +
+        s"ON natfk = npk GROUP BY nname"
+      assert(!MvRewrite.readsPath(
+        rule(spark.sql(lfq).queryExecution.optimizedPlan), lsPath),
+        "a filtered left dim must not serve from the left star MV")
+      assert(spark.sql(lfq).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1))).toSet ==
+        Set((Some("US"), 8L), (None, 118L)),
+        "the FR rows must move INTO the NULL bucket, not vanish")
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
@@ -4546,7 +4636,9 @@ class CatalogSpec extends SparkTestBase {
       assert(!MvRewrite.readsPath(plan(iq), mvPath),
         "an inner star must not serve from a left star MV")
       val lines = MvRewrite.explainServe(spark, spark.sql(iq))
-      assert(lines.exists(_.contains("left-join rollup")), lines.toString)
+      // round 18: the bail names the per-edge mismatch — the inner
+      // query carries no LEFT edge where the recording requires one
+      assert(lines.exists(_.contains("no left join edge")), lines.toString)
       // a MIXED tree (left then inner) matches nothing
       val mq =
         s"SELECT aat, bat, sum(v) AS s FROM $f " +

@@ -879,8 +879,9 @@ class MvSpec extends SparkTestBase {
     * small-set assertions are deterministic equalities, not bounds;
     * the 5 %-bound evidence at scale lives in the graded key. */
   test("hll MV: inserts union into the sketch, deletes recompute their " +
-    "groups, an all-NULL group estimates 0, and the declaration guards " +
-    "refuse a second measure and an expression measure") {
+    "groups, an all-NULL group estimates 0, the declaration guards " +
+    "refuse a second measure, and an expression measure declares " +
+    "(round 18)") {
     import spark.implicits._
     val src = fresh("hllsrc")
     val mv = fresh("hllmv")
@@ -913,10 +914,15 @@ class MvSpec extends SparkTestBase {
     val e1 = intercept[IllegalArgumentException](SnapshotLog.createMv(
       spark, src, fresh("m"), "k", "u,k", kind = "hll"))
     assert(e1.getMessage.contains("one MV per"))
-    val e2 = intercept[IllegalArgumentException](SnapshotLog.createMv(
-      spark, src, fresh("m"), "k", "uu", kind = "hll",
-      aggExpr = Some("upper(u)")))
-    assert(e2.getMessage.contains("expression measure"))
+    // round 18 lifted the r16 expression refusal: the sketch now
+    // builds over the materialized expression (full pins in the
+    // dedicated hll + expression test)
+    val mvx = fresh("m")
+    SnapshotLog.createMv(
+      spark, src, mvx, "k", "uu", kind = "hll",
+      aggExpr = Some("upper(u)"))
+    assert(SnapshotLog.tableProps(spark, mvx)
+      .get("mv_agg_expr").contains("upper(u)"))
   }
 
   /** INCREMENTAL DIM REFRESH (round 16): a changed dim folds into the
@@ -1841,6 +1847,115 @@ class MvSpec extends SparkTestBase {
     SnapshotLog.commit(spark, d3, Seq((2L, 2L)).toDF("pk", "flag"))
     SnapshotLog.refreshMvDim(spark, mv3, d3)
     assert(st3() == Set(("2024-01-03", 30L, 2L), ("2024-01-04", 40L, 1L)))
+  }
+
+  /** MIXED inner/LEFT star MVs (round 18, closing r17 verdict #3):
+    * `fact INNER required-dim LEFT optional-dim` — revenue by nation
+    * × optional-promo, keeping unpromoted rows — records ONE join
+    * type PER EDGE (mv_join_types). NULL buckets live only on the
+    * left edges; the inner edge still drops unmatched fact rows. */
+  test("mixed inner/LEFT star: create + fold keep the left edge's NULL " +
+    "buckets while the inner edge drops unmatched rows; appends, CoW " +
+    "deletes and dim refreshes stay exact; the snowflake-through-a-left-" +
+    "dim spelling refuses") {
+    import spark.implicits._
+    val f = fresh("mxfact")
+    val dA = fresh("mxda")
+    val dB = fresh("mxdb")
+    val mv = fresh("mxmv")
+    SnapshotLog.commit(spark, dA, Seq(1L -> "x", 2L -> "y").toDF("apk", "aat"))
+    SnapshotLog.commit(spark, dB, Seq(7L -> "p", 8L -> "q").toDF("bpk", "bat"))
+    SnapshotLog.commit(
+      spark, f,
+      Seq((1L, 7L, 10L), (1L, 99L, 20L), (99L, 7L, 30L), (2L, 8L, 50L))
+        .toDF("afk", "bfk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, f, s"$dA,$dB", "afk,bfk", "apk,bpk", mv, "aat,bat", "v",
+      joinType = "inner,left")
+    val props = SnapshotLog.tableProps(spark, mv)
+    assert(props.get("mv_join_types").contains("inner,left"))
+    assert(!props.contains("mv_join_type"),
+      "a mixed chain is not a uniform left MV")
+    def st(): Set[(String, Option[String], Long, Long)] =
+      SnapshotLog.read(spark, mv).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3))).toSet
+    def rec(): Set[(String, Option[String], Long, Long)] =
+      SnapshotLog.read(spark, f)
+        .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"))
+        .join(SnapshotLog.read(spark, dB),
+          col("bfk") === col("bpk"), "left_outer")
+        .groupBy(col("aat"), col("bat"))
+        .agg(sum(col("v")).as("mv_sum"), count(lit(1)).as("mv_n"))
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)),
+          r.getLong(2), r.getLong(3))).toSet
+    // (99, 7) dropped by the inner edge; (1, 99) lands in (x, NULL)
+    assert(st() == rec())
+    assert(st() == Set(
+      ("x", Some("p"), 10L, 1L), ("x", None, 20L, 1L),
+      ("y", Some("q"), 50L, 1L)))
+    // appends fold per edge: a new unmatched-B row joins the (x, NULL)
+    // bucket; a new unmatched-A row never appears
+    SnapshotLog.commit(
+      spark, f, Seq((1L, 98L, 1L), (99L, 98L, 2L)).toDF("afk", "bfk", "v"))
+    SnapshotLog.refreshMv(spark, mv)
+    assert(st() == rec())
+    assert(st().contains(("x", None, 21L, 2L)))
+    // a CoW delete of a NULL-bucket row inverts through the sum fold
+    SnapshotLog.deleteWhere(spark, f, "v", 20L, 20L)
+    SnapshotLog.refreshMv(spark, mv)
+    assert(st() == rec())
+    assert(st().contains(("x", None, 1L, 1L)))
+    // a dim refresh on EITHER edge of a mixed chain takes the full
+    // per-edge recompute and stays exact against the new pins
+    SnapshotLog.deleteWhere(spark, dA, "apk", 2L, 2L)
+    SnapshotLog.commit(spark, dA, Seq(2L -> "z").toDF("apk", "aat"))
+    SnapshotLog.refreshMvDim(spark, mv, dA)
+    assert(st() == rec())
+    assert(st().exists(_._1 == "z"))
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 7L, 7L)
+    SnapshotLog.refreshMvDim(spark, mv, dB)
+    assert(st() == rec(),
+      "a left-edge dim delete moves its rows into the NULL bucket")
+    assert(st().contains(("x", None, 11L, 2L)))
+    // minmax through the mixed chain: exact against recompute
+    val mv2 = fresh("mxmv2")
+    SnapshotLog.createJoinMv(
+      spark, f, s"$dA,$dB", "afk,bfk", "apk,bpk", mv2, "aat,bat", "v",
+      kind = "minmax", joinType = "inner,left")
+    SnapshotLog.deleteWhere(spark, f, "v", 10L, 10L)
+    SnapshotLog.refreshMv(spark, mv2)
+    val m2 = SnapshotLog.read(spark, mv2).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val r2 = SnapshotLog.read(spark, f)
+      .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"))
+      .join(SnapshotLog.read(spark, dB),
+        col("bfk") === col("bpk"), "left_outer")
+      .groupBy(col("aat"), col("bat"))
+      .agg(min(col("v")).as("a"), max(col("v")).as("b"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(m2 == r2)
+    // refusal: an INNER snowflake edge whose fk is owned by a LEFT
+    // dim would drop the bucket the left edge preserved
+    val dC = fresh("mxdc")
+    SnapshotLog.commit(spark, dC, Seq(5L -> "c1").toDF("cpk", "cat"))
+    val dB2 = fresh("mxdb2")
+    SnapshotLog.commit(
+      spark, dB2, Seq((7L, "p", 5L)).toDF("bpk", "bat", "cfk"))
+    val e = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, f, s"$dB2,$dC", "bfk,cfk", "bpk,cpk", fresh("m"),
+      "bat,cat", "v", joinType = "left,inner"))
+    assert(e.getMessage.contains("NULL bucket"), e.getMessage)
+    // joinType list arity must match the dim list
+    val e2 = intercept[IllegalArgumentException](SnapshotLog.createJoinMv(
+      spark, f, s"$dA,$dB", "afk,bfk", "apk,bpk", fresh("m"),
+      "aat,bat", "v", joinType = "inner,left,left"))
+    assert(e2.getMessage.contains("one type per dim"), e2.getMessage)
   }
 
   /** GROUP-SCOPED recompute for NON-invertible kinds behind a pure
