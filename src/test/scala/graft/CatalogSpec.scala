@@ -3649,6 +3649,21 @@ class CatalogSpec extends SparkTestBase {
         .map(r => (Option(r.getString(0)), r.getLong(1))).toSet ==
         Set((Some("US"), 8L), (None, 118L)),
         "the FR rows must move INTO the NULL bucket, not vanish")
+      // an ABOVE-join filter is post-join semantics — it transplants
+      // onto the stored rows and SERVES correctly. `nname IS NULL` is
+      // the bucket probe itself (and, unlike an equality, is never
+      // null-rejecting, so the optimizer cannot flip the left join to
+      // inner at any rule position)
+      val afq = s"SELECT nname, sum(m) AS s FROM $f LEFT JOIN $c " +
+        s"ON fk = cpk LEFT JOIN $n ON natfk = npk " +
+        s"WHERE nname IS NULL GROUP BY nname"
+      val afServed = rule(spark.sql(afq).queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(afServed, lsPath),
+        "a post-join dim filter must transplant and serve")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, afServed)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet ==
+        Set((None, 100L)),
+        "the served NULL-bucket probe must return the bucket total")
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 

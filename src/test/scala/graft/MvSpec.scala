@@ -2062,6 +2062,34 @@ class MvSpec extends SparkTestBase {
     assert(SnapshotLog.lastDimRefreshScopedGroups.get() == -1L,
       "a key-owning dim must keep the keyed recompute path")
     assert(mm() == mmRec())
+    // MIXED-GRAIN composition (self-review probe): the MV's ONLY key
+    // is the derived fact day and the dim is a pure match-filter —
+    // a minmax churn takes the group-scoped branch, re-derives the
+    // key over the scoped rows, and stays exact
+    val f3 = fresh("gsfact3")
+    val d3 = fresh("gsdim3")
+    val mv3 = fresh("gsmv3")
+    SnapshotLog.commit(
+      spark, d3, Seq((1L, 1L), (2L, 1L)).toDF("pk", "flag"))
+    SnapshotLog.commit(
+      spark, f3,
+      Seq((1L, "2024-01-03 10:00:00", 10L), (2L, "2024-01-03 11:00:00", 20L),
+        (2L, "2024-01-04 09:00:00", 40L), (1L, "2024-01-05 08:00:00", 7L))
+        .toDF("fk", "tss", "v")
+        .select(col("fk"), col("tss").cast("timestamp").as("ts"), col("v")))
+    SnapshotLog.createJoinMv(
+      spark, f3, d3, "fk", "pk", mv3, "day", "v",
+      kind = "minmax", keyExpr = Some("to_date(ts)"))
+    SnapshotLog.deleteWhere(spark, d3, "pk", 2L, 2L)
+    SnapshotLog.refreshMvDim(spark, mv3, d3)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 2L,
+      "pk 2 reaches days 01-03 and 01-04; got " +
+        SnapshotLog.lastDimRefreshScopedGroups.get())
+    val m3 = SnapshotLog.read(spark, mv3).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(m3 == Set(("2024-01-03", 10L, 10L, 1L), ("2024-01-05", 7L, 7L, 1L)),
+      s"01-04 (all rows left) must vanish, 01-03 keeps fk=1, got $m3")
   }
 
   test("fk clash guard (round-17 advisor): a fact column later ADDED " +
