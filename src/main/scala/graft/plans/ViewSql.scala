@@ -360,9 +360,9 @@ object ViewSql {
         "FROM t GROUP BY k | " +
         "SELECT k, sum(a) AS mv_sum, sum(a*a) AS mv_sumsq, count(*) AS mv_n " +
         "[, count(a) AS mv_nn] FROM t GROUP BY k | " +
-        "SELECT k, count(DISTINCT a) AS mv_dc, count(*) AS mv_n " +
+        "SELECT k, count(DISTINCT a|<expr>) AS mv_dc, count(*) AS mv_n " +
         "FROM t GROUP BY k | " +
-        "SELECT k, hll_sketch_agg(a) AS mv_hll, count(*) AS mv_n " +
+        "SELECT k, hll_sketch_agg(a|<expr>) AS mv_hll, count(*) AS mv_n " +
         "FROM t GROUP BY k — APPROXIMATE distinct " +
         "(serves approx_count_distinct only) (k may also be " +
         "`to_date(col) AS day`, `trunc(to_date(col), 'month'|'year') " +
@@ -415,10 +415,13 @@ object ViewSql {
             res(a).map(n => (fn, al.name, SqArg(n)))
           case Seq(_: UnresolvedStar) => Some((fn, al.name, StarArg))
           case Seq(Literal(1, _))     => Some((fn, al.name, StarArg))
-          // any OTHER single sum argument is an expression measure —
-          // its SQL text is the declaration (single-table form only;
-          // props-safety and determinism are checked in createMv)
-          case Seq(other) if allowExpr && fn == "sum" =>
+          // any OTHER single argument of sum / hll_sketch_agg is an
+          // expression measure — its SQL text is the declaration
+          // (single-table form only; props-safety and determinism are
+          // checked in createMv). Round 18 widens the r16 sum-only
+          // gate to the hll sketch (approx distinct of a derived id).
+          case Seq(other)
+              if allowExpr && (fn == "sum" || fn == "hll_sketch_agg") =>
             Some((fn, al.name, XArg(other.sql)))
           case _                      => None
         }
@@ -431,6 +434,13 @@ object ViewSql {
         u.arguments match {
           case Seq(a: UnresolvedAttribute) =>
             res(a).map(n => ("count_distinct", al.name, ColArg(n)))
+          // count(DISTINCT <expr>) — the r17 expression-measure
+          // distinct kind, reachable from DDL since round 18
+          // (single-table form only; a bare attribute that failed
+          // `res` above must refuse, not become an expression)
+          case Seq(other)
+              if allowExpr && !other.isInstanceOf[UnresolvedAttribute] =>
+            Some(("count_distinct", al.name, XArg(other.sql)))
           case _ => None
         }
       case _ => None
@@ -623,6 +633,15 @@ object ViewSql {
           case List(("count_distinct", a, ColArg(x)))
               if a == "mv_dc" && nnPart.isEmpty =>
             Some(("distinct", Seq(x), false, None, Map.empty[String, String]))
+          // count(DISTINCT <expr>) AS mv_dc — the expression
+          // materializes under the fixed 'mv_val' stored name
+          // (round 18; createMv's integral gate judges the resolved
+          // expression, naming hash_distinct as the remedy for
+          // non-integral ones — the CALL surface spells it)
+          case List(("count_distinct", "mv_dc", XArg(text)))
+              if nnPart.isEmpty =>
+            Some(("distinct", Seq("mv_val"), false, Some(text),
+              Map.empty[String, String]))
           case _ => None
         }
       }.orElse {
@@ -633,6 +652,13 @@ object ViewSql {
           case List(("hll_sketch_agg", a, ColArg(x)))
               if a == "mv_hll" && nnPart.isEmpty =>
             Some(("hll", Seq(x), false, None, Map.empty[String, String]))
+          // hll_sketch_agg(<expr>) AS mv_hll — the round-18
+          // hll-expression kind, spelled directly in DDL; the sketch
+          // is built over the materialized expression column
+          case List(("hll_sketch_agg", "mv_hll", XArg(text)))
+              if nnPart.isEmpty =>
+            Some(("hll", Seq("mv_val"), false, Some(text),
+              Map.empty[String, String]))
           case _ => None
         }
       }

@@ -3854,6 +3854,83 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("DDL expression spellings for the distinct kinds (round 18): " +
+    "hll_sketch_agg(<expr>) AS mv_hll and count(DISTINCT <expr>) AS " +
+    "mv_dc declare expression-measure MVs; each serves its own " +
+    "aggregate and the off-convention spellings refuse") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val t = freshName()
+    val tn = t.split('.').last
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT, d BIGINT)")
+    spark.sql(
+      s"INSERT INTO $t VALUES (1, 10, 1), (1, 10, 1), (1, 20, 2), (2, 30, 1)")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_hx AS
+         |SELECT k, hll_sketch_agg(v + 100 * d) AS mv_hll,
+         |count(*) AS mv_n FROM $t GROUP BY k""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${tn}_dx AS
+         |SELECT k, count(DISTINCT v % 7) AS mv_dc, count(*) AS mv_n
+         |FROM $t GROUP BY k""".stripMargin)
+    assert(SnapshotLog.tableProps(spark, pathOf(s"x.y.${tn}_hx"))
+      .get("mv_agg_expr").exists(_.replace(" ", "").contains("v+")))
+    val pH = s"$warehouse/main/${tn}_hx"
+    val pD = s"$warehouse/main/${tn}_dx"
+    // the REFRESH re-derives both expressions over the delta
+    spark.sql(s"INSERT INTO $t VALUES (2, 31, 2)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_hx")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${tn}_dx")
+    val rule = MvRollupRewriteRule(spark)
+    // ground truth BEFORE arming the conf (SURVEY §5.6)
+    val expH = spark.sql(
+      s"SELECT k, count(DISTINCT v + 100 * d) AS au FROM $t GROUP BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expD = spark.sql(
+      s"SELECT k, count(DISTINCT v % 7) AS du FROM $t GROUP BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      val hq = plan(
+        s"SELECT k, approx_count_distinct(v + 100 * d) AS au " +
+          s"FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(hq, pH),
+        "the DDL hll expression must serve its approximate aggregate")
+      // HLL is exact at this cardinality
+      assert(run(hq).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == expH)
+      val dq = plan(
+        s"SELECT k, count(DISTINCT v % 7) AS du FROM $t GROUP BY k")
+      assert(MvRewrite.readsPath(dq, pD),
+        "the DDL distinct expression must serve the exact count")
+      assert(run(dq).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet == expD)
+      // cross-kind: the exact ask never serves from the sketch, the
+      // approximate ask never from the bitmap of a DIFFERENT expr
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, count(DISTINCT v + 100 * d) AS du FROM $t GROUP BY k"),
+        pH))
+      assert(!MvRewrite.readsPath(plan(
+        s"SELECT k, approx_count_distinct(v % 8) AS au FROM $t GROUP BY k"),
+        pH))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+    // off-convention aliases refuse at CREATE
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, hll_sketch_agg(v + d) AS sketch, count(*) AS mv_n " +
+        s"FROM $t GROUP BY k"))
+    assert(e1.getMessage.contains("shapes"))
+    // a non-integral distinct expression refuses, naming the remedy
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW ${freshName()} AS " +
+        s"SELECT k, count(DISTINCT concat('p', CAST(v AS STRING))) AS mv_dc, " +
+        s"count(*) AS mv_n FROM $t GROUP BY k"))
+    assert(e2.getMessage.contains("hashDistinct") ||
+      e2.getMessage.contains("integral"), e2.getMessage)
+  }
+
   test("a served STAR query EXECUTES as one MV parquet scan inside " +
     "codegen: no joins, no source scans, the dim filter pushed — via " +
     "the injected rule, no manual rewrite") {
