@@ -4081,7 +4081,8 @@ private[sources] object SnapshotProcedures {
       "tag", "tag_delete", "branch", "publish", "branch_drop", "tags",
       "detail", "clone", "build_bloom", "create_mv", "create_join_mv",
       "refresh_mv", "refresh_mv_dim", "describe_mv", "list_mvs",
-      "explain_mv_serve", "ingest", "count_by", "range_by")
+      "explain_mv_serve", "ingest", "count_by", "range_by",
+      "backfill_stats")
 
   private def spark = SparkSession.active
 
@@ -4242,6 +4243,20 @@ private[sources] object SnapshotProcedures {
             Seq(new GenericInternalRow(
               Array[Any](removed.size, SnapshotLog.readHorizon(spark, table))))
           }
+        )
+      case "backfill_stats" =>
+        // stamp missing _sz/_rc manifest riders onto pre-upgrade
+        // entries (footer reads only, data-preserving replace delta;
+        // 0 backfilled = no commit burned) — heals metadata counts
+        // and the MV candidate ranking for legacy tables
+        proc(
+          "backfill_stats",
+          Seq(ProcedureParameter.in("table", StringType).build()),
+          StructType(Seq(StructField("backfilled", IntegerType))),
+          in =>
+            Seq(new GenericInternalRow(Array[Any](
+              SnapshotLog.backfillStats(
+                spark, resolve(in.getUTF8String(0).toString)))))
         )
       case "restore" =>
         proc(

@@ -1515,6 +1515,50 @@ object SnapshotLog {
       replaceExpected = Some(touched))
   }
 
+  /** Backfill `_sz`/`_rc` manifest riders onto live entries that
+    * predate the rider upgrade (round 18, retiring the "unknown size"
+    * degradations): a DATA-PRESERVING replace delta re-spells ONLY the
+    * rider-less entries — byte size from one file stat, row count from
+    * the parquet FOOTER — O(missing files) metadata reads, zero data
+    * bytes moved, no version burned when nothing is missing. With the
+    * riders in place, [[metadataCount]] answers exactly instead of
+    * falling back, DESCRIBE HISTORY stops undercounting, and the MV
+    * candidate ranking ([[graft.plans.MvRewrite]] pickCheapest) ranks
+    * a legacy MV by its real rows instead of last. Returns the number
+    * of entries backfilled. */
+  def backfillStats(spark: SparkSession, table: String): Int = {
+    val v = versions(spark, table).last
+    val entries = manifestEntries(spark, table, v)
+    val missing = entries.filter(e =>
+      entryRows(e).isEmpty || entrySize(e).isEmpty)
+    if (missing.isEmpty) return 0
+    val f = fs(spark, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val amended = missing.map { e =>
+      val name = entryName(e)
+      val p = new Path(s"$table/$name")
+      val len = f.getFileStatus(p).getLen
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val rows = try reader.getRecordCount finally reader.close()
+      val parts = e.split('\t')
+      val kept =
+        if (parts.length < 2) ""
+        else parts(1).split(';')
+          .filterNot(t => t.startsWith("_sz=") || t.startsWith("_rc="))
+          .mkString(";")
+      val tok = s"_sz=z:$len;_rc=r:$rows"
+      s"$name\t${if (kept.isEmpty) tok else s"$kept;$tok"}"
+    }
+    val commitSchema = tableSchema(spark, table, v).getOrElse(
+      readFiles(spark, table, missing.map(entryName), None).schema)
+    commitEntriesInternal(
+      spark, table, amended, commitSchema, overwrite = false, None,
+      Some(missing.map(entryName)), dataChange = false,
+      extraHeader = "statsfill", replaceExpected = Some(missing))
+    missing.size
+  }
+
   /** PHYSICAL column names any live file carries a bloom rider for at
     * `version` (`_bm<urlb64(col)>=b:` tokens) — ONE manifest read, no
     * header scan, so the scan can advertise runtime-filterable columns

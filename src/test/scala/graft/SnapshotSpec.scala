@@ -1247,6 +1247,63 @@ class SnapshotSpec extends SparkTestBase {
       SnapshotLog.ingest(spark, freshTable(), landing))
     assert(e2.getMessage.contains("no commits"))
   }
+
+  /** Round 18: `_sz`/`_rc` rider BACKFILL for pre-upgrade manifests —
+    * a data-preserving replace delta stamping footer-read stats onto
+    * rider-less entries, healing the metadata count (and the MV
+    * candidate ranking) without rewriting a byte of data. */
+  test("backfillStats stamps missing _sz/_rc riders from parquet footers: " +
+    "metadataCount heals, the pass is idempotent (0 = no version " +
+    "burned), and history stays readable") {
+    import spark.implicits._
+    val t = freshTable()
+    SnapshotLog.commit(spark, t, (1L to 5L).toDF("id"))
+    SnapshotLog.commit(spark, t, (6L to 9L).toDF("id"))
+    assert(SnapshotLog.metadataCount(spark, t).contains(9L))
+    // simulate a pre-upgrade table: strip the stats riders from every
+    // committed entry line, in both commit files
+    (1 to 2).foreach { v =>
+      val cp = java.nio.file.Paths.get(
+        s"$t/_log/v${"%08d".format(v)}.commit")
+      val stripped = new String(java.nio.file.Files.readAllBytes(cp))
+        .linesIterator.map { l =>
+          if (!l.contains("\t")) l
+          else {
+            val Array(name, suffix) = l.split("\t", 2)
+            val kept = suffix.split(';')
+              .filterNot(x => x.startsWith("_sz=") || x.startsWith("_rc="))
+              .mkString(";")
+            if (kept.isEmpty) name else s"$name\t$kept"
+          }
+        }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(cp, stripped.getBytes("UTF-8"))
+      // hadoop's local FS keeps .crc sidecars; the hand-edit must
+      // drop the stale one or every later read checksum-fails
+      java.nio.file.Files.deleteIfExists(
+        cp.getParent.resolve("." + cp.getFileName.toString + ".crc"))
+    }
+    assert(SnapshotLog.metadataCount(spark, t).isEmpty,
+      "rider-less entries must refuse the metadata count, not guess")
+    assert(rows(t) == (1L to 9L).toSet, "data reads are rider-independent")
+    // the backfill stamps every rider-less entry from its footer
+    val liveFiles = SnapshotLog.read(spark, t)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    val n = SnapshotLog.backfillStats(spark, t)
+    assert(n == liveFiles, s"every live file lacked riders: $liveFiles, got $n")
+    assert(SnapshotLog.metadataCount(spark, t).contains(9L),
+      "the metadata count must be exact again")
+    assert(rows(t) == (1L to 9L).toSet)
+    // idempotent: nothing missing, nothing committed
+    val vBefore = SnapshotLog.versions(spark, t).last
+    assert(SnapshotLog.backfillStats(spark, t) == 0)
+    assert(SnapshotLog.versions(spark, t).last == vBefore,
+      "a no-op backfill must not burn a version")
+    // the backfill is data-preserving: the change feed sees no rows
+    val changes = SnapshotLog.readChanges(spark, t, vBefore - 1, vBefore)
+    assert(changes.count() == 0L,
+      "statsfill must commit datachange=false (no feed rows)")
+  }
 }
 
 /** Mock object-store filesystem for the commit-posture pin: local IO,
@@ -1274,4 +1331,6 @@ class InMemoryCondPutBackend extends graft.sources.SnapshotLog.CommitBackend {
       target: org.apache.hadoop.fs.Path
   ): Boolean =
     published.add(target.toString) && f.rename(tmp, target)
+
 }
+
