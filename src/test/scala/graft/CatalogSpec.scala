@@ -4036,6 +4036,61 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("a served MIXED STAR query EXECUTES as one MV parquet scan inside " +
+    "codegen with the null-tolerant filter pushed — the physical-layer " +
+    "100 TB claim extends to per-edge types (round 18)") {
+    import graft.plans.MvRewrite
+    val f = freshName()
+    val d1 = freshName()
+    val d2 = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk1 BIGINT, fk2 BIGINT, m BIGINT)")
+    spark.sql(s"CREATE TABLE $d1 (pk1 BIGINT, a1 STRING)")
+    spark.sql(s"CREATE TABLE $d2 (pk2 BIGINT, a2 STRING)")
+    spark.sql(
+      s"""INSERT INTO $f VALUES (1, 7, 10), (1, 8, 20), (2, 7, 30),
+         |(1, 99, 40), (99, 7, 50)""".stripMargin)
+    spark.sql(s"INSERT INTO $d1 VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"INSERT INTO $d2 VALUES (7, 'p'), (8, 'q')")
+    val mvPath = s"$warehouse/main/${fn}_pmmv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), s"${pathOf(d1)},${pathOf(d2)}", "fk1,fk2",
+      "pk1,pk2", mvPath, "a1,a2", "m", joinType = "inner,left")
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      // null-tolerant left-dim filter: transplants without flipping
+      // the left edge; the inner edge drops fk1=99 as the MV folded it
+      val q = spark.sql(
+        s"SELECT a1, a2, sum(m) AS s FROM $f " +
+          s"JOIN $d1 ON fk1 = pk1 LEFT JOIN $d2 ON fk2 = pk2 " +
+          s"WHERE a2 IS NULL OR a2 = 'p' GROUP BY a1, a2")
+      assert(q.collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+        .toSet ==
+        Set(("x", Some("p"), 10L), ("y", Some("p"), 30L),
+          ("x", None, 40L)))
+      val plan = {
+        def fin(p: org.apache.spark.sql.execution.SparkPlan)
+            : org.apache.spark.sql.execution.SparkPlan = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        fin(q.queryExecution.executedPlan).toString
+      }
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"expected ONE parquet scan (the MV), got " +
+        s"$scans:\n$plan")
+      assert(!plan.contains("BatchScan"),
+        s"no catalog source scan may survive a serve:\n$plan")
+      assert(!plan.contains("Join"), s"no join may survive:\n$plan")
+      assert(plan.contains("PushedFilters: [") && plan.contains("a2"),
+        s"the transplanted null-tolerant filter must reach the MV " +
+          s"scan:\n$plan")
+      assert(plan.contains("*("), s"codegen spans expected:\n$plan")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("historical join-MV serving: a VERSION AS OF pair (old fact, old " +
     "dim) serves from the PRE-dim-refresh MV version while the current " +
     "query serves the new state — the mvdv ledger overlays per version") {
