@@ -765,8 +765,11 @@ object TextOps {
         // delete-side doc lives in a shard whose term range admits one
         // of its terms, so the scope below provably covers them all
         // (a CoW-rewritten survivor appears on both sides — its old
-        // pairs remove, its re-inserted pairs re-add, net identical)
-        val dead = postings(dels)
+        // pairs remove, its re-inserted pairs re-add, net identical).
+        // Materialized ONCE: the scope probe and the rebuild's
+        // anti-join both consume it, and re-tokenizing the delete
+        // delta per consumer doubles the delta cost at any scale
+        val dead = postings(dels).localCheckpoint()
         val (_, touched, untouched) = SnapshotLog.mergeCoW(
           spark, idx, "term",
           dead.select("term").distinct(),
