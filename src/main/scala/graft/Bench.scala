@@ -49,6 +49,51 @@ object Bench {
     (st, pw)
   }
 
+  /** IO calibration anchor (round 18): the text_index_refresh drift
+    * investigation showed a machine-day slowdown living ENTIRELY in
+    * bulk write throughput — invisible to the CPU loop (calib healthy,
+    * fsync latency healthy, the key 2× slower on BOTH HEADs). This
+    * rep writes a fixed 64 MiB pattern to the same tmp filesystem the
+    * bench tables use, fsyncs, reads it back, and deletes — a
+    * deterministic, data-free measure of the sequential write+read
+    * path the IO-heavy keys actually ride. Median of 3. */
+  private def calibIoRep(): Double = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_io")
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve(s"_calib_io_${System.nanoTime()}.bin")
+    val block = new Array[Byte](1 << 20)
+    var i = 0
+    while (i < block.length) { block(i) = (i * 31).toByte; i += 1 }
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(
+      p, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var b = 0
+      while (b < 64) { ch.write(java.nio.ByteBuffer.wrap(block)); b += 1 }
+      ch.force(true)
+    } finally ch.close()
+    val in = java.nio.channels.FileChannel.open(
+      p, java.nio.file.StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      var n = 0L
+      var r = in.read(buf)
+      while (r >= 0) {
+        n += r; buf.clear()
+        calibSink ^= n
+        r = in.read(buf)
+      }
+    } finally in.close()
+    val dt = (System.nanoTime() - t0) / 1e9
+    java.nio.file.Files.deleteIfExists(p)
+    dt
+  }
+
+  private def calibrateIo(): Double =
+    Seq.fill(3)(calibIoRep()).sorted.apply(1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,6 +114,7 @@ object Bench {
     // degradation on a shared machine is visible in the artifact.
     val calibPar = math.max(1, cpus.toInt)
     val (calibSt0, calibPw0) = calibrate(calibPar)
+    val calibIo0 = calibrateIo()
     // Optional comma-separated key subset (SPARK_GRAFT_BENCH_KEYS) for
     // fresh-JVM per-key medians — the driver sets no subset and always
     // measures the full inventory.
@@ -83,6 +129,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (calibSt1, calibPw1) = calibrate(calibPar)
+    val calibIo1 = calibrateIo()
     // The driver tail-captures only the LAST 2000 chars of stdout, and
     // sbt's trailing "[success] ..." line costs ~75 of them — a full
     // 105-query map (~3.4 KB) gets its head clipped and parses as null
@@ -114,7 +161,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val calibDetail =
-      s""""calib":{"par":$calibPar,"start_par_sec":${r3(calibPw0)},"end_par_sec":${r3(calibPw1)},"start_st_sec":${r3(calibSt0)},"end_st_sec":${r3(calibSt1)}}"""
+      s""""calib":{"par":$calibPar,"start_par_sec":${r3(calibPw0)},"end_par_sec":${r3(calibPw1)},"start_st_sec":${r3(calibSt0)},"end_st_sec":${r3(calibSt1)},"start_io_sec":${r3(calibIo0)},"end_io_sec":${r3(calibIo1)},"io_sec":${r3((calibIo0 + calibIo1) / 2.0)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"),
       mkLine(fullQs).dropRight(1) + s""","areas":$areas,$calibDetail}""" + "\n")

@@ -949,8 +949,12 @@ object Similarity {
       val changes = SnapshotLog.readChanges(spark, src, from, to)
       val ins = changes.filter(col("change_type") === "insert")
         .select("vec_id", "embedding")
+      // materialized ONCE: the scope probe and the rebuild's anti-join
+      // both consume it, and each would otherwise re-read the change
+      // feed (the text-index refresh's round-18 lesson; ids only, so
+      // the checkpoint is tiny)
       val deadIds = changes.filter(col("change_type") === "delete")
-        .select("vec_id").distinct()
+        .select("vec_id").distinct().localCheckpoint()
       if (deadIds.isEmpty) {
         SnapshotLog.commitWatermarked(spark, idx, pqEncode(ins, cb), "idxv", to)
       } else {
