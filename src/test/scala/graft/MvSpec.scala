@@ -2199,6 +2199,118 @@ class MvSpec extends SparkTestBase {
       s"01-04 (all rows left) must vanish, 01-03 keeps fk=1, got $m3")
   }
 
+  /** RANDOMIZED filter-dim lifecycle (round 18): the group-scoped
+    * non-invertible recompute is the round's newest fold machinery —
+    * drive it with seeded random churn (fact appends/deletes, pk
+    * churn on the KEYLESS filter dim → the scoped branch, attr churn
+    * on the KEYED dim → the keyed branch) on a minmax AND a distinct
+    * MV, recompute-equality after every refresh. */
+  test("filter-dim randomized lifecycle: 30 seeded random churn ops " +
+    "across the scoped, keyed and delta branches with the recompute " +
+    "invariant after every refresh (minmax + distinct kinds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val fact = fresh("rffact")
+    val dA = fresh("rfda")
+    val dB = fresh("rfdb")
+    val mvM = fresh("rfmvm")
+    val mvD = fresh("rfmvd")
+    var tag = 0
+    SnapshotLog.commit(
+      spark, dA, Seq(1L -> "x", 2L -> "y", 3L -> "z").toDF("apk", "aat"))
+    SnapshotLog.commit(
+      spark, dB,
+      Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L)).toDF("bpk", "bflag"))
+    var nextV = 0L
+    def someRows(n: Int): Seq[(Long, Long, Long)] =
+      (1 to n).map { _ =>
+        nextV += 1
+        (1L + rnd.nextInt(3), 10L + rnd.nextInt(4), nextV % 23)
+      }
+    SnapshotLog.commit(spark, fact, someRows(25).toDF("afk", "bfk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvM, "aat", "v",
+      kind = "minmax")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvD, "aat", "v",
+      kind = "distinct")
+    def joined() = SnapshotLog.read(spark, fact)
+      .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"))
+      .join(SnapshotLog.read(spark, dB), col("bfk") === col("bpk"))
+    def mm(): Set[(String, Long, Long, Long)] =
+      SnapshotLog.read(spark, mvM).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def mmRec(): Set[(String, Long, Long, Long)] =
+      joined().groupBy(col("aat"))
+        .agg(min(col("v")).as("a"), max(col("v")).as("b"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def dc(): Map[String, Long] =
+      SnapshotLog.read(spark, mvD).groupBy(col("aat"))
+        .agg(sum(col("mv_dc")).as("du")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def dcRec(): Map[String, Long] =
+      joined().groupBy(col("aat"))
+        .agg(countDistinct(col("v")).as("du")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def checkBoth(step: Int): Unit = {
+      SnapshotLog.refreshMv(spark, mvM)
+      SnapshotLog.refreshMv(spark, mvD)
+      assert(mm() == mmRec(), s"step $step: minmax diverged")
+      assert(dc() == dcRec(), s"step $step: distinct diverged")
+    }
+    checkBoth(0)
+    (1 to 30).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // fact append
+          SnapshotLog.commit(
+            spark, fact, someRows(1 + rnd.nextInt(4)).toDF("afk", "bfk", "v"))
+          if (rnd.nextBoolean()) checkBoth(step)
+        case 2 => // fact CoW delete of a value band
+          val lo = rnd.nextInt(18).toLong
+          SnapshotLog.deleteWhere(spark, fact, "v", lo, lo + 3L)
+          checkBoth(step)
+        case 3 => // keyless dim B pk churn → the GROUP-SCOPED branch
+          val pk = 10L + rnd.nextInt(4)
+          tag += 1
+          SnapshotLog.deleteWhere(spark, dB, "bpk", pk, pk)
+          if (rnd.nextBoolean())
+            SnapshotLog.commit(
+              spark, dB, Seq((pk, tag.toLong)).toDF("bpk", "bflag"))
+          // fold the fact first (the dim refresh is watermark-defined)
+          SnapshotLog.refreshMv(spark, mvM)
+          SnapshotLog.refreshMv(spark, mvD)
+          SnapshotLog.refreshMvDim(spark, mvM, dB)
+          assert(SnapshotLog.lastDimRefreshScopedGroups.get() >= 0L,
+            s"step $step: the keyless dim must take the scoped branch")
+          SnapshotLog.refreshMvDim(spark, mvD, dB)
+          assert(mm() == mmRec(), s"step $step: scoped minmax diverged")
+          assert(dc() == dcRec(), s"step $step: scoped distinct diverged")
+        case 4 => // keyed dim A attr churn → the KEYED branch
+          val pk = 1L + rnd.nextInt(3)
+          tag += 1
+          SnapshotLog.deleteWhere(spark, dA, "apk", pk, pk)
+          if (rnd.nextBoolean())
+            SnapshotLog.commit(
+              spark, dA, Seq(pk -> s"k$pk-$tag").toDF("apk", "aat"))
+          SnapshotLog.refreshMv(spark, mvM)
+          SnapshotLog.refreshMv(spark, mvD)
+          SnapshotLog.refreshMvDim(spark, mvM, dA)
+          assert(SnapshotLog.lastDimRefreshScopedGroups.get() == -1L,
+            s"step $step: the keyed dim must take the keyed branch")
+          SnapshotLog.refreshMvDim(spark, mvD, dA)
+          assert(mm() == mmRec(), s"step $step: keyed minmax diverged")
+          assert(dc() == dcRec(), s"step $step: keyed distinct diverged")
+        case _ =>
+          checkBoth(step)
+      }
+    }
+    checkBoth(99)
+  }
+
   test("fk clash guard (round-17 advisor): a fact column later ADDED " +
     "under a dim-owned snowflake fk name refuses the refresh loudly — " +
     "the enrichment's cur(fk) would otherwise hit a raw analyzer " +
