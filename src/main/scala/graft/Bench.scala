@@ -66,33 +66,43 @@ object Bench {
     var i = 0
     while (i < block.length) { block(i) = (i * 31).toByte; i += 1 }
     val t0 = System.nanoTime()
-    val ch = java.nio.channels.FileChannel.open(
-      p, java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
     try {
-      var b = 0
-      while (b < 64) { ch.write(java.nio.ByteBuffer.wrap(block)); b += 1 }
-      ch.force(true)
-    } finally ch.close()
-    val in = java.nio.channels.FileChannel.open(
-      p, java.nio.file.StandardOpenOption.READ)
-    try {
-      val buf = java.nio.ByteBuffer.allocate(1 << 20)
-      var n = 0L
-      var r = in.read(buf)
-      while (r >= 0) {
-        n += r; buf.clear()
-        calibSink ^= n
-        r = in.read(buf)
-      }
-    } finally in.close()
-    val dt = (System.nanoTime() - t0) / 1e9
-    java.nio.file.Files.deleteIfExists(p)
-    dt
+      val ch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var b = 0
+        while (b < 64) { ch.write(java.nio.ByteBuffer.wrap(block)); b += 1 }
+        ch.force(true)
+      } finally ch.close()
+      val in = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = 0L
+        var r = in.read(buf)
+        while (r >= 0) {
+          n += r; buf.clear()
+          calibSink ^= n
+          r = in.read(buf)
+        }
+      } finally in.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** The anchors must never take the bench down: a full tmp disk or a
+    * read-only filesystem degrades the calibration to -1.0 (readable
+    * as "anchor unavailable" downstream), and the measured queries —
+    * the artifact that actually matters — still run and land in
+    * bench_out.json. */
   private def calibrateIo(): Double =
-    Seq.fill(3)(calibIoRep()).sorted.apply(1)
+    try Seq.fill(3)(calibIoRep()).sorted.apply(1)
+    catch { case _: Throwable => -1.0 }
+
+  private def calibrateSafe(par: Int): (Double, Double) =
+    try calibrate(par)
+    catch { case _: Throwable => (-1.0, -1.0) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,7 +123,7 @@ object Bench {
     // at run start) and again after (calib_end_* below) so mid-run
     // degradation on a shared machine is visible in the artifact.
     val calibPar = math.max(1, cpus.toInt)
-    val (calibSt0, calibPw0) = calibrate(calibPar)
+    val (calibSt0, calibPw0) = calibrateSafe(calibPar)
     val calibIo0 = calibrateIo()
     // Optional comma-separated key subset (SPARK_GRAFT_BENCH_KEYS) for
     // fresh-JVM per-key medians — the driver sets no subset and always
@@ -128,7 +138,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (calibSt1, calibPw1) = calibrate(calibPar)
+    val (calibSt1, calibPw1) = calibrateSafe(calibPar)
     val calibIo1 = calibrateIo()
     // The driver tail-captures only the LAST 2000 chars of stdout, and
     // sbt's trailing "[success] ..." line costs ~75 of them — a full

@@ -535,9 +535,28 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * still serves when it is the only candidate. */
   private def storedRows(mvPath: String, srcVersion: Int): Long =
     scala.util.Try {
-      val v = graft.sources.SnapshotLog
-        .versionAtWatermark(spark, mvPath, "mvv", srcVersion)
-        .getOrElse(graft.sources.SnapshotLog.versions(spark, mvPath).last)
+      val tip = graft.sources.SnapshotLog.versions(spark, mvPath).last
+      // watermarks are MONOTONE (a refresh only folds forward), so the
+      // tip watermark classifies the probe with one or two header
+      // reads: equal → the tip serves; BEHIND the probe (a stale MV —
+      // the normal state between refreshes) → NO version can fold the
+      // probe, skip the ledger walk entirely (the candidate bails
+      // STALE in serveManaged anyway, its rank is moot); AHEAD →
+      // genuine time travel, pay the backward walk for the resolved
+      // version. Without this gate a stale candidate cost
+      // O(MV versions) header reads on EVERY aggregate planned over
+      // the source (round-18 review finding).
+      val tipWm = graft.sources.SnapshotLog
+        .committedWatermark(spark, mvPath, "mvv")
+      val v = tipWm match {
+        case Some(w) if w == srcVersion => tip
+        case Some(w) if w < srcVersion  => tip
+        case Some(_) =>
+          graft.sources.SnapshotLog
+            .versionAtWatermark(spark, mvPath, "mvv", srcVersion)
+            .getOrElse(tip)
+        case None => tip
+      }
       val counts = graft.sources.SnapshotLog.liveRowCounts(spark, mvPath, v)
       if (counts.exists(_._2.isEmpty)) Long.MaxValue
       else counts.map(_._2.get).sum

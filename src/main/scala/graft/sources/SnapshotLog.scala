@@ -1527,7 +1527,9 @@ object SnapshotLog {
     * a legacy MV by its real rows instead of last. Returns the number
     * of entries backfilled. */
   def backfillStats(spark: SparkSession, table: String): Int = {
-    val v = versions(spark, table).last
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"backfillStats: no commits in $table")
+    val v = vs.last
     val entries = manifestEntries(spark, table, v)
     val missing = entries.filter(e =>
       entryRows(e).isEmpty || entrySize(e).isEmpty)
@@ -1536,7 +1538,10 @@ object SnapshotLog {
     val conf = spark.sessionState.newHadoopConf()
     val amended = missing.map { e =>
       val name = entryName(e)
-      val p = new Path(s"$table/$name")
+      // dataPath, not s"$table/$name": a CLONED table's entries are
+      // absolute external references, exactly the pre-rider
+      // population this pass exists to heal
+      val p = new Path(dataPath(table, name))
       val len = f.getFileStatus(p).getLen
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
@@ -3322,14 +3327,6 @@ object SnapshotLog {
         count(lit(1)).as("mv_n"))
   }
 
-  /** The declared EXPRESSION measures of an MV, (storedName, exprText)
-    * per declared measure — round 17 generalizes the single
-    * `mv_agg_expr` to per-measure `mv_agg_expr_<name>` props so ONE MV
-    * can maintain several derived measures (`sum(a*b) AS rev,
-    * sum(c+d) AS fee` in one fold). The legacy single-prop spelling
-    * stays readable forever (it binds to the first measure, the only
-    * shape it could ever declare). Plain-column measures simply have
-    * no entry. */
   /** Per-edge join types of a join MV: the round-18 `mv_join_types`
     * list when present (mixed chains), else the uniform legacy props
     * (`mv_join_type`=left, or inner when absent). */
@@ -3341,6 +3338,14 @@ object SnapshotLog {
       .getOrElse(Seq.fill(n)(
         if (props.get("mv_join_type").contains("left")) "left" else "inner"))
 
+  /** The declared EXPRESSION measures of an MV, (storedName, exprText)
+    * per declared measure — round 17 generalizes the single
+    * `mv_agg_expr` to per-measure `mv_agg_expr_<name>` props so ONE MV
+    * can maintain several derived measures (`sum(a*b) AS rev,
+    * sum(c+d) AS fee` in one fold). The legacy single-prop spelling
+    * stays readable forever (it binds to the first measure, the only
+    * shape it could ever declare). Plain-column measures simply have
+    * no entry. */
   private[graft] def declaredMeasureExprs(
       props: Map[String, String],
       measures: Seq[String]
