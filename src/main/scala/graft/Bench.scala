@@ -104,6 +104,38 @@ object Bench {
     try calibrate(par)
     catch { case _: Throwable => (-1.0, -1.0) }
 
+  /** Combine the start/end readings of one anchor into the headline
+    * value: -1.0 ("anchor unavailable") when EITHER endpoint degraded
+    * to the -1.0 failure sentinel, else their mean. Averaging a
+    * healthy endpoint with a sentinel (r18 What's-wrong #2) yields a
+    * garbage number — e.g. (0.9 + -1.0)/2 = -0.05 — that silently
+    * poisons exactly the cross-run normalization the anchor exists
+    * for; a consumer can work with "unavailable", not with a wrong
+    * magnitude. */
+  private[graft] def combineAnchors(start: Double, end: Double): Double =
+    if (start < 0.0 || end < 0.0) -1.0 else (start + end) / 2.0
+
+  /** One mid-run mini-anchor (round-19, VERDICT r18 #1): the start/end
+    * anchors normalize ACROSS runs but are blind to a contention burst
+    * that hits mid-run, inside one key's window (the r18 driver run:
+    * healthy endpoint anchors, yet three keys 9-26x their same-HEAD
+    * builder readings). This rep runs the same fixed parallel loop at
+    * 1/10 the iteration count (~0.1 s healthy wall) every N keys; a
+    * burst then shows as a localized spike in the calib_trace that
+    * overlaps the outlier keys' start_sec window, making burst-vs-
+    * regression readable from bench_out.json alone. */
+  private def miniCalibSafe(par: Int): Double =
+    try {
+      val iters = 40000000L // 1/10 of the full anchor rep
+      val t0 = System.nanoTime()
+      val ts = (0 until par).map { _ =>
+        val t = new Thread(() => { calibRep(iters); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -133,11 +165,33 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
-    val results = picked.map { case (name, fn) =>
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per-key attribution (round 19): wall-clock offset of every key
+    // from run start, plus a ~0.1 s parallel mini-anchor every
+    // traceEvery keys. Both go to bench_out.json only — the stdout
+    // line keeps the exact driver-parsed shape.
+    val runT0 = System.nanoTime()
+    def sinceStart: Double = (System.nanoTime() - runT0) / 1e9
+    val traceEvery = 25
+    val calibTrace = scala.collection.mutable.ArrayBuffer[String]()
+    val keyTrace = scala.collection.mutable.ArrayBuffer[String]()
+    var keyIdx = 0
+    val results = picked.toSeq.map { case (name, fn) =>
+      if (keyIdx % traceEvery == 0) {
+        val at = sinceStart
+        val sec = miniCalibSafe(calibPar)
+        calibTrace += s"""{"after_key":$keyIdx,"at_sec":${r3(at)},"par_sec":${r3(sec)}}"""
+      }
+      val startAt = sinceStart
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      keyTrace += s"""{"key":"$name","start_sec":${r3(startAt)},"sec":${r3(sec)}}"""
+      keyIdx += 1
+      name -> sec
     }
+    // Closing trace point so the last window is bounded on both sides.
+    calibTrace += s"""{"after_key":$keyIdx,"at_sec":${r3(sinceStart)},"par_sec":${r3(miniCalibSafe(calibPar))}}"""
     val (calibSt1, calibPw1) = calibrateSafe(calibPar)
     val calibIo1 = calibrateIo()
     // The driver tail-captures only the LAST 2000 chars of stdout, and
@@ -147,14 +201,14 @@ object Bench {
     // chars: slowest queries itemized until the budget, the remainder
     // summed under "_rest". The complete per-query map is always
     // written to bench_out.json.
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // calib_sec is the PARALLEL anchor (32 concurrent fixed loops —
     // the contention profile a local[32] Spark run actually feels),
-    // median of the start/end readings; the per-phase and single-
-    // thread values go to bench_out.json for diagnosis. Normalize
-    // two runs by dividing each key by its run's calib_sec.
-    val calibSec = (calibPw0 + calibPw1) / 2.0
+    // mean of the start/end readings, or -1.0 if either endpoint
+    // degraded; the per-phase and single-thread values go to
+    // bench_out.json for diagnosis. Normalize two runs by dividing
+    // each key by its run's calib_sec.
+    val calibSec = combineAnchors(calibPw0, calibPw1)
     def mkLine(qs: String) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib_sec":${r3(calibSec)},"queries":$qs,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -162,7 +216,7 @@ object Bench {
     // per-area rollup (key prefix before the first '_') — budget
     // tracking for the sidecar file only; the stdout line stays in the
     // exact driver-parsed shape
-    val areas = results.toSeq
+    val areas = results
       .groupBy { case (k, _) => k.takeWhile(_ != '_') }
       .toSeq
       .sortBy { case (_, vs) => -vs.map(_._2).sum }
@@ -171,10 +225,12 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val calibDetail =
-      s""""calib":{"par":$calibPar,"start_par_sec":${r3(calibPw0)},"end_par_sec":${r3(calibPw1)},"start_st_sec":${r3(calibSt0)},"end_st_sec":${r3(calibSt1)},"start_io_sec":${r3(calibIo0)},"end_io_sec":${r3(calibIo1)},"io_sec":${r3((calibIo0 + calibIo1) / 2.0)}}"""
+      s""""calib":{"par":$calibPar,"start_par_sec":${r3(calibPw0)},"end_par_sec":${r3(calibPw1)},"start_st_sec":${r3(calibSt0)},"end_st_sec":${r3(calibSt1)},"start_io_sec":${r3(calibIo0)},"end_io_sec":${r3(calibIo1)},"io_sec":${r3(combineAnchors(calibIo0, calibIo1))}}"""
+    val traceDetail =
+      s""""calib_trace":${calibTrace.mkString("[", ",", "]")},"key_trace":${keyTrace.mkString("[", ",", "]")}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"),
-      mkLine(fullQs).dropRight(1) + s""","areas":$areas,$calibDetail}""" + "\n")
+      mkLine(fullQs).dropRight(1) + s""","areas":$areas,$calibDetail,$traceDetail}""" + "\n")
     val budget = 1500
     val bySlow = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val overhead = mkLine("{}").length + "\"_rest\":9999.999,".length
