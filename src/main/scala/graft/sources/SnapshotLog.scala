@@ -4989,10 +4989,14 @@ object SnapshotLog {
     // recompute at the watermark (still cheaper than re-materialize:
     // pins, refs and history survive).
     val isLeft = props.get("mv_join_type").contains("left")
-    // round 18: MIXED chains (mv_join_types) always recompute at the
-    // watermark with the per-edge hows — a changed pk can move rows
-    // across an inner edge's membership AND a left edge's NULL
-    // buckets in one commit, and no pk list bounds the bucket side.
+    // MIXED chains (mv_join_types): since round 19 a FILTER-dim churn
+    // (the changed dim owns no key member) is scoped like the uniform
+    // forms — the ±delta / group-scoped branches below enrich with the
+    // per-edge hows, NULL bucket keys included. Only a KEY-OWNING dim
+    // churn still recomputes at the watermark: a changed attr tuple
+    // can move rows across an inner edge's membership AND a left
+    // edge's NULL buckets in one commit, and no pk list bounds the
+    // bucket side.
     val mvEdgeTypes = edgeTypesOf(props, dimsL.size)
     val mixed = mvEdgeTypes.distinct.size > 1
     val idx = dimsL.indexWhere(d =>
@@ -5212,9 +5216,23 @@ object SnapshotLog {
     }
     val mvEdgeHows =
       mvEdgeTypes.map(t => if (t == "left") "left_outer" else "inner")
+    // round 19 (r18 verdict #4): the filter-dim branches below apply to
+    // LEFT and MIXED chains too, enriched with the MV's own per-edge
+    // join types. Soundness is unchanged by the edge types: the changed
+    // dim owns no key member, so a row's GROUP KEY — fact columns plus
+    // OTHER dims' attrs, NULL bucket keys included — is identical under
+    // either pin set (the other dims' pins did not move), and the rows
+    // whose contribution can change are exactly those whose fk-chain
+    // passes a changed pk. On a changed LEFT edge a pk change moves
+    // MULTIPLICITY (matched k times vs kept once unmatched) instead of
+    // membership; the per-edge enrichment under old and new pins
+    // reproduces each multiplicity exactly, so the ±delta cancels
+    // correctly and the touched-key projection still reaches every
+    // group the change can touch. A left/mixed filter-dim churn no
+    // longer rewrites the warehouse (the r18 full-recompute
+    // fall-through); it folds or re-sketches the touched slice.
     val next: DataFrame =
-      if (affKeys.isEmpty && !isLeft && !mixed &&
-        (kind == "sum" || kind == "stats")) {
+      if (affKeys.isEmpty && (kind == "sum" || kind == "stats")) {
         // PURE MATCH-FILTER DIM, invertible kind (round 17, closing
         // the round-16 full-watermark fallback): the changed dim (and
         // everything it feeds) owns no key member, so a pk change
@@ -5236,9 +5254,9 @@ object SnapshotLog {
         val (touched, _, _) = scopedTouchedFact()
         // matched rows under each pin set; identical rows cancel
         val sgn = col("__graft_sign")
-        val signed = enrichAll(touched, newPins)
+        val signed = enrichAll(touched, newPins, mvEdgeHows)
           .withColumn("__graft_sign", lit(1L))
-          .unionByName(enrichAll(touched, oldPins)
+          .unionByName(enrichAll(touched, oldPins, mvEdgeHows)
             .withColumn("__graft_sign", lit(-1L)))
         val storedCols = mvOld.columns.filterNot(keys.contains).toSeq
         def measureOf(c: String, prefix: String): String =
@@ -5271,7 +5289,7 @@ object SnapshotLog {
           (coalesce(mvOld(c), lit(0L)) + coalesce(delta("d_" + c), lit(0L)))
             .as(c))
         joined.select(keyed ++ folded: _*).filter(col("mv_n") > 0)
-      } else if (affKeys.isEmpty && !isLeft && !mixed) {
+      } else if (affKeys.isEmpty) {
         // PURE MATCH-FILTER DIM, NON-invertible kind (round 18,
         // closing r17 verdict #4): minmax/distinct/hll partials
         // cannot subtract, so the rows that left a group cannot fold
@@ -5289,12 +5307,13 @@ object SnapshotLog {
         // filter-dim churn re-sketches the groups it reached, not
         // every group in the warehouse.
         val (touched, _, _) = scopedTouchedFact()
-        val touchedKeys = enrichAll(touched, oldPins)
+        val touchedKeys = enrichAll(touched, oldPins, mvEdgeHows)
           .select(keys.map(col): _*)
-          .unionByName(enrichAll(touched, newPins).select(keys.map(col): _*))
+          .unionByName(
+            enrichAll(touched, newPins, mvEdgeHows).select(keys.map(col): _*))
           .distinct().localCheckpoint()
         lastDimRefreshScopedGroups.set(touchedKeys.count())
-        val joinedAll = enrichAll(factW, newPins)
+        val joinedAll = enrichAll(factW, newPins, mvEdgeHows)
         val inTouched = joinedAll.join(
           touchedKeys,
           keys.map(k => joinedAll(k) <=> touchedKeys(k)).reduce(_ && _),
@@ -5316,17 +5335,16 @@ object SnapshotLog {
           keys.map(k => mvOld(k) <=> touchedKeys(k)).reduce(_ && _),
           "left_anti")
         kept.unionByName(recomputed)
-      } else if (mixed || affKeys.isEmpty || (isLeft && dimsL.size > 1) ||
-        nullBucketTouched) {
-        // the changed dim (and everything it feeds) owns NO key
-        // member and the kind's partials cannot subtract — or a left
-        // MV's NULL bucket is in play (no pk list bounds unmatched
-        // rows; for a MULTI-dim left MV any pk change can move rows
-        // across per-dim-combination buckets, so N>1 always takes
-        // this branch — checked BEFORE nullBucketTouched, whose
-        // downstream walk is inner-chained): full recompute at the
-        // watermark (still cheaper than re-materialize: pins, refs
-        // and history survive)
+      } else if (mixed || (isLeft && dimsL.size > 1) || nullBucketTouched) {
+        // the changed dim OWNS key members (affKeys nonempty past the
+        // branches above) and a left MV's NULL bucket is in play — a
+        // changed attr tuple moves rows across per-dim-combination
+        // buckets, whose unmatched rows no pk list bounds; for a
+        // MULTI-dim left or mixed chain any key-owning pk change can
+        // move bucket membership across dims in one commit (N>1 is
+        // checked BEFORE nullBucketTouched, whose downstream walk is
+        // inner-chained): full recompute at the watermark (still
+        // cheaper than re-materialize: pins, refs and history survive)
         val joined = enrichAll(factW, newPins, mvEdgeHows)
         if (kind == "distinct")
           distinctRollup(joined, keys, measures.head,

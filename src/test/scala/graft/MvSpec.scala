@@ -2199,6 +2199,151 @@ class MvSpec extends SparkTestBase {
       s"01-04 (all rows left) must vanish, 01-03 keeps fk=1, got $m3")
   }
 
+  /** Round 19 (r18 verdict #4): the filter-dim scoped branches extend
+    * to LEFT and MIXED chains. A keyless-dim churn against a left or
+    * mixed star previously rewrote EVERY group (the r18 full-recompute
+    * fall-through); now the ±delta (sum/stats) and the group-scoped
+    * recompute (minmax/distinct/hll) enrich with the MV's own per-edge
+    * join types, so touched keys include the NULL bucket keys of left
+    * edges and untouched groups' stored rows ride the anti-join
+    * byte-identical. */
+  test("left and mixed filter-dim MVs take the scoped branches: " +
+    "minmax/distinct/hll recompute only the groups the changed pks " +
+    "reach (NULL bucket included, counter-pinned), untouched groups " +
+    "survive byte-identical, sum keeps the ±delta, and equality vs " +
+    "the full recompute holds for both forms") {
+    import spark.implicits._
+    val fact = fresh("lmfact")
+    val dA = fresh("lmdima") // key-owning dim (left edge in both forms)
+    val dB = fresh("lmdimb") // keyless match-filter dim (the churned one)
+    SnapshotLog.commit(
+      spark, dA, Seq(1L -> "x", 2L -> "y", 3L -> "z").toDF("apk", "aat"))
+    SnapshotLog.commit(
+      spark, dB, Seq((10L, 1L), (11L, 1L), (12L, 1L)).toDF("bpk", "bflag"))
+    // afk=99 matches no dA row → the NULL bucket of the left edge.
+    // Group x depends on bpk 10+11, y on 11, z on 12, NULL on 10+12 —
+    // churn on 10 must touch exactly {x, NULL}; y is NEVER touched.
+    SnapshotLog.commit(
+      spark, fact,
+      Seq((1L, 10L, 5L), (1L, 11L, 9L), (2L, 11L, 7L), (99L, 10L, 100L),
+        (99L, 12L, 41L), (3L, 12L, 70L), (3L, 12L, 80L))
+        .toDF("afk", "bfk", "v"))
+    // two forms × four kinds; jt is the per-edge declaration
+    val forms = Seq("left" -> "left,left", "mixed" -> "left,inner")
+    val mvs: Map[(String, String), String] = (for {
+      (fm, jt) <- forms
+      kind <- Seq("minmax", "distinct", "hll", "sum")
+    } yield {
+      val mv = fresh(s"lmmv_${fm}_$kind")
+      SnapshotLog.createJoinMv(
+        spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mv, "aat", "v",
+        kind = kind, joinType = jt)
+      (fm, kind) -> mv
+    }).toMap
+    def joinedT(hB: String) = SnapshotLog.read(spark, fact)
+      .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"), "left")
+      .join(SnapshotLog.read(spark, dB), col("bfk") === col("bpk"), hB)
+    def howOf(fm: String) = if (fm == "left") "left" else "inner"
+    def mm(fm: String): Set[(Option[String], Long, Long, Long)] =
+      SnapshotLog.read(spark, mvs(fm -> "minmax")).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def mmRec(fm: String): Set[(Option[String], Long, Long, Long)] =
+      joinedT(howOf(fm)).groupBy(col("aat"))
+        .agg(min(col("v")).as("a"), max(col("v")).as("b"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def dc(fm: String): Map[Option[String], Long] =
+      SnapshotLog.read(spark, mvs(fm -> "distinct")).groupBy(col("aat"))
+        .agg(sum(col("mv_dc")).as("du")).collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    def dcRec(fm: String): Map[Option[String], Long] =
+      joinedT(howOf(fm)).groupBy(col("aat"))
+        .agg(countDistinct(col("v")).as("du")).collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    def he(fm: String): Map[Option[String], Long] =
+      SnapshotLog.read(spark, mvs(fm -> "hll"))
+        .selectExpr("aat", "CAST(hll_sketch_estimate(mv_hll) AS BIGINT) e")
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    def sm(fm: String): Map[Option[String], (Long, Long)] =
+      SnapshotLog.read(spark, mvs(fm -> "sum")).collect()
+        .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    def smRec(fm: String): Map[Option[String], (Long, Long)] =
+      joinedT(howOf(fm)).groupBy(col("aat"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n")).collect()
+        .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    def checkAll(tagS: String): Unit = forms.foreach { case (fm, _) =>
+      assert(mm(fm) == mmRec(fm), s"$tagS/$fm: minmax diverged")
+      assert(dc(fm) == dcRec(fm), s"$tagS/$fm: distinct diverged")
+      assert(he(fm) == dcRec(fm), s"$tagS/$fm: hll diverged")
+      assert(sm(fm) == smRec(fm), s"$tagS/$fm: sum diverged")
+    }
+    checkAll("create")
+    // y's stored bytes across every MV, captured BEFORE any churn —
+    // the anti-join must carry them through the refresh VERBATIM
+    // (the hll row pins actual sketch bytes, not just the estimate)
+    def yBytes(fm: String, kind: String): Set[Seq[Any]] =
+      SnapshotLog.read(spark, mvs(fm -> kind)).filter(col("aat") === "y")
+        .collect().map(_.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case o              => o
+        }).toSet
+    val yBefore = mvs.keys.map(k => k -> yBytes(k._1, k._2)).toMap
+    // churn 1: pk DELETE of 10 — reaches x (via 1,10,5) and the NULL
+    // bucket (via 99,10,100); y and z untouched. LEFT form values are
+    // UNCHANGED (left keeps unmatched rows) but the scope is the same.
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 10L, 10L)
+    forms.foreach { case (fm, _) =>
+      Seq("minmax", "distinct", "hll").foreach { kind =>
+        SnapshotLog.refreshMvDim(spark, mvs(fm -> kind), dB)
+        assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 2L,
+          s"$fm/$kind: churn on pk 10 reaches {x, NULL}, got " +
+            SnapshotLog.lastDimRefreshScopedGroups.get())
+      }
+      SnapshotLog.refreshMvDim(spark, mvs(fm -> "sum"), dB)
+      assert(SnapshotLog.lastDimRefreshScopedGroups.get() == -1L,
+        s"$fm/sum: the invertible kind must keep the ±delta branch")
+    }
+    checkAll("delete-10")
+    assert(mm("left") == Set(
+      (Some("x"), 5L, 9L, 2L), (Some("y"), 7L, 7L, 1L),
+      (Some("z"), 70L, 80L, 2L), (None, 41L, 100L, 2L)),
+      "left form: values unchanged (left keeps unmatched rows)")
+    assert(mm("mixed") == Set(
+      (Some("x"), 9L, 9L, 1L), (Some("y"), 7L, 7L, 1L),
+      (Some("z"), 70L, 80L, 2L), (None, 41L, 41L, 1L)),
+      "mixed form: bfk=10 rows leave x and the NULL bucket")
+    // churn 2: pk 10 re-inserted AND pk 12 deleted in one refresh span
+    // — reaches {x, NULL, z}; in the mixed form z's rows ALL leave, so
+    // the group must vanish through the recompute
+    SnapshotLog.commit(spark, dB, Seq((10L, 2L)).toDF("bpk", "bflag"))
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 12L, 12L)
+    forms.foreach { case (fm, _) =>
+      Seq("minmax", "distinct", "hll").foreach { kind =>
+        SnapshotLog.refreshMvDim(spark, mvs(fm -> kind), dB)
+        assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 3L,
+          s"$fm/$kind: churn on pks {10, 12} reaches {x, NULL, z}, got " +
+            SnapshotLog.lastDimRefreshScopedGroups.get())
+      }
+      SnapshotLog.refreshMvDim(spark, mvs(fm -> "sum"), dB)
+    }
+    checkAll("reinsert-10-delete-12")
+    assert(mm("mixed") == Set(
+      (Some("x"), 5L, 9L, 2L), (Some("y"), 7L, 7L, 1L),
+      (None, 100L, 100L, 1L)),
+      "mixed form: z (all rows left) must vanish; NULL keeps only 100")
+    // y was never reachable from any churned pk: its stored rows —
+    // sketch bytes included — must be BYTE-IDENTICAL to the create
+    mvs.keys.foreach { case (fm, kind) =>
+      assert(yBytes(fm, kind) == yBefore(fm -> kind),
+        s"$fm/$kind: untouched group y must survive byte-identical")
+    }
+  }
+
   /** RANDOMIZED filter-dim lifecycle (round 18): the group-scoped
     * non-invertible recompute is the round's newest fold machinery —
     * drive it with seeded random churn (fact appends/deletes, pk
@@ -2304,6 +2449,120 @@ class MvSpec extends SparkTestBase {
           SnapshotLog.refreshMvDim(spark, mvD, dA)
           assert(mm() == mmRec(), s"step $step: keyed minmax diverged")
           assert(dc() == dcRec(), s"step $step: keyed distinct diverged")
+        case _ =>
+          checkBoth(step)
+      }
+    }
+    checkBoth(99)
+  }
+
+  /** RANDOMIZED left/mixed filter-dim lifecycle (round 19): the newest
+    * fold machinery is the per-edge-typed scoped recompute — drive a
+    * LEFT star (minmax) and a MIXED star (distinct) through the same
+    * seeded churn stream, with fact rows that land in the left edge's
+    * NULL bucket, asserting the scoped branch fires on keyless churn
+    * and recompute-equality after every refresh. */
+  test("left/mixed filter-dim randomized lifecycle: 25 seeded random " +
+    "churn ops across the scoped and full branches with the recompute " +
+    "invariant after every refresh (NULL bucket rows in play)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val fact = fresh("lrfact")
+    val dA = fresh("lrda")
+    val dB = fresh("lrdb")
+    val mvL = fresh("lrmvl") // left,left minmax
+    val mvX = fresh("lrmvx") // left,inner distinct
+    var tag = 0
+    SnapshotLog.commit(
+      spark, dA, Seq(1L -> "x", 2L -> "y", 3L -> "z").toDF("apk", "aat"))
+    SnapshotLog.commit(
+      spark, dB,
+      Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L)).toDF("bpk", "bflag"))
+    var nextV = 0L
+    // afk draws include 99 (never in dA) → left-edge NULL bucket rows
+    def someRows(n: Int): Seq[(Long, Long, Long)] =
+      (1 to n).map { _ =>
+        nextV += 1
+        val afk = if (rnd.nextInt(4) == 0) 99L else 1L + rnd.nextInt(3)
+        (afk, 10L + rnd.nextInt(4), nextV % 23)
+      }
+    SnapshotLog.commit(spark, fact, someRows(25).toDF("afk", "bfk", "v"))
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvL, "aat", "v",
+      kind = "minmax", joinType = "left")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvX, "aat", "v",
+      kind = "distinct", joinType = "left,inner")
+    def joinedT(hB: String) = SnapshotLog.read(spark, fact)
+      .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"), "left")
+      .join(SnapshotLog.read(spark, dB), col("bfk") === col("bpk"), hB)
+    def mm(): Set[(Option[String], Long, Long, Long)] =
+      SnapshotLog.read(spark, mvL).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def mmRec(): Set[(Option[String], Long, Long, Long)] =
+      joinedT("left").groupBy(col("aat"))
+        .agg(min(col("v")).as("a"), max(col("v")).as("b"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def dc(): Map[Option[String], Long] =
+      SnapshotLog.read(spark, mvX).groupBy(col("aat"))
+        .agg(sum(col("mv_dc")).as("du")).collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    def dcRec(): Map[Option[String], Long] =
+      joinedT("inner").groupBy(col("aat"))
+        .agg(countDistinct(col("v")).as("du")).collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    def checkBoth(step: Int): Unit = {
+      SnapshotLog.refreshMv(spark, mvL)
+      SnapshotLog.refreshMv(spark, mvX)
+      assert(mm() == mmRec(), s"step $step: left minmax diverged")
+      assert(dc() == dcRec(), s"step $step: mixed distinct diverged")
+    }
+    checkBoth(0)
+    (1 to 25).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // fact append (NULL bucket rows included)
+          SnapshotLog.commit(
+            spark, fact, someRows(1 + rnd.nextInt(4)).toDF("afk", "bfk", "v"))
+          if (rnd.nextBoolean()) checkBoth(step)
+        case 2 => // fact CoW delete of a value band
+          val lo = rnd.nextInt(18).toLong
+          SnapshotLog.deleteWhere(spark, fact, "v", lo, lo + 3L)
+          checkBoth(step)
+        case 3 => // keyless dim B pk churn → the SCOPED branches
+          val pk = 10L + rnd.nextInt(4)
+          tag += 1
+          SnapshotLog.deleteWhere(spark, dB, "bpk", pk, pk)
+          if (rnd.nextBoolean())
+            SnapshotLog.commit(
+              spark, dB, Seq((pk, tag.toLong)).toDF("bpk", "bflag"))
+          // fold the fact first (the dim refresh is watermark-defined)
+          SnapshotLog.refreshMv(spark, mvL)
+          SnapshotLog.refreshMv(spark, mvX)
+          SnapshotLog.refreshMvDim(spark, mvL, dB)
+          assert(SnapshotLog.lastDimRefreshScopedGroups.get() >= 0L,
+            s"step $step: keyless churn on the LEFT star must scope")
+          SnapshotLog.refreshMvDim(spark, mvX, dB)
+          assert(SnapshotLog.lastDimRefreshScopedGroups.get() >= 0L,
+            s"step $step: keyless churn on the MIXED star must scope")
+          assert(mm() == mmRec(), s"step $step: scoped left minmax diverged")
+          assert(dc() == dcRec(), s"step $step: scoped mixed distinct diverged")
+        case 4 => // keyed dim A attr churn → the full per-edge recompute
+          val pk = 1L + rnd.nextInt(3)
+          tag += 1
+          SnapshotLog.deleteWhere(spark, dA, "apk", pk, pk)
+          if (rnd.nextBoolean())
+            SnapshotLog.commit(
+              spark, dA, Seq(pk -> s"k$pk-$tag").toDF("apk", "aat"))
+          SnapshotLog.refreshMv(spark, mvL)
+          SnapshotLog.refreshMv(spark, mvX)
+          SnapshotLog.refreshMvDim(spark, mvL, dA)
+          SnapshotLog.refreshMvDim(spark, mvX, dA)
+          assert(mm() == mmRec(), s"step $step: keyed left minmax diverged")
+          assert(dc() == dcRec(), s"step $step: keyed mixed distinct diverged")
         case _ =>
           checkBoth(step)
       }
