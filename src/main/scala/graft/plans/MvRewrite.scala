@@ -1217,14 +1217,31 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val exprMeasures: Seq[(String, Expression)] = {
       val declared =
         graft.sources.SnapshotLog.declaredMeasureExprs(props, measures)
-      if (declared.nonEmpty && joinProbe.isDefined) {
-        MvRewrite.diag(s"$mvPath: carries a measure expression — not " +
-          "servable through a join probe")
-        return None
-      }
-      declared.map { case (m, text) =>
+      declared.flatMap { case (m, text) =>
         resolveMeasureExpr(text, agg.child) match {
-          case Some(e) => m -> e
+          case Some(e) =>
+            // join probes (round 19): the declared expression was
+            // resolved fact-side at create time — the query-side
+            // resolution must land ENTIRELY on resolved FACT
+            // attributes too, or the text bound a dim attribute of
+            // this query's shape (a dim column sharing a source
+            // column's name) and matching it would serve a
+            // fact-derived partial for a dim-derived value. The
+            // offending ENTRY is dropped (it can never match safely),
+            // not the MV — the other declared measures still serve.
+            // Plain serves keep the legacy posture: every attribute is
+            // source-side by construction, and an entry referencing a
+            // column this query's scan pruned away is a dead entry
+            // that simply never matches.
+            if (joinProbe.isDefined && !e.references.forall {
+                case a: AttributeReference => factSide(a)
+                case _                     => false
+              }) {
+              MvRewrite.diag(s"$mvPath: the recorded measure " +
+                s"expression '$text' resolves to non-fact columns in " +
+                "this query; that measure cannot serve here")
+              None
+            } else Some(m -> e)
           case None =>
             MvRewrite.diag(s"$mvPath: the recorded measure expression " +
               s"'$text' does not resolve against this query's source; " +

@@ -4432,7 +4432,15 @@ private[sources] object SnapshotProcedures {
               .defaultValue("false").build(),
             // kind='hll' sketch precision — mirrors create_mv
             ProcedureParameter.in("hll_lgk", IntegerType)
-              .defaultValue("12").build()
+              .defaultValue("12").build(),
+            // EXPRESSION measure (round 19): `agg` names the stored
+            // measure, `agg_expr` the FACT-column SQL expression it
+            // derives from — sum(cents * (100 - disc)) by a dim attr,
+            // the star-dashboard revenue shape; dim-attribute
+            // references refuse (their values change with dim churn
+            // the fact fold cannot see)
+            ProcedureParameter.in("agg_expr", StringType)
+              .defaultValue("''").build()
           ),
           StructType(Seq(StructField("as_of_version", IntegerType))),
           in =>
@@ -4459,7 +4467,10 @@ private[sources] object SnapshotProcedures {
                 if (in.isNullAt(10)) "inner"
                 else in.getUTF8String(10).toString,
                 !in.isNullAt(11) && in.getBoolean(11),
-                if (in.isNullAt(12)) 12 else in.getInt(12)))))
+                if (in.isNullAt(12)) 12 else in.getInt(12),
+                Option(
+                  if (in.isNullAt(13)) "" else in.getUTF8String(13).toString)
+                  .filter(_.nonEmpty)))))
         )
       case "explain_mv_serve" =>
         // serve-miss diagnostics: CALL system.explain_mv_serve(

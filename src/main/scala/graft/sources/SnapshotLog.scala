@@ -3872,7 +3872,22 @@ object SnapshotLog {
       // see createMv.hashDistinct (same declaration, same caveat)
       hashDistinct: Boolean = false,
       // kind='hll' sketch precision — see createMv.hllLgK (round 17)
-      hllLgK: Int = 12
+      hllLgK: Int = 12,
+      // EXPRESSION measures for join MVs (round 19, closing the r18
+      // verdict #5 gap): `aggCol` names the stored measure, aggExpr is
+      // the SQL expression it derives from — `sum(cents * (100 -
+      // disc)) by nation`, the single most common star-dashboard
+      // measure. FACT columns only: a dim-attribute reference would
+      // make the stored partials change under dim churn the fact fold
+      // can never see, so the expression must resolve against the
+      // fact schema ALONE (refused loudly otherwise). Re-derived over
+      // every refresh delta and recompute scope BEFORE the dim
+      // enrichment, exactly like createMv's measure expressions;
+      // recorded as mv_agg_expr / mv_agg_expr_<name> so the serve rule
+      // matches sum(<expr>) by semantic equality of the resolved
+      // catalyst trees with every reference verified fact-side.
+      aggExpr: Option[String] = None,
+      aggExprs: Map[String, String] = Map.empty
   ): Int = {
     import org.apache.spark.sql.functions.{col, count, expr, lit}
     require(
@@ -3942,6 +3957,27 @@ object SnapshotLog {
     require(
       (kind != "distinct" && kind != "hll") || measures.size == 1,
       "createJoinMv: kind='distinct'/'hll' maintains ONE measure per MV")
+    // expression-measure declarations — same spelling rules as createMv
+    require(
+      aggExpr.isEmpty || aggExprs.isEmpty,
+      "createJoinMv: declare expression measures through aggExpr (one) " +
+        "OR aggExprs (many), not both")
+    require(
+      aggExpr.isEmpty || measures.size == 1,
+      "createJoinMv: an expression measure is declared under ONE " +
+        "stored name — one expression per mv_agg_expr")
+    require(
+      aggExprs.keySet.subsetOf(measures.toSet),
+      s"createJoinMv: aggExprs names ${aggExprs.keySet.mkString(", ")} " +
+        s"must all appear in the measure list '$aggCol'")
+    (aggExpr.toSeq ++ aggExprs.values).foreach(e =>
+      require(
+        !e.contains('\n') && !e.contains('='),
+        s"createJoinMv: measure expression must be props-safe: $e"))
+    val measureExprMap: Seq[(String, String)] =
+      if (aggExprs.nonEmpty) measures.flatMap(m => aggExprs.get(m).map(m -> _))
+      else aggExpr.map(measures.head -> _).toSeq
+    val derivedMeasures: Set[String] = measureExprMap.map(_._1).toSet
     require(
       !keyCols.exists(k => pksL.contains(k) || fksL.contains(k)),
       "createJoinMv: group by a DIM attribute — grouping by a join " +
@@ -4014,10 +4050,20 @@ object SnapshotLog {
       owners.head
     }
     factSchema.foreach { s =>
-      (measures ++ keyExprCol).foreach(c =>
+      // plain measures and the derived key's source column must BE
+      // fact columns; a derived measure's name must NOT be one (the
+      // refresh re-derives it under that name forever — a real column
+      // would be silently shadowed, the createMv precedent)
+      (measures.filterNot(derivedMeasures) ++ keyExprCol).foreach(c =>
         require(
           s.fieldNames.contains(c),
           s"createJoinMv: fact column '$c' is not in the fact schema"))
+      derivedMeasures.foreach(m =>
+        require(
+          !s.fieldNames.contains(m),
+          s"createJoinMv: derived measure name '$m' collides with a " +
+            "fact column — pick a fresh name (the refresh re-derives " +
+            "it over every delta)"))
       // a fact column sharing a dim key's name would make the enriched
       // change feed ambiguous — refuse here AND at refresh time (schema
       // evolution can reintroduce it, the derived-key precedent)
@@ -4026,7 +4072,9 @@ object SnapshotLog {
           !s.fieldNames.contains(k),
           s"createJoinMv: key '$k' collides with a fact column — the " +
             "enriched change feed would be ambiguous; rename one side"))
-      if (kind == "distinct") {
+      // a DERIVED measure's type is judged after materialization (the
+      // expression's resolved type), below
+      if (kind == "distinct" && !derivedMeasures(measures.head)) {
         val mt = s.fields.find(_.name == measures.head).map(_.dataType)
         require(
           hashDistinct || mt.exists(t =>
@@ -4122,6 +4170,53 @@ object SnapshotLog {
         read(spark, fact, Some(factTip)).withColumn(factKey.get, expr(e))
       case None => read(spark, fact, Some(factTip))
     }
+    // derived measures materialize on the FACT frame alone, BEFORE any
+    // dim joins — a reference to anything not fact-side fails analysis
+    // right here, which IS the fact-columns-only refusal: a dim-attr
+    // measure's stored partials would change under dim churn the fact
+    // fold can never see. Same determinism/subquery gate as createMv.
+    val f1m = measureExprMap.foldLeft(f1) { case (cur, (m, e)) =>
+      val next =
+        try {
+          val n = cur.withColumn(m, expr(e))
+          n.queryExecution.analyzed // force resolution against fact cols
+          n
+        } catch {
+          case ex: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"createJoinMv: measure expression '$e' must resolve " +
+                "against the FACT schema alone — a dim-attribute " +
+                "reference refuses (its values change with dim churn " +
+                s"the fact fold cannot see): ${ex.getMessage}")
+        }
+      val alias = next.queryExecution.analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collectFirst {
+            case al: org.apache.spark.sql.catalyst.expressions.Alias
+                if al.name == m => al.child
+          }
+      }.flatten.headOption
+      alias.foreach(x =>
+        require(
+          x.deterministic && !x.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+          s"createJoinMv: measure expression must be deterministic and " +
+            s"subquery-free: $e"))
+      next
+    }
+    if ((kind == "distinct") && derivedMeasures(measures.head)) {
+      val mt = f1m.schema.fields.find(_.name == measures.head).map(_.dataType)
+      require(
+        hashDistinct || mt.exists(t =>
+          t == org.apache.spark.sql.types.LongType ||
+            t == org.apache.spark.sql.types.IntegerType ||
+            t == org.apache.spark.sql.types.ShortType ||
+            t == org.apache.spark.sql.types.ByteType),
+        s"createJoinMv: kind='distinct' needs an integral measure; the " +
+          s"expression for '${measures.head}' resolves to " +
+          mt.map(_.simpleString).getOrElse("<unresolved>") +
+          ". For non-integral types declare hashDistinct = true")
+    }
     // a snowflake edge THROUGH a left dim must itself be left: if dim
     // j's fk is owned by a left-joined dim, an unmatched row carries a
     // NULL fk there — an INNER edge j would silently drop the whole
@@ -4139,7 +4234,7 @@ object SnapshotLog {
     }
     val factFks =
       fksL.zipWithIndex.collect { case (f, j) if fkOwner(j) == -1 => f }
-    val f0 = f1.select((measures ++ factFks ++ factKey).distinct.map(col): _*)
+    val f0 = f1m.select((measures ++ factFks ++ factKey).distinct.map(col): _*)
     def howOf(i: Int) =
       if (edgeTypes(i) == "left") "left_outer" else "inner"
     val joined = dimsL.indices.foldLeft(f0) { (cur, i) =>
@@ -4173,6 +4268,8 @@ object SnapshotLog {
         "mv_dim_version" -> dimTips.mkString(",")) ++
         keyExpr.map("mv_key_expr" -> _) ++
         factKey.map("mv_fact_key" -> _) ++
+        aggExpr.map("mv_agg_expr" -> _) ++
+        aggExprs.map { case (m, e) => s"mv_agg_expr_$m" -> e } ++
         (if (edgeTypes.forall(_ == "left"))
            Some("mv_join_type" -> "left") else None) ++
         (if (edgeTypes.distinct.size > 1)
@@ -4707,7 +4804,11 @@ object SnapshotLog {
             f0.withColumn(fkn, org.apache.spark.sql.functions.expr(e))
           case _ => f0
         }
-        enrich(f)
+        // round 19: join MVs take expression measures too — re-derive
+        // them over the scoped at-watermark read exactly as the fold
+        // derives them over the change feed (fact columns only, so the
+        // derivation commutes with the dim enrichment below)
+        enrich(withMeasure(f))
       case _ =>
         withMeasure(props.get("mv_key_expr") match {
           case Some(e) =>
@@ -5035,6 +5136,21 @@ object SnapshotLog {
     val kind = props.getOrElse("mv_kind", "sum")
     val measures =
       props("mv_agg").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // round 19: join MVs carry expression measures — re-derive them
+    // over every recompute scope exactly as the fact fold derives them
+    // over the change feed (fact columns only, so the derivation
+    // commutes with the dim enrichment), behind refreshMv's
+    // schema-evolution shadow guard per declared name (below).
+    val measureExprsD = declaredMeasureExprs(props, measures)
+    def withKeyAndMeasures(df: DataFrame): DataFrame = {
+      val k = (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
+        case (Some(e), Some(fkn)) => df.withColumn(fkn, expr(e))
+        case _                    => df
+      }
+      measureExprsD.foldLeft(k) { case (cur, (m, e)) =>
+        cur.withColumn(m, expr(e))
+      }
+    }
     val watermark = mvCommittedVersion(spark, mv)
       .getOrElse(props("mv_version").toInt)
     val oldPins = pins
@@ -5058,6 +5174,13 @@ object SnapshotLog {
           s"refreshMvDim: the fact schema at v$watermark now contains a " +
             s"column named '$fkn' — the MV's derived key would shadow " +
             "it; re-materialize under a fresh key name."))
+      measureExprsD.foreach { case (m, _) =>
+        require(
+          !s.fieldNames.contains(m),
+          s"refreshMvDim: the fact schema at v$watermark now contains a " +
+            s"column named '$m' — the MV's derived measure would shadow " +
+            "it; re-materialize under a fresh measure name.")
+      }
     }
     val dimSchemaAt = (i: Int, ps: Seq[Int]) => tableSchema(spark, dimsL(i), ps(i))
     // round 17 (advisor): the clash guard above covered dim KEY names
@@ -5179,11 +5302,7 @@ object SnapshotLog {
         spark, source,
         entriesFor(manifestEntries(spark, source, watermark), admit),
         tableSchema(spark, source, watermark))
-      val factScoped =
-        (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
-          case (Some(e), Some(fkn)) => factScoped0.withColumn(fkn, expr(e))
-          case _                    => factScoped0
-        }
+      val factScoped = withKeyAndMeasures(factScoped0)
       val touched = factScoped.join(
         scopeC,
         factScoped(fksL(scopeFkIdx)) === scopeC(pksL(scopeFkIdx)),
@@ -5191,10 +5310,7 @@ object SnapshotLog {
       (touched, scopeC, scopeFkIdx)
     }
     val factAtW0 = read(spark, source, Some(watermark))
-    val factW = (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
-      case (Some(e), Some(fkn)) => factAtW0.withColumn(fkn, expr(e))
-      case _                    => factAtW0
-    }
+    val factW = withKeyAndMeasures(factAtW0)
     val mvOld = read(spark, mv)
     // left MVs: does the dim change move rows across the NULL
     // bucket? pk-set changes always can; an attr tuple of a changed
@@ -5401,11 +5517,7 @@ object SnapshotLog {
           spark, source,
           entriesFor(manifestEntries(spark, source, watermark), admit),
           tableSchema(spark, source, watermark))
-        val factScoped =
-          (props.get("mv_key_expr"), props.get("mv_fact_key")) match {
-            case (Some(e), Some(fkn)) => factScoped0.withColumn(fkn, expr(e))
-            case _                    => factScoped0
-          }
+        val factScoped = withKeyAndMeasures(factScoped0)
         val joined = enrichAll(factScoped, newPins)
         val touchedRows = joined.join(
           touched,

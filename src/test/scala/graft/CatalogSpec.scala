@@ -5038,6 +5038,73 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("join MV expression measures (round 19): sum(cents * (100 - " +
+    "disc)) by a dim attribute serves from the join rollup across the " +
+    "full lifecycle; the bail matrix holds (different expression, " +
+    "undeclared plain measure, dim-side aggregate, fact-only global)") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, cents BIGINT, disc BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach'), (3, 'bldg')")
+    spark.sql(
+      s"""INSERT INTO $f VALUES (1, 100, 5), (1, 200, 7), (2, 300, 2),
+         |(3, 400, 9)""".stripMargin)
+    val dn = d.split('.').last
+    spark.sql(
+      s"""CALL cattest.system.create_join_mv(fact => 'main.$fn',
+         |dim => 'main.$dn', fk => 'fk', pk => 'pk',
+         |mv => 'main.${fn}_xjmv', key => 'seg', agg => 'rev',
+         |agg_expr => 'cents * (100 - disc)')""".stripMargin)
+    // lifecycle: append + CoW churn, then refresh (fold + recompute
+    // both re-derive the expression)
+    spark.sql(s"INSERT INTO $f VALUES (2, 500, 3), (3, 600, 8)")
+    spark.sql(s"UPDATE $f SET cents = cents + 4 WHERE disc > 6")
+    spark.sql(s"CALL cattest.system.refresh_mv(mv => 'main.${fn}_xjmv')")
+    val mvPath = s"$warehouse/main/${fn}_xjmv"
+    val rule = MvRollupRewriteRule(spark)
+    def q(sel: String) =
+      s"SELECT seg, $sel FROM $f JOIN $d ON fk = pk GROUP BY seg"
+    // ground truth BEFORE arming the conf (SURVEY §5.6)
+    val expected = spark.sql(
+      q("sum(cents * (100 - disc)) AS r, count(*) AS n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(qq: String) = rule(spark.sql(qq).queryExecution.optimizedPlan)
+      val served = plan(q("sum(cents * (100 - disc)) AS r, count(*) AS n"))
+      assert(MvRewrite.readsPath(served, mvPath),
+        "the declared fact expression must serve from the join rollup")
+      assert(!served.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, served)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet == expected)
+      // bail matrix: a DIFFERENT expression bails to the source
+      assert(!MvRewrite.readsPath(
+        plan(q("sum(cents * (99 - disc)) AS r")), mvPath),
+        "an undeclared expression must bail")
+      // an undeclared PLAIN measure bails (only rev is stored)
+      assert(!MvRewrite.readsPath(
+        plan(q("sum(cents) AS r")), mvPath),
+        "an undeclared plain measure must bail")
+      // an aggregate over a DIM column bails (semantic equality is by
+      // exprId — the fact-resolved tree can never match a dim attr)
+      assert(!MvRewrite.readsPath(
+        plan(q("sum(length(seg)) AS r")), mvPath),
+        "a dim-side aggregate must bail")
+      // a fact-only global bails on an INNER join MV (unmatched rows
+      // were dropped from every partial)
+      assert(!MvRewrite.readsPath(
+        plan(s"SELECT sum(cents * (100 - disc)) AS r FROM $f"), mvPath),
+        "a fact-only aggregate must bail on an inner join MV")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
     "with the fact watermark at tip (and refresh_mv_dim restores it); " +
     "one corrupt table costs its row, never the inventory") {

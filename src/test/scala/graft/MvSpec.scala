@@ -2570,6 +2570,118 @@ class MvSpec extends SparkTestBase {
     checkBoth(99)
   }
 
+  /** Join-MV EXPRESSION measures (round 19, r18 verdict #5):
+    * `sum(cents * (100 - disc)) by dim attr` — the most common star
+    * dashboard measure — now has an MV form. The declared expression
+    * is fact-columns-only (a dim-attr reference refuses at create: its
+    * values change with dim churn the fact fold cannot see) and
+    * re-derives over every fold delta, delete-recompute scope and dim
+    * refresh, BEFORE the dim enrichment. */
+  test("join MV expression measures: the fold, the delete recompute and " +
+    "the filter-dim scoped refresh all re-derive the declared " +
+    "expression; a dim-attr expression refuses at create") {
+    import spark.implicits._
+    val fact = fresh("xjfact")
+    val dA = fresh("xjda") // key-owning dim
+    val dB = fresh("xjdb") // keyless filter dim
+    SnapshotLog.commit(
+      spark, dA, Seq(1L -> "x", 2L -> "y", 3L -> "z").toDF("apk", "aat"))
+    SnapshotLog.commit(
+      spark, dB, Seq((10L, 1L), (11L, 1L), (12L, 1L)).toDF("bpk", "bflag"))
+    SnapshotLog.commit(
+      spark, fact,
+      Seq((1L, 10L, 100L, 5L), (1L, 11L, 200L, 7L), (2L, 11L, 300L, 2L),
+        (3L, 12L, 400L, 9L), (3L, 12L, 500L, 1L))
+        .toDF("afk", "bfk", "cents", "disc"))
+    // multi-expression sum MV + single-expression minmax MV (the
+    // non-invertible recompute path re-derives too)
+    val mvS = fresh("xjmvs")
+    val mvM = fresh("xjmvm")
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvS, "aat", "rev,fee",
+      aggExprs = Map(
+        "rev" -> "cents * (100 - disc)", "fee" -> "cents + disc"))
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", mvM, "aat", "rev",
+      kind = "minmax", aggExpr = Some("cents * (100 - disc)"))
+    def joined() = SnapshotLog.read(spark, fact)
+      .join(SnapshotLog.read(spark, dA), col("afk") === col("apk"))
+      .join(SnapshotLog.read(spark, dB), col("bfk") === col("bpk"))
+      .withColumn("rev", expr("cents * (100 - disc)"))
+      .withColumn("fee", expr("cents + disc"))
+    def sm(): Set[(String, Long, Long, Long)] =
+      SnapshotLog.read(spark, mvS).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def smRec(): Set[(String, Long, Long, Long)] =
+      joined().groupBy(col("aat"))
+        .agg(sum(col("rev")).as("a"), sum(col("fee")).as("b"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def mm(): Set[(String, Long, Long, Long)] =
+      SnapshotLog.read(spark, mvM).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def mmRec(): Set[(String, Long, Long, Long)] =
+      joined().groupBy(col("aat"))
+        .agg(min(col("rev")).as("a"), max(col("rev")).as("b"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def checkBoth(tagS: String): Unit = {
+      assert(sm() == smRec(), s"$tagS: sum expressions diverged")
+      assert(mm() == mmRec(), s"$tagS: minmax expression diverged")
+    }
+    checkBoth("create")
+    // fold: the insert delta re-derives both expressions
+    SnapshotLog.commit(
+      spark, fact,
+      Seq((2L, 10L, 600L, 3L), (3L, 11L, 700L, 8L))
+        .toDF("afk", "bfk", "cents", "disc"))
+    SnapshotLog.refreshMv(spark, mvS)
+    SnapshotLog.refreshMv(spark, mvM)
+    checkBoth("insert-fold")
+    // CoW delete: the sum kind folds the signed delta, the minmax kind
+    // recomputes touched groups — both over re-derived expressions
+    SnapshotLog.deleteWhere(spark, fact, "cents", 200L, 400L)
+    SnapshotLog.refreshMv(spark, mvS)
+    SnapshotLog.refreshMv(spark, mvM)
+    checkBoth("cow-delete")
+    // filter-dim churn: the round-19 scoped branches re-derive the
+    // expression over the scoped fact rows (counter pinned >= 0)
+    SnapshotLog.deleteWhere(spark, dB, "bpk", 10L, 10L)
+    SnapshotLog.refreshMvDim(spark, mvS, dB)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == -1L,
+      "sum kind keeps the ±delta branch under filter-dim churn")
+    SnapshotLog.refreshMvDim(spark, mvM, dB)
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() >= 0L,
+      "minmax kind takes the group-scoped branch under filter-dim churn")
+    checkBoth("dim-b-churn")
+    // keyed dim churn: the keyed recompute re-derives too
+    SnapshotLog.deleteWhere(spark, dA, "apk", 2L, 2L)
+    SnapshotLog.refreshMvDim(spark, mvS, dA)
+    SnapshotLog.refreshMvDim(spark, mvM, dA)
+    checkBoth("dim-a-churn")
+    // a dim-attribute reference refuses at create, loudly
+    val err = intercept[IllegalArgumentException] {
+      SnapshotLog.createJoinMv(
+        spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", fresh("xjbad"),
+        "aat", "rev", aggExpr = Some("cents * length(aat)"))
+    }
+    assert(err.getMessage.contains("FACT schema alone"), err.getMessage)
+    // a derived name colliding with a fact column refuses
+    val err2 = intercept[IllegalArgumentException] {
+      SnapshotLog.createJoinMv(
+        spark, fact, s"$dA,$dB", "afk,bfk", "apk,bpk", fresh("xjbad2"),
+        "aat", "cents", aggExpr = Some("cents * 2"))
+    }
+    assert(err2.getMessage.contains("collides with a fact column"),
+      err2.getMessage)
+  }
+
   test("fk clash guard (round-17 advisor): a fact column later ADDED " +
     "under a dim-owned snowflake fk name refuses the refresh loudly — " +
     "the enrichment's cur(fk) would otherwise hit a raw analyzer " +
