@@ -533,7 +533,19 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * O(manifest) driver metadata, zero file opens; an MV with any
     * pre-rider file (unknown size) ranks after every known one but
     * still serves when it is the only candidate. */
-  private def storedRows(mvPath: String, srcVersion: Int): Long =
+  private def storedRows(
+      mvPath: String,
+      srcVersion: Int,
+      // the probe's pinned dim versions BY PATH (join/star candidates
+      // only; None for plain serves) — round 19, closing the r18
+      // addendum-#4 probe-6 approximation: under a dim-refresh STACK
+      // several MV versions share one mvv watermark, and the version a
+      // query pinned at OLD dim pins actually serves may be an older,
+      // differently-sized one than the newest span. Rank by the
+      // version the pins resolve — the same selection serveManaged
+      // makes — so a stacked ledger can no longer invert the ranking.
+      wantDimPins: Option[Map[String, Int]]
+  ): Long =
     scala.util.Try {
       val tip = graft.sources.SnapshotLog.versions(spark, mvPath).last
       // watermarks are MONOTONE (a refresh only folds forward), so the
@@ -548,7 +560,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the source (round-18 review finding).
       val tipWm = graft.sources.SnapshotLog
         .committedWatermark(spark, mvPath, "mvv")
-      val v = tipWm match {
+      val v0 = tipWm match {
         case Some(w) if w == srcVersion => tip
         case Some(w) if w < srcVersion  => tip
         case Some(_) =>
@@ -556,6 +568,40 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .versionAtWatermark(spark, mvPath, "mvv", srcVersion)
             .getOrElse(tip)
         case None => tip
+      }
+      // refine within the watermark span by the probe's dim pins —
+      // one effectiveDimVersions read in the common case (pins match
+      // at the span head); only a genuine stack pays the walk. The
+      // want list is assembled in the MV's own recorded dim order; a
+      // probe that doesn't cover every recorded dim keeps the span
+      // head (the candidate will bail on shape anyway).
+      val v = wantDimPins match {
+        case Some(byPath) =>
+          val rDims = graft.sources.SnapshotLog.tableProps(spark, mvPath)
+            .get("mv_join_dim")
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+          val want: Option[Seq[Int]] =
+            if (rDims.isEmpty) None
+            else {
+              val ws = rDims.map(d => byPath.collectFirst {
+                case (p, w) if MvRewrite.samePath(p, d) => w
+              })
+              if (ws.forall(_.isDefined)) Some(ws.map(_.get)) else None
+            }
+          want match {
+            case Some(w) =>
+              def pinsAt(x: Int): Seq[Int] = graft.sources.SnapshotLog
+                .effectiveDimVersions(spark, mvPath, Some(x))
+                .getOrElse(Nil)
+              if (pinsAt(v0) == w) v0
+              else graft.sources.SnapshotLog
+                .versionsAtWatermark(spark, mvPath, "mvv", srcVersion)
+                .find(x => x != v0 && pinsAt(x) == w)
+                .getOrElse(v0)
+            case None => v0
+          }
+        case None => v0
       }
       val counts = graft.sources.SnapshotLog.liveRowCounts(spark, mvPath, v)
       if (counts.exists(_._2.isEmpty)) Long.MaxValue
@@ -576,13 +622,16 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * source version so time-travel queries rank by the sizes they
     * would actually read. */
   private def pickCheapest(
-      cands: Seq[(String, Int, () => Option[LogicalPlan])]
+      cands: Seq[(String, Int, Option[Map[String, Int]],
+        () => Option[LogicalPlan])]
   ): Option[LogicalPlan] = cands match {
-    case Seq()             => None
-    case Seq((_, _, only)) => only()
+    case Seq()                => None
+    case Seq((_, _, _, only)) => only()
     case many =>
       val ranked = many
-        .map { case (p, sv, thunk) => (p, thunk, storedRows(p, sv)) }
+        .map { case (p, sv, pins, thunk) =>
+          (p, thunk, storedRows(p, sv, pins))
+        }
         .sortBy(t => (t._3, t._1))
       ranked.iterator.zipWithIndex
         .map { case ((p, thunk, rows), i) =>
@@ -611,7 +660,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val plain = for {
       (condOpt, srcPath, srcVersion) <- managedSourceOf(agg.child)
       plan <- pickCheapest(mvRefsOf(srcPath).map { mvPath =>
-        (mvPath, srcVersion, () =>
+        (mvPath, srcVersion, None, () =>
           tryServe(agg, condOpt, srcPath, srcVersion, mvPath, None))
       })
     } yield plan
@@ -745,7 +794,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case (x, y)             => x.orElse(y)
             }
             mvRefsOf(fp).map { mvPath =>
-              (mvPath, fv, () =>
+              (mvPath, fv, Some(Map(dp -> dv)), () =>
                 tryServe(
                   agg, dimCond, fp, fv, mvPath,
                   Some(JoinProbe(
@@ -878,8 +927,10 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val factLeaves = sm.leaves.zipWithIndex
           .collect { case (l, i) if !sm.leftDimLeaves(i) => l }
         pickCheapest(factLeaves.flatMap { factLeaf =>
+          val dimPins = sm.leaves.filterNot(_ eq factLeaf)
+            .map(l => l.path -> l.v).toMap
           mvRefsOf(factLeaf.path).map { mvPath =>
-            (mvPath, factLeaf.v, () =>
+            (mvPath, factLeaf.v, Some(dimPins), () =>
               try alignStar(agg, sm, factLeaf, mvPath)
               catch {
                 case scala.util.control.NonFatal(t) =>

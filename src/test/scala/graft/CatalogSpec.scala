@@ -4621,6 +4621,80 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("historical ranking under a dim-refresh STACK resolves each " +
+    "candidate's size at the version the probe's dim pins actually " +
+    "serve (r18 addendum-#4 probe 6): a query pinned at OLD dim pins " +
+    "ranks the stacked MV by its PRE-refresh row count, not the newest " +
+    "span's, so a post-refresh size blow-up cannot invert the choice") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, m BIGINT, ts TIMESTAMP)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    // three distinct days -> the mixed-grain competitor stores 3 rows
+    spark.sql(
+      s"""INSERT INTO $f VALUES
+         |(1, 10, timestamp'2024-01-05 09:00:00'),
+         |(2, 20, timestamp'2024-01-06 09:00:00'),
+         |(3, 30, timestamp'2024-01-07 09:00:00'),
+         |(4, 40, timestamp'2024-01-07 17:00:00')""".stripMargin)
+    // OLD dim state: every pk in ONE segment -> the seg-only MV
+    // stores 1 row at its create pins
+    spark.sql(s"INSERT INTO $d VALUES (1, 'one'), (2, 'one'), " +
+      s"(3, 'one'), (4, 'one')")
+    val mvA = s"$warehouse/main/${fn}_stkA"
+    val mvB = s"$warehouse/main/${fn}_stkB"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvA, "seg", "m")
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvB, "seg,day", "m",
+      keyExpr = Some("to_date(ts)"))
+    val dimV1 = SnapshotLog.versions(spark, pathOf(d)).last
+    val factWm = SnapshotLog.versions(spark, pathOf(f)).last
+    // the dim fans out to four segments; ONLY mvA takes the refresh —
+    // its newest span version now stores 4 rows under the SAME mvv
+    // watermark, while the pre-refresh version (1 row) still serves
+    // the old pins. mvB keeps its create pins (3 rows).
+    spark.sql(s"UPDATE $d SET seg = concat('s', cast(pk AS STRING)) " +
+      s"WHERE pk > 1")
+    SnapshotLog.refreshMvDim(spark, mvA, pathOf(d))
+    assert(SnapshotLog.liveRowCounts(
+      spark, mvA, SnapshotLog.versions(spark, mvA).last)
+      .flatMap(_._2).sum == 4L, "post-refresh tip must store 4 groups")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(q: String) = rule(spark.sql(q).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // the probe pinned at OLD dim pins: both candidates serve it
+      // (mvA's pre-refresh span version; mvB's subset rollup), so the
+      // RANKING decides. Resolved sizes: mvA@old = 1 row < mvB = 3
+      // rows — but the newest-span approximation read mvA as 4 rows
+      // and handed the serve to mvB. The pins-resolved ranking must
+      // pick mvA.
+      val hist = plan(
+        s"SELECT seg, sum(m) AS s FROM $f VERSION AS OF $factWm " +
+          s"JOIN $d VERSION AS OF $dimV1 ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(hist, mvA),
+        "old-pin probe must rank by the resolved pre-refresh size " +
+          "(1 row) and serve the stacked MV")
+      assert(!MvRewrite.readsPath(hist, mvB))
+      assert(run(hist).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("one", 100L)))
+      // control: the tip probe serves the NEW dim state — mvB's
+      // stale pins bail with drift, mvA's refreshed version answers
+      val cur = plan(
+        s"SELECT seg, sum(m) AS s FROM $f JOIN $d ON fk = pk GROUP BY seg")
+      assert(MvRewrite.readsPath(cur, mvA))
+      assert(run(cur).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("one", 10L), ("s2", 20L), ("s3", 30L), ("s4", 40L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("a serve-path crash routes into the diagnostics instead of " +
     "vanishing: a poisoned mvv header makes the candidate bail with " +
     "'serve attempt crashed' while the query still runs unrewritten") {
