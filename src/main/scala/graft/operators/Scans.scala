@@ -4970,6 +4970,140 @@ object Scans {
     }
   }
 
+  /** HLL EXPRESSION measures on JOIN MVs (round 19): "distinct
+    * normalized user ids BY MARKET SEGMENT" — the r18 hll-expr key
+    * proved the sketch-of-an-expression shape on single-table MVs,
+    * and r18 addendum #4 probe 3 documented that join MVs could not
+    * reach it (they had no expression surface at all). With the
+    * round-19 join-MV expression measures the two compose: the fold
+    * materializes `uid % 500009` against the FACT frame before the
+    * dim enrichment, sketches it per dim-attr group at the declared
+    * lgConfigK, and the serve matcher answers
+    * `approx_count_distinct(<expr>) BY seg` from the stored sketches
+    * by semantic equality of the resolved fact-side trees — both
+    * scans and the join gone. Lifecycle drives create-at-half,
+    * append, and a CoW DELETE (the recompute path must re-derive the
+    * expression over the watermark scope). §5.6 bail matrix inline,
+    * expected collected before arming: a DIFFERENT expression bails,
+    * a TIGHTER relativeSD than the stored sketch's RSE bails (we
+    * cannot deliver it), exact count(DISTINCT expr) never serves
+    * from a sketch, and the LEFT-join spelling of the query bails on
+    * the inner MV (NULL-bucket semantics differ). Approximate →
+    * no_oracle by design; exactness pinned inline (count(*) exact,
+    * estimate within 5% of the exact distinct per group). */
+  val aggMvServeJoinHllExpr: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_jhxsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_jhxdim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_jhxmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_orderkey") * 2654435761L % 1000003L).as("uid"))
+    o.createOrReplaceTempView("graft_jhx_src")
+    Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("graft_jhx_dim")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"CREATE TABLE $cat.main.cust_jhxdim (c_custkey BIGINT, seg STRING)")
+    spark.sql(
+      s"INSERT INTO $cat.main.cust_jhxdim SELECT * FROM graft_jhx_dim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_jhxsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, uid BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_jhxsrc
+         |SELECT * FROM graft_jhx_src WHERE o_orderkey <= $half""".stripMargin)
+    spark.sql(
+      s"""CALL $cat.system.create_join_mv(fact => 'main.orders_jhxsrc',
+         |dim => 'main.cust_jhxdim', fk => 'o_custkey', pk => 'c_custkey',
+         |mv => 'main.orders_jhxmv', key => 'seg', agg => 'nuid',
+         |kind => 'hll', agg_expr => 'uid % 500009',
+         |hll_lgk => 14)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_jhxsrc
+         |SELECT * FROM graft_jhx_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"DELETE FROM $cat.main.orders_jhxsrc WHERE o_orderkey % 89 = 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_jhxmv")
+    def q(agg: String, how: String = "JOIN") = spark.sql(
+      s"""SELECT seg, $agg, count(*) AS n
+         |FROM $cat.main.orders_jhxsrc $how $cat.main.cust_jhxdim
+         |ON o_custkey = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin)
+    val brute = q("approx_count_distinct(uid % 500009) AS au")
+    // ground truth BEFORE arming the conf (SURVEY §5.6)
+    val exact = spark.sql(
+      s"""SELECT seg, count(DISTINCT uid % 500009) AS du, count(*) AS n
+         |FROM $cat.main.orders_jhxsrc JOIN $cat.main.cust_jhxdim
+         |ON o_custkey = c_custkey GROUP BY seg""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val mvPath = tmp("sql_warehouse") + "/main/orders_jhxmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "hll expression join serve did not fire: the per-segment " +
+          "estimate must read the stored expression sketches")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NEITHER the fact nor the dim scan")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      // §5.6 bail matrix
+      require(
+        !MvRewrite.readsPath(
+          rule(q("approx_count_distinct(uid % 500011) AS au")
+            .queryExecution.optimizedPlan), mvPath),
+        "a DIFFERENT expression must bail to the source")
+      require(
+        !MvRewrite.readsPath(
+          rule(q("approx_count_distinct(uid % 500009, 0.001) AS au")
+            .queryExecution.optimizedPlan), mvPath),
+        "a tighter relativeSD than the stored sketch's RSE must bail")
+      require(
+        !MvRewrite.readsPath(
+          rule(q("count(DISTINCT uid % 500009) AS au")
+            .queryExecution.optimizedPlan), mvPath),
+        "exact count(DISTINCT expr) must never serve from a sketch")
+      require(
+        !MvRewrite.readsPath(
+          rule(q("approx_count_distinct(uid % 500009) AS au", "LEFT JOIN")
+            .queryExecution.optimizedPlan), mvPath),
+        "the LEFT-join spelling must bail on the inner MV")
+      val served = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+      served.collect().foreach { r =>
+        val (du, n) = exact(r.getString(0))
+        require(
+          r.getLong(2) == n,
+          s"count(*) must re-aggregate exactly (${r.getLong(2)} vs $n)")
+        require(
+          math.abs(r.getLong(1) - du).toDouble / math.max(du, 1L) < 0.05,
+          s"estimate ${r.getLong(1)} not within 5% of exact $du")
+      }
+      served
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** INCREMENTAL DIM REFRESH (round 16): dims are the tables that DO
     * change (SCD updates, corrections, late rows), and until now any
     * dim commit permanently stopped a join MV from serving current
@@ -7093,6 +7227,7 @@ object Scans {
     "sql_mv_dim_refresh" -> sqlMvDimRefresh,
     "agg_mv_serve_hll" -> aggMvServeHll,
     "agg_mv_serve_hll_expr" -> aggMvServeHllExpr,
+    "agg_mv_serve_join_hll_expr" -> aggMvServeJoinHllExpr,
     "agg_mv_serve_left" -> aggMvServeLeft,
     "agg_mv_serve_distinct_str" -> aggMvServeDistinctStr,
     "sql_mv_fingerprint" -> sqlMvFingerprint,

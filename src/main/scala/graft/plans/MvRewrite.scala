@@ -561,8 +561,7 @@ case class MvRollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val tipWm = graft.sources.SnapshotLog
         .committedWatermark(spark, mvPath, "mvv")
       val v0 = tipWm match {
-        case Some(w) if w == srcVersion => tip
-        case Some(w) if w < srcVersion  => tip
+        case Some(w) if w <= srcVersion => tip
         case Some(_) =>
           graft.sources.SnapshotLog
             .versionAtWatermark(spark, mvPath, "mvv", srcVersion)

@@ -5293,6 +5293,54 @@ class CatalogSpec extends SparkTestBase {
       s"fuzzer is near-vacuous: only $served of 120 draws served")
   }
 
+  test("hll expression measures compose with JOIN MVs (round 19): the " +
+    "sketch is built over the materialized fact expression, " +
+    "approx_count_distinct(<expr>) by dim attr serves from it, and a " +
+    "dim-attribute reference in the expression refuses at create") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, uid BIGINT)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    spark.sql(
+      s"INSERT INTO $f VALUES (1, -10), (1, 10), (1, -7), (2, 20), (2, 21)")
+    val mvPath = s"$warehouse/main/${fn}_jhemv"
+    SnapshotLog.createJoinMv(
+      spark, pathOf(f), pathOf(d), "fk", "pk", mvPath, "seg", "uidn",
+      kind = "hll", aggExpr = Some("abs(uid)"))
+    // a dim-attribute reference in an hll expression refuses loudly
+    // at create, exactly like the sum form (its sketched values would
+    // change with dim churn the fact fold can never see)
+    val err = intercept[Exception] {
+      SnapshotLog.createJoinMv(
+        spark, pathOf(f), pathOf(d), "fk", "pk",
+        s"$warehouse/main/${fn}_jhebad", "seg", "segn",
+        kind = "hll", aggExpr = Some("length(seg)"))
+    }
+    assert(err.getMessage.toLowerCase.contains("fact"),
+      s"refusal must name the fact-columns-only contract: $err")
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val q = spark.sql(
+        s"SELECT seg, approx_count_distinct(abs(uid)) AS du " +
+          s"FROM $f JOIN $d ON fk = pk GROUP BY seg")
+      val p = rule(q.queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(p, mvPath),
+        "approx_count_distinct over the declared expression must " +
+          "serve from the join MV's sketches")
+      assert(!p.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))
+      // abs folds {-10, 10} together: estimates are exact at these
+      // cardinalities (2 distinct for auto: {10, 7}; 2 for mach)
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("auto", 2L), ("mach", 2L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("list_mvs: a join MV whose dim drifted reports fresh=false even " +
     "with the fact watermark at tip (and refresh_mv_dim restores it); " +
     "one corrupt table costs its row, never the inventory") {
