@@ -3496,6 +3496,121 @@ object Scans {
     }
   }
 
+  /** JOIN-MV EXPRESSION measures via pure SQL DDL (round 19): the
+    * CREATE MATERIALIZED VIEW spelling of [[aggMvServeJoinExpr]] —
+    * `SELECT d.seg, sum(f.cents * (100 - f.disc)) AS mv_sum,
+    * count(*) AS mv_n FROM fact f JOIN dim d ON … GROUP BY d.seg`.
+    * The round-19 join-MV expression surface was CALL/library-only;
+    * the DDL parser now classifies expression measures in the join
+    * and star forms too, stripping the fact qualifier from every
+    * attribute inside the expression (the recorded text re-derives
+    * against the bare fact frame) and refusing any dim-qualified or
+    * unqualified reference at parse — the same fact-columns-only
+    * contract createJoinMv enforces at create, caught one layer
+    * earlier with the shape message. Different moduli from the CALL
+    * twin so the two keys cannot mask each other. Inline pins: serve
+    * reads the MV with both scans and the join gone; a dim-qualified
+    * expression refuses at create; a different expression bails at
+    * serve. Oracle: DuckDB recomputes the join over the final state
+    * (hash-matched). */
+  val aggMvServeJoinExprDdl: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.orders_xdsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.cust_xddim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.orders_xdmv")
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 11).cast("long").as("disc"))
+    o.createOrReplaceTempView("graft_xd_src")
+    Tables
+      .customer(spark, dir)
+      .filter(col("c_custkey") % 4 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("graft_xd_dim")
+    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val half = maxK / 2
+    spark.sql(
+      s"CREATE TABLE $cat.main.cust_xddim (c_custkey BIGINT, seg STRING)")
+    spark.sql(
+      s"INSERT INTO $cat.main.cust_xddim SELECT * FROM graft_xd_dim")
+    spark.sql(
+      s"""CREATE TABLE $cat.main.orders_xdsrc
+         |(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+         |disc BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_xdsrc
+         |SELECT * FROM graft_xd_src WHERE o_orderkey <= $half""".stripMargin)
+    // a dim-qualified column inside the expression refuses at parse —
+    // its values would change with dim churn the fact fold never sees
+    val bad = scala.util.Try(spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_xdbad AS
+         |SELECT d.seg, sum(f.cents * length(d.seg)) AS mv_sum,
+         |count(*) AS mv_n
+         |FROM $cat.main.orders_xdsrc f JOIN $cat.main.cust_xddim d
+         |ON f.o_custkey = d.c_custkey
+         |GROUP BY d.seg""".stripMargin))
+    require(bad.isFailure,
+      "a dim-qualified expression measure must refuse at create")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.orders_xdmv AS
+         |SELECT d.seg, sum(f.cents * (100 - f.disc)) AS mv_sum,
+         |count(*) AS mv_n
+         |FROM $cat.main.orders_xdsrc f JOIN $cat.main.cust_xddim d
+         |ON f.o_custkey = d.c_custkey
+         |GROUP BY d.seg""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.orders_xdsrc
+         |SELECT * FROM graft_xd_src WHERE o_orderkey > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.orders_xdsrc SET cents = cents + 5
+         |WHERE o_orderkey % 23 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.orders_xdmv")
+    val brute = spark.sql(
+      s"""SELECT seg, sum(cents * (100 - disc)) AS rev, count(*) AS n
+         |FROM $cat.main.orders_xdsrc JOIN $cat.main.cust_xddim
+         |ON o_custkey = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin)
+    val other = spark.sql(
+      s"""SELECT seg, sum(cents * (98 - disc)) AS rev
+         |FROM $cat.main.orders_xdsrc JOIN $cat.main.cust_xddim
+         |ON o_custkey = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/orders_xdmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "DDL-declared expression-measure join serve did not fire")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NEITHER the fact nor the dim scan")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      require(
+        !MvRewrite.readsPath(
+          rule(other.queryExecution.optimizedPlan), mvPath),
+        "a DIFFERENT expression (98 - disc) must bail to the source")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** LEFT 2-dim STAR MV (round 17, lifting the r16 inner-only
     * multi-dim guard): `fact LEFT JOIN d1 LEFT JOIN d2 GROUP BY
     * d1.a, d2.b` — "revenue by segment × nation INCLUDING unmatched"
@@ -7221,6 +7336,7 @@ object Scans {
     "agg_mv_serve_distinct_month" -> aggMvServeDistinctMonth,
     "agg_mv_serve_join" -> aggMvServeJoin,
     "agg_mv_serve_join_expr" -> aggMvServeJoinExpr,
+    "agg_mv_serve_join_expr_ddl" -> aggMvServeJoinExprDdl,
     "agg_mv_serve_join_month" -> aggMvServeJoinMonth,
     "agg_mv_serve_star" -> aggMvServeStar,
     "agg_mv_serve_snowflake" -> aggMvServeSnowflake,
@@ -7733,6 +7849,21 @@ object Scans {
         |  CAST(round(o_totalprice * 100) AS BIGINT)
         |    + CASE WHEN o_orderkey % 31 = 0 THEN 4 ELSE 0 END AS cents,
         |  CAST(o_orderkey % 7 AS BIGINT) AS disc
+        |  FROM orders)
+        |SELECT seg, CAST(sum(cents * (100 - disc)) AS BIGINT) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src JOIN dim ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    // the DDL-declared expression-measure join MV (different moduli
+    // from the CALL twin) served result must equal the join recompute
+    // of the final source state
+    "agg_mv_serve_join_expr_ddl" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |  WHERE c_custkey % 4 <> 0),
+        |src AS (SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 23 = 0 THEN 5 ELSE 0 END AS cents,
+        |  CAST(o_orderkey % 11 AS BIGINT) AS disc
         |  FROM orders)
         |SELECT seg, CAST(sum(cents * (100 - disc)) AS BIGINT) AS rev,
         |  CAST(count(*) AS BIGINT) AS n

@@ -402,7 +402,16 @@ object ViewSql {
     // fact-qualified two-part names in the join form
     def parseAggWith(
         res: UnresolvedAttribute => Option[String],
-        allowExpr: Boolean = false)(
+        allowExpr: Boolean = false,
+        // expression-measure argument rewrite (round 19, the join
+        // forms): the single-table form records the parse-tree SQL
+        // verbatim (identity); the join forms must strip the FACT
+        // qualifier from every attribute first — createJoinMv resolves
+        // the recorded text against the bare fact frame — and a
+        // dim-qualified or unqualified attribute inside the expression
+        // makes the rewrite fail, so the item refuses as unsupported
+        // rather than recording a text that could never re-derive
+        xRewrite: Expression => Option[Expression] = Some(_))(
         e: Expression): Option[(String, String, Arg)] = e match {
       case al @ Alias(u: UnresolvedFunction, _)
           if !u.isDistinct && u.filter.isEmpty =>
@@ -422,7 +431,7 @@ object ViewSql {
           // gate to the hll sketch (approx distinct of a derived id).
           case Seq(other)
               if allowExpr && (fn == "sum" || fn == "hll_sketch_agg") =>
-            Some((fn, al.name, XArg(other.sql)))
+            xRewrite(other).map(o => (fn, al.name, XArg(o.sql)))
           case _                      => None
         }
       // count(DISTINCT a) — the ONE distinct aggregate with an exact
@@ -440,7 +449,7 @@ object ViewSql {
           // `res` above must refuse, not become an expression)
           case Seq(other)
               if allowExpr && !other.isInstanceOf[UnresolvedAttribute] =>
-            Some(("count_distinct", al.name, XArg(other.sql)))
+            xRewrite(other).map(o => ("count_distinct", al.name, XArg(o.sql)))
           case _ => None
         }
       case _ => None
@@ -449,6 +458,23 @@ object ViewSql {
       parseAggWith(
         a => if (a.nameParts.length == 1) Some(a.nameParts.head) else None,
         allowExpr = true)
+    // the join forms' expression-measure rewrite: strip the fact
+    // qualifier from every attribute (res already answers only for
+    // fact-side two-part names); any dim-qualified or unqualified
+    // attribute fails the rewrite and the item refuses as unsupported
+    def factExprRewrite(
+        res: UnresolvedAttribute => Option[String]
+    ): Expression => Option[Expression] = ex => {
+      var ok = true
+      val out = ex.transform {
+        case ua: UnresolvedAttribute =>
+          res(ua) match {
+            case Some(n) => UnresolvedAttribute(Seq(n))
+            case None    => ok = false; ua
+          }
+      }
+      if (ok) Some(out) else None
+    }
     // the derived grains (round 15 widens round 14's day grain to the
     // partition-transform surface): to_date(col) — day;
     // trunc(to_date(col), 'month'|'year'); date_trunc('hour', col).
@@ -741,15 +767,23 @@ object ViewSql {
           "GROUP BY order")
       val factRes: UnresolvedAttribute => Option[String] = x =>
         sideOf(x).filter(_ != dimLeft).map(_ => x.nameParts.last)
+      // EXPRESSION measures in the join form (round 19): the DDL
+      // spelling of createJoinMv's aggExpr/aggExprs — sum(f.cents *
+      // (100 - f.disc)) AS mv_sum. Every attribute inside must be
+      // fact-qualified (the recorded text re-derives against the
+      // bare fact frame; a dim reference would change with dim churn
+      // the fact fold can never see — createJoinMv refuses it too,
+      // this just refuses at parse with the shape message).
       val (k, xs, avgE, xe, xm) =
-        classify(a.aggregateExpressions.drop(names.size), parseAggWith(factRes))
-      if (xe.isDefined || xm.nonEmpty)
-        refuse("expression measures are single-table form only")
+        classify(
+          a.aggregateExpressions.drop(names.size),
+          parseAggWith(factRes, allowExpr = true,
+            xRewrite = factExprRewrite(factRes)))
       val (factParts, dimParts) = if (dimLeft) (rParts, lParts) else (lParts, rParts)
       val (fkA, pkA) = if (dimLeft) (rk, lk) else (lk, rk)
-      (factParts, names.mkString(","), xs.mkString(","), k, None, avgE, None,
+      (factParts, names.mkString(","), xs.mkString(","), k, None, avgE, xe,
         if (j.joinType == LeftOuter) "left" else "inner",
-        Seq((dimParts, fkA.nameParts.last, pkA.nameParts.last)), Map.empty)
+        Seq((dimParts, fkA.nameParts.last, pkA.nameParts.last)), xm)
     }
     // the STAR / SNOWFLAKE form (round 16): two or more INNER
     // equi-joins, FROM-clause order, the FACT first. Each ON equates
@@ -840,15 +874,18 @@ object ViewSql {
           "GROUP BY order")
       val factRes: UnresolvedAttribute => Option[String] = x =>
         sideIdx(x).filter(_ == 0).map(_ => x.nameParts.last)
+      // expression measures over the star form too (round 19) — same
+      // fact-qualified-only contract as the single-join form
       val (k, xs, avgE, xe, xm) =
-        classify(a.aggregateExpressions.drop(names.size), parseAggWith(factRes))
-      if (xe.isDefined || xm.nonEmpty)
-        refuse("expression measures are single-table form only")
+        classify(
+          a.aggregateExpressions.drop(names.size),
+          parseAggWith(factRes, allowExpr = true,
+            xRewrite = factExprRewrite(factRes)))
       (rels.head._1, names.mkString(","), xs.mkString(","), k, None, avgE,
-        None, starTypes.mkString(","),
+        xe, starTypes.mkString(","),
         rels.tail.zip(fkpk).map { case ((dimParts, _), (fk, pk)) =>
           (dimParts, fk, pk)
-        }, Map.empty)
+        }, xm)
     }
     query match {
       case a: Aggregate =>
@@ -1071,8 +1108,8 @@ case class GraftCreateMvCommand(
     joinType: String = "inner",
     // MULTI-EXPRESSION measures (round 18): storedName -> SQL text,
     // parsed from `sum(<expr>) AS mv_sum_<name>` select items — the
-    // DDL spelling of SnapshotLog.createMv's aggExprs (single-table
-    // form only)
+    // DDL spelling of SnapshotLog.createMv's aggExprs (round 19:
+    // reaches the join forms too, fact-qualifier-stripped)
     aggExprs: Map[String, String] = Map.empty,
     // the JOIN form: one (dim catalog, dim ident, fk, pk) per join,
     // in FROM-clause order — the rollup is `src ⋈ dim_1 ⋈ … ⋈ dim_n`
@@ -1098,7 +1135,7 @@ case class GraftCreateMvCommand(
           joinSpec.map(_._3).mkString(","),
           joinSpec.map(_._4).mkString(","),
           catalog.pathOf(ident), key, agg, kind, avgExact,
-          joinType = joinType)
+          joinType = joinType, aggExpr = aggExpr, aggExprs = aggExprs)
       else
         graft.sources.SnapshotLog.createMv(
           session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),

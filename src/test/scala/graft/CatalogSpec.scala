@@ -5293,6 +5293,85 @@ class CatalogSpec extends SparkTestBase {
       s"fuzzer is near-vacuous: only $served of 120 draws served")
   }
 
+  test("expression measures reach the join and star DDL forms (round " +
+    "19): sum(f.cents * (100 - f.disc)) spells a join-expr MV, " +
+    "mv_sum_<name> aliases spell several in one rollup, the star form " +
+    "takes them too, and dim-qualified or unqualified references " +
+    "refuse at parse") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d1 = freshName()
+    val d2 = freshName()
+    val fn = f.split('.').last
+    spark.sql(
+      s"CREATE TABLE $f (fk BIGINT, nk BIGINT, cents BIGINT, disc BIGINT)")
+    spark.sql(s"CREATE TABLE $d1 (pk BIGINT, seg STRING)")
+    spark.sql(s"CREATE TABLE $d2 (nk2 BIGINT, nation STRING)")
+    spark.sql(s"INSERT INTO $d1 VALUES (1, 'auto'), (2, 'mach')")
+    spark.sql(s"INSERT INTO $d2 VALUES (7, 'de'), (8, 'fr')")
+    spark.sql(
+      s"""INSERT INTO $f VALUES (1, 7, 100, 5), (1, 8, 200, 7),
+         |(2, 7, 300, 2), (2, 8, 400, 9)""".stripMargin)
+    // multi-expression JOIN DDL: two derived measures + a plain one
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_jx1 AS
+         |SELECT d.seg,
+         |sum(f.cents * (100 - f.disc)) AS mv_sum_rev,
+         |sum(f.cents % 7) AS mv_sum_hc,
+         |sum(f.cents) AS mv_sum_cents,
+         |count(*) AS mv_n
+         |FROM $f f JOIN $d1 d ON f.fk = d.pk
+         |GROUP BY d.seg""".stripMargin)
+    // STAR DDL with a single expression measure
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_jx2 AS
+         |SELECT d.seg, n.nation, sum(f.cents * (100 - f.disc)) AS mv_sum,
+         |count(*) AS mv_n
+         |FROM $f f JOIN $d1 d ON f.fk = d.pk
+         |JOIN $d2 n ON f.nk = n.nk2
+         |GROUP BY d.seg, n.nation""".stripMargin)
+    // refusals: a dim-qualified reference inside the expression, and
+    // an unqualified one (the join form demands the fact qualifier)
+    Seq(
+      "sum(f.cents * length(d.seg)) AS mv_sum",
+      "sum(cents * (100 - disc)) AS mv_sum"
+    ).foreach { aggSel =>
+      val err = intercept[Exception](spark.sql(
+        s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_jxbad AS
+           |SELECT d.seg, $aggSel, count(*) AS mv_n
+           |FROM $f f JOIN $d1 d ON f.fk = d.pk
+           |GROUP BY d.seg""".stripMargin))
+      assert(err.getMessage.toLowerCase.contains("materialized view"),
+        s"'$aggSel' must refuse with the shape message, got: $err")
+    }
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(qq: String) = rule(spark.sql(qq).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      val p1 = plan(
+        s"""SELECT seg, sum(cents * (100 - disc)) AS rev,
+           |sum(cents % 7) AS hc FROM $f JOIN $d1 ON fk = pk
+           |GROUP BY seg""".stripMargin)
+      assert(MvRewrite.readsPath(p1, s"$warehouse/main/${fn}_jx1"))
+      assert(run(p1).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("auto", 100L * 95 + 200L * 93, (100 % 7) + (200 % 7).toLong),
+          ("mach", 300L * 98 + 400L * 91, (300 % 7) + (400 % 7).toLong)))
+      val p2 = plan(
+        s"""SELECT seg, nation, sum(cents * (100 - disc)) AS rev
+           |FROM $f JOIN $d1 ON fk = pk JOIN $d2 ON nk = nk2
+           |GROUP BY seg, nation""".stripMargin)
+      assert(MvRewrite.readsPath(p2, s"$warehouse/main/${fn}_jx2"),
+        "the star-form DDL expression measure must serve")
+      assert(run(p2).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+        Set(("auto", "de", 100L * 95), ("auto", "fr", 200L * 93),
+          ("mach", "de", 300L * 98), ("mach", "fr", 400L * 91)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("hll expression measures compose with JOIN MVs (round 19): the " +
     "sketch is built over the materialized fact expression, " +
     "approx_count_distinct(<expr>) by dim attr serves from it, and a " +
