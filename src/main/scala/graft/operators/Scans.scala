@@ -5652,6 +5652,100 @@ object Scans {
     }
   }
 
+  /** MIXED-GRAIN join MV via pure SQL DDL (round 19): `GROUP BY
+    * d.seg, to_date(f.ts)` in CREATE MATERIALIZED VIEW declares the
+    * derived-fact-grain member — the DDL spelling of createJoinMv's
+    * keyExpr, until now CALL/library-only. The parser accepts ONE
+    * grain function as the LAST grouping member (fact-qualified
+    * column, recorded bare so the refresh re-derives it against the
+    * fact frame) over both the single-join and star forms; grain
+    * not-last, unqualified and dim-qualified spellings refuse at
+    * parse (CatalogSpec). Same dashboard shape as
+    * [[aggMvServeJoinMonth]] — "revenue by segment AND month" served
+    * coarse from the daily rollup — with different moduli so the two
+    * keys cannot mask each other. Oracle: DuckDB recomputes the
+    * month × segment join over the final state (hash-matched). */
+  val aggMvServeJoinMonthDdl: Q = (spark, dir) => {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val cat = sqlCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.events_jdsrc")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.users_jddim")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.main.events_jdmv")
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    e.createOrReplaceTempView("graft_jd_src")
+    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val half = maxId / 2
+    spark.sql(
+      s"""CREATE TABLE $cat.main.users_jddim (uid BIGINT, seg STRING)""")
+    // a FILTERED dim (every 5th user absent): the inner-join
+    // exclusion must stay live through the DDL-declared grain too
+    spark.sql(
+      s"""INSERT INTO $cat.main.users_jddim
+         |SELECT DISTINCT user_id,
+         |CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'base'
+         |WHEN 1 THEN 'plus' ELSE 'pro' END
+         |FROM graft_jd_src WHERE user_id % 5 <> 0""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.main.events_jdsrc
+         |(event_id BIGINT, user_id BIGINT, ts TIMESTAMP,
+         |v BIGINT)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_jdsrc
+         |SELECT * FROM graft_jd_src WHERE event_id <= $half""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.main.events_jdmv AS
+         |SELECT d.seg, to_date(f.ts) AS day, sum(f.v) AS mv_sum,
+         |count(*) AS mv_n
+         |FROM $cat.main.events_jdsrc f JOIN $cat.main.users_jddim d
+         |ON f.user_id = d.uid
+         |GROUP BY d.seg, to_date(f.ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.main.events_jdsrc
+         |SELECT * FROM graft_jd_src WHERE event_id > $half""".stripMargin)
+    spark.sql(
+      s"""UPDATE $cat.main.events_jdsrc SET v = v + 9
+         |WHERE event_id % 11 = 0""".stripMargin)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.main.events_jdmv")
+    val brute = spark.sql(
+      s"""SELECT seg, trunc(to_date(ts), 'month') AS mon,
+         |sum(v) AS s, count(*) AS n
+         |FROM $cat.main.events_jdsrc JOIN $cat.main.users_jddim
+         |ON user_id = uid
+         |GROUP BY seg, trunc(to_date(ts), 'month')
+         |ORDER BY seg, mon""".stripMargin)
+    val mvPath = tmp("sql_warehouse") + "/main/events_jdmv"
+    val rule = MvRollupRewriteRule(spark)
+    val prev = spark.conf.getOption(MvRewrite.ConfKey)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "DDL-declared mixed-grain join serve did not fire")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NEITHER the fact nor the dim scan")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
+      case None    => spark.conf.unset(MvRewrite.ConfKey)
+    }
+  }
+
   /** SERVE-MISS DIAGNOSTICS (round 15): `CALL system.explain_mv_serve
     * (query)` answers the first question every MV user asks — "why
     * didn't my MV serve?" — by running the rewrite with a diagnostic
@@ -7338,6 +7432,7 @@ object Scans {
     "agg_mv_serve_join_expr" -> aggMvServeJoinExpr,
     "agg_mv_serve_join_expr_ddl" -> aggMvServeJoinExprDdl,
     "agg_mv_serve_join_month" -> aggMvServeJoinMonth,
+    "agg_mv_serve_join_month_ddl" -> aggMvServeJoinMonthDdl,
     "agg_mv_serve_star" -> aggMvServeStar,
     "agg_mv_serve_snowflake" -> aggMvServeSnowflake,
     "sql_mv_dim_refresh" -> sqlMvDimRefresh,
@@ -7969,6 +8064,23 @@ object Scans {
         |  CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'base'
         |  WHEN 1 THEN 'plus' ELSE 'pro' END AS seg
         |  FROM events WHERE user_id % 7 <> 0)
+        |SELECT seg,
+        |  CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mon,
+        |  CAST(sum(v) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM src JOIN dim ON user_id = uid
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the DDL-declared mixed grain (different moduli from the CALL
+    // twin) served coarse must equal the month x segment recompute
+    "agg_mv_serve_join_month_ddl" ->
+      """WITH src AS (SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 11 = 0 THEN 9 ELSE 0 END AS v
+        |  FROM events),
+        |dim AS (SELECT DISTINCT user_id AS uid,
+        |  CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'base'
+        |  WHEN 1 THEN 'plus' ELSE 'pro' END AS seg
+        |  FROM events WHERE user_id % 5 <> 0)
         |SELECT seg,
         |  CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS mon,
         |  CAST(sum(v) AS BIGINT) AS s,

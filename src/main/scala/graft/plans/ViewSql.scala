@@ -489,25 +489,31 @@ object ViewSql {
       u.nameParts.map(_.toLowerCase).mkString(".")
     def plainFn(u: UnresolvedFunction): Boolean =
       !u.isDistinct && u.filter.isEmpty
-    def toDateArg(e: Expression): Option[String] = e match {
+    // the grain functions resolve their column argument through `res`
+    // (round 19): single-part names in the single-table form; the join
+    // forms pass their fact-side resolver, so a mixed-grain DDL key
+    // like `to_date(f.ts)` records the bare canonical text createJoinMv
+    // re-derives against the fact frame
+    def toDateArgWith(res: UnresolvedAttribute => Option[String])(
+        e: Expression): Option[String] = e match {
       case u: UnresolvedFunction
           if fnName(u) == "to_date" && plainFn(u) =>
         u.arguments match {
-          case Seq(a: UnresolvedAttribute) if a.nameParts.length == 1 =>
-            Some(a.nameParts.head)
-          case _ => None
+          case Seq(a: UnresolvedAttribute) => res(a)
+          case _                           => None
         }
       case _ => None
     }
-    def derivedKey(e: Expression): Option[String] = e match {
+    def derivedKeyWith(res: UnresolvedAttribute => Option[String])(
+        e: Expression): Option[String] = e match {
       case u: UnresolvedFunction if fnName(u) == "to_date" =>
-        toDateArg(e).map(c => s"to_date($c)")
+        toDateArgWith(res)(e).map(c => s"to_date($c)")
       case u: UnresolvedFunction
           if fnName(u) == "trunc" && plainFn(u) =>
         u.arguments match {
           case Seq(inner, lvl) =>
             for {
-              c <- toDateArg(inner)
+              c <- toDateArgWith(res)(inner)
               l <- strLit(lvl).flatMap(graft.plans.MvRewrite.normLevel)
               if l == "month" || l == "year"
             } yield s"trunc(to_date($c), '$l')"
@@ -516,14 +522,20 @@ object ViewSql {
       case u: UnresolvedFunction
           if fnName(u) == "date_trunc" && plainFn(u) =>
         u.arguments match {
-          case Seq(lvl, a: UnresolvedAttribute) if a.nameParts.length == 1 =>
-            strLit(lvl).flatMap(graft.plans.MvRewrite.normLevel)
-              .filter(_ == "hour")
-              .map(l => s"date_trunc('$l', ${a.nameParts.head})")
+          case Seq(lvl, a: UnresolvedAttribute) =>
+            for {
+              l <- strLit(lvl).flatMap(graft.plans.MvRewrite.normLevel)
+              if l == "hour"
+              c <- res(a)
+            } yield s"date_trunc('$l', $c)"
           case _ => None
         }
       case _ => None
     }
+    val singlePartRes: UnresolvedAttribute => Option[String] =
+      a => if (a.nameParts.length == 1) Some(a.nameParts.head) else None
+    def derivedKey(e: Expression): Option[String] =
+      derivedKeyWith(singlePartRes)(e)
     // kind classification over parsed aggregate items — shared by the
     // single-table and join forms (same kinds, same exact aliases).
     // MULTI-MEASURE (round 15): each kind repeats its per-measure
@@ -739,13 +751,27 @@ object ViewSql {
         case _ =>
           refuse("the ON condition must be a single equi-join (f.fk = d.pk)")
       }
-      val gsides = a.groupingExpressions.map {
-        case ga: UnresolvedAttribute =>
-          sideOf(ga).getOrElse(
-            refuse("qualify every grouping column with its table or alias"))
-        case _ =>
-          refuse("join-form groupings must be plain qualified dim columns")
+      // MIXED-GRAIN rollups (round 19): the LAST grouping may be a
+      // derived FACT time grain — `to_date(f.ts)` and the other grain
+      // functions — the DDL spelling of createJoinMv's keyExpr
+      // ("revenue by segment AND month"). The grain must come last
+      // (createJoinMv stores it as the last keyCol member), its
+      // column must be fact-qualified, and at least one dim attribute
+      // must remain in the grain.
+      val (dimGroupEs, grainE) = a.groupingExpressions match {
+        case gs if gs.nonEmpty && !gs.last.isInstanceOf[UnresolvedAttribute] =>
+          (gs.init, Some(gs.last))
+        case gs => (gs, None)
       }
+      val gAttrs = dimGroupEs.map {
+        case ga: UnresolvedAttribute => ga
+        case _ =>
+          refuse("join-form groupings must be plain qualified dim columns " +
+            "(one derived fact time grain may come LAST)")
+      }
+      val gsides = gAttrs.map(ga =>
+        sideOf(ga).getOrElse(
+          refuse("qualify every grouping column with its table or alias")))
       if (gsides.isEmpty || gsides.distinct.size != 1)
         refuse("all grouping columns must come from ONE side (the dim)")
       val dimLeft = gsides.head
@@ -755,18 +781,33 @@ object ViewSql {
       if (j.joinType == LeftOuter && dimLeft)
         refuse("a LEFT join rollup preserves the FACT side — write " +
           "FROM fact LEFT JOIN dim, grouping by dim columns")
-      val names = a.groupingExpressions
-        .map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
-      val lead = a.aggregateExpressions.take(names.size)
-      val leadNames = lead.collect {
+      val factRes: UnresolvedAttribute => Option[String] = x =>
+        sideOf(x).filter(_ != dimLeft).map(_ => x.nameParts.last)
+      val dimNames = gAttrs.map(_.nameParts.last)
+      val lead =
+        a.aggregateExpressions.take(dimNames.size + grainE.size)
+      val leadDim = lead.take(dimNames.size).collect {
         case k: UnresolvedAttribute if sideOf(k).contains(dimLeft) =>
           k.nameParts.last
       }
-      if (leadNames != names)
+      if (leadDim != dimNames)
         refuse("the select list must lead with the grouping columns in " +
           "GROUP BY order")
-      val factRes: UnresolvedAttribute => Option[String] = x =>
-        sideOf(x).filter(_ != dimLeft).map(_ => x.nameParts.last)
+      val grain: Option[(String, String)] = grainE.map { gfn =>
+        val text = derivedKeyWith(factRes)(gfn).getOrElse(
+          refuse("the derived fact grain must be to_date(f.col), " +
+            "trunc(to_date(f.col), 'month'|'year') or " +
+            "date_trunc('hour', f.col) with a fact-qualified column"))
+        lead.drop(dimNames.size) match {
+          case Seq(al @ Alias(fe, _))
+              if derivedKeyWith(factRes)(fe).contains(text) =>
+            (al.name, text)
+          case _ =>
+            refuse("the select list must follow the dim columns with " +
+              "the aliased derived grain, e.g. to_date(f.ts) AS day")
+        }
+      }
+      val names = dimNames ++ grain.map(_._1)
       // EXPRESSION measures in the join form (round 19): the DDL
       // spelling of createJoinMv's aggExpr/aggExprs — sum(f.cents *
       // (100 - f.disc)) AS mv_sum. Every attribute inside must be
@@ -781,7 +822,8 @@ object ViewSql {
             xRewrite = factExprRewrite(factRes)))
       val (factParts, dimParts) = if (dimLeft) (rParts, lParts) else (lParts, rParts)
       val (fkA, pkA) = if (dimLeft) (rk, lk) else (lk, rk)
-      (factParts, names.mkString(","), xs.mkString(","), k, None, avgE, xe,
+      (factParts, names.mkString(","), xs.mkString(","), k,
+        grain.map(_._2), avgE, xe,
         if (j.joinType == LeftOuter) "left" else "inner",
         Seq((dimParts, fkA.nameParts.last, pkA.nameParts.last)), xm)
     }
@@ -850,7 +892,14 @@ object ViewSql {
         case _ =>
           refuse("each ON condition must be a single equi-join (fk = pk)")
       }
-      val names = a.groupingExpressions.map {
+      // MIXED-GRAIN star (round 19): same contract as the single-join
+      // form — one derived fact time grain may come LAST in GROUP BY
+      val (dimGroupEs, grainE) = a.groupingExpressions match {
+        case gs if gs.nonEmpty && !gs.last.isInstanceOf[UnresolvedAttribute] =>
+          (gs.init, Some(gs.last))
+        case gs => (gs, None)
+      }
+      val dimNames = dimGroupEs.map {
         case ga: UnresolvedAttribute =>
           sideIdx(ga) match {
             case Some(i) if i >= 1 => ga.nameParts.last
@@ -861,19 +910,36 @@ object ViewSql {
               refuse("qualify every grouping column with its table or alias")
           }
         case _ =>
-          refuse("multi-join groupings must be plain qualified dim columns")
+          refuse("multi-join groupings must be plain qualified dim columns " +
+            "(one derived fact time grain may come LAST)")
       }
-      if (names.isEmpty) refuse("a multi-join rollup needs grouping keys")
-      val lead = a.aggregateExpressions.take(names.size)
-      val leadNames = lead.collect {
+      if (dimNames.isEmpty) refuse("a multi-join rollup needs grouping keys")
+      val factRes: UnresolvedAttribute => Option[String] = x =>
+        sideIdx(x).filter(_ == 0).map(_ => x.nameParts.last)
+      val lead =
+        a.aggregateExpressions.take(dimNames.size + grainE.size)
+      val leadDim = lead.take(dimNames.size).collect {
         case k: UnresolvedAttribute if sideIdx(k).exists(_ >= 1) =>
           k.nameParts.last
       }
-      if (leadNames != names)
+      if (leadDim != dimNames)
         refuse("the select list must lead with the grouping columns in " +
           "GROUP BY order")
-      val factRes: UnresolvedAttribute => Option[String] = x =>
-        sideIdx(x).filter(_ == 0).map(_ => x.nameParts.last)
+      val grain: Option[(String, String)] = grainE.map { gfn =>
+        val text = derivedKeyWith(factRes)(gfn).getOrElse(
+          refuse("the derived fact grain must be to_date(f.col), " +
+            "trunc(to_date(f.col), 'month'|'year') or " +
+            "date_trunc('hour', f.col) with a fact-qualified column"))
+        lead.drop(dimNames.size) match {
+          case Seq(al @ Alias(fe, _))
+              if derivedKeyWith(factRes)(fe).contains(text) =>
+            (al.name, text)
+          case _ =>
+            refuse("the select list must follow the dim columns with " +
+              "the aliased derived grain, e.g. to_date(f.ts) AS day")
+        }
+      }
+      val names = dimNames ++ grain.map(_._1)
       // expression measures over the star form too (round 19) — same
       // fact-qualified-only contract as the single-join form
       val (k, xs, avgE, xe, xm) =
@@ -881,8 +947,8 @@ object ViewSql {
           a.aggregateExpressions.drop(names.size),
           parseAggWith(factRes, allowExpr = true,
             xRewrite = factExprRewrite(factRes)))
-      (rels.head._1, names.mkString(","), xs.mkString(","), k, None, avgE,
-        xe, starTypes.mkString(","),
+      (rels.head._1, names.mkString(","), xs.mkString(","), k,
+        grain.map(_._2), avgE, xe, starTypes.mkString(","),
         rels.tail.zip(fkpk).map { case ((dimParts, _), (fk, pk)) =>
           (dimParts, fk, pk)
         }, xm)
@@ -1135,7 +1201,8 @@ case class GraftCreateMvCommand(
           joinSpec.map(_._3).mkString(","),
           joinSpec.map(_._4).mkString(","),
           catalog.pathOf(ident), key, agg, kind, avgExact,
-          joinType = joinType, aggExpr = aggExpr, aggExprs = aggExprs)
+          keyExpr = keyExpr, joinType = joinType, aggExpr = aggExpr,
+          aggExprs = aggExprs)
       else
         graft.sources.SnapshotLog.createMv(
           session, srcCatalog.pathOf(srcIdent), catalog.pathOf(ident),

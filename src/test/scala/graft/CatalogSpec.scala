@@ -5372,6 +5372,103 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset(MvRewrite.ConfKey)
   }
 
+  test("mixed-grain join MVs reach the DDL (round 19): GROUP BY d.seg, " +
+    "to_date(f.ts) declares the keyExpr member, identity and coarse " +
+    "month grains serve, the star form takes a grain too, and the bail " +
+    "spellings refuse at parse (grain not last, unqualified or " +
+    "dim-qualified grain column)") {
+    import graft.plans.{MvRewrite, MvRollupRewriteRule}
+    val f = freshName()
+    val d = freshName()
+    val d2 = freshName()
+    val fn = f.split('.').last
+    spark.sql(s"CREATE TABLE $f (fk BIGINT, nk BIGINT, m BIGINT, ts TIMESTAMP)")
+    spark.sql(s"CREATE TABLE $d (pk BIGINT, seg STRING)")
+    spark.sql(s"CREATE TABLE $d2 (nk2 BIGINT, nation STRING)")
+    spark.sql(s"INSERT INTO $d VALUES (1, 'auto'), (2, 'mach')")
+    spark.sql(s"INSERT INTO $d2 VALUES (7, 'de'), (8, 'fr')")
+    spark.sql(
+      s"""INSERT INTO $f VALUES
+         |(1, 7, 10, timestamp'2024-01-05 09:00:00'),
+         |(1, 7, 5,  timestamp'2024-01-05 17:00:00'),
+         |(1, 8, 3,  timestamp'2024-02-01 09:00:00'),
+         |(2, 8, 20, timestamp'2024-01-09 10:00:00')""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_mg1 AS
+         |SELECT d.seg, to_date(f.ts) AS day, sum(f.m) AS mv_sum,
+         |count(*) AS mv_n
+         |FROM $f f JOIN $d d ON f.fk = d.pk
+         |GROUP BY d.seg, to_date(f.ts)""".stripMargin)
+    // the star form with a month grain and an expression measure —
+    // the round-19 surfaces compose in one statement
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fn}_mg2 AS
+         |SELECT d.seg, n.nation, trunc(to_date(f.ts), 'month') AS mon,
+         |sum(f.m * 2) AS mv_sum, count(*) AS mv_n
+         |FROM $f f JOIN $d d ON f.fk = d.pk
+         |JOIN $d2 n ON f.nk = n.nk2
+         |GROUP BY d.seg, n.nation, trunc(to_date(f.ts), 'month')""".stripMargin)
+    // bail spellings — each must refuse at parse
+    Seq(
+      // grain not last
+      s"""SELECT to_date(f.ts) AS day, d.seg, sum(f.m) AS mv_sum,
+         |count(*) AS mv_n FROM $f f JOIN $d d ON f.fk = d.pk
+         |GROUP BY to_date(f.ts), d.seg""".stripMargin,
+      // unqualified grain column
+      s"""SELECT d.seg, to_date(ts) AS day, sum(f.m) AS mv_sum,
+         |count(*) AS mv_n FROM $f f JOIN $d d ON f.fk = d.pk
+         |GROUP BY d.seg, to_date(ts)""".stripMargin,
+      // dim-qualified grain column
+      s"""SELECT d.seg, to_date(d.pk) AS day, sum(f.m) AS mv_sum,
+         |count(*) AS mv_n FROM $f f JOIN $d d ON f.fk = d.pk
+         |GROUP BY d.seg, to_date(d.pk)""".stripMargin
+    ).zipWithIndex.foreach { case (sel, i) =>
+      val err = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW cattest.main.${fn}_mgbad$i AS $sel"))
+      assert(err.getMessage.toLowerCase.contains("materialized view"),
+        s"spelling $i must refuse with the shape message, got: $err")
+    }
+    val rule = MvRollupRewriteRule(spark)
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      def plan(qq: String) = rule(spark.sql(qq).queryExecution.optimizedPlan)
+      def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+      // identity grain serves
+      val idq = plan(
+        s"""SELECT seg, to_date(ts) AS day, sum(m) AS s
+           |FROM $f JOIN $d ON fk = pk
+           |GROUP BY seg, to_date(ts)""".stripMargin)
+      assert(MvRewrite.readsPath(idq, s"$warehouse/main/${fn}_mg1"),
+        "the DDL-declared mixed grain must serve its identity")
+      assert(run(idq).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+        .toSet == Set(
+        ("auto", "2024-01-05", 15L), ("auto", "2024-02-01", 3L),
+        ("mach", "2024-01-09", 20L)))
+      // coarse month re-aggregates the daily rollup
+      val moq = plan(
+        s"""SELECT seg, trunc(to_date(ts), 'month') AS mon, sum(m) AS s
+           |FROM $f JOIN $d ON fk = pk
+           |GROUP BY seg, trunc(to_date(ts), 'month')""".stripMargin)
+      assert(MvRewrite.readsPath(moq, s"$warehouse/main/${fn}_mg1"),
+        "the month grain must serve coarse from the daily DDL MV")
+      // the star grain + expression measure serves
+      val stq = plan(
+        s"""SELECT seg, nation, trunc(to_date(ts), 'month') AS mon,
+           |sum(m * 2) AS s
+           |FROM $f JOIN $d ON fk = pk JOIN $d2 ON nk = nk2
+           |GROUP BY seg, nation, trunc(to_date(ts), 'month')""".stripMargin)
+      assert(MvRewrite.readsPath(stq, s"$warehouse/main/${fn}_mg2"),
+        "the star-form DDL grain with an expression measure must serve")
+      assert(run(stq).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString,
+          r.getLong(3))).toSet == Set(
+        ("auto", "de", "2024-01-01", 30L), ("auto", "fr", "2024-02-01", 6L),
+        ("mach", "fr", "2024-01-01", 40L)))
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+  }
+
   test("hll expression measures compose with JOIN MVs (round 19): the " +
     "sketch is built over the materialized fact expression, " +
     "approx_count_distinct(<expr>) by dim attr serves from it, and a " +
