@@ -5467,6 +5467,51 @@ class CatalogSpec extends SparkTestBase {
         ("auto", "de", "2024-01-01", 30L), ("auto", "fr", "2024-02-01", 6L),
         ("mach", "fr", "2024-01-01", 40L)))
     } finally spark.conf.unset(MvRewrite.ConfKey)
+    // the LEFT form takes a grain too: the NULL bucket crosses the
+    // day grain as first-class (NULL, day) groups, maintained through
+    // the fold and served (self-review probe 1, round 19)
+    val fl = freshName()
+    val fln = fl.split('.').last
+    spark.sql(s"CREATE TABLE $fl (fk BIGINT, m BIGINT, ts TIMESTAMP)")
+    spark.sql(
+      s"""INSERT INTO $fl VALUES
+         |(1, 10, timestamp'2024-01-05 09:00:00'),
+         |(99, 7, timestamp'2024-01-05 10:00:00'),
+         |(99, 3, timestamp'2024-02-01 10:00:00')""".stripMargin)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fln}_lmg AS
+         |SELECT d.seg, to_date(f.ts) AS day, sum(f.m) AS mv_sum,
+         |count(*) AS mv_n
+         |FROM $fl f LEFT JOIN $d d ON f.fk = d.pk
+         |GROUP BY d.seg, to_date(f.ts)""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $fl VALUES (99, 5, timestamp'2024-01-05 23:00:00')")
+    spark.sql(s"REFRESH MATERIALIZED VIEW cattest.main.${fln}_lmg")
+    spark.conf.set(MvRewrite.ConfKey, "true")
+    try {
+      val p = rule(spark.sql(
+        s"""SELECT seg, to_date(ts) AS day, sum(m) AS s
+           |FROM $fl LEFT JOIN $d ON fk = pk
+           |GROUP BY seg, to_date(ts)""".stripMargin)
+        .queryExecution.optimizedPlan)
+      assert(MvRewrite.readsPath(p, s"$warehouse/main/${fln}_lmg"),
+        "the left form's DDL grain must serve")
+      assert(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, p)
+        .collect().map(r => (Option(r.getString(0)),
+          r.getDate(1).toString, r.getLong(2))).toSet == Set(
+        (Some("auto"), "2024-01-05", 10L), (None, "2024-01-05", 12L),
+        (None, "2024-02-01", 3L)),
+        "the NULL bucket must cross the day grain correctly")
+    } finally spark.conf.unset(MvRewrite.ConfKey)
+    // a grain alias shadowing a dim attr refuses (create-time guard)
+    val gc = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW cattest.main.${fln}_gcoll AS
+         |SELECT d.seg, to_date(f.ts) AS seg, sum(f.m) AS mv_sum,
+         |count(*) AS mv_n
+         |FROM $fl f JOIN $d d ON f.fk = d.pk
+         |GROUP BY d.seg, to_date(f.ts)""".stripMargin))
+    assert(gc.getMessage.contains("exactly once"),
+      s"a grain alias shadowing a dim attr must refuse: $gc")
   }
 
   test("hll expression measures compose with JOIN MVs (round 19): the " +

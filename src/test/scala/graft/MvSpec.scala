@@ -2498,6 +2498,62 @@ class MvSpec extends SparkTestBase {
     SnapshotLog.commit(spark, dA, Seq(3L -> "z").toDF("apk", "aat"))
   }
 
+  /** Key-owning churn through a LEFT SNOWFLAKE (round-19 self-review
+    * probe 2): the churned dim owns a key member AND feeds a
+    * downstream dim (its fk2 re-points with the churn), so one commit
+    * moves BOTH key members of the reachable chain — the hardest
+    * shape the merged group-scope must bound. */
+  test("key-owning churn on a left snowflake (changed dim owns a key " +
+    "and feeds the downstream dim) takes the group-scoped branch and " +
+    "matches the recompute") {
+    import spark.implicits._
+    val fact = fresh("ksfact")
+    val dMid = fresh("ksmid")
+    val dTop = fresh("kstop")
+    SnapshotLog.commit(spark, dTop,
+      Seq(100L -> "NA", 200L -> "EU").toDF("tpk", "region"))
+    SnapshotLog.commit(spark, dMid,
+      Seq((1L, "x", 100L), (2L, "y", 200L)).toDF("mpk", "seg", "fk2"))
+    SnapshotLog.commit(spark, fact,
+      Seq((1L, 5L), (2L, 7L), (99L, 50L)).toDF("fk1", "v"))
+    val mv = fresh("ksmv")
+    // a snowflake THROUGH a left dim must declare the downstream edge
+    // left too (create-time guard, pinned): the inner spelling refuses
+    val err = intercept[IllegalArgumentException] {
+      SnapshotLog.createJoinMv(
+        spark, fact, s"$dMid,$dTop", "fk1,fk2", "mpk,tpk",
+        fresh("ksbad"), "seg,region", "v",
+        kind = "minmax", joinType = "left,inner")
+    }
+    assert(err.getMessage.contains("declare it left too"), err.getMessage)
+    SnapshotLog.createJoinMv(
+      spark, fact, s"$dMid,$dTop", "fk1,fk2", "mpk,tpk", mv,
+      "seg,region", "v", kind = "minmax", joinType = "left,left")
+    def recompute() = SnapshotLog.read(spark, fact)
+      .join(SnapshotLog.read(spark, dMid), col("fk1") === col("mpk"), "left")
+      .join(SnapshotLog.read(spark, dTop), col("fk2") === col("tpk"), "left")
+      .groupBy(col("seg"), col("region"))
+      .agg(min("v").as("a"), max("v").as("b"), count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    def stored() = SnapshotLog.read(spark, mv).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(stored() == recompute(), "create must match")
+    // churn: mpk 1 renamed AND re-pointed NA -> EU in one refresh —
+    // both key members of its rows move at once
+    SnapshotLog.deleteWhere(spark, dMid, "mpk", 1L, 1L)
+    SnapshotLog.commit(spark, dMid,
+      Seq((1L, "x2", 200L)).toDF("mpk", "seg", "fk2"))
+    SnapshotLog.refreshMvDim(spark, mv, dMid)
+    assert(SnapshotLog.lastDimRefreshBranch.get() == "group-scoped")
+    assert(SnapshotLog.lastDimRefreshScopedGroups.get() == 2L,
+      "churn on mpk 1 reaches {(x,NA), (x2,EU)}, got " +
+        SnapshotLog.lastDimRefreshScopedGroups.get())
+    assert(stored() == recompute(),
+      s"after churn: ${stored()} vs ${recompute()}")
+  }
+
   /** RANDOMIZED filter-dim lifecycle (round 18): the group-scoped
     * non-invertible recompute is the round's newest fold machinery —
     * drive it with seeded random churn (fact appends/deletes, pk
