@@ -75,6 +75,73 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     loadWithTs(s, s"$d/events.parquet", "ts", TimestampType)
 
+  /** Exact `max(column)` of a driver parquet table answered from the
+    * FOOTER row-group statistics — metadata-only, no Spark job
+    * (optimization round 19, guide §1.2: ~80 graded keys open with a
+    * full-scan `agg(max(key))` whose only purpose is to pick a split
+    * point; integer row-group stats are exact — parquet never
+    * truncates numeric min/max — so the footer answers identically).
+    * Falls back to the distributed scan when any row group lacks
+    * complete non-null stats for the column, the type is not
+    * INT64/INT32, or the footer is unreadable — the fallback is the
+    * previous behavior, bit-for-bit. */
+  def maxLong(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      column: String
+  ): Long =
+    footerMaxLong(spark, s"$sfDir/$name.parquet", column).getOrElse {
+      t(spark, sfDir, name)
+        .agg(org.apache.spark.sql.functions.max(col(column)))
+        .collect()(0).getLong(0)
+    }
+
+  private[graft] def footerMaxLong(
+      spark: SparkSession,
+      file: String,
+      column: String
+  ): Option[Long] =
+    try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new HPath(file)
+      val fs = p.getFileSystem(conf)
+      val dataFiles =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p)
+            .filter(st =>
+              st.isFile && st.getLen > 0 &&
+                !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith("."))
+            .map(_.getPath).toSeq
+        else Seq(p)
+      if (dataFiles.isEmpty) return None
+      val perFile = dataFiles.map { df =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(df, conf))
+        try {
+          val chunks = reader.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala.filter(_.getPath.toDotString == column)
+          }
+          if (chunks.isEmpty) None
+          else if (!chunks.forall(c =>
+              c.getStatistics != null && !c.getStatistics.isEmpty &&
+                c.getStatistics.hasNonNullValue)) None
+          else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 =>
+              Some(chunks.map(
+                _.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+            case PrimitiveTypeName.INT32 =>
+              Some(chunks.map(
+                _.getStatistics.genericGetMax.asInstanceOf[java.lang.Integer].intValue.toLong).max)
+            case _ => None
+          }
+        } finally reader.close()
+      }
+      if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.max)
+    } catch { case _: Throwable => None }
+
   /** Footer-declared time unit of `column`, cached per file. None =
     * column carries no TIMESTAMP logical annotation. */
   private val unitCache =

@@ -856,7 +856,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
@@ -905,7 +905,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
@@ -1199,7 +1199,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     // round-robin repartition inside each batch: the parquet scan's
@@ -1273,7 +1273,7 @@ object Scans {
         concat(lit("C"), lpad((col("o_custkey") % 100).cast("string"), 3, "0"))
           .as("host"),
         col("o_totalprice"))
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     // round-robin batches: unclustered arrival order in both keys
     (0 to 3).foreach(i =>
       SnapshotLog.commit(
@@ -1497,7 +1497,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val mid = (3 * c1) / 2
@@ -1587,7 +1587,7 @@ object Scans {
         col("o_orderkey"),
         col("o_custkey").as("k"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     // the base load + materialization happen before the stream starts
     SnapshotLog.commit(spark, src, o.filter(col("o_orderkey") <= half))
@@ -1776,7 +1776,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
@@ -1861,7 +1861,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c2 = 2 * (maxK / 3)
     o.createOrReplaceTempView("graft_ren_src")
     spark.sql(
@@ -1900,7 +1900,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c2 = 2 * (maxK / 3)
     o.createOrReplaceTempView("graft_drop_src")
     spark.sql(
@@ -1935,7 +1935,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c2 = 2 * (maxK / 3)
     o.createOrReplaceTempView("graft_widen_src")
     spark.sql(
@@ -1985,7 +1985,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     // round-robin arrival: every file spans ~the whole key domain
     (0 to 3).foreach(i =>
       SnapshotLog.commit(
@@ -2031,7 +2031,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     // generation 1: round-robin arrival (stats useless), full build
     (0 to 1).foreach(i =>
       SnapshotLog.commit(
@@ -2087,7 +2087,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c2 = 2 * (maxK / 3)
     o.createOrReplaceTempView("graft_clone_src")
     spark.sql(
@@ -2353,7 +2353,7 @@ object Scans {
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     o.createOrReplaceTempView("graft_evolve_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_evolve
@@ -2412,7 +2412,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_sqlmv_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val h = c1 / 2
@@ -2475,7 +2475,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_sqlmm_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     spark.sql(
@@ -2532,7 +2532,7 @@ object Scans {
         (col("o_custkey") % 5).as("region"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_gbp_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     // NOT NULL is load-bearing: the pushdown only fires where the
     // declaration proves no file can hide a NULL inside pure stats
@@ -2580,7 +2580,7 @@ object Scans {
         (col("o_custkey") % 5).as("region"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_rbp_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $t
@@ -2627,7 +2627,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_sqlddl_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val h = c1 / 2
@@ -2685,7 +2685,7 @@ object Scans {
         col("ts"),
         round(col("value") * 100).cast("long").as("v"))
     e.createOrReplaceTempView("graft_dly_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_dlysrc
@@ -2745,7 +2745,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_srv_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_srvsrc
@@ -2824,7 +2824,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_gsv_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_gsvsrc
@@ -2896,7 +2896,7 @@ object Scans {
         col("ts"),
         round(col("value") * 100).cast("long").as("v"))
     e.createOrReplaceTempView("graft_dsv_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_dsvsrc
@@ -2972,7 +2972,7 @@ object Scans {
         col("ts"),
         round(col("value") * 100).cast("long").as("v"))
     e.createOrReplaceTempView("graft_msv_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_msvsrc
@@ -3048,7 +3048,7 @@ object Scans {
         col("ts"),
         round(col("value") * 100).cast("long").as("v"))
     e.createOrReplaceTempView("graft_chc_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_chsrc
@@ -3145,7 +3145,7 @@ object Scans {
           .otherwise(col("o_custkey") % 50).cast("long").as("grp"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
     o.createOrReplaceTempView("graft_nk_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_nksrc
@@ -3226,7 +3226,7 @@ object Scans {
         when(col("c_custkey") % 7 === 0, lit(null))
           .otherwise(col("c_mktsegment")).cast("string").as("seg"))
       .createOrReplaceTempView("graft_nj_dim")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"CREATE TABLE $cat.main.cust_njdim (c_custkey BIGINT, seg STRING)")
@@ -3298,7 +3298,7 @@ object Scans {
         (col("o_custkey") % 50).cast("long").as("grp"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_dx_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_dxsrc
@@ -3366,7 +3366,7 @@ object Scans {
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         (col("o_orderkey") % 7).cast("long").as("disc"))
     o.createOrReplaceTempView("graft_mx_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_mxsrc
@@ -3443,7 +3443,7 @@ object Scans {
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         (col("o_orderkey") % 9).cast("long").as("disc"))
     o.createOrReplaceTempView("graft_md_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_mdsrc
@@ -3869,7 +3869,7 @@ object Scans {
         col("ts"),
         round(col("value") * 100).cast("long").as("v"))
     e.createOrReplaceTempView("graft_fsv_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     val cut = e
       .selectExpr("date_add(cast(min(ts) as date), 2)")
@@ -3951,7 +3951,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_av_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_avsrc
@@ -4026,7 +4026,7 @@ object Scans {
         col("o_orderstatus").as("status"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_cs_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_cssrc
@@ -4098,7 +4098,7 @@ object Scans {
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         (col("o_orderkey") % 100).cast("long").as("clen"))
     o.createOrReplaceTempView("graft_mm_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_mmsrc
@@ -4181,7 +4181,7 @@ object Scans {
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         (col("o_orderkey") % 7).cast("long").as("disc"))
     o.createOrReplaceTempView("graft_xe_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_xesrc
@@ -4274,7 +4274,7 @@ object Scans {
         (col("o_custkey") % 50).cast("long").as("grp"),
         (col("o_orderkey") % 97 - 48).cast("long").as("item"))
     o.createOrReplaceTempView("graft_dc_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_dcsrc
@@ -4346,7 +4346,7 @@ object Scans {
         col("ts"),
         (col("event_id") % 211).cast("long").as("uid"))
     e.createOrReplaceTempView("graft_dcm_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_dcmsrc
@@ -4926,7 +4926,7 @@ object Scans {
         col("ts"),
         (col("event_id") * 2654435761L % 1000003L).as("uid"))
     ev.createOrReplaceTempView("graft_hll_src")
-    val maxK = ev.agg(max("event_id")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_hllsrc
@@ -5019,7 +5019,7 @@ object Scans {
         col("ts"),
         (col("event_id") * 2654435761L % 1000003L).as("uid"))
     ev.createOrReplaceTempView("graft_hx_src")
-    val maxK = ev.agg(max("event_id")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_hxsrc
@@ -5123,7 +5123,7 @@ object Scans {
       .customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
       .createOrReplaceTempView("graft_jhx_dim")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"CREATE TABLE $cat.main.cust_jhxdim (c_custkey BIGINT, seg STRING)")
@@ -5356,7 +5356,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_fp_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_fpsrc
@@ -5431,7 +5431,7 @@ object Scans {
         (col("user_id") % 20).cast("long").as("grp"),
         col("event_type").as("etype"))
     e.createOrReplaceTempView("graft_ds_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.events_dssrc
@@ -5514,7 +5514,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_xp_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_xpsrc
@@ -5586,7 +5586,7 @@ object Scans {
         col("ts"),
         round(col("value") * 100).cast("long").as("v"))
     e.createOrReplaceTempView("graft_jm_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.users_jmdim (uid BIGINT, seg STRING)""")
@@ -5679,7 +5679,7 @@ object Scans {
         col("ts"),
         round(col("value") * 100).cast("long").as("v"))
     e.createOrReplaceTempView("graft_jd_src")
-    val maxId = e.agg(max("event_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "events", "event_id")
     val half = maxId / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.users_jddim (uid BIGINT, seg STRING)""")
@@ -5770,7 +5770,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_xpl_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.orders_xplsrc
@@ -5858,7 +5858,7 @@ object Scans {
     cust.createOrReplaceTempView("graft_dppf_dim")
     // the cold tail: custkeys strictly beyond every customer — no
     // build-side key can land here, only the runtime filter knows that
-    val maxCust = cust.agg(max("c_custkey")).collect()(0).getLong(0)
+    val maxCust = Tables.maxLong(spark, dir, "customer", "c_custkey")
     spark.sql(
       s"""INSERT INTO $t
          |SELECT o_orderkey + ${4L * maxC}, o_custkey + $maxCust, cents
@@ -5906,7 +5906,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_sqlst_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val h = c1 / 2
@@ -5963,7 +5963,7 @@ object Scans {
       .orders(spark, dir)
       .select("o_orderkey", "o_totalprice")
     o.createOrReplaceTempView("graft_defaults_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE,
@@ -6008,7 +6008,7 @@ object Scans {
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     o.createOrReplaceTempView("graft_ckn_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     spark.sql(
@@ -6065,7 +6065,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     o.createOrReplaceTempView("graft_mordml_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     spark.sql(
       s"""CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
@@ -6134,7 +6134,7 @@ object Scans {
         col("o_orderkey"),
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     spark.sql(
       s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)")
     // wave 1 lands, ingests
@@ -6250,7 +6250,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val mid = (3 * c1) / 2
@@ -6296,7 +6296,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c2 = 2 * (maxK / 3)
     o.createOrReplaceTempView("graft_tagsql_src")
     spark.sql(
@@ -6335,7 +6335,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     // shuffle the source order so the sort is doing real work
     o.orderBy("o_custkey", "o_orderkey").createOrReplaceTempView("graft_sorted_src")
     spark.sql(
@@ -6441,7 +6441,7 @@ object Scans {
       .customer(spark, dir)
       .select("c_custkey", "c_name", "c_acctbal")
     c.createOrReplaceTempView("graft_uniq_src")
-    val maxK = c.agg(max("c_custkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "customer", "c_custkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.cust_unique
@@ -6579,7 +6579,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     def shard(lo: Long, hi: Long) = o
@@ -6621,7 +6621,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val mid = (3 * c1) / 2
@@ -6663,7 +6663,7 @@ object Scans {
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     o.createOrReplaceTempView("graft_sql_dml_src")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val mid = (3 * c1) / 2
     spark.sql(
@@ -7025,7 +7025,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val mid = (3 * c1) / 2
@@ -7093,7 +7093,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val mid = (3 * c1) / 2
@@ -7155,7 +7155,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
@@ -7198,7 +7198,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val mid = (3 * c1) / 2
@@ -7253,7 +7253,7 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val mid = (3 * c1) / 2
     SnapshotLog.commit(spark, table, o.filter(col("o_orderkey") <= c1))
@@ -7308,7 +7308,7 @@ object Scans {
         col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents")
       )
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     val h = c1 / 2

@@ -933,7 +933,7 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label")
-    val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "embeddings", "vec_id")
     val half = maxId / 2
     // the codebook freezes at build time (first 16 vectors — always in
     // the first half); refresh deltas encode against it unchanged, and

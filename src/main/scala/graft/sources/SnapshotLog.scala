@@ -957,7 +957,12 @@ object SnapshotLog {
       txnId: Option[String],
       replaceRemoved: Option[Seq[String]],
       dataChange: Boolean = true,
-      extraHeader: String = ""
+      extraHeader: String = "",
+      // computed AFTER the staging write has executed — lets a header
+      // token depend on an Observation collected by that same write
+      // (the one-pass fold fingerprint), instead of paying a separate
+      // aggregate action before the commit
+      extraHeaderFn: Option[() => String] = None
   ): Int = {
     val f = fs(spark, table)
     requireCommitSafeFs(f, table) // before staging — no orphans on refusal
@@ -981,7 +986,7 @@ object SnapshotLog {
     val landed = stageOnly(spark, table, stagedDf)
     commitLandedInternal(
       spark, table, landed, batchSchema, overwrite, txnId, replaceRemoved,
-      dataChange, extraHeader)
+      dataChange, extraHeaderFn.map(_()).getOrElse(extraHeader))
   }
 
   /** `batch` with the declared (tip-schema) nullability restored on
@@ -1079,13 +1084,27 @@ object SnapshotLog {
       landedNames: Seq[String]
   ): Seq[String] = {
     val f = fs(spark, table)
-    landedNames.map { name =>
-      val (rows, stats) = statsSuffix(spark, new Path(s"$table/$name"))
-      val size =
-        s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen};_rc=r:$rows"
-      val suffix = if (stats.isEmpty) size else s"$size;$stats"
-      s"$name\t$suffix"
-    }
+    // footer reads are independent metadata round-trips — run them in
+    // parallel (optimization round 19, guide §6): a commit of N files
+    // paid N serial driver-side opens; at 1e5 landed files on an object
+    // store that is hours of sequential latency for work that
+    // parallelizes perfectly. Bounded pool; order preserved.
+    val par = math.min(math.max(landedNames.size, 1), 16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val tasks = landedNames.map { name =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val (rows, stats) = statsSuffix(spark, new Path(s"$table/$name"))
+            val size =
+              s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen};_rc=r:$rows"
+            val suffix = if (stats.isEmpty) size else s"$size;$stats"
+            s"$name\t$suffix"
+          }
+        })
+      }
+      tasks.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** Claim-loop commit of fully-formed manifest entry LINES (name +
@@ -3423,6 +3442,45 @@ object SnapshotLog {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** One-pass fold commit (optimization round 19, guide §1.2/§2.4):
+    * the fold fingerprint rides the STAGING WRITE itself as a
+    * CollectMetrics observation — the same (count, xor of per-row
+    * xxhash64 over the sorted columns) as [[contentFingerprint]],
+    * collected while the rollup streams to parquet. This replaces the
+    * previous localCheckpoint (full materialization of the rollup into
+    * executor memory) + separate fingerprint aggregate + write chain:
+    * three passes over the rollup become ONE, and the checkpointed
+    * copy no longer competes with execution memory (guide §5). The
+    * header is assembled from the observation AFTER staging (the
+    * `extraHeaderFn` hook), so data, watermark and fingerprint still
+    * land in one atomic manifest write. */
+  private def commitFoldWithFp(
+      spark: SparkSession,
+      mv: String,
+      rollup: DataFrame,
+      overwrite: Boolean,
+      headerOf: (Long, Long) => String
+  ): Int = {
+    import org.apache.spark.sql.functions.{call_function, col, count, lit, xxhash64}
+    val obs = org.apache.spark.sql.Observation(
+      "graft_mvfp_" + UUID.randomUUID().toString.take(8))
+    val observed = rollup.observe(
+      obs,
+      count(lit(1)).as("n"),
+      call_function(
+        "bit_xor",
+        xxhash64(rollup.columns.sorted.map(col).toIndexedSeq: _*)).as("x"))
+    commitInternal(
+      spark, mv, observed, overwrite = overwrite, txnId = None,
+      replaceRemoved = None, dataChange = true,
+      extraHeaderFn = Some { () =>
+        val m = obs.get
+        val n = m("n").asInstanceOf[Long]
+        val x = m("x") match { case null => 0L; case l => l.asInstanceOf[Long] }
+        headerOf(n, x)
+      })
+  }
+
   /** The most recent committed `mvfp=` rider, parsed. */
   private def lastFingerprint(
       spark: SparkSession,
@@ -3726,11 +3784,9 @@ object SnapshotLog {
         case None    => base
       }
       val m = distinctRollup(based, keyCols, measures.head, hashDistinct)
-        .localCheckpoint()
-      val (fpN, fpX) = contentFingerprint(m)
-      commitInternal(
-        spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
-        dataChange = true, extraHeader = s"mvv=$tip mvfp=$fpN:$fpX")
+      commitFoldWithFp(
+        spark, mv, m, overwrite = false,
+        (fpN, fpX) => s"mvv=$tip mvfp=$fpN:$fpX")
       setTableProps(
         spark, mv,
         Map(
@@ -3768,11 +3824,9 @@ object SnapshotLog {
         case None    => base
       }
       val m = hllRollup(based, keyCols, measures.head, hllLgK)
-        .localCheckpoint()
-      val (fpN, fpX) = contentFingerprint(m)
-      commitInternal(
-        spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
-        dataChange = true, extraHeader = s"mvv=$tip mvfp=$fpN:$fpX")
+      commitFoldWithFp(
+        spark, mv, m, overwrite = false,
+        (fpN, fpX) => s"mvv=$tip mvfp=$fpN:$fpX")
       setTableProps(
         spark, mv,
         Map(
@@ -3789,16 +3843,15 @@ object SnapshotLog {
       return tip
     }
     val aggCols = mvAggExprs(measures, kind, avgExact)
-    val m = src.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
-    val (fpN, fpX) = contentFingerprint(m)
+    val m = src.agg(aggCols.head, aggCols.tail: _*)
     // the as-of version rides the materialize commit's own header
     // (`mvv=`): data and high-water mark land in ONE atomic write, the
     // same ledger-rides-the-commit design as ingest. The props copy is
     // discoverability metadata only — refreshMv reads the header. The
-    // `mvfp=` rider is the fold fingerprint (see contentFingerprint).
-    commitInternal(
-      spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
-      dataChange = true, extraHeader = s"mvv=$tip mvfp=$fpN:$fpX")
+    // `mvfp=` rider is the fold fingerprint (see commitFoldWithFp).
+    commitFoldWithFp(
+      spark, mv, m, overwrite = false,
+      (fpN, fpX) => s"mvv=$tip mvfp=$fpN:$fpX")
     setTableProps(
       spark, mv,
       Map(
@@ -4259,11 +4312,10 @@ object SnapshotLog {
        else {
          val aggs = mvAggExprs(measures, kind, avgExact)
          joined.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-       }).localCheckpoint()
-    val (fpN, fpX) = contentFingerprint(m)
-    commitInternal(
-      spark, mv, m, overwrite = false, txnId = None, replaceRemoved = None,
-      dataChange = true, extraHeader = s"mvv=$factTip mvfp=$fpN:$fpX")
+       })
+    commitFoldWithFp(
+      spark, mv, m, overwrite = false,
+      (fpN, fpX) => s"mvv=$factTip mvfp=$fpN:$fpX")
     setTableProps(
       spark, mv,
       Map(
@@ -5019,25 +5071,23 @@ object SnapshotLog {
     // commit: a crash after this line leaves props stale but the
     // header authoritative, so a replayed refresh folds from `to`,
     // not `from` — no double-count
-    val nextC = next.localCheckpoint()
-    val (fpN, fpX) = contentFingerprint(nextC)
     // CONCURRENT-REFRESH detector (round 16): this fold was computed
-    // from the MV state read at entry; if another maintainer (a
-    // second refresh, a dim refresh) committed in between, committing
-    // here would clobber its work with data derived from the stale
-    // state — refuse and name the re-run. Not a lock (the window
-    // between this check and the commit remains; maintenance is
-    // single-writer by contract, like every derived table here) but
-    // it catches the realistic overlap: a scheduled refresh crossing
-    // a manual one.
+    // from the MV state read at entry (the stored-rollup file list is
+    // pinned at plan construction); if another maintainer (a second
+    // refresh, a dim refresh) committed in between, committing here
+    // would clobber its work with data derived from the stale state —
+    // refuse and name the re-run. Not a lock (the window between this
+    // check and the commit remains; maintenance is single-writer by
+    // contract, like every derived table here) but it catches the
+    // realistic overlap: a scheduled refresh crossing a manual one.
     require(
       versions(spark, mv).lastOption == mvTipAtStart,
       s"refreshMv: $mv moved while this refresh computed its fold " +
         "(a concurrent refresh or dim refresh committed) — re-run " +
         "refreshMv; maintenance is single-writer per MV")
-    commitInternal(
-      spark, mv, nextC, overwrite = true, txnId = None, replaceRemoved = None,
-      dataChange = true, extraHeader = s"mvv=$to mvfp=$fpN:$fpX")
+    commitFoldWithFp(
+      spark, mv, next, overwrite = true,
+      (fpN, fpX) => s"mvv=$to mvfp=$fpN:$fpX")
     setTableProps(spark, mv, props + ("mv_version" -> to.toString))
     (from, to)
   }
@@ -5566,8 +5616,6 @@ object SnapshotLog {
           "left_anti")
         kept.unionByName(recomputed)
       }
-    val nextC = next.localCheckpoint()
-    val (fpN, fpX) = contentFingerprint(nextC)
     // same concurrent-refresh detector as refreshMv: a fact fold
     // landing mid-recompute would be clobbered by this commit while
     // its mvv header survives in the ledger — data and ledger would
@@ -5577,10 +5625,9 @@ object SnapshotLog {
       s"refreshMvDim: $mv moved while this dim refresh recomputed " +
         "(a concurrent refresh committed) — re-run refreshMvDim; " +
         "maintenance is single-writer per MV")
-    commitInternal(
-      spark, mv, nextC, overwrite = true, txnId = None,
-      replaceRemoved = None, dataChange = true,
-      extraHeader = s"mvv=$watermark mvfp=$fpN:$fpX mvdv=$idx:$newPin")
+    commitFoldWithFp(
+      spark, mv, next, overwrite = true,
+      (fpN, fpX) => s"mvv=$watermark mvfp=$fpN:$fpX mvdv=$idx:$newPin")
     (oldPin, newPin)
   }
 

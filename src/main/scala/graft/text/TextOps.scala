@@ -739,7 +739,7 @@ object TextOps {
     val docs = Tables
       .documents(spark, dir)
       .select("doc_id", "text", "lang", "n_chars")
-    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val maxId = Tables.maxLong(spark, dir, "documents", "doc_id")
     val half = maxId / 2
     def postings(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
