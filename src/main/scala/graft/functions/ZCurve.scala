@@ -119,12 +119,26 @@ object ZCurve {
           ).cast("long")
       }
     }
-    // interleave: bit b of column i lands at position b*k + i
+    // interleave: bit b of column i lands at position b*k + i.
+    // Optimization round 19 (guide §4): the former per-bit spelling
+    // (bits × cols shift/mask terms, each re-referencing its bucket
+    // expression) duplicated every bucket's aggregate HOF — which is
+    // CodegenFallback, so each of the `bits` copies re-ran the whole
+    // cut loop per row. The bit-spread of a bucket value depends only
+    // on the value, so it is precomputed here as a 2^bits-entry lookup
+    // table, embedded as a foldable array literal (constant-folded to
+    // one Literal): each bucket expression now appears EXACTLY ONCE,
+    // and the per-row work per column is one cut loop + one O(1)
+    // array lookup. The produced z value is bit-identical:
+    // spread(bucket_i) << i == Σ_b bit_b(bucket_i) << (b*k + i).
     val k = cols.size
-    val terms = for {
-      b <- 0 until bits
-      i <- 0 until k
-    } yield shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * k + i)
+    val spread: IndexedSeq[Long] = (0 to nCuts).map { v =>
+      (0 until bits).map(b => ((v.toLong >> b) & 1L) << (b * k)).sum
+    }
+    val spreadLit = array(spread.map(lit(_)): _*)
+    val terms = buckets.zipWithIndex.map { case (bkt, i) =>
+      shiftleft(element_at(spreadLit, (bkt + lit(1L)).cast("int")), i)
+    }
     terms.reduce(_ + _)
   }
 }

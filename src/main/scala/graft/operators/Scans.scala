@@ -792,7 +792,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -813,7 +813,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_tt")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -851,7 +851,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_rng")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -900,7 +900,7 @@ object Scans {
     val cat = sqlCatalog(spark)
     val table = tmp("sql_warehouse/main/orders_sqlsel")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1063,7 +1063,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("customer_snapshot_merge")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val c = Tables
       .customer(spark, dir)
@@ -1118,7 +1118,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_cdf")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1151,7 +1151,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_opt")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1194,7 +1194,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_cluster")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1264,7 +1264,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_zstr")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1300,7 +1300,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_zorder")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1354,7 +1354,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_src")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1396,7 +1396,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_cdfstream")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1444,7 +1444,7 @@ object Scans {
     val src = tmp("orders_snapshot_repl_src")
     val dst = tmp("orders_snapshot_repl_dst")
     val fsys = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(src), true)
     fsys.delete(new org.apache.hadoop.fs.Path(dst), true)
     val o = Tables
@@ -1491,7 +1491,7 @@ object Scans {
     val src = tmp("orders_snapshot_cdfapply_src")
     val dst = tmp("orders_snapshot_cdfapply_dst")
     val fsys = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(src), true)
     fsys.delete(new org.apache.hadoop.fs.Path(dst), true)
     val o = Tables
@@ -1578,7 +1578,7 @@ object Scans {
     val src = tmp("orders_mvmaint_src")
     val mv = tmp("orders_mvmaint_mv")
     val fsys = new org.apache.hadoop.fs.Path(up)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(up, src, mv).foreach(p =>
       fsys.delete(new org.apache.hadoop.fs.Path(p), true))
     val o = Tables
@@ -1637,7 +1637,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_hist")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1681,7 +1681,7 @@ object Scans {
   val sourceAvro: Q = (spark, dir) => {
     val out = tmp("avro_orders")
     new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(out), true)
     Tables
       .orders(spark, dir)
@@ -1707,7 +1707,7 @@ object Scans {
   val sourceAvroEvolve: Q = (spark, dir) => {
     val out = tmp("avro_customer_evolve")
     new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(out), true)
     val c = Tables.customer(spark, dir)
     c.filter(col("c_custkey") % 2 === 0)
@@ -1738,7 +1738,7 @@ object Scans {
   val sinkAvro: Q = (spark, dir) => {
     val out = tmp("avro_orders_sink")
     new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(out), true)
     val o = Tables
       .orders(spark, dir)
@@ -1771,7 +1771,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_meta")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -1817,7 +1817,7 @@ object Scans {
       s"CREATE TABLE $cat.main.orders_aggpd AS SELECT * FROM graft_aggpd_src")
     val tablePath = tmp("sql_warehouse") + "/main/orders_aggpd"
     val fsys = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hidden = new org.apache.hadoop.fs.Path(s"$tablePath/_hidden")
     fsys.mkdirs(hidden)
     val dataFiles = fsys
@@ -1869,7 +1869,7 @@ object Scans {
          |SELECT * FROM graft_ren_src WHERE o_orderkey <= $c2""".stripMargin)
     val tablePath = tmp("sql_warehouse") + "/main/orders_ren"
     val fsys = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def disk(): Set[String] = fsys
       .listStatus(new org.apache.hadoop.fs.Path(tablePath))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -1944,7 +1944,7 @@ object Scans {
          |FROM graft_widen_src WHERE o_orderkey <= $c2""".stripMargin)
     val tablePath = tmp("sql_warehouse") + "/main/orders_widen"
     val fsys = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def disk(): Set[String] = fsys
       .listStatus(new org.apache.hadoop.fs.Path(tablePath))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -1980,7 +1980,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_bloom")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -2026,7 +2026,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_bloomrf")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -2104,7 +2104,7 @@ object Scans {
          |SELECT * FROM graft_clone_src WHERE o_orderkey > $c2""".stripMargin) // v3
     val cloneDir = tmp("sql_warehouse") + "/main/orders_clone"
     val fsys = new org.apache.hadoop.fs.Path(cloneDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(
       !fsys.listStatus(new org.apache.hadoop.fs.Path(cloneDir)).exists(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet")),
@@ -6126,7 +6126,7 @@ object Scans {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val landing = tmp("ingest_landing")
     val lp = new org.apache.hadoop.fs.Path(landing)
-    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(lp, true)
     val o = Tables
       .orders(spark, dir)
@@ -6574,7 +6574,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_optwhere")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -6616,7 +6616,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_del")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -6836,7 +6836,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val cat = sqlCatalog(spark)
     val fsys = new org.apache.hadoop.fs.Path(tmp("sql_warehouse"))
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = tmp("sql_warehouse/main/orders_tstream_src")
     fsys.delete(new org.apache.hadoop.fs.Path(src), true)
     val ckpt = tmp("orders_tstream_ckpt")
@@ -6878,7 +6878,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val cat = sqlCatalog(spark)
     val fsys = new org.apache.hadoop.fs.Path(tmp("sql_warehouse"))
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("orders_bkt", "customer_bkt").foreach(t =>
       fsys.delete(new org.apache.hadoop.fs.Path(tmp(s"sql_warehouse/main/$t")), true))
     SnapshotLog.commitBucketed(
@@ -7020,7 +7020,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_restore")
     val fsys = new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -7088,7 +7088,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_wap")
     val fsys = new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -7150,7 +7150,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_tag")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -7193,7 +7193,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_mor")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -7248,7 +7248,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_umor")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)
@@ -7299,7 +7299,7 @@ object Scans {
     import graft.sources.SnapshotLog
     val table = tmp("orders_snapshot_mv")
     new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(table), true)
     val o = Tables
       .orders(spark, dir)

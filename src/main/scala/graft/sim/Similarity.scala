@@ -929,7 +929,7 @@ object Similarity {
     val src = s"${sys.props("java.io.tmpdir")}/graft_io/emb_idxinc_src"
     val idx = s"${sys.props("java.io.tmpdir")}/graft_io/emb_idxinc_codes"
     val fs = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label")

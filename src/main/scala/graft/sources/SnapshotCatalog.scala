@@ -87,7 +87,7 @@ class SnapshotCatalog
 
   private def spark = SparkSession.active
   private def wfs =
-    new Path(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def initialize(
       name: String,
@@ -2843,7 +2843,7 @@ case class SnapshotReplaceBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path)
-      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     messages.foreach {
       case SnapshotSqlCommit(n, q) =>
         n.foreach(f =>
@@ -3000,7 +3000,7 @@ class SnapshotMorBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path)
-      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     messages.foreach {
       case SnapshotMorCommit(specs, f, q) =>
         // uncommitted sidecars and insert files are unreferenced by any
@@ -3266,7 +3266,7 @@ case class SnapshotSqlStreamingWrite(
       messages: Array[WriterCommitMessage]
   ): Unit = {
     val fs = new Path(path)
-      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     messages.foreach {
       case SnapshotSqlCommit(n, q) =>
         n.foreach(f =>
@@ -3405,7 +3405,7 @@ case class SnapshotSqlBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort: anything missed is an unreferenced orphan for vacuum
     val fs = new Path(path)
-      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     messages.foreach {
       case SnapshotSqlCommit(n, q) =>
         n.foreach(f =>

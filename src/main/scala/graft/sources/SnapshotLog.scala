@@ -97,8 +97,18 @@ object SnapshotLog {
     * nothing — omission only costs pruning, never correctness). */
   private val MaxStringStatBytes = 48
 
+  /** FileSystem for `table`. Uses the SparkContext's live Hadoop conf
+    * directly instead of `sessionState.newHadoopConf()` (optimization
+    * round 19): the latter clones the full SparkConf + hadoop props on
+    * EVERY call, and this helper runs on every manifest read/commit —
+    * hundreds of clones per lifecycle key for a value that only needs
+    * scheme→impl resolution. Runtime mutations (e.g. a registered test
+    * scheme) stay visible because this IS the object callers mutate;
+    * SQL-conf-derived entries are irrelevant to FileSystem.get. The
+    * executor-bound SerializableHadoopConf sites keep newHadoopConf —
+    * their parquet readers DO consume SQL-derived entries. */
   private def fs(spark: SparkSession, table: String): FileSystem =
-    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The ONE primitive a commit publish needs (round 15, making the
     * S3-class path code-real behind the refusal): atomically publish
@@ -639,7 +649,7 @@ object SnapshotLog {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(file, spark.sessionState.newHadoopConf())
+      HadoopInputFile.fromPath(file, spark.sparkContext.hadoopConfiguration)
     )
     try {
       val rowCount =
@@ -885,7 +895,7 @@ object SnapshotLog {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"snapshot ingest: no commits in $table — create it first")
     val sp = new Path(srcDir)
-    val sfs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(sfs.exists(sp), s"snapshot ingest: source dir $srcDir does not exist")
     val ext = "." + format
     val files = sfs

@@ -733,7 +733,7 @@ object TextOps {
     val src = s"${sys.props("java.io.tmpdir")}/graft_io/docs_idxinc_src"
     val idx = s"${sys.props("java.io.tmpdir")}/graft_io/docs_idxinc_postings"
     val fs = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val docs = Tables
