@@ -92,7 +92,19 @@ object Tables {
       column: String
   ): Long =
     footerMaxLong(spark, s"$sfDir/$name.parquet", column).getOrElse {
-      t(spark, sfDir, name)
+      // the scan fallback must go through the TABLE'S loader, not the
+      // raw reader: a TIMESTAMP(NANOS)-generation orders/lineitem/
+      // events file refuses a plain scan at schema time even when the
+      // timestamp column is pruned away (the whole reason loadWithTs
+      // exists) — the pre-optimization call sites always read through
+      // these loaders, and the fallback must match them exactly
+      val frame = name match {
+        case "orders"   => orders(spark, sfDir)
+        case "lineitem" => lineitem(spark, sfDir)
+        case "events"   => events(spark, sfDir)
+        case other      => t(spark, sfDir, other)
+      }
+      frame
         .agg(org.apache.spark.sql.functions.max(col(column)))
         .collect()(0).getLong(0)
     }
