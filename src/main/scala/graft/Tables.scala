@@ -117,6 +117,19 @@ object Tables {
     try {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       import scala.jdk.CollectionConverters._
+      // only a PLAIN signed integer column's physical max equals the
+      // logical max: a logical TIMESTAMP/DECIMAL/UNSIGNED annotation
+      // over INT64/INT32 stores values whose signed physical ordering
+      // (or scale) diverges from the column's logical value — refuse
+      // those to the scan fallback instead of answering silently wrong
+      def plainSignedInt(
+          t: org.apache.parquet.schema.PrimitiveType): Boolean =
+        t.getLogicalTypeAnnotation match {
+          case null => true
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            i.isSigned
+          case _ => false
+        }
       val conf = spark.sessionState.newHadoopConf()
       val p = new HPath(file)
       val fs = p.getFileSystem(conf)
@@ -140,6 +153,7 @@ object Tables {
           else if (!chunks.forall(c =>
               c.getStatistics != null && !c.getStatistics.isEmpty &&
                 c.getStatistics.hasNonNullValue)) None
+          else if (!plainSignedInt(chunks.head.getPrimitiveType)) None
           else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
             case PrimitiveTypeName.INT64 =>
               Some(chunks.map(
@@ -152,7 +166,7 @@ object Tables {
         } finally reader.close()
       }
       if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.max)
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Footer-declared time unit of `column`, cached per file. None =
     * column carries no TIMESTAMP logical annotation. */

@@ -643,14 +643,15 @@ object SnapshotLog {
     * present in EVERY row group (a column missing stats anywhere is
     * omitted and can never prune). Metadata-only read, no data pages
     * touched. */
-  private def statsSuffix(spark: SparkSession, file: Path): (Long, String) = {
+  private def statsSuffix(
+      hconf: org.apache.hadoop.conf.Configuration,
+      file: Path
+  ): (Long, String) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import scala.jdk.CollectionConverters._
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(file, spark.sparkContext.hadoopConfiguration)
-    )
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
     try {
       val rowCount =
         reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
@@ -972,7 +973,11 @@ object SnapshotLog {
       // token depend on an Observation collected by that same write
       // (the one-pass fold fingerprint), instead of paying a separate
       // aggregate action before the commit
-      extraHeaderFn: Option[() => String] = None
+      extraHeaderFn: Option[() => String] = None,
+      // forwarded into the commit critical section (see
+      // commitEntriesInternal): runs under the claim lock with the
+      // actual parent version this commit will land on
+      preCommit: Option[Int] => Unit = _ => ()
   ): Int = {
     val f = fs(spark, table)
     requireCommitSafeFs(f, table) // before staging — no orphans on refusal
@@ -996,7 +1001,8 @@ object SnapshotLog {
     val landed = stageOnly(spark, table, stagedDf)
     commitLandedInternal(
       spark, table, landed, batchSchema, overwrite, txnId, replaceRemoved,
-      dataChange, extraHeaderFn.map(_()).getOrElse(extraHeader))
+      dataChange, extraHeaderFn.map(_()).getOrElse(extraHeader),
+      preCommit = preCommit)
   }
 
   /** `batch` with the declared (tip-schema) nullability restored on
@@ -1094,27 +1100,46 @@ object SnapshotLog {
       landedNames: Seq[String]
   ): Seq[String] = {
     val f = fs(spark, table)
+    // ONE session-derived Hadoop conf for the whole batch: the footer
+    // readers must see SQL-level fs/parquet overrides (the reason the
+    // executor-bound paths keep newHadoopConf), but cloning it per
+    // FILE was the old serial path's hidden cost — once per commit is
+    // the right granularity.
+    val hconf = spark.sessionState.newHadoopConf()
+    def annotate(name: String): String = {
+      val (rows, stats) = statsSuffix(hconf, new Path(s"$table/$name"))
+      val size =
+        s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen};_rc=r:$rows"
+      val suffix = if (stats.isEmpty) size else s"$size;$stats"
+      s"$name\t$suffix"
+    }
     // footer reads are independent metadata round-trips — run them in
     // parallel (optimization round 19, guide §6): a commit of N files
     // paid N serial driver-side opens; at 1e5 landed files on an object
     // store that is hours of sequential latency for work that
-    // parallelizes perfectly. Bounded pool; order preserved.
-    val par = math.min(math.max(landedNames.size, 1), 16)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    try {
-      val tasks = landedNames.map { name =>
-        pool.submit(new java.util.concurrent.Callable[String] {
-          override def call(): String = {
-            val (rows, stats) = statsSuffix(spark, new Path(s"$table/$name"))
-            val size =
-              s"_sz=z:${f.getFileStatus(new Path(s"$table/$name")).getLen};_rc=r:$rows"
-            val suffix = if (stats.isEmpty) size else s"$size;$stats"
-            s"$name\t$suffix"
-          }
-        })
-      }
-      tasks.map(_.get())
-    } finally pool.shutdown()
+    // parallelizes perfectly. Bounded pool; order preserved; a
+    // single-file commit (the common case) skips the pool entirely.
+    if (landedNames.size <= 1) landedNames.map(annotate)
+    else {
+      val par = math.min(landedNames.size, 16)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val tasks = landedNames.map { name =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = annotate(name)
+          })
+        }
+        tasks.map(t =>
+          try t.get()
+          catch {
+            // surface the real failure (corrupt/unreadable file), not
+            // the pool wrapper — commit callers and their tests match
+            // on the underlying exception type
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          })
+      } finally pool.shutdown()
+    }
   }
 
   /** Claim-loop commit of fully-formed manifest entry LINES (name +
@@ -3469,7 +3494,8 @@ object SnapshotLog {
       mv: String,
       rollup: DataFrame,
       overwrite: Boolean,
-      headerOf: (Long, Long) => String
+      headerOf: (Long, Long) => String,
+      preCommit: Option[Int] => Unit = _ => ()
   ): Int = {
     import org.apache.spark.sql.functions.{call_function, col, count, lit, xxhash64}
     val obs = org.apache.spark.sql.Observation(
@@ -3488,7 +3514,8 @@ object SnapshotLog {
         val n = m("n").asInstanceOf[Long]
         val x = m("x") match { case null => 0L; case l => l.asInstanceOf[Long] }
         headerOf(n, x)
-      })
+      },
+      preCommit = preCommit)
   }
 
   /** The most recent committed `mvfp=` rider, parsed. */
@@ -5081,23 +5108,23 @@ object SnapshotLog {
     // commit: a crash after this line leaves props stale but the
     // header authoritative, so a replayed refresh folds from `to`,
     // not `from` — no double-count
-    // CONCURRENT-REFRESH detector (round 16): this fold was computed
-    // from the MV state read at entry (the stored-rollup file list is
-    // pinned at plan construction); if another maintainer (a second
-    // refresh, a dim refresh) committed in between, committing here
-    // would clobber its work with data derived from the stale state —
-    // refuse and name the re-run. Not a lock (the window between this
-    // check and the commit remains; maintenance is single-writer by
-    // contract, like every derived table here) but it catches the
-    // realistic overlap: a scheduled refresh crossing a manual one.
-    require(
-      versions(spark, mv).lastOption == mvTipAtStart,
-      s"refreshMv: $mv moved while this refresh computed its fold " +
-        "(a concurrent refresh or dim refresh committed) — re-run " +
-        "refreshMv; maintenance is single-writer per MV")
+    // CONCURRENT-REFRESH detector (round 16; hardened round 19): this
+    // fold reads the MV state pinned at entry (file lists resolve at
+    // plan construction); a maintainer committing in between would be
+    // clobbered by this overwrite. With the one-pass fold the
+    // computation now happens lazily inside the staging write, so the
+    // check runs as the commit's preCommit hook — INSIDE the claim
+    // lock, against the actual parent version this commit lands on —
+    // which closes the whole stage-to-commit window the old
+    // post-checkpoint check left open, not just the pre-staging slice.
     commitFoldWithFp(
       spark, mv, next, overwrite = true,
-      (fpN, fpX) => s"mvv=$to mvfp=$fpN:$fpX")
+      (fpN, fpX) => s"mvv=$to mvfp=$fpN:$fpX",
+      preCommit = actualParent => require(
+        actualParent == mvTipAtStart,
+        s"refreshMv: $mv moved while this refresh computed its fold " +
+          "(a concurrent refresh or dim refresh committed) — re-run " +
+          "refreshMv; maintenance is single-writer per MV"))
     setTableProps(spark, mv, props + ("mv_version" -> to.toString))
     (from, to)
   }
@@ -5626,18 +5653,20 @@ object SnapshotLog {
           "left_anti")
         kept.unionByName(recomputed)
       }
-    // same concurrent-refresh detector as refreshMv: a fact fold
-    // landing mid-recompute would be clobbered by this commit while
-    // its mvv header survives in the ledger — data and ledger would
-    // diverge silently. Refuse and name the re-run instead.
-    require(
-      versions(spark, mv).lastOption == mvTipAtStart,
-      s"refreshMvDim: $mv moved while this dim refresh recomputed " +
-        "(a concurrent refresh committed) — re-run refreshMvDim; " +
-        "maintenance is single-writer per MV")
+    // same concurrent-refresh detector as refreshMv, likewise run as
+    // the commit's preCommit hook (inside the claim lock, against the
+    // actual parent) so the lazily-computed recompute stays covered:
+    // a fact fold landing mid-recompute would be clobbered by this
+    // commit while its mvv header survives in the ledger — data and
+    // ledger would diverge silently. Refuse and name the re-run.
     commitFoldWithFp(
       spark, mv, next, overwrite = true,
-      (fpN, fpX) => s"mvv=$watermark mvfp=$fpN:$fpX mvdv=$idx:$newPin")
+      (fpN, fpX) => s"mvv=$watermark mvfp=$fpN:$fpX mvdv=$idx:$newPin",
+      preCommit = actualParent => require(
+        actualParent == mvTipAtStart,
+        s"refreshMvDim: $mv moved while this dim refresh recomputed " +
+          "(a concurrent refresh committed) — re-run refreshMvDim; " +
+          "maintenance is single-writer per MV"))
     (oldPin, newPin)
   }
 

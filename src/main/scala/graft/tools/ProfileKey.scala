@@ -34,12 +34,13 @@ object ProfileKey {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        def p(k: String) = Option(e.properties.getProperty(k))
+        val props = Option(e.properties).getOrElse(new java.util.Properties())
+        def p(k: String) = Option(props.getProperty(k))
         if (sys.env.contains("SPARK_GRAFT_PROFILE_DUMP_PROPS") && e.jobId < 3) {
-          val en = e.properties.propertyNames()
+          val en = props.propertyNames()
           while (en.hasMoreElements) {
             val k = en.nextElement().toString
-            println(s"  prop[$k]=${e.properties.getProperty(k).take(80)}")
+            println(s"  prop[$k]=${props.getProperty(k).take(80)}")
           }
         }
         val site = p("callSite.short").orElse(p("spark.job.callSite.short")).getOrElse("?")
