@@ -62,7 +62,12 @@ object ZCurve {
     // cut pass is a full-table scan and its sketch cost is the
     // driver's merge wall. Correctness is untouched by construction:
     // the z column orders the REWRITE's layout and is dropped before
-    // commit, so cut values can never reach a query result.
+    // commit, so cut values can never reach a query result. At coarse
+    // relErr (small caller-supplied `bits`, e.g. bits=2 → ε=0.125)
+    // approxQuantile may return colliding or even inverted cuts; that
+    // is absorbed by the `.distinct.sorted` at the bucket expression
+    // below, so the safety does not depend on the sketch returning
+    // monotone cuts.
     val relErr = 1.0 / (2.0 * (nCuts + 1))
     val numCuts: Map[String, Array[Double]] =
       if (numCols.isEmpty) Map.empty

@@ -17,6 +17,36 @@ object Scans {
   private def tmp(name: String) =
     s"${sys.props("java.io.tmpdir")}/graft_io/$name"
 
+  /** Run independent bail-matrix PROBES concurrently (optimization
+    * round 20, guide §2.6 "overlap independent jobs", applied to
+    * driver-side Catalyst work): a §5.6 bail matrix is N independent
+    * parse/analyze/optimize passes over variant spellings of the
+    * served query, each ~0.5 s of RuleExecutor, serialized only
+    * because the driver called them sequentially. Each probe still
+    * runs IN FULL and its `require` still gates the key — the matrix
+    * stays exercised; only the wall-clock serialization between
+    * probes is removed. Planning is thread-safe here: QueryExecution
+    * phases run under `SparkSession.withActive`, the rewrite rule
+    * reads conf through its captured session, and the serve-miss
+    * diag sink is a ThreadLocal. The first failure rethrows
+    * verbatim. */
+  private def parProbes(probes: (() => Unit)*): Unit =
+    if (probes.size <= 1) probes.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(probes.size)
+      try {
+        val fs = probes.map(p =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = p()
+          }))
+        fs.foreach(f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          })
+      } finally pool.shutdown()
+    }
+
   /** Full table scan with a stable total order. */
   val scanParquet: Q = (spark, dir) =>
     Tables.lineitem(spark, dir).orderBy("l_orderkey", "l_linenumber")
@@ -3821,27 +3851,35 @@ object Scans {
       require(
         out.filter(col("seg").isNull).limit(1).count() == 0L,
         "the inner edge admits no NULL segment bucket")
-      // per-edge bail matrix: neither uniform spelling may serve
-      val allInner = spark.sql(
-        s"""SELECT seg, nname, sum(cents) AS s
-           |FROM $cat.main.orders_mssrc
-           |JOIN $cat.main.cust_msdim ON o_custkey = c_custkey
-           |JOIN $cat.main.nat_msdim ON nk = n_nationkey
-           |GROUP BY seg, nname""".stripMargin)
-      require(
-        !MvRewrite.readsPath(
-          rule(allInner.queryExecution.optimizedPlan), mvPath),
-        "the all-inner star must not serve from the mixed rollup")
-      val allLeft = spark.sql(
-        s"""SELECT seg, nname, sum(cents) AS s
-           |FROM $cat.main.orders_mssrc
-           |LEFT JOIN $cat.main.cust_msdim ON o_custkey = c_custkey
-           |LEFT JOIN $cat.main.nat_msdim ON nk = n_nationkey
-           |GROUP BY seg, nname""".stripMargin)
-      require(
-        !MvRewrite.readsPath(
-          rule(allLeft.queryExecution.optimizedPlan), mvPath),
-        "the all-left star must not serve from the mixed rollup")
+      // per-edge bail matrix: neither uniform spelling may serve —
+      // two independent planning probes, run concurrently
+      // ([[parProbes]]; probes and requires verbatim)
+      parProbes(
+        () => {
+          val allInner = spark.sql(
+            s"""SELECT seg, nname, sum(cents) AS s
+               |FROM $cat.main.orders_mssrc
+               |JOIN $cat.main.cust_msdim ON o_custkey = c_custkey
+               |JOIN $cat.main.nat_msdim ON nk = n_nationkey
+               |GROUP BY seg, nname""".stripMargin)
+          require(
+            !MvRewrite.readsPath(
+              rule(allInner.queryExecution.optimizedPlan), mvPath),
+            "the all-inner star must not serve from the mixed rollup")
+        },
+        () => {
+          val allLeft = spark.sql(
+            s"""SELECT seg, nname, sum(cents) AS s
+               |FROM $cat.main.orders_mssrc
+               |LEFT JOIN $cat.main.cust_msdim ON o_custkey = c_custkey
+               |LEFT JOIN $cat.main.nat_msdim ON nk = n_nationkey
+               |GROUP BY seg, nname""".stripMargin)
+          require(
+            !MvRewrite.readsPath(
+              rule(allLeft.queryExecution.optimizedPlan), mvPath),
+            "the all-left star must not serve from the mixed rollup")
+        }
+      )
       out
     } finally prev match {
       case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
@@ -5185,27 +5223,31 @@ object Scans {
         !rewritten.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
         "served plan must carry no join at all")
-      // §5.6 bail matrix
-      require(
-        !MvRewrite.readsPath(
-          rule(q("approx_count_distinct(uid % 500011) AS au")
-            .queryExecution.optimizedPlan), mvPath),
-        "a DIFFERENT expression must bail to the source")
-      require(
-        !MvRewrite.readsPath(
-          rule(q("approx_count_distinct(uid % 500009, 0.001) AS au")
-            .queryExecution.optimizedPlan), mvPath),
-        "a tighter relativeSD than the stored sketch's RSE must bail")
-      require(
-        !MvRewrite.readsPath(
-          rule(q("count(DISTINCT uid % 500009) AS au")
-            .queryExecution.optimizedPlan), mvPath),
-        "exact count(DISTINCT expr) must never serve from a sketch")
-      require(
-        !MvRewrite.readsPath(
-          rule(q("approx_count_distinct(uid % 500009) AS au", "LEFT JOIN")
-            .queryExecution.optimizedPlan), mvPath),
-        "the LEFT-join spelling must bail on the inner MV")
+      // §5.6 bail matrix — four independent planning probes, run
+      // concurrently (see [[parProbes]]; each probe and its require
+      // are verbatim, only their serialization is removed)
+      parProbes(
+        () => require(
+          !MvRewrite.readsPath(
+            rule(q("approx_count_distinct(uid % 500011) AS au")
+              .queryExecution.optimizedPlan), mvPath),
+          "a DIFFERENT expression must bail to the source"),
+        () => require(
+          !MvRewrite.readsPath(
+            rule(q("approx_count_distinct(uid % 500009, 0.001) AS au")
+              .queryExecution.optimizedPlan), mvPath),
+          "a tighter relativeSD than the stored sketch's RSE must bail"),
+        () => require(
+          !MvRewrite.readsPath(
+            rule(q("count(DISTINCT uid % 500009) AS au")
+              .queryExecution.optimizedPlan), mvPath),
+          "exact count(DISTINCT expr) must never serve from a sketch"),
+        () => require(
+          !MvRewrite.readsPath(
+            rule(q("approx_count_distinct(uid % 500009) AS au", "LEFT JOIN")
+              .queryExecution.optimizedPlan), mvPath),
+          "the LEFT-join spelling must bail on the inner MV")
+      )
       val served = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
       served.collect().foreach { r =>
         val (du, n) = exact(r.getString(0))

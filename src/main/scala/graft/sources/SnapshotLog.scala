@@ -377,24 +377,120 @@ object SnapshotLog {
     * checks instead of a full `_log` listing per operation (one round
     * trip per HISTORY entry on an object store). A missing or stale
     * pointer (fresh table, pre-round-11 log, crashed tip write) falls
-    * back to the listing. */
+    * back to the listing.
+    *
+    * Memoized per table on the `_tip` file's (mtime, length) identity
+    * (optimization round 20, guide §6 metadata round trips): every
+    * lifecycle statement calls versions() several times, and each call
+    * paid an open+read of `_tip` plus 3 existence probes. A hit costs
+    * one stat + one forward probe. The memo is a HINT exactly like the
+    * tip itself: commits the pointer missed (a writer that died between
+    * manifest rename and tip update) are found by the forward probe,
+    * and a same-path table recreation changes the tip file's identity
+    * (different mtime — recreation lands minutes, not sub-millisecond,
+    * after the dead incarnation), so a dead incarnation's version list
+    * can never serve. */
+  private val versionsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int)]()
+
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val f = fs(spark, table)
-    val dir = new Path(s"$table/$LogDir")
-    if (!f.exists(dir)) return Seq.empty
-    val t0 = readTip(f, table)
-    if (t0 > 0 && f.exists(commitPath(table, t0))) {
-      var t = t0
-      while (f.exists(commitPath(table, t + 1))) t += 1
-      1 to t
-    } else {
-      f.listStatus(dir)
-        .map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(CommitSuffix))
-        .map(n => n.stripPrefix("v").stripSuffix(CommitSuffix).toInt)
-        .sorted
-        .toSeq
+    val tipSt =
+      try Some(f.getFileStatus(tipPath(table)))
+      catch { case _: java.io.IOException => None }
+    tipSt.flatMap(st => Option(versionsMemo.get(table)).collect {
+      case (m, l, known) if m == st.getModificationTime && l == st.getLen =>
+        var t = known
+        while (f.exists(commitPath(table, t + 1))) t += 1
+        if (t != known)
+          versionsMemo.put(table, (st.getModificationTime, st.getLen, t))
+        1 to t
+    }) match {
+      case Some(vs) => vs
+      case None =>
+        val dir = new Path(s"$table/$LogDir")
+        if (!f.exists(dir)) return Seq.empty
+        val t0 = readTip(f, table)
+        if (t0 > 0 && f.exists(commitPath(table, t0))) {
+          var t = t0
+          while (f.exists(commitPath(table, t + 1))) t += 1
+          tipSt.foreach(st =>
+            versionsMemo.put(table, (st.getModificationTime, st.getLen, t)))
+          1 to t
+        } else {
+          f.listStatus(dir)
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith("v") && n.endsWith(CommitSuffix))
+            .map(n => n.stripPrefix("v").stripSuffix(CommitSuffix).toInt)
+            .sorted
+            .toSeq
+        }
     }
+  }
+
+  /** One parsed commit file: header, own lines, and (lazily) the
+    * decoded schema and the RESOLVED live entry list at this version.
+    * Cached under the commit file's (mtime, length) identity — commit
+    * files are write-once (the publish is a conditional put / O_EXCL
+    * claim, and nothing ever rewrites one: [[expire]] deletes data
+    * files only), so a matching stat proves byte identity; a same-path
+    * table recreation yields a different mtime and misses. The lazy
+    * fields ride the same identity: a version's parent chain is fixed
+    * by its own content within an incarnation (parents are write-once
+    * too), so the resolved list is as immutable as the lines. */
+  private final class CommitFile(
+      val mtime: Long,
+      val len: Long,
+      val header: String,
+      val ownLines: Seq[String]) {
+    lazy val schemaOpt: Option[StructType] =
+      headerToken(header, "schema")
+        .map(t => DataType.fromJson(unb64(t)).asInstanceOf[StructType])
+    @volatile var resolvedEntries: Seq[String] = null
+  }
+
+  /** Bounded LRU of parsed commit files (driver-side metadata only —
+    * headers + file-name lines, never data). 8192 entries bounds a
+    * long bench session; one lifecycle table's whole history is a
+    * handful of entries. */
+  private val commitCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CommitFile](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, CommitFile]): Boolean =
+          size() > 8192
+      })
+
+  private def commitFile(
+      spark: SparkSession,
+      table: String,
+      version: Int
+  ): CommitFile = {
+    val f = fs(spark, table)
+    val p = commitPath(table, version)
+    val st = f.getFileStatus(p)
+    val key = p.toString
+    val hit = commitCache.get(key)
+    if (hit != null && hit.mtime == st.getModificationTime && hit.len == st.getLen)
+      return hit
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(
+        f.open(p),
+        java.nio.charset.StandardCharsets.UTF_8
+      )
+    )
+    val lines =
+      try Iterator
+        .continually(in.readLine())
+        .takeWhile(_ != null)
+        .filter(_.nonEmpty)
+        .toList
+      finally in.close()
+    val cf = new CommitFile(
+      st.getModificationTime, st.getLen,
+      lines.headOption.getOrElse(""), lines.drop(1))
+    commitCache.put(key, cf)
+    cf
   }
 
   /** One commit file's header + own lines, verbatim. */
@@ -403,21 +499,8 @@ object SnapshotLog {
       table: String,
       version: Int
   ): (String, Seq[String]) = {
-    val f = fs(spark, table)
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(
-        f.open(commitPath(table, version)),
-        java.nio.charset.StandardCharsets.UTF_8
-      )
-    )
-    try {
-      val lines = Iterator
-        .continually(in.readLine())
-        .takeWhile(_ != null)
-        .filter(_.nonEmpty)
-        .toList
-      (lines.headOption.getOrElse(""), lines.drop(1))
-    } finally in.close()
+    val cf = commitFile(spark, table, version)
+    (cf.header, cf.ownLines)
   }
 
   /** `key=value` token from a commit header (`append parent=3 txn=b1`). */
@@ -446,15 +529,19 @@ object SnapshotLog {
       table: String,
       version: Int
   ): Seq[String] = {
-    val (header, own) = readCommitFile(spark, table, version)
-    val (removals, adds) = own.partition(_.startsWith("-"))
-    headerToken(header, "parent") match {
+    val cf = commitFile(spark, table, version)
+    val hit = cf.resolvedEntries
+    if (hit != null) return hit
+    val (removals, adds) = cf.ownLines.partition(_.startsWith("-"))
+    val resolved = headerToken(cf.header, "parent") match {
       case Some(p) =>
         val removed = removals.map(_.stripPrefix("-")).toSet
         manifestEntries(spark, table, p.toInt)
           .filterNot(e => removed(e.split('\t')(0))) ++ adds
       case None => adds
     }
+    cf.resolvedEntries = resolved
+    resolved
   }
 
   /** Live data files (relative names) at `version`. */
@@ -535,8 +622,10 @@ object SnapshotLog {
       table: String,
       version: Int
   ): Option[StructType] =
-    headerToken(header(spark, table, version), "schema")
-      .map(t => DataType.fromJson(unb64(t)).asInstanceOf[StructType])
+    // decoded once per commit file and cached alongside it — every
+    // lifecycle statement re-reads the tip schema, and DataType.fromJson
+    // is real per-call CPU (optimization round 20)
+    commitFile(spark, table, version).schemaOpt
 
   // ------------------------------------------------------------------
   // Column mapping (metadata-only RENAME/DROP COLUMN)
