@@ -3619,7 +3619,16 @@ object Scans {
     val prev = spark.conf.getOption(MvRewrite.ConfKey)
     spark.conf.set(MvRewrite.ConfKey, "true")
     try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      // serve planning and the bail probe are independent plannings —
+      // overlap them ([[parProbes]]; both verbatim)
+      var rewritten: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null
+      parProbes(
+        () => { rewritten = rule(brute.queryExecution.optimizedPlan) },
+        () => require(
+          !MvRewrite.readsPath(
+            rule(other.queryExecution.optimizedPlan), mvPath),
+          "a DIFFERENT expression (98 - disc) must bail to the source")
+      )
       require(
         MvRewrite.readsPath(rewritten, mvPath),
         "DDL-declared expression-measure join serve did not fire")
@@ -3634,10 +3643,6 @@ object Scans {
         !rewritten.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
         "served plan must carry no join at all")
-      require(
-        !MvRewrite.readsPath(
-          rule(other.queryExecution.optimizedPlan), mvPath),
-        "a DIFFERENT expression (98 - disc) must bail to the source")
       org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
     } finally prev match {
       case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
@@ -3721,7 +3726,26 @@ object Scans {
     val prev = spark.conf.getOption(MvRewrite.ConfKey)
     spark.conf.set(MvRewrite.ConfKey, "true")
     try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      // serve planning and the cross-type bail probe are independent
+      // plannings — overlap them ([[parProbes]]; both verbatim)
+      var rewritten: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null
+      parProbes(
+        () => { rewritten = rule(brute.queryExecution.optimizedPlan) },
+        () => {
+          // cross-type bail: the INNER spelling must never serve from
+          // the left rollup (its buckets hold rows the inner join drops)
+          val inner = spark.sql(
+            s"""SELECT seg, nname, sum(cents) AS s
+               |FROM $cat.main.orders_l2src
+               |JOIN $cat.main.cust_l2dim ON o_custkey = c_custkey
+               |JOIN $cat.main.nat_l2dim ON nk = n_nationkey
+               |GROUP BY seg, nname""".stripMargin)
+          require(
+            !MvRewrite.readsPath(
+              rule(inner.queryExecution.optimizedPlan), mvPath),
+            "the inner star must not serve from the left star MV")
+        }
+      )
       require(
         MvRewrite.readsPath(rewritten, mvPath),
         "left star serve did not fire: the plan does not read the MV")
@@ -3738,18 +3762,6 @@ object Scans {
           out.filter(col("seg").isNull && col("nname").isNull)
             .count() == 1L,
         "all three NULL-bucket shapes must be live in the served result")
-      // cross-type bail: the INNER spelling must never serve from the
-      // left rollup (its buckets hold rows the inner join drops)
-      val inner = spark.sql(
-        s"""SELECT seg, nname, sum(cents) AS s
-           |FROM $cat.main.orders_l2src
-           |JOIN $cat.main.cust_l2dim ON o_custkey = c_custkey
-           |JOIN $cat.main.nat_l2dim ON nk = n_nationkey
-           |GROUP BY seg, nname""".stripMargin)
-      require(
-        !MvRewrite.readsPath(
-          rule(inner.queryExecution.optimizedPlan), mvPath),
-        "the inner star must not serve from the left star MV")
       out
     } finally prev match {
       case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
@@ -3835,26 +3847,13 @@ object Scans {
     val prev = spark.conf.getOption(MvRewrite.ConfKey)
     spark.conf.set(MvRewrite.ConfKey, "true")
     try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
-      require(
-        MvRewrite.readsPath(rewritten, mvPath),
-        "mixed star serve did not fire: the plan does not read the MV")
-      require(
-        !rewritten.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
-        "served plan must carry no join at all")
-      val out = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
-      require(
-        out.filter(col("seg").isNotNull && col("nname").isNull)
-          .limit(1).count() == 1L,
-        "the left edge's (seg, NULL) buckets must be live")
-      require(
-        out.filter(col("seg").isNull).limit(1).count() == 0L,
-        "the inner edge admits no NULL segment bucket")
       // per-edge bail matrix: neither uniform spelling may serve —
-      // two independent planning probes, run concurrently
-      // ([[parProbes]]; probes and requires verbatim)
+      // two independent planning probes, run concurrently with the
+      // serve planning itself ([[parProbes]]; probes and requires
+      // verbatim)
+      var rewritten: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null
       parProbes(
+        () => { rewritten = rule(brute.queryExecution.optimizedPlan) },
         () => {
           val allInner = spark.sql(
             s"""SELECT seg, nname, sum(cents) AS s
@@ -3880,6 +3879,21 @@ object Scans {
             "the all-left star must not serve from the mixed rollup")
         }
       )
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "mixed star serve did not fire: the plan does not read the MV")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
+      val out = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
+      require(
+        out.filter(col("seg").isNotNull && col("nname").isNull)
+          .limit(1).count() == 1L,
+        "the left edge's (seg, NULL) buckets must be live")
+      require(
+        out.filter(col("seg").isNull).limit(1).count() == 0L,
+        "the inner edge admits no NULL segment bucket")
       out
     } finally prev match {
       case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
@@ -4596,7 +4610,16 @@ object Scans {
     val prev = spark.conf.getOption(MvRewrite.ConfKey)
     spark.conf.set(MvRewrite.ConfKey, "true")
     try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      // serve planning and the bail probe are independent plannings —
+      // overlap them ([[parProbes]]; both verbatim)
+      var rewritten: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null
+      parProbes(
+        () => { rewritten = rule(brute.queryExecution.optimizedPlan) },
+        () => require(
+          !MvRewrite.readsPath(
+            rule(other.queryExecution.optimizedPlan), mvPath),
+          "a DIFFERENT expression (99 - disc) must bail to the source")
+      )
       require(
         MvRewrite.readsPath(rewritten, mvPath),
         "expression-measure join serve did not fire: the plan does not " +
@@ -4612,10 +4635,6 @@ object Scans {
         !rewritten.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
         "served plan must carry no join at all")
-      require(
-        !MvRewrite.readsPath(
-          rule(other.queryExecution.optimizedPlan), mvPath),
-        "a DIFFERENT expression (99 - disc) must bail to the source")
       org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
     } finally prev match {
       case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
@@ -4810,7 +4829,25 @@ object Scans {
     val prev = spark.conf.getOption(MvRewrite.ConfKey)
     spark.conf.set(MvRewrite.ConfKey, "true")
     try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
+      // serve planning and the partial-star bail probe are independent
+      // plannings — overlap them ([[parProbes]]; both verbatim)
+      var rewritten: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null
+      parProbes(
+        () => { rewritten = rule(brute.queryExecution.optimizedPlan) },
+        () => {
+          // a PARTIAL star (fact ⋈ part only) must NOT serve from the
+          // 2-dim MV: its groups fold supplier exclusions and its rows
+          // joined the second dim — the leaf-count gate refuses
+          val partial = spark.sql(
+            s"""SELECT p_brand, sum(cents) AS s FROM $cat.main.li_ssrc
+               |JOIN $cat.main.part_sdim ON l_partkey = p_partkey
+               |GROUP BY p_brand""".stripMargin)
+          require(
+            !MvRewrite.readsPath(
+              rule(partial.queryExecution.optimizedPlan), mvPath),
+            "a 1-join query must not serve from the 2-dim star MV")
+        }
+      )
       require(
         MvRewrite.readsPath(rewritten, mvPath),
         "star serve did not fire: the plan does not read the MV")
@@ -4825,17 +4862,6 @@ object Scans {
         !rewritten.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
         "served plan must carry no join at all")
-      // a PARTIAL star (fact ⋈ part only) must NOT serve from the
-      // 2-dim MV: its groups fold supplier exclusions and its rows
-      // joined the second dim — the leaf-count gate refuses
-      val partial = spark.sql(
-        s"""SELECT p_brand, sum(cents) AS s FROM $cat.main.li_ssrc
-           |JOIN $cat.main.part_sdim ON l_partkey = p_partkey
-           |GROUP BY p_brand""".stripMargin)
-      require(
-        !MvRewrite.readsPath(
-          rule(partial.queryExecution.optimizedPlan), mvPath),
-        "a 1-join query must not serve from the 2-dim star MV")
       org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
     } finally prev match {
       case Some(v) => spark.conf.set(MvRewrite.ConfKey, v)
@@ -5207,26 +5233,13 @@ object Scans {
     val prev = spark.conf.getOption(MvRewrite.ConfKey)
     spark.conf.set(MvRewrite.ConfKey, "true")
     try {
-      val rewritten = rule(brute.queryExecution.optimizedPlan)
-      require(
-        MvRewrite.readsPath(rewritten, mvPath),
-        "hll expression join serve did not fire: the per-segment " +
-          "estimate must read the stored expression sketches")
-      require(
-        !rewritten.exists(p =>
-          p.isInstanceOf[org.apache.spark.sql.execution.datasources
-            .v2.DataSourceV2ScanRelation] ||
-            p.isInstanceOf[org.apache.spark.sql.execution.datasources
-              .v2.DataSourceV2Relation]),
-        "served plan must touch NEITHER the fact nor the dim scan")
-      require(
-        !rewritten.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
-        "served plan must carry no join at all")
       // §5.6 bail matrix — four independent planning probes, run
-      // concurrently (see [[parProbes]]; each probe and its require
-      // are verbatim, only their serialization is removed)
+      // concurrently with the serve planning itself (see [[parProbes]];
+      // each probe and its require are verbatim, only their
+      // serialization is removed)
+      var rewritten: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null
       parProbes(
+        () => { rewritten = rule(brute.queryExecution.optimizedPlan) },
         () => require(
           !MvRewrite.readsPath(
             rule(q("approx_count_distinct(uid % 500011) AS au")
@@ -5248,6 +5261,21 @@ object Scans {
               .queryExecution.optimizedPlan), mvPath),
           "the LEFT-join spelling must bail on the inner MV")
       )
+      require(
+        MvRewrite.readsPath(rewritten, mvPath),
+        "hll expression join serve did not fire: the per-segment " +
+          "estimate must read the stored expression sketches")
+      require(
+        !rewritten.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation] ||
+            p.isInstanceOf[org.apache.spark.sql.execution.datasources
+              .v2.DataSourceV2Relation]),
+        "served plan must touch NEITHER the fact nor the dim scan")
+      require(
+        !rewritten.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        "served plan must carry no join at all")
       val served = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten)
       served.collect().foreach { r =>
         val (du, n) = exact(r.getString(0))
